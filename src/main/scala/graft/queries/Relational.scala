@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.7): aggregation, joins,
+  * windows, sorts, set ops, scalar functions — each as a Spark-first
+  * DataFrame program plus an equivalent DuckDB oracle SQL.
+  *
+  * Float-determinism rules (calibrated against DuckDB 1.0):
+  *  - Per-row double arithmetic is bit-identical across engines; only the
+  *    aggregation ORDER varies. So any SUM over doubles casts the per-row
+  *    value to DECIMAL(30,10) first and keeps the exact DECIMAL(38,10) sum
+  *    as the output type — DuckDB's decimal→double cast is 1 ulp off
+  *    Spark's, so we never cast an exact sum back to double.
+  *  - Ratios (avg) go through round(cast(sum as double)/count, 6): the
+  *    1-ulp cast wobble is absorbed by rounding at 1e-6.
+  */
+object Relational {
+
+  /** Exact decimal sum of a per-row double expression → DECIMAL(38,10). */
+  private def dsum(e: Column): Column = sum(e.cast(DecimalType(30, 10)))
+
+  /** Deterministic average surfaced as a rounded double. */
+  private def davg(e: Column): Column =
+    round(dsum(e).cast("double") / count(lit(1)), 6)
+
+  private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----- Aggregation (SURVEY §2.4) -----------------------------------
+    QueryDef(
+      "q01_pricing_summary",
+      // TPC-H Q1 shape: group-by agg with sum/avg/count over lineitem.
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS sum_base_price,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS sum_disc_price,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS sum_charge,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+               round(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        l.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+    ),
+    QueryDef(
+      "q06_revenue_filter_agg",
+      // TPC-H Q6 shape: selective filter + single exact aggregate; the
+      // filter must reach the parquet scan as a pushed predicate.
+      Some("""
+        SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24"""),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(
+            dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            count(lit(1)).as("n"))
+    ),
+    QueryDef(
+      "q03_join_broadcast_agg",
+      // Fact ⋈ small dim: the dim side must broadcast (no shuffle of orders).
+      Some("""
+        SELECT c_mktsegment,
+               COUNT(*) AS order_cnt,
+               SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("order_cnt"),
+               dsum(col("o_totalprice")).as("total_price"))
+          .orderBy("c_mktsegment")
+      }
+    )
+  )
+}
