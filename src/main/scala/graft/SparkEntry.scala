@@ -7,7 +7,8 @@ object SparkEntry {
   /** Every capability the engine exposes, as (name → Spark program) plus an
     * optional DuckDB oracle. Assembled from the per-domain registries. */
   def all: Seq[QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+    graft.queries.IcebergQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,87 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+
+import IcebergModel._
+import scala.jdk.CollectionConverters._
+
+/** metadata.json parsing + snapshot selection — the analogue of the
+  * reference's GetParseInfo / ParseSnapShot / Find*SnapshotInternal
+  * (duckdb_iceberg `src/common/iceberg.cpp:93-131,230-254,315-370`).
+  */
+object IcebergMetadataParser {
+
+  private val mapper = new ObjectMapper()
+
+  final case class ParseInfo(
+      formatVersion: Int,
+      schemaId: Int,
+      schemas: Seq[JsonNode],
+      snapshots: Seq[JsonNode])
+
+  def parseInfo(json: String): ParseInfo = {
+    val root = mapper.readTree(json)
+    val version = root.get("format-version").asInt
+    val snaps =
+      if (root.has("snapshots")) root.get("snapshots").elements.asScala.toSeq else Seq.empty
+    // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
+    if (root.has("current-schema-id")) {
+      val schemas = root.get("schemas").elements.asScala.toSeq
+      ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps)
+    } else {
+      val schema = Option(root.get("schema")).getOrElse(
+        throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
+      ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps)
+    }
+  }
+
+  private def parseSnapshot(node: JsonNode, info: ParseInfo, skipSchema: Boolean): Snapshot = {
+    val seq = if (info.formatVersion == 2) node.get("sequence-number").asLong else 0L
+    Snapshot(
+      snapshotId = node.get("snapshot-id").asLong,
+      sequenceNumber = seq,
+      timestampMs = node.get("timestamp-ms").asLong,
+      manifestList = node.get("manifest-list").asText,
+      formatVersion = info.formatVersion,
+      schemaId = info.schemaId,
+      schema = if (skipSchema) Seq.empty
+               else IcebergSchemaParser.parseSchemaById(info.schemas, info.schemaId))
+  }
+
+  def allSnapshots(info: ParseInfo, skipSchema: Boolean = true): Seq[Snapshot] =
+    info.snapshots.map(parseSnapshot(_, info, skipSchema))
+
+  def latest(info: ParseInfo, skipSchema: Boolean = false): Snapshot = {
+    if (info.snapshots.isEmpty) throw new java.io.IOException("No snapshots found")
+    val node = info.snapshots.maxBy(_.get("timestamp-ms").asLong)
+    parseSnapshot(node, info, skipSchema)
+  }
+
+  def byId(info: ParseInfo, snapshotId: Long, skipSchema: Boolean = false): Snapshot =
+    info.snapshots.find(_.get("snapshot-id").asLong == snapshotId)
+      .map(parseSnapshot(_, info, skipSchema))
+      .getOrElse(throw new java.io.IOException(s"Could not find snapshot with id $snapshotId"))
+
+  /** Latest snapshot with timestamp-ms <= ts (iceberg.cpp:350-370). */
+  def byTimestamp(info: ParseInfo, tsMs: Long, skipSchema: Boolean = false): Snapshot = {
+    val candidates = info.snapshots.filter(_.get("timestamp-ms").asLong <= tsMs)
+    if (candidates.isEmpty)
+      throw new java.io.IOException(
+        s"Could not find latest snapshots for timestamp ${java.time.Instant.ofEpochMilli(tsMs)}")
+    parseSnapshot(candidates.maxBy(_.get("timestamp-ms").asLong), info, skipSchema)
+  }
+
+  /** Read + parse a table's metadata.json given scan options. */
+  def load(
+      tablePath: String,
+      conf: Configuration,
+      codec: String = "none",
+      tableVersion: String = UnknownTableVersion,
+      versionFormat: String = DefaultTableVersionFormat,
+      allowGuessing: Boolean = false): ParseInfo = {
+    val metaPath = IcebergIO.resolveMetadataPath(
+      tablePath, conf, codec, tableVersion, versionFormat, allowGuessing)
+    parseInfo(IcebergIO.readString(metaPath, conf, gzip = codec == "gzip"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.iceberg
+
+import org.apache.spark.sql.types.DataType
+
+/** Driver-side Iceberg metadata model.
+  *
+  * Mirrors the reference's structs (duckdb_iceberg
+  * `src/include/iceberg_metadata.hpp:38-149`, `iceberg_types.hpp:80-199`)
+  * as plain Scala case classes. Metadata files are small and fully loaded
+  * on the driver — same trade-off the reference makes.
+  */
+object IcebergModel {
+
+  /** One column of a snapshot schema (iceberg_metadata.hpp:38-51). */
+  final case class Column(id: Int, name: String, dataType: DataType, required: Boolean)
+
+  /** A table snapshot (iceberg_metadata.hpp:71-106). */
+  final case class Snapshot(
+      snapshotId: Long,
+      sequenceNumber: Long,
+      timestampMs: Long,
+      manifestList: String,
+      formatVersion: Int,
+      schemaId: Int,
+      schema: Seq[Column])
+
+  /** Manifest-list entry (iceberg_types.hpp:80-118). content: 0=DATA 1=DELETE. */
+  final case class Manifest(manifestPath: String, sequenceNumber: Long, content: Int)
+
+  /** Manifest entry = one data/delete file (iceberg_types.hpp:159-199).
+    * status: 0=EXISTING 1=ADDED 2=DELETED;
+    * content: 0=DATA 1=POSITION_DELETES 2=EQUALITY_DELETES. */
+  final case class ManifestEntry(
+      status: Int, content: Int, filePath: String, fileFormat: String, recordCount: Long)
+
+  final case class TableMeta(
+      path: String,
+      snapshot: Snapshot,
+      entries: Seq[(Manifest, Seq[ManifestEntry])])
+
+  // Status / content display names — reference iceberg_types.hpp:24-56.
+  // (Note: the reference maps entry-content DATA → "EXISTING"; preserved.)
+  def statusName(s: Int): String = s match {
+    case 0 => "EXISTING"; case 1 => "ADDED"; case 2 => "DELETED"
+    case other => other.toString
+  }
+  def manifestContentName(c: Int): String = c match {
+    case 0 => "DATA"; case 1 => "DELETE"; case other => other.toString
+  }
+  def entryContentName(c: Int): String = c match {
+    case 0 => "EXISTING"; case 1 => "POSITION_DELETES"; case 2 => "EQUALITY_DELETES"
+    case other => other.toString
+  }
+
+  // Constants preserved verbatim (iceberg_metadata.hpp:26-36).
+  val UnknownTableVersion = "?"
+  val DefaultTableVersionFormat = "v%s%s.metadata.json,%s%s.metadata.json"
+  val DefaultVersionHintFile = "version-hint.text"
+  val VersionGuessingConfigKey = "unsafe_enable_version_guessing"
+}

@@ -1,0 +1,184 @@
+package graft.iceberg
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import IcebergModel._
+
+/** Public read API — the Spark-first analogue of the reference's three table
+  * functions (duckdb_iceberg `src/iceberg_functions/iceberg_scan.cpp`,
+  * `iceberg_snapshots.cpp`, `iceberg_metadata.cpp`).
+  *
+  * The reference rewrites `iceberg_scan(...)` into a host plan at bind time
+  * (bind_replace, iceberg_scan.cpp:217-299); here the same composition is a
+  * DataFrame program built at call time — Catalyst then optimizes it like
+  * any user query (pushdown, pruning, join strategy). No custom nodes.
+  */
+object IcebergScan {
+
+  /** Scan behavior switches — named params of the reference's overloads
+    * (iceberg_scan.cpp:231-250) plus snapshot selection (S2/S3). */
+  final case class Options(
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None,
+      allowMovedPaths: Boolean = false,
+      metadataCompressionCodec: String = "none",
+      skipSchemaInference: Boolean = false,
+      version: String = UnknownTableVersion,
+      versionNameFormat: String = DefaultTableVersionFormat,
+      mode: String = "default",
+      // analogue of the reference's explicit_cardinality-driven join costing:
+      // broadcast the delete side of the MoR anti join when it is small.
+      broadcastDeleteThreshold: Long = 5L * 1000 * 1000)
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  private def guessingEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(VersionGuessingConfigKey).exists(_.toBoolean)
+
+  /** Resolve + parse metadata.json, then select the snapshot per options. */
+  def selectSnapshot(spark: SparkSession, path: String, opts: Options): Snapshot = {
+    val info = IcebergMetadataParser.load(
+      path, hadoopConf(spark), opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val skip = opts.skipSchemaInference
+    (opts.snapshotId, opts.asOfTimestampMs) match {
+      case (Some(id), _) => IcebergMetadataParser.byId(info, id, skip)
+      case (_, Some(ts)) => IcebergMetadataParser.byTimestamp(info, ts, skip)
+      case _             => IcebergMetadataParser.latest(info, skip)
+    }
+  }
+
+  /** Live (non-DELETED-status) file paths of one content class, re-anchored
+    * when allowMovedPaths — reference GetPaths (iceberg_metadata.hpp:116-131). */
+  private def livePaths(meta: TableMeta, manifestContent: Int, entryContent: Int,
+                        opts: Options): Seq[ManifestEntry] =
+    meta.entries.collect {
+      case (m, es) if m.content == manifestContent =>
+        es.filter(e => e.status != 2 && e.content == entryContent)
+    }.flatten
+
+  private def resolved(tablePath: String, p: String, opts: Options): String =
+    if (opts.allowMovedPaths) IcebergIO.fullPath(tablePath, p) else p
+
+  /** iceberg_scan — the snapshot's data as a DataFrame, with v2 position
+    * deletes subtracted via a null-safe anti join (J1, iceberg_scan.cpp:156-199). */
+  def scan(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts)
+    val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+
+    val dataEntries = livePaths(meta, manifestContent = 0, entryContent = 0, opts)
+    val deleteEntries = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
+    val dataPaths = dataEntries.map(e => resolved(path, e.filePath, opts))
+    val deletePaths = deleteEntries.map(e => resolved(path, e.filePath, opts))
+
+    if (opts.mode == "list_files")
+      return listFilesDF(spark, dataPaths, deletePaths)
+
+    // Schema keyed by Iceberg field id → rename/evolution-safe parquet reads
+    // (the analogue of the reference's id-keyed schema map, S5).
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val reader = spark.read.format("parquet")
+    val withSchema =
+      if (opts.skipSchemaInference) reader
+      else reader.schema(IcebergSchemaParser.toStructType(snapshot.schema))
+
+    if (dataPaths.isEmpty) {
+      // Empty snapshot: zero-row frame with the snapshot schema.
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        IcebergSchemaParser.toStructType(snapshot.schema))
+    }
+    val dataDF = withSchema.load(dataPaths: _*)
+    if (deletePaths.isEmpty) return dataDF
+
+    // --- v2 merge-on-read position deletes ---
+    // Spark reports _metadata.file_path as a fully-qualified URI, while the
+    // delete files reference data files by the exact strings the writer put
+    // in the manifests. Bridge on the driver: passed-path → qualified URI,
+    // shipped as a small broadcast relation (scales to O(100k) files without
+    // bloating the plan, unlike a literal map).
+    val conf = hadoopConf(spark)
+    val qualify: String => String = p => {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    import spark.implicits._
+    val fileMap = dataEntries.map { e =>
+      val passed = resolved(path, e.filePath, opts)
+      (e.filePath, qualify(passed))
+    }.toDF("__orig_path", "__qual_path")
+
+    val deleteCard = deleteEntries.map(_.recordCount).sum
+    val rawDeletes = spark.read.parquet(deletePaths: _*).select("file_path", "pos")
+    // Map each position-delete row to the qualified data-file URI. Inner
+    // join also drops deletes pointing at no-longer-live data files.
+    val deletes0 = rawDeletes
+      .join(broadcast(fileMap), col("file_path") === col("__orig_path"))
+      .select(col("__qual_path").as("__del_file"), col("pos").as("__del_pos"))
+    val deletes = if (deleteCard <= opts.broadcastDeleteThreshold) broadcast(deletes0) else deletes0
+
+    val withProvenance = dataDF.select(
+      col("*"),
+      col("_metadata.file_path").as("__graft_file"),
+      col("_metadata.row_index").as("__graft_pos"))
+    // Null-safe ≡ join keys, mirroring COMPARE_NOT_DISTINCT_FROM (J1).
+    withProvenance
+      .join(deletes,
+        col("__graft_file") <=> col("__del_file") && col("__graft_pos") <=> col("__del_pos"),
+        "left_anti")
+      .drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
+  }
+
+  /** mode='list_files' output: (file, type ∈ {data, delete}) — S14. */
+  private def listFilesDF(spark: SparkSession, data: Seq[String], deletes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    (data.map((_, "data")) ++ deletes.map((_, "delete"))).toDF("file", "type")
+  }
+
+  /** iceberg_snapshots — S12 (iceberg_snapshots.cpp:53-124). */
+  def snapshots(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
+    val info = IcebergMetadataParser.load(
+      path, hadoopConf(spark), opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val rows = IcebergMetadataParser.allSnapshots(info).map { s =>
+      Row(s.sequenceNumber, s.snapshotId,
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(s.timestampMs), java.time.ZoneOffset.UTC),
+        s.manifestList)
+    }
+    val schema = StructType(Seq(
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("timestamp_ms", TimestampNTZType, nullable = false),
+      StructField("manifest_list", StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** iceberg_metadata — S13 (iceberg_metadata.cpp:49-147): manifest × entry. */
+  def metadata(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
+    val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val rows = for {
+      (m, es) <- meta.entries
+      e <- es
+    } yield Row(
+      m.manifestPath, m.sequenceNumber, manifestContentName(m.content),
+      statusName(e.status), entryContentName(e.content),
+      e.filePath, e.fileFormat, e.recordCount)
+    val schema = StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_sequence_number", LongType, nullable = false),
+      StructField("manifest_content", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

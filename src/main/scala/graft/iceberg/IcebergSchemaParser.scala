@@ -1,0 +1,87 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.types._
+
+import IcebergModel.Column
+import scala.jdk.CollectionConverters._
+
+/** Iceberg JSON schema → Spark types, the analogue of the reference's
+  * Iceberg→DuckDB mapping (duckdb_iceberg `src/common/schema.cpp:11-140`).
+  * Type table: SURVEY.md §1.3.
+  */
+object IcebergSchemaParser {
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[\s*(\d+)\s*\]""".r
+
+  def parsePrimitive(s: String): DataType = s match {
+    case "boolean"     => BooleanType
+    case "int"         => IntegerType
+    case "long"        => LongType
+    case "float"       => FloatType
+    case "double"      => DoubleType
+    case "date"        => DateType
+    // Iceberg `time` = micros-of-day; no stable Spark analogue → LongType
+    // (documented deviation, SURVEY.md §1.3).
+    case "time"        => LongType
+    case "timestamp"   => TimestampNTZType
+    case "timestamptz" => TimestampType
+    case "string"      => StringType
+    // Spark has no UUID type; reference's own Spark generator degrades
+    // uuid→string too (scripts/test_data_generator/generate_base_parquet.py:31-48).
+    case "uuid"        => StringType
+    case "binary"      => BinaryType
+    case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+    case FixedRe(_)    => BinaryType
+    case other => throw new IllegalArgumentException(s"Encountered an unsupported type in JSON schema: '$other'")
+  }
+
+  def parseType(node: JsonNode): DataType =
+    if (node.isTextual) parsePrimitive(node.asText)
+    else if (node.isObject) {
+      node.get("type").asText match {
+        case "struct" =>
+          StructType(node.get("fields").elements.asScala.map { f =>
+            val dt = parseType(f.get("type"))
+            val required = f.has("required") && f.get("required").asBoolean
+            StructField(f.get("name").asText, dt, nullable = !required)
+          }.toArray)
+        case "list" =>
+          val elemRequired = node.has("element-required") && node.get("element-required").asBoolean
+          ArrayType(parseType(node.get("element")), containsNull = !elemRequired)
+        case "map" =>
+          val valRequired = node.has("value-required") && node.get("value-required").asBoolean
+          MapType(parseType(node.get("key")), parseType(node.get("value")), valueContainsNull = !valRequired)
+        case other =>
+          throw new IllegalArgumentException(s"Invalid field found while parsing field: type '$other'")
+      }
+    } else throw new IllegalArgumentException("Invalid schema type node")
+
+  /** Top-level schema object → column list (schema.cpp:143-171). */
+  def parseColumns(schema: JsonNode): Seq[Column] =
+    schema.get("fields").elements.asScala.map { f =>
+      Column(
+        id = f.get("id").asInt,
+        name = f.get("name").asText,
+        dataType = parseType(f.get("type")),
+        required = f.has("required") && f.get("required").asBoolean)
+    }.toSeq
+
+  /** Select schema by id from the `schemas` array (schema.cpp:174-184). */
+  def parseSchemaById(schemas: Seq[JsonNode], schemaId: Int): Seq[Column] =
+    schemas.find(s => s.has("schema-id") && s.get("schema-id").asInt == schemaId)
+      .orElse(if (schemas.size == 1) schemas.headOption else None)
+      .map(parseColumns)
+      .getOrElse(throw new IllegalArgumentException(s"Iceberg schema with id $schemaId not found"))
+
+  /** Columns → Spark read schema carrying Iceberg field ids so the parquet
+    * reader resolves columns by id (rename/evolution-safe), the analogue of
+    * the reference's id-keyed schema map (iceberg_scan.cpp:103-128).
+    * Requires spark.sql.parquet.fieldId.read.enabled=true. */
+  def toStructType(cols: Seq[Column]): StructType =
+    StructType(cols.map { c =>
+      val md = new MetadataBuilder().putLong("parquet.field.id", c.id.toLong).build()
+      StructField(c.name, c.dataType, nullable = !c.required, metadata = md)
+    }.toArray)
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.iceberg.IcebergScan
+import graft.iceberg.IcebergScan.Options
+import org.apache.spark.sql.functions._
+
+/** Iceberg read-path capabilities (SURVEY.md §2.1 S1-S14) exposed through
+  * the driver's gate. These read the reference's checked-in tables (the
+  * sf-dir argument is irrelevant); the oracles pin the reference's own
+  * golden constants (test/sql/iceberg_scan.test etc., see BASELINE.md) so
+  * the gate hash-verifies the values, not just row counts.
+  */
+object IcebergQueries {
+
+  private val Ref = "/root/reference/data/iceberg"
+  private val Lineitem = s"$Ref/lineitem_iceberg"
+  private val moved = Options(allowMovedPaths = true)
+
+  private def tsMs(s: String): Long =
+    java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ib01_scan_latest_count",
+      Some("SELECT CAST(51793 AS BIGINT) AS cnt"), // golden: iceberg_scan.test:18
+      (s, _) => IcebergScan.scan(s, Lineitem, moved).agg(count(lit(1)).as("cnt"))
+    ),
+    QueryDef(
+      "ib02_scan_by_snapshot_id",
+      Some("SELECT CAST(60175 AS BIGINT) AS cnt"), // golden: iceberg_scan.test:24
+      (s, _) => IcebergScan.scan(s, Lineitem,
+        moved.copy(snapshotId = Some(3776207205136740581L))).agg(count(lit(1)).as("cnt"))
+    ),
+    QueryDef(
+      "ib03_scan_by_version",
+      Some("SELECT CAST(60175 AS BIGINT) AS cnt"), // golden: iceberg_scan.test:45-52
+      (s, _) => IcebergScan.scan(s, Lineitem, moved.copy(version = "1"))
+        .agg(count(lit(1)).as("cnt"))
+    ),
+    QueryDef(
+      "ib04_scan_by_timestamp",
+      Some("SELECT CAST(51793 AS BIGINT) AS cnt"), // golden: iceberg_scan.test:55-57
+      (s, _) => IcebergScan.scan(s, Lineitem,
+        moved.copy(asOfTimestampMs = Some(tsMs("2023-02-15T15:08:14.730"))))
+        .agg(count(lit(1)).as("cnt"))
+    ),
+    QueryDef(
+      "ib05_scan_gzip_metadata",
+      Some("SELECT CAST(111968 AS BIGINT) AS cnt"), // golden: iceberg_scan.test:69-72
+      (s, _) => IcebergScan.scan(s, s"$Ref/lineitem_iceberg_gz",
+        moved.copy(metadataCompressionCodec = "gzip")).agg(count(lit(1)).as("cnt"))
+    ),
+    QueryDef(
+      "ib06_q6_revenue",
+      // golden: data/iceberg/lineitem_iceberg/README.md:14-17 (Spark-computed)
+      Some("SELECT CAST('1077536.9101' AS DECIMAL(38,4)) AS revenue"),
+      (s, _) => IcebergScan.scan(s, Lineitem, moved)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
+                col("l_shipdate") < lit("1995-01-01").cast("date") &&
+                col("l_discount").between(
+                  java.math.BigDecimal.valueOf(0.05), java.math.BigDecimal.valueOf(0.07)) &&
+                col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    ),
+    QueryDef(
+      "ib07_snapshots",
+      // golden: iceberg_snapshots.test:15-19
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(3776207205136740581 AS BIGINT),
+           TIMESTAMP '2023-02-15 15:07:54.504',
+           'lineitem_iceberg/metadata/snap-3776207205136740581-1-cf3d0be5-cf70-453d-ad8f-48fdc412e608.avro'),
+          (CAST(2 AS BIGINT), CAST(7635660646343998149 AS BIGINT),
+           TIMESTAMP '2023-02-15 15:08:14.73',
+           'lineitem_iceberg/metadata/snap-7635660646343998149-1-10eaca8a-1e1c-421e-ad6d-b232e5ee23d3.avro'))
+          t(sequence_number, snapshot_id, timestamp_ms, manifest_list)
+        ORDER BY sequence_number"""),
+      (s, _) => IcebergScan.snapshots(s, Lineitem).orderBy("sequence_number")
+    ),
+    QueryDef(
+      "ib08_metadata_listing",
+      // golden: iceberg_metadata.test:13-17
+      Some("""
+        SELECT * FROM (VALUES
+          ('lineitem_iceberg/metadata/10eaca8a-1e1c-421e-ad6d-b232e5ee23d3-m1.avro',
+           CAST(2 AS BIGINT), 'DATA', 'ADDED', 'EXISTING',
+           'lineitem_iceberg/data/00041-414-f3c73457-bbd6-4b92-9c15-17b241171b16-00001.parquet',
+           'PARQUET', CAST(51793 AS BIGINT)),
+          ('lineitem_iceberg/metadata/10eaca8a-1e1c-421e-ad6d-b232e5ee23d3-m0.avro',
+           CAST(2 AS BIGINT), 'DATA', 'DELETED', 'EXISTING',
+           'lineitem_iceberg/data/00000-411-0792dcfe-4e25-4ca3-8ada-175286069a47-00001.parquet',
+           'PARQUET', CAST(60175 AS BIGINT)))
+          t(manifest_path, manifest_sequence_number, manifest_content,
+            status, content, file_path, file_format, record_count)
+        ORDER BY record_count"""),
+      (s, _) => IcebergScan.metadata(s, Lineitem, moved).orderBy("record_count")
+    ),
+    QueryDef(
+      "ib09_scan_list_files",
+      Some("""
+        SELECT '/root/reference/data/iceberg/lineitem_iceberg/data/00041-414-f3c73457-bbd6-4b92-9c15-17b241171b16-00001.parquet' AS file,
+               'data' AS type"""),
+      (s, _) => IcebergScan.scan(s, Lineitem, moved.copy(mode = "list_files"))
+    ),
+    QueryDef(
+      "ib10_scan_mor_deletes",
+      // golden: generated_spec2_0_001/expected_results/last/count.csv = 6592
+      Some("SELECT CAST(6592 AS BIGINT) AS cnt"),
+      (s, _) => IcebergScan.scan(s, s"$Ref/generated_spec2_0_001/pyspark_iceberg_table", moved)
+        .agg(count(lit(1)).as("cnt"))
+    )
+  )
+}
