@@ -19,4 +19,16 @@ object Tables {
   /** All driver-generated tables live as one parquet file/dir per table. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads as a raw long (SPARK-40819). Normalize to TIMESTAMP_NTZ at
+    * microsecond precision — the same value DuckDB sees after
+    * CAST(ts AS TIMESTAMP). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
 }

@@ -8,6 +8,7 @@ object SparkEntry {
     * optional DuckDB oracle. Assembled from the per-domain registries. */
   def all: Seq[QueryDef] =
     graft.queries.Relational.defs ++
+    graft.queries.Relational2.defs ++
     graft.queries.IcebergQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,404 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational coverage, part 2: multi-joins, semi/anti/outer joins, window
+  * functions, sorts/top-k, set ops, scalar functions, subqueries, rollup,
+  * conditional pivot, and event sessionization. Same float-determinism
+  * rules as [[Relational]].
+  */
+object Relational2 {
+
+  private def dsum(e: Column): Column = sum(e.cast(DecimalType(30, 10)))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q04_multi_join_revenue",
+      // TPC-H Q5 shape: 5-way join through two dimension chains.
+      Some("""
+        SELECT n_name,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY n_name"""),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val su = Tables.load(s, dir, "supplier")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+                               su("s_nationkey") === c("c_nationkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+               count(lit(1)).as("n"))
+          .orderBy("n_name")
+      }
+    ),
+    QueryDef(
+      "q05_semi_join",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey"""),
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }
+    ),
+    QueryDef(
+      "q07_anti_join",
+      Some("""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey"""),
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_acctbal").orderBy("c_custkey")
+      }
+    ),
+    QueryDef(
+      "q08_outer_join_agg",
+      Some("""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+               SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(30,10))) AS total
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey"""),
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total"))
+          .orderBy("c_custkey")
+      }
+    ),
+    QueryDef(
+      "q09_window_topk",
+      // top-3 orders per market segment; deterministic tie-break on key
+      Some("""
+        SELECT * FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey) t
+        WHERE rn <= 3
+        ORDER BY c_mktsegment, rn"""),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("c_mktsegment", "rn")
+      }
+    ),
+    QueryDef(
+      "q10_window_running",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.load(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(30, 10)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("running_total"),
+            rank().over(w).as("rk"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      }
+    ),
+    QueryDef(
+      "q11_topk_sort",
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10"""),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(10)
+    ),
+    QueryDef(
+      "q12_distinct",
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus").distinct()
+          .orderBy("l_returnflag", "l_linestatus")
+    ),
+    QueryDef(
+      "q13_set_ops",
+      Some("""
+        SELECT * FROM (
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 0
+           INTERSECT
+           SELECT o_custkey AS c_custkey FROM orders)
+          EXCEPT
+          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F') t
+        ORDER BY c_custkey"""),
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.filter(col("c_acctbal") > 0).select("c_custkey")
+          .intersect(o.select(col("o_custkey").as("c_custkey")))
+          .except(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("c_custkey")))
+          .orderBy("c_custkey")
+      }
+    ),
+    QueryDef(
+      "q14_case_buckets",
+      Some("""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'large' END AS bucket,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY bucket"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .withColumn("bucket",
+            when(col("o_totalprice") < 50000, "small")
+              .when(col("o_totalprice") < 150000, "mid")
+              .otherwise("large"))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket")
+    ),
+    QueryDef(
+      "q15_string_funcs",
+      Some("""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               length(p_name) AS name_len,
+               substring(p_type, 1, 5) AS type5,
+               list_extract(string_split(p_name, ' '), 1) AS first_word,
+               reverse(p_brand) AS brand_rev,
+               replace(p_type, ' ', '_') AS type_snake,
+               concat(p_brand, ':', p_type) AS brand_type
+        FROM part ORDER BY p_partkey"""),
+      (s, dir) =>
+        Tables.load(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          reverse(col("p_brand")).as("brand_rev"),
+          expr("replace(p_type, ' ', '_')").as("type_snake"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+          .orderBy("p_partkey")
+    ),
+    QueryDef(
+      "q16_date_funcs",
+      Some("""
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               COUNT(*) AS cnt,
+               MIN(CAST(o_orderdate AS DATE)) AS first_day,
+               MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')) AS max_days_to_99
+        FROM orders
+        GROUP BY 1, 2 ORDER BY y, m"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("cnt"),
+               min(col("o_orderdate").cast("date")).as("first_day"),
+               max(datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")))
+                 .as("max_days_to_99"))
+          .orderBy("y", "m")
+    ),
+    QueryDef(
+      "q17_scalar_subquery",
+      Some("""
+        SELECT p_partkey, p_retailprice FROM part
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) FROM part)
+        ORDER BY p_partkey"""),
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val avgDF = p.agg(
+          (sum(col("p_retailprice").cast(DecimalType(30, 10))).cast("double") / count(lit(1)))
+            .as("__avg"))
+        p.crossJoin(broadcast(avgDF))
+          .filter(col("p_retailprice") > col("__avg"))
+          .select("p_partkey", "p_retailprice")
+          .orderBy("p_partkey")
+      }
+    ),
+    QueryDef(
+      "q18_rollup",
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    ),
+    QueryDef(
+      "q19_having",
+      Some("""
+        SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) >= 15
+        ORDER BY o_custkey"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 15)
+          .orderBy("o_custkey")
+    ),
+    QueryDef(
+      "q20_explode_tokens",
+      Some("""
+        SELECT word, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(p_type, ' ')) AS word FROM part) t
+        GROUP BY word ORDER BY word"""),
+      (s, dir) =>
+        Tables.load(s, dir, "part")
+          .select(explode(split(col("p_type"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy("word")
+    ),
+    QueryDef(
+      "q21_conditional_pivot",
+      Some("""
+        SELECT c_mktsegment,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("f_cnt"),
+            count(when(col("o_orderstatus") === "O", 1)).as("o_cnt"),
+            count(when(col("o_orderstatus") === "P", 1)).as("p_cnt"))
+          .orderBy("c_mktsegment")
+      }
+    ),
+    QueryDef(
+      "q22_not_exists",
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS cnt,
+               SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS bal
+        FROM customer
+        WHERE c_acctbal > 0 AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 0)
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("bal"))
+          .orderBy("c_mktsegment")
+      }
+    ),
+    QueryDef(
+      "e01_event_hourly_agg",
+      // tumbling-window batch aggregation over the event stream table
+      Some("""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+               COUNT(*) AS cnt,
+               SUM(CAST(value AS DECIMAL(30,10))) AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY hour, event_type"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          // date_trunc returns session-TZ TimestampType; cast back to NTZ so
+          // the result parquet is naive micros like the DuckDB oracle's.
+          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .orderBy("hour", "event_type")
+    ),
+    QueryDef(
+      "e02_sessionize",
+      // 30-minute-gap sessionization via window functions (batch analogue
+      // of streaming session windows); exact integer micros arithmetic
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+                 CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                        - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000 THEN 1
+                      WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                      ELSE 0 END AS is_new
+          FROM events),
+        sessions AS (
+          SELECT user_id, event_id, us, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM marked)
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MIN(us) AS start_us, MAX(us) AS end_us,
+               SUM(CAST(value AS DECIMAL(30,10))) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wUs = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables.events(s, dir)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        val marked = e.withColumn("is_new",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+            .when(lag(col("us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        marked
+          .withColumn("session_seq", sum(col("is_new")).over(wUs))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+               min(col("us")).as("start_us"),
+               max(col("us")).as("end_us"),
+               dsum(col("value")).as("sum_value"))
+          .orderBy("user_id", "session_seq")
+      }
+    )
+  )
+}
