@@ -9,6 +9,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     graft.queries.Relational.defs ++
     graft.queries.Relational2.defs ++
+    graft.queries.TextQueries.defs ++
+    graft.queries.DedupQueries.defs ++
     graft.queries.IcebergQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -22,5 +24,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin.trim)).toMap
+    // NOTE: no stripMargin — SQL lines may legitimately start with `||`.
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 }

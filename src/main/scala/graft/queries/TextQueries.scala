@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language-ID (stopword heuristic), quality scoring, token counting
+  * (whitespace + a BPE-ish ceil(len/4) subword proxy), and document
+  * fingerprinting. All computations are per-row double/int arithmetic or
+  * exact aggregation → bit-identical across engines.
+  */
+object TextQueries {
+
+  /** Whitespace tokens of the trimmed text. */
+  private def tokens: Column = split(trim(col("text")), "\\s+")
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "data", "query", "table"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "es"),
+    "fr" -> Seq("le", "les", "des", "est", "une"))
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t01_lang_id",
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                     [${sqlList(langProfiles(0)._2)}])) AS s_en,
+                 len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                     [${sqlList(langProfiles(1)._2)}])) AS s_de,
+                 len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                     [${sqlList(langProfiles(2)._2)}])) AS s_es,
+                 len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                     [${sqlList(langProfiles(3)._2)}])) AS s_fr
+          FROM documents)
+        SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored ORDER BY doc_id"""),
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .withColumn("__toks", array_distinct(tokens))
+        val scored = langProfiles.foldLeft(base) { case (df, (code, words)) =>
+          df.withColumn(s"s_$code",
+            size(array_intersect(col("__toks"), array(words.map(lit): _*))))
+        }
+        scored.withColumn("lang_pred",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr"))
+          .select("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", "lang_pred")
+          .orderBy("doc_id")
+      }
+    ),
+    QueryDef(
+      "t02_quality_score",
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_c,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+                 length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> list_contains(['the','and','is','of','to','a','in'], x))) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_chars_c, n_tok,
+               round(CAST(n_punct AS DOUBLE) / n_chars_c, 6) AS punct_ratio,
+               round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+               round(0.5 * (CAST(n_stop AS DOUBLE) / n_tok)
+                   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars_c)
+                   + 0.2 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        FROM f ORDER BY doc_id"""),
+      (s, dir) => {
+        val stop = array(Seq("the", "and", "is", "of", "to", "a", "in").map(lit): _*)
+        Tables.load(s, dir, "documents")
+          .withColumn("n_chars_c", length(col("text")))
+          .withColumn("n_tok", size(tokens))
+          .withColumn("n_punct",
+            length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .withColumn("n_stop", size(filter(tokens, x => array_contains(stop, x))))
+          .select(
+            col("doc_id"), col("n_chars_c"), col("n_tok"),
+            round(col("n_punct").cast("double") / col("n_chars_c"), 6).as("punct_ratio"),
+            round(col("n_stop").cast("double") / col("n_tok"), 6).as("stop_ratio"),
+            round(col("n_stop").cast("double") / col("n_tok") * 0.5
+              + (lit(1.0) - col("n_punct").cast("double") / col("n_chars_c")) * 0.3
+              + least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.2, 6).as("quality"))
+          .orderBy("doc_id")
+      }
+    ),
+    QueryDef(
+      "t03_token_count",
+      // whitespace tokens + BPE-ish subword proxy: ceil(len/4) units/token
+      Some("""
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS n_subwords
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents) t
+        GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               sum(ceil(length(col("w")) / 4.0).cast("long")).as("n_subwords"))
+          .orderBy("doc_id")
+    ),
+    QueryDef(
+      "t04_fingerprint",
+      // whitespace-normalized hash + order-insensitive sorted-token hash
+      Some("""
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_norm,
+               md5(array_to_string(list_sort(list_distinct(
+                 regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp_sorted
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp_norm"),
+            md5(array_join(array_sort(array_distinct(tokens)), " ").cast("binary")).as("fp_sorted"))
+          .orderBy("doc_id")
+    )
+  )
+}
