@@ -136,10 +136,16 @@ object DedupQueries {
                     / len(list_distinct(a.w || c.w)), 6) >= 0.7
         ORDER BY doc_a, doc_b"""),
       (s, dir) => {
+        // Self-join on lang has only a handful of distinct keys — a shuffle
+        // join would put each language in ONE task. The doc set (id, lang,
+        // token array) is tiny relative to the pair count, so broadcast one
+        // side and repartition the streamed side for full parallelism.
         val t = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"), toks.as("w"))
-        val a = t.as("a"); val c = t.as("c")
-        a.join(c, col("a.lang") === col("c.lang") && col("a.doc_id") < col("c.doc_id"))
+        val a = t.repartition(64, col("doc_id")).as("a")
+        val c = t.as("c")
+        a.join(broadcast(c),
+            col("a.lang") === col("c.lang") && col("a.doc_id") < col("c.doc_id"))
           .select(
             col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
             round(size(array_intersect(col("a.w"), col("c.w"))).cast("double")
