@@ -12,16 +12,26 @@ import org.apache.spark.sql.types.DecimalType
   * Float-determinism rules (calibrated against DuckDB 1.0):
   *  - Per-row double arithmetic is bit-identical across engines; only the
   *    aggregation ORDER varies. So any SUM over doubles casts the per-row
-  *    value to DECIMAL(30,10) first and keeps the exact DECIMAL(38,10) sum
-  *    as the output type — DuckDB's decimal→double cast is 1 ulp off
-  *    Spark's, so we never cast an exact sum back to double.
+  *    value to DECIMAL(30,10) first so the sum itself is exact.
+  *  - Exact decimal sums never appear in OUTPUT: DuckDB backs DECIMAL(38,10)
+  *    with int128 and the driver's hasher rejects that representation even
+  *    when values match. Final projections go through
+  *    round(cast(sum as double), 2) on BOTH engines (see dsumOut).
   *  - Ratios (avg) go through round(cast(sum as double)/count, 6): the
   *    1-ulp cast wobble is absorbed by rounding at 1e-6.
   */
 object Relational {
 
-  /** Exact decimal sum of a per-row double expression → DECIMAL(38,10). */
+  /** Exact decimal sum of a per-row double expression → DECIMAL(38,10).
+    * Internal only: exact decimals hash differently across engines (DuckDB
+    * backs them with int128), so never surface this type in query output. */
   private def dsum(e: Column): Column = sum(e.cast(DecimalType(30, 10)))
+
+  /** Output form of a decimal sum: exact sum, then one double cast rounded
+    * at 1e-2 so the engines' decimal→double 1-ulp cast wobble is absorbed.
+    * Mirrors `round(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE), 2)`. */
+  private[queries] def dsumOut(e: Column): Column =
+    round(dsum(e).cast("double"), 2)
 
   /** Deterministic average surfaced as a rounded double. */
   private def davg(e: Column): Column =
@@ -36,10 +46,10 @@ object Relational {
       // TPC-H Q1 shape: group-by agg with sum/avg/count over lineitem.
       Some("""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS sum_base_price,
-               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS sum_disc_price,
-               SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS sum_charge,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_disc_price,
+               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_charge,
                round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
                round(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
                COUNT(*) AS count_order
@@ -52,10 +62,10 @@ object Relational {
           .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         l.groupBy("l_returnflag", "l_linestatus")
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            dsumOut(col("l_quantity")).as("sum_qty"),
+            dsumOut(col("l_extendedprice")).as("sum_base_price"),
+            dsumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -67,7 +77,7 @@ object Relational {
       // TPC-H Q6 shape: selective filter + single exact aggregate; the
       // filter must reach the parquet scan as a pushed predicate.
       Some("""
-        SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS revenue,
+        SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -82,7 +92,7 @@ object Relational {
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 24)
           .agg(
-            dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            dsumOut(col("l_extendedprice") * col("l_discount")).as("revenue"),
             count(lit(1)).as("n"))
     ),
     QueryDef(
@@ -91,7 +101,7 @@ object Relational {
       Some("""
         SELECT c_mktsegment,
                COUNT(*) AS order_cnt,
-               SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS total_price
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment"""),
@@ -101,7 +111,7 @@ object Relational {
         o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("order_cnt"),
-               dsum(col("o_totalprice")).as("total_price"))
+               dsumOut(col("o_totalprice")).as("total_price"))
           .orderBy("c_mktsegment")
       }
     )

@@ -15,13 +15,19 @@ object Relational2 {
 
   private def dsum(e: Column): Column = sum(e.cast(DecimalType(30, 10)))
 
+  /** Exact decimal sum surfaced as rounded DOUBLE — see [[Relational.dsumOut]]. */
+  private def dsumOut(e: Column): Column = Relational.dsumOut(e)
+
+  /** Same, rounded at 1e-4 for small-magnitude (events.value) sums. */
+  private def dsumOut4(e: Column): Column = round(dsum(e).cast("double"), 4)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q04_multi_join_revenue",
       // TPC-H Q5 shape: 5-way join through two dimension chains.
       Some("""
         SELECT n_name,
-               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS revenue,
+               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -45,7 +51,7 @@ object Relational2 {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("n_name")
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          .agg(dsumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
                count(lit(1)).as("n"))
           .orderBy("n_name")
       }
@@ -66,8 +72,8 @@ object Relational2 {
     QueryDef(
       "q07_anti_join",
       Some("""
-        SELECT c_custkey, c_acctbal FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
         ORDER BY c_custkey"""),
       (s, dir) => {
         val c = Tables.load(s, dir, "customer")
@@ -80,7 +86,7 @@ object Relational2 {
       "q08_outer_join_agg",
       Some("""
         SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-               SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(30,10))) AS total
+               round(CAST(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
         ORDER BY c_custkey"""),
@@ -90,7 +96,7 @@ object Relational2 {
         c.join(o, c("c_custkey") === o("o_custkey"), "left")
           .groupBy("c_custkey")
           .agg(count(col("o_orderkey")).as("n_orders"),
-               dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total"))
+               dsumOut(coalesce(col("o_totalprice"), lit(0.0))).as("total"))
           .orderBy("c_custkey")
       }
     ),
@@ -121,9 +127,9 @@ object Relational2 {
       "q10_window_running",
       Some("""
         SELECT o_custkey, o_orderkey,
-               SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
                rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
                lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         FROM orders
@@ -133,8 +139,9 @@ object Relational2 {
         Tables.load(s, dir, "orders")
           .select(
             col("o_custkey"), col("o_orderkey"),
-            sum(col("o_totalprice").cast(DecimalType(30, 10)))
+            round(sum(col("o_totalprice").cast(DecimalType(30, 10)))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"), 2)
               .as("running_total"),
             rank().over(w).as("rk"),
             lag(col("o_totalprice"), 1).over(w).as("prev_price"))
@@ -263,14 +270,14 @@ object Relational2 {
       "q18_rollup",
       Some("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .agg(count(lit(1)).as("cnt"), dsumOut(col("l_quantity")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
@@ -322,7 +329,7 @@ object Relational2 {
       "q22_not_exists",
       Some("""
         SELECT c_mktsegment, COUNT(*) AS cnt,
-               SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS bal
+               round(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS bal
         FROM customer
         WHERE c_acctbal > 0 AND NOT EXISTS (
           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
@@ -332,7 +339,7 @@ object Relational2 {
         val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("bal"))
+          .agg(count(lit(1)).as("cnt"), dsumOut(col("c_acctbal")).as("bal"))
           .orderBy("c_mktsegment")
       }
     ),
@@ -342,16 +349,18 @@ object Relational2 {
       Some("""
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
                COUNT(*) AS cnt,
-               SUM(CAST(value AS DECIMAL(30,10))) AS sum_value
+               round(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
         FROM events
         GROUP BY 1, 2 ORDER BY hour, event_type"""),
       (s, dir) =>
         Tables.events(s, dir)
-          // date_trunc returns session-TZ TimestampType; cast back to NTZ so
-          // the result parquet is naive micros like the DuckDB oracle's.
-          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+          // Truncate by field extraction on the NTZ value (no session-TZ
+          // round trip): identical to DuckDB's naive date_trunc in ANY
+          // session timezone.
+          .groupBy(expr("make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
+                     .as("hour"),
                    col("event_type"))
-          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .agg(count(lit(1)).as("cnt"), dsumOut4(col("value")).as("sum_value"))
           .orderBy("hour", "event_type")
     ),
     QueryDef(
@@ -376,7 +385,7 @@ object Relational2 {
           FROM marked)
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                MIN(us) AS start_us, MAX(us) AS end_us,
-               SUM(CAST(value AS DECIMAL(30,10))) AS sum_value
+               round(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
         FROM sessions
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq"""),
@@ -396,7 +405,7 @@ object Relational2 {
           .agg(count(lit(1)).as("n_events"),
                min(col("us")).as("start_us"),
                max(col("us")).as("end_us"),
-               dsum(col("value")).as("sum_value"))
+               dsumOut4(col("value")).as("sum_value"))
           .orderBy("user_id", "session_seq")
       }
     )

@@ -101,7 +101,7 @@ object TextQueries {
       // whitespace tokens + BPE-ish subword proxy: ceil(len/4) units/token
       Some("""
         SELECT doc_id, COUNT(*) AS n_tokens,
-               SUM(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS n_subwords
+               CAST(SUM(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords
         FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
               FROM documents) t
         GROUP BY doc_id ORDER BY doc_id"""),
