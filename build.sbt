@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked stdout through unprefixed: the driver parses Bench's JSON
+// line from stdout, and sbt's default LoggedOutput would bury it in
+// "[info] " noise (round-1 BENCH json had parsed:null because of this).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
