@@ -32,6 +32,71 @@ object DedupQueries {
   private val RowsPerBand = 4
   private val NumBands = NumHashes / RowsPerBand
 
+  // ---- Random-hyperplane LSH infrastructure (d05 / a02) -----------------
+  //
+  // 16 deterministic hyperplanes over the 64-dim embedding space, integer
+  // coordinates in [-99, 99] (sign(h·x) is scale-invariant, and integer
+  // literals are bit-exact in every engine). The SAME values are embedded
+  // as literals in the Spark plan and in the DuckDB oracle SQL, and every
+  // hyperplane dot product is an exact DECIMAL(38,12) sum of per-element
+  // double products — so both engines derive identical sign signatures and
+  // therefore identical candidate sets.
+  private val NumPlanes = 16
+  private val EmbDim = 64
+  private val Planes: Array[Array[Int]] = {
+    val r = new scala.util.Random(7)
+    Array.fill(NumPlanes, EmbDim)(r.nextInt(199) - 99)
+  }
+
+  /** Oracle-side hyperplane table: h(j, i, w) with i 1-based to match
+    * DuckDB's generate_subscripts. */
+  private def planesValuesSql: String =
+    Planes.zipWithIndex.flatMap { case (row, j) =>
+      row.zipWithIndex.map { case (w, i) => s"($j,${i + 1},$w)" }
+    }.mkString(",")
+
+  private val Dec = DecimalType(38, 12)
+
+  /** Exact dot product of two float/double array columns: per-element
+    * double multiply (bit-identical across engines), per-product cast to
+    * DECIMAL(38,12), exact decimal fold — order-independent, so it equals
+    * the oracle's SUM(CAST(a*b AS DECIMAL(38,12))) over unnested elements. */
+  private def dotDec(a: Column, b: Column): Column = {
+    // Spark types DECIMAL(38,12)+DECIMAL(38,12) as (38,11) (scale loss),
+    // which both breaks the fold's type contract and would round at 1e-11.
+    // Adding at (37,12) yields exactly (38,12): scale preserved, addition
+    // exact (operands here are ≪ 1e25 so the narrower cast never overflows).
+    val acc37 = DecimalType(37, 12)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0).cast(Dec),
+      (acc, v) => acc.cast(acc37) + v.cast(acc37))
+  }
+
+  /** Sign bits of the 16 hyperplane dots for the `embedding` column. */
+  private def planeBits: Seq[Column] =
+    (0 until NumPlanes).map { j =>
+      val h = array(Planes(j).map(lit).toIndexedSeq: _*)
+      when(dotDec(col("embedding"), h) >= 0, "1").otherwise("0")
+    }
+
+  /** Shared oracle CTE prefix: per-vector per-plane exact dots + sign bits. */
+  private def planeBitsSql: String =
+    s"""h(j, i, w) AS (VALUES ${planesValuesSql}),
+        x AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        dots AS (
+          SELECT x.vec_id, h.j, SUM(CAST(x.v * h.w AS DECIMAL(38,12))) AS d
+          FROM x JOIN h ON x.i = h.i GROUP BY 1, 2),
+        bits AS (
+          SELECT vec_id, j, CASE WHEN d >= 0 THEN '1' ELSE '0' END AS bit
+          FROM dots),
+        norms AS (
+          SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,12))) AS nn
+          FROM x GROUP BY vec_id)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "d01_dedup_exact",
@@ -122,61 +187,107 @@ object DedupQueries {
     ),
     QueryDef(
       "d04_jaccard_pairs",
-      // blocked (same-lang) pairwise token-set Jaccard ≥ 0.7
-      Some("""
+      // Candidate-verify Jaccard: d02's bigram-shingle MinHash-LSH
+      // (16 hashes, 4-row bands — hard pruning) generates the candidate
+      // pairs; exact unigram-token Jaccard ≥ 0.7 plus same-lang blocking
+      // is verified ONLY on candidates. No O(n²) cross join anywhere — the
+      // candidate join is on (band, signature), so the plan scales with
+      // the number of genuinely-similar pairs, not corpus².
+      Some(s"""
         WITH t AS (
           SELECT doc_id, lang,
-                 list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w
-          FROM documents)
-        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
-                     / len(list_distinct(a.w || c.w)), 6) AS jaccard
-        FROM t a JOIN t c ON a.lang = c.lang AND a.doc_id < c.doc_id
-        WHERE round(CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
-                    / len(list_distinct(a.w || c.w)), 6) >= 0.7
+                 list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+                   i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' '
+                        || regexp_split_to_array(trim(text), '\\s+')[i + 1]))) AS sh
+          FROM documents),
+        mh AS (
+          SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+          FROM tok, range($NumHashes) r(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // $RowsPerBand AS b, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+          FROM mh GROUP BY doc_id, i // $RowsPerBand),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM band a JOIN band c
+            ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(ta.w, tc.w)) AS DOUBLE)
+                     / len(list_distinct(ta.w || tc.w)), 6) AS jaccard
+        FROM cand
+        JOIN t ta ON ta.doc_id = doc_a
+        JOIN t tc ON tc.doc_id = doc_b AND ta.lang = tc.lang
+        WHERE round(CAST(len(list_intersect(ta.w, tc.w)) AS DOUBLE)
+                    / len(list_distinct(ta.w || tc.w)), 6) >= 0.7
         ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        // Self-join on lang has only a handful of distinct keys — a shuffle
-        // join would put each language in ONE task. The doc set (id, lang,
-        // token array) is tiny relative to the pair count, so broadcast one
-        // side and repartition the streamed side for full parallelism.
-        val t = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), toks.as("w"))
-        val a = t.repartition(64, col("doc_id")).as("a")
-        val c = t.as("c")
-        a.join(broadcast(c),
-            col("a.lang") === col("c.lang") && col("a.doc_id") < col("c.doc_id"))
-          .select(
-            col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-            round(size(array_intersect(col("a.w"), col("c.w"))).cast("double")
-              / size(array_union(col("a.w"), col("c.w"))), 6).as("jaccard"))
+        val docs = Tables.load(s, dir, "documents")
+        val t = docs.select(col("doc_id"), col("lang"), toks.as("w"))
+        val tok = docs
+          .withColumn("__t", split(trim(col("text")), "\\s+"))
+          .select(col("doc_id"), explode(bigramShingles).as("sh"))
+        val mhCols = (0 until NumHashes).map { i =>
+          min(md5(concat(lit(i.toString), lit(":"), col("sh")).cast("binary"))).as(s"mh$i")
+        }
+        val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        val bandSigs = (0 until NumBands).map { b =>
+          md5(concat_ws("|",
+            (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*)
+            .cast("binary"))
+        }
+        val bands = mh.select(col("doc_id"),
+          posexplode(array(bandSigs: _*)).as(Seq("b", "sig")))
+        val cand = bands.as("a").join(bands.as("c"),
+            col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
+            col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(t.select(col("doc_id").as("doc_a"), col("lang").as("la"), col("w").as("wa")), "doc_a")
+          .join(t.select(col("doc_id").as("doc_b"), col("lang").as("lb"), col("w").as("wb")), "doc_b")
+          .filter(col("la") === col("lb"))
+          .select(col("doc_a"), col("doc_b"),
+            round(size(array_intersect(col("wa"), col("wb"))).cast("double")
+              / size(array_union(col("wa"), col("wb"))), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.7)
           .orderBy("doc_a", "doc_b")
       }
     ),
     QueryDef(
       "d05_embedding_neardup",
-      // cosine ≥ 0.25 pairs within the same label (blocking key)
-      Some("""
-        WITH x AS (
-          SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-                 CAST(unnest(embedding) AS DOUBLE) AS v
-          FROM embeddings),
-        norms AS (
-          SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,12))) AS nn
-          FROM x GROUP BY vec_id),
-        dots AS (
-          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+      // Candidate-verify embedding near-dup: random-hyperplane LSH
+      // (16 planes, 4-bit bands × 4 → 16-way buckets per band) buckets
+      // vectors within each label; candidate pairs share a band signature,
+      // then exact cosine ≥ 0.25 is verified ONLY on candidates via an
+      // array dot product (zip_with + exact decimal fold — no pairs×dims
+      // explode join) against per-vector norms computed once.
+      Some(s"""
+        WITH ${planeBitsSql},
+        sigs AS (
+          SELECT b.vec_id, e.label, b.j // 4 AS band,
+                 string_agg(b.bit, '' ORDER BY b.j) AS sig
+          FROM bits b JOIN embeddings e ON e.vec_id = b.vec_id
+          GROUP BY b.vec_id, e.label, b.j // 4),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM sigs a JOIN sigs c
+            ON a.band = c.band AND a.sig = c.sig AND a.label = c.label
+           AND a.vec_id < c.vec_id),
+        pair_dots AS (
+          SELECT cand.vec_a, cand.vec_b,
                  SUM(CAST(a.v * c.v AS DECIMAL(38,12))) AS dot
-          FROM x a
-          JOIN embeddings ea ON a.vec_id = ea.vec_id
-          JOIN x c ON a.i = c.i AND a.vec_id < c.vec_id
-          JOIN embeddings ec ON c.vec_id = ec.vec_id AND ea.label = ec.label
+          FROM cand
+          JOIN x a ON a.vec_id = cand.vec_a
+          JOIN x c ON c.vec_id = cand.vec_b AND a.i = c.i
           GROUP BY 1, 2)
         SELECT vec_a, vec_b,
                round(CAST(dot AS DOUBLE)
                      / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 4) AS cos
-        FROM dots
+        FROM pair_dots
         JOIN norms na ON na.vec_id = vec_a
         JOIN norms nb ON nb.vec_id = vec_b
         WHERE round(CAST(dot AS DOUBLE)
@@ -184,23 +295,28 @@ object DedupQueries {
         ORDER BY vec_a, vec_b"""),
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val x = e.select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("i", "v0")))
-          .withColumn("v", col("v0").cast("double")).drop("v0")
-        val norms = x.groupBy("vec_id")
-          .agg(sum((col("v") * col("v")).cast(DecimalType(38, 12))).as("nn"))
-        val a = x.as("a"); val c = x.as("c")
-        val dots = a.join(c,
-            col("a.label") === col("c.label") && col("a.i") === col("c.i") &&
-            col("a.vec_id") < col("c.vec_id"))
-          .groupBy(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
-          .agg(sum((col("a.v") * col("c.v")).cast(DecimalType(38, 12))).as("dot"))
-        dots
-          .join(norms.as("na"), col("na.vec_id") === col("vec_a"))
-          .join(norms.as("nb"), col("nb.vec_id") === col("vec_b"))
+        val bits = planeBits
+        val sigs = (0 until NumPlanes / 4).map(b =>
+          concat((0 until 4).map(r => bits(4 * b + r)): _*))
+        val bands = e.select(col("vec_id"), col("label"),
+          posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+        val cand = bands.as("a").join(bands.as("c"),
+            col("a.band") === col("c.band") && col("a.sig") === col("c.sig") &&
+            col("a.label") === col("c.label") && col("a.vec_id") < col("c.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
+          .distinct()
+        // Per-vector array + exact-decimal squared norm, computed ONCE and
+        // joined to the candidate pairs (not recomputed per pair).
+        val en = e.select(col("vec_id"), col("embedding"),
+          dotDec(col("embedding"), col("embedding")).as("nn"))
+        cand
+          .join(en.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+                          col("nn").as("nna")), "vec_a")
+          .join(en.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+                          col("nn").as("nnb")), "vec_b")
           .select(col("vec_a"), col("vec_b"),
-            round(col("dot").cast("double")
-              / (sqrt(col("na.nn").cast("double")) * sqrt(col("nb.nn").cast("double"))), 4)
+            round(dotDec(col("ea"), col("eb")).cast("double")
+              / (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double"))), 4)
               .as("cos"))
           .filter(col("cos") >= 0.25)
           .orderBy("vec_a", "vec_b")
@@ -238,22 +354,89 @@ object DedupQueries {
         SELECT query_id, neighbor_id, cos, rk FROM ranked
         WHERE rk <= 3 ORDER BY query_id, rk"""),
       (s, dir) => {
+        // Exact brute force, but NO pairs×dims explode: the tiny query set
+        // broadcasts against the corpus and each pair's dot product is one
+        // zip_with fold over the two array columns.
         val e = Tables.load(s, dir, "embeddings")
-        val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v0")))
-          .withColumn("v", col("v0").cast("double")).drop("v0")
-        val norms = x.groupBy("vec_id")
-          .agg(sum((col("v") * col("v")).cast(DecimalType(38, 12))).as("nn"))
-        val q = x.filter(col("vec_id") < 5).as("q")
-        val c = x.as("c")
-        val dots = q.join(c, col("q.i") === col("c.i") && col("q.vec_id") =!= col("c.vec_id"))
-          .groupBy(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
-          .agg(sum((col("q.v") * col("c.v")).cast(DecimalType(38, 12))).as("dot"))
-        val scored = dots
-          .join(broadcast(norms.as("nq")), col("nq.vec_id") === col("query_id"))
-          .join(norms.as("nc"), col("nc.vec_id") === col("neighbor_id"))
+          .select(col("vec_id"), col("embedding"),
+            dotDec(col("embedding"), col("embedding")).as("nn"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nn").as("nnq"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("en"), col("nn").as("nnc"))
+        val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
-            round(col("dot").cast("double")
-              / (sqrt(col("nq.nn").cast("double")) * sqrt(col("nc.nn").cast("double"))), 4)
+            round(dotDec(col("eq"), col("en")).cast("double")
+              / (sqrt(col("nnq").cast("double")) * sqrt(col("nnc").cast("double"))), 4)
+              .as("cos"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("query_id", "rk")
+      }
+    ),
+    QueryDef(
+      "a02_ann_lsh_bucketed",
+      // Bucketed ANN — the 100 TB path: the same 16 hyperplanes regrouped
+      // as 4 bands of 4 sign bits (16-way buckets per band). A neighbor is
+      // a candidate iff it shares ≥1 band signature with the query; exact
+      // cosine + top-k runs only on candidates. Recall vs the exact a01
+      // baseline is tunable via bands × bits; candidates shrink ~16× per
+      // band vs brute force. Query side broadcasts (few query vectors).
+      Some(s"""
+        WITH ${planeBitsSql},
+        sigs AS (
+          SELECT vec_id, j // 4 AS band,
+                 string_agg(bit, '' ORDER BY j) AS sig
+          FROM bits GROUP BY vec_id, j // 4),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM sigs q JOIN sigs c
+            ON q.band = c.band AND q.sig = c.sig AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5),
+        pair_dots AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 SUM(CAST(a.v * c.v AS DECIMAL(38,12))) AS dot
+          FROM cand
+          JOIN x a ON a.vec_id = cand.query_id
+          JOIN x c ON c.vec_id = cand.neighbor_id AND a.i = c.i
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))), 4) AS cos
+          FROM pair_dots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nc ON nc.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, cos, rk FROM ranked
+        WHERE rk <= 3 ORDER BY query_id, rk"""),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val bits = planeBits
+        val sigs = (0 until NumPlanes / 4).map(b =>
+          concat((0 until 4).map(r => bits(4 * b + r)): _*))
+        val bands = e.select(col("vec_id"),
+          posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+        val qb = bands.filter(col("vec_id") < 5)
+        val cand = qb.as("q").join(bands.as("c"),
+            col("q.band") === col("c.band") && col("q.sig") === col("c.sig") &&
+            col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+          .distinct()
+        val en = e.select(col("vec_id"), col("embedding"),
+          dotDec(col("embedding"), col("embedding")).as("nn"))
+        val scored = cand
+          .join(en.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+                          col("nn").as("nnq")), "query_id")
+          .join(en.select(col("vec_id").as("neighbor_id"), col("embedding").as("en"),
+                          col("nn").as("nnc")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            round(dotDec(col("eq"), col("en")).cast("double")
+              / (sqrt(col("nnq").cast("double")) * sqrt(col("nnc").cast("double"))), 4)
               .as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
         scored.withColumn("rk", row_number().over(w))
