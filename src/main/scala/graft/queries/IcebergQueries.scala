@@ -109,6 +109,35 @@ object IcebergQueries {
       Some("SELECT CAST(6592 AS BIGINT) AS cnt"),
       (s, _) => IcebergScan.scan(s, s"$Ref/generated_spec2_0_001/pyspark_iceberg_table", moved)
         .agg(count(lit(1)).as("cnt"))
+    ),
+    QueryDef(
+      "ib11_sql_tvf_scan",
+      // The scan driven entirely through SQL — the reference's primary UX
+      // (iceberg_functions.cpp:10-18): positional snapshot-id overload plus
+      // a named argument. Golden: iceberg_scan.test:24.
+      Some("SELECT CAST(60175 AS BIGINT) AS cnt"),
+      (s, _) => {
+        graft.sql.GraftSql.register(s)
+        s.sql(s"""SELECT count(*) AS cnt
+                  FROM iceberg_scan('$Lineitem', 3776207205136740581,
+                                    allow_moved_paths => true)""")
+      }
+    ),
+    QueryDef(
+      "ib12_sql_tvf_snapshots",
+      // iceberg_snapshots through SQL; same golden rows as ib07.
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(3776207205136740581 AS BIGINT)),
+          (CAST(2 AS BIGINT), CAST(7635660646343998149 AS BIGINT)))
+          t(sequence_number, snapshot_id)
+        ORDER BY sequence_number"""),
+      (s, _) => {
+        graft.sql.GraftSql.register(s)
+        s.sql(s"""SELECT sequence_number, snapshot_id
+                  FROM iceberg_snapshots('$Lineitem')
+                  ORDER BY sequence_number""")
+      }
     )
   )
 }

@@ -1,0 +1,149 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.iceberg.IcebergScan
+
+/** SQL table-valued-function surface — the analogue of the reference's
+  * registration in `src/iceberg_functions.cpp:10-18` with the per-function
+  * overloads of `iceberg_scan.cpp:301-334`:
+  *
+  *   SELECT * FROM iceberg_scan('path')                      -- latest
+  *   SELECT * FROM iceberg_scan('path', 3776207205136740581) -- by snapshot id
+  *   SELECT * FROM iceberg_scan('path', TIMESTAMP '2023-02-15 15:08:14.73')
+  *   SELECT * FROM iceberg_scan('path', allow_moved_paths => true, mode => 'list_files')
+  *   SELECT * FROM iceberg_snapshots('path')
+  *   SELECT * FROM iceberg_metadata('path', [snapshot], ...)
+  *
+  * Two activation paths:
+  *  - `spark.sql.extensions=graft.sql.GraftSqlExtensions` at session build
+  *    (the idiomatic `SparkSessionExtensions.injectTableFunction` route), or
+  *  - `GraftSql.register(spark)` on a live session.
+  *
+  * The builder mirrors the reference's bind_replace: arguments are bound on
+  * the driver, the scan's DataFrame composition is built eagerly, and its
+  * logical plan is spliced into the query — Catalyst then optimizes it like
+  * any other subtree (pushdown, pruning, join strategy).
+  */
+object GraftSql {
+
+  private type Builder = Seq[Expression] => LogicalPlan
+
+  /** Named parameters accepted by all three functions — the reference's
+    * bind-time kv loop (iceberg_scan.cpp:231-250). */
+  private val NamedParams = Set(
+    "allow_moved_paths", "mode", "metadata_compression_codec",
+    "skip_schema_inference", "version", "version_name_format")
+
+  private def evalLiteral(fn: String, e: Expression): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: arguments must be constant expressions, got '${e.sql}'")
+    e.eval()
+  }
+
+  private def asString(fn: String, what: String, e: Expression): String =
+    evalLiteral(fn, e) match {
+      case s: UTF8String => s.toString
+      case null => throw new IllegalArgumentException(s"$fn: $what must not be NULL")
+      case other => other.toString
+    }
+
+  private def asBoolean(fn: String, what: String, e: Expression): Boolean =
+    evalLiteral(fn, e) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case s: UTF8String => s.toString.toBoolean
+      case other =>
+        throw new IllegalArgumentException(s"$fn: $what must be a BOOLEAN, got $other")
+    }
+
+  /** Positional + named argument binding shared by the three functions. */
+  private def parseArgs(fn: String, exprs: Seq[Expression]): (String, IcebergScan.Options) = {
+    val (namedRaw, positional) = exprs.partition(_.isInstanceOf[NamedArgumentExpression])
+    if (positional.isEmpty)
+      throw new IllegalArgumentException(s"$fn: a table path argument is required")
+    val path = asString(fn, "path", positional.head)
+    var opts = IcebergScan.Options()
+    positional.drop(1) match {
+      case Seq() => ()
+      case Seq(snap) =>
+        // Reference dispatch (iceberg_scan.cpp:253-261): UBIGINT snapshot id
+        // or TIMESTAMP, anything else is an error.
+        snap.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val id = evalLiteral(fn, snap) match {
+              case n: java.lang.Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"$fn: invalid snapshot id $other")
+            }
+            opts = opts.copy(snapshotId = Some(id))
+          case TimestampType | TimestampNTZType =>
+            val micros = evalLiteral(fn, snap).asInstanceOf[Long]
+            opts = opts.copy(asOfTimestampMs = Some(Math.floorDiv(micros, 1000L)))
+          case other => throw new IllegalArgumentException(
+            s"$fn: second argument must be a BIGINT snapshot id or a TIMESTAMP, got $other")
+        }
+      case more => throw new IllegalArgumentException(
+        s"$fn: too many positional arguments (${more.size + 2})")
+    }
+    namedRaw.foreach { case NamedArgumentExpression(key, value) =>
+      key.toLowerCase(java.util.Locale.ROOT) match {
+        case "allow_moved_paths" =>
+          opts = opts.copy(allowMovedPaths = asBoolean(fn, key, value))
+        case "mode" =>
+          opts = opts.copy(mode = asString(fn, key, value))
+        case "metadata_compression_codec" =>
+          opts = opts.copy(metadataCompressionCodec = asString(fn, key, value))
+        case "skip_schema_inference" =>
+          opts = opts.copy(skipSchemaInference = asBoolean(fn, key, value))
+        case "version" =>
+          opts = opts.copy(version = asString(fn, key, value))
+        case "version_name_format" =>
+          opts = opts.copy(versionNameFormat = asString(fn, key, value))
+        case other => throw new IllegalArgumentException(
+          s"$fn: unknown named argument '$other' (expected one of ${NamedParams.mkString(", ")})")
+      }
+    }
+    (path, opts)
+  }
+
+  private def builder(fn: String,
+                      run: (SparkSession, String, IcebergScan.Options) => org.apache.spark.sql.DataFrame): Builder =
+    exprs => {
+      val (path, opts) = parseArgs(fn, exprs)
+      run(SparkSession.active, path, opts).queryExecution.logical
+    }
+
+  /** (name, info, builder) triples for the three reference table functions. */
+  private[sql] def functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    ("iceberg_scan", "reads an Apache Iceberg table (latest, by snapshot id, or by timestamp)",
+      builder("iceberg_scan", (s, p, o) => IcebergScan.scan(s, p, o))),
+    ("iceberg_snapshots", "lists the snapshots of an Apache Iceberg table",
+      builder("iceberg_snapshots", (s, p, o) => IcebergScan.snapshots(s, p, o))),
+    ("iceberg_metadata", "lists manifest entries of an Apache Iceberg table",
+      builder("iceberg_metadata", (s, p, o) => IcebergScan.metadata(s, p, o)))
+  ).map { case (name, usage, b) =>
+    (FunctionIdentifier(name),
+     new ExpressionInfo(GraftSql.getClass.getCanonicalName, null, name, usage, ""),
+     b)
+  }
+
+  /** Register the TVFs on a live session (idempotent; replaces existing). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, b) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, b)
+    }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftSqlExtensions` entry point. */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSql.functions.foreach { case (ident, info, b) =>
+      ext.injectTableFunction((ident, info, b))
+    }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.sql.GraftSql
+
+/** SQL TVF surface — mirrors the reference's SQL tests
+  * (test/sql/iceberg_scan.test:18-38, iceberg_snapshots.test:15-19) run
+  * through `spark.sql(...)` instead of the Scala API. */
+class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Ref = "/root/reference/data/iceberg"
+  private val Lineitem = s"$Ref/lineitem_iceberg"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("iceberg_scan latest count through SQL (iceberg_scan.test:18)") {
+    val n = spark.sql(
+      s"SELECT count(*) FROM iceberg_scan('$Lineitem', allow_moved_paths => true)")
+      .collect()(0).getLong(0)
+    assert(n === 51793L)
+  }
+
+  test("iceberg_scan by snapshot id through SQL (iceberg_scan.test:24)") {
+    val n = spark.sql(
+      s"SELECT count(*) FROM iceberg_scan('$Lineitem', 3776207205136740581, allow_moved_paths => true)")
+      .collect()(0).getLong(0)
+    assert(n === 60175L)
+  }
+
+  test("iceberg_scan by timestamp through SQL (iceberg_scan.test:30-38)") {
+    val n = spark.sql(
+      s"""SELECT count(*) FROM iceberg_scan('$Lineitem',
+            TIMESTAMP '2023-02-15 15:08:14.73', allow_moved_paths => true)""")
+      .collect()(0).getLong(0)
+    assert(n === 51793L)
+  }
+
+  test("iceberg_scan mode=list_files through SQL (iceberg_scan.cpp:280-282)") {
+    val rows = spark.sql(
+      s"""SELECT file, type FROM iceberg_scan('$Lineitem',
+            allow_moved_paths => true, mode => 'list_files')""").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(1) === "data")
+    assert(rows(0).getString(0).endsWith(
+      "00041-414-f3c73457-bbd6-4b92-9c15-17b241171b16-00001.parquet"))
+  }
+
+  test("iceberg_snapshots through SQL (iceberg_snapshots.test:15-19)") {
+    val ids = spark.sql(
+      s"SELECT snapshot_id FROM iceberg_snapshots('$Lineitem') ORDER BY sequence_number")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(3776207205136740581L, 7635660646343998149L))
+  }
+
+  test("iceberg_metadata through SQL (iceberg_metadata.test:13-17)") {
+    val n = spark.sql(
+      s"""SELECT count(*) FROM iceberg_metadata('$Lineitem',
+            allow_moved_paths => true)""").collect()(0).getLong(0)
+    assert(n === 2L)
+  }
+
+  test("filter through the SQL scan is pushed to the parquet read") {
+    val df = spark.sql(
+      s"""SELECT l_orderkey FROM iceberg_scan('$Lineitem', allow_moved_paths => true)
+          WHERE l_extendedprice > 90000""")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(l_extendedprice)"),
+      s"expected pushed filter in plan:\n$physical")
+  }
+
+  test("unknown named argument errors") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM iceberg_scan('$Lineitem', bogus_param => 1)").collect()
+    }
+    assert(e.getMessage.contains("unknown named argument") ||
+           e.getMessage.contains("bogus_param"))
+  }
+
+  test("runtime registration on an extension-less session") {
+    val fresh = spark.newSession()
+    GraftSql.register(fresh)
+    val n = fresh.sql(
+      s"SELECT count(*) FROM iceberg_scan('$Lineitem', allow_moved_paths => true)")
+      .collect()(0).getLong(0)
+    assert(n === 51793L)
+  }
+}
