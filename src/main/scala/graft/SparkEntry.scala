@@ -11,6 +11,7 @@ object SparkEntry {
     graft.queries.Relational2.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
+    graft.queries.MultimodalQueries.defs ++
     graft.queries.IcebergQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
