@@ -21,14 +21,36 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (SPARK-40819). Normalize to TIMESTAMP_NTZ at
-    * microsecond precision — the same value DuckDB sees after
-    * CAST(ts AS TIMESTAMP). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * only reads as a raw long (SPARK-40819) — and only under the session
+    * conf `spark.sql.legacy.parquet.nanosAsLong=true` ([[GraftSessions]]).
+    * Normalize to TIMESTAMP_NTZ at microsecond precision — the same value
+    * DuckDB sees after CAST(ts AS TIMESTAMP). */
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events").withColumn(
       "ts",
       org.apache.spark.sql.functions.expr(
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-  }
+}
+
+/** Session configuration the engine's read paths rely on. Set ONCE at
+  * session build (mutating session conf inside query builders would leak
+  * into unrelated reads in the same session). */
+object GraftSessions {
+  val requiredConfs: Map[String, String] = Map(
+    // oracle comparability: naive timestamps everywhere
+    "spark.sql.session.timeZone" -> "UTC",
+    // Iceberg field-id-keyed schema resolution (SURVEY §2.1 S5)
+    "spark.sql.parquet.fieldId.read.enabled" -> "true",
+    // events.ts is parquet TIMESTAMP(NANOS)
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Standard local session builder for the driver harnesses and tests. */
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    requiredConfs.foldLeft(
+      SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }

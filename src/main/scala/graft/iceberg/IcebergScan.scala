@@ -76,12 +76,25 @@ object IcebergScan {
     val dataPaths = dataEntries.map(e => resolved(path, e.filePath, opts))
     val deletePaths = deleteEntries.map(e => resolved(path, e.filePath, opts))
 
+    // Equality deletes (content==2) have no execution path — same as the
+    // reference (iceberg_types.hpp:45 defines the enum; nothing reads it) —
+    // but silently returning undeleted rows would be data corruption, so
+    // fail loudly instead.
+    val equalityDeletes = livePaths(meta, manifestContent = 1, entryContent = 2, opts)
+    if (equalityDeletes.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"iceberg_scan: table at $path has ${equalityDeletes.size} live equality-delete " +
+        "file(s) (content=EQUALITY_DELETES); equality deletes are not supported")
+
     if (opts.mode == "list_files")
       return listFilesDF(spark, dataPaths, deletePaths)
 
     // Schema keyed by Iceberg field id → rename/evolution-safe parquet reads
-    // (the analogue of the reference's id-keyed schema map, S5).
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // (the analogue of the reference's id-keyed schema map, S5). Requires
+    // spark.sql.parquet.fieldId.read.enabled=true at SESSION level (set by
+    // Verify/Bench/the specs): Spark's parquet reader takes this from the
+    // session conf, and toggling session state inside a query builder would
+    // leak into unrelated reads (see GraftSessions).
     val reader = spark.read.format("parquet")
     val withSchema =
       if (opts.skipSchemaInference) reader

@@ -81,7 +81,10 @@ object ManifestReader {
   }
 
   /** IcebergTable::Load (iceberg.cpp:15-36): manifest list, then every
-    * manifest, eagerly, with optional moved-path re-anchoring. */
+    * manifest, eagerly, with optional moved-path re-anchoring. Manifests
+    * are fetched concurrently — a 100 TB table has O(100k) entries across
+    * many manifest files and, over an object store, sequential driver-side
+    * reads would dominate planning time. */
   def loadTable(
       tablePath: String,
       snapshot: Snapshot,
@@ -91,12 +94,18 @@ object ManifestReader {
       if (allowMovedPaths) IcebergIO.fullPath(tablePath, snapshot.manifestList)
       else snapshot.manifestList
     val manifests = readManifestList(listPath, conf, snapshot.formatVersion)
-    val entries = manifests.map { m =>
-      val mPath =
-        if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
-        else m.manifestPath
-      m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
-    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val entries = Await.result(
+      Future.traverse(manifests) { m =>
+        Future {
+          val mPath =
+            if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
+            else m.manifestPath
+          m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
+        }
+      }, Duration.Inf)
     TableMeta(tablePath, snapshot, entries)
   }
 }

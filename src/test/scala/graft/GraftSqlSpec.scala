@@ -14,11 +14,7 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val Lineitem = s"$Ref/lineitem_iceberg"
 
   private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = GraftSessions.builder("local[4]", "4")
       .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

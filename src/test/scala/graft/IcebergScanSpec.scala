@@ -16,13 +16,8 @@ class IcebergScanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val RefData = "/root/reference/data/iceberg"
   private val Lineitem = s"$RefData/lineitem_iceberg"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-test").getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
 
