@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100× scale-up are asserted here, not just eyeballed —
+  *  - selective filters reach the parquet scan (PushedFilters),
+  *  - scans read only the projected columns (ReadSchema pruning),
+  *  - small dimension sides broadcast instead of shuffling the fact table,
+  *  - similarity ops join on LSH keys with NO cartesian/nested-loop pair
+  *    explosion anywhere in the plan,
+  *  - hot relational paths stay inside whole-stage codegen.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-plans").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = plan(name).toString
+
+  test("q06: filters are pushed into the parquet scan") {
+    val p = planString("q06_revenue_filter_agg")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual") || pushed.contains("LessThan"), pushed)
+  }
+
+  test("q06: scan reads only the columns the query needs") {
+    val p = planString("q06_revenue_filter_agg")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    // 4 referenced columns out of lineitem's 16
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_discount") &&
+           readSchema.contains("l_extendedprice") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q03: dimension side broadcasts (no shuffle of the fact table for the join)") {
+    val p = planString("q03_join_broadcast_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q04: all dimension joins broadcast") {
+    val p = planString("q04_multi_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("similarity ops have no cartesian or broadcast-nested-loop pair explosion") {
+    for (q <- Seq("d02_minhash_lsh_pairs", "d04_jaccard_pairs", "d05_embedding_neardup")) {
+      val p = planString(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("relational aggregation stays inside whole-stage codegen") {
+    // AQE prints codegen stages only in the FINAL plan, so execute first.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, Sf)
+    df.collect() // runs THIS QueryExecution so AQE finalizes its plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) HashAggregate" = the aggregate runs inside codegen stage n
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"),
+      p.take(2000))
+  }
+
+  test("iceberg scan: user filters push into the underlying parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.iceberg.IcebergScan.scan(
+      spark, "/root/reference/data/iceberg/lineitem_iceberg",
+      graft.iceberg.IcebergScan.Options(allowMovedPaths = true))
+      .filter(col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("l_quantity"), p.take(2000))
+  }
+}
