@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, EventStreams}
+
+/** Structured Streaming operators driven through MemoryStream: the
+  * streaming results must agree with the equivalent batch computation on
+  * the same rows (the e01/e02 semantics). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-streaming").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourly tumbling aggregation over a stream matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hourlyAgg(in.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:55:00"), 2, "click", 2.0),
+        Event(3, ts("2026-01-01 11:10:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 11:00:00.0", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("declarative session windows merge events within the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeDeclarative(in.toDF())
+      .writeStream.format("memory").queryName("sessions_decl").outputMode("complete").start()
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:10:00"), 1, "click", 2.0), // same session
+        Event(3, ts("2026-01-01 12:00:00"), 1, "click", 4.0), // new session
+        Event(4, ts("2026-01-01 10:03:00"), 2, "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_decl").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("custom-state sessionizer emits sessions when the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeCustomState(in.toDS())
+      .writeStream.format("memory").queryName("sessions_fmgws").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:10:00"), 1, "click", 2.0),
+        Event(3, ts("2026-01-01 10:03:00"), 2, "view", 8.0))
+      q.processAllAvailable()
+      // advance event time far past the sessions' close...
+      in.addData(Event(4, ts("2026-01-01 14:00:00"), 3, "click", 0.5))
+      q.processAllAvailable()
+      // ...and one more batch so the new watermark drives timeout processing
+      in.addData(Event(5, ts("2026-01-01 14:01:00"), 3, "click", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_fmgws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val base = ts("2026-01-01 10:00:00").getTime * 1000L
+      assert(rows.contains((1L, 2L, base, base + 600L * 1000000L, 3.0)), rows)
+      assert(rows.contains((2L, 1L, base + 180L * 1000000L, base + 180L * 1000000L, 8.0)), rows)
+    } finally q.stop()
+  }
+}
