@@ -147,6 +147,42 @@ object IcebergScan {
       .drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
   }
 
+  /** Incremental append scan — the rows ADDED between two snapshots (an
+    * engine extension the reference lacks; SURVEY §2.9 sketches it as the
+    * natural increment over S12). Selects data files whose manifest
+    * sequence number lies in (from.seq, to.seq], skipping DELETED-status
+    * entries — i.e. Iceberg's append-only incremental read. Position
+    * deletes landing in the range affect only already-present rows, so
+    * they don't belong to an append-only diff. v1 tables carry no
+    * sequence numbers and always yield an empty increment. */
+  def incrementalAppend(
+      spark: SparkSession,
+      path: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None,
+      opts: Options = Options()): DataFrame = {
+    val info = IcebergMetadataParser.load(
+      path, hadoopConf(spark), opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val from = IcebergMetadataParser.byId(info, fromSnapshotId, skipSchema = true)
+    val to = toSnapshotId
+      .map(IcebergMetadataParser.byId(info, _, opts.skipSchemaInference))
+      .getOrElse(IcebergMetadataParser.latest(info, opts.skipSchemaInference))
+    val meta = ManifestReader.loadTable(path, to, hadoopConf(spark), opts.allowMovedPaths)
+    val appended = meta.entries.collect {
+      case (m, es) if m.content == 0 && m.sequenceNumber > from.sequenceNumber =>
+        es.filter(e => e.status != 2 && e.content == 0)
+    }.flatten
+    val paths = appended.map(e => resolved(path, e.filePath, opts))
+    val schema = IcebergSchemaParser.toStructType(to.schema)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val reader = spark.read.format("parquet")
+      (if (opts.skipSchemaInference) reader else reader.schema(schema)).load(paths: _*)
+    }
+  }
+
   /** mode='list_files' output: (file, type ∈ {data, delete}) — S14. */
   private def listFilesDF(spark: SparkSession, data: Seq[String], deletes: Seq[String]): DataFrame = {
     import spark.implicits._

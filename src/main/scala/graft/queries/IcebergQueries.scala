@@ -124,6 +124,16 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib13_incremental_append",
+      // Appended rows between snapshot 1 (seq 1) and snapshot 2 (seq 2):
+      // exactly the 51793-row file the second snapshot added
+      // (iceberg_metadata.test:13-17 shows the manifest layout).
+      Some("SELECT CAST(51793 AS BIGINT) AS cnt"),
+      (s, _) => IcebergScan.incrementalAppend(
+          s, Lineitem, fromSnapshotId = 3776207205136740581L, opts = moved)
+        .agg(count(lit(1)).as("cnt"))
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

@@ -188,6 +188,28 @@ class IcebergParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally writer.close()
   }
 
+  test("incremental append between snapshots returns only the added file's rows") {
+    val inc = IcebergScan.incrementalAppend(
+      spark, Lineitem, fromSnapshotId = 3776207205136740581L, opts = moved)
+    assert(inc.count() === 51793L)
+    // from == to → empty increment with the table schema
+    val none = IcebergScan.incrementalAppend(
+      spark, Lineitem, fromSnapshotId = 7635660646343998149L,
+      toSnapshotId = Some(7635660646343998149L), opts = moved)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("l_orderkey"))
+  }
+
+  test("scan works with explicit file:// scheme paths (the S3-shape path bridge)") {
+    // The MoR delete anti-join bridges manifest path strings to Spark's
+    // fully-qualified _metadata.file_path URIs; an explicit scheme on the
+    // table path exercises exactly the qualification code that a remote
+    // (s3a://) deployment would hit.
+    val gen = s"file://$RefData/generated_spec2_0_001/pyspark_iceberg_table"
+    val got = IcebergScan.scan(spark, gen, moved)
+    assert(got.count() === 6592L)
+  }
+
   test("live equality deletes fail loudly instead of corrupting results") {
     val table = buildEqualityDeleteTable()
     val e = intercept[UnsupportedOperationException] {
