@@ -4,7 +4,6 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication + similarity-search operators for a training-data
   * pipeline: exact-hash dedup, MinHash+LSH banding, SimHash, blocked
@@ -12,9 +11,10 @@ import org.apache.spark.sql.types.DecimalType
   * top-k ANN.
   *
   * Cross-engine determinism: all hashes are md5 hex strings (identical in
-  * Spark and DuckDB); dot products cast each per-row double product to
-  * DECIMAL(38,12) so the aggregation is exact, and final cosines are
-  * rounded to 4 dp to absorb the engines' decimal→double cast wobble.
+  * Spark and DuckDB); dot products are SEQUENTIAL double folds over the
+  * array columns — the fold order is fixed, so Spark's aggregate/zip_with
+  * and DuckDB's list_reduce/list_zip produce bit-identical doubles — and
+  * final cosines are rounded to 4 dp.
   */
 object DedupQueries {
 
@@ -38,9 +38,9 @@ object DedupQueries {
   // coordinates in [-99, 99] (sign(h·x) is scale-invariant, and integer
   // literals are bit-exact in every engine). The SAME values are embedded
   // as literals in the Spark plan and in the DuckDB oracle SQL, and every
-  // hyperplane dot product is an exact DECIMAL(38,12) sum of per-element
-  // double products — so both engines derive identical sign signatures and
-  // therefore identical candidate sets.
+  // hyperplane dot product is the same sequential double fold on both
+  // engines — so they derive identical sign signatures and therefore
+  // identical candidate sets.
   private val NumPlanes = 16
   private val EmbDim = 64
   private val Planes: Array[Array[Int]] = {
@@ -48,54 +48,51 @@ object DedupQueries {
     Array.fill(NumPlanes, EmbDim)(r.nextInt(199) - 99)
   }
 
-  /** Oracle-side hyperplane table: h(j, i, w) with i 1-based to match
-    * DuckDB's generate_subscripts. */
-  private def planesValuesSql: String =
-    Planes.zipWithIndex.flatMap { case (row, j) =>
-      row.zipWithIndex.map { case (w, i) => s"($j,${i + 1},$w)" }
-    }.mkString(",")
-
-  private val Dec = DecimalType(38, 12)
-
-  /** Exact dot product of two float/double array columns: per-element
-    * double multiply (bit-identical across engines), per-product cast to
-    * DECIMAL(38,12), exact decimal fold — order-independent, so it equals
-    * the oracle's SUM(CAST(a*b AS DECIMAL(38,12))) over unnested elements. */
-  private def dotDec(a: Column, b: Column): Column = {
-    // Spark types DECIMAL(38,12)+DECIMAL(38,12) as (38,11) (scale loss),
-    // which both breaks the fold's type contract and would round at 1e-11.
-    // Adding at (37,12) yields exactly (38,12): scale preserved, addition
-    // exact (operands here are ≪ 1e25 so the narrower cast never overflows).
-    val acc37 = DecimalType(37, 12)
+  /** Dot product of two float/double array columns as a SEQUENTIAL double
+    * fold: per-element double multiply, then a left fold from 0.0. The
+    * array order is fixed, per-element IEEE double ops are bit-identical
+    * across engines, and DuckDB's `list_reduce(list_prepend(0.0, ...))`
+    * performs the same left fold — so the resulting double is bit-equal to
+    * the oracle's, at a fraction of an exact-decimal fold's cost. */
+  private def dotDbl(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0).cast(Dec),
-      (acc, v) => acc.cast(acc37) + v.cast(acc37))
-  }
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** The same fold in DuckDB SQL over DOUBLE[] columns `a` and `b`. */
+  private def dotDblSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_zip($a, $b), s -> s[1] * s[2])), (p, q) -> p + q)"""
 
   /** Sign bits of the 16 hyperplane dots for the `embedding` column. */
   private def planeBits: Seq[Column] =
     (0 until NumPlanes).map { j =>
       val h = array(Planes(j).map(lit).toIndexedSeq: _*)
-      when(dotDec(col("embedding"), h) >= 0, "1").otherwise("0")
+      when(dotDbl(col("embedding"), h) >= 0, "1").otherwise("0")
     }
 
-  /** Shared oracle CTE prefix: per-vector per-plane exact dots + sign bits. */
+  /** Oracle-side hyperplane lists: hl(j, w) with w a 64-element DOUBLE[]. */
+  private def planeListsSql: String =
+    Planes.zipWithIndex.map { case (row, j) =>
+      s"($j, CAST([${row.mkString(",")}] AS DOUBLE[]))"
+    }.mkString(",")
+
+  /** Shared oracle CTE prefix: embeddings as DOUBLE[], per-plane sign bits
+    * and squared norms via the same sequential double folds as Spark. */
   private def planeBitsSql: String =
-    s"""h(j, i, w) AS (VALUES ${planesValuesSql}),
-        x AS (
-          SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-                 CAST(unnest(embedding) AS DOUBLE) AS v
+    s"""hl(j, w) AS (VALUES ${planeListsSql}),
+        emb AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
-        dots AS (
-          SELECT x.vec_id, h.j, SUM(CAST(x.v * h.w AS DECIMAL(38,12))) AS d
-          FROM x JOIN h ON x.i = h.i GROUP BY 1, 2),
         bits AS (
-          SELECT vec_id, j, CASE WHEN d >= 0 THEN '1' ELSE '0' END AS bit
-          FROM dots),
+          SELECT emb.vec_id, hl.j,
+                 CASE WHEN ${dotDblSql("emb.e", "hl.w")} >= 0
+                      THEN '1' ELSE '0' END AS bit
+          FROM emb, hl),
         norms AS (
-          SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,12))) AS nn
-          FROM x GROUP BY vec_id)"""
+          SELECT vec_id, ${dotDblSql("e", "e")} AS nn
+          FROM emb)"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -279,19 +276,16 @@ object DedupQueries {
            AND a.vec_id < c.vec_id),
         pair_dots AS (
           SELECT cand.vec_a, cand.vec_b,
-                 SUM(CAST(a.v * c.v AS DECIMAL(38,12))) AS dot
+                 ${dotDblSql("ea.e", "ec.e")} AS dot
           FROM cand
-          JOIN x a ON a.vec_id = cand.vec_a
-          JOIN x c ON c.vec_id = cand.vec_b AND a.i = c.i
-          GROUP BY 1, 2)
+          JOIN emb ea ON ea.vec_id = cand.vec_a
+          JOIN emb ec ON ec.vec_id = cand.vec_b)
         SELECT vec_a, vec_b,
-               round(CAST(dot AS DOUBLE)
-                     / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 4) AS cos
+               round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cos
         FROM pair_dots
         JOIN norms na ON na.vec_id = vec_a
         JOIN norms nb ON nb.vec_id = vec_b
-        WHERE round(CAST(dot AS DOUBLE)
-                    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 4) >= 0.25
+        WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) >= 0.25
         ORDER BY vec_a, vec_b"""),
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -305,18 +299,18 @@ object DedupQueries {
             col("a.label") === col("c.label") && col("a.vec_id") < col("c.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
           .distinct()
-        // Per-vector array + exact-decimal squared norm, computed ONCE and
-        // joined to the candidate pairs (not recomputed per pair).
+        // Per-vector array + squared norm, computed ONCE and joined to the
+        // candidate pairs (not recomputed per pair).
         val en = e.select(col("vec_id"), col("embedding"),
-          dotDec(col("embedding"), col("embedding")).as("nn"))
+          dotDbl(col("embedding"), col("embedding")).as("nn"))
         cand
           .join(en.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
                           col("nn").as("nna")), "vec_a")
           .join(en.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
                           col("nn").as("nnb")), "vec_b")
           .select(col("vec_a"), col("vec_b"),
-            round(dotDec(col("ea"), col("eb")).cast("double")
-              / (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double"))), 4)
+            round(dotDbl(col("ea"), col("eb"))
+              / (sqrt(col("nna")) * sqrt(col("nnb"))), 4)
               .as("cos"))
           .filter(col("cos") >= 0.25)
           .orderBy("vec_a", "vec_b")
@@ -325,27 +319,22 @@ object DedupQueries {
     QueryDef(
       "a01_ann_bruteforce_topk",
       // exact cosine top-3 neighbors for query vectors vec_id < 5
-      Some("""
-        WITH x AS (
-          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                 CAST(unnest(embedding) AS DOUBLE) AS v
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
         norms AS (
-          SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,12))) AS nn
-          FROM x GROUP BY vec_id),
-        dots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS dot
-          FROM x q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 5
-          GROUP BY 1, 2),
+          SELECT vec_id, ${dotDblSql("e", "e")} AS nn
+          FROM emb),
         scored AS (
-          SELECT query_id, neighbor_id,
-                 round(CAST(dot AS DOUBLE)
-                       / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))), 4) AS cos
-          FROM dots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nc ON nc.vec_id = neighbor_id),
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(${dotDblSql("q.e", "c.e")}
+                       / (sqrt(nq.nn) * sqrt(nc.nn)), 4) AS cos
+          FROM emb q
+          JOIN emb c ON q.vec_id <> c.vec_id
+          JOIN norms nq ON nq.vec_id = q.vec_id
+          JOIN norms nc ON nc.vec_id = c.vec_id
+          WHERE q.vec_id < 5),
         ranked AS (
           SELECT query_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY query_id
@@ -359,14 +348,14 @@ object DedupQueries {
         // zip_with fold over the two array columns.
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
-            dotDec(col("embedding"), col("embedding")).as("nn"))
+            dotDbl(col("embedding"), col("embedding")).as("nn"))
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nn").as("nnq"))
         val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("en"), col("nn").as("nnc"))
         val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
-            round(dotDec(col("eq"), col("en")).cast("double")
-              / (sqrt(col("nnq").cast("double")) * sqrt(col("nnc").cast("double"))), 4)
+            round(dotDbl(col("eq"), col("en"))
+              / (sqrt(col("nnq")) * sqrt(col("nnc"))), 4)
               .as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
         scored.withColumn("rk", row_number().over(w))
@@ -395,15 +384,13 @@ object DedupQueries {
           WHERE q.vec_id < 5),
         pair_dots AS (
           SELECT cand.query_id, cand.neighbor_id,
-                 SUM(CAST(a.v * c.v AS DECIMAL(38,12))) AS dot
+                 ${dotDblSql("ea.e", "ec.e")} AS dot
           FROM cand
-          JOIN x a ON a.vec_id = cand.query_id
-          JOIN x c ON c.vec_id = cand.neighbor_id AND a.i = c.i
-          GROUP BY 1, 2),
+          JOIN emb ea ON ea.vec_id = cand.query_id
+          JOIN emb ec ON ec.vec_id = cand.neighbor_id),
         scored AS (
           SELECT query_id, neighbor_id,
-                 round(CAST(dot AS DOUBLE)
-                       / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))), 4) AS cos
+                 round(dot / (sqrt(nq.nn) * sqrt(nc.nn)), 4) AS cos
           FROM pair_dots
           JOIN norms nq ON nq.vec_id = query_id
           JOIN norms nc ON nc.vec_id = neighbor_id),
@@ -428,15 +415,15 @@ object DedupQueries {
           .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
           .distinct()
         val en = e.select(col("vec_id"), col("embedding"),
-          dotDec(col("embedding"), col("embedding")).as("nn"))
+          dotDbl(col("embedding"), col("embedding")).as("nn"))
         val scored = cand
           .join(en.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
                           col("nn").as("nnq")), "query_id")
           .join(en.select(col("vec_id").as("neighbor_id"), col("embedding").as("en"),
                           col("nn").as("nnc")), "neighbor_id")
           .select(col("query_id"), col("neighbor_id"),
-            round(dotDec(col("eq"), col("en")).cast("double")
-              / (sqrt(col("nnq").cast("double")) * sqrt(col("nnc").cast("double"))), 4)
+            round(dotDbl(col("eq"), col("en"))
+              / (sqrt(col("nnq")) * sqrt(col("nnc"))), 4)
               .as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
         scored.withColumn("rk", row_number().over(w))
