@@ -94,6 +94,50 @@ object DedupQueries {
           SELECT vec_id, ${dotDblSql("e", "e")} AS nn
           FROM emb)"""
 
+  /** Shared bigram-MinHash-LSH candidate pairs (doc_a < doc_b), the
+    * candidate generator behind d02/d04/d06. */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(s, dir, "documents")
+      .withColumn("__t", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), explode(bigramShingles).as("w"))
+    val mhCols = (0 until NumHashes).map { i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("w")).cast("binary"))).as(s"mh$i")
+    }
+    val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bandSigs = (0 until NumBands).map { b =>
+      md5(concat_ws("|",
+        (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*)
+        .cast("binary"))
+    }
+    val bands = mh.select(col("doc_id"),
+      posexplode(array(bandSigs: _*)).as(Seq("b", "sig")))
+    bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
+        col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The same candidate generator as oracle CTEs ending in `cand`. */
+  private val minhashCandSql: String = s"""
+        tok AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+                   i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' '
+                        || regexp_split_to_array(trim(text), '\\s+')[i + 1]))) AS w
+          FROM documents),
+        mh AS (
+          SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS mh
+          FROM tok, range($NumHashes) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // $RowsPerBand AS b, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+          FROM mh GROUP BY doc_id, i // $RowsPerBand),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM band a JOIN band c
+            ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "d01_dedup_exact",
@@ -113,44 +157,10 @@ object DedupQueries {
       "d02_minhash_lsh_pairs",
       // shingle→minhash→band→bucket-join candidate generation
       Some(s"""
-        WITH tok AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-                   range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
-                   i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' '
-                        || regexp_split_to_array(trim(text), '\\s+')[i + 1]))) AS w
-          FROM documents),
-        mh AS (
-          SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS mh
-          FROM tok, range($NumHashes) t(i)
-          GROUP BY doc_id, i),
-        band AS (
-          SELECT doc_id, i // $RowsPerBand AS b, md5(string_agg(mh, '|' ORDER BY i)) AS sig
-          FROM mh GROUP BY doc_id, i // $RowsPerBand)
-        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-        FROM band a JOIN band c ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id
+        WITH ${minhashCandSql}
+        SELECT doc_a, doc_b FROM cand
         ORDER BY doc_a, doc_b"""),
-      (s, dir) => {
-        val tok = Tables.load(s, dir, "documents")
-          .withColumn("__t", split(trim(col("text")), "\\s+"))
-          .select(col("doc_id"), explode(bigramShingles).as("w"))
-        val mhCols = (0 until NumHashes).map { i =>
-          min(md5(concat(lit(i.toString), lit(":"), col("w")).cast("binary"))).as(s"mh$i")
-        }
-        val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-        val bandSigs = (0 until NumBands).map { b =>
-          md5(concat_ws("|",
-            (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*)
-            .cast("binary"))
-        }
-        val bands = mh.select(col("doc_id"),
-          posexplode(array(bandSigs: _*)).as(Seq("b", "sig")))
-        val a = bands.as("a"); val c = bands.as("c")
-        a.join(c, col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
-                  col("a.doc_id") < col("c.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      }
+      (s, dir) => minhashCandidates(s, dir).orderBy("doc_a", "doc_b")
     ),
     QueryDef(
       "d03_simhash",
@@ -195,23 +205,7 @@ object DedupQueries {
           SELECT doc_id, lang,
                  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS w
           FROM documents),
-        tok AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-                   range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
-                   i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' '
-                        || regexp_split_to_array(trim(text), '\\s+')[i + 1]))) AS sh
-          FROM documents),
-        mh AS (
-          SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
-          FROM tok, range($NumHashes) r(i)
-          GROUP BY doc_id, i),
-        band AS (
-          SELECT doc_id, i // $RowsPerBand AS b, md5(string_agg(mh, '|' ORDER BY i)) AS sig
-          FROM mh GROUP BY doc_id, i // $RowsPerBand),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-          FROM band a JOIN band c
-            ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id)
+        ${minhashCandSql}
         SELECT doc_a, doc_b,
                round(CAST(len(list_intersect(ta.w, tc.w)) AS DOUBLE)
                      / len(list_distinct(ta.w || tc.w)), 6) AS jaccard
@@ -222,28 +216,9 @@ object DedupQueries {
                     / len(list_distinct(ta.w || tc.w)), 6) >= 0.7
         ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val t = docs.select(col("doc_id"), col("lang"), toks.as("w"))
-        val tok = docs
-          .withColumn("__t", split(trim(col("text")), "\\s+"))
-          .select(col("doc_id"), explode(bigramShingles).as("sh"))
-        val mhCols = (0 until NumHashes).map { i =>
-          min(md5(concat(lit(i.toString), lit(":"), col("sh")).cast("binary"))).as(s"mh$i")
-        }
-        val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-        val bandSigs = (0 until NumBands).map { b =>
-          md5(concat_ws("|",
-            (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*)
-            .cast("binary"))
-        }
-        val bands = mh.select(col("doc_id"),
-          posexplode(array(bandSigs: _*)).as(Seq("b", "sig")))
-        val cand = bands.as("a").join(bands.as("c"),
-            col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
-            col("a.doc_id") < col("c.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-          .distinct()
-        cand
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), toks.as("w"))
+        minhashCandidates(s, dir)
           .join(t.select(col("doc_id").as("doc_a"), col("lang").as("la"), col("w").as("wa")), "doc_a")
           .join(t.select(col("doc_id").as("doc_b"), col("lang").as("lb"), col("w").as("wb")), "doc_b")
           .filter(col("la") === col("lb"))
@@ -252,6 +227,54 @@ object DedupQueries {
               / size(array_union(col("wa"), col("wb"))), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.7)
           .orderBy("doc_a", "doc_b")
+      }
+    ),
+    QueryDef(
+      "d06_dedup_clusters",
+      // Duplicate-cluster assignment: connected components over the LSH
+      // candidate graph via 5 rounds of min-label propagation — each doc
+      // ends up labeled with the smallest doc_id reachable in ≤5 hops (its
+      // cluster's canonical keeper). Label propagation is the scalable
+      // component algorithm: each round is one shuffle on doc_id, rounds
+      // grow with graph diameter (bounded at 5 on both engines so results
+      // are identical by construction; production would iterate to
+      // fixpoint with checkpointing).
+      Some(s"""
+        WITH ${minhashCandSql},
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM cand
+          UNION ALL
+          SELECT doc_b AS s, doc_a AS d FROM cand),
+        l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+        ${(1 to 5).map { i =>
+          s"""l$i AS (
+            SELECT l.doc_id, least(l.label, coalesce(m.nmin, l.label)) AS label
+            FROM l${i - 1} l LEFT JOIN (
+              SELECT e.s AS doc_id, MIN(x.label) AS nmin
+              FROM edges e JOIN l${i - 1} x ON x.doc_id = e.d
+              GROUP BY e.s) m USING (doc_id))"""
+        }.mkString(",\n")}
+        SELECT doc_id, label AS cluster_id FROM l5 ORDER BY doc_id"""),
+      (s, dir) => {
+        val cand = minhashCandidates(s, dir)
+        // Iterative algorithm: persist the edge set and each label
+        // generation, otherwise the lineage re-derives the whole LSH
+        // pipeline per round and doubles per iteration.
+        val edges = cand.select(col("doc_a").as("s"), col("doc_b").as("d"))
+          .union(cand.select(col("doc_b").as("s"), col("doc_a").as("d")))
+          .persist()
+        var labels = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("label"))
+        for (_ <- 1 to 5) {
+          val nmin = edges.join(
+              labels.select(col("doc_id").as("d"), col("label").as("xl")), "d")
+            .groupBy(col("s").as("doc_id")).agg(min(col("xl")).as("nmin"))
+          labels = labels.join(nmin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+            .persist()
+        }
+        labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
       }
     ),
     QueryDef(

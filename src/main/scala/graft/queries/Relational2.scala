@@ -344,6 +344,47 @@ object Relational2 {
       }
     ),
     QueryDef(
+      "q23_asof_join",
+      // As-of join: each event picks the same user's most recent purchase
+      // at-or-before its timestamp. The Spark plan is the scalable union +
+      // last_value(ignoreNulls) window pattern — ONE shuffle on user_id,
+      // no range-join pair explosion, state rows interleaved before event
+      // rows at equal timestamps for inclusive (>=) semantics. The oracle
+      // is DuckDB's native ASOF LEFT JOIN.
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 value, event_type
+          FROM events),
+        p AS (
+          SELECT user_id, us AS purchase_us, value AS purchase_value
+          FROM e WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id, e.us, p.purchase_us, p.purchase_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.us >= p.purchase_us
+        ORDER BY e.event_id"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        val pType = "struct<purchase_us:bigint,purchase_value:double>"
+        val evr = e.select(col("user_id"), col("us"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast(pType).as("p"))
+        val pur = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us"), lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"),
+            struct(col("us").as("purchase_us"), col("value").as("purchase_value")).as("p"))
+        val w = Window.partitionBy("user_id").orderBy("us", "kind")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        evr.unionByName(pur)
+          .withColumn("pp", last(col("p"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("pp.purchase_us").as("purchase_us"),
+            col("pp.purchase_value").as("purchase_value"))
+          .orderBy("event_id")
+      }
+    ),
+    QueryDef(
       "e01_event_hourly_agg",
       // tumbling-window batch aggregation over the event stream table
       Some("""

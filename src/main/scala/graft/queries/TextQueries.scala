@@ -114,6 +114,23 @@ object TextQueries {
           .orderBy("doc_id")
     ),
     QueryDef(
+      "t05_top_tokens",
+      // corpus vocabulary: top-100 tokens by frequency (deterministic
+      // tie-break on the token) — map-side partial aggregation + a top-k
+      // sort, no global shuffle of the token stream beyond the hash agg
+      Some("""
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents) t
+        GROUP BY w ORDER BY cnt DESC, w LIMIT 100"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w"))
+          .limit(100)
+    ),
+    QueryDef(
       "t04_fingerprint",
       // whitespace-normalized hash + order-insensitive sorted-token hash
       Some("""
