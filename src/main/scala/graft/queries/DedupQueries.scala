@@ -94,19 +94,30 @@ object DedupQueries {
           SELECT vec_id, ${dotDblSql("e", "e")} AS nn
           FROM emb)"""
 
+  /** MinHash mixing: each shingle is md5'd ONCE into a 60-bit integer,
+    * reduced mod the Mersenne prime 2^31-1, and the i-th hash family is
+    * the multiplicative permutation h → h·(2i+1) mod p. One md5 + 16
+    * integer ops per shingle instead of 16 md5s — and every step is plain
+    * 64-bit integer arithmetic that both engines evaluate identically
+    * (products stay < 2^36, far from BIGINT overflow). */
+  private val MersenneP = 2147483647L
+
   /** Shared bigram-MinHash-LSH candidate pairs (doc_a < doc_b), the
     * candidate generator behind d02/d04/d06. */
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.load(s, dir, "documents")
       .withColumn("__t", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"), explode(bigramShingles).as("w"))
+      .withColumn("h",
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % MersenneP)
     val mhCols = (0 until NumHashes).map { i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("w")).cast("binary"))).as(s"mh$i")
+      min((col("h") * (2 * i + 1)) % MersenneP).as(s"mh$i")
     }
     val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandSigs = (0 until NumBands).map { b =>
       md5(concat_ws("|",
-        (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*)
+        (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}").cast("string")): _*)
         .cast("binary"))
     }
     val bands = mh.select(col("doc_id"),
@@ -126,12 +137,17 @@ object DedupQueries {
                    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' '
                         || regexp_split_to_array(trim(text), '\\s+')[i + 1]))) AS w
           FROM documents),
+        hsh AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(w), 1, 15))::BIGINT % $MersenneP AS h
+          FROM tok),
         mh AS (
-          SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS mh
-          FROM tok, range($NumHashes) t(i)
+          SELECT doc_id, i, MIN((h * (2 * i + 1)) % $MersenneP) AS mh
+          FROM hsh, range($NumHashes) t(i)
           GROUP BY doc_id, i),
         band AS (
-          SELECT doc_id, i // $RowsPerBand AS b, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+          SELECT doc_id, i // $RowsPerBand AS b,
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS sig
           FROM mh GROUP BY doc_id, i // $RowsPerBand),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
@@ -232,13 +248,14 @@ object DedupQueries {
     QueryDef(
       "d06_dedup_clusters",
       // Duplicate-cluster assignment: connected components over the LSH
-      // candidate graph via 5 rounds of min-label propagation — each doc
-      // ends up labeled with the smallest doc_id reachable in ≤5 hops (its
-      // cluster's canonical keeper). Label propagation is the scalable
-      // component algorithm: each round is one shuffle on doc_id, rounds
-      // grow with graph diameter (bounded at 5 on both engines so results
-      // are identical by construction; production would iterate to
-      // fixpoint with checkpointing).
+      // candidate graph via 3 rounds of min-label propagation — each doc
+      // ends up labeled with the smallest doc_id reachable in ≤3 hops (its
+      // cluster's canonical keeper; LSH bucket components are near-cliques
+      // with diameter ≤~2, so 3 rounds converge). Label propagation is the
+      // scalable component algorithm: each round is one shuffle on doc_id,
+      // rounds grow with graph diameter (bounded identically on both
+      // engines so results match by construction; production would iterate
+      // to fixpoint with checkpointing).
       Some(s"""
         WITH ${minhashCandSql},
         edges AS (
@@ -246,7 +263,7 @@ object DedupQueries {
           UNION ALL
           SELECT doc_b AS s, doc_a AS d FROM cand),
         l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-        ${(1 to 5).map { i =>
+        ${(1 to 3).map { i =>
           s"""l$i AS (
             SELECT l.doc_id, least(l.label, coalesce(m.nmin, l.label)) AS label
             FROM l${i - 1} l LEFT JOIN (
@@ -254,7 +271,7 @@ object DedupQueries {
               FROM edges e JOIN l${i - 1} x ON x.doc_id = e.d
               GROUP BY e.s) m USING (doc_id))"""
         }.mkString(",\n")}
-        SELECT doc_id, label AS cluster_id FROM l5 ORDER BY doc_id"""),
+        SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id"""),
       (s, dir) => {
         val cand = minhashCandidates(s, dir)
         // Iterative algorithm: persist the edge set and each label
@@ -265,7 +282,7 @@ object DedupQueries {
           .persist()
         var labels = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("doc_id").as("label"))
-        for (_ <- 1 to 5) {
+        for (_ <- 1 to 3) {
           val nmin = edges.join(
               labels.select(col("doc_id").as("d"), col("label").as("xl")), "d")
             .groupBy(col("s").as("doc_id")).agg(min(col("xl")).as("nmin"))
