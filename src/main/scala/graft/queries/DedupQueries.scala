@@ -48,17 +48,17 @@ object DedupQueries {
     Array.fill(NumPlanes, EmbDim)(r.nextInt(199) - 99)
   }
 
-  /** Dot product of two float/double array columns as a SEQUENTIAL double
+  /** Dot product of two numeric array columns as a SEQUENTIAL double
     * fold: per-element double multiply, then a left fold from 0.0. The
-    * array order is fixed, per-element IEEE double ops are bit-identical
-    * across engines, and DuckDB's `list_reduce(list_prepend(0.0, ...))`
-    * performs the same left fold — so the resulting double is bit-equal to
-    * the oracle's, at a fraction of an exact-decimal fold's cost. */
+    * array order is fixed and per-element IEEE double ops are
+    * bit-identical across engines, so this equals DuckDB's
+    * `list_reduce(list_prepend(0.0, ...))` left fold bit-for-bit.
+    * Backed by [[graft.functions.DotProduct]], a codegen'd Catalyst
+    * expression (a zip_with+aggregate formulation computes the same
+    * value but outside whole-stage codegen, allocating per element).
+    * Builders using it must call GraftSql.register(session) first. */
   private def dotDbl(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   /** The same fold in DuckDB SQL over DOUBLE[] columns `a` and `b`. */
   private def dotDblSql(a: String, b: String): String =
@@ -328,6 +328,7 @@ object DedupQueries {
         WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) >= 0.25
         ORDER BY vec_a, vec_b"""),
       (s, dir) => {
+        graft.sql.GraftSql.register(s) // graft_dot
         val e = Tables.load(s, dir, "embeddings")
         val bits = planeBits
         val sigs = (0 until NumPlanes / 4).map(b =>
@@ -385,7 +386,8 @@ object DedupQueries {
       (s, dir) => {
         // Exact brute force, but NO pairs×dims explode: the tiny query set
         // broadcasts against the corpus and each pair's dot product is one
-        // zip_with fold over the two array columns.
+        // codegen'd graft_dot over the two array columns.
+        graft.sql.GraftSql.register(s)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             dotDbl(col("embedding"), col("embedding")).as("nn"))
@@ -442,6 +444,7 @@ object DedupQueries {
         SELECT query_id, neighbor_id, cos, rk FROM ranked
         WHERE rk <= 3 ORDER BY query_id, rk"""),
       (s, dir) => {
+        graft.sql.GraftSql.register(s) // graft_dot
         val e = Tables.load(s, dir, "embeddings")
         val bits = planeBits
         val sigs = (0 until NumPlanes / 4).map(b =>

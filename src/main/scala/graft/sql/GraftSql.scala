@@ -133,17 +133,36 @@ object GraftSql {
      b)
   }
 
-  /** Register the TVFs on a live session (idempotent; replaces existing). */
-  def register(spark: SparkSession): Unit =
+  /** Scalar functions: custom codegen'd Catalyst expressions. */
+  private[sql] def scalarFunctions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+     new ExpressionInfo(classOf[graft.functions.DotProduct].getCanonicalName, null,
+       "graft_dot", "dot product of two numeric arrays as a double", ""),
+     (exprs: Seq[Expression]) => {
+       require(exprs.length == 2, s"graft_dot expects 2 arguments, got ${exprs.length}")
+       graft.functions.DotProduct(exprs.head, exprs(1))
+     }))
+
+  /** Register the TVFs + scalar functions on a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, b) =>
       spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, b)
     }
+    scalarFunctions.foreach { case (ident, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, b)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.sql.GraftSqlExtensions` entry point. */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSql.functions.foreach { case (ident, info, b) =>
       ext.injectTableFunction((ident, info, b))
     }
+    GraftSql.scalarFunctions.foreach { case (ident, info, b) =>
+      ext.injectFunction((ident, info, b))
+    }
+  }
 }
