@@ -344,6 +344,44 @@ object Relational2 {
       }
     ),
     QueryDef(
+      "q24_cube",
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), dsumOut(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    ),
+    QueryDef(
+      "q25_percentiles",
+      // exact interpolated percentiles per group; Spark `percentile` and
+      // DuckDB `quantile_cont` both sort and linearly interpolate — the
+      // 1e-4 rounding absorbs interpolation-arithmetic low-bit wobble
+      Some("""
+        SELECT c_mktsegment,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          .orderBy("c_mktsegment")
+      }
+    ),
+    QueryDef(
       "q23_asof_join",
       // As-of join: each event picks the same user's most recent purchase
       // at-or-before its timestamp. The Spark plan is the scalable union +
