@@ -102,6 +102,16 @@ object DedupQueries {
     * (products stay < 2^36, far from BIGINT overflow). */
   private val MersenneP = 2147483647L
 
+  /** Oracle CTE prefix for IVF: embeddings as DOUBLE[] + squared norms
+    * (no hyperplane machinery). */
+  private def embNormsSql: String =
+    s"""embn AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        norms AS (
+          SELECT vec_id, ${dotDblSql("e", "e")} AS nn
+          FROM embn)"""
+
   /** Shared bigram-MinHash-LSH candidate pairs (doc_a < doc_b), the
     * candidate generator behind d02/d04/d06. */
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
@@ -468,6 +478,84 @@ object DedupQueries {
             round(dotDbl(col("eq"), col("en"))
               / (sqrt(col("nnq")) * sqrt(col("nnc"))), 4)
               .as("cos"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("query_id", "rk")
+      }
+    ),
+    QueryDef(
+      "a03_ann_ivf",
+      // IVF (inverted-file) ANN — the centroid-based scale path: a small
+      // centroid set (here the vec_id<8 vectors as a deterministic crude
+      // "training" sample) broadcasts; every vector is assigned to its
+      // best-cosine cell map-side; queries probe their top-2 cells and
+      // score exact cosine only within probed cells. At 100 TB the
+      // centroid list stays broadcast-sized and assignment is a linear
+      // map-side pass — no shuffle grows with corpus².
+      Some(s"""
+        WITH ${embNormsSql},
+        cents AS (SELECT vec_id AS cid, e AS ce FROM embn WHERE vec_id < 8),
+        cnorm AS (SELECT cid, ${dotDblSql("ce", "ce")} AS cn FROM cents),
+        sim AS (
+          SELECT v.vec_id, c.cid,
+                 ${dotDblSql("v.e", "c.ce")} / (sqrt(nv.nn) * sqrt(cn.cn)) AS cos
+          FROM embn v
+          CROSS JOIN cents c
+          JOIN norms nv ON nv.vec_id = v.vec_id
+          JOIN cnorm cn ON cn.cid = c.cid),
+        cells AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rc
+          FROM sim),
+        assign AS (SELECT vec_id, cid FROM cells WHERE rc = 1),
+        probes AS (SELECT vec_id, cid FROM cells WHERE vec_id < 5 AND rc <= 2),
+        cand AS (
+          SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(${dotDblSql("eq.e", "en.e")}
+                       / (sqrt(nq.nn) * sqrt(nc.nn)), 4) AS cos
+          FROM cand
+          JOIN embn eq ON eq.vec_id = cand.query_id
+          JOIN embn en ON en.vec_id = cand.neighbor_id
+          JOIN norms nq ON nq.vec_id = cand.query_id
+          JOIN norms nc ON nc.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, cos, rk FROM ranked
+        WHERE rk <= 3 ORDER BY query_id, rk"""),
+      (s, dir) => {
+        graft.sql.GraftSql.register(s) // graft_dot
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            dotDbl(col("embedding"), col("embedding")).as("nn"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nn").as("cn"))
+        val sim = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            (dotDbl(col("embedding"), col("ce"))
+              / (sqrt(col("nn")) * sqrt(col("cn")))).as("cos"))
+        val wc = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+        val cells = sim.withColumn("rc", row_number().over(wc))
+        val assign = cells.filter(col("rc") === 1).select(col("vec_id"), col("cid"))
+        val probes = cells.filter(col("vec_id") < 5 && col("rc") <= 2)
+          .select(col("vec_id").as("query_id"), col("cid"))
+        val cand = probes.join(assign.select(col("vec_id").as("neighbor_id"), col("cid")), "cid")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id").distinct()
+        val scored = cand
+          .join(e.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+                         col("nn").as("nnq")), "query_id")
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("en"),
+                         col("nn").as("nnc")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            round(dotDbl(col("eq"), col("en"))
+              / (sqrt(col("nnq")) * sqrt(col("nnc"))), 4).as("cos"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
         scored.withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
