@@ -443,6 +443,25 @@ object Relational2 {
           .orderBy("hour", "event_type")
     ),
     QueryDef(
+      "e03_json_extract_agg",
+      // JSON path extraction over the events.props payload + aggregation
+      Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+               sum(k).cast("long").as("sum_k"),
+               max(k).as("max_k"))
+          .orderBy("event_type")
+      }
+    ),
+    QueryDef(
       "e02_sessionize",
       // 30-minute-gap sessionization via window functions (batch analogue
       // of streaming session windows); exact integer micros arithmetic
