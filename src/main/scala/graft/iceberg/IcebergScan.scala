@@ -126,6 +126,11 @@ object IcebergScan {
       (e.filePath, qualify(passed))
     }.toDF("__orig_path", "__qual_path")
 
+    // Cardinality-driven join costing (reference's explicit_cardinality,
+    // iceberg_scan.cpp:283-294): the delete-side manifest stats drive an
+    // explicit broadcast below. Data-side stats are deliberately NOT
+    // injected — Spark's AQE re-plans the join from runtime statistics,
+    // which subsumes a static data-side estimate.
     val deleteCard = deleteEntries.map(_.recordCount).sum
     val rawDeletes = spark.read.parquet(deletePaths: _*).select("file_path", "pos")
     // Map each position-delete row to the qualified data-file URI. Inner
