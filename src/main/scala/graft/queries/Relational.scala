@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.DecimalType
   * Float-determinism rules (calibrated against DuckDB 1.0):
   *  - Per-row double arithmetic is bit-identical across engines; only the
   *    aggregation ORDER varies. So any SUM over doubles casts the per-row
-  *    value to DECIMAL(30,10) first so the sum itself is exact.
+  *    value to DECIMAL(18,6) first so the sum itself is exact.
   *  - Exact decimal sums never appear in OUTPUT: DuckDB backs DECIMAL(38,10)
   *    with int128 and the driver's hasher rejects that representation even
   *    when values match. Final projections go through
@@ -22,14 +22,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  /** Exact decimal sum of a per-row double expression → DECIMAL(38,10).
+  /** Exact decimal sum of a per-row double expression. Scale 6 is lossless
+    * for the 2-dp money columns and their ≤6-dp products, and precision 18
+    * keeps Spark's per-row decimals Long-backed (compact) — the sums stay
+    * compact too since unscaled magnitudes stay far below 2^63.
     * Internal only: exact decimals hash differently across engines (DuckDB
-    * backs them with int128), so never surface this type in query output. */
-  private def dsum(e: Column): Column = sum(e.cast(DecimalType(30, 10)))
+    * backs wide sums with int128), so never surface this type in output. */
+  private def dsum(e: Column): Column = sum(e.cast(DecimalType(18, 6)))
 
   /** Output form of a decimal sum: exact sum, then one double cast rounded
     * at 1e-2 so the engines' decimal→double 1-ulp cast wobble is absorbed.
-    * Mirrors `round(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE), 2)`. */
+    * Mirrors `round(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 2)`. */
   private[queries] def dsumOut(e: Column): Column =
     round(dsum(e).cast("double"), 2)
 
@@ -46,12 +49,12 @@ object Relational {
       // TPC-H Q1 shape: group-by agg with sum/avg/count over lineitem.
       Some("""
         SELECT l_returnflag, l_linestatus,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
-               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
-               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_disc_price,
-               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_charge,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-               round(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+               round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -77,7 +80,7 @@ object Relational {
       // TPC-H Q6 shape: selective filter + single exact aggregate; the
       // filter must reach the parquet scan as a pushed predicate.
       Some("""
-        SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -101,7 +104,7 @@ object Relational {
       Some("""
         SELECT c_mktsegment,
                COUNT(*) AS order_cnt,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_price
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment"""),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational2 {
 
-  private def dsum(e: Column): Column = sum(e.cast(DecimalType(30, 10)))
+  private def dsum(e: Column): Column = sum(e.cast(DecimalType(18, 6)))
 
   /** Exact decimal sum surfaced as rounded DOUBLE — see [[Relational.dsumOut]]. */
   private def dsumOut(e: Column): Column = Relational.dsumOut(e)
@@ -27,7 +27,7 @@ object Relational2 {
       // TPC-H Q5 shape: 5-way join through two dimension chains.
       Some("""
         SELECT n_name,
-               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -86,7 +86,7 @@ object Relational2 {
       "q08_outer_join_agg",
       Some("""
         SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-               round(CAST(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+               round(CAST(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
         ORDER BY c_custkey"""),
@@ -127,7 +127,7 @@ object Relational2 {
       "q10_window_running",
       Some("""
         SELECT o_custkey, o_orderkey,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
                rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
@@ -139,7 +139,7 @@ object Relational2 {
         Tables.load(s, dir, "orders")
           .select(
             col("o_custkey"), col("o_orderkey"),
-            round(sum(col("o_totalprice").cast(DecimalType(30, 10)))
+            round(sum(col("o_totalprice").cast(DecimalType(18, 6)))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .cast("double"), 2)
               .as("running_total"),
@@ -253,12 +253,12 @@ object Relational2 {
       "q17_scalar_subquery",
       Some("""
         SELECT p_partkey, p_retailprice FROM part
-        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) FROM part)
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) FROM part)
         ORDER BY p_partkey"""),
       (s, dir) => {
         val p = Tables.load(s, dir, "part")
         val avgDF = p.agg(
-          (sum(col("p_retailprice").cast(DecimalType(30, 10))).cast("double") / count(lit(1)))
+          (sum(col("p_retailprice").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
             .as("__avg"))
         p.crossJoin(broadcast(avgDF))
           .filter(col("p_retailprice") > col("__avg"))
@@ -270,7 +270,7 @@ object Relational2 {
       "q18_rollup",
       Some("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
@@ -329,7 +329,7 @@ object Relational2 {
       "q22_not_exists",
       Some("""
         SELECT c_mktsegment, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS bal
+               round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS bal
         FROM customer
         WHERE c_acctbal > 0 AND NOT EXISTS (
           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
@@ -347,7 +347,7 @@ object Relational2 {
       "q24_cube",
       Some("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
@@ -428,7 +428,7 @@ object Relational2 {
       Some("""
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
                COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         FROM events
         GROUP BY 1, 2 ORDER BY hour, event_type"""),
       (s, dir) =>
@@ -483,7 +483,7 @@ object Relational2 {
           FROM marked)
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                MIN(us) AS start_us, MAX(us) AS end_us,
-               round(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         FROM sessions
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq"""),
