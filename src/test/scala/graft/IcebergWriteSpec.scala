@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergScan, IcebergWriter}
+import graft.iceberg.IcebergScan.Options
+
+/** Write-path round trip: tables created/appended by IcebergWriter must
+  * read back through the full scan surface — latest, time travel by
+  * snapshot id and timestamp, snapshot/metadata listings, incremental
+  * append reads. */
+class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-write").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("create + append snapshots round-trip through the scan") {
+    val table = Files.createTempDirectory("graft_w_").toString + "/orders_ice"
+    val orders = Tables.load(spark, Sf, "orders")
+    val part1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val part2 = orders.filter(col("o_orderkey") % 2 === 1)
+    val (n1, n2) = (part1.count(), part2.count())
+
+    val snap1 = IcebergWriter.write(part1, table)
+    assert(IcebergScan.scan(spark, table).count() === n1)
+
+    val snap2 = IcebergWriter.write(part2, table)
+    // latest sees both appends; time travel isolates the first
+    assert(IcebergScan.scan(spark, table).count() === n1 + n2)
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotId = Some(snap1))).count() === n1)
+
+    // full row equality against the source
+    val got = IcebergScan.scan(spark, table)
+    val want = orders.select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // snapshots + metadata listings
+    val snaps = IcebergScan.snapshots(spark, table).orderBy("sequence_number").collect()
+    assert(snaps.map(_.getLong(1)).toSeq === Seq(snap1, snap2))
+    val meta = IcebergScan.metadata(spark, table).collect()
+    assert(meta.forall(_.getString(3) === "ADDED"))
+    assert(meta.map(_.getLong(7)).sum === n1 + n2)
+
+    // incremental read of the second append only
+    val inc = IcebergScan.incrementalAppend(spark, table, fromSnapshotId = snap1)
+    assert(inc.count() === n2)
+
+    // time travel by timestamp: at snap1's commit time, only part1 exists
+    val ts1 = snaps(0).getAs[java.time.LocalDateTime]("timestamp_ms")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    assert(IcebergScan.scan(spark, table,
+      Options(asOfTimestampMs = Some(ts1))).count() === n1)
+  }
+
+  test("append with a mismatched schema is rejected") {
+    val table = Files.createTempDirectory("graft_w2_").toString + "/t"
+    IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.write(Tables.load(spark, Sf, "region"), table)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("nested column types are rejected with a clear error") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_w3_").toString + "/t"
+    val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.write(df, table)
+    }
+    assert(e.getMessage.contains("primitive columns only"))
+  }
+}
