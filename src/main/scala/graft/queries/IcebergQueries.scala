@@ -134,6 +134,19 @@ object IcebergQueries {
         .agg(count(lit(1)).as("cnt"))
     ),
     QueryDef(
+      "ib14_write_roundtrip",
+      // Write-path gate: create an Iceberg table from the sf-dir lineitem,
+      // scan it back, and the count must equal the source table's. Unlike
+      // the other ib gates this one follows the sf dir.
+      Some("SELECT COUNT(*) AS cnt FROM lineitem"),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib14_").toString + "/lineitem_ice"
+        graft.iceberg.IcebergWriter.write(graft.Tables.load(s, dir, "lineitem"), table)
+        IcebergScan.scan(s, table).agg(count(lit(1)).as("cnt"))
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

@@ -443,6 +443,32 @@ object Relational2 {
           .orderBy("hour", "event_type")
     ),
     QueryDef(
+      "e04_skew_salted_agg",
+      // Skew-safe aggregation: events has only 5 event_type keys, so a
+      // direct global groupBy funnels each key into one task. Two-phase
+      // salted aggregation — partial agg on (key, salt) across many tasks,
+      // then combine on key — spreads each hot key over 16 tasks while
+      // producing byte-identical results to the direct GROUP BY (exact
+      // integer sums combine associatively). The oracle IS the direct
+      // GROUP BY.
+      Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(s, dir)
+          .withColumn("__salt", pmod(col("event_id"), lit(16)))
+          .groupBy("event_type", "__salt")
+          .agg(count(lit(1)).as("c"), sum(k).as("sk"))
+          .groupBy("event_type")
+          .agg(sum(col("c")).cast("long").as("cnt"),
+               sum(col("sk")).cast("long").as("sum_k"))
+          .orderBy("event_type")
+      }
+    ),
+    QueryDef(
       "e03_json_extract_agg",
       // JSON path extraction over the events.props payload + aggregation
       Some("""

@@ -50,6 +50,14 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the ingest-time guard of a training-data
+    * pipeline: drop events whose id was already seen, with the dedup
+    * state bounded by the watermark instead of growing forever. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** e02 as a stream with CUSTOM state: flatMapGroupsWithState keyed by
     * user, event-time timeout at watermark + gap. Demonstrates the escape
     * hatch for session semantics the built-ins can't express (e.g. value-

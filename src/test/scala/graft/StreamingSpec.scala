@@ -61,6 +61,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2026-01-01 10:00:30"), 1, "click", 1.0), // duplicate id
+        Event(2, ts("2026-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts("2026-01-01 10:02:00"), 1, "click", 1.0)) // still dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("custom-state sessionizer emits sessions when the watermark closes them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
