@@ -131,6 +131,31 @@ object TextQueries {
           .limit(100)
     ),
     QueryDef(
+      "t06_train_split",
+      // Deterministic 90/5/5 train/val/test assignment by content-free id
+      // hash — reproducible across engines and runs, no RNG state. The
+      // per-(source, split) counts audit the mixture.
+      Some("""
+        WITH assigned AS (
+          SELECT source,
+                 CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                      WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT source, split, COUNT(*) AS cnt
+        FROM assigned GROUP BY source, split
+        ORDER BY source, split"""),
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100
+        Tables.load(s, dir, "documents")
+          .withColumn("split",
+            when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+          .groupBy("source", "split").agg(count(lit(1)).as("cnt"))
+          .orderBy("source", "split")
+      }
+    ),
+    QueryDef(
       "t04_fingerprint",
       // whitespace-normalized hash + order-insensitive sorted-token hash
       Some("""
