@@ -443,6 +443,26 @@ object Relational2 {
           .orderBy("hour", "event_type")
     ),
     QueryDef(
+      "q26_array_agg",
+      // aggregation INTO arrays; distinct+sort makes the result order
+      // deterministic on both engines
+      Some("""
+        SELECT o_orderstatus,
+               list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+               list_sort(list_distinct(list(year(o_orderdate)))) AS years,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            array_sort(array_distinct(collect_list(col("o_orderpriority")))).as("priorities"),
+            array_sort(array_distinct(collect_list(year(col("o_orderdate"))))).as("years"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus")
+    ),
+    QueryDef(
       "e04_skew_salted_agg",
       // Skew-safe aggregation: events has only 5 event_type keys, so a
       // direct global groupBy funnels each key into one task. Two-phase
