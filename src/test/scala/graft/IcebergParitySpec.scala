@@ -188,6 +188,24 @@ class IcebergParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally writer.close()
   }
 
+  test("scan schema matches the reference lineitem DESCRIBE golden " +
+       "(iceberg_scan_generated_data_0_001.test:17-28 pattern)") {
+    import org.apache.spark.sql.types._
+    val schema = IcebergScan.scan(spark, Lineitem, moved).schema
+    val expected = Seq(
+      "l_orderkey" -> IntegerType, "l_partkey" -> IntegerType,
+      "l_suppkey" -> IntegerType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> IntegerType,
+      "l_extendedprice" -> DecimalType(15, 2),
+      "l_discount" -> DecimalType(15, 2), "l_tax" -> DecimalType(15, 2),
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> DateType, "l_commitdate" -> DateType,
+      "l_receiptdate" -> DateType, "l_shipinstruct" -> StringType,
+      "l_shipmode" -> StringType, "l_comment" -> StringType)
+    assert(schema.fields.map(f => f.name -> f.dataType).toSeq === expected)
+    assert(schema.fields.forall(_.nullable)) // all required:false in metadata
+  }
+
   test("incremental append between snapshots returns only the added file's rows") {
     val inc = IcebergScan.incrementalAppend(
       spark, Lineitem, fromSnapshotId = 3776207205136740581L, opts = moved)
