@@ -1,30 +1,29 @@
 package graft.iceberg
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{count, input_file_name, lit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
 import org.apache.spark.sql.types._
 
 import IcebergModel._
 
-/** Write path — create and append snapshots of an Iceberg-layout table
-  * (the stretch the reference never ships: its extension is read-only,
-  * `iceberg_functions.cpp:20-24`; writes in its ecosystem come from Spark,
-  * SURVEY §7.4). Emits the metadata family the read path consumes —
-  * `vN.metadata.json` + `version-hint.text`, Avro manifest list, Avro
-  * manifest of ADDED data files with record counts — so tables round-trip
-  * through `IcebergScan` including snapshot time travel and incremental
-  * reads.
+/** Write path — create/append snapshots and compact an Iceberg-layout
+  * table (the stretch the reference never ships: its extension is
+  * read-only, `iceberg_functions.cpp:20-24`; writes in its ecosystem come
+  * from Spark, SURVEY §7.4). Emits the metadata family the read path
+  * consumes — `vN.metadata.json` + `version-hint.text`, Avro manifest
+  * list, Avro manifests with record counts — so tables round-trip through
+  * `IcebergScan` including snapshot time travel and incremental reads.
   *
   * Scope: v2 layout, flat (unpartitioned) primitive-column schemas,
-  * append-only snapshots. Data files are written by Spark's parquet sink
-  * (distributed); only the small metadata is driver-side.
+  * append + compaction snapshots. Data files are written by Spark's
+  * parquet sink (distributed); only the small metadata is driver-side.
   */
 object IcebergWriter {
 
@@ -74,85 +73,74 @@ object IcebergWriter {
     try os.write(s.getBytes("UTF-8")) finally os.close()
   }
 
-  /** Append `df` as a new snapshot of the table at `path`, creating the
-    * table if absent. Returns the new snapshot id. */
-  def write(df: DataFrame, path: String): Long = {
-    val spark = df.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(path).getFileSystem(conf)
-    val metaDir = new Path(path, "metadata")
+  // ---- table state ------------------------------------------------------
 
-    // existing state (if any)
-    val hintPath = new Path(metaDir, DefaultVersionHintFile)
-    val existing: Option[(Int, IcebergMetadataParser.ParseInfo)] =
-      if (fs.exists(hintPath)) {
-        val v = IcebergIO.readString(hintPath.toString, conf).trim.toInt
-        val info = IcebergMetadataParser.parseInfo(IcebergIO.readString(
-          new Path(metaDir, s"v$v.metadata.json").toString, conf))
-        Some((v, info))
-      } else None
-    existing.foreach { case (_, info) =>
-      val cols = IcebergSchemaParser.parseSchemaById(info.schemas, info.schemaId)
-      val existingNames = cols.map(c => (c.name, c.dataType))
-      val newNames = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
-      require(existingNames == newNames,
-        s"append schema mismatch: table has $existingNames, data has $newNames")
-    }
-    val prevSnapshots = existing.map(_._2.snapshots).getOrElse(Seq.empty)
-    val prevSnapId = prevSnapshots.map(_.get("snapshot-id").asLong) match {
-      case Seq() => 0L; case ids => ids.max
-    }
-    val prevSeq = prevSnapshots.map(n => n.get("sequence-number").asLong) match {
-      case Seq() => 0L; case seqs => seqs.max
-    }
-    val prevTsMax = prevSnapshots.map(_.get("timestamp-ms").asLong) match {
-      case Seq() => 0L; case ts => ts.max
-    }
-    val snapshotId = prevSnapId + 1
-    val seq = prevSeq + 1
-    val tsMs = math.max(System.currentTimeMillis(), prevTsMax + 1)
+  private final case class State(
+      version: Int,
+      info: IcebergMetadataParser.ParseInfo,
+      snapshots: Seq[JsonNode]) {
+    def nextSnapshotId: Long =
+      (snapshots.map(_.get("snapshot-id").asLong) :+ 0L).max + 1
+    def nextSeq: Long =
+      (snapshots.map(_.get("sequence-number").asLong) :+ 0L).max + 1
+    def nextTsMs: Long = math.max(
+      System.currentTimeMillis(),
+      (snapshots.map(_.get("timestamp-ms").asLong) :+ 0L).max + 1)
+  }
 
-    // 1. data files (distributed write into a per-snapshot directory).
-    // Columns carry parquet field ids (spark.sql.parquet.fieldId.write is
-    // on by default), so the field-id-keyed read schema resolves against
-    // these files exactly like against iceberg-spark-written ones.
-    val dataDir = new Path(path, s"data/snap-$snapshotId")
+  private def loadState(path: String, conf: Configuration): Option[State] = {
+    val hintPath = new Path(new Path(path, "metadata"), DefaultVersionHintFile)
+    if (!hintPath.getFileSystem(conf).exists(hintPath)) None
+    else {
+      val v = IcebergIO.readString(hintPath.toString, conf).trim.toInt
+      val info = IcebergMetadataParser.parseInfo(IcebergIO.readString(
+        new Path(path, s"metadata/v$v.metadata.json").toString, conf))
+      Some(State(v, info, info.snapshots))
+    }
+  }
+
+  /** Distributed parquet write (with field ids) → (file, rowCount) pairs. */
+  private def writeDataFiles(df: DataFrame, dataDir: Path): Seq[(String, Long)] = {
     val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
-      org.apache.spark.sql.functions.col(f.name).as(f.name,
+      col(f.name).as(f.name,
         new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
     }.toIndexedSeq: _*)
     withIds.write.parquet(dataDir.toString)
-    val fileCounts = spark.read.parquet(dataDir.toString)
+    df.sparkSession.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+  }
 
-    // 2. manifest of the ADDED files
-    val manifestPath = new Path(metaDir, s"snap-$snapshotId-m0.avro")
-    writeAvro(manifestEntrySchema, manifestPath, conf) {
-      fileCounts.map { case (file, n) =>
+  private def writeManifest(
+      p: Path, conf: Configuration, entries: Seq[ManifestEntry]): Unit =
+    writeAvro(manifestEntrySchema, p, conf) {
+      entries.map { e =>
         val dfr = new GenericData.Record(
           manifestEntrySchema.getField("data_file").schema())
-        dfr.put("content", 0)
-        dfr.put("file_path", file)
-        dfr.put("file_format", "PARQUET")
-        dfr.put("record_count", n)
+        dfr.put("content", e.content)
+        dfr.put("file_path", e.filePath)
+        dfr.put("file_format", e.fileFormat)
+        dfr.put("record_count", e.recordCount)
         val rec = new GenericData.Record(manifestEntrySchema)
-        rec.put("status", 1) // ADDED
+        rec.put("status", e.status)
         rec.put("data_file", dfr)
         rec
       }
     }
 
-    // 3. manifest list: previous snapshot's manifests carried forward + new
-    val prevManifests: Seq[Manifest] = existing match {
-      case Some((_, info)) if prevSnapshots.nonEmpty =>
-        val latest = IcebergMetadataParser.latest(info, skipSchema = true)
-        ManifestReader.readManifestList(latest.manifestList, conf, latest.formatVersion)
-      case _ => Seq.empty
-    }
+  /** Write manifest list + metadata.json + hint; returns the snapshot id. */
+  private def commitSnapshot(
+      path: String,
+      conf: Configuration,
+      state: Option[State],
+      schema: StructType,
+      snapshotId: Long,
+      seq: Long,
+      manifests: Seq[Manifest]): Long = {
+    val metaDir = new Path(path, "metadata")
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-list.avro")
     writeAvro(manifestListSchema, listPath, conf) {
-      (prevManifests :+ Manifest(manifestPath.toString, seq, 0)).map { m =>
+      manifests.map { m =>
         val rec = new GenericData.Record(manifestListSchema)
         rec.put("manifest_path", m.manifestPath)
         rec.put("content", m.content)
@@ -160,9 +148,6 @@ object IcebergWriter {
         rec
       }
     }
-
-    // 4. metadata.json (schema ids 1..n, required=false like the reference's
-    // generator output) + version hint
     val root: ObjectNode = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("current-schema-id", 0)
@@ -171,7 +156,7 @@ object IcebergWriter {
     schemaNode.put("schema-id", 0)
     schemaNode.put("type", "struct")
     val fieldsNode = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = fieldsNode.addObject()
       fn.put("id", i + 1)
       fn.put("name", f.name)
@@ -180,18 +165,86 @@ object IcebergWriter {
     }
     root.put("current-snapshot-id", snapshotId)
     val snapsNode = root.putArray("snapshots")
-    prevSnapshots.foreach(n => snapsNode.add(n))
+    state.map(_.snapshots).getOrElse(Seq.empty).foreach(snapsNode.add)
     val sn = snapsNode.addObject()
     sn.put("snapshot-id", snapshotId)
     sn.put("sequence-number", seq)
-    sn.put("timestamp-ms", tsMs)
+    sn.put("timestamp-ms", state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
     sn.put("schema-id", 0)
     sn.put("manifest-list", listPath.toString)
 
-    val version = existing.map(_._1 + 1).getOrElse(1)
+    val version = state.map(_.version + 1).getOrElse(1)
     writeString(new Path(metaDir, s"v$version.metadata.json"), conf,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeString(hintPath, conf, version.toString)
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
     snapshotId
+  }
+
+  /** Append `df` as a new snapshot of the table at `path`, creating the
+    * table if absent. Returns the new snapshot id. */
+  def write(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf)
+    state.foreach { st =>
+      val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
+      val existingNames = cols.map(c => (c.name, c.dataType))
+      val newNames = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+      require(existingNames == newNames,
+        s"append schema mismatch: table has $existingNames, data has $newNames")
+    }
+    val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
+    val seq = state.map(_.nextSeq).getOrElse(1L)
+
+    val fileCounts = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"))
+    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    writeManifest(manifestPath, conf, fileCounts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 0, filePath = f,
+        fileFormat = "PARQUET", recordCount = n)
+    })
+    // previous snapshot's manifests carried forward + the new one
+    val prevManifests: Seq[Manifest] = state match {
+      case Some(st) if st.snapshots.nonEmpty =>
+        val latest = IcebergMetadataParser.latest(st.info, skipSchema = true)
+        ManifestReader.readManifestList(latest.manifestList, conf, latest.formatVersion)
+      case _ => Seq.empty
+    }
+    commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
+      prevManifests :+ Manifest(manifestPath.toString, seq, 0))
+  }
+
+  /** Compact the table: rewrite all live rows into fresh data files in ONE
+    * new snapshot whose manifests mark every previous data file DELETED —
+    * the maintenance operation behind the reference's own checked-in table
+    * (its latest snapshot shows exactly this ADDED+DELETED manifest shape,
+    * `iceberg_metadata.test:13-17`). Older snapshots stay readable (their
+    * files are not removed), so time travel still works. */
+  def compact(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"compact: no Iceberg table at $path"))
+    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val liveEntries = meta.entries.collect {
+      case (m, es) if m.content == 0 => es.filter(e => e.status != 2 && e.content == 0)
+    }.flatten
+
+    val df = IcebergScan.scan(spark, path)
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val fileCounts = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"))
+
+    val addedPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    writeManifest(addedPath, conf, fileCounts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 0, filePath = f,
+        fileFormat = "PARQUET", recordCount = n)
+    })
+    val deletedPath = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
+    writeManifest(deletedPath, conf,
+      liveEntries.map(_.copy(status = 2))) // DELETED
+
+    commitSnapshot(path, conf, Some(state), df.schema, snapshotId, seq, Seq(
+      Manifest(addedPath.toString, seq, 0),
+      Manifest(deletedPath.toString, seq, 0)))
   }
 }

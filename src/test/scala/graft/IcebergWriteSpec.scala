@@ -62,6 +62,33 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Options(asOfTimestampMs = Some(ts1))).count() === n1)
   }
 
+  test("compaction rewrites live rows, marks old files DELETED, keeps time travel") {
+    val table = Files.createTempDirectory("graft_wc_").toString + "/t"
+    val li = Tables.load(spark, Sf, "lineitem")
+    val snap1 = IcebergWriter.write(li.filter(col("l_orderkey") % 2 === 0), table)
+    IcebergWriter.write(li.filter(col("l_orderkey") % 2 === 1), table)
+    val before = IcebergScan.scan(spark, table)
+    val nBefore = before.count()
+
+    val snapC = IcebergWriter.compact(spark, table)
+
+    // same rows after compaction
+    val after = IcebergScan.scan(spark, table)
+    assert(after.count() === nBefore)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+
+    // metadata shows the ADDED + DELETED manifest shape of a compaction
+    val meta = IcebergScan.metadata(spark, table).collect()
+    val latestStatuses = meta.map(_.getString(3)).toSet
+    assert(latestStatuses.contains("ADDED") && latestStatuses.contains("DELETED"))
+
+    // pre-compaction snapshots still readable (their files remain)
+    val n1 = IcebergScan.scan(spark, table,
+      Options(snapshotId = Some(snap1))).count()
+    assert(n1 > 0 && n1 < nBefore)
+    assert(snapC > snap1)
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
