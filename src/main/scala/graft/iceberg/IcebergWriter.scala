@@ -213,6 +213,62 @@ object IcebergWriter {
       prevManifests :+ Manifest(manifestPath.toString, seq, 0))
   }
 
+  /** Row-level DELETE, merge-on-read: rows matching `predicate` are
+    * tombstoned by a v2 position-delete file (`file_path`, `pos`) in a new
+    * snapshot — no data file is rewritten. The scan's null-safe anti join
+    * (J1) subtracts them at read time, so this also round-trips the MoR
+    * read path against our own writer. Positions come from the parquet
+    * `_metadata.row_index` of each live data file, keyed by the exact path
+    * string the manifests carry. */
+  def delete(spark: SparkSession, path: String,
+             predicate: org.apache.spark.sql.Column): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"delete: no Iceberg table at $path"))
+    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val liveFiles = meta.entries.collect {
+      case (m, es) if m.content == 0 =>
+        es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }.flatten
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+
+    // qualified-URI → manifest path string, same bridge the scan uses
+    import spark.implicits._
+    val qualify: String => String = p => {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
+
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val positions = spark.read.schema(schema).parquet(liveFiles: _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"))
+      .filter(predicate)
+      .join(org.apache.spark.sql.functions.broadcast(fileMap),
+        col("__file") === col("__qual"))
+      .select(col("__orig").as("file_path"), col("__pos").as("pos"))
+
+    val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
+    positions.write.parquet(delDir.toString)
+    val fileCounts = spark.read.parquet(delDir.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    writeManifest(manifestPath, conf, fileCounts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 1, filePath = f, // POSITION_DELETES
+        fileFormat = "PARQUET", recordCount = n)
+    })
+    val prevManifests = ManifestReader.readManifestList(
+      latest.manifestList, conf, latest.formatVersion)
+    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+      prevManifests :+ Manifest(manifestPath.toString, seq, content = 1))
+  }
+
   /** Compact the table: rewrite all live rows into fresh data files in ONE
     * new snapshot whose manifests mark every previous data file DELETED —
     * the maintenance operation behind the reference's own checked-in table

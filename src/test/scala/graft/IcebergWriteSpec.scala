@@ -62,6 +62,39 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Options(asOfTimestampMs = Some(ts1))).count() === n1)
   }
 
+  test("merge-on-read DELETE round-trips through the scan's anti join") {
+    val table = Files.createTempDirectory("graft_wd_").toString + "/t"
+    val orders = Tables.load(spark, Sf, "orders")
+    IcebergWriter.write(orders, table)
+    val nAll = orders.count()
+    val nF = orders.filter(col("o_orderstatus") === "F").count()
+
+    val snapD = IcebergWriter.delete(spark, table, col("o_orderstatus") === "F")
+
+    // read-time subtraction: F rows are gone, others identical
+    val after = IcebergScan.scan(spark, table)
+    assert(after.count() === nAll - nF)
+    assert(after.filter(col("o_orderstatus") === "F").count() === 0)
+    val want = orders.filter(col("o_orderstatus") =!= "F")
+      .select(after.columns.map(col): _*)
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
+
+    // metadata lists the position-delete entry; time travel pre-delete
+    val meta = IcebergScan.metadata(spark, table).collect()
+    assert(meta.exists(r => r.getString(4) === "POSITION_DELETES"))
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotId = Some(snapD - 1))).count() === nAll)
+
+    // a second delete stacks on the first
+    IcebergWriter.delete(spark, table, col("o_orderkey") % 10 === 0)
+    val after2 = IcebergScan.scan(spark, table).count()
+    assert(after2 < nAll - nF && after2 > 0)
+
+    // compaction folds the deletes into rewritten files
+    IcebergWriter.compact(spark, table)
+    assert(IcebergScan.scan(spark, table).count() === after2)
+  }
+
   test("compaction rewrites live rows, marks old files DELETED, keeps time travel") {
     val table = Files.createTempDirectory("graft_wc_").toString + "/t"
     val li = Tables.load(spark, Sf, "lineitem")
