@@ -269,6 +269,78 @@ object IcebergWriter {
       prevManifests :+ Manifest(manifestPath.toString, seq, content = 1))
   }
 
+  /** Row-level UPDATE, merge-on-read, in ONE snapshot: matching rows are
+    * tombstoned by a position-delete file AND their updated versions are
+    * appended as a new data file — the same commit shape the reference's
+    * generated tables carry ('write.update.mode'='merge-on-read' UPDATEs,
+    * scripts/test_data_generator/updates_v2 in the reference). */
+  def update(spark: SparkSession, path: String,
+             predicate: org.apache.spark.sql.Column,
+             assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"update: no Iceberg table at $path"))
+    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val liveFiles = meta.entries.collect {
+      case (m, es) if m.content == 0 =>
+        es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }.flatten
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+    require(assignments.keySet.subsetOf(schema.fieldNames.toSet),
+      s"update: unknown columns ${assignments.keySet -- schema.fieldNames}")
+
+    import spark.implicits._
+    val qualify: String => String = p => {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+
+    val matched = spark.read.schema(schema).parquet(liveFiles: _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"))
+      .filter(predicate)
+
+    // tombstones for the old versions
+    val positions = matched
+      .join(org.apache.spark.sql.functions.broadcast(fileMap),
+        col("__file") === col("__qual"))
+      .select(col("__orig").as("file_path"), col("__pos").as("pos"))
+    val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
+    positions.write.parquet(delDir.toString)
+    val delCounts = spark.read.parquet(delDir.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+    // updated versions of the matched rows
+    val updated = assignments.foldLeft(
+        matched.drop("__file", "__pos"): DataFrame) {
+      case (d, (name, value)) => d.withColumn(name, value)
+    }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val dataCounts = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"))
+
+    val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    writeManifest(dataManifest, conf, dataCounts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 0, filePath = f,
+        fileFormat = "PARQUET", recordCount = n)
+    })
+    val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
+    writeManifest(delManifest, conf, delCounts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 1, filePath = f,
+        fileFormat = "PARQUET", recordCount = n)
+    })
+    val prevManifests = ManifestReader.readManifestList(
+      latest.manifestList, conf, latest.formatVersion)
+    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+      prevManifests ++ Seq(
+        Manifest(dataManifest.toString, seq, content = 0),
+        Manifest(delManifest.toString, seq, content = 1)))
+  }
+
   /** Compact the table: rewrite all live rows into fresh data files in ONE
     * new snapshot whose manifests mark every previous data file DELETED —
     * the maintenance operation behind the reference's own checked-in table

@@ -95,6 +95,34 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.scan(spark, table).count() === after2)
   }
 
+  test("merge-on-read UPDATE: one snapshot tombstones old rows and appends new") {
+    val table = Files.createTempDirectory("graft_wu_").toString + "/t"
+    val part = Tables.load(spark, Sf, "part")
+    IcebergWriter.write(part, table)
+    val n = part.count()
+
+    IcebergWriter.update(spark, table,
+      col("p_size") > 25,
+      Map("p_retailprice" -> (col("p_retailprice") * 2),
+          "p_brand" -> lit("UPDATED")))
+
+    val after = IcebergScan.scan(spark, table)
+    assert(after.count() === n) // row count unchanged
+    val big = after.filter(col("p_size") > 25)
+    assert(big.filter(col("p_brand") =!= "UPDATED").count() === 0)
+    // updated prices are exactly doubled vs the source
+    val src = part.filter(col("p_size") > 25)
+      .select(col("p_partkey"), (col("p_retailprice") * 2).as("want"))
+    val mism = big.select(col("p_partkey"), col("p_retailprice"))
+      .join(src, "p_partkey")
+      .filter(col("p_retailprice") =!= col("want"))
+    assert(mism.count() === 0)
+    // untouched rows identical
+    val small = after.filter(col("p_size") <= 25)
+    val smallWant = part.filter(col("p_size") <= 25).select(after.columns.map(col): _*)
+    assert(small.exceptAll(smallWant).isEmpty && smallWant.exceptAll(small).isEmpty)
+  }
+
   test("compaction rewrites live rows, marks old files DELETED, keeps time travel") {
     val table = Files.createTempDirectory("graft_wc_").toString + "/t"
     val li = Tables.load(spark, Sf, "lineitem")
