@@ -180,18 +180,43 @@ object IcebergWriter {
     snapshotId
   }
 
+  /** Type widenings an append may apply to an existing column — the
+    * evolutions the field-id read path resolves transparently (old files'
+    * narrower physical type upcasts under the widened read schema, the
+    * shape the reference's schema-evolution test exercises at v8→v9). */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision >= f.precision
+    case _ => false
+  }
+
   /** Append `df` as a new snapshot of the table at `path`, creating the
-    * table if absent. Returns the new snapshot id. */
+    * table if absent. Returns the new snapshot id.
+    *
+    * Schema evolution: `df` may widen existing columns (int→long,
+    * float→double, decimal precision) and may APPEND new columns — field
+    * ids are positional, so existing columns keep their ids and old files
+    * read NULL for columns added after they were written. Renames,
+    * reorders, drops, and narrowings are rejected. */
   def write(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
     state.foreach { st =>
       val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
-      val existingNames = cols.map(c => (c.name, c.dataType))
-      val newNames = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
-      require(existingNames == newNames,
-        s"append schema mismatch: table has $existingNames, data has $newNames")
+      val existing = cols.map(c => (c.name, c.dataType))
+      val incoming = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+      require(incoming.size >= existing.size,
+        s"append schema mismatch: cannot drop columns (table has ${existing.map(_._1)})")
+      existing.zip(incoming.take(existing.size)).foreach {
+        case ((on, ot), (nn, nt)) =>
+          require(on == nn,
+            s"append schema mismatch: column '$on' vs '$nn' (renames/reorders not supported)")
+          require(ot == nt || widens(ot, nt),
+            s"append schema mismatch: column '$on' cannot change ${ot.sql} -> ${nt.sql}")
+      }
     }
     val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
     val seq = state.map(_.nextSeq).getOrElse(1L)

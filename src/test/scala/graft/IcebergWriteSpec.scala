@@ -150,6 +150,40 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snapC > snap1)
   }
 
+  test("write-side schema evolution: add a column, then widen it " +
+       "(reference evolution shape, iceberg_scan_generated_data_0_001.test:92-108)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val table = Files.createTempDirectory("graft_we_").toString + "/t"
+    val base = Tables.load(spark, Sf, "nation").select(
+      col("n_nationkey").cast("int").as("key"), col("n_name"))
+    val n = base.count()
+
+    IcebergWriter.write(base, table)                                     // v1: 2 cols
+    IcebergWriter.write(base.withColumn("extra", lit(42)), table)        // v2: + INT col
+    assert(IcebergScan.scan(spark, table).schema("extra").dataType === IntegerType)
+
+    IcebergWriter.write(
+      base.withColumn("extra", lit(7L)), table)                          // v3: widen to BIGINT
+    val got = IcebergScan.scan(spark, table)
+    assert(got.schema("extra").dataType === LongType)
+    assert(got.count() === 3 * n)
+    // rows written before the column existed read NULL; later rows widened
+    assert(got.filter(col("extra").isNull).count() === n)
+    assert(got.filter(col("extra") === 42L).count() === n)
+    assert(got.filter(col("extra") === 7L).count() === n)
+
+    // narrowing and renaming are rejected
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergWriter.write(base.withColumn("extra", lit(1).cast("int")), table)
+    }
+    assert(e1.getMessage.contains("cannot change"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWriter.write(base.withColumnRenamed("key", "k2")
+        .withColumn("extra", lit(1L)), table)
+    }
+    assert(e2.getMessage.contains("renames"))
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
