@@ -78,6 +78,20 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pushed filter in plan:\n$physical")
   }
 
+  test("version and codec named arguments through SQL") {
+    val n1 = spark.sql(
+      s"""SELECT count(*) FROM iceberg_scan('$Lineitem',
+            allow_moved_paths => true, version => '1')""")
+      .collect()(0).getLong(0)
+    assert(n1 === 60175L)
+    val gz = s"$Ref/lineitem_iceberg_gz"
+    val n2 = spark.sql(
+      s"""SELECT count(*) FROM iceberg_scan('$gz',
+            allow_moved_paths => true, metadata_compression_codec => 'gzip')""")
+      .collect()(0).getLong(0)
+    assert(n2 === 111968L)
+  }
+
   test("unknown named argument errors") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM iceberg_scan('$Lineitem', bogus_param => 1)").collect()
