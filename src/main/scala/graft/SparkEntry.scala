@@ -12,6 +12,7 @@ object SparkEntry {
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
+    graft.queries.PipelineQueries.defs ++
     graft.queries.IcebergQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

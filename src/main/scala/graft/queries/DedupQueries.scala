@@ -114,7 +114,7 @@ object DedupQueries {
 
   /** Shared bigram-MinHash-LSH candidate pairs (doc_a < doc_b), the
     * candidate generator behind d02/d04/d06. */
-  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.load(s, dir, "documents")
       .withColumn("__t", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"), explode(bigramShingles).as("w"))
@@ -140,7 +140,7 @@ object DedupQueries {
   }
 
   /** The same candidate generator as oracle CTEs ending in `cand`. */
-  private val minhashCandSql: String = s"""
+  private[queries] val minhashCandSql: String = s"""
         tok AS (
           SELECT doc_id, unnest(list_distinct(list_transform(
                    range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
@@ -163,6 +163,47 @@ object DedupQueries {
           SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
           FROM band a JOIN band c
             ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id)"""
+
+  /** Cluster labels after 3 rounds of min-label propagation over the LSH
+    * candidate graph — shared by d06 and the corpus pipeline (p01). */
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidates(s, dir)
+    // Iterative algorithm: persist the edge set and each label generation,
+    // otherwise the lineage re-derives the whole LSH pipeline per round
+    // and doubles per iteration.
+    val edges = cand.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(cand.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .persist()
+    var labels = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to 3) {
+      val nmin = edges.join(
+          labels.select(col("doc_id").as("d"), col("label").as("xl")), "d")
+        .groupBy(col("s").as("doc_id")).agg(min(col("xl")).as("nmin"))
+      labels = labels.join(nmin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+    }
+    labels
+  }
+
+  /** The same propagation as oracle CTEs ending in `l3(doc_id, label)`
+    * (expects `cand` from [[minhashCandSql]] in scope). */
+  private[queries] val clusterLabelsSql: String = s"""
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM cand
+          UNION ALL
+          SELECT doc_b AS s, doc_a AS d FROM cand),
+        l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+        ${(1 to 3).map { i =>
+          s"""l$i AS (
+            SELECT l.doc_id, least(l.label, coalesce(m.nmin, l.label)) AS label
+            FROM l${i - 1} l LEFT JOIN (
+              SELECT e.s AS doc_id, MIN(x.label) AS nmin
+              FROM edges e JOIN l${i - 1} x ON x.doc_id = e.d
+              GROUP BY e.s) m USING (doc_id))"""
+        }.mkString(",\n")}"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -268,40 +309,11 @@ object DedupQueries {
       // to fixpoint with checkpointing).
       Some(s"""
         WITH ${minhashCandSql},
-        edges AS (
-          SELECT doc_a AS s, doc_b AS d FROM cand
-          UNION ALL
-          SELECT doc_b AS s, doc_a AS d FROM cand),
-        l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-        ${(1 to 3).map { i =>
-          s"""l$i AS (
-            SELECT l.doc_id, least(l.label, coalesce(m.nmin, l.label)) AS label
-            FROM l${i - 1} l LEFT JOIN (
-              SELECT e.s AS doc_id, MIN(x.label) AS nmin
-              FROM edges e JOIN l${i - 1} x ON x.doc_id = e.d
-              GROUP BY e.s) m USING (doc_id))"""
-        }.mkString(",\n")}
+        ${clusterLabelsSql}
         SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id"""),
       (s, dir) => {
-        val cand = minhashCandidates(s, dir)
-        // Iterative algorithm: persist the edge set and each label
-        // generation, otherwise the lineage re-derives the whole LSH
-        // pipeline per round and doubles per iteration.
-        val edges = cand.select(col("doc_a").as("s"), col("doc_b").as("d"))
-          .union(cand.select(col("doc_b").as("s"), col("doc_a").as("d")))
-          .persist()
-        var labels = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("doc_id").as("label"))
-        for (_ <- 1 to 3) {
-          val nmin = edges.join(
-              labels.select(col("doc_id").as("d"), col("label").as("xl")), "d")
-            .groupBy(col("s").as("doc_id")).agg(min(col("xl")).as("nmin"))
-          labels = labels.join(nmin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-            .persist()
-        }
-        labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+        clusterLabels(s, dir)
+          .select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
       }
     ),
     QueryDef(
