@@ -6,9 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication + similarity-search operators for a training-data
-  * pipeline: exact-hash dedup, MinHash+LSH banding, SimHash, blocked
-  * n-gram Jaccard, embedding cosine near-dup, and brute-force cosine
-  * top-k ANN.
+  * pipeline: exact-hash dedup, MinHash+LSH banding, SimHash,
+  * candidate-verify Jaccard, duplicate-cluster assignment by label
+  * propagation, embedding cosine near-dup, and ANN top-k three ways
+  * (exact brute force, hyperplane-LSH buckets, IVF centroid cells).
   *
   * Cross-engine determinism: all hashes are md5 hex strings (identical in
   * Spark and DuckDB); dot products are SEQUENTIAL double folds over the
