@@ -50,6 +50,23 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream attribution join: each purchase joins the same user's
+    * clicks from the preceding hour. The time-range condition plus
+    * watermarks on BOTH sides bound the join state — without them a
+    * stream-stream join would buffer each side forever. */
+  def attributePurchases(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
+  }
+
   /** Streaming exact dedup — the ingest-time guard of a training-data
     * pipeline: drop events whose id was already seen, with the dedup
     * state bounded by the watermark instead of growing forever. */

@@ -61,6 +61,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.attributePurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2026-01-01 10:05:00"), 2, "click", 0.0))
+      purchases.addData(
+        Event(10, ts("2026-01-01 10:30:00"), 1, "purchase", 5.0), // within 1h of click 1
+        Event(11, ts("2026-01-01 12:00:00"), 1, "purchase", 9.0)) // outside the window
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+      assert(rows === Set((1L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
