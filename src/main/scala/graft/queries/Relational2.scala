@@ -445,11 +445,13 @@ object Relational2 {
     QueryDef(
       "q26_array_agg",
       // aggregation INTO arrays; distinct+sort makes the result order
-      // deterministic on both engines
+      // deterministic on both engines. The array aggregation itself stays
+      // internal — the OUTPUT serializes each array to a comma-joined string
+      // because the driver's row hasher cannot sort/hash array-typed columns.
       Some("""
         SELECT o_orderstatus,
-               list_sort(list_distinct(list(o_orderpriority))) AS priorities,
-               list_sort(list_distinct(list(year(o_orderdate)))) AS years,
+               array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+               array_to_string(list_sort(list_distinct(list(year(o_orderdate)))), ',') AS years,
                COUNT(*) AS cnt
         FROM orders
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
@@ -457,8 +459,11 @@ object Relational2 {
         Tables.load(s, dir, "orders")
           .groupBy("o_orderstatus")
           .agg(
-            array_sort(array_distinct(collect_list(col("o_orderpriority")))).as("priorities"),
-            array_sort(array_distinct(collect_list(year(col("o_orderdate"))))).as("years"),
+            array_join(array_sort(array_distinct(collect_list(col("o_orderpriority")))), ",")
+              .as("priorities"),
+            array_join(transform(array_sort(array_distinct(collect_list(year(col("o_orderdate"))))),
+                                 _.cast("string")), ",")
+              .as("years"),
             count(lit(1)).as("cnt"))
           .orderBy("o_orderstatus")
     ),
@@ -524,8 +529,11 @@ object Relational2 {
           FROM events),
         sessions AS (
           SELECT user_id, event_id, us, value,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                 -- DuckDB widens an integer window SUM to HUGEINT; the
+                 -- driver's hasher treats HUGEINT differently from Spark's
+                 -- BIGINT even when values match, so pin the type.
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM marked)
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                MIN(us) AS start_us, MAX(us) AS end_us,
