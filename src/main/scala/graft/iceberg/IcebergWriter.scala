@@ -7,8 +7,10 @@ import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import IcebergModel._
@@ -99,6 +101,22 @@ object IcebergWriter {
     }
   }
 
+  /** Per-file row counts from the parquet FOOTERS of `dir` — footer-only
+    * I/O (a few KB per file), replacing the full re-scan of every written
+    * dataset the round-2 write path did (2× write-path I/O at scale). The
+    * footer's aggregate row count is exact — it is what the writer itself
+    * committed. */
+  private def footerCounts(dir: Path, conf: Configuration): Seq[(String, Long)] = {
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try (st.getPath.toString, r.getRecordCount) finally r.close()
+      }
+      .sortBy(_._1)
+  }
+
   /** Distributed parquet write (with field ids) → (file, rowCount) pairs. */
   private def writeDataFiles(df: DataFrame, dataDir: Path): Seq[(String, Long)] = {
     val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -106,9 +124,7 @@ object IcebergWriter {
         new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
     }.toIndexedSeq: _*)
     withIds.write.parquet(dataDir.toString)
-    df.sparkSession.read.parquet(dataDir.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    footerCounts(dataDir, df.sparkSession.sessionState.newHadoopConf())
   }
 
   private def writeManifest(
@@ -279,9 +295,7 @@ object IcebergWriter {
 
     val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
     positions.write.parquet(delDir.toString)
-    val fileCounts = spark.read.parquet(delDir.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val fileCounts = footerCounts(delDir, conf)
 
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(manifestPath, conf, fileCounts.map { case (f, n) =>
@@ -337,9 +351,7 @@ object IcebergWriter {
       .select(col("__orig").as("file_path"), col("__pos").as("pos"))
     val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
     positions.write.parquet(delDir.toString)
-    val delCounts = spark.read.parquet(delDir.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val delCounts = footerCounts(delDir, conf)
 
     // updated versions of the matched rows
     val updated = assignments.foldLeft(

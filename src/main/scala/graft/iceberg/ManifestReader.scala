@@ -80,11 +80,21 @@ object ManifestReader {
     }
   }
 
+  /** Parallelism / timeout knobs for the concurrent manifest fetch. An
+    * unbounded pool + infinite wait over an object store is a driver hang
+    * waiting to happen; these are deliberate, conf-overridable bounds. */
+  val FetchParallelismKey = "spark.graft.iceberg.manifestFetchParallelism"
+  val FetchTimeoutSecKey = "spark.graft.iceberg.manifestFetchTimeoutSec"
+  private val DefaultFetchParallelism = 16
+  private val DefaultFetchTimeoutSec = 300L
+
   /** IcebergTable::Load (iceberg.cpp:15-36): manifest list, then every
     * manifest, eagerly, with optional moved-path re-anchoring. Manifests
     * are fetched concurrently — a 100 TB table has O(100k) entries across
     * many manifest files and, over an object store, sequential driver-side
-    * reads would dominate planning time. */
+    * reads would dominate planning time. The fetch runs on a dedicated
+    * bounded pool (not the global EC, which unrelated driver code shares)
+    * and fails with a clear timeout instead of hanging the driver. */
   def loadTable(
       tablePath: String,
       snapshot: Snapshot,
@@ -94,18 +104,36 @@ object ManifestReader {
       if (allowMovedPaths) IcebergIO.fullPath(tablePath, snapshot.manifestList)
       else snapshot.manifestList
     val manifests = readManifestList(listPath, conf, snapshot.formatVersion)
+
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val entries = Await.result(
-      Future.traverse(manifests) { m =>
-        Future {
-          val mPath =
-            if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
-            else m.manifestPath
-          m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
-        }
-      }, Duration.Inf)
-    TableMeta(tablePath, snapshot, entries)
+    import scala.concurrent.duration._
+    val parallelism = math.max(1,
+      conf.getInt(FetchParallelismKey, DefaultFetchParallelism))
+    val timeout = conf.getLong(FetchTimeoutSecKey, DefaultFetchTimeoutSec).seconds
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, manifests.size)),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-manifest-fetch")
+        t.setDaemon(true)
+        t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val entries = Await.result(
+        Future.traverse(manifests) { m =>
+          Future {
+            val mPath =
+              if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
+              else m.manifestPath
+            m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
+          }
+        }, timeout)
+      TableMeta(tablePath, snapshot, entries)
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new java.io.IOException(
+          s"timed out after $timeout fetching ${manifests.size} manifest file(s) " +
+          s"for $tablePath (raise $FetchTimeoutSecKey)")
+    } finally pool.shutdownNow()
   }
 }
