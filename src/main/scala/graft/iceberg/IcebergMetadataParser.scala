@@ -18,21 +18,48 @@ object IcebergMetadataParser {
       formatVersion: Int,
       schemaId: Int,
       schemas: Seq[JsonNode],
-      snapshots: Seq[JsonNode])
+      snapshots: Seq[JsonNode],
+      defaultPartitionSpec: Seq[PartitionFieldSpec] = Seq.empty)
+
+  /** partition-specs / default-spec-id (v2) or legacy flat partition-spec
+    * (v1). The reference leaves these unread (SURVEY §2.10); they feed the
+    * driver-side file pruning here. */
+  private def parsePartitionSpec(root: JsonNode): Seq[PartitionFieldSpec] = {
+    def fields(node: JsonNode): Seq[PartitionFieldSpec] =
+      node.elements.asScala.toSeq.map { f =>
+        PartitionFieldSpec(
+          name = f.get("name").asText,
+          transform = f.get("transform").asText,
+          sourceId = f.get("source-id").asInt,
+          fieldId = if (f.has("field-id")) f.get("field-id").asInt else 1000)
+      }
+    if (root.has("partition-specs")) {
+      val specs = root.get("partition-specs").elements.asScala.toSeq
+      val wanted =
+        if (root.has("default-spec-id")) root.get("default-spec-id").asInt else 0
+      specs.find(s => s.has("spec-id") && s.get("spec-id").asInt == wanted)
+        .orElse(specs.headOption)
+        .map(s => fields(s.get("fields")))
+        .getOrElse(Seq.empty)
+    } else if (root.has("partition-spec")) {
+      fields(root.get("partition-spec"))
+    } else Seq.empty
+  }
 
   def parseInfo(json: String): ParseInfo = {
     val root = mapper.readTree(json)
     val version = root.get("format-version").asInt
     val snaps =
       if (root.has("snapshots")) root.get("snapshots").elements.asScala.toSeq else Seq.empty
+    val spec = parsePartitionSpec(root)
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
-      ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps)
+      ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
-      ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps)
+      ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec)
     }
   }
 
@@ -46,7 +73,8 @@ object IcebergMetadataParser {
       formatVersion = info.formatVersion,
       schemaId = info.schemaId,
       schema = if (skipSchema) Seq.empty
-               else IcebergSchemaParser.parseSchemaById(info.schemas, info.schemaId))
+               else IcebergSchemaParser.parseSchemaById(info.schemas, info.schemaId),
+      partitionSpec = info.defaultPartitionSpec)
   }
 
   def allSnapshots(info: ParseInfo, skipSchema: Boolean = true): Seq[Snapshot] =

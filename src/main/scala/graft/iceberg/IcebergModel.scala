@@ -14,6 +14,12 @@ object IcebergModel {
   /** One column of a snapshot schema (iceberg_metadata.hpp:38-51). */
   final case class Column(id: Int, name: String, dataType: DataType, required: Boolean)
 
+  /** One field of a partition spec (metadata.json `partition-specs`). The
+    * reference parses specs with nobody consuming them (SURVEY §2.10); here
+    * they drive driver-side file pruning. */
+  final case class PartitionFieldSpec(
+      name: String, transform: String, sourceId: Int, fieldId: Int)
+
   /** A table snapshot (iceberg_metadata.hpp:71-106). */
   final case class Snapshot(
       snapshotId: Long,
@@ -22,16 +28,26 @@ object IcebergModel {
       manifestList: String,
       formatVersion: Int,
       schemaId: Int,
-      schema: Seq[Column])
+      schema: Seq[Column],
+      partitionSpec: Seq[PartitionFieldSpec] = Seq.empty)
 
   /** Manifest-list entry (iceberg_types.hpp:80-118). content: 0=DATA 1=DELETE. */
   final case class Manifest(manifestPath: String, sequenceNumber: Long, content: Int)
 
   /** Manifest entry = one data/delete file (iceberg_types.hpp:159-199).
     * status: 0=EXISTING 1=ADDED 2=DELETED;
-    * content: 0=DATA 1=POSITION_DELETES 2=EQUALITY_DELETES. */
+    * content: 0=DATA 1=POSITION_DELETES 2=EQUALITY_DELETES.
+    *
+    * `partition` (spec-field name → value) and `lowerBounds`/`upperBounds`
+    * (Iceberg field id → single-value-serialized bytes) are the
+    * decoded-but-unused fields of the reference's full Avro schema
+    * (avro_codegen/iceberg_manifest_entry_full.hpp:306-353); this engine
+    * consumes them for file skipping. Empty when the writer omitted them. */
   final case class ManifestEntry(
-      status: Int, content: Int, filePath: String, fileFormat: String, recordCount: Long)
+      status: Int, content: Int, filePath: String, fileFormat: String, recordCount: Long,
+      partition: Map[String, Any] = Map.empty,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   final case class TableMeta(
       path: String,

@@ -1,0 +1,253 @@
+package graft.iceberg
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.time.LocalDate
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import IcebergModel._
+
+/** Driver-side file skipping for `iceberg_scan` — the single biggest
+  * 100 TB scan lever the reference lacks: it decodes partition values and
+  * `lower_bounds`/`upper_bounds` in its full Avro schema but feeds every
+  * live data file to the reader regardless of predicate
+  * (avro_codegen/iceberg_manifest_entry_full.hpp:306-353, SURVEY §2.10).
+  *
+  * Semantics: pruning is strictly an OPTIMIZATION. Every predicate handed
+  * to the scan is also applied as a Spark `filter` on the surviving files
+  * (the residual), so a conservative keep — unknown transform, missing
+  * bounds, non-comparable types — can never change results, only skip
+  * fewer files. This mirrors how Spark's own DataSource V2 partition
+  * pruning composes with residual filters.
+  *
+  * Bound bytes follow Iceberg's single-value binary serialization
+  * (little-endian numerics, UTF-8 strings, date = int days,
+  * timestamp = long micros, decimal = unscaled big-endian). String bounds
+  * may be truncated by the writer; truncation only widens the range, so
+  * comparisons stay conservative.
+  */
+object IcebergPruning {
+
+  sealed trait Op
+  case object Eq extends Op
+  case object Lt extends Op
+  case object Le extends Op
+  case object Gt extends Op
+  case object Ge extends Op
+
+  /** One simple comparison predicate over a top-level column. */
+  final case class ColPredicate(column: String, op: Op, value: Any)
+
+  // ---- value normalization ------------------------------------------------
+
+  /** Normalize a user-supplied or decoded value into one comparison domain
+    * per column type: BigDecimal for numerics, epoch days (Long) for dates,
+    * epoch micros (Long) for timestamps, String for strings. None →
+    * not comparable → conservative keep. */
+  private def normalize(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_: NumericType, n: java.lang.Number) => Some(new java.math.BigDecimal(n.toString))
+    case (_: NumericType, d: java.math.BigDecimal) => Some(d)
+    case (DateType, d: LocalDate) => Some(d.toEpochDay)
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case (DateType, s: String) => Some(LocalDate.parse(s).toEpochDay)
+    case (DateType, n: java.lang.Number) => Some(n.longValue) // already days
+    case (TimestampNTZType | TimestampType, n: java.lang.Number) => Some(n.longValue) // micros
+    case (TimestampNTZType | TimestampType, t: java.time.LocalDateTime) =>
+      Some(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L)
+    case (StringType, s) => Some(s.toString)
+    case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
+    case _ => None
+  }
+
+  private def compare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  // ---- Iceberg single-value deserialization --------------------------------
+
+  /** Decode bound bytes for a column type → normalized comparison value. */
+  private[iceberg] def decodeBound(dt: DataType, bytes: Array[Byte]): Option[Any] = {
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if bytes.length >= 4 =>
+        Some(java.math.BigDecimal.valueOf(le.getInt.toLong))
+      case LongType if bytes.length >= 8 =>
+        Some(java.math.BigDecimal.valueOf(le.getLong))
+      case FloatType if bytes.length >= 4 =>
+        Some(new java.math.BigDecimal(le.getFloat.toString))
+      case DoubleType if bytes.length >= 8 =>
+        Some(new java.math.BigDecimal(le.getDouble.toString))
+      case DateType if bytes.length >= 4 => Some(le.getInt.toLong) // epoch days
+      case TimestampNTZType | TimestampType if bytes.length >= 8 =>
+        Some(le.getLong) // epoch micros
+      case StringType => Some(new String(bytes, "UTF-8"))
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale))
+      case BooleanType if bytes.length >= 1 => Some(bytes(0) != 0)
+      case _ => None
+    }
+  }
+
+  /** Encode a raw column value (from parquet footer statistics) into
+    * Iceberg single-value bytes — the writer-side inverse of
+    * [[decodeBound]]. */
+  private[iceberg] def encodeBound(dt: DataType, v: Any): Option[Array[Byte]] = {
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    (dt, v) match {
+      case (IntegerType, i: java.lang.Integer) => Some(le(4).putInt(i).array)
+      case (DateType, i: java.lang.Integer) => Some(le(4).putInt(i).array)
+      case (LongType, l: java.lang.Long) => Some(le(8).putLong(l).array)
+      case (TimestampNTZType | TimestampType, l: java.lang.Long) =>
+        Some(le(8).putLong(l).array)
+      case (FloatType, f: java.lang.Float) => Some(le(4).putFloat(f).array)
+      case (DoubleType, d: java.lang.Double) => Some(le(8).putDouble(d).array)
+      case (StringType, s: String) => Some(s.getBytes("UTF-8"))
+      case (d: DecimalType, b: java.math.BigDecimal) =>
+        Some(b.setScale(d.scale).unscaledValue.toByteArray)
+      case _ => None
+    }
+  }
+
+  // ---- partition-transform evaluation --------------------------------------
+
+  /** Predicate value → the transform's output domain (Long ordinal). */
+  private def toTransformOrdinal(transform: String, dt: DataType, v: Any): Option[Long] = {
+    val asDate: Option[LocalDate] = v match {
+      case d: LocalDate => Some(d)
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case s: String if dt == DateType => Some(LocalDate.parse(s))
+      case _ => None
+    }
+    transform match {
+      case "day" | "days" => asDate.map(_.toEpochDay)
+      case "month" | "months" =>
+        asDate.map(d => (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1))
+      case "year" | "years" => asDate.map(d => (d.getYear - 1970).toLong)
+      case _ => None
+    }
+  }
+
+  private def partitionValueOrdinal(raw: Any): Option[Long] = raw match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Does the file's partition tuple possibly satisfy `p`? Conservative:
+    * unknown transform / missing value → keep. */
+  private def keepByPartition(
+      e: ManifestEntry,
+      p: ColPredicate,
+      spec: Seq[PartitionFieldSpec],
+      schema: Seq[Column]): Boolean = {
+    val column = schema.find(_.name == p.column)
+    if (column.isEmpty) return true
+    val specFields = spec.filter(_.sourceId == column.get.id)
+    specFields.forall { sf =>
+      e.partition.get(sf.name) match {
+        case None | Some(null) => true
+        case Some(raw) =>
+          sf.transform match {
+            case "identity" =>
+              val dt = column.get.dataType
+              (normalize(dt, raw), normalize(dt, p.value)) match {
+                case (Some(pv), Some(v)) =>
+                  compare(pv, v).forall { c =>
+                    p.op match {
+                      case Eq => c == 0
+                      case Lt => c < 0
+                      case Le => c <= 0
+                      case Gt => c > 0
+                      case Ge => c >= 0
+                    }
+                  }
+                case _ => true
+              }
+            case t @ ("day" | "days" | "month" | "months" | "year" | "years") =>
+              (partitionValueOrdinal(raw), toTransformOrdinal(t, column.get.dataType, p.value)) match {
+                case (Some(po), Some(vo)) =>
+                  p.op match {
+                    case Eq => po == vo
+                    // a file in ordinal `vo` may hold rows on either side of
+                    // the exact cut point inside the bucket → use <=/>=.
+                    case Lt | Le => po <= vo
+                    case Gt | Ge => po >= vo
+                  }
+                case _ => true
+              }
+            case _ => true // bucket/truncate/unknown: conservative keep
+          }
+      }
+    }
+  }
+
+  /** Do the file's column bounds possibly satisfy `p`? Conservative:
+    * missing bounds / non-comparable → keep. NaN-safe: float/double bounds
+    * decode to BigDecimal via toString, which throws on NaN — treated as
+    * non-comparable (keep). */
+  private def keepByBounds(
+      e: ManifestEntry,
+      p: ColPredicate,
+      schema: Seq[Column]): Boolean = {
+    val column = schema.find(_.name == p.column)
+    if (column.isEmpty) return true
+    val dt = column.get.dataType
+    normalize(dt, p.value) match {
+      case None => true
+      case Some(v) =>
+        val lower = e.lowerBounds.get(column.get.id)
+          .flatMap(b => scala.util.Try(decodeBound(dt, b)).toOption.flatten)
+        val upper = e.upperBounds.get(column.get.id)
+          .flatMap(b => scala.util.Try(decodeBound(dt, b)).toOption.flatten)
+        def cmpOr(bound: Option[Any], keep: Int => Boolean): Boolean =
+          bound.flatMap(compare(_, v)).forall(keep)
+        p.op match {
+          case Eq => cmpOr(lower, _ <= 0) && cmpOr(upper, _ >= 0)
+          case Lt => cmpOr(lower, _ < 0)
+          case Le => cmpOr(lower, _ <= 0)
+          case Gt => cmpOr(upper, _ > 0)
+          case Ge => cmpOr(upper, _ >= 0)
+        }
+    }
+  }
+
+  /** Prune a data-file entry list against simple predicates using both
+    * partition values and column bounds. Never removes a file that could
+    * contain a matching row. */
+  def prune(
+      entries: Seq[ManifestEntry],
+      predicates: Seq[ColPredicate],
+      spec: Seq[PartitionFieldSpec],
+      schema: Seq[Column]): Seq[ManifestEntry] =
+    if (predicates.isEmpty) entries
+    else entries.filter { e =>
+      predicates.forall(p =>
+        keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema))
+    }
+
+  /** The residual Spark filter equivalent to `predicates` — always applied
+    * on top of the pruned scan so pruning can never change semantics. */
+  def residual(predicates: Seq[ColPredicate], schema: Seq[Column]): Option[Column] = {
+    def one(p: ColPredicate): Column = {
+      val dt = schema.find(_.name == p.column).map(_.dataType)
+      val v: Column = (dt, p.value) match {
+        case (Some(DateType), s: String) => lit(s).cast(DateType)
+        case (Some(DateType), d: LocalDate) => lit(java.sql.Date.valueOf(d))
+        case (_, other) => lit(other)
+      }
+      p.op match {
+        case Eq => col(p.column) === v
+        case Lt => col(p.column) < v
+        case Le => col(p.column) <= v
+        case Gt => col(p.column) > v
+        case Ge => col(p.column) >= v
+      }
+    }
+    predicates.map(one).reduceOption(_ && _)
+  }
+}

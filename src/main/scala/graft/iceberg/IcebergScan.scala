@@ -32,7 +32,12 @@ object IcebergScan {
       mode: String = "default",
       // analogue of the reference's explicit_cardinality-driven join costing:
       // broadcast the delete side of the MoR anti join when it is small.
-      broadcastDeleteThreshold: Long = 5L * 1000 * 1000)
+      broadcastDeleteThreshold: Long = 5L * 1000 * 1000,
+      // Simple predicates evaluated driver-side against partition specs and
+      // manifest column bounds to SKIP whole data files before the plan is
+      // composed (IcebergPruning), then re-applied as a Spark filter on the
+      // surviving files — pruning never changes semantics, only file count.
+      filters: Seq[IcebergPruning.ColPredicate] = Seq.empty)
 
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
@@ -71,7 +76,13 @@ object IcebergScan {
     val snapshot = selectSnapshot(spark, path, opts)
     val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
 
-    val dataEntries = livePaths(meta, manifestContent = 0, entryContent = 0, opts)
+    // Driver-side file skipping (partition spec + manifest column bounds) —
+    // the scan lever the reference leaves on the table (SURVEY §2.10). The
+    // same predicates are re-applied as a Spark filter below, so this only
+    // shrinks the file list, never the semantics.
+    val dataEntries = IcebergPruning.prune(
+      livePaths(meta, manifestContent = 0, entryContent = 0, opts),
+      opts.filters, snapshot.partitionSpec, snapshot.schema)
     val deleteEntries = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
     val dataPaths = dataEntries.map(e => resolved(path, e.filePath, opts))
     val deletePaths = deleteEntries.map(e => resolved(path, e.filePath, opts))
@@ -106,7 +117,10 @@ object IcebergScan {
         spark.sparkContext.emptyRDD[Row],
         IcebergSchemaParser.toStructType(snapshot.schema))
     }
-    val dataDF = withSchema.load(dataPaths: _*)
+    // Residual filter: the exact predicate semantics, pushed into the
+    // parquet scan by Catalyst; file pruning above was only an accelerant.
+    val residual = IcebergPruning.residual(opts.filters, snapshot.schema)
+    val dataDF = residual.foldLeft(withSchema.load(dataPaths: _*))(_.filter(_))
     if (deletePaths.isEmpty) return dataDF
 
     // --- v2 merge-on-read position deletes ---

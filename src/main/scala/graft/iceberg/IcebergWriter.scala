@@ -53,14 +53,53 @@ object IcebergWriter {
       {"name":"content","type":"int"},
       {"name":"sequence_number","type":"long"}]}""")
 
-  private val manifestEntrySchema = new Schema.Parser().parse("""
-    {"type":"record","name":"manifest_entry","fields":[
-      {"name":"status","type":"int"},
-      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-        {"name":"content","type":"int"},
-        {"name":"file_path","type":"string"},
-        {"name":"file_format","type":"string"},
-        {"name":"record_count","type":"long"}]}}]}""")
+  /** Avro type name for a partition value of this transform over this
+    * source column (identity keeps the column's domain; date-ordinal
+    * transforms produce int ordinals, matching Iceberg). */
+  private def partitionAvroType(transform: String, source: DataType): String =
+    transform match {
+      case "identity" => source match {
+        case IntegerType | DateType => "int"
+        case LongType => "long"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"identity partition over ${other.sql} not supported")
+      }
+      case "day" | "days" | "month" | "months" | "year" | "years" => "int"
+      case other => throw new IllegalArgumentException(s"unsupported transform $other")
+    }
+
+  /** Manifest-entry schema, optionally extended with a typed `partition`
+    * record (per spec fields) and Iceberg-style `lower_bounds`/
+    * `upper_bounds` (array-of-{key,value} map encoding, spec appendix).
+    * All three are nullable with null defaults so manifests stay readable
+    * by schema-resolving readers that don't know them. */
+  private def entrySchemaFor(partitionFields: Seq[(String, String)]): Schema = {
+    val partField =
+      if (partitionFields.isEmpty) ""
+      else {
+        val fs = partitionFields.map { case (n, t) =>
+          s"""{"name":"$n","type":["null","$t"],"default":null}"""
+        }.mkString(",")
+        s""",{"name":"partition","type":["null",{"type":"record","name":"r102","fields":[$fs]}],"default":null}"""
+      }
+    new Schema.Parser().parse(s"""
+      {"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int"},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"record_count","type":"long"}
+          $partField,
+          {"name":"lower_bounds","type":["null",{"type":"array","items":
+            {"type":"record","name":"k126_v127","fields":[
+              {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+           "default":null},
+          {"name":"upper_bounds","type":["null",{"type":"array","items":"k126_v127"}],
+           "default":null}
+        ]}}]}""")
+  }
 
   private def writeAvro(schema: Schema, out: Path, conf: Configuration)(
       records: Seq[GenericRecord]): Unit = {

@@ -6,6 +6,7 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 
 import IcebergModel._
+import scala.jdk.CollectionConverters._
 
 /** Driver-side Avro reads of manifest lists and manifests using *partial*
   * reader schemas (Avro schema-resolution projection) — the analogue of the
@@ -26,25 +27,9 @@ object ManifestReader {
     {"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string"}]}""")
 
-  private val manifestEntryV2 = new Schema.Parser().parse("""
-    {"type":"record","name":"manifest_entry","fields":[
-      {"name":"status","type":"int"},
-      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-        {"name":"content","type":"int"},
-        {"name":"file_path","type":"string"},
-        {"name":"file_format","type":"string"},
-        {"name":"record_count","type":"long"}]}}]}""")
-
-  private val manifestEntryV1 = new Schema.Parser().parse("""
-    {"type":"record","name":"manifest_entry","fields":[
-      {"name":"status","type":"int"},
-      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-        {"name":"file_path","type":"string"},
-        {"name":"file_format","type":"string"},
-        {"name":"record_count","type":"long"}]}}]}""")
-
   private def readRecords(path: String, conf: Configuration, readerSchema: Schema): Seq[GenericRecord] = {
     val bytes = IcebergIO.readBytes(path, conf)
+    // null reader schema → decode with the file's writer schema (full records)
     val datumReader = new GenericDatumReader[GenericRecord](null, readerSchema)
     val reader = new DataFileReader[GenericRecord](new SeekableByteArrayInput(bytes), datumReader)
     try {
@@ -67,16 +52,66 @@ object ManifestReader {
           r.get("content").asInstanceOf[Int])
       }
 
+  /** Avro value → plain Scala/Java value usable on the driver. */
+  private def fromAvro(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case other => other
+  }
+
+  private def toByteArray(v: Any): Array[Byte] = fromAvro(v) match {
+    case a: Array[Byte] => a
+    case other => throw new IllegalArgumentException(s"expected bytes, got $other")
+  }
+
+  /** Iceberg's `map<int, binary>` bounds are Avro-encoded either as an
+    * array of {key, value} records (spec encoding) or a genuine Avro map —
+    * handle both, defensively. */
+  private def boundsMap(raw: Any): Map[Int, Array[Byte]] = raw match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] =>
+      m.asScala.collect {
+        case (k, v) if v != null =>
+          k.toString.toInt -> toByteArray(v)
+      }.toMap
+    case c: java.util.Collection[_] =>
+      c.asScala.collect {
+        case kv: GenericRecord if kv.get("value") != null =>
+          kv.get("key").asInstanceOf[Int] -> toByteArray(kv.get("value"))
+      }.toMap
+    case _ => Map.empty
+  }
+
+  /** Manifest entries, decoded with the file's writer schema. Round 2 used
+    * partial reader schemas mirroring the reference's projection
+    * (iceberg_types.hpp:122-155); round 3 additionally consumes `partition`
+    * and `lower_bounds`/`upper_bounds` — fields the reference decodes but
+    * ignores (SURVEY §2.10) — so the full record is read and the consumed
+    * fields are extracted generically (absent fields → empty). Manifests
+    * are small driver-side files; the projection saved nothing at scale. */
   def readManifestEntries(path: String, conf: Configuration, formatVersion: Int): Seq[ManifestEntry] = {
-    val schema = if (formatVersion == 1) manifestEntryV1 else manifestEntryV2
-    readRecords(path, conf, schema).map { r =>
+    readRecords(path, conf, null).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
+      val partition = df.get("partition") match {
+        case p: GenericRecord =>
+          p.getSchema.getFields.asScala.map { f =>
+            f.name -> fromAvro(p.get(f.pos))
+          }.toMap
+        case _ => Map.empty[String, Any]
+      }
       ManifestEntry(
         status = r.get("status").asInstanceOf[Int],
-        content = if (formatVersion == 1) 0 else df.get("content").asInstanceOf[Int],
+        content = df.get("content") match {
+          case i: java.lang.Integer => i.intValue
+          case _ => 0 // v1 manifests carry no content field: always DATA
+        },
         filePath = df.get("file_path").toString,
         fileFormat = df.get("file_format").toString,
-        recordCount = df.get("record_count").asInstanceOf[Long])
+        recordCount = df.get("record_count").asInstanceOf[Long],
+        partition = partition,
+        lowerBounds = boundsMap(df.get("lower_bounds")),
+        upperBounds = boundsMap(df.get("upper_bounds")))
     }
   }
 
