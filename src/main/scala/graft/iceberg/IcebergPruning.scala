@@ -3,8 +3,8 @@ package graft.iceberg
 import java.nio.{ByteBuffer, ByteOrder}
 import java.time.LocalDate
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{Column => SqlColumn}
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
 import org.apache.spark.sql.types._
 
 import IcebergModel._
@@ -48,7 +48,6 @@ object IcebergPruning {
     * not comparable → conservative keep. */
   private def normalize(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (_: NumericType, n: java.lang.Number) => Some(new java.math.BigDecimal(n.toString))
-    case (_: NumericType, d: java.math.BigDecimal) => Some(d)
     case (DateType, d: LocalDate) => Some(d.toEpochDay)
     case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
     case (DateType, s: String) => Some(LocalDate.parse(s).toEpochDay)
@@ -232,12 +231,20 @@ object IcebergPruning {
 
   /** The residual Spark filter equivalent to `predicates` — always applied
     * on top of the pruned scan so pruning can never change semantics. */
-  def residual(predicates: Seq[ColPredicate], schema: Seq[Column]): Option[Column] = {
-    def one(p: ColPredicate): Column = {
+  def residual(predicates: Seq[ColPredicate], schema: Seq[Column]): Option[SqlColumn] = {
+    def one(p: ColPredicate): SqlColumn = {
       val dt = schema.find(_.name == p.column).map(_.dataType)
-      val v: Column = (dt, p.value) match {
+      val v: SqlColumn = (dt, p.value) match {
         case (Some(DateType), s: String) => lit(s).cast(DateType)
         case (Some(DateType), d: LocalDate) => lit(java.sql.Date.valueOf(d))
+        // Long timestamp predicate values are epoch MICROS everywhere in this
+        // file (normalize/decodeBound); a bare lit(long) compared against a
+        // timestamp column would go through Spark's seconds-based cast and
+        // disagree with the pruning interpretation.
+        case (Some(TimestampType), n: java.lang.Number) =>
+          timestamp_micros(lit(n.longValue))
+        case (Some(TimestampNTZType), n: java.lang.Number) =>
+          timestamp_micros(lit(n.longValue)).cast(TimestampNTZType)
         case (_, other) => lit(other)
       }
       p.op match {

@@ -1,5 +1,7 @@
 package graft.iceberg
 
+import java.nio.ByteBuffer
+
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.avro.Schema
@@ -167,21 +169,47 @@ object IcebergWriter {
   }
 
   private def writeManifest(
-      p: Path, conf: Configuration, entries: Seq[ManifestEntry]): Unit =
-    writeAvro(manifestEntrySchema, p, conf) {
+      p: Path, conf: Configuration, entries: Seq[ManifestEntry],
+      partitionFields: Seq[(String, String)] = Seq.empty): Unit = {
+    val entrySchema = entrySchemaFor(partitionFields)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val boundsSchema = dataFileSchema.getField("lower_bounds").schema()
+      .getTypes.get(1) // non-null branch of the union
+    def boundsArray(m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
+      val arr = new java.util.ArrayList[GenericRecord](m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val kv = new GenericData.Record(boundsSchema.getElementType)
+        kv.put("key", k)
+        kv.put("value", ByteBuffer.wrap(v))
+        arr.add(kv)
+      }
+      arr
+    }
+    writeAvro(entrySchema, p, conf) {
       entries.map { e =>
-        val dfr = new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema())
+        val dfr = new GenericData.Record(dataFileSchema)
         dfr.put("content", e.content)
         dfr.put("file_path", e.filePath)
         dfr.put("file_format", e.fileFormat)
         dfr.put("record_count", e.recordCount)
-        val rec = new GenericData.Record(manifestEntrySchema)
+        if (partitionFields.nonEmpty) {
+          val pSchema = dataFileSchema.getField("partition").schema()
+            .getTypes.get(1)
+          val pr = new GenericData.Record(pSchema)
+          partitionFields.foreach { case (n, _) =>
+            pr.put(n, e.partition.getOrElse(n, null))
+          }
+          dfr.put("partition", pr)
+        }
+        if (e.lowerBounds.nonEmpty) dfr.put("lower_bounds", boundsArray(e.lowerBounds))
+        if (e.upperBounds.nonEmpty) dfr.put("upper_bounds", boundsArray(e.upperBounds))
+        val rec = new GenericData.Record(entrySchema)
         rec.put("status", e.status)
         rec.put("data_file", dfr)
         rec
       }
     }
+  }
 
   /** Write manifest list + metadata.json + hint; returns the snapshot id. */
   private def commitSnapshot(

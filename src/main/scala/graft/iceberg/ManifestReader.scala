@@ -52,6 +52,12 @@ object ManifestReader {
           r.get("content").asInstanceOf[Int])
       }
 
+  /** Field value, or null when the writer schema lacks the field —
+    * GenericRecord.get(name) THROWS on unknown fields, and v1 manifests
+    * predate `content`/bounds (the v2 additions). */
+  private def fieldOrNull(r: GenericRecord, name: String): Any =
+    if (r.getSchema.getField(name) != null) r.get(name) else null
+
   /** Avro value → plain Scala/Java value usable on the driver. */
   private def fromAvro(v: Any): Any = v match {
     case u: org.apache.avro.util.Utf8 => u.toString
@@ -71,9 +77,10 @@ object ManifestReader {
   private def boundsMap(raw: Any): Map[Int, Array[Byte]] = raw match {
     case null => Map.empty
     case m: java.util.Map[_, _] =>
-      m.asScala.collect {
-        case (k, v) if v != null =>
-          k.toString.toInt -> toByteArray(v)
+      m.asScala.toSeq.flatMap { case (k, v) =>
+        // Unparseable keys / non-bytes values degrade to "no bound for this
+        // column" (no pruning) rather than failing the whole scan.
+        scala.util.Try(k.toString.toInt -> toByteArray(v)).toOption
       }.toMap
     case c: java.util.Collection[_] =>
       c.asScala.collect {
@@ -93,7 +100,7 @@ object ManifestReader {
   def readManifestEntries(path: String, conf: Configuration, formatVersion: Int): Seq[ManifestEntry] = {
     readRecords(path, conf, null).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
-      val partition = df.get("partition") match {
+      val partition = fieldOrNull(df, "partition") match {
         case p: GenericRecord =>
           p.getSchema.getFields.asScala.map { f =>
             f.name -> fromAvro(p.get(f.pos))
@@ -102,7 +109,7 @@ object ManifestReader {
       }
       ManifestEntry(
         status = r.get("status").asInstanceOf[Int],
-        content = df.get("content") match {
+        content = fieldOrNull(df, "content") match {
           case i: java.lang.Integer => i.intValue
           case _ => 0 // v1 manifests carry no content field: always DATA
         },
@@ -110,8 +117,8 @@ object ManifestReader {
         fileFormat = df.get("file_format").toString,
         recordCount = df.get("record_count").asInstanceOf[Long],
         partition = partition,
-        lowerBounds = boundsMap(df.get("lower_bounds")),
-        upperBounds = boundsMap(df.get("upper_bounds")))
+        lowerBounds = boundsMap(fieldOrNull(df, "lower_bounds")),
+        upperBounds = boundsMap(fieldOrNull(df, "upper_bounds")))
     }
   }
 
