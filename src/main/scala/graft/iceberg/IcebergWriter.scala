@@ -1,6 +1,7 @@
 package graft.iceberg
 
 import java.nio.ByteBuffer
+import java.time.LocalDate
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
@@ -8,14 +9,16 @@ import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.{Column => SqlColumn, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, datediff, lit, month, year}
 import org.apache.spark.sql.types._
 
 import IcebergModel._
+import scala.jdk.CollectionConverters._
 
 /** Write path — create/append snapshots and compact an Iceberg-layout
   * table (the stretch the reference never ships: its extension is
@@ -121,7 +124,9 @@ object IcebergWriter {
   private final case class State(
       version: Int,
       info: IcebergMetadataParser.ParseInfo,
-      snapshots: Seq[JsonNode]) {
+      snapshots: Seq[JsonNode],
+      tableUuid: Option[String] = None,
+      currentSnapshotId: Option[Long] = None) {
     def nextSnapshotId: Long =
       (snapshots.map(_.get("snapshot-id").asLong) :+ 0L).max + 1
     def nextSeq: Long =
@@ -136,17 +141,157 @@ object IcebergWriter {
     if (!hintPath.getFileSystem(conf).exists(hintPath)) None
     else {
       val v = IcebergIO.readString(hintPath.toString, conf).trim.toInt
-      val info = IcebergMetadataParser.parseInfo(IcebergIO.readString(
-        new Path(path, s"metadata/v$v.metadata.json").toString, conf))
-      Some(State(v, info, info.snapshots))
+      val json = IcebergIO.readString(
+        new Path(path, s"metadata/v$v.metadata.json").toString, conf)
+      val info = IcebergMetadataParser.parseInfo(json)
+      val root = mapper.readTree(json)
+      Some(State(v, info, info.snapshots,
+        tableUuid = Option(root.get("table-uuid")).map(_.asText),
+        currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong)))
     }
   }
 
-  /** Per-file row counts from the parquet FOOTERS of `dir` — footer-only
-    * I/O (a few KB per file), replacing the full re-scan of every written
-    * dataset the round-2 write path did (2× write-path I/O at scale). The
-    * footer's aggregate row count is exact — it is what the writer itself
-    * committed. */
+  // ---- partition specs ----------------------------------------------------
+
+  /** One resolved partition field of a write: `partitionBy` entries are
+    * (source column, transform) with transform ∈ identity|day|month|year. */
+  private final case class SpecField(
+      source: String, transform: String, fieldName: String,
+      sourceId: Int, fieldId: Int, avroType: String, sourceType: DataType)
+
+  private def resolveSpec(
+      schema: StructType, partitionBy: Seq[(String, String)]): Seq[SpecField] =
+    partitionBy.zipWithIndex.map { case ((c, t), i) =>
+      val idx = schema.fieldIndex(c)
+      val f = schema(idx)
+      val fieldName = t match {
+        case "identity" => c
+        case "day" | "days" => s"${c}_day"
+        case "month" | "months" => s"${c}_month"
+        case "year" | "years" => s"${c}_year"
+        case other => throw new IllegalArgumentException(s"unsupported transform $other")
+      }
+      SpecField(c, t, fieldName, idx + 1, 1000 + i,
+        partitionAvroType(t, f.dataType), f.dataType)
+    }
+
+  /** The transform as a Spark expression over the source column — always
+    * materialized as a COPY (`__gp_` prefix) so hive-style partitionBy
+    * strips the copy, never a data column (Iceberg data files keep
+    * identity-partitioned columns). Ordinal domains match
+    * [[IcebergPruning.toTransformOrdinal]]: day = epoch days,
+    * month = (y-1970)*12+(m-1), year = y-1970. */
+  private def transformCol(t: String, c: SqlColumn): SqlColumn = t match {
+    case "identity" => c
+    case "day" | "days" => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+    case "month" | "months" => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
+    case "year" | "years" => year(c) - lit(1970)
+    case other => throw new IllegalArgumentException(s"unsupported transform $other")
+  }
+
+  /** Hive directory value → typed partition value in the manifest's Avro
+    * domain (identity over date stays an epoch-day int, Iceberg-style). */
+  private def parseDirValue(sf: SpecField, s: String): Any =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else sf.avroType match {
+      case "int" if sf.transform == "identity" && sf.sourceType == DateType =>
+        Int.box(LocalDate.parse(s).toEpochDay.toInt)
+      case "int" => Int.box(s.toInt)
+      case "long" => Long.box(s.toLong)
+      case _ => java.net.URLDecoder.decode(s, "UTF-8")
+    }
+
+  // ---- parquet footer statistics ------------------------------------------
+
+  /** Everything the manifest needs to know about one written data file. */
+  private final case class WrittenFile(
+      path: String, count: Long,
+      partition: Map[String, Any],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
+  /** Parquet statistics value → the bound domain [[IcebergPruning.encodeBound]]
+    * accepts. Unhandled types / NaN → None (no bound emitted → no pruning
+    * on that column; conservative). */
+  private def statValue(dt: DataType, raw: Any): Option[Any] = (dt, raw) match {
+    case (IntegerType | DateType, i: java.lang.Integer) => Some(i)
+    case (LongType | TimestampType | TimestampNTZType, l: java.lang.Long) => Some(l)
+    case (FloatType, f: java.lang.Float) if !f.isNaN => Some(f)
+    case (DoubleType, d: java.lang.Double) if !d.isNaN => Some(d)
+    case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
+    case (d: DecimalType, l: java.lang.Long) =>
+      Some(java.math.BigDecimal.valueOf(l, d.scale))
+    case (d: DecimalType, i: java.lang.Integer) =>
+      Some(java.math.BigDecimal.valueOf(i.longValue, d.scale))
+    case (d: DecimalType, b: Binary) =>
+      Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale))
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Row count + per-column min/max bounds from one parquet FOOTER —
+    * KB-scale I/O per file (no data pages). Parquet-mr's own binary-stats
+    * truncation (min truncated down, max padded up) keeps the derived
+    * bounds conservative by construction. */
+  private def footerStats(
+      st: FileStatus, conf: Configuration,
+      fields: Map[String, (Int, DataType)]): (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+    try {
+      val lower = scala.collection.mutable.Map.empty[Int, (DataType, Any)]
+      val upper = scala.collection.mutable.Map.empty[Int, (DataType, Any)]
+      for {
+        block <- r.getFooter.getBlocks.asScala
+        chunk <- block.getColumns.asScala
+        (id, dt) <- fields.get(chunk.getPath.toDotString)
+        stats = chunk.getStatistics
+        if stats != null && !stats.isEmpty && stats.hasNonNullValue
+      } {
+        statValue(dt, stats.genericGetMin).foreach { v =>
+          lower(id) = lower.get(id).filter(p => cmp(p._2, v) <= 0).getOrElse((dt, v))
+        }
+        statValue(dt, stats.genericGetMax).foreach { v =>
+          upper(id) = upper.get(id).filter(p => cmp(p._2, v) >= 0).getOrElse((dt, v))
+        }
+      }
+      def enc(m: scala.collection.Map[Int, (DataType, Any)]) =
+        m.flatMap { case (id, (dt, v)) =>
+          IcebergPruning.encodeBound(dt, v).map(id -> _)
+        }.toMap
+      (r.getRecordCount, enc(lower), enc(upper))
+    } finally r.close()
+  }
+
+  /** All data files under `dir` (recursively — partitioned writes nest
+    * hive dirs), with partition values parsed from `__gp_*=` path segments
+    * and bounds from footers. */
+  private def collectFiles(
+      dir: Path, conf: Configuration, spec: Seq[SpecField],
+      fields: Map[String, (Int, DataType)]): Seq[WrittenFile] = {
+    val fs = dir.getFileSystem(conf)
+    val files = {
+      val it = fs.listFiles(dir, true)
+      val buf = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.result()
+    }
+    files.sortBy(_.getPath.toString).map { st =>
+      val segs = st.getPath.toString.split('/')
+      val partition = spec.flatMap { sf =>
+        val prefix = s"__gp_${sf.fieldName}="
+        segs.find(_.startsWith(prefix))
+          .map(seg => sf.fieldName -> parseDirValue(sf, seg.stripPrefix(prefix)))
+      }.toMap
+      val (count, lower, upper) = footerStats(st, conf, fields)
+      WrittenFile(st.getPath.toString, count, partition, lower, upper)
+    }
+  }
+
+  /** Per-file row counts only (delete files need no bounds). */
   private def footerCounts(dir: Path, conf: Configuration): Seq[(String, Long)] = {
     val fs = dir.getFileSystem(conf)
     fs.listStatus(dir).toSeq
@@ -158,14 +303,26 @@ object IcebergWriter {
       .sortBy(_._1)
   }
 
-  /** Distributed parquet write (with field ids) → (file, rowCount) pairs. */
-  private def writeDataFiles(df: DataFrame, dataDir: Path): Seq[(String, Long)] = {
+  /** Distributed parquet write (with field ids; hive-partitioned when the
+    * spec is non-empty) → written-file stats for the manifest. */
+  private def writeDataFiles(
+      df: DataFrame, dataDir: Path,
+      spec: Seq[SpecField] = Seq.empty): Seq[WrittenFile] = {
     val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
       col(f.name).as(f.name,
         new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
     }.toIndexedSeq: _*)
-    withIds.write.parquet(dataDir.toString)
-    footerCounts(dataDir, df.sparkSession.sessionState.newHadoopConf())
+    val gpNames = spec.map(sf => s"__gp_${sf.fieldName}")
+    val withParts = spec.zip(gpNames).foldLeft(withIds) { case (d, (sf, gp)) =>
+      d.withColumn(gp, transformCol(sf.transform, col(sf.source)))
+    }
+    val writer = withParts.write
+    (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)
+      .parquet(dataDir.toString)
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (i + 1, f.dataType)
+    }.toMap
+    collectFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(), spec, fields)
   }
 
   private def writeManifest(
@@ -219,7 +376,8 @@ object IcebergWriter {
       schema: StructType,
       snapshotId: Long,
       seq: Long,
-      manifests: Seq[Manifest]): Long = {
+      manifests: Seq[Manifest],
+      spec: Seq[SpecField] = Seq.empty): Long = {
     val metaDir = new Path(path, "metadata")
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-list.avro")
     writeAvro(manifestListSchema, listPath, conf) {
@@ -233,6 +391,16 @@ object IcebergWriter {
     }
     val root: ObjectNode = mapper.createObjectNode()
     root.put("format-version", 2)
+    // Interchange fields other readers require (Iceberg spec "Table
+    // Metadata"): location, uuid, last-* counters, sort orders. The uuid is
+    // carried forward across commits like a real catalog would.
+    root.put("location", path)
+    root.put("table-uuid", state.flatMap(_.tableUuid)
+      .getOrElse(java.util.UUID.randomUUID().toString))
+    root.put("last-sequence-number", seq)
+    root.put("last-updated-ms",
+      state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
+    root.put("last-column-id", schema.fields.length)
     root.put("current-schema-id", 0)
     val schemas: ArrayNode = root.putArray("schemas")
     val schemaNode = schemas.addObject()
@@ -246,14 +414,35 @@ object IcebergWriter {
       fn.put("required", false)
       fn.put("type", toIcebergType(f.dataType))
     }
+    val specsNode = root.putArray("partition-specs")
+    val specNode = specsNode.addObject()
+    specNode.put("spec-id", 0)
+    val specFieldsNode = specNode.putArray("fields")
+    spec.foreach { sf =>
+      val fn = specFieldsNode.addObject()
+      fn.put("name", sf.fieldName)
+      fn.put("transform", if (sf.transform == "days") "day" else sf.transform)
+      fn.put("source-id", sf.sourceId)
+      fn.put("field-id", sf.fieldId)
+    }
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id",
+      (spec.map(_.fieldId) :+ 999).max)
+    val sortNode = root.putArray("sort-orders").addObject()
+    sortNode.put("order-id", 0)
+    sortNode.putArray("fields")
+    root.put("default-sort-order-id", 0)
     root.put("current-snapshot-id", snapshotId)
     val snapsNode = root.putArray("snapshots")
     state.map(_.snapshots).getOrElse(Seq.empty).foreach(snapsNode.add)
     val sn = snapsNode.addObject()
     sn.put("snapshot-id", snapshotId)
+    state.flatMap(_.currentSnapshotId).foreach(sn.put("parent-snapshot-id", _))
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
     sn.put("schema-id", 0)
+    val sum = sn.putObject("summary")
+    sum.put("operation", "append")
     sn.put("manifest-list", listPath.toString)
 
     val version = state.map(_.version + 1).getOrElse(1)
@@ -278,12 +467,19 @@ object IcebergWriter {
   /** Append `df` as a new snapshot of the table at `path`, creating the
     * table if absent. Returns the new snapshot id.
     *
+    * `partitionBy` = (source column, transform) pairs with transform ∈
+    * identity|day|month|year: data files are laid out per partition tuple
+    * and manifests carry typed partition values + per-file column bounds
+    * from the parquet footers, so `IcebergScan` with `Options.filters`
+    * skips whole files driver-side (the 100 TB scan lever).
+    *
     * Schema evolution: `df` may widen existing columns (int→long,
     * float→double, decimal precision) and may APPEND new columns — field
     * ids are positional, so existing columns keep their ids and old files
     * read NULL for columns added after they were written. Renames,
     * reorders, drops, and narrowings are rejected. */
-  def write(df: DataFrame, path: String): Long = {
+  def write(df: DataFrame, path: String,
+            partitionBy: Seq[(String, String)] = Seq.empty): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
@@ -304,12 +500,14 @@ object IcebergWriter {
     val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
     val seq = state.map(_.nextSeq).getOrElse(1L)
 
-    val fileCounts = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"))
+    val spec = resolveSpec(df.schema, partitionBy)
+    val files = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"), spec)
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(manifestPath, conf, fileCounts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 0, filePath = f,
-        fileFormat = "PARQUET", recordCount = n)
-    })
+    writeManifest(manifestPath, conf, files.map { w =>
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+    }, spec.map(sf => (sf.fieldName, sf.avroType)))
     // previous snapshot's manifests carried forward + the new one
     val prevManifests: Seq[Manifest] = state match {
       case Some(st) if st.snapshots.nonEmpty =>
@@ -318,7 +516,7 @@ object IcebergWriter {
       case _ => Seq.empty
     }
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
-      prevManifests :+ Manifest(manifestPath.toString, seq, 0))
+      prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec)
   }
 
   /** Row-level DELETE, merge-on-read: rows matching `predicate` are
@@ -425,12 +623,13 @@ object IcebergWriter {
         matched.drop("__file", "__pos"): DataFrame) {
       case (d, (name, value)) => d.withColumn(name, value)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val dataCounts = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"))
+    val dataFiles = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"))
 
     val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(dataManifest, conf, dataCounts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 0, filePath = f,
-        fileFormat = "PARQUET", recordCount = n)
+    writeManifest(dataManifest, conf, dataFiles.map { w =>
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count,
+        lowerBounds = w.lower, upperBounds = w.upper)
     })
     val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
     writeManifest(delManifest, conf, delCounts.map { case (f, n) =>
@@ -464,12 +663,13 @@ object IcebergWriter {
     val df = IcebergScan.scan(spark, path)
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
-    val fileCounts = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"))
+    val dataFiles = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"))
 
     val addedPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(addedPath, conf, fileCounts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 0, filePath = f,
-        fileFormat = "PARQUET", recordCount = n)
+    writeManifest(addedPath, conf, dataFiles.map { w =>
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count,
+        lowerBounds = w.lower, upperBounds = w.upper)
     })
     val deletedPath = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
     writeManifest(deletedPath, conf,

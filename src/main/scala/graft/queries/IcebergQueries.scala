@@ -147,6 +147,82 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib15_scan_pruned",
+      // Bounds-based file pruning gate: lineitem written as 8 range-disjoint
+      // files (repartitionByRange on l_orderkey → per-file footer min/max
+      // become manifest lower/upper bounds). A predicate on the minimum
+      // orderkey (1) keeps exactly ONE of the 8 files; the same scan options
+      // in list_files mode prove the file count, and the row count proves
+      // the residual filter kept semantics exact.
+      Some("""
+        SELECT CAST(8 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept,
+               COUNT(*) AS cnt
+        FROM lineitem WHERE l_orderkey <= 1"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib15_").toString + "/lineitem_ranged"
+        val src = graft.Tables.load(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_orderkey"))
+        graft.iceberg.IcebergWriter.write(src, table)
+        val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+          "l_orderkey", graft.iceberg.IcebergPruning.Le, 1L))
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+        val kept = IcebergScan.scan(s, table, Options(mode = "list_files", filters = filters))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
+        val cnt = IcebergScan.scan(s, table, Options(filters = filters))
+          .agg(count(lit(1)).as("cnt"))
+        total.crossJoin(kept).crossJoin(cnt)
+      }
+    ),
+    QueryDef(
+      "ib16_scan_partition_pruned",
+      // Partition-spec pruning gate — the `days(dt)` table shape of the
+      // reference's REST-catalog fixture (scripts/provision.py:86-94): the
+      // events table (30 distinct days) written partitioned by day(dt),
+      // manifests carrying the day ordinals. An equality predicate on one
+      // date keeps exactly 1 of the 30 files.
+      Some("""
+        SELECT CAST(30 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept,
+               COUNT(*) AS cnt
+        FROM events WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib16_").toString + "/events_by_day"
+        val src = graft.Tables.events(s, dir)
+          .withColumn("dt", to_date(col("ts")))
+          .repartition(30, col("dt"))
+        graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("dt" -> "day"))
+        val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+          "dt", graft.iceberg.IcebergPruning.Eq, java.time.LocalDate.parse("2024-01-05")))
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+        val kept = IcebergScan.scan(s, table, Options(mode = "list_files", filters = filters))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
+        val cnt = IcebergScan.scan(s, table, Options(filters = filters))
+          .agg(count(lit(1)).as("cnt"))
+        total.crossJoin(kept).crossJoin(cnt)
+      }
+    ),
+    QueryDef(
+      "ib17_sql_metadata_snapshot",
+      // iceberg_metadata with a positional snapshot id, entirely through SQL
+      // (the reference's overload registration, iceberg_functions.cpp:10-18).
+      // Golden: snapshot 1's single ADDED 60175-row manifest entry
+      // (iceberg_metadata.test version='1' block).
+      Some("""
+        SELECT 'lineitem_iceberg/metadata/cf3d0be5-cf70-453d-ad8f-48fdc412e608-m0.avro' AS manifest_path,
+               CAST(1 AS BIGINT) AS manifest_sequence_number, 'DATA' AS manifest_content,
+               'ADDED' AS status, 'EXISTING' AS content,
+               'lineitem_iceberg/data/00000-411-0792dcfe-4e25-4ca3-8ada-175286069a47-00001.parquet' AS file_path,
+               'PARQUET' AS file_format, CAST(60175 AS BIGINT) AS record_count"""),
+      (s, _) => {
+        graft.sql.GraftSql.register(s)
+        s.sql(s"""SELECT * FROM iceberg_metadata('$Lineitem', 3776207205136740581,
+                                                 allow_moved_paths => true)""")
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

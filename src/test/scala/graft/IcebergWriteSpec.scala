@@ -184,6 +184,67 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("renames"))
   }
 
+  test("partitioned write prunes files under a partition predicate, " +
+       "exactly (days(dt) shape, reference scripts/provision.py:86-94)") {
+    import graft.iceberg.IcebergPruning.{ColPredicate, Eq, Le}
+    val table = Files.createTempDirectory("graft_wp_").toString + "/t"
+    val orders = Tables.load(spark, Sf, "orders")
+      .withColumn("om", trunc(col("o_orderdate"), "month"))
+      .repartition(col("om"))
+    IcebergWriter.write(orders, table, partitionBy = Seq("om" -> "identity"))
+
+    val allFiles = IcebergScan.scan(spark, table, Options(mode = "list_files")).count()
+    val months = orders.select("om").distinct().count()
+    assert(allFiles === months) // one file per identity partition value
+
+    val d = java.time.LocalDate.parse("1995-03-01")
+    val filters = Seq(ColPredicate("om", Eq, d))
+    val kept = IcebergScan.scan(spark, table,
+      Options(mode = "list_files", filters = filters)).count()
+    assert(kept === 1) // strictly fewer files read under the predicate
+
+    // semantics: pruned scan ≡ unpruned scan + the same filter
+    val got = IcebergScan.scan(spark, table, Options(filters = filters))
+    val want = IcebergScan.scan(spark, table)
+      .filter(col("om") === lit(java.sql.Date.valueOf(d)))
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // day-transform over the raw date column prunes too (bounds + spec)
+    val table2 = Files.createTempDirectory("graft_wp2_").toString + "/t"
+    val sliced = orders.drop("om").filter(
+      col("o_orderdate") < lit("1995-02-01").cast("date"))
+    IcebergWriter.write(sliced.repartition(col("o_orderdate")), table2,
+      partitionBy = Seq("o_orderdate" -> "day"))
+    val days = sliced.select("o_orderdate").distinct().count()
+    assert(IcebergScan.scan(spark, table2, Options(mode = "list_files")).count() === days)
+    val dayFilters = Seq(ColPredicate(
+      "o_orderdate", Le, java.time.LocalDate.parse("1995-01-05")))
+    val keptDays = IcebergScan.scan(spark, table2,
+      Options(mode = "list_files", filters = dayFilters)).count()
+    assert(keptDays < days && keptDays > 0)
+  }
+
+  test("manifest column bounds prune range-disjoint unpartitioned files") {
+    import graft.iceberg.IcebergPruning.{ColPredicate, Gt}
+    val table = Files.createTempDirectory("graft_wb_").toString + "/t"
+    val li = Tables.load(spark, Sf, "lineitem")
+      .repartitionByRange(6, col("l_orderkey"))
+    IcebergWriter.write(li, table)
+    assert(IcebergScan.scan(spark, table, Options(mode = "list_files")).count() === 6)
+
+    val maxKey = li.agg(max("l_orderkey")).head.getLong(0)
+    val filters = Seq(ColPredicate("l_orderkey", Gt, maxKey - 1))
+    val kept = IcebergScan.scan(spark, table,
+      Options(mode = "list_files", filters = filters)).count()
+    assert(kept === 1) // only the top range file can hold the max key
+
+    val got = IcebergScan.scan(spark, table, Options(filters = filters))
+    val want = li.filter(col("l_orderkey") > maxKey - 1)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
