@@ -279,7 +279,15 @@ object IcebergWriter {
       }
       buf.result()
     }
-    files.sortBy(_.getPath.toString).map { st =>
+    // Footer reads in bounded parallel (same pool pattern as the manifest
+    // fetch) — a commit may add O(10k) files and a sequential driver loop
+    // over an object store would dominate commit time.
+    import scala.concurrent.duration._
+    val parallelism = conf.getInt(
+      ManifestReader.FetchParallelismKey, 16)
+    DriverPool.mapParallel(
+      files.sortBy(_.getPath.toString), parallelism, 300.seconds,
+      "graft-footer-read") { st =>
       val segs = st.getPath.toString.split('/')
       val partition = spec.flatMap { sf =>
         val prefix = s"__gp_${sf.fieldName}="
@@ -291,16 +299,19 @@ object IcebergWriter {
     }
   }
 
-  /** Per-file row counts only (delete files need no bounds). */
+  /** Per-file row counts only (delete files need no bounds); footers read
+    * on the shared bounded pool. */
   private def footerCounts(dir: Path, conf: Configuration): Seq[(String, Long)] = {
+    import scala.concurrent.duration._
     val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir).toSeq
+    val files = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-        try (st.getPath.toString, r.getRecordCount) finally r.close()
-      }
-      .sortBy(_._1)
+      .sortBy(_.getPath.toString)
+    val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    DriverPool.mapParallel(files, parallelism, 300.seconds, "graft-footer-read") { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try (st.getPath.toString, r.getRecordCount) finally r.close()
+    }
   }
 
   /** Distributed parquet write (with field ids; hive-partitioned when the

@@ -147,35 +147,16 @@ object ManifestReader {
       else snapshot.manifestList
     val manifests = readManifestList(listPath, conf, snapshot.formatVersion)
 
-    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val parallelism = math.max(1,
-      conf.getInt(FetchParallelismKey, DefaultFetchParallelism))
+    val parallelism = conf.getInt(FetchParallelismKey, DefaultFetchParallelism)
     val timeout = conf.getLong(FetchTimeoutSecKey, DefaultFetchTimeoutSec).seconds
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(parallelism, math.max(1, manifests.size)),
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-manifest-fetch")
-        t.setDaemon(true)
-        t
-      })
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val entries = Await.result(
-        Future.traverse(manifests) { m =>
-          Future {
-            val mPath =
-              if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
-              else m.manifestPath
-            m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
-          }
-        }, timeout)
-      TableMeta(tablePath, snapshot, entries)
-    } catch {
-      case _: java.util.concurrent.TimeoutException =>
-        throw new java.io.IOException(
-          s"timed out after $timeout fetching ${manifests.size} manifest file(s) " +
-          s"for $tablePath (raise $FetchTimeoutSecKey)")
-    } finally pool.shutdownNow()
+    val entries = DriverPool.mapParallel(
+      manifests, parallelism, timeout, "graft-manifest-fetch") { m =>
+      val mPath =
+        if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
+        else m.manifestPath
+      m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
+    }
+    TableMeta(tablePath, snapshot, entries)
   }
 }

@@ -165,28 +165,70 @@ object DedupQueries {
           FROM band a JOIN band c
             ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id)"""
 
-  /** Cluster labels after 3 rounds of min-label propagation over the LSH
-    * candidate graph — shared by d06 and the corpus pipeline (p01). */
-  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val cand = minhashCandidates(s, dir)
-    // Iterative algorithm: persist the edge set and each label generation,
-    // otherwise the lineage re-derives the whole LSH pipeline per round
-    // and doubles per iteration.
-    val edges = cand.select(col("doc_a").as("s"), col("doc_b").as("d"))
-      .union(cand.select(col("doc_b").as("s"), col("doc_a").as("d")))
-      .persist()
-    var labels = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to 3) {
+  /** Min-label propagation over an undirected edge set (`s`,`d` columns;
+    * both directions present). Each round is ONE shuffle on doc_id; each
+    * label generation is materialized eagerly so the superseded generation
+    * (and finally the edge cache) can be unpersisted — an iterative job
+    * that pins every generation leaks executor storage linearly in rounds.
+    *
+    * `fixpoint = false`: exactly `maxRounds` rounds (the oracle-pinned
+    * d06 semantics — the unrolled CTEs mirror the count).
+    * `fixpoint = true`: stop as soon as a round changes no label (true
+    * connected components for any diameter), bounded by `maxRounds`. */
+  private[queries] def propagate(
+      labels0: DataFrame, edges0: DataFrame,
+      fixpoint: Boolean, maxRounds: Int): DataFrame = {
+    val edges = edges0.persist()
+    var labels = labels0.select(col("doc_id"), col("label")).persist()
+    labels.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
       val nmin = edges.join(
           labels.select(col("doc_id").as("d"), col("label").as("xl")), "d")
         .groupBy(col("s").as("doc_id")).agg(min(col("xl")).as("nmin"))
-      labels = labels.join(nmin, Seq("doc_id"), "left")
+      val next = labels.join(nmin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
+      if (fixpoint) {
+        val changed = next.as("n")
+          .join(labels.as("p"), "doc_id")
+          .filter(col("n.label") =!= col("p.label"))
+          .count() // materializes `next`, then the parent can go
+        converged = changed == 0
+      } else next.count()
+      labels.unpersist()
+      labels = next
+      round += 1
     }
+    edges.unpersist()
     labels
+  }
+
+  /** Cluster labels after exactly 3 rounds of min-label propagation over
+    * the LSH candidate graph — shared by d06 and the corpus pipeline
+    * (p01); the round count is mirrored in the unrolled oracle CTEs
+    * ([[clusterLabelsSql]] — change both together). */
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidates(s, dir)
+    val edges = cand.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(cand.select(col("doc_b").as("s"), col("doc_a").as("d")))
+    val labels0 = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    propagate(labels0, edges, fixpoint = false, maxRounds = 3)
+  }
+
+  /** Production variant: iterate to convergence (no label changes) —
+    * correct connected components for any graph diameter. */
+  private[queries] def clusterLabelsFixpoint(
+      s: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
+    val cand = minhashCandidates(s, dir)
+    val edges = cand.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(cand.select(col("doc_b").as("s"), col("doc_a").as("d")))
+    val labels0 = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    propagate(labels0, edges, fixpoint = true, maxRounds = maxRounds)
   }
 
   /** The same propagation as oracle CTEs ending in `l3(doc_id, label)`
@@ -431,22 +473,32 @@ object DedupQueries {
     QueryDef(
       "a02_ann_lsh_bucketed",
       // Bucketed ANN — the 100 TB path: the same 16 hyperplanes regrouped
-      // as 4 bands of 4 sign bits (16-way buckets per band). A neighbor is
-      // a candidate iff it shares ≥1 band signature with the query; exact
-      // cosine + top-k runs only on candidates. Recall vs the exact a01
-      // baseline is tunable via bands × bits; candidates shrink ~16× per
-      // band vs brute force. Query side broadcasts (few query vectors).
+      // as 4 bands of 4 sign bits (16-way buckets per band), with QUERY-SIDE
+      // MULTIPROBE: each query also probes the 4 Hamming-distance-1
+      // signatures of every band — the standard recall lever (probe more
+      // buckets, don't widen the buckets), lifting recall@3 from ~0.4 to
+      // ~0.9 on this corpus (AnnRecallSpec pins it). Candidates stay
+      // bucket-bounded: only the tiny query side fans out 5×; exact cosine
+      // + top-k runs only on candidates.
       Some(s"""
         WITH ${planeBitsSql},
         sigs AS (
           SELECT vec_id, j // 4 AS band,
                  string_agg(bit, '' ORDER BY j) AS sig
           FROM bits GROUP BY vec_id, j // 4),
+        qsigs AS (SELECT vec_id, band, sig FROM sigs WHERE vec_id < 5),
+        probes AS (
+          SELECT vec_id, band, sig FROM qsigs
+          UNION ALL
+          SELECT vec_id, band,
+                 substr(sig, 1, k)
+                 || (CASE WHEN substr(sig, k + 1, 1) = '1' THEN '0' ELSE '1' END)
+                 || substr(sig, k + 2, 3 - k) AS sig
+          FROM qsigs, range(4) t(k)),
         cand AS (
           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-          FROM sigs q JOIN sigs c
-            ON q.band = c.band AND q.sig = c.sig AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 5),
+          FROM probes q JOIN sigs c
+            ON q.band = c.band AND q.sig = c.sig AND q.vec_id <> c.vec_id),
         pair_dots AS (
           SELECT cand.query_id, cand.neighbor_id,
                  ${dotDblSql("ea.e", "ec.e")} AS dot
@@ -475,7 +527,16 @@ object DedupQueries {
         val bands = e.select(col("vec_id"),
           posexplode(array(sigs: _*)).as(Seq("band", "sig")))
         val qb = bands.filter(col("vec_id") < 5)
-        val cand = qb.as("q").join(bands.as("c"),
+        // multiprobe: the band signature itself + its 4 Hamming-1 flips
+        val flips = (0 until 4).map { k =>
+          concat(
+            substring(col("sig"), 1, k),
+            when(substring(col("sig"), k + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+            substring(col("sig"), k + 2, 3 - k))
+        }
+        val probes = qb.select(col("vec_id"), col("band"),
+          explode(array(col("sig") +: flips: _*)).as("sig"))
+        val cand = probes.as("q").join(bands.as("c"),
             col("q.band") === col("c.band") && col("q.sig") === col("c.sig") &&
             col("q.vec_id") =!= col("c.vec_id"))
           .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantified ANN quality gate (VERDICT r2 #8 / r3 #7): recall@3 of the
+  * approximate paths (a02 hyperplane-LSH buckets, a03 IVF probes) against
+  * the exact brute-force baseline (a01) at sf0.01, pinned so a regression
+  * in the bucketing/probing parameters fails the build rather than
+  * silently degrading retrieval quality. */
+class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Sf = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[8]", "8").appName("graft-ann").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** query_id → set of top-3 neighbor ids. */
+  private def topk(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, Sf)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  private def recallAt3(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, base) =>
+      approx.getOrElse(q, Set.empty).intersect(base).size.toDouble / base.size
+    }
+    per.sum / per.size
+  }
+
+  test("a02 LSH-bucketed ANN reaches recall@3 >= 0.8 vs exact baseline") {
+    val exact = topk("a01_ann_bruteforce_topk")
+    val r = recallAt3(topk("a02_ann_lsh_bucketed"), exact)
+    info(f"a02 recall@3 = $r%.3f")
+    assert(r >= 0.8)
+  }
+
+  test("a03 IVF ANN reaches recall@3 >= 0.8 vs exact baseline") {
+    val exact = topk("a01_ann_bruteforce_topk")
+    val r = recallAt3(topk("a03_ann_ivf"), exact)
+    info(f"a03 recall@3 = $r%.3f")
+    assert(r >= 0.8)
+  }
+}
