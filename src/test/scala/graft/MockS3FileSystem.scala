@@ -1,0 +1,45 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
+
+/** A fake object-store scheme for end-to-end tests: `mock-s3://bucket/p`
+  * maps to local path `/p`, but every Path the engine sees — table roots,
+  * manifest strings, `_metadata.file_path` provenance URIs — carries a
+  * scheme AND an authority component, exactly the seams where local-path
+  * assumptions break against real S3 (the reference runs its oracle suite
+  * over minio for the same reason,
+  * `test/sql/iceberg_scan_generated_data_0_01_remote.test_slow:5-27`).
+  * Registered per-session via `spark.hadoop.fs.mock-s3.impl`. */
+class MockS3FileSystem extends RawLocalFileSystem {
+  private var myUri: URI = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    myUri = URI.create(
+      name.getScheme + "://" + Option(name.getAuthority).getOrElse(""))
+    super.initialize(name, conf)
+  }
+
+  // called during construction (working-dir qualification) before
+  // initialize() runs — fall back to a bare scheme URI until then
+  override def getUri: URI =
+    if (myUri == null) URI.create("mock-s3:///") else myUri
+
+  override def getScheme: String = "mock-s3"
+
+  /** RawLocalFileSystem's status objects load permissions LAZILY via
+    * `new java.io.File(path.toUri)`, which rejects non-file schemes —
+    * replace them with plain eager FileStatus (like real object stores,
+    * which have no POSIX permissions anyway). */
+  private def sanitize(s: FileStatus): FileStatus =
+    new FileStatus(s.getLen, s.isDirectory, s.getReplication, s.getBlockSize,
+      s.getModificationTime, s.getAccessTime, null, null, null, s.getPath)
+
+  override def getFileStatus(f: Path): FileStatus =
+    sanitize(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(sanitize)
+}
