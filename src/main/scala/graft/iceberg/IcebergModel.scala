@@ -47,7 +47,8 @@ object IcebergModel {
       status: Int, content: Int, filePath: String, fileFormat: String, recordCount: Long,
       partition: Map[String, Any] = Map.empty,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      equalityIds: Seq[Int] = Seq.empty)
 
   final case class TableMeta(
       path: String,

@@ -58,13 +58,15 @@ object IcebergScan {
     }
   }
 
-  /** Live (non-DELETED-status) file paths of one content class, re-anchored
-    * when allowMovedPaths — reference GetPaths (iceberg_metadata.hpp:116-131). */
+  /** Live (non-DELETED-status) entries of one content class with their
+    * manifest sequence numbers (equality-delete scoping needs them) —
+    * reference GetPaths (iceberg_metadata.hpp:116-131). */
   private def livePaths(meta: TableMeta, manifestContent: Int, entryContent: Int,
-                        opts: Options): Seq[ManifestEntry] =
+                        opts: Options): Seq[(ManifestEntry, Long)] =
     meta.entries.collect {
       case (m, es) if m.content == manifestContent =>
         es.filter(e => e.status != 2 && e.content == entryContent)
+          .map(e => (e, m.sequenceNumber))
     }.flatten
 
   private def resolved(tablePath: String, p: String, opts: Options): String =
@@ -80,25 +82,24 @@ object IcebergScan {
     // the scan lever the reference leaves on the table (SURVEY §2.10). The
     // same predicates are re-applied as a Spark filter below, so this only
     // shrinks the file list, never the semantics.
-    val dataEntries = IcebergPruning.prune(
-      livePaths(meta, manifestContent = 0, entryContent = 0, opts),
+    val dataWithSeq = livePaths(meta, manifestContent = 0, entryContent = 0, opts)
+    val keptPaths = IcebergPruning.prune(
+      dataWithSeq.map(_._1),
       opts.filters, snapshot.partitionSpec, snapshot.schema)
+      .map(_.filePath).toSet
+    val dataEntries = dataWithSeq.filter { case (e, _) => keptPaths(e.filePath) }
     val deleteEntries = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
-    val dataPaths = dataEntries.map(e => resolved(path, e.filePath, opts))
-    val deletePaths = deleteEntries.map(e => resolved(path, e.filePath, opts))
-
-    // Equality deletes (content==2) have no execution path — same as the
-    // reference (iceberg_types.hpp:45 defines the enum; nothing reads it) —
-    // but silently returning undeleted rows would be data corruption, so
-    // fail loudly instead.
-    val equalityDeletes = livePaths(meta, manifestContent = 1, entryContent = 2, opts)
-    if (equalityDeletes.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"iceberg_scan: table at $path has ${equalityDeletes.size} live equality-delete " +
-        "file(s) (content=EQUALITY_DELETES); equality deletes are not supported")
+    // Equality deletes (content==2): the capability the reference defines
+    // but never executes (iceberg_types.hpp:45 enum only) — implemented
+    // here with the spec's sequence scoping (deletes apply to data files
+    // whose sequence number is STRICTLY LESS than the delete's).
+    val eqEntries = livePaths(meta, manifestContent = 1, entryContent = 2, opts)
+    val dataPaths = dataEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
+    val deletePaths = deleteEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
+    val eqPaths = eqEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
 
     if (opts.mode == "list_files")
-      return listFilesDF(spark, dataPaths, deletePaths)
+      return listFilesDF(spark, dataPaths, deletePaths ++ eqPaths)
 
     // Schema keyed by Iceberg field id → rename/evolution-safe parquet reads
     // (the analogue of the reference's id-keyed schema map, S5). Requires
@@ -121,9 +122,8 @@ object IcebergScan {
     // parquet scan by Catalyst; file pruning above was only an accelerant.
     val residual = IcebergPruning.residual(opts.filters, snapshot.schema)
     val dataDF = residual.foldLeft(withSchema.load(dataPaths: _*))(_.filter(_))
-    if (deletePaths.isEmpty) return dataDF
+    if (deletePaths.isEmpty && eqPaths.isEmpty) return dataDF
 
-    // --- v2 merge-on-read position deletes ---
     // Spark reports _metadata.file_path as a fully-qualified URI, while the
     // delete files reference data files by the exact strings the writer put
     // in the manifests. Bridge on the driver: passed-path → qualified URI,
@@ -135,35 +135,74 @@ object IcebergScan {
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
     import spark.implicits._
-    val fileMap = dataEntries.map { e =>
-      val passed = resolved(path, e.filePath, opts)
-      (e.filePath, qualify(passed))
-    }.toDF("__orig_path", "__qual_path")
 
-    // Cardinality-driven join costing (reference's explicit_cardinality,
-    // iceberg_scan.cpp:283-294): the delete-side manifest stats drive an
-    // explicit broadcast below. Data-side stats are deliberately NOT
-    // injected — Spark's AQE re-plans the join from runtime statistics,
-    // which subsumes a static data-side estimate.
-    val deleteCard = deleteEntries.map(_.recordCount).sum
-    val rawDeletes = spark.read.parquet(deletePaths: _*).select("file_path", "pos")
-    // Map each position-delete row to the qualified data-file URI. Inner
-    // join also drops deletes pointing at no-longer-live data files.
-    val deletes0 = rawDeletes
-      .join(broadcast(fileMap), col("file_path") === col("__orig_path"))
-      .select(col("__qual_path").as("__del_file"), col("pos").as("__del_pos"))
-    val deletes = if (deleteCard <= opts.broadcastDeleteThreshold) broadcast(deletes0) else deletes0
-
-    val withProvenance = dataDF.select(
+    var cur = dataDF.select(
       col("*"),
       col("_metadata.file_path").as("__graft_file"),
       col("_metadata.row_index").as("__graft_pos"))
-    // Null-safe ≡ join keys, mirroring COMPARE_NOT_DISTINCT_FROM (J1).
-    withProvenance
-      .join(deletes,
+
+    // --- v2 merge-on-read position deletes ---
+    if (deletePaths.nonEmpty) {
+      val fileMap = dataEntries.map { case (e, _) =>
+        val passed = resolved(path, e.filePath, opts)
+        (e.filePath, qualify(passed))
+      }.toDF("__orig_path", "__qual_path")
+
+      // Cardinality-driven join costing (reference's explicit_cardinality,
+      // iceberg_scan.cpp:283-294): the delete-side manifest stats drive an
+      // explicit broadcast below. Data-side stats are deliberately NOT
+      // injected — Spark's AQE re-plans the join from runtime statistics,
+      // which subsumes a static data-side estimate.
+      val deleteCard = deleteEntries.map(_._1.recordCount).sum
+      val rawDeletes = spark.read.parquet(deletePaths: _*).select("file_path", "pos")
+      // Map each position-delete row to the qualified data-file URI. Inner
+      // join also drops deletes pointing at no-longer-live data files.
+      val deletes0 = rawDeletes
+        .join(broadcast(fileMap), col("file_path") === col("__orig_path"))
+        .select(col("__qual_path").as("__del_file"), col("pos").as("__del_pos"))
+      val deletes =
+        if (deleteCard <= opts.broadcastDeleteThreshold) broadcast(deletes0) else deletes0
+      // Null-safe ≡ join keys, mirroring COMPARE_NOT_DISTINCT_FROM (J1).
+      cur = cur.join(deletes,
         col("__graft_file") <=> col("__del_file") && col("__graft_pos") <=> col("__del_pos"),
         "left_anti")
-      .drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
+    }
+
+    // --- v2 merge-on-read equality deletes (engine extension) ---
+    if (eqEntries.nonEmpty) {
+      // per-row data sequence number via a broadcast (qualified URI → seq)
+      val seqMap = dataEntries.map { case (e, seq) =>
+        (qualify(resolved(path, e.filePath, opts)), seq)
+      }.toDF("__eq_qual", "__data_seq")
+      cur = cur.join(broadcast(seqMap), col("__graft_file") === col("__eq_qual"), "left")
+        .drop("__eq_qual")
+      // group delete files by their equality-column set: manifest
+      // equality_ids when present, else the delete file's own schema
+      val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
+      val groups = eqEntries.groupBy { case (e, _) =>
+        if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
+        else spark.read.parquet(resolved(path, e.filePath, opts))
+          .schema.fieldNames.toSeq.sorted
+      }
+      val eqCard = eqEntries.map(_._1.recordCount).sum
+      groups.foreach { case (cols, files) =>
+        val del = files.map { case (e, dseq) =>
+          spark.read.parquet(resolved(path, e.filePath, opts))
+            .select(cols.map(col): _*)
+            .withColumn("__del_seq", lit(dseq))
+        }.reduce(_ unionByName _)
+        val delR = del.select(
+          cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
+        val delB = if (eqCard <= opts.broadcastDeleteThreshold) broadcast(delR) else delR
+        // null-safe equality on the key columns; strictly-older scoping
+        val cond = cols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
+          col("__data_seq") < col("__del_seq")
+        cur = cur.join(delB, cond, "left_anti")
+      }
+      cur = cur.drop("__data_seq")
+    }
+
+    cur.drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
   }
 
   /** Incremental append scan — the rows ADDED between two snapshots (an

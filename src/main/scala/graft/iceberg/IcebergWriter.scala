@@ -102,6 +102,8 @@ object IcebergWriter {
               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
            "default":null},
           {"name":"upper_bounds","type":["null",{"type":"array","items":"k126_v127"}],
+           "default":null},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
            "default":null}
         ]}}]}""")
   }
@@ -371,6 +373,8 @@ object IcebergWriter {
         }
         if (e.lowerBounds.nonEmpty) dfr.put("lower_bounds", boundsArray(e.lowerBounds))
         if (e.upperBounds.nonEmpty) dfr.put("upper_bounds", boundsArray(e.upperBounds))
+        if (e.equalityIds.nonEmpty)
+          dfr.put("equality_ids", e.equalityIds.map(Int.box).asJava)
         val rec = new GenericData.Record(entrySchema)
         rec.put("status", e.status)
         rec.put("data_file", dfr)
@@ -577,6 +581,42 @@ object IcebergWriter {
     writeManifest(manifestPath, conf, fileCounts.map { case (f, n) =>
       ManifestEntry(status = 1, content = 1, filePath = f, // POSITION_DELETES
         fileFormat = "PARQUET", recordCount = n)
+    })
+    val prevManifests = ManifestReader.readManifestList(
+      latest.manifestList, conf, latest.formatVersion)
+    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+      prevManifests :+ Manifest(manifestPath.toString, seq, content = 1))
+  }
+
+  /** Row-level EQUALITY DELETE, merge-on-read: `keys` (whose columns must
+    * be table columns) are written as a v2 equality-delete file; at read
+    * time every data row from a snapshot OLDER than this one whose key
+    * columns null-safely equal any key row is subtracted. This is the
+    * Iceberg capability the reference defines but never executes
+    * (iceberg_types.hpp:45 enum only) — an engine extension here, with
+    * the spec's sequence semantics: rows appended at or after the
+    * delete's sequence number are NOT affected. */
+  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"deleteEquality: no Iceberg table at $path"))
+    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+    require(keys.schema.fieldNames.toSet.subsetOf(schema.fieldNames.toSet),
+      s"deleteEquality: unknown columns ${keys.schema.fieldNames.toSet -- schema.fieldNames}")
+    val idByName = latest.schema.map(c => c.name -> c.id).toMap
+
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val delDir = new Path(path, s"data/snap-$snapshotId-eqdeletes")
+    keys.distinct().write.parquet(delDir.toString)
+    val counts = footerCounts(delDir, conf)
+    val eqIds = keys.schema.fieldNames.toSeq.map(idByName)
+
+    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    writeManifest(manifestPath, conf, counts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 2, filePath = f, // EQUALITY_DELETES
+        fileFormat = "PARQUET", recordCount = n, equalityIds = eqIds)
     })
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)

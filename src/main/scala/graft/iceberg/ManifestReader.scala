@@ -118,7 +118,12 @@ object ManifestReader {
         recordCount = df.get("record_count").asInstanceOf[Long],
         partition = partition,
         lowerBounds = boundsMap(fieldOrNull(df, "lower_bounds")),
-        upperBounds = boundsMap(fieldOrNull(df, "upper_bounds")))
+        upperBounds = boundsMap(fieldOrNull(df, "upper_bounds")),
+        equalityIds = fieldOrNull(df, "equality_ids") match {
+          case c: java.util.Collection[_] =>
+            c.asScala.toSeq.collect { case i: java.lang.Integer => i.intValue }
+          case _ => Seq.empty
+        })
     }
   }
 

@@ -223,6 +223,28 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib18_equality_delete",
+      // Equality-delete gate (engine extension; the reference defines the
+      // content type but never executes it, iceberg_types.hpp:45): write
+      // lineitem, equality-delete every 7th order key, scan back. The
+      // oracle states the surviving-row semantics directly.
+      Some("""
+        SELECT COUNT(*) AS cnt, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 7 <> 0"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib18_").toString + "/lineitem_eq"
+        val li = graft.Tables.load(s, dir, "lineitem")
+        graft.iceberg.IcebergWriter.write(li, table)
+        val keys = li.filter(col("l_orderkey") % 7 === 0)
+          .select("l_orderkey").distinct()
+        graft.iceberg.IcebergWriter.deleteEquality(s, table, keys)
+        IcebergScan.scan(s, table).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("long").as("qty"))
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

@@ -17,8 +17,9 @@ import graft.iceberg.IcebergScan.Options
   * wrong codec / missing dir / bad version format errors
   * (iceberg_snapshots.test:30-49, iceberg_metadata.test:41-49), v1 and gzip
   * metadata goldens (iceberg_metadata.test), no-hint guessing variants, and
-  * the fail-loud path for equality deletes (which the reference's enum
-  * defines but nothing executes — iceberg_types.hpp:45).
+  * the equality-delete read path over a FOREIGN-written fixture (the
+  * reference's enum defines the content type but nothing executes it —
+  * iceberg_types.hpp:45; here it is a real engine extension).
   */
 class IcebergParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -123,14 +124,35 @@ class IcebergParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("unsafe_enable_version_guessing")
   }
 
-  // ---- equality deletes fail loudly -------------------------------------
+  // ---- foreign-written equality deletes ----------------------------------
 
-  /** Build a minimal v2 table whose snapshot carries one equality-delete
-    * manifest entry. No parquet is needed — the scan must throw before any
-    * data file is touched. */
+  /** Build a minimal v2 table BY HAND (not via IcebergWriter) whose
+    * snapshot carries data files at two sequence numbers and one
+    * equality-delete file WITHOUT the `equality_ids` manifest field —
+    * exercising the fallback where the delete file's own parquet schema
+    * defines the key columns, plus the spec's strictly-older sequence
+    * scoping. Layout: seq 1 data {1..10}, seq 2 delete {x∈(3,5)},
+    * seq 3 data {3}. Expected read: {1,2,4,6,7,8,9,10} ∪ {3}. */
   private def buildEqualityDeleteTable(): String = {
+    import spark.implicits._
     val root = Files.createTempDirectory("graft_eqdel_").toFile
     val metaDir = new File(root, "metadata"); metaDir.mkdirs()
+
+    def writeOneParquet(df: org.apache.spark.sql.DataFrame, dir: String): String = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.MetadataBuilder
+      // field-id metadata, like any real Iceberg writer (the session reads
+      // by field id)
+      val withIds = df.select(df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        col(n).as(n, new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+      }.toIndexedSeq: _*)
+      withIds.coalesce(1).write.parquet(s"${root.getAbsolutePath}/$dir")
+      new File(s"${root.getAbsolutePath}/$dir").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    }
+    val data1 = writeOneParquet((1L to 10L).toDF("x"), "data/d1")
+    val del2 = writeOneParquet(Seq(3L, 5L).toDF("x"), "data/del2")
+    val data3 = writeOneParquet(Seq(3L).toDF("x"), "data/d3")
 
     val manifestSchema = new Schema.Parser().parse("""
       {"type":"record","name":"manifest_entry","fields":[
@@ -140,37 +162,49 @@ class IcebergParitySpec extends AnyFunSuite with BeforeAndAfterAll {
           {"name":"file_path","type":"string"},
           {"name":"file_format","type":"string"},
           {"name":"record_count","type":"long"}]}}]}""")
-    val manifestFile = new File(metaDir, "eqdel-m0.avro")
-    writeAvro(manifestSchema, manifestFile) { rec =>
-      val df = new GenericData.Record(manifestSchema.getField("data_file").schema())
-      df.put("content", 2) // EQUALITY_DELETES
-      df.put("file_path", s"${root.getAbsolutePath}/data/eqdel.parquet")
-      df.put("file_format", "PARQUET")
-      df.put("record_count", 1L)
-      rec.put("status", 1) // ADDED
-      rec.put("data_file", df)
+    def writeManifest(name: String, content: Int, filePath: String, n: Long): File = {
+      val f = new File(metaDir, name)
+      writeAvro(manifestSchema, f) { rec =>
+        val df = new GenericData.Record(manifestSchema.getField("data_file").schema())
+        df.put("content", content)
+        df.put("file_path", filePath)
+        df.put("file_format", "PARQUET")
+        df.put("record_count", n)
+        rec.put("status", 1) // ADDED
+        rec.put("data_file", df)
+      }
+      f
     }
+    val m1 = writeManifest("m1.avro", 0, data1, 10L)
+    val m2 = writeManifest("m2.avro", 2, del2, 2L) // EQUALITY_DELETES
+    val m3 = writeManifest("m3.avro", 0, data3, 1L)
 
     val listSchema = new Schema.Parser().parse("""
       {"type":"record","name":"manifest_file","fields":[
         {"name":"manifest_path","type":"string"},
         {"name":"content","type":"int"},
         {"name":"sequence_number","type":"long"}]}""")
-    val listFile = new File(metaDir, "snap-1.avro")
-    writeAvro(listSchema, listFile) { rec =>
-      rec.put("manifest_path", manifestFile.getAbsolutePath)
-      rec.put("content", 1) // DELETE manifest
-      rec.put("sequence_number", 1L)
-    }
+    val listFile = new File(metaDir, "snap-3.avro")
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+    writer.create(listSchema, listFile)
+    try {
+      for ((m, content, seq) <- Seq((m1, 0, 1L), (m2, 1, 2L), (m3, 0, 3L))) {
+        val rec = new GenericData.Record(listSchema)
+        rec.put("manifest_path", m.getAbsolutePath)
+        rec.put("content", content)
+        rec.put("sequence_number", seq)
+        writer.append(rec)
+      }
+    } finally writer.close()
 
     val metadataJson = s"""{
       "format-version": 2,
       "current-schema-id": 0,
       "schemas": [{"schema-id": 0, "type": "struct", "fields": [
         {"id": 1, "name": "x", "required": false, "type": "long"}]}],
-      "current-snapshot-id": 1,
+      "current-snapshot-id": 3,
       "snapshots": [{
-        "snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1700000000000,
+        "snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 1700000000000,
         "schema-id": 0, "manifest-list": "${listFile.getAbsolutePath}"}]
     }"""
     Files.writeString(new File(metaDir, "v1.metadata.json").toPath, metadataJson)
@@ -228,11 +262,11 @@ class IcebergParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() === 6592L)
   }
 
-  test("live equality deletes fail loudly instead of corrupting results") {
+  test("foreign equality deletes subtract with strictly-older sequence scoping") {
     val table = buildEqualityDeleteTable()
-    val e = intercept[UnsupportedOperationException] {
-      IcebergScan.scan(spark, table)
-    }
-    assert(e.getMessage.contains("equality deletes are not supported"))
+    val got = IcebergScan.scan(spark, table).collect().map(_.getLong(0)).sorted
+    // seq-1 rows 3 and 5 deleted by the seq-2 delete; the seq-3 re-insert
+    // of 3 survives (delete applies only to strictly older data files)
+    assert(got.toSeq === Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L))
   }
 }

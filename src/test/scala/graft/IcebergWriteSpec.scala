@@ -245,6 +245,46 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("equality DELETE round-trips with sequence scoping and stacks with appends") {
+    val table = Files.createTempDirectory("graft_weq_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val n = nation.count()
+    IcebergWriter.write(nation, table)
+
+    // delete by key: nations 0..9 disappear
+    val keys = nation.filter(col("n_nationkey") < 10).select("n_nationkey")
+    IcebergWriter.deleteEquality(spark, table, keys)
+    val after = IcebergScan.scan(spark, table)
+    assert(after.count() === n - 10)
+    assert(after.filter(col("n_nationkey") < 10).count() === 0)
+
+    // rows appended AFTER the delete are NOT affected (strictly-older scope)
+    IcebergWriter.write(nation, table)
+    val after2 = IcebergScan.scan(spark, table)
+    assert(after2.count() === (n - 10) + n)
+    assert(after2.filter(col("n_nationkey") < 10).count() === 10)
+
+    // a second, multi-column equality delete stacks on top
+    IcebergWriter.deleteEquality(spark, table,
+      nation.filter(col("n_nationkey") === 15).select("n_nationkey", "n_name"))
+    val after3 = IcebergScan.scan(spark, table)
+    assert(after3.filter(col("n_nationkey") === 15).count() === 0)
+    assert(after3.count() === (n - 10) + n - 2) // key 15 in both live snapshots
+
+    // position deletes compose with equality deletes
+    IcebergWriter.delete(spark, table, col("n_nationkey") === 20)
+    val after4 = IcebergScan.scan(spark, table)
+    assert(after4.filter(col("n_nationkey") === 20).count() === 0)
+
+    // metadata listing surfaces the equality-delete entries
+    val meta = IcebergScan.metadata(spark, table).collect()
+    assert(meta.count(_.getString(4) === "EQUALITY_DELETES") === 2)
+
+    // time travel to the pre-delete snapshot still sees everything
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotId = Some(1L))).count() === n)
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
