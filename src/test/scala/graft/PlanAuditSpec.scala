@@ -83,4 +83,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
     assert(pushed.contains("l_quantity"), p.take(2000))
   }
+
+  test("pruned scan: the residual predicate is ALSO pushed into parquet " +
+       "(file skipping and row-group skipping compose)") {
+    import graft.iceberg.IcebergPruning.{ColPredicate, Le}
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_pa_").toString + "/t"
+    val li = Tables.load(spark, Sf, "lineitem").repartitionByRange(4, col("l_orderkey"))
+    graft.iceberg.IcebergWriter.write(li, table)
+    val df = graft.iceberg.IcebergScan.scan(spark, table,
+      graft.iceberg.IcebergScan.Options(
+        filters = Seq(ColPredicate("l_orderkey", Le, 10L))))
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("l_orderkey") &&
+           (pushed.contains("LessThanOrEqual") || pushed.contains("LessThan")), pushed)
+  }
+
+  test("MoR scans: position and equality deletes subtract via hash ANTI joins " +
+       "(the reference asserts the same shape, …0_001.test:110-114)") {
+    import org.apache.spark.sql.functions._
+    // position deletes: the reference's generated MoR table
+    val pos = graft.iceberg.IcebergScan.scan(
+      spark, "/root/reference/data/iceberg/generated_spec2_0_001/pyspark_iceberg_table",
+      graft.iceberg.IcebergScan.Options(allowMovedPaths = true))
+    val pPos = pos.queryExecution.executedPlan.toString
+    assert(pPos.contains("LeftAnti"), pPos.take(3000))
+    assert(!pPos.contains("CartesianProduct") && !pPos.contains("BroadcastNestedLoopJoin"))
+
+    // equality deletes: our own writer's output
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_pa2_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.deleteEquality(spark, table,
+      nation.filter(col("n_nationkey") < 5).select("n_nationkey"))
+    val eq = graft.iceberg.IcebergScan.scan(spark, table)
+    val pEq = eq.queryExecution.executedPlan.toString
+    assert(pEq.contains("BroadcastHashJoin") && pEq.contains("LeftAnti"), pEq.take(3000))
+    assert(!pEq.contains("CartesianProduct") && !pEq.contains("BroadcastNestedLoopJoin"))
+  }
 }
