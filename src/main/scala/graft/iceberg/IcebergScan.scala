@@ -37,7 +37,12 @@ object IcebergScan {
       // manifest column bounds to SKIP whole data files before the plan is
       // composed (IcebergPruning), then re-applied as a Spark filter on the
       // surviving files — pruning never changes semantics, only file count.
-      filters: Seq[IcebergPruning.ColPredicate] = Seq.empty)
+      filters: Seq[IcebergPruning.ColPredicate] = Seq.empty,
+      // Keep the __graft_file/__graft_pos provenance columns on the output
+      // (used by the writer's row-level DELETE/UPDATE, which must see rows
+      // AFTER existing tombstones are applied — reading raw data files
+      // would resurrect previously-deleted rows).
+      keepProvenance: Boolean = false)
 
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
@@ -114,15 +119,19 @@ object IcebergScan {
 
     if (dataPaths.isEmpty) {
       // Empty snapshot: zero-row frame with the snapshot schema.
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        IcebergSchemaParser.toStructType(snapshot.schema))
+      val base = IcebergSchemaParser.toStructType(snapshot.schema)
+      val schema =
+        if (!opts.keepProvenance) base
+        else StructType(base.fields.toSeq :+
+          StructField("__graft_file", StringType) :+
+          StructField("__graft_pos", LongType))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
     // Residual filter: the exact predicate semantics, pushed into the
     // parquet scan by Catalyst; file pruning above was only an accelerant.
     val residual = IcebergPruning.residual(opts.filters, snapshot.schema)
     val dataDF = residual.foldLeft(withSchema.load(dataPaths: _*))(_.filter(_))
-    if (deletePaths.isEmpty && eqPaths.isEmpty) return dataDF
+    if (deletePaths.isEmpty && eqPaths.isEmpty && !opts.keepProvenance) return dataDF
 
     // Spark reports _metadata.file_path as a fully-qualified URI, while the
     // delete files reference data files by the exact strings the writer put
@@ -202,7 +211,8 @@ object IcebergScan {
       cur = cur.drop("__data_seq")
     }
 
-    cur.drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
+    if (opts.keepProvenance) cur
+    else cur.drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
   }
 
   /** Incremental append scan — the rows ADDED between two snapshots (an

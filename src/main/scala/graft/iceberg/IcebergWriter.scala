@@ -564,14 +564,14 @@ object IcebergWriter {
 
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
-    val positions = spark.read.schema(schema).parquet(liveFiles: _*)
-      .select(col("*"),
-        col("_metadata.file_path").as("__file"),
-        col("_metadata.row_index").as("__pos"))
+    // Match against the TOMBSTONE-AWARE scan (provenance kept): already
+    // position/equality-deleted rows must not be re-tombstoned.
+    val positions = IcebergScan.scan(spark, path,
+        IcebergScan.Options(keepProvenance = true))
       .filter(predicate)
       .join(org.apache.spark.sql.functions.broadcast(fileMap),
-        col("__file") === col("__qual"))
-      .select(col("__orig").as("file_path"), col("__pos").as("pos"))
+        col("__graft_file") === col("__qual"))
+      .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
 
     val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
     positions.write.parquet(delDir.toString)
@@ -654,24 +654,25 @@ object IcebergWriter {
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
 
-    val matched = spark.read.schema(schema).parquet(liveFiles: _*)
-      .select(col("*"),
-        col("_metadata.file_path").as("__file"),
-        col("_metadata.row_index").as("__pos"))
+    // Match against the TOMBSTONE-AWARE scan (provenance kept): updating a
+    // predicate that matches previously-deleted rows must not resurrect
+    // them as fresh data rows.
+    val matched = IcebergScan.scan(spark, path,
+        IcebergScan.Options(keepProvenance = true))
       .filter(predicate)
 
     // tombstones for the old versions
     val positions = matched
       .join(org.apache.spark.sql.functions.broadcast(fileMap),
-        col("__file") === col("__qual"))
-      .select(col("__orig").as("file_path"), col("__pos").as("pos"))
+        col("__graft_file") === col("__qual"))
+      .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
     val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
     positions.write.parquet(delDir.toString)
     val delCounts = footerCounts(delDir, conf)
 
     // updated versions of the matched rows
     val updated = assignments.foldLeft(
-        matched.drop("__file", "__pos"): DataFrame) {
+        matched.drop("__graft_file", "__graft_pos"): DataFrame) {
       case (d, (name, value)) => d.withColumn(name, value)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val dataFiles = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"))

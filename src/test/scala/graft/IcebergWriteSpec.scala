@@ -245,6 +245,32 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("UPDATE after DELETE does not resurrect tombstoned rows") {
+    val table = Files.createTempDirectory("graft_wr_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val n = nation.count()
+    IcebergWriter.write(nation, table)
+
+    // tombstone key 7 (position delete), then key 8 (equality delete)
+    IcebergWriter.delete(spark, table, col("n_nationkey") === 7)
+    IcebergWriter.deleteEquality(spark, table,
+      nation.filter(col("n_nationkey") === 8).select("n_nationkey"))
+    assert(IcebergScan.scan(spark, table).count() === n - 2)
+
+    // an UPDATE whose predicate matches the dead keys must not revive them
+    IcebergWriter.update(spark, table,
+      col("n_nationkey").isin(7, 8, 9),
+      Map("n_name" -> lit("TOUCHED")))
+    val after = IcebergScan.scan(spark, table)
+    assert(after.count() === n - 2)
+    assert(after.filter(col("n_nationkey").isin(7, 8)).count() === 0)
+    assert(after.filter(col("n_nationkey") === 9 && col("n_name") === "TOUCHED").count() === 1)
+
+    // a second DELETE matching everything only tombstones live rows
+    IcebergWriter.delete(spark, table, col("n_nationkey") >= 0)
+    assert(IcebergScan.scan(spark, table).count() === 0)
+  }
+
   test("equality DELETE round-trips with sequence scoping and stacks with appends") {
     val table = Files.createTempDirectory("graft_weq_").toString + "/t"
     val nation = Tables.load(spark, Sf, "nation")
