@@ -358,6 +358,24 @@ object Relational2 {
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
+      "q27_grouping_sets",
+      // explicit GROUPING SETS in a union shape neither ROLLUP nor CUBE
+      // expresses: per-returnflag totals alongside per-linestatus totals
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), dsumOut(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    ),
+    QueryDef(
       "q25_percentiles",
       // exact interpolated percentiles per group; Spark `percentile` and
       // DuckDB `quantile_cont` both sort and linearly interpolate — the

@@ -131,6 +131,61 @@ object TextQueries {
           .limit(100)
     ),
     QueryDef(
+      "t07_decontaminate",
+      // Benchmark decontamination — the pretraining hygiene op dedup does
+      // NOT cover: per train document (doc_id >= 50), the fraction of its
+      // distinct 5-token shingles that appear anywhere in the eval set
+      // (doc_id < 50). The eval shingle set is tiny → broadcast; the train
+      // side is one linear scan + hash agg, no candidate explosion. Docs
+      // shorter than 5 tokens carry no shingles and are excluded on both
+      // engines.
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(unnest(list_distinct(list_transform(
+                     range(1, len(w) - 3),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          || ' ' || w[i+3] || ' ' || w[i+4])))), 1, 15))::BIGINT AS h
+          FROM tok WHERE len(w) >= 5),
+        ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < 50),
+        tr AS (SELECT doc_id, h FROM sh WHERE doc_id >= 50)
+        SELECT tr.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(ev.h) AS n_hits,
+               round(CAST(COUNT(ev.h) AS DOUBLE) / COUNT(*), 6) AS overlap,
+               CAST(round(CAST(COUNT(ev.h) AS DOUBLE) / COUNT(*), 6) >= 0.2 AS INT) AS contaminated
+        FROM tr LEFT JOIN ev ON ev.h = tr.h
+        GROUP BY tr.doc_id
+        ORDER BY tr.doc_id"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("__t", split(trim(col("text")), "\\s+"))
+        def shingles(df: org.apache.spark.sql.DataFrame) =
+          df.filter(size(col("__t")) >= 5)
+            .select(col("doc_id"), explode(array_distinct(expr(
+              """transform(sequence(1, size(__t) - 4),
+                           i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1),
+                                          element_at(__t, i + 2), element_at(__t, i + 3),
+                                          element_at(__t, i + 4)))"""))).as("w5"))
+            .withColumn("h",
+              conv(substring(md5(col("w5").cast("binary")), 1, 15), 16, 10).cast("long"))
+        val evalH = shingles(docs.filter(col("doc_id") < 50))
+          .select(col("h"), lit(1).as("__hit")).distinct()
+        shingles(docs.filter(col("doc_id") >= 50))
+          .join(broadcast(evalH), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+          .withColumn("overlap",
+            round(col("n_hits").cast("double") / col("n_shingles"), 6))
+          .withColumn("contaminated",
+            when(col("overlap") >= 0.2, 1).otherwise(0))
+          .orderBy("doc_id")
+      }
+    ),
+    QueryDef(
       "t06_train_split",
       // Deterministic 90/5/5 train/val/test assignment by content-free id
       // hash — reproducible across engines and runs, no RNG state. The
