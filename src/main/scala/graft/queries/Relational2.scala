@@ -376,6 +376,35 @@ object Relational2 {
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
+      "q28_range_frame",
+      // RANGE frame window (value-based, not row-based — includes peers):
+      // per order, the customer's trailing-30-day order count and spend.
+      // The frame key is an integer epoch-day, so frame bounds are exact
+      // on both engines; the decimal window sum surfaces as rounded double.
+      Some("""
+        SELECT o_orderkey,
+               COUNT(*) OVER w AS cnt_30d,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS sum_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("__d"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.load(s, dir, "orders")
+          .withColumn("__d",
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+          .select(col("o_orderkey"),
+            count(lit(1)).over(w).as("cnt_30d"),
+            round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+              .cast("double"), 2).as("sum_30d"))
+          .orderBy("o_orderkey")
+      }
+    ),
+    QueryDef(
       "q25_percentiles",
       // exact interpolated percentiles per group; Spark `percentile` and
       // DuckDB `quantile_cont` both sort and linearly interpolate — the
