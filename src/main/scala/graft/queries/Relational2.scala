@@ -515,6 +515,38 @@ object Relational2 {
           .orderBy("o_orderstatus")
     ),
     QueryDef(
+      "e05_funnel",
+      // Ordered-funnel analysis: users who viewed, then clicked AFTER
+      // their first view, then purchased AFTER that click. Each stage is
+      // one hash agg on user_id plus a broadcast-sized join against the
+      // previous (already aggregated, one row per user) stage — no
+      // self-join explosion, scales linearly in events.
+      Some("""
+        WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        v AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_view_click,
+               (SELECT COUNT(*) FROM p) AS n_view_click_purchase"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(broadcast(v), "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(broadcast(c), "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      }
+    ),
+    QueryDef(
       "e04_skew_salted_agg",
       // Skew-safe aggregation: events has only 5 event_type keys, so a
       // direct global groupBy funnels each key into one task. Two-phase
