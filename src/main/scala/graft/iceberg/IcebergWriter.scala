@@ -128,11 +128,16 @@ object IcebergWriter {
       info: IcebergMetadataParser.ParseInfo,
       snapshots: Seq[JsonNode],
       tableUuid: Option[String] = None,
-      currentSnapshotId: Option[Long] = None) {
+      currentSnapshotId: Option[Long] = None,
+      // high-water marks survive rollback/expiration (the snapshots array
+      // alone forgets dropped ids, and reusing one collides with the dead
+      // snapshot's still-on-disk data directory)
+      lastSnapshotId: Long = 0L,
+      lastSeq: Long = 0L) {
     def nextSnapshotId: Long =
-      (snapshots.map(_.get("snapshot-id").asLong) :+ 0L).max + 1
+      ((snapshots.map(_.get("snapshot-id").asLong) :+ lastSnapshotId).max) + 1
     def nextSeq: Long =
-      (snapshots.map(_.get("sequence-number").asLong) :+ 0L).max + 1
+      ((snapshots.map(_.get("sequence-number").asLong) :+ lastSeq).max) + 1
     def nextTsMs: Long = math.max(
       System.currentTimeMillis(),
       (snapshots.map(_.get("timestamp-ms").asLong) :+ 0L).max + 1)
@@ -149,7 +154,9 @@ object IcebergWriter {
       val root = mapper.readTree(json)
       Some(State(v, info, info.snapshots,
         tableUuid = Option(root.get("table-uuid")).map(_.asText),
-        currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong)))
+        currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),
+        lastSnapshotId = Option(root.get("last-snapshot-id")).map(_.asLong).getOrElse(0L),
+        lastSeq = Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L)))
     }
   }
 
@@ -413,6 +420,7 @@ object IcebergWriter {
     root.put("table-uuid", state.flatMap(_.tableUuid)
       .getOrElse(java.util.UUID.randomUUID().toString))
     root.put("last-sequence-number", seq)
+    root.put("last-snapshot-id", snapshotId)
     root.put("last-updated-ms",
       state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
     root.put("last-column-id", schema.fields.length)
@@ -465,6 +473,61 @@ object IcebergWriter {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
     snapshotId
+  }
+
+  /** Rewrite metadata.json keeping only the snapshots `retain` accepts
+    * (metadata-only vN+1 commit; expired snapshots' data/manifest files
+    * stay on disk so readers pinned to old metadata versions don't
+    * break). Returns how many snapshots were dropped. */
+  private def rewriteSnapshots(
+      path: String, conf: Configuration, state: State)(
+      retain: JsonNode => Boolean): Int = {
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val kept = mapper.createArrayNode()
+    var removed = 0
+    state.snapshots.foreach { s => if (retain(s)) kept.add(s) else removed += 1 }
+    require(kept.size > 0, "cannot expire every snapshot of a table")
+    root.set[JsonNode]("snapshots", kept)
+    val newest = state.snapshots.filter(retain).maxBy(_.get("timestamp-ms").asLong)
+    root.put("current-snapshot-id", newest.get("snapshot-id").asLong)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeString(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+    removed
+  }
+
+  /** Snapshot retention: keep only the newest `keep` snapshots (by
+    * commit timestamp). Older snapshot ids stop time-travel-resolving;
+    * the current table state is unchanged. Returns the expired count. */
+  def expireSnapshots(spark: SparkSession, path: String, keep: Int): Int = {
+    require(keep >= 1, s"expireSnapshots: keep must be >= 1, got $keep")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"expireSnapshots: no Iceberg table at $path"))
+    val keptIds = state.snapshots
+      .sortBy(-_.get("timestamp-ms").asLong).take(keep)
+      .map(_.get("snapshot-id").asLong).toSet
+    rewriteSnapshots(path, conf, state)(s => keptIds(s.get("snapshot-id").asLong))
+  }
+
+  /** Roll the table back to `snapshotId`: snapshots committed AFTER it
+    * are dropped, so the scan's latest-by-timestamp selection (the same
+    * rule the reference uses, iceberg.cpp:315-348) lands on the target.
+    * Rolled-back snapshots' files remain for any pinned reader. */
+  def rollback(spark: SparkSession, path: String, snapshotId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"rollback: no Iceberg table at $path"))
+    val target = state.snapshots
+      .find(_.get("snapshot-id").asLong == snapshotId)
+      .getOrElse(throw new java.io.IOException(
+        s"Could not find snapshot with id $snapshotId"))
+    val ts = target.get("timestamp-ms").asLong
+    rewriteSnapshots(path, conf, state)(_.get("timestamp-ms").asLong <= ts): Unit
   }
 
   /** Type widenings an append may apply to an existing column — the

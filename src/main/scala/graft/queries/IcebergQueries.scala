@@ -245,6 +245,23 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib19_rollback",
+      // Rollback gate: append even then odd orders, roll back to the
+      // first snapshot — the scan must see only the even half again.
+      Some("SELECT COUNT(*) AS cnt FROM orders WHERE o_orderkey % 2 = 0"),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib19_").toString + "/orders_rb"
+        val orders = graft.Tables.load(s, dir, "orders")
+        val snap1 = graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 0), table)
+        graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 1), table)
+        graft.iceberg.IcebergWriter.rollback(s, table, snap1)
+        IcebergScan.scan(s, table).agg(count(lit(1)).as("cnt"))
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

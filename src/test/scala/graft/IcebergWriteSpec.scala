@@ -311,6 +311,40 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Options(snapshotId = Some(1L))).count() === n)
   }
 
+  test("snapshot expiration and rollback are metadata-only and keep the current state") {
+    val table = Files.createTempDirectory("graft_wx_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val n = nation.count()
+    val snap1 = IcebergWriter.write(nation.limit(5), table)
+    val snap2 = IcebergWriter.write(nation.limit(7), table)
+    val snap3 = IcebergWriter.write(nation, table)
+    assert(IcebergScan.scan(spark, table).count() === 5 + 7 + n)
+
+    // expire down to the 2 newest: snap1 stops resolving, current intact
+    assert(IcebergWriter.expireSnapshots(spark, table, keep = 2) === 1)
+    assert(IcebergScan.snapshots(spark, table).count() === 2)
+    assert(IcebergScan.scan(spark, table).count() === 5 + 7 + n)
+    intercept[java.io.IOException] {
+      IcebergScan.scan(spark, table, Options(snapshotId = Some(snap1)))
+    }
+
+    // rollback to snap2 drops snap3; a new append builds on the rollback
+    IcebergWriter.rollback(spark, table, snap2)
+    assert(IcebergScan.scan(spark, table).count() === 5 + 7)
+    val snap4 = IcebergWriter.write(nation.limit(3), table)
+    assert(IcebergScan.scan(spark, table).count() === 5 + 7 + 3)
+    assert(snap4 > snap3) // ids keep increasing past rolled-back history
+
+    // cannot expire everything; unknown rollback target errors like time travel
+    intercept[IllegalArgumentException] {
+      IcebergWriter.expireSnapshots(spark, table, keep = 0)
+    }
+    val e = intercept[java.io.IOException] {
+      IcebergWriter.rollback(spark, table, 424242L)
+    }
+    assert(e.getMessage.contains("Could not find snapshot with id"))
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
