@@ -500,6 +500,34 @@ object IcebergWriter {
     removed
   }
 
+  /** Files under `data/` referenced by NO retained snapshot — the
+    * candidates a vacuum job would delete after expiration/rollback.
+    * Listing only (never deletes): at 100 TB the safe pattern is
+    * list → age-filter → audit → delete out-of-band. */
+  def listOrphanFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"listOrphanFiles: no Iceberg table at $path"))
+    val referenced = IcebergMetadataParser.allSnapshots(state.info).flatMap { snap =>
+      ManifestReader.loadTable(path, snap, conf, allowMovedPaths = false)
+        .entries.flatMap { case (_, es) => es.map(e => new Path(e.filePath).toUri.getPath) }
+    }.toSet
+    val dataDir = new Path(path, "data")
+    val fs = dataDir.getFileSystem(conf)
+    val found = Seq.newBuilder[String]
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !referenced(st.getPath.toUri.getPath))
+          found += st.getPath.toString
+      }
+    }
+    found.result().sorted.toDF("orphan_file")
+  }
+
   /** Snapshot retention: keep only the newest `keep` snapshots (by
     * commit timestamp). Older snapshot ids stop time-travel-resolving;
     * the current table state is unchanged. Returns the expired count. */

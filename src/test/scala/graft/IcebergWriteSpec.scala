@@ -343,6 +343,11 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       IcebergWriter.rollback(spark, table, 424242L)
     }
     assert(e.getMessage.contains("Could not find snapshot with id"))
+
+    // the rolled-back snap3's files are now orphans; live files are not
+    val orphans = IcebergWriter.listOrphanFiles(spark, table)
+      .collect().map(_.getString(0))
+    assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-3/")))
   }
 
   test("append with a mismatched schema is rejected") {
