@@ -60,10 +60,27 @@ object IcebergPruning {
     case _ => None
   }
 
+  /** Unsigned UTF-8 byte comparison — the ordering parquet binary stats
+    * and Iceberg string bounds are defined under. Java String.compareTo
+    * (UTF-16 code units) disagrees for supplementary characters vs BMP
+    * chars ≥ U+E000, which would make an encoded bound not a true bound
+    * under the pruner's comparator. */
+  private[iceberg] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def compare(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Compare(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }
@@ -243,8 +260,15 @@ object IcebergPruning {
         // disagree with the pruning interpretation.
         case (Some(TimestampType), n: java.lang.Number) =>
           timestamp_micros(lit(n.longValue))
+        // NTZ literal built directly from the stored micros — routing
+        // through timestamp_micros().cast(NTZ) would shift by the session
+        // time zone in any non-UTC session.
         case (Some(TimestampNTZType), n: java.lang.Number) =>
-          timestamp_micros(lit(n.longValue)).cast(TimestampNTZType)
+          val us = n.longValue
+          lit(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
         case (_, other) => lit(other)
       }
       p.op match {

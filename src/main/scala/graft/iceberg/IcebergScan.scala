@@ -82,6 +82,15 @@ object IcebergScan {
   def scan(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts)
     val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    scanLoaded(spark, path, opts, snapshot, meta)
+  }
+
+  /** The scan over ALREADY-LOADED metadata — lets the writer's row-level
+    * ops reuse the manifest tree they fetched instead of fetching it
+    * twice per commit. */
+  private[iceberg] def scanLoaded(
+      spark: SparkSession, path: String, opts: Options,
+      snapshot: Snapshot, meta: TableMeta): DataFrame = {
 
     // Driver-side file skipping (partition spec + manifest column bounds) —
     // the scan lever the reference leaves on the table (SURVEY §2.10). The
@@ -186,17 +195,22 @@ object IcebergScan {
       cur = cur.join(broadcast(seqMap), col("__graft_file") === col("__eq_qual"), "left")
         .drop("__eq_qual")
       // group delete files by their equality-column set: manifest
-      // equality_ids when present, else the delete file's own schema
+      // equality_ids when present, else the delete file's own schema —
+      // one DataFrame (one footer read) per file, reused by the group body
       val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
+      val delDF: Map[String, org.apache.spark.sql.DataFrame] =
+        eqEntries.map { case (e, _) =>
+          val p = resolved(path, e.filePath, opts)
+          p -> spark.read.parquet(p)
+        }.toMap
       val groups = eqEntries.groupBy { case (e, _) =>
         if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
-        else spark.read.parquet(resolved(path, e.filePath, opts))
-          .schema.fieldNames.toSeq.sorted
+        else delDF(resolved(path, e.filePath, opts)).schema.fieldNames.toSeq.sorted
       }
       val eqCard = eqEntries.map(_._1.recordCount).sum
       groups.foreach { case (cols, files) =>
         val del = files.map { case (e, dseq) =>
-          spark.read.parquet(resolved(path, e.filePath, opts))
+          delDF(resolved(path, e.filePath, opts))
             .select(cols.map(col): _*)
             .withColumn("__del_seq", lit(dseq))
         }.reduce(_ unionByName _)

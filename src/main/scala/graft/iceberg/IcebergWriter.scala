@@ -133,7 +133,8 @@ object IcebergWriter {
       // alone forgets dropped ids, and reusing one collides with the dead
       // snapshot's still-on-disk data directory)
       lastSnapshotId: Long = 0L,
-      lastSeq: Long = 0L) {
+      lastSeq: Long = 0L,
+      rootNode: Option[JsonNode] = None) {
     def nextSnapshotId: Long =
       ((snapshots.map(_.get("snapshot-id").asLong) :+ lastSnapshotId).max) + 1
     def nextSeq: Long =
@@ -156,7 +157,8 @@ object IcebergWriter {
         tableUuid = Option(root.get("table-uuid")).map(_.asText),
         currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),
         lastSnapshotId = Option(root.get("last-snapshot-id")).map(_.asLong).getOrElse(0L),
-        lastSeq = Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L)))
+        lastSeq = Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
+        rootNode = Some(root)))
     }
   }
 
@@ -198,6 +200,24 @@ object IcebergWriter {
     case other => throw new IllegalArgumentException(s"unsupported transform $other")
   }
 
+  /** Spark's hive-dir escaping replaces reserved chars with %XX but keeps
+    * '+' literal — URLDecoder would corrupt it to a space. Undo exactly
+    * the %XX sequences. */
+  private def unescapeHiveDir(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Hive directory value → typed partition value in the manifest's Avro
     * domain (identity over date stays an epoch-day int, Iceberg-style). */
   private def parseDirValue(sf: SpecField, s: String): Any =
@@ -207,7 +227,7 @@ object IcebergWriter {
         Int.box(LocalDate.parse(s).toEpochDay.toInt)
       case "int" => Int.box(s.toInt)
       case "long" => Long.box(s.toLong)
-      case _ => java.net.URLDecoder.decode(s, "UTF-8")
+      case _ => unescapeHiveDir(s)
     }
 
   // ---- parquet footer statistics ------------------------------------------
@@ -236,8 +256,12 @@ object IcebergWriter {
     case _ => None
   }
 
-  private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    // strings merge under the same unsigned UTF-8 ordering parquet stats
+    // use — UTF-16 compareTo would pick a wrong min/max across row groups
+    case (x: String, y: String) => IcebergPruning.utf8Compare(x, y)
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
 
   /** Row count + per-column min/max bounds from one parquet FOOTER —
     * KB-scale I/O per file (no data pages). Parquet-mr's own binary-stats
@@ -292,10 +316,10 @@ object IcebergWriter {
     // fetch) — a commit may add O(10k) files and a sequential driver loop
     // over an object store would dominate commit time.
     import scala.concurrent.duration._
-    val parallelism = conf.getInt(
-      ManifestReader.FetchParallelismKey, 16)
+    val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
     DriverPool.mapParallel(
-      files.sortBy(_.getPath.toString), parallelism, 300.seconds,
+      files.sortBy(_.getPath.toString), parallelism, timeout,
       "graft-footer-read") { st =>
       val segs = st.getPath.toString.split('/')
       val partition = spec.flatMap { sf =>
@@ -317,7 +341,8 @@ object IcebergWriter {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
     val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
-    DriverPool.mapParallel(files, parallelism, 300.seconds, "graft-footer-read") { st =>
+    val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+    DriverPool.mapParallel(files, parallelism, timeout, "graft-footer-read") { st =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try (st.getPath.toString, r.getRecordCount) finally r.close()
     }
@@ -399,7 +424,8 @@ object IcebergWriter {
       snapshotId: Long,
       seq: Long,
       manifests: Seq[Manifest],
-      spec: Seq[SpecField] = Seq.empty): Long = {
+      spec: Seq[SpecField] = Seq.empty,
+      operation: String = "append"): Long = {
     val metaDir = new Path(path, "metadata")
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-list.avro")
     writeAvro(manifestListSchema, listPath, conf) {
@@ -437,20 +463,34 @@ object IcebergWriter {
       fn.put("required", false)
       fn.put("type", toIcebergType(f.dataType))
     }
-    val specsNode = root.putArray("partition-specs")
-    val specNode = specsNode.addObject()
-    specNode.put("spec-id", 0)
-    val specFieldsNode = specNode.putArray("fields")
-    spec.foreach { sf =>
-      val fn = specFieldsNode.addObject()
-      fn.put("name", sf.fieldName)
-      fn.put("transform", if (sf.transform == "days") "day" else sf.transform)
-      fn.put("source-id", sf.sourceId)
-      fn.put("field-id", sf.fieldId)
+    // A commit that carries no new spec (row-level deletes, updates,
+    // plain appends to a partitioned table) PRESERVES the table's
+    // existing partition-specs — erasing them would kill pruning and
+    // contradict the partition tuples older manifests still encode.
+    val prevRoot = state.flatMap(_.rootNode).filter(_.has("partition-specs"))
+    if (spec.isEmpty && prevRoot.isDefined) {
+      val pr = prevRoot.get
+      root.set[JsonNode]("partition-specs", pr.get("partition-specs"))
+      root.put("default-spec-id",
+        if (pr.has("default-spec-id")) pr.get("default-spec-id").asInt else 0)
+      root.put("last-partition-id",
+        if (pr.has("last-partition-id")) pr.get("last-partition-id").asInt else 999)
+    } else {
+      val specsNode = root.putArray("partition-specs")
+      val specNode = specsNode.addObject()
+      specNode.put("spec-id", 0)
+      val specFieldsNode = specNode.putArray("fields")
+      spec.foreach { sf =>
+        val fn = specFieldsNode.addObject()
+        fn.put("name", sf.fieldName)
+        fn.put("transform", if (sf.transform == "days") "day" else sf.transform)
+        fn.put("source-id", sf.sourceId)
+        fn.put("field-id", sf.fieldId)
+      }
+      root.put("default-spec-id", 0)
+      root.put("last-partition-id",
+        (spec.map(_.fieldId) :+ 999).max)
     }
-    root.put("default-spec-id", 0)
-    root.put("last-partition-id",
-      (spec.map(_.fieldId) :+ 999).max)
     val sortNode = root.putArray("sort-orders").addObject()
     sortNode.put("order-id", 0)
     sortNode.putArray("fields")
@@ -465,7 +505,7 @@ object IcebergWriter {
     sn.put("timestamp-ms", state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
     sn.put("schema-id", 0)
     val sum = sn.putObject("summary")
-    sum.put("operation", "append")
+    sum.put("operation", operation)
     sn.put("manifest-list", listPath.toString)
 
     val version = state.map(_.version + 1).getOrElse(1)
@@ -656,9 +696,10 @@ object IcebergWriter {
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     // Match against the TOMBSTONE-AWARE scan (provenance kept): already
-    // position/equality-deleted rows must not be re-tombstoned.
-    val positions = IcebergScan.scan(spark, path,
-        IcebergScan.Options(keepProvenance = true))
+    // position/equality-deleted rows must not be re-tombstoned. Reuses
+    // the manifest tree loaded above — no second metadata fetch.
+    val positions = IcebergScan.scanLoaded(spark, path,
+        IcebergScan.Options(keepProvenance = true), latest, meta)
       .filter(predicate)
       .join(org.apache.spark.sql.functions.broadcast(fileMap),
         col("__graft_file") === col("__qual"))
@@ -676,7 +717,8 @@ object IcebergWriter {
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      prevManifests :+ Manifest(manifestPath.toString, seq, content = 1))
+      prevManifests :+ Manifest(manifestPath.toString, seq, content = 1),
+      operation = "delete")
   }
 
   /** Row-level EQUALITY DELETE, merge-on-read: `keys` (whose columns must
@@ -712,7 +754,8 @@ object IcebergWriter {
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      prevManifests :+ Manifest(manifestPath.toString, seq, content = 1))
+      prevManifests :+ Manifest(manifestPath.toString, seq, content = 1),
+      operation = "delete")
   }
 
   /** Row-level UPDATE, merge-on-read, in ONE snapshot: matching rows are
@@ -747,9 +790,9 @@ object IcebergWriter {
 
     // Match against the TOMBSTONE-AWARE scan (provenance kept): updating a
     // predicate that matches previously-deleted rows must not resurrect
-    // them as fresh data rows.
-    val matched = IcebergScan.scan(spark, path,
-        IcebergScan.Options(keepProvenance = true))
+    // them as fresh data rows. Reuses the manifest tree loaded above.
+    val matched = IcebergScan.scanLoaded(spark, path,
+        IcebergScan.Options(keepProvenance = true), latest, meta)
       .filter(predicate)
 
     // tombstones for the old versions
@@ -784,7 +827,8 @@ object IcebergWriter {
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
       prevManifests ++ Seq(
         Manifest(dataManifest.toString, seq, content = 0),
-        Manifest(delManifest.toString, seq, content = 1)))
+        Manifest(delManifest.toString, seq, content = 1)),
+      operation = "overwrite")
   }
 
   /** Compact the table: rewrite all live rows into fresh data files in ONE
@@ -820,6 +864,7 @@ object IcebergWriter {
 
     commitSnapshot(path, conf, Some(state), df.schema, snapshotId, seq, Seq(
       Manifest(addedPath.toString, seq, 0),
-      Manifest(deletedPath.toString, seq, 0)))
+      Manifest(deletedPath.toString, seq, 0)),
+      operation = "replace")
   }
 }

@@ -210,6 +210,18 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() === want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
 
+    // row-level ops must PRESERVE the partition spec (a delete commit
+    // carries no new spec; erasing it would silently kill pruning)
+    IcebergWriter.delete(spark, table, col("o_orderkey") % 97 === 0)
+    val keptAfterDelete = IcebergScan.scan(spark, table,
+      Options(mode = "list_files", filters = filters))
+      .filter(col("type") === "data").count()
+    assert(keptAfterDelete === 1)
+    val got2 = IcebergScan.scan(spark, table, Options(filters = filters))
+    val want2 = IcebergScan.scan(spark, table)
+      .filter(col("om") === lit(java.sql.Date.valueOf(d)))
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+
     // day-transform over the raw date column prunes too (bounds + spec)
     val table2 = Files.createTempDirectory("graft_wp2_").toString + "/t"
     val sliced = orders.drop("om").filter(
