@@ -254,6 +254,10 @@ object IcebergPruning {
       val v: SqlColumn = (dt, p.value) match {
         case (Some(DateType), s: String) => lit(s).cast(DateType)
         case (Some(DateType), d: LocalDate) => lit(java.sql.Date.valueOf(d))
+        // epoch-day ints (Catalyst date literals) → a date literal; a bare
+        // int literal would not compare against a DateType column
+        case (Some(DateType), n: java.lang.Number) =>
+          lit(java.sql.Date.valueOf(LocalDate.ofEpochDay(n.longValue)))
         // Long timestamp predicate values are epoch MICROS everywhere in this
         // file (normalize/decodeBound); a bare lit(long) compared against a
         // timestamp column would go through Spark's seconds-based cast and

@@ -229,6 +229,76 @@ object IcebergScan {
     else cur.drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
   }
 
+  /** Best-effort extraction of simple comparison conjuncts from a Spark
+    * predicate into prunable [[IcebergPruning.ColPredicate]]s. Anything
+    * unextractable (ORs, functions, non-literals) is simply not used for
+    * pruning — semantics always come from applying the FULL condition. */
+  def extractPredicates(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[IcebergPruning.ColPredicate] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import IcebergPruning._
+    def attrName(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Any] = x match {
+      // constant casts (lit("2024-01-05").cast("date")) fold to literals
+      case c: Cast if c.resolved && c.foldable =>
+        litVal(Literal(c.eval(null), c.dataType))
+      case Literal(v, dt) => dt match {
+        case IntegerType | LongType | FloatType | DoubleType |
+             ShortType | ByteType | DateType |
+             TimestampType | TimestampNTZType => Some(v)
+        case StringType => Some(v.toString)
+        case _: DecimalType => v match {
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    def comparison(a: Expression, b: Expression, op: Op, flipped: Op): Seq[ColPredicate] =
+      (attrName(a), litVal(b), attrName(b), litVal(a)) match {
+        case (Some(c), Some(v), _, _) => Seq(ColPredicate(c, op, v))
+        case (_, _, Some(c), Some(v)) => Seq(ColPredicate(c, flipped, v))
+        case _ => Seq.empty
+      }
+    e match {
+      case And(l, r) => extractPredicates(l) ++ extractPredicates(r)
+      case EqualTo(a, b) => comparison(a, b, Eq, Eq)
+      case LessThan(a, b) => comparison(a, b, Lt, Gt)
+      case LessThanOrEqual(a, b) => comparison(a, b, Le, Ge)
+      case GreaterThan(a, b) => comparison(a, b, Gt, Lt)
+      case GreaterThanOrEqual(a, b) => comparison(a, b, Ge, Le)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Scan + filter in one call, with AUTOMATIC file pruning: simple
+    * comparison conjuncts of `condition` are extracted and evaluated
+    * against partition specs and manifest bounds driver-side (skipping
+    * whole files), while the complete condition is applied as the Spark
+    * filter — so extraction can only accelerate, never change results. */
+  def scanFiltered(
+      spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts)
+    val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    // Resolve the Column against the snapshot schema to get its Catalyst
+    // expression (Spark 4 Columns no longer expose one directly).
+    val schema = IcebergSchemaParser.toStructType(snapshot.schema)
+    val dummy = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val preds = dummy.filter(condition).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.map(extractPredicates).getOrElse(Seq.empty)
+    scanLoaded(spark, path, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
+      .filter(condition)
+  }
+
   /** Incremental append scan — the rows ADDED between two snapshots (an
     * engine extension the reference lacks; SURVEY §2.9 sketches it as the
     * natural increment over S12). Selects data files whose manifest

@@ -262,6 +262,32 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib20_scan_filtered",
+      // The plain-Spark-predicate API: scanFiltered extracts prunable
+      // conjuncts automatically (no hand-built ColPredicates) and applies
+      // the full condition as the filter. Same days(dt) fixture as ib16;
+      // files_kept pinned at 1 proves the extraction actually pruned.
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS files_kept, COUNT(*) AS cnt
+        FROM events
+        WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-10'
+          AND event_type = 'click'"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib20_").toString + "/events_by_day"
+        val src = graft.Tables.events(s, dir)
+          .withColumn("dt", to_date(col("ts")))
+          .repartition(30, col("dt"))
+        graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("dt" -> "day"))
+        val cond = col("dt") === lit("2024-01-10").cast("date") &&
+          col("event_type") === "click"
+        val pruned = IcebergScan.scanFiltered(s, table, cond)
+        val kept = pruned.inputFiles.length.toLong
+        pruned.agg(count(lit(1)).as("cnt"))
+          .select(lit(kept).as("files_kept"), col("cnt"))
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

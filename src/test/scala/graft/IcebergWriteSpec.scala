@@ -237,6 +237,38 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptDays < days && keptDays > 0)
   }
 
+  test("scanFiltered extracts prunable conjuncts from a plain Spark predicate") {
+    import graft.iceberg.IcebergScan.extractPredicates
+    import graft.iceberg.IcebergPruning.{Eq, Ge, Lt}
+    import org.apache.spark.sql.types._
+    val c = (col("a") === 5L) && (lit(10) > col("b")) &&
+      (col("dt") >= lit("2024-01-05").cast("date")) && col("s").startsWith("x")
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("b", IntegerType),
+        StructField("dt", DateType), StructField("s", StringType))))
+    val resolved = dummy.filter(c).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.get
+    val got = extractPredicates(resolved)
+    assert(got.map(p => (p.column, p.op)) ===
+      Seq(("a", Eq), ("b", Lt), ("dt", Ge))) // startsWith not extractable
+    assert(got(2).value === 19727) // epoch days of 2024-01-05
+
+    // end to end: the plain-filter API reads strictly fewer files
+    val table = Files.createTempDirectory("graft_wf_").toString + "/t"
+    val events = Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+      .repartition(col("dt"))
+    IcebergWriter.write(events, table, partitionBy = Seq("dt" -> "day"))
+    val all = IcebergScan.scan(spark, table)
+    val cond = col("dt") === lit("2024-01-03").cast("date") && col("value") > 0.0
+    val pruned = IcebergScan.scanFiltered(spark, table, cond)
+    assert(pruned.inputFiles.length === 1 && all.inputFiles.length > 1)
+    val want = all.filter(cond)
+    assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
+  }
+
   test("manifest column bounds prune range-disjoint unpartitioned files") {
     import graft.iceberg.IcebergPruning.{ColPredicate, Gt}
     val table = Files.createTempDirectory("graft_wb_").toString + "/t"
