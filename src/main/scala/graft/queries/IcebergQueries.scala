@@ -288,6 +288,25 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib21_sql_where",
+      // File pruning reachable from PURE SQL: the where => named arg's
+      // prunable conjuncts skip files driver-side before the plan exists.
+      Some("""
+        SELECT COUNT(*) AS cnt FROM events
+        WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-07'"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib21_").toString + "/events_by_day"
+        val src = graft.Tables.events(s, dir)
+          .withColumn("dt", to_date(col("ts")))
+          .repartition(30, col("dt"))
+        graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("dt" -> "day"))
+        graft.sql.GraftSql.register(s)
+        s.sql(s"""SELECT count(*) AS cnt
+                  FROM iceberg_scan('$table', where => "dt = DATE '2024-01-07'")""")
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

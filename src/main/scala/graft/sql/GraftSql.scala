@@ -35,10 +35,12 @@ object GraftSql {
   private type Builder = Seq[Expression] => LogicalPlan
 
   /** Named parameters accepted by all three functions — the reference's
-    * bind-time kv loop (iceberg_scan.cpp:231-250). */
+    * bind-time kv loop (iceberg_scan.cpp:231-250) — plus `where` (an
+    * engine extension on iceberg_scan: a SQL predicate whose prunable
+    * conjuncts drive driver-side file skipping). */
   private val NamedParams = Set(
     "allow_moved_paths", "mode", "metadata_compression_codec",
-    "skip_schema_inference", "version", "version_name_format")
+    "skip_schema_inference", "version", "version_name_format", "where")
 
   private def evalLiteral(fn: String, e: Expression): Any = {
     if (!e.foldable)
@@ -62,8 +64,9 @@ object GraftSql {
         throw new IllegalArgumentException(s"$fn: $what must be a BOOLEAN, got $other")
     }
 
-  /** Positional + named argument binding shared by the three functions. */
-  private def parseArgs(fn: String, exprs: Seq[Expression]): (String, IcebergScan.Options) = {
+  /** Positional + named argument binding shared by the three functions.
+    * Returns (path, options, optional `where` predicate SQL). */
+  private def parseArgs(fn: String, exprs: Seq[Expression]): (String, IcebergScan.Options, Option[String]) = {
     val (namedRaw, positional) = exprs.partition(_.isInstanceOf[NamedArgumentExpression])
     if (positional.isEmpty)
       throw new IllegalArgumentException(s"$fn: a table path argument is required")
@@ -91,8 +94,13 @@ object GraftSql {
       case more => throw new IllegalArgumentException(
         s"$fn: too many positional arguments (${more.size + 2})")
     }
+    var where: Option[String] = None
     namedRaw.foreach { case NamedArgumentExpression(key, value) =>
       key.toLowerCase(java.util.Locale.ROOT) match {
+        case "where" =>
+          if (fn != "iceberg_scan") throw new IllegalArgumentException(
+            s"$fn: 'where' is only supported on iceberg_scan")
+          where = Some(asString(fn, key, value))
         case "allow_moved_paths" =>
           opts = opts.copy(allowMovedPaths = asBoolean(fn, key, value))
         case "mode" =>
@@ -109,14 +117,24 @@ object GraftSql {
           s"$fn: unknown named argument '$other' (expected one of ${NamedParams.mkString(", ")})")
       }
     }
-    (path, opts)
+    (path, opts, where)
   }
 
   private def builder(fn: String,
                       run: (SparkSession, String, IcebergScan.Options) => org.apache.spark.sql.DataFrame): Builder =
     exprs => {
-      val (path, opts) = parseArgs(fn, exprs)
-      run(SparkSession.active, path, opts).queryExecution.logical
+      val spark = SparkSession.active
+      val (path, opts, where) = parseArgs(fn, exprs)
+      val df = where match {
+        case Some(cond) =>
+          // prunable conjuncts of the predicate drive driver-side file
+          // skipping; the parsed predicate is applied in full as the filter
+          val parsed = spark.sessionState.sqlParser.parseExpression(cond)
+          val preds = IcebergScan.extractPredicates(parsed)
+          run(spark, path, opts.copy(filters = opts.filters ++ preds)).filter(cond)
+        case None => run(spark, path, opts)
+      }
+      df.queryExecution.logical
     }
 
   /** (name, info, builder) triples for the three reference table functions. */
