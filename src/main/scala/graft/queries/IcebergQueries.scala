@@ -20,6 +20,21 @@ object IcebergQueries {
   private def tsMs(s: String): Long =
     java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
 
+  /** The days(dt)-partitioned events fixture shared by the READ-ONLY
+    * pruning gates (ib16/ib20/ib21) — written once per (JVM, sf dir);
+    * gates that mutate their table (ib14/ib18/ib19) keep private copies. */
+  private val eventsByDayCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsByDayTable(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    eventsByDayCache.computeIfAbsent(dir, _ => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_events_day_").toString + "/events_by_day"
+      val src = graft.Tables.events(s, dir)
+        .withColumn("dt", to_date(col("ts")))
+        .repartition(30, col("dt"))
+      graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("dt" -> "day"))
+      table
+    })
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ib01_scan_latest_count",
@@ -187,12 +202,7 @@ object IcebergQueries {
                COUNT(*) AS cnt
         FROM events WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'"""),
       (s, dir) => {
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_ib16_").toString + "/events_by_day"
-        val src = graft.Tables.events(s, dir)
-          .withColumn("dt", to_date(col("ts")))
-          .repartition(30, col("dt"))
-        graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("dt" -> "day"))
+        val table = eventsByDayTable(s, dir)
         val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
           "dt", graft.iceberg.IcebergPruning.Eq, java.time.LocalDate.parse("2024-01-05")))
         val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
@@ -273,12 +283,7 @@ object IcebergQueries {
         WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-10'
           AND event_type = 'click'"""),
       (s, dir) => {
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_ib20_").toString + "/events_by_day"
-        val src = graft.Tables.events(s, dir)
-          .withColumn("dt", to_date(col("ts")))
-          .repartition(30, col("dt"))
-        graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("dt" -> "day"))
+        val table = eventsByDayTable(s, dir)
         val cond = col("dt") === lit("2024-01-10").cast("date") &&
           col("event_type") === "click"
         val pruned = IcebergScan.scanFiltered(s, table, cond)
@@ -295,12 +300,7 @@ object IcebergQueries {
         SELECT COUNT(*) AS cnt FROM events
         WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-07'"""),
       (s, dir) => {
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_ib21_").toString + "/events_by_day"
-        val src = graft.Tables.events(s, dir)
-          .withColumn("dt", to_date(col("ts")))
-          .repartition(30, col("dt"))
-        graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("dt" -> "day"))
+        val table = eventsByDayTable(s, dir)
         graft.sql.GraftSql.register(s)
         s.sql(s"""SELECT count(*) AS cnt
                   FROM iceberg_scan('$table', where => "dt = DATE '2024-01-07'")""")
