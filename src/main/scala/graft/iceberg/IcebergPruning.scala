@@ -40,25 +40,42 @@ object IcebergPruning {
   /** One simple comparison predicate over a top-level column. */
   final case class ColPredicate(column: String, op: Op, value: Any)
 
+  /** Column lookup matching Spark's resolver: exact name first, then a
+    * unique case-insensitive match (the analyzer preserves the USER'S case
+    * in resolved references, so extraction from `WHERE DT = ...` hands the
+    * pruner "DT" against a schema that says "dt"). An ambiguous
+    * case-insensitive match → None → conservative keep / untyped residual. */
+  private def findColumn(schema: Seq[Column], name: String): Option[Column] =
+    schema.find(_.name == name).orElse {
+      schema.filter(_.name.equalsIgnoreCase(name)) match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+
   // ---- value normalization ------------------------------------------------
 
   /** Normalize a user-supplied or decoded value into one comparison domain
     * per column type: BigDecimal for numerics, epoch days (Long) for dates,
     * epoch micros (Long) for timestamps, String for strings. None →
-    * not comparable → conservative keep. */
-  private def normalize(dt: DataType, v: Any): Option[Any] = (dt, v) match {
-    case (_: NumericType, n: java.lang.Number) => Some(new java.math.BigDecimal(n.toString))
-    case (DateType, d: LocalDate) => Some(d.toEpochDay)
-    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
-    case (DateType, s: String) => Some(LocalDate.parse(s).toEpochDay)
-    case (DateType, n: java.lang.Number) => Some(n.longValue) // already days
-    case (TimestampNTZType | TimestampType, n: java.lang.Number) => Some(n.longValue) // micros
-    case (TimestampNTZType | TimestampType, t: java.time.LocalDateTime) =>
-      Some(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L)
-    case (StringType, s) => Some(s.toString)
-    case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
-    case _ => None
-  }
+    * not comparable → conservative keep. Exception-guarded for the same
+    * reason: NaN/Infinity (no BigDecimal form) or an unparseable date
+    * string must degrade to "keep", not crash the scan — predicates now
+    * arrive from arbitrary user conditions via extractPredicates. */
+  private def normalize(dt: DataType, v: Any): Option[Any] =
+    scala.util.Try[Option[Any]]((dt, v) match {
+      case (_: NumericType, n: java.lang.Number) => Some(new java.math.BigDecimal(n.toString))
+      case (DateType, d: LocalDate) => Some(d.toEpochDay)
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+      case (DateType, s: String) => Some(LocalDate.parse(s).toEpochDay)
+      case (DateType, n: java.lang.Number) => Some(n.longValue) // already days
+      case (TimestampNTZType | TimestampType, n: java.lang.Number) => Some(n.longValue) // micros
+      case (TimestampNTZType | TimestampType, t: java.time.LocalDateTime) =>
+        Some(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (StringType, s) => Some(s.toString)
+      case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
+      case _ => None
+    }).toOption.flatten
 
   /** Unsigned UTF-8 byte comparison — the ordering parquet binary stats
     * and Iceberg string bounds are defined under. Java String.compareTo
@@ -137,7 +154,12 @@ object IcebergPruning {
     val asDate: Option[LocalDate] = v match {
       case d: LocalDate => Some(d)
       case d: java.sql.Date => Some(d.toLocalDate)
-      case s: String if dt == DateType => Some(LocalDate.parse(s))
+      case s: String if dt == DateType => scala.util.Try(LocalDate.parse(s)).toOption
+      // Catalyst date literals are epoch-day Integers — without this case
+      // every auto-extracted date predicate would skip partition-transform
+      // pruning and rely on column bounds alone (absent on foreign tables).
+      case n: java.lang.Number if dt == DateType =>
+        scala.util.Try(LocalDate.ofEpochDay(n.longValue)).toOption
       case _ => None
     }
     transform match {
@@ -161,7 +183,7 @@ object IcebergPruning {
       p: ColPredicate,
       spec: Seq[PartitionFieldSpec],
       schema: Seq[Column]): Boolean = {
-    val column = schema.find(_.name == p.column)
+    val column = findColumn(schema, p.column)
     if (column.isEmpty) return true
     val specFields = spec.filter(_.sourceId == column.get.id)
     specFields.forall { sf =>
@@ -210,7 +232,7 @@ object IcebergPruning {
       e: ManifestEntry,
       p: ColPredicate,
       schema: Seq[Column]): Boolean = {
-    val column = schema.find(_.name == p.column)
+    val column = findColumn(schema, p.column)
     if (column.isEmpty) return true
     val dt = column.get.dataType
     normalize(dt, p.value) match {
@@ -250,7 +272,7 @@ object IcebergPruning {
     * on top of the pruned scan so pruning can never change semantics. */
   def residual(predicates: Seq[ColPredicate], schema: Seq[Column]): Option[SqlColumn] = {
     def one(p: ColPredicate): SqlColumn = {
-      val dt = schema.find(_.name == p.column).map(_.dataType)
+      val dt = findColumn(schema, p.column).map(_.dataType)
       val v: SqlColumn = (dt, p.value) match {
         case (Some(DateType), s: String) => lit(s).cast(DateType)
         case (Some(DateType), d: LocalDate) => lit(java.sql.Date.valueOf(d))

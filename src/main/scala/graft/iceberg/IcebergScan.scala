@@ -281,7 +281,17 @@ object IcebergScan {
     * comparison conjuncts of `condition` are extracted and evaluated
     * against partition specs and manifest bounds driver-side (skipping
     * whole files), while the complete condition is applied as the Spark
-    * filter — so extraction can only accelerate, never change results. */
+    * filter — so extraction can only accelerate, never change results.
+    *
+    * The condition is RESOLVED against the snapshot schema before
+    * extraction, which is load-bearing for safety: the analyzer attaches
+    * type-coercion casts to the attribute side (so `stringCol > 10` is
+    * never pruned under string ordering while filtered numerically) and
+    * normalizes case-insensitive column references to their schema case.
+    *
+    * With `mode='list_files'` the result is the PRUNED file listing —
+    * the predicate selects files, and no row filter applies (the listing
+    * schema has no data columns). */
   def scanFiltered(
       spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column,
@@ -295,8 +305,9 @@ object IcebergScan {
     val preds = dummy.filter(condition).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.map(extractPredicates).getOrElse(Seq.empty)
-    scanLoaded(spark, path, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
-      .filter(condition)
+    val scanned =
+      scanLoaded(spark, path, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
+    if (opts.mode == "list_files") scanned else scanned.filter(condition)
   }
 
   /** Incremental append scan — the rows ADDED between two snapshots (an

@@ -127,11 +127,15 @@ object GraftSql {
       val (path, opts, where) = parseArgs(fn, exprs)
       val df = where match {
         case Some(cond) =>
-          // prunable conjuncts of the predicate drive driver-side file
-          // skipping; the parsed predicate is applied in full as the filter
-          val parsed = spark.sessionState.sqlParser.parseExpression(cond)
-          val preds = IcebergScan.extractPredicates(parsed)
-          run(spark, path, opts.copy(filters = opts.filters ++ preds)).filter(cond)
+          // parseArgs only accepts `where` on iceberg_scan, so this branch
+          // can delegate to scanFiltered, which resolves the predicate
+          // against the snapshot schema BEFORE extracting prunable
+          // conjuncts — extracting from the raw parse tree here would skip
+          // type coercion (stringCol > 10 pruned under string ordering but
+          // filtered numerically → silently dropped rows) and break on
+          // case-insensitive column references.
+          IcebergScan.scanFiltered(
+            spark, path, org.apache.spark.sql.functions.expr(cond), opts)
         case None => run(spark, path, opts)
       }
       df.queryExecution.logical

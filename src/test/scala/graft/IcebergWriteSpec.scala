@@ -269,6 +269,44 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
   }
 
+  test("SQL where => resolves before extraction: coercion, case, list_files") {
+    graft.sql.GraftSql.register(spark)
+    val table = Files.createTempDirectory("graft_sw_").toString + "/t"
+    val events = Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+      .repartition(col("dt"))
+    IcebergWriter.write(events, table, partitionBy = Seq("dt" -> "day"))
+    val all = IcebergScan.scan(spark, table)
+
+    // numeric-vs-string comparison: resolution puts the coercion cast on
+    // the attribute side, so nothing is extracted and NO file is pruned
+    // under string ordering — results must equal the plain Spark filter.
+    // "0999" is the trap: as a string bound it sorts BELOW "10" (so naive
+    // extraction would prune the file), but casts to 999 > 10.
+    val strTable = Files.createTempDirectory("graft_sw2_").toString + "/t"
+    import spark.implicits._
+    IcebergWriter.write(Seq("0999", "0500").toDF("code"), strTable)
+    val wantStr = IcebergScan.scan(spark, strTable).filter("code > 10").count()
+    assert(wantStr === 2L)
+    val gotStr = spark.sql(
+      s"""SELECT count(*) AS c FROM iceberg_scan('$strTable', where => "code > 10")""")
+      .collect().head.getLong(0)
+    assert(gotStr === wantStr)
+
+    // case-insensitive column reference still prunes (resolution
+    // normalizes DT → dt before extraction)
+    val day = spark.sql(
+      s"""SELECT * FROM iceberg_scan('$table', where => "DT = DATE '2024-01-03'")""")
+    assert(day.inputFiles.length === 1)
+    assert(day.count() === all.filter("dt = DATE '2024-01-03'").count())
+
+    // where + mode='list_files': the predicate prunes the listing itself
+    val listed = spark.sql(
+      s"""SELECT * FROM iceberg_scan('$table',
+            mode => 'list_files', where => "dt = DATE '2024-01-03'")""")
+    assert(listed.count() === 1)
+  }
+
   test("manifest column bounds prune range-disjoint unpartitioned files") {
     import graft.iceberg.IcebergPruning.{ColPredicate, Gt}
     val table = Files.createTempDirectory("graft_wb_").toString + "/t"

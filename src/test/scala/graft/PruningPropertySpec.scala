@@ -133,6 +133,44 @@ object PruningPropertySpec extends Properties("iceberg.pruning") {
       }
     }
 
+  // ---- hostile predicate values must degrade to keep, never crash ---------
+  // (auto-extraction feeds arbitrary user literals into the pruner)
+
+  private val doubleSchema = Seq(Column(1, "v", DoubleType, required = false))
+
+  property("NaN/Infinity predicate values keep all files without crashing") =
+    forAll(genOp, Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      (op, bad) =>
+        val e = ManifestEntry(1, 0, "f0", "PARQUET", 1L,
+          lowerBounds = Map(1 -> encodeBound(DoubleType, Double.box(0.0)).get),
+          upperBounds = Map(1 -> encodeBound(DoubleType, Double.box(1.0)).get))
+        prune(Seq(e), Seq(ColPredicate("v", op, bad)), Seq.empty, doubleSchema).nonEmpty
+    }
+
+  property("unparseable date strings keep all files without crashing") =
+    forAll(genOp, Gen.oneOf("2024-1-7", "not-a-date", "")) { (op, bad) =>
+      val e = ManifestEntry(1, 0, "f0", "PARQUET", 1L,
+        partition = Map("dt_day" -> Int.box(19729)),
+        lowerBounds = Map(1 -> encodeBound(DateType, Int.box(19729)).get),
+        upperBounds = Map(1 -> encodeBound(DateType, Int.box(19729)).get))
+      prune(Seq(e), Seq(ColPredicate("dt", op, bad)), daySpec, dateSchema).nonEmpty
+    }
+
+  // Catalyst date literals arrive as epoch-day Integers; the day transform
+  // must prune on them even when manifests carry NO column bounds (the
+  // foreign-written-table case where partition values are all we have).
+  property("epoch-day integer predicates prune via day-transform partitions") =
+    forAll(Gen.choose(19000, 19997)) { day0 =>
+      val entries = (0 until 3).map { i =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = 1L,
+          partition = Map("dt_day" -> Int.box(day0 + i)))
+      }
+      val kept = prune(
+        entries, Seq(ColPredicate("dt", Eq, Int.box(day0 + 1))), daySpec, dateSchema)
+      kept.map(_.filePath) == Seq("f1")
+    }
+
   property("identity-partition pruning never drops a matching file") =
     forAll(
       Gen.nonEmptyListOf(Gen.choose(-100L, 100L)),
