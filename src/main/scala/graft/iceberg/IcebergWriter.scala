@@ -831,6 +831,67 @@ object IcebergWriter {
       operation = "overwrite")
   }
 
+  /** MERGE (upsert) in ONE snapshot: every `source` row replaces the
+    * current row with the same key when one exists, and is inserted
+    * otherwise. This is the canonical Iceberg upsert commit shape — an
+    * equality-delete file on the key columns plus the source rows as new
+    * data files in the SAME snapshot: the delete's sequence number scopes
+    * it to strictly-older data (see [[IcebergScan]] J1 extension), so it
+    * tombstones old versions without touching the rows this very commit
+    * appends. No data file is rewritten and no target-side join runs —
+    * commit cost is O(source), independent of table size, which is what
+    * makes continuous upsert ingestion viable at 100 TB. (Engine
+    * extension; reference is read-only, SURVEY §7.4.) */
+  def merge(spark: SparkSession, path: String,
+            source: DataFrame, keyCols: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"merge: no Iceberg table at $path"))
+    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+    require(source.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+      s"merge: source columns ${source.schema.fieldNames.toSeq} must match " +
+        s"table columns ${schema.fieldNames.toSeq}")
+    require(keyCols.nonEmpty && keyCols.toSet.subsetOf(schema.fieldNames.toSet),
+      s"merge: key columns $keyCols must be table columns")
+    val idByName = latest.schema.map(c => c.name -> c.id).toMap
+
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+
+    // Equality delete on the source keys. Keys with no current match are
+    // harmless no-ops at read time, so no existence probe is needed.
+    val delDir = new Path(path, s"data/snap-$snapshotId-eqdeletes")
+    source.select(keyCols.map(col): _*).distinct().write.parquet(delDir.toString)
+    val delCounts = footerCounts(delDir, conf)
+    val eqIds = keyCols.map(idByName)
+
+    // Source rows as new data files — same sequence number as the delete,
+    // so the strictly-older scoping leaves them untouched.
+    val dataFiles = writeDataFiles(
+      source.select(schema.fieldNames.map(col).toIndexedSeq: _*),
+      new Path(path, s"data/snap-$snapshotId"))
+
+    val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    writeManifest(dataManifest, conf, dataFiles.map { w =>
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count,
+        lowerBounds = w.lower, upperBounds = w.upper)
+    })
+    val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
+    writeManifest(delManifest, conf, delCounts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 2, filePath = f, // EQUALITY_DELETES
+        fileFormat = "PARQUET", recordCount = n, equalityIds = eqIds)
+    })
+    val prevManifests = ManifestReader.readManifestList(
+      latest.manifestList, conf, latest.formatVersion)
+    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+      prevManifests ++ Seq(
+        Manifest(dataManifest.toString, seq, content = 0),
+        Manifest(delManifest.toString, seq, content = 1)),
+      operation = "overwrite")
+  }
+
   /** Compact the table: rewrite all live rows into fresh data files in ONE
     * new snapshot whose manifests mark every previous data file DELETED —
     * the maintenance operation behind the reference's own checked-in table

@@ -272,6 +272,35 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib22_merge_upsert",
+      // MERGE (upsert) gate: one commit replaces every 5th order (same
+      // key, o_custkey=-1) and inserts the same rows re-keyed (+100M,
+      // o_custkey=-2). Count proves old versions are gone (no
+      // duplicates); updated/inserted prove both merge arms landed.
+      Some("""
+        SELECT CAST(COUNT(*) + SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+               CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inserted
+        FROM orders"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib22_").toString + "/orders_mg"
+        val orders = graft.Tables.load(s, dir, "orders")
+        graft.iceberg.IcebergWriter.write(orders, table)
+        val hit = orders.filter(col("o_orderkey") % 5 === 0)
+        val updates = hit.withColumn("o_custkey", lit(-1L))
+        val inserts = hit
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_custkey", lit(-2L))
+        graft.iceberg.IcebergWriter.merge(
+          s, table, updates.unionByName(inserts), Seq("o_orderkey"))
+        IcebergScan.scan(s, table).agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("o_custkey") === -1L, 1L).otherwise(0L)).as("updated"),
+          sum(when(col("o_custkey") === -2L, 1L).otherwise(0L)).as("inserted"))
+      }
+    ),
+    QueryDef(
       "ib20_scan_filtered",
       // The plain-Spark-predicate API: scanFiltered extracts prunable
       // conjuncts automatically (no hand-built ColPredicates) and applies

@@ -547,6 +547,31 @@ object Relational2 {
       }
     ),
     QueryDef(
+      "e06_retention",
+      // Cohort retention: users grouped by their first-activity day, then
+      // distinct active users per (cohort, day-offset). Two shuffles on
+      // user_id (first-touch agg + join back — Catalyst reuses the
+      // exchange) and one small (cohort, offset) agg; no self-join on raw
+      // events, so it scales linearly at 100 TB.
+      Some("""
+        WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id)
+        SELECT f.d0 AS cohort, datediff('day', f.d0, e.d) AS day_offset,
+               COUNT(DISTINCT e.user_id) AS users
+        FROM e JOIN f ON f.user_id = e.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val f = e.groupBy("user_id").agg(min("d").as("d0"))
+        e.join(f, "user_id")
+          .groupBy(col("d0").as("cohort"),
+            datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+          .agg(countDistinct("user_id").as("users"))
+          .orderBy("cohort", "day_offset")
+      }
+    ),
+    QueryDef(
       "e04_skew_salted_agg",
       // Skew-safe aggregation: events has only 5 event_type keys, so a
       // direct global groupBy funnels each key into one task. Two-phase

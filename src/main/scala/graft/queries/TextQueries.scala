@@ -211,6 +211,37 @@ object TextQueries {
       }
     ),
     QueryDef(
+      "t08_balanced_sample",
+      // Language-balanced downsampling: every language keeps a
+      // deterministic hash-selected subset sized toward the rarest
+      // language (rate = min_count / count). The rate table is 5 rows —
+      // broadcast — so the whole rebalance is one linear scan plus a tiny
+      // agg: the standard training-mix rebalancing pass at corpus scale.
+      // Same content-free md5(doc_id) hash family as t06; the integer
+      // cross-multiply keeps the keep-decision exact on both engines.
+      Some("""
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT MIN(n) AS mn FROM c),
+        k AS (SELECT d.lang
+              FROM documents d JOIN c ON c.lang = d.lang CROSS JOIN m
+              WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1048576 * c.n
+                    < 1048576 * m.mn)
+        SELECT lang, COUNT(*) AS kept FROM k GROUP BY lang ORDER BY lang"""),
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 1048576L
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val mn = counts.agg(min(col("n")).as("mn"))
+        docs.withColumn("h", h)
+          .join(broadcast(counts), "lang")
+          .crossJoin(broadcast(mn))
+          .filter(col("h") * col("n") < lit(1048576L) * col("mn"))
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+          .orderBy("lang")
+      }
+    ),
+    QueryDef(
       "t04_fingerprint",
       // whitespace-normalized hash + order-insensitive sorted-token hash
       Some("""

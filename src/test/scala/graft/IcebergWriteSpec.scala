@@ -269,6 +269,32 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
   }
 
+  test("merge upserts in one snapshot; time travel and stacking hold") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_mg_").toString + "/t"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val snap1 = IcebergWriter.write(base, table)
+
+    // update id=2, insert id=4 — one commit
+    val snap2 = IcebergWriter.merge(
+      spark, table, Seq((2L, "B"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    val got = IcebergScan.scan(spark, table).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // exactly one snapshot added; pre-merge state intact via time travel
+    assert(IcebergScan.snapshots(spark, table).count() === 2)
+    val before = IcebergScan.scan(spark, table, Options(snapshotId = Some(snap1)))
+    assert(before.as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // stacked merge: re-update id=2 again and id=4 (written by merge #1)
+    IcebergWriter.merge(
+      spark, table, Seq((2L, "BB"), (4L, "D")).toDF("id", "v"), Seq("id"))
+    val got2 = IcebergScan.scan(spark, table).as[(Long, String)].collect().sortBy(_._1)
+    assert(got2.toSeq === Seq((1L, "a"), (2L, "BB"), (3L, "c"), (4L, "D")))
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotId = Some(snap2))).count() === 4)
+  }
+
   test("SQL where => resolves before extraction: coercion, case, list_files") {
     graft.sql.GraftSql.register(spark)
     val table = Files.createTempDirectory("graft_sw_").toString + "/t"
