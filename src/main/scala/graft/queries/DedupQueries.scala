@@ -560,16 +560,45 @@ object DedupQueries {
     ),
     QueryDef(
       "a03_ann_ivf",
-      // IVF (inverted-file) ANN — the centroid-based scale path: a small
-      // centroid set (here the vec_id<8 vectors as a deterministic crude
-      // "training" sample) broadcasts; every vector is assigned to its
-      // best-cosine cell map-side; queries probe their top-2 cells and
-      // score exact cosine only within probed cells. At 100 TB the
-      // centroid list stays broadcast-sized and assignment is a linear
-      // map-side pass — no shuffle grows with corpus².
+      // IVF (inverted-file) ANN — the centroid-based scale path: seed
+      // centroids (the vec_id<8 vectors) are REFINED by one k-means
+      // (Lloyd) round — assign all vectors to their best-cosine seed,
+      // then take the per-cell per-dimension mean — before the final
+      // assignment. The means use exact DECIMAL sums, so they are
+      // bit-identical across engines regardless of summation order (a
+      // float-sum mean would differ in the last ulp and could flip an
+      // assignment). Refined centroids broadcast; every vector is
+      // assigned map-side; queries probe their top-2 cells and score
+      // exact cosine only within probed cells. At 100 TB the explode ×
+      // dims pass is linear with map-side combine (decimal sums are
+      // associative), and the centroid list stays broadcast-sized — no
+      // shuffle grows with corpus².
       Some(s"""
         WITH ${embNormsSql},
-        cents AS (SELECT vec_id AS cid, e AS ce FROM embn WHERE vec_id < 8),
+        cents0 AS (SELECT vec_id AS cid, e AS ce FROM embn WHERE vec_id < 8),
+        cn0 AS (SELECT cid, ${dotDblSql("ce", "ce")} AS cn FROM cents0),
+        sim0 AS (
+          SELECT v.vec_id, c.cid,
+                 ${dotDblSql("v.e", "c.ce")} / (sqrt(nv.nn) * sqrt(cn.cn)) AS cos
+          FROM embn v
+          CROSS JOIN cents0 c
+          JOIN norms nv ON nv.vec_id = v.vec_id
+          JOIN cn0 cn ON cn.cid = c.cid),
+        assign0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rc
+            FROM sim0)
+          WHERE rc = 1),
+        mem AS (
+          SELECT a.cid, u.pos, u.val
+          FROM assign0 a JOIN embn v ON v.vec_id = a.vec_id,
+               unnest(list_transform(v.e, (x, i) -> struct_pack(pos := i, val := x))) AS s(u)),
+        refined AS (
+          SELECT cid, pos,
+                 round(CAST(SUM(CAST(val AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*), 6) AS m
+          FROM mem GROUP BY cid, pos),
+        cents AS (SELECT cid, list(m ORDER BY pos) AS ce FROM refined GROUP BY cid),
         cnorm AS (SELECT cid, ${dotDblSql("ce", "ce")} AS cn FROM cents),
         sim AS (
           SELECT v.vec_id, c.cid,
@@ -608,8 +637,29 @@ object DedupQueries {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             dotDbl(col("embedding"), col("embedding")).as("nn"))
-        val cents = e.filter(col("vec_id") < 8)
+        val cents0 = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nn").as("cn"))
+        val sim0 = e.crossJoin(broadcast(cents0))
+          .select(col("vec_id"), col("cid"),
+            (dotDbl(col("embedding"), col("ce"))
+              / (sqrt(col("nn")) * sqrt(col("cn")))).as("cos"))
+        val wc0 = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+        val assign0 = sim0.withColumn("rc", row_number().over(wc0))
+          .filter(col("rc") === 1).select("vec_id", "cid")
+        // one Lloyd round: per-cell per-dimension mean via EXACT decimal
+        // sums (float sums vary with order across engines; decimal sums
+        // are associative → map-side combine AND bit-identical means).
+        // The double cast first makes both engines round the same
+        // double→decimal conversion.
+        val mem = assign0.join(e, "vec_id")
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        val refined = mem.groupBy("cid", "pos")
+          .agg(round(sum(col("val").cast("double").cast("decimal(25,8)")).cast("double")
+            / count(lit(1)), 6).as("m"))
+        val cents = refined.groupBy("cid")
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("ce"))
+          .withColumn("cn", dotDbl(col("ce"), col("ce")))
         val sim = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("cid"),
             (dotDbl(col("embedding"), col("ce"))
