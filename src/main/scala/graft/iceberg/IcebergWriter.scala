@@ -425,7 +425,8 @@ object IcebergWriter {
       seq: Long,
       manifests: Seq[Manifest],
       spec: Seq[SpecField] = Seq.empty,
-      operation: String = "append"): Long = {
+      operation: String = "append",
+      summary: Map[String, String] = Map.empty): Long = {
     val metaDir = new Path(path, "metadata")
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-list.avro")
     writeAvro(manifestListSchema, listPath, conf) {
@@ -506,6 +507,7 @@ object IcebergWriter {
     sn.put("schema-id", 0)
     val sum = sn.putObject("summary")
     sum.put("operation", operation)
+    summary.foreach { case (k, v) => sum.put(k, v) }
     sn.put("manifest-list", listPath.toString)
 
     val version = state.map(_.version + 1).getOrElse(1)
@@ -625,7 +627,8 @@ object IcebergWriter {
     * read NULL for columns added after they were written. Renames,
     * reorders, drops, and narrowings are rejected. */
   def write(df: DataFrame, path: String,
-            partitionBy: Seq[(String, String)] = Seq.empty): Long = {
+            partitionBy: Seq[(String, String)] = Seq.empty,
+            summary: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
@@ -662,7 +665,20 @@ object IcebergWriter {
       case _ => Seq.empty
     }
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
-      prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec)
+      prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
+      summary = summary)
+  }
+
+  /** Largest long stored under `key` across the retained snapshots'
+    * summaries — the recovery read of the streaming sink's batch-id
+    * bookkeeping ([[graft.streaming.IcebergStreamSink]]). */
+  def maxSummaryValue(spark: SparkSession, path: String, key: String): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    loadState(path, conf).toSeq
+      .flatMap(_.snapshots)
+      .flatMap(s => Option(s.get("summary")).flatMap(n => Option(n.get(key))))
+      .map(_.asText.toLong)
+      .maxOption
   }
 
   /** Row-level DELETE, merge-on-read: rows matching `predicate` are

@@ -73,6 +73,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
+  test("t08: the per-language rate table broadcasts — the corpus never " +
+       "shuffles for the rebalance decision") {
+    val df = SparkEntry.queries("t08_balanced_sample")(spark, Sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("e06: no cartesian/nested-loop anywhere in the retention plan") {
+    val p = planString("e06_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("iceberg scan: user filters push into the underlying parquet scan") {
     import org.apache.spark.sql.functions._
     val df = graft.iceberg.IcebergScan.scan(

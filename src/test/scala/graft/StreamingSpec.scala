@@ -127,4 +127,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.contains((2L, 1L, base + 180L * 1000000L, base + 180L * 1000000L, 8.0)), rows)
     } finally q.stop()
   }
+
+  test("Iceberg sink commits one snapshot per batch and replays idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.iceberg.IcebergScan
+    import graft.streaming.IcebergStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_")
+    val table = dir.toString + "/t"
+    val in = MemoryStream[Event]
+    val q = IcebergStreamSink.start(in.toDF(), table, dir.toString + "/ckpt")
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:10:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(IcebergScan.scan(spark, table).count() === 2)
+
+      in.addData(Event(3, ts("2026-01-01 10:20:00"), 1, "purchase", 4.0))
+      q.processAllAvailable()
+      assert(IcebergScan.scan(spark, table).count() === 3)
+      // one snapshot per non-empty batch → full ingestion history
+      assert(IcebergScan.snapshots(spark, table).count() === 2)
+
+      // a replayed batch (failure recovery) must not double-append
+      val replay = Seq(
+        Event(3, ts("2026-01-01 10:20:00"), 1, "purchase", 4.0)).toDF()
+      IcebergStreamSink.commitBatch(replay, batchId = 1, table, Seq.empty)
+      assert(IcebergScan.scan(spark, table).count() === 3)
+      assert(IcebergScan.snapshots(spark, table).count() === 2)
+      // a genuinely NEW batch id still commits
+      IcebergStreamSink.commitBatch(replay, batchId = 2, table, Seq.empty)
+      assert(IcebergScan.scan(spark, table).count() === 4)
+    } finally q.stop()
+  }
 }
