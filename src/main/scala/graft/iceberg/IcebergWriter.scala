@@ -14,7 +14,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{Column => SqlColumn, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, datediff, lit, month, year}
+import org.apache.spark.sql.functions.{col, count, datediff, lit, month, year}
 import org.apache.spark.sql.types._
 
 import IcebergModel._
@@ -508,6 +508,21 @@ object IcebergWriter {
     val sum = sn.putObject("summary")
     sum.put("operation", operation)
     summary.foreach { case (k, v) => sum.put(k, v) }
+    // Streaming batch-id bookkeeping must SURVIVE maintenance commits
+    // (compact/expire/rollback write no batch id themselves): carry the
+    // per-sink max forward, else a replayed batch after maintenance would
+    // double-commit.
+    val prevBatchIds = state.toSeq.flatMap(_.snapshots).flatMap { s =>
+      Option(s.get("summary")).toSeq.flatMap { n =>
+        n.fields.asScala.toSeq.collect {
+          case e if e.getKey.startsWith(StreamBatchIdKey) =>
+            e.getKey -> e.getValue.asText.toLong
+        }
+      }
+    }
+    prevBatchIds.groupMapReduce(_._1)(_._2)(math.max).foreach { case (k, v) =>
+      if (!summary.contains(k)) sum.put(k, v.toString)
+    }
     sn.put("manifest-list", listPath.toString)
 
     val version = state.map(_.version + 1).getOrElse(1)
@@ -669,6 +684,12 @@ object IcebergWriter {
       summary = summary)
   }
 
+  /** Snapshot-summary key prefix for the streaming sink's batch-id
+    * bookkeeping ([[graft.streaming.IcebergStreamSink]] appends its sink
+    * id). Lives here so commitSnapshot can carry these keys forward
+    * through maintenance commits. */
+  val StreamBatchIdKey = "graft.streaming.batch-id"
+
   /** Largest long stored under `key` across the retained snapshots'
     * summaries — the recovery read of the streaming sink's batch-id
     * bookkeeping ([[graft.streaming.IcebergStreamSink]]). */
@@ -757,21 +778,30 @@ object IcebergWriter {
 
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
-    val delDir = new Path(path, s"data/snap-$snapshotId-eqdeletes")
-    keys.distinct().write.parquet(delDir.toString)
-    val counts = footerCounts(delDir, conf)
-    val eqIds = keys.schema.fieldNames.toSeq.map(idByName)
-
-    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(manifestPath, conf, counts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 2, filePath = f, // EQUALITY_DELETES
-        fileFormat = "PARQUET", recordCount = n, equalityIds = eqIds)
-    })
+    val manifestPath = writeEqualityDeleteManifest(
+      conf, path, snapshotId, keys, idByName, s"snap-$snapshotId-m0.avro")
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, content = 1),
       operation = "delete")
+  }
+
+  /** Write `keys` (made distinct) as a v2 equality-delete parquet dir plus
+    * its manifest — shared by [[deleteEquality]] and [[merge]]. */
+  private def writeEqualityDeleteManifest(
+      conf: Configuration, path: String, snapshotId: Long,
+      keys: DataFrame, idByName: Map[String, Int], manifestName: String): Path = {
+    val delDir = new Path(path, s"data/snap-$snapshotId-eqdeletes")
+    keys.distinct().write.parquet(delDir.toString)
+    val counts = footerCounts(delDir, conf)
+    val eqIds = keys.schema.fieldNames.toSeq.map(idByName)
+    val manifestPath = new Path(path, s"metadata/$manifestName")
+    writeManifest(manifestPath, conf, counts.map { case (f, n) =>
+      ManifestEntry(status = 1, content = 2, filePath = f, // EQUALITY_DELETES
+        fileFormat = "PARQUET", recordCount = n, equalityIds = eqIds)
+    })
+    manifestPath
   }
 
   /** Row-level UPDATE, merge-on-read, in ONE snapshot: matching rows are
@@ -868,6 +898,13 @@ object IcebergWriter {
     require(source.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"merge: source columns ${source.schema.fieldNames.toSeq} must match " +
         s"table columns ${schema.fieldNames.toSeq}")
+    // Same type rule as append: equal or widening. A name-only check would
+    // let a wrongly-typed source commit physical files the recorded schema
+    // can't read back — poisoning every later scan of the table.
+    schema.fields.toSeq.zip(source.schema.fields.toSeq).foreach { case (ot, nt) =>
+      require(ot.dataType == nt.dataType || widens(ot.dataType, nt.dataType),
+        s"merge: column '${ot.name}' cannot change ${ot.dataType.sql} -> ${nt.dataType.sql}")
+    }
     require(keyCols.nonEmpty && keyCols.toSet.subsetOf(schema.fieldNames.toSet),
       s"merge: key columns $keyCols must be table columns")
     val idByName = latest.schema.map(c => c.name -> c.id).toMap
@@ -875,37 +912,52 @@ object IcebergWriter {
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
 
-    // Equality delete on the source keys. Keys with no current match are
-    // harmless no-ops at read time, so no existence probe is needed.
-    val delDir = new Path(path, s"data/snap-$snapshotId-eqdeletes")
-    source.select(keyCols.map(col): _*).distinct().write.parquet(delDir.toString)
-    val delCounts = footerCounts(delDir, conf)
-    val eqIds = keyCols.map(idByName)
+    // The delete-key job and the data-file job both consume `source`;
+    // without a persist a non-deterministic source could yield delete keys
+    // inconsistent with the appended rows (old version survives next to
+    // the new one).
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*).persist()
+    try {
+      // "Every source row replaces the row with its key" is only coherent
+      // when the source holds ONE row per key — same rule real MERGE
+      // implementations enforce. Cheap on the persisted source.
+      val dup = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dup == 0L, s"merge: source has multiple rows for the same key $keyCols")
 
-    // Source rows as new data files — same sequence number as the delete,
-    // so the strictly-older scoping leaves them untouched.
-    val dataFiles = writeDataFiles(
-      source.select(schema.fieldNames.map(col).toIndexedSeq: _*),
-      new Path(path, s"data/snap-$snapshotId"))
+      // Equality delete on the source keys. Keys with no current match are
+      // harmless no-ops at read time, so no existence probe is needed.
+      val delManifest = writeEqualityDeleteManifest(
+        conf, path, snapshotId, src.select(keyCols.map(col): _*), idByName,
+        s"snap-$snapshotId-m1.avro")
 
-    val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(dataManifest, conf, dataFiles.map { w =>
-      ManifestEntry(status = 1, content = 0, filePath = w.path,
-        fileFormat = "PARQUET", recordCount = w.count,
-        lowerBounds = w.lower, upperBounds = w.upper)
-    })
-    val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
-    writeManifest(delManifest, conf, delCounts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 2, filePath = f, // EQUALITY_DELETES
-        fileFormat = "PARQUET", recordCount = n, equalityIds = eqIds)
-    })
-    val prevManifests = ManifestReader.readManifestList(
-      latest.manifestList, conf, latest.formatVersion)
-    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      prevManifests ++ Seq(
-        Manifest(dataManifest.toString, seq, content = 0),
-        Manifest(delManifest.toString, seq, content = 1)),
-      operation = "overwrite")
+      // Source rows as new data files — same sequence number as the
+      // delete, so the strictly-older scoping leaves them untouched. The
+      // table's current partition spec is reused: continuous upsert
+      // ingestion must keep producing partition values and bounds, or
+      // nothing written by merge would ever prune.
+      val specPairs = latest.partitionSpec.flatMap { pf =>
+        latest.schema.find(_.id == pf.sourceId).map(c => c.name -> pf.transform)
+      }
+      val spec = resolveSpec(src.schema, specPairs)
+      val dataFiles = writeDataFiles(src, new Path(path, s"data/snap-$snapshotId"), spec)
+
+      val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+      writeManifest(dataManifest, conf, dataFiles.map { w =>
+        ManifestEntry(status = 1, content = 0, filePath = w.path,
+          fileFormat = "PARQUET", recordCount = w.count,
+          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+      }, spec.map(sf => (sf.fieldName, sf.avroType)))
+      val prevManifests = ManifestReader.readManifestList(
+        latest.manifestList, conf, latest.formatVersion)
+      // src.schema (not the table schema): a widening merge must record
+      // the widened types the new files actually carry, like write() does.
+      commitSnapshot(path, conf, Some(state), src.schema, snapshotId, seq,
+        prevManifests ++ Seq(
+          Manifest(dataManifest.toString, seq, content = 0),
+          Manifest(delManifest.toString, seq, content = 1)),
+        spec, operation = "overwrite")
+    } finally src.unpersist(blocking = false)
   }
 
   /** Compact the table: rewrite all live rows into fresh data files in ONE

@@ -13,37 +13,48 @@ import graft.iceberg.IcebergWriter
   *
   * Exactly-once: Structured Streaming's foreachBatch replays a batch after
   * a failure (at-least-once), so every commit records its batch id in the
-  * snapshot summary and a replayed batch whose id is already committed is
-  * skipped — the same summary-bookkeeping idempotence the production
-  * streaming sinks for table formats use. Recovery reads the table, not
-  * the checkpoint, so the guarantee holds even if the checkpoint and the
-  * table disagree about progress.
+  * snapshot summary under a per-sink key, and a replayed batch whose id is
+  * already committed is skipped — the same summary-bookkeeping idempotence
+  * the production streaming sinks for table formats use. Recovery reads
+  * the table, not the checkpoint, and maintenance commits (compact/
+  * expire) carry the bookkeeping forward, so the guarantee holds even if
+  * the checkpoint and the table disagree about progress.
+  *
+  * Batch ids are scoped to the CHECKPOINT: restarting from the same
+  * checkpoint replays the same ids (dedup is correct); starting a NEW
+  * checkpoint restarts numbering at 0, so it must come with a new
+  * `sinkId` — otherwise its early batches collide with already-committed
+  * ids and are skipped as replays.
   */
 object IcebergStreamSink {
 
-  /** Snapshot-summary key recording the micro-batch that committed it. */
-  val BatchIdKey = "graft.streaming.batch-id"
+  /** Snapshot-summary key for this sink's committed batch ids. */
+  def batchIdKey(sinkId: String): String =
+    s"${IcebergWriter.StreamBatchIdKey}.$sinkId"
 
   /** Commit one micro-batch as an append snapshot, unless a snapshot for
     * this or a later batch id already exists (replay after failure). */
   private[graft] def commitBatch(
       batch: DataFrame, batchId: Long, path: String,
-      partitionBy: Seq[(String, String)]): Unit = {
+      partitionBy: Seq[(String, String)], sinkId: String = "default"): Unit = {
+    val key = batchIdKey(sinkId)
     val committed = IcebergWriter
-      .maxSummaryValue(batch.sparkSession, path, BatchIdKey)
+      .maxSummaryValue(batch.sparkSession, path, key)
       .exists(_ >= batchId)
     if (!committed && !batch.isEmpty)
       IcebergWriter.write(batch, path, partitionBy,
-        summary = Map(BatchIdKey -> batchId.toString))
+        summary = Map(key -> batchId.toString))
   }
 
-  /** Start ingesting `events` into the Iceberg table at `path`. */
+  /** Start ingesting `events` into the Iceberg table at `path`. Pair each
+    * checkpoint with its own `sinkId` (see class doc). */
   def start(events: DataFrame, path: String, checkpoint: String,
-            partitionBy: Seq[(String, String)] = Seq.empty): StreamingQuery =
+            partitionBy: Seq[(String, String)] = Seq.empty,
+            sinkId: String = "default"): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, path, partitionBy)
+        commitBatch(batch, batchId, path, partitionBy, sinkId)
       }
       .start()
 }

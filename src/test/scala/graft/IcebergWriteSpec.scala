@@ -293,6 +293,50 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.toSeq === Seq((1L, "a"), (2L, "BB"), (3L, "c"), (4L, "D")))
     assert(IcebergScan.scan(spark, table,
       Options(snapshotId = Some(snap2))).count() === 4)
+
+    // a source with two rows for one key is ambiguous → rejected
+    val dup = intercept[IllegalArgumentException] {
+      IcebergWriter.merge(spark, table,
+        Seq((5L, "x"), (5L, "y")).toDF("id", "v"), Seq("id"))
+    }
+    assert(dup.getMessage.contains("multiple rows"))
+    // a wrongly-typed source must not poison the table
+    val badType = intercept[IllegalArgumentException] {
+      IcebergWriter.merge(spark, table,
+        Seq((6, "x")).toDF("id", "v"), Seq("id")) // id:int vs table id:long
+    }
+    assert(badType.getMessage.contains("cannot change"))
+  }
+
+  test("merge on a partitioned table keeps the partition layout prunable") {
+    import graft.iceberg.IcebergPruning.{ColPredicate, Eq}
+    val table = Files.createTempDirectory("graft_mgp_").toString + "/t"
+    val events = Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+      .repartition(col("dt"))
+    IcebergWriter.write(events, table, partitionBy = Seq("dt" -> "day"))
+    val filesBefore = IcebergScan.scan(spark, table).inputFiles.length
+
+    // upsert one day's rows (value doubled) — merge must write files that
+    // carry partition values, or pruning would stop skipping them
+    val day = events.filter(col("dt") === lit("2024-01-02").cast("date"))
+      .withColumn("value", col("value") * 2)
+    IcebergWriter.merge(spark, table, day, Seq("event_id"))
+
+    val filters = Seq(ColPredicate("dt", Eq, java.time.LocalDate.parse("2024-01-05")))
+    // merge-written files are for 2024-01-02 only → a 01-05 predicate
+    // still reads exactly one DATA file (list_files excludes the
+    // equality-delete file the scan also consumes)
+    val listed = IcebergScan.scan(spark, table,
+      Options(filters = filters, mode = "list_files"))
+    assert(listed.filter(col("type") === "data").count() === 1, s"before=$filesBefore")
+    // and the merged rows replaced, not duplicated
+    val total = IcebergScan.scan(spark, table)
+    assert(total.count() === events.count())
+    val gotSum = total.filter(col("dt") === lit("2024-01-02").cast("date"))
+      .agg(sum(col("value"))).head.getDouble(0)
+    val wantSum = day.agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(gotSum - wantSum) < 1e-6, s"$gotSum vs $wantSum")
   }
 
   test("SQL where => resolves before extraction: coercion, case, list_files") {

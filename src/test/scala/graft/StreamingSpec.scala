@@ -159,6 +159,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // a genuinely NEW batch id still commits
       IcebergStreamSink.commitBatch(replay, batchId = 2, table, Seq.empty)
       assert(IcebergScan.scan(spark, table).count() === 4)
+
+      // bookkeeping survives maintenance: compaction writes no batch id
+      // itself, but carries the max forward — so a replay AFTER compact
+      // still must not double-commit
+      graft.iceberg.IcebergWriter.compact(spark, table)
+      IcebergStreamSink.commitBatch(replay, batchId = 2, table, Seq.empty)
+      assert(IcebergScan.scan(spark, table).count() === 4)
+      // a second sink with its own id is independent bookkeeping
+      IcebergStreamSink.commitBatch(replay, batchId = 0, table, Seq.empty, sinkId = "other")
+      assert(IcebergScan.scan(spark, table).count() === 5)
     } finally q.stop()
   }
 }
