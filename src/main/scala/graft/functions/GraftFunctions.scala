@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Scalar-function registry shared by the SQL surface ([[graft.sql.GraftSql]])
+  * and internal column builders ([[graft.iceberg.IcebergTransforms]]): the
+  * only sanctioned way to turn a custom Catalyst expression into a `Column`
+  * without Spark-internal APIs is `call_function` against a registered name,
+  * so registration must be callable from anywhere that builds such columns. */
+object GraftFunctions {
+
+  private[graft] val all
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+     new ExpressionInfo(classOf[DotProduct].getCanonicalName, null,
+       "graft_dot", "dot product of two numeric arrays as a double", ""),
+     (exprs: Seq[Expression]) => {
+       require(exprs.length == 2, s"graft_dot expects 2 arguments, got ${exprs.length}")
+       DotProduct(exprs.head, exprs(1))
+     }),
+    (FunctionIdentifier("graft_bucket"),
+     new ExpressionInfo(classOf[IcebergBucket].getCanonicalName, null,
+       "graft_bucket", "Iceberg bucket[n] partition transform of a value", ""),
+     (exprs: Seq[Expression]) => {
+       require(exprs.length == 2, s"graft_bucket expects 2 arguments, got ${exprs.length}")
+       val n = exprs(1) match {
+         case e if e.foldable => e.eval() match {
+           case i: Int => i
+           case l: Long => l.toInt
+           case other => throw new IllegalArgumentException(
+             s"graft_bucket: bucket count must be an integer literal, got $other")
+         }
+         case e => throw new IllegalArgumentException(
+           s"graft_bucket: bucket count must be a constant, got '${e.sql}'")
+       }
+       IcebergBucket(exprs.head, n)
+     }))
+
+  /** Idempotent: registerFunction overwrites by identifier. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, b)
+    }
+}

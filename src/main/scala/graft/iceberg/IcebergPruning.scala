@@ -149,8 +149,18 @@ object IcebergPruning {
 
   // ---- partition-transform evaluation --------------------------------------
 
-  /** Predicate value → the transform's output domain (Long ordinal). */
-  private def toTransformOrdinal(transform: String, dt: DataType, v: Any): Option[Long] = {
+  /** Predicate value → the transform's output domain (Long ordinal).
+    * Timestamp-typed values (normalize's epoch-micros domain) project into
+    * the date transforms too — `days(ts)` over a timestamp source is the
+    * single most common Iceberg layout. */
+  private def toTransformOrdinal(
+      transform: IcebergTransforms.Transform, dt: DataType, v: Any): Option[Long] = {
+    import IcebergTransforms._
+    val asMicros: Option[Long] = dt match {
+      case TimestampNTZType | TimestampType =>
+        normalize(dt, v).collect { case us: Long => us }
+      case _ => None
+    }
     val asDate: Option[LocalDate] = v match {
       case d: LocalDate => Some(d)
       case d: java.sql.Date => Some(d.toLocalDate)
@@ -160,15 +170,42 @@ object IcebergPruning {
       // pruning and rely on column bounds alone (absent on foreign tables).
       case n: java.lang.Number if dt == DateType =>
         scala.util.Try(LocalDate.ofEpochDay(n.longValue)).toOption
-      case _ => None
+      case _ => asMicros.map(dateOfMicros)
     }
     transform match {
-      case "day" | "days" => asDate.map(_.toEpochDay)
-      case "month" | "months" =>
-        asDate.map(d => (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1))
-      case "year" | "years" => asDate.map(d => (d.getYear - 1970).toLong)
+      case Day => asDate.map(_.toEpochDay)
+      case Month => asDate.map(monthOrdinal)
+      case Year => asDate.map(yearOrdinal)
+      case Hour => asMicros.map(hourOrdinalOfMicros)
       case _ => None
     }
+  }
+
+  /** Predicate value → Iceberg bucket ordinal (only meaningful for Eq). */
+  private def toBucketOrdinal(n: Int, dt: DataType, v: Any): Option[Long] = {
+    import IcebergTransforms._
+    scala.util.Try[Option[Int]](dt match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        normalize(dt, v).collect {
+          // exact integral values only: a fractional predicate can never
+          // equal an integer column, and hashing its truncation would
+          // prune the WRONG bucket.
+          case b: java.math.BigDecimal if b.stripTrailingZeros.scale <= 0 =>
+            bucketLong(b.longValueExact, n)
+        }
+      case DateType => normalize(dt, v).collect { case days: Long => bucketLong(days, n) }
+      case TimestampNTZType | TimestampType =>
+        normalize(dt, v).collect { case us: Long => bucketLong(us, n) }
+      case StringType => Some(bucketOf(hashString(v.toString), n))
+      case d: DecimalType => v match {
+        case b: java.math.BigDecimal =>
+          Some(bucketOf(hashDecimal(b.setScale(d.scale).unscaledValue), n))
+        case bd: org.apache.spark.sql.types.Decimal =>
+          Some(bucketDecimal(bd, d.scale, n))
+        case _ => None
+      }
+      case _ => None
+    }).toOption.flatten.map(_.toLong)
   }
 
   private def partitionValueOrdinal(raw: Any): Option[Long] = raw match {
@@ -190,9 +227,10 @@ object IcebergPruning {
       e.partition.get(sf.name) match {
         case None | Some(null) => true
         case Some(raw) =>
-          sf.transform match {
-            case "identity" =>
-              val dt = column.get.dataType
+          import IcebergTransforms.{Identity, Day, Month, Year, Hour, Bucket, Truncate}
+          val dt = column.get.dataType
+          IcebergTransforms.parse(sf.transform) match {
+            case Identity =>
               (normalize(dt, raw), normalize(dt, p.value)) match {
                 case (Some(pv), Some(v)) =>
                   compare(pv, v).forall { c =>
@@ -206,8 +244,8 @@ object IcebergPruning {
                   }
                 case _ => true
               }
-            case t @ ("day" | "days" | "month" | "months" | "year" | "years") =>
-              (partitionValueOrdinal(raw), toTransformOrdinal(t, column.get.dataType, p.value)) match {
+            case t @ (Day | Month | Year | Hour) =>
+              (partitionValueOrdinal(raw), toTransformOrdinal(t, dt, p.value)) match {
                 case (Some(po), Some(vo)) =>
                   p.op match {
                     case Eq => po == vo
@@ -218,7 +256,48 @@ object IcebergPruning {
                   }
                 case _ => true
               }
-            case _ => true // bucket/truncate/unknown: conservative keep
+            case Bucket(n) => p.op match {
+              // buckets scramble ordering — only equality projects.
+              case Eq =>
+                (partitionValueOrdinal(raw), toBucketOrdinal(n, dt, p.value)) match {
+                  case (Some(po), Some(vo)) => po == vo
+                  case _ => true
+                }
+              case _ => true
+            }
+            case Truncate(w) => dt match {
+              case IntegerType | LongType | ShortType | ByteType =>
+                val tv = normalize(dt, p.value).collect {
+                  case b: java.math.BigDecimal if b.stripTrailingZeros.scale <= 0 =>
+                    IcebergTransforms.truncateLong(b.longValueExact, w.toLong)
+                }
+                (partitionValueOrdinal(raw), tv) match {
+                  case (Some(po), Some(t)) => p.op match {
+                    case Eq => po == t
+                    // rows < v live in files with truncate(row) <= truncate(v)
+                    // (truncation is monotone); same widening as date buckets.
+                    case Lt | Le => po <= t
+                    case Gt | Ge => po >= t
+                  }
+                  case _ => true
+                }
+              case StringType =>
+                val tv = IcebergTransforms.truncateString(p.value.toString, w)
+                raw match {
+                  case pv: String =>
+                    val c = utf8Compare(pv, tv)
+                    p.op match {
+                      case Eq => c == 0
+                      // code-point-prefix truncation is monotone under the
+                      // UTF-8 byte order compare() uses for strings.
+                      case Lt | Le => c <= 0
+                      case Gt | Ge => c >= 0
+                    }
+                  case _ => true
+                }
+              case _ => true // truncate over other types: conservative keep
+            }
+            case _ => true // unknown transform: conservative keep
           }
       }
     }

@@ -62,16 +62,25 @@ object IcebergWriter {
     * source column (identity keeps the column's domain; date-ordinal
     * transforms produce int ordinals, matching Iceberg). */
   private def partitionAvroType(transform: String, source: DataType): String =
-    transform match {
-      case "identity" => source match {
+    IcebergTransforms.parse(transform) match {
+      case IcebergTransforms.Identity => source match {
         case IntegerType | DateType => "int"
         case LongType => "long"
         case StringType => "string"
         case other => throw new IllegalArgumentException(
           s"identity partition over ${other.sql} not supported")
       }
-      case "day" | "days" | "month" | "months" | "year" | "years" => "int"
-      case other => throw new IllegalArgumentException(s"unsupported transform $other")
+      case IcebergTransforms.Day | IcebergTransforms.Month |
+           IcebergTransforms.Year | IcebergTransforms.Hour |
+           IcebergTransforms.Bucket(_) => "int"
+      case IcebergTransforms.Truncate(_) => source match {
+        case IntegerType | ShortType | ByteType => "int"
+        case LongType => "long"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"truncate partition over ${other.sql} not supported")
+      }
+      case _ => throw new IllegalArgumentException(s"unsupported transform $transform")
     }
 
   /** Manifest-entry schema, optionally extended with a typed `partition`
@@ -175,12 +184,15 @@ object IcebergWriter {
     partitionBy.zipWithIndex.map { case ((c, t), i) =>
       val idx = schema.fieldIndex(c)
       val f = schema(idx)
-      val fieldName = t match {
-        case "identity" => c
-        case "day" | "days" => s"${c}_day"
-        case "month" | "months" => s"${c}_month"
-        case "year" | "years" => s"${c}_year"
-        case other => throw new IllegalArgumentException(s"unsupported transform $other")
+      val fieldName = IcebergTransforms.parse(t) match {
+        case IcebergTransforms.Identity => c
+        case IcebergTransforms.Day => s"${c}_day"
+        case IcebergTransforms.Month => s"${c}_month"
+        case IcebergTransforms.Year => s"${c}_year"
+        case IcebergTransforms.Hour => s"${c}_hour"
+        case IcebergTransforms.Bucket(_) => s"${c}_bucket"
+        case IcebergTransforms.Truncate(_) => s"${c}_trunc"
+        case _ => throw new IllegalArgumentException(s"unsupported transform $t")
       }
       SpecField(c, t, fieldName, idx + 1, 1000 + i,
         partitionAvroType(t, f.dataType), f.dataType)
@@ -189,16 +201,12 @@ object IcebergWriter {
   /** The transform as a Spark expression over the source column — always
     * materialized as a COPY (`__gp_` prefix) so hive-style partitionBy
     * strips the copy, never a data column (Iceberg data files keep
-    * identity-partitioned columns). Ordinal domains match
-    * [[IcebergPruning.toTransformOrdinal]]: day = epoch days,
-    * month = (y-1970)*12+(m-1), year = y-1970. */
-  private def transformCol(t: String, c: SqlColumn): SqlColumn = t match {
-    case "identity" => c
-    case "day" | "days" => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
-    case "month" | "months" => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
-    case "year" | "years" => year(c) - lit(1970)
-    case other => throw new IllegalArgumentException(s"unsupported transform $other")
-  }
+    * identity-partitioned columns). Ordinal domains are defined in ONE
+    * place — [[IcebergTransforms.column]] — shared with the pruner's
+    * predicate projection. */
+  private def transformCol(sf: SpecField, spark: SparkSession): SqlColumn =
+    IcebergTransforms.column(
+      IcebergTransforms.parse(sf.transform), col(sf.source), sf.sourceType, spark)
 
   /** Spark's hive-dir escaping replaces reserved chars with %XX but keeps
     * '+' literal — URLDecoder would corrupt it to a space. Undo exactly
@@ -359,7 +367,7 @@ object IcebergWriter {
     }.toIndexedSeq: _*)
     val gpNames = spec.map(sf => s"__gp_${sf.fieldName}")
     val withParts = spec.zip(gpNames).foldLeft(withIds) { case (d, (sf, gp)) =>
-      d.withColumn(gp, transformCol(sf.transform, col(sf.source)))
+      d.withColumn(gp, transformCol(sf, d.sparkSession))
     }
     val writer = withParts.write
     (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)

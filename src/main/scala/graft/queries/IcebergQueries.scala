@@ -301,6 +301,105 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib23_scan_bucket_pruned",
+      // bucket[N] partition-transform pruning (Iceberg spec Appendix B
+      // murmur3 bucketing; the reference decodes the transform name and
+      // ignores it): orders written bucket[8]-partitioned on o_custkey —
+      // 8 dirs, one file each after repartitioning by the bucket value. An
+      // equality predicate hashes to exactly one bucket → 1 of 8 files.
+      Some("""
+        SELECT CAST(8 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept,
+               COUNT(*) AS cnt
+        FROM orders WHERE o_custkey = 37"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib23_").toString + "/orders_bucketed"
+        val bucketCol = graft.iceberg.IcebergTransforms.column(
+          graft.iceberg.IcebergTransforms.Bucket(8), col("o_custkey"),
+          org.apache.spark.sql.types.LongType, s)
+        val src = graft.Tables.load(s, dir, "orders").repartition(8, bucketCol)
+        graft.iceberg.IcebergWriter.write(src, table,
+          partitionBy = Seq("o_custkey" -> "bucket[8]"))
+        val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+          "o_custkey", graft.iceberg.IcebergPruning.Eq, 37L))
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+        val kept = IcebergScan.scan(s, table, Options(mode = "list_files", filters = filters))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
+        val cnt = IcebergScan.scan(s, table, Options(filters = filters))
+          .agg(count(lit(1)).as("cnt"))
+        total.crossJoin(kept).crossJoin(cnt)
+      }
+    ),
+    QueryDef(
+      "ib24_scan_truncate_pruned",
+      // truncate[W] partition-transform pruning: part written
+      // truncate[10]-partitioned on p_size (1..50 → ordinals
+      // {0,10,20,30,40,50} = 6 dirs). p_size = 7 truncates to 0 → 1 file.
+      Some("""
+        SELECT CAST(6 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept,
+               COUNT(*) AS cnt
+        FROM part WHERE p_size = 7"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib24_").toString + "/part_trunc"
+        val src = graft.Tables.load(s, dir, "part")
+          .repartition(6, col("p_size") - pmod(col("p_size"), lit(10)))
+        graft.iceberg.IcebergWriter.write(src, table,
+          partitionBy = Seq("p_size" -> "truncate[10]"))
+        val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+          "p_size", graft.iceberg.IcebergPruning.Eq, 7))
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+        val kept = IcebergScan.scan(s, table, Options(mode = "list_files", filters = filters))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
+        val cnt = IcebergScan.scan(s, table, Options(filters = filters))
+          .agg(count(lit(1)).as("cnt"))
+        total.crossJoin(kept).crossJoin(cnt)
+      }
+    ),
+    QueryDef(
+      "ib25_scan_hour_pruned",
+      // hour(ts) partition-transform pruning over a TIMESTAMP source: one
+      // day of events written hour-partitioned (24 dirs). A
+      // [13:00, 13:59:59] range projects to hour ordinal 13 on both ends —
+      // partition pruning and column-bounds pruning agree on exactly one
+      // file (an open `< 14:00` bound would be decided differently by the
+      // two mechanisms: partition keeps ordinal 14, bounds drop it).
+      Some("""
+        SELECT CAST(24 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept,
+               COUNT(*) AS cnt
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 13:00:00'
+          AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-05 13:59:59'"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib25_").toString + "/events_hourly"
+        val hourCol = graft.iceberg.IcebergTransforms.column(
+          graft.iceberg.IcebergTransforms.Hour, col("ts"),
+          org.apache.spark.sql.types.TimestampNTZType, s)
+        val src = graft.Tables.events(s, dir)
+          .filter(to_date(col("ts")) === lit("2024-01-05").cast("date"))
+          .repartition(24, hourCol)
+        graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("ts" -> "hour"))
+        def us(t: String): Long =
+          java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+            .toEpochMilli * 1000L
+        val filters = Seq(
+          graft.iceberg.IcebergPruning.ColPredicate(
+            "ts", graft.iceberg.IcebergPruning.Ge, us("2024-01-05T13:00:00")),
+          graft.iceberg.IcebergPruning.ColPredicate(
+            "ts", graft.iceberg.IcebergPruning.Le, us("2024-01-05T13:59:59")))
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+        val kept = IcebergScan.scan(s, table, Options(mode = "list_files", filters = filters))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
+        val cnt = IcebergScan.scan(s, table, Options(filters = filters))
+          .agg(count(lit(1)).as("cnt"))
+        total.crossJoin(kept).crossJoin(cnt)
+      }
+    ),
+    QueryDef(
       "ib20_scan_filtered",
       // The plain-Spark-predicate API: scanFiltered extracts prunable
       // conjuncts automatically (no hand-built ColPredicates) and applies

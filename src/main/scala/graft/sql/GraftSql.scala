@@ -155,16 +155,11 @@ object GraftSql {
      b)
   }
 
-  /** Scalar functions: custom codegen'd Catalyst expressions. */
+  /** Scalar functions: custom codegen'd Catalyst expressions
+    * (shared registry — see [[graft.functions.GraftFunctions]]). */
   private[sql] def scalarFunctions
-      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("graft_dot"),
-     new ExpressionInfo(classOf[graft.functions.DotProduct].getCanonicalName, null,
-       "graft_dot", "dot product of two numeric arrays as a double", ""),
-     (exprs: Seq[Expression]) => {
-       require(exprs.length == 2, s"graft_dot expects 2 arguments, got ${exprs.length}")
-       graft.functions.DotProduct(exprs.head, exprs(1))
-     }))
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    graft.functions.GraftFunctions.all
 
   /** Register the TVFs + scalar functions on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

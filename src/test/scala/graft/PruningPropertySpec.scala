@@ -171,6 +171,119 @@ object PruningPropertySpec extends Properties("iceberg.pruning") {
       kept.map(_.filePath) == Seq("f1")
     }
 
+  // ---- safety invariant: bucket / truncate / hour transforms --------------
+
+  property("bucket-partition pruning never drops the matching bucket's file") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(-10000L, 10000L)),
+      Gen.choose(-10000L, 10000L), Gen.choose(1, 64)) { (fileVals, v, n) =>
+      val spec = Seq(PartitionFieldSpec("x_bucket", s"bucket[$n]", sourceId = 1, fieldId = 1000))
+      val entries = fileVals.zipWithIndex.map { case (x, i) =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = 1L,
+          partition = Map("x_bucket" -> Int.box(IcebergTransforms.bucketLong(x, n))))
+      }
+      val kept = prune(entries, Seq(ColPredicate("x", Eq, v)), spec, longSchema)
+        .map(_.filePath).toSet
+      fileVals.zipWithIndex.forall { case (x, i) =>
+        x != v || kept.contains(s"f$i")
+      }
+    }
+
+  property("bucket pruning keeps everything for range operators") =
+    forAll(Gen.oneOf[Op](Lt, Le, Gt, Ge), Gen.choose(-100L, 100L), Gen.choose(1, 16)) {
+      (op, v, n) =>
+        val spec = Seq(PartitionFieldSpec("x_bucket", s"bucket[$n]", sourceId = 1, fieldId = 1000))
+        val e = ManifestEntry(1, 0, "f0", "PARQUET", 1L,
+          partition = Map("x_bucket" -> Int.box(0)))
+        prune(Seq(e), Seq(ColPredicate("x", op, v)), spec, longSchema).nonEmpty
+    }
+
+  property("truncate-partition pruning over longs never drops a matching file") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)),
+      genOp, Gen.choose(-1100L, 1100L), Gen.choose(1, 50)) { (fileVals, op, v, w) =>
+      val spec = Seq(PartitionFieldSpec("x_trunc", s"truncate[$w]", sourceId = 1, fieldId = 1000))
+      val entries = fileVals.zipWithIndex.map { case (x, i) =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = 1L,
+          partition = Map("x_trunc" -> Long.box(IcebergTransforms.truncateLong(x, w.toLong))))
+      }
+      val kept = prune(entries, Seq(ColPredicate("x", op, v)), spec, longSchema)
+        .map(_.filePath).toSet
+      fileVals.zipWithIndex.forall { case (x, i) =>
+        !sat(op, x, v) || kept.contains(s"f$i")
+      }
+    }
+
+  private val strSchema = Seq(Column(1, "s", StringType, required = false))
+
+  property("truncate-partition pruning over strings never drops a matching file") =
+    forAll(
+      // "𐐷" is a supplementary code point (2 UTF-16 units) — string pieces,
+      // since it cannot be a Char literal
+      Gen.nonEmptyListOf(Gen.listOfN(6, Gen.oneOf("a", "b", "c", "é", "𐐷")).map(_.mkString)),
+      genOp,
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", "é", "𐐷")).map(_.mkString),
+      Gen.choose(1, 5)) { (fileVals, op, v, w) =>
+      val spec = Seq(PartitionFieldSpec("s_trunc", s"truncate[$w]", sourceId = 1, fieldId = 1000))
+      def satS(op: Op, x: String): Boolean = {
+        val c = utf8Compare(x, v)
+        op match {
+          case Eq => c == 0; case Lt => c < 0; case Le => c <= 0
+          case Gt => c > 0; case Ge => c >= 0
+        }
+      }
+      val entries = fileVals.zipWithIndex.map { case (x, i) =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = 1L,
+          partition = Map("s_trunc" -> IcebergTransforms.truncateString(x, w)))
+      }
+      val kept = prune(entries, Seq(ColPredicate("s", op, v)), spec, strSchema)
+        .map(_.filePath).toSet
+      fileVals.zipWithIndex.forall { case (x, i) =>
+        !satS(op, x) || kept.contains(s"f$i")
+      }
+    }
+
+  private val tsSchema = Seq(Column(1, "ts", TimestampNTZType, required = false))
+
+  property("hour-partition pruning never drops a file holding a matching row") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 1000L * 3600000000L)),
+      genOp, Gen.choose(0L, 1000L * 3600000000L)) { (fileMicros, op, v) =>
+      val spec = Seq(PartitionFieldSpec("ts_hour", "hour", sourceId = 1, fieldId = 1000))
+      val entries = fileMicros.zipWithIndex.map { case (us, i) =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = 1L,
+          partition = Map("ts_hour" ->
+            Int.box(IcebergTransforms.hourOrdinalOfMicros(us).toInt)))
+      }
+      val kept = prune(entries, Seq(ColPredicate("ts", op, Long.box(v))), spec, tsSchema)
+        .map(_.filePath).toSet
+      fileMicros.zipWithIndex.forall { case (us, i) =>
+        !sat(op, us, v) || kept.contains(s"f$i")
+      }
+    }
+
+  // Timestamp predicates must also project through the DATE transforms
+  // (days(ts) is the most common Iceberg layout).
+  property("day-partition pruning works for timestamp-typed predicates") =
+    forAll(Gen.choose(0L, 20000L), genOp) { (day0, op) =>
+      val spec = Seq(PartitionFieldSpec("ts_day", "day", sourceId = 1, fieldId = 1000))
+      val entries = (0 until 3).map { i =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = 1L,
+          partition = Map("ts_day" -> Long.box(day0 + i)))
+      }
+      // noon inside the middle day
+      val v = (day0 + 1) * 86400000000L + 43200000000L
+      val kept = prune(entries, Seq(ColPredicate("ts", op, Long.box(v))), spec, tsSchema)
+        .map(_.filePath).toSet
+      // middle day always contains micros satisfying any op vs noon
+      kept.contains("f1")
+    }
+
   property("identity-partition pruning never drops a matching file") =
     forAll(
       Gen.nonEmptyListOf(Gen.choose(-100L, 100L)),
