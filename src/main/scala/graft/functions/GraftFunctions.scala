@@ -28,9 +28,11 @@ object GraftFunctions {
        val n = exprs(1) match {
          case e if e.foldable => e.eval() match {
            case i: Int => i
-           case l: Long => l.toInt
+           // toInt would silently truncate (4294967312L -> bucket 16);
+           // an out-of-range count must fail analysis, not change semantics
+           case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
            case other => throw new IllegalArgumentException(
-             s"graft_bucket: bucket count must be an integer literal, got $other")
+             s"graft_bucket: bucket count must be an Int-range integer literal, got $other")
          }
          case e => throw new IllegalArgumentException(
            s"graft_bucket: bucket count must be a constant, got '${e.sql}'")

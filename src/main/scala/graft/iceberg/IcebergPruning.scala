@@ -72,7 +72,13 @@ object IcebergPruning {
       case (TimestampNTZType | TimestampType, n: java.lang.Number) => Some(n.longValue) // micros
       case (TimestampNTZType | TimestampType, t: java.time.LocalDateTime) =>
         Some(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L)
-      case (StringType, s) => Some(s.toString)
+      // Genuine strings only (manifest values arrive as String via
+      // fromAvro; Catalyst literals as UTF8String). `s.toString` of an
+      // arbitrary Options.filters value would compare its rendering while
+      // the residual compares under cast semantics — those can disagree
+      // (e.g. "037" vs 37), turning pruning into data loss.
+      case (StringType, s: String) => Some(s)
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) => Some(u.toString)
       case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
       case _ => None
     }).toOption.flatten
@@ -196,7 +202,16 @@ object IcebergPruning {
       case DateType => normalize(dt, v).collect { case days: Long => bucketLong(days, n) }
       case TimestampNTZType | TimestampType =>
         normalize(dt, v).collect { case us: Long => bucketLong(us, n) }
-      case StringType => Some(bucketOf(hashString(v.toString), n))
+      // Strings must arrive AS strings: hashing v.toString of e.g. an Int
+      // predicate from Options.filters would prune the bucket of "37"
+      // while the residual's cast semantics can match rows in other files
+      // ("037"). Non-string values → conservative keep.
+      case StringType => v match {
+        case s: String => Some(bucketOf(hashString(s), n))
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some(bucketOf(hashString(u.toString), n))
+        case _ => None
+      }
       case d: DecimalType => v match {
         case b: java.math.BigDecimal =>
           Some(bucketOf(hashDecimal(b.setScale(d.scale).unscaledValue), n))
@@ -282,9 +297,18 @@ object IcebergPruning {
                   case _ => true
                 }
               case StringType =>
-                val tv = IcebergTransforms.truncateString(p.value.toString, w)
-                raw match {
-                  case pv: String =>
+                // Same string-typing guard as toBucketOrdinal: only a real
+                // string predicate value projects; anything else (possible
+                // via Options.filters) keeps conservatively, because the
+                // residual compares under cast semantics, not toString.
+                val tvOpt = p.value match {
+                  case s: String => Some(IcebergTransforms.truncateString(s, w))
+                  case u: org.apache.spark.unsafe.types.UTF8String =>
+                    Some(IcebergTransforms.truncateString(u.toString, w))
+                  case _ => None
+                }
+                (raw, tvOpt) match {
+                  case (pv: String, Some(tv)) =>
                     val c = utf8Compare(pv, tv)
                     p.op match {
                       case Eq => c == 0

@@ -151,16 +151,29 @@ object IcebergTransforms {
     * through the function registry — `call_function` is the supported way
     * to wrap a custom expression in a `Column` (the direct wrapper,
     * `classic.ExpressionUtils`, is `private[sql]`). */
-  def column(t: Transform, c: SqlColumn, dt: DataType, spark: SparkSession): SqlColumn =
+  def column(t: Transform, c: SqlColumn, dt: DataType, spark: SparkSession): SqlColumn = {
+    // Iceberg date-transform ordinals are defined over the UTC instant.
+    // year()/hour()/cast(DateType) over TimestampType (= TIMESTAMP WITH
+    // LOCAL TIME ZONE) read the SESSION time zone, while the pruner
+    // projects predicates with UTC-fixed integer arithmetic
+    // (hourOrdinalOfMicros/dateOfMicros) — in a non-UTC session the two
+    // would disagree and pruning would silently drop matching files.
+    // Rebasing to TIMESTAMP_NTZ at UTC first makes every downstream
+    // date-part function time-zone-independent. NTZ and DateType inputs
+    // are already zone-free.
+    val cu = dt match {
+      case TimestampType => convert_timezone(lit("UTC"), c)
+      case _ => c
+    }
     t match {
       case Identity => c
-      case Day => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
-      case Month => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
-      case Year => year(c) - lit(1970)
+      case Day => datediff(cu.cast(DateType), lit("1970-01-01").cast(DateType))
+      case Month => (year(cu) - lit(1970)) * lit(12) + month(cu) - lit(1)
+      case Year => year(cu) - lit(1970)
       case Hour =>
         // days*24 + hour-of-day: exact integers, floors correctly pre-1970
         // (datediff is negative, hour() stays 0-23).
-        datediff(c.cast(DateType), lit("1970-01-01").cast(DateType)) * lit(24) + hour(c)
+        datediff(cu.cast(DateType), lit("1970-01-01").cast(DateType)) * lit(24) + hour(cu)
       case Bucket(n) =>
         graft.functions.GraftFunctions.register(spark)
         call_function("graft_bucket", c, lit(n))
@@ -172,4 +185,5 @@ object IcebergTransforms {
       }
       case Unknown => throw new IllegalArgumentException(s"unknown transform")
     }
+  }
 }

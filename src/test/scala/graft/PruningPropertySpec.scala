@@ -300,4 +300,37 @@ object PruningPropertySpec extends Properties("iceberg.pruning") {
         !sat(op, x, v) || kept.contains(s"f$i")
       }
     }
+
+  // ---- mistyped predicate values against STRING columns -------------------
+  // Via Options.filters a caller can hand a non-string value against a
+  // string column. The residual then compares under Spark CAST semantics
+  // (string "037" == int 37), while toString-projection would prune the
+  // bucket/prefix of "37" only — so the pruner must degrade to keep.
+
+  property("non-string predicate values never prune string bucket partitions") =
+    forAll(genOp, Gen.choose(0, 1000), Gen.choose(1, 32)) { (op, v, n) =>
+      val spec = Seq(PartitionFieldSpec("s_bucket", s"bucket[$n]", sourceId = 1, fieldId = 1000))
+      // a file that holds "037"-style rows: bucket of the PADDED rendering
+      val e = ManifestEntry(1, 0, "f0", "PARQUET", 1L,
+        partition = Map("s_bucket" ->
+          Int.box(IcebergTransforms.bucketOf(IcebergTransforms.hashString(f"$v%03d"), n))))
+      prune(Seq(e), Seq(ColPredicate("s", op, Int.box(v))), spec, strSchema).nonEmpty
+    }
+
+  property("non-string predicate values never prune string truncate partitions") =
+    forAll(genOp, Gen.choose(0, 1000), Gen.choose(1, 5)) { (op, v, w) =>
+      val spec = Seq(PartitionFieldSpec("s_trunc", s"truncate[$w]", sourceId = 1, fieldId = 1000))
+      val e = ManifestEntry(1, 0, "f0", "PARQUET", 1L,
+        partition = Map("s_trunc" -> IcebergTransforms.truncateString(f"$v%03d", w)))
+      prune(Seq(e), Seq(ColPredicate("s", op, Int.box(v))), spec, strSchema).nonEmpty
+    }
+
+  property("non-string predicate values never prune via string column bounds") =
+    forAll(genOp, Gen.choose(0, 1000)) { (op, v) =>
+      val padded = f"$v%03d" // CASTs equal to v but compares differently as text
+      val e = ManifestEntry(1, 0, "f0", "PARQUET", 1L,
+        lowerBounds = Map(1 -> encodeBound(StringType, padded).get),
+        upperBounds = Map(1 -> encodeBound(StringType, padded).get))
+      prune(Seq(e), Seq(ColPredicate("s", op, Int.box(v))), Seq.empty, strSchema).nonEmpty
+    }
 }

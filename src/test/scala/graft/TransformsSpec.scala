@@ -122,4 +122,46 @@ class TransformsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = spark.sql("SELECT graft_bucket(34L, 16) AS b").collect().head.getInt(0)
     assert(r === bucketLong(34L, 16))
   }
+
+  test("graft_bucket rejects bucket counts outside Int range instead of truncating") {
+    graft.functions.GraftFunctions.register(spark)
+    // 4294967312L wraps to 16 under toInt — must fail analysis, not
+    // silently bucket mod 16
+    val e = intercept[Throwable] {
+      spark.sql("SELECT graft_bucket(34L, 4294967312)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("graft_bucket")))
+  }
+
+  test("date-transform columns over TimestampType are session-timezone-independent") {
+    import spark.implicits._
+    // The pruner projects predicates with UTC-fixed arithmetic; the writer
+    // column must produce the same ordinals even in a non-UTC session
+    // (ADVICE r4: hour()/cast(DateType) over ltz reads the session zone).
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val micros = Seq(0L, 3599999999L, 3600000000L, 1704459599000000L,
+        -1L, 86399999999L, 1731796268000000L)
+      val df = micros.toDF("us")
+        .withColumn("ts", timestamp_micros(col("us"))) // TimestampType (ltz)
+        .withColumn("h", IcebergTransforms.column(Hour, col("ts"), TimestampType, spark))
+        .withColumn("d", IcebergTransforms.column(Day, col("ts"), TimestampType, spark))
+        .withColumn("m", IcebergTransforms.column(Month, col("ts"), TimestampType, spark))
+        .withColumn("y", IcebergTransforms.column(Year, col("ts"), TimestampType, spark))
+      val got = df.collect()
+        .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+        .toMap
+      micros.foreach { us =>
+        val (h, d, m, y) = got(us)
+        val ld = dateOfMicros(us)
+        assert(h.toLong === hourOrdinalOfMicros(us), s"hour of $us")
+        assert(d.toLong === dayOrdinalOfMicros(us), s"day of $us")
+        assert(m.toLong === monthOrdinal(ld), s"month of $us")
+        assert(y.toLong === yearOrdinal(ld), s"year of $us")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
