@@ -27,12 +27,13 @@ object GraftFunctions {
        require(exprs.length == 2, s"graft_bucket expects 2 arguments, got ${exprs.length}")
        val n = exprs(1) match {
          case e if e.foldable => e.eval() match {
-           case i: Int => i
-           // toInt would silently truncate (4294967312L -> bucket 16);
-           // an out-of-range count must fail analysis, not change semantics
-           case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+           // toInt would silently truncate (4294967312L -> bucket 16), and
+           // n <= 0 divides by zero (or flips sign) at execution; any
+           // invalid count must fail analysis, not change semantics
+           case i: Int if i >= 1 => i
+           case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
            case other => throw new IllegalArgumentException(
-             s"graft_bucket: bucket count must be an Int-range integer literal, got $other")
+             s"graft_bucket: bucket count must be a positive Int-range integer literal, got $other")
          }
          case e => throw new IllegalArgumentException(
            s"graft_bucket: bucket count must be a constant, got '${e.sql}'")

@@ -152,28 +152,37 @@ object IcebergTransforms {
     * to wrap a custom expression in a `Column` (the direct wrapper,
     * `classic.ExpressionUtils`, is `private[sql]`). */
   def column(t: Transform, c: SqlColumn, dt: DataType, spark: SparkSession): SqlColumn = {
-    // Iceberg date-transform ordinals are defined over the UTC instant.
-    // year()/hour()/cast(DateType) over TimestampType (= TIMESTAMP WITH
-    // LOCAL TIME ZONE) read the SESSION time zone, while the pruner
-    // projects predicates with UTC-fixed integer arithmetic
-    // (hourOrdinalOfMicros/dateOfMicros) — in a non-UTC session the two
-    // would disagree and pruning would silently drop matching files.
-    // Rebasing to TIMESTAMP_NTZ at UTC first makes every downstream
-    // date-part function time-zone-independent. NTZ and DateType inputs
-    // are already zone-free.
-    val cu = dt match {
-      case TimestampType => convert_timezone(lit("UTC"), c)
-      case _ => c
-    }
     t match {
       case Identity => c
-      case Day => datediff(cu.cast(DateType), lit("1970-01-01").cast(DateType))
-      case Month => (year(cu) - lit(1970)) * lit(12) + month(cu) - lit(1)
-      case Year => year(cu) - lit(1970)
+      case Day | Month | Year | Hour if dt == TimestampType =>
+        // Iceberg date-transform ordinals are defined over the UTC instant,
+        // but year()/hour()/cast(DateType) over TimestampType (= TIMESTAMP
+        // WITH LOCAL TIME ZONE) read the SESSION zone, and a
+        // convert_timezone rebase re-interprets DST-ambiguous wall clocks
+        // (instants in a fall-back repeated hour land an hour off). So
+        // derive ordinals from the instant's micros with exact long
+        // arithmetic — this mirrors hourOrdinalOfMicros/dateOfMicros for
+        // EVERY instant in any session zone. The numerator is made
+        // divisible before `div`, so truncation equals floor division.
+        val us = unix_micros(c)
+        def floorDiv(d: Long): SqlColumn =
+          call_function("div", us - pmod(us, lit(d)), lit(d))
+        lazy val utcDate = date_from_unix_date(floorDiv(86400000000L).cast(IntegerType))
+        t match {
+          case Hour => floorDiv(3600000000L).cast(IntegerType)
+          case Day => floorDiv(86400000000L).cast(IntegerType)
+          case Month => (year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1)
+          case Year => year(utcDate) - lit(1970)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+      // NTZ and DateType inputs are zone-free: date-part functions are safe.
+      case Day => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+      case Month => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
+      case Year => year(c) - lit(1970)
       case Hour =>
         // days*24 + hour-of-day: exact integers, floors correctly pre-1970
         // (datediff is negative, hour() stays 0-23).
-        datediff(cu.cast(DateType), lit("1970-01-01").cast(DateType)) * lit(24) + hour(cu)
+        datediff(c.cast(DateType), lit("1970-01-01").cast(DateType)) * lit(24) + hour(c)
       case Bucket(n) =>
         graft.functions.GraftFunctions.register(spark)
         call_function("graft_bucket", c, lit(n))

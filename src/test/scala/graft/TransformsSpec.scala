@@ -135,6 +135,20 @@ class TransformsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(e).exists(_.contains("graft_bucket")))
   }
 
+  test("graft_bucket rejects non-positive bucket counts at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // n = 0 would divide by zero at execution; negative n would flip the
+    // bucket sign — both must fail analysis uniformly with the writer path
+    Seq("0", "-3", "0L", "-9223372036854775808").foreach { n =>
+      val e = intercept[Throwable] {
+        spark.sql(s"SELECT graft_bucket(34L, $n)").collect()
+      }
+      assert(messages(e).exists(_.contains("graft_bucket")), s"count $n")
+    }
+  }
+
   test("date-transform columns over TimestampType are session-timezone-independent") {
     import spark.implicits._
     // The pruner projects predicates with UTC-fixed arithmetic; the writer
@@ -143,8 +157,20 @@ class TransformsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // 2024-11-03 08:00-10:00 UTC is the DST fall-back window in LA: the
+      // local wall clock 01:00-02:00 repeats, so any wall-clock rebase
+      // (e.g. convert_timezone) is ambiguous there and lands an hour off
+      // for the second pass (ADVICE r5). 2024-03-10 10:00-11:00 UTC is the
+      // spring-forward gap (02:00-03:00 local never exists).
+      val dstEdges = Seq(
+        "2024-11-03T08:00:00Z", "2024-11-03T08:30:00Z", "2024-11-03T08:59:59Z",
+        "2024-11-03T09:00:00Z", "2024-11-03T09:30:00Z", "2024-11-03T09:59:59Z",
+        "2024-11-03T10:00:00Z",
+        "2024-03-10T09:59:59Z", "2024-03-10T10:00:00Z", "2024-03-10T10:30:00Z",
+        "2024-03-10T11:00:00Z")
+        .map(s => java.time.Instant.parse(s).toEpochMilli * 1000L)
       val micros = Seq(0L, 3599999999L, 3600000000L, 1704459599000000L,
-        -1L, 86399999999L, 1731796268000000L)
+        -1L, 86399999999L, 1731796268000000L) ++ dstEdges
       val df = micros.toDF("us")
         .withColumn("ts", timestamp_micros(col("us"))) // TimestampType (ltz)
         .withColumn("h", IcebergTransforms.column(Hour, col("ts"), TimestampType, spark))
