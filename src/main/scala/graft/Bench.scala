@@ -41,27 +41,56 @@ object Bench {
         .partitionBy("n_regionkey").orderBy("n_nationkey"))))
   }
 
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = GraftSessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    warmup(spark, sfDir)
+    // Best-effort: a broken data dir should still produce the per-query
+    // error artifact below, not die before the first timing.
+    try warmup(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+    // Min of `runs` executions: a single-shot timing on an oversubscribed
+    // machine swings up to 30x (round-5 driver artifacts vs idle re-run),
+    // which makes real regressions indistinguishable from contention. The
+    // min of two runs is the contention-free estimate.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try runToNoop(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).iterator.takeWhile(_ => !errors.contains(name)).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { runToNoop(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          None
+        }
+      }.toSeq
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = errors.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // A failed query must be loud in the artifact (errors map, failed
+    // count, -1 timing) AND in the exit code — the old harness logged to
+    // stderr and exited 0, so a broken query benched as "fast".
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""failed":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
