@@ -61,6 +61,16 @@ object IcebergIO {
   def join(a: String, b: String): String =
     if (a.endsWith("/")) a + b else a + "/" + b
 
+  /** The table directory implied by a user-supplied path: a direct
+    * `.../metadata/vN.metadata.json` path points INSIDE the table, so
+    * moved-path splicing must anchor at the directory two levels up —
+    * otherwise every manifest resolves under the .json "directory". */
+  def tableRoot(path: String): String =
+    if (path.endsWith(".json")) {
+      val i = path.lastIndexOf("/metadata/")
+      if (i > 0) path.substring(0, i) else path
+    } else path
+
   /** Resolve which `vN[.gz].metadata.json` to read — the reference's
     * GetMetaDataPath (iceberg.cpp:191-219). `tableVersion` is the `version`
     * scan option: "?" (default), an explicit version, or a hint-file name

@@ -81,8 +81,9 @@ object IcebergScan {
     * deletes subtracted via a null-safe anti join (J1, iceberg_scan.cpp:156-199). */
   def scan(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts)
-    val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
-    scanLoaded(spark, path, opts, snapshot, meta)
+    val root = IcebergIO.tableRoot(path)
+    val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    scanLoaded(spark, root, opts, snapshot, meta)
   }
 
   /** The scan over ALREADY-LOADED metadata — lets the writer's row-level
@@ -297,7 +298,8 @@ object IcebergScan {
       condition: org.apache.spark.sql.Column,
       opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts)
-    val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val root = IcebergIO.tableRoot(path)
+    val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
     // Resolve the Column against the snapshot schema to get its Catalyst
     // expression (Spark 4 Columns no longer expose one directly).
     val schema = IcebergSchemaParser.toStructType(snapshot.schema)
@@ -306,7 +308,7 @@ object IcebergScan {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.map(extractPredicates).getOrElse(Seq.empty)
     val scanned =
-      scanLoaded(spark, path, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
+      scanLoaded(spark, root, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
     if (opts.mode == "list_files") scanned else scanned.filter(condition)
   }
 
@@ -331,12 +333,13 @@ object IcebergScan {
     val to = toSnapshotId
       .map(IcebergMetadataParser.byId(info, _, opts.skipSchemaInference))
       .getOrElse(IcebergMetadataParser.latest(info, opts.skipSchemaInference))
-    val meta = ManifestReader.loadTable(path, to, hadoopConf(spark), opts.allowMovedPaths)
+    val root = IcebergIO.tableRoot(path)
+    val meta = ManifestReader.loadTable(root, to, hadoopConf(spark), opts.allowMovedPaths)
     val appended = meta.entries.collect {
       case (m, es) if m.content == 0 && m.sequenceNumber > from.sequenceNumber =>
         es.filter(e => e.status != 2 && e.content == 0)
     }.flatten
-    val paths = appended.map(e => resolved(path, e.filePath, opts))
+    val paths = appended.map(e => resolved(root, e.filePath, opts))
     val schema = IcebergSchemaParser.toStructType(to.schema)
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -374,7 +377,8 @@ object IcebergScan {
   /** iceberg_metadata — S13 (iceberg_metadata.cpp:49-147): manifest × entry. */
   def metadata(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
-    val meta = ManifestReader.loadTable(path, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val meta = ManifestReader.loadTable(
+      IcebergIO.tableRoot(path), snapshot, hadoopConf(spark), opts.allowMovedPaths)
     val rows = for {
       (m, es) <- meta.entries
       e <- es

@@ -126,6 +126,48 @@ object IcebergQueries {
         .agg(count(lit(1)).as("cnt"))
     ),
     QueryDef(
+      "ib26_scan_v1_generated",
+      // The reference's FIRST differential fixture: format-version 1, 9
+      // metadata versions, schema evolution, expected results written by
+      // the generator (iceberg_scan_generated_data_0_001.test:13-45).
+      // Full-row compare of our scan vs the checked-in expected parquet —
+      // count (7690), schema, and every value hash-verified. The tz
+      // column is normalized to UTC wall-clock on both engines.
+      Some(s"""
+        SELECT l_orderkey_bool, l_partkey_int, l_suppkey_long, l_extendedprice_float,
+               l_extendedprice_double, l_extendedprice_dec9_2, l_extendedprice_dec18_6,
+               l_extendedprice_dec38_10, l_shipdate_date, l_partkey_time,
+               l_commitdate_timestamp,
+               timezone('UTC', l_commitdate_timestamp_tz) AS l_commitdate_timestamp_tz,
+               l_comment_string, uuid, l_comment_blob, schema_evol_added_col_1
+        FROM read_parquet('$Ref/generated_spec1_0_001/expected_results/last/data/*.parquet')"""),
+      (s, _) => IcebergScan.scan(
+          s, s"$Ref/generated_spec1_0_001/pyspark_iceberg_table", moved)
+        .withColumn("l_commitdate_timestamp_tz",
+          col("l_commitdate_timestamp_tz")
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+    ),
+    QueryDef(
+      "ib27_schema_evolution",
+      // Read-side schema evolution at pinned metadata versions, via DIRECT
+      // metadata.json paths (iceberg_scan_generated_data_0_001.test:92-108):
+      // the evolved column reads BIGINT at v9, INTEGER at v8, and does not
+      // exist at v6. Counts prove each version actually scans.
+      Some("""
+        SELECT 'bigint' AS v9_type, 'int' AS v8_type, FALSE AS v6_has_col,
+               CAST(7690 AS BIGINT) AS v9_cnt"""),
+      (s, _) => {
+        val meta = s"$Ref/generated_spec1_0_001/pyspark_iceberg_table/metadata"
+        def at(v: Int) = IcebergScan.scan(s, s"$meta/v$v.metadata.json", moved)
+        def typeOf(df: org.apache.spark.sql.DataFrame): String =
+          df.schema("schema_evol_added_col_1").dataType.simpleString
+        val v6HasCol = at(6).schema.fieldNames.contains("schema_evol_added_col_1")
+        at(9).agg(count(lit(1)).as("v9_cnt")).select(
+          lit(typeOf(at(9))).as("v9_type"), lit(typeOf(at(8))).as("v8_type"),
+          lit(v6HasCol).as("v6_has_col"), col("v9_cnt"))
+      }
+    ),
+    QueryDef(
       "ib11_sql_tvf_scan",
       // The scan driven entirely through SQL — the reference's primary UX
       // (iceberg_functions.cpp:10-18): positional snapshot-id overload plus

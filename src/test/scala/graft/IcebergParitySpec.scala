@@ -240,6 +240,25 @@ class IcebergParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(schema.fields.forall(_.nullable)) // all required:false in metadata
   }
 
+  test("v1 generated table: count, evolved types at v9/v8, missing column at v6 " +
+      "(iceberg_scan_generated_data_0_001.test:13-45,92-108)") {
+    val table = s"$RefData/generated_spec1_0_001/pyspark_iceberg_table"
+    assert(IcebergScan.scan(spark, table, moved).count() === 7690L)
+    // direct-metadata.json-path scans at pinned versions
+    def at(v: Int) = IcebergScan.scan(spark, s"$table/metadata/v$v.metadata.json", moved)
+    assert(at(9).count() === 7690L)
+    assert(at(9).schema("schema_evol_added_col_1").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(at(8).schema("schema_evol_added_col_1").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // v6 predates the column: selecting it must fail analysis (the
+    // reference's Binder Error, :104-108) and the error names the column
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      at(6).select("schema_evol_added_col_1")
+    }
+    assert(e.getMessage.contains("schema_evol_added_col_1"))
+  }
+
   test("incremental append between snapshots returns only the added file's rows") {
     val inc = IcebergScan.incrementalAppend(
       spark, Lineitem, fromSnapshotId = 3776207205136740581L, opts = moved)
