@@ -49,7 +49,52 @@ object IcebergWriter {
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
-      s"IcebergWriter supports primitive columns only, got ${other.sql}")
+      s"IcebergWriter cannot map ${other.sql} to an Iceberg type")
+  }
+
+  /** Nested field ids allocate from here (DFS over top-level columns in
+    * order) so they can never collide with top-level ids, which stay
+    * POSITIONAL (1..n — the contract writeDataFiles' parquet.field.id
+    * metadata and the equality-delete id lookup rely on). Appends only add
+    * columns at the end, so a re-derivation after evolution assigns every
+    * existing nested field the same id. */
+  private val NestedFieldIdBase = 10000
+
+  /** Iceberg JSON schema type — primitives as strings, struct/list/map as
+    * objects with element-id/key-id/value-id/field ids drawn from `nextId`
+    * (Iceberg spec "Schemas"; the reference parses exactly this shape,
+    * schema.cpp:11-67). */
+  private def icebergTypeNode(dt: DataType, nextId: () => Int): JsonNode = dt match {
+    case s: StructType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val arr = n.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = arr.addObject()
+        fn.put("id", nextId())
+        fn.put("name", f.name)
+        fn.put("required", false)
+        fn.set[JsonNode]("type", icebergTypeNode(f.dataType, nextId))
+      }
+      n
+    case a: ArrayType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "list")
+      n.put("element-id", nextId())
+      n.put("element-required", false)
+      n.set[JsonNode]("element", icebergTypeNode(a.elementType, nextId))
+      n
+    case m: MapType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "map")
+      n.put("key-id", nextId())
+      n.set[JsonNode]("key", icebergTypeNode(m.keyType, nextId))
+      n.put("value-id", nextId())
+      n.put("value-required", false)
+      n.set[JsonNode]("value", icebergTypeNode(m.valueType, nextId))
+      n
+    case other =>
+      new com.fasterxml.jackson.databind.node.TextNode(toIcebergType(other))
   }
 
   private val manifestListSchema = new Schema.Parser().parse("""
@@ -458,20 +503,24 @@ object IcebergWriter {
     root.put("last-snapshot-id", snapshotId)
     root.put("last-updated-ms",
       state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
-    root.put("last-column-id", schema.fields.length)
     root.put("current-schema-id", 0)
     val schemas: ArrayNode = root.putArray("schemas")
     val schemaNode = schemas.addObject()
     schemaNode.put("schema-id", 0)
     schemaNode.put("type", "struct")
     val fieldsNode = schemaNode.putArray("fields")
+    require(schema.fields.length < NestedFieldIdBase,
+      s"too many columns (${schema.fields.length}) for the nested-id scheme")
+    val nestedId = new java.util.concurrent.atomic.AtomicInteger(NestedFieldIdBase)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = fieldsNode.addObject()
       fn.put("id", i + 1)
       fn.put("name", f.name)
       fn.put("required", false)
-      fn.put("type", toIcebergType(f.dataType))
+      fn.set[JsonNode]("type", icebergTypeNode(f.dataType, () => nestedId.getAndIncrement()))
     }
+    root.put("last-column-id",
+      if (nestedId.get > NestedFieldIdBase) nestedId.get - 1 else schema.fields.length)
     // A commit that carries no new spec (row-level deletes, updates,
     // plain appends to a partitioned table) PRESERVES the table's
     // existing partition-specs — erasing them would kill pruning and
@@ -635,6 +684,18 @@ object IcebergWriter {
     case _ => false
   }
 
+  /** Nullability-erased type for the append compatibility check — the
+    * emitted Iceberg schema is all-nullable, so a NOT NULL incoming
+    * nested field must not read as a type change. */
+  private def ignoreNull(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, ignoreNull(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(ignoreNull(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(ignoreNull(m.keyType), ignoreNull(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Append `df` as a new snapshot of the table at `path`, creating the
     * table if absent. Returns the new snapshot id.
     *
@@ -665,7 +726,7 @@ object IcebergWriter {
         case ((on, ot), (nn, nt)) =>
           require(on == nn,
             s"append schema mismatch: column '$on' vs '$nn' (renames/reorders not supported)")
-          require(ot == nt || widens(ot, nt),
+          require(ignoreNull(ot) == ignoreNull(nt) || widens(ot, nt),
             s"append schema mismatch: column '$on' cannot change ${ot.sql} -> ${nt.sql}")
       }
     }

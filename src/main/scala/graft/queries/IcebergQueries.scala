@@ -168,6 +168,35 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib28_nested_roundtrip",
+      // Nested-type WRITE path (engine extension; the reference reads
+      // struct/list/map, schema.cpp:11-67, but ships no writer): struct +
+      // array + map columns written to an Iceberg table, scanned back, and
+      // value-compared via JSON serialization (identical to_json grammar
+      // on both engines for string/int payloads).
+      Some("""
+        SELECT p_partkey,
+               to_json(struct_pack(p_brand := p_brand, p_size := p_size)) AS info_json,
+               to_json(string_split(p_type, ' ')) AS words_json,
+               to_json(MAP([p_name],[p_size])) AS m_json
+        FROM part"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib28_").toString + "/part_nested"
+        val src = graft.Tables.load(s, dir, "part").select(
+          col("p_partkey"),
+          struct(col("p_brand"), col("p_size")).as("info"),
+          split(col("p_type"), " ").as("words"),
+          map(col("p_name"), col("p_size")).as("m"))
+        graft.iceberg.IcebergWriter.write(src, table)
+        IcebergScan.scan(s, table).select(
+          col("p_partkey"),
+          to_json(col("info")).as("info_json"),
+          to_json(col("words")).as("words_json"),
+          to_json(col("m")).as("m_json"))
+      }
+    ),
+    QueryDef(
       "ib11_sql_tvf_scan",
       // The scan driven entirely through SQL — the reference's primary UX
       // (iceberg_functions.cpp:10-18): positional snapshot-id overload plus

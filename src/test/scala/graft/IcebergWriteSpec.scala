@@ -511,13 +511,61 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
-  test("nested column types are rejected with a clear error") {
-    import spark.implicits._
+  test("struct/list/map columns round-trip through write + scan") {
     val table = Files.createTempDirectory("graft_w3_").toString + "/t"
-    val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")
-    val e = intercept[IllegalArgumentException] {
-      IcebergWriter.write(df, table)
+    val src = Tables.load(spark, Sf, "part").select(
+      col("p_partkey"),
+      struct(col("p_brand"), col("p_size")).as("info"),
+      split(col("p_type"), " ").as("words"),
+      map(col("p_name"), col("p_size")).as("m"))
+    IcebergWriter.write(src, table)
+    val got = IcebergScan.scan(spark, table)
+    assert(got.schema("info").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(got.schema("words").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(got.schema("m").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    // full value equality, nested values serialized for a stable compare
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("p_partkey"), to_json(col("info")), to_json(col("words")),
+      element_at(map_keys(col("m")), 1), element_at(map_values(col("m")), 1))
+    assert(flat(got).exceptAll(flat(src)).isEmpty &&
+      flat(src).exceptAll(flat(got)).isEmpty)
+  }
+
+  test("nested field ids are unique, above the top-level space, and stable across appends") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_w4_").toString + "/t"
+    val df = Seq((1L, (2, "a"), Seq(1, 2), Map("k" -> 1L)))
+      .toDF("id", "s", "xs", "m")
+    IcebergWriter.write(df, table)
+    def schemaJson(): String = {
+      val meta = IcebergScan.metadata _
+      val hint = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$table/metadata/version-hint.text")).trim
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$table/metadata/v$hint.metadata.json"))
     }
-    assert(e.getMessage.contains("primitive columns only"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ids(json: String): Seq[Int] = {
+      val b = Seq.newBuilder[Int]
+      def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        if (n.isObject) {
+          Seq("id", "element-id", "key-id", "value-id").foreach { k =>
+            if (n.has(k)) b += n.get(k).asInt
+          }
+          n.elements.forEachRemaining(walk)
+        } else if (n.isArray) n.elements.forEachRemaining(walk)
+      }
+      walk(mapper.readTree(json).get("schemas").get(0))
+      b.result()
+    }
+    val first = ids(schemaJson())
+    // 4 top-level (1..4) + nested: struct 2 fields, list element, map key+value
+    assert(first.count(_ <= 4) === 4)
+    assert(first.count(_ >= 10000) === 5)
+    assert(first.distinct.size === first.size, s"duplicate ids in $first")
+    // append keeps every id identical
+    IcebergWriter.write(df, table)
+    assert(ids(schemaJson()) === first)
+    assert(IcebergScan.scan(spark, table).count() === 2)
   }
 }
