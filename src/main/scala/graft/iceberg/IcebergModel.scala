@@ -42,13 +42,23 @@ object IcebergModel {
     * (Iceberg field id → single-value-serialized bytes) are the
     * decoded-but-unused fields of the reference's full Avro schema
     * (avro_codegen/iceberg_manifest_entry_full.hpp:306-353); this engine
-    * consumes them for file skipping. Empty when the writer omitted them. */
+    * consumes them for file skipping. Empty when the writer omitted them.
+    *
+    * `sequenceNumber` is the spec's per-entry data sequence number
+    * (Iceberg spec "Manifests", field 3): None means "inherit the
+    * manifest's sequence number from the manifest list" — the common
+    * case; Some(s) appears in MERGED manifests, whose entries came from
+    * manifests committed at different sequence numbers. */
   final case class ManifestEntry(
       status: Int, content: Int, filePath: String, fileFormat: String, recordCount: Long,
       partition: Map[String, Any] = Map.empty,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      equalityIds: Seq[Int] = Seq.empty)
+      equalityIds: Seq[Int] = Seq.empty,
+      sequenceNumber: Option[Long] = None) {
+    /** The effective data sequence number under inheritance. */
+    def seqOr(manifestSeq: Long): Long = sequenceNumber.getOrElse(manifestSeq)
+  }
 
   final case class TableMeta(
       path: String,

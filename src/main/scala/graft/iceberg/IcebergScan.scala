@@ -64,14 +64,16 @@ object IcebergScan {
   }
 
   /** Live (non-DELETED-status) entries of one content class with their
-    * manifest sequence numbers (equality-delete scoping needs them) —
-    * reference GetPaths (iceberg_metadata.hpp:116-131). */
+    * effective sequence numbers (equality-delete scoping needs them) —
+    * reference GetPaths (iceberg_metadata.hpp:116-131). Entries of merged
+    * manifests carry their own explicit sequence number; others inherit
+    * the manifest's. */
   private def livePaths(meta: TableMeta, manifestContent: Int, entryContent: Int,
                         opts: Options): Seq[(ManifestEntry, Long)] =
     meta.entries.collect {
       case (m, es) if m.content == manifestContent =>
         es.filter(e => e.status != 2 && e.content == entryContent)
-          .map(e => (e, m.sequenceNumber))
+          .map(e => (e, e.seqOr(m.sequenceNumber)))
     }.flatten
 
   private def resolved(tablePath: String, p: String, opts: Options): String =
@@ -195,26 +197,30 @@ object IcebergScan {
       }.toDF("__eq_qual", "__data_seq")
       cur = cur.join(broadcast(seqMap), col("__graft_file") === col("__eq_qual"), "left")
         .drop("__eq_qual")
-      // group delete files by their equality-column set: manifest
-      // equality_ids when present, else the delete file's own schema —
-      // one DataFrame (one footer read) per file, reused by the group body
+      // Group delete files by their equality-column set. Manifest
+      // equality_ids give the key columns WITHOUT touching the files —
+      // only id-less files (legacy writers) pay a per-file schema read.
+      // Each group is then ONE multi-path parquet read (not one driver
+      // DataFrame per file): at 100k delete files the old per-file loop
+      // serialized 100k footer reads on the driver before the plan even
+      // composed.
       val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
-      val delDF: Map[String, org.apache.spark.sql.DataFrame] =
-        eqEntries.map { case (e, _) =>
-          val p = resolved(path, e.filePath, opts)
-          p -> spark.read.parquet(p)
-        }.toMap
       val groups = eqEntries.groupBy { case (e, _) =>
         if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
-        else delDF(resolved(path, e.filePath, opts)).schema.fieldNames.toSeq.sorted
+        else spark.read.parquet(resolved(path, e.filePath, opts))
+          .schema.fieldNames.toSeq.sorted
       }
       val eqCard = eqEntries.map(_._1.recordCount).sum
       groups.foreach { case (cols, files) =>
-        val del = files.map { case (e, dseq) =>
-          delDF(resolved(path, e.filePath, opts))
-            .select(cols.map(col): _*)
-            .withColumn("__del_seq", lit(dseq))
-        }.reduce(_ unionByName _)
+        val delPaths = files.map { case (e, _) => resolved(path, e.filePath, opts) }
+        // per-file delete sequence number via a small broadcast
+        // (qualified URI → seq), same bridge as the data side
+        val delSeqMap = files.map { case (e, dseq) =>
+          (qualify(resolved(path, e.filePath, opts)), dseq)
+        }.toDF("__del_path", "__del_seq")
+        val del = spark.read.parquet(delPaths: _*)
+          .select(cols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
+          .join(broadcast(delSeqMap), "__del_path")
         val delR = del.select(
           cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
         val delB = if (eqCard <= opts.broadcastDeleteThreshold) broadcast(delR) else delR
@@ -336,8 +342,9 @@ object IcebergScan {
     val root = IcebergIO.tableRoot(path)
     val meta = ManifestReader.loadTable(root, to, hadoopConf(spark), opts.allowMovedPaths)
     val appended = meta.entries.collect {
-      case (m, es) if m.content == 0 && m.sequenceNumber > from.sequenceNumber =>
-        es.filter(e => e.status != 2 && e.content == 0)
+      case (m, es) if m.content == 0 =>
+        es.filter(e => e.status != 2 && e.content == 0 &&
+          e.seqOr(m.sequenceNumber) > from.sequenceNumber)
     }.flatten
     val paths = appended.map(e => resolved(root, e.filePath, opts))
     val schema = IcebergSchemaParser.toStructType(to.schema)

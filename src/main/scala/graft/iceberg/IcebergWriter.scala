@@ -145,6 +145,7 @@ object IcebergWriter {
     new Schema.Parser().parse(s"""
       {"type":"record","name":"manifest_entry","fields":[
         {"name":"status","type":"int"},
+        {"name":"sequence_number","type":["null","long"],"default":null},
         {"name":"data_file","type":{"type":"record","name":"r2","fields":[
           {"name":"content","type":"int"},
           {"name":"file_path","type":"string"},
@@ -402,10 +403,20 @@ object IcebergWriter {
   }
 
   /** Distributed parquet write (with field ids; hive-partitioned when the
-    * spec is non-empty) → written-file stats for the manifest. */
+    * spec is non-empty) → written-file stats for the manifest.
+    *
+    * `sortBy` applies a WITHIN-PARTITION sort (partition-dir columns
+    * first, so the file writer's required ordering is satisfied by our
+    * sort instead of inserting its own and discarding the data order).
+    * Combined with `maxRecordsPerFile` in `options`, a task's output
+    * splits into files covering DISJOINT sort-key ranges — the footer
+    * min/max each file contributes to the manifest become tight, which
+    * is what makes bounds pruning bite (Iceberg sorted-write layout). */
   private def writeDataFiles(
       df: DataFrame, dataDir: Path,
-      spec: Seq[SpecField] = Seq.empty): Seq[WrittenFile] = {
+      spec: Seq[SpecField] = Seq.empty,
+      sortBy: Seq[String] = Seq.empty,
+      options: Map[String, String] = Map.empty): Seq[WrittenFile] = {
     val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
       col(f.name).as(f.name,
         new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
@@ -414,7 +425,10 @@ object IcebergWriter {
     val withParts = spec.zip(gpNames).foldLeft(withIds) { case (d, (sf, gp)) =>
       d.withColumn(gp, transformCol(sf, d.sparkSession))
     }
-    val writer = withParts.write
+    val sorted =
+      if (sortBy.isEmpty) withParts
+      else withParts.sortWithinPartitions((gpNames ++ sortBy).map(col): _*)
+    val writer = sorted.write.options(options)
     (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)
       .parquet(dataDir.toString)
     val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -462,9 +476,70 @@ object IcebergWriter {
           dfr.put("equality_ids", e.equalityIds.map(Int.box).asJava)
         val rec = new GenericData.Record(entrySchema)
         rec.put("status", e.status)
+        // explicit per-entry data sequence number (spec field 3) — written
+        // only by manifest-merge maintenance; null inherits the manifest's
+        e.sequenceNumber.foreach(s => rec.put("sequence_number", Long.box(s)))
         rec.put("data_file", dfr)
         rec
       }
+    }
+  }
+
+  /** Manifest-count threshold above which a commit rewrites the manifests
+    * it carries into ONE merged manifest per content class (metadata-only
+    * maintenance — no data file is touched). Without this, continuous
+    * ingestion grows the manifest list linearly in commits and scan
+    * planning I/O with it; with it, planning reads a bounded number of
+    * manifest files regardless of commit count. */
+  val ManifestMergeMinCountKey = "spark.graft.iceberg.manifestMergeMinCount"
+  private val DefaultManifestMergeMinCount = 10
+
+  /** Avro types of a merged manifest's partition record, recovered from
+    * the entries' decoded values (the original per-manifest Avro schemas
+    * may differ across spec evolution; the union of fields is written,
+    * absent values as null). All-null fields type as "string" — any
+    * nullable branch serializes a null. */
+  private def mergedPartitionFields(entries: Seq[ManifestEntry]): Seq[(String, String)] =
+    entries.flatMap(_.partition.keys).distinct.map { n =>
+      val avroType = entries.flatMap(_.partition.get(n)).collectFirst {
+        case _: java.lang.Integer => "int"
+        case _: java.lang.Long => "long"
+        case _: String => "string"
+      }.getOrElse("string")
+      (n, avroType)
+    }
+
+  /** When the commit would carry more than the threshold, rewrite each
+    * content class's manifests into one merged manifest whose entries
+    * carry their effective sequence numbers EXPLICITLY (Iceberg spec
+    * "Manifests" field 3 — inheritance only applies to null), so
+    * equality-delete scoping and incremental reads see exactly the
+    * sequence numbers the original manifest list implied. Carried ADDED
+    * entries become EXISTING, per spec; DELETED markers are preserved.
+    * Older snapshots still point at the original (untouched) manifests,
+    * so time travel is unaffected. */
+  private def maybeMergeManifests(
+      path: String, conf: Configuration, snapshotId: Long,
+      manifests: Seq[Manifest]): Seq[Manifest] = {
+    val threshold = conf.getInt(ManifestMergeMinCountKey, DefaultManifestMergeMinCount)
+    if (manifests.size <= threshold) return manifests
+    import scala.concurrent.duration._
+    val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+    manifests.groupBy(_.content).toSeq.sortBy(_._1).map {
+      case (_, Seq(single)) => single
+      case (content, ms) =>
+        val entries = DriverPool.mapParallel(
+          ms, parallelism, timeout, "graft-manifest-merge") { m =>
+          ManifestReader.readManifestEntries(m.manifestPath, conf, formatVersion = 2)
+            .map(e => e.copy(
+              sequenceNumber = Some(e.seqOr(m.sequenceNumber)),
+              status = if (e.status == 1) 0 else e.status)) // ADDED → EXISTING
+        }.flatten
+        val merged = new Path(path, s"metadata/snap-$snapshotId-merged-c$content.avro")
+        writeManifest(merged, conf, entries, mergedPartitionFields(entries))
+        Manifest(merged.toString,
+          entries.flatMap(_.sequenceNumber).maxOption.getOrElse(0L), content)
     }
   }
 
@@ -479,11 +554,13 @@ object IcebergWriter {
       manifests: Seq[Manifest],
       spec: Seq[SpecField] = Seq.empty,
       operation: String = "append",
-      summary: Map[String, String] = Map.empty): Long = {
+      summary: Map[String, String] = Map.empty,
+      sortBy: Seq[String] = Seq.empty): Long = {
     val metaDir = new Path(path, "metadata")
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-list.avro")
+    val kept = maybeMergeManifests(path, conf, snapshotId, manifests)
     writeAvro(manifestListSchema, listPath, conf) {
-      manifests.map { m =>
+      kept.map { m =>
         val rec = new GenericData.Record(manifestListSchema)
         rec.put("manifest_path", m.manifestPath)
         rec.put("content", m.content)
@@ -549,10 +626,26 @@ object IcebergWriter {
       root.put("last-partition-id",
         (spec.map(_.fieldId) :+ 999).max)
     }
-    val sortNode = root.putArray("sort-orders").addObject()
-    sortNode.put("order-id", 0)
-    sortNode.putArray("fields")
-    root.put("default-sort-order-id", 0)
+    // sort-orders: order 0 (unsorted) always present; a sorted write adds
+    // order 1 with identity/asc/nulls-first fields and makes it default,
+    // advertising the layout to other readers (Iceberg spec "Sort Orders").
+    val sortOrders = root.putArray("sort-orders")
+    val unsortedNode = sortOrders.addObject()
+    unsortedNode.put("order-id", 0)
+    unsortedNode.putArray("fields")
+    if (sortBy.nonEmpty) {
+      val so = sortOrders.addObject()
+      so.put("order-id", 1)
+      val fs = so.putArray("fields")
+      sortBy.foreach { c =>
+        val f = fs.addObject()
+        f.put("transform", "identity")
+        f.put("source-id", schema.fieldIndex(c) + 1)
+        f.put("direction", "asc")
+        f.put("null-order", "nulls-first")
+      }
+    }
+    root.put("default-sort-order-id", if (sortBy.nonEmpty) 1 else 0)
     root.put("current-snapshot-id", snapshotId)
     val snapsNode = root.putArray("snapshots")
     state.map(_.snapshots).getOrElse(Seq.empty).foreach(snapsNode.add)
@@ -623,10 +716,26 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"listOrphanFiles: no Iceberg table at $path"))
-    val referenced = IcebergMetadataParser.allSnapshots(state.info).flatMap { snap =>
-      ManifestReader.loadTable(path, snap, conf, allowMovedPaths = false)
-        .entries.flatMap { case (_, es) => es.map(e => new Path(e.filePath).toUri.getPath) }
-    }.toSet
+    // Consecutive snapshots carry most manifests forward, so the manifest
+    // trees overlap heavily: read each snapshot's manifest LIST in bounded
+    // parallel, dedupe the manifest paths, then read each distinct manifest
+    // ONCE — also in bounded parallel. The old per-snapshot loadTable loop
+    // re-read the same manifests once per retaining snapshot, sequentially.
+    import scala.concurrent.duration._
+    val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+    val manifestPaths = DriverPool.mapParallel(
+      IcebergMetadataParser.allSnapshots(state.info), parallelism, timeout,
+      "graft-orphan-list") { snap =>
+      ManifestReader.readManifestList(snap.manifestList, conf, snap.formatVersion)
+        .map(m => (m.manifestPath, snap.formatVersion))
+    }.flatten.distinctBy(_._1)
+    val referenced = DriverPool.mapParallel(
+      manifestPaths, parallelism, timeout, "graft-orphan-manifest") {
+      case (mPath, fv) =>
+        ManifestReader.readManifestEntries(mPath, conf, fv)
+          .map(e => new Path(e.filePath).toUri.getPath)
+    }.flatten.toSet
     val dataDir = new Path(path, "data")
     val fs = dataDir.getFileSystem(conf)
     val found = Seq.newBuilder[String]
@@ -709,10 +818,19 @@ object IcebergWriter {
     * float→double, decimal precision) and may APPEND new columns — field
     * ids are positional, so existing columns keep their ids and old files
     * read NULL for columns added after they were written. Renames,
-    * reorders, drops, and narrowings are rejected. */
+    * reorders, drops, and narrowings are rejected.
+    *
+    * `sortBy` = write-time sort columns: rows are sorted within each
+    * write partition (after any hive layout) and the sort order is
+    * recorded in the table's `sort-orders`. With a row-group split
+    * (`options("maxRecordsPerFile")`) this yields files with disjoint
+    * sort-key ranges → tight manifest bounds → more file pruning.
+    * `options` passes through to the parquet DataFrameWriter. */
   def write(df: DataFrame, path: String,
             partitionBy: Seq[(String, String)] = Seq.empty,
-            summary: Map[String, String] = Map.empty): Long = {
+            summary: Map[String, String] = Map.empty,
+            sortBy: Seq[String] = Seq.empty,
+            options: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
@@ -734,7 +852,10 @@ object IcebergWriter {
     val seq = state.map(_.nextSeq).getOrElse(1L)
 
     val spec = resolveSpec(df.schema, partitionBy)
-    val files = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"), spec)
+    sortBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"write: sortBy column '$c' is not a column of the data"))
+    val files = writeDataFiles(
+      df, new Path(path, s"data/snap-$snapshotId"), spec, sortBy, options)
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(manifestPath, conf, files.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
@@ -750,7 +871,7 @@ object IcebergWriter {
     }
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
-      summary = summary)
+      summary = summary, sortBy = sortBy)
   }
 
   /** Snapshot-summary key prefix for the streaming sink's batch-id

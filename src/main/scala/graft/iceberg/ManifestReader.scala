@@ -123,6 +123,12 @@ object ManifestReader {
           case c: java.util.Collection[_] =>
             c.asScala.toSeq.collect { case i: java.lang.Integer => i.intValue }
           case _ => Seq.empty
+        },
+        // spec field 3: explicit per-entry data sequence number (written by
+        // manifest-merge maintenance); absent/null → inherit manifest seq
+        sequenceNumber = fieldOrNull(r, "sequence_number") match {
+          case l: java.lang.Long => Some(l.longValue)
+          case _ => None
         })
     }
   }

@@ -506,6 +506,38 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib29_sorted_write_pruning",
+      // Sorted-write layout gate: lineitem written as ONE task sorted by
+      // l_orderkey and split at ~1/8 of the rows per file — the 8 files
+      // cover DISJOINT orderkey ranges, so their footer min/max (→ manifest
+      // bounds) are tight and a predicate on the minimum orderkey keeps
+      // exactly one file. The same data written unsorted keeps many more
+      // (IcebergWriteSpec pins the comparison); the sort order is recorded
+      // in the table's `sort-orders` metadata.
+      Some("""
+        SELECT CAST(8 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept,
+               COUNT(*) AS cnt
+        FROM lineitem WHERE l_orderkey <= 1"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib29_").toString + "/lineitem_sorted"
+        val src = graft.Tables.load(s, dir, "lineitem")
+        val maxPer = src.count() / 8 + 1
+        graft.iceberg.IcebergWriter.write(
+          src.repartition(1), table, sortBy = Seq("l_orderkey"),
+          options = Map("maxRecordsPerFile" -> maxPer.toString))
+        val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+          "l_orderkey", graft.iceberg.IcebergPruning.Le, 1L))
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+        val kept = IcebergScan.scan(s, table, Options(mode = "list_files", filters = filters))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
+        val cnt = IcebergScan.scan(s, table, Options(filters = filters))
+          .agg(count(lit(1)).as("cnt"))
+        total.crossJoin(kept).crossJoin(cnt)
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

@@ -32,17 +32,20 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     per.sum / per.size
   }
 
-  test("a02 LSH-bucketed ANN reaches recall@3 >= 0.8 vs exact baseline") {
+  test("a02 LSH-bucketed ANN reaches recall@3 >= 0.9 vs exact baseline") {
     val exact = topk("a01_ann_bruteforce_topk")
     val r = recallAt3(topk("a02_ann_lsh_bucketed"), exact)
     info(f"a02 recall@3 = $r%.3f")
-    assert(r >= 0.8)
+    // Hamming-1 multiprobe measures 1.000 on this corpus; 0.9 leaves room
+    // for parameter tweaks without accepting a real retrieval regression.
+    assert(r >= 0.9)
   }
 
-  test("a03 IVF ANN reaches recall@3 >= 0.8 vs exact baseline") {
+  test("a03 IVF ANN reaches recall@3 >= 0.9 vs exact baseline") {
     val exact = topk("a01_ann_bruteforce_topk")
     val r = recallAt3(topk("a03_ann_ivf"), exact)
     info(f"a03 recall@3 = $r%.3f")
-    assert(r >= 0.8)
+    // top-2-probe IVF after one Lloyd round measures 0.933 on this corpus.
+    assert(r >= 0.9)
   }
 }

@@ -463,6 +463,33 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Options(snapshotId = Some(1L))).count() === n)
   }
 
+  test("same-key equality-delete files are planned as ONE grouped multi-path read") {
+    val table = Files.createTempDirectory("graft_weqg_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation, table)
+    // four separate equality-delete commits on the same key column → four
+    // delete files that share one equality_ids group
+    (1 to 4).foreach { k =>
+      IcebergWriter.deleteEquality(spark, table,
+        nation.filter(col("n_nationkey") === k).select("n_nationkey"))
+    }
+    val df = IcebergScan.scan(spark, table)
+    assert(df.count() === nation.count() - 4)
+    // the group must be ONE multi-path relation (its root paths are the four
+    // delete dirs), not one relation per file — per-file driver reads would
+    // serialize 100k footer opens at scale before the plan even composes
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val delRelations = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] &&
+            l.relation.asInstanceOf[HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains("-eqdeletes")) =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    assert(delRelations.size === 1)
+    assert(delRelations.head.location.rootPaths.count(_.toString.contains("-eqdeletes")) === 4)
+  }
+
   test("snapshot expiration and rollback are metadata-only and keep the current state") {
     val table = Files.createTempDirectory("graft_wx_").toString + "/t"
     val nation = Tables.load(spark, Sf, "nation")
@@ -500,6 +527,104 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val orphans = IcebergWriter.listOrphanFiles(spark, table)
       .collect().map(_.getString(0))
     assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-3/")))
+  }
+
+  test("sorted writes yield tighter bounds → fewer files kept than unsorted") {
+    val base = Files.createTempDirectory("graft_ws_").toString
+    val src = Tables.load(spark, Sf, "lineitem").repartition(1)
+    val maxPer = (src.count() / 8 + 1).toString
+    val opts = Map("maxRecordsPerFile" -> maxPer)
+
+    // deterministic scramble for the unsorted layout (hash order), so the
+    // comparison is stable run to run
+    IcebergWriter.write(src.sortWithinPartitions(hash(col("l_orderkey"), col("l_linenumber"))),
+      s"$base/unsorted", options = opts)
+    IcebergWriter.write(src, s"$base/sorted", sortBy = Seq("l_orderkey"), options = opts)
+
+    val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+      "l_orderkey", graft.iceberg.IcebergPruning.Le, 1L))
+    def keptFiles(table: String): Long =
+      IcebergScan.scan(spark, table, Options(mode = "list_files", filters = filters))
+        .filter(col("type") === "data").count()
+    def totalFiles(table: String): Long =
+      IcebergScan.scan(spark, table, Options(mode = "list_files"))
+        .filter(col("type") === "data").count()
+
+    assert(totalFiles(s"$base/sorted") === 8)
+    assert(totalFiles(s"$base/unsorted") === 8)
+    assert(keptFiles(s"$base/sorted") === 1)
+    assert(keptFiles(s"$base/unsorted") > 1) // full-range files barely prune
+
+    // both layouts read back identically under the filter
+    val wantCnt = Tables.load(spark, Sf, "lineitem").filter(col("l_orderkey") <= 1).count()
+    assert(IcebergScan.scan(spark, s"$base/sorted", Options(filters = filters)).count() === wantCnt)
+    assert(IcebergScan.scan(spark, s"$base/unsorted", Options(filters = filters)).count() === wantCnt)
+
+    // the sort order is recorded and made default; the unsorted table keeps order 0
+    val conf = spark.sessionState.newHadoopConf()
+    val sortedJson = graft.iceberg.IcebergIO.readString(
+      s"$base/sorted/metadata/v1.metadata.json", conf)
+    assert(sortedJson.contains(""""default-sort-order-id" : 1"""))
+    assert(sortedJson.contains(""""direction" : "asc""""))
+    val unsortedJson = graft.iceberg.IcebergIO.readString(
+      s"$base/unsorted/metadata/v1.metadata.json", conf)
+    assert(unsortedJson.contains(""""default-sort-order-id" : 0"""))
+  }
+
+  test("manifest merge bounds planning I/O across 50 appends; seq scoping survives") {
+    val table = Files.createTempDirectory("graft_wm_").toString + "/t"
+    val region = Tables.load(spark, Sf, "region") // 5 rows
+    val n = region.count()
+    val snaps = (1 to 30).map(_ => IcebergWriter.write(region, table))
+
+    // equality delete in the middle: key 0 vanishes from all 30 appends...
+    IcebergWriter.deleteEquality(spark, table,
+      region.filter(col("r_regionkey") === 0).select("r_regionkey"))
+    assert(IcebergScan.scan(spark, table).count() === 30 * n - 30)
+
+    // ...then 20 more appends (crossing several merge rewrites) re-add it
+    val snaps2 = (1 to 20).map(_ => IcebergWriter.write(region, table))
+    assert(IcebergScan.scan(spark, table).count() === 30 * n - 30 + 20 * n)
+    assert(IcebergScan.scan(spark, table)
+      .filter(col("r_regionkey") === 0).count() === 20)
+
+    // planning I/O is bounded: the CURRENT manifest list carries at most
+    // threshold+1 manifests despite 51 commits
+    val conf = spark.sessionState.newHadoopConf()
+    val hint = graft.iceberg.IcebergIO.readString(
+      s"$table/metadata/version-hint.text", conf).trim.toInt
+    val json = graft.iceberg.IcebergIO.readString(
+      s"$table/metadata/v$hint.metadata.json", conf)
+    val listPath = """"manifest-list" : "([^"]+)"""".r
+      .findAllMatchIn(json).map(_.group(1)).toSeq.last
+    val manifestCount = graft.iceberg.ManifestReader
+      .readManifestList(listPath, conf, formatVersion = 2).size
+    assert(manifestCount <= 11, s"manifest list carries $manifestCount manifests")
+
+    // time travel to pre-delete history is intact (original manifests kept)
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotId = Some(snaps(14)))).count() === 15 * n)
+
+    // incremental append reads across merged boundaries see exactly the
+    // appends after the `from` snapshot (the delete affects none of them)
+    assert(IcebergScan.incrementalAppend(spark, table,
+      fromSnapshotId = snaps(24)).count() === 5 * n + 20 * n)
+    assert(IcebergScan.incrementalAppend(spark, table,
+      fromSnapshotId = snaps2(4)).count() === 15 * n)
+  }
+
+  test("orphan listing of a 20-snapshot table dedupes the shared manifest tree") {
+    val table = Files.createTempDirectory("graft_wo_").toString + "/t"
+    val region = Tables.load(spark, Sf, "region")
+    val snaps = (1 to 20).map(_ => IcebergWriter.write(region, table))
+    // nothing is orphaned while every snapshot is retained
+    assert(IcebergWriter.listOrphanFiles(spark, table).count() === 0)
+    // roll back to the 10th snapshot: appends 11..20 become orphans
+    IcebergWriter.rollback(spark, table, snaps(9))
+    val orphans = IcebergWriter.listOrphanFiles(spark, table)
+      .collect().map(_.getString(0))
+    val orphanSnaps = orphans.flatMap(_.split('/').find(_.startsWith("snap-"))).toSet
+    assert(orphanSnaps === (11 to 20).map(i => s"snap-$i").toSet)
   }
 
   test("append with a mismatched schema is rejected") {

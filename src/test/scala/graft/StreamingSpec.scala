@@ -128,6 +128,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("continuous ingestion keeps planning I/O bounded via manifest merge") {
+    import spark.implicits._
+    import graft.iceberg.IcebergScan
+    import graft.streaming.IcebergStreamSink
+    val table = java.nio.file.Files.createTempDirectory("graft_sinkm_").toString + "/t"
+    (0 until 25).foreach { b =>
+      val batch = Seq(
+        Event(b.toLong, ts("2026-01-01 10:00:00"), b.toLong, "click", 1.0)).toDF()
+      IcebergStreamSink.commitBatch(batch, batchId = b, table, Seq.empty)
+    }
+    // full history retained…
+    assert(IcebergScan.scan(spark, table).count() === 25)
+    assert(IcebergScan.snapshots(spark, table).count() === 25)
+    // …but the CURRENT snapshot's manifest list stays bounded (merge
+    // maintenance), so scan planning I/O does not grow with commit count
+    val manifests = IcebergScan.metadata(spark, table)
+      .select("manifest_path").distinct().count()
+    assert(manifests <= 11, s"planning reads $manifests manifests")
+  }
+
   test("Iceberg sink commits one snapshot per batch and replays idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
