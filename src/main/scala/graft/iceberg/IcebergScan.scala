@@ -205,10 +205,24 @@ object IcebergScan {
       // serialized 100k footer reads on the driver before the plan even
       // composed.
       val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
+      // id-less files (foreign writers) need a schema read each to learn
+      // their key columns — do those on the bounded pool, not sequentially
+      val idless = eqEntries.collect {
+        case (e, _) if e.equalityIds.isEmpty => resolved(path, e.filePath, opts)
+      }.distinct
+      val idlessCols: Map[String, Seq[String]] =
+        if (idless.isEmpty) Map.empty
+        else {
+          import scala.concurrent.duration._
+          val par = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+          val tmo = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+          DriverPool.mapParallel(idless, par, tmo, "graft-eq-schema") { p =>
+            p -> spark.read.parquet(p).schema.fieldNames.toSeq.sorted
+          }.toMap
+        }
       val groups = eqEntries.groupBy { case (e, _) =>
         if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
-        else spark.read.parquet(resolved(path, e.filePath, opts))
-          .schema.fieldNames.toSeq.sorted
+        else idlessCols(resolved(path, e.filePath, opts))
       }
       val eqCard = eqEntries.map(_._1.recordCount).sum
       groups.foreach { case (cols, files) =>

@@ -613,6 +613,39 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       fromSnapshotId = snaps2(4)).count() === 15 * n)
   }
 
+  test("aggressive manifest merging is invisible to readers (equivalence)") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = Files.createTempDirectory("graft_wme_").toString
+    val nation = Tables.load(spark, Sf, "nation")
+    // mixed workload: appends + position delete + equality delete + update
+    def workload(table: String): Unit = {
+      (1 to 4).foreach(_ => IcebergWriter.write(nation, table))
+      IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+      IcebergWriter.deleteEquality(spark, table,
+        nation.filter(col("n_nationkey") === 5).select("n_nationkey"))
+      (1 to 3).foreach(_ => IcebergWriter.write(nation, table))
+      IcebergWriter.update(spark, table,
+        col("n_nationkey") === 7, Map("n_name" -> lit("TOUCHED")))
+    }
+    try {
+      hconf.setInt(graft.iceberg.IcebergWriter.ManifestMergeMinCountKey, 3)
+      workload(s"$base/merged")
+      // "plain" = merging effectively disabled
+      hconf.setInt(graft.iceberg.IcebergWriter.ManifestMergeMinCountKey, 1000)
+      workload(s"$base/plain")
+    } finally hconf.unset(graft.iceberg.IcebergWriter.ManifestMergeMinCountKey)
+
+    // merging actually happened…
+    def manifestCount(table: String): Long = IcebergScan.metadata(spark, table)
+      .select("manifest_path").distinct().count()
+    assert(manifestCount(s"$base/merged") < manifestCount(s"$base/plain"))
+    // …and is invisible: full-row equivalence of the two tables
+    val a = IcebergScan.scan(spark, s"$base/merged")
+    val b = IcebergScan.scan(spark, s"$base/plain")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() === b.count())
+  }
+
   test("orphan listing of a 20-snapshot table dedupes the shared manifest tree") {
     val table = Files.createTempDirectory("graft_wo_").toString + "/t"
     val region = Tables.load(spark, Sf, "region")
