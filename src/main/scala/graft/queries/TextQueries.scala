@@ -242,6 +242,64 @@ object TextQueries {
       }
     ),
     QueryDef(
+      "t09_repetition_filter",
+      // Repetition-based quality filter (the Gopher-rule family): per doc,
+      // the duplicate-line fraction (1 - distinct/total over non-blank
+      // lines) and duplicate-bigram fraction over whitespace tokens; a doc
+      // is kept when both are under threshold (0.30 / 0.20). Pure per-row
+      // array arithmetic — one linear scan, no shuffle, exact cross-engine
+      // (integer sizes + one double division + round).
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ln,
+                 regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id, ln,
+                 CASE WHEN len(w) >= 2
+                      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                      ELSE [] END AS bg
+          FROM f),
+        h AS (
+          SELECT doc_id,
+                 CAST(len(ln) AS BIGINT) AS n_lines,
+                 CASE WHEN len(ln) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln), 6)
+                      ELSE 0.0 END AS dup_line_frac,
+                 CAST(len(bg) AS BIGINT) AS n_bigrams,
+                 CASE WHEN len(bg) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+                      ELSE 0.0 END AS dup_2gram_frac
+          FROM g)
+        SELECT doc_id, n_lines, dup_line_frac, n_bigrams, dup_2gram_frac,
+               CAST(dup_line_frac <= 0.3 AND dup_2gram_frac <= 0.2 AS INT) AS keep
+        FROM h ORDER BY doc_id"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("__ln", filter(split(col("text"), "\n"), x => trim(x) =!= ""))
+          .withColumn("__t", tokens)
+          .withColumn("__bg", expr(
+            """CASE WHEN size(__t) >= 2
+                    THEN transform(sequence(1, size(__t) - 1),
+                                   i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1)))
+                    ELSE cast(array() as array<string>) END"""))
+          .withColumn("n_lines", size(col("__ln")).cast("long"))
+          .withColumn("dup_line_frac",
+            when(col("n_lines") > 0,
+              round(lit(1.0) - size(array_distinct(col("__ln"))).cast("double") / col("n_lines"), 6))
+              .otherwise(0.0))
+          .withColumn("n_bigrams", size(col("__bg")).cast("long"))
+          .withColumn("dup_2gram_frac",
+            when(col("n_bigrams") > 0,
+              round(lit(1.0) - size(array_distinct(col("__bg"))).cast("double") / col("n_bigrams"), 6))
+              .otherwise(0.0))
+          .withColumn("keep",
+            when(col("dup_line_frac") <= 0.3 && col("dup_2gram_frac") <= 0.2, 1).otherwise(0))
+          .select("doc_id", "n_lines", "dup_line_frac", "n_bigrams", "dup_2gram_frac", "keep")
+          .orderBy("doc_id")
+    ),
+    QueryDef(
       "t04_fingerprint",
       // whitespace-normalized hash + order-insensitive sorted-token hash
       Some("""
