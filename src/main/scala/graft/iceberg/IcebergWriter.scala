@@ -244,6 +244,15 @@ object IcebergWriter {
         partitionAvroType(t, f.dataType), f.dataType)
     }
 
+  /** The table's CURRENT partition spec as resolveSpec input — shared by
+    * merge/update/compact so row-level and maintenance commits keep
+    * producing partition tuples and bounds; without it, their new files
+    * would carry no partition values and silently stop pruning. */
+  private def currentSpec(latest: Snapshot, schema: StructType): Seq[SpecField] =
+    resolveSpec(schema, latest.partitionSpec.flatMap { pf =>
+      latest.schema.find(_.id == pf.sourceId).map(c => c.name -> pf.transform)
+    })
+
   /** The transform as a Spark expression over the source column — always
     * materialized as a COPY (`__gp_` prefix) so hive-style partitionBy
     * strips the copy, never a data column (Iceberg data files keep
@@ -1040,19 +1049,23 @@ object IcebergWriter {
     positions.write.parquet(delDir.toString)
     val delCounts = footerCounts(delDir, conf)
 
-    // updated versions of the matched rows
+    // updated versions of the matched rows — written under the table's
+    // CURRENT partition spec (like merge): an update that dropped the
+    // hive layout would leave files without partition tuples and silently
+    // degrade pruning on every later scan
     val updated = assignments.foldLeft(
         matched.drop("__graft_file", "__graft_pos"): DataFrame) {
       case (d, (name, value)) => d.withColumn(name, value)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val dataFiles = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"))
+    val spec = currentSpec(latest, updated.schema)
+    val dataFiles = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"), spec)
 
     val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(dataManifest, conf, dataFiles.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count,
-        lowerBounds = w.lower, upperBounds = w.upper)
-    })
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+    }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
     writeManifest(delManifest, conf, delCounts.map { case (f, n) =>
       ManifestEntry(status = 1, content = 1, filePath = f,
@@ -1126,10 +1139,7 @@ object IcebergWriter {
       // table's current partition spec is reused: continuous upsert
       // ingestion must keep producing partition values and bounds, or
       // nothing written by merge would ever prune.
-      val specPairs = latest.partitionSpec.flatMap { pf =>
-        latest.schema.find(_.id == pf.sourceId).map(c => c.name -> pf.transform)
-      }
-      val spec = resolveSpec(src.schema, specPairs)
+      val spec = currentSpec(latest, src.schema)
       val dataFiles = writeDataFiles(src, new Path(path, s"data/snap-$snapshotId"), spec)
 
       val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
@@ -1169,14 +1179,18 @@ object IcebergWriter {
     val df = IcebergScan.scan(spark, path)
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
-    val dataFiles = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"))
+    // Compaction preserves the table's partition layout: rewriting a
+    // partitioned table into unpartitioned files would erase every
+    // partition tuple from the manifests and kill pruning table-wide.
+    val spec = currentSpec(latest, df.schema)
+    val dataFiles = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"), spec)
 
     val addedPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(addedPath, conf, dataFiles.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count,
-        lowerBounds = w.lower, upperBounds = w.upper)
-    })
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+    }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val deletedPath = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
     writeManifest(deletedPath, conf,
       liveEntries.map(_.copy(status = 2))) // DELETED

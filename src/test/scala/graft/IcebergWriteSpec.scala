@@ -613,6 +613,38 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       fromSnapshotId = snaps2(4)).count() === 15 * n)
   }
 
+  test("update and compact preserve the partition layout (pruning stays intact)") {
+    val table = Files.createTempDirectory("graft_wpc_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val n = nation.count()
+    IcebergWriter.write(nation.repartition(5, col("n_regionkey")), table,
+      partitionBy = Seq("n_regionkey" -> "identity"))
+
+    val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+      "n_regionkey", graft.iceberg.IcebergPruning.Eq, 1L))
+    def files(fs: Seq[graft.iceberg.IcebergPruning.ColPredicate]): Long =
+      IcebergScan.scan(spark, table, Options(mode = "list_files", filters = fs))
+        .filter(col("type") === "data").count()
+    assert(files(filters) < files(Seq.empty)) // baseline: partition pruning works
+
+    // a row-level UPDATE writes its new files under the same spec
+    IcebergWriter.update(spark, table,
+      col("n_nationkey") === 7, Map("n_name" -> lit("TOUCHED")))
+    assert(files(filters) < files(Seq.empty))
+
+    // compaction rewrites everything — and must keep the hive layout
+    IcebergWriter.compact(spark, table)
+    assert(files(filters) < files(Seq.empty),
+      "compacted files lost their partition tuples: pruning is dead")
+
+    // semantics unchanged throughout
+    val got = IcebergScan.scan(spark, table)
+    assert(got.count() === n)
+    assert(got.filter(col("n_nationkey") === 7 && col("n_name") === "TOUCHED").count() === 1)
+    assert(IcebergScan.scan(spark, table, Options(filters = filters)).count() ===
+      nation.filter(col("n_regionkey") === 1).count())
+  }
+
   test("aggressive manifest merging is invisible to readers (equivalence)") {
     val hconf = spark.sparkContext.hadoopConfiguration
     val base = Files.createTempDirectory("graft_wme_").toString
