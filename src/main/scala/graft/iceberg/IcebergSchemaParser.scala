@@ -45,7 +45,16 @@ object IcebergSchemaParser {
           StructType(node.get("fields").elements.asScala.map { f =>
             val dt = parseType(f.get("type"))
             val required = f.has("required") && f.get("required").asBoolean
-            StructField(f.get("name").asText, dt, nullable = !required)
+            // carry the nested field id so parquet reads resolve
+            // struct-internal columns by id, like top-level ones
+            // (renames inside structs stay evolution-safe) — an
+            // extension over the reference's top-level-only schema map
+            // (iceberg_scan.cpp:103-128)
+            val md =
+              if (f.has("id"))
+                new MetadataBuilder().putLong("parquet.field.id", f.get("id").asLong).build()
+              else Metadata.empty
+            StructField(f.get("name").asText, dt, nullable = !required, metadata = md)
           }.toArray)
         case "list" =>
           val elemRequired = node.has("element-required") && node.get("element-required").asBoolean

@@ -60,6 +60,31 @@ object IcebergWriter {
     * existing nested field the same id. */
   private val NestedFieldIdBase = 10000
 
+  /** Spark type with `parquet.field.id` metadata attached to every nested
+    * STRUCT field, consuming ids from `nextId` in EXACTLY the order
+    * [[icebergTypeNode]] does (field id before its type; list element-id
+    * and map key-id/value-id consume a slot even though parquet cannot
+    * carry them) — so the ids in the written parquet footers match the
+    * ids in the emitted Iceberg schema JSON, and struct-internal columns
+    * resolve by id at read time. */
+  private def withNestedIds(dt: DataType, nextId: () => Int): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map { f =>
+        val id = nextId()
+        StructField(f.name, withNestedIds(f.dataType, nextId), nullable = f.nullable,
+          metadata = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+      })
+    case a: ArrayType =>
+      nextId() // element-id slot
+      ArrayType(withNestedIds(a.elementType, nextId), a.containsNull)
+    case m: MapType =>
+      nextId() // key-id slot
+      val k = withNestedIds(m.keyType, nextId)
+      nextId() // value-id slot
+      MapType(k, withNestedIds(m.valueType, nextId), m.valueContainsNull)
+    case other => other
+  }
+
   /** Iceberg JSON schema type — primitives as strings, struct/list/map as
     * objects with element-id/key-id/value-id/field ids drawn from `nextId`
     * (Iceberg spec "Schemas"; the reference parses exactly this shape,
@@ -426,9 +451,19 @@ object IcebergWriter {
       spec: Seq[SpecField] = Seq.empty,
       sortBy: Seq[String] = Seq.empty,
       options: Map[String, String] = Map.empty): Seq[WrittenFile] = {
+    // Field ids into the parquet footers: positional at top level (Alias
+    // metadata), the nested DFS walk (same counter as the schema JSON)
+    // inside structs. Nested ids must live IN the attribute's DataType —
+    // the parquet writer walks the column type, not the Dataset schema —
+    // so nested columns are cast to the metadata-bearing type (the cast
+    // survives optimization precisely because the types differ by
+    // metadata; Dataset.to() shows such metadata in .schema but never
+    // attaches it to the plan's attributes).
+    val nestedId = new java.util.concurrent.atomic.AtomicInteger(NestedFieldIdBase)
     val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
-      col(f.name).as(f.name,
-        new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+      val typed = withNestedIds(f.dataType, () => nestedId.getAndIncrement())
+      val c = if (typed == f.dataType) col(f.name) else col(f.name).cast(typed)
+      c.as(f.name, new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
     }.toIndexedSeq: _*)
     val gpNames = spec.map(sf => s"__gp_${sf.fieldName}")
     val withParts = spec.zip(gpNames).foldLeft(withIds) { case (d, (sf, gp)) =>
@@ -1105,7 +1140,10 @@ object IcebergWriter {
     // let a wrongly-typed source commit physical files the recorded schema
     // can't read back — poisoning every later scan of the table.
     schema.fields.toSeq.zip(source.schema.fields.toSeq).foreach { case (ot, nt) =>
-      require(ot.dataType == nt.dataType || widens(ot.dataType, nt.dataType),
+      // ignoreNull also strips nested field-id metadata, which the parsed
+      // table schema carries and an incoming source never does
+      require(ignoreNull(ot.dataType) == ignoreNull(nt.dataType) ||
+          widens(ot.dataType, nt.dataType),
         s"merge: column '${ot.name}' cannot change ${ot.dataType.sql} -> ${nt.dataType.sql}")
     }
     require(keyCols.nonEmpty && keyCols.toSet.subsetOf(schema.fieldNames.toSet),

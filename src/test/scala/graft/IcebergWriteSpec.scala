@@ -721,6 +721,40 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       flat(src).exceptAll(flat(got)).isEmpty)
   }
 
+  test("struct-internal renames resolve by field id (nested-id extension)") {
+    val table = Files.createTempDirectory("graft_wn_").toString + "/t"
+    val src = Tables.load(spark, Sf, "part").limit(50).select(
+      col("p_partkey"),
+      struct(col("p_brand").as("brand"), col("p_size").as("size")).as("info"))
+    IcebergWriter.write(src, table)
+
+    // a "foreign engine" renames info.brand -> info.marque, metadata-only:
+    // the data files keep the old name but carry the nested field id
+    val conf = spark.sessionState.newHadoopConf()
+    val json = graft.iceberg.IcebergIO.readString(
+      s"$table/metadata/v1.metadata.json", conf)
+    assert(json.contains(""""name" : "brand""""))
+    def put(p: String, s: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val os = hp.getFileSystem(conf).create(hp, true)
+      try os.write(s.getBytes("UTF-8")) finally os.close()
+    }
+    put(s"$table/metadata/v2.metadata.json",
+      json.replace(""""name" : "brand"""", """"name" : "marque""""))
+    put(s"$table/metadata/version-hint.text", "2")
+
+    val got = IcebergScan.scan(spark, table)
+    val info = got.schema("info").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(info.fieldNames.toSeq === Seq("marque", "size"))
+    // the renamed field reads the ORIGINAL column's data (id-resolved) —
+    // name-based resolution would return nulls here
+    val want = src.select(col("p_partkey"),
+      col("info.brand").as("marque"), col("info.size").as("size"))
+    val flat = got.select(col("p_partkey"),
+      col("info.marque").as("marque"), col("info.size").as("size"))
+    assert(flat.exceptAll(want).isEmpty && want.exceptAll(flat).isEmpty)
+  }
+
   test("nested field ids are unique, above the top-level space, and stable across appends") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_w4_").toString + "/t"
