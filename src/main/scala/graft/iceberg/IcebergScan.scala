@@ -370,6 +370,134 @@ object IcebergScan {
     }
   }
 
+  /** Changelog (CDC) scan — the NET row-level difference between two
+    * snapshots: the table's columns plus `_change_type` ∈ {insert,
+    * delete}. An engine extension (the reference is read-only and has no
+    * incremental surface); semantics follow the snapshot algebra: a row
+    * is an `insert` when it is live at `to` but not at `from`, a
+    * `delete` in the reverse case — so a compaction (same rows, new
+    * files) yields an EMPTY changelog.
+    *
+    * Metadata does the heavy lifting: only files REMOVED or ADDED
+    * between the snapshots are scanned, plus tombstones committed inside
+    * the window applied to surviving files — unchanged files are never
+    * read. The final exceptAll pair only reconciles rewrite churn among
+    * those candidates, so its input is proportional to the CHANGE size,
+    * not the table size. v1 tables carry no sequence numbers and always
+    * yield an empty window. */
+  def changelog(
+      spark: SparkSession, path: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
+      opts: Options = Options()): DataFrame = {
+    val conf = hadoopConf(spark)
+    val info = IcebergMetadataParser.load(
+      path, conf, opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val from = IcebergMetadataParser.byId(info, fromSnapshotId, skipSchema = true)
+    val to = toSnapshotId.map(IcebergMetadataParser.byId(info, _, skipSchema = false))
+      .getOrElse(IcebergMetadataParser.latest(info, skipSchema = false))
+    val root = IcebergIO.tableRoot(path)
+    val metaFrom = ManifestReader.loadTable(root, from, conf, opts.allowMovedPaths)
+    val metaTo = ManifestReader.loadTable(root, to, conf, opts.allowMovedPaths)
+
+    val filesFrom = livePaths(metaFrom, 0, 0, opts).map(_._1.filePath).toSet
+    val filesTo = livePaths(metaTo, 0, 0, opts).map(_._1.filePath).toSet
+    val removed = filesFrom -- filesTo
+    val added = filesTo -- filesFrom
+    val common = filesFrom.intersect(filesTo)
+
+    // keep only the named data files; delete manifests pass untouched
+    def restrict(meta: TableMeta, keep: Set[String]): TableMeta =
+      meta.copy(entries = meta.entries.map { case (m, es) =>
+        (m, es.filter(e => e.content != 0 || keep(e.filePath)))
+      })
+    val schema = IcebergSchemaParser.toStructType(to.schema)
+    def emptyDF = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+    // rows live at `from` residing in files `to` dropped (old schema files
+    // read under to's schema — field ids make that evolution-safe)
+    val removedLive =
+      if (removed.isEmpty) emptyDF
+      else scanLoaded(spark, root, opts, to, restrict(metaFrom, removed))
+    // rows live at `to` residing in files added since `from`
+    val addedLive =
+      if (added.isEmpty) emptyDF
+      else scanLoaded(spark, root, opts, to, restrict(metaTo, added))
+
+    // rows of surviving files tombstoned INSIDE the window (they were
+    // live at `from`): position deletes by (file, pos), equality deletes
+    // by key with the spec's strictly-older sequence scoping
+    val newPos = livePaths(metaTo, 1, 1, opts).filter(_._2 > from.sequenceNumber)
+    val newEq = livePaths(metaTo, 1, 2, opts).filter(_._2 > from.sequenceNumber)
+    val commonDead =
+      if (common.isEmpty || (newPos.isEmpty && newEq.isEmpty)) emptyDF
+      else {
+        import spark.implicits._
+        val qualify: String => String = p => {
+          val hp = new Path(p)
+          hp.getFileSystem(conf).makeQualified(hp).toString
+        }
+        val live = scanLoaded(spark, root, opts.copy(keepProvenance = true),
+          to, restrict(metaFrom, common))
+        val provCols = (schema.fieldNames.toSeq :+ "__graft_file" :+ "__graft_pos").map(col)
+        var hits = Seq.empty[DataFrame]
+        if (newPos.nonEmpty) {
+          val posPaths = newPos.map { case (e, _) => resolved(root, e.filePath, opts) }
+          val fileMap = livePaths(metaTo, 0, 0, opts).collect {
+            case (e, _) if common(e.filePath) =>
+              (e.filePath, qualify(resolved(root, e.filePath, opts)))
+          }.toDF("__orig_path", "__qual_path")
+          val dels = spark.read.parquet(posPaths: _*).select("file_path", "pos")
+            .join(broadcast(fileMap), col("file_path") === col("__orig_path"))
+            .select(col("__qual_path").as("__del_file"), col("pos").as("__del_pos"))
+          hits :+= live.join(dels,
+            col("__graft_file") <=> col("__del_file") &&
+              col("__graft_pos") <=> col("__del_pos"), "left_semi")
+            .select(provCols: _*)
+        }
+        if (newEq.nonEmpty) {
+          val seqMap = livePaths(metaTo, 0, 0, opts).collect {
+            case (e, s) if common(e.filePath) =>
+              (qualify(resolved(root, e.filePath, opts)), s)
+          }.toDF("__eq_qual", "__data_seq")
+          val nameById = to.schema.map(c => c.id -> c.name).toMap
+          val withSeq = live
+            .join(broadcast(seqMap), col("__graft_file") === col("__eq_qual"), "left")
+          newEq.groupBy { case (e, _) =>
+            if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
+            else spark.read.parquet(resolved(root, e.filePath, opts))
+              .schema.fieldNames.toSeq.sorted
+          }.foreach { case (kcols, files) =>
+            val delPaths = files.map { case (e, _) => resolved(root, e.filePath, opts) }
+            val delSeqMap = files.map { case (e, s) =>
+              (qualify(resolved(root, e.filePath, opts)), s)
+            }.toDF("__del_path", "__del_seq")
+            val del = spark.read.parquet(delPaths: _*)
+              .select(kcols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
+              .join(broadcast(delSeqMap), "__del_path")
+            val delR = del.select(
+              kcols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
+            val cond = kcols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
+              col("__data_seq") < col("__del_seq")
+            hits :+= withSeq.join(broadcast(delR), cond, "left_semi")
+              .select(provCols: _*)
+          }
+        }
+        // a row hit by BOTH a position and an equality delete is one
+        // deleted row — dedupe on physical identity
+        hits.reduce(_ unionByName _)
+          .dropDuplicates("__graft_file", "__graft_pos")
+          .drop("__graft_file", "__graft_pos")
+      }
+
+    val del = removedLive.unionByName(commonDead)
+    val ins = addedLive
+    // net difference: identical rows rewritten into new files (compaction,
+    // churn-free MERGE re-upserts) cancel out, multiset-exactly
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
+
   /** mode='list_files' output: (file, type ∈ {data, delete}) — S14. */
   private def listFilesDF(spark: SparkSession, data: Seq[String], deletes: Seq[String]): DataFrame = {
     import spark.implicits._

@@ -538,6 +538,38 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib30_changelog",
+      // Changelog (CDC) gate: full lineitem committed, then a MoR delete
+      // of l_orderkey <= 10, then an append of (10, 15]. The net changelog
+      // from the first snapshot is exactly those deletes + those inserts —
+      // aggregated per change type with an exact integer checksum.
+      Some("""
+        SELECT * FROM (
+          SELECT 'delete' AS change_type, COUNT(*) AS cnt,
+                 CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_sum
+          FROM lineitem WHERE l_orderkey <= 10
+          UNION ALL
+          SELECT 'insert' AS change_type, COUNT(*) AS cnt,
+                 CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_sum
+          FROM lineitem WHERE l_orderkey > 10 AND l_orderkey <= 15) t
+        ORDER BY change_type"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib30_").toString + "/lineitem_cdc"
+        val li = graft.Tables.load(s, dir, "lineitem")
+        val snap1 = graft.iceberg.IcebergWriter.write(li, table)
+        graft.iceberg.IcebergWriter.delete(s, table, col("l_orderkey") <= 10)
+        graft.iceberg.IcebergWriter.write(
+          li.filter(col("l_orderkey") > 10 && col("l_orderkey") <= 15), table)
+        IcebergScan.changelog(s, table, fromSnapshotId = snap1)
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_orderkey") * col("l_linenumber")).cast("long").as("key_sum"))
+          .select(col("_change_type").as("change_type"), col("cnt"), col("key_sum"))
+          .orderBy("change_type")
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

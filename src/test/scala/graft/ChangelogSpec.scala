@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergScan, IcebergWriter}
+
+/** Changelog (CDC) scan semantics: the NET row difference between two
+  * snapshots — inserts and deletes cancel when a row is rewritten
+  * unchanged, so maintenance (compaction) produces an empty changelog
+  * while real mutations surface exactly once. */
+class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-changelog").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def types(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("append-only window yields exactly the appended rows as inserts") {
+    val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap1 = IcebergWriter.write(nation.filter(col("n_nationkey") < 10), table)
+    IcebergWriter.write(nation.filter(col("n_nationkey") >= 10), table)
+
+    val log = IcebergScan.changelog(spark, table, fromSnapshotId = snap1)
+    assert(types(log) === Map("insert" -> nation.filter(col("n_nationkey") >= 10).count()))
+    val got = log.drop("_change_type")
+    val want = nation.filter(col("n_nationkey") >= 10).select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("position- and equality-delete windows yield the dead rows as deletes") {
+    val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap1 = IcebergWriter.write(nation, table)
+
+    // position delete window
+    val snap2 = IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+    val log1 = IcebergScan.changelog(spark, table, snap1, Some(snap2))
+    assert(types(log1) === Map("delete" -> 1L))
+    assert(log1.filter(col("n_nationkey") === 3).count() === 1)
+
+    // equality delete window (strictly-older scoping)
+    val snap3 = IcebergWriter.deleteEquality(spark, table,
+      nation.filter(col("n_nationkey") === 5).select("n_nationkey"))
+    val log2 = IcebergScan.changelog(spark, table, snap2, Some(snap3))
+    assert(types(log2) === Map("delete" -> 1L))
+    assert(log2.filter(col("n_nationkey") === 5).count() === 1)
+
+    // whole window: both deletes, nothing else
+    assert(types(IcebergScan.changelog(spark, table, snap1)) === Map("delete" -> 2L))
+  }
+
+  test("compaction is changelog-invisible; UPDATE surfaces as delete+insert") {
+    val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap1 = IcebergWriter.write(nation, table)
+    IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+    val snap2 = IcebergWriter.compact(spark, table)
+
+    // rewrite churn cancels: compaction changed every file but no row
+    val log = IcebergScan.changelog(spark, table, snap1, Some(snap2))
+    assert(types(log) === Map("delete" -> 1L)) // only the real delete survives
+
+    val snap3 = IcebergWriter.update(spark, table,
+      col("n_nationkey") === 7, Map("n_name" -> lit("TOUCHED")))
+    val log2 = IcebergScan.changelog(spark, table, snap2, Some(snap3))
+    assert(types(log2) === Map("insert" -> 1L, "delete" -> 1L))
+    assert(log2.filter(col("_change_type") === "insert")
+      .filter(col("n_name") === "TOUCHED").count() === 1)
+    assert(log2.filter(col("_change_type") === "delete")
+      .filter(col("n_name") =!= "TOUCHED").count() === 1)
+  }
+
+  test("empty window and same-snapshot window yield an empty changelog") {
+    val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
+    val snap1 = IcebergWriter.write(Tables.load(spark, Sf, "region"), table)
+    assert(IcebergScan.changelog(spark, table, snap1, Some(snap1)).count() === 0)
+    assert(IcebergScan.changelog(spark, table, snap1).count() === 0)
+  }
+}
