@@ -201,6 +201,27 @@ object IcebergWriter {
     try os.write(s.getBytes("UTF-8")) finally os.close()
   }
 
+  /** Create-new-version write for metadata.json: the version file is
+    * created with overwrite=false, so of two writers racing from the same
+    * loaded state the SECOND fails with a commit conflict instead of
+    * silently clobbering the first — the filesystem analogue of a catalog
+    * CAS (optimistic concurrency). The loser's already-written data files
+    * become orphans, exactly what [[listOrphanFiles]] reports. */
+  private def writeNewVersion(p: Path, conf: Configuration, s: String): Unit = {
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p))
+      throw new java.io.IOException(
+        s"commit conflict: ${p.getName} already exists (concurrent writer won)")
+    val os =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new java.io.IOException(
+            s"commit conflict: ${p.getName} already exists (concurrent writer won)")
+      }
+    try os.write(s.getBytes("UTF-8")) finally os.close()
+  }
+
   // ---- table state ------------------------------------------------------
 
   private final case class State(
@@ -720,7 +741,7 @@ object IcebergWriter {
     sn.put("manifest-list", listPath.toString)
 
     val version = state.map(_.version + 1).getOrElse(1)
-    writeString(new Path(metaDir, s"v$version.metadata.json"), conf,
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
     snapshotId
@@ -745,7 +766,7 @@ object IcebergWriter {
     root.put("current-snapshot-id", newest.get("snapshot-id").asLong)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
-    writeString(new Path(metaDir, s"v$version.metadata.json"), conf,
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
     removed

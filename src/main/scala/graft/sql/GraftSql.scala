@@ -141,14 +141,52 @@ object GraftSql {
       df.queryExecution.logical
     }
 
-  /** (name, info, builder) triples for the three reference table functions. */
+  /** `iceberg_changelog('path', from_id[, to_id], named...)` — the CDC
+    * scan through SQL (engine extension; no reference analogue). */
+  private def changelogBuilder: Builder = exprs => {
+    val fn = "iceberg_changelog"
+    val spark = SparkSession.active
+    val (namedRaw, positional) = exprs.partition(_.isInstanceOf[NamedArgumentExpression])
+    if (positional.size < 2)
+      throw new IllegalArgumentException(
+        s"$fn: requires (path, from_snapshot_id[, to_snapshot_id])")
+    val path = asString(fn, "path", positional.head)
+    def asId(e: Expression): Long = evalLiteral(fn, e) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(s"$fn: invalid snapshot id $other")
+    }
+    val fromId = asId(positional(1))
+    val toId = positional.drop(2) match {
+      case Seq() => None
+      case Seq(e) => Some(asId(e))
+      case more => throw new IllegalArgumentException(
+        s"$fn: too many positional arguments (${more.size + 3})")
+    }
+    var opts = IcebergScan.Options()
+    namedRaw.foreach { case NamedArgumentExpression(key, value) =>
+      key.toLowerCase(java.util.Locale.ROOT) match {
+        case "allow_moved_paths" =>
+          opts = opts.copy(allowMovedPaths = asBoolean(fn, key, value))
+        case "metadata_compression_codec" =>
+          opts = opts.copy(metadataCompressionCodec = asString(fn, key, value))
+        case other => throw new IllegalArgumentException(
+          s"$fn: unknown named argument '$other'")
+      }
+    }
+    IcebergScan.changelog(spark, path, fromId, toId, opts).queryExecution.logical
+  }
+
+  /** (name, info, builder) triples for the three reference table functions
+    * plus the changelog extension. */
   private[sql] def functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     ("iceberg_scan", "reads an Apache Iceberg table (latest, by snapshot id, or by timestamp)",
       builder("iceberg_scan", (s, p, o) => IcebergScan.scan(s, p, o))),
     ("iceberg_snapshots", "lists the snapshots of an Apache Iceberg table",
       builder("iceberg_snapshots", (s, p, o) => IcebergScan.snapshots(s, p, o))),
     ("iceberg_metadata", "lists manifest entries of an Apache Iceberg table",
-      builder("iceberg_metadata", (s, p, o) => IcebergScan.metadata(s, p, o)))
+      builder("iceberg_metadata", (s, p, o) => IcebergScan.metadata(s, p, o))),
+    ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
+      changelogBuilder)
   ).map { case (name, usage, b) =>
     (FunctionIdentifier(name),
      new ExpressionInfo(GraftSql.getClass.getCanonicalName, null, name, usage, ""),

@@ -100,6 +100,23 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
            e.getMessage.contains("bogus_param"))
   }
 
+  test("iceberg_changelog through SQL surfaces net inserts and deletes") {
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlcdc_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val snap1 = graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+    val rows = spark.sql(
+      s"SELECT _change_type, count(*) AS cnt FROM iceberg_changelog('$table', $snap1) GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows === Map("delete" -> 1L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM iceberg_changelog('$table')").collect()
+    }
+    assert(e.getMessage.contains("from_snapshot_id"))
+  }
+
   test("runtime registration on an extension-less session") {
     val fresh = spark.newSession()
     GraftSql.register(fresh)

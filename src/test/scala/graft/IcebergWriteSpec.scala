@@ -692,6 +692,24 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphanSnaps === (11 to 20).map(i => s"snap-$i").toSet)
   }
 
+  test("racing commits conflict instead of clobbering (optimistic concurrency)") {
+    val table = Files.createTempDirectory("graft_wc_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation, table)
+    // a concurrent writer lands v2 first; our commit of the same version
+    // must fail with a conflict, never silently overwrite
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$table/metadata/v2.metadata.json")
+    val os = p.getFileSystem(conf).create(p, false)
+    try os.write("{}".getBytes("UTF-8")) finally os.close()
+    val e = intercept[java.io.IOException] { IcebergWriter.write(nation, table) }
+    assert(e.getMessage.contains("commit conflict"))
+    // the loser's data files are orphans, visible to the vacuum listing
+    val orphans = IcebergWriter.listOrphanFiles(spark, table)
+      .collect().map(_.getString(0))
+    assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-2/")))
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
