@@ -82,6 +82,37 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("n_name") =!= "TOUCHED").count() === 1)
   }
 
+  test("changelog equals the brute-force snapshot diff across a mixed history") {
+    import graft.iceberg.IcebergScan.Options
+    val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snaps = Seq.newBuilder[Long]
+    snaps += IcebergWriter.write(nation.filter(col("n_nationkey") < 12), table)
+    snaps += IcebergWriter.write(nation.filter(col("n_nationkey") >= 12), table)
+    snaps += IcebergWriter.delete(spark, table, col("n_nationkey") % 5 === 0)
+    snaps += IcebergWriter.deleteEquality(spark, table,
+      nation.filter(col("n_nationkey") === 7).select("n_nationkey"))
+    snaps += IcebergWriter.update(spark, table,
+      col("n_nationkey") === 8, Map("n_name" -> lit("X")))
+    snaps += IcebergWriter.compact(spark, table)
+    snaps += IcebergWriter.merge(spark, table,
+      nation.filter(col("n_nationkey").isin(1, 30)), Seq("n_nationkey"))
+    val ids = snaps.result()
+
+    def state(id: Long) = IcebergScan.scan(spark, table, Options(snapshotId = Some(id)))
+    for (i <- ids.indices; j <- i until ids.length) {
+      val log = IcebergScan.changelog(spark, table, ids(i), Some(ids(j)))
+      val ins = log.filter(col("_change_type") === "insert").drop("_change_type")
+      val del = log.filter(col("_change_type") === "delete").drop("_change_type")
+      val bruteIns = state(ids(j)).exceptAll(state(ids(i)))
+      val bruteDel = state(ids(i)).exceptAll(state(ids(j)))
+      assert(ins.exceptAll(bruteIns).isEmpty && bruteIns.exceptAll(ins).isEmpty,
+        s"insert mismatch for window ${ids(i)} -> ${ids(j)}")
+      assert(del.exceptAll(bruteDel).isEmpty && bruteDel.exceptAll(del).isEmpty,
+        s"delete mismatch for window ${ids(i)} -> ${ids(j)}")
+    }
+  }
+
   test("empty window and same-snapshot window yield an empty changelog") {
     val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
     val snap1 = IcebergWriter.write(Tables.load(spark, Sf, "region"), table)
