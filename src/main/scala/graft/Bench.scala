@@ -76,7 +76,9 @@ object Bench {
           None
         }
       }.toSeq
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      // ANY failed run marks the query failed — a success-then-failure
+      // sequence must not smuggle its run-1 timing into the artifact
+      name -> (if (errors.contains(name) || times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -197,51 +197,11 @@ object IcebergScan {
       }.toDF("__eq_qual", "__data_seq")
       cur = cur.join(broadcast(seqMap), col("__graft_file") === col("__eq_qual"), "left")
         .drop("__eq_qual")
-      // Group delete files by their equality-column set. Manifest
-      // equality_ids give the key columns WITHOUT touching the files —
-      // only id-less files (legacy writers) pay a per-file schema read.
-      // Each group is then ONE multi-path parquet read (not one driver
-      // DataFrame per file): at 100k delete files the old per-file loop
-      // serialized 100k footer reads on the driver before the plan even
-      // composed.
-      val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
-      // id-less files (foreign writers) need a schema read each to learn
-      // their key columns — do those on the bounded pool, not sequentially
-      val idless = eqEntries.collect {
-        case (e, _) if e.equalityIds.isEmpty => resolved(path, e.filePath, opts)
-      }.distinct
-      val idlessCols: Map[String, Seq[String]] =
-        if (idless.isEmpty) Map.empty
-        else {
-          import scala.concurrent.duration._
-          val par = conf.getInt(ManifestReader.FetchParallelismKey, 16)
-          val tmo = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
-          DriverPool.mapParallel(idless, par, tmo, "graft-eq-schema") { p =>
-            p -> spark.read.parquet(p).schema.fieldNames.toSeq.sorted
-          }.toMap
-        }
-      val groups = eqEntries.groupBy { case (e, _) =>
-        if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
-        else idlessCols(resolved(path, e.filePath, opts))
-      }
       val eqCard = eqEntries.map(_._1.recordCount).sum
-      groups.foreach { case (cols, files) =>
-        val delPaths = files.map { case (e, _) => resolved(path, e.filePath, opts) }
-        // per-file delete sequence number via a small broadcast
-        // (qualified URI → seq), same bridge as the data side
-        val delSeqMap = files.map { case (e, dseq) =>
-          (qualify(resolved(path, e.filePath, opts)), dseq)
-        }.toDF("__del_path", "__del_seq")
-        val del = spark.read.parquet(delPaths: _*)
-          .select(cols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
-          .join(broadcast(delSeqMap), "__del_path")
-        val delR = del.select(
-          cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
-        val delB = if (eqCard <= opts.broadcastDeleteThreshold) broadcast(delR) else delR
-        // null-safe equality on the key columns; strictly-older scoping
-        val cond = cols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
-          col("__data_seq") < col("__del_seq")
-        cur = cur.join(delB, cond, "left_anti")
+      eqDeleteGroups(spark, conf, path, opts, eqEntries, snapshot).foreach {
+        case (cols, delR) =>
+          val delB = if (eqCard <= opts.broadcastDeleteThreshold) broadcast(delR) else delR
+          cur = cur.join(delB, eqDeleteCond(cols), "left_anti")
       }
       cur = cur.drop("__data_seq")
     }
@@ -249,6 +209,61 @@ object IcebergScan {
     if (opts.keepProvenance) cur
     else cur.drop("__graft_file", "__graft_pos") // SELECT * EXCLUDE(...) analogue (P1)
   }
+
+  /** Equality-delete relations grouped by key-column set — the ONE
+    * definition of how delete files become joinable frames, shared by
+    * the MoR scan (anti join) and the changelog (semi join) so their
+    * semantics stay in lockstep. Manifest `equality_ids` give the key
+    * columns WITHOUT touching the files; only id-less files (legacy
+    * writers) pay a schema read each, on the bounded pool. Each group
+    * is ONE multi-path parquet read — at 100k delete files a per-file
+    * loop would serialize 100k driver footer reads before the plan even
+    * composed. Returns (key columns, rows as __del_<c>… + __del_seq). */
+  private def eqDeleteGroups(
+      spark: SparkSession, conf: Configuration, path: String, opts: Options,
+      entries: Seq[(ManifestEntry, Long)],
+      snapshot: Snapshot): Seq[(Seq[String], DataFrame)] = {
+    import spark.implicits._
+    val qualify: String => String = p => {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
+    val idless = entries.collect {
+      case (e, _) if e.equalityIds.isEmpty => resolved(path, e.filePath, opts)
+    }.distinct
+    val idlessCols: Map[String, Seq[String]] =
+      if (idless.isEmpty) Map.empty
+      else {
+        import scala.concurrent.duration._
+        val par = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+        val tmo = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+        DriverPool.mapParallel(idless, par, tmo, "graft-eq-schema") { p =>
+          p -> spark.read.parquet(p).schema.fieldNames.toSeq.sorted
+        }.toMap
+      }
+    entries.groupBy { case (e, _) =>
+      if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
+      else idlessCols(resolved(path, e.filePath, opts))
+    }.toSeq.map { case (cols, files) =>
+      val delPaths = files.map { case (e, _) => resolved(path, e.filePath, opts) }
+      // per-file delete sequence number via a small broadcast
+      // (qualified URI → seq), same bridge as the data side
+      val delSeqMap = files.map { case (e, dseq) =>
+        (qualify(resolved(path, e.filePath, opts)), dseq)
+      }.toDF("__del_path", "__del_seq")
+      val del = spark.read.parquet(delPaths: _*)
+        .select(cols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
+        .join(broadcast(delSeqMap), "__del_path")
+      cols -> del.select(
+        cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
+    }
+  }
+
+  /** Null-safe key equality + the spec's strictly-older sequence scoping. */
+  private def eqDeleteCond(cols: Seq[String]): org.apache.spark.sql.Column =
+    cols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
+      col("__data_seq") < col("__del_seq")
 
   /** Best-effort extraction of simple comparison conjuncts from a Spark
     * predicate into prunable [[IcebergPruning.ColPredicate]]s. Anything
@@ -388,7 +403,9 @@ object IcebergScan {
   def changelog(
       spark: SparkSession, path: String,
       fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
-      opts: Options = Options()): DataFrame = {
+      rawOpts: Options = Options()): DataFrame = {
+    // provenance columns / listing mode would poison the row algebra below
+    val opts = rawOpts.copy(keepProvenance = false, mode = "default")
     val conf = hadoopConf(spark)
     val info = IcebergMetadataParser.load(
       path, conf, opts.metadataCompressionCodec,
@@ -460,27 +477,12 @@ object IcebergScan {
             case (e, s) if common(e.filePath) =>
               (qualify(resolved(root, e.filePath, opts)), s)
           }.toDF("__eq_qual", "__data_seq")
-          val nameById = to.schema.map(c => c.id -> c.name).toMap
           val withSeq = live
             .join(broadcast(seqMap), col("__graft_file") === col("__eq_qual"), "left")
-          newEq.groupBy { case (e, _) =>
-            if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
-            else spark.read.parquet(resolved(root, e.filePath, opts))
-              .schema.fieldNames.toSeq.sorted
-          }.foreach { case (kcols, files) =>
-            val delPaths = files.map { case (e, _) => resolved(root, e.filePath, opts) }
-            val delSeqMap = files.map { case (e, s) =>
-              (qualify(resolved(root, e.filePath, opts)), s)
-            }.toDF("__del_path", "__del_seq")
-            val del = spark.read.parquet(delPaths: _*)
-              .select(kcols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
-              .join(broadcast(delSeqMap), "__del_path")
-            val delR = del.select(
-              kcols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
-            val cond = kcols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
-              col("__data_seq") < col("__del_seq")
-            hits :+= withSeq.join(broadcast(delR), cond, "left_semi")
-              .select(provCols: _*)
+          eqDeleteGroups(spark, conf, root, opts, newEq, to).foreach {
+            case (kcols, delR) =>
+              hits :+= withSeq.join(broadcast(delR), eqDeleteCond(kcols), "left_semi")
+                .select(provCols: _*)
           }
         }
         // a row hit by BOTH a position and an equality delete is one
@@ -490,12 +492,46 @@ object IcebergScan {
           .drop("__graft_file", "__graft_pos")
       }
 
-    val del = removedLive.unionByName(commonDead)
-    val ins = addedLive
-    // net difference: identical rows rewritten into new files (compaction,
-    // churn-free MERGE re-upserts) cancel out, multiset-exactly
-    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
-      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+    // ---- net difference, in ONE pass ----------------------------------
+    // Candidate inserts tag +1, candidate deletes -1; group by the full
+    // row and keep nonzero nets. Identical rows rewritten into new files
+    // (compaction churn, no-op re-upserts) cancel multiset-exactly, and
+    // each candidate scan executes ONCE — an exceptAll pair would re-run
+    // every scan plan twice. Group-by cannot key on maps, so top-level
+    // map columns travel as sorted entry arrays and are restored after
+    // the diff; maps nested deeper have no groupable canonical form.
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    schema.fields.foreach { f =>
+      val nested = f.dataType match {
+        case m: MapType => containsMap(m.keyType) || containsMap(m.valueType)
+        case other => containsMap(other)
+      }
+      require(!nested,
+        s"changelog: column '${f.name}' nests a map inside another type — not supported")
+    }
+    val mapCols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[MapType] => f.name
+    }.toSeq
+    def canon(df: DataFrame): DataFrame =
+      mapCols.foldLeft(df)((d, c) => d.withColumn(c, array_sort(map_entries(col(c)))))
+    val names = schema.fieldNames.toSeq
+    val tagged = canon(addedLive).withColumn("__tag", lit(1L))
+      .unionByName(canon(removedLive).withColumn("__tag", lit(-1L)))
+      .unionByName(canon(commonDead).withColumn("__tag", lit(-1L)))
+    val net = tagged.groupBy(names.map(col): _*)
+      .agg(sum(col("__tag")).as("__net"))
+      .filter(col("__net") =!= 0)
+    val rows = net
+      .withColumn("_change_type", when(col("__net") > 0, "insert").otherwise("delete"))
+      .withColumn("__i", explode(expr("sequence(1L, abs(__net))")))
+      .drop("__net", "__i")
+    mapCols.foldLeft(rows)((d, c) => d.withColumn(c, map_from_entries(col(c))))
+      .select(names.map(col) :+ col("_change_type"): _*)
   }
 
   /** mode='list_files' output: (file, type ∈ {data, delete}) — S14. */

@@ -52,75 +52,150 @@ object IcebergWriter {
       s"IcebergWriter cannot map ${other.sql} to an Iceberg type")
   }
 
-  /** Nested field ids allocate from here (DFS over top-level columns in
-    * order) so they can never collide with top-level ids, which stay
-    * POSITIONAL (1..n — the contract writeDataFiles' parquet.field.id
-    * metadata and the equality-delete id lookup rely on). Appends only add
-    * columns at the end, so a re-derivation after evolution assigns every
-    * existing nested field the same id. */
+  /** FRESH nested field ids allocate from here (DFS over top-level
+    * columns in order) so they can never collide with fresh positional
+    * top-level ids. Existing fields — including a foreign table's
+    * layout — keep their recorded ids verbatim on append (see
+    * [[assignIds]]); this base only governs fields no previous schema
+    * knows. */
   private val NestedFieldIdBase = 10000
 
-  /** Spark type with `parquet.field.id` metadata attached to every nested
-    * STRUCT field, consuming ids from `nextId` in EXACTLY the order
-    * [[icebergTypeNode]] does (field id before its type; list element-id
-    * and map key-id/value-id consume a slot even though parquet cannot
-    * carry them) — so the ids in the written parquet footers match the
-    * ids in the emitted Iceberg schema JSON, and struct-internal columns
-    * resolve by id at read time. */
-  private def withNestedIds(dt: DataType, nextId: () => Int): DataType = dt match {
-    case s: StructType =>
-      StructType(s.fields.map { f =>
-        val id = nextId()
-        StructField(f.name, withNestedIds(f.dataType, nextId), nullable = f.nullable,
-          metadata = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
-      })
-    case a: ArrayType =>
-      nextId() // element-id slot
-      ArrayType(withNestedIds(a.elementType, nextId), a.containsNull)
-    case m: MapType =>
-      nextId() // key-id slot
-      val k = withNestedIds(m.keyType, nextId)
-      nextId() // value-id slot
-      MapType(k, withNestedIds(m.valueType, nextId), m.valueContainsNull)
-    case other => other
+  /** name-path → field id of a metadata.json root's CURRENT schema,
+    * nested ids included (keys: "col", "col.sub", "col.element",
+    * "col.key", "col.value", …). Appends REUSE these ids verbatim — a
+    * table created by another engine keeps its layout (re-deriving our
+    * own DFS ids would silently desync the declared schema from the ids
+    * in already-written files, reading struct internals as NULL); only
+    * genuinely new fields draw fresh ids. */
+  private def existingIds(root: JsonNode): Map[String, Int] = {
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    def walkFields(fields: JsonNode, prefix: String): Unit =
+      fields.elements.asScala.foreach { f =>
+        val p = prefix + f.get("name").asText
+        Option(f.get("id")).foreach(id => out(p) = id.asInt)
+        walkType(f.get("type"), p + ".")
+      }
+    def walkType(node: JsonNode, prefix: String): Unit =
+      if (node != null && node.isObject) node.get("type").asText match {
+        case "struct" => walkFields(node.get("fields"), prefix)
+        case "list" =>
+          Option(node.get("element-id")).foreach(id => out(prefix + "element") = id.asInt)
+          walkType(node.get("element"), prefix + "element.")
+        case "map" =>
+          Option(node.get("key-id")).foreach(id => out(prefix + "key") = id.asInt)
+          walkType(node.get("key"), prefix + "key.")
+          Option(node.get("value-id")).foreach(id => out(prefix + "value") = id.asInt)
+          walkType(node.get("value"), prefix + "value.")
+        case _ => ()
+      }
+    val sid = Option(root.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    val schemas = Option(root.get("schemas"))
+      .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    val schemaNode = schemas
+      .find(s => Option(s.get("schema-id")).exists(_.asInt == sid))
+      .orElse(schemas.headOption)
+      .orElse(Option(root.get("schema"))) // legacy v1 single-schema object
+    schemaNode.foreach(s => walkFields(s.get("fields"), ""))
+    out.toMap
   }
 
-  /** Iceberg JSON schema type — primitives as strings, struct/list/map as
-    * objects with element-id/key-id/value-id/field ids drawn from `nextId`
-    * (Iceberg spec "Schemas"; the reference parses exactly this shape,
-    * schema.cpp:11-67). */
-  private def icebergTypeNode(dt: DataType, nextId: () => Int): JsonNode = dt match {
-    case s: StructType =>
-      val n = mapper.createObjectNode()
-      n.put("type", "struct")
-      val arr = n.putArray("fields")
-      s.fields.foreach { f =>
-        val fn = arr.addObject()
-        fn.put("id", nextId())
-        fn.put("name", f.name)
-        fn.put("required", false)
-        fn.set[JsonNode]("type", icebergTypeNode(f.dataType, nextId))
+  /** The complete (path → id) assignment for a write: existing paths keep
+    * their ids from `prev`; new top-level columns take their positional id
+    * unless it is already taken by a different field (foreign layouts);
+    * new nested fields draw from a fresh counter above every known id.
+    * The walk order (field id before its type; list element, map
+    * key/value each a slot) makes fresh assignment bit-identical to the
+    * pre-existing DFS scheme for self-written tables. */
+  private def assignIds(schema: StructType, prev: Map[String, Int]): Map[String, Int] = {
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    val fresh = new java.util.concurrent.atomic.AtomicInteger(
+      math.max(NestedFieldIdBase, (prev.values.toSeq :+ 0).max + 1))
+    def walk(dt: DataType, prefix: String): Unit = dt match {
+      case s: StructType => s.fields.foreach { f =>
+        val p = prefix + f.name
+        out(p) = prev.getOrElse(p, fresh.getAndIncrement())
+        walk(f.dataType, p + ".")
       }
-      n
-    case a: ArrayType =>
-      val n = mapper.createObjectNode()
-      n.put("type", "list")
-      n.put("element-id", nextId())
-      n.put("element-required", false)
-      n.set[JsonNode]("element", icebergTypeNode(a.elementType, nextId))
-      n
-    case m: MapType =>
-      val n = mapper.createObjectNode()
-      n.put("type", "map")
-      n.put("key-id", nextId())
-      n.set[JsonNode]("key", icebergTypeNode(m.keyType, nextId))
-      n.put("value-id", nextId())
-      n.put("value-required", false)
-      n.set[JsonNode]("value", icebergTypeNode(m.valueType, nextId))
-      n
-    case other =>
-      new com.fasterxml.jackson.databind.node.TextNode(toIcebergType(other))
+      case a: ArrayType =>
+        out(prefix + "element") =
+          prev.getOrElse(prefix + "element", fresh.getAndIncrement())
+        walk(a.elementType, prefix + "element.")
+      case m: MapType =>
+        out(prefix + "key") = prev.getOrElse(prefix + "key", fresh.getAndIncrement())
+        walk(m.keyType, prefix + "key.")
+        out(prefix + "value") = prev.getOrElse(prefix + "value", fresh.getAndIncrement())
+        walk(m.valueType, prefix + "value.")
+      case _ => ()
+    }
+    val taken = prev.values.toSet
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      out(f.name) = prev.getOrElse(f.name,
+        if (taken(i + 1)) fresh.getAndIncrement() else i + 1)
+      walk(f.dataType, f.name + ".")
+    }
+    out.toMap
   }
+
+  /** Spark type with `parquet.field.id` metadata attached to every nested
+    * STRUCT field from the shared (path → id) assignment — so the ids in
+    * the written parquet footers match the ids in the emitted Iceberg
+    * schema JSON, and struct-internal columns resolve by id at read time. */
+  private def typeWithIds(dt: DataType, prefix: String, ids: Map[String, Int]): DataType =
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map { f =>
+          StructField(f.name, typeWithIds(f.dataType, prefix + f.name + ".", ids),
+            nullable = f.nullable,
+            metadata = new MetadataBuilder()
+              .putLong("parquet.field.id", ids(prefix + f.name).toLong).build())
+        })
+      case a: ArrayType =>
+        ArrayType(typeWithIds(a.elementType, prefix + "element.", ids), a.containsNull)
+      case m: MapType =>
+        MapType(
+          typeWithIds(m.keyType, prefix + "key.", ids),
+          typeWithIds(m.valueType, prefix + "value.", ids),
+          m.valueContainsNull)
+      case other => other
+    }
+
+  /** Iceberg JSON schema type — primitives as strings, struct/list/map as
+    * objects with element-id/key-id/value-id/field ids from the shared
+    * assignment (Iceberg spec "Schemas"; the reference parses exactly
+    * this shape, schema.cpp:11-67). */
+  private def icebergTypeNode(dt: DataType, prefix: String, ids: Map[String, Int]): JsonNode =
+    dt match {
+      case s: StructType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "struct")
+        val arr = n.putArray("fields")
+        s.fields.foreach { f =>
+          val fn = arr.addObject()
+          fn.put("id", ids(prefix + f.name))
+          fn.put("name", f.name)
+          fn.put("required", false)
+          fn.set[JsonNode]("type", icebergTypeNode(f.dataType, prefix + f.name + ".", ids))
+        }
+        n
+      case a: ArrayType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", ids(prefix + "element"))
+        n.put("element-required", false)
+        n.set[JsonNode]("element", icebergTypeNode(a.elementType, prefix + "element.", ids))
+        n
+      case m: MapType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", ids(prefix + "key"))
+        n.set[JsonNode]("key", icebergTypeNode(m.keyType, prefix + "key.", ids))
+        n.put("value-id", ids(prefix + "value"))
+        n.put("value-required", false)
+        n.set[JsonNode]("value", icebergTypeNode(m.valueType, prefix + "value.", ids))
+        n
+      case other =>
+        new com.fasterxml.jackson.databind.node.TextNode(toIcebergType(other))
+    }
 
   private val manifestListSchema = new Schema.Parser().parse("""
     {"type":"record","name":"manifest_file","fields":[
@@ -247,9 +322,26 @@ object IcebergWriter {
 
   private def loadState(path: String, conf: Configuration): Option[State] = {
     val hintPath = new Path(new Path(path, "metadata"), DefaultVersionHintFile)
-    if (!hintPath.getFileSystem(conf).exists(hintPath)) None
+    val fs = hintPath.getFileSystem(conf)
+    if (!fs.exists(hintPath)) None
     else {
-      val v = IcebergIO.readString(hintPath.toString, conf).trim.toInt
+      var v = IcebergIO.readString(hintPath.toString, conf).trim.toInt
+      // The hint is a HINT: a writer that crashed between committing
+      // vN+1.metadata.json and updating the hint must not pin the table
+      // at vN forever — commits compute the next version from the loaded
+      // state, so a stale hint would make every retry collide with the
+      // orphaned vN+1 ("commit conflict" with no self-heal). Probe
+      // forward to the newest PARSEABLE version: the metadata.json
+      // create is the commit point, the hint only a cache. An existing
+      // but unparseable next version (a writer mid-create) stops the
+      // probe — it is not a committed state.
+      var probing = true
+      while (probing) {
+        val next = new Path(path, s"metadata/v${v + 1}.metadata.json")
+        if (fs.exists(next) && scala.util.Try(IcebergMetadataParser.parseInfo(
+            IcebergIO.readString(next.toString, conf))).isSuccess) v += 1
+        else probing = false
+      }
       val json = IcebergIO.readString(
         new Path(path, s"metadata/v$v.metadata.json").toString, conf)
       val info = IcebergMetadataParser.parseInfo(json)
@@ -272,7 +364,8 @@ object IcebergWriter {
       sourceId: Int, fieldId: Int, avroType: String, sourceType: DataType)
 
   private def resolveSpec(
-      schema: StructType, partitionBy: Seq[(String, String)]): Seq[SpecField] =
+      schema: StructType, partitionBy: Seq[(String, String)],
+      ids: Map[String, Int] = Map.empty): Seq[SpecField] =
     partitionBy.zipWithIndex.map { case ((c, t), i) =>
       val idx = schema.fieldIndex(c)
       val f = schema(idx)
@@ -286,7 +379,7 @@ object IcebergWriter {
         case IcebergTransforms.Truncate(_) => s"${c}_trunc"
         case _ => throw new IllegalArgumentException(s"unsupported transform $t")
       }
-      SpecField(c, t, fieldName, idx + 1, 1000 + i,
+      SpecField(c, t, fieldName, ids.getOrElse(c, idx + 1), 1000 + i,
         partitionAvroType(t, f.dataType), f.dataType)
     }
 
@@ -297,7 +390,7 @@ object IcebergWriter {
   private def currentSpec(latest: Snapshot, schema: StructType): Seq[SpecField] =
     resolveSpec(schema, latest.partitionSpec.flatMap { pf =>
       latest.schema.find(_.id == pf.sourceId).map(c => c.name -> pf.transform)
-    })
+    }, latest.schema.map(c => c.name -> c.id).toMap)
 
   /** The transform as a Spark expression over the source column — always
     * materialized as a COPY (`__gp_` prefix) so hive-style partitionBy
@@ -471,20 +564,23 @@ object IcebergWriter {
       df: DataFrame, dataDir: Path,
       spec: Seq[SpecField] = Seq.empty,
       sortBy: Seq[String] = Seq.empty,
-      options: Map[String, String] = Map.empty): Seq[WrittenFile] = {
-    // Field ids into the parquet footers: positional at top level (Alias
-    // metadata), the nested DFS walk (same counter as the schema JSON)
-    // inside structs. Nested ids must live IN the attribute's DataType —
-    // the parquet writer walks the column type, not the Dataset schema —
-    // so nested columns are cast to the metadata-bearing type (the cast
+      options: Map[String, String] = Map.empty,
+      prevIds: Map[String, Int] = Map.empty): Seq[WrittenFile] = {
+    // Field ids into the parquet footers, from the SAME (path → id)
+    // assignment commitSnapshot emits in the schema JSON (existing ids —
+    // including a foreign table's layout — preserved; fresh ids for new
+    // fields). Nested ids must live IN the attribute's DataType — the
+    // parquet writer walks the column type, not the Dataset schema — so
+    // nested columns are cast to the metadata-bearing type (the cast
     // survives optimization precisely because the types differ by
     // metadata; Dataset.to() shows such metadata in .schema but never
     // attaches it to the plan's attributes).
-    val nestedId = new java.util.concurrent.atomic.AtomicInteger(NestedFieldIdBase)
-    val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
-      val typed = withNestedIds(f.dataType, () => nestedId.getAndIncrement())
+    val assigned = assignIds(df.schema, prevIds)
+    val withIds = df.select(df.schema.fields.map { f =>
+      val typed = typeWithIds(f.dataType, f.name + ".", assigned)
       val c = if (typed == f.dataType) col(f.name) else col(f.name).cast(typed)
-      c.as(f.name, new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+      c.as(f.name, new MetadataBuilder()
+        .putLong("parquet.field.id", assigned(f.name).toLong).build())
     }.toIndexedSeq: _*)
     val gpNames = spec.map(sf => s"__gp_${sf.fieldName}")
     val withParts = spec.zip(gpNames).foldLeft(withIds) { case (d, (sf, gp)) =>
@@ -496,8 +592,9 @@ object IcebergWriter {
     val writer = sorted.write.options(options)
     (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)
       .parquet(dataDir.toString)
-    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      f.name -> (i + 1, f.dataType)
+    // manifest bounds keyed by the same assigned top-level ids
+    val fields = df.schema.fields.map { f =>
+      f.name -> (assigned(f.name), f.dataType)
     }.toMap
     collectFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(), spec, fields)
   }
@@ -591,8 +688,8 @@ object IcebergWriter {
     import scala.concurrent.duration._
     val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
     val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
-    manifests.groupBy(_.content).toSeq.sortBy(_._1).map {
-      case (_, Seq(single)) => single
+    manifests.groupBy(_.content).toSeq.sortBy(_._1).flatMap {
+      case (_, Seq(single)) => Seq(single)
       case (content, ms) =>
         val entries = DriverPool.mapParallel(
           ms, parallelism, timeout, "graft-manifest-merge") { m =>
@@ -601,10 +698,21 @@ object IcebergWriter {
               sequenceNumber = Some(e.seqOr(m.sequenceNumber)),
               status = if (e.status == 1) 0 else e.status)) // ADDED → EXISTING
         }.flatten
-        val merged = new Path(path, s"metadata/snap-$snapshotId-merged-c$content.avro")
-        writeManifest(merged, conf, entries, mergedPartitionFields(entries))
-        Manifest(merged.toString,
-          entries.flatMap(_.sequenceNumber).maxOption.getOrElse(0L), content)
+        // Foreign writers can carry partition value types our merged
+        // manifest schema does not model (boolean/float/...): merging
+        // would mistype them — leave such a class unmerged (correct,
+        // just not compacted) rather than fail the commit.
+        val mergeable = entries.forall(_.partition.values.forall {
+          case null | _: java.lang.Integer | _: java.lang.Long | _: String => true
+          case _ => false
+        })
+        if (!mergeable) ms
+        else {
+          val merged = new Path(path, s"metadata/snap-$snapshotId-merged-c$content.avro")
+          writeManifest(merged, conf, entries, mergedPartitionFields(entries))
+          Seq(Manifest(merged.toString,
+            entries.flatMap(_.sequenceNumber).maxOption.getOrElse(0L), content))
+        }
     }
   }
 
@@ -653,16 +761,19 @@ object IcebergWriter {
     val fieldsNode = schemaNode.putArray("fields")
     require(schema.fields.length < NestedFieldIdBase,
       s"too many columns (${schema.fields.length}) for the nested-id scheme")
-    val nestedId = new java.util.concurrent.atomic.AtomicInteger(NestedFieldIdBase)
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    // One deterministic (path → id) assignment shared with writeDataFiles'
+    // parquet stamping: existing ids (including a foreign table's layout)
+    // are preserved, new fields draw fresh ids.
+    val assigned = assignIds(schema,
+      state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty))
+    schema.fields.foreach { f =>
       val fn = fieldsNode.addObject()
-      fn.put("id", i + 1)
+      fn.put("id", assigned(f.name))
       fn.put("name", f.name)
       fn.put("required", false)
-      fn.set[JsonNode]("type", icebergTypeNode(f.dataType, () => nestedId.getAndIncrement()))
+      fn.set[JsonNode]("type", icebergTypeNode(f.dataType, f.name + ".", assigned))
     }
-    root.put("last-column-id",
-      if (nestedId.get > NestedFieldIdBase) nestedId.get - 1 else schema.fields.length)
+    root.put("last-column-id", (assigned.values.toSeq :+ schema.fields.length).max)
     // A commit that carries no new spec (row-level deletes, updates,
     // plain appends to a partitioned table) PRESERVES the table's
     // existing partition-specs — erasing them would kill pruning and
@@ -916,11 +1027,12 @@ object IcebergWriter {
     val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
     val seq = state.map(_.nextSeq).getOrElse(1L)
 
-    val spec = resolveSpec(df.schema, partitionBy)
+    val prevIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
+    val spec = resolveSpec(df.schema, partitionBy, assignIds(df.schema, prevIds))
     sortBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"write: sortBy column '$c' is not a column of the data"))
     val files = writeDataFiles(
-      df, new Path(path, s"data/snap-$snapshotId"), spec, sortBy, options)
+      df, new Path(path, s"data/snap-$snapshotId"), spec, sortBy, options, prevIds)
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(manifestPath, conf, files.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
@@ -1114,7 +1226,8 @@ object IcebergWriter {
       case (d, (name, value)) => d.withColumn(name, value)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val spec = currentSpec(latest, updated.schema)
-    val dataFiles = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"), spec)
+    val dataFiles = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"), spec,
+      prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
     val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(dataManifest, conf, dataFiles.map { w =>
@@ -1199,7 +1312,8 @@ object IcebergWriter {
       // ingestion must keep producing partition values and bounds, or
       // nothing written by merge would ever prune.
       val spec = currentSpec(latest, src.schema)
-      val dataFiles = writeDataFiles(src, new Path(path, s"data/snap-$snapshotId"), spec)
+      val dataFiles = writeDataFiles(src, new Path(path, s"data/snap-$snapshotId"), spec,
+        prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
       val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
       writeManifest(dataManifest, conf, dataFiles.map { w =>
@@ -1242,7 +1356,8 @@ object IcebergWriter {
     // partitioned table into unpartitioned files would erase every
     // partition tuple from the manifests and kill pruning table-wide.
     val spec = currentSpec(latest, df.schema)
-    val dataFiles = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"), spec)
+    val dataFiles = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"), spec,
+      prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
     val addedPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(addedPath, conf, dataFiles.map { w =>

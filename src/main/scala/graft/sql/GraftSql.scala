@@ -160,7 +160,7 @@ object GraftSql {
       case Seq() => None
       case Seq(e) => Some(asId(e))
       case more => throw new IllegalArgumentException(
-        s"$fn: too many positional arguments (${more.size + 3})")
+        s"$fn: too many positional arguments (${more.size + 2})")
     }
     var opts = IcebergScan.Options()
     namedRaw.foreach { case NamedArgumentExpression(key, value) =>

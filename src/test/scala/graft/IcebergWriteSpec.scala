@@ -710,6 +710,24 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-2/")))
   }
 
+  test("a stale version hint self-heals instead of bricking the table") {
+    val table = Files.createTempDirectory("graft_wh_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val n = nation.count()
+    IcebergWriter.write(nation, table) // v1
+    IcebergWriter.write(nation, table) // v2
+    // simulate a crash between the v2 metadata write and the hint update
+    val conf = spark.sessionState.newHadoopConf()
+    val hint = new org.apache.hadoop.fs.Path(s"$table/metadata/version-hint.text")
+    val os = hint.getFileSystem(conf).create(hint, true)
+    try os.write("1".getBytes("UTF-8")) finally os.close()
+    // the next commit must probe past the stale hint (v2 is committed
+    // state), land on v3, and repair the hint — not conflict forever
+    IcebergWriter.write(nation, table)
+    assert(IcebergScan.scan(spark, table).count() === 3 * n)
+    assert(graft.iceberg.IcebergIO.readString(hint.toString, conf).trim === "3")
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
@@ -771,6 +789,46 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val flat = got.select(col("p_partkey"),
       col("info.marque").as("marque"), col("info.size").as("size"))
     assert(flat.exceptAll(want).isEmpty && want.exceptAll(flat).isEmpty)
+  }
+
+  test("appends preserve a foreign nested-id layout instead of re-deriving") {
+    val table = Files.createTempDirectory("graft_wf_").toString + "/t"
+    val src = Tables.load(spark, Sf, "part").limit(20).select(
+      col("p_partkey"),
+      struct(col("p_brand").as("brand"), col("p_size").as("size")).as("info"))
+    IcebergWriter.write(src, table)
+
+    // pretend another engine created this table with nested ids 100/101
+    val conf = spark.sessionState.newHadoopConf()
+    val v1p = new org.apache.hadoop.fs.Path(s"$table/metadata/v1.metadata.json")
+    val doctored = graft.iceberg.IcebergIO.readString(v1p.toString, conf)
+      .replace(""""id" : 10001""", """"id" : 101""")
+      .replace(""""id" : 10000""", """"id" : 100""")
+    val os = v1p.getFileSystem(conf).create(v1p, true)
+    try os.write(doctored.getBytes("UTF-8")) finally os.close()
+
+    // the append must carry ids 100/101 forward — re-deriving 10000/10001
+    // would silently desync the declared schema from every existing file
+    IcebergWriter.write(src, table)
+    val v2 = graft.iceberg.IcebergIO.readString(s"$table/metadata/v2.metadata.json", conf)
+    assert(v2.contains(""""id" : 100""") && v2.contains(""""id" : 101"""))
+    assert(!v2.contains(""""id" : 10000"""))
+
+    // and the NEW parquet files stamp the preserved ids in their footers
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dataDir = new org.apache.hadoop.fs.Path(s"$table/data/snap-2")
+    val fs = dataDir.getFileSystem(conf)
+    val file = fs.listFiles(dataDir, true)
+    var footer = ""
+    while (file.hasNext) {
+      val st = file.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try footer = r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+      }
+    }
+    assert(footer.contains("= 100") && footer.contains("= 101"))
   }
 
   test("nested field ids are unique, above the top-level space, and stable across appends") {
