@@ -534,6 +534,37 @@ object IcebergScan {
       .select(names.map(col) :+ col("_change_type"): _*)
   }
 
+  /** Per-commit changelog: [[changelog]] applied to each consecutive
+    * snapshot pair in `(from, to]`, with `_commit_snapshot_id` naming the
+    * commit that produced each change — the audit-grade CDC view (net
+    * windows can cancel changes across commits; this one attributes
+    * them). Costs one metadata load + one diff plan per commit in the
+    * window, so it is meant for bounded windows, not whole histories. */
+  def changelogBySnapshot(
+      spark: SparkSession, path: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
+      opts: Options = Options()): DataFrame = {
+    val info = IcebergMetadataParser.load(
+      path, hadoopConf(spark), opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val from = IcebergMetadataParser.byId(info, fromSnapshotId, skipSchema = true)
+    val to = toSnapshotId.map(IcebergMetadataParser.byId(info, _, skipSchema = true))
+      .getOrElse(IcebergMetadataParser.latest(info, skipSchema = true))
+    val inWindow = IcebergMetadataParser.allSnapshots(info)
+      .filter(s => s.sequenceNumber > from.sequenceNumber &&
+        s.sequenceNumber <= to.sequenceNumber)
+      .sortBy(_.sequenceNumber)
+    val bounds = from.snapshotId +: inWindow.map(_.snapshotId)
+    if (inWindow.isEmpty)
+      return changelog(spark, path, fromSnapshotId, Some(from.snapshotId), opts)
+        .withColumn("_commit_snapshot_id", lit(from.snapshotId))
+        .limit(0)
+    bounds.sliding(2).map { case Seq(a, b) =>
+      changelog(spark, path, a, Some(b), opts)
+        .withColumn("_commit_snapshot_id", lit(b))
+    }.reduce(_ unionByName _)
+  }
+
   /** mode='list_files' output: (file, type ∈ {data, delete}) — S14. */
   private def listFilesDF(spark: SparkSession, data: Seq[String], deletes: Seq[String]): DataFrame = {
     import spark.implicits._

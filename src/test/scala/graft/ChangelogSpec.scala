@@ -132,6 +132,25 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("changelogBySnapshot attributes each change to its commit") {
+    val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap1 = IcebergWriter.write(nation.filter(col("n_nationkey") < 20), table)
+    val snap2 = IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+    val snap3 = IcebergWriter.write(nation.filter(col("n_nationkey") >= 20), table)
+
+    val log = IcebergScan.changelogBySnapshot(spark, table, fromSnapshotId = snap1)
+    val byCommit = log.groupBy("_commit_snapshot_id", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byCommit === Map(
+      (snap2, "delete") -> 1L,
+      (snap3, "insert") -> nation.filter(col("n_nationkey") >= 20).count()))
+
+    // empty window → empty frame, schema intact
+    val none = IcebergScan.changelogBySnapshot(spark, table, snap3)
+    assert(none.count() === 0 && none.columns.contains("_commit_snapshot_id"))
+  }
+
   test("empty window and same-snapshot window yield an empty changelog") {
     val table = Files.createTempDirectory("graft_cdc_").toString + "/t"
     val snap1 = IcebergWriter.write(Tables.load(spark, Sf, "region"), table)
