@@ -163,17 +163,23 @@ object GraftSql {
         s"$fn: too many positional arguments (${more.size + 2})")
     }
     var opts = IcebergScan.Options()
+    var bySnapshot = false
     namedRaw.foreach { case NamedArgumentExpression(key, value) =>
       key.toLowerCase(java.util.Locale.ROOT) match {
         case "allow_moved_paths" =>
           opts = opts.copy(allowMovedPaths = asBoolean(fn, key, value))
         case "metadata_compression_codec" =>
           opts = opts.copy(metadataCompressionCodec = asString(fn, key, value))
+        case "by_snapshot" =>
+          bySnapshot = asBoolean(fn, key, value)
         case other => throw new IllegalArgumentException(
           s"$fn: unknown named argument '$other'")
       }
     }
-    IcebergScan.changelog(spark, path, fromId, toId, opts).queryExecution.logical
+    val df =
+      if (bySnapshot) IcebergScan.changelogBySnapshot(spark, path, fromId, toId, opts)
+      else IcebergScan.changelog(spark, path, fromId, toId, opts)
+    df.queryExecution.logical
   }
 
   /** (name, info, builder) triples for the three reference table functions

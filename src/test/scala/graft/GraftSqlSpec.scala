@@ -115,6 +115,13 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"SELECT * FROM iceberg_changelog('$table')").collect()
     }
     assert(e.getMessage.contains("from_snapshot_id"))
+
+    // per-commit attribution through SQL
+    val attributed = spark.sql(
+      s"""SELECT _commit_snapshot_id, _change_type, count(*) AS cnt
+          FROM iceberg_changelog('$table', $snap1, by_snapshot => true)
+          GROUP BY 1, 2""").collect()
+    assert(attributed.length === 1 && attributed(0).getString(1) === "delete")
   }
 
   test("runtime registration on an extension-less session") {
