@@ -19,7 +19,13 @@ object IcebergMetadataParser {
       schemaId: Int,
       schemas: Seq[JsonNode],
       snapshots: Seq[JsonNode],
-      defaultPartitionSpec: Seq[PartitionFieldSpec] = Seq.empty)
+      defaultPartitionSpec: Seq[PartitionFieldSpec] = Seq.empty,
+      // snapshot refs (Iceberg spec "Refs"): name -> (snapshot-id, type)
+      // with type ∈ {branch, tag}. The reference predates refs and leaves
+      // them unread; here they drive branch/tag time travel and make
+      // "latest" mean the MAIN branch head, so audit-branch commits never
+      // leak into plain scans.
+      refs: Map[String, (Long, String)] = Map.empty)
 
   /** partition-specs / default-spec-id (v2) or legacy flat partition-spec
     * (v1). The reference leaves these unread (SURVEY §2.10); they feed the
@@ -52,14 +58,20 @@ object IcebergMetadataParser {
     val snaps =
       if (root.has("snapshots")) root.get("snapshots").elements.asScala.toSeq else Seq.empty
     val spec = parsePartitionSpec(root)
+    val refs: Map[String, (Long, String)] =
+      if (!root.has("refs")) Map.empty
+      else root.get("refs").fields.asScala.map { e =>
+        val t = Option(e.getValue.get("type")).map(_.asText).getOrElse("branch")
+        e.getKey -> (e.getValue.get("snapshot-id").asLong, t)
+      }.toMap
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
-      ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec)
+      ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec, refs)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
-      ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec)
+      ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec, refs)
     }
   }
 
@@ -80,11 +92,27 @@ object IcebergMetadataParser {
   def allSnapshots(info: ParseInfo, skipSchema: Boolean = true): Seq[Snapshot] =
     info.snapshots.map(parseSnapshot(_, info, skipSchema))
 
+  /** "Latest" = the main-branch head when the table declares refs (so
+    * staged commits on audit branches are invisible to plain scans);
+    * otherwise the reference's newest-by-timestamp rule
+    * (iceberg.cpp:315-348) — identical on ref-less tables. */
   def latest(info: ParseInfo, skipSchema: Boolean = false): Snapshot = {
     if (info.snapshots.isEmpty) throw new java.io.IOException("No snapshots found")
-    val node = info.snapshots.maxBy(_.get("timestamp-ms").asLong)
-    parseSnapshot(node, info, skipSchema)
+    info.refs.get("main") match {
+      case Some((id, _)) if info.snapshots.exists(_.get("snapshot-id").asLong == id) =>
+        byId(info, id, skipSchema)
+      case _ =>
+        parseSnapshot(info.snapshots.maxBy(_.get("timestamp-ms").asLong), info, skipSchema)
+    }
   }
+
+  /** Snapshot a named ref (branch or tag) points at. */
+  def byRef(info: ParseInfo, name: String, skipSchema: Boolean = false): Snapshot =
+    info.refs.get(name) match {
+      case Some((id, _)) => byId(info, id, skipSchema)
+      case None => throw new java.io.IOException(
+        s"Could not find ref '$name' (table has: ${info.refs.keys.toSeq.sorted.mkString(", ")})")
+    }
 
   def byId(info: ParseInfo, snapshotId: Long, skipSchema: Boolean = false): Snapshot =
     info.snapshots.find(_.get("snapshot-id").asLong == snapshotId)

@@ -24,6 +24,9 @@ object IcebergScan {
   final case class Options(
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
+      // scan a named branch/tag head (Iceberg spec "Refs"); precedence
+      // below explicit snapshot ids, above timestamps
+      snapshotFromRef: Option[String] = None,
       allowMovedPaths: Boolean = false,
       metadataCompressionCodec: String = "none",
       skipSchemaInference: Boolean = false,
@@ -56,10 +59,11 @@ object IcebergScan {
       path, hadoopConf(spark), opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
     val skip = opts.skipSchemaInference
-    (opts.snapshotId, opts.asOfTimestampMs) match {
-      case (Some(id), _) => IcebergMetadataParser.byId(info, id, skip)
-      case (_, Some(ts)) => IcebergMetadataParser.byTimestamp(info, ts, skip)
-      case _             => IcebergMetadataParser.latest(info, skip)
+    (opts.snapshotId, opts.snapshotFromRef, opts.asOfTimestampMs) match {
+      case (Some(id), _, _)   => IcebergMetadataParser.byId(info, id, skip)
+      case (_, Some(name), _) => IcebergMetadataParser.byRef(info, name, skip)
+      case (_, _, Some(ts))   => IcebergMetadataParser.byTimestamp(info, ts, skip)
+      case _                  => IcebergMetadataParser.latest(info, skip)
     }
   }
 
@@ -587,6 +591,22 @@ object IcebergScan {
       StructField("snapshot_id", LongType, nullable = false),
       StructField("timestamp_ms", TimestampNTZType, nullable = false),
       StructField("manifest_list", StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** iceberg_refs — branches and tags of the table (engine extension;
+    * the reference predates snapshot refs). */
+  def refs(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
+    val info = IcebergMetadataParser.load(
+      path, hadoopConf(spark), opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val rows = info.refs.toSeq.sortBy(_._1).map { case (name, (id, tpe)) =>
+      Row(name, tpe, id)
+    }
+    val schema = StructType(Seq(
+      StructField("ref_name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

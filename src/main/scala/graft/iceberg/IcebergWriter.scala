@@ -310,7 +310,14 @@ object IcebergWriter {
       // snapshot's still-on-disk data directory)
       lastSnapshotId: Long = 0L,
       lastSeq: Long = 0L,
-      rootNode: Option[JsonNode] = None) {
+      rootNode: Option[JsonNode] = None,
+      // snapshot refs: name -> (snapshot-id, branch|tag)
+      refs: Map[String, (Long, String)] = Map.empty) {
+    /** Head of `branch`, falling back to current-snapshot-id for the main
+      * branch of a pre-refs table. */
+    def branchHead(branch: String): Option[Long] =
+      refs.get(branch).map(_._1)
+        .orElse(if (branch == "main") currentSnapshotId else None)
     def nextSnapshotId: Long =
       ((snapshots.map(_.get("snapshot-id").asLong) :+ lastSnapshotId).max) + 1
     def nextSeq: Long =
@@ -351,7 +358,8 @@ object IcebergWriter {
         currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),
         lastSnapshotId = Option(root.get("last-snapshot-id")).map(_.asLong).getOrElse(0L),
         lastSeq = Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
-        rootNode = Some(root)))
+        rootNode = Some(root),
+        refs = info.refs))
     }
   }
 
@@ -728,7 +736,11 @@ object IcebergWriter {
       spec: Seq[SpecField] = Seq.empty,
       operation: String = "append",
       summary: Map[String, String] = Map.empty,
-      sortBy: Seq[String] = Seq.empty): Long = {
+      sortBy: Seq[String] = Seq.empty,
+      branch: String = "main"): Long = {
+    state.foreach(st => st.refs.get(branch).foreach { case (_, tpe) =>
+      require(tpe == "branch", s"cannot commit to '$branch': it is a $tpe")
+    })
     val metaDir = new Path(path, "metadata")
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-list.avro")
     val kept = maybeMergeManifests(path, conf, snapshotId, manifests)
@@ -822,12 +834,26 @@ object IcebergWriter {
       }
     }
     root.put("default-sort-order-id", if (sortBy.nonEmpty) 1 else 0)
-    root.put("current-snapshot-id", snapshotId)
+    // refs (Iceberg spec "Refs"): the committed branch's head advances;
+    // every other ref carries forward. current-snapshot-id stays the MAIN
+    // head, so a staged commit on an audit branch is invisible to plain
+    // scans until fast-forward publish.
+    val mainHead = if (branch == "main") snapshotId
+                   else state.flatMap(_.branchHead("main")).getOrElse(snapshotId)
+    val newRefs = state.map(_.refs).getOrElse(Map.empty) ++
+      Map(branch -> (snapshotId, "branch"), "main" -> (mainHead, "branch"))
+    val refsNode = root.putObject("refs")
+    newRefs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
+      val r = refsNode.putObject(name)
+      r.put("snapshot-id", id)
+      r.put("type", tpe)
+    }
+    root.put("current-snapshot-id", mainHead)
     val snapsNode = root.putArray("snapshots")
     state.map(_.snapshots).getOrElse(Seq.empty).foreach(snapsNode.add)
     val sn = snapsNode.addObject()
     sn.put("snapshot-id", snapshotId)
-    state.flatMap(_.currentSnapshotId).foreach(sn.put("parent-snapshot-id", _))
+    state.flatMap(_.branchHead(branch)).foreach(sn.put("parent-snapshot-id", _))
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
     sn.put("schema-id", 0)
@@ -863,18 +889,35 @@ object IcebergWriter {
     * stay on disk so readers pinned to old metadata versions don't
     * break). Returns how many snapshots were dropped. */
   private def rewriteSnapshots(
-      path: String, conf: Configuration, state: State)(
+      path: String, conf: Configuration, state: State,
+      moveMainTo: Option[Long] = None)(
       retain: JsonNode => Boolean): Int = {
     val json = IcebergIO.readString(
       new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
     val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    // ref heads are pinned history (a tag or branch must stay readable):
+    // they survive any retention predicate, like Iceberg's expire does
+    val newRefs = state.refs ++ moveMainTo.map(id => "main" -> (id, "branch"))
+    val protectedIds = newRefs.values.map(_._1).toSet
+    val keep: JsonNode => Boolean =
+      s => retain(s) || protectedIds(s.get("snapshot-id").asLong)
     val kept = mapper.createArrayNode()
     var removed = 0
-    state.snapshots.foreach { s => if (retain(s)) kept.add(s) else removed += 1 }
+    state.snapshots.foreach { s => if (keep(s)) kept.add(s) else removed += 1 }
     require(kept.size > 0, "cannot expire every snapshot of a table")
     root.set[JsonNode]("snapshots", kept)
-    val newest = state.snapshots.filter(retain).maxBy(_.get("timestamp-ms").asLong)
-    root.put("current-snapshot-id", newest.get("snapshot-id").asLong)
+    if (newRefs.nonEmpty) {
+      val refsNode = root.putObject("refs")
+      newRefs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
+        val r = refsNode.putObject(name)
+        r.put("snapshot-id", id)
+        r.put("type", tpe)
+      }
+    }
+    val newest = newRefs.get("main").map(_._1).getOrElse(
+      state.snapshots.filter(keep).maxBy(_.get("timestamp-ms").asLong)
+        .get("snapshot-id").asLong)
+    root.put("current-snapshot-id", newest)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -954,7 +997,120 @@ object IcebergWriter {
       .getOrElse(throw new java.io.IOException(
         s"Could not find snapshot with id $snapshotId"))
     val ts = target.get("timestamp-ms").asLong
-    rewriteSnapshots(path, conf, state)(_.get("timestamp-ms").asLong <= ts): Unit
+    rewriteSnapshots(path, conf, state, moveMainTo = Some(snapshotId))(
+      _.get("timestamp-ms").asLong <= ts): Unit
+  }
+
+  // ---- snapshot refs (branches and tags) --------------------------------
+
+  /** Metadata-only commit that replaces the table's refs map (same
+    * snapshots, vN+1 metadata.json — conflict-safe via the same
+    * create-exclusive write every data commit uses). */
+  private def rewriteRefs(path: String, conf: Configuration, state: State)(
+      mutate: Map[String, (Long, String)] => Map[String, (Long, String)]): Unit = {
+    // a pre-refs table gets its implicit main branch materialized first,
+    // so "latest" stays pinned to main once any other ref exists
+    val base = state.refs ++
+      (if (!state.refs.contains("main"))
+         state.currentSnapshotId.map(id => "main" -> (id, "branch"))
+       else None)
+    val newRefs = mutate(base)
+    newRefs.foreach { case (name, (id, tpe)) =>
+      require(tpe == "branch" || tpe == "tag", s"ref '$name': bad type '$tpe'")
+      require(state.snapshots.exists(_.get("snapshot-id").asLong == id),
+        s"ref '$name' points at unknown snapshot $id")
+    }
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val refsNode = root.putObject("refs")
+    newRefs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
+      val r = refsNode.putObject(name)
+      r.put("snapshot-id", id)
+      r.put("type", tpe)
+    }
+    newRefs.get("main").foreach { case (id, _) =>
+      root.put("current-snapshot-id", id)
+    }
+    root.put("last-updated-ms", state.nextTsMs)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+  }
+
+  private def refState(path: String, conf: Configuration, op: String): State =
+    loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"$op: no Iceberg table at $path"))
+
+  /** Create branch `name` at `at` (default: the main head). A branch is a
+    * movable head: [[write]] with `branch = name` advances it without
+    * touching main — the staging half of write-audit-publish. */
+  def createBranch(spark: SparkSession, path: String, name: String,
+                   at: Option[Long] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = refState(path, conf, "createBranch")
+    val target = at.orElse(state.branchHead("main")).getOrElse(
+      throw new IllegalArgumentException("createBranch: table has no snapshot yet"))
+    rewriteRefs(path, conf, state) { refs =>
+      require(!refs.contains(name), s"ref '$name' already exists")
+      refs + (name -> (target, "branch"))
+    }
+  }
+
+  /** Create tag `name` at `at` (default: the main head). Tags are
+    * immutable named snapshots; expiration never drops them. */
+  def createTag(spark: SparkSession, path: String, name: String,
+                at: Option[Long] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = refState(path, conf, "createTag")
+    val target = at.orElse(state.branchHead("main")).getOrElse(
+      throw new IllegalArgumentException("createTag: table has no snapshot yet"))
+    rewriteRefs(path, conf, state) { refs =>
+      require(!refs.contains(name), s"ref '$name' already exists")
+      refs + (name -> (target, "tag"))
+    }
+  }
+
+  /** Drop a branch or tag. The snapshots it pinned become ordinary
+    * history (expirable). `main` cannot be dropped. */
+  def dropRef(spark: SparkSession, path: String, name: String): Unit = {
+    require(name != "main", "cannot drop the main branch")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = refState(path, conf, "dropRef")
+    rewriteRefs(path, conf, state) { refs =>
+      require(refs.contains(name), s"ref '$name' does not exist")
+      refs - name
+    }
+  }
+
+  /** Fast-forward `branch` (default main) to the head of `source` — the
+    * publish half of write-audit-publish. Requires the current `branch`
+    * head to be an ANCESTOR of the source head (walking
+    * parent-snapshot-id), so publishing never silently discards commits;
+    * diverged branches must be reconciled by a real merge instead. */
+  def fastForward(spark: SparkSession, path: String, source: String,
+                  branch: String = "main"): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = refState(path, conf, "fastForward")
+    val srcHead = state.refs.getOrElse(source,
+      throw new IllegalArgumentException(s"fastForward: no ref '$source'"))._1
+    val dstHead = state.branchHead(branch)
+    val parents = state.snapshots.map { s =>
+      s.get("snapshot-id").asLong ->
+        Option(s.get("parent-snapshot-id")).map(_.asLong)
+    }.toMap
+    var cursor = Option(srcHead)
+    var isAncestor = dstHead.isEmpty
+    while (cursor.nonEmpty && !isAncestor) {
+      if (dstHead.contains(cursor.get)) isAncestor = true
+      else cursor = parents.getOrElse(cursor.get, None)
+    }
+    require(isAncestor,
+      s"fastForward: '$branch' head ${dstHead.getOrElse(-1L)} is not an ancestor " +
+        s"of '$source' head $srcHead — the branches diverged")
+    rewriteRefs(path, conf, state)(refs => refs + (branch -> (srcHead, "branch")))
   }
 
   /** Type widenings an append may apply to an existing column — the
@@ -1006,10 +1162,19 @@ object IcebergWriter {
             partitionBy: Seq[(String, String)] = Seq.empty,
             summary: Map[String, String] = Map.empty,
             sortBy: Seq[String] = Seq.empty,
-            options: Map[String, String] = Map.empty): Long = {
+            options: Map[String, String] = Map.empty,
+            branch: String = "main"): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
+    if (branch != "main") {
+      // appending to a missing branch would silently fork from main —
+      // require an explicit createBranch, like ALTER TABLE ... CREATE BRANCH
+      val st = state.getOrElse(throw new IllegalArgumentException(
+        s"write: cannot target branch '$branch' of a table that does not exist yet"))
+      require(st.refs.contains(branch),
+        s"write: branch '$branch' does not exist — createBranch it first")
+    }
     state.foreach { st =>
       val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
       val existing = cols.map(c => (c.name, c.dataType))
@@ -1039,16 +1204,18 @@ object IcebergWriter {
         fileFormat = "PARQUET", recordCount = w.count,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
-    // previous snapshot's manifests carried forward + the new one
+    // the target BRANCH head's manifests carried forward + the new one
     val prevManifests: Seq[Manifest] = state match {
       case Some(st) if st.snapshots.nonEmpty =>
-        val latest = IcebergMetadataParser.latest(st.info, skipSchema = true)
-        ManifestReader.readManifestList(latest.manifestList, conf, latest.formatVersion)
+        val base = st.branchHead(branch)
+          .map(IcebergMetadataParser.byId(st.info, _, skipSchema = true))
+          .getOrElse(IcebergMetadataParser.latest(st.info, skipSchema = true))
+        ManifestReader.readManifestList(base.manifestList, conf, base.formatVersion)
       case _ => Seq.empty
     }
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
-      summary = summary, sortBy = sortBy)
+      summary = summary, sortBy = sortBy, branch = branch)
   }
 
   /** Snapshot-summary key prefix for the streaming sink's batch-id

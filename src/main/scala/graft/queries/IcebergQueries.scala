@@ -570,6 +570,58 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib31_scan_by_tag",
+      // Snapshot refs gate (engine extension — the reference predates
+      // refs): even orders committed and tagged, odd orders appended.
+      // The tag keeps resolving to the first snapshot through the SQL
+      // surface even though a newer commit exists.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 2 = 0"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib31_").toString + "/orders_tag"
+        val orders = graft.Tables.load(s, dir, "orders")
+        graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 0), table)
+        graft.iceberg.IcebergWriter.createTag(s, table, "v1")
+        graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 1), table)
+        graft.sql.GraftSql.register(s)
+        s.sql(s"""SELECT COUNT(*) AS cnt,
+                         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+                  FROM iceberg_scan('$table', snapshot_from_ref => 'v1')""")
+      }
+    ),
+    QueryDef(
+      "ib32_wap_publish",
+      // Write-audit-publish gate: odd orders staged on an `audit` branch
+      // are invisible to main (staged count = evens only), then
+      // fast-forward publishes them atomically (published count = all).
+      Some("""
+        SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS staged_cnt,
+               (SELECT COUNT(*) FROM orders) AS published_cnt"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib32_").toString + "/orders_wap"
+        val orders = graft.Tables.load(s, dir, "orders")
+        // the main head BEFORE publish — pinning it keeps the staged-side
+        // scan lazy yet stable once fastForward moves main
+        val snapMain = graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 0), table)
+        graft.iceberg.IcebergWriter.createBranch(s, table, "audit")
+        graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 1), table, branch = "audit")
+        val staged = IcebergScan.scan(s, table, Options(snapshotId = Some(snapMain)))
+          .agg(count(lit(1)).as("staged_cnt"))
+        graft.iceberg.IcebergWriter.fastForward(s, table, "audit")
+        val published = IcebergScan.scan(s, table)
+          .agg(count(lit(1)).as("published_cnt"))
+        staged.crossJoin(published)
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

@@ -40,7 +40,8 @@ object GraftSql {
     * conjuncts drive driver-side file skipping). */
   private val NamedParams = Set(
     "allow_moved_paths", "mode", "metadata_compression_codec",
-    "skip_schema_inference", "version", "version_name_format", "where")
+    "skip_schema_inference", "version", "version_name_format", "where",
+    "snapshot_from_ref")
 
   private def evalLiteral(fn: String, e: Expression): Any = {
     if (!e.foldable)
@@ -113,6 +114,10 @@ object GraftSql {
           opts = opts.copy(version = asString(fn, key, value))
         case "version_name_format" =>
           opts = opts.copy(versionNameFormat = asString(fn, key, value))
+        case "snapshot_from_ref" =>
+          if (fn != "iceberg_scan") throw new IllegalArgumentException(
+            s"$fn: 'snapshot_from_ref' is only supported on iceberg_scan")
+          opts = opts.copy(snapshotFromRef = Some(asString(fn, key, value)))
         case other => throw new IllegalArgumentException(
           s"$fn: unknown named argument '$other' (expected one of ${NamedParams.mkString(", ")})")
       }
@@ -191,6 +196,8 @@ object GraftSql {
       builder("iceberg_snapshots", (s, p, o) => IcebergScan.snapshots(s, p, o))),
     ("iceberg_metadata", "lists manifest entries of an Apache Iceberg table",
       builder("iceberg_metadata", (s, p, o) => IcebergScan.metadata(s, p, o))),
+    ("iceberg_refs", "lists the branches and tags of an Apache Iceberg table",
+      builder("iceberg_refs", (s, p, o) => IcebergScan.refs(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>

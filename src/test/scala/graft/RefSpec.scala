@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergScan, IcebergWriter}
+import graft.iceberg.IcebergScan.Options
+
+/** Snapshot refs (Iceberg spec "Refs"): tags, branches, branch-isolated
+  * writes, fast-forward publish (write-audit-publish), and ref-aware
+  * maintenance. Engine extension — the reference predates refs. */
+class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-refs").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(name: String): String =
+    Files.createTempDirectory("graft_ref_").toString + s"/$name"
+
+  test("tags pin history; scan by ref name resolves them") {
+    val table = freshTable("orders_tag")
+    val orders = Tables.load(spark, Sf, "orders")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val nEvens = evens.count()
+
+    val snap1 = IcebergWriter.write(evens, table)
+    IcebergWriter.createTag(spark, table, "v1")
+    IcebergWriter.write(orders.filter(col("o_orderkey") % 2 === 1), table)
+
+    // latest sees both commits, the tag still sees only the first
+    assert(IcebergScan.scan(spark, table).count() === orders.count())
+    val atTag = IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("v1")))
+    assert(atTag.count() === nEvens)
+
+    val refs = IcebergScan.refs(spark, table).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(refs.keys.exists(_._1 === "main"))
+    assert(refs(("v1", "tag")) === snap1)
+
+    // unknown ref errors with the available names
+    val e = intercept[java.io.IOException] {
+      IcebergScan.scan(spark, table, Options(snapshotFromRef = Some("nope"))).count()
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("v1"))
+  }
+
+  test("branch writes are invisible to main until fast-forward publish") {
+    val table = freshTable("orders_wap")
+    val orders = Tables.load(spark, Sf, "orders")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+
+    IcebergWriter.write(evens, table)
+    IcebergWriter.createBranch(spark, table, "audit")
+    IcebergWriter.write(odds, table, branch = "audit")
+
+    // main still sees only evens; the branch sees both
+    assert(IcebergScan.scan(spark, table).count() === evens.count())
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("audit"))).count() === orders.count())
+
+    // publish: main fast-forwards to the audited branch head
+    IcebergWriter.fastForward(spark, table, "audit")
+    assert(IcebergScan.scan(spark, table).count() === orders.count())
+
+    // row-identical to a plain two-append table
+    val got = IcebergScan.scan(spark, table)
+    val want = orders.select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("fast-forward refuses diverged branches") {
+    val table = freshTable("orders_div")
+    val orders = Tables.load(spark, Sf, "orders").limit(100)
+    IcebergWriter.write(orders, table)
+    IcebergWriter.createBranch(spark, table, "side")
+    IcebergWriter.write(orders.limit(10), table, branch = "side")
+    IcebergWriter.write(orders.limit(20), table) // main advances too
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(spark, table, "side")
+    }
+    assert(e.getMessage.contains("diverged"))
+  }
+
+  test("writing to a missing branch or a tag is rejected") {
+    val table = freshTable("orders_guard")
+    val orders = Tables.load(spark, Sf, "orders").limit(50)
+    IcebergWriter.write(orders, table)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergWriter.write(orders, table, branch = "ghost")
+    }
+    assert(e1.getMessage.contains("createBranch"))
+    IcebergWriter.createTag(spark, table, "pin")
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWriter.write(orders, table, branch = "pin")
+    }
+    assert(e2.getMessage.contains("tag"))
+    // duplicate ref names rejected
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergWriter.createTag(spark, table, "pin")
+    }
+    assert(e3.getMessage.contains("already exists"))
+  }
+
+  test("expiration never drops ref heads; dropRef releases them") {
+    val table = freshTable("orders_exp")
+    val orders = Tables.load(spark, Sf, "orders").limit(100)
+    val snap1 = IcebergWriter.write(orders.limit(10), table)
+    IcebergWriter.createTag(spark, table, "keepme")
+    (2 to 4).foreach(i => IcebergWriter.write(orders.limit(10 * i), table))
+
+    // keep=1 would normally leave only the newest snapshot — the tag
+    // head must survive anyway
+    IcebergWriter.expireSnapshots(spark, table, keep = 1)
+    val ids = IcebergScan.snapshots(spark, table).collect().map(_.getLong(1)).toSet
+    assert(ids.contains(snap1))
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("keepme"))).count() === 10)
+
+    // after dropRef the pinned snapshot becomes expirable
+    IcebergWriter.dropRef(spark, table, "keepme")
+    IcebergWriter.expireSnapshots(spark, table, keep = 1)
+    val ids2 = IcebergScan.snapshots(spark, table).collect().map(_.getLong(1)).toSet
+    assert(!ids2.contains(snap1))
+    intercept[IllegalArgumentException] {
+      IcebergWriter.dropRef(spark, table, "main")
+    }
+  }
+
+  test("rollback moves main below a newer tag without dropping it") {
+    val table = freshTable("orders_rb")
+    val orders = Tables.load(spark, Sf, "orders").limit(100)
+    val snap1 = IcebergWriter.write(orders.limit(10), table)
+    val snap2 = IcebergWriter.write(orders.limit(20), table)
+    IcebergWriter.createTag(spark, table, "late", at = Some(snap2))
+    IcebergWriter.rollback(spark, table, snap1)
+
+    // plain scan lands on the rollback target even though the tag's
+    // snapshot is newer by timestamp; the tag still sees both appends
+    assert(IcebergScan.scan(spark, table).count() === 10)
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("late"))).count() === 30)
+  }
+
+  test("refs surface through SQL: scan named arg + iceberg_refs listing") {
+    val table = freshTable("orders_sql")
+    val orders = Tables.load(spark, Sf, "orders")
+    IcebergWriter.write(orders.filter(col("o_orderkey") % 2 === 0), table)
+    IcebergWriter.createTag(spark, table, "v1")
+    IcebergWriter.write(orders.filter(col("o_orderkey") % 2 === 1), table)
+    graft.sql.GraftSql.register(spark)
+
+    val n = spark.sql(
+      s"SELECT count(*) AS c FROM iceberg_scan('$table', snapshot_from_ref => 'v1')")
+      .collect()(0).getLong(0)
+    assert(n === orders.filter(col("o_orderkey") % 2 === 0).count())
+
+    val listed = spark.sql(s"SELECT * FROM iceberg_refs('$table')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(listed === Set(("main", "branch"), ("v1", "tag")))
+  }
+}
