@@ -554,11 +554,33 @@ object IcebergScan {
     val from = IcebergMetadataParser.byId(info, fromSnapshotId, skipSchema = true)
     val to = toSnapshotId.map(IcebergMetadataParser.byId(info, _, skipSchema = true))
       .getOrElse(IcebergMetadataParser.latest(info, skipSchema = true))
-    val inWindow = IcebergMetadataParser.allSnapshots(info)
-      .filter(s => s.sequenceNumber > from.sequenceNumber &&
-        s.sequenceNumber <= to.sequenceNumber)
-      .sortBy(_.sequenceNumber)
-    val bounds = from.snapshotId +: inWindow.map(_.snapshotId)
+    // Enumerate the commits by walking parent-snapshot-id from `to` back
+    // to `from` — a sequence-number window would sweep in concurrent
+    // commits on OTHER branches, which are not part of this lineage.
+    // Tables whose parent links don't reach `from` (expired intermediate
+    // history, or foreign v1 metadata without parent ids) fall back to
+    // the sequence window over snapshots that do carry one.
+    val nodeById = info.snapshots
+      .map(n => n.get("snapshot-id").asLong -> n).toMap
+    def parentOf(id: Long): Option[Long] =
+      nodeById.get(id).flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong))
+    val ancestry: Option[Seq[Long]] = {
+      var chain = List.empty[Long]
+      var cursor: Option[Long] = Some(to.snapshotId)
+      while (cursor.nonEmpty && !cursor.contains(from.snapshotId)) {
+        chain ::= cursor.get
+        cursor = parentOf(cursor.get)
+      }
+      if (cursor.contains(from.snapshotId)) Some(chain) else None
+    }
+    val inWindow = ancestry.getOrElse {
+      IcebergMetadataParser.allSnapshots(info)
+        .filter(s => s.sequenceNumber > from.sequenceNumber &&
+          s.sequenceNumber <= to.sequenceNumber)
+        .sortBy(_.sequenceNumber)
+        .map(_.snapshotId)
+    }
+    val bounds = from.snapshotId +: inWindow
     if (inWindow.isEmpty)
       return changelog(spark, path, fromSnapshotId, Some(from.snapshotId), opts)
         .withColumn("_commit_snapshot_id", lit(from.snapshotId))

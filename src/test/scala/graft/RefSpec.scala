@@ -151,6 +151,23 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
       Options(snapshotFromRef = Some("late"))).count() === 30)
   }
 
+  test("per-commit changelog follows main's lineage, skipping branch commits") {
+    val table = freshTable("orders_cdc")
+    val orders = Tables.load(spark, Sf, "orders").limit(100)
+    val snap1 = IcebergWriter.write(orders.limit(10), table)
+    IcebergWriter.createBranch(spark, table, "side")
+    IcebergWriter.write(orders.limit(30), table, branch = "side") // concurrent commit
+    val snap3 = IcebergWriter.write(
+      orders.filter(col("o_orderkey") > 10).limit(20), table)     // main commit
+
+    val byCommit = IcebergScan.changelogBySnapshot(spark, table, snap1)
+      .groupBy("_commit_snapshot_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // only the MAIN commit appears; the side-branch commit is not part
+    // of main's ancestry and must not be attributed
+    assert(byCommit === Map(snap3 -> 20L))
+  }
+
   test("refs surface through SQL: scan named arg + iceberg_refs listing") {
     val table = freshTable("orders_sql")
     val orders = Tables.load(spark, Sf, "orders")
