@@ -318,6 +318,19 @@ object IcebergWriter {
     def branchHead(branch: String): Option[Long] =
       refs.get(branch).map(_._1)
         .orElse(if (branch == "main") currentSnapshotId else None)
+
+    /** Snapshot a row-level op mutates: the head of `branch`. Non-main
+      * branches must exist; tags are immutable and rejected. */
+    def opBase(op: String, branch: String): IcebergModel.Snapshot = {
+      if (branch != "main") require(refs.contains(branch),
+        s"$op: branch '$branch' does not exist — createBranch it first")
+      refs.get(branch).foreach { case (_, tpe) =>
+        require(tpe == "branch", s"$op: cannot commit to '$branch': it is a $tpe")
+      }
+      branchHead(branch)
+        .map(IcebergMetadataParser.byId(info, _, skipSchema = false))
+        .getOrElse(IcebergMetadataParser.latest(info, skipSchema = false))
+    }
     def nextSnapshotId: Long =
       ((snapshots.map(_.get("snapshot-id").asLong) :+ lastSnapshotId).max) + 1
     def nextSeq: Long =
@@ -1244,11 +1257,12 @@ object IcebergWriter {
     * `_metadata.row_index` of each live data file, keyed by the exact path
     * string the manifests carry. */
   def delete(spark: SparkSession, path: String,
-             predicate: org.apache.spark.sql.Column): Long = {
+             predicate: org.apache.spark.sql.Column,
+             branch: String = "main"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"delete: no Iceberg table at $path"))
-    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val latest = state.opBase("delete", branch)
     val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
     val liveFiles = meta.entries.collect {
       case (m, es) if m.content == 0 =>
@@ -1289,7 +1303,7 @@ object IcebergWriter {
       latest.manifestList, conf, latest.formatVersion)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, content = 1),
-      operation = "delete")
+      operation = "delete", branch = branch)
   }
 
   /** Row-level EQUALITY DELETE, merge-on-read: `keys` (whose columns must
@@ -1300,11 +1314,12 @@ object IcebergWriter {
     * (iceberg_types.hpp:45 enum only) — an engine extension here, with
     * the spec's sequence semantics: rows appended at or after the
     * delete's sequence number are NOT affected. */
-  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): Long = {
+  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame,
+                     branch: String = "main"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"deleteEquality: no Iceberg table at $path"))
-    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val latest = state.opBase("deleteEquality", branch)
     val schema = IcebergSchemaParser.toStructType(latest.schema)
     require(keys.schema.fieldNames.toSet.subsetOf(schema.fieldNames.toSet),
       s"deleteEquality: unknown columns ${keys.schema.fieldNames.toSet -- schema.fieldNames}")
@@ -1318,7 +1333,7 @@ object IcebergWriter {
       latest.manifestList, conf, latest.formatVersion)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, content = 1),
-      operation = "delete")
+      operation = "delete", branch = branch)
   }
 
   /** Write `keys` (made distinct) as a v2 equality-delete parquet dir plus
@@ -1345,11 +1360,12 @@ object IcebergWriter {
     * scripts/test_data_generator/updates_v2 in the reference). */
   def update(spark: SparkSession, path: String,
              predicate: org.apache.spark.sql.Column,
-             assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+             assignments: Map[String, org.apache.spark.sql.Column],
+             branch: String = "main"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"update: no Iceberg table at $path"))
-    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val latest = state.opBase("update", branch)
     val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
     val liveFiles = meta.entries.collect {
       case (m, es) if m.content == 0 =>
@@ -1413,7 +1429,7 @@ object IcebergWriter {
       prevManifests ++ Seq(
         Manifest(dataManifest.toString, seq, content = 0),
         Manifest(delManifest.toString, seq, content = 1)),
-      operation = "overwrite")
+      operation = "overwrite", branch = branch)
   }
 
   /** MERGE (upsert) in ONE snapshot: every `source` row replaces the
@@ -1428,11 +1444,12 @@ object IcebergWriter {
     * makes continuous upsert ingestion viable at 100 TB. (Engine
     * extension; reference is read-only, SURVEY §7.4.) */
   def merge(spark: SparkSession, path: String,
-            source: DataFrame, keyCols: Seq[String]): Long = {
+            source: DataFrame, keyCols: Seq[String],
+            branch: String = "main"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"merge: no Iceberg table at $path"))
-    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val latest = state.opBase("merge", branch)
     val schema = IcebergSchemaParser.toStructType(latest.schema)
     require(source.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"merge: source columns ${source.schema.fieldNames.toSeq} must match " +
@@ -1496,7 +1513,7 @@ object IcebergWriter {
         prevManifests ++ Seq(
           Manifest(dataManifest.toString, seq, content = 0),
           Manifest(delManifest.toString, seq, content = 1)),
-        spec, operation = "overwrite")
+        spec, operation = "overwrite", branch = branch)
     } finally src.unpersist(blocking = false)
   }
 
@@ -1506,17 +1523,19 @@ object IcebergWriter {
     * (its latest snapshot shows exactly this ADDED+DELETED manifest shape,
     * `iceberg_metadata.test:13-17`). Older snapshots stay readable (their
     * files are not removed), so time travel still works. */
-  def compact(spark: SparkSession, path: String): Long = {
+  def compact(spark: SparkSession, path: String,
+              branch: String = "main"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"compact: no Iceberg table at $path"))
-    val latest = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val latest = state.opBase("compact", branch)
     val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
     val liveEntries = meta.entries.collect {
       case (m, es) if m.content == 0 => es.filter(e => e.status != 2 && e.content == 0)
     }.flatten
 
-    val df = IcebergScan.scan(spark, path)
+    val df = IcebergScan.scan(spark, path,
+      IcebergScan.Options(snapshotId = Some(latest.snapshotId)))
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     // Compaction preserves the table's partition layout: rewriting a
@@ -1539,6 +1558,6 @@ object IcebergWriter {
     commitSnapshot(path, conf, Some(state), df.schema, snapshotId, seq, Seq(
       Manifest(addedPath.toString, seq, 0),
       Manifest(deletedPath.toString, seq, 0)),
-      operation = "replace")
+      operation = "replace", branch = branch)
   }
 }

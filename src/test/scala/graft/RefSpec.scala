@@ -151,6 +151,43 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
       Options(snapshotFromRef = Some("late"))).count() === 30)
   }
 
+  test("row-level ops target a branch: staged MoR delete + merge publish atomically") {
+    val table = freshTable("orders_rowops")
+    val orders = Tables.load(spark, Sf, "orders")
+      .orderBy("o_orderkey").limit(100).cache()
+    // o_orderkey is unique: the 10th/90th smallest keys give exact cuts
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (delCut, hiCut) = (keys(9), keys(89))
+    IcebergWriter.write(orders, table)
+    IcebergWriter.createBranch(spark, table, "stage")
+
+    // stage a MoR delete and an upsert on the branch
+    IcebergWriter.delete(spark, table, col("o_orderkey") <= delCut, branch = "stage")
+    val upserts = orders.filter(col("o_orderkey") > hiCut)
+      .withColumn("o_orderpriority", lit("patched"))
+    IcebergWriter.merge(spark, table, upserts, Seq("o_orderkey"), branch = "stage")
+
+    // main is untouched; the branch reflects both staged ops
+    assert(IcebergScan.scan(spark, table).count() === 100)
+    val staged = IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("stage")))
+    assert(staged.count() === 90)
+    assert(staged.filter(col("o_orderpriority") === "patched").count() === 10)
+
+    IcebergWriter.fastForward(spark, table, "stage")
+    val main = IcebergScan.scan(spark, table)
+    assert(main.count() === 90 &&
+      main.filter(col("o_orderkey") <= delCut).isEmpty)
+
+    // a tag is immutable — row-level ops reject it
+    IcebergWriter.createTag(spark, table, "pin")
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.delete(spark, table, lit(true), branch = "pin")
+    }
+    assert(e.getMessage.contains("tag"))
+    orders.unpersist()
+  }
+
   test("per-commit changelog follows main's lineage, skipping branch commits") {
     val table = freshTable("orders_cdc")
     val orders = Tables.load(spark, Sf, "orders").limit(100)
