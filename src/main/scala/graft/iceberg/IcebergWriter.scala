@@ -804,13 +804,76 @@ object IcebergWriter {
     // existing partition-specs — erasing them would kill pruning and
     // contradict the partition tuples older manifests still encode.
     val prevRoot = state.flatMap(_.rootNode).filter(_.has("partition-specs"))
-    if (spec.isEmpty && prevRoot.isDefined) {
-      val pr = prevRoot.get
+    def carryPrevSpecs(pr: JsonNode): Unit = {
       root.set[JsonNode]("partition-specs", pr.get("partition-specs"))
       root.put("default-spec-id",
         if (pr.has("default-spec-id")) pr.get("default-spec-id").asInt else 0)
       root.put("last-partition-id",
         if (pr.has("last-partition-id")) pr.get("last-partition-id").asInt else 999)
+    }
+    def normTransform(t: String): String = if (t == "days") "day" else t
+    // (name, transform, source-id) triples of this commit's spec
+    val newTriples = spec.map(sf => (sf.fieldName, normTransform(sf.transform), sf.sourceId))
+    def triplesOf(sn: JsonNode): Seq[(String, String, Int)] =
+      sn.get("fields").elements.asScala.toSeq.map(f =>
+        (f.get("name").asText, f.get("transform").asText, f.get("source-id").asInt))
+    val prevSpecs = prevRoot.map(_.get("partition-specs").elements.asScala.toSeq)
+      .getOrElse(Seq.empty)
+    val prevDefault = prevRoot
+      .map(pr => if (pr.has("default-spec-id")) pr.get("default-spec-id").asInt else 0)
+      .flatMap(id => prevSpecs.find(_.get("spec-id").asInt == id))
+    if (prevRoot.isDefined &&
+        (spec.isEmpty || prevDefault.exists(d => triplesOf(d) == newTriples))) {
+      // no spec carried, or the same spec re-declared: keep the history
+      carryPrevSpecs(prevRoot.get)
+    } else if (prevSpecs.nonEmpty) {
+      // PARTITION SPEC EVOLUTION (Iceberg spec "Partition Evolution"):
+      // the new spec is appended under a fresh spec-id and becomes the
+      // default; older specs stay recorded, matching the partition tuples
+      // their manifests still encode (old files keep pruning under their
+      // own fields — a missing field means "keep"). Field names are kept
+      // injective across the table's history: reusing a name for a
+      // different transform/source would make name-keyed partition
+      // tuples ambiguous (bucket[4] vs bucket[8] both project to
+      // "c_bucket"), so that evolution is rejected.
+      val prevFields = prevSpecs.flatMap(sn =>
+        sn.get("fields").elements.asScala.toSeq.map(f =>
+          f.get("name").asText ->
+            (f.get("transform").asText, f.get("source-id").asInt, f.get("field-id").asInt)))
+        .toMap
+      val lastPartId = prevRoot
+        .map(pr => if (pr.has("last-partition-id")) pr.get("last-partition-id").asInt else 999)
+        .getOrElse(999)
+      var nextFieldId = lastPartId
+      val withIds = newTriples.map { case (name, t, srcId) =>
+        prevFields.get(name) match {
+          case Some((pt, ps, pf)) =>
+            require(pt == t && ps == srcId,
+              s"partition evolution: field '$name' already means $pt(source $ps) " +
+                s"in an earlier spec of this table; evolving to $t(source $srcId) " +
+                "would make its manifest partition tuples ambiguous — use a column " +
+                "alias or a different transform")
+            (name, t, srcId, pf)
+          case None =>
+            nextFieldId += 1
+            (name, t, srcId, nextFieldId)
+        }
+      }
+      val newSpecId = prevSpecs.map(_.get("spec-id").asInt).max + 1
+      val specsNode = root.putArray("partition-specs")
+      prevSpecs.foreach(specsNode.add)
+      val specNode = specsNode.addObject()
+      specNode.put("spec-id", newSpecId)
+      val specFieldsNode = specNode.putArray("fields")
+      withIds.foreach { case (name, t, srcId, fid) =>
+        val fn = specFieldsNode.addObject()
+        fn.put("name", name)
+        fn.put("transform", t)
+        fn.put("source-id", srcId)
+        fn.put("field-id", fid)
+      }
+      root.put("default-spec-id", newSpecId)
+      root.put("last-partition-id", (withIds.map(_._4) :+ lastPartId).max)
     } else {
       val specsNode = root.putArray("partition-specs")
       val specNode = specsNode.addObject()
@@ -819,7 +882,7 @@ object IcebergWriter {
       spec.foreach { sf =>
         val fn = specFieldsNode.addObject()
         fn.put("name", sf.fieldName)
-        fn.put("transform", if (sf.transform == "days") "day" else sf.transform)
+        fn.put("transform", normTransform(sf.transform))
         fn.put("source-id", sf.sourceId)
         fn.put("field-id", sf.fieldId)
       }

@@ -868,4 +868,61 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(schemaJson()) === first)
     assert(IcebergScan.scan(spark, table).count() === 2)
   }
+
+  test("partition spec evolution: new spec appended, both layouts prune") {
+    val table = Files.createTempDirectory("graft_pe_").toString + "/t"
+    val events = Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+    // first month unpartitioned, then evolve to days(dt)
+    IcebergWriter.write(events.filter(col("dt") < lit("2024-01-15").cast("date")), table)
+    IcebergWriter.write(
+      events.filter(col("dt") >= lit("2024-01-15").cast("date")).repartition(col("dt")),
+      table, partitionBy = Seq("dt" -> "day"))
+
+    // both specs recorded; the new one is the default
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(IcebergScan.scan(spark, table).inputFiles.head
+        .replaceAll("file:", "").replaceAll("/data/.*", "") + "/metadata/v2.metadata.json")))
+    assert(meta.contains("\"spec-id\" : 1") && meta.contains("\"spec-id\" : 0"))
+
+    // full scan intact
+    val all = IcebergScan.scan(spark, table)
+    assert(all.count() === events.count())
+
+    // pruning on dt: post-evolution days keep exactly one partitioned file
+    // per day; pre-evolution files (no partition tuple) are kept, never
+    // dropped — results stay exact
+    val cond = col("dt") === lit("2024-01-20").cast("date")
+    val pruned = IcebergScan.scanFiltered(spark, table, cond)
+    val want = all.filter(cond)
+    assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+
+    // re-declaring the same spec does NOT append another one
+    IcebergWriter.write(
+      events.filter(col("dt") === lit("2024-01-01").cast("date")),
+      table, partitionBy = Seq("dt" -> "day"))
+    val meta3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(IcebergScan.scan(spark, table).inputFiles.head
+        .replaceAll("file:", "").replaceAll("/data/.*", "") + "/metadata/v3.metadata.json")))
+    assert(!meta3.contains("\"spec-id\" : 2"))
+  }
+
+  test("partition evolution rejects ambiguous same-name transforms") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_pa_").toString + "/t"
+    val df = (1L to 100L).toDF("id")
+    IcebergWriter.write(df, table, partitionBy = Seq("id" -> "bucket[4]"))
+    // bucket[8] also projects to field name "id_bucket": ambiguous tuples
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.write(df, table, partitionBy = Seq("id" -> "bucket[8]"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    // a DIFFERENT column's bucket evolves fine
+    val df2 = (1L to 100L).map(i => (i, i * 7)).toDF("id", "k")
+    val table2 = Files.createTempDirectory("graft_pa2_").toString + "/t"
+    IcebergWriter.write(df2, table2, partitionBy = Seq("id" -> "bucket[4]"))
+    IcebergWriter.write(df2, table2, partitionBy = Seq("k" -> "bucket[8]"))
+    assert(IcebergScan.scan(spark, table2).count() === 200)
+  }
 }
