@@ -622,6 +622,33 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib33_partition_evolution",
+      // Partition evolution gate: the first half of the month written
+      // unpartitioned, then the layout evolves to days(dt) (new spec-id,
+      // old spec retained). A date predicate in the evolved window must
+      // return exact rows while both layouts coexist — old files are
+      // always kept (no tuple), new files prune by day ordinal.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS user_sum
+        FROM events WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib33_").toString + "/events_pe"
+        val events = graft.Tables.events(s, dir)
+          .withColumn("dt", to_date(col("ts")))
+        val cut = lit("2024-01-15").cast("date")
+        graft.iceberg.IcebergWriter.write(events.filter(col("dt") < cut), table)
+        graft.iceberg.IcebergWriter.write(
+          events.filter(col("dt") >= cut).repartition(col("dt")),
+          table, partitionBy = Seq("dt" -> "day"))
+        IcebergScan.scanFiltered(s, table,
+            col("dt") === lit("2024-01-20").cast("date"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("user_id").cast("long")).cast("long").as("user_sum"))
+      }
+    ),
+    QueryDef(
       "ib12_sql_tvf_snapshots",
       // iceberg_snapshots through SQL; same golden rows as ib07.
       Some("""

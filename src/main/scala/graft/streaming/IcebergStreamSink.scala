@@ -36,25 +36,31 @@ object IcebergStreamSink {
     * this or a later batch id already exists (replay after failure). */
   private[graft] def commitBatch(
       batch: DataFrame, batchId: Long, path: String,
-      partitionBy: Seq[(String, String)], sinkId: String = "default"): Unit = {
+      partitionBy: Seq[(String, String)], sinkId: String = "default",
+      branch: String = "main"): Unit = {
     val key = batchIdKey(sinkId)
     val committed = IcebergWriter
       .maxSummaryValue(batch.sparkSession, path, key)
       .exists(_ >= batchId)
     if (!committed && !batch.isEmpty)
       IcebergWriter.write(batch, path, partitionBy,
-        summary = Map(key -> batchId.toString))
+        summary = Map(key -> batchId.toString), branch = branch)
   }
 
   /** Start ingesting `events` into the Iceberg table at `path`. Pair each
-    * checkpoint with its own `sinkId` (see class doc). */
+    * checkpoint with its own `sinkId` (see class doc). With `branch`,
+    * micro-batches land on that branch (staged ingestion): main readers
+    * see nothing until a `fastForward` publish, and the batch-id
+    * bookkeeping still dedupes replays because the summary scan covers
+    * all retained snapshots, not just main's lineage. */
   def start(events: DataFrame, path: String, checkpoint: String,
             partitionBy: Seq[(String, String)] = Seq.empty,
-            sinkId: String = "default"): StreamingQuery =
+            sinkId: String = "default",
+            branch: String = "main"): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, path, partitionBy, sinkId)
+        commitBatch(batch, batchId, path, partitionBy, sinkId, branch)
       }
       .start()
 }

@@ -191,4 +191,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(IcebergScan.scan(spark, table).count() === 5)
     } finally q.stop()
   }
+
+  test("staged streaming ingestion: batches land on a branch until publish") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.iceberg.{IcebergScan, IcebergWriter}
+    import graft.iceberg.IcebergScan.Options
+    import graft.streaming.IcebergStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkb_")
+    val table = dir.toString + "/t"
+    // seed main, then stage the stream on a branch
+    IcebergWriter.write(Seq(
+      Event(0, ts("2026-01-01 09:00:00"), 9, "seed", 0.0)).toDF(), table)
+    IcebergWriter.createBranch(spark, table, "ingest")
+    val in = MemoryStream[Event]
+    val q = IcebergStreamSink.start(in.toDF(), table, dir.toString + "/ckpt",
+      sinkId = "staged", branch = "ingest")
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:10:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // main unchanged, branch has the batch
+      assert(IcebergScan.scan(spark, table).count() === 1)
+      assert(IcebergScan.scan(spark, table,
+        Options(snapshotFromRef = Some("ingest"))).count() === 3)
+
+      // replay dedup works across branches (summary scan covers all
+      // retained snapshots)
+      val replay = Seq(
+        Event(2, ts("2026-01-01 10:10:00"), 2, "view", 2.0)).toDF()
+      IcebergStreamSink.commitBatch(
+        replay, batchId = 0, table, Seq.empty, sinkId = "staged", branch = "ingest")
+      assert(IcebergScan.scan(spark, table,
+        Options(snapshotFromRef = Some("ingest"))).count() === 3)
+
+      IcebergWriter.fastForward(spark, table, "ingest")
+      assert(IcebergScan.scan(spark, table).count() === 3)
+    } finally q.stop()
+  }
 }
