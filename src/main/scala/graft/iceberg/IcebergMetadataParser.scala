@@ -119,9 +119,34 @@ object IcebergMetadataParser {
       .map(parseSnapshot(_, info, skipSchema))
       .getOrElse(throw new java.io.IOException(s"Could not find snapshot with id $snapshotId"))
 
-  /** Latest snapshot with timestamp-ms <= ts (iceberg.cpp:350-370). */
+  /** Snapshot ids on the main lineage (parent-snapshot-id walk from the
+    * main ref head). Empty when the table declares no refs — ref-less
+    * tables have a single lineage by construction. */
+  def mainAncestors(info: ParseInfo): Set[Long] = info.refs.get("main") match {
+    case None => Set.empty
+    case Some((head, _)) =>
+      val parents = info.snapshots.map(n =>
+        n.get("snapshot-id").asLong ->
+          Option(n.get("parent-snapshot-id")).map(_.asLong)).toMap
+      var acc = Set.empty[Long]
+      var cur: Option[Long] = Some(head)
+      while (cur.nonEmpty && parents.contains(cur.get) && !acc(cur.get)) {
+        acc += cur.get
+        cur = parents(cur.get)
+      }
+      acc
+  }
+
+  /** Latest snapshot with timestamp-ms <= ts (iceberg.cpp:350-370). On a
+    * refs table only MAIN's lineage is eligible — a staged branch commit
+    * always carries the newest timestamp, so an unrestricted max would
+    * leak unpublished rows into "as of now" time travel. */
   def byTimestamp(info: ParseInfo, tsMs: Long, skipSchema: Boolean = false): Snapshot = {
-    val candidates = info.snapshots.filter(_.get("timestamp-ms").asLong <= tsMs)
+    val main = mainAncestors(info)
+    val pool =
+      if (main.isEmpty) info.snapshots
+      else info.snapshots.filter(n => main(n.get("snapshot-id").asLong))
+    val candidates = pool.filter(_.get("timestamp-ms").asLong <= tsMs)
     if (candidates.isEmpty)
       throw new java.io.IOException(
         s"Could not find latest snapshots for timestamp ${java.time.Instant.ofEpochMilli(tsMs)}")

@@ -819,13 +819,15 @@ object IcebergWriter {
         (f.get("name").asText, f.get("transform").asText, f.get("source-id").asInt))
     val prevSpecs = prevRoot.map(_.get("partition-specs").elements.asScala.toSeq)
       .getOrElse(Seq.empty)
-    val prevDefault = prevRoot
-      .map(pr => if (pr.has("default-spec-id")) pr.get("default-spec-id").asInt else 0)
-      .flatMap(id => prevSpecs.find(_.get("spec-id").asInt == id))
-    if (prevRoot.isDefined &&
-        (spec.isEmpty || prevDefault.exists(d => triplesOf(d) == newTriples))) {
-      // no spec carried, or the same spec re-declared: keep the history
+    // re-declaring ANY recorded spec (not just the default) reuses its
+    // spec-id — a workload alternating two layouts must not grow the
+    // spec list without bound
+    val matchedSpec = prevSpecs.find(sn => triplesOf(sn) == newTriples)
+    if (prevRoot.isDefined && (spec.isEmpty || matchedSpec.isDefined)) {
+      // no spec carried, or a known spec re-declared: keep the history,
+      // pointing the default at the re-declared spec
       carryPrevSpecs(prevRoot.get)
+      matchedSpec.foreach(m => root.put("default-spec-id", m.get("spec-id").asInt))
     } else if (prevSpecs.nonEmpty) {
       // PARTITION SPEC EVOLUTION (Iceberg spec "Partition Evolution"):
       // the new spec is appended under a fresh spec-id and becomes the
@@ -918,12 +920,7 @@ object IcebergWriter {
                    else state.flatMap(_.branchHead("main")).getOrElse(snapshotId)
     val newRefs = state.map(_.refs).getOrElse(Map.empty) ++
       Map(branch -> (snapshotId, "branch"), "main" -> (mainHead, "branch"))
-    val refsNode = root.putObject("refs")
-    newRefs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
-      val r = refsNode.putObject(name)
-      r.put("snapshot-id", id)
-      r.put("type", tpe)
-    }
+    writeRefsNode(root, newRefs)
     root.put("current-snapshot-id", mainHead)
     val snapsNode = root.putArray("snapshots")
     state.map(_.snapshots).getOrElse(Seq.empty).foreach(snapsNode.add)
@@ -964,6 +961,39 @@ object IcebergWriter {
     * (metadata-only vN+1 commit; expired snapshots' data/manifest files
     * stay on disk so readers pinned to old metadata versions don't
     * break). Returns how many snapshots were dropped. */
+  /** Serialize a refs map onto a metadata root (shared by every commit
+    * path so a future refs field cannot be dropped on one of them). */
+  private def writeRefsNode(root: ObjectNode, refs: Map[String, (Long, String)]): Unit =
+    if (refs.nonEmpty) {
+      val refsNode = root.putObject("refs")
+      refs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
+        val r = refsNode.putObject(name)
+        r.put("snapshot-id", id)
+        r.put("type", tpe)
+      }
+    }
+
+  /** snapshot-id -> parent-snapshot-id over the state's snapshots. */
+  private def parentMap(state: State): Map[Long, Option[Long]] =
+    state.snapshots.map { s =>
+      s.get("snapshot-id").asLong ->
+        Option(s.get("parent-snapshot-id")).map(_.asLong)
+    }.toMap
+
+  /** Ancestor chain of `head` (inclusive), stopping at `stop` ids or a
+    * missing parent link. */
+  private def ancestorsOf(
+      parents: Map[Long, Option[Long]], head: Long,
+      stop: Long => Boolean = _ => false): Set[Long] = {
+    var acc = Set.empty[Long]
+    var cur: Option[Long] = Some(head)
+    while (cur.nonEmpty && parents.contains(cur.get) && !stop(cur.get) && !acc(cur.get)) {
+      acc += cur.get
+      cur = parents(cur.get)
+    }
+    acc
+  }
+
   private def rewriteSnapshots(
       path: String, conf: Configuration, state: State,
       moveMainTo: Option[Long] = None)(
@@ -971,10 +1001,22 @@ object IcebergWriter {
     val json = IcebergIO.readString(
       new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
     val root = mapper.readTree(json).asInstanceOf[ObjectNode]
-    // ref heads are pinned history (a tag or branch must stay readable):
-    // they survive any retention predicate, like Iceberg's expire does
+    // Ref heads are pinned history (a tag or branch must stay readable)
+    // and survive any retention predicate, like Iceberg's expire does.
+    // Staged commits — ancestors of a non-main branch head that are NOT
+    // on main's lineage — are protected too: expiring one would break
+    // the parent walk fastForward needs, leaving a legitimately-ahead
+    // branch permanently unpublishable. Main's own ancestors stay
+    // expirable (that is what expiration is for).
     val newRefs = state.refs ++ moveMainTo.map(id => "main" -> (id, "branch"))
-    val protectedIds = newRefs.values.map(_._1).toSet
+    val parents = parentMap(state)
+    val mainAnc = newRefs.get("main")
+      .map(h => ancestorsOf(parents, h._1)).getOrElse(Set.empty)
+    val staged = newRefs.collect {
+      case (name, (head, "branch")) if name != "main" =>
+        ancestorsOf(parents, head, stop = mainAnc)
+    }.flatten.toSet
+    val protectedIds = newRefs.values.map(_._1).toSet ++ staged
     val keep: JsonNode => Boolean =
       s => retain(s) || protectedIds(s.get("snapshot-id").asLong)
     val kept = mapper.createArrayNode()
@@ -982,14 +1024,7 @@ object IcebergWriter {
     state.snapshots.foreach { s => if (keep(s)) kept.add(s) else removed += 1 }
     require(kept.size > 0, "cannot expire every snapshot of a table")
     root.set[JsonNode]("snapshots", kept)
-    if (newRefs.nonEmpty) {
-      val refsNode = root.putObject("refs")
-      newRefs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
-        val r = refsNode.putObject(name)
-        r.put("snapshot-id", id)
-        r.put("type", tpe)
-      }
-    }
+    writeRefsNode(root, newRefs)
     val newest = newRefs.get("main").map(_._1).getOrElse(
       state.snapshots.filter(keep).maxBy(_.get("timestamp-ms").asLong)
         .get("snapshot-id").asLong)
@@ -1072,6 +1107,15 @@ object IcebergWriter {
       .find(_.get("snapshot-id").asLong == snapshotId)
       .getOrElse(throw new java.io.IOException(
         s"Could not find snapshot with id $snapshotId"))
+    if (state.refs.nonEmpty) {
+      // rolling "back" to another branch's staged commit would publish
+      // un-audited data through a maintenance call — rollback only walks
+      // main's own lineage
+      val mainAnc = state.branchHead("main")
+        .map(h => ancestorsOf(parentMap(state), h)).getOrElse(Set.empty)
+      require(mainAnc(snapshotId),
+        s"rollback: snapshot $snapshotId is not an ancestor of the main head")
+    }
     val ts = target.get("timestamp-ms").asLong
     rewriteSnapshots(path, conf, state, moveMainTo = Some(snapshotId))(
       _.get("timestamp-ms").asLong <= ts): Unit
@@ -1099,12 +1143,7 @@ object IcebergWriter {
     val json = IcebergIO.readString(
       new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
     val root = mapper.readTree(json).asInstanceOf[ObjectNode]
-    val refsNode = root.putObject("refs")
-    newRefs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
-      val r = refsNode.putObject(name)
-      r.put("snapshot-id", id)
-      r.put("type", tpe)
-    }
+    writeRefsNode(root, newRefs)
     newRefs.get("main").foreach { case (id, _) =>
       root.put("current-snapshot-id", id)
     }
@@ -1172,6 +1211,12 @@ object IcebergWriter {
     val state = refState(path, conf, "fastForward")
     val srcHead = state.refs.getOrElse(source,
       throw new IllegalArgumentException(s"fastForward: no ref '$source'"))._1
+    if (branch != "main") {
+      val dst = state.refs.getOrElse(branch, throw new IllegalArgumentException(
+        s"fastForward: branch '$branch' does not exist — createBranch it first"))
+      require(dst._2 == "branch",
+        s"fastForward: cannot move '$branch': it is a ${dst._2}")
+    }
     val dstHead = state.branchHead(branch)
     val parents = state.snapshots.map { s =>
       s.get("snapshot-id").asLong ->
@@ -1213,6 +1258,22 @@ object IcebergWriter {
     case other => other
   }
 
+  /** Branch commits may not change the table's single global schema — a
+    * staged schema change would instantly leak to main readers and block
+    * main appends. Checked BEFORE any data file is written (a post-write
+    * failure would orphan the snapshot's data directory and block the
+    * snapshot-id from being reused). */
+  private def requireUnchangedSchema(
+      st: State, incoming: StructType, branch: String): Unit = {
+    val existing = IcebergSchemaParser
+      .parseSchemaById(st.info.schemas, st.info.schemaId)
+      .map(c => (c.name, ignoreNull(c.dataType)))
+    val in = incoming.fields.toSeq.map(f => (f.name, ignoreNull(f.dataType)))
+    require(existing == in,
+      s"branch '$branch': schema changes are main-only (staged columns/" +
+        "types would leak to every reader of the shared table schema)")
+  }
+
   /** Append `df` as a new snapshot of the table at `path`, creating the
     * table if absent. Returns the new snapshot id.
     *
@@ -1250,6 +1311,7 @@ object IcebergWriter {
         s"write: cannot target branch '$branch' of a table that does not exist yet"))
       require(st.refs.contains(branch),
         s"write: branch '$branch' does not exist — createBranch it first")
+      requireUnchangedSchema(st, df.schema, branch)
     }
     state.foreach { st =>
       val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
@@ -1513,6 +1575,7 @@ object IcebergWriter {
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"merge: no Iceberg table at $path"))
     val latest = state.opBase("merge", branch)
+    if (branch != "main") requireUnchangedSchema(state, source.schema, branch)
     val schema = IcebergSchemaParser.toStructType(latest.schema)
     require(source.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"merge: source columns ${source.schema.fieldNames.toSeq} must match " +

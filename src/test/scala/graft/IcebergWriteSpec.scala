@@ -925,4 +925,19 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     IcebergWriter.write(df2, table2, partitionBy = Seq("k" -> "bucket[8]"))
     assert(IcebergScan.scan(spark, table2).count() === 200)
   }
+
+  test("re-declaring an older spec reuses its id instead of growing the list") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_ps_").toString + "/t"
+    val df = (1L to 40L).map(i => (i, i % 4)).toDF("id", "k")
+    IcebergWriter.write(df, table, partitionBy = Seq("id" -> "bucket[4]"))
+    IcebergWriter.write(df, table, partitionBy = Seq("k" -> "identity"))
+    // toggle back and forth — the spec list must stay at 2
+    IcebergWriter.write(df, table, partitionBy = Seq("id" -> "bucket[4]"))
+    IcebergWriter.write(df, table, partitionBy = Seq("k" -> "identity"))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table + "/metadata/v4.metadata.json")))
+    assert(meta.split("\"spec-id\"").length - 1 === 2)
+    assert(IcebergScan.scan(spark, table).count() === 160)
+  }
 }

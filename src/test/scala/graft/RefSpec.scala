@@ -222,4 +222,68 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(listed === Set(("main", "branch"), ("v1", "tag")))
   }
+
+  test("review fixes: ff guards, staged-lineage expire, main-only travel") {
+    val table = freshTable("orders_guards")
+    val orders = Tables.load(spark, Sf, "orders").limit(100).cache()
+    IcebergWriter.write(orders.limit(10), table)
+
+    // fastForward cannot move a tag or silently create a missing branch
+    IcebergWriter.createTag(spark, table, "pin")
+    IcebergWriter.createBranch(spark, table, "audit")
+    IcebergWriter.write(orders.limit(20), table, branch = "audit")
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(spark, table, "audit", branch = "pin")
+    }
+    assert(e1.getMessage.contains("tag"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(spark, table, "audit", branch = "ghost")
+    }
+    assert(e2.getMessage.contains("createBranch"))
+
+    // timestamp "as of now" resolves on MAIN's lineage even though the
+    // staged commit carries the newest timestamp
+    val asOfNow = IcebergScan.scan(spark, table,
+      Options(asOfTimestampMs = Some(System.currentTimeMillis() + 60000)))
+    assert(asOfNow.count() === 10)
+
+    // rollback refuses a staged branch commit as its target
+    val stagedHead = IcebergScan.refs(spark, table).collect()
+      .find(_.getString(0) == "audit").get.getLong(2)
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergWriter.rollback(spark, table, stagedHead)
+    }
+    assert(e3.getMessage.contains("ancestor"))
+    orders.unpersist()
+  }
+
+  test("expire keeps a branch publishable: staged intermediates survive") {
+    val table = freshTable("orders_stageexp")
+    val orders = Tables.load(spark, Sf, "orders").limit(100)
+    IcebergWriter.write(orders.limit(10), table)
+    IcebergWriter.createBranch(spark, table, "audit")
+    IcebergWriter.write(orders.limit(10), table, branch = "audit")
+    IcebergWriter.write(orders.limit(10), table, branch = "audit")
+
+    // keep=1 would drop the intermediate staged commit without lineage
+    // protection, deadending fastForward's ancestry walk
+    IcebergWriter.expireSnapshots(spark, table, keep = 1)
+    IcebergWriter.fastForward(spark, table, "audit")
+    assert(IcebergScan.scan(spark, table).count() === 30)
+  }
+
+  test("branch commits cannot change the shared table schema") {
+    val table = freshTable("orders_schema")
+    val orders = Tables.load(spark, Sf, "orders").limit(50)
+    IcebergWriter.write(orders, table)
+    IcebergWriter.createBranch(spark, table, "audit")
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.write(orders.withColumn("note", lit("x")), table,
+        branch = "audit")
+    }
+    assert(e.getMessage.contains("main-only"))
+    // the same evolution on main is fine
+    IcebergWriter.write(orders.withColumn("note", lit("x")), table)
+    assert(IcebergScan.scan(spark, table).columns.contains("note"))
+  }
 }
