@@ -75,17 +75,33 @@ object IcebergMetadataParser {
     }
   }
 
-  private def parseSnapshot(node: JsonNode, info: ParseInfo, skipSchema: Boolean): Snapshot = {
+  private def parseSnapshot(node: JsonNode, info: ParseInfo, skipSchema: Boolean,
+                            useDeclaredSchema: Boolean = false): Snapshot = {
     val seq = if (info.formatVersion == 2) node.get("sequence-number").asLong else 0L
+    // Schema selection follows Iceberg's read rules: the LATEST state
+    // (current snapshot, branch heads) reads under the table's CURRENT
+    // schema — schema evolution is metadata-only and must show up
+    // without a new snapshot (the reference does the same, reading each
+    // metadata file's current schema). Explicit time travel (by id /
+    // timestamp) and TAGS read under the schema the snapshot was
+    // WRITTEN with, showing the columns of that point in history.
+    // Snapshots without a recorded schema-id, or whose id the schemas
+    // list no longer carries, fall back to current.
+    val declared = if (node.has("schema-id")) node.get("schema-id").asInt else info.schemaId
+    val sid =
+      if (useDeclaredSchema &&
+          info.schemas.exists(s =>
+            s.has("schema-id") && s.get("schema-id").asInt == declared)) declared
+      else info.schemaId
     Snapshot(
       snapshotId = node.get("snapshot-id").asLong,
       sequenceNumber = seq,
       timestampMs = node.get("timestamp-ms").asLong,
       manifestList = node.get("manifest-list").asText,
       formatVersion = info.formatVersion,
-      schemaId = info.schemaId,
+      schemaId = sid,
       schema = if (skipSchema) Seq.empty
-               else IcebergSchemaParser.parseSchemaById(info.schemas, info.schemaId),
+               else IcebergSchemaParser.parseSchemaById(info.schemas, sid),
       partitionSpec = info.defaultPartitionSpec)
   }
 
@@ -100,23 +116,29 @@ object IcebergMetadataParser {
     if (info.snapshots.isEmpty) throw new java.io.IOException("No snapshots found")
     info.refs.get("main") match {
       case Some((id, _)) if info.snapshots.exists(_.get("snapshot-id").asLong == id) =>
-        byId(info, id, skipSchema)
+        findById(info, id, skipSchema, useDeclaredSchema = false)
       case _ =>
         parseSnapshot(info.snapshots.maxBy(_.get("timestamp-ms").asLong), info, skipSchema)
     }
   }
 
-  /** Snapshot a named ref (branch or tag) points at. */
+  /** Snapshot a named ref points at. Branch heads read under the CURRENT
+    * schema (like latest); tags read under their pinned snapshot's. */
   def byRef(info: ParseInfo, name: String, skipSchema: Boolean = false): Snapshot =
     info.refs.get(name) match {
-      case Some((id, _)) => byId(info, id, skipSchema)
+      case Some((id, tpe)) =>
+        findById(info, id, skipSchema, useDeclaredSchema = tpe == "tag")
       case None => throw new java.io.IOException(
         s"Could not find ref '$name' (table has: ${info.refs.keys.toSeq.sorted.mkString(", ")})")
     }
 
   def byId(info: ParseInfo, snapshotId: Long, skipSchema: Boolean = false): Snapshot =
+    findById(info, snapshotId, skipSchema, useDeclaredSchema = true)
+
+  private def findById(info: ParseInfo, snapshotId: Long, skipSchema: Boolean,
+                       useDeclaredSchema: Boolean): Snapshot =
     info.snapshots.find(_.get("snapshot-id").asLong == snapshotId)
-      .map(parseSnapshot(_, info, skipSchema))
+      .map(parseSnapshot(_, info, skipSchema, useDeclaredSchema))
       .getOrElse(throw new java.io.IOException(s"Could not find snapshot with id $snapshotId"))
 
   /** Snapshot ids on the main lineage (parent-snapshot-id walk from the
@@ -150,7 +172,8 @@ object IcebergMetadataParser {
     if (candidates.isEmpty)
       throw new java.io.IOException(
         s"Could not find latest snapshots for timestamp ${java.time.Instant.ofEpochMilli(tsMs)}")
-    parseSnapshot(candidates.maxBy(_.get("timestamp-ms").asLong), info, skipSchema)
+    parseSnapshot(candidates.maxBy(_.get("timestamp-ms").asLong), info, skipSchema,
+      useDeclaredSchema = true)
   }
 
   /** Read + parse a table's metadata.json given scan options. */

@@ -778,12 +778,6 @@ object IcebergWriter {
     root.put("last-snapshot-id", snapshotId)
     root.put("last-updated-ms",
       state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
-    root.put("current-schema-id", 0)
-    val schemas: ArrayNode = root.putArray("schemas")
-    val schemaNode = schemas.addObject()
-    schemaNode.put("schema-id", 0)
-    schemaNode.put("type", "struct")
-    val fieldsNode = schemaNode.putArray("fields")
     require(schema.fields.length < NestedFieldIdBase,
       s"too many columns (${schema.fields.length}) for the nested-id scheme")
     // One deterministic (path → id) assignment shared with writeDataFiles'
@@ -791,12 +785,38 @@ object IcebergWriter {
     // are preserved, new fields draw fresh ids.
     val assigned = assignIds(schema,
       state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty))
+    // SCHEMA HISTORY (Iceberg spec "Schemas"): previous schemas carry
+    // forward and each snapshot records the schema-id it was written
+    // with, so time travel reads a snapshot under its OWN schema. An
+    // unchanged schema reuses its recorded id; an evolved one is
+    // appended under a fresh id and becomes current.
+    val newFields = mapper.createArrayNode()
     schema.fields.foreach { f =>
-      val fn = fieldsNode.addObject()
+      val fn = newFields.addObject()
       fn.put("id", assigned(f.name))
       fn.put("name", f.name)
       fn.put("required", false)
       fn.set[JsonNode]("type", icebergTypeNode(f.dataType, f.name + ".", assigned))
+    }
+    val prevSchemaNodes = state.flatMap(_.rootNode)
+      .flatMap(r => Option(r.get("schemas")))
+      .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    val matchedSchema = prevSchemaNodes.find(p =>
+      Option(p.get("fields")).exists(_.toString == newFields.toString))
+    val schemaId = matchedSchema.map(_.get("schema-id").asInt).getOrElse(
+      prevSchemaNodes.map(_.get("schema-id").asInt).maxOption.map(_ + 1).getOrElse(0))
+    // only MAIN commits move the table's current schema: a branch commit
+    // whose base predates a main-side evolution must not regress it
+    root.put("current-schema-id",
+      if (branch == "main") schemaId
+      else state.map(_.info.schemaId).getOrElse(schemaId))
+    val schemas: ArrayNode = root.putArray("schemas")
+    prevSchemaNodes.foreach(schemas.add)
+    if (matchedSchema.isEmpty) {
+      val schemaNode = schemas.addObject()
+      schemaNode.put("schema-id", schemaId)
+      schemaNode.put("type", "struct")
+      schemaNode.set[JsonNode]("fields", newFields)
     }
     root.put("last-column-id", (assigned.values.toSeq :+ schema.fields.length).max)
     // A commit that carries no new spec (row-level deletes, updates,
@@ -929,7 +949,7 @@ object IcebergWriter {
     state.flatMap(_.branchHead(branch)).foreach(sn.put("parent-snapshot-id", _))
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
-    sn.put("schema-id", 0)
+    sn.put("schema-id", schemaId)
     val sum = sn.putObject("summary")
     sum.put("operation", operation)
     summary.foreach { case (k, v) => sum.put(k, v) }

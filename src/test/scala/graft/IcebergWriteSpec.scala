@@ -940,4 +940,31 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.split("\"spec-id\"").length - 1 === 2)
     assert(IcebergScan.scan(spark, table).count() === 160)
   }
+
+  test("schema history: time travel reads a snapshot under its own schema") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val table = Files.createTempDirectory("graft_sh_").toString + "/t"
+    val base = Tables.load(spark, Sf, "nation").select(
+      col("n_nationkey").cast("int").as("key"), col("n_name"))
+    val snap1 = IcebergWriter.write(base, table)
+    val snap2 = IcebergWriter.write(base.withColumn("extra", lit(42)), table)
+    IcebergWriter.write(base.withColumn("extra", lit(7L)), table)
+
+    // latest reads the CURRENT (widened) schema
+    assert(IcebergScan.scan(spark, table).schema("extra").dataType === LongType)
+    // snapshot time travel shows the columns of that point in history
+    val atSnap1 = IcebergScan.scan(spark, table, Options(snapshotId = Some(snap1)))
+    assert(!atSnap1.columns.contains("extra"))
+    val atSnap2 = IcebergScan.scan(spark, table, Options(snapshotId = Some(snap2)))
+    assert(atSnap2.schema("extra").dataType === IntegerType)
+    assert(atSnap2.filter(col("extra") === 42).count() === base.count() &&
+      atSnap2.filter(col("extra").isNull).count() === base.count())
+
+    // identical schemas are recorded once: 3 commits, 3 distinct schemas
+    // here, but re-appending the same shape reuses its id
+    IcebergWriter.write(base.withColumn("extra", lit(9L)), table)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table + "/metadata/v4.metadata.json")))
+    assert(meta.split("\"schema-id\"").length - 1 === 3 + 4) // 3 schemas + 4 snapshot stamps
+  }
 }

@@ -286,4 +286,23 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
     IcebergWriter.write(orders.withColumn("note", lit("x")), table)
     assert(IcebergScan.scan(spark, table).columns.contains("note"))
   }
+
+  test("a branch commit never regresses the current schema; tags pin theirs") {
+    val table = freshTable("orders_schemahist")
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation, table)
+    IcebergWriter.createBranch(spark, table, "stage")
+    IcebergWriter.createTag(spark, table, "pre")
+    // main evolves; the branch then receives a staged delete based on the
+    // OLD schema — current-schema-id must stay at the evolved schema
+    IcebergWriter.write(nation.withColumn("extra", lit(1L)), table)
+    IcebergWriter.delete(spark, table, col("n_nationkey") < 0, branch = "stage")
+    assert(IcebergScan.scan(spark, table).columns.contains("extra"))
+    // the tag still reads its pinned (pre-evolution) schema
+    assert(!IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("pre"))).columns.contains("extra"))
+    // the branch (like latest) reads the current schema
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("stage"))).columns.contains("extra"))
+  }
 }
