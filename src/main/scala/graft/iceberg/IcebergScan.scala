@@ -616,6 +616,18 @@ object IcebergScan {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Resolve a ref (tag/branch) name to its snapshot id — for surfaces
+    * that accept names where snapshot ids go (CDC between releases). */
+  def refId(spark: SparkSession, path: String, name: String,
+            opts: Options = Options()): Long = {
+    val info = IcebergMetadataParser.load(
+      path, hadoopConf(spark), opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    info.refs.getOrElse(name, throw new java.io.IOException(
+      s"Could not find ref '$name' (table has: " +
+        s"${info.refs.keys.toSeq.sorted.mkString(", ")})"))._1
+  }
+
   /** iceberg_refs — branches and tags of the table (engine extension;
     * the reference predates snapshot refs). */
   def refs(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {

@@ -1371,9 +1371,15 @@ object IcebergWriter {
         ManifestReader.readManifestList(base.manifestList, conf, base.formatVersion)
       case _ => Seq.empty
     }
+    // standard interchange summary stats (Iceberg spec "Snapshots" —
+    // what external tools read to size incremental work); user-supplied
+    // keys win on collision
+    val stdSummary = Map(
+      "added-data-files" -> files.size.toString,
+      "added-records" -> files.map(_.count).sum.toString)
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
-      summary = summary, sortBy = sortBy, branch = branch)
+      summary = stdSummary ++ summary, sortBy = sortBy, branch = branch)
   }
 
   /** Snapshot-summary key prefix for the streaming sink's batch-id

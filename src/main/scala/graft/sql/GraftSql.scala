@@ -156,14 +156,18 @@ object GraftSql {
       throw new IllegalArgumentException(
         s"$fn: requires (path, from_snapshot_id[, to_snapshot_id])")
     val path = asString(fn, "path", positional.head)
-    def asId(e: Expression): Long = evalLiteral(fn, e) match {
-      case n: java.lang.Number => n.longValue()
-      case other => throw new IllegalArgumentException(s"$fn: invalid snapshot id $other")
+    // a bound may be a BIGINT snapshot id or a ref (tag/branch) NAME —
+    // CDC between named releases: iceberg_changelog(path, 'v1', 'v2')
+    def asBound(e: Expression): Either[String, Long] = evalLiteral(fn, e) match {
+      case n: java.lang.Number => Right(n.longValue())
+      case s: UTF8String => Left(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn: invalid snapshot bound $other (expected BIGINT id or ref name)")
     }
-    val fromId = asId(positional(1))
-    val toId = positional.drop(2) match {
+    val fromBound = asBound(positional(1))
+    val toBound = positional.drop(2) match {
       case Seq() => None
-      case Seq(e) => Some(asId(e))
+      case Seq(e) => Some(asBound(e))
       case more => throw new IllegalArgumentException(
         s"$fn: too many positional arguments (${more.size + 2})")
     }
@@ -181,6 +185,10 @@ object GraftSql {
           s"$fn: unknown named argument '$other'")
       }
     }
+    def resolve(b: Either[String, Long]): Long =
+      b.fold(name => IcebergScan.refId(spark, path, name, opts), identity)
+    val fromId = resolve(fromBound)
+    val toId = toBound.map(resolve)
     val df =
       if (bySnapshot) IcebergScan.changelogBySnapshot(spark, path, fromId, toId, opts)
       else IcebergScan.changelog(spark, path, fromId, toId, opts)

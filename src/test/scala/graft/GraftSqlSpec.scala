@@ -122,6 +122,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           FROM iceberg_changelog('$table', $snap1, by_snapshot => true)
           GROUP BY 1, 2""").collect()
     assert(attributed.length === 1 && attributed(0).getString(1) === "delete")
+
+    // bounds may be ref NAMES: CDC between two tagged releases
+    graft.iceberg.IcebergWriter.createTag(spark, table, "start", at = Some(snap1))
+    val byName = spark.sql(
+      s"SELECT * FROM iceberg_changelog('$table', 'start', 'main')").collect()
+    val byIdRows = spark.sql(
+      s"SELECT * FROM iceberg_changelog('$table', $snap1)").collect()
+    assert(byName.length === byIdRows.length)
   }
 
   test("runtime registration on an extension-less session") {

@@ -129,6 +129,12 @@ class InterchangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second.get("snapshot-id").asLong === snap2)
     assert(second.get("parent-snapshot-id").asLong === snap1)
     assert(second.get("summary").get("operation").asText === "append")
+    // standard summary stats external tools read to size incremental work
+    assert(second.get("summary").get("added-records").asText.toLong ===
+      Tables.load(spark, Sf, "nation").count())
+    assert(second.get("summary").get("added-data-files").asText.toLong >= 1)
+    // refs present with main at the current head
+    assert(root.get("refs").get("main").get("snapshot-id").asLong === snap2)
     assert(second.has("sequence-number") && second.has("timestamp-ms") &&
            second.has("manifest-list") && second.has("schema-id"))
 
