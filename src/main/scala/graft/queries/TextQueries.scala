@@ -300,6 +300,50 @@ object TextQueries {
           .orderBy("doc_id")
     ),
     QueryDef(
+      "t10_pii_scrub",
+      // PII scrubbing (training-data hygiene): emails and phone numbers
+      // replaced by typed placeholders, with per-doc match counts. The
+      // synthetic corpus carries no organic PII, so both engines inject
+      // the SAME deterministic contact lines first (every 7th doc) — the
+      // scrub then provably strips them. Patterns stay in the regex
+      // subset RE2 (DuckDB) and java.util.regex share. Linear scan.
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id ||
+                        '@mail.example or +1-555-01' ||
+                        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '\+1-555-01[0-9]{2}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\+1-555-01[0-9]{2}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM aug ORDER BY doc_id"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("t", concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id"),
+                lit("@mail.example or +1-555-01"),
+                lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+              .otherwise(lit(""))))
+          .select(
+            col("doc_id"),
+            regexp_count(col("t"),
+              lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).cast("long").as("n_emails"),
+            regexp_count(col("t"),
+              lit("\\+1-555-01[0-9]{2}")).cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("t"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+              "\\+1-555-01[0-9]{2}", "<PHONE>").cast("binary")).as("scrubbed_md5"))
+          .orderBy("doc_id")
+    ),
+    QueryDef(
       "t04_fingerprint",
       // whitespace-normalized hash + order-insensitive sorted-token hash
       Some("""
