@@ -423,6 +423,71 @@ object DedupQueries {
       }
     ),
     QueryDef(
+      "a04_ann_quantized",
+      // int8 scalar-quantized ANN — the memory-bandwidth lever at 100 TB:
+      // each vector scaled by 127/max|x| and rounded to small ints, so
+      // candidate scoring runs on 4×-smaller vectors with EXACT integer
+      // dot products (order-independent, bit-identical across engines);
+      // only the final cosine normalization touches floating point.
+      Some("""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        q8 AS (
+          SELECT vec_id,
+                 list_transform(e, x -> CAST(round(x * 127.0 / mx) AS BIGINT)) AS v
+          FROM (SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS mx
+                FROM emb)
+          WHERE mx > 0),
+        norms AS (
+          SELECT vec_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_zip(v, v), s -> s[1] * s[2])),
+                   (a, b) -> a + b) AS nn
+          FROM q8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(list_zip(q.v, c.v), s -> s[1] * s[2])),
+                         (a, b) -> a + b) AS DOUBLE)
+                       / (sqrt(nq.nn) * sqrt(nc.nn)), 4) AS qcos
+          FROM q8 q
+          JOIN q8 c ON q.vec_id <> c.vec_id
+          JOIN norms nq ON nq.vec_id = q.vec_id
+          JOIN norms nc ON nc.vec_id = c.vec_id
+          WHERE q.vec_id < 5),
+        ranked AS (
+          SELECT query_id, neighbor_id, qcos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY qcos DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, qcos, rk FROM ranked
+        WHERE rk <= 3 ORDER BY query_id, rk"""),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
+          .filter(col("mx") > 0)
+          .withColumn("v",
+            expr("transform(e, x -> CAST(round(x * 127.0D / mx) AS BIGINT))"))
+          .withColumn("nn",
+            expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nn").as("nnq"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vn"), col("nn").as("nnc"))
+        val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(expr("aggregate(zip_with(vq, vn, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+              .cast("double") / (sqrt(col("nnq")) * sqrt(col("nnc"))), 4)
+              .as("qcos"))
+        val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("query_id", "rk")
+      }
+    ),
+    QueryDef(
       "a01_ann_bruteforce_topk",
       // exact cosine top-3 neighbors for query vectors vec_id < 5
       Some(s"""

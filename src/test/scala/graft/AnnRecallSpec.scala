@@ -48,4 +48,12 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     // top-2-probe IVF after one Lloyd round measures 0.933 on this corpus.
     assert(r >= 0.9)
   }
+
+  test("a04 int8-quantized ANN reaches recall@3 >= 0.9 vs exact baseline") {
+    val exact = topk("a01_ann_bruteforce_topk")
+    val r = recallAt3(topk("a04_ann_quantized"), exact)
+    info(f"a04 recall@3 = $r%.3f")
+    // int8 scalar quantization preserves cosine ordering almost exactly
+    assert(r >= 0.9)
+  }
 }
