@@ -122,18 +122,28 @@ object IcebergMetadataParser {
     }
   }
 
+  /** Snapshot id a ref points at (shared lookup + error text). */
+  def refIdOf(info: ParseInfo, name: String): Long =
+    info.refs.getOrElse(name, throw new java.io.IOException(
+      s"Could not find ref '$name' (table has: " +
+        s"${info.refs.keys.toSeq.sorted.mkString(", ")})"))._1
+
   /** Snapshot a named ref points at. Branch heads read under the CURRENT
     * schema (like latest); tags read under their pinned snapshot's. */
-  def byRef(info: ParseInfo, name: String, skipSchema: Boolean = false): Snapshot =
-    info.refs.get(name) match {
-      case Some((id, tpe)) =>
-        findById(info, id, skipSchema, useDeclaredSchema = tpe == "tag")
-      case None => throw new java.io.IOException(
-        s"Could not find ref '$name' (table has: ${info.refs.keys.toSeq.sorted.mkString(", ")})")
-    }
+  def byRef(info: ParseInfo, name: String, skipSchema: Boolean = false): Snapshot = {
+    val id = refIdOf(info, name)
+    findById(info, id, skipSchema,
+      useDeclaredSchema = info.refs(name)._2 == "tag")
+  }
 
-  def byId(info: ParseInfo, snapshotId: Long, skipSchema: Boolean = false): Snapshot =
-    findById(info, snapshotId, skipSchema, useDeclaredSchema = true)
+  /** By default a pinned snapshot reads under its DECLARED schema (time
+    * travel). Writers resolving a mutation base pass
+    * `useDeclaredSchema = false`: they must see the table's CURRENT
+    * schema, or a maintenance commit after a rollback would silently
+    * regress current-schema-id to the head snapshot's older schema. */
+  def byId(info: ParseInfo, snapshotId: Long, skipSchema: Boolean = false,
+           useDeclaredSchema: Boolean = true): Snapshot =
+    findById(info, snapshotId, skipSchema, useDeclaredSchema)
 
   private def findById(info: ParseInfo, snapshotId: Long, skipSchema: Boolean,
                        useDeclaredSchema: Boolean): Snapshot =

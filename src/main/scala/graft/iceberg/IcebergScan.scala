@@ -415,7 +415,16 @@ object IcebergScan {
       path, conf, opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
     val from = IcebergMetadataParser.byId(info, fromSnapshotId, skipSchema = true)
-    val to = toSnapshotId.map(IcebergMetadataParser.byId(info, _, skipSchema = false))
+    // A `to` bound that IS a branch head reads under the CURRENT schema,
+    // exactly like scanning that branch — so iceberg_changelog(t, X,
+    // 'main') and iceberg_changelog(t, X) emit the same columns even
+    // when a rollback left the head snapshot's declared schema behind
+    // the table's current one. Other ids keep time-travel semantics.
+    def isBranchHead(id: Long): Boolean =
+      info.refs.values.exists { case (rid, tpe) => rid == id && tpe == "branch" }
+    val to = toSnapshotId.map(id =>
+        IcebergMetadataParser.byId(info, id, skipSchema = false,
+          useDeclaredSchema = !isBranchHead(id)))
       .getOrElse(IcebergMetadataParser.latest(info, skipSchema = false))
     val root = IcebergIO.tableRoot(path)
     val metaFrom = ManifestReader.loadTable(root, from, conf, opts.allowMovedPaths)
@@ -616,16 +625,16 @@ object IcebergScan {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Resolve a ref (tag/branch) name to its snapshot id — for surfaces
-    * that accept names where snapshot ids go (CDC between releases). */
-  def refId(spark: SparkSession, path: String, name: String,
-            opts: Options = Options()): Long = {
+  /** Resolve ref (tag/branch) names to snapshot ids in ONE metadata
+    * load — for surfaces that accept names where snapshot ids go (CDC
+    * between releases). */
+  def refIds(spark: SparkSession, path: String, names: Seq[String],
+             opts: Options = Options()): Map[String, Long] = {
+    if (names.isEmpty) return Map.empty
     val info = IcebergMetadataParser.load(
       path, hadoopConf(spark), opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
-    info.refs.getOrElse(name, throw new java.io.IOException(
-      s"Could not find ref '$name' (table has: " +
-        s"${info.refs.keys.toSeq.sorted.mkString(", ")})"))._1
+    names.map(n => n -> IcebergMetadataParser.refIdOf(info, n)).toMap
   }
 
   /** iceberg_refs — branches and tags of the table (engine extension;

@@ -328,7 +328,8 @@ object IcebergWriter {
         require(tpe == "branch", s"$op: cannot commit to '$branch': it is a $tpe")
       }
       branchHead(branch)
-        .map(IcebergMetadataParser.byId(info, _, skipSchema = false))
+        .map(IcebergMetadataParser.byId(info, _, skipSchema = false,
+          useDeclaredSchema = false))
         .getOrElse(IcebergMetadataParser.latest(info, skipSchema = false))
     }
     def nextSnapshotId: Long =
@@ -1686,8 +1687,8 @@ object IcebergWriter {
       case (m, es) if m.content == 0 => es.filter(e => e.status != 2 && e.content == 0)
     }.flatten
 
-    val df = IcebergScan.scan(spark, path,
-      IcebergScan.Options(snapshotId = Some(latest.snapshotId)))
+    val df = IcebergScan.scanLoaded(
+      spark, path, IcebergScan.Options(), latest, meta)
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     // Compaction preserves the table's partition layout: rewriting a

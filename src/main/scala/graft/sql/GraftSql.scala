@@ -185,8 +185,9 @@ object GraftSql {
           s"$fn: unknown named argument '$other'")
       }
     }
-    def resolve(b: Either[String, Long]): Long =
-      b.fold(name => IcebergScan.refId(spark, path, name, opts), identity)
+    val names = (fromBound.left.toSeq ++ toBound.toSeq.flatMap(_.left.toSeq)).distinct
+    val resolved = IcebergScan.refIds(spark, path, names, opts)
+    def resolve(b: Either[String, Long]): Long = b.fold(resolved, identity)
     val fromId = resolve(fromBound)
     val toId = toBound.map(resolve)
     val df =

@@ -967,4 +967,33 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(table + "/metadata/v4.metadata.json")))
     assert(meta.split("\"schema-id\"").length - 1 === 3 + 4) // 3 schemas + 4 snapshot stamps
   }
+
+  test("row-level ops and compaction after rollback keep the current schema") {
+    val table = Files.createTempDirectory("graft_rr_").toString + "/t"
+    val base = Tables.load(spark, Sf, "nation").select(
+      col("n_nationkey").cast("int").as("key"), col("n_name"))
+    val snap1 = IcebergWriter.write(base, table)
+    IcebergWriter.write(base.withColumn("extra", lit(7L)), table)
+    IcebergWriter.rollback(spark, table, snap1)
+    // rollback keeps the evolved CURRENT schema (extra reads null)
+    assert(IcebergScan.scan(spark, table).columns.contains("extra"))
+
+    // a maintenance delete must not regress current-schema-id to the
+    // head snapshot's older declared schema
+    IcebergWriter.delete(spark, table, col("key") < 0)
+    assert(IcebergScan.scan(spark, table).columns.contains("extra"))
+
+    // compaction rewrites under the CURRENT schema too
+    IcebergWriter.compact(spark, table)
+    val got = IcebergScan.scan(spark, table)
+    assert(got.columns.contains("extra") && got.count() === base.count())
+
+    // the changelog emits the same columns whether the to-bound names
+    // the main head explicitly or is omitted
+    val head = IcebergScan.refs(spark, table).collect()
+      .find(_.getString(0) == "main").get.getLong(2)
+    val explicit = IcebergScan.changelog(spark, table, snap1, Some(head))
+    val omitted = IcebergScan.changelog(spark, table, snap1)
+    assert(explicit.columns.toSeq === omitted.columns.toSeq)
+  }
 }
