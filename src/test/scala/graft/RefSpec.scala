@@ -305,4 +305,84 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.scan(spark, table,
       Options(snapshotFromRef = Some("stage"))).columns.contains("extra"))
   }
+
+  test("model-based WAP fuzz: 40 seeded ops preserve every scan invariant") {
+    import scala.util.Random
+    val table = freshTable("orders_fuzz")
+    val rnd = new Random(42)
+    var nextVal = 0L
+    def batch(n: Int) = {
+      import spark.implicits._
+      val vals = (nextVal until nextVal + n)
+      nextVal += n
+      vals.toDF("v")
+    }
+    // model state: row counts per surface
+    var mainCount = 0L
+    var branchCount: Option[Long] = None  // at most one staged branch
+    var tags = Map.empty[String, Long]
+    var tagId = 0
+
+    IcebergWriter.write(batch(5), table); mainCount = 5
+
+    def check(): Unit = {
+      assert(IcebergScan.scan(spark, table).count() === mainCount)
+      branchCount.foreach { c =>
+        assert(IcebergScan.scan(spark, table,
+          Options(snapshotFromRef = Some("wip"))).count() === c)
+      }
+      tags.foreach { case (name, c) =>
+        assert(IcebergScan.scan(spark, table,
+          Options(snapshotFromRef = Some(name))).count() === c)
+      }
+    }
+
+    for (_ <- 1 to 40) {
+      rnd.nextInt(6) match {
+        case 0 => // main append
+          val n = 1 + rnd.nextInt(4)
+          IcebergWriter.write(batch(n), table)
+          mainCount += n
+          // a staged branch survives main advancing; it just becomes
+          // unpublishable (the publish op below asserts the refusal)
+        case 1 => // stage a branch (if none)
+          if (branchCount.isEmpty) {
+            IcebergWriter.createBranch(spark, table, "wip")
+            branchCount = Some(mainCount)
+          }
+        case 2 => // branch append
+          branchCount = branchCount.map { c =>
+            val n = 1 + rnd.nextInt(4)
+            IcebergWriter.write(batch(n), table, branch = "wip")
+            c + n
+          }
+        case 3 => // publish if the branch is still fast-forwardable
+          branchCount.foreach { c =>
+            try {
+              IcebergWriter.fastForward(spark, table, "wip")
+              mainCount = c
+            } catch {
+              case e: IllegalArgumentException =>
+                assert(e.getMessage.contains("diverged"))
+            }
+            IcebergWriter.dropRef(spark, table, "wip")
+            branchCount = None
+          }
+        case 4 => // tag the current main head
+          tagId += 1
+          val name = s"t$tagId"
+          IcebergWriter.createTag(spark, table, name)
+          tags += name -> mainCount
+        case 5 => // expire aggressively — must not break any surface
+          IcebergWriter.expireSnapshots(spark, table, keep = 1)
+      }
+      check()
+    }
+    // drop tags one by one; remaining surfaces stay intact
+    tags.keys.toSeq.sorted.foreach { name =>
+      IcebergWriter.dropRef(spark, table, name)
+      tags -= name
+      check()
+    }
+  }
 }
