@@ -625,15 +625,21 @@ object IcebergScan {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** One-shot metadata load for surfaces that resolve several things
+    * against the same table state (CDC bound resolution). */
+  def loadInfo(spark: SparkSession, path: String,
+               opts: Options = Options()): IcebergMetadataParser.ParseInfo =
+    IcebergMetadataParser.load(
+      path, hadoopConf(spark), opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+
   /** Resolve ref (tag/branch) names to snapshot ids in ONE metadata
     * load — for surfaces that accept names where snapshot ids go (CDC
     * between releases). */
   def refIds(spark: SparkSession, path: String, names: Seq[String],
              opts: Options = Options()): Map[String, Long] = {
     if (names.isEmpty) return Map.empty
-    val info = IcebergMetadataParser.load(
-      path, hadoopConf(spark), opts.metadataCompressionCodec,
-      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val info = loadInfo(spark, path, opts)
     names.map(n => n -> IcebergMetadataParser.refIdOf(info, n)).toMap
   }
 

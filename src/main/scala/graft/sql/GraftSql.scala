@@ -156,13 +156,23 @@ object GraftSql {
       throw new IllegalArgumentException(
         s"$fn: requires (path, from_snapshot_id[, to_snapshot_id])")
     val path = asString(fn, "path", positional.head)
-    // a bound may be a BIGINT snapshot id or a ref (tag/branch) NAME —
-    // CDC between named releases: iceberg_changelog(path, 'v1', 'v2')
-    def asBound(e: Expression): Either[String, Long] = evalLiteral(fn, e) match {
-      case n: java.lang.Number => Right(n.longValue())
-      case s: UTF8String => Left(s.toString)
-      case other => throw new IllegalArgumentException(
-        s"$fn: invalid snapshot bound $other (expected BIGINT id or ref name)")
+    // a bound may be a BIGINT snapshot id, a ref (tag/branch) NAME, or a
+    // TIMESTAMP — CDC between releases or points in time:
+    //   iceberg_changelog(path, 'v1', 'v2')
+    //   iceberg_changelog(path, TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01')
+    sealed trait Bound
+    final case class ById(id: Long) extends Bound
+    final case class ByName(name: String) extends Bound
+    final case class ByTs(ms: Long) extends Bound
+    def asBound(e: Expression): Bound = e.dataType match {
+      case TimestampType | TimestampNTZType =>
+        ByTs(Math.floorDiv(evalLiteral(fn, e).asInstanceOf[Long], 1000L))
+      case _ => evalLiteral(fn, e) match {
+        case n: java.lang.Number => ById(n.longValue())
+        case s: UTF8String => ByName(s.toString)
+        case other => throw new IllegalArgumentException(
+          s"$fn: invalid snapshot bound $other (expected BIGINT id, ref name, or TIMESTAMP)")
+      }
     }
     val fromBound = asBound(positional(1))
     val toBound = positional.drop(2) match {
@@ -185,9 +195,16 @@ object GraftSql {
           s"$fn: unknown named argument '$other'")
       }
     }
-    val names = (fromBound.left.toSeq ++ toBound.toSeq.flatMap(_.left.toSeq)).distinct
-    val resolved = IcebergScan.refIds(spark, path, names, opts)
-    def resolve(b: Either[String, Long]): Long = b.fold(resolved, identity)
+    val bounds = fromBound +: toBound.toSeq
+    // names and timestamps resolve against ONE metadata load
+    lazy val info = IcebergScan.loadInfo(spark, path, opts)
+    def resolve(b: Bound): Long = b match {
+      case ById(id) => id
+      case ByName(name) => graft.iceberg.IcebergMetadataParser.refIdOf(info, name)
+      case ByTs(ms) => graft.iceberg.IcebergMetadataParser
+        .byTimestamp(info, ms, skipSchema = true).snapshotId
+    }
+    require(bounds.nonEmpty)
     val fromId = resolve(fromBound)
     val toId = toBound.map(resolve)
     val df =

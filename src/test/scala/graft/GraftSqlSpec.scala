@@ -130,6 +130,17 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byIdRows = spark.sql(
       s"SELECT * FROM iceberg_changelog('$table', $snap1)").collect()
     assert(byName.length === byIdRows.length)
+
+    // ...or TIMESTAMPS: CDC between two points in time (from = snap1's
+    // commit instant resolves to snap1 itself)
+    val ts1 = spark.sql(
+      s"""SELECT timestamp_ms FROM iceberg_snapshots('$table')
+          WHERE snapshot_id = $snap1""").collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    val byTs = spark.sql(
+      s"""SELECT * FROM iceberg_changelog('$table',
+            TIMESTAMP '${java.sql.Timestamp.valueOf(ts1)}')""").collect()
+    assert(byTs.length === byIdRows.length)
   }
 
   test("runtime registration on an extension-less session") {
