@@ -157,4 +157,27 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.changelog(spark, table, snap1, Some(snap1)).count() === 0)
     assert(IcebergScan.changelog(spark, table, snap1).count() === 0)
   }
+
+  test("changelog spans a schema evolution: old rows read null, exactly once") {
+    val table = Files.createTempDirectory("graft_cdce_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap1 = IcebergWriter.write(nation.filter(col("n_nationkey") < 10), table)
+    // the window contains an evolved append AND a delete of pre-evolution rows
+    IcebergWriter.write(
+      nation.filter(col("n_nationkey") >= 10).withColumn("extra", lit(5L)), table)
+    IcebergWriter.delete(spark, table, col("n_nationkey") === 0)
+
+    val log = IcebergScan.changelog(spark, table, fromSnapshotId = snap1)
+    // emitted under the current (evolved) schema
+    assert(log.columns.contains("extra"))
+    assert(types(log) === Map(
+      "insert" -> nation.filter(col("n_nationkey") >= 10).count(),
+      "delete" -> 1L))
+    // inserted rows carry the evolved value, the deleted pre-evolution row
+    // reads null for the added column
+    assert(log.filter(col("_change_type") === "insert")
+      .filter(col("extra") =!= 5L).isEmpty)
+    assert(log.filter(col("_change_type") === "delete")
+      .select("extra").collect()(0).isNullAt(0))
+  }
 }
