@@ -415,17 +415,21 @@ object IcebergScan {
       path, conf, opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
     val from = IcebergMetadataParser.byId(info, fromSnapshotId, skipSchema = true)
-    // A `to` bound that IS a branch head reads under the CURRENT schema,
-    // exactly like scanning that branch — so iceberg_changelog(t, X,
-    // 'main') and iceberg_changelog(t, X) emit the same columns even
-    // when a rollback left the head snapshot's declared schema behind
-    // the table's current one. Other ids keep time-travel semantics.
-    def isBranchHead(id: Long): Boolean =
-      info.refs.values.exists { case (rid, tpe) => rid == id && tpe == "branch" }
-    val to = toSnapshotId.map(id =>
+    // The `to` bound's schema follows the scan rules: a ref NAME (passed
+    // via opts.snapshotFromRef) resolves through byRef — branch = current
+    // schema, tag = pinned schema; an explicit id equal to the MAIN head
+    // reads the current schema (same as omitting the bound); any other id
+    // keeps time-travel (declared-schema) semantics.
+    val isMainHead: Long => Boolean =
+      id => info.refs.get("main").exists(_._1 == id)
+    val to = (toSnapshotId, opts.snapshotFromRef) match {
+      case (Some(id), _) =>
         IcebergMetadataParser.byId(info, id, skipSchema = false,
-          useDeclaredSchema = !isBranchHead(id)))
-      .getOrElse(IcebergMetadataParser.latest(info, skipSchema = false))
+          useDeclaredSchema = !isMainHead(id))
+      case (None, Some(name)) =>
+        IcebergMetadataParser.byRef(info, name, skipSchema = false)
+      case _ => IcebergMetadataParser.latest(info, skipSchema = false)
+    }
     val root = IcebergIO.tableRoot(path)
     val metaFrom = ManifestReader.loadTable(root, from, conf, opts.allowMovedPaths)
     val metaTo = ManifestReader.loadTable(root, to, conf, opts.allowMovedPaths)
@@ -561,8 +565,11 @@ object IcebergScan {
       path, hadoopConf(spark), opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
     val from = IcebergMetadataParser.byId(info, fromSnapshotId, skipSchema = true)
-    val to = toSnapshotId.map(IcebergMetadataParser.byId(info, _, skipSchema = true))
-      .getOrElse(IcebergMetadataParser.latest(info, skipSchema = true))
+    val to = (toSnapshotId, opts.snapshotFromRef) match {
+      case (Some(id), _)      => IcebergMetadataParser.byId(info, id, skipSchema = true)
+      case (None, Some(name)) => IcebergMetadataParser.byRef(info, name, skipSchema = true)
+      case _                  => IcebergMetadataParser.latest(info, skipSchema = true)
+    }
     // Enumerate the commits by walking parent-snapshot-id from `to` back
     // to `from` — a sequence-number window would sweep in concurrent
     // commits on OTHER branches, which are not part of this lineage.
@@ -594,10 +601,13 @@ object IcebergScan {
       return changelog(spark, path, fromSnapshotId, Some(from.snapshotId), opts)
         .withColumn("_commit_snapshot_id", lit(from.snapshotId))
         .limit(0)
+    // Segments read under their own commits' schemas, which can differ
+    // across an evolution inside the window — align by name, null-filling
+    // columns a segment predates.
     bounds.sliding(2).map { case Seq(a, b) =>
       changelog(spark, path, a, Some(b), opts)
         .withColumn("_commit_snapshot_id", lit(b))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** mode='list_files' output: (file, type ∈ {data, delete}) — S14. */
@@ -633,15 +643,6 @@ object IcebergScan {
       path, hadoopConf(spark), opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
 
-  /** Resolve ref (tag/branch) names to snapshot ids in ONE metadata
-    * load — for surfaces that accept names where snapshot ids go (CDC
-    * between releases). */
-  def refIds(spark: SparkSession, path: String, names: Seq[String],
-             opts: Options = Options()): Map[String, Long] = {
-    if (names.isEmpty) return Map.empty
-    val info = loadInfo(spark, path, opts)
-    names.map(n => n -> IcebergMetadataParser.refIdOf(info, n)).toMap
-  }
 
   /** iceberg_refs — branches and tags of the table (engine extension;
     * the reference predates snapshot refs). */

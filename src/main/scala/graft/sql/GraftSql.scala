@@ -164,14 +164,21 @@ object GraftSql {
     final case class ById(id: Long) extends Bound
     final case class ByName(name: String) extends Bound
     final case class ByTs(ms: Long) extends Bound
-    def asBound(e: Expression): Bound = e.dataType match {
-      case TimestampType | TimestampNTZType =>
-        ByTs(Math.floorDiv(evalLiteral(fn, e).asInstanceOf[Long], 1000L))
-      case _ => evalLiteral(fn, e) match {
-        case n: java.lang.Number => ById(n.longValue())
-        case s: UTF8String => ByName(s.toString)
+    // dispatch on the DECLARED type like iceberg_scan's parseArgs — a
+    // DATE or fractional literal must error, not coerce to a bogus id
+    def asBound(e: Expression): Bound = {
+      val v = evalLiteral(fn, e)
+      if (v == null) throw new IllegalArgumentException(
+        s"$fn: snapshot bound must not be NULL")
+      e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          ById(v.asInstanceOf[java.lang.Number].longValue())
+        case StringType => ByName(v.asInstanceOf[UTF8String].toString)
+        case TimestampType | TimestampNTZType =>
+          ByTs(Math.floorDiv(v.asInstanceOf[Long], 1000L))
         case other => throw new IllegalArgumentException(
-          s"$fn: invalid snapshot bound $other (expected BIGINT id, ref name, or TIMESTAMP)")
+          s"$fn: invalid snapshot bound of type $other " +
+            "(expected BIGINT id, ref name, or TIMESTAMP)")
       }
     }
     val fromBound = asBound(positional(1))
@@ -195,8 +202,9 @@ object GraftSql {
           s"$fn: unknown named argument '$other'")
       }
     }
-    val bounds = fromBound +: toBound.toSeq
-    // names and timestamps resolve against ONE metadata load
+    // from-names and timestamps resolve against ONE metadata load; a
+    // to-NAME is passed through as snapshotFromRef so the changelog
+    // applies the ref's schema rule (branch = current, tag = pinned)
     lazy val info = IcebergScan.loadInfo(spark, path, opts)
     def resolve(b: Bound): Long = b match {
       case ById(id) => id
@@ -204,9 +212,11 @@ object GraftSql {
       case ByTs(ms) => graft.iceberg.IcebergMetadataParser
         .byTimestamp(info, ms, skipSchema = true).snapshotId
     }
-    require(bounds.nonEmpty)
     val fromId = resolve(fromBound)
-    val toId = toBound.map(resolve)
+    val toId = toBound match {
+      case Some(ByName(name)) => opts = opts.copy(snapshotFromRef = Some(name)); None
+      case other => other.map(resolve)
+    }
     val df =
       if (bySnapshot) IcebergScan.changelogBySnapshot(spark, path, fromId, toId, opts)
       else IcebergScan.changelog(spark, path, fromId, toId, opts)

@@ -180,4 +180,54 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.filter(col("_change_type") === "delete")
       .select("extra").collect()(0).isNullAt(0))
   }
+
+  test("per-commit changelog aligns segment schemas across an evolution") {
+    val table = Files.createTempDirectory("graft_cdcm_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap0 = IcebergWriter.write(nation.filter(col("n_nationkey") < 5), table)
+    val snap1 = IcebergWriter.write(
+      nation.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 10), table)
+    val snap2 = IcebergWriter.write(
+      nation.filter(col("n_nationkey") >= 10).withColumn("extra", lit(1L)), table)
+
+    // first segment predates `extra`; union must align by name, not throw
+    val log = IcebergScan.changelogBySnapshot(spark, table, snap0)
+    assert(log.columns.contains("extra"))
+    val byCommit = log.groupBy("_commit_snapshot_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byCommit === Map(
+      snap1 -> nation.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 10).count(),
+      snap2 -> nation.filter(col("n_nationkey") >= 10).count()))
+    // pre-evolution segment rows read null for the later column
+    assert(log.filter(col("_commit_snapshot_id") === snap1)
+      .filter(col("extra").isNotNull).isEmpty)
+  }
+
+  test("a tag to-bound keeps its pinned schema even with branch heads around") {
+    val table = Files.createTempDirectory("graft_cdct_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap0 = IcebergWriter.write(nation.filter(col("n_nationkey") < 5), table)
+    IcebergWriter.write(nation.filter(col("n_nationkey") >= 5), table)
+    IcebergWriter.createTag(spark, table, "v1")
+    IcebergWriter.write(nation.withColumn("extra", lit(2L)), table)
+
+    graft.sql.GraftSql.register(spark)
+    val toTag = spark.sql(
+      s"SELECT * FROM iceberg_changelog('$table', $snap0, 'v1')")
+    assert(!toTag.columns.contains("extra")) // pinned pre-evolution schema
+    val toMain = spark.sql(
+      s"SELECT * FROM iceberg_changelog('$table', $snap0, 'main')")
+    assert(toMain.columns.contains("extra")) // branch rule: current schema
+
+    // hostile bounds error clearly instead of coercing
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM iceberg_changelog('$table', DATE '2024-01-01')").collect()
+    }
+    assert(e1.getMessage.contains("invalid snapshot bound"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM iceberg_changelog('$table', CAST(NULL AS TIMESTAMP))").collect()
+    }
+    assert(e2.getMessage.contains("must not be NULL"))
+  }
 }
