@@ -89,8 +89,13 @@ object GraftSql {
           case TimestampType | TimestampNTZType =>
             val micros = evalLiteral(fn, snap).asInstanceOf[Long]
             opts = opts.copy(asOfTimestampMs = Some(Math.floorDiv(micros, 1000L)))
+          case StringType =>
+            // extension over the reference's id|timestamp dispatch: a ref
+            // (tag/branch) name, same as snapshot_from_ref => name
+            opts = opts.copy(snapshotFromRef = Some(asString(fn, "ref", snap)))
           case other => throw new IllegalArgumentException(
-            s"$fn: second argument must be a BIGINT snapshot id or a TIMESTAMP, got $other")
+            s"$fn: second argument must be a BIGINT snapshot id, a TIMESTAMP, " +
+              s"or a ref name, got $other")
         }
       case more => throw new IllegalArgumentException(
         s"$fn: too many positional arguments (${more.size + 2})")

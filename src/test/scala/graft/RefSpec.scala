@@ -217,6 +217,11 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT count(*) AS c FROM iceberg_scan('$table', snapshot_from_ref => 'v1')")
       .collect()(0).getLong(0)
     assert(n === orders.filter(col("o_orderkey") % 2 === 0).count())
+    // positional ref name is equivalent (extension over the reference's
+    // id|timestamp dispatch)
+    val n2 = spark.sql(s"SELECT count(*) AS c FROM iceberg_scan('$table', 'v1')")
+      .collect()(0).getLong(0)
+    assert(n2 === n)
 
     val listed = spark.sql(s"SELECT * FROM iceberg_refs('$table')").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
