@@ -1326,12 +1326,13 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
     if (branch != "main") {
-      // appending to a missing branch would silently fork from main —
-      // require an explicit createBranch, like ALTER TABLE ... CREATE BRANCH
+      // pre-flight EVERY branch guard (existence — appending to a missing
+      // branch would silently fork from main; tag immutability; schema
+      // freeze) BEFORE any data file lands: a post-write failure would
+      // orphan data/snap-N and block that snapshot id's reuse
       val st = state.getOrElse(throw new IllegalArgumentException(
         s"write: cannot target branch '$branch' of a table that does not exist yet"))
-      require(st.refs.contains(branch),
-        s"write: branch '$branch' does not exist — createBranch it first")
+      st.opBase("write", branch): Unit
       requireUnchangedSchema(st, df.schema, branch)
     }
     state.foreach { st =>

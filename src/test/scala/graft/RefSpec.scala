@@ -104,6 +104,10 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
       IcebergWriter.write(orders, table, branch = "pin")
     }
     assert(e2.getMessage.contains("tag"))
+    // the refusal fired pre-flight: no orphaned data dir blocks the next
+    // commit's snapshot id
+    IcebergWriter.write(orders, table)
+    assert(IcebergScan.scan(spark, table).count() === 100)
     // duplicate ref names rejected
     val e3 = intercept[IllegalArgumentException] {
       IcebergWriter.createTag(spark, table, "pin")
