@@ -118,7 +118,18 @@ object IcebergMetadataParser {
       case Some((id, _)) if info.snapshots.exists(_.get("snapshot-id").asLong == id) =>
         findById(info, id, skipSchema, useDeclaredSchema = false)
       case _ =>
-        parseSnapshot(info.snapshots.maxBy(_.get("timestamp-ms").asLong), info, skipSchema)
+        // Fallback (ref-less tables, or a refs map whose main head is
+        // gone): newest by timestamp, excluding snapshots that are
+        // non-main branch HEADS — a staged commit always carries the
+        // newest timestamp and must not leak into a plain scan even on
+        // such degenerate metadata.
+        val stagedHeads = info.refs.collect {
+          case (name, (id, "branch")) if name != "main" => id
+        }.toSet
+        val pool = info.snapshots
+          .filterNot(n => stagedHeads(n.get("snapshot-id").asLong))
+        val eligible = if (pool.nonEmpty) pool else info.snapshots
+        parseSnapshot(eligible.maxBy(_.get("timestamp-ms").asLong), info, skipSchema)
     }
   }
 

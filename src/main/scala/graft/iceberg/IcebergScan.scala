@@ -247,8 +247,17 @@ object IcebergScan {
         }.toMap
       }
     entries.groupBy { case (e, _) =>
-      if (e.equalityIds.nonEmpty) e.equalityIds.flatMap(nameById.get).sorted
-      else idlessCols(resolved(path, e.filePath, opts))
+      if (e.equalityIds.nonEmpty) {
+        // an unresolvable field id (e.g. the key column was dropped from
+        // the schema) must FAIL, not silently narrow the key — a narrowed
+        // anti join would over-delete every row matching the remaining
+        // columns
+        val names = e.equalityIds.map(id => nameById.getOrElse(id,
+          throw new java.io.IOException(
+            s"equality-delete file ${e.filePath} references field id $id " +
+              "absent from the snapshot schema — cannot apply the delete")))
+        names.sorted
+      } else idlessCols(resolved(path, e.filePath, opts))
     }.toSeq.map { case (cols, files) =>
       val delPaths = files.map { case (e, _) => resolved(path, e.filePath, opts) }
       // per-file delete sequence number via a small broadcast
@@ -496,9 +505,14 @@ object IcebergScan {
           }.toDF("__eq_qual", "__data_seq")
           val withSeq = live
             .join(broadcast(seqMap), col("__graft_file") === col("__eq_qual"), "left")
+          // same cardinality-gated broadcast the scan uses: a huge
+          // equality-delete commit must not be forced onto the driver
+          val eqCard = newEq.map(_._1.recordCount).sum
+          val small = eqCard <= opts.broadcastDeleteThreshold
           eqDeleteGroups(spark, conf, root, opts, newEq, to).foreach {
             case (kcols, delR) =>
-              hits :+= withSeq.join(broadcast(delR), eqDeleteCond(kcols), "left_semi")
+              val delB = if (small) broadcast(delR) else delR
+              hits :+= withSeq.join(delB, eqDeleteCond(kcols), "left_semi")
                 .select(provCols: _*)
           }
         }
@@ -582,8 +596,11 @@ object IcebergScan {
       nodeById.get(id).flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong))
     val ancestry: Option[Seq[Long]] = {
       var chain = List.empty[Long]
+      var visited = Set.empty[Long]
       var cursor: Option[Long] = Some(to.snapshotId)
-      while (cursor.nonEmpty && !cursor.contains(from.snapshotId)) {
+      while (cursor.nonEmpty && !cursor.contains(from.snapshotId) &&
+             !visited(cursor.get)) {
+        visited += cursor.get
         chain ::= cursor.get
         cursor = parentOf(cursor.get)
       }
@@ -597,10 +614,17 @@ object IcebergScan {
         .map(_.snapshotId)
     }
     val bounds = from.snapshotId +: inWindow
-    if (inWindow.isEmpty)
-      return changelog(spark, path, fromSnapshotId, Some(from.snapshotId), opts)
-        .withColumn("_commit_snapshot_id", lit(from.snapshotId))
-        .limit(0)
+    if (inWindow.isEmpty) {
+      // empty window: build the zero-row frame from the already-loaded
+      // metadata instead of running a full (two manifest-tree) diff
+      val toSchema = IcebergSchemaParser.toStructType(
+        IcebergMetadataParser.byId(info, to.snapshotId, skipSchema = false,
+          useDeclaredSchema = false).schema)
+      val schema = StructType(toSchema.fields.toSeq :+
+        StructField("_change_type", StringType) :+
+        StructField("_commit_snapshot_id", LongType))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
     // Segments read under their own commits' schemas, which can differ
     // across an evolution inside the window — align by name, null-filling
     // columns a segment predates.

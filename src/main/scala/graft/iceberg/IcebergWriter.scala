@@ -335,7 +335,8 @@ object IcebergWriter {
     def nextSnapshotId: Long =
       ((snapshots.map(_.get("snapshot-id").asLong) :+ lastSnapshotId).max) + 1
     def nextSeq: Long =
-      ((snapshots.map(_.get("sequence-number").asLong) :+ lastSeq).max) + 1
+      ((snapshots.map(n => Option(n.get("sequence-number"))
+        .map(_.asLong).getOrElse(0L)) :+ lastSeq).max) + 1
     def nextTsMs: Long = math.max(
       System.currentTimeMillis(),
       (snapshots.map(_.get("timestamp-ms").asLong) :+ 0L).max + 1)
@@ -927,7 +928,7 @@ object IcebergWriter {
       sortBy.foreach { c =>
         val f = fs.addObject()
         f.put("transform", "identity")
-        f.put("source-id", schema.fieldIndex(c) + 1)
+        f.put("source-id", assigned(c))
         f.put("direction", "asc")
         f.put("null-order", "nulls-first")
       }
@@ -1245,9 +1246,10 @@ object IcebergWriter {
     }.toMap
     var cursor = Option(srcHead)
     var isAncestor = dstHead.isEmpty
-    while (cursor.nonEmpty && !isAncestor) {
+    var visited = Set.empty[Long]
+    while (cursor.nonEmpty && !isAncestor && !visited(cursor.get)) {
       if (dstHead.contains(cursor.get)) isAncestor = true
-      else cursor = parents.getOrElse(cursor.get, None)
+      else { visited += cursor.get; cursor = parents.getOrElse(cursor.get, None) }
     }
     require(isAncestor,
       s"fastForward: '$branch' head ${dstHead.getOrElse(-1L)} is not an ancestor " +
@@ -1353,7 +1355,18 @@ object IcebergWriter {
     val seq = state.map(_.nextSeq).getOrElse(1L)
 
     val prevIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
-    val spec = resolveSpec(df.schema, partitionBy, assignIds(df.schema, prevIds))
+    // A plain append to a partitioned table inherits the table's CURRENT
+    // spec (like update/merge/compact do): files without partition tuples
+    // under a partitioned default spec would violate the spec for
+    // external readers and silently stop pruning. An explicit partitionBy
+    // still evolves or re-declares the layout.
+    val spec =
+      if (partitionBy.nonEmpty)
+        resolveSpec(df.schema, partitionBy, assignIds(df.schema, prevIds))
+      else state.filter(_.snapshots.nonEmpty).map { st =>
+        currentSpec(
+          IcebergMetadataParser.latest(st.info, skipSchema = false), df.schema)
+      }.getOrElse(Seq.empty)
     sortBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"write: sortBy column '$c' is not a column of the data"))
     val files = writeDataFiles(
@@ -1540,9 +1553,15 @@ object IcebergWriter {
     // Match against the TOMBSTONE-AWARE scan (provenance kept): updating a
     // predicate that matches previously-deleted rows must not resurrect
     // them as fresh data rows. Reuses the manifest tree loaded above.
+    // Persisted because BOTH the tombstone write and the rewritten-rows
+    // write consume it: re-executing the scan could tombstone one row set
+    // and rewrite another under a non-deterministic predicate (and scans
+    // the table twice even under a deterministic one) — same reason
+    // merge() persists its source.
     val matched = IcebergScan.scanLoaded(spark, path,
         IcebergScan.Options(keepProvenance = true), latest, meta)
       .filter(predicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // tombstones for the old versions
     val positions = matched
@@ -1578,11 +1597,12 @@ object IcebergWriter {
     })
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
-    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+    try commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
       prevManifests ++ Seq(
         Manifest(dataManifest.toString, seq, content = 0),
         Manifest(delManifest.toString, seq, content = 1)),
       operation = "overwrite", branch = branch)
+    finally matched.unpersist(blocking = false)
   }
 
   /** MERGE (upsert) in ONE snapshot: every `source` row replaces the
