@@ -996,4 +996,29 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val omitted = IcebergScan.changelog(spark, table, snap1)
     assert(explicit.columns.toSeq === omitted.columns.toSeq)
   }
+
+  test("plain appends inherit the table's partition spec") {
+    val table = Files.createTempDirectory("graft_inh_").toString + "/t"
+    val events = Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+    IcebergWriter.write(events.repartition(col("dt")), table,
+      partitionBy = Seq("dt" -> "day"))
+    val before = IcebergScan.scan(spark, table, Options(mode = "list_files")).count()
+
+    // NO partitionBy on the append — the current spec still applies, so
+    // the new files carry day tuples and prune
+    val oneDay = events.filter(col("dt") === lit("2024-01-05").cast("date"))
+    IcebergWriter.write(oneDay, table)
+    val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
+      "dt", graft.iceberg.IcebergPruning.Eq, java.time.LocalDate.parse("2024-01-05")))
+    val kept = IcebergScan.scan(spark, table,
+      Options(mode = "list_files", filters = filters))
+      .filter(col("type") === "data").count()
+    val total = IcebergScan.scan(spark, table, Options(mode = "list_files")).count()
+    // both the original day file and the appended file(s) are kept; all
+    // other days are pruned away
+    assert(kept >= 2 && kept === total - (before - 1))
+    val got = IcebergScan.scan(spark, table, Options(filters = filters)).count()
+    assert(got === 2 * oneDay.count())
+  }
 }
