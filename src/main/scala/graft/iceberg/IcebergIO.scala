@@ -16,6 +16,16 @@ import IcebergModel._
   */
 object IcebergIO {
 
+  /** Path string as the filesystem qualifies it (scheme + authority) —
+    * the bridge between manifest path strings and the qualified URIs
+    * Spark's `_metadata.file_path` reports. One definition, shared by
+    * every read/write site that joins across the two forms. */
+  def qualified(p: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(conf).makeQualified(hp).toString
+  }
+
+
   def readBytes(path: String, conf: Configuration): Array[Byte] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)

@@ -155,10 +155,7 @@ object IcebergScan {
     // shipped as a small broadcast relation (scales to O(100k) files without
     // bloating the plan, unlike a literal map).
     val conf = hadoopConf(spark)
-    val qualify: String => String = p => {
-      val hp = new Path(p)
-      hp.getFileSystem(conf).makeQualified(hp).toString
-    }
+    val qualify: String => String = IcebergIO.qualified(_, conf)
     import spark.implicits._
 
     var cur = dataDF.select(
@@ -228,10 +225,7 @@ object IcebergScan {
       entries: Seq[(ManifestEntry, Long)],
       snapshot: Snapshot): Seq[(Seq[String], DataFrame)] = {
     import spark.implicits._
-    val qualify: String => String = p => {
-      val hp = new Path(p)
-      hp.getFileSystem(conf).makeQualified(hp).toString
-    }
+    val qualify: String => String = IcebergIO.qualified(_, conf)
     val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
     val idless = entries.collect {
       case (e, _) if e.equalityIds.isEmpty => resolved(path, e.filePath, opts)
@@ -476,10 +470,7 @@ object IcebergScan {
       if (common.isEmpty || (newPos.isEmpty && newEq.isEmpty)) emptyDF
       else {
         import spark.implicits._
-        val qualify: String => String = p => {
-          val hp = new Path(p)
-          hp.getFileSystem(conf).makeQualified(hp).toString
-        }
+        val qualify: String => String = IcebergIO.qualified(_, conf)
         val live = scanLoaded(spark, root, opts.copy(keepProvenance = true),
           to, restrict(metaFrom, common))
         val provCols = (schema.fieldNames.toSeq :+ "__graft_file" :+ "__graft_pos").map(col)

@@ -1438,10 +1438,7 @@ object IcebergWriter {
 
     // qualified-URI → manifest path string, same bridge the scan uses
     import spark.implicits._
-    val qualify: String => String = p => {
-      val hp = new Path(p)
-      hp.getFileSystem(conf).makeQualified(hp).toString
-    }
+    val qualify: String => String = IcebergIO.qualified(_, conf)
     val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
 
     val snapshotId = state.nextSnapshotId
@@ -1542,10 +1539,7 @@ object IcebergWriter {
       s"update: unknown columns ${assignments.keySet -- schema.fieldNames}")
 
     import spark.implicits._
-    val qualify: String => String = p => {
-      val hp = new Path(p)
-      hp.getFileSystem(conf).makeQualified(hp).toString
-    }
+    val qualify: String => String = IcebergIO.qualified(_, conf)
     val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
