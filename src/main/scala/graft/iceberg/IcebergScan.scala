@@ -253,14 +253,39 @@ object IcebergScan {
         names.sorted
       } else idlessCols(resolved(path, e.filePath, opts))
     }.toSeq.map { case (cols, files) =>
-      val delPaths = files.map { case (e, _) => resolved(path, e.filePath, opts) }
+      // Explicit read schema — the group's key columns projected from the
+      // SNAPSHOT schema — instead of inference: delete files written
+      // before and after a column widening (int→long key) have
+      // heterogeneous physical types, and inference would pin whichever
+      // file's footer it sampled (Spark 4's parquet reader widens
+      // int→long/float→double under a declared wider schema). Id-keyed
+      // files keep `parquet.field.id` metadata (rename-safe resolution);
+      // legacy id-less files get the same types with the ids stripped
+      // (pure name matching — such files predate id stamping, and a
+      // missing-id read would otherwise throw under fieldId.read.enabled).
+      val colDef = snapshot.schema.map(c => c.name -> c).toMap
+      val keyStruct = IcebergSchemaParser.toStructType(cols.map(c =>
+        colDef.getOrElse(c, throw new java.io.IOException(
+          s"equality-delete key column '$c' is absent from the snapshot " +
+            "schema — cannot apply the delete"))))
+      val keyStructNoIds = org.apache.spark.sql.types.StructType(
+        keyStruct.fields.map(_.copy(metadata =
+          org.apache.spark.sql.types.Metadata.empty)))
+      def readPool(paths: Seq[String], schema: org.apache.spark.sql.types.StructType) =
+        spark.read.schema(schema).parquet(paths: _*)
+          .select(cols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
+      val (withIds, idLess) =
+        files.partition { case (e, _) => e.equalityIds.nonEmpty }
+      val pools = Seq(withIds -> keyStruct, idLess -> keyStructNoIds).collect {
+        case (fs, schema) if fs.nonEmpty =>
+          readPool(fs.map { case (e, _) => resolved(path, e.filePath, opts) }, schema)
+      }
       // per-file delete sequence number via a small broadcast
       // (qualified URI → seq), same bridge as the data side
       val delSeqMap = files.map { case (e, dseq) =>
         (qualify(resolved(path, e.filePath, opts)), dseq)
       }.toDF("__del_path", "__del_seq")
-      val del = spark.read.parquet(delPaths: _*)
-        .select(cols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
+      val del = pools.reduce(_ unionByName _)
         .join(broadcast(delSeqMap), "__del_path")
       cols -> del.select(
         cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)

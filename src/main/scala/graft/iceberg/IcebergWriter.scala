@@ -1486,12 +1486,11 @@ object IcebergWriter {
     val schema = IcebergSchemaParser.toStructType(latest.schema)
     require(keys.schema.fieldNames.toSet.subsetOf(schema.fieldNames.toSet),
       s"deleteEquality: unknown columns ${keys.schema.fieldNames.toSet -- schema.fieldNames}")
-    val idByName = latest.schema.map(c => c.name -> c.id).toMap
 
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     val manifestPath = writeEqualityDeleteManifest(
-      conf, path, snapshotId, keys, idByName, s"snap-$snapshotId-m0.avro")
+      conf, path, snapshotId, keys, latest.schema, s"snap-$snapshotId-m0.avro")
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
@@ -1500,12 +1499,30 @@ object IcebergWriter {
   }
 
   /** Write `keys` (made distinct) as a v2 equality-delete parquet dir plus
-    * its manifest — shared by [[deleteEquality]] and [[merge]]. */
+    * its manifest — shared by [[deleteEquality]] and [[merge]]. The key
+    * columns are cast to the TABLE's declared types and stamped with
+    * `parquet.field.id` footer metadata (Iceberg spec: delete files carry
+    * field ids like data files) so id-keyed readers — including our own
+    * grouped MoR scan — resolve them across renames and type widening. */
   private def writeEqualityDeleteManifest(
       conf: Configuration, path: String, snapshotId: Long,
-      keys: DataFrame, idByName: Map[String, Int], manifestName: String): Path = {
+      keys: DataFrame, tableCols: Seq[IcebergModel.Column],
+      manifestName: String): Path = {
     val delDir = new Path(path, s"data/snap-$snapshotId-eqdeletes")
-    keys.distinct().write.parquet(delDir.toString)
+    val byName = tableCols.map(c => c.name -> c).toMap
+    val idByName = tableCols.map(c => c.name -> c.id).toMap
+    val stamped = keys.select(keys.schema.fields.toIndexedSeq.map { f =>
+      val cd = byName(f.name)
+      val md = new MetadataBuilder()
+        .putLong("parquet.field.id", cd.id.toLong).build()
+      // cast to the declared type: nested struct ids live IN the DataType
+      // (parsed from the schema JSON), and a by-metadata-only difference
+      // still keeps the cast (same trick as the data-file write path)
+      val c = if (cd.dataType == f.dataType) col(f.name)
+              else col(f.name).cast(cd.dataType)
+      c.as(f.name, md)
+    }: _*)
+    stamped.distinct().write.parquet(delDir.toString)
     val counts = footerCounts(delDir, conf)
     val eqIds = keys.schema.fieldNames.toSeq.map(idByName)
     val manifestPath = new Path(path, s"metadata/$manifestName")
@@ -1634,7 +1651,6 @@ object IcebergWriter {
     }
     require(keyCols.nonEmpty && keyCols.toSet.subsetOf(schema.fieldNames.toSet),
       s"merge: key columns $keyCols must be table columns")
-    val idByName = latest.schema.map(c => c.name -> c.id).toMap
 
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
@@ -1655,7 +1671,7 @@ object IcebergWriter {
       // Equality delete on the source keys. Keys with no current match are
       // harmless no-ops at read time, so no existence probe is needed.
       val delManifest = writeEqualityDeleteManifest(
-        conf, path, snapshotId, src.select(keyCols.map(col): _*), idByName,
+        conf, path, snapshotId, src.select(keyCols.map(col): _*), latest.schema,
         s"snap-$snapshotId-m1.avro")
 
       // Source rows as new data files — same sequence number as the

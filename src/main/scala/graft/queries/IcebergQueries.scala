@@ -132,20 +132,50 @@ object IcebergQueries {
       // the generator (iceberg_scan_generated_data_0_001.test:13-45).
       // Full-row compare of our scan vs the checked-in expected parquet —
       // count (7690), schema, and every value hash-verified. The tz
-      // column is normalized to UTC wall-clock on both engines.
+      // column is normalized to UTC wall-clock on both engines, and the
+      // BINARY column is hex-encoded on both engines (value equality is as
+      // strong a check, and raw bytes break the driver's
+      // pandas-based row sort: unhashable bytearray).
       Some(s"""
         SELECT l_orderkey_bool, l_partkey_int, l_suppkey_long, l_extendedprice_float,
                l_extendedprice_double, l_extendedprice_dec9_2, l_extendedprice_dec18_6,
                l_extendedprice_dec38_10, l_shipdate_date, l_partkey_time,
                l_commitdate_timestamp,
                timezone('UTC', l_commitdate_timestamp_tz) AS l_commitdate_timestamp_tz,
-               l_comment_string, uuid, l_comment_blob, schema_evol_added_col_1
+               l_comment_string, uuid, lower(hex(l_comment_blob)) AS l_comment_blob,
+               schema_evol_added_col_1
         FROM read_parquet('$Ref/generated_spec1_0_001/expected_results/last/data/*.parquet')"""),
       (s, _) => IcebergScan.scan(
           s, s"$Ref/generated_spec1_0_001/pyspark_iceberg_table", moved)
         .withColumn("l_commitdate_timestamp_tz",
           col("l_commitdate_timestamp_tz")
             .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .withColumn("l_comment_blob", lower(hex(col("l_comment_blob"))))
+    ),
+    QueryDef(
+      "ib34_scan_v2_generated",
+      // The reference's SECOND differential fixture: format-version 2 with
+      // LIVE position deletes — the merge-on-read anti-join path. ib10
+      // pins only the count (6592); this gate hash-compares EVERY row of
+      // the MoR scan against the generator's expected parquet
+      // (iceberg_scan_generated_data_0_001.test:76-88), so an off-by-one
+      // row_index or wrong file match in the anti join cannot pass.
+      // Same normalizations as ib26: tz → UTC wall-clock, blob → lower(hex).
+      Some(s"""
+        SELECT l_orderkey_bool, l_partkey_int, l_suppkey_long, l_extendedprice_float,
+               l_extendedprice_double, l_extendedprice_dec9_2, l_extendedprice_dec18_6,
+               l_extendedprice_dec38_10, l_shipdate_date, l_partkey_time,
+               l_commitdate_timestamp,
+               timezone('UTC', l_commitdate_timestamp_tz) AS l_commitdate_timestamp_tz,
+               l_comment_string, uuid, lower(hex(l_comment_blob)) AS l_comment_blob,
+               schema_evol_added_col_1
+        FROM read_parquet('$Ref/generated_spec2_0_001/expected_results/last/data/*.parquet')"""),
+      (s, _) => IcebergScan.scan(
+          s, s"$Ref/generated_spec2_0_001/pyspark_iceberg_table", moved)
+        .withColumn("l_commitdate_timestamp_tz",
+          col("l_commitdate_timestamp_tz")
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .withColumn("l_comment_blob", lower(hex(col("l_comment_blob"))))
     ),
     QueryDef(
       "ib27_schema_evolution",

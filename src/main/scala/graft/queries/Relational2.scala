@@ -518,9 +518,11 @@ object Relational2 {
       "e05_funnel",
       // Ordered-funnel analysis: users who viewed, then clicked AFTER
       // their first view, then purchased AFTER that click. Each stage is
-      // one hash agg on user_id plus a broadcast-sized join against the
-      // previous (already aggregated, one row per user) stage — no
-      // self-join explosion, scales linearly in events.
+      // one hash agg on user_id plus a shuffle join against the previous
+      // (already aggregated, one row per user) stage. The stage sides are
+      // O(distinct users) — corpus-dependent, NOT bounded — so they are
+      // deliberately NOT broadcast-hinted; AQE still broadcasts when a
+      // side is genuinely small. No self-join explosion: linear in events.
       Some("""
         WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         v AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
@@ -536,10 +538,10 @@ object Relational2 {
         val v = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("t1"))
         val c = e.filter(col("event_type") === "click")
-          .join(broadcast(v), "user_id").filter(col("ts") > col("t1"))
+          .join(v, "user_id").filter(col("ts") > col("t1"))
           .groupBy("user_id").agg(min("ts").as("t2"))
         val p = e.filter(col("event_type") === "purchase")
-          .join(broadcast(c), "user_id").filter(col("ts") > col("t2"))
+          .join(c, "user_id").filter(col("ts") > col("t2"))
           .groupBy("user_id").agg(min("ts").as("t3"))
         v.agg(count(lit(1)).as("n_view"))
           .crossJoin(c.agg(count(lit(1)).as("n_view_click")))

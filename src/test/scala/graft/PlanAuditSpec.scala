@@ -82,6 +82,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("e05: funnel stage joins carry NO forced broadcast of the unbounded " +
+       "per-user sides (the logical plan has no hints; AQE may still " +
+       "broadcast small sides at runtime)") {
+    val df = SparkEntry.queries("e05_funnel")(spark, Sf)
+    // A user-authored broadcast() survives analysis as ResolvedHint /
+    // UnresolvedHint in the logical plans — that's the scale-killer we
+    // banned: it forces O(distinct users) through the driver regardless
+    // of corpus size. Runtime BroadcastHashJoin chosen by AQE from
+    // observed sizes is fine and NOT asserted against.
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      df.queryExecution.analyzed.toString.take(2000))
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("e06: no cartesian/nested-loop anywhere in the retention plan") {
     val p = planString("e06_retention")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
