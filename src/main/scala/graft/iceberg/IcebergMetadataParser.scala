@@ -119,15 +119,33 @@ object IcebergMetadataParser {
         findById(info, id, skipSchema, useDeclaredSchema = false)
       case _ =>
         // Fallback (ref-less tables, or a refs map whose main head is
-        // gone): newest by timestamp, excluding snapshots that are
-        // non-main branch HEADS — a staged commit always carries the
-        // newest timestamp and must not leak into a plain scan even on
-        // such degenerate metadata.
-        val stagedHeads = info.refs.collect {
-          case (name, (id, "branch")) if name != "main" => id
-        }.toSet
+        // gone): newest by timestamp, excluding the FULL staged lineage
+        // of every non-main branch (each head's ancestor walk, stopping
+        // at main's ancestors) — a staged commit always carries the
+        // newest timestamp, and an intermediate staged commit would
+        // otherwise leak unpublished rows into a plain scan on such
+        // degenerate metadata (same protection rule as snapshot
+        // expiration's staged-set computation).
+        val parents = info.snapshots.map(n =>
+          n.get("snapshot-id").asLong ->
+            Option(n.get("parent-snapshot-id")).map(_.asLong)).toMap
+        def ancestors(head: Long, stop: Set[Long]): Set[Long] = {
+          var acc = Set.empty[Long]
+          var cur: Option[Long] = Some(head)
+          while (cur.nonEmpty && parents.contains(cur.get) &&
+                 !acc(cur.get) && !stop(cur.get)) {
+            acc += cur.get
+            cur = parents(cur.get)
+          }
+          acc
+        }
+        val mainAnc = info.refs.get("main")
+          .map(h => ancestors(h._1, Set.empty)).getOrElse(Set.empty)
+        val staged = info.refs.collect {
+          case (name, (id, "branch")) if name != "main" => ancestors(id, mainAnc)
+        }.flatten.toSet
         val pool = info.snapshots
-          .filterNot(n => stagedHeads(n.get("snapshot-id").asLong))
+          .filterNot(n => staged(n.get("snapshot-id").asLong))
         val eligible = if (pool.nonEmpty) pool else info.snapshots
         parseSnapshot(eligible.maxBy(_.get("timestamp-ms").asLong), info, skipSchema)
     }

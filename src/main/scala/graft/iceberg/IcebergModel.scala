@@ -54,6 +54,11 @@ object IcebergModel {
       partition: Map[String, Any] = Map.empty,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      // Iceberg spec null_value_counts (field id → count of nulls in that
+      // column). Consumed by equality-delete scoping: a delete file with a
+      // RECORDED ZERO null count for every key column can be ruled out by
+      // bounds alone (a null data key then matches no delete row).
+      nullCounts: Map[Int, Long] = Map.empty,
       equalityIds: Seq[Int] = Seq.empty,
       sequenceNumber: Option[Long] = None) {
     /** The effective data sequence number under inheritance. */

@@ -371,6 +371,46 @@ object IcebergPruning {
         keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema))
     }
 
+  /** Equality-delete scoping: a predicate over DATA-file entries that is
+    * true when the file MAY contain a row whose key columns equal some
+    * row of the given delete files. Sound only through recorded stats: a
+    * key column can prove disjointness iff EVERY delete file records
+    * bounds AND a zero null count for it (a null delete key matches data
+    * rows that bounds cannot see — null_value_counts absent ⇒ unknown ⇒
+    * unusable); the data file is ruled out iff some usable column's
+    * ranges are disjoint. Missing stats on the data side keep the file.
+    * Data-side nulls are safe: with zero delete-side nulls, a null data
+    * key matches no delete row regardless of ranges. */
+  def eqDeleteMayMatch(
+      deleteEntries: Seq[ManifestEntry],
+      keyCols: Seq[Column]): ManifestEntry => Boolean = {
+    def dec(dt: DataType, m: Map[Int, Array[Byte]], id: Int): Option[Any] =
+      m.get(id).flatMap(b => scala.util.Try(decodeBound(dt, b)).toOption.flatten)
+    def extreme(xs: Seq[Any], keepLeft: Int => Boolean): Option[Any] =
+      xs.foldLeft(xs.headOption) { (acc, x) =>
+        acc.flatMap(a => compare(a, x).map(c => if (keepLeft(c)) a else x))
+      }
+    val usable: Seq[(Int, DataType, Any, Any)] = keyCols.flatMap { c =>
+      val perFile = deleteEntries.map { e =>
+        (e.nullCounts.get(c.id).contains(0L),
+          dec(c.dataType, e.lowerBounds, c.id),
+          dec(c.dataType, e.upperBounds, c.id))
+      }
+      if (perFile.isEmpty ||
+          perFile.exists(p => !p._1 || p._2.isEmpty || p._3.isEmpty)) None
+      else for {
+        lo <- extreme(perFile.map(_._2.get), _ <= 0)
+        hi <- extreme(perFile.map(_._3.get), _ >= 0)
+      } yield (c.id, c.dataType, lo, hi)
+    }
+    e => usable.forall { case (id, dt, lo, hi) =>
+      val disjoint =
+        dec(dt, e.upperBounds, id).flatMap(x => compare(x, lo)).exists(_ < 0) ||
+        dec(dt, e.lowerBounds, id).flatMap(x => compare(x, hi)).exists(_ > 0)
+      !disjoint
+    }
+  }
+
   /** The residual Spark filter equivalent to `predicates` — always applied
     * on top of the pruned scan so pruning can never change semantics. */
   def residual(predicates: Seq[ColPredicate], schema: Seq[Column]): Option[SqlColumn] = {

@@ -2,7 +2,7 @@ package graft.iceberg
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -72,6 +72,11 @@ object IcebergScan {
     * reference GetPaths (iceberg_metadata.hpp:116-131). Entries of merged
     * manifests carry their own explicit sequence number; others inherit
     * the manifest's. */
+  /** Max affected-file count for the equality-delete scoped-join split —
+    * above this the membership IN-list would bloat the plan for little
+    * gain over the plain anti join. */
+  private val EqScopeMaxFiles = 2000
+
   private def livePaths(meta: TableMeta, manifestContent: Int, entryContent: Int,
                         opts: Options): Seq[(ManifestEntry, Long)] =
     meta.entries.collect {
@@ -114,7 +119,22 @@ object IcebergScan {
     // but never executes (iceberg_types.hpp:45 enum only) — implemented
     // here with the spec's sequence scoping (deletes apply to data files
     // whose sequence number is STRICTLY LESS than the delete's).
-    val eqEntries = livePaths(meta, manifestContent = 1, entryContent = 2, opts)
+    val eqEntriesAll = livePaths(meta, manifestContent = 1, entryContent = 2, opts)
+    // Equality-delete SCOPING, part 1 (driver-side, metadata-only): drop
+    // delete files that provably affect NO surviving data file — key
+    // bounds disjoint from every data file's (null-count-guarded,
+    // eqDeleteMayMatch), or no data file older than the delete's sequence
+    // number. A partition-local delete on a pruned scan of other
+    // partitions thus reads no delete file at all (visible in
+    // mode='list_files').
+    val eqEntries = eqEntriesAll.filter { case (e, delSeq) =>
+      val keyCols = e.equalityIds.flatMap(id => snapshot.schema.find(_.id == id))
+      if (keyCols.size != e.equalityIds.size || e.equalityIds.isEmpty) true
+      else {
+        val mayMatch = IcebergPruning.eqDeleteMayMatch(Seq(e), keyCols)
+        dataEntries.exists { case (de, dseq) => dseq < delSeq && mayMatch(de) }
+      }
+    }
     val dataPaths = dataEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     val deletePaths = deleteEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     val eqPaths = eqEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
@@ -200,9 +220,34 @@ object IcebergScan {
         .drop("__eq_qual")
       val eqCard = eqEntries.map(_._1.recordCount).sum
       eqDeleteGroups(spark, conf, path, opts, eqEntries, snapshot).foreach {
-        case (cols, delR) =>
+        case (cols, groupEntries, delR) =>
           val delB = if (eqCard <= opts.broadcastDeleteThreshold) broadcast(delR) else delR
-          cur = cur.join(delB, eqDeleteCond(cols), "left_anti")
+          // SCOPING, part 2 (per group): data files whose key bounds are
+          // disjoint from ALL of the group's delete files bypass the anti
+          // join entirely — a partition-local delete must not shuffle the
+          // whole table through the join when the delete side is too big
+          // to broadcast. The membership predicate on _metadata.file_path
+          // also file-prunes each branch's parquet scan. Bounded: above
+          // EqScopeMaxFiles affected files the split is skipped (a plan
+          // with a 100k-literal IN list would hurt more than the join).
+          val keyCols = cols.flatMap(n => snapshot.schema.find(_.name == n))
+          val mayMatch = IcebergPruning.eqDeleteMayMatch(groupEntries.map(_._1), keyCols)
+          val affected = dataEntries.filter { case (de, dseq) =>
+            groupEntries.exists { case (_, delSeq) => dseq < delSeq } && mayMatch(de)
+          }
+          if (affected.isEmpty) ()
+          else if (affected.size == dataEntries.size ||
+                   affected.size > EqScopeMaxFiles ||
+                   keyCols.size != cols.size)
+            cur = cur.join(delB, eqDeleteCond(cols), "left_anti")
+          else {
+            val affectedQual = affected.map { case (de, _) =>
+              qualify(resolved(path, de.filePath, opts))
+            }
+            val hit = col("__graft_file").isInCollection(affectedQual)
+            cur = cur.filter(!hit).unionByName(
+              cur.filter(hit).join(delB, eqDeleteCond(cols), "left_anti"))
+          }
       }
       cur = cur.drop("__data_seq")
     }
@@ -219,11 +264,12 @@ object IcebergScan {
     * writers) pay a schema read each, on the bounded pool. Each group
     * is ONE multi-path parquet read — at 100k delete files a per-file
     * loop would serialize 100k driver footer reads before the plan even
-    * composed. Returns (key columns, rows as __del_<c>… + __del_seq). */
+    * composed. Returns (key columns, the group's manifest entries, rows
+    * as __del_<c>… + __del_seq). */
   private def eqDeleteGroups(
       spark: SparkSession, conf: Configuration, path: String, opts: Options,
       entries: Seq[(ManifestEntry, Long)],
-      snapshot: Snapshot): Seq[(Seq[String], DataFrame)] = {
+      snapshot: Snapshot): Seq[(Seq[String], Seq[(ManifestEntry, Long)], DataFrame)] = {
     import spark.implicits._
     val qualify: String => String = IcebergIO.qualified(_, conf)
     val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
@@ -287,8 +333,8 @@ object IcebergScan {
       }.toDF("__del_path", "__del_seq")
       val del = pools.reduce(_ unionByName _)
         .join(broadcast(delSeqMap), "__del_path")
-      cols -> del.select(
-        cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
+      (cols, files, del.select(
+        cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*))
     }
   }
 
@@ -526,7 +572,7 @@ object IcebergScan {
           val eqCard = newEq.map(_._1.recordCount).sum
           val small = eqCard <= opts.broadcastDeleteThreshold
           eqDeleteGroups(spark, conf, root, opts, newEq, to).foreach {
-            case (kcols, delR) =>
+            case (kcols, _, delR) =>
               val delB = if (small) broadcast(delR) else delR
               hits :+= withSeq.join(delB, eqDeleteCond(kcols), "left_semi")
                 .select(provCols: _*)
@@ -544,28 +590,57 @@ object IcebergScan {
     // row and keep nonzero nets. Identical rows rewritten into new files
     // (compaction churn, no-op re-upserts) cancel multiset-exactly, and
     // each candidate scan executes ONCE — an exceptAll pair would re-run
-    // every scan plan twice. Group-by cannot key on maps, so top-level
-    // map columns travel as sorted entry arrays and are restored after
-    // the diff; maps nested deeper have no groupable canonical form.
+    // every scan plan twice. Group-by cannot key on maps, so every map —
+    // at ANY nesting depth (top-level, struct member, array element, map
+    // key/value) — travels as a key-sorted entry array (unique keys ⇒
+    // deterministic order ⇒ groupable) and is restored after the diff.
     def containsMap(dt: DataType): Boolean = dt match {
       case _: MapType => true
       case s: StructType => s.fields.exists(f => containsMap(f.dataType))
       case a: ArrayType => containsMap(a.elementType)
       case _ => false
     }
-    schema.fields.foreach { f =>
-      val nested = f.dataType match {
-        case m: MapType => containsMap(m.keyType) || containsMap(m.valueType)
-        case other => containsMap(other)
-      }
-      require(!nested,
-        s"changelog: column '${f.name}' nests a map inside another type — not supported")
+    def canonType(dt: DataType): DataType = dt match {
+      case m: MapType => ArrayType(StructType(Seq(
+        StructField("key", canonType(m.keyType), nullable = false),
+        StructField("value", canonType(m.valueType), m.valueContainsNull))),
+        containsNull = false)
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = canonType(f.dataType))))
+      case a: ArrayType => a.copy(elementType = canonType(a.elementType))
+      case other => other
+    }
+    def canonCol(c: Column, dt: DataType): Column = dt match {
+      case m: MapType =>
+        array_sort(transform(map_entries(c), e =>
+          struct(canonCol(e("key"), m.keyType).as("key"),
+                 canonCol(e("value"), m.valueType).as("value"))))
+      case s: StructType if containsMap(s) =>
+        // struct(...) of a NULL struct would fabricate a struct of nulls
+        when(c.isNull, lit(null).cast(canonType(s))).otherwise(
+          struct(s.fields.toSeq.map(f => canonCol(c(f.name), f.dataType).as(f.name)): _*))
+      case a: ArrayType if containsMap(a) =>
+        transform(c, x => canonCol(x, a.elementType))
+      case _ => c
+    }
+    def restoreCol(c: Column, dt: DataType): Column = dt match {
+      case m: MapType =>
+        map_from_entries(transform(c, e =>
+          struct(restoreCol(e("key"), m.keyType).as("key"),
+                 restoreCol(e("value"), m.valueType).as("value"))))
+      case s: StructType if containsMap(s) =>
+        when(c.isNull, lit(null).cast(s)).otherwise(
+          struct(s.fields.toSeq.map(f => restoreCol(c(f.name), f.dataType).as(f.name)): _*))
+      case a: ArrayType if containsMap(a) =>
+        transform(c, x => restoreCol(x, a.elementType))
+      case _ => c
     }
     val mapCols = schema.fields.collect {
-      case f if f.dataType.isInstanceOf[MapType] => f.name
+      case f if containsMap(f.dataType) => f.name -> f.dataType
     }.toSeq
     def canon(df: DataFrame): DataFrame =
-      mapCols.foldLeft(df)((d, c) => d.withColumn(c, array_sort(map_entries(col(c)))))
+      mapCols.foldLeft(df) { case (d, (c, dt)) =>
+        d.withColumn(c, canonCol(col(c), dt)) }
     val names = schema.fieldNames.toSeq
     val tagged = canon(addedLive).withColumn("__tag", lit(1L))
       .unionByName(canon(removedLive).withColumn("__tag", lit(-1L)))
@@ -577,7 +652,8 @@ object IcebergScan {
       .withColumn("_change_type", when(col("__net") > 0, "insert").otherwise("delete"))
       .withColumn("__i", explode(expr("sequence(1L, abs(__net))")))
       .drop("__net", "__i")
-    mapCols.foldLeft(rows)((d, c) => d.withColumn(c, map_from_entries(col(c))))
+    mapCols.foldLeft(rows) { case (d, (c, dt)) =>
+        d.withColumn(c, restoreCol(col(c), dt)) }
       .select(names.map(col) :+ col("_change_type"): _*)
   }
 
@@ -603,9 +679,13 @@ object IcebergScan {
     // Enumerate the commits by walking parent-snapshot-id from `to` back
     // to `from` — a sequence-number window would sweep in concurrent
     // commits on OTHER branches, which are not part of this lineage.
-    // Tables whose parent links don't reach `from` (expired intermediate
-    // history, or foreign v1 metadata without parent ids) fall back to
-    // the sequence window over snapshots that do carry one.
+    // Ref-less tables whose parent links don't reach `from` (expired
+    // intermediate history, or foreign v1 metadata without parent ids)
+    // fall back to the sequence window over snapshots that do carry one —
+    // safe there because a ref-less table has a single lineage by
+    // construction. On a REFS table the same fallback could attribute
+    // concurrent other-branch commits to this window, so it fails loudly
+    // instead of silently producing a wrong attribution.
     val nodeById = info.snapshots
       .map(n => n.get("snapshot-id").asLong -> n).toMap
     def parentOf(id: Long): Option[Long] =
@@ -622,6 +702,12 @@ object IcebergScan {
       }
       if (cursor.contains(from.snapshotId)) Some(chain) else None
     }
+    if (ancestry.isEmpty && info.refs.nonEmpty)
+      throw new java.io.IOException(
+        s"changelogBySnapshot: no parent-snapshot-id chain from ${to.snapshotId} " +
+          s"back to $fromSnapshotId on this refs table (expired intermediate " +
+          "history, or bounds on different branches) — per-commit attribution " +
+          "would be ambiguous. Use changelog() for the net window instead.")
     val inWindow = ancestry.getOrElse {
       IcebergMetadataParser.allSnapshots(info)
         .filter(s => s.sequenceNumber > from.sequenceNumber &&
@@ -632,10 +718,21 @@ object IcebergScan {
     val bounds = from.snapshotId +: inWindow
     if (inWindow.isEmpty) {
       // empty window: build the zero-row frame from the already-loaded
-      // metadata instead of running a full (two manifest-tree) diff
+      // metadata instead of running a full (two manifest-tree) diff. The
+      // frame's schema follows the SAME to-bound rule as the non-empty
+      // path (changelog()): ref name → byRef (tag = pinned schema),
+      // explicit non-head id → declared schema, else current.
+      val isMainHead: Long => Boolean =
+        id => info.refs.get("main").exists(_._1 == id)
       val toSchema = IcebergSchemaParser.toStructType(
-        IcebergMetadataParser.byId(info, to.snapshotId, skipSchema = false,
-          useDeclaredSchema = false).schema)
+        ((toSnapshotId, opts.snapshotFromRef) match {
+          case (Some(id), _) =>
+            IcebergMetadataParser.byId(info, id, skipSchema = false,
+              useDeclaredSchema = !isMainHead(id))
+          case (None, Some(name)) =>
+            IcebergMetadataParser.byRef(info, name, skipSchema = false)
+          case _ => IcebergMetadataParser.latest(info, skipSchema = false)
+        }).schema)
       val schema = StructType(toSchema.fields.toSeq :+
         StructField("_change_type", StringType) :+
         StructField("_commit_snapshot_id", LongType))

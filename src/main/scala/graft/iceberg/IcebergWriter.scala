@@ -91,10 +91,18 @@ object IcebergWriter {
     val sid = Option(root.get("current-schema-id")).map(_.asInt).getOrElse(0)
     val schemas = Option(root.get("schemas"))
       .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    // An unresolvable current-schema-id must FAIL, not guess: reusing ids
+    // from an arbitrary (first) schema would desync the emitted schema
+    // ids from the files written under the real current schema. A
+    // single-schema list without a matching id stays accepted (legacy
+    // metadata, same leniency as parseSchemaById).
     val schemaNode = schemas
       .find(s => Option(s.get("schema-id")).exists(_.asInt == sid))
-      .orElse(schemas.headOption)
+      .orElse(if (schemas.size == 1) schemas.headOption else None)
       .orElse(Option(root.get("schema"))) // legacy v1 single-schema object
+    if (schemaNode.isEmpty && schemas.nonEmpty)
+      throw new IllegalArgumentException(
+        s"current-schema-id $sid matches no schema in the metadata's schemas list")
     schemaNode.foreach(s => walkFields(s.get("fields"), ""))
     out.toMap
   }
@@ -257,6 +265,10 @@ object IcebergWriter {
               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
            "default":null},
           {"name":"upper_bounds","type":["null",{"type":"array","items":"k126_v127"}],
+           "default":null},
+          {"name":"null_value_counts","type":["null",{"type":"array","items":
+            {"type":"record","name":"k121_v122","fields":[
+              {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
            "default":null},
           {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
            "default":null}
@@ -461,7 +473,8 @@ object IcebergWriter {
   private final case class WrittenFile(
       path: String, count: Long,
       partition: Map[String, Any],
-      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      nulls: Map[Int, Long] = Map.empty)
 
   /** Parquet statistics value → the bound domain [[IcebergPruning.encodeBound]]
     * accepts. Unhandled types / NaN → None (no bound emitted → no pruning
@@ -494,30 +507,44 @@ object IcebergWriter {
     * bounds conservative by construction. */
   private def footerStats(
       st: FileStatus, conf: Configuration,
-      fields: Map[String, (Int, DataType)]): (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+      fields: Map[String, (Int, DataType)]): (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
     val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
     try {
       val lower = scala.collection.mutable.Map.empty[Int, (DataType, Any)]
       val upper = scala.collection.mutable.Map.empty[Int, (DataType, Any)]
+      // null counts sum across row groups; a single chunk without stats
+      // poisons its column (None = unknown, NOT zero — emitting 0 for an
+      // unknown would let eq-delete scoping wrongly rule files out)
+      val nulls = scala.collection.mutable.Map.empty[Int, Option[Long]]
       for {
         block <- r.getFooter.getBlocks.asScala
         chunk <- block.getColumns.asScala
         (id, dt) <- fields.get(chunk.getPath.toDotString)
         stats = chunk.getStatistics
-        if stats != null && !stats.isEmpty && stats.hasNonNullValue
       } {
-        statValue(dt, stats.genericGetMin).foreach { v =>
-          lower(id) = lower.get(id).filter(p => cmp(p._2, v) <= 0).getOrElse((dt, v))
+        val chunkNulls =
+          if (stats != null && !stats.isEmpty && stats.isNumNullsSet)
+            Some(stats.getNumNulls)
+          else None
+        nulls(id) = (nulls.getOrElse(id, Some(0L)), chunkNulls) match {
+          case (Some(a), Some(b)) => Some(a + b)
+          case _ => None
         }
-        statValue(dt, stats.genericGetMax).foreach { v =>
-          upper(id) = upper.get(id).filter(p => cmp(p._2, v) >= 0).getOrElse((dt, v))
+        if (stats != null && !stats.isEmpty && stats.hasNonNullValue) {
+          statValue(dt, stats.genericGetMin).foreach { v =>
+            lower(id) = lower.get(id).filter(p => cmp(p._2, v) <= 0).getOrElse((dt, v))
+          }
+          statValue(dt, stats.genericGetMax).foreach { v =>
+            upper(id) = upper.get(id).filter(p => cmp(p._2, v) >= 0).getOrElse((dt, v))
+          }
         }
       }
       def enc(m: scala.collection.Map[Int, (DataType, Any)]) =
         m.flatMap { case (id, (dt, v)) =>
           IcebergPruning.encodeBound(dt, v).map(id -> _)
         }.toMap
-      (r.getRecordCount, enc(lower), enc(upper))
+      (r.getRecordCount, enc(lower), enc(upper),
+        nulls.collect { case (id, Some(n)) => id -> n }.toMap)
     } finally r.close()
   }
 
@@ -552,8 +579,8 @@ object IcebergWriter {
         segs.find(_.startsWith(prefix))
           .map(seg => sf.fieldName -> parseDirValue(sf, seg.stripPrefix(prefix)))
       }.toMap
-      val (count, lower, upper) = footerStats(st, conf, fields)
-      WrittenFile(st.getPath.toString, count, partition, lower, upper)
+      val (count, lower, upper, nulls) = footerStats(st, conf, fields)
+      WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls)
     }
   }
 
@@ -657,6 +684,18 @@ object IcebergWriter {
         }
         if (e.lowerBounds.nonEmpty) dfr.put("lower_bounds", boundsArray(e.lowerBounds))
         if (e.upperBounds.nonEmpty) dfr.put("upper_bounds", boundsArray(e.upperBounds))
+        if (e.nullCounts.nonEmpty) {
+          val ncSchema = dataFileSchema.getField("null_value_counts").schema()
+            .getTypes.get(1)
+          val arr = new java.util.ArrayList[GenericRecord](e.nullCounts.size)
+          e.nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            val kv = new GenericData.Record(ncSchema.getElementType)
+            kv.put("key", k)
+            kv.put("value", v)
+            arr.add(kv)
+          }
+          dfr.put("null_value_counts", arr)
+        }
         if (e.equalityIds.nonEmpty)
           dfr.put("equality_ids", e.equalityIds.map(Int.box).asJava)
         val rec = new GenericData.Record(entrySchema)
@@ -1309,8 +1348,13 @@ object IcebergWriter {
     * Schema evolution: `df` may widen existing columns (int→long,
     * float→double, decimal precision) and may APPEND new columns — field
     * ids are positional, so existing columns keep their ids and old files
-    * read NULL for columns added after they were written. Renames,
-    * reorders, drops, and narrowings are rejected.
+    * read NULL for columns added after they were written. `renames`
+    * (table-column old → new) declares that an incoming column is an
+    * EXISTING column under a new name: the rename is committed first as a
+    * metadata-only schema evolution ([[renameColumns]] — same field id,
+    * new name) and the append then proceeds under the new schema, so old
+    * files keep resolving by id. Undeclared renames, reorders, drops,
+    * and narrowings are rejected.
     *
     * `sortBy` = write-time sort columns: rows are sorted within each
     * write partition (after any hive layout) and the sort order is
@@ -1323,9 +1367,18 @@ object IcebergWriter {
             summary: Map[String, String] = Map.empty,
             sortBy: Seq[String] = Seq.empty,
             options: Map[String, String] = Map.empty,
-            branch: String = "main"): Long = {
+            branch: String = "main",
+            renames: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
+    if (renames.nonEmpty) {
+      // commit the declared renames as a schema evolution FIRST, so the
+      // append below sees the incoming names as the table's current
+      // schema and existing field ids are reused (not re-assigned)
+      require(branch == "main",
+        "write: renames are a main-branch schema evolution (branch schemas are frozen)")
+      renameColumns(spark, path, renames)
+    }
     val state = loadState(path, conf)
     if (branch != "main") {
       // pre-flight EVERY branch guard (existence — appending to a missing
@@ -1375,7 +1428,8 @@ object IcebergWriter {
     writeManifest(manifestPath, conf, files.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     // the target BRANCH head's manifests carried forward + the new one
     val prevManifests: Seq[Manifest] = state match {
@@ -1395,6 +1449,60 @@ object IcebergWriter {
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
       summary = stdSummary ++ summary, sortBy = sortBy, branch = branch)
+  }
+
+  /** Metadata-only column rename (Iceberg spec "Schema Evolution":
+    * rename = keep the field id, change the name). The CURRENT schema is
+    * re-emitted with `renames` (old → new) applied to its top-level field
+    * names — every field id, type, and nested structure unchanged — under
+    * a fresh schema-id that becomes current. No snapshot is added: data
+    * and manifests are untouched. Old data files keep resolving because
+    * reads are field-id-keyed ([[IcebergSchemaParser.toStructType]]), and
+    * older snapshots keep their own schema-id, so time travel still shows
+    * the historical name. Partition specs and sort orders reference
+    * source ids, not names, and carry forward verbatim. */
+  def renameColumns(spark: SparkSession, path: String,
+                    renames: Map[String, String]): Unit = {
+    require(renames.nonEmpty, "renameColumns: empty rename map")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"renameColumns: no Iceberg table at $path"))
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val schemasNode = Option(root.get("schemas"))
+      .collect { case a: ArrayNode => a }
+      .getOrElse(throw new IllegalArgumentException(
+        "renameColumns: metadata carries no schemas array"))
+    val current = schemasNode.elements.asScala.toSeq
+      .find(s => Option(s.get("schema-id")).exists(_.asInt == state.info.schemaId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"renameColumns: current schema id ${state.info.schemaId} not found"))
+    val names = current.get("fields").elements.asScala.map(_.get("name").asText).toSeq
+    renames.keys.foreach(o => require(names.contains(o),
+      s"renameColumns: no column '$o' in the current schema (has $names)"))
+    val resulting = names.map(n => renames.getOrElse(n, n))
+    require(resulting.distinct.size == resulting.size,
+      s"renameColumns: resulting names collide: $resulting")
+    val renamed = current.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    renamed.get("fields").elements.asScala.foreach { f =>
+      val fo = f.asInstanceOf[ObjectNode]
+      renames.get(fo.get("name").asText).foreach(fo.put("name", _))
+    }
+    // an all-no-op rename (or a rename back) reuses the matching schema's id
+    val matched = schemasNode.elements.asScala.toSeq.find(s =>
+      s.get("fields").toString == renamed.get("fields").toString)
+    val newId = matched.map(_.get("schema-id").asInt).getOrElse(
+      schemasNode.elements.asScala.map(_.get("schema-id").asInt).max + 1)
+    renamed.put("schema-id", newId)
+    if (matched.isEmpty) schemasNode.add(renamed)
+    root.put("current-schema-id", newId)
+    root.put("last-updated-ms", state.nextTsMs)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
   }
 
   /** Snapshot-summary key prefix for the streaming sink's batch-id
@@ -1523,12 +1631,20 @@ object IcebergWriter {
       c.as(f.name, md)
     }: _*)
     stamped.distinct().write.parquet(delDir.toString)
-    val counts = footerCounts(delDir, conf)
+    // key-column bounds + null counts from the delete files' footers →
+    // the scan's equality-delete scoping can skip data files whose key
+    // ranges provably overlap no delete row (IcebergScan.eqDeleteScope)
+    val fields = keys.schema.fieldNames.map { n =>
+      n -> (idByName(n), byName(n).dataType)
+    }.toMap
+    val files = collectFiles(delDir, conf, Seq.empty, fields)
     val eqIds = keys.schema.fieldNames.toSeq.map(idByName)
     val manifestPath = new Path(path, s"metadata/$manifestName")
-    writeManifest(manifestPath, conf, counts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 2, filePath = f, // EQUALITY_DELETES
-        fileFormat = "PARQUET", recordCount = n, equalityIds = eqIds)
+    writeManifest(manifestPath, conf, files.map { w =>
+      ManifestEntry(status = 1, content = 2, filePath = w.path, // EQUALITY_DELETES
+        fileFormat = "PARQUET", recordCount = w.count,
+        lowerBounds = w.lower, upperBounds = w.upper, nullCounts = w.nulls,
+        equalityIds = eqIds)
     })
     manifestPath
   }
@@ -1599,7 +1715,8 @@ object IcebergWriter {
     writeManifest(dataManifest, conf, dataFiles.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
     writeManifest(delManifest, conf, delCounts.map { case (f, n) =>
@@ -1687,7 +1804,8 @@ object IcebergWriter {
       writeManifest(dataManifest, conf, dataFiles.map { w =>
         ManifestEntry(status = 1, content = 0, filePath = w.path,
           fileFormat = "PARQUET", recordCount = w.count,
-          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
       }, spec.map(sf => (sf.fieldName, sf.avroType)))
       val prevManifests = ManifestReader.readManifestList(
         latest.manifestList, conf, latest.formatVersion)
@@ -1733,7 +1851,8 @@ object IcebergWriter {
     writeManifest(addedPath, conf, dataFiles.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper)
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val deletedPath = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
     writeManifest(deletedPath, conf,

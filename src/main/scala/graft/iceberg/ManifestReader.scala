@@ -119,6 +119,27 @@ object ManifestReader {
         partition = partition,
         lowerBounds = boundsMap(fieldOrNull(df, "lower_bounds")),
         upperBounds = boundsMap(fieldOrNull(df, "upper_bounds")),
+        nullCounts = fieldOrNull(df, "null_value_counts") match {
+          case c: java.util.Collection[_] =>
+            c.asScala.toSeq.collect {
+              case kv: GenericRecord => kv.get("key") match {
+                case k: java.lang.Integer => Some(k.intValue -> (kv.get("value") match {
+                  case v: java.lang.Long => v.longValue
+                  case v: java.lang.Integer => v.longValue
+                  case _ => 0L
+                }))
+                case _ => None
+              }
+            }.flatten.toMap
+          case m: java.util.Map[_, _] => // Avro map encoding (foreign writers)
+            m.asScala.toSeq.flatMap { case (k, v) =>
+              (scala.util.Try(k.toString.toInt).toOption, v) match {
+                case (Some(id), n: java.lang.Number) => Some(id -> n.longValue)
+                case _ => None
+              }
+            }.toMap
+          case _ => Map.empty[Int, Long]
+        },
         equalityIds = fieldOrNull(df, "equality_ids") match {
           case c: java.util.Collection[_] =>
             c.asScala.toSeq.collect { case i: java.lang.Integer => i.intValue }

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -130,6 +131,45 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = log.select(col("p_partkey"), element_at(col("attrs"), "brand").as("b"))
     val want = rows(50, 80).select(col("p_partkey"), element_at(col("attrs"), "brand").as("b"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("nested maps (struct<map>, array<map>, map<_,map>) diff and restore " +
+       "at any depth") {
+    val table = Files.createTempDirectory("graft_cdc_nm_").toString + "/t"
+    val part = Tables.load(spark, Sf, "part")
+    def rows(lo: Int, hi: Int) = part
+      .filter(col("p_partkey") >= lo && col("p_partkey") < hi)
+      .select(col("p_partkey"),
+        struct(col("p_brand").as("brand"),
+          map(lit("type"), col("p_type")).as("m")).as("info"),
+        array(map(lit("size"), col("p_size").cast("string")),
+          map(lit("name"), col("p_name"))).as("tags"),
+        map(lit("outer"), map(lit("price"), col("p_retailprice").cast("string")))
+          .as("nested"))
+    val snap1 = IcebergWriter.write(rows(0, 40), table)
+    IcebergWriter.write(rows(40, 70), table)
+    IcebergWriter.delete(spark, table, col("p_partkey") < 10)
+
+    val log = IcebergScan.changelog(spark, table, fromSnapshotId = snap1)
+    // types restore to the declared shapes
+    assert(log.schema("info").dataType.asInstanceOf[StructType]("m")
+      .dataType.isInstanceOf[MapType])
+    assert(log.schema("tags").dataType.asInstanceOf[ArrayType]
+      .elementType.isInstanceOf[MapType])
+    assert(log.schema("nested").dataType.asInstanceOf[MapType]
+      .valueType.isInstanceOf[MapType])
+    // net diff equals the brute-force diff, values intact at every depth
+    val probe = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("p_partkey"),
+      element_at(col("info.m"), "type").as("t"),
+      element_at(element_at(col("tags"), 1), "size").as("s"),
+      element_at(element_at(col("nested"), "outer"), "price").as("g"))
+    val ins = probe(log.filter(col("_change_type") === "insert"))
+    val del = probe(log.filter(col("_change_type") === "delete"))
+    val wantIns = probe(rows(40, 70))
+    val wantDel = probe(rows(0, 10))
+    assert(ins.exceptAll(wantIns).isEmpty && wantIns.exceptAll(ins).isEmpty)
+    assert(del.exceptAll(wantDel).isEmpty && wantDel.exceptAll(del).isEmpty)
   }
 
   test("changelogBySnapshot attributes each change to its commit") {

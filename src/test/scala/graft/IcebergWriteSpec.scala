@@ -490,6 +490,51 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delRelations.head.location.rootPaths.count(_.toString.contains("-eqdeletes")) === 4)
   }
 
+  test("equality-delete scoping: a partition-local delete is invisible to " +
+       "scans of other partitions and bypasses the join for unaffected files") {
+    val table = Files.createTempDirectory("graft_weqs_").toString + "/t"
+    val events = Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+      .select("event_id", "user_id", "event_type", "dt")
+    val days = events.select("dt").distinct().orderBy("dt")
+      .collect().map(_.getDate(0)).toSeq
+    val (d0, d1) = (days.head, days(1))
+    IcebergWriter.write(events.repartition(8, col("dt")), table,
+      partitionBy = Seq("dt" -> "day"))
+
+    // equality delete scoped (by its key bounds) to day d0 only
+    IcebergWriter.deleteEquality(spark, table,
+      events.filter(col("dt") === d0).select("dt").distinct())
+
+    // scan pruned to d1: the delete file is NOT read (part 1, metadata
+    // scoping — bounds disjoint), so list_files shows zero delete files
+    import graft.iceberg.IcebergPruning.{ColPredicate, Eq}
+    val lf = IcebergScan.scan(spark, table, Options(mode = "list_files",
+      filters = Seq(ColPredicate("dt", Eq, d1.toString)))).collect()
+    assert(lf.nonEmpty && lf.forall(_.getString(1) === "data"), lf.mkString("\n"))
+
+    // unpruned scan: d0 rows gone, every other day intact
+    val scanned = IcebergScan.scan(spark, table)
+    assert(scanned.filter(col("dt") === d0).count() === 0)
+    assert(scanned.count() === events.filter(col("dt") =!= d0).count())
+    // part 2: the plan splits — unaffected files bypass the anti join
+    // (a Union with exactly one LeftAnti branch), instead of funneling
+    // every partition's rows through the join
+    val plan = scanned.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"), plan.take(3000))
+    assert("LeftAnti".r.findAllIn(plan).size === 1, plan.take(3000))
+
+    // delete files written with key bounds + zero null counts recorded
+    val eqEntry = graft.iceberg.ManifestReader.loadTable(
+      table, graft.iceberg.IcebergMetadataParser.latest(
+        IcebergScan.loadInfo(spark, table)),
+      spark.sessionState.newHadoopConf(), allowMovedPaths = false)
+      .entries.flatMap(_._2).filter(_.content === 2)
+    assert(eqEntry.nonEmpty)
+    assert(eqEntry.forall(e => e.lowerBounds.nonEmpty && e.upperBounds.nonEmpty &&
+      e.nullCounts.values.forall(_ === 0L)))
+  }
+
   test("snapshot expiration and rollback are metadata-only and keep the current state") {
     val table = Files.createTempDirectory("graft_wx_").toString + "/t"
     val nation = Tables.load(spark, Sf, "nation")
@@ -726,6 +771,51 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     IcebergWriter.write(nation, table)
     assert(IcebergScan.scan(spark, table).count() === 3 * n)
     assert(graft.iceberg.IcebergIO.readString(hint.toString, conf).trim === "3")
+  }
+
+  test("column rename via field ids: metadata-only, rename-append, " +
+       "time travel keeps the historical name") {
+    val table = Files.createTempDirectory("graft_ren_").toString + "/nation_ren"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap1 = IcebergWriter.write(nation, table)
+
+    // metadata-only rename: no new snapshot, latest scan shows the new
+    // name, and OLD data files resolve through their unchanged field id
+    IcebergWriter.renameColumns(spark, table, Map("n_name" -> "nation_name"))
+    val renamed = IcebergScan.scan(spark, table)
+    assert(renamed.columns.contains("nation_name") && !renamed.columns.contains("n_name"))
+    assert(renamed.count() === nation.count())
+    assert(renamed.select("nation_name").exceptAll(nation.select("n_name")).isEmpty)
+    assert(IcebergScan.snapshots(spark, table).count() === 1) // metadata-only
+
+    // rename-append in one call: second generation written under the new
+    // name; both generations read under it
+    val gen2 = nation.withColumnRenamed("n_name", "nation_label")
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    IcebergWriter.write(gen2, table, renames = Map("nation_name" -> "nation_label"))
+    val both = IcebergScan.scan(spark, table)
+    assert(both.columns.contains("nation_label"))
+    assert(both.count() === 2 * nation.count())
+    assert(both.select("nation_label").distinct().exceptAll(
+      nation.select("n_name").distinct()).isEmpty)
+
+    // time travel to the first snapshot reads its DECLARED schema — the
+    // historical name — and the same rows
+    val t1 = IcebergScan.scan(spark, table, Options(snapshotId = Some(snap1)))
+    assert(t1.columns.contains("n_name") && !t1.columns.contains("nation_label"))
+    assert(t1.count() === nation.count())
+
+    // invalid renames fail loudly
+    intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumns(spark, table, Map("no_such_col" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumns(spark, table, Map("nation_label" -> "n_regionkey"))
+    }
+    // an UNDECLARED rename on append is still rejected
+    intercept[IllegalArgumentException] {
+      IcebergWriter.write(nation.withColumnRenamed("n_name", "sneaky"), table)
+    }
   }
 
   test("append with a mismatched schema is rejected") {
