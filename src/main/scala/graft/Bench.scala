@@ -66,6 +66,7 @@ object Bench {
     // which makes real regressions indistinguishable from contention. The
     // min of two runs is the contention-free estimate.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).iterator.takeWhile(_ => !errors.contains(name)).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -76,12 +77,23 @@ object Bench {
           None
         }
       }.toSeq
+      allRuns(name) = times
       // ANY failed run marks the query failed — a success-then-failure
       // sequence must not smuggle its run-1 timing into the artifact
       name -> (if (errors.contains(name) || times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Every run's timing per query (not just the min): a >2x spread inside
+    // one artifact flags machine contention by itself, instead of needing
+    // an idle re-run to diagnose (round-6 d06: 9.5 s driver vs 2.6 s idle).
+    val spread = allRuns.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t =>
+        "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val maxSpreadRatio = allRuns.values.collect {
+      case ts if ts.size >= 2 && ts.min > 0 => ts.max / ts.min
+    }.maxOption.getOrElse(1.0)
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -89,7 +101,10 @@ object Bench {
     // count, -1 timing) AND in the exit code — the old harness logged to
     // stderr and exited 0, so a broken query benched as "fast".
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""failed":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      s""""failed":${errors.size},"errors":$errs,"queries":$qs,""" +
+      s""""spread":$spread,"max_spread_ratio":""" +
+      "%.2f".formatLocal(java.util.Locale.ROOT, maxSpreadRatio) +
+      s""","sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()
