@@ -114,7 +114,23 @@ object IcebergScan {
       opts.filters, snapshot.partitionSpec, snapshot.schema)
       .map(_.filePath).toSet
     val dataEntries = dataWithSeq.filter { case (e, _) => keptPaths(e.filePath) }
-    val deleteEntries = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
+    val deleteEntriesAll = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
+    // Position-delete SCOPING (driver-side): a delete file recording
+    // `file_path` bounds under the reserved id (spec: 2147483546) is
+    // dropped when no surviving data file's manifest path falls in that
+    // range — a pruned scan of untouched partitions then reads zero
+    // position-delete files. Bounds absent (foreign writers) → keep.
+    val deleteEntries = deleteEntriesAll.filter { case (e, _) =>
+      val id = IcebergWriter.PosDeleteFilePathFieldId
+      (e.lowerBounds.get(id).map(new String(_, "UTF-8")),
+       e.upperBounds.get(id).map(new String(_, "UTF-8"))) match {
+        case (Some(lo), Some(hi)) => dataEntries.exists { case (de, _) =>
+          IcebergPruning.utf8Compare(de.filePath, lo) >= 0 &&
+          IcebergPruning.utf8Compare(de.filePath, hi) <= 0
+        }
+        case _ => true
+      }
+    }
     // Equality deletes (content==2): the capability the reference defines
     // but never executes (iceberg_types.hpp:45 enum only) — implemented
     // here with the spec's sequence scoping (deletes apply to data files

@@ -584,21 +584,18 @@ object IcebergWriter {
     }
   }
 
-  /** Per-file row counts only (delete files need no bounds); footers read
-    * on the shared bounded pool. */
-  private def footerCounts(dir: Path, conf: Configuration): Seq[(String, Long)] = {
-    import scala.concurrent.duration._
-    val fs = dir.getFileSystem(conf)
-    val files = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.toString)
-    val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
-    val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
-    DriverPool.mapParallel(files, parallelism, timeout, "graft-footer-read") { st =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-      try (st.getPath.toString, r.getRecordCount) finally r.close()
-    }
-  }
+  /** Iceberg reserved field id of the `file_path` column in position-delete
+    * files (spec "Reserved field ids"): bounds recorded under it let a
+    * planner skip delete files whose target-path range can't intersect the
+    * scan's surviving data files. */
+  private[iceberg] val PosDeleteFilePathFieldId = 2147483546
+
+  /** Position-delete files under `dir` with `file_path` bounds from their
+    * footers keyed by the reserved id — the stats the scan's
+    * position-delete scoping consumes. */
+  private def posDeleteFiles(dir: Path, conf: Configuration): Seq[WrittenFile] =
+    collectFiles(dir, conf, Seq.empty,
+      Map("file_path" -> (PosDeleteFilePathFieldId, StringType)))
 
   /** Distributed parquet write (with field ids; hive-partitioned when the
     * spec is non-empty) → written-file stats for the manifest.
@@ -1563,12 +1560,13 @@ object IcebergWriter {
 
     val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
     positions.write.parquet(delDir.toString)
-    val fileCounts = footerCounts(delDir, conf)
+    val delFiles = posDeleteFiles(delDir, conf)
 
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(manifestPath, conf, fileCounts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 1, filePath = f, // POSITION_DELETES
-        fileFormat = "PARQUET", recordCount = n)
+    writeManifest(manifestPath, conf, delFiles.map { w =>
+      ManifestEntry(status = 1, content = 1, filePath = w.path, // POSITION_DELETES
+        fileFormat = "PARQUET", recordCount = w.count,
+        lowerBounds = w.lower, upperBounds = w.upper)
     })
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
@@ -1697,7 +1695,7 @@ object IcebergWriter {
       .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
     val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
     positions.write.parquet(delDir.toString)
-    val delCounts = footerCounts(delDir, conf)
+    val delFiles = posDeleteFiles(delDir, conf)
 
     // updated versions of the matched rows — written under the table's
     // CURRENT partition spec (like merge): an update that dropped the
@@ -1719,9 +1717,10 @@ object IcebergWriter {
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
-    writeManifest(delManifest, conf, delCounts.map { case (f, n) =>
-      ManifestEntry(status = 1, content = 1, filePath = f,
-        fileFormat = "PARQUET", recordCount = n)
+    writeManifest(delManifest, conf, delFiles.map { w =>
+      ManifestEntry(status = 1, content = 1, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count,
+        lowerBounds = w.lower, upperBounds = w.upper)
     })
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)

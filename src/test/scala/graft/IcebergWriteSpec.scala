@@ -533,6 +533,23 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eqEntry.nonEmpty)
     assert(eqEntry.forall(e => e.lowerBounds.nonEmpty && e.upperBounds.nonEmpty &&
       e.nullCounts.values.forall(_ === 0L)))
+
+    // POSITION deletes scope the same way via file_path bounds (reserved
+    // id): a delete on day d0's rows is invisible to a scan pruned to d1
+    IcebergWriter.delete(spark, table,
+      col("dt") === d1 && col("event_id") % 2 === 0)
+    val lfd0 = IcebergScan.scan(spark, table, Options(mode = "list_files",
+      filters = Seq(ColPredicate("dt", Eq, days(2).toString)))).collect()
+    assert(lfd0.nonEmpty && lfd0.forall(_.getString(1) === "data"),
+      lfd0.mkString("\n"))
+    val lfd1 = IcebergScan.scan(spark, table, Options(mode = "list_files",
+      filters = Seq(ColPredicate("dt", Eq, d1.toString)))).collect()
+    assert(lfd1.exists(_.getString(1) === "delete"), lfd1.mkString("\n"))
+    // and the MoR subtraction is still exact
+    val live = IcebergScan.scan(spark, table)
+    assert(live.filter(col("dt") === d1 && col("event_id") % 2 === 0).count() === 0)
+    assert(live.filter(col("dt") === d1).count() ===
+      events.filter(col("dt") === d1 && col("event_id") % 2 =!= 0).count())
   }
 
   test("snapshot expiration and rollback are metadata-only and keep the current state") {
