@@ -104,6 +104,39 @@ object IcebergWriter {
       throw new IllegalArgumentException(
         s"current-schema-id $sid matches no schema in the metadata's schemas list")
     schemaNode.foreach(s => walkFields(s.get("fields"), ""))
+    // Ids used by ANY historical schema (dropped columns) and the
+    // last-column-id high-water mark stay RESERVED under sentinel keys:
+    // assignIds treats prev.values as taken, so a new column can never
+    // reuse a dropped column's id — which would resurrect the old files'
+    // values under the new name. Sentinels never collide with real
+    // column paths (they contain characters our writer rejects).
+    val taken = out.values.toSet
+    val probe = scala.collection.mutable.Map.empty[String, Int]
+    def probeFields(fields: JsonNode, prefix: String): Unit =
+      fields.elements.asScala.foreach { f =>
+        val p = prefix + f.get("name").asText
+        Option(f.get("id")).foreach(id => probe(p) = id.asInt)
+        probeType(f.get("type"), p + ".")
+      }
+    def probeType(node: JsonNode, prefix: String): Unit =
+      if (node != null && node.isObject) node.get("type").asText match {
+        case "struct" => probeFields(node.get("fields"), prefix)
+        case "list" =>
+          Option(node.get("element-id")).foreach(id => probe(prefix + "element") = id.asInt)
+          probeType(node.get("element"), prefix + "element.")
+        case "map" =>
+          Option(node.get("key-id")).foreach(id => probe(prefix + "key") = id.asInt)
+          probeType(node.get("key"), prefix + "key.")
+          Option(node.get("value-id")).foreach(id => probe(prefix + "value") = id.asInt)
+          probeType(node.get("value"), prefix + "value.")
+        case _ => ()
+      }
+    schemas.foreach(s => Option(s.get("fields")).foreach(probeFields(_, "")))
+    probe.values.filterNot(taken).toSet
+      .foreach((id: Int) => out(s"__dropped#$id") = id)
+    Option(root.get("last-column-id")).map(_.asInt)
+      .filter(last => out.values.forall(_ < last))
+      .foreach(last => out("__reserved#last") = last)
     out.toMap
   }
 
@@ -856,7 +889,12 @@ object IcebergWriter {
       schemaNode.put("type", "struct")
       schemaNode.set[JsonNode]("fields", newFields)
     }
-    root.put("last-column-id", (assigned.values.toSeq :+ schema.fields.length).max)
+    // monotone across drops: the high-water mark never falls below a
+    // previously-issued id, so dropped ids stay unreusable forever
+    val prevLastColId = state.flatMap(_.rootNode)
+      .flatMap(r => Option(r.get("last-column-id")).map(_.asInt)).getOrElse(0)
+    root.put("last-column-id",
+      (assigned.values.toSeq :+ schema.fields.length :+ prevLastColId).max)
     // A commit that carries no new spec (row-level deletes, updates,
     // plain appends to a partitioned table) PRESERVES the table's
     // existing partition-specs — erasing them would kill pruning and
@@ -1450,9 +1488,12 @@ object IcebergWriter {
 
   /** Metadata-only column rename (Iceberg spec "Schema Evolution":
     * rename = keep the field id, change the name). The CURRENT schema is
-    * re-emitted with `renames` (old → new) applied to its top-level field
-    * names — every field id, type, and nested structure unchanged — under
-    * a fresh schema-id that becomes current. No snapshot is added: data
+    * re-emitted with `renames` (old → new) applied — keys may be
+    * top-level names or struct-nested dotted paths ("info.m"), values are
+    * bare field names; every field id, type, and nested structure stays
+    * unchanged — under a fresh schema-id that becomes current. Only
+    * LEAF (primitive) fields can be renamed — see the group-type guard
+    * below for why. No snapshot is added: data
     * and manifests are untouched. Old data files keep resolving because
     * reads are field-id-keyed ([[IcebergSchemaParser.toStructType]]), and
     * older snapshots keep their own schema-id, so time travel still shows
@@ -1475,17 +1516,52 @@ object IcebergWriter {
       .find(s => Option(s.get("schema-id")).exists(_.asInt == state.info.schemaId))
       .getOrElse(throw new IllegalArgumentException(
         s"renameColumns: current schema id ${state.info.schemaId} not found"))
-    val names = current.get("fields").elements.asScala.map(_.get("name").asText).toSeq
-    renames.keys.foreach(o => require(names.contains(o),
-      s"renameColumns: no column '$o' in the current schema (has $names)"))
-    val resulting = names.map(n => renames.getOrElse(n, n))
-    require(resulting.distinct.size == resulting.size,
-      s"renameColumns: resulting names collide: $resulting")
     val renamed = current.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
-    renamed.get("fields").elements.asScala.foreach { f =>
-      val fo = f.asInstanceOf[ObjectNode]
-      renames.get(fo.get("name").asText).foreach(fo.put("name", _))
+    def structFields(typeNode: JsonNode): Option[JsonNode] =
+      Option(typeNode).filter(t => t.isObject &&
+        t.get("type").asText == "struct").map(_.get("fields"))
+    // Deepest paths first: an ancestor still carries its ORIGINAL name
+    // while its children's renames navigate to it ("a" -> "x" and
+    // "a.b" -> "c" in one call both resolve).
+    renames.toSeq.sortBy(-_._1.count(_ == '.')).foreach { case (oldPath, newName) =>
+      require(newName.nonEmpty && !newName.contains("."),
+        s"renameColumns: new name '$newName' must be a bare field name")
+      val segs = oldPath.split('.').toSeq
+      val fields = segs.init.foldLeft(renamed.get("fields")) { (fs, seg) =>
+        val f = fs.elements.asScala.find(_.get("name").asText == seg).getOrElse(
+          throw new IllegalArgumentException(
+            s"renameColumns: no column at path segment '$seg' of '$oldPath'"))
+        structFields(f.get("type")).getOrElse(
+          throw new IllegalArgumentException(
+            s"renameColumns: '$seg' in '$oldPath' is not a struct — only " +
+              "struct-nested fields can be renamed by dotted path"))
+      }
+      val target = fields.elements.asScala.find(_.get("name").asText == segs.last)
+        .getOrElse(throw new IllegalArgumentException(
+          s"renameColumns: no column '$oldPath' in the current schema"))
+      // Group-typed (struct/list/map) fields cannot be renamed: Spark's
+      // parquet field-id matching resolves the renamed GROUP itself by id
+      // but then fails to line up its children's column paths (they read
+      // NULL) — verified against Spark 4.1.2. Leaf renames at any depth
+      // are safe; renaming a group would silently lose its values.
+      if (target.get("type").isObject && segs.last != newName)
+        throw new IllegalArgumentException(
+          s"renameColumns: '$oldPath' is a ${target.get("type").get("type").asText} " +
+            "column — Spark's parquet reader cannot resolve the children of a " +
+            "renamed group by field id (they would read NULL). Rename its " +
+            "leaf fields individually, or add a new column and backfill.")
+      target.asInstanceOf[ObjectNode].put("name", newName)
     }
+    // post-rename uniqueness at EVERY struct level
+    def checkUnique(fields: JsonNode, at: String): Unit = {
+      val ns = fields.elements.asScala.map(_.get("name").asText).toSeq
+      require(ns.distinct.size == ns.size,
+        s"renameColumns: resulting names collide at $at: $ns")
+      fields.elements.asScala.foreach(f =>
+        structFields(f.get("type")).foreach(
+          checkUnique(_, s"$at${f.get("name").asText}.")))
+    }
+    checkUnique(renamed.get("fields"), "")
     // an all-no-op rename (or a rename back) reuses the matching schema's id
     val matched = schemasNode.elements.asScala.toSeq.find(s =>
       s.get("fields").toString == renamed.get("fields").toString)
@@ -1493,6 +1569,77 @@ object IcebergWriter {
       schemasNode.elements.asScala.map(_.get("schema-id").asInt).max + 1)
     renamed.put("schema-id", newId)
     if (matched.isEmpty) schemasNode.add(renamed)
+    root.put("current-schema-id", newId)
+    root.put("last-updated-ms", state.nextTsMs)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+  }
+
+  /** Metadata-only column drop (Iceberg spec "Schema Evolution"). The
+    * CURRENT schema is re-emitted without the named top-level columns
+    * under a fresh schema-id; no snapshot is added and no data file is
+    * touched — old files' values for the column simply stop being read
+    * (id-keyed projection). Older snapshots keep their schema-id, so
+    * time travel still surfaces the column. The dropped ids stay
+    * reserved forever (historical schemas + a monotone last-column-id),
+    * so a later added column can never resurrect the old values.
+    * Rejected when ANY recorded partition spec or sort order references
+    * the column — manifests carry partition tuples/sort layouts derived
+    * from it, and dropping the source would orphan them. */
+  def dropColumns(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "dropColumns: empty column list")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"dropColumns: no Iceberg table at $path"))
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val schemasNode = Option(root.get("schemas"))
+      .collect { case a: ArrayNode => a }
+      .getOrElse(throw new IllegalArgumentException(
+        "dropColumns: metadata carries no schemas array"))
+    val current = schemasNode.elements.asScala.toSeq
+      .find(s => Option(s.get("schema-id")).exists(_.asInt == state.info.schemaId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"dropColumns: current schema id ${state.info.schemaId} not found"))
+    val fields = current.get("fields").elements.asScala.toSeq
+    val byName = fields.map(f => f.get("name").asText -> f).toMap
+    cols.foreach(c => require(byName.contains(c),
+      s"dropColumns: no column '$c' in the current schema (has ${byName.keys.toSeq.sorted})"))
+    require(cols.toSet.size < fields.size,
+      "dropColumns: cannot drop every column of the table")
+    val droppedIds = cols.map(c => byName(c).get("id").asInt).toSet
+    // any spec in history (old manifests still carry its tuples)
+    Option(root.get("partition-specs")).toSeq
+      .flatMap(_.elements.asScala.toSeq)
+      .flatMap(_.get("fields").elements.asScala.toSeq)
+      .foreach { f =>
+        require(!droppedIds(f.get("source-id").asInt),
+          s"dropColumns: column id ${f.get("source-id").asInt} is a partition " +
+            s"source of spec field '${f.get("name").asText}' — drop would orphan " +
+            "its manifest partition tuples")
+      }
+    Option(root.get("sort-orders")).toSeq
+      .flatMap(_.elements.asScala.toSeq)
+      .flatMap(o => Option(o.get("fields")).toSeq.flatMap(_.elements.asScala.toSeq))
+      .foreach { f =>
+        require(!droppedIds(f.get("source-id").asInt),
+          s"dropColumns: column id ${f.get("source-id").asInt} is referenced by a " +
+            "recorded sort order")
+      }
+    val remaining = mapper.createArrayNode()
+    fields.filterNot(f => cols.contains(f.get("name").asText)).foreach(remaining.add)
+    val dropped = current.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    dropped.set[JsonNode]("fields", remaining)
+    val matched = schemasNode.elements.asScala.toSeq.find(s =>
+      s.get("fields").toString == remaining.toString)
+    val newId = matched.map(_.get("schema-id").asInt).getOrElse(
+      schemasNode.elements.asScala.map(_.get("schema-id").asInt).max + 1)
+    dropped.put("schema-id", newId)
+    if (matched.isEmpty) schemasNode.add(dropped)
     root.put("current-schema-id", newId)
     root.put("last-updated-ms", state.nextTsMs)
     val metaDir = new Path(path, "metadata")

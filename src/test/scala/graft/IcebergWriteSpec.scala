@@ -835,6 +835,77 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("column drop: metadata-only, time travel keeps the column, and a " +
+       "re-added name NEVER reuses the dropped id (no value resurrection)") {
+    val table = Files.createTempDirectory("graft_drop_").toString + "/nation_drop"
+    val nation = Tables.load(spark, Sf, "nation")
+    val snap1 = IcebergWriter.write(nation, table)
+
+    IcebergWriter.dropColumns(spark, table, Seq("n_name"))
+    val after = IcebergScan.scan(spark, table)
+    assert(!after.columns.contains("n_name"))
+    assert(after.count() === nation.count())
+    assert(IcebergScan.snapshots(spark, table).count() === 1) // metadata-only
+    // time travel resurfaces the column under the snapshot's own schema
+    val t1 = IcebergScan.scan(spark, table, Options(snapshotId = Some(snap1)))
+    assert(t1.columns.contains("n_name"))
+    assert(t1.select("n_name").exceptAll(nation.select("n_name")).isEmpty)
+
+    // append a NEW column under the dropped column's old NAME: it must
+    // draw a FRESH field id, so the old files' n_name values stay dead
+    val gen2 = nation.drop("n_name")
+      .withColumn("n_name", lit("FRESH"))
+      .select("n_nationkey", "n_regionkey", "n_name")
+    IcebergWriter.write(gen2, table)
+    val re = IcebergScan.scan(spark, table)
+    assert(re.count() === 2 * nation.count())
+    // old-generation rows read NULL (fresh id absent from old files) —
+    // never the resurrected original strings
+    val vals = re.select("n_name").distinct().collect().map(_.getString(0)).toSet
+    assert(vals === Set(null, "FRESH"), vals.toString)
+
+    // guards: partition-source and last-column drops are rejected
+    intercept[IllegalArgumentException] {
+      IcebergWriter.dropColumns(spark, table, Seq("no_such"))
+    }
+    val ptable = Files.createTempDirectory("graft_drop_p_").toString + "/t"
+    IcebergWriter.write(
+      nation.withColumn("r", col("n_regionkey")).repartition(2), ptable,
+      partitionBy = Seq("r" -> "identity"))
+    intercept[IllegalArgumentException] {
+      IcebergWriter.dropColumns(spark, ptable, Seq("r"))
+    }
+  }
+
+  test("nested rename by dotted path keeps struct-internal field ids; " +
+       "group-typed renames are rejected (Spark cannot resolve them)") {
+    val table = Files.createTempDirectory("graft_nren_").toString + "/t"
+    val part = Tables.load(spark, Sf, "part")
+    val src = part.select(col("p_partkey"),
+      struct(col("p_brand").as("brand"), col("p_size").as("size")).as("info"))
+    IcebergWriter.write(src, table)
+    IcebergWriter.renameColumns(spark, table, Map("info.brand" -> "brand_code"))
+    val got = IcebergScan.scan(spark, table)
+    val inner = got.schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(inner === Seq("brand_code", "size"))
+    // VALUES still resolve through the unchanged struct-internal ids —
+    // the leaf is matched by id 10000 under its new name
+    assert(got.select(col("info.brand_code")).exceptAll(
+      part.select(col("p_brand"))).isEmpty)
+    assert(got.filter(col("info.brand_code").isNull).count() === 0)
+    // renaming the STRUCT itself is rejected: Spark's field-id matching
+    // resolves a renamed group but reads its children as NULL (verified
+    // against 4.1.2) — better a loud error than silent value loss
+    intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumns(spark, table, Map("info" -> "meta"))
+    }
+    // collision inside the struct is rejected
+    intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumns(spark, table, Map("info.size" -> "brand_code"))
+    }
+  }
+
   test("append with a mismatched schema is rejected") {
     val table = Files.createTempDirectory("graft_w2_").toString + "/t"
     IcebergWriter.write(Tables.load(spark, Sf, "nation"), table)
