@@ -16,7 +16,10 @@ object Verify {
       only.forall(_.exists(name.startsWith))
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // no coalesce(1): gate outputs are small today, but a single-task
+      // funnel would silently serialize any future large gate; the
+      // driver's compare reads the whole directory either way
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
