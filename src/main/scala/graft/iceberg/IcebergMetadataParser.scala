@@ -77,7 +77,7 @@ object IcebergMetadataParser {
 
   private def parseSnapshot(node: JsonNode, info: ParseInfo, skipSchema: Boolean,
                             useDeclaredSchema: Boolean = false): Snapshot = {
-    val seq = if (info.formatVersion == 2) node.get("sequence-number").asLong else 0L
+    val seq = if (info.formatVersion >= 2) node.get("sequence-number").asLong else 0L
     // Schema selection follows Iceberg's read rules: the LATEST state
     // (current snapshot, branch heads) reads under the table's CURRENT
     // schema — schema evolution is metadata-only and must show up

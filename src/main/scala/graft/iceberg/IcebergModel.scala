@@ -60,7 +60,16 @@ object IcebergModel {
       // bounds alone (a null data key then matches no delete row).
       nullCounts: Map[Int, Long] = Map.empty,
       equalityIds: Seq[Int] = Seq.empty,
-      sequenceNumber: Option[Long] = None) {
+      sequenceNumber: Option[Long] = None,
+      // Spec v3 deletion-vector fields (Iceberg spec "Data File" fields
+      // 143-145): a DV entry is content=1 with file_format=PUFFIN whose
+      // blob coordinates live in the manifest — scans read the vector by
+      // offset+length without touching the puffin footer.
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeInBytes: Option[Long] = None) {
+    def isDV: Boolean =
+      content == 1 && fileFormat.equalsIgnoreCase("PUFFIN") && referencedDataFile.isDefined
     /** The effective data sequence number under inheritance. */
     def seqOr(manifestSeq: Long): Long = sequenceNumber.getOrElse(manifestSeq)
   }

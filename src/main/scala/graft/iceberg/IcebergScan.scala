@@ -114,7 +114,18 @@ object IcebergScan {
       opts.filters, snapshot.partitionSpec, snapshot.schema)
       .map(_.filePath).toSet
     val dataEntries = dataWithSeq.filter { case (e, _) => keptPaths(e.filePath) }
-    val deleteEntriesAll = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
+    val deleteEntriesAll0 = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
+    // Spec-v3 DELETION VECTORS (engine extension — the reference predates
+    // v3): content=1 entries in PUFFIN format referencing one data file
+    // each. Scoped by that reference — a DV survives only if its data
+    // file does — and deduped to the max-sequence vector per file (the
+    // spec invariant is at most one live DV per file; foreign metadata
+    // violating it must not double-delete).
+    val (dvAll, deleteEntriesAll) = deleteEntriesAll0.partition(_._1.isDV)
+    val dataPathSet = dataEntries.map(_._1.filePath).toSet
+    val dvEntries = dvAll
+      .filter { case (e, _) => dataPathSet(e.referencedDataFile.get) }
+      .groupBy(_._1.referencedDataFile.get).values.map(_.maxBy(_._2)).toSeq
     // Position-delete SCOPING (driver-side): a delete file recording
     // `file_path` bounds under the reserved id (spec: 2147483546) is
     // dropped when no surviving data file's manifest path falls in that
@@ -154,9 +165,11 @@ object IcebergScan {
     val dataPaths = dataEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     val deletePaths = deleteEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     val eqPaths = eqEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
+    // one puffin file can hold many DVs — list it once
+    val dvPaths = dvEntries.map { case (e, _) => resolved(path, e.filePath, opts) }.distinct
 
     if (opts.mode == "list_files")
-      return listFilesDF(spark, dataPaths, deletePaths ++ eqPaths)
+      return listFilesDF(spark, dataPaths, deletePaths ++ dvPaths ++ eqPaths)
 
     // Schema keyed by Iceberg field id → rename/evolution-safe parquet reads
     // (the analogue of the reference's id-keyed schema map, S5). Requires
@@ -183,7 +196,8 @@ object IcebergScan {
     // parquet scan by Catalyst; file pruning above was only an accelerant.
     val residual = IcebergPruning.residual(opts.filters, snapshot.schema)
     val dataDF = residual.foldLeft(withSchema.load(dataPaths: _*))(_.filter(_))
-    if (deletePaths.isEmpty && eqPaths.isEmpty && !opts.keepProvenance) return dataDF
+    if (deletePaths.isEmpty && dvEntries.isEmpty && eqPaths.isEmpty &&
+      !opts.keepProvenance) return dataDF
 
     // Spark reports _metadata.file_path as a fully-qualified URI, while the
     // delete files reference data files by the exact strings the writer put
@@ -199,8 +213,8 @@ object IcebergScan {
       col("_metadata.file_path").as("__graft_file"),
       col("_metadata.row_index").as("__graft_pos"))
 
-    // --- v2 merge-on-read position deletes ---
-    if (deletePaths.nonEmpty) {
+    // --- merge-on-read position deletes (v2 parquet files + v3 DVs) ---
+    if (deletePaths.nonEmpty || dvEntries.nonEmpty) {
       val fileMap = dataEntries.map { case (e, _) =>
         val passed = resolved(path, e.filePath, opts)
         (e.filePath, qualify(passed))
@@ -211,8 +225,36 @@ object IcebergScan {
       // explicit broadcast below. Data-side stats are deliberately NOT
       // injected — Spark's AQE re-plans the join from runtime statistics,
       // which subsumes a static data-side estimate.
-      val deleteCard = deleteEntries.map(_._1.recordCount).sum
-      val rawDeletes = spark.read.parquet(deletePaths: _*).select("file_path", "pos")
+      val deleteCard = (deleteEntries ++ dvEntries).map(_._1.recordCount).sum
+      // v3 deletion vectors: decoded EXECUTOR-side from the manifest's
+      // blob coordinates (offset+length — no puffin footer read). One
+      // task per vector batch; rows are (referenced file, position),
+      // exactly the parquet delete-file shape, so both formats share the
+      // anti join below.
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val dvItems = dvEntries.map { case (e, _) =>
+        (resolved(path, e.filePath, opts), e.contentOffset.get,
+         e.contentSizeInBytes.get, e.referencedDataFile.get)
+      }
+      val dvRows =
+        if (dvItems.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+        else spark.createDataset(dvItems).flatMap { case (p, off, len, ref) =>
+          Puffin.readDV(new org.apache.hadoop.fs.Path(p), sconf.value, off, len)
+            .map(pos => (ref, pos))
+        }.toDF("file_path", "pos")
+      // Spec v3 read rule: for a data file with a DV, the DV is the whole
+      // truth — parquet position-delete rows for that file are ignored
+      // (the DV writer merged them). Driver-held DV target list → small
+      // broadcast anti join, not a literal IN.
+      val dvTargets = dvEntries.map(_._1.referencedDataFile.get).distinct
+      val parquetRows0 =
+        if (deletePaths.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+        else spark.read.parquet(deletePaths: _*).select("file_path", "pos")
+      val parquetRows =
+        if (dvTargets.isEmpty) parquetRows0
+        else parquetRows0.join(
+          broadcast(dvTargets.toDF("file_path")), Seq("file_path"), "left_anti")
+      val rawDeletes = parquetRows.unionByName(dvRows)
       // Map each position-delete row to the qualified data-file URI. Inner
       // join also drops deletes pointing at no-longer-live data files.
       val deletes0 = rawDeletes

@@ -304,7 +304,10 @@ object IcebergWriter {
               {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
            "default":null},
           {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
-           "default":null}
+           "default":null},
+          {"name":"referenced_data_file","type":["null","string"],"default":null},
+          {"name":"content_offset","type":["null","long"],"default":null},
+          {"name":"content_size_in_bytes","type":["null","long"],"default":null}
         ]}}]}""")
   }
 
@@ -728,6 +731,9 @@ object IcebergWriter {
         }
         if (e.equalityIds.nonEmpty)
           dfr.put("equality_ids", e.equalityIds.map(Int.box).asJava)
+        e.referencedDataFile.foreach(dfr.put("referenced_data_file", _))
+        e.contentOffset.foreach(o => dfr.put("content_offset", Long.box(o)))
+        e.contentSizeInBytes.foreach(s => dfr.put("content_size_in_bytes", Long.box(s)))
         val rec = new GenericData.Record(entrySchema)
         rec.put("status", e.status)
         // explicit per-entry data sequence number (spec field 3) — written
@@ -821,7 +827,10 @@ object IcebergWriter {
       operation: String = "append",
       summary: Map[String, String] = Map.empty,
       sortBy: Seq[String] = Seq.empty,
-      branch: String = "main"): Long = {
+      branch: String = "main",
+      // None = preserve the table's recorded version (2 for new tables);
+      // Some(v) is used by v3 table creation and upgradeFormat
+      formatVersion: Option[Int] = None): Long = {
     state.foreach(st => st.refs.get(branch).foreach { case (_, tpe) =>
       require(tpe == "branch", s"cannot commit to '$branch': it is a $tpe")
     })
@@ -838,7 +847,14 @@ object IcebergWriter {
       }
     }
     val root: ObjectNode = mapper.createObjectNode()
-    root.put("format-version", 2)
+    // v2 unless the table already records v3 / the commit upgrades to it.
+    // Downgrades are rejected: v3 metadata (DV manifests) is not readable
+    // under v2 rules.
+    val fv = formatVersion.orElse(state.map(_.info.formatVersion)).getOrElse(2)
+    state.foreach(st => require(fv >= st.info.formatVersion,
+      s"cannot downgrade format-version ${st.info.formatVersion} -> $fv"))
+    require(fv == 2 || fv == 3, s"unsupported format-version $fv")
+    root.put("format-version", fv)
     // Interchange fields other readers require (Iceberg spec "Table
     // Metadata"): location, uuid, last-* counters, sort orders. The uuid is
     // carried forward across commits like a real catalog would.
@@ -1403,7 +1419,10 @@ object IcebergWriter {
             sortBy: Seq[String] = Seq.empty,
             options: Map[String, String] = Map.empty,
             branch: String = "main",
-            renames: Map[String, String] = Map.empty): Long = {
+            renames: Map[String, String] = Map.empty,
+            // format for TABLE CREATION (2 or 3); an existing table keeps
+            // its recorded version — use upgradeFormat to move 2 -> 3
+            formatVersion: Int = 2): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     if (renames.nonEmpty) {
@@ -1483,7 +1502,8 @@ object IcebergWriter {
       "added-records" -> files.map(_.count).sum.toString)
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
-      summary = stdSummary ++ summary, sortBy = sortBy, branch = branch)
+      summary = stdSummary ++ summary, sortBy = sortBy, branch = branch,
+      formatVersion = if (state.isEmpty) Some(formatVersion) else None)
   }
 
   /** Metadata-only column rename (Iceberg spec "Schema Evolution":
@@ -1705,21 +1725,200 @@ object IcebergWriter {
         col("__graft_file") === col("__qual"))
       .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
 
-    val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
-    positions.write.parquet(delDir.toString)
-    val delFiles = posDeleteFiles(delDir, conf)
+    val manifests = commitPositionDeletes(
+      spark, path, conf, latest, meta, positions, snapshotId, seq)
+    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+      manifests, operation = "delete", branch = branch)
+  }
 
-    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(manifestPath, conf, delFiles.map { w =>
-      ManifestEntry(status = 1, content = 1, filePath = w.path, // POSITION_DELETES
-        fileFormat = "PARQUET", recordCount = w.count,
-        lowerBounds = w.lower, upperBounds = w.upper)
-    })
+  /** Commit-side position tombstones, routed by the table's format:
+    * v2 writes a parquet position-delete file; v3 writes DELETION
+    * VECTORS (Iceberg spec v3 — one puffin-held roaring bitmap per
+    * affected data file). Returns the manifest list to commit: previous
+    * manifests (superseded DV entries tombstoned via rewrite) plus the
+    * new delete manifest.
+    *
+    * The v3 invariant is AT MOST ONE live DV per data file: the new DV
+    * for a file is the union of the incoming positions with every prior
+    * live delete for it (old DV, plus parquet position-delete rows from
+    * the table's v2 era), and the superseded DV entries are rewritten to
+    * DELETED status. Parquet delete FILES are not tombstoned here — one
+    * file can cover unaffected data files too — but scans ignore their
+    * rows for any data file that has a DV (the spec's read rule), which
+    * this merge makes lossless.
+    *
+    * Scale: positions flow through one hash repartition on file_path +
+    * a within-partition sort; each executor task streams its groups into
+    * ONE puffin file (memory bounded by a single file's position set —
+    * Puffin.DVWriter). Only blob COORDINATES are collected to the driver
+    * (one row per affected data file, the same order of driver metadata
+    * as the manifests themselves). The affected-file set is collected to
+    * scope old-delete merging and the manifest rewrite; it is bounded by
+    * the live file count. */
+  private def commitPositionDeletes(
+      spark: SparkSession, path: String, conf: Configuration,
+      latest: Snapshot, meta: TableMeta, positions: DataFrame,
+      snapshotId: Long, seq: Long, manifestIdx: Int = 0,
+      tombstoneParquetDeletes: Boolean = false,
+      // upgradeFormat commits DVs while the LOADED table is still v2
+      forceDV: Boolean = false): Seq[Manifest] = {
+    import spark.implicits._
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
+    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m$manifestIdx.avro")
+
+    if (latest.formatVersion < 3 && !forceDV) {
+      val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
+      positions.write.parquet(delDir.toString)
+      val delFiles = posDeleteFiles(delDir, conf)
+      writeManifest(manifestPath, conf, delFiles.map { w =>
+        ManifestEntry(status = 1, content = 1, filePath = w.path, // POSITION_DELETES
+          fileFormat = "PARQUET", recordCount = w.count,
+          lowerBounds = w.lower, upperBounds = w.upper)
+      })
+      return prevManifests :+ Manifest(manifestPath.toString, seq, content = 1)
+    }
+
+    // ---- v3: deletion vectors ----
+    val affected = positions.select("file_path").distinct().as[String].collect().toSet
+    val prevDel: Seq[(Manifest, ManifestEntry)] = meta.entries.collect {
+      case (m, es) if m.content == 1 =>
+        es.filter(e => e.status != 2 && e.content == 1).map(m -> _)
+    }.flatten
+    val oldDVs = prevDel.collect {
+      case (_, e) if e.isDV && affected(e.referencedDataFile.get) => e
+    }
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val posSchema = StructType(Seq(
+      StructField("file_path", org.apache.spark.sql.types.StringType),
+      StructField("pos", LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
+    val oldDVRows =
+      if (oldDVs.isEmpty) empty
+      else spark.createDataset(oldDVs.map(e =>
+          (e.filePath, e.contentOffset.get, e.contentSizeInBytes.get,
+           e.referencedDataFile.get)))
+        .flatMap { case (p, off, len, ref) =>
+          Puffin.readDV(new Path(p), sconf.value, off, len).map(pos => (ref, pos))
+        }.toDF("file_path", "pos")
+    val oldParquet = prevDel.collect { case (_, e) if !e.isDV => e.filePath }.distinct
+    val oldParquetRows =
+      if (oldParquet.isEmpty) empty
+      else spark.read.parquet(oldParquet: _*).select("file_path", "pos")
+        .join(org.apache.spark.sql.functions.broadcast(
+          affected.toSeq.toDF("file_path")), Seq("file_path"), "left_semi")
+
+    val dvDir = new Path(path, s"data/snap-$snapshotId-dv").toString
+    val blobRows: Array[(String, String, Long, Long, Long)] = positions
+      .select(col("file_path"), col("pos").cast("long").as("pos"))
+      .unionByName(oldDVRows).unionByName(oldParquetRows)
+      .repartition(col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new Path(s"$dvDir/part-$pid.puffin")
+          val w = new Puffin.DVWriter(out, sconf.value, snapshotId, seq)
+          val results = Seq.newBuilder[(String, String, Long, Long, Long)]
+          var curFile: String = null
+          var buf = Array.newBuilder[Long]
+          def flush(): Unit = if (curFile != null) {
+            val (_, m, card) = w.add(curFile, buf.result())
+            results += ((curFile, out.toString, m.offset, m.length, card))
+          }
+          it.foreach { case (f, p) =>
+            if (f != curFile) { flush(); curFile = f; buf = Array.newBuilder[Long] }
+            buf += p
+          }
+          flush()
+          w.close()
+          results.result().iterator
+        }
+      }.collect()
+
+    val dvEntries = blobRows.toSeq.map { case (ref, puffinPath, off, len, card) =>
+      ManifestEntry(status = 1, content = 1, filePath = puffinPath,
+        fileFormat = "PUFFIN", recordCount = card,
+        referencedDataFile = Some(ref),
+        contentOffset = Some(off), contentSizeInBytes = Some(len))
+    }
+    if (dvEntries.nonEmpty) writeManifest(manifestPath, conf, dvEntries)
+
+    // Rewrite prev delete manifests: tombstone superseded DV entries (and,
+    // on upgrade, the parquet position-delete entries the DVs absorbed).
+    // Carried entries pin their EFFECTIVE sequence number explicitly —
+    // the rewritten manifest is referenced from a new list position and
+    // inheritance would otherwise re-stamp them.
+    val manifestByPath = meta.entries.map { case (m, es) => m.manifestPath -> es }.toMap
+    val carried = prevManifests.zipWithIndex.map { case (m, i) =>
+      val es = manifestByPath.getOrElse(m.manifestPath, Seq.empty)
+      def superseded(e: ManifestEntry): Boolean =
+        e.status != 2 && e.content == 1 && (
+          (e.isDV && affected(e.referencedDataFile.get)) ||
+          (!e.isDV && tombstoneParquetDeletes))
+      if (m.content != 1 || !es.exists(superseded)) m
+      else {
+        val rewritten = es.map { e =>
+          val e2 = e.copy(sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
+          if (superseded(e)) e2.copy(status = 2) else e2
+        }
+        val p = new Path(path, s"metadata/snap-$snapshotId-rw$i.avro")
+        writeManifest(p, conf, rewritten, mergedPartitionFields(rewritten))
+        Manifest(p.toString, m.sequenceNumber, content = 1)
+      }
+    }
+    if (dvEntries.isEmpty) carried
+    else carried :+ Manifest(manifestPath.toString, seq, content = 1)
+  }
+
+  /** Upgrade a v2 table to format-version 3 (Iceberg spec v3), rewriting
+    * every live parquet position-delete row into deletion vectors in the
+    * same commit — v3 readers use DVs only, so leaving parquet deletes
+    * authoritative would drop tombstones. Data files are untouched;
+    * equality deletes carry over (still valid in v3). Idempotent on an
+    * already-v3 table (no-op commit is skipped). */
+  def upgradeFormat(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"upgradeFormat: no Iceberg table at $path"))
+    if (state.info.formatVersion >= 3)
+      return state.currentSnapshotId.getOrElse(0L)
+    val latest = state.opBase("upgradeFormat", "main")
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    import spark.implicits._
+    val parquetDeletes = meta.entries.collect {
+      case (m, es) if m.content == 1 =>
+        es.filter(e => e.status != 2 && e.content == 1 && !e.isDV).map(_.filePath)
+    }.flatten.distinct
+    val posSchema = StructType(Seq(
+      StructField("file_path", org.apache.spark.sql.types.StringType),
+      StructField("pos", LongType)))
+    val positions =
+      if (parquetDeletes.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
+      else spark.read.parquet(parquetDeletes: _*).select("file_path", "pos")
+    // scope to LIVE data files: deletes referencing dead files must not
+    // resurrect as DVs (their referenced entries are gone)
+    val liveData = meta.entries.collect {
+      case (m, es) if m.content == 0 =>
+        es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }.flatten.toSet
+    val scoped = positions
+      .join(org.apache.spark.sql.functions.broadcast(
+        liveData.toSeq.toDF("file_path")), Seq("file_path"), "left_semi")
+    // The upgraded metadata must not change visible rows — the rewritten
+    // state is pure representation change, upgraded under "replace".
+    val manifests = commitPositionDeletes(
+      spark, path, conf, latest, meta, scoped, snapshotId, seq,
+      tombstoneParquetDeletes = true, forceDV = true)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      prevManifests :+ Manifest(manifestPath.toString, seq, content = 1),
-      operation = "delete", branch = branch)
+      manifests, operation = "replace", formatVersion = Some(3))
   }
 
   /** Row-level EQUALITY DELETE, merge-on-read: `keys` (whose columns must
@@ -1835,14 +2034,13 @@ object IcebergWriter {
       .filter(predicate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // tombstones for the old versions
+    // tombstones for the old versions (v2: parquet delete file; v3: DVs)
     val positions = matched
       .join(org.apache.spark.sql.functions.broadcast(fileMap),
         col("__graft_file") === col("__qual"))
       .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
-    val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
-    positions.write.parquet(delDir.toString)
-    val delFiles = posDeleteFiles(delDir, conf)
+    val delManifests = commitPositionDeletes(
+      spark, path, conf, latest, meta, positions, snapshotId, seq, manifestIdx = 1)
 
     // updated versions of the matched rows — written under the table's
     // CURRENT partition spec (like merge): an update that dropped the
@@ -1863,18 +2061,8 @@ object IcebergWriter {
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
-    val delManifest = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
-    writeManifest(delManifest, conf, delFiles.map { w =>
-      ManifestEntry(status = 1, content = 1, filePath = w.path,
-        fileFormat = "PARQUET", recordCount = w.count,
-        lowerBounds = w.lower, upperBounds = w.upper)
-    })
-    val prevManifests = ManifestReader.readManifestList(
-      latest.manifestList, conf, latest.formatVersion)
     try commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      prevManifests ++ Seq(
-        Manifest(dataManifest.toString, seq, content = 0),
-        Manifest(delManifest.toString, seq, content = 1)),
+      delManifests :+ Manifest(dataManifest.toString, seq, content = 0),
       operation = "overwrite", branch = branch)
     finally matched.unpersist(blocking = false)
   }

@@ -150,6 +150,18 @@ object ManifestReader {
         sequenceNumber = fieldOrNull(r, "sequence_number") match {
           case l: java.lang.Long => Some(l.longValue)
           case _ => None
+        },
+        referencedDataFile = fieldOrNull(df, "referenced_data_file") match {
+          case null => None
+          case s => Some(s.toString)
+        },
+        contentOffset = fieldOrNull(df, "content_offset") match {
+          case l: java.lang.Long => Some(l.longValue)
+          case _ => None
+        },
+        contentSizeInBytes = fieldOrNull(df, "content_size_in_bytes") match {
+          case l: java.lang.Long => Some(l.longValue)
+          case _ => None
         })
     }
   }

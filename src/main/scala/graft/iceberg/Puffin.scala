@@ -77,38 +77,60 @@ object Puffin {
     Roaring64.deserialize(vector)
   }
 
+  /** Streaming puffin writer: blobs are appended one at a time (memory is
+    * bounded by ONE file's position set, not the whole puffin file), the
+    * footer lands on close. Runs on executors — one instance per write
+    * partition in the DV delete path — as well as the driver: only Hadoop
+    * FS + local state. */
+  final class DVWriter(
+      path: Path, conf: Configuration, snapshotId: Long, sequenceNumber: Long) {
+    private val out = path.getFileSystem(conf).create(path, true)
+    private var offset = 4L
+    private val metas = Seq.newBuilder[(String, BlobMeta, Long)]
+    private var open = true
+    out.write(Magic)
+
+    /** Append one DV blob; returns (referenced file, blob meta, cardinality). */
+    def add(referencedDataFile: String, positions: Array[Long]): (String, BlobMeta, Long) = {
+      val sorted = positions.distinct.sorted
+      val bytes = dvBlobBytes(sorted)
+      out.write(bytes)
+      val meta = BlobMeta(DVBlobType, offset, bytes.length.toLong,
+        snapshotId, sequenceNumber,
+        Map("referenced-data-file" -> referencedDataFile,
+            "cardinality" -> sorted.length.toString))
+      offset += bytes.length
+      val row = (referencedDataFile, meta, sorted.length.toLong)
+      metas += row
+      row
+    }
+
+    def close(): Seq[(String, BlobMeta, Long)] = {
+      val all = metas.result()
+      if (open) {
+        val payload = footerPayload(all.map(_._2))
+        out.write(Magic)
+        out.write(payload)
+        val trailer = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        trailer.putInt(payload.length)
+        trailer.putInt(0) // flags: payload uncompressed
+        out.write(trailer.array())
+        out.write(Magic)
+        out.close()
+        open = false
+      }
+      all
+    }
+  }
+
   /** Write one puffin file holding a DV blob per entry; returns the blob
-    * metadata (offset/length per referenced data file) for the manifest.
-    * Called from executors (one file per write partition) as well as the
-    * driver — only Hadoop FS + local state. */
+    * metadata (offset/length per referenced data file) for the manifest. */
   def writeDVFile(
       path: Path, conf: Configuration, blobs: Seq[DVBlob],
       snapshotId: Long, sequenceNumber: Long): Seq[(String, BlobMeta, Long)] = {
-    val out = path.getFileSystem(conf).create(path, true)
-    try {
-      out.write(Magic)
-      var offset = 4L
-      val metas = blobs.map { b =>
-        val sorted = b.positions.distinct.sorted
-        val bytes = dvBlobBytes(sorted)
-        out.write(bytes)
-        val meta = BlobMeta(DVBlobType, offset, bytes.length.toLong,
-          snapshotId, sequenceNumber,
-          Map("referenced-data-file" -> b.referencedDataFile,
-              "cardinality" -> sorted.length.toString))
-        offset += bytes.length
-        (b.referencedDataFile, meta, sorted.length.toLong)
-      }
-      val payload = footerPayload(metas.map(_._2))
-      out.write(Magic)
-      out.write(payload)
-      val trailer = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      trailer.putInt(payload.length)
-      trailer.putInt(0) // flags: payload uncompressed
-      out.write(trailer.array())
-      out.write(Magic)
-      metas
-    } finally out.close()
+    val w = new DVWriter(path, conf, snapshotId, sequenceNumber)
+    blobs.foreach(b => w.add(b.referencedDataFile, b.positions))
+    w.close()
   }
 
   private def footerPayload(metas: Seq[BlobMeta]): Array[Byte] = {
