@@ -226,35 +226,7 @@ object IcebergScan {
       // injected — Spark's AQE re-plans the join from runtime statistics,
       // which subsumes a static data-side estimate.
       val deleteCard = (deleteEntries ++ dvEntries).map(_._1.recordCount).sum
-      // v3 deletion vectors: decoded EXECUTOR-side from the manifest's
-      // blob coordinates (offset+length — no puffin footer read). One
-      // task per vector batch; rows are (referenced file, position),
-      // exactly the parquet delete-file shape, so both formats share the
-      // anti join below.
-      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
-      val dvItems = dvEntries.map { case (e, _) =>
-        (resolved(path, e.filePath, opts), e.contentOffset.get,
-         e.contentSizeInBytes.get, e.referencedDataFile.get)
-      }
-      val dvRows =
-        if (dvItems.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
-        else spark.createDataset(dvItems).flatMap { case (p, off, len, ref) =>
-          Puffin.readDV(new org.apache.hadoop.fs.Path(p), sconf.value, off, len)
-            .map(pos => (ref, pos))
-        }.toDF("file_path", "pos")
-      // Spec v3 read rule: for a data file with a DV, the DV is the whole
-      // truth — parquet position-delete rows for that file are ignored
-      // (the DV writer merged them). Driver-held DV target list → small
-      // broadcast anti join, not a literal IN.
-      val dvTargets = dvEntries.map(_._1.referencedDataFile.get).distinct
-      val parquetRows0 =
-        if (deletePaths.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
-        else spark.read.parquet(deletePaths: _*).select("file_path", "pos")
-      val parquetRows =
-        if (dvTargets.isEmpty) parquetRows0
-        else parquetRows0.join(
-          broadcast(dvTargets.toDF("file_path")), Seq("file_path"), "left_anti")
-      val rawDeletes = parquetRows.unionByName(dvRows)
+      val rawDeletes = posDeleteRows(spark, conf, path, opts, deleteEntries ++ dvEntries)
       // Map each position-delete row to the qualified data-file URI. Inner
       // join also drops deletes pointing at no-longer-live data files.
       val deletes0 = rawDeletes
@@ -605,12 +577,14 @@ object IcebergScan {
         val provCols = (schema.fieldNames.toSeq :+ "__graft_file" :+ "__graft_pos").map(col)
         var hits = Seq.empty[DataFrame]
         if (newPos.nonEmpty) {
-          val posPaths = newPos.map { case (e, _) => resolved(root, e.filePath, opts) }
           val fileMap = livePaths(metaTo, 0, 0, opts).collect {
             case (e, _) if common(e.filePath) =>
               (e.filePath, qualify(resolved(root, e.filePath, opts)))
           }.toDF("__orig_path", "__qual_path")
-          val dels = spark.read.parquet(posPaths: _*).select("file_path", "pos")
+          // both delete formats (v2 parquet files + v3 DVs); a DV merged
+          // from pre-window deletes only semi-hits rows still live at
+          // `from`, so the merge cannot over-report window deletions
+          val dels = posDeleteRows(spark, conf, root, opts, newPos)
             .join(broadcast(fileMap), col("file_path") === col("__orig_path"))
             .select(col("__qual_path").as("__del_file"), col("pos").as("__del_pos"))
           hits :+= live.join(dels,
@@ -806,6 +780,43 @@ object IcebergScan {
   }
 
   /** mode='list_files' output: (file, type ∈ {data, delete}) — S14. */
+  /** (file_path, pos) rows of position-delete entries, both formats:
+    * parquet delete files read as one relation; v3 deletion vectors
+    * decoded EXECUTOR-side from their manifest blob coordinates
+    * (offset+length — no puffin footer read). `file_path` is in MANIFEST
+    * coordinates (the strings delete files/DV properties record). The
+    * spec-v3 read rule is applied here: for a data file with a DV, the DV
+    * is the whole truth — parquet position-delete rows for that file are
+    * dropped via a small broadcast anti join (the DV writer merged them). */
+  private def posDeleteRows(
+      spark: SparkSession, conf: org.apache.hadoop.conf.Configuration,
+      root: String, opts: Options,
+      entries: Seq[(ManifestEntry, Long)]): DataFrame = {
+    import spark.implicits._
+    val (dvEntries, parquetEntries) = entries.partition(_._1.isDV)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dvItems = dvEntries.map { case (e, _) =>
+      (resolved(root, e.filePath, opts), e.contentOffset.get,
+       e.contentSizeInBytes.get, e.referencedDataFile.get)
+    }
+    val dvRows =
+      if (dvItems.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+      else spark.createDataset(dvItems).flatMap { case (p, off, len, ref) =>
+        Puffin.readDV(new org.apache.hadoop.fs.Path(p), sconf.value, off, len)
+          .map(pos => (ref, pos))
+      }.toDF("file_path", "pos")
+    val deletePaths = parquetEntries.map { case (e, _) => resolved(root, e.filePath, opts) }
+    val dvTargets = dvEntries.map(_._1.referencedDataFile.get).distinct
+    val parquetRows0 =
+      if (deletePaths.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+      else spark.read.parquet(deletePaths: _*).select("file_path", "pos")
+    val parquetRows =
+      if (dvTargets.isEmpty) parquetRows0
+      else parquetRows0.join(
+        broadcast(dvTargets.toDF("file_path")), Seq("file_path"), "left_anti")
+    parquetRows.unionByName(dvRows)
+  }
+
   private def listFilesDF(spark: SparkSession, data: Seq[String], deletes: Seq[String]): DataFrame = {
     import spark.implicits._
     (data.map((_, "data")) ++ deletes.map((_, "delete"))).toDF("file", "type")

@@ -165,6 +165,34 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dvs2.groupBy(_.referencedDataFile.get).values.forall(_.size == 1))
   }
 
+  test("compact merges DVs away; changelog attributes DV deletions") {
+    val table = newTable("graft_dv7_")
+    val orders = Tables.load(spark, Sf, "orders").limit(400)
+    val snap1 = IcebergWriter.write(orders, table, formatVersion = 3)
+    val sorted = orders.select("o_orderkey").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    val cut = sorted(60)
+    IcebergWriter.delete(spark, table, col("o_orderkey") <= cut)
+
+    // per-window CDC: the DV commit shows exactly the tombstoned rows as
+    // deletes, none of the pre-window (never-deleted) rows
+    val changes = IcebergScan.changelog(spark, table, fromSnapshotId = snap1)
+    val dels = changes.filter(col("_change_type") === "delete")
+    assert(dels.count() === orders.filter(col("o_orderkey") <= cut).count())
+    assert(dels.filter(col("o_orderkey") > cut).count() === 0)
+
+    // compaction rewrites live rows and drops the DVs from metadata
+    val expected = orders.filter(col("o_orderkey") > cut).count()
+    IcebergWriter.compact(spark, table)
+    assert(IcebergScan.scan(spark, table).count() === expected)
+    val (dvs, parquet) = liveDeletes(table)
+    assert(dvs.isEmpty && parquet.isEmpty)
+    // no puffin file remains in list_files
+    val files = IcebergScan.scan(spark, table, Options(mode = "list_files"))
+      .collect().map(_.getString(0))
+    assert(!files.exists(_.endsWith(".puffin")))
+  }
+
   test("v2 tables still write parquet position deletes (no regression)") {
     val table = newTable("graft_dv6_")
     val orders = Tables.load(spark, Sf, "orders").limit(200)
