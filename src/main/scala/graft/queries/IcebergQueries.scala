@@ -693,6 +693,53 @@ object IcebergQueries {
                   FROM iceberg_snapshots('$Lineitem')
                   ORDER BY sequence_number""")
       }
+    ),
+    QueryDef(
+      "ib35_dv_delete",
+      // Iceberg spec-v3 DELETION VECTORS (engine extension — the reference
+      // predates v3): a format-version 3 table routes row-level deletes to
+      // puffin-held roaring bitmaps, one per affected data file, and the
+      // scan applies them merge-on-read. Two sequential deletes exercise
+      // the at-most-one-live-DV-per-file merge (supersede) too. The
+      // oracle states surviving-row semantics directly.
+      Some("""
+        SELECT COUNT(*) AS cnt, CAST(SUM(l_quantity) AS BIGINT) AS qty,
+               CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_sum
+        FROM lineitem WHERE l_orderkey % 5 <> 0 AND l_partkey % 7 <> 0"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib35_").toString + "/lineitem_dv"
+        val li = graft.Tables.load(s, dir, "lineitem")
+        graft.iceberg.IcebergWriter.write(li, table, formatVersion = 3)
+        graft.iceberg.IcebergWriter.delete(s, table, col("l_orderkey") % 5 === 0)
+        graft.iceberg.IcebergWriter.delete(s, table, col("l_partkey") % 7 === 0)
+        IcebergScan.scan(s, table).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("long").as("qty"),
+          sum(col("l_orderkey") * col("l_linenumber")).cast("long").as("key_sum"))
+      }
+    ),
+    QueryDef(
+      "ib36_dv_upgrade",
+      // v2 → v3 upgrade: parquet position deletes committed under v2 are
+      // rewritten into deletion vectors by upgradeFormat (same visible
+      // rows), and a post-upgrade delete merges into those DVs. The scan
+      // must subtract BOTH delete generations exactly once.
+      Some("""
+        SELECT COUNT(*) AS cnt, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 4 <> 0 AND l_suppkey % 3 <> 0"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib36_").toString + "/lineitem_up"
+        val li = graft.Tables.load(s, dir, "lineitem")
+        graft.iceberg.IcebergWriter.write(li, table) // v2
+        graft.iceberg.IcebergWriter.delete(s, table, col("l_orderkey") % 4 === 0)
+        graft.iceberg.IcebergWriter.upgradeFormat(s, table)
+        graft.iceberg.IcebergWriter.delete(s, table, col("l_suppkey") % 3 === 0)
+        IcebergScan.scan(s, table).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("long").as("qty"))
+      }
     )
   )
 }
