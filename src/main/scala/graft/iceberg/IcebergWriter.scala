@@ -1172,10 +1172,15 @@ object IcebergWriter {
       ManifestReader.readManifestList(snap.manifestList, conf, snap.formatVersion)
         .map(m => (m.manifestPath, snap.formatVersion))
     }.flatten.distinctBy(_._1)
+    // DELETED-status entries don't pin a file: no retained snapshot reads
+    // it (a changelog window needs both endpoints retained, and the older
+    // endpoint lists the file LIVE if it still matters). A file whose only
+    // remaining references are tombstones is exactly the vacuum candidate.
     val referenced = DriverPool.mapParallel(
       manifestPaths, parallelism, timeout, "graft-orphan-manifest") {
       case (mPath, fv) =>
         ManifestReader.readManifestEntries(mPath, conf, fv)
+          .filter(_.status != 2)
           .map(e => new Path(e.filePath).toUri.getPath)
     }.flatten.toSet
     val dataDir = new Path(path, "data")
@@ -1185,7 +1190,10 @@ object IcebergWriter {
       val it = fs.listFiles(dataDir, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        // .puffin: a deletion-vector file every retained snapshot has
+        // rewritten away is as orphaned as a dropped parquet file
+        val name = st.getPath.getName
+        if (st.isFile && (name.endsWith(".parquet") || name.endsWith(".puffin")) &&
             !referenced(st.getPath.toUri.getPath))
           found += st.getPath.toString
       }

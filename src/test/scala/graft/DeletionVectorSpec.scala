@@ -193,6 +193,52 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!files.exists(_.endsWith(".puffin")))
   }
 
+  test("partitioned v3 table: DV stays partition-local; pruned scans skip it") {
+    val table = newTable("graft_dv8_")
+    val orders = Tables.load(spark, Sf, "orders").limit(600)
+      .withColumn("bucket", (col("o_orderkey") % 2).cast("int"))
+    IcebergWriter.write(orders.repartition(col("bucket")), table,
+      partitionBy = Seq("bucket" -> "identity"), formatVersion = 3)
+    val sorted = orders.filter(col("bucket") === 0)
+      .select("o_orderkey").as[Long](spark.implicits.newLongEncoder).collect().sorted
+    val cut = sorted(20)
+    IcebergWriter.delete(spark, table,
+      col("bucket") === 0 && col("o_orderkey") <= cut)
+
+    // full scan subtracts; the untouched partition is intact
+    assert(IcebergScan.scan(spark, table).count() ===
+      orders.count() - orders.filter(col("bucket") === 0 && col("o_orderkey") <= cut).count())
+    // a pruned scan of partition 1 plans ZERO puffin files
+    val files = IcebergScan.scanFiltered(spark, table, col("bucket") === 1,
+        Options(mode = "list_files"))
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && !files.exists(_.endsWith(".puffin")))
+    // and the pruned scan's rows are exact
+    assert(IcebergScan.scanFiltered(spark, table, col("bucket") === 1).count() ===
+      orders.filter(col("bucket") === 1).count())
+  }
+
+  test("superseded puffin files surface as orphans once history expires") {
+    val table = newTable("graft_dv9_")
+    val orders = Tables.load(spark, Sf, "orders").limit(300)
+    IcebergWriter.write(orders, table, formatVersion = 3)
+    val sorted = orders.select("o_orderkey").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    IcebergWriter.delete(spark, table, col("o_orderkey") <= sorted(30))
+    IcebergWriter.delete(spark, table, col("o_orderkey") <= sorted(60)) // supersedes
+    // both puffin files referenced while history is retained
+    assert(IcebergWriter.listOrphanFiles(spark, table)
+      .collect().map(_.getString(0)).isEmpty)
+    IcebergWriter.expireSnapshots(spark, table, keep = 1)
+    val orphans = IcebergWriter.listOrphanFiles(spark, table)
+      .collect().map(_.getString(0))
+    assert(orphans.exists(_.endsWith(".puffin")),
+      s"expected the superseded puffin among orphans, got ${orphans.toSeq}")
+    // the LIVE puffin is not orphaned: the scan still subtracts correctly
+    assert(IcebergScan.scan(spark, table).count() ===
+      orders.filter(col("o_orderkey") > sorted(60)).count())
+  }
+
   test("v2 tables still write parquet position deletes (no regression)") {
     val table = newTable("graft_dv6_")
     val orders = Tables.load(spark, Sf, "orders").limit(200)
