@@ -1,0 +1,249 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** Iceberg REST catalog CLIENT (the published REST OpenAPI the
+  * ecosystem's catalogs speak — the same protocol the reference's test
+  * infra provisions at `http://127.0.0.1:8181` and attaches Spark to,
+  * `scripts/provision.py:40-47`). The catalog resolves a namespaced
+  * table name to its `metadata-location`; everything after that is the
+  * existing direct-`.json` scan path ([[IcebergScan]] / S11's direct
+  * metadata support), so every scan feature (time travel, refs,
+  * pruning, MoR, DVs) works identically on catalog-resolved tables.
+  *
+  * Scope notes for a 100 TB deployment:
+  *  - list endpoints follow `next-page-token` to exhaustion, so a
+  *    catalog with 100k tables streams in pages rather than one
+  *    unbounded response;
+  *  - only the driver talks to the catalog (one `loadTable` per query
+  *    plan) — executors never see it; data I/O goes straight to the
+  *    table's storage via Hadoop FS like every other scan;
+  *  - OAuth2 client-credentials (`POST v1/oauth/tokens`) and static
+  *    bearer tokens are both supported; the token rides only on
+  *    catalog requests, never on data paths.
+  */
+object RestCatalog {
+
+  /** A connected catalog: base uri, resolved path prefix, auth token,
+    * and the merged config (defaults <- client overrides <- server
+    * overrides, the REST spec's merge order). */
+  final case class Client(
+      uri: String,
+      prefix: Option[String],
+      token: Option[String],
+      config: Map[String, String],
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000)
+
+  final case class TableRef(namespace: Seq[String], name: String) {
+    override def toString: String = (namespace :+ name).mkString(".")
+  }
+
+  final case class LoadedTable(
+      metadataLocation: String,
+      config: Map[String, String])
+
+  private val mapper = new ObjectMapper()
+
+  // ---- connection ------------------------------------------------------
+
+  /** Fetch `GET v1/config` and build a client. `credential` is the
+    * OAuth2 `client_id:client_secret` pair (exchanged for a bearer
+    * token first); `token` is a pre-issued static bearer. */
+  def connect(
+      uri: String,
+      warehouse: Option[String] = None,
+      credential: Option[String] = None,
+      token: Option[String] = None,
+      props: Map[String, String] = Map.empty): Client = {
+    val base = uri.stripSuffix("/")
+    val bearer = credential match {
+      case Some(cred) => Some(oauthToken(base, cred))
+      case None       => token
+    }
+    val q = warehouse.map(w => "?warehouse=" + enc(w)).getOrElse("")
+    val cfg = parse(http("GET", s"$base/v1/config$q", bearer, None))
+    val defaults = strMap(cfg.get("defaults"))
+    val overrides = strMap(cfg.get("overrides"))
+    // spec merge order: defaults lose to client-supplied, which lose to
+    // server overrides
+    val merged = defaults ++ props ++ overrides
+    Client(base, merged.get("prefix").filter(_.nonEmpty), bearer, merged)
+  }
+
+  /** OAuth2 client-credentials exchange against the catalog's token
+    * endpoint (`POST v1/oauth/tokens`, form-encoded per RFC 6749). */
+  private def oauthToken(base: String, credential: String): String = {
+    val (id, secret) = credential.split(":", 2) match {
+      case Array(i, s) => (i, s)
+      case _ => throw new IllegalArgumentException(
+        "credential must be 'client_id:client_secret'")
+    }
+    val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
+      s"&client_secret=${enc(secret)}&scope=catalog"
+    val node = parse(http("POST", s"$base/v1/oauth/tokens", None, Some(form),
+      contentType = "application/x-www-form-urlencoded"))
+    Option(node.get("access_token")).map(_.asText).getOrElse(
+      throw new java.io.IOException(
+        s"oauth token response carries no access_token: $node"))
+  }
+
+  // ---- catalog operations ----------------------------------------------
+
+  /** All namespaces, following pagination to exhaustion. */
+  def listNamespaces(c: Client): Seq[Seq[String]] =
+    paged(c, s"${root(c)}/namespaces", "namespaces") { n =>
+      n.elements.asScala.map(_.asText).toSeq
+    }
+
+  /** Tables of `namespace`, following pagination to exhaustion. */
+  def listTables(c: Client, namespace: Seq[String]): Seq[TableRef] =
+    paged(c, s"${root(c)}/namespaces/${nsPath(namespace)}/tables",
+      "identifiers") { n =>
+      TableRef(
+        Option(n.get("namespace")).map(_.elements.asScala.map(_.asText).toSeq)
+          .getOrElse(namespace),
+        n.get("name").asText)
+    }
+
+  def tableExists(c: Client, table: String): Boolean =
+    try { loadTable(c, table); true }
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** `GET .../tables/{table}` → the table's current metadata location.
+    * `table` is `ns.sub_ns.name`; the namespace part joins with the
+    * spec's 0x1F unit separator in the URL. */
+  def loadTable(c: Client, table: String): LoadedTable = {
+    val ref = parseRef(table)
+    val body = parse(http("GET",
+      s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}",
+      c.token, None))
+    val loc = Option(body.get("metadata-location")).map(_.asText)
+      .orElse(Option(body.get("metadata"))
+        .flatMap(m => Option(m.get("metadata-location")).map(_.asText)))
+      .getOrElse(throw new java.io.IOException(
+        s"catalog returned no metadata-location for table $table"))
+    LoadedTable(loc, strMap(body.get("config")))
+  }
+
+  // ---- scan integration ------------------------------------------------
+
+  /** Scan a catalog table: one `loadTable` round-trip on the driver,
+    * then the ordinary direct-metadata scan (all [[IcebergScan.Options]]
+    * apply — snapshot ids, refs, timestamps, pruning filters, modes). */
+  def scan(spark: SparkSession, c: Client, table: String,
+      opts: IcebergScan.Options = IcebergScan.Options()): DataFrame =
+    IcebergScan.scan(spark, loadTable(c, table).metadataLocation, opts)
+
+  /** `iceberg_snapshots` over a catalog table. */
+  def snapshots(spark: SparkSession, c: Client, table: String): DataFrame =
+    IcebergScan.snapshots(spark, loadTable(c, table).metadataLocation)
+
+  /** `iceberg_metadata` over a catalog table. */
+  def metadata(spark: SparkSession, c: Client, table: String,
+      opts: IcebergScan.Options = IcebergScan.Options()): DataFrame =
+    IcebergScan.metadata(spark, loadTable(c, table).metadataLocation, opts)
+
+  // ---- plumbing --------------------------------------------------------
+
+  private def root(c: Client): String =
+    c.prefix match {
+      case Some(p) => s"${c.uri}/v1/${p.split("/").map(enc).mkString("/")}"
+      case None    => s"${c.uri}/v1"
+    }
+
+  private def parseRef(table: String): TableRef = {
+    val parts = table.split("\\.").toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"table must be 'namespace.name' (multi-level dotted), got '$table'")
+    if (parts.size == 1) TableRef(Seq.empty, parts.head)
+    else TableRef(parts.init, parts.last)
+  }
+
+  /** Multi-level namespaces join with the unit separator (0x1F) in URL
+    * paths, percent-encoded — the REST spec's convention. */
+  private def nsPath(ns: Seq[String]): String =
+    enc(ns.mkString("\u001f"))
+
+  private def enc(s: String): String =
+    URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  private def strMap(node: JsonNode): Map[String, String] =
+    if (node == null || !node.isObject) Map.empty
+    else node.fieldNames.asScala.map(k => k -> node.get(k).asText).toMap
+
+  private def parse(s: String): JsonNode = mapper.readTree(s)
+
+  /** Follow `next-page-token` until the server stops returning one.
+    * Guards against a server echoing the same token forever. */
+  private def paged[A](c: Client, url: String, field: String)(
+      decode: JsonNode => A): Seq[A] = {
+    val out = Seq.newBuilder[A]
+    var token: Option[String] = None
+    var seen = Set.empty[String]
+    var done = false
+    while (!done) {
+      val u = token match {
+        case Some(t) => s"$url?pageToken=${enc(t)}"
+        case None    => url
+      }
+      val body = parse(http("GET", u, c.token, None))
+      Option(body.get(field)).foreach(_.elements.asScala.foreach(out += decode(_)))
+      val next = Option(body.get("next-page-token")).map(_.asText)
+        .filter(_.nonEmpty)
+      next match {
+        case Some(t) if seen(t) => throw new java.io.IOException(
+          s"catalog pagination loop: token '$t' repeated for $url")
+        case Some(t) => seen += t; token = Some(t)
+        case None    => done = true
+      }
+    }
+    out.result()
+  }
+
+  /** One HTTP exchange. Non-2xx maps to typed errors: 404 →
+    * FileNotFoundException (so existence probes can catch narrowly),
+    * everything else → IOException carrying the server's error JSON
+    * (`{"error":{"message",...}}`) when present. */
+  private def http(method: String, url: String, bearer: Option[String],
+      body: Option[String], contentType: String = "application/json"): String = {
+    val conn = new URI(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Accept", "application/json")
+      bearer.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", contentType)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes(UTF_8)) finally os.close()
+      }
+      val code = conn.getResponseCode
+      val stream = if (code >= 200 && code < 300) conn.getInputStream
+                   else conn.getErrorStream
+      val text =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(), UTF_8) finally stream.close()
+      if (code >= 200 && code < 300) text
+      else {
+        val serverMsg =
+          try Option(mapper.readTree(text).get("error"))
+            .flatMap(e => Option(e.get("message")).map(_.asText))
+          catch { case _: Exception => None }
+        val msg = s"$method $url failed: HTTP $code" +
+          serverMsg.map(m => s" — $m").getOrElse(
+            if (text.nonEmpty) s" — $text" else "")
+        if (code == 404) throw new java.io.FileNotFoundException(msg)
+        else throw new java.io.IOException(msg)
+      }
+    } finally conn.disconnect()
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergScan, IcebergWriter, RestCatalog}
+import graft.iceberg.IcebergScan.Options
+
+/** REST catalog client against an in-process loopback server speaking
+  * the Iceberg REST OpenAPI — the sandbox-feasible analogue of the
+  * reference's provisioned catalog (`scripts/provision.py:40-47`
+  * attaches Spark to `http://127.0.0.1:8181`). Tables are real
+  * [[IcebergWriter]] tables on disk; the server only maps names to
+  * their `metadata-location`, exactly a catalog's job. */
+class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4")
+      .appName("graft-restcatalog")
+      .getOrCreate()
+
+  private var server: HttpServer = _
+  private def uri: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  // name -> metadata-location, mutated as tests create tables
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, String]
+  @volatile private var lastAuthHeader: Option[String] = None
+  @volatile private var tablePages = 1 // split listTables into N pages
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+    if (b.nonEmpty) { val os = x.getResponseBody; os.write(b); os.close() }
+    x.close()
+  }
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/oauth/tokens", (x: HttpExchange) => {
+      val form = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      if (form.contains("client_id=graft") && form.contains("client_secret=s3cret"))
+        respond(x, 200,
+          """{"access_token":"tok-123","token_type":"bearer","expires_in":3600}""")
+      else respond(x, 401,
+        """{"error":{"message":"bad client credentials","type":"NotAuthorizedException","code":401}}""")
+    })
+    server.createContext("/v1/config", (x: HttpExchange) => {
+      lastAuthHeader =
+        Option(x.getRequestHeaders.getFirst("Authorization"))
+      respond(x, 200,
+        """{"defaults":{"warehouse":"file:///tmp","clients":"4"},"overrides":{"prefix":"ws/main"}}""")
+    })
+    // everything under the prefix: namespaces + tables
+    server.createContext("/v1/ws/main/", (x: HttpExchange) => {
+      lastAuthHeader = Option(x.getRequestHeaders.getFirst("Authorization"))
+      val path = x.getRequestURI.getPath.stripPrefix("/v1/ws/main/")
+      val query = Option(x.getRequestURI.getQuery).getOrElse("")
+      path match {
+        case "namespaces" =>
+          respond(x, 200, """{"namespaces":[["analytics"],["analytics","raw"]]}""")
+        case "namespaces/analytics/tables" =>
+          val names = tables.keys.toSeq.sorted
+          val pages = names.grouped(math.max(1, math.ceil(
+            names.size.toDouble / tablePages).toInt)).toSeq
+          val pageIdx = if (query.contains("pageToken=")) {
+            query.split("pageToken=")(1).takeWhile(_ != '&').toInt
+          } else 0
+          val ids = pages.lift(pageIdx).getOrElse(Seq.empty)
+            .map(n => s"""{"namespace":["analytics"],"name":"$n"}""")
+          val next =
+            if (pageIdx + 1 < pages.size) s""","next-page-token":"${pageIdx + 1}""""
+            else ""
+          respond(x, 200, s"""{"identifiers":[${ids.mkString(",")}]$next}""")
+        case p if p.startsWith("namespaces/analytics/tables/") =>
+          val name = p.stripPrefix("namespaces/analytics/tables/")
+          tables.get(name) match {
+            case Some(loc) => respond(x, 200,
+              s"""{"metadata-location":"$loc","config":{"read.split.target-size":"134217728"}}""")
+            case None => respond(x, 404,
+              s"""{"error":{"message":"Table does not exist: analytics.$name","type":"NoSuchTableException","code":404}}""")
+          }
+        case _ => respond(x, 404, """{"error":{"message":"no route","code":404}}""")
+      }
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    spark.stop()
+  }
+
+  private def createTable(name: String): String = {
+    val dir = Files.createTempDirectory(s"graft_rest_${name}_").toString
+    val path = s"$dir/$name"
+    IcebergWriter.write(Tables.load(spark, Sf, "orders"), path)
+    // register under the CURRENT metadata json (what a catalog serves)
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = graft.iceberg.IcebergIO.resolveMetadataPath(
+      path, conf, "none",
+      graft.iceberg.IcebergModel.UnknownTableVersion,
+      graft.iceberg.IcebergModel.DefaultTableVersionFormat, false)
+    tables.put(name, meta)
+    path
+  }
+
+  test("connect merges config and picks up the server's prefix") {
+    val c = RestCatalog.connect(uri, warehouse = Some("wh1"),
+      props = Map("clients" -> "8"))
+    assert(c.prefix === Some("ws/main"))
+    assert(c.config("warehouse") === "file:///tmp") // default kept
+    assert(c.config("clients") === "8")             // client beats default
+  }
+
+  test("listNamespaces and paginated listTables walk every page") {
+    createTable("orders_a"); createTable("orders_b"); createTable("orders_c")
+    val c = RestCatalog.connect(uri)
+    assert(RestCatalog.listNamespaces(c) ===
+      Seq(Seq("analytics"), Seq("analytics", "raw")))
+    tablePages = 2
+    try {
+      val listed = RestCatalog.listTables(c, Seq("analytics")).map(_.name)
+      assert(listed.toSet === tables.keys.toSet)
+      assert(listed.size === tables.size) // no page dropped or doubled
+    } finally tablePages = 1
+  }
+
+  test("loadTable + scan equals the direct-path scan (incl. time travel)") {
+    val path = createTable("orders_scan")
+    val c = RestCatalog.connect(uri)
+    val direct = IcebergScan.scan(spark, path)
+    val viaCat = RestCatalog.scan(spark, c, "analytics.orders_scan")
+    assert(viaCat.count() === direct.count())
+    assert(viaCat.schema === direct.schema)
+
+    // catalog-resolved tables keep the whole scan surface: MoR delete
+    // then time-travel through the catalog handle
+    val snap1 = IcebergScan.snapshots(spark, path)
+      .orderBy("timestamp_ms").select("snapshot_id").head.getLong(0)
+    IcebergWriter.delete(spark, path, col("o_orderstatus") === "F")
+    tables.put("orders_scan", graft.iceberg.IcebergIO.resolveMetadataPath(
+      path, spark.sessionState.newHadoopConf(), "none",
+      graft.iceberg.IcebergModel.UnknownTableVersion,
+      graft.iceberg.IcebergModel.DefaultTableVersionFormat, false))
+    val after = RestCatalog.scan(spark, c, "analytics.orders_scan")
+    assert(after.filter(col("o_orderstatus") === "F").count() === 0)
+    assert(RestCatalog.scan(spark, c, "analytics.orders_scan",
+      Options(snapshotId = Some(snap1))).count() === direct.count())
+    // snapshots/metadata listings resolve through the catalog too
+    assert(RestCatalog.snapshots(spark, c, "analytics.orders_scan").count() === 2)
+    assert(RestCatalog.metadata(spark, c, "analytics.orders_scan").count() > 0)
+  }
+
+  test("oauth client-credentials: token is exchanged and rides requests") {
+    val c = RestCatalog.connect(uri, credential = Some("graft:s3cret"))
+    assert(c.token === Some("tok-123"))
+    RestCatalog.listNamespaces(c)
+    assert(lastAuthHeader === Some("Bearer tok-123"))
+    // bad credentials surface the server's error message
+    val e = intercept[java.io.IOException] {
+      RestCatalog.connect(uri, credential = Some("graft:wrong"))
+    }
+    assert(e.getMessage.contains("bad client credentials"))
+  }
+
+  test("missing table maps 404 to a catchable not-found") {
+    val c = RestCatalog.connect(uri)
+    assert(!RestCatalog.tableExists(c, "analytics.nope"))
+    val e = intercept[java.io.FileNotFoundException] {
+      RestCatalog.loadTable(c, "analytics.nope")
+    }
+    assert(e.getMessage.contains("Table does not exist"))
+  }
+}
