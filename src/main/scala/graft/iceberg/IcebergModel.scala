@@ -67,7 +67,13 @@ object IcebergModel {
       // offset+length without touching the puffin footer.
       referencedDataFile: Option[String] = None,
       contentOffset: Option[Long] = None,
-      contentSizeInBytes: Option[Long] = None) {
+      contentSizeInBytes: Option[Long] = None,
+      // Spec v3 ROW LINEAGE (Iceberg spec "Row Lineage" / data-file field
+      // `first_row_id`): the id of this data file's first row; row N of
+      // the file has _row_id = first_row_id + N. None on v2 tables, on
+      // delete entries, and on files whose ids are MATERIALIZED as a
+      // column (compaction rewrites — the column is then authoritative).
+      firstRowId: Option[Long] = None) {
     def isDV: Boolean =
       content == 1 && fileFormat.equalsIgnoreCase("PUFFIN") && referencedDataFile.isDefined
     /** The effective data sequence number under inheritance. */
@@ -78,6 +84,16 @@ object IcebergModel {
       path: String,
       snapshot: Snapshot,
       entries: Seq[(Manifest, Seq[ManifestEntry])])
+
+  // Spec v3 ROW LINEAGE: virtual column names and their reserved field
+  // ids (Iceberg spec "Row Lineage" / "Reserved field IDs"). Rewritten
+  // (compacted) data files MATERIALIZE these columns under the reserved
+  // ids so row ids survive rewrites; fresh files inherit from the
+  // manifest's first_row_id instead.
+  val RowIdCol = "_row_id"
+  val LastUpdatedSeqCol = "_last_updated_sequence_number"
+  val RowIdFieldId = 2147483540
+  val LastUpdatedSeqFieldId = 2147483539
 
   // Status / content display names — reference iceberg_types.hpp:24-56.
   // (Note: the reference maps entry-content DATA → "EXISTING"; preserved.)

@@ -45,7 +45,12 @@ object IcebergScan {
       // (used by the writer's row-level DELETE/UPDATE, which must see rows
       // AFTER existing tombstones are applied — reading raw data files
       // would resurrect previously-deleted rows).
-      keepProvenance: Boolean = false)
+      keepProvenance: Boolean = false,
+      // Spec v3 ROW LINEAGE: append `_row_id` and
+      // `_last_updated_sequence_number` to the output. A row's id is
+      // stable across MoR deletes/updates and compaction (rewrites
+      // materialize it); rows from files predating lineage read null.
+      rowLineage: Boolean = false)
 
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
@@ -177,14 +182,33 @@ object IcebergScan {
     // Verify/Bench/the specs): Spark's parquet reader takes this from the
     // session conf, and toggling session state inside a query builder would
     // leak into unrelated reads (see GraftSessions).
+    if (opts.rowLineage) {
+      require(snapshot.formatVersion >= 3,
+        s"row lineage requires format-version 3 (table is v${snapshot.formatVersion})")
+      require(!snapshot.schema.exists(c =>
+          c.name == RowIdCol || c.name == LastUpdatedSeqCol),
+        s"table schema already has a '$RowIdCol'/'$LastUpdatedSeqCol' column")
+    }
+    // Row-lineage read fields: reserved-id-keyed so MATERIALIZED columns
+    // (compaction rewrites) resolve; files without them read null and the
+    // inheritance fallback below fills the value in.
+    val lineageFields = Seq(
+      StructField(RowIdCol, LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", RowIdFieldId.toLong).build()),
+      StructField(LastUpdatedSeqCol, LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", LastUpdatedSeqFieldId.toLong).build()))
+    def withLineageFields(s: StructType): StructType =
+      if (opts.rowLineage) StructType(s.fields.toSeq ++ lineageFields) else s
+
     val reader = spark.read.format("parquet")
     val withSchema =
       if (opts.skipSchemaInference) reader
-      else reader.schema(IcebergSchemaParser.toStructType(snapshot.schema))
+      else reader.schema(withLineageFields(
+        IcebergSchemaParser.toStructType(snapshot.schema)))
 
     if (dataPaths.isEmpty) {
       // Empty snapshot: zero-row frame with the snapshot schema.
-      val base = IcebergSchemaParser.toStructType(snapshot.schema)
+      val base = withLineageFields(IcebergSchemaParser.toStructType(snapshot.schema))
       val schema =
         if (!opts.keepProvenance) base
         else StructType(base.fields.toSeq :+
@@ -197,7 +221,7 @@ object IcebergScan {
     val residual = IcebergPruning.residual(opts.filters, snapshot.schema)
     val dataDF = residual.foldLeft(withSchema.load(dataPaths: _*))(_.filter(_))
     if (deletePaths.isEmpty && dvEntries.isEmpty && eqPaths.isEmpty &&
-      !opts.keepProvenance) return dataDF
+      !opts.keepProvenance && !opts.rowLineage) return dataDF
 
     // Spark reports _metadata.file_path as a fully-qualified URI, while the
     // delete files reference data files by the exact strings the writer put
@@ -212,6 +236,23 @@ object IcebergScan {
       col("*"),
       col("_metadata.file_path").as("__graft_file"),
       col("_metadata.row_index").as("__graft_pos"))
+
+    // --- v3 row lineage: materialized column, else manifest inheritance ---
+    if (opts.rowLineage) {
+      // per-file (first_row_id, data sequence) via a small broadcast —
+      // the same qualified-URI bridge as the MoR join; a file's row N has
+      // _row_id = first_row_id + N unless the file materializes the ids
+      val lineageMap = dataEntries.map { case (e, seq) =>
+        (qualify(resolved(path, e.filePath, opts)), e.firstRowId, seq)
+      }.toDF("__lin_qual", "__lin_base", "__lin_seq")
+      cur = cur
+        .join(broadcast(lineageMap), col("__graft_file") === col("__lin_qual"), "left")
+        .withColumn(RowIdCol,
+          coalesce(col(RowIdCol), col("__lin_base") + col("__graft_pos")))
+        .withColumn(LastUpdatedSeqCol,
+          coalesce(col(LastUpdatedSeqCol), col("__lin_seq")))
+        .drop("__lin_qual", "__lin_base", "__lin_seq")
+    }
 
     // --- merge-on-read position deletes (v2 parquet files + v3 DVs) ---
     if (deletePaths.nonEmpty || dvEntries.nonEmpty) {

@@ -307,7 +307,8 @@ object IcebergWriter {
            "default":null},
           {"name":"referenced_data_file","type":["null","string"],"default":null},
           {"name":"content_offset","type":["null","long"],"default":null},
-          {"name":"content_size_in_bytes","type":["null","long"],"default":null}
+          {"name":"content_size_in_bytes","type":["null","long"],"default":null},
+          {"name":"first_row_id","type":["null","long"],"default":null}
         ]}}]}""")
   }
 
@@ -658,7 +659,14 @@ object IcebergWriter {
     // survives optimization precisely because the types differ by
     // metadata; Dataset.to() shows such metadata in .schema but never
     // attaches it to the plan's attributes).
-    val assigned = assignIds(df.schema, prevIds)
+    // Materialized row-lineage columns (compaction rewrites, spec v3) are
+    // NOT table columns: they take the spec's RESERVED field ids, never
+    // fresh ones — a fresh id here could later collide with a real
+    // column's id and resurrect lineage values under that column's name.
+    val lineageIds = Map(
+      RowIdCol -> RowIdFieldId, LastUpdatedSeqCol -> LastUpdatedSeqFieldId)
+    val logicalFields = df.schema.fields.filterNot(f => lineageIds.contains(f.name))
+    val assigned = assignIds(StructType(logicalFields), prevIds) ++ lineageIds
     val withIds = df.select(df.schema.fields.map { f =>
       val typed = typeWithIds(f.dataType, f.name + ".", assigned)
       val c = if (typed == f.dataType) col(f.name) else col(f.name).cast(typed)
@@ -675,8 +683,9 @@ object IcebergWriter {
     val writer = sorted.write.options(options)
     (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)
       .parquet(dataDir.toString)
-    // manifest bounds keyed by the same assigned top-level ids
-    val fields = df.schema.fields.map { f =>
+    // manifest bounds keyed by the same assigned top-level ids (lineage
+    // columns excluded — they are file payload, not manifest surface)
+    val fields = logicalFields.map { f =>
       f.name -> (assigned(f.name), f.dataType)
     }.toMap
     collectFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(), spec, fields)
@@ -734,6 +743,7 @@ object IcebergWriter {
         e.referencedDataFile.foreach(dfr.put("referenced_data_file", _))
         e.contentOffset.foreach(o => dfr.put("content_offset", Long.box(o)))
         e.contentSizeInBytes.foreach(s => dfr.put("content_size_in_bytes", Long.box(s)))
+        e.firstRowId.foreach(r => dfr.put("first_row_id", Long.box(r)))
         val rec = new GenericData.Record(entrySchema)
         rec.put("status", e.status)
         // explicit per-entry data sequence number (spec field 3) — written
@@ -815,6 +825,28 @@ object IcebergWriter {
   }
 
   /** Write manifest list + metadata.json + hint; returns the snapshot id. */
+  /** The v3 row-lineage high-water mark: the next unassigned _row_id.
+    * Missing on v2 tables and on v3 tables from pre-lineage writers. */
+  private def nextRowIdOf(state: Option[State]): Long =
+    state.flatMap(_.rootNode)
+      .flatMap(r => Option(r.get("next-row-id")).map(_.asLong)).getOrElse(0L)
+
+  /** Assign spec-v3 row-lineage ranges to freshly-added data files: each
+    * entry's `first_row_id` is a running offset from the table's
+    * next-row-id, advancing by the file's record count. Returns the
+    * entries plus the (firstRowId, newNextRowId) range for the commit —
+    * None below v3 (lineage is a v3 feature) or when nothing was added. */
+  private def assignRowIds(fv: Int, base: Long, entries: Seq[ManifestEntry])
+      : (Seq[ManifestEntry], Option[(Long, Long)]) =
+    if (fv < 3 || entries.isEmpty) (entries, None)
+    else {
+      var next = base
+      val out = entries.map { e =>
+        val a = e.copy(firstRowId = Some(next)); next += e.recordCount; a
+      }
+      (out, Some((base, next)))
+    }
+
   private def commitSnapshot(
       path: String,
       conf: Configuration,
@@ -830,7 +862,10 @@ object IcebergWriter {
       branch: String = "main",
       // None = preserve the table's recorded version (2 for new tables);
       // Some(v) is used by v3 table creation and upgradeFormat
-      formatVersion: Option[Int] = None): Long = {
+      formatVersion: Option[Int] = None,
+      // v3 row lineage: Some((firstRowId, newNextRowId)) when this commit
+      // assigned row ids to new data files (see assignRowIds)
+      rowRange: Option[(Long, Long)] = None): Long = {
     state.foreach(st => st.refs.get(branch).foreach { case (_, tpe) =>
       require(tpe == "branch", s"cannot commit to '$branch': it is a $tpe")
     })
@@ -1061,6 +1096,14 @@ object IcebergWriter {
       if (!summary.contains(k)) sum.put(k, v.toString)
     }
     sn.put("manifest-list", listPath.toString)
+    // v3 ROW LINEAGE bookkeeping: next-row-id is the table-level
+    // high-water mark (monotone across every commit, carried even by
+    // delete-only/maintenance commits); first-row-id on the snapshot
+    // records where this commit's assignment started.
+    if (fv >= 3) {
+      root.put("next-row-id", rowRange.map(_._2).getOrElse(nextRowIdOf(state)))
+      rowRange.foreach { case (first, _) => sn.put("first-row-id", first) }
+    }
 
     val version = state.map(_.version + 1).getOrElse(1)
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -1487,12 +1530,16 @@ object IcebergWriter {
     val files = writeDataFiles(
       df, new Path(path, s"data/snap-$snapshotId"), spec, sortBy, options, prevIds)
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(manifestPath, conf, files.map { w =>
-      ManifestEntry(status = 1, content = 0, filePath = w.path,
-        fileFormat = "PARQUET", recordCount = w.count,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
-        nullCounts = w.nulls)
-    }, spec.map(sf => (sf.fieldName, sf.avroType)))
+    val effectiveFv = state.map(_.info.formatVersion).getOrElse(formatVersion)
+    val (dataEntries, rowRange) = assignRowIds(
+      effectiveFv, nextRowIdOf(state), files.map { w =>
+        ManifestEntry(status = 1, content = 0, filePath = w.path,
+          fileFormat = "PARQUET", recordCount = w.count,
+          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+          nullCounts = w.nulls)
+      })
+    writeManifest(manifestPath, conf, dataEntries,
+      spec.map(sf => (sf.fieldName, sf.avroType)))
     // the target BRANCH head's manifests carried forward + the new one
     val prevManifests: Seq[Manifest] = state match {
       case Some(st) if st.snapshots.nonEmpty =>
@@ -1511,7 +1558,8 @@ object IcebergWriter {
     commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
       prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
       summary = stdSummary ++ summary, sortBy = sortBy, branch = branch,
-      formatVersion = if (state.isEmpty) Some(formatVersion) else None)
+      formatVersion = if (state.isEmpty) Some(formatVersion) else None,
+      rowRange = rowRange)
   }
 
   /** Metadata-only column rename (Iceberg spec "Schema Evolution":
@@ -1925,8 +1973,35 @@ object IcebergWriter {
     val manifests = commitPositionDeletes(
       spark, path, conf, latest, meta, scoped, snapshotId, seq,
       tombstoneParquetDeletes = true, forceDV = true)
+    // ROW LINEAGE backfill (metadata-only): the v2 table's files have no
+    // row ids; assign each LIVE data file a first_row_id range now, so
+    // lineage is total immediately after upgrade instead of only for
+    // rows written later. Data manifests are rewritten with the ids and
+    // entries pin their effective sequence numbers (they move to a new
+    // manifest-list position, where inheritance would re-stamp them).
+    val manifestByPath = meta.entries.map { case (m, es) => m.manifestPath -> es }.toMap
+    var nextRow = nextRowIdOf(Some(state))
+    val rowBase = nextRow
+    val withRowIds = manifests.zipWithIndex.map { case (m, i) =>
+      val es = manifestByPath.getOrElse(m.manifestPath, Seq.empty)
+      if (m.content != 0 || !es.exists(e => e.status != 2 && e.content == 0)) m
+      else {
+        val rewritten = es.map { e =>
+          val pinned = e.copy(sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
+          if (e.status != 2 && e.content == 0) {
+            val a = pinned.copy(firstRowId = Some(nextRow))
+            nextRow += e.recordCount
+            a
+          } else pinned
+        }
+        val p = new Path(path, s"metadata/snap-$snapshotId-rid$i.avro")
+        writeManifest(p, conf, rewritten, mergedPartitionFields(rewritten))
+        Manifest(p.toString, m.sequenceNumber, content = 0)
+      }
+    }
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      manifests, operation = "replace", formatVersion = Some(3))
+      withRowIds, operation = "replace", formatVersion = Some(3),
+      rowRange = if (nextRow > rowBase) Some((rowBase, nextRow)) else None)
   }
 
   /** Row-level EQUALITY DELETE, merge-on-read: `keys` (whose columns must
@@ -2063,15 +2138,21 @@ object IcebergWriter {
       prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
     val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    writeManifest(dataManifest, conf, dataFiles.map { w =>
-      ManifestEntry(status = 1, content = 0, filePath = w.path,
-        fileFormat = "PARQUET", recordCount = w.count,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
-        nullCounts = w.nulls)
-    }, spec.map(sf => (sf.fieldName, sf.avroType)))
+    // v3 lineage: rewritten rows are NEW rows (delete+insert semantics) —
+    // they draw fresh row ids; their _last_updated_sequence_number is this
+    // commit's sequence number via ordinary file-seq inheritance.
+    val (updEntries, rowRange) = assignRowIds(
+      latest.formatVersion, nextRowIdOf(Some(state)), dataFiles.map { w =>
+        ManifestEntry(status = 1, content = 0, filePath = w.path,
+          fileFormat = "PARQUET", recordCount = w.count,
+          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+          nullCounts = w.nulls)
+      })
+    writeManifest(dataManifest, conf, updEntries,
+      spec.map(sf => (sf.fieldName, sf.avroType)))
     try commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
       delManifests :+ Manifest(dataManifest.toString, seq, content = 0),
-      operation = "overwrite", branch = branch)
+      operation = "overwrite", branch = branch, rowRange = rowRange)
     finally matched.unpersist(blocking = false)
   }
 
@@ -2143,12 +2224,17 @@ object IcebergWriter {
         prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
       val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-      writeManifest(dataManifest, conf, dataFiles.map { w =>
-        ManifestEntry(status = 1, content = 0, filePath = w.path,
-          fileFormat = "PARQUET", recordCount = w.count,
-          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
-        nullCounts = w.nulls)
-      }, spec.map(sf => (sf.fieldName, sf.avroType)))
+      // v3 lineage: upserted rows are new rows with fresh row ids (the
+      // equality delete tombstones the old versions; no file is rewritten)
+      val (mrgEntries, rowRange) = assignRowIds(
+        latest.formatVersion, nextRowIdOf(Some(state)), dataFiles.map { w =>
+          ManifestEntry(status = 1, content = 0, filePath = w.path,
+            fileFormat = "PARQUET", recordCount = w.count,
+            partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+            nullCounts = w.nulls)
+        })
+      writeManifest(dataManifest, conf, mrgEntries,
+        spec.map(sf => (sf.fieldName, sf.avroType)))
       val prevManifests = ManifestReader.readManifestList(
         latest.manifestList, conf, latest.formatVersion)
       // src.schema (not the table schema): a widening merge must record
@@ -2157,7 +2243,7 @@ object IcebergWriter {
         prevManifests ++ Seq(
           Manifest(dataManifest.toString, seq, content = 0),
           Manifest(delManifest.toString, seq, content = 1)),
-        spec, operation = "overwrite", branch = branch)
+        spec, operation = "overwrite", branch = branch, rowRange = rowRange)
     } finally src.unpersist(blocking = false)
   }
 
@@ -2178,19 +2264,28 @@ object IcebergWriter {
       case (m, es) if m.content == 0 => es.filter(e => e.status != 2 && e.content == 0)
     }.flatten
 
+    // v3 ROW LINEAGE across rewrites (Iceberg spec "Row Lineage"): a
+    // compacted file holds rows from many sources, so inherited ids can't
+    // survive — the spec's mechanism is to MATERIALIZE _row_id and
+    // _last_updated_sequence_number into the rewritten files (reserved
+    // field ids), which the scan then prefers over inheritance.
+    val fv = state.info.formatVersion
     val df = IcebergScan.scanLoaded(
-      spark, path, IcebergScan.Options(), latest, meta)
+      spark, path, IcebergScan.Options(rowLineage = fv >= 3), latest, meta)
+    val logicalSchema = StructType(df.schema.fields.filterNot(f =>
+      f.name == RowIdCol || f.name == LastUpdatedSeqCol))
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     // Compaction preserves the table's partition layout: rewriting a
     // partitioned table into unpartitioned files would erase every
     // partition tuple from the manifests and kill pruning table-wide.
-    val spec = currentSpec(latest, df.schema)
+    val spec = currentSpec(latest, logicalSchema)
     val dataFiles = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"), spec,
       prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
     val addedPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
     writeManifest(addedPath, conf, dataFiles.map { w =>
+      // firstRowId stays None: the materialized column is authoritative
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
@@ -2200,7 +2295,7 @@ object IcebergWriter {
     writeManifest(deletedPath, conf,
       liveEntries.map(_.copy(status = 2))) // DELETED
 
-    commitSnapshot(path, conf, Some(state), df.schema, snapshotId, seq, Seq(
+    commitSnapshot(path, conf, Some(state), logicalSchema, snapshotId, seq, Seq(
       Manifest(addedPath.toString, seq, 0),
       Manifest(deletedPath.toString, seq, 0)),
       operation = "replace", branch = branch)

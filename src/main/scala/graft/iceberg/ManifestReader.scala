@@ -162,6 +162,10 @@ object ManifestReader {
         contentSizeInBytes = fieldOrNull(df, "content_size_in_bytes") match {
           case l: java.lang.Long => Some(l.longValue)
           case _ => None
+        },
+        firstRowId = fieldOrNull(df, "first_row_id") match {
+          case l: java.lang.Long => Some(l.longValue)
+          case _ => None
         })
     }
   }

@@ -740,6 +740,43 @@ object IcebergQueries {
           count(lit(1)).as("cnt"),
           sum(col("l_quantity")).cast("long").as("qty"))
       }
+    ),
+    QueryDef(
+      "ib37_row_lineage",
+      // Spec-v3 ROW LINEAGE (engine extension): a fresh v3 table assigns a
+      // dense 0..N-1 _row_id space (order-invariant aggregates pin it:
+      // sum = N(N-1)/2, min 0, max N-1, N distinct); after a DV delete AND
+      // a compaction (which must MATERIALIZE the surviving ids into the
+      // rewritten files), every surviving row still carries a distinct id
+      // from the original range — ids are never reassigned or reused.
+      Some("""
+        SELECT c AS total_cnt,
+               CAST(c*(c-1)/2 AS BIGINT) AS id_sum,
+               CAST(0 AS BIGINT) AS id_min,
+               CAST(c-1 AS BIGINT) AS id_max,
+               c AS distinct_total,
+               s AS surv_cnt, s AS surv_distinct
+        FROM (SELECT COUNT(*) c FROM lineitem),
+             (SELECT COUNT(*) s FROM lineitem WHERE l_orderkey % 5 <> 0)"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib37_").toString + "/lineitem_rl"
+        val li = graft.Tables.load(s, dir, "lineitem")
+        graft.iceberg.IcebergWriter.write(li, table, formatVersion = 3)
+        val rl = Options(rowLineage = true)
+        val pre = IcebergScan.scan(s, table, rl).agg(
+          count(lit(1)).as("total_cnt"),
+          sum(col("_row_id")).as("id_sum"),
+          min(col("_row_id")).as("id_min"),
+          max(col("_row_id")).as("id_max"),
+          countDistinct(col("_row_id")).as("distinct_total"))
+        graft.iceberg.IcebergWriter.delete(s, table, col("l_orderkey") % 5 === 0)
+        graft.iceberg.IcebergWriter.compact(s, table)
+        val post = IcebergScan.scan(s, table, rl).agg(
+          count(lit(1)).as("surv_cnt"),
+          countDistinct(col("_row_id")).as("surv_distinct"))
+        pre.crossJoin(post)
+      }
     )
   )
 }
