@@ -336,14 +336,32 @@ object IcebergWriter {
     if (fs.exists(p))
       throw new java.io.IOException(
         s"commit conflict: ${p.getName} already exists (concurrent writer won)")
-    val os =
-      try fs.create(p, false)
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      // Hadoop's local create(path, overwrite=false) is exists-check-then-
+      // create — two racers can BOTH pass the check, and the loser's bytes
+      // silently clobber the winner's committed metadata. O_CREAT|O_EXCL
+      // via nio is the kernel-atomic CAS the commit protocol needs.
+      val local = java.nio.file.Paths.get(uri.getPath)
+      try java.nio.file.Files.createFile(local)
       catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        case _: java.nio.file.FileAlreadyExistsException =>
           throw new java.io.IOException(
             s"commit conflict: ${p.getName} already exists (concurrent writer won)")
       }
-    try os.write(s.getBytes("UTF-8")) finally os.close()
+      java.nio.file.Files.write(local, s.getBytes("UTF-8"))
+    } else {
+      // non-local stores: best effort via the FS contract (HDFS create is
+      // atomic; object stores need a catalog for true CAS — documented)
+      val os =
+        try fs.create(p, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new java.io.IOException(
+              s"commit conflict: ${p.getName} already exists (concurrent writer won)")
+        }
+      try os.write(s.getBytes("UTF-8")) finally os.close()
+    }
   }
 
   // ---- table state ------------------------------------------------------
@@ -396,7 +414,11 @@ object IcebergWriter {
     val fs = hintPath.getFileSystem(conf)
     if (!fs.exists(hintPath)) None
     else {
-      var v = IcebergIO.readString(hintPath.toString, conf).trim.toInt
+      // A TORN hint read (a concurrent committer truncates-then-rewrites
+      // the file, so a racing reader can see it empty) falls back to
+      // probing from 0 — the hint is only a cache of the version walk.
+      var v = scala.util.Try(
+        IcebergIO.readString(hintPath.toString, conf).trim.toInt).getOrElse(0)
       // The hint is a HINT: a writer that crashed between committing
       // vN+1.metadata.json and updating the hint must not pin the table
       // at vN forever — commits compute the next version from the loaded
@@ -816,13 +838,23 @@ object IcebergWriter {
         })
         if (!mergeable) ms
         else {
-          val merged = new Path(path, s"metadata/snap-$snapshotId-merged-c$content.avro")
+          val merged = new Path(path,
+            s"metadata/snap-$snapshotId-${commitToken()}-merged-c$content.avro")
           writeManifest(merged, conf, entries, mergedPartitionFields(entries))
           Seq(Manifest(merged.toString,
             entries.flatMap(_.sequenceNumber).maxOption.getOrElse(0L), content))
         }
     }
   }
+
+  /** Short random token embedded in every commit-scoped metadata file
+    * name (real Iceberg prefixes manifests with a commit UUID for the
+    * same reason): two writers racing from the same loaded state write
+    * DISTINCT manifest/list/DV files, so the CAS loser can never have
+    * clobbered a file the winner's committed metadata references — the
+    * version-file CAS alone cannot protect files written BEFORE it. */
+  private def commitToken(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
 
   /** Write manifest list + metadata.json + hint; returns the snapshot id. */
   /** The v3 row-lineage high-water mark: the next unassigned _row_id.
@@ -870,7 +902,7 @@ object IcebergWriter {
       require(tpe == "branch", s"cannot commit to '$branch': it is a $tpe")
     })
     val metaDir = new Path(path, "metadata")
-    val listPath = new Path(metaDir, s"snap-$snapshotId-1-list.avro")
+    val listPath = new Path(metaDir, s"snap-$snapshotId-${commitToken()}-1-list.avro")
     val kept = maybeMergeManifests(path, conf, snapshotId, manifests)
     writeAvro(manifestListSchema, listPath, conf) {
       kept.map { m =>
@@ -1463,7 +1495,17 @@ object IcebergWriter {
     * recorded in the table's `sort-orders`. With a row-group split
     * (`options("maxRecordsPerFile")`) this yields files with disjoint
     * sort-key ranges → tight manifest bounds → more file pruning.
-    * `options` passes through to the parquet DataFrameWriter. */
+    * `options` passes through to the parquet DataFrameWriter.
+    *
+    * `maxRetries` > 0 turns a lost commit race (the filesystem-CAS
+    * "commit conflict") into an OPTIMISTIC RETRY: the already-written
+    * data files are kept (the expensive part), state is reloaded, and
+    * only the manifest + metadata commit is replayed — appends are
+    * commutative, so N concurrent writers all land, serialized by the
+    * CAS. The retry re-validates schema compatibility, the field-id
+    * assignment, and the partition layout against the reloaded state and
+    * fails loudly if a concurrent commit changed any of them (the files
+    * on disk would no longer match). */
   def write(df: DataFrame, path: String,
             partitionBy: Seq[(String, String)] = Seq.empty,
             summary: Map[String, String] = Map.empty,
@@ -1473,7 +1515,8 @@ object IcebergWriter {
             renames: Map[String, String] = Map.empty,
             // format for TABLE CREATION (2 or 3); an existing table keeps
             // its recorded version — use upgradeFormat to move 2 -> 3
-            formatVersion: Int = 2): Long = {
+            formatVersion: Int = 2,
+            maxRetries: Int = 0): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     if (renames.nonEmpty) {
@@ -1484,82 +1527,125 @@ object IcebergWriter {
         "write: renames are a main-branch schema evolution (branch schemas are frozen)")
       renameColumns(spark, path, renames)
     }
-    val state = loadState(path, conf)
-    if (branch != "main") {
-      // pre-flight EVERY branch guard (existence — appending to a missing
-      // branch would silently fork from main; tag immutability; schema
-      // freeze) BEFORE any data file lands: a post-write failure would
-      // orphan data/snap-N and block that snapshot id's reuse
-      val st = state.getOrElse(throw new IllegalArgumentException(
-        s"write: cannot target branch '$branch' of a table that does not exist yet"))
-      st.opBase("write", branch): Unit
-      requireUnchangedSchema(st, df.schema, branch)
-    }
-    state.foreach { st =>
-      val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
-      val existing = cols.map(c => (c.name, c.dataType))
-      val incoming = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
-      require(incoming.size >= existing.size,
-        s"append schema mismatch: cannot drop columns (table has ${existing.map(_._1)})")
-      existing.zip(incoming.take(existing.size)).foreach {
-        case ((on, ot), (nn, nt)) =>
-          require(on == nn,
-            s"append schema mismatch: column '$on' vs '$nn' (renames/reorders not supported)")
-          require(ignoreNull(ot) == ignoreNull(nt) || widens(ot, nt),
-            s"append schema mismatch: column '$on' cannot change ${ot.sql} -> ${nt.sql}")
+    def guards(state: Option[State]): Unit = {
+      if (branch != "main") {
+        // pre-flight EVERY branch guard (existence — appending to a missing
+        // branch would silently fork from main; tag immutability; schema
+        // freeze) BEFORE any data file lands: a post-write failure would
+        // orphan data/snap-N and block that snapshot id's reuse
+        val st = state.getOrElse(throw new IllegalArgumentException(
+          s"write: cannot target branch '$branch' of a table that does not exist yet"))
+        st.opBase("write", branch): Unit
+        requireUnchangedSchema(st, df.schema, branch)
+      }
+      state.foreach { st =>
+        val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
+        val existing = cols.map(c => (c.name, c.dataType))
+        val incoming = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+        require(incoming.size >= existing.size,
+          s"append schema mismatch: cannot drop columns (table has ${existing.map(_._1)})")
+        existing.zip(incoming.take(existing.size)).foreach {
+          case ((on, ot), (nn, nt)) =>
+            require(on == nn,
+              s"append schema mismatch: column '$on' vs '$nn' (renames/reorders not supported)")
+            require(ignoreNull(ot) == ignoreNull(nt) || widens(ot, nt),
+              s"append schema mismatch: column '$on' cannot change ${ot.sql} -> ${nt.sql}")
+        }
       }
     }
-    val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
-    val seq = state.map(_.nextSeq).getOrElse(1L)
-
-    val prevIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
     // A plain append to a partitioned table inherits the table's CURRENT
     // spec (like update/merge/compact do): files without partition tuples
     // under a partitioned default spec would violate the spec for
     // external readers and silently stop pruning. An explicit partitionBy
     // still evolves or re-declares the layout.
-    val spec =
-      if (partitionBy.nonEmpty)
-        resolveSpec(df.schema, partitionBy, assignIds(df.schema, prevIds))
+    def specOf(state: Option[State], ids: Map[String, Int]): Seq[SpecField] =
+      if (partitionBy.nonEmpty) resolveSpec(df.schema, partitionBy, ids)
       else state.filter(_.snapshots.nonEmpty).map { st =>
         currentSpec(
           IcebergMetadataParser.latest(st.info, skipSchema = false), df.schema)
       }.getOrElse(Seq.empty)
+
+    var state = loadState(path, conf)
+    guards(state)
+    val prevIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
+    val stampedIds = assignIds(df.schema, prevIds)
+    val spec = specOf(state, stampedIds)
     sortBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"write: sortBy column '$c' is not a column of the data"))
+    // Data files land ONCE (the expensive, distributed part); only the
+    // metadata commit below is replayed on a lost race. The directory is
+    // named for the first attempt's snapshot id plus a commit token —
+    // racing writers must not collide on the directory (Spark's writer
+    // refuses an existing path), and manifests reference absolute file
+    // paths, so a retried commit under a later id still resolves them.
     val files = writeDataFiles(
-      df, new Path(path, s"data/snap-$snapshotId"), spec, sortBy, options, prevIds)
-    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
-    val effectiveFv = state.map(_.info.formatVersion).getOrElse(formatVersion)
-    val (dataEntries, rowRange) = assignRowIds(
-      effectiveFv, nextRowIdOf(state), files.map { w =>
-        ManifestEntry(status = 1, content = 0, filePath = w.path,
-          fileFormat = "PARQUET", recordCount = w.count,
-          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
-          nullCounts = w.nulls)
-      })
-    writeManifest(manifestPath, conf, dataEntries,
-      spec.map(sf => (sf.fieldName, sf.avroType)))
-    // the target BRANCH head's manifests carried forward + the new one
-    val prevManifests: Seq[Manifest] = state match {
-      case Some(st) if st.snapshots.nonEmpty =>
-        val base = st.branchHead(branch)
-          .map(IcebergMetadataParser.byId(st.info, _, skipSchema = true))
-          .getOrElse(IcebergMetadataParser.latest(st.info, skipSchema = true))
-        ManifestReader.readManifestList(base.manifestList, conf, base.formatVersion)
-      case _ => Seq.empty
-    }
+      df, new Path(path,
+        s"data/snap-${state.map(_.nextSnapshotId).getOrElse(1L)}-${commitToken()}"),
+      spec, sortBy, options, prevIds)
     // standard interchange summary stats (Iceberg spec "Snapshots" —
     // what external tools read to size incremental work); user-supplied
     // keys win on collision
     val stdSummary = Map(
       "added-data-files" -> files.size.toString,
       "added-records" -> files.map(_.count).sum.toString)
-    commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
-      prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
-      summary = stdSummary ++ summary, sortBy = sortBy, branch = branch,
-      formatVersion = if (state.isEmpty) Some(formatVersion) else None,
-      rowRange = rowRange)
+
+    var attempt = 0
+    while (true) {
+      val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
+      val seq = state.map(_.nextSeq).getOrElse(1L)
+      val manifestPath = new Path(path,
+        s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+      val effectiveFv = state.map(_.info.formatVersion).getOrElse(formatVersion)
+      val (dataEntries, rowRange) = assignRowIds(
+        effectiveFv, nextRowIdOf(state), files.map { w =>
+          ManifestEntry(status = 1, content = 0, filePath = w.path,
+            fileFormat = "PARQUET", recordCount = w.count,
+            partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+            nullCounts = w.nulls)
+        })
+      writeManifest(manifestPath, conf, dataEntries,
+        spec.map(sf => (sf.fieldName, sf.avroType)))
+      // the target BRANCH head's manifests carried forward + the new one
+      val prevManifests: Seq[Manifest] = state match {
+        case Some(st) if st.snapshots.nonEmpty =>
+          val base = st.branchHead(branch)
+            .map(IcebergMetadataParser.byId(st.info, _, skipSchema = true))
+            .getOrElse(IcebergMetadataParser.latest(st.info, skipSchema = true))
+          ManifestReader.readManifestList(base.manifestList, conf, base.formatVersion)
+        case _ => Seq.empty
+      }
+      try {
+        return commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
+          prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
+          summary = stdSummary ++ summary, sortBy = sortBy, branch = branch,
+          formatVersion = if (state.isEmpty) Some(formatVersion) else None,
+          rowRange = rowRange)
+      } catch {
+        case e: java.io.IOException
+            if attempt < maxRetries && e.getMessage != null &&
+               e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          // small linear backoff + jitter so N racing writers spread out
+          Thread.sleep(25L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
+          state = loadState(path, conf)
+          guards(state)
+          val newIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
+          val reassigned = assignIds(df.schema, newIds)
+          if (reassigned != stampedIds) throw new java.io.IOException(
+            "write retry aborted: a concurrent commit changed the table's " +
+              "field-id assignment — the already-written data files are " +
+              "stamped with stale ids; re-run the write", e)
+          val triples = (sf: Seq[SpecField]) =>
+            sf.map(f => (f.fieldName, f.transform, f.sourceId))
+          if (triples(specOf(state, reassigned)) != triples(spec))
+            throw new java.io.IOException(
+              "write retry aborted: a concurrent commit changed the " +
+                "partition layout — the already-written data files use the " +
+                "old layout; re-run the write", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Metadata-only column rename (Iceberg spec "Schema Evolution":
@@ -1821,7 +1907,8 @@ object IcebergWriter {
     import spark.implicits._
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
-    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-m$manifestIdx.avro")
+    val tok = commitToken()
+    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-$tok-m$manifestIdx.avro")
 
     if (latest.formatVersion < 3 && !forceDV) {
       val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
@@ -1865,7 +1952,7 @@ object IcebergWriter {
         .join(org.apache.spark.sql.functions.broadcast(
           affected.toSeq.toDF("file_path")), Seq("file_path"), "left_semi")
 
-    val dvDir = new Path(path, s"data/snap-$snapshotId-dv").toString
+    val dvDir = new Path(path, s"data/snap-$snapshotId-dv-$tok").toString
     val blobRows: Array[(String, String, Long, Long, Long)] = positions
       .select(col("file_path"), col("pos").cast("long").as("pos"))
       .unionByName(oldDVRows).unionByName(oldParquetRows)
@@ -1921,7 +2008,7 @@ object IcebergWriter {
           val e2 = e.copy(sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
           if (superseded(e)) e2.copy(status = 2) else e2
         }
-        val p = new Path(path, s"metadata/snap-$snapshotId-rw$i.avro")
+        val p = new Path(path, s"metadata/snap-$snapshotId-$tok-rw$i.avro")
         writeManifest(p, conf, rewritten, mergedPartitionFields(rewritten))
         Manifest(p.toString, m.sequenceNumber, content = 1)
       }
@@ -1994,7 +2081,7 @@ object IcebergWriter {
             a
           } else pinned
         }
-        val p = new Path(path, s"metadata/snap-$snapshotId-rid$i.avro")
+        val p = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-rid$i.avro")
         writeManifest(p, conf, rewritten, mergedPartitionFields(rewritten))
         Manifest(p.toString, m.sequenceNumber, content = 0)
       }
@@ -2025,7 +2112,8 @@ object IcebergWriter {
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     val manifestPath = writeEqualityDeleteManifest(
-      conf, path, snapshotId, keys, latest.schema, s"snap-$snapshotId-m0.avro")
+      conf, path, snapshotId, keys, latest.schema,
+      s"snap-$snapshotId-${commitToken()}-m0.avro")
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
@@ -2137,7 +2225,8 @@ object IcebergWriter {
     val dataFiles = writeDataFiles(updated, new Path(path, s"data/snap-$snapshotId"), spec,
       prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
-    val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    val dataManifest = new Path(path,
+      s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
     // v3 lineage: rewritten rows are NEW rows (delete+insert semantics) —
     // they draw fresh row ids; their _last_updated_sequence_number is this
     // commit's sequence number via ordinary file-seq inheritance.
@@ -2212,7 +2301,7 @@ object IcebergWriter {
       // harmless no-ops at read time, so no existence probe is needed.
       val delManifest = writeEqualityDeleteManifest(
         conf, path, snapshotId, src.select(keyCols.map(col): _*), latest.schema,
-        s"snap-$snapshotId-m1.avro")
+        s"snap-$snapshotId-${commitToken()}-m1.avro")
 
       // Source rows as new data files — same sequence number as the
       // delete, so the strictly-older scoping leaves them untouched. The
@@ -2223,7 +2312,8 @@ object IcebergWriter {
       val dataFiles = writeDataFiles(src, new Path(path, s"data/snap-$snapshotId"), spec,
         prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
-      val dataManifest = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+      val dataManifest = new Path(path,
+        s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
       // v3 lineage: upserted rows are new rows with fresh row ids (the
       // equality delete tombstones the old versions; no file is rewritten)
       val (mrgEntries, rowRange) = assignRowIds(
@@ -2283,7 +2373,7 @@ object IcebergWriter {
     val dataFiles = writeDataFiles(df, new Path(path, s"data/snap-$snapshotId"), spec,
       prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 
-    val addedPath = new Path(path, s"metadata/snap-$snapshotId-m0.avro")
+    val addedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
     writeManifest(addedPath, conf, dataFiles.map { w =>
       // firstRowId stays None: the materialized column is authoritative
       ManifestEntry(status = 1, content = 0, filePath = w.path,
@@ -2291,7 +2381,7 @@ object IcebergWriter {
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
-    val deletedPath = new Path(path, s"metadata/snap-$snapshotId-m1.avro")
+    val deletedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m1.avro")
     writeManifest(deletedPath, conf,
       liveEntries.map(_.copy(status = 2))) // DELETED
 

@@ -588,7 +588,7 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the rolled-back snap3's files are now orphans; live files are not
     val orphans = IcebergWriter.listOrphanFiles(spark, table)
       .collect().map(_.getString(0))
-    assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-3/")))
+    assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-3-")))
   }
 
   test("sorted writes yield tighter bounds → fewer files kept than unsorted") {
@@ -750,7 +750,9 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     IcebergWriter.rollback(spark, table, snaps(9))
     val orphans = IcebergWriter.listOrphanFiles(spark, table)
       .collect().map(_.getString(0))
-    val orphanSnaps = orphans.flatMap(_.split('/').find(_.startsWith("snap-"))).toSet
+    // data dirs are snap-<id>-<committoken>: compare the snap-<id> prefix
+    val orphanSnaps = orphans.flatMap(_.split('/').find(_.startsWith("snap-")))
+      .map(_.split('-').take(2).mkString("-")).toSet
     assert(orphanSnaps === (11 to 20).map(i => s"snap-$i").toSet)
   }
 
@@ -769,7 +771,7 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the loser's data files are orphans, visible to the vacuum listing
     val orphans = IcebergWriter.listOrphanFiles(spark, table)
       .collect().map(_.getString(0))
-    assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-2/")))
+    assert(orphans.nonEmpty && orphans.forall(_.contains("/snap-2-")))
   }
 
   test("a stale version hint self-heals instead of bricking the table") {
@@ -995,8 +997,10 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the NEW parquet files stamp the preserved ids in their footers
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val dataDir = new org.apache.hadoop.fs.Path(s"$table/data/snap-2")
-    val fs = dataDir.getFileSystem(conf)
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$table/data")
+    val fs = dataRoot.getFileSystem(conf)
+    val dataDir = fs.listStatus(dataRoot).map(_.getPath)
+      .find(_.getName.startsWith("snap-2-")).get
     val file = fs.listFiles(dataDir, true)
     var footer = ""
     while (file.hasNext) {
