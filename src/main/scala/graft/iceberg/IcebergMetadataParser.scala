@@ -100,10 +100,37 @@ object IcebergMetadataParser {
       manifestList = node.get("manifest-list").asText,
       formatVersion = info.formatVersion,
       schemaId = sid,
-      schema = if (skipSchema) Seq.empty
-               else IcebergSchemaParser.parseSchemaById(info.schemas, sid),
+      schema =
+        if (skipSchema) Seq.empty
+        else withAddedAtSeq(info,
+          IcebergSchemaParser.parseSchemaById(info.schemas, sid)),
       partitionSpec = info.defaultPartitionSpec)
   }
+
+  /** Derive each DEFAULTED column's first-appearance sequence number: the
+    * minimum sequence-number over snapshots whose declared schema carries
+    * the field id. Data files strictly older than it predate the column,
+    * which is what initial-default resolution keys on (a stored add-time
+    * marker does not exist in the spec — this derivation is equivalent).
+    * A column no committed snapshot declares yet (metadata-only add, no
+    * commit since) gets None = "newer than every file". */
+  private def withAddedAtSeq(info: ParseInfo, cols: Seq[Column]): Seq[Column] =
+    if (!cols.exists(_.initialDefault.isDefined)) cols
+    else {
+      val fieldIdsBySchema: Map[Int, Set[Int]] = info.schemas.collect {
+        case s if s.has("schema-id") =>
+          s.get("schema-id").asInt ->
+            s.get("fields").elements.asScala.map(_.get("id").asInt).toSet
+      }.toMap
+      val declares: Int => Set[Int] = sid => fieldIdsBySchema.getOrElse(sid, Set.empty)
+      cols.map { c =>
+        if (c.initialDefault.isEmpty) c
+        else c.copy(addedAtSeq = info.snapshots.collect {
+          case sn if sn.has("schema-id") && declares(sn.get("schema-id").asInt)(c.id) =>
+            if (info.formatVersion >= 2) sn.get("sequence-number").asLong else 0L
+        }.minOption)
+      }
+    }
 
   def allSnapshots(info: ParseInfo, skipSchema: Boolean = true): Seq[Snapshot] =
     info.snapshots.map(parseSnapshot(_, info, skipSchema))

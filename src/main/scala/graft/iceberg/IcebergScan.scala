@@ -220,8 +220,13 @@ object IcebergScan {
     // parquet scan by Catalyst; file pruning above was only an accelerant.
     val residual = IcebergPruning.residual(opts.filters, snapshot.schema)
     val dataDF = residual.foldLeft(withSchema.load(dataPaths: _*))(_.filter(_))
+    // Spec-v3 DEFAULT VALUES: columns added with an initial-default read
+    // that value from files that PREDATE the column (strictly older data
+    // sequence than its first declaring snapshot); files written after it
+    // keep their stored values — including genuine nulls.
+    val defaulted = snapshot.schema.filter(_.initialDefault.isDefined)
     if (deletePaths.isEmpty && dvEntries.isEmpty && eqPaths.isEmpty &&
-      !opts.keepProvenance && !opts.rowLineage) return dataDF
+      !opts.keepProvenance && !opts.rowLineage && defaulted.isEmpty) return dataDF
 
     // Spark reports _metadata.file_path as a fully-qualified URI, while the
     // delete files reference data files by the exact strings the writer put
@@ -236,6 +241,21 @@ object IcebergScan {
       col("*"),
       col("_metadata.file_path").as("__graft_file"),
       col("_metadata.row_index").as("__graft_pos"))
+
+    // --- v3 initial-defaults: per-file age via one broadcast seq map ---
+    if (defaulted.nonEmpty) {
+      val seqMap = dataEntries.map { case (e, seq) =>
+        (qualify(resolved(path, e.filePath, opts)), seq)
+      }.toDF("__def_qual", "__def_seq")
+      cur = cur.join(broadcast(seqMap), col("__graft_file") === col("__def_qual"), "left")
+      defaulted.foreach { c =>
+        val addSeq = c.addedAtSeq.getOrElse(Long.MaxValue)
+        cur = cur.withColumn(c.name,
+          when(col("__def_seq") < lit(addSeq),
+            lit(c.initialDefault.get).cast(c.dataType)).otherwise(col(c.name)))
+      }
+      cur = cur.drop("__def_qual", "__def_seq")
+    }
 
     // --- v3 row lineage: materialized column, else manifest inheritance ---
     if (opts.rowLineage) {

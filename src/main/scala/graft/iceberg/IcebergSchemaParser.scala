@@ -67,14 +67,36 @@ object IcebergSchemaParser {
       }
     } else throw new IllegalArgumentException("Invalid schema type node")
 
+  /** Spec-v3 JSON single-value deserialization for the default-value
+    * types this engine writes (primitives; Iceberg spec "JSON single-value
+    * serialization"): numbers as numbers, date as 'YYYY-MM-DD' string,
+    * decimal as numeric string. */
+  def parseDefaultJson(dt: DataType, node: JsonNode): Any = dt match {
+    case BooleanType => node.asBoolean
+    case IntegerType => node.asInt
+    case LongType    => node.asLong
+    case FloatType   => node.asDouble.toFloat
+    case DoubleType  => node.asDouble
+    case StringType  => node.asText
+    case DateType    => java.time.LocalDate.parse(node.asText)
+    case _: DecimalType => new java.math.BigDecimal(node.asText)
+    case other => throw new IllegalArgumentException(
+      s"unsupported default-value type ${other.sql}")
+  }
+
   /** Top-level schema object → column list (schema.cpp:143-171). */
   def parseColumns(schema: JsonNode): Seq[Column] =
     schema.get("fields").elements.asScala.map { f =>
+      val dt = parseType(f.get("type"))
+      def dflt(key: String): Option[Any] =
+        Option(f.get(key)).filterNot(_.isNull).map(parseDefaultJson(dt, _))
       Column(
         id = f.get("id").asInt,
         name = f.get("name").asText,
-        dataType = parseType(f.get("type")),
-        required = f.has("required") && f.get("required").asBoolean)
+        dataType = dt,
+        required = f.has("required") && f.get("required").asBoolean,
+        initialDefault = dflt("initial-default"),
+        writeDefault = dflt("write-default"))
     }.toSeq
 
   /** Select schema by id from the `schemas` array (schema.cpp:174-184). */

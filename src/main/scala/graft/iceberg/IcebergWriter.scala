@@ -955,8 +955,40 @@ object IcebergWriter {
     val prevSchemaNodes = state.flatMap(_.rootNode)
       .flatMap(r => Option(r.get("schemas")))
       .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    // Column DEFAULTS carry forward by field id from the table's current
+    // schema: the rebuilt field nodes above don't know about
+    // initial-default/write-default, and a schema-evolving commit that
+    // re-emits the fields without them would silently drop the defaults.
+    val currentDefaultsById: Map[Int, Seq[(String, JsonNode)]] = state.map { st =>
+      prevSchemaNodes
+        .find(p => Option(p.get("schema-id")).exists(_.asInt == st.info.schemaId))
+        .toSeq.flatMap(p => p.get("fields").elements.asScala)
+        .map { f =>
+          f.get("id").asInt -> Seq("initial-default", "write-default")
+            .flatMap(k => Option(f.get(k)).filterNot(_.isNull).map(k -> _))
+        }.filter(_._2.nonEmpty).toMap
+    }.getOrElse(Map.empty)
+    if (currentDefaultsById.nonEmpty) newFields.elements.asScala.foreach { fn =>
+      currentDefaultsById.get(fn.get("id").asInt).foreach(_.foreach {
+        case (k, v) => fn.asInstanceOf[ObjectNode].set[JsonNode](k, v)
+      })
+    }
+    // STRUCTURAL schema match (id/name/required/type only): a recorded
+    // schema may carry extra keys the commit's rebuilt fields don't
+    // (initial-default/write-default, doc) — a raw string compare would
+    // mint a new schema without them and silently DROP column defaults
+    // on the first append after addColumn.
+    def canonFields(fields: JsonNode): Seq[String] =
+      fields.elements.asScala.map { f =>
+        val o = mapper.createObjectNode()
+        o.set[JsonNode]("id", f.get("id"))
+        o.put("name", f.get("name").asText)
+        o.put("required", f.has("required") && f.get("required").asBoolean)
+        o.set[JsonNode]("type", f.get("type"))
+        o.toString
+      }.toSeq
     val matchedSchema = prevSchemaNodes.find(p =>
-      Option(p.get("fields")).exists(_.toString == newFields.toString))
+      Option(p.get("fields")).exists(pf => canonFields(pf) == canonFields(newFields)))
     val schemaId = matchedSchema.map(_.get("schema-id").asInt).getOrElse(
       prevSchemaNodes.map(_.get("schema-id").asInt).maxOption.map(_ + 1).getOrElse(0))
     // only MAIN commits move the table's current schema: a branch commit
@@ -1527,6 +1559,21 @@ object IcebergWriter {
         "write: renames are a main-branch schema evolution (branch schemas are frozen)")
       renameColumns(spark, path, renames)
     }
+    var state = loadState(path, conf)
+    // WRITE-DEFAULTS (spec v3 "Default values"): an append may omit
+    // TRAILING columns whose schema declares a write-default — the writer
+    // fills them, so pipelines older than the schema keep working after
+    // addColumn. Anything else missing still fails the guards below.
+    val data = state.map { st =>
+      val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
+      val missing = cols.drop(df.schema.size)
+      if (missing.isEmpty ||
+          cols.take(df.schema.size).map(_.name) != df.schema.fieldNames.toSeq ||
+          !missing.forall(_.writeDefault.isDefined)) df
+      else missing.foldLeft(df)((d, c) =>
+        d.withColumn(c.name, lit(c.writeDefault.get).cast(c.dataType)))
+    }.getOrElse(df)
+
     def guards(state: Option[State]): Unit = {
       if (branch != "main") {
         // pre-flight EVERY branch guard (existence — appending to a missing
@@ -1536,12 +1583,12 @@ object IcebergWriter {
         val st = state.getOrElse(throw new IllegalArgumentException(
           s"write: cannot target branch '$branch' of a table that does not exist yet"))
         st.opBase("write", branch): Unit
-        requireUnchangedSchema(st, df.schema, branch)
+        requireUnchangedSchema(st, data.schema, branch)
       }
       state.foreach { st =>
         val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
         val existing = cols.map(c => (c.name, c.dataType))
-        val incoming = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+        val incoming = data.schema.fields.toSeq.map(f => (f.name, f.dataType))
         require(incoming.size >= existing.size,
           s"append schema mismatch: cannot drop columns (table has ${existing.map(_._1)})")
         existing.zip(incoming.take(existing.size)).foreach {
@@ -1559,18 +1606,17 @@ object IcebergWriter {
     // external readers and silently stop pruning. An explicit partitionBy
     // still evolves or re-declares the layout.
     def specOf(state: Option[State], ids: Map[String, Int]): Seq[SpecField] =
-      if (partitionBy.nonEmpty) resolveSpec(df.schema, partitionBy, ids)
+      if (partitionBy.nonEmpty) resolveSpec(data.schema, partitionBy, ids)
       else state.filter(_.snapshots.nonEmpty).map { st =>
         currentSpec(
-          IcebergMetadataParser.latest(st.info, skipSchema = false), df.schema)
+          IcebergMetadataParser.latest(st.info, skipSchema = false), data.schema)
       }.getOrElse(Seq.empty)
 
-    var state = loadState(path, conf)
     guards(state)
     val prevIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
-    val stampedIds = assignIds(df.schema, prevIds)
+    val stampedIds = assignIds(data.schema, prevIds)
     val spec = specOf(state, stampedIds)
-    sortBy.foreach(c => require(df.schema.fieldNames.contains(c),
+    sortBy.foreach(c => require(data.schema.fieldNames.contains(c),
       s"write: sortBy column '$c' is not a column of the data"))
     // Data files land ONCE (the expensive, distributed part); only the
     // metadata commit below is replayed on a lost race. The directory is
@@ -1579,7 +1625,7 @@ object IcebergWriter {
     // refuses an existing path), and manifests reference absolute file
     // paths, so a retried commit under a later id still resolves them.
     val files = writeDataFiles(
-      df, new Path(path,
+      data, new Path(path,
         s"data/snap-${state.map(_.nextSnapshotId).getOrElse(1L)}-${commitToken()}"),
       spec, sortBy, options, prevIds)
     // standard interchange summary stats (Iceberg spec "Snapshots" —
@@ -1615,7 +1661,7 @@ object IcebergWriter {
         case _ => Seq.empty
       }
       try {
-        return commitSnapshot(path, conf, state, df.schema, snapshotId, seq,
+        return commitSnapshot(path, conf, state, data.schema, snapshotId, seq,
           prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
           summary = stdSummary ++ summary, sortBy = sortBy, branch = branch,
           formatVersion = if (state.isEmpty) Some(formatVersion) else None,
@@ -1631,7 +1677,7 @@ object IcebergWriter {
           state = loadState(path, conf)
           guards(state)
           val newIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
-          val reassigned = assignIds(df.schema, newIds)
+          val reassigned = assignIds(data.schema, newIds)
           if (reassigned != stampedIds) throw new java.io.IOException(
             "write retry aborted: a concurrent commit changed the table's " +
               "field-id assignment — the already-written data files are " +
@@ -1732,6 +1778,103 @@ object IcebergWriter {
     renamed.put("schema-id", newId)
     if (matched.isEmpty) schemasNode.add(renamed)
     root.put("current-schema-id", newId)
+    root.put("last-updated-ms", state.nextTsMs)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+  }
+
+  /** Metadata-only ADD COLUMN with spec-v3 DEFAULT VALUES (Iceberg spec
+    * "Default values"): the CURRENT schema is re-emitted with one new
+    * optional PRIMITIVE column appended under a fresh field id and a
+    * fresh schema-id; no snapshot is added and no data file is touched.
+    * `initialDefault` is what rows written BEFORE the column existed
+    * read back (the scan resolves it per file by data sequence number —
+    * files from snapshots older than the column's first declaring
+    * snapshot); `writeDefault` is what [[write]] fills when an append
+    * omits the trailing column. Genuine nulls written AFTER the add are
+    * preserved — defaults never mask stored values. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: DataType,
+                initialDefault: Option[Any] = None,
+                writeDefault: Option[Any] = None): Unit = {
+    require(name.nonEmpty && !name.contains("."),
+      s"addColumn: '$name' must be a bare top-level field name")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"addColumn: no Iceberg table at $path"))
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val schemasNode = Option(root.get("schemas"))
+      .collect { case a: ArrayNode => a }
+      .getOrElse(throw new IllegalArgumentException(
+        "addColumn: metadata carries no schemas array"))
+    val current = schemasNode.elements.asScala.toSeq
+      .find(s => Option(s.get("schema-id")).exists(_.asInt == state.info.schemaId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"addColumn: current schema id ${state.info.schemaId} not found"))
+    val fields = current.get("fields").elements.asScala.toSeq
+    require(!fields.exists(_.get("name").asText == name),
+      s"addColumn: column '$name' already exists")
+    // primitive-only: defaults (and their JSON single-value encoding) are
+    // defined for primitives; a struct/list/map add without defaults can
+    // still ride a schema-evolving append instead
+    val typeName = dataType match {
+      case BooleanType => "boolean"
+      case IntegerType => "int"
+      case LongType    => "long"
+      case FloatType   => "float"
+      case DoubleType  => "double"
+      case StringType  => "string"
+      case DateType    => "date"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"addColumn: unsupported type ${other.sql} — primitives only")
+    }
+    // Fresh id exactly as assignIds would pick it (positional when free,
+    // else the >=NestedFieldIdBase range) so a later schema-evolving
+    // append re-derives the SAME id for this column.
+    val prev = existingIds(root)
+    val taken = prev.values.toSet
+    val pos = fields.size + 1
+    val id = if (!taken(pos)) pos
+             else math.max(NestedFieldIdBase, prev.values.max + 1)
+    val added = current.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val fn = added.get("fields").asInstanceOf[ArrayNode].addObject()
+    fn.put("id", id)
+    fn.put("name", name)
+    fn.put("required", false)
+    fn.put("type", typeName)
+    def putDefault(key: String, v: Any): Unit = v match {
+      case b: Boolean => fn.put(key, b)
+      case i: Int     => fn.put(key, i)
+      case l: Long    => fn.put(key, l)
+      case f: Float   => fn.put(key, f.toDouble)
+      case d: Double  => fn.put(key, d)
+      case s: String  => fn.put(key, s)
+      case d: java.time.LocalDate => fn.put(key, d.toString) // YYYY-MM-DD
+      case d: java.math.BigDecimal => fn.put(key, d.toPlainString)
+      case other => throw new IllegalArgumentException(
+        s"addColumn: unsupported default value $other (${other.getClass.getName})")
+    }
+    initialDefault.foreach(putDefault("initial-default", _))
+    writeDefault.foreach(putDefault("write-default", _))
+    // round-trip check: the recorded JSON must deserialize to the value
+    // the scan will substitute (catches type/value mismatches up front)
+    Seq("initial-default" -> initialDefault, "write-default" -> writeDefault)
+      .foreach { case (k, v) => v.foreach { _ =>
+        IcebergSchemaParser.parseDefaultJson(dataType, fn.get(k)): Unit
+      } }
+    val newId = schemasNode.elements.asScala.map(_.get("schema-id").asInt).max + 1
+    added.put("schema-id", newId)
+    schemasNode.add(added)
+    root.put("current-schema-id", newId)
+    val prevLastCol =
+      Option(root.get("last-column-id")).map(_.asInt).getOrElse(0)
+    root.put("last-column-id", math.max(prevLastCol, id))
     root.put("last-updated-ms", state.nextTsMs)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1

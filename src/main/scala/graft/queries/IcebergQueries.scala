@@ -777,6 +777,35 @@ object IcebergQueries {
           countDistinct(col("_row_id")).as("surv_distinct"))
         pre.crossJoin(post)
       }
+    ),
+    QueryDef(
+      "ib38_default_values",
+      // Spec-v3 DEFAULT VALUES (engine extension): rows written before a
+      // metadata-only addColumn read its initial-default; an old-schema
+      // append after the add is filled with the write-default. The oracle
+      // reconstructs both populations directly from the source predicate.
+      Some("""
+        SELECT CASE WHEN l_orderkey % 3 <> 0 THEN 'unscored' ELSE 'auto' END
+                 AS quality,
+               COUNT(*) AS cnt, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib38_").toString + "/lineitem_def"
+        val li = graft.Tables.load(s, dir, "lineitem")
+        graft.iceberg.IcebergWriter.write(
+          li.filter(col("l_orderkey") % 3 =!= 0), table, formatVersion = 3)
+        graft.iceberg.IcebergWriter.addColumn(s, table, "quality",
+          org.apache.spark.sql.types.StringType,
+          initialDefault = Some("unscored"), writeDefault = Some("auto"))
+        // the OLD pipeline appends the old schema — write-default fills
+        graft.iceberg.IcebergWriter.write(
+          li.filter(col("l_orderkey") % 3 === 0), table)
+        IcebergScan.scan(s, table)
+          .groupBy(col("quality"))
+          .agg(count(lit(1)).as("cnt"),
+               sum(col("l_quantity")).cast("long").as("qty"))
+      }
     )
   )
 }
