@@ -39,6 +39,15 @@ object GraftFunctions {
            s"graft_bucket: bucket count must be a constant, got '${e.sql}'")
        }
        IcebergBucket(exprs.head, n)
+     }),
+    (FunctionIdentifier("graft_theta"),
+     new ExpressionInfo(classOf[ThetaSketchAgg].getCanonicalName, null,
+       "graft_theta", "KMV theta sketch of a pre-hashed long column (binary)", ""),
+     (exprs: Seq[Expression]) => {
+       // the analyzer wraps a bare AggregateFunction into an
+       // AggregateExpression, so returning the function itself is correct
+       require(exprs.length == 1, s"graft_theta expects 1 argument, got ${exprs.length}")
+       ThetaSketchAgg(exprs.head)
      }))
 
   /** Idempotent: registerFunction overwrites by identifier. */

@@ -1,0 +1,146 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** KMV ("k minimum values") theta sketch for distinct-count estimation —
+  * the classic bottom-k construction (Bar-Yossef et al., "Counting
+  * distinct elements in a data stream"; the same estimator family as
+  * Apache DataSketches theta). The sketch keeps the k smallest DISTINCT
+  * 64-bit hash values seen; with fewer than k distinct hashes it is an
+  * exact distinct set, otherwise ndv ≈ (k-1)/x₍ₖ₎ where x₍ₖ₎ is the kth
+  * smallest hash as a fraction of 2⁶⁴. Union = merge the sets, keep the
+  * k smallest — associative, commutative, order-independent, so the
+  * distributed partial/final aggregation is deterministic.
+  *
+  * Inputs are PRE-HASHED longs: callers feed `xxhash64(col)` so hashing
+  * stays inside whole-stage codegen and one sketch implementation covers
+  * every input type. Standard error at k=2048 is ~1/√k ≈ 2.2%.
+  *
+  * Serialized layout ("graft-theta-v1", the blob payload recorded in
+  * statistics puffin files): magic GTH1, version u8, k i32, n i32, then
+  * n sorted longs (sign-flipped so signed order == unsigned hash order).
+  */
+final class KmvSketch(val k: Int) extends Serializable {
+  require(k >= 16, s"KmvSketch: k must be >= 16, got $k")
+  // stores u = hash ^ Long.MinValue: natural signed order of u equals
+  // unsigned order of the hash, so last() is the kth smallest hash
+  private[functions] val mins = new java.util.TreeSet[java.lang.Long]()
+
+  def update(hash: Long): Unit = {
+    val u = hash ^ Long.MinValue
+    if (mins.size < k) { mins.add(u): Unit }
+    else if (u < mins.last()) {
+      if (mins.add(u)) mins.pollLast(): Unit
+    }
+  }
+
+  def merge(other: KmvSketch): KmvSketch = {
+    val it = other.mins.iterator()
+    while (it.hasNext) {
+      val u = it.next()
+      if (mins.size < k) mins.add(u): Unit
+      else if (u < mins.last()) { if (mins.add(u)) mins.pollLast(): Unit }
+      else return this // other's values are sorted ascending: rest can't qualify
+    }
+    this
+  }
+
+  /** Distinct-count estimate: exact below k, (k-1)/x₍ₖ₎ at capacity. */
+  def estimate: Long =
+    if (mins.size < k) mins.size.toLong
+    else {
+      // kth smallest hash as a fraction of the full 64-bit space
+      val u = mins.last().longValue
+      val frac = (u.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+      math.max(k.toLong, math.rint((k - 1).toDouble / frac).toLong)
+    }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 1 + 4 + 4 + 8 * mins.size)
+    buf.put(KmvSketch.Magic)
+    buf.put(1.toByte)
+    buf.putInt(k)
+    buf.putInt(mins.size)
+    val it = mins.iterator()
+    while (it.hasNext) buf.putLong(it.next().longValue)
+    buf.array()
+  }
+}
+
+object KmvSketch {
+  // 32 KB per sketch; standard error 1/√k ≈ 1.6% — comfortably inside
+  // the 5% accuracy gate at any scale while staying broadcast-trivial
+  val DefaultK = 4096
+  private[functions] val Magic = Array[Byte]('G', 'T', 'H', '1')
+
+  def deserialize(bytes: Array[Byte]): KmvSketch = {
+    val buf = ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4)
+    buf.get(magic)
+    require(magic.sameElements(Magic), "not a graft-theta-v1 sketch (bad magic)")
+    require(buf.get() == 1, "unsupported graft-theta version")
+    val sk = new KmvSketch(buf.getInt)
+    val n = buf.getInt
+    var i = 0
+    while (i < n) { sk.mins.add(buf.getLong): Unit; i += 1 }
+    sk
+  }
+
+  /** Estimate straight from serialized bytes (metadata consumers). */
+  def estimateFrom(bytes: Array[Byte]): Long = deserialize(bytes).estimate
+}
+
+/** Aggregate function `graft_theta(hash)` → serialized KMV sketch
+  * (BinaryType). The child must be a LongType hash (`xxhash64(col)`);
+  * nulls are skipped, so `when(col.isNotNull, xxhash64(col))` yields
+  * null-excluding NDV semantics. Partial aggregation is map-side (each
+  * task builds a bounded k-entry sketch; only sketches shuffle), so a
+  * full-table analyze moves O(partitions × k) longs, not rows. */
+case class ThetaSketchAgg(
+    child: Expression,
+    k: Int = KmvSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_theta expects a LongType hash (use xxhash64), got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
+
+  override def update(buffer: KmvSketch, input: InternalRow): KmvSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvSketch, other: KmvSketch): KmvSketch =
+    buffer.merge(other)
+
+  override def eval(buffer: KmvSketch): Any = buffer.serialize()
+
+  override def serialize(buffer: KmvSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KmvSketch =
+    KmvSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_theta"
+}

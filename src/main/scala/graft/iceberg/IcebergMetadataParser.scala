@@ -25,7 +25,20 @@ object IcebergMetadataParser {
       // them unread; here they drive branch/tag time travel and make
       // "latest" mean the MAIN branch head, so audit-branch commits never
       // leak into plain scans.
-      refs: Map[String, (Long, String)] = Map.empty)
+      refs: Map[String, (Long, String)] = Map.empty,
+      // `statistics` entries (Iceberg spec "Table statistics"): puffin
+      // files of per-column sketches; the NDV consumers below only need
+      // the blob-metadata `properties` mirrored into table metadata, so
+      // no puffin read happens at plan time.
+      statistics: Seq[StatsFile] = Seq.empty)
+
+  /** One `statistics` entry of table metadata. */
+  final case class StatsFile(
+      snapshotId: Long, path: String, fileSize: Long, footerSize: Long,
+      blobs: Seq[StatsBlobMeta])
+  final case class StatsBlobMeta(
+      blobType: String, snapshotId: Long, sequenceNumber: Long,
+      fields: Seq[Int], properties: Map[String, String])
 
   /** partition-specs / default-spec-id (v2) or legacy flat partition-spec
     * (v1). The reference leaves these unread (SURVEY §2.10); they feed the
@@ -64,14 +77,39 @@ object IcebergMetadataParser {
         val t = Option(e.getValue.get("type")).map(_.asText).getOrElse("branch")
         e.getKey -> (e.getValue.get("snapshot-id").asLong, t)
       }.toMap
+    val stats: Seq[StatsFile] =
+      if (!root.has("statistics")) Seq.empty
+      else root.get("statistics").elements.asScala.toSeq.map { s =>
+        StatsFile(
+          snapshotId = s.get("snapshot-id").asLong,
+          path = s.get("statistics-path").asText,
+          fileSize = Option(s.get("file-size-in-bytes")).map(_.asLong).getOrElse(0L),
+          footerSize =
+            Option(s.get("file-footer-size-in-bytes")).map(_.asLong).getOrElse(0L),
+          blobs = Option(s.get("blob-metadata"))
+            .map(_.elements.asScala.toSeq).getOrElse(Seq.empty).map { b =>
+              StatsBlobMeta(
+                blobType = b.get("type").asText,
+                snapshotId = Option(b.get("snapshot-id")).map(_.asLong).getOrElse(0L),
+                sequenceNumber =
+                  Option(b.get("sequence-number")).map(_.asLong).getOrElse(0L),
+                fields = Option(b.get("fields"))
+                  .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Seq.empty),
+                properties = Option(b.get("properties")).map { p =>
+                  p.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+                }.getOrElse(Map.empty))
+            })
+      }
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
-      ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec, refs)
+      ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec,
+        refs, stats)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
-      ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec, refs)
+      ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec,
+        refs, stats)
     }
   }
 

@@ -513,7 +513,37 @@ object IcebergScan {
     }.map(extractPredicates).getOrElse(Seq.empty)
     val scanned =
       scanLoaded(spark, root, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
-    if (opts.mode == "list_files") scanned else scanned.filter(condition)
+    if (opts.mode == "list_files") return scanned
+    val filtered = scanned.filter(condition)
+    // NDV-based broadcast costing (consumes `analyze` statistics): Spark's
+    // size-only estimation keeps a filter's child size, so an equality
+    // predicate selecting a handful of rows from a 100 TB table still
+    // plans as the shuffle side of every join. With per-column NDV the
+    // expected output is rows/ndv per equality conjunct; when the
+    // estimate fits the session's broadcast threshold, hint broadcast —
+    // a join against this filtered scan then skips its shuffle entirely.
+    // Conservative on both axes: record counts are CURRENT (pre-pruning)
+    // manifest totals, and only Eq conjuncts over stat'd columns shrink
+    // the estimate.
+    val statsNdv = ndvForSnapshot(loadInfo(spark, path, opts), snapshot)
+    if (statsNdv.isEmpty) return filtered
+    val ndvLower = statsNdv.map { case (k, v) => k.toLowerCase -> v }
+    val eqNdvs = (opts.filters ++ preds).collect {
+      case IcebergPruning.ColPredicate(c, IcebergPruning.Eq, _)
+          if ndvLower.contains(c.toLowerCase) => ndvLower(c.toLowerCase)
+    }
+    if (eqNdvs.isEmpty) return filtered
+    val totalRows = meta.entries.collect {
+      case (m, es) if m.content == 0 =>
+        es.collect { case e if e.status != 2 && e.content == 0 => e.recordCount }.sum
+    }.sum
+    val sel = eqNdvs.foldLeft(1.0)((s, ndv) => s / math.max(1L, ndv).toDouble)
+    val estRows = math.max(1.0, totalRows * sel)
+    val rowWidth = IcebergSchemaParser.toStructType(snapshot.schema).defaultSize
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && estRows * rowWidth <= threshold && sel < 1.0)
+      filtered.hint("broadcast")
+    else filtered
   }
 
   /** Incremental append scan — the rows ADDED between two snapshots (an
@@ -910,6 +940,61 @@ object IcebergScan {
       path, hadoopConf(spark), opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
 
+
+  /** iceberg_table_statistics — one row per analyzed column of each
+    * `statistics` entry (Iceberg spec "Table statistics"; populated by
+    * [[IcebergWriter.analyze]]). NDV comes straight from the blob
+    * metadata mirrored into table metadata — no puffin I/O. */
+  def tableStatistics(spark: SparkSession, path: String,
+                      opts: Options = Options()): DataFrame = {
+    val info = loadInfo(spark, path, opts)
+    val nameById = IcebergSchemaParser
+      .parseSchemaById(info.schemas, info.schemaId).map(c => c.id -> c.name).toMap
+    val rows = for {
+      sf <- info.statistics
+      b <- sf.blobs
+      fieldId <- b.fields
+    } yield Row(sf.snapshotId, fieldId,
+      nameById.getOrElse(fieldId, null), b.blobType,
+      b.properties.get("ndv").map(_.toLong).orNull)
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("field_id", IntegerType, nullable = false),
+      StructField("column_name", StringType, nullable = true),
+      StructField("blob_type", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Per-column NDV visible to a scan of `snapshot`: the newest
+    * `statistics` entry on the snapshot itself or an ancestor (stats
+    * don't go stale on append lineage — NDV drifts slowly and the
+    * costing that consumes this stays conservative by using CURRENT
+    * record counts with the older NDV). Keyed by column name. */
+  private def ndvForSnapshot(
+      info: IcebergMetadataParser.ParseInfo,
+      snapshot: Snapshot): Map[String, Long] = {
+    if (info.statistics.isEmpty) return Map.empty
+    val parents = info.snapshots.map(n =>
+      n.get("snapshot-id").asLong ->
+        Option(n.get("parent-snapshot-id")).map(_.asLong)).toMap
+    var lineage = Set.empty[Long]
+    var cur: Option[Long] = Some(snapshot.snapshotId)
+    while (cur.nonEmpty && parents.contains(cur.get) && !lineage(cur.get)) {
+      lineage += cur.get
+      cur = parents(cur.get)
+    }
+    val nameById = snapshot.schema.map(c => c.id -> c.name).toMap
+    info.statistics.filter(s => lineage(s.snapshotId))
+      .sortBy(_.snapshotId).lastOption.map { sf =>
+        (for {
+          b <- sf.blobs
+          fieldId <- b.fields
+          name <- nameById.get(fieldId)
+          ndv <- b.properties.get("ndv").map(_.toLong)
+        } yield name -> ndv).toMap
+      }.getOrElse(Map.empty)
+  }
 
   /** iceberg_refs — branches and tags of the table (engine extension;
     * the reference predates snapshot refs). */

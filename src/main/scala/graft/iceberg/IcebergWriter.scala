@@ -14,7 +14,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{Column => SqlColumn, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, datediff, lit, month, year}
+import org.apache.spark.sql.functions.{call_function, col, count, datediff, lit, month, when, xxhash64, year}
 import org.apache.spark.sql.types._
 
 import IcebergModel._
@@ -1132,6 +1132,11 @@ object IcebergWriter {
     val newRefs = state.map(_.refs).getOrElse(Map.empty) ++
       Map(branch -> (snapshotId, "branch"), "main" -> (mainHead, "branch"))
     writeRefsNode(root, newRefs)
+    // `statistics` entries carry forward: the commit's root is rebuilt
+    // from scratch, and dropping them here would silently orphan every
+    // analyze the moment any write lands. Their snapshots still exist.
+    state.flatMap(_.rootNode).flatMap(r => Option(r.get("statistics")))
+      .filter(_.size > 0).foreach(root.set[JsonNode]("statistics", _))
     root.put("current-snapshot-id", mainHead)
     val snapsNode = root.putArray("snapshots")
     state.map(_.snapshots).getOrElse(Seq.empty).foreach(snapsNode.add)
@@ -1243,6 +1248,18 @@ object IcebergWriter {
     state.snapshots.foreach { s => if (keep(s)) kept.add(s) else removed += 1 }
     require(kept.size > 0, "cannot expire every snapshot of a table")
     root.set[JsonNode]("snapshots", kept)
+    // statistics of expired snapshots are removable (spec "Table
+    // statistics") — prune their entries so readers never chase NDV for
+    // a snapshot that no longer time-travel-resolves; the puffin files
+    // themselves surface through listOrphanFiles.
+    Option(root.get("statistics")).filter(_.size > 0).foreach { arr =>
+      val keptIds = kept.elements.asScala.map(_.get("snapshot-id").asLong).toSet
+      val pruned = mapper.createArrayNode()
+      arr.elements.asScala.foreach { e =>
+        if (keptIds(e.get("snapshot-id").asLong)) pruned.add(e): Unit
+      }
+      root.set[JsonNode]("statistics", pruned): Unit
+    }
     writeRefsNode(root, newRefs)
     val newest = newRefs.get("main").map(_._1).getOrElse(
       state.snapshots.filter(keep).maxBy(_.get("timestamp-ms").asLong)
@@ -1302,6 +1319,21 @@ object IcebergWriter {
         val name = st.getPath.getName
         if (st.isFile && (name.endsWith(".parquet") || name.endsWith(".puffin")) &&
             !referenced(st.getPath.toUri.getPath))
+          found += st.getPath.toString
+      }
+    }
+    // statistics puffins live under metadata/; one is orphaned when no
+    // current `statistics` entry references it (superseded by re-analyze,
+    // or its snapshot's entry was pruned by expire/rollback)
+    val statsReferenced =
+      state.info.statistics.map(s => new Path(s.path).toUri.getPath).toSet
+    val metaDir = new Path(path, "metadata")
+    if (fs.exists(metaDir)) {
+      val it = fs.listFiles(metaDir, false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".puffin") &&
+            !statsReferenced(st.getPath.toUri.getPath))
           found += st.getPath.toString
       }
     }
@@ -1881,6 +1913,96 @@ object IcebergWriter {
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+  }
+
+  /** ANALYZE TABLE — per-column NDV statistics (Iceberg spec "Table
+    * statistics"). One distributed pass over the CURRENT snapshot's live
+    * rows (MoR-correct: tombstoned rows excluded) aggregates a bounded
+    * KMV theta sketch per column via the `graft_theta` Catalyst
+    * aggregate over codegen'd `xxhash64` — map-side partials mean only
+    * O(partitions × k) longs shuffle, never rows, so the pass scales to
+    * any table the scan itself handles. Sketches land in ONE puffin file
+    * under `metadata/`, and a `statistics` entry (snapshot-id, path,
+    * sizes, blob metadata with an `ndv` property per field id) is
+    * committed as a metadata-only version. Plan-time NDV consumers
+    * ([[IcebergScan.scanFiltered]] broadcast costing,
+    * `iceberg_table_statistics`) read the mirrored properties from table
+    * metadata and never open the puffin file. Re-analyzing the same
+    * snapshot replaces its entry; entries for expired snapshots are
+    * pruned by [[expireSnapshots]]/[[rollback]] and their files become
+    * [[listOrphanFiles]] candidates.
+    *
+    * Returns the per-column NDV estimates (standard error ~2.2% at the
+    * default k=2048; exact below 2048 distinct values). Nulls are not
+    * counted as a distinct value. */
+  def analyze(spark: SparkSession, path: String,
+              columns: Seq[String] = Seq.empty): Map[String, Long] = {
+    graft.functions.GraftFunctions.register(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"analyze: no Iceberg table at $path"))
+    val snap = IcebergMetadataParser.latest(state.info, skipSchema = false)
+    val primitive = snap.schema.filter(c => c.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    })
+    val chosen =
+      if (columns.isEmpty) primitive
+      else columns.map(n => primitive.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"analyze: '$n' is not a primitive column of the current schema " +
+            s"(have ${primitive.map(_.name).mkString(", ")})")))
+    require(chosen.nonEmpty, "analyze: no primitive columns to analyze")
+    val df = IcebergScan.scan(spark, path)
+    val aggs = chosen.map(c => call_function("graft_theta",
+      when(col(c.name).isNotNull, xxhash64(col(c.name)))).as(c.name))
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val sketches = chosen.zipWithIndex.map { case (c, i) =>
+      (c, row.getAs[Array[Byte]](i))
+    }
+    val ndv = sketches.map { case (c, bytes) =>
+      c.name -> graft.functions.KmvSketch.estimateFrom(bytes)
+    }.toMap
+    val statsPath = new Path(path,
+      s"metadata/stats-${snap.snapshotId}-${commitToken()}.puffin")
+    val blobs = sketches.map { case (c, bytes) =>
+      Puffin.StatsBlob(Puffin.ThetaBlobType, bytes, Seq(c.id),
+        Map("ndv" -> ndv(c.name).toString))
+    }
+    val (metas, fileSize, footerSize) = Puffin.writeStatsFile(
+      statsPath, conf, blobs, snap.snapshotId, snap.sequenceNumber)
+    // metadata-only commit: replace any existing entry for this snapshot
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val stats = mapper.createArrayNode()
+    Option(root.get("statistics")).foreach(_.elements.asScala.foreach { e =>
+      if (e.get("snapshot-id").asLong != snap.snapshotId) stats.add(e): Unit
+    })
+    val entry = stats.addObject()
+    entry.put("snapshot-id", snap.snapshotId)
+    entry.put("statistics-path", statsPath.toString)
+    entry.put("file-size-in-bytes", fileSize)
+    entry.put("file-footer-size-in-bytes", footerSize)
+    val bm = entry.putArray("blob-metadata")
+    metas.foreach { m =>
+      val b = bm.addObject()
+      b.put("type", m.blobType)
+      b.put("snapshot-id", m.snapshotId)
+      b.put("sequence-number", m.sequenceNumber)
+      val fs = b.putArray("fields")
+      m.fields.foreach(fs.add)
+      val props = b.putObject("properties")
+      m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    }
+    root.set[JsonNode]("statistics", stats)
+    root.put("last-updated-ms", state.nextTsMs)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+    ndv
   }
 
   /** Metadata-only column drop (Iceberg spec "Schema Evolution"). The

@@ -31,6 +31,11 @@ object Puffin {
   private val Magic = Array[Byte]('P', 'F', 'A', '1')
   private val DVMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
   val DVBlobType = "deletion-vector-v1"
+  // per-column NDV sketch blob (graft's own payload — see KmvSketch;
+  // deliberately NOT labeled apache-datasketches-theta-v1, whose binary
+  // layout this engine does not emit). NDV consumers read the `ndv`
+  // blob-metadata property from table metadata without opening the blob.
+  val ThetaBlobType = "graft-theta-v1"
   private val mapper = new ObjectMapper()
 
   /** One blob's metadata as recorded in the footer. Offsets are absolute
@@ -42,7 +47,10 @@ object Puffin {
       length: Long,
       snapshotId: Long,
       sequenceNumber: Long,
-      properties: Map[String, String])
+      properties: Map[String, String],
+      // Iceberg field ids the blob describes (statistics blobs); DV blobs
+      // reference a data file via properties instead and leave this empty
+      fields: Seq[Int] = Seq.empty)
 
   final case class DVBlob(referencedDataFile: String, positions: Array[Long])
 
@@ -133,13 +141,60 @@ object Puffin {
     w.close()
   }
 
+  /** One statistics blob to write: raw payload bytes (no DV framing),
+    * the field ids it describes, and footer properties (e.g. "ndv"). */
+  final case class StatsBlob(
+      blobType: String, payload: Array[Byte],
+      fields: Seq[Int], properties: Map[String, String])
+
+  /** Write a puffin file of raw-payload statistics blobs; returns the
+    * blob metadata plus (fileSize, footerSize) — the `statistics` entry
+    * in table metadata records both (Iceberg spec "Table statistics"). */
+  def writeStatsFile(
+      path: Path, conf: Configuration, blobs: Seq[StatsBlob],
+      snapshotId: Long, sequenceNumber: Long): (Seq[BlobMeta], Long, Long) = {
+    val out = path.getFileSystem(conf).create(path, true)
+    out.write(Magic)
+    var offset = 4L
+    val metas = blobs.map { b =>
+      out.write(b.payload)
+      val m = BlobMeta(b.blobType, offset, b.payload.length.toLong,
+        snapshotId, sequenceNumber, b.properties, b.fields)
+      offset += b.payload.length
+      m
+    }
+    val payload = footerPayload(metas)
+    out.write(Magic)
+    out.write(payload)
+    val trailer = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    trailer.putInt(payload.length)
+    trailer.putInt(0)
+    out.write(trailer.array())
+    out.write(Magic)
+    out.close()
+    // footer = magic + payload + trailer (spec: FooterPayload + framing)
+    val footerSize = 4L + payload.length + 8 + 4
+    (metas, offset + footerSize, footerSize)
+  }
+
+  /** Read one raw blob's payload by footer-recorded offset+length. */
+  def readBlob(path: Path, conf: Configuration, offset: Long, length: Long): Array[Byte] = {
+    val in = path.getFileSystem(conf).open(path)
+    try {
+      val bytes = new Array[Byte](length.toInt)
+      in.readFully(offset, bytes)
+      bytes
+    } finally in.close()
+  }
+
   private def footerPayload(metas: Seq[BlobMeta]): Array[Byte] = {
     val root = mapper.createObjectNode()
     val blobs = root.putArray("blobs")
     metas.foreach { m =>
       val b = blobs.addObject()
       b.put("type", m.blobType)
-      b.putArray("fields")
+      val fieldsNode = b.putArray("fields")
+      m.fields.foreach(fieldsNode.add)
       b.put("snapshot-id", m.snapshotId)
       b.put("sequence-number", m.sequenceNumber)
       b.put("offset", m.offset)
@@ -187,7 +242,9 @@ object Puffin {
             properties = Option(b.get("properties")).map { p =>
               p.asInstanceOf[ObjectNode].fields.asScala
                 .map(e => e.getKey -> e.getValue.asText).toMap
-            }.getOrElse(Map.empty))
+            }.getOrElse(Map.empty),
+            fields = Option(b.get("fields"))
+              .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Seq.empty))
         }
     } finally in.close()
   }

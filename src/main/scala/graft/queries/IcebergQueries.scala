@@ -806,6 +806,40 @@ object IcebergQueries {
           .agg(count(lit(1)).as("cnt"),
                sum(col("l_quantity")).cast("long").as("qty"))
       }
+    ),
+    QueryDef(
+      "ib39_table_stats",
+      // ANALYZE statistics (engine extension; Iceberg spec "Table
+      // statistics"): the KMV-sketch NDV recorded per column must land
+      // within 5% of the exact distinct count (exact below sketch
+      // capacity). The oracle pins every column's verdict to true — a
+      // drifting sketch flips a boolean and fails the hash compare.
+      Some("""
+        SELECT 'l_orderkey' AS col, true AS ok
+        UNION ALL SELECT 'l_partkey', true
+        UNION ALL SELECT 'l_returnflag', true
+        UNION ALL SELECT 'l_shipdate', true"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib39_").toString + "/lineitem_stats"
+        val li = graft.Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate")
+        graft.iceberg.IcebergWriter.write(li, table)
+        graft.iceberg.IcebergWriter.analyze(s, table)
+        val stats = IcebergScan.tableStatistics(s, table)
+          .select(col("column_name").as("col"), col("ndv"))
+        val exact = li.agg(
+          countDistinct(col("l_orderkey")).as("l_orderkey"),
+          countDistinct(col("l_partkey")).as("l_partkey"),
+          countDistinct(col("l_returnflag")).as("l_returnflag"),
+          countDistinct(col("l_shipdate")).as("l_shipdate"))
+          .selectExpr("""stack(4,
+            'l_orderkey', l_orderkey, 'l_partkey', l_partkey,
+            'l_returnflag', l_returnflag, 'l_shipdate', l_shipdate)
+            AS (col, exact)""")
+        stats.join(exact, "col").select(col("col"),
+          (abs(col("ndv") - col("exact")) <= col("exact") * 0.05).as("ok"))
+      }
     )
   )
 }

@@ -239,6 +239,9 @@ object GraftSql {
       builder("iceberg_metadata", (s, p, o) => IcebergScan.metadata(s, p, o))),
     ("iceberg_refs", "lists the branches and tags of an Apache Iceberg table",
       builder("iceberg_refs", (s, p, o) => IcebergScan.refs(s, p, o))),
+    ("iceberg_table_statistics", "per-column NDV statistics recorded by analyze",
+      builder("iceberg_table_statistics",
+        (s, p, o) => IcebergScan.tableStatistics(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>
