@@ -30,7 +30,9 @@ object IcebergMetadataParser {
       // files of per-column sketches; the NDV consumers below only need
       // the blob-metadata `properties` mirrored into table metadata, so
       // no puffin read happens at plan time.
-      statistics: Seq[StatsFile] = Seq.empty)
+      statistics: Seq[StatsFile] = Seq.empty,
+      // `partition-statistics` entries (spec "Partition statistics")
+      partitionStatistics: Seq[PartitionStatsFile] = Seq.empty)
 
   /** One `statistics` entry of table metadata. */
   final case class StatsFile(
@@ -39,6 +41,8 @@ object IcebergMetadataParser {
   final case class StatsBlobMeta(
       blobType: String, snapshotId: Long, sequenceNumber: Long,
       fields: Seq[Int], properties: Map[String, String])
+  /** One `partition-statistics` entry of table metadata. */
+  final case class PartitionStatsFile(snapshotId: Long, path: String, fileSize: Long)
 
   /** partition-specs / default-spec-id (v2) or legacy flat partition-spec
     * (v1). The reference leaves these unread (SURVEY §2.10); they feed the
@@ -100,16 +104,24 @@ object IcebergMetadataParser {
                 }.getOrElse(Map.empty))
             })
       }
+    val pStats: Seq[PartitionStatsFile] =
+      if (!root.has("partition-statistics")) Seq.empty
+      else root.get("partition-statistics").elements.asScala.toSeq.map { s =>
+        PartitionStatsFile(
+          snapshotId = s.get("snapshot-id").asLong,
+          path = s.get("statistics-path").asText,
+          fileSize = Option(s.get("file-size-in-bytes")).map(_.asLong).getOrElse(0L))
+      }
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
       ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec,
-        refs, stats)
+        refs, stats, pStats)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
       ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec,
-        refs, stats)
+        refs, stats, pStats)
     }
   }
 

@@ -61,6 +61,10 @@ object IcebergModel {
     * manifests committed at different sequence numbers. */
   final case class ManifestEntry(
       status: Int, content: Int, filePath: String, fileFormat: String, recordCount: Long,
+      // spec data_file field 104 (required in Iceberg's full schema; the
+      // reference's partial reader drops it). 0 = unknown (older graft
+      // manifests predate the field) — consumers treat 0 as "no size".
+      fileSizeInBytes: Long = 0L,
       partition: Map[String, Any] = Map.empty,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,

@@ -941,6 +941,69 @@ object IcebergScan {
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
 
 
+  /** iceberg_partitions — one row per live partition tuple with data and
+    * delete-file aggregates (the `partitions` metadata table other Iceberg
+    * engines expose; engine extension here). Computed from manifest
+    * metadata only — record counts, file sizes and partition tuples all
+    * live in manifest entries, so NO data file is opened regardless of
+    * table size. Partition values render human-readable where the
+    * DEFAULT spec knows the transform (day/month/year ordinals and
+    * identity dates → ISO strings); fields of older specs after a
+    * partition evolution render as raw stored values. Our own writer
+    * records no partition tuple on delete files, so their counts land on
+    * the empty tuple (foreign tables that do record them aggregate
+    * per-partition). */
+  def partitions(spark: SparkSession, path: String,
+                 opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = false))
+    val meta = ManifestReader.loadTable(
+      IcebergIO.tableRoot(path), snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val info = loadInfo(spark, path, opts)
+    val typeById = snapshot.schema.map(c => c.id -> c.dataType).toMap
+    def render(name: String, v: Any): String =
+      if (v == null) null
+      else {
+        val sf = info.defaultPartitionSpec.find(_.name == name)
+        val srcType = sf.flatMap(f => typeById.get(f.sourceId))
+        (sf.map(_.transform), srcType, v) match {
+          case (Some("day") | Some("days"), _, i: Int) =>
+            java.time.LocalDate.ofEpochDay(i.toLong).toString
+          case (Some("identity"), Some(DateType), i: Int) =>
+            java.time.LocalDate.ofEpochDay(i.toLong).toString
+          case (Some("month") | Some("months"), _, i: Int) =>
+            f"${1970 + Math.floorDiv(i, 12)}%04d-${Math.floorMod(i, 12) + 1}%02d"
+          case (Some("year") | Some("years"), _, i: Int) => (1970 + i).toString
+          case _ => String.valueOf(v)
+        }
+      }
+    val entries = for {
+      (m, es) <- meta.entries
+      e <- es if e.status != 2
+    } yield e
+    val grouped = entries.groupBy(
+      _.partition.map { case (k, v) => k -> render(k, v) })
+    val rows = grouped.toSeq.map { case (p, es) =>
+      val data = es.filter(_.content == 0)
+      val pos = es.filter(e => e.content == 1)
+      val eq = es.filter(_.content == 2)
+      Row(p, data.size.toLong, data.map(_.recordCount).sum,
+        data.map(_.fileSizeInBytes).sum,
+        pos.size.toLong, pos.map(_.recordCount).sum,
+        eq.size.toLong, eq.map(_.recordCount).sum)
+    }.sortBy(_.getAs[Map[String, String]](0).toSeq.sorted.mkString(" "))
+    val schema = StructType(Seq(
+      StructField("partition",
+        MapType(StringType, StringType, valueContainsNull = true), nullable = false),
+      StructField("data_file_count", LongType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+      StructField("position_delete_file_count", LongType, nullable = false),
+      StructField("position_delete_record_count", LongType, nullable = false),
+      StructField("equality_delete_file_count", LongType, nullable = false),
+      StructField("equality_delete_record_count", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** iceberg_table_statistics — one row per analyzed column of each
     * `statistics` entry (Iceberg spec "Table statistics"; populated by
     * [[IcebergWriter.analyze]]). NDV comes straight from the blob

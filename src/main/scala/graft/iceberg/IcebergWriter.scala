@@ -291,7 +291,8 @@ object IcebergWriter {
           {"name":"content","type":"int"},
           {"name":"file_path","type":"string"},
           {"name":"file_format","type":"string"},
-          {"name":"record_count","type":"long"}
+          {"name":"record_count","type":"long"},
+          {"name":"file_size_in_bytes","type":"long","default":0}
           $partField,
           {"name":"lower_bounds","type":["null",{"type":"array","items":
             {"type":"record","name":"k126_v127","fields":[
@@ -533,7 +534,8 @@ object IcebergWriter {
       path: String, count: Long,
       partition: Map[String, Any],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      nulls: Map[Int, Long] = Map.empty)
+      nulls: Map[Int, Long] = Map.empty,
+      sizeBytes: Long = 0L)
 
   /** Parquet statistics value → the bound domain [[IcebergPruning.encodeBound]]
     * accepts. Unhandled types / NaN → None (no bound emitted → no pruning
@@ -639,7 +641,8 @@ object IcebergWriter {
           .map(seg => sf.fieldName -> parseDirValue(sf, seg.stripPrefix(prefix)))
       }.toMap
       val (count, lower, upper, nulls) = footerStats(st, conf, fields)
-      WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls)
+      WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
+        sizeBytes = st.getLen)
     }
   }
 
@@ -737,6 +740,7 @@ object IcebergWriter {
         dfr.put("file_path", e.filePath)
         dfr.put("file_format", e.fileFormat)
         dfr.put("record_count", e.recordCount)
+        dfr.put("file_size_in_bytes", e.fileSizeInBytes)
         if (partitionFields.nonEmpty) {
           val pSchema = dataFileSchema.getField("partition").schema()
             .getTypes.get(1)
@@ -1132,11 +1136,13 @@ object IcebergWriter {
     val newRefs = state.map(_.refs).getOrElse(Map.empty) ++
       Map(branch -> (snapshotId, "branch"), "main" -> (mainHead, "branch"))
     writeRefsNode(root, newRefs)
-    // `statistics` entries carry forward: the commit's root is rebuilt
+    // statistics entries carry forward: the commit's root is rebuilt
     // from scratch, and dropping them here would silently orphan every
     // analyze the moment any write lands. Their snapshots still exist.
-    state.flatMap(_.rootNode).flatMap(r => Option(r.get("statistics")))
-      .filter(_.size > 0).foreach(root.set[JsonNode]("statistics", _))
+    Seq("statistics", "partition-statistics").foreach { key =>
+      state.flatMap(_.rootNode).flatMap(r => Option(r.get(key)))
+        .filter(_.size > 0).foreach(root.set[JsonNode](key, _))
+    }
     root.put("current-snapshot-id", mainHead)
     val snapsNode = root.putArray("snapshots")
     state.map(_.snapshots).getOrElse(Seq.empty).foreach(snapsNode.add)
@@ -1249,16 +1255,18 @@ object IcebergWriter {
     require(kept.size > 0, "cannot expire every snapshot of a table")
     root.set[JsonNode]("snapshots", kept)
     // statistics of expired snapshots are removable (spec "Table
-    // statistics") — prune their entries so readers never chase NDV for
-    // a snapshot that no longer time-travel-resolves; the puffin files
+    // statistics") — prune their entries so readers never chase stats
+    // for a snapshot that no longer time-travel-resolves; the files
     // themselves surface through listOrphanFiles.
-    Option(root.get("statistics")).filter(_.size > 0).foreach { arr =>
-      val keptIds = kept.elements.asScala.map(_.get("snapshot-id").asLong).toSet
-      val pruned = mapper.createArrayNode()
-      arr.elements.asScala.foreach { e =>
-        if (keptIds(e.get("snapshot-id").asLong)) pruned.add(e): Unit
+    Seq("statistics", "partition-statistics").foreach { key =>
+      Option(root.get(key)).filter(_.size > 0).foreach { arr =>
+        val keptIds = kept.elements.asScala.map(_.get("snapshot-id").asLong).toSet
+        val pruned = mapper.createArrayNode()
+        arr.elements.asScala.foreach { e =>
+          if (keptIds(e.get("snapshot-id").asLong)) pruned.add(e): Unit
+        }
+        root.set[JsonNode](key, pruned): Unit
       }
-      root.set[JsonNode]("statistics", pruned): Unit
     }
     writeRefsNode(root, newRefs)
     val newest = newRefs.get("main").map(_._1).getOrElse(
@@ -1322,19 +1330,28 @@ object IcebergWriter {
           found += st.getPath.toString
       }
     }
-    // statistics puffins live under metadata/; one is orphaned when no
-    // current `statistics` entry references it (superseded by re-analyze,
-    // or its snapshot's entry was pruned by expire/rollback)
+    // statistics files live under metadata/; one is orphaned when no
+    // current `statistics`/`partition-statistics` entry references it
+    // (superseded by re-analyze/re-compute, or its snapshot's entry was
+    // pruned by expire/rollback). Partition stats are parquet DIRECTORIES
+    // — a file inside one is referenced iff its directory is.
     val statsReferenced =
       state.info.statistics.map(s => new Path(s.path).toUri.getPath).toSet
+    val pStatsDirs =
+      state.info.partitionStatistics.map(s => new Path(s.path).toUri.getPath).toSet
     val metaDir = new Path(path, "metadata")
     if (fs.exists(metaDir)) {
-      val it = fs.listFiles(metaDir, false)
+      val it = fs.listFiles(metaDir, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".puffin") &&
-            !statsReferenced(st.getPath.toUri.getPath))
-          found += st.getPath.toString
+        val p = st.getPath.toUri.getPath
+        if (st.isFile) {
+          if (st.getPath.getName.endsWith(".puffin") && !statsReferenced(p))
+            found += st.getPath.toString
+          else if (p.contains("/partition-stats-") &&
+                   !pStatsDirs.exists(d => p.startsWith(d + "/")))
+            found += st.getPath.toString
+        }
       }
     }
     found.result().sorted.toDF("orphan_file")
@@ -1677,7 +1694,7 @@ object IcebergWriter {
       val (dataEntries, rowRange) = assignRowIds(
         effectiveFv, nextRowIdOf(state), files.map { w =>
           ManifestEntry(status = 1, content = 0, filePath = w.path,
-            fileFormat = "PARQUET", recordCount = w.count,
+            fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
             partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
             nullCounts = w.nulls)
         })
@@ -2005,6 +2022,55 @@ object IcebergWriter {
     ndv
   }
 
+  /** Partition statistics (Iceberg spec "Partition statistics"): one
+    * parquet file per computation holding [[IcebergScan.partitions]]'s
+    * per-partition aggregates plus `last_updated_snapshot_id`, registered
+    * under the metadata `partition-statistics` field ({snapshot-id, path,
+    * file-size-in-bytes} — the spec's entry shape). Derived purely from
+    * manifest metadata, so computing it opens no data files at any table
+    * size. Entries carry across commits; expire/rollback prune them; a
+    * superseded file surfaces through [[listOrphanFiles]]. */
+  def computePartitionStats(spark: SparkSession, path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"computePartitionStats: no Iceberg table at $path"))
+    val snap = IcebergMetadataParser.latest(state.info, skipSchema = true)
+    val statsPath = new Path(path,
+      s"metadata/partition-stats-${snap.snapshotId}-${commitToken()}.parquet")
+    // partition tuples are few relative to files: one small file (spec
+    // "Partition statistics files": "Statistics are informational")
+    IcebergScan.partitions(spark, path)
+      .withColumn("last_updated_snapshot_id", lit(snap.snapshotId))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath.toString)
+    val size = {
+      val fs = statsPath.getFileSystem(conf)
+      val it = fs.listFiles(statsPath, true)
+      var n = 0L
+      while (it.hasNext) { val s = it.next(); if (s.isFile) n += s.getLen }
+      n
+    }
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val stats = mapper.createArrayNode()
+    Option(root.get("partition-statistics")).foreach(_.elements.asScala.foreach { e =>
+      if (e.get("snapshot-id").asLong != snap.snapshotId) stats.add(e): Unit
+    })
+    val entry = stats.addObject()
+    entry.put("snapshot-id", snap.snapshotId)
+    entry.put("statistics-path", statsPath.toString)
+    entry.put("file-size-in-bytes", size)
+    root.set[JsonNode]("partition-statistics", stats)
+    root.put("last-updated-ms", state.nextTsMs)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+    statsPath.toString
+  }
+
   /** Metadata-only column drop (Iceberg spec "Schema Evolution"). The
     * CURRENT schema is re-emitted without the named top-level columns
     * under a fresh schema-id; no snapshot is added and no data file is
@@ -2181,7 +2247,7 @@ object IcebergWriter {
       val delFiles = posDeleteFiles(delDir, conf)
       writeManifest(manifestPath, conf, delFiles.map { w =>
         ManifestEntry(status = 1, content = 1, filePath = w.path, // POSITION_DELETES
-          fileFormat = "PARQUET", recordCount = w.count,
+          fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
           lowerBounds = w.lower, upperBounds = w.upper)
       })
       return prevManifests :+ Manifest(manifestPath.toString, seq, content = 1)
@@ -2422,7 +2488,7 @@ object IcebergWriter {
     val manifestPath = new Path(path, s"metadata/$manifestName")
     writeManifest(manifestPath, conf, files.map { w =>
       ManifestEntry(status = 1, content = 2, filePath = w.path, // EQUALITY_DELETES
-        fileFormat = "PARQUET", recordCount = w.count,
+        fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
         lowerBounds = w.lower, upperBounds = w.upper, nullCounts = w.nulls,
         equalityIds = eqIds)
     })
@@ -2498,7 +2564,7 @@ object IcebergWriter {
     val (updEntries, rowRange) = assignRowIds(
       latest.formatVersion, nextRowIdOf(Some(state)), dataFiles.map { w =>
         ManifestEntry(status = 1, content = 0, filePath = w.path,
-          fileFormat = "PARQUET", recordCount = w.count,
+          fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
           partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
           nullCounts = w.nulls)
       })
@@ -2584,7 +2650,7 @@ object IcebergWriter {
       val (mrgEntries, rowRange) = assignRowIds(
         latest.formatVersion, nextRowIdOf(Some(state)), dataFiles.map { w =>
           ManifestEntry(status = 1, content = 0, filePath = w.path,
-            fileFormat = "PARQUET", recordCount = w.count,
+            fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
             partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
             nullCounts = w.nulls)
         })
@@ -2642,7 +2708,7 @@ object IcebergWriter {
     writeManifest(addedPath, conf, dataFiles.map { w =>
       // firstRowId stays None: the materialized column is authoritative
       ManifestEntry(status = 1, content = 0, filePath = w.path,
-        fileFormat = "PARQUET", recordCount = w.count,
+        fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))

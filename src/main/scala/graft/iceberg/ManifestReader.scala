@@ -116,6 +116,11 @@ object ManifestReader {
         filePath = df.get("file_path").toString,
         fileFormat = df.get("file_format").toString,
         recordCount = df.get("record_count").asInstanceOf[Long],
+        fileSizeInBytes = fieldOrNull(df, "file_size_in_bytes") match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case _ => 0L
+        },
         partition = partition,
         lowerBounds = boundsMap(fieldOrNull(df, "lower_bounds")),
         upperBounds = boundsMap(fieldOrNull(df, "upper_bounds")),

@@ -840,6 +840,25 @@ object IcebergQueries {
         stats.join(exact, "col").select(col("col"),
           (abs(col("ndv") - col("exact")) <= col("exact") * 0.05).as("ok"))
       }
+    ),
+    QueryDef(
+      "ib40_partitions",
+      // `partitions` metadata table (engine extension mirroring the
+      // metadata table other Iceberg engines expose): per-partition file
+      // and record aggregates computed from manifests alone — no data
+      // file opened. The day-partitioned events table was written with
+      // repartition(30, dt), so each of the 30 day partitions holds
+      // exactly one file; the oracle recomputes rows per day from source.
+      Some("""
+        SELECT CAST(ts AS DATE) AS day, CAST(1 AS BIGINT) AS files,
+               COUNT(*) AS rows FROM events GROUP BY 1"""),
+      (s, dir) => {
+        val table = eventsByDayTable(s, dir)
+        IcebergScan.partitions(s, table).select(
+          col("partition")("dt_day").cast("date").as("day"),
+          col("data_file_count").as("files"),
+          col("data_record_count").as("rows"))
+      }
     )
   )
 }

@@ -242,6 +242,8 @@ object GraftSql {
     ("iceberg_table_statistics", "per-column NDV statistics recorded by analyze",
       builder("iceberg_table_statistics",
         (s, p, o) => IcebergScan.tableStatistics(s, p, o))),
+    ("iceberg_partitions", "per-partition data and delete-file aggregates",
+      builder("iceberg_partitions", (s, p, o) => IcebergScan.partitions(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>

@@ -130,6 +130,55 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("column_name") === "n_nationkey").head().getLong(1) === exact)
   }
 
+  // ---- partitions metadata table & partition statistics --------------
+
+  test("partitions aggregates per tuple and reflects MoR deletes") {
+    val table = newTable("graft_pstats1_")
+    val orders = Tables.load(spark, Sf, "orders")
+    IcebergWriter.write(orders, table)
+    val p0 = IcebergScan.partitions(spark, table).collect()
+    assert(p0.length === 1) // unpartitioned: one empty tuple
+    assert(p0.head.getAs[Map[String, String]]("partition").isEmpty)
+    assert(p0.head.getAs[Long]("data_record_count") === orders.count())
+    assert(p0.head.getAs[Long]("total_data_file_size_in_bytes") > 0L)
+    val key = orders.select("o_orderkey").head().getLong(0)
+    IcebergWriter.delete(spark, table, col("o_orderkey") === key)
+    val p1 = IcebergScan.partitions(spark, table).collect()
+    assert(p1.map(_.getAs[Long]("position_delete_file_count")).sum === 1L)
+    assert(p1.map(_.getAs[Long]("position_delete_record_count")).sum === 1L)
+  }
+
+  test("computePartitionStats registers, survives appends, prunes on expire") {
+    graft.sql.GraftSql.register(spark)
+    val table = newTable("graft_pstats2_")
+    val events = Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+      .repartition(4, col("dt"))
+    IcebergWriter.write(events, table, partitionBy = Seq("dt" -> "day"))
+    val statsFile = IcebergWriter.computePartitionStats(spark, table)
+    // the written file holds exactly the partitions table + snapshot id
+    val stored = spark.read.parquet(statsFile)
+    assert(stored.count() === IcebergScan.partitions(spark, table).count())
+    assert(stored.columns.contains("last_updated_snapshot_id"))
+    // SQL TVF agrees with the source row counts per day
+    val viaSql = spark.sql(
+      s"SELECT sum(data_record_count) FROM iceberg_partitions('$table')")
+      .head().getLong(0)
+    assert(viaSql === events.count())
+    // entry survives a metadata-rebuilding commit
+    IcebergWriter.write(events.limit(5), table)
+    assert(IcebergScan.loadInfo(spark, table).partitionStatistics.size === 1)
+    // recompute on the new head adds; expiring old snapshots prunes and
+    // orphans the superseded file's contents
+    IcebergWriter.computePartitionStats(spark, table)
+    assert(IcebergScan.loadInfo(spark, table).partitionStatistics.size === 2)
+    IcebergWriter.expireSnapshots(spark, table, keep = 1)
+    assert(IcebergScan.loadInfo(spark, table).partitionStatistics.size === 1)
+    val orphans = IcebergWriter.listOrphanFiles(spark, table)
+      .collect().map(_.getString(0))
+    assert(orphans.exists(_.contains("/partition-stats-")))
+  }
+
   // ---- NDV-driven broadcast costing ----------------------------------
 
   test("equality filter on an analyzed column earns a broadcast hint") {
