@@ -32,7 +32,11 @@ object IcebergMetadataParser {
       // no puffin read happens at plan time.
       statistics: Seq[StatsFile] = Seq.empty,
       // `partition-statistics` entries (spec "Partition statistics")
-      partitionStatistics: Seq[PartitionStatsFile] = Seq.empty)
+      partitionStatistics: Seq[PartitionStatsFile] = Seq.empty,
+      // `snapshot-log` entries (spec "Snapshot Log"): (timestamp-ms,
+      // snapshot-id) pairs recording every change of the CURRENT snapshot,
+      // in commit order — what the `history` metadata table renders.
+      snapshotLog: Seq[(Long, Long)] = Seq.empty)
 
   /** One `statistics` entry of table metadata. */
   final case class StatsFile(
@@ -112,16 +116,21 @@ object IcebergMetadataParser {
           path = s.get("statistics-path").asText,
           fileSize = Option(s.get("file-size-in-bytes")).map(_.asLong).getOrElse(0L))
       }
+    val snapLog: Seq[(Long, Long)] =
+      if (!root.has("snapshot-log")) Seq.empty
+      else root.get("snapshot-log").elements.asScala.toSeq.map { e =>
+        e.get("timestamp-ms").asLong -> e.get("snapshot-id").asLong
+      }
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
       ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec,
-        refs, stats, pStats)
+        refs, stats, pStats, snapLog)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
       ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec,
-        refs, stats, pStats)
+        refs, stats, pStats, snapLog)
     }
   }
 

@@ -940,6 +940,50 @@ object IcebergScan {
       path, hadoopConf(spark), opts.metadataCompressionCodec,
       opts.version, opts.versionNameFormat, guessingEnabled(spark))
 
+  /** iceberg_history — the `history` metadata table (spec "Snapshot Log"):
+    * one row per change of the table's CURRENT snapshot, in commit order,
+    * rendered from `snapshot-log` alone — no manifest or data I/O at any
+    * table size. `is_current_ancestor=false` marks entries reachable only
+    * through abandoned lineage (e.g. an id made current by a commit that
+    * was later rolled back away); `parent_id` is null when the snapshot
+    * itself has been expired (the log outlives the snapshot only until
+    * expiration prunes its entries — matching the spec's deletion rule).
+    * Pre-logs tables (foreign fixtures, the reference's own test tables)
+    * yield zero rows rather than a guess. */
+  def history(spark: SparkSession, path: String,
+              opts: Options = Options()): DataFrame = {
+    val info = loadInfo(spark, path, opts)
+    val parents: Map[Long, Option[Long]] = info.snapshots.map { s =>
+      s.get("snapshot-id").asLong ->
+        Option(s.get("parent-snapshot-id")).map(_.asLong)
+    }.toMap
+    val head: Option[Long] =
+      if (info.snapshots.isEmpty) None
+      else Some(IcebergMetadataParser.latest(info, skipSchema = true).snapshotId)
+    val currentAncestors: Set[Long] = {
+      var acc = Set.empty[Long]
+      var cur = head
+      while (cur.nonEmpty && parents.contains(cur.get) && !acc(cur.get)) {
+        acc += cur.get
+        cur = parents(cur.get)
+      }
+      acc
+    }
+    val rows = info.snapshotLog.map { case (ts, id) =>
+      Row(
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(ts), java.time.ZoneOffset.UTC),
+        id, parents.get(id).flatten.map(Long.box).orNull,
+        currentAncestors(id))
+    }
+    val schema = StructType(Seq(
+      StructField("made_current_at", TimestampNTZType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("is_current_ancestor", BooleanType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
 
   /** iceberg_partitions — one row per live partition tuple with data and
     * delete-file aggregates (the `partitions` metadata table other Iceberg

@@ -1150,7 +1150,8 @@ object IcebergWriter {
     sn.put("snapshot-id", snapshotId)
     state.flatMap(_.branchHead(branch)).foreach(sn.put("parent-snapshot-id", _))
     sn.put("sequence-number", seq)
-    sn.put("timestamp-ms", state.map(_.nextTsMs).getOrElse(System.currentTimeMillis()))
+    val commitTs = state.map(_.nextTsMs).getOrElse(System.currentTimeMillis())
+    sn.put("timestamp-ms", commitTs)
     sn.put("schema-id", schemaId)
     val sum = sn.putObject("summary")
     sum.put("operation", operation)
@@ -1179,6 +1180,19 @@ object IcebergWriter {
       root.put("next-row-id", rowRange.map(_._2).getOrElse(nextRowIdOf(state)))
       rowRange.foreach { case (first, _) => sn.put("first-row-id", first) }
     }
+    root.put("last-updated-ms", commitTs)
+    // the root is rebuilt from scratch: prior commit logs must be copied
+    // over (like `statistics` above) or history would reset every commit
+    state.flatMap(_.rootNode).foreach { prev =>
+      Seq("snapshot-log", "metadata-log").foreach { k =>
+        Option(prev.get(k)).filter(_.size > 0)
+          .foreach(root.set[JsonNode](k, _))
+      }
+    }
+    // a staged branch commit leaves the CURRENT snapshot (main's head)
+    // unchanged, so only main commits enter the snapshot log
+    appendLogs(root, state, path,
+      if (branch == "main") Some(snapshotId -> commitTs) else None)
 
     val version = state.map(_.version + 1).getOrElse(1)
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -1202,6 +1216,47 @@ object IcebergWriter {
         r.put("type", tpe)
       }
     }
+
+  /** Spec "Metadata Log" default for `write.metadata.previous-versions-max`:
+    * the log is BOUNDED — unreferenced old entries age out oldest-first, so
+    * a table committed to for years doesn't grow metadata.json linearly. */
+  private val MetadataLogMax = 100
+
+  /** Append the spec's commit logs to a metadata root about to be written
+    * as vN+1 (spec "Snapshot Log" / "Metadata Log"):
+    *  - `metadata-log` gains the superseded file (`vN.metadata.json`) with
+    *    its own last-updated-ms, capped at [[MetadataLogMax]];
+    *  - `snapshot-log` gains a {timestamp-ms, snapshot-id} entry iff this
+    *    commit CHANGED the current snapshot (`currentChangedTo`) — staged
+    *    branch commits and metadata-only commits leave it untouched, so
+    *    the log's tail always names the current snapshot.
+    * Callers that rebuild the root from scratch must copy the prior logs
+    * onto it first; callers that mutate a parsed root carry them free. */
+  private def appendLogs(root: ObjectNode, state: Option[State], path: String,
+                         currentChangedTo: Option[(Long, Long)]): Unit = {
+    state.foreach { st =>
+      val prevTs = st.rootNode
+        .flatMap(r => Option(r.get("last-updated-ms")).map(_.asLong))
+        .orElse(st.snapshots.map(_.get("timestamp-ms").asLong).maxOption)
+        .getOrElse(0L)
+      val log = mapper.createArrayNode()
+      Option(root.get("metadata-log")).foreach(_.elements.asScala.foreach(log.add))
+      val entry = log.addObject()
+      entry.put("timestamp-ms", prevTs)
+      entry.put("metadata-file",
+        new Path(new Path(path, "metadata"), s"v${st.version}.metadata.json").toString)
+      while (log.size > MetadataLogMax) log.remove(0)
+      root.set[JsonNode]("metadata-log", log): Unit
+    }
+    currentChangedTo.foreach { case (id, ts) =>
+      val log = mapper.createArrayNode()
+      Option(root.get("snapshot-log")).foreach(_.elements.asScala.foreach(log.add))
+      val e = log.addObject()
+      e.put("timestamp-ms", ts)
+      e.put("snapshot-id", id)
+      root.set[JsonNode]("snapshot-log", log): Unit
+    }
+  }
 
   /** snapshot-id -> parent-snapshot-id over the state's snapshots. */
   private def parentMap(state: State): Map[Long, Option[Long]] =
@@ -1273,6 +1328,20 @@ object IcebergWriter {
       state.snapshots.filter(keep).maxBy(_.get("timestamp-ms").asLong)
         .get("snapshot-id").asLong)
     root.put("current-snapshot-id", newest)
+    // snapshot-log entries of expired snapshots are removed with them
+    // (spec "Snapshot Log": "deleted when snapshots are expired"); a
+    // rollback then appends the target — current changed back to it.
+    val keptIds = kept.elements.asScala.map(_.get("snapshot-id").asLong).toSet
+    Option(root.get("snapshot-log")).filter(_.size > 0).foreach { arr =>
+      val pruned = mapper.createArrayNode()
+      arr.elements.asScala.foreach { e =>
+        if (keptIds(e.get("snapshot-id").asLong)) pruned.add(e): Unit
+      }
+      root.set[JsonNode]("snapshot-log", pruned): Unit
+    }
+    val commitTs = state.nextTsMs
+    root.put("last-updated-ms", commitTs)
+    appendLogs(root, Some(state), path, moveMainTo.map(_ -> commitTs))
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -1423,7 +1492,14 @@ object IcebergWriter {
     newRefs.get("main").foreach { case (id, _) =>
       root.put("current-snapshot-id", id)
     }
-    root.put("last-updated-ms", state.nextTsMs)
+    val commitTs = state.nextTsMs
+    root.put("last-updated-ms", commitTs)
+    // fastForward of main publishes staged commits = the current snapshot
+    // changes; tag/branch bookkeeping leaves it (and the log) untouched
+    val prevMain = state.branchHead("main")
+    appendLogs(root, Some(state), path,
+      newRefs.get("main").map(_._1).filterNot(prevMain.contains)
+        .map(_ -> commitTs))
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -1682,7 +1758,8 @@ object IcebergWriter {
     // keys win on collision
     val stdSummary = Map(
       "added-data-files" -> files.size.toString,
-      "added-records" -> files.map(_.count).sum.toString)
+      "added-records" -> files.map(_.count).sum.toString,
+      "added-files-size" -> files.map(_.sizeBytes).sum.toString)
 
     var attempt = 0
     while (true) {
@@ -1828,6 +1905,7 @@ object IcebergWriter {
     if (matched.isEmpty) schemasNode.add(renamed)
     root.put("current-schema-id", newId)
     root.put("last-updated-ms", state.nextTsMs)
+    appendLogs(root, Some(state), path, None)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -1925,6 +2003,7 @@ object IcebergWriter {
       Option(root.get("last-column-id")).map(_.asInt).getOrElse(0)
     root.put("last-column-id", math.max(prevLastCol, id))
     root.put("last-updated-ms", state.nextTsMs)
+    appendLogs(root, Some(state), path, None)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -2014,6 +2093,7 @@ object IcebergWriter {
     }
     root.set[JsonNode]("statistics", stats)
     root.put("last-updated-ms", state.nextTsMs)
+    appendLogs(root, Some(state), path, None)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -2063,6 +2143,7 @@ object IcebergWriter {
     entry.put("file-size-in-bytes", size)
     root.set[JsonNode]("partition-statistics", stats)
     root.put("last-updated-ms", state.nextTsMs)
+    appendLogs(root, Some(state), path, None)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
@@ -2135,6 +2216,7 @@ object IcebergWriter {
     if (matched.isEmpty) schemasNode.add(dropped)
     root.put("current-schema-id", newId)
     root.put("last-updated-ms", state.nextTsMs)
+    appendLogs(root, Some(state), path, None)
     val metaDir = new Path(path, "metadata")
     val version = state.version + 1
     writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,

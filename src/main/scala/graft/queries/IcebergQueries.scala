@@ -859,6 +859,35 @@ object IcebergQueries {
           col("data_file_count").as("files"),
           col("data_record_count").as("rows"))
       }
+    ),
+    QueryDef(
+      "ib41_history",
+      // `history` metadata table gate over a three-act table: two appends
+      // then a rollback to the first snapshot. The snapshot log must show
+      // snapshot 1 made current twice (the original append, then the
+      // rollback making it current again) and NO entry for snapshot 2:
+      // our rollback drops rolled-back snapshots (reference
+      // latest-by-timestamp parity), and the spec deletes log entries
+      // with their snapshots. Timestamps are wall-clock so the gate
+      // projects the deterministic columns; snapshot ids are sequential
+      // from 1 by construction.
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true),
+          (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true))
+          t(snapshot_id, parent_id, is_current_ancestor)"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib41_").toString + "/orders_hist"
+        val orders = graft.Tables.load(s, dir, "orders")
+        val snap1 = graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 0), table)
+        graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 1), table)
+        graft.iceberg.IcebergWriter.rollback(s, table, snap1)
+        IcebergScan.history(s, table)
+          .select("snapshot_id", "parent_id", "is_current_ancestor")
+      }
     )
   )
 }

@@ -244,6 +244,8 @@ object GraftSql {
         (s, p, o) => IcebergScan.tableStatistics(s, p, o))),
     ("iceberg_partitions", "per-partition data and delete-file aggregates",
       builder("iceberg_partitions", (s, p, o) => IcebergScan.partitions(s, p, o))),
+    ("iceberg_history", "current-snapshot change log of an Apache Iceberg table",
+      builder("iceberg_history", (s, p, o) => IcebergScan.history(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>
