@@ -713,12 +713,17 @@ object IcebergScan {
     // row and keep nonzero nets. Identical rows rewritten into new files
     // (compaction churn, no-op re-upserts) cancel multiset-exactly, and
     // each candidate scan executes ONCE — an exceptAll pair would re-run
-    // every scan plan twice. Group-by cannot key on maps, so every map —
-    // at ANY nesting depth (top-level, struct member, array element, map
-    // key/value) — travels as a key-sorted entry array (unique keys ⇒
-    // deterministic order ⇒ groupable) and is restored after the diff.
+    // every scan plan twice. Group-by cannot key on maps or variants, so
+    // every map — at ANY nesting depth (top-level, struct member, array
+    // element, map key/value) — travels as a key-sorted entry array
+    // (unique keys ⇒ deterministic order ⇒ groupable), and every variant
+    // as its JSON text (binary-identical variants render identically;
+    // distinct encodings of the same JSON document compare equal, which
+    // is the semantic equality a CDC consumer wants), both restored
+    // after the diff.
     def containsMap(dt: DataType): Boolean = dt match {
       case _: MapType => true
+      case VariantType => true
       case s: StructType => s.fields.exists(f => containsMap(f.dataType))
       case a: ArrayType => containsMap(a.elementType)
       case _ => false
@@ -728,6 +733,7 @@ object IcebergScan {
         StructField("key", canonType(m.keyType), nullable = false),
         StructField("value", canonType(m.valueType), m.valueContainsNull))),
         containsNull = false)
+      case VariantType => StringType
       case s: StructType =>
         StructType(s.fields.map(f => f.copy(dataType = canonType(f.dataType))))
       case a: ArrayType => a.copy(elementType = canonType(a.elementType))
@@ -738,6 +744,7 @@ object IcebergScan {
         array_sort(transform(map_entries(c), e =>
           struct(canonCol(e("key"), m.keyType).as("key"),
                  canonCol(e("value"), m.valueType).as("value"))))
+      case VariantType => to_json(c)
       case s: StructType if containsMap(s) =>
         // struct(...) of a NULL struct would fabricate a struct of nulls
         when(c.isNull, lit(null).cast(canonType(s))).otherwise(
@@ -751,6 +758,7 @@ object IcebergScan {
         map_from_entries(transform(c, e =>
           struct(restoreCol(e("key"), m.keyType).as("key"),
                  restoreCol(e("value"), m.valueType).as("value"))))
+      case VariantType => parse_json(c)
       case s: StructType if containsMap(s) =>
         when(c.isNull, lit(null).cast(s)).otherwise(
           struct(s.fields.toSeq.map(f => restoreCol(c(f.name), f.dataType).as(f.name)): _*))

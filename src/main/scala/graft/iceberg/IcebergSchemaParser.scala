@@ -32,6 +32,11 @@ object IcebergSchemaParser {
     // uuid→string too (scripts/test_data_generator/generate_base_parquet.py:31-48).
     case "uuid"        => StringType
     case "binary"      => BinaryType
+    // Iceberg v3 semi-structured type → Spark's native VariantType: both
+    // sides follow the Parquet VARIANT logical type (metadata + value
+    // binaries, optionally shredded), so the parquet reader decodes it
+    // directly — no JSON round trip on the read path.
+    case "variant"     => VariantType
     case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
     case FixedRe(_)    => BinaryType
     case other => throw new IllegalArgumentException(s"Encountered an unsupported type in JSON schema: '$other'")

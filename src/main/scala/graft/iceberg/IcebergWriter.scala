@@ -47,6 +47,7 @@ object IcebergWriter {
     case TimestampType => "timestamptz"
     case StringType => "string"
     case BinaryType => "binary"
+    case VariantType => "variant"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
       s"IcebergWriter cannot map ${other.sql} to an Iceberg type")
@@ -925,6 +926,22 @@ object IcebergWriter {
     state.foreach(st => require(fv >= st.info.formatVersion,
       s"cannot downgrade format-version ${st.info.formatVersion} -> $fv"))
     require(fv == 2 || fv == 3, s"unsupported format-version $fv")
+    // `variant` exists only in the v3 spec — a v2 table with one would
+    // read as an "unsupported type" error in every other engine
+    if (fv < 3) {
+      def hasVariant(dt: DataType): Boolean = dt match {
+        case VariantType => true
+        case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+        case a: ArrayType => hasVariant(a.elementType)
+        case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+        case _ => false
+      }
+      schema.fields.find(f => hasVariant(f.dataType)).foreach { f =>
+        throw new IllegalArgumentException(
+          s"column '${f.name}': variant requires format-version 3 " +
+            "(pass formatVersion = 3 at table creation, or upgradeFormat an existing table)")
+      }
+    }
     root.put("format-version", fv)
     // Interchange fields other readers require (Iceberg spec "Table
     // Metadata"): location, uuid, last-* counters, sort orders. The uuid is

@@ -888,6 +888,35 @@ object IcebergQueries {
         IcebergScan.history(s, table)
           .select("snapshot_id", "parent_id", "is_current_ancestor")
       }
+    ),
+    QueryDef(
+      "ib42_variant",
+      // Iceberg v3 `variant` gate: events.props parsed into a native
+      // VariantType column, committed to a v3 table (schema type
+      // "variant", Parquet VARIANT physical), read back and aggregated
+      // via variant_get — while the oracle recomputes the same numbers
+      // from the raw JSON text with DuckDB's json functions. Proves the
+      // binary variant encoding round-trips every value, not just that
+      // the scan returns rows.
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(json_extract_string(props, '$.k')) AS with_k
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib42_").toString + "/events_var"
+        val src = graft.Tables.events(s, dir).select(
+          col("event_id"), col("event_type"),
+          parse_json(col("props")).as("payload"))
+        graft.iceberg.IcebergWriter.write(src, table, formatVersion = 3)
+        IcebergScan.scan(s, table)
+          .select(col("event_type"),
+            expr("variant_get(payload, '$.k', 'long')").as("k"))
+          .groupBy("event_type")
+          .agg(sum("k").cast("long").as("sum_k"), count("k").as("with_k"))
+          .orderBy("event_type")
+      }
     )
   )
 }
