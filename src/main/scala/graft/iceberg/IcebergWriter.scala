@@ -2820,4 +2820,98 @@ object IcebergWriter {
       Manifest(deletedPath.toString, seq, 0)),
       operation = "replace", branch = branch)
   }
+
+  /** Binpack small-file compaction — the `rewrite_data_files` maintenance
+    * action other Iceberg engines expose ([[compact]] stays the full
+    * rewrite). Live data files smaller than `smallFileThreshold` (by the
+    * manifests' `file_size_in_bytes` — no file I/O to pick candidates)
+    * are rewritten, with their deletes applied, into files sized toward
+    * `targetFileSize`; every other file carries as EXISTING with its
+    * ORIGINAL data sequence number (spec field 3, explicit), so
+    * incremental reads, equality-delete sequence scoping and time travel
+    * are unaffected. At 100 TB this touches only the small-file tail a
+    * streaming sink accretes — a full rewrite of a healthy table would be
+    * an accidental petabyte shuffle. Returns the new snapshot id, or None
+    * when fewer than two candidates exist (no commit). Files whose size
+    * predates the `file_size_in_bytes` field (recorded as 0) are never
+    * candidates: unknown is not small. */
+  def rewriteDataFiles(spark: SparkSession, path: String,
+                       smallFileThreshold: Long = 32L * 1024 * 1024,
+                       targetFileSize: Long = 128L * 1024 * 1024,
+                       branch: String = "main"): Option[Long] = {
+    require(smallFileThreshold > 0 && targetFileSize > 0,
+      "rewriteDataFiles: thresholds must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"rewriteDataFiles: no Iceberg table at $path"))
+    val latest = state.opBase("rewriteDataFiles", branch)
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    def isCandidate(e: ManifestEntry): Boolean =
+      e.content == 0 && e.status != 2 &&
+        e.fileSizeInBytes > 0L && e.fileSizeInBytes < smallFileThreshold
+    val candidates = meta.entries.collect {
+      case (m, es) if m.content == 0 => es.filter(isCandidate)
+    }.flatten
+    if (candidates.size < 2) return None
+    val candidatePaths = candidates.map(_.filePath).toSet
+
+    // Scan ONLY the candidates' surviving rows: restrict the loaded data
+    // entries, keep every delete manifest — position deletes / DVs /
+    // equality deletes against candidate files apply during the rewrite
+    // exactly as they would in a full scan.
+    val restricted = meta.copy(entries = meta.entries.map { case (m, es) =>
+      m -> (if (m.content == 0) es.filter(e => e.status != 2 && candidatePaths(e.filePath))
+            else es)
+    })
+    val fv = state.info.formatVersion
+    val df = IcebergScan.scanLoaded(
+      spark, path, IcebergScan.Options(rowLineage = fv >= 3), latest, restricted)
+    val logicalSchema = StructType(df.schema.fields.filterNot(f =>
+      f.name == RowIdCol || f.name == LastUpdatedSeqCol))
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val spec = currentSpec(latest, logicalSchema)
+    // Size toward the target via a record cap derived from the
+    // candidates' own bytes-per-row — manifest arithmetic, no sampling.
+    val rowsPerFile = math.max(1L,
+      targetFileSize * candidates.map(_.recordCount).sum /
+        math.max(1L, candidates.map(_.fileSizeInBytes).sum))
+    val dataFiles = writeDataFiles(
+      df.coalesce(math.max(1,
+        (candidates.map(_.fileSizeInBytes).sum / targetFileSize).toInt)),
+      new Path(path, s"data/snap-$snapshotId-${commitToken()}"), spec,
+      options = Map("maxRecordsPerFile" -> rowsPerFile.toString),
+      prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
+
+    val addedPath = new Path(path,
+      s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+    writeManifest(addedPath, conf, dataFiles.map { w =>
+      // firstRowId stays None: v3 lineage is materialized in the files
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
+    }, spec.map(sf => (sf.fieldName, sf.avroType)))
+
+    // Data manifests holding candidates are rewritten: candidates become
+    // DELETED tombstones (the changelog's removed-file markers), everything
+    // else EXISTING — both with explicit sequence numbers. Untouched data
+    // manifests and ALL delete manifests carry forward verbatim.
+    val rewritten = meta.entries.map {
+      case (m, es) if m.content == 0 && es.exists(isCandidate) =>
+        val entries = es.filter(_.status != 2).map { e =>
+          e.copy(
+            status = if (candidatePaths(e.filePath)) 2 else 0,
+            sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
+        }
+        val p = new Path(path,
+          s"metadata/snap-$snapshotId-${commitToken()}-rw.avro")
+        writeManifest(p, conf, entries, mergedPartitionFields(entries))
+        Manifest(p.toString, m.sequenceNumber, m.content)
+      case (m, _) => m
+    }
+    Some(commitSnapshot(path, conf, Some(state), logicalSchema, snapshotId, seq,
+      rewritten :+ Manifest(addedPath.toString, seq, 0),
+      operation = "replace", branch = branch))
+  }
 }

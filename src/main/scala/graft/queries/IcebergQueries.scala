@@ -917,6 +917,41 @@ object IcebergQueries {
           .agg(sum("k").cast("long").as("sum_k"), count("k").as("with_k"))
           .orderBy("event_type")
       }
+    ),
+    QueryDef(
+      "ib43_rewrite_binpack",
+      // Binpack maintenance gate: one healthy file plus three tiny
+      // appends (a streaming-sink tail), then rewriteDataFiles with the
+      // big file's size as the small-file threshold — the big file must
+      // carry as EXISTING (untouched path), the three tiny files must
+      // merge into one, and every row must survive. files_before/after
+      // are structural constants; cnt re-counts all four generations.
+      Some("""
+        SELECT CAST(4 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after,
+               COUNT(*) + 60 AS cnt FROM lineitem"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib43_").toString + "/lineitem_bp"
+        val li = graft.Tables.load(s, dir, "lineitem")
+        graft.iceberg.IcebergWriter.write(li.coalesce(1), table)
+        val bigFile = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").head().getString(0)
+        (1 to 3).foreach(i =>
+          graft.iceberg.IcebergWriter.write(li.limit(10 * i).coalesce(1), table))
+        val filesBefore = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_before"))
+        val conf = s.sessionState.newHadoopConf()
+        val bigSize = {
+          val p = new org.apache.hadoop.fs.Path(bigFile)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }
+        graft.iceberg.IcebergWriter.rewriteDataFiles(
+          s, table, smallFileThreshold = bigSize)
+        val filesAfter = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_after"))
+        val cnt = IcebergScan.scan(s, table).agg(count(lit(1)).as("cnt"))
+        filesBefore.crossJoin(filesAfter).crossJoin(cnt)
+      }
     )
   )
 }
