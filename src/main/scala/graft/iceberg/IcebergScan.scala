@@ -993,6 +993,37 @@ object IcebergScan {
   }
 
 
+  /** iceberg_manifests — the `manifests` metadata table other Iceberg
+    * engines expose (engine extension): one row per manifest of the
+    * selected snapshot with per-status file and row aggregates, straight
+    * from the manifest tree the planner already fetches — no data I/O.
+    * The ops surface for manifest-merge and binpack decisions: a listing
+    * full of single-file ADDED manifests is a streaming tail asking for
+    * [[IcebergWriter.rewriteDataFiles]]. */
+  def manifests(spark: SparkSession, path: String,
+                opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
+    val meta = ManifestReader.loadTable(
+      IcebergIO.tableRoot(path), snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val rows = meta.entries.map { case (m, es) =>
+      def files(st: Int) = es.count(_.status == st).toLong
+      def recs(st: Int) = es.filter(_.status == st).map(_.recordCount).sum
+      Row(m.manifestPath, m.content, m.sequenceNumber,
+        files(1), files(0), files(2), recs(1), recs(0), recs(2))
+    }
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("added_files_count", LongType, nullable = false),
+      StructField("existing_files_count", LongType, nullable = false),
+      StructField("deleted_files_count", LongType, nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("existing_rows_count", LongType, nullable = false),
+      StructField("deleted_rows_count", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** iceberg_partitions — one row per live partition tuple with data and
     * delete-file aggregates (the `partitions` metadata table other Iceberg
     * engines expose; engine extension here). Computed from manifest

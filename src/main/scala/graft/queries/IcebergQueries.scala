@@ -952,6 +952,33 @@ object IcebergQueries {
         val cnt = IcebergScan.scan(s, table).agg(count(lit(1)).as("cnt"))
         filesBefore.crossJoin(filesAfter).crossJoin(cnt)
       }
+    ),
+    QueryDef(
+      "ib44_manifests",
+      // `manifests` metadata table gate: a 4-file append then a MoR
+      // delete of one row — the current snapshot's listing must show the
+      // carried data manifest (4 ADDED files, all source rows) and the
+      // delete manifest (1 ADDED file, 1 tombstone row). Aggregated per
+      // content class: paths carry random commit tokens, counts don't.
+      Some("""
+        SELECT 0 AS content, CAST(4 AS BIGINT) AS files_added,
+               COUNT(*) AS rows_added FROM orders
+        UNION ALL
+        SELECT 1, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        ORDER BY content"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib44_").toString + "/orders_mf"
+        val orders = graft.Tables.load(s, dir, "orders")
+        graft.iceberg.IcebergWriter.write(orders.repartition(4), table)
+        val key = orders.select("o_orderkey").head().getLong(0)
+        graft.iceberg.IcebergWriter.delete(s, table, col("o_orderkey") === key)
+        IcebergScan.manifests(s, table)
+          .groupBy("content")
+          .agg(sum("added_files_count").as("files_added"),
+               sum("added_rows_count").as("rows_added"))
+          .orderBy("content")
+      }
     )
   )
 }

@@ -246,6 +246,8 @@ object GraftSql {
       builder("iceberg_partitions", (s, p, o) => IcebergScan.partitions(s, p, o))),
     ("iceberg_history", "current-snapshot change log of an Apache Iceberg table",
       builder("iceberg_history", (s, p, o) => IcebergScan.history(s, p, o))),
+    ("iceberg_manifests", "per-manifest file and row aggregates of a snapshot",
+      builder("iceberg_manifests", (s, p, o) => IcebergScan.manifests(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>

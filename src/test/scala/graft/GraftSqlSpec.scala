@@ -143,6 +143,20 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byTs.length === byIdRows.length)
   }
 
+  test("iceberg_manifests through SQL aggregates per content class") {
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlmf_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+    val rows = spark.sql(
+      s"""SELECT content, sum(added_files_count), sum(added_rows_count)
+          FROM iceberg_manifests('$table') GROUP BY 1 ORDER BY 1""").collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0, 1L, nation.count()), (1, 1L, 1L)))
+  }
+
   test("runtime registration on an extension-less session") {
     val fresh = spark.newSession()
     GraftSql.register(fresh)
