@@ -1457,6 +1457,27 @@ object IcebergWriter {
     rewriteSnapshots(path, conf, state)(s => keptIds(s.get("snapshot-id").asLong))
   }
 
+  /** Time-based retention — the production form of [[expireSnapshots]]:
+    * drop every snapshot committed before `olderThanMs` (epoch millis).
+    * Ref heads, staged branch lineage and the newest snapshot survive
+    * regardless (rewriteSnapshots' protections), so an aggressive cutoff
+    * can never empty the table or break an unpublished branch. Returns
+    * how many snapshots were dropped. */
+  def expireSnapshotsOlderThan(spark: SparkSession, path: String,
+                               olderThanMs: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"expireSnapshotsOlderThan: no Iceberg table at $path"))
+    // the newest snapshot always survives, even when everything predates
+    // the cutoff — a retention sweep must never delete the table's head
+    val newest = state.snapshots
+      .maxBy(_.get("timestamp-ms").asLong).get("snapshot-id").asLong
+    rewriteSnapshots(path, conf, state)(s =>
+      s.get("timestamp-ms").asLong >= olderThanMs ||
+        s.get("snapshot-id").asLong == newest)
+  }
+
   /** Roll the table back to `snapshotId`: snapshots committed AFTER it
     * are dropped, so the scan's latest-by-timestamp selection (the same
     * rule the reference uses, iceberg.cpp:315-348) lands on the target.
@@ -2671,9 +2692,19 @@ object IcebergWriter {
       spec.map(sf => (sf.fieldName, sf.avroType)))
     try commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
       delManifests :+ Manifest(dataManifest.toString, seq, content = 0),
-      operation = "overwrite", branch = branch, rowRange = rowRange)
+      operation = "overwrite", branch = branch, rowRange = rowRange,
+      summary = addedFileSummary(dataFiles))
     finally matched.unpersist(blocking = false)
   }
+
+  /** Standard interchange summary fields for a commit's fresh data files
+    * (Iceberg spec "Snapshots" — what external tools read to size
+    * incremental work). */
+  private def addedFileSummary(files: Seq[WrittenFile]): Map[String, String] =
+    Map(
+      "added-data-files" -> files.size.toString,
+      "added-records" -> files.map(_.count).sum.toString,
+      "added-files-size" -> files.map(_.sizeBytes).sum.toString)
 
   /** MERGE (upsert) in ONE snapshot: every `source` row replaces the
     * current row with the same key when one exists, and is inserted
@@ -2763,7 +2794,8 @@ object IcebergWriter {
         prevManifests ++ Seq(
           Manifest(dataManifest.toString, seq, content = 0),
           Manifest(delManifest.toString, seq, content = 1)),
-        spec, operation = "overwrite", branch = branch, rowRange = rowRange)
+        spec, operation = "overwrite", branch = branch, rowRange = rowRange,
+        summary = addedFileSummary(dataFiles))
     } finally src.unpersist(blocking = false)
   }
 
@@ -2818,7 +2850,9 @@ object IcebergWriter {
     commitSnapshot(path, conf, Some(state), logicalSchema, snapshotId, seq, Seq(
       Manifest(addedPath.toString, seq, 0),
       Manifest(deletedPath.toString, seq, 0)),
-      operation = "replace", branch = branch)
+      operation = "replace", branch = branch,
+      summary = addedFileSummary(dataFiles) +
+        ("deleted-data-files" -> liveEntries.size.toString))
   }
 
   /** Binpack small-file compaction — the `rewrite_data_files` maintenance
@@ -2912,6 +2946,9 @@ object IcebergWriter {
     }
     Some(commitSnapshot(path, conf, Some(state), logicalSchema, snapshotId, seq,
       rewritten :+ Manifest(addedPath.toString, seq, 0),
-      operation = "replace", branch = branch))
+      operation = "replace", branch = branch,
+      summary = addedFileSummary(dataFiles) ++ Map(
+        "deleted-data-files" -> candidates.size.toString,
+        "rewritten-bytes" -> candidates.map(_.fileSizeInBytes).sum.toString)))
   }
 }

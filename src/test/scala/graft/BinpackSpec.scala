@@ -74,6 +74,11 @@ class BinpackSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = IcebergScan.scan(spark, table)
     assert(back.count() === n)
     assert(back.exceptAll(expect).count() === 0L)
+    // the commit's summary records what the rewrite touched
+    assert(IcebergWriter.maxSummaryValue(
+      spark, table, "deleted-data-files") === Some(3L))
+    assert(IcebergWriter.maxSummaryValue(
+      spark, table, "rewritten-bytes").exists(_ > 0L))
   }
 
   test("deletes apply during the rewrite and stay applied") {

@@ -552,6 +552,26 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       events.filter(col("dt") === d1 && col("event_id") % 2 =!= 0).count())
   }
 
+  test("time-based expiration drops old snapshots but never the head") {
+    val table = Files.createTempDirectory("graft_wxt_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation.limit(5), table)
+    IcebergWriter.write(nation.limit(7), table)
+    IcebergWriter.write(nation, table)
+    val ts = IcebergScan.snapshots(spark, table)
+      .orderBy("sequence_number").collect()
+      .map(_.getAs[java.time.LocalDateTime]("timestamp_ms")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    // cutoff between snap2 and snap3: two drop, the head survives
+    assert(IcebergWriter.expireSnapshotsOlderThan(spark, table, ts(2)) === 2)
+    assert(IcebergScan.snapshots(spark, table).count() === 1)
+    assert(IcebergScan.scan(spark, table).count() === 5 + 7 + nation.count())
+    // a cutoff in the future still keeps the newest snapshot
+    assert(IcebergWriter.expireSnapshotsOlderThan(
+      spark, table, Long.MaxValue) === 0)
+    assert(IcebergScan.snapshots(spark, table).count() === 1)
+  }
+
   test("snapshot expiration and rollback are metadata-only and keep the current state") {
     val table = Files.createTempDirectory("graft_wx_").toString + "/t"
     val nation = Tables.load(spark, Sf, "nation")
