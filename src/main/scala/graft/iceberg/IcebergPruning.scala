@@ -36,6 +36,20 @@ object IcebergPruning {
   case object Le extends Op
   case object Gt extends Op
   case object Ge extends Op
+  /** IN-list (value: Seq[Any]) — a disjunction of Eq checks: the file
+    * survives iff ANY listed value may match its partition tuple AND its
+    * bounds. Bounded by [[MaxInValues]]; larger lists skip pruning. */
+  case object In extends Op
+  /** IS NULL (value ignored): prunable via recorded null counts — a file
+    * with a recorded ZERO null count for the column cannot match. */
+  case object IsNull extends Op
+  /** IS NOT NULL (value ignored): an all-null file (recorded null count
+    * equal to its record count) cannot match. */
+  case object NotNull extends Op
+
+  /** Above this many IN values, driver-side pruning costs more than the
+    * scan it saves — the predicate is skipped (kept as residual only). */
+  val MaxInValues = 1000
 
   /** One simple comparison predicate over a top-level column. */
   final case class ColPredicate(column: String, op: Op, value: Any)
@@ -255,6 +269,7 @@ object IcebergPruning {
                       case Le => c <= 0
                       case Gt => c > 0
                       case Ge => c >= 0
+                      case _ => true // In/null ops handled in prune()
                     }
                   }
                 case _ => true
@@ -268,6 +283,7 @@ object IcebergPruning {
                     // the exact cut point inside the bucket → use <=/>=.
                     case Lt | Le => po <= vo
                     case Gt | Ge => po >= vo
+                    case _ => true // In/null ops handled in prune()
                   }
                 case _ => true
               }
@@ -293,6 +309,7 @@ object IcebergPruning {
                     // (truncation is monotone); same widening as date buckets.
                     case Lt | Le => po <= t
                     case Gt | Ge => po >= t
+                    case _ => true // In/null ops handled in prune()
                   }
                   case _ => true
                 }
@@ -316,6 +333,7 @@ object IcebergPruning {
                       // UTF-8 byte order compare() uses for strings.
                       case Lt | Le => c <= 0
                       case Gt | Ge => c >= 0
+                      case _ => true // In/null ops handled in prune()
                     }
                   case _ => true
                 }
@@ -353,6 +371,7 @@ object IcebergPruning {
           case Le => cmpOr(lower, _ <= 0)
           case Gt => cmpOr(upper, _ > 0)
           case Ge => cmpOr(upper, _ >= 0)
+          case _ => true // In/null ops handled in prune()
         }
     }
   }
@@ -367,8 +386,35 @@ object IcebergPruning {
       schema: Seq[Column]): Seq[ManifestEntry] =
     if (predicates.isEmpty) entries
     else entries.filter { e =>
-      predicates.forall(p =>
-        keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema))
+      predicates.forall {
+        case ColPredicate(c, In, vs: Seq[_]) =>
+          // disjunction of Eq checks; an oversized list skips pruning
+          // (keep), an EMPTY list matches no row (drop every file)
+          vs.size > MaxInValues || vs.exists { v =>
+            val p = ColPredicate(c, Eq, v)
+            keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema)
+          }
+        case ColPredicate(_, In, _) => true // malformed value → conservative
+        case ColPredicate(c, IsNull, _) => keepByNullCount(e, c, schema, wantNull = true)
+        case ColPredicate(c, NotNull, _) => keepByNullCount(e, c, schema, wantNull = false)
+        case p =>
+          keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema)
+      }
+    }
+
+  /** Null-count pruning (spec `null_value_counts`, recorded by this
+    * engine's writer; absent on foreign files → unknown → keep). */
+  private def keepByNullCount(
+      e: ManifestEntry, name: String, schema: Seq[Column],
+      wantNull: Boolean): Boolean =
+    findColumn(schema, name) match {
+      case None => true
+      case Some(c) => e.nullCounts.get(c.id) match {
+        case None => true
+        case Some(n) =>
+          if (wantNull) n > 0              // zero recorded nulls → no match
+          else n < e.recordCount           // every row null → no match
+      }
     }
 
   /** Equality-delete scoping: a predicate over DATA-file entries that is
@@ -416,7 +462,7 @@ object IcebergPruning {
   def residual(predicates: Seq[ColPredicate], schema: Seq[Column]): Option[SqlColumn] = {
     def one(p: ColPredicate): SqlColumn = {
       val dt = findColumn(schema, p.column).map(_.dataType)
-      val v: SqlColumn = (dt, p.value) match {
+      def valueLit(value: Any): SqlColumn = (dt, value) match {
         case (Some(DateType), s: String) => lit(s).cast(DateType)
         case (Some(DateType), d: LocalDate) => lit(java.sql.Date.valueOf(d))
         // epoch-day ints (Catalyst date literals) → a date literal; a bare
@@ -440,12 +486,22 @@ object IcebergPruning {
             java.time.ZoneOffset.UTC))
         case (_, other) => lit(other)
       }
+      lazy val v = valueLit(p.value)
       p.op match {
         case Eq => col(p.column) === v
         case Lt => col(p.column) < v
         case Le => col(p.column) <= v
         case Gt => col(p.column) > v
         case Ge => col(p.column) >= v
+        case In => p.value match {
+          // each element through the same typed-literal path as Eq, so
+          // dates/timestamps compare identically to the pruning domain
+          case vs: Seq[_] if vs.nonEmpty =>
+            vs.map(x => col(p.column) === valueLit(x)).reduce(_ || _)
+          case _ => lit(false) // IN () matches nothing
+        }
+        case IsNull => col(p.column).isNull
+        case NotNull => col(p.column).isNotNull
       }
     }
     predicates.map(one).reduceOption(_ && _)

@@ -441,7 +441,9 @@ object IcebergScan {
   def extractPredicates(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[IcebergPruning.ColPredicate] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions._
+    // Catalyst's In/IsNull collide with the pruning Ops of the same name
+    import org.apache.spark.sql.catalyst.expressions.{
+      In => CatIn, IsNull => CatIsNull, IsNotNull => CatIsNotNull, _}
     import IcebergPruning._
     def attrName(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.name)
@@ -478,6 +480,29 @@ object IcebergScan {
       case LessThanOrEqual(a, b) => comparison(a, b, Le, Ge)
       case GreaterThan(a, b) => comparison(a, b, Gt, Lt)
       case GreaterThanOrEqual(a, b) => comparison(a, b, Ge, Le)
+      // IN-list: every element must extract or the predicate is skipped
+      // (a partially-extracted list would wrongly drop files matching the
+      // unextracted values)
+      case CatIn(a, list) =>
+        (attrName(a), list.map(litVal)) match {
+          case (Some(c), vs) if vs.nonEmpty && vs.forall(_.isDefined) =>
+            Seq(ColPredicate(c, In, vs.map(_.get)))
+          case _ => Seq.empty
+        }
+      // Spark rewrites large IN lists to InSet over INTERNAL values —
+      // route them through Literal so UTF8String/Decimal normalize the
+      // same way as the In path
+      case ins: InSet =>
+        (attrName(ins.child),
+          ins.hset.toSeq.map(v => litVal(Literal(v, ins.child.dataType)))) match {
+          case (Some(c), vs) if vs.nonEmpty && vs.forall(_.isDefined) =>
+            Seq(ColPredicate(c, In, vs.map(_.get)))
+          case _ => Seq.empty
+        }
+      case CatIsNull(a) =>
+        attrName(a).map(c => ColPredicate(c, IsNull, null)).toSeq
+      case CatIsNotNull(a) =>
+        attrName(a).map(c => ColPredicate(c, NotNull, null)).toSeq
       case _ => Seq.empty
     }
   }

@@ -979,6 +979,36 @@ object IcebergQueries {
                sum("added_rows_count").as("rows_added"))
           .orderBy("content")
       }
+    ),
+    QueryDef(
+      "ib45_scan_in_pruned",
+      // IN-list pruning gate over the shared days(dt) table: a 3-value
+      // IN keeps exactly 3 of the 30 day files (disjunction of Eq checks
+      // against partition ordinals), extracted automatically from a plain
+      // Spark isin() condition via scanFiltered. The residual filter
+      // keeps semantics exact — cnt re-counts from source.
+      // (oracle: the IN is applied over a projected date column — DuckDB
+      // 1.0 mis-binds IN directly over the casted nanos-ts expression,
+      // returning 0 rows where the equivalent OR returns the right count)
+      Some("""
+        SELECT CAST(30 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_kept,
+               COUNT(*) AS cnt
+        FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events)
+        WHERE d IN (DATE '2024-01-03', DATE '2024-01-11', DATE '2024-01-27')"""),
+      (s, dir) => {
+        val table = eventsByDayTable(s, dir)
+        val days = Seq("2024-01-03", "2024-01-11", "2024-01-27")
+          .map(java.sql.Date.valueOf)
+        val cond = col("dt").isin(days: _*)
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+        val kept = IcebergScan.scanFiltered(s, table, cond,
+          Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
+        val cnt = IcebergScan.scanFiltered(s, table, cond)
+          .agg(count(lit(1)).as("cnt"))
+        total.crossJoin(kept).crossJoin(cnt)
+      }
     )
   )
 }

@@ -237,6 +237,72 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptDays < days && keptDays > 0)
   }
 
+  test("IN-list and null-count predicates prune files, exactly") {
+    import graft.iceberg.IcebergPruning.{ColPredicate, In, IsNull, NotNull}
+    // IN over identity partitions: 2 of N month files read
+    val table = Files.createTempDirectory("graft_win_").toString + "/t"
+    val orders = Tables.load(spark, Sf, "orders")
+      .withColumn("om", trunc(col("o_orderdate"), "month"))
+      .repartition(col("om"))
+    IcebergWriter.write(orders, table, partitionBy = Seq("om" -> "identity"))
+    val months = orders.select("om").distinct().count()
+    val wanted = Seq(java.time.LocalDate.parse("1995-03-01"),
+                     java.time.LocalDate.parse("1995-07-01"))
+    val inFilter = Seq(ColPredicate("om", In, wanted))
+    assert(IcebergScan.scan(spark, table,
+      Options(mode = "list_files", filters = inFilter)).count() === 2)
+    assert(months > 2)
+    val got = IcebergScan.scan(spark, table, Options(filters = inFilter))
+    val want = IcebergScan.scan(spark, table).filter(
+      col("om").isin(wanted.map(java.sql.Date.valueOf): _*))
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // an oversized list degrades to keep-all, results still exact
+    val big = (1 to 2000).map(i => java.time.LocalDate.ofEpochDay(9000L + i))
+    assert(IcebergScan.scan(spark, table,
+      Options(mode = "list_files",
+        filters = Seq(ColPredicate("om", In, big)))).count() === months)
+
+    // IN over column bounds: a ranged write keeps only matching files
+    val table2 = Files.createTempDirectory("graft_win2_").toString + "/t"
+    IcebergWriter.write(
+      orders.drop("om").repartitionByRange(8, col("o_orderkey")), table2)
+    val keys = orders.select(min("o_orderkey"), max("o_orderkey")).head()
+    val keptIn = IcebergScan.scan(spark, table2,
+      Options(mode = "list_files",
+        filters = Seq(ColPredicate("o_orderkey", In,
+          Seq(keys.getLong(0), keys.getLong(1)))))).count()
+    assert(keptIn === 2, "min and max keys live in the two edge files")
+
+    // null counts: an all-null file is skipped under IS NOT NULL, and
+    // no-null files are skipped under IS NULL
+    val table3 = Files.createTempDirectory("graft_win3_").toString + "/t"
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation.coalesce(1), table3)
+    IcebergWriter.write(
+      nation.withColumn("n_name", lit(null).cast("string")).coalesce(1), table3)
+    assert(IcebergScan.scan(spark, table3, Options(mode = "list_files")).count() === 2)
+    assert(IcebergScan.scan(spark, table3,
+      Options(mode = "list_files",
+        filters = Seq(ColPredicate("n_name", NotNull, null)))).count() === 1)
+    assert(IcebergScan.scan(spark, table3,
+      Options(mode = "list_files",
+        filters = Seq(ColPredicate("n_name", IsNull, null)))).count() === 1)
+    val notNullRows = IcebergScan.scan(spark, table3,
+      Options(filters = Seq(ColPredicate("n_name", NotNull, null))))
+    assert(notNullRows.count() === nation.count())
+    assert(notNullRows.filter(col("n_name").isNull).count() === 0)
+
+    // the same predicates extract from plain Spark conditions
+    val viaCol = IcebergScan.scanFiltered(spark, table,
+      col("om").isin(wanted.map(java.sql.Date.valueOf): _*),
+      Options(mode = "list_files"))
+    assert(viaCol.count() === 2)
+    val viaNull = IcebergScan.scanFiltered(spark, table3,
+      col("n_name").isNotNull, Options(mode = "list_files"))
+    assert(viaNull.count() === 1)
+  }
+
   test("scanFiltered extracts prunable conjuncts from a plain Spark predicate") {
     import graft.iceberg.IcebergScan.extractPredicates
     import graft.iceberg.IcebergPruning.{Eq, Ge, Lt}

@@ -103,6 +103,42 @@ object PruningPropertySpec extends Properties("iceberg.pruning") {
       prune(Seq(e), Seq(ColPredicate("nope", op, v)), Seq.empty, longSchema).nonEmpty
     }
 
+  property("IN-list pruning never drops a file holding a listed value") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L))),
+      Gen.nonEmptyListOf(Gen.choose(-1100L, 1100L))) { (files, vs) =>
+      val entries = files.zipWithIndex.map { case (vals, i) =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = vals.size.toLong,
+          lowerBounds = Map(1 -> encodeBound(LongType, Long.box(vals.min)).get),
+          upperBounds = Map(1 -> encodeBound(LongType, Long.box(vals.max)).get))
+      }
+      val kept = prune(entries, Seq(ColPredicate("x", In, vs)), Seq.empty, longSchema)
+        .map(_.filePath).toSet
+      files.zipWithIndex.forall { case (vals, i) =>
+        !vals.exists(vs.contains) || kept.contains(s"f$i")
+      }
+    }
+
+  property("null-count pruning never drops a file that could match") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 10L), Gen.choose(0L, 10L))),
+      Gen.oneOf(true, false)) { (shapes, wantNull) =>
+      // a file = (nullCount, nonNullCount); recordCount is their sum
+      val entries = shapes.zipWithIndex.map { case ((nulls, nonNulls), i) =>
+        ManifestEntry(status = 1, content = 0, filePath = s"f$i",
+          fileFormat = "PARQUET", recordCount = nulls + nonNulls,
+          nullCounts = Map(1 -> nulls))
+      }
+      val op = if (wantNull) IsNull else NotNull
+      val kept = prune(entries, Seq(ColPredicate("x", op, null)), Seq.empty, longSchema)
+        .map(_.filePath).toSet
+      shapes.zipWithIndex.forall { case ((nulls, nonNulls), i) =>
+        val matches = if (wantNull) nulls > 0 else nonNulls > 0
+        !matches || kept.contains(s"f$i")
+      }
+    }
+
   // ---- safety invariant: day-transform partition ordinals -----------------
 
   private val dateSchema = Seq(Column(1, "dt", DateType, required = false))
