@@ -20,16 +20,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (SPARK-40819) — and only under the session
-    * conf `spark.sql.legacy.parquet.nanosAsLong=true` ([[GraftSessions]]).
-    * Normalize to TIMESTAMP_NTZ at microsecond precision — the same value
-    * DuckDB sees after CAST(ts AS TIMESTAMP). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  /** The events table's `ts` has shipped as both parquet TIMESTAMP(NANOS)
+    * — which Spark only reads as a raw long (SPARK-40819) under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[GraftSessions]]) — and
+    * plain TIMESTAMP(MICROS). Normalize either to TIMESTAMP_NTZ at
+    * microsecond precision — the same value DuckDB sees after
+    * CAST(ts AS TIMESTAMP). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case _ =>
+        org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+    }
+    df.withColumn("ts", ts)
+  }
 }
 
 /** Session configuration the engine's read paths rely on. Set ONCE at

@@ -1067,23 +1067,7 @@ object IcebergScan {
     val meta = ManifestReader.loadTable(
       IcebergIO.tableRoot(path), snapshot, hadoopConf(spark), opts.allowMovedPaths)
     val info = loadInfo(spark, path, opts)
-    val typeById = snapshot.schema.map(c => c.id -> c.dataType).toMap
-    def render(name: String, v: Any): String =
-      if (v == null) null
-      else {
-        val sf = info.defaultPartitionSpec.find(_.name == name)
-        val srcType = sf.flatMap(f => typeById.get(f.sourceId))
-        (sf.map(_.transform), srcType, v) match {
-          case (Some("day") | Some("days"), _, i: Int) =>
-            java.time.LocalDate.ofEpochDay(i.toLong).toString
-          case (Some("identity"), Some(DateType), i: Int) =>
-            java.time.LocalDate.ofEpochDay(i.toLong).toString
-          case (Some("month") | Some("months"), _, i: Int) =>
-            f"${1970 + Math.floorDiv(i, 12)}%04d-${Math.floorMod(i, 12) + 1}%02d"
-          case (Some("year") | Some("years"), _, i: Int) => (1970 + i).toString
-          case _ => String.valueOf(v)
-        }
-      }
+    val render = partitionRenderer(info, snapshot)
     val entries = for {
       (m, es) <- meta.entries
       e <- es if e.status != 2
@@ -1109,6 +1093,102 @@ object IcebergScan {
       StructField("position_delete_record_count", LongType, nullable = false),
       StructField("equality_delete_file_count", LongType, nullable = false),
       StructField("equality_delete_record_count", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Human-readable rendering of one stored partition value under the
+    * DEFAULT spec's transform (day/month/year ordinals and identity dates
+    * → ISO strings; everything else verbatim). Fields of older specs
+    * after a partition evolution render as raw stored values. */
+  private def partitionRenderer(
+      info: IcebergMetadataParser.ParseInfo,
+      snapshot: Snapshot): (String, Any) => String = {
+    val typeById = snapshot.schema.map(c => c.id -> c.dataType).toMap
+    (name: String, v: Any) =>
+      if (v == null) null
+      else {
+        val sf = info.defaultPartitionSpec.find(_.name == name)
+        val srcType = sf.flatMap(f => typeById.get(f.sourceId))
+        (sf.map(_.transform), srcType, v) match {
+          case (Some("day") | Some("days"), _, i: Int) =>
+            java.time.LocalDate.ofEpochDay(i.toLong).toString
+          case (Some("identity"), Some(DateType), i: Int) =>
+            java.time.LocalDate.ofEpochDay(i.toLong).toString
+          case (Some("month") | Some("months"), _, i: Int) =>
+            f"${1970 + Math.floorDiv(i, 12)}%04d-${Math.floorMod(i, 12) + 1}%02d"
+          case (Some("year") | Some("years"), _, i: Int) => (1970 + i).toString
+          case _ => String.valueOf(v)
+        }
+      }
+  }
+
+  /** iceberg_files — the `files` metadata table other Iceberg engines
+    * expose (engine extension): one row per LIVE file of the selected
+    * snapshot — data files, position/equality delete files, and deletion
+    * vectors — with the per-file stats planning consumes: record count,
+    * size, EFFECTIVE data sequence number (explicit or inherited from the
+    * manifest), per-column bounds and null counts, equality ids, DV
+    * coordinates, and v3 `first_row_id`. Everything comes from the
+    * manifest tree the planner already fetches — no data file is opened
+    * at any table size. Bounds decode under the snapshot schema's column
+    * types (dates/timestamps → ISO strings); undecodable or
+    * unknown-field bounds render as null rather than guessing. */
+  def files(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts)
+    val meta = ManifestReader.loadTable(
+      IcebergIO.tableRoot(path), snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val info = loadInfo(spark, path, opts)
+    val render = partitionRenderer(info, snapshot)
+    val typeById = snapshot.schema.map(c => c.id -> c.dataType).toMap
+    def bound(id: Int, bytes: Array[Byte]): String =
+      typeById.get(id).flatMap { dt =>
+        scala.util.Try(IcebergPruning.decodeBound(dt, bytes)).toOption.flatten.map {
+          case d: java.math.BigDecimal => d.toPlainString
+          case days: java.lang.Long if dt == DateType =>
+            java.time.LocalDate.ofEpochDay(days).toString
+          case micros: java.lang.Long
+              if dt == TimestampType || dt == TimestampNTZType =>
+            java.time.Instant.EPOCH.plus(
+              micros, java.time.temporal.ChronoUnit.MICROS).toString
+          case other => String.valueOf(other)
+        }
+      }.orNull
+    def boundsMap(m: Map[Int, Array[Byte]]): Map[Int, String] =
+      m.map { case (id, b) => id -> bound(id, b) }
+    val rows = (for {
+      (m, es) <- meta.entries
+      e <- es if e.status != 2
+    } yield Row(
+      e.content, resolved(meta.path, e.filePath, opts), e.fileFormat,
+      e.partition.map { case (k, v) => k -> render(k, v) },
+      e.recordCount,
+      if (e.fileSizeInBytes == 0L) null else e.fileSizeInBytes,
+      e.seqOr(m.sequenceNumber),
+      e.nullCounts,
+      boundsMap(e.lowerBounds), boundsMap(e.upperBounds),
+      if (e.equalityIds.isEmpty) null else e.equalityIds,
+      e.referencedDataFile.orNull,
+      e.firstRowId.map(java.lang.Long.valueOf).orNull))
+      .sortBy(r => (r.getInt(0), r.getString(1)))
+    val schema = StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("partition",
+        MapType(StringType, StringType, valueContainsNull = true), nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = true),
+      StructField("data_sequence_number", LongType, nullable = false),
+      StructField("null_value_counts",
+        MapType(IntegerType, LongType, valueContainsNull = false), nullable = false),
+      StructField("lower_bounds",
+        MapType(IntegerType, StringType, valueContainsNull = true), nullable = false),
+      StructField("upper_bounds",
+        MapType(IntegerType, StringType, valueContainsNull = true), nullable = false),
+      StructField("equality_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = true),
+      StructField("referenced_data_file", StringType, nullable = true),
+      StructField("first_row_id", LongType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

@@ -981,6 +981,39 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib46_files_table",
+      // `files` metadata table gate: a 4-file append then a MoR delete of
+      // one row. Per content class the listing must carry the right file
+      // count, record sum, effective data sequence number, AND decodable
+      // column bounds — min over the data files' o_orderkey lower bounds
+      // equals the true source minimum (proving bounds decode under the
+      // snapshot schema, not just round-trip as bytes). The delete file
+      // records file_path bounds only, so its key bound is NULL.
+      Some("""
+        SELECT 0 AS content, CAST(4 AS BIGINT) AS file_count, COUNT(*) AS records,
+               CAST(1 AS BIGINT) AS seq, MIN(o_orderkey) AS min_key
+        FROM orders
+        UNION ALL
+        SELECT 1, 1, 1, 2, NULL
+        ORDER BY content"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib46_").toString + "/orders_files"
+        val orders = graft.Tables.load(s, dir, "orders")
+        graft.iceberg.IcebergWriter.write(orders.repartition(4), table)
+        val key = orders.select("o_orderkey").head().getLong(0)
+        graft.iceberg.IcebergWriter.delete(s, table, col("o_orderkey") === key)
+        IcebergScan.files(s, table)
+          .groupBy("content")
+          .agg(count(lit(1)).as("file_count"),
+               sum("record_count").as("records"),
+               max("data_sequence_number").as("seq"),
+               min(element_at(col("lower_bounds"), lit(1)).cast("long"))
+                 .as("min_key"))
+          .orderBy("content")
+      }
+    ),
+    QueryDef(
       "ib45_scan_in_pruned",
       // IN-list pruning gate over the shared days(dt) table: a 3-value
       // IN keeps exactly 3 of the 30 day files (disjunction of Eq checks

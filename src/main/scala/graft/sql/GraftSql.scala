@@ -248,6 +248,8 @@ object GraftSql {
       builder("iceberg_history", (s, p, o) => IcebergScan.history(s, p, o))),
     ("iceberg_manifests", "per-manifest file and row aggregates of a snapshot",
       builder("iceberg_manifests", (s, p, o) => IcebergScan.manifests(s, p, o))),
+    ("iceberg_files", "per-file stats (counts, sizes, bounds) of a snapshot",
+      builder("iceberg_files", (s, p, o) => IcebergScan.files(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>
