@@ -36,7 +36,10 @@ object IcebergMetadataParser {
       // `snapshot-log` entries (spec "Snapshot Log"): (timestamp-ms,
       // snapshot-id) pairs recording every change of the CURRENT snapshot,
       // in commit order — what the `history` metadata table renders.
-      snapshotLog: Seq[(Long, Long)] = Seq.empty)
+      snapshotLog: Seq[(Long, Long)] = Seq.empty,
+      // table `properties` (spec "Table Metadata" field): engine-visible
+      // configuration, e.g. write.format.default for ORC-format tables
+      properties: Map[String, String] = Map.empty)
 
   /** One `statistics` entry of table metadata. */
   final case class StatsFile(
@@ -121,16 +124,20 @@ object IcebergMetadataParser {
       else root.get("snapshot-log").elements.asScala.toSeq.map { e =>
         e.get("timestamp-ms").asLong -> e.get("snapshot-id").asLong
       }
+    val props: Map[String, String] =
+      if (!root.has("properties")) Map.empty
+      else root.get("properties").fields.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
       ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec,
-        refs, stats, pStats, snapLog)
+        refs, stats, pStats, snapLog, props)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
       ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec,
-        refs, stats, pStats, snapLog)
+        refs, stats, pStats, snapLog, props)
     }
   }
 

@@ -902,7 +902,10 @@ object IcebergWriter {
       formatVersion: Option[Int] = None,
       // v3 row lineage: Some((firstRowId, newNextRowId)) when this commit
       // assigned row ids to new data files (see assignRowIds)
-      rowRange: Option[(Long, Long)] = None): Long = {
+      rowRange: Option[(Long, Long)] = None,
+      // table-property changes this commit applies (merged over the
+      // carried-forward map; existing keys win unless overridden here)
+      propertiesDelta: Map[String, String] = Map.empty): Long = {
     state.foreach(st => st.refs.get(branch).foreach { case (_, tpe) =>
       require(tpe == "branch", s"cannot commit to '$branch': it is a $tpe")
     })
@@ -1159,6 +1162,14 @@ object IcebergWriter {
     Seq("statistics", "partition-statistics").foreach { key =>
       state.flatMap(_.rootNode).flatMap(r => Option(r.get(key)))
         .filter(_.size > 0).foreach(root.set[JsonNode](key, _))
+    }
+    // table properties (spec "Table Metadata"): carried forward verbatim,
+    // with this commit's delta merged over (e.g. write.format.default at
+    // ORC table creation)
+    val mergedProps = state.map(_.info.properties).getOrElse(Map.empty) ++ propertiesDelta
+    if (mergedProps.nonEmpty) {
+      val pn = root.putObject("properties")
+      mergedProps.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     root.put("current-snapshot-id", mainHead)
     val snapsNode = root.putArray("snapshots")
