@@ -1192,6 +1192,63 @@ object IcebergScan {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** iceberg_position_deletes — the `position_deletes` metadata table
+    * other Iceberg engines expose (engine extension): one row per delete
+    * row stored in the selected snapshot's LIVE position-delete files —
+    * v2 parquet delete files and v3 deletion vectors alike — with the
+    * target data file path, the deleted row's position, the delete file
+    * that holds the tombstone, and its effective data sequence number.
+    * Content is reported verbatim (a parquet tombstone superseded by a
+    * newer DV for the same file still appears — the DV-wins rule is scan
+    * semantics, not storage); distributed: parquet tombstones stream
+    * through an ordinary multi-path parquet scan (provenance via the
+    * `_metadata.file_path` virtual column bridged over a broadcast map,
+    * never a per-file read loop), DVs decode executor-side from manifest
+    * blob coordinates. */
+  def positionDeletes(spark: SparkSession, path: String,
+                      opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
+    val conf = hadoopConf(spark)
+    val meta = ManifestReader.loadTable(
+      IcebergIO.tableRoot(path), snapshot, conf, opts.allowMovedPaths)
+    import spark.implicits._
+    val live = for {
+      (m, es) <- meta.entries
+      e <- es if e.status != 2 && e.content == 1
+    } yield (e, e.seqOr(m.sequenceNumber))
+    val (dvEntries, parquetEntries) = live.partition(_._1.isDV)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val empty = spark.emptyDataset[(String, Long, String, Long)]
+      .toDF("file_path", "pos", "delete_file_path", "data_sequence_number")
+    val dvRows =
+      if (dvEntries.isEmpty) empty
+      else spark.createDataset(dvEntries.map { case (e, seq) =>
+        (resolved(meta.path, e.filePath, opts), e.contentOffset.get,
+         e.contentSizeInBytes.get, e.referencedDataFile.get, seq)
+      }).flatMap { case (p, off, len, ref, seq) =>
+        Puffin.readDV(new org.apache.hadoop.fs.Path(p), sconf.value, off, len)
+          .map(pos => (ref, pos, p, seq))
+      }.toDF("file_path", "pos", "delete_file_path", "data_sequence_number")
+    val parquetRows =
+      if (parquetEntries.isEmpty) empty
+      else {
+        val qualify: String => String = IcebergIO.qualified(_, conf)
+        val seqMap = parquetEntries.map { case (e, seq) =>
+          val passed = resolved(meta.path, e.filePath, opts)
+          (qualify(passed), passed, seq)
+        }.toDF("__pd_qual", "delete_file_path", "data_sequence_number")
+        val paths = parquetEntries.map { case (e, _) =>
+          resolved(meta.path, e.filePath, opts)
+        }
+        spark.read.parquet(paths: _*)
+          .select(col("file_path"), col("pos"),
+            col("_metadata.file_path").as("__pd_qual"))
+          .join(broadcast(seqMap), Seq("__pd_qual"))
+          .select("file_path", "pos", "delete_file_path", "data_sequence_number")
+      }
+    parquetRows.unionByName(dvRows)
+  }
+
   /** iceberg_table_statistics — one row per analyzed column of each
     * `statistics` entry (Iceberg spec "Table statistics"; populated by
     * [[IcebergWriter.analyze]]). NDV comes straight from the blob

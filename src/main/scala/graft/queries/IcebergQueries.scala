@@ -1014,6 +1014,25 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib47_position_deletes_table",
+      // `position_deletes` metadata table gate over the reference's
+      // pyspark-generated MoR fixture: every (target file, position,
+      // delete file) tombstone row of the latest snapshot's live delete
+      // files must match DuckDB reading those same parquet files
+      // directly — 11,452 rows hash-compared, provenance included. Our
+      // side resolves provenance through manifests + the moved-paths
+      // bridge; the oracle globs the physical files, so a manifest
+      // mis-resolution (wrong file read, dropped tombstone) cannot pass.
+      Some(s"""
+        SELECT file_path, pos, filename AS delete_file_path
+        FROM read_parquet(
+          '$Ref/generated_spec2_0_001/pyspark_iceberg_table/data/*-deletes.parquet',
+          filename=true)"""),
+      (s, _) => IcebergScan.positionDeletes(
+          s, s"$Ref/generated_spec2_0_001/pyspark_iceberg_table", moved)
+        .select("file_path", "pos", "delete_file_path")
+    ),
+    QueryDef(
       "ib45_scan_in_pruned",
       // IN-list pruning gate over the shared days(dt) table: a 3-value
       // IN keeps exactly 3 of the 30 day files (disjunction of Eq checks

@@ -250,6 +250,9 @@ object GraftSql {
       builder("iceberg_manifests", (s, p, o) => IcebergScan.manifests(s, p, o))),
     ("iceberg_files", "per-file stats (counts, sizes, bounds) of a snapshot",
       builder("iceberg_files", (s, p, o) => IcebergScan.files(s, p, o))),
+    ("iceberg_position_deletes", "rows stored in a snapshot's live position-delete files",
+      builder("iceberg_position_deletes",
+        (s, p, o) => IcebergScan.positionDeletes(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>
