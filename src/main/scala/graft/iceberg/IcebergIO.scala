@@ -98,12 +98,12 @@ object IcebergIO {
     else if (!fs.isDirectory(new Path(metaDir)))
       throw new java.io.IOException(s"""Cannot open "$path": Metadata directory does not exist""")
     else if (tableVersion.endsWith(".text") || tableVersion.endsWith(".txt")) {
-      val hint = readString(join(metaDir, tableVersion), conf).trim
+      val hint = hintVersion(join(metaDir, tableVersion), conf, fs, metaDir, codec, versionFormat)
       metadataUrl(fs, metaDir, hint, codec, versionFormat)
     } else if (tableVersion != UnknownTableVersion) {
       metadataUrl(fs, metaDir, tableVersion, codec, versionFormat)
     } else if (fs.exists(new Path(join(metaDir, DefaultVersionHintFile)))) {
-      val hint = readString(join(metaDir, DefaultVersionHintFile), conf).trim
+      val hint = hintVersion(join(metaDir, DefaultVersionHintFile), conf, fs, metaDir, codec, versionFormat)
       metadataUrl(fs, metaDir, hint, codec, versionFormat)
     } else if (!allowGuessing) {
       throw new IllegalArgumentException(
@@ -111,6 +111,36 @@ object IcebergIO {
         "to locate the latest version is disabled by default as this is considered unsafe and " +
         s"could result in reading uncommitted data. To enable this use 'SET $VersionGuessingConfigKey = true;'")
     } else guessTableVersion(fs, metaDir, codec, versionFormat)
+  }
+
+  /** Read a version hint, surviving a TORN read: the writer updates the
+    * hint by truncate-then-write, so a reader racing a committer can see
+    * it EMPTY for a moment (the writer-side loadState has the same
+    * fallback). Retry briefly, then probe the metadata directory forward
+    * for the newest existing numeric version — the hint is only a cache
+    * of that walk, so probing can never read anything the hint couldn't
+    * have pointed at. */
+  private def hintVersion(
+      hintPath: String, conf: Configuration,
+      fs: FileSystem, metaDir: String,
+      codec: String, versionFormat: String): String = {
+    var h = readString(hintPath, conf).trim
+    var tries = 0
+    while (h.isEmpty && tries < 5) {
+      Thread.sleep(10)
+      h = scala.util.Try(readString(hintPath, conf).trim).getOrElse("")
+      tries += 1
+    }
+    if (h.nonEmpty) h
+    else {
+      val suffix = if (codec == "gzip") ".gz" else ""
+      val fmts = versionFormat.split(',')
+      var v = 1L
+      while (fmts.exists(f => fs.exists(new Path(join(metaDir, f.format((v + 1).toString, suffix)))))) v += 1
+      if (fmts.exists(f => fs.exists(new Path(join(metaDir, f.format(v.toString, suffix)))))) v.toString
+      else throw new java.io.IOException(
+        s"Empty version hint at $hintPath and no metadata versions found under $metaDir")
+    }
   }
 
   /** GenerateMetaDataUrl (iceberg.cpp:172-188): try each comma-separated

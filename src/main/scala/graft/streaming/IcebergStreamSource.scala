@@ -1,0 +1,292 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.iceberg.{IcebergIO, IcebergMetadataParser, IcebergScan, IcebergSchemaParser, ManifestReader}
+import graft.iceberg.IcebergModel.Snapshot
+
+/** Offset of the Iceberg streaming source: the main-branch snapshot a
+  * batch ends at (inclusive). The DATA SEQUENCE number travels with the
+  * id so windows keep resolving after the snapshot itself is expired —
+  * batch contents are "data files whose sequence lies in (start, end]",
+  * which never needs the start snapshot to still exist. */
+final case class SnapshotOffset(snapshotId: Long, sequenceNumber: Long)
+    extends Offset {
+  override def json: String =
+    s"""{"snapshot-id":$snapshotId,"sequence-number":$sequenceNumber}"""
+}
+
+object SnapshotOffset {
+  private val IdRe = """"snapshot-id"\s*:\s*(-?\d+)""".r
+  private val SeqRe = """"sequence-number"\s*:\s*(-?\d+)""".r
+  /** Any offset Spark hands back (a live SnapshotOffset, or the
+    * serialized wrapper replayed from the checkpoint's offset log)
+    * reduces to its json. */
+  def from(o: org.apache.spark.sql.connector.read.streaming.Offset): SnapshotOffset = {
+    val j = o.json
+    (IdRe.findFirstMatchIn(j), SeqRe.findFirstMatchIn(j)) match {
+      case (Some(id), Some(seq)) =>
+        SnapshotOffset(id.group(1).toLong, seq.group(1).toLong)
+      case _ => throw new IllegalArgumentException(
+        s"not a graft-iceberg offset: $j")
+    }
+  }
+}
+
+/** `spark.readStream.format("graft-iceberg").option("path", …)` — an
+  * Iceberg table as a Structured Streaming SOURCE (the read half of the
+  * engine's streaming extension; [[IcebergStreamSink]] is the write
+  * half; the reference is batch-only, SURVEY §2.9). Each micro-batch is
+  * the data APPENDED by the next main-branch snapshots — planned from
+  * manifest metadata, executed as an ordinary multi-path parquet scan,
+  * so filters and projections still push into the files and no state
+  * grows with table size.
+  *
+  * Options:
+  *  - `path` (required): table root, same resolution as `iceberg_scan`.
+  *  - `max-snapshots-per-trigger`: cap snapshots consumed per batch
+  *    (backfill pacing). Default unbounded.
+  *  - `starting-snapshot-id`: stream only commits AFTER this snapshot.
+  *  - `stream-from-latest`: `true` = start from the head at query start
+  *    (ignore existing history). Default `false` = backfill everything.
+  *  - `skip-delete-snapshots` / `skip-overwrite-snapshots`: row-level
+  *    deletes and overwrites (update/merge) cannot be represented in an
+  *    append-only stream; by default the query FAILS when it meets one.
+  *    `true` skips that snapshot's changes (its APPENDED files too, for
+  *    overwrites — a downstream consumer wanting CDC semantics should
+  *    read `iceberg_changelog` instead).
+  *  - `allow_moved_paths`: as on `iceberg_scan`.
+  *
+  * Maintenance commits (compaction, manifest merge, expiration — the
+  * spec's `replace` operation) rewrite existing rows and are always
+  * skipped: the stream already carried those rows from the original
+  * commits. Tables must be format-version ≥ 2 (v1 has no sequence
+  * numbers to window on).
+  *
+  * Restart safety: the source persists the highest offset it has handed
+  * to the engine under the checkpoint (`<metadata>/graft-source-offset`)
+  * — rate limiting resumes where it left off, and a restarted query can
+  * never regress the offset log (which would re-stream committed
+  * snapshots). Batch REPLAY after a crash stays exact without that file:
+  * replayed windows come from Spark's own offset log and depend only on
+  * table metadata. */
+class IcebergStreamSource(
+    spark: SparkSession,
+    metadataPath: String,
+    parameters: Map[String, String]) extends Source {
+
+  private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private val path = params.getOrElse("path",
+    throw new IllegalArgumentException("option 'path' is required"))
+  private val opts = IcebergScan.Options(
+    allowMovedPaths = params.get("allow_moved_paths").exists(_.toBoolean))
+  private val maxSnapshots = params.get("max-snapshots-per-trigger")
+    .map(_.toInt).getOrElse(Int.MaxValue)
+  require(maxSnapshots > 0, "max-snapshots-per-trigger must be positive")
+  private val skipDeletes = params.get("skip-delete-snapshots").exists(_.toBoolean)
+  private val skipOverwrites = params.get("skip-overwrite-snapshots").exists(_.toBoolean)
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private val root = IcebergIO.tableRoot(path)
+
+  private def load() = IcebergScan.loadInfo(spark, path, opts)
+
+  /** Commits at or below this sequence are never streamed. */
+  private val floorSeq: Long = {
+    val info = load()
+    require(info.formatVersion >= 2,
+      s"streaming reads need format-version >= 2 (table is v${info.formatVersion})")
+    params.get("starting-snapshot-id").map(_.toLong) match {
+      case Some(id) => IcebergMetadataParser.byId(info, id, skipSchema = true)
+        .sequenceNumber
+      case None if params.get("stream-from-latest").exists(_.toBoolean) =>
+        if (info.snapshots.isEmpty) -1L
+        else IcebergMetadataParser.latest(info, skipSchema = true).sequenceNumber
+      case None => -1L
+    }
+  }
+
+  override val schema: StructType = {
+    val info = load()
+    if (info.snapshots.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot stream from an empty Iceberg table: $path")
+    IcebergSchemaParser.toStructType(
+      IcebergMetadataParser.latest(info).schema)
+  }
+
+  // ---- offset persistence (rate-limit floor across restarts) ----
+  private val offsetFile =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-source-offset")
+  private var known: Option[SnapshotOffset] = readKnown()
+
+  private def readKnown(): Option[SnapshotOffset] = {
+    val fs = offsetFile.getFileSystem(conf)
+    if (!fs.exists(offsetFile)) None
+    else {
+      val in = fs.open(offsetFile)
+      try {
+        val txt = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        Some(SnapshotOffset.from(new Offset { override def json: String = txt }))
+      } finally in.close()
+    }
+  }
+
+  private def remember(o: SnapshotOffset): Unit =
+    if (!known.exists(_.sequenceNumber >= o.sequenceNumber)) {
+      known = Some(o)
+      val fs = offsetFile.getFileSystem(conf)
+      val out = fs.create(offsetFile, true)
+      try out.write(o.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** Main-lineage snapshots with sequence in (aboveSeq, head], ascending. */
+  private def lineageAbove(
+      info: IcebergMetadataParser.ParseInfo, aboveSeq: Long): Seq[Snapshot] = {
+    if (info.snapshots.isEmpty) return Seq.empty
+    val head = IcebergMetadataParser.latest(info, skipSchema = true)
+    val byId = info.snapshots.map(n => n.get("snapshot-id").asLong -> n).toMap
+    var ids = List.empty[Long]
+    var cur: Option[Long] = Some(head.snapshotId)
+    while (cur.nonEmpty && byId.contains(cur.get)) {
+      val n = byId(cur.get)
+      val seq = Option(n.get("sequence-number")).map(_.asLong).getOrElse(0L)
+      if (seq <= aboveSeq) cur = None
+      else {
+        ids ::= cur.get
+        cur = Option(n.get("parent-snapshot-id")).map(_.asLong)
+      }
+    }
+    ids.map(id => IcebergMetadataParser.byId(info, id, skipSchema = true))
+  }
+
+  private def operationOf(
+      info: IcebergMetadataParser.ParseInfo, snapshotId: Long): String =
+    info.snapshots.find(_.get("snapshot-id").asLong == snapshotId)
+      .flatMap(n => Option(n.get("summary")))
+      .flatMap(n => Option(n.get("operation")))
+      .map(_.asText).getOrElse("append")
+
+  /** Policy gate: `true` = this snapshot's appended files stream;
+    * `false` = snapshot advances the offset with no rows; throws when an
+    * unstreamable operation appears and skipping wasn't opted into. */
+  private def streams(
+      info: IcebergMetadataParser.ParseInfo, s: Snapshot): Boolean =
+    operationOf(info, s.snapshotId) match {
+      case "append" => true
+      case "replace" => false // rewrites of rows the stream already saw
+      case "delete" =>
+        if (skipDeletes) false
+        else throw new IllegalStateException(
+          s"snapshot ${s.snapshotId} deletes rows; an append-only stream " +
+          "cannot represent it (set skip-delete-snapshots=true to skip, " +
+          "or consume iceberg_changelog for CDC semantics)")
+      case "overwrite" =>
+        if (skipOverwrites) false
+        else throw new IllegalStateException(
+          s"snapshot ${s.snapshotId} overwrites rows; an append-only " +
+          "stream cannot represent it (set skip-overwrite-snapshots=true " +
+          "to skip, or consume iceberg_changelog for CDC semantics)")
+      case other => throw new IllegalStateException(
+        s"snapshot ${s.snapshotId} has unknown operation '$other'")
+    }
+
+  override def getOffset: Option[Offset] = {
+    val info = load()
+    if (info.snapshots.isEmpty) return known
+    val base = math.max(floorSeq,
+      known.map(_.sequenceNumber).getOrElse(Long.MinValue))
+    val pending = lineageAbove(info, base)
+    pending.foreach(streams(info, _)) // fail fast on unstreamable commits
+    if (pending.isEmpty) known
+    else {
+      val end = pending.take(maxSnapshots).last
+      val off = SnapshotOffset(end.snapshotId, end.sequenceNumber)
+      remember(off)
+      Some(off)
+    }
+  }
+
+  /** Data files appended by snapshot `s`, from its OWN manifest tree —
+    * entries whose effective sequence equals the commit's. Reading the
+    * original files keeps the window correct even when a LATER compaction
+    * has already rewritten them (the end snapshot's tree would show them
+    * DELETED and their rows under the compaction's sequence). */
+  private def appendedPaths(s: Snapshot): Seq[String] = {
+    val meta = ManifestReader.loadTable(root, s, conf, opts.allowMovedPaths)
+    (for {
+      (m, es) <- meta.entries if m.content == 0
+      e <- es
+      if e.status != 2 && e.content == 0 &&
+        e.seqOr(m.sequenceNumber) == s.sequenceNumber
+    } yield if (opts.allowMovedPaths) IcebergIO.fullPath(root, e.filePath)
+            else e.filePath)
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endOff = SnapshotOffset.from(end)
+    remember(endOff)
+    val startSeq = start.map(SnapshotOffset.from(_).sequenceNumber)
+      .getOrElse(floorSeq)
+    val info = load()
+    val window = lineageAbove(info, startSeq)
+      .filter(_.sequenceNumber <= endOff.sequenceNumber)
+    val paths = window.filter(streams(info, _)).flatMap(appendedPaths)
+    streamingParquet(paths)
+  }
+
+  /** A parquet relation over exactly `paths`, flagged streaming — the
+    * same relation a batch read plans, so predicate pushdown, column
+    * pruning and whole-stage codegen all apply per micro-batch. */
+  private def streamingParquet(paths: Seq[String]): DataFrame = {
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val relation = DataSource(
+      sparkSession = cls,
+      className = "parquet",
+      paths = paths,
+      userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
+    org.apache.spark.sql.graft.StreamingPlanBridge.ofRows(
+      cls, LogicalRelation(relation, isStreaming = true))
+  }
+
+  override def commit(end: Offset): Unit =
+    remember(SnapshotOffset.from(end))
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"IcebergStreamSource[$path]"
+}
+
+/** Registers `format("graft-iceberg")`
+  * (META-INF/services/org.apache.spark.sql.sources.DataSourceRegister). */
+class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName: String = "graft-iceberg"
+
+  override def sourceSchema(
+      ctx: SQLContext, userSchema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = params.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    val opts = IcebergScan.Options(
+      allowMovedPaths = params.get("allow_moved_paths").exists(_.toBoolean))
+    val info = IcebergScan.loadInfo(ctx.sparkSession, path, opts)
+    if (info.snapshots.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot stream from an empty Iceberg table: $path")
+    (shortName, IcebergSchemaParser.toStructType(
+      IcebergMetadataParser.latest(info).schema))
+  }
+
+  override def createSource(
+      ctx: SQLContext, metadataPath: String, userSchema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source =
+    new IcebergStreamSource(ctx.sparkSession, metadataPath, parameters)
+}

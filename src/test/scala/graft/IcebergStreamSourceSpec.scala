@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergScan, IcebergWriter}
+
+/** The Iceberg STREAMING SOURCE (`format("graft-iceberg")`): append
+  * snapshots become micro-batches, offsets survive checkpoints, and the
+  * operation policy (skip vs fail on deletes/overwrites/compaction)
+  * keeps append-only semantics honest. */
+class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-stream-source").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def idsDF(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id").withColumn("payload", concat(lit("row-"), col("id")))
+  }
+
+  private def readSource(table: String, extra: (String, String)*) = {
+    val r = spark.readStream.format("graft-iceberg").option("path", table)
+    extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  private def startToMemory(df: DataFrame, name: String,
+                            checkpoint: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream.format("memory").queryName(name).outputMode("append")
+    checkpoint.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
+  private def memoryIds(name: String): Set[Long] =
+    spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+
+  test("append snapshots stream as micro-batches, later appends continue the stream") {
+    val table = tmp("graft_src_basic_") + "/t"
+    IcebergWriter.write(idsDF(1, 2), table)
+    IcebergWriter.write(idsDF(3), table)
+    val q = startToMemory(readSource(table), "src_basic")
+    try {
+      q.processAllAvailable()
+      assert(memoryIds("src_basic") === Set(1L, 2L, 3L))
+      IcebergWriter.write(idsDF(4, 5), table)
+      q.processAllAvailable()
+      assert(memoryIds("src_basic") === Set(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
+  test("filters and projections push into each micro-batch's parquet scan") {
+    val table = tmp("graft_src_push_") + "/t"
+    IcebergWriter.write(idsDF(1L to 10L: _*), table)
+    val q = startToMemory(
+      readSource(table).where(col("id") > 7).select("id"), "src_push")
+    try {
+      q.processAllAvailable()
+      assert(memoryIds("src_push") === Set(8L, 9L, 10L))
+    } finally q.stop()
+  }
+
+  test("max-snapshots-per-trigger paces the backfill one snapshot per batch") {
+    val table = tmp("graft_src_paced_") + "/t"
+    (1L to 3L).foreach(i => IcebergWriter.write(idsDF(i), table))
+    val q = startToMemory(
+      readSource(table, "max-snapshots-per-trigger" -> "1"), "src_paced")
+    try {
+      q.processAllAvailable()
+      assert(memoryIds("src_paced") === Set(1L, 2L, 3L))
+      // 3 snapshots at 1 per trigger = at least batches 0,1,2
+      assert(q.lastProgress.batchId >= 2,
+        s"expected >=3 batches, saw batchId ${q.lastProgress.batchId}")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes after the committed offset, never re-streaming") {
+    val table = tmp("graft_src_ckpt_") + "/t"
+    val checkpoint = tmp("graft_src_ckpt_cp_")
+    IcebergWriter.write(idsDF(1, 2), table)
+    def run(into: java.util.Queue[Long]): StreamingQuery =
+      readSource(table).writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => into.add(r.getLong(0)))
+        }.start()
+    val first = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q1 = run(first)
+    try {
+      q1.processAllAvailable()
+      assert(first.toArray(Array.empty[java.lang.Long]).toSet === Set(1L, 2L))
+    } finally q1.stop()
+    IcebergWriter.write(idsDF(3), table)
+    // Fresh collector: anything older than the checkpointed offset
+    // would re-appear here — only snapshot 2's rows may arrive.
+    val second = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = run(second)
+    try {
+      q2.processAllAvailable()
+      assert(second.toArray(Array.empty[java.lang.Long]).toSet === Set(3L))
+    } finally q2.stop()
+  }
+
+  test("stream-from-latest skips existing history") {
+    val table = tmp("graft_src_latest_") + "/t"
+    IcebergWriter.write(idsDF(1, 2), table)
+    val q = startToMemory(
+      readSource(table, "stream-from-latest" -> "true"), "src_latest")
+    try {
+      q.processAllAvailable()
+      assert(memoryIds("src_latest") === Set.empty[Long])
+      IcebergWriter.write(idsDF(9), table)
+      q.processAllAvailable()
+      assert(memoryIds("src_latest") === Set(9L))
+    } finally q.stop()
+  }
+
+  test("a delete snapshot fails the stream unless skip-delete-snapshots is set") {
+    val table = tmp("graft_src_del_") + "/t"
+    IcebergWriter.write(idsDF(1, 2), table)
+    IcebergWriter.delete(spark, table, col("id") === 1)
+    IcebergWriter.write(idsDF(3), table)
+    val q = startToMemory(readSource(table), "src_del_fail")
+    try {
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.getMessage.contains("delete") ||
+        Option(q.exception.orNull).exists(_.getMessage.contains("delete")))
+    } finally q.stop()
+    // skip option: the stream keeps append-only semantics — the deleted
+    // row STAYS (it was appended; CDC consumers use iceberg_changelog)
+    val q2 = startToMemory(
+      readSource(table, "skip-delete-snapshots" -> "true"), "src_del_skip")
+    try {
+      q2.processAllAvailable()
+      assert(memoryIds("src_del_skip") === Set(1L, 2L, 3L))
+    } finally q2.stop()
+  }
+
+  test("compaction (replace) snapshots are skipped — no duplicate rows") {
+    val table = tmp("graft_src_compact_") + "/t"
+    IcebergWriter.write(idsDF(1, 2), table)
+    IcebergWriter.write(idsDF(3), table)
+    IcebergWriter.compact(spark, table)
+    IcebergWriter.write(idsDF(4), table)
+    val q = startToMemory(readSource(table), "src_compact")
+    try {
+      q.processAllAvailable()
+      val all = spark.table("src_compact").select("id").collect().map(_.getLong(0)).toSeq
+      assert(all.sorted === Seq(1L, 2L, 3L, 4L), s"saw $all")
+    } finally q.stop()
+  }
+
+  test("table-to-table mirror: source feeds the Iceberg sink exactly once") {
+    val src = tmp("graft_src_mirror_a_") + "/t"
+    val dst = tmp("graft_src_mirror_b_") + "/t"
+    val checkpoint = tmp("graft_src_mirror_cp_")
+    IcebergWriter.write(idsDF(1, 2), src)
+    val q = graft.streaming.IcebergStreamSink.start(
+      readSource(src), dst, checkpoint, sinkId = "mirror")
+    try {
+      q.processAllAvailable()
+      IcebergWriter.write(idsDF(3), src)
+      q.processAllAvailable()
+      val out = IcebergScan.scan(spark, dst)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(out.sorted === Seq(1L, 2L, 3L))
+      // one append snapshot per non-empty micro-batch, each tagged
+      assert(IcebergScan.snapshots(spark, dst).count() >= 2)
+    } finally q.stop()
+  }
+}
