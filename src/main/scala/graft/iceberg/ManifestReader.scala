@@ -183,6 +183,44 @@ object ManifestReader {
   private val DefaultFetchParallelism = 16
   private val DefaultFetchTimeoutSec = 300L
 
+  /** Manifest-count threshold above which planning reads manifests as a
+    * Spark job instead of on the driver pool. The driver pool's bandwidth
+    * is ONE node's; a table carrying hundreds of manifests (continuous
+    * ingestion before merge maintenance, or a foreign writer that never
+    * merges) decodes across the cluster's aggregate I/O instead, and only
+    * the compact entry metadata returns to the driver. ≤ 0 disables. */
+  val DistributedPlanningThresholdKey =
+    "spark.graft.iceberg.distributedPlanningThreshold"
+  private val DefaultDistributedPlanningThreshold = 64
+
+  /** Decode every manifest on the EXECUTORS: one task per slice of the
+    * manifest list, results restored to manifest-list order. The closure
+    * only captures the table path, format version and a serializable
+    * Hadoop conf — entry decoding is the same [[readManifestEntries]] the
+    * driver pool runs, so the two paths cannot diverge. */
+  private def fetchDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      manifests: Seq[Manifest],
+      conf: Configuration,
+      formatVersion: Int,
+      allowMovedPaths: Boolean): Seq[(Manifest, Seq[ManifestEntry])] = {
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val items = manifests.zipWithIndex.map { case (m, i) =>
+      (i, m.manifestPath, m.sequenceNumber, m.content)
+    }
+    val slices = math.max(1,
+      math.min(items.size, spark.sparkContext.defaultParallelism * 2))
+    val fetched = spark.sparkContext.parallelize(items, slices)
+      .map { case (i, p, seq, c) =>
+        val mPath =
+          if (allowMovedPaths) IcebergIO.fullPath(tablePath, p) else p
+        (i, Manifest(p, seq, c),
+         readManifestEntries(mPath, sconf.value, formatVersion))
+      }.collect()
+    fetched.sortBy(_._1).map { case (_, m, es) => (m, es) }.toSeq
+  }
+
   /** IcebergTable::Load (iceberg.cpp:15-36): manifest list, then every
     * manifest, eagerly, with optional moved-path re-anchoring. Manifests
     * are fetched concurrently — a 100 TB table has O(100k) entries across
@@ -201,14 +239,23 @@ object ManifestReader {
     val manifests = readManifestList(listPath, conf, snapshot.formatVersion)
 
     import scala.concurrent.duration._
-    val parallelism = conf.getInt(FetchParallelismKey, DefaultFetchParallelism)
-    val timeout = conf.getLong(FetchTimeoutSecKey, DefaultFetchTimeoutSec).seconds
-    val entries = DriverPool.mapParallel(
-      manifests, parallelism, timeout, "graft-manifest-fetch") { m =>
-      val mPath =
-        if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
-        else m.manifestPath
-      m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
+    val threshold = conf.getInt(
+      DistributedPlanningThresholdKey, DefaultDistributedPlanningThreshold)
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val entries = active match {
+      case Some(spark) if threshold > 0 && manifests.size >= threshold =>
+        fetchDistributed(spark, tablePath, manifests, conf,
+          snapshot.formatVersion, allowMovedPaths)
+      case _ =>
+        val parallelism = conf.getInt(FetchParallelismKey, DefaultFetchParallelism)
+        val timeout = conf.getLong(FetchTimeoutSecKey, DefaultFetchTimeoutSec).seconds
+        DriverPool.mapParallel(
+          manifests, parallelism, timeout, "graft-manifest-fetch") { m =>
+          val mPath =
+            if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
+            else m.manifestPath
+          m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
+        }
     }
     TableMeta(tablePath, snapshot, entries)
   }
