@@ -820,6 +820,16 @@ object IcebergWriter {
       manifests: Seq[Manifest]): Seq[Manifest] = {
     val threshold = conf.getInt(ManifestMergeMinCountKey, DefaultManifestMergeMinCount)
     if (manifests.size <= threshold) return manifests
+    mergeManifestGroups(path, conf, snapshotId, manifests)
+  }
+
+  /** One merged manifest per content class (entries keep their effective
+    * sequence numbers EXPLICITLY, ADDED demotes to EXISTING); classes
+    * with a single manifest, or partition value types the merged schema
+    * can't model, carry through untouched. */
+  private def mergeManifestGroups(
+      path: String, conf: Configuration, snapshotId: Long,
+      manifests: Seq[Manifest]): Seq[Manifest] = {
     import scala.concurrent.duration._
     val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
     val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
@@ -1384,6 +1394,13 @@ object IcebergWriter {
     * list → age-filter → audit → delete out-of-band. */
   def listOrphanFiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    orphansWithMtime(spark, path).map(_._1).toDF("orphan_file")
+  }
+
+  /** Orphan listing with each file's modification time — the input to
+    * [[removeOrphanFiles]]'s age gate. */
+  private def orphansWithMtime(
+      spark: SparkSession, path: String): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"listOrphanFiles: no Iceberg table at $path"))
@@ -1414,7 +1431,7 @@ object IcebergWriter {
     }.flatten.toSet
     val dataDir = new Path(path, "data")
     val fs = dataDir.getFileSystem(conf)
-    val found = Seq.newBuilder[String]
+    val found = Seq.newBuilder[(String, Long)]
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, true)
       while (it.hasNext) {
@@ -1424,7 +1441,7 @@ object IcebergWriter {
         val name = st.getPath.getName
         if (st.isFile && (name.endsWith(".parquet") || name.endsWith(".puffin")) &&
             !referenced(st.getPath.toUri.getPath))
-          found += st.getPath.toString
+          found += st.getPath.toString -> st.getModificationTime
       }
     }
     // statistics files live under metadata/; one is orphaned when no
@@ -1444,14 +1461,37 @@ object IcebergWriter {
         val p = st.getPath.toUri.getPath
         if (st.isFile) {
           if (st.getPath.getName.endsWith(".puffin") && !statsReferenced(p))
-            found += st.getPath.toString
+            found += st.getPath.toString -> st.getModificationTime
           else if (p.contains("/partition-stats-") &&
                    !pStatsDirs.exists(d => p.startsWith(d + "/")))
-            found += st.getPath.toString
+            found += st.getPath.toString -> st.getModificationTime
         }
       }
     }
-    found.result().sorted.toDF("orphan_file")
+    found.result().sortBy(_._1)
+  }
+
+  /** Orphan-file VACUUM (the `remove_orphan_files` maintenance action):
+    * deletes unreferenced files under the table's `data/` and stats
+    * locations whose modification time is older than `olderThanMs`. The
+    * age gate is the safety rail the production procedure has: a CONCURRENT
+    * committer's freshly-written files look orphaned until its metadata
+    * lands, so "delete everything unreferenced right now" can corrupt an
+    * in-flight commit — callers pass a cutoff comfortably beyond their
+    * longest possible commit (the procedure's classic default is 3 days).
+    * `dryRun` returns the candidates without deleting. Returns the
+    * affected files. */
+  def removeOrphanFiles(spark: SparkSession, path: String,
+                        olderThanMs: Long, dryRun: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val candidates = orphansWithMtime(spark, path)
+      .collect { case (p, mtime) if mtime < olderThanMs => p }
+    if (!dryRun) {
+      val fs = new Path(path).getFileSystem(conf)
+      candidates.foreach(p => fs.delete(new Path(p), false))
+    }
+    candidates.toDF("orphan_file")
   }
 
   /** Snapshot retention: keep only the newest `keep` snapshots (by
@@ -2864,6 +2904,36 @@ object IcebergWriter {
       operation = "replace", branch = branch,
       summary = addedFileSummary(dataFiles) +
         ("deleted-data-files" -> liveEntries.size.toString))
+  }
+
+  /** User-callable manifest compaction — the `rewrite_manifests`
+    * maintenance action other Iceberg engines expose. The automatic
+    * merge ([[maybeMergeManifests]]) only fires when a COMMIT carries
+    * more manifests than the threshold; this forces the same merge on
+    * demand (one manifest per content class, entries keeping their
+    * effective sequence numbers explicitly), committed as a `replace`
+    * snapshot that touches no data file — planning I/O for every later
+    * scan drops to one manifest read per class. Returns the new snapshot
+    * id, or None when every class already has ≤ 1 manifest (no commit). */
+  def rewriteManifests(spark: SparkSession, path: String,
+                       branch: String = "main"): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"rewriteManifests: no Iceberg table at $path"))
+    val latest = state.opBase("rewriteManifests", branch)
+    val manifests = ManifestReader.readManifestList(
+      latest.manifestList, conf, latest.formatVersion)
+    if (manifests.groupBy(_.content).forall(_._2.size <= 1)) return None
+    val snapshotId = state.nextSnapshotId
+    val merged = mergeManifestGroups(path, conf, snapshotId, manifests)
+    val id = commitSnapshot(path, conf, Some(state),
+      IcebergSchemaParser.toStructType(latest.schema),
+      snapshotId, state.nextSeq, merged,
+      operation = "replace", branch = branch,
+      summary = Map(
+        "manifests-replaced" -> manifests.size.toString,
+        "manifests-created" -> merged.size.toString))
+    Some(id)
   }
 
   /** Binpack small-file compaction — the `rewrite_data_files` maintenance
