@@ -2906,6 +2906,82 @@ object IcebergWriter {
         ("deleted-data-files" -> liveEntries.size.toString))
   }
 
+  /** Z-ORDER clustered rewrite (the `rewrite_data_files` strategy =>
+    * 'sort' with a z-order expression other Iceberg engines expose): the
+    * table's live rows are rewritten into `numFiles` files ordered by the
+    * Morton interleave of the clustering columns' scaled ranks
+    * ([[graft.functions.ZOrder]]) — each output file then covers a small
+    * BOX of the multi-column key space, its footer bounds are tight on
+    * EVERY clustering column, and a multi-dimension box predicate prunes
+    * files on all dimensions at once (a plain sorted write only prunes
+    * the leading column). Ranges come from one column-pruned min/max
+    * pass; the rewrite itself is the same full rewrite as [[compact]]
+    * (deletes applied, v3 lineage materialized, original files
+    * tombstoned). 2 or 3 clustering columns of integer/date/timestamp/
+    * float type. Returns the new snapshot id. */
+  def zorder(spark: SparkSession, path: String, columns: Seq[String],
+             numFiles: Int, branch: String = "main"): Long = {
+    require(numFiles > 0, s"zorder: numFiles must be positive, got $numFiles")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"zorder: no Iceberg table at $path"))
+    val latest = state.opBase("zorder", branch)
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val liveEntries = meta.entries.collect {
+      case (m, es) if m.content == 0 => es.filter(e => e.status != 2 && e.content == 0)
+    }.flatten
+
+    val fv = state.info.formatVersion
+    val df = IcebergScan.scanLoaded(
+      spark, path, IcebergScan.Options(rowLineage = fv >= 3), latest, meta)
+    val logicalSchema = StructType(df.schema.fields.filterNot(f =>
+      f.name == RowIdCol || f.name == LastUpdatedSeqCol))
+    columns.foreach(c => require(logicalSchema.fieldNames.contains(c),
+      s"zorder: no column '$c' in the table schema"))
+    val ranked = columns.map(c =>
+      graft.functions.ZOrder.rank(col(c), logicalSchema(c).dataType))
+    // one column-pruned pass for the ranges the scaling grid needs
+    val aggCols = ranked.zipWithIndex.flatMap { case (r, i) =>
+      Seq(org.apache.spark.sql.functions.min(r).as(s"mn$i"),
+          org.apache.spark.sql.functions.max(r).as(s"mx$i"))
+    }
+    val statsRow = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val mins = columns.indices.map(i =>
+      if (statsRow.isNullAt(2 * i)) 0L else statsRow.getLong(2 * i))
+    val maxes = columns.indices.map(i =>
+      if (statsRow.isNullAt(2 * i + 1)) 0L else statsRow.getLong(2 * i + 1))
+    val zv = graft.functions.ZOrder.zvalue(ranked, mins, maxes)
+    val clustered = df.withColumn("__graft_zv", zv)
+      .repartitionByRange(numFiles, col("__graft_zv"))
+      .sortWithinPartitions("__graft_zv")
+      .drop("__graft_zv")
+
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val spec = currentSpec(latest, logicalSchema)
+    val dataFiles = writeDataFiles(clustered,
+      new Path(path, s"data/snap-$snapshotId"), spec,
+      prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
+
+    val addedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+    writeManifest(addedPath, conf, dataFiles.map { w =>
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
+    }, spec.map(sf => (sf.fieldName, sf.avroType)))
+    val deletedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m1.avro")
+    writeManifest(deletedPath, conf, liveEntries.map(_.copy(status = 2)))
+
+    commitSnapshot(path, conf, Some(state), logicalSchema, snapshotId, seq, Seq(
+      Manifest(addedPath.toString, seq, 0),
+      Manifest(deletedPath.toString, seq, 0)),
+      operation = "replace", branch = branch,
+      summary = addedFileSummary(dataFiles) +
+        ("deleted-data-files" -> liveEntries.size.toString) +
+        ("zorder-columns" -> columns.mkString(",")))
+  }
+
   /** User-callable manifest compaction — the `rewrite_manifests`
     * maintenance action other Iceberg engines expose. The automatic
     * merge ([[maybeMergeManifests]]) only fires when a COMMIT carries

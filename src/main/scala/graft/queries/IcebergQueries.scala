@@ -1033,6 +1033,46 @@ object IcebergQueries {
         .select("file_path", "pos", "delete_file_path")
     ),
     QueryDef(
+      "ib48_zorder_box_pruning",
+      // Z-ORDER clustered rewrite gate: orders written unclustered, then
+      // zorder(o_custkey, o_orderdate) — the 2-D box predicate must (a)
+      // prune files (each rewritten file covers a box of the key space;
+      // a pruned scan keeps strictly fewer than all files) and (b) still
+      // return EXACT results (the residual filter re-applies the
+      // predicate; count + decimal-exact sum vs the source oracle).
+      Some("""
+        SELECT CAST(TRUE AS BOOLEAN) AS pruned, COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+        FROM orders
+        WHERE o_custkey <= 500
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib48_").toString + "/orders_z"
+        val orders = graft.Tables.load(s, dir, "orders")
+        graft.iceberg.IcebergWriter.write(orders.repartition(8), table)
+        graft.iceberg.IcebergWriter.zorder(
+          s, table, Seq("o_custkey", "o_orderdate"), numFiles = 8)
+        val tsType = orders.schema("o_orderdate").dataType
+        val cond = col("o_custkey") <= 500 &&
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(tsType) &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast(tsType)
+        val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("ft"))
+        val kept = IcebergScan.scanFiltered(s, table, cond,
+          Options(mode = "list_files"))
+          .filter(col("type") === "data").agg(count(lit(1)).as("fk"))
+        val agg = IcebergScan.scanFiltered(s, table, cond).agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 2).as("total"))
+        total.crossJoin(kept).crossJoin(agg)
+          .select((col("fk") < col("ft")).as("pruned"), col("cnt"), col("total"))
+      }
+    ),
+    QueryDef(
       "ib45_scan_in_pruned",
       // IN-list pruning gate over the shared days(dt) table: a 3-value
       // IN keeps exactly 3 of the 30 day files (disjunction of Eq checks

@@ -64,6 +64,58 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc === Set(3L, 4L))
   }
 
+  test("zorder clusters files into key-space boxes that prune on EVERY dimension") {
+    import spark.implicits._
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    // table A: plain sort by x — y-filters cannot prune (every file
+    // spans the full y range)
+    val sorted = tmp("graft_zorder_sorted_") + "/t"
+    IcebergWriter.write(grid.repartition(1), sorted, sortBy = Seq("x"),
+      options = Map("maxRecordsPerFile" -> "1024"))
+    // table B: z-ordered on (x, y) — 4 files ≈ 4 quadrants
+    val zordered = tmp("graft_zorder_z_") + "/t"
+    IcebergWriter.write(grid.repartition(4), zordered)
+    IcebergWriter.zorder(spark, zordered, Seq("x", "y"), numFiles = 4)
+
+    def dataFiles(table: String, cond: Option[org.apache.spark.sql.Column]) = {
+      val opts = IcebergScan.Options(mode = "list_files")
+      val df = cond match {
+        case Some(c) => IcebergScan.scanFiltered(spark, table, c, opts)
+        case None => IcebergScan.scan(spark, table, opts)
+      }
+      df.filter(col("type") === "data").count()
+    }
+    assert(dataFiles(sorted, None) === 4)
+    assert(dataFiles(zordered, None) === 4)
+    val yBox = col("y") < 32
+    assert(dataFiles(sorted, Some(yBox)) === 4)   // sort can't prune y
+    assert(dataFiles(zordered, Some(yBox)) <= 2)  // z-order can
+    // ~one quadrant: range boundaries are sample-based, so the box may
+    // graze a neighbor file — but never half the table
+    val box = col("x") < 32 && col("y") < 32
+    assert(dataFiles(zordered, Some(box)) <= 2)
+    // semantics intact: same rows, box counts match the raw grid
+    assert(IcebergScan.scan(spark, zordered).count() === 4096)
+    assert(IcebergScan.scanFiltered(spark, zordered, box).count() === 1024)
+  }
+
+  test("zorder applies pending deletes and keeps tombstoned rows gone") {
+    import spark.implicits._
+    val table = tmp("graft_zorder_mor_") + "/t"
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 } yield (x, y))
+      .toDF("x", "y")
+    IcebergWriter.write(grid.repartition(2), table)
+    IcebergWriter.delete(spark, table, col("x") === 3 && col("y") === 3)
+    IcebergWriter.zorder(spark, table, Seq("x", "y"), numFiles = 2)
+    assert(IcebergScan.scan(spark, table).count() === 255)
+    assert(IcebergScan.scanFiltered(spark, table,
+      col("x") === 3 && col("y") === 3).count() === 0)
+    // the rewrite holds no delete files — tombstones were applied
+    assert(IcebergScan.files(spark, table)
+      .filter(col("content") =!= 0).count() === 0)
+  }
+
   test("removeOrphanFiles deletes only aged-out unreferenced files") {
     val table = tmp("graft_vacuum_") + "/t"
     (1L to 3L).foreach(i => IcebergWriter.write(idsDF(i), table))
