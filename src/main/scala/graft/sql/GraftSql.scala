@@ -253,6 +253,9 @@ object GraftSql {
     ("iceberg_position_deletes", "rows stored in a snapshot's live position-delete files",
       builder("iceberg_position_deletes",
         (s, p, o) => IcebergScan.positionDeletes(s, p, o))),
+    ("iceberg_orphan_files", "unreferenced files under an Apache Iceberg table's locations",
+      builder("iceberg_orphan_files",
+        (s, p, _) => graft.iceberg.IcebergWriter.listOrphanFiles(s, p))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>

@@ -157,6 +157,27 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0, 1L, nation.count()), (1, 1L, 1L)))
   }
 
+  test("iceberg_position_deletes and iceberg_orphan_files through SQL") {
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlpd_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+    val pd = spark.sql(
+      s"SELECT count(*) FROM iceberg_position_deletes('$table')")
+      .head().getLong(0)
+    assert(pd === 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM iceberg_orphan_files('$table')")
+      .head().getLong(0) === 0L)
+    graft.iceberg.IcebergWriter.compact(spark, table)
+    graft.iceberg.IcebergWriter.expireSnapshots(spark, table, keep = 1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM iceberg_orphan_files('$table')")
+      .head().getLong(0) > 0L)
+  }
+
   test("runtime registration on an extension-less session") {
     val fresh = spark.newSession()
     GraftSql.register(fresh)
