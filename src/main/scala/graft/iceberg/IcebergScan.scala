@@ -1192,6 +1192,88 @@ object IcebergScan {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** iceberg_all_manifests — the `all_manifests` metadata table: every
+    * snapshot's manifest-list entries with the referencing snapshot id
+    * (one row per snapshot × manifest; manifests shared across snapshots
+    * appear once per referencing snapshot, as in other engines). Reads
+    * only the manifest LISTS — never a manifest or data file. */
+  def allManifests(spark: SparkSession, path: String,
+                   opts: Options = Options()): DataFrame = {
+    val info = loadInfo(spark, path, opts)
+    val conf = hadoopConf(spark)
+    val root = IcebergIO.tableRoot(path)
+    import scala.concurrent.duration._
+    val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+    val rows = DriverPool.mapParallel(
+      IcebergMetadataParser.allSnapshots(info), parallelism, timeout,
+      "graft-all-manifests") { snap =>
+      val listPath =
+        if (opts.allowMovedPaths) IcebergIO.fullPath(root, snap.manifestList)
+        else snap.manifestList
+      ManifestReader.readManifestList(listPath, conf, snap.formatVersion).map { m =>
+        Row(snap.snapshotId, m.manifestPath, m.content, m.sequenceNumber)
+      }
+    }.flatten.sortBy(r => (r.getLong(0), r.getString(1)))
+    val schema = StructType(Seq(
+      StructField("reference_snapshot_id", LongType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** iceberg_all_files — the `all_files` metadata table: the LIVE files
+    * of every snapshot with the referencing snapshot id. Manifests shared
+    * across snapshots are read ONCE (the same dedupe the orphan listing
+    * uses) and their entries re-emitted per referencing snapshot — I/O is
+    * proportional to DISTINCT manifests, not snapshots × manifests. */
+  def allFiles(spark: SparkSession, path: String,
+               opts: Options = Options()): DataFrame = {
+    val info = loadInfo(spark, path, opts)
+    val conf = hadoopConf(spark)
+    val root = IcebergIO.tableRoot(path)
+    import scala.concurrent.duration._
+    val parallelism = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    val timeout = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+    val snaps = IcebergMetadataParser.allSnapshots(info)
+    val lists = DriverPool.mapParallel(
+      snaps, parallelism, timeout, "graft-all-files-lists") { snap =>
+      val listPath =
+        if (opts.allowMovedPaths) IcebergIO.fullPath(root, snap.manifestList)
+        else snap.manifestList
+      snap -> ManifestReader.readManifestList(listPath, conf, snap.formatVersion)
+    }
+    val distinct = lists.flatMap { case (snap, ms) =>
+      ms.map(m => (m.manifestPath, snap.formatVersion))
+    }.distinctBy(_._1)
+    val entriesByPath = DriverPool.mapParallel(
+      distinct, parallelism, timeout, "graft-all-files-manifests") {
+      case (mPath, fv) =>
+        val resolved =
+          if (opts.allowMovedPaths) IcebergIO.fullPath(root, mPath) else mPath
+        mPath -> ManifestReader.readManifestEntries(resolved, conf, fv)
+    }.toMap
+    val rows = (for {
+      (snap, ms) <- lists
+      m <- ms
+      e <- entriesByPath(m.manifestPath) if e.status != 2
+    } yield Row(snap.snapshotId, e.content,
+      resolved(root, e.filePath, opts), e.fileFormat, e.recordCount,
+      if (e.fileSizeInBytes == 0L) null else e.fileSizeInBytes,
+      e.seqOr(m.sequenceNumber)))
+      .sortBy(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val schema = StructType(Seq(
+      StructField("reference_snapshot_id", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = true),
+      StructField("data_sequence_number", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** iceberg_position_deletes — the `position_deletes` metadata table
     * other Iceberg engines expose (engine extension): one row per delete
     * row stored in the selected snapshot's LIVE position-delete files —

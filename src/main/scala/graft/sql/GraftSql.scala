@@ -256,6 +256,10 @@ object GraftSql {
     ("iceberg_orphan_files", "unreferenced files under an Apache Iceberg table's locations",
       builder("iceberg_orphan_files",
         (s, p, _) => graft.iceberg.IcebergWriter.listOrphanFiles(s, p))),
+    ("iceberg_all_manifests", "every snapshot's manifests with the referencing snapshot id",
+      builder("iceberg_all_manifests", (s, p, o) => IcebergScan.allManifests(s, p, o))),
+    ("iceberg_all_files", "every snapshot's live files with the referencing snapshot id",
+      builder("iceberg_all_files", (s, p, o) => IcebergScan.allFiles(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
   ).map { case (name, usage, b) =>

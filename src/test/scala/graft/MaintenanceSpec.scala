@@ -116,6 +116,25 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("content") =!= 0).count() === 0)
   }
 
+  test("all_manifests and all_files span every snapshot with shared manifests read once") {
+    val table = tmp("graft_allmeta_") + "/t"
+    (1L to 3L).foreach(i => IcebergWriter.write(idsDF(i), table))
+    val am = IcebergScan.allManifests(spark, table).collect()
+    // snapshot N's list carries N manifests → 1 + 2 + 3 rows
+    assert(am.length === 6)
+    assert(am.map(_.getLong(0)).distinct.length === 3)
+    val af = IcebergScan.allFiles(spark, table).collect()
+    // snapshot N holds N live files → 1 + 2 + 3 rows
+    assert(af.length === 6)
+    // the per-snapshot view matches files() for the head snapshot
+    val headId = IcebergScan.snapshots(spark, table)
+      .agg(max("snapshot_id")).head().getLong(0)
+    val headFiles = af.filter(_.getLong(0) == headId).map(_.getString(2)).toSet
+    val files = IcebergScan.files(spark, table).collect()
+      .map(_.getString(1)).toSet
+    assert(headFiles === files)
+  }
+
   test("removeOrphanFiles deletes only aged-out unreferenced files") {
     val table = tmp("graft_vacuum_") + "/t"
     (1L to 3L).foreach(i => IcebergWriter.write(idsDF(i), table))
