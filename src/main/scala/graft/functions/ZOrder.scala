@@ -63,8 +63,11 @@ object ZOrder {
     require(mins.size == ranked.size && maxes.size == ranked.size)
     ranked.size match {
       case 2 =>
+        // 31 bits per column, not 32: the second column's top bit would
+        // land on bit 63 — the Long SIGN bit — and negative z-values
+        // would sort before positive ones, breaking the curve
         val Seq(a, b) = ranked.zipWithIndex.map { case (c, i) =>
-          spread2(scaled(c, mins(i), maxes(i), 32))
+          spread2(scaled(c, mins(i), maxes(i), 31))
         }
         a.bitwiseOR(shiftleft(b, 1))
       case 3 =>
