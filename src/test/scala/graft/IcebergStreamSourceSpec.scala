@@ -158,6 +158,27 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("source composes with windowed streaming aggregations (hourlyAgg)") {
+    import spark.implicits._
+    val table = tmp("graft_src_agg_") + "/t"
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      graft.streaming.Event(id, java.sql.Timestamp.valueOf(t), 1L, typ, v)
+    IcebergWriter.write(Seq(
+      ev(1, "2026-01-01 10:05:00", "click", 1.0),
+      ev(2, "2026-01-01 10:55:00", "click", 2.0)).toDF(), table)
+    IcebergWriter.write(Seq(
+      ev(3, "2026-01-01 11:10:00", "view", 4.0)).toDF(), table)
+    val q = graft.streaming.EventStreams.hourlyAgg(readSource(table))
+      .writeStream.format("memory").queryName("src_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("src_hourly").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("table-to-table mirror: source feeds the Iceberg sink exactly once") {
     val src = tmp("graft_src_mirror_a_") + "/t"
     val dst = tmp("graft_src_mirror_b_") + "/t"
