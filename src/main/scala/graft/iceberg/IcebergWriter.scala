@@ -563,6 +563,39 @@ object IcebergWriter {
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
+  /** The spec's `write.metadata.metrics.default = truncate(16)`: string
+    * bounds longer than 16 code points are truncated in the manifests —
+    * unbounded document-text bounds would bloat every manifest a 100 TB
+    * table plans from. UTF-8 byte order (what [[IcebergPruning.utf8Compare]]
+    * compares) IS code-point order, so a truncated prefix under-bounds
+    * every string it prefixes. */
+  private val BoundTruncateLength = 16
+
+  private def truncateLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= BoundTruncateLength) s
+    else s.substring(0, s.offsetByCodePoints(0, BoundTruncateLength))
+
+  /** Upper bound: truncate, then increment the last incrementable code
+    * point (the result is ≥ every string sharing the prefix; the
+    * surrogate block is skipped — its values aren't code points). None
+    * when nothing can grow — the caller keeps the full value, which is
+    * always sound. */
+  private def truncateUpper(s: String): Option[String] =
+    if (s.codePointCount(0, s.length) <= BoundTruncateLength) Some(s)
+    else {
+      val cps = s.codePoints.limit(BoundTruncateLength).toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+      if (i < 0) None
+      else {
+        var next = cps(i) + 1
+        if (next >= Character.MIN_SURROGATE.toInt &&
+            next <= Character.MAX_SURROGATE.toInt)
+          next = Character.MAX_SURROGATE.toInt + 1
+        Some(new String(cps.take(i) :+ next, 0, i + 1))
+      }
+    }
+
   /** Row count + per-column min/max bounds from one parquet FOOTER —
     * KB-scale I/O per file (no data pages). Parquet-mr's own binary-stats
     * truncation (min truncated down, max padded up) keeps the derived
@@ -601,11 +634,20 @@ object IcebergWriter {
           }
         }
       }
-      def enc(m: scala.collection.Map[Int, (DataType, Any)]) =
+      def enc(m: scala.collection.Map[Int, (DataType, Any)], upperSide: Boolean) =
         m.flatMap { case (id, (dt, v)) =>
-          IcebergPruning.encodeBound(dt, v).map(id -> _)
+          val adjusted: Any = (dt, v) match {
+            // The reserved position-delete file_path bound stays EXACT:
+            // path-range scoping lives on full-fidelity prefixes (every
+            // path in a table shares its first 16 chars), and it's two
+            // strings per delete file, not per-column bloat.
+            case (StringType, s: String) if id != PosDeleteFilePathFieldId =>
+              if (upperSide) truncateUpper(s).getOrElse(s) else truncateLower(s)
+            case _ => v
+          }
+          IcebergPruning.encodeBound(dt, adjusted).map(id -> _)
         }.toMap
-      (r.getRecordCount, enc(lower), enc(upper),
+      (r.getRecordCount, enc(lower, upperSide = false), enc(upper, upperSide = true),
         nulls.collect { case (id, Some(n)) => id -> n }.toMap)
     } finally r.close()
   }

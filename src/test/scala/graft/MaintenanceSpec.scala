@@ -135,6 +135,34 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(headFiles === files)
   }
 
+  test("string bounds truncate to 16 code points in manifests and stay sound") {
+    import spark.implicits._
+    val table = tmp("graft_trunc_") + "/t"
+    val aLong = "a" * 20 + "-first"
+    val aMax = "a" * 20 + "-last!"
+    val zLong = "z" * 20 + "-other"
+    IcebergWriter.write(Seq(aLong, aMax).toDF("s").repartition(1), table)
+    IcebergWriter.write(Seq(zLong).toDF("s").repartition(1), table)
+
+    val bounds = IcebergScan.files(spark, table).collect().flatMap { r =>
+      val lo = r.getAs[Map[Int, String]]("lower_bounds").values
+      val hi = r.getAs[Map[Int, String]]("upper_bounds").values
+      lo ++ hi
+    }
+    assert(bounds.nonEmpty)
+    assert(bounds.forall(_.length <= 17),
+      s"bound longer than truncate(16)+carry: ${bounds.maxBy(_.length)}")
+    // soundness: exact-match scans still find their rows (no wrong prune)
+    Seq(aLong, aMax, zLong).foreach { v =>
+      assert(IcebergScan.scanFiltered(spark, table, col("s") === v).count() === 1)
+    }
+    // bounds still discriminate across files: a z-scan plans 1 of 2 files
+    val kept = IcebergScan.scanFiltered(spark, table, col("s") === zLong,
+      IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "data").count()
+    assert(kept === 1)
+  }
+
   test("removeOrphanFiles deletes only aged-out unreferenced files") {
     val table = tmp("graft_vacuum_") + "/t"
     (1L to 3L).foreach(i => IcebergWriter.write(idsDF(i), table))
