@@ -167,7 +167,22 @@ object IcebergScan {
         dataEntries.exists { case (de, dseq) => dseq < delSeq && mayMatch(de) }
       }
     }
-    val dataPaths = dataEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
+    // Iceberg's second data format (engine extension — the reference is
+    // parquet-only): route ORC entries through the ORC file source and
+    // union. Single-format tables keep the single-relation plan.
+    dataEntries.map(_._1.fileFormat).distinct.foreach { f =>
+      if (!f.equalsIgnoreCase("PARQUET") && !f.equalsIgnoreCase("ORC"))
+        throw new UnsupportedOperationException(
+          s"unsupported data file format '$f' (PARQUET and ORC are readable)")
+    }
+    val (orcEntries, parquetEntriesData) = dataEntries.partition {
+      case (e, _) => e.fileFormat.equalsIgnoreCase("ORC")
+    }
+    val orcDataPaths = orcEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
+    val parquetDataPaths = parquetEntriesData.map {
+      case (e, _) => resolved(path, e.filePath, opts)
+    }
+    val dataPaths = parquetDataPaths ++ orcDataPaths
     val deletePaths = deleteEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     val eqPaths = eqEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     // one puffin file can hold many DVs — list it once
@@ -200,11 +215,32 @@ object IcebergScan {
     def withLineageFields(s: StructType): StructType =
       if (opts.rowLineage) StructType(s.fields.toSeq ++ lineageFields) else s
 
-    val reader = spark.read.format("parquet")
-    val withSchema =
-      if (opts.skipSchemaInference) reader
-      else reader.schema(withLineageFields(
-        IcebergSchemaParser.toStructType(snapshot.schema)))
+    // One relation per data format, same read schema. ORC caveat: Spark's
+    // ORC reader resolves columns by NAME (the parquet field-id matching
+    // doesn't apply), so metadata-only renames do not reach into ORC
+    // files written before the rename — documented extension limitation.
+    def formatRelation(fmt: String, paths: Seq[String], withMeta: Boolean): DataFrame = {
+      val reader = spark.read.format(fmt)
+      val r = (if (opts.skipSchemaInference) reader
+               else reader.schema(withLineageFields(
+                 IcebergSchemaParser.toStructType(snapshot.schema))))
+        .load(paths: _*)
+      if (!withMeta) r
+      else r.select(col("*"),
+        col("_metadata.file_path").as("__graft_file"),
+        // `_metadata.row_index` is PARQUET-ONLY in Spark; ORC rows carry
+        // no position (position-based consumers are guarded off below —
+        // file-level consumers like v3 defaults only need the path)
+        (if (fmt == "orc") lit(null).cast(LongType)
+         else col("_metadata.row_index")).as("__graft_pos"))
+    }
+    def dataRelation(withMeta: Boolean): DataFrame = {
+      val parts =
+        Seq(("parquet", parquetDataPaths), ("orc", orcDataPaths))
+          .filter(_._2.nonEmpty)
+          .map { case (fmt, ps) => formatRelation(fmt, ps, withMeta) }
+      parts.reduce(_.unionByName(_))
+    }
 
     if (dataPaths.isEmpty) {
       // Empty snapshot: zero-row frame with the snapshot schema.
@@ -219,7 +255,7 @@ object IcebergScan {
     // Residual filter: the exact predicate semantics, pushed into the
     // parquet scan by Catalyst; file pruning above was only an accelerant.
     val residual = IcebergPruning.residual(opts.filters, snapshot.schema)
-    val dataDF = residual.foldLeft(withSchema.load(dataPaths: _*))(_.filter(_))
+    val dataDF = residual.foldLeft(dataRelation(withMeta = false))(_.filter(_))
     // Spec-v3 DEFAULT VALUES: columns added with an initial-default read
     // that value from files that PREDATE the column (strictly older data
     // sequence than its first declaring snapshot); files written after it
@@ -227,6 +263,20 @@ object IcebergScan {
     val defaulted = snapshot.schema.filter(_.initialDefault.isDefined)
     if (deletePaths.isEmpty && dvEntries.isEmpty && eqPaths.isEmpty &&
       !opts.keepProvenance && !opts.rowLineage && defaulted.isEmpty) return dataDF
+
+    // POSITION-based consumers need per-row positions, which Spark's ORC
+    // reader does not expose (`_metadata.row_index` is parquet-only). A
+    // silent null-position row would make tombstones no-ops — fail loudly
+    // instead. Equality deletes and v3 defaults stay fully supported on
+    // ORC files (they key on columns / file paths, not positions).
+    if (orcDataPaths.nonEmpty &&
+        (deletePaths.nonEmpty || dvEntries.nonEmpty ||
+         opts.keepProvenance || opts.rowLineage))
+      throw new UnsupportedOperationException(
+        "position-based operations (position deletes, deletion vectors, " +
+        "row provenance/lineage) are unsupported over ORC data files — " +
+        "Spark's ORC reader exposes no row positions; use equality " +
+        "deletes (deleteEquality/merge) on ORC-format tables")
 
     // Spark reports _metadata.file_path as a fully-qualified URI, while the
     // delete files reference data files by the exact strings the writer put
@@ -237,10 +287,9 @@ object IcebergScan {
     val qualify: String => String = IcebergIO.qualified(_, conf)
     import spark.implicits._
 
-    var cur = dataDF.select(
-      col("*"),
-      col("_metadata.file_path").as("__graft_file"),
-      col("_metadata.row_index").as("__graft_pos"))
+    // provenance attaches PER RELATION (a `_metadata` select cannot cross
+    // a format union), then the residual filter applies on top
+    var cur = residual.foldLeft(dataRelation(withMeta = true))(_.filter(_))
 
     // --- v3 initial-defaults: per-file age via one broadcast seq map ---
     if (defaulted.nonEmpty) {
@@ -599,13 +648,18 @@ object IcebergScan {
         es.filter(e => e.status != 2 && e.content == 0 &&
           e.seqOr(m.sequenceNumber) > from.sequenceNumber)
     }.flatten
-    val paths = appended.map(e => resolved(root, e.filePath, opts))
     val schema = IcebergSchemaParser.toStructType(to.schema)
-    if (paths.isEmpty)
+    if (appended.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
-      val reader = spark.read.format("parquet")
-      (if (opts.skipSchemaInference) reader else reader.schema(schema)).load(paths: _*)
+      // per-format relations (ORC appends union with parquet ones)
+      val parts = appended.groupBy(_.fileFormat.toLowerCase).toSeq.sortBy(_._1)
+        .map { case (fmt, es) =>
+          val reader = spark.read.format(fmt)
+          (if (opts.skipSchemaInference) reader else reader.schema(schema))
+            .load(es.map(e => resolved(root, e.filePath, opts)): _*)
+        }
+      parts.reduce(_.unionByName(_))
     }
   }
 

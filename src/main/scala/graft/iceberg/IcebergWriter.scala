@@ -536,7 +536,8 @@ object IcebergWriter {
       partition: Map[String, Any],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       nulls: Map[Int, Long] = Map.empty,
-      sizeBytes: Long = 0L)
+      sizeBytes: Long = 0L,
+      format: String = "PARQUET")
 
   /** Parquet statistics value → the bound domain [[IcebergPruning.encodeBound]]
     * accepts. Unhandled types / NaN → None (no bound emitted → no pruning
@@ -657,14 +658,16 @@ object IcebergWriter {
     * and bounds from footers. */
   private def collectFiles(
       dir: Path, conf: Configuration, spec: Seq[SpecField],
-      fields: Map[String, (Int, DataType)]): Seq[WrittenFile] = {
+      fields: Map[String, (Int, DataType)],
+      dataFormat: String = "parquet"): Seq[WrittenFile] = {
     val fs = dir.getFileSystem(conf)
+    val ext = "." + dataFormat.toLowerCase
     val files = {
       val it = fs.listFiles(dir, true)
       val buf = Seq.newBuilder[FileStatus]
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+        if (s.isFile && s.getPath.getName.endsWith(ext)) buf += s
       }
       buf.result()
     }
@@ -683,10 +686,69 @@ object IcebergWriter {
         segs.find(_.startsWith(prefix))
           .map(seg => sf.fieldName -> parseDirValue(sf, seg.stripPrefix(prefix)))
       }.toMap
-      val (count, lower, upper, nulls) = footerStats(st, conf, fields)
+      val (count, lower, upper, nulls) =
+        if (dataFormat.equalsIgnoreCase("orc")) orcStats(st, conf, fields)
+        else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
-        sizeBytes = st.getLen)
+        sizeBytes = st.getLen, format = dataFormat.toUpperCase)
     }
+  }
+
+  /** ORC footer statistics — row count, per-column null counts and
+    * min/max bounds for the primitive types ORC's `ColumnStatistics`
+    * exposes. Unhandled types emit no bound (no pruning for that column;
+    * always sound). Top-level flat columns only: ORC's statistics array
+    * is indexed by flattened schema position (root at 0). */
+  private def orcStats(
+      st: FileStatus, conf: Configuration,
+      fields: Map[String, (Int, DataType)]):
+      (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
+    val reader = org.apache.orc.OrcFile.createReader(
+      st.getPath, org.apache.orc.OrcFile.readerOptions(conf))
+    try {
+      val rows = reader.getNumberOfRows
+      val schema = reader.getSchema
+      val stats = reader.getStatistics
+      val names = schema.getFieldNames.asScala
+      val lower = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+      val upper = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+      val nulls = scala.collection.mutable.Map.empty[Int, Long]
+      names.zipWithIndex.foreach { case (name, i) =>
+        fields.get(name).foreach { case (id, dt) =>
+          val cs = stats(schema.getChildren.get(i).getId)
+          nulls(id) = rows - cs.getNumberOfValues
+          def put(lo: Option[Any], hi: Option[Any]): Unit = {
+            lo.flatMap(IcebergPruning.encodeBound(dt, _)).foreach(lower(id) = _)
+            hi.flatMap(IcebergPruning.encodeBound(dt, _)).foreach(upper(id) = _)
+          }
+          if (cs.getNumberOfValues > 0) cs match {
+            case s: org.apache.orc.IntegerColumnStatistics =>
+              dt match {
+                case IntegerType | DateType => put(
+                  Some(Int.box(s.getMinimum.toInt)), Some(Int.box(s.getMaximum.toInt)))
+                case LongType => put(
+                  Some(Long.box(s.getMinimum)), Some(Long.box(s.getMaximum)))
+                case _ => ()
+              }
+            case s: org.apache.orc.StringColumnStatistics
+                if dt == StringType && s.getMinimum != null =>
+              put(Some(truncateLower(s.getMinimum)),
+                Some(truncateUpper(s.getMaximum).getOrElse(s.getMaximum)))
+            case s: org.apache.orc.DoubleColumnStatistics =>
+              dt match {
+                case DoubleType if !s.getMinimum.isNaN => put(
+                  Some(Double.box(s.getMinimum)), Some(Double.box(s.getMaximum)))
+                case FloatType if !s.getMinimum.isNaN => put(
+                  Some(Float.box(s.getMinimum.toFloat)),
+                  Some(Float.box(s.getMaximum.toFloat)))
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      }
+      (rows, lower.toMap, upper.toMap, nulls.toMap)
+    } finally reader.close()
   }
 
   /** Iceberg reserved field id of the `file_path` column in position-delete
@@ -717,7 +779,8 @@ object IcebergWriter {
       spec: Seq[SpecField] = Seq.empty,
       sortBy: Seq[String] = Seq.empty,
       options: Map[String, String] = Map.empty,
-      prevIds: Map[String, Int] = Map.empty): Seq[WrittenFile] = {
+      prevIds: Map[String, Int] = Map.empty,
+      dataFormat: String = "parquet"): Seq[WrittenFile] = {
     // Field ids into the parquet footers, from the SAME (path → id)
     // assignment commitSnapshot emits in the schema JSON (existing ids —
     // including a foreign table's layout — preserved; fresh ids for new
@@ -748,15 +811,16 @@ object IcebergWriter {
     val sorted =
       if (sortBy.isEmpty) withParts
       else withParts.sortWithinPartitions((gpNames ++ sortBy).map(col): _*)
-    val writer = sorted.write.options(options)
+    val writer = sorted.write.options(options).format(dataFormat.toLowerCase)
     (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)
-      .parquet(dataDir.toString)
+      .save(dataDir.toString)
     // manifest bounds keyed by the same assigned top-level ids (lineage
     // columns excluded — they are file payload, not manifest surface)
     val fields = logicalFields.map { f =>
       f.name -> (assigned(f.name), f.dataType)
     }.toMap
-    collectFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(), spec, fields)
+    collectFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(), spec, fields,
+      dataFormat)
   }
 
   private def writeManifest(
@@ -1804,7 +1868,14 @@ object IcebergWriter {
             // format for TABLE CREATION (2 or 3); an existing table keeps
             // its recorded version — use upgradeFormat to move 2 -> 3
             formatVersion: Int = 2,
-            maxRetries: Int = 0): Long = {
+            maxRetries: Int = 0,
+            // data FILE format: "parquet" (default) or "orc" (Iceberg's
+            // second data format; engine extension — the reference is
+            // parquet-only). None → the table's `write.format.default`
+            // property, else parquet. Read-side ORC caveat: Spark's ORC
+            // reader resolves columns by NAME, so metadata-only renames
+            // do not reach into pre-rename ORC files.
+            dataFormat: Option[String] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     if (renames.nonEmpty) {
@@ -1880,10 +1951,15 @@ object IcebergWriter {
     // racing writers must not collide on the directory (Spark's writer
     // refuses an existing path), and manifests reference absolute file
     // paths, so a retried commit under a later id still resolves them.
+    val effectiveFormat = dataFormat
+      .orElse(state.flatMap(_.info.properties.get("write.format.default")))
+      .getOrElse("parquet").toLowerCase
+    require(effectiveFormat == "parquet" || effectiveFormat == "orc",
+      s"write: unsupported data format '$effectiveFormat' (parquet or orc)")
     val files = writeDataFiles(
       data, new Path(path,
         s"data/snap-${state.map(_.nextSnapshotId).getOrElse(1L)}-${commitToken()}"),
-      spec, sortBy, options, prevIds)
+      spec, sortBy, options, prevIds, dataFormat = effectiveFormat)
     // standard interchange summary stats (Iceberg spec "Snapshots" —
     // what external tools read to size incremental work); user-supplied
     // keys win on collision
@@ -1902,7 +1978,7 @@ object IcebergWriter {
       val (dataEntries, rowRange) = assignRowIds(
         effectiveFv, nextRowIdOf(state), files.map { w =>
           ManifestEntry(status = 1, content = 0, filePath = w.path,
-            fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+            fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
             partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
             nullCounts = w.nulls)
         })
