@@ -114,6 +114,25 @@ object IcebergPruning {
     x.length - y.length
   }
 
+  /** The smallest string strictly greater (in UTF-8 order) than EVERY
+    * string having `p` as a prefix: `p` with its last incrementable code
+    * point bumped (the surrogate block — not valid standalone code
+    * points — is skipped). None when no code point can grow. Shared by
+    * prefix-predicate pruning and the writer's upper-bound truncation. */
+  private[iceberg] def incrementLastCodePoint(p: String): Option[String] = {
+    val cps = p.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      if (next >= Character.MIN_SURROGATE.toInt &&
+          next <= Character.MAX_SURROGATE.toInt)
+        next = Character.MAX_SURROGATE.toInt + 1
+      Some(new String(cps.take(i) :+ next, 0, i + 1))
+    }
+  }
+
   private def compare(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))

@@ -552,6 +552,18 @@ object IcebergScan {
         attrName(a).map(c => ColPredicate(c, IsNull, null)).toSeq
       case CatIsNotNull(a) =>
         attrName(a).map(c => ColPredicate(c, NotNull, null)).toSeq
+      // Prefix predicates prune as a range: every string with prefix P
+      // satisfies P <= s < P-with-last-code-point-bumped under UTF-8
+      // order — exactly what (truncated) string bounds can check. A
+      // prefix with no bumpable code point keeps the lower bound only.
+      case StartsWith(a, b) =>
+        (attrName(a), litVal(b)) match {
+          case (Some(c), Some(prefix: String)) =>
+            ColPredicate(c, Ge, prefix) +:
+              IcebergPruning.incrementLastCodePoint(prefix)
+                .map(hi => ColPredicate(c, Lt, hi)).toSeq
+          case _ => Seq.empty
+        }
       case _ => Seq.empty
     }
   }

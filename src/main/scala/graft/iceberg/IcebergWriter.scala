@@ -583,19 +583,7 @@ object IcebergWriter {
     * always sound. */
   private def truncateUpper(s: String): Option[String] =
     if (s.codePointCount(0, s.length) <= BoundTruncateLength) Some(s)
-    else {
-      val cps = s.codePoints.limit(BoundTruncateLength).toArray
-      var i = cps.length - 1
-      while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
-      if (i < 0) None
-      else {
-        var next = cps(i) + 1
-        if (next >= Character.MIN_SURROGATE.toInt &&
-            next <= Character.MAX_SURROGATE.toInt)
-          next = Character.MAX_SURROGATE.toInt + 1
-        Some(new String(cps.take(i) :+ next, 0, i + 1))
-      }
-    }
+    else IcebergPruning.incrementLastCodePoint(truncateLower(s))
 
   /** Row count + per-column min/max bounds from one parquet FOOTER —
     * KB-scale I/O per file (no data pages). Parquet-mr's own binary-stats

@@ -161,6 +161,14 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       IcebergScan.Options(mode = "list_files"))
       .filter(col("type") === "data").count()
     assert(kept === 1)
+    // prefix predicates prune as a [prefix, prefix+1) range over the
+    // truncated bounds — and still return exact rows
+    val keptPrefix = IcebergScan.scanFiltered(spark, table,
+      col("s").startsWith("z"), IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "data").count()
+    assert(keptPrefix === 1)
+    assert(IcebergScan.scanFiltered(spark, table,
+      col("s").startsWith("a" * 18)).count() === 2)
   }
 
   test("removeOrphanFiles deletes only aged-out unreferenced files") {
