@@ -10,27 +10,39 @@ import graft.iceberg.{IcebergIO, IcebergMetadataParser, IcebergScan, IcebergSche
 import graft.iceberg.IcebergModel.Snapshot
 
 /** Offset of the Iceberg streaming source: the main-branch snapshot a
-  * batch ends at (inclusive). The DATA SEQUENCE number travels with the
-  * id so windows keep resolving after the snapshot itself is expired —
-  * batch contents are "data files whose sequence lies in (start, end]",
-  * which never needs the start snapshot to still exist. */
-final case class SnapshotOffset(snapshotId: Long, sequenceNumber: Long)
+  * batch ends at. The DATA SEQUENCE number travels with the id so
+  * windows keep resolving after the snapshot itself is expired — batch
+  * contents are "data files whose sequence lies in (start, end]", which
+  * never needs the start snapshot to still exist. `fileIdx` = -1 means
+  * the snapshot is FULLY consumed; `k >= 0` means its first `k` files
+  * (in sorted-path order) are — the sub-snapshot granularity
+  * `max-files-per-trigger` paces giant backfill commits with. */
+final case class SnapshotOffset(
+    snapshotId: Long, sequenceNumber: Long, fileIdx: Long = -1L)
     extends Offset {
   override def json: String =
-    s"""{"snapshot-id":$snapshotId,"sequence-number":$sequenceNumber}"""
+    s"""{"snapshot-id":$snapshotId,"sequence-number":$sequenceNumber,""" +
+      s""""file-idx":$fileIdx}"""
+  /** Lexicographic progress: later sequence wins; within a sequence a
+    * COMPLETE consumption (-1) outranks any partial one. */
+  def rank: (Long, Long) =
+    (sequenceNumber, if (fileIdx < 0) Long.MaxValue else fileIdx)
 }
 
 object SnapshotOffset {
   private val IdRe = """"snapshot-id"\s*:\s*(-?\d+)""".r
   private val SeqRe = """"sequence-number"\s*:\s*(-?\d+)""".r
+  private val IdxRe = """"file-idx"\s*:\s*(-?\d+)""".r
   /** Any offset Spark hands back (a live SnapshotOffset, or the
     * serialized wrapper replayed from the checkpoint's offset log)
-    * reduces to its json. */
+    * reduces to its json. Offsets logged before `file-idx` existed parse
+    * as fully-consumed. */
   def from(o: org.apache.spark.sql.connector.read.streaming.Offset): SnapshotOffset = {
     val j = o.json
     (IdRe.findFirstMatchIn(j), SeqRe.findFirstMatchIn(j)) match {
       case (Some(id), Some(seq)) =>
-        SnapshotOffset(id.group(1).toLong, seq.group(1).toLong)
+        SnapshotOffset(id.group(1).toLong, seq.group(1).toLong,
+          IdxRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(-1L))
       case _ => throw new IllegalArgumentException(
         s"not a graft-iceberg offset: $j")
     }
@@ -50,6 +62,10 @@ object SnapshotOffset {
   *  - `path` (required): table root, same resolution as `iceberg_scan`.
   *  - `max-snapshots-per-trigger`: cap snapshots consumed per batch
   *    (backfill pacing). Default unbounded.
+  *  - `max-files-per-trigger`: cap data FILES consumed per batch —
+  *    sub-snapshot offsets (`file-idx`) slice into a giant backfill
+  *    commit, so one 10k-file snapshot paces like 10k small ones.
+  *    Default unbounded.
   *  - `starting-snapshot-id`: stream only commits AFTER this snapshot.
   *  - `stream-from-latest`: `true` = start from the head at query start
   *    (ignore existing history). Default `false` = backfill everything.
@@ -87,6 +103,9 @@ class IcebergStreamSource(
   private val maxSnapshots = params.get("max-snapshots-per-trigger")
     .map(_.toInt).getOrElse(Int.MaxValue)
   require(maxSnapshots > 0, "max-snapshots-per-trigger must be positive")
+  private val maxFiles = params.get("max-files-per-trigger")
+    .map(_.toLong).getOrElse(Long.MaxValue)
+  require(maxFiles > 0, "max-files-per-trigger must be positive")
   private val skipDeletes = params.get("skip-delete-snapshots").exists(_.toBoolean)
   private val skipOverwrites = params.get("skip-overwrite-snapshots").exists(_.toBoolean)
 
@@ -138,7 +157,8 @@ class IcebergStreamSource(
   }
 
   private def remember(o: SnapshotOffset): Unit =
-    if (!known.exists(_.sequenceNumber >= o.sequenceNumber)) {
+    if (!known.exists(k => implicitly[Ordering[(Long, Long)]]
+          .gteq(k.rank, o.rank))) {
       known = Some(o)
       val fs = offsetFile.getFileSystem(conf)
       val out = fs.create(offsetFile, true)
@@ -200,44 +220,92 @@ class IcebergStreamSource(
   override def getOffset: Option[Offset] = {
     val info = load()
     if (info.snapshots.isEmpty) return known
-    val base = math.max(floorSeq,
-      known.map(_.sequenceNumber).getOrElse(Long.MinValue))
-    val pending = lineageAbove(info, base)
+    val base = known.getOrElse(SnapshotOffset(-1L, floorSeq))
+    // a partial offset means its snapshot still has unstreamed files —
+    // keep it in the pending walk (lineage sequences are unique, so the
+    // minus-one floor re-admits exactly that snapshot)
+    val aboveSeq =
+      if (base.fileIdx >= 0) base.sequenceNumber - 1 else base.sequenceNumber
+    val pending = lineageAbove(info, aboveSeq)
     pending.foreach(streams(info, _)) // fail fast on unstreamable commits
-    if (pending.isEmpty) known
-    else {
-      val end = pending.take(maxSnapshots).last
-      val off = SnapshotOffset(end.snapshotId, end.sequenceNumber)
-      remember(off)
-      Some(off)
+    if (pending.isEmpty) return known
+    var remainingFiles = maxFiles
+    var remainingSnaps = maxSnapshots
+    var off: Option[SnapshotOffset] = None
+    val it = pending.iterator
+    while (it.hasNext && remainingFiles > 0 && remainingSnaps > 0) {
+      val s = it.next()
+      if (!streams(info, s)) {
+        off = Some(SnapshotOffset(s.snapshotId, s.sequenceNumber))
+      } else {
+        val total = appendedPaths(s).size.toLong
+        val done =
+          if (base.fileIdx >= 0 && s.sequenceNumber == base.sequenceNumber)
+            base.fileIdx
+          else 0L
+        val avail = total - done
+        if (avail <= remainingFiles) {
+          remainingFiles -= avail
+          remainingSnaps -= 1
+          off = Some(SnapshotOffset(s.snapshotId, s.sequenceNumber))
+        } else {
+          off = Some(SnapshotOffset(s.snapshotId, s.sequenceNumber,
+            done + remainingFiles))
+          remainingFiles = 0
+        }
+      }
     }
+    off.foreach(remember)
+    off.orElse(known)
   }
 
+  // One snapshot's appended paths are consulted by getOffset AND getBatch
+  // (and by several batches when file-paced): cache per snapshot id,
+  // pruned at commit so memory stays bounded by the in-flight window.
+  private val pathCache =
+    scala.collection.mutable.Map.empty[Long, Seq[String]]
+
   /** Data files appended by snapshot `s`, from its OWN manifest tree —
-    * entries whose effective sequence equals the commit's. Reading the
-    * original files keeps the window correct even when a LATER compaction
-    * has already rewritten them (the end snapshot's tree would show them
-    * DELETED and their rows under the compaction's sequence). */
-  private def appendedPaths(s: Snapshot): Seq[String] = {
-    val meta = ManifestReader.loadTable(root, s, conf, opts.allowMovedPaths)
-    (for {
-      (m, es) <- meta.entries if m.content == 0
-      e <- es
-      if e.status != 2 && e.content == 0 &&
-        e.seqOr(m.sequenceNumber) == s.sequenceNumber
-    } yield if (opts.allowMovedPaths) IcebergIO.fullPath(root, e.filePath)
-            else e.filePath)
+    * entries whose effective sequence equals the commit's, in SORTED path
+    * order (sub-snapshot offsets index into this order, so it must be
+    * deterministic). Reading the original files keeps the window correct
+    * even when a LATER compaction has already rewritten them (the end
+    * snapshot's tree would show them DELETED and their rows under the
+    * compaction's sequence). */
+  private def appendedPaths(s: Snapshot): Seq[String] = synchronized {
+    pathCache.getOrElseUpdate(s.snapshotId, {
+      val meta = ManifestReader.loadTable(root, s, conf, opts.allowMovedPaths)
+      (for {
+        (m, es) <- meta.entries if m.content == 0
+        e <- es
+        if e.status != 2 && e.content == 0 &&
+          e.seqOr(m.sequenceNumber) == s.sequenceNumber
+      } yield if (opts.allowMovedPaths) IcebergIO.fullPath(root, e.filePath)
+              else e.filePath).sorted
+    })
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endOff = SnapshotOffset.from(end)
     remember(endOff)
-    val startSeq = start.map(SnapshotOffset.from(_).sequenceNumber)
-      .getOrElse(floorSeq)
+    val startOff = start.map(SnapshotOffset.from)
+    val startSeq = startOff.map(_.sequenceNumber).getOrElse(floorSeq)
+    val startIdx = startOff.map(_.fileIdx).getOrElse(-1L)
     val info = load()
-    val window = lineageAbove(info, startSeq)
+    // a partial START bound re-enters its snapshot for the remainder
+    val fromSeqExclusive = if (startIdx >= 0) startSeq - 1 else startSeq
+    val window = lineageAbove(info, fromSeqExclusive)
       .filter(_.sequenceNumber <= endOff.sequenceNumber)
-    val paths = window.filter(streams(info, _)).flatMap(appendedPaths)
+    val paths = window.filter(streams(info, _)).flatMap { s =>
+      val ps = appendedPaths(s)
+      val lo =
+        if (startIdx >= 0 && s.sequenceNumber == startSeq) startIdx else 0L
+      val hi =
+        if (s.sequenceNumber == endOff.sequenceNumber && endOff.fileIdx >= 0)
+          endOff.fileIdx
+        else ps.size.toLong
+      ps.slice(lo.toInt, hi.toInt)
+    }
     streamingParquet(paths)
   }
 
@@ -255,8 +323,16 @@ class IcebergStreamSource(
       cls, LogicalRelation(relation, isStreaming = true))
   }
 
-  override def commit(end: Offset): Unit =
-    remember(SnapshotOffset.from(end))
+  override def commit(end: Offset): Unit = {
+    val o = SnapshotOffset.from(end)
+    remember(o)
+    // fully-committed snapshots never need their path list again
+    synchronized {
+      pathCache.keys.toSeq.foreach { id =>
+        if (id != o.snapshotId || o.fileIdx < 0) pathCache.remove(id)
+      }
+    }
+  }
 
   override def stop(): Unit = ()
 

@@ -82,6 +82,46 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("max-files-per-trigger slices one giant snapshot into paced batches") {
+    val table = tmp("graft_src_files_") + "/t"
+    // ONE snapshot holding 6 files
+    IcebergWriter.write(idsDF(1L to 6L: _*).repartition(6), table)
+    val q = startToMemory(
+      readSource(table, "max-files-per-trigger" -> "2"), "src_files")
+    try {
+      q.processAllAvailable()
+      assert(memoryIds("src_files") === (1L to 6L).toSet)
+      // 6 files at 2 per trigger = at least batches 0,1,2
+      assert(q.lastProgress.batchId >= 2,
+        s"expected >=3 batches, saw batchId ${q.lastProgress.batchId}")
+      // appends continue past the sliced snapshot
+      IcebergWriter.write(idsDF(7), table)
+      q.processAllAvailable()
+      assert(memoryIds("src_files") === (1L to 7L).toSet)
+    } finally q.stop()
+  }
+
+  test("file-paced checkpoint restart resumes mid-snapshot exactly once") {
+    val table = tmp("graft_src_fckpt_") + "/t"
+    val checkpoint = tmp("graft_src_fckpt_cp_")
+    IcebergWriter.write(idsDF(1L to 4L: _*).repartition(4), table)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): StreamingQuery =
+      readSource(table, "max-files-per-trigger" -> "1").writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => got.add(r.getLong(0)))
+        }.start()
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val all = got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+      assert(all.sorted === Seq(1L, 2L, 3L, 4L), s"saw $all")
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes after the committed offset, never re-streaming") {
     val table = tmp("graft_src_ckpt_") + "/t"
     val checkpoint = tmp("graft_src_ckpt_cp_")
