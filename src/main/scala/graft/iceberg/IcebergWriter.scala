@@ -1863,7 +1863,14 @@ object IcebergWriter {
             // property, else parquet. Read-side ORC caveat: Spark's ORC
             // reader resolves columns by NAME, so metadata-only renames
             // do not reach into pre-rename ORC files.
-            dataFormat: Option[String] = None): Long = {
+            dataFormat: Option[String] = None,
+            // Iceberg's write.distribution-mode: "none" (default — rows
+            // land wherever their task runs; every task writing every
+            // partition yields tasks × partitions small files) or "hash"
+            // (one shuffle clustering rows by partition tuple first —
+            // each partition's rows land in few files; THE small-files
+            // lever for wide partitioned appends at scale).
+            distribution: String = "none"): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     if (renames.nonEmpty) {
@@ -1944,8 +1951,14 @@ object IcebergWriter {
       .getOrElse("parquet").toLowerCase
     require(effectiveFormat == "parquet" || effectiveFormat == "orc",
       s"write: unsupported data format '$effectiveFormat' (parquet or orc)")
+    require(distribution == "none" || distribution == "hash",
+      s"write: unsupported distribution mode '$distribution' (none or hash)")
+    val distributed =
+      if (distribution == "hash" && spec.nonEmpty)
+        data.repartition(spec.map(sf => transformCol(sf, spark)): _*)
+      else data
     val files = writeDataFiles(
-      data, new Path(path,
+      distributed, new Path(path,
         s"data/snap-${state.map(_.nextSnapshotId).getOrElse(1L)}-${commitToken()}"),
       spec, sortBy, options, prevIds, dataFormat = effectiveFormat)
     // standard interchange summary stats (Iceberg spec "Snapshots" —

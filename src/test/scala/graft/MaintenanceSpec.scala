@@ -171,6 +171,27 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("s").startsWith("a" * 18)).count() === 2)
   }
 
+  test("hash distribution clusters a partitioned append into few files per partition") {
+    import spark.implicits._
+    val src = (1L to 2000L).map(i => (i, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, (i % 10 + 1).toInt)))).toDF("id", "dt")
+      .repartition(16) // rows of every day in every task
+    val none = tmp("graft_dist_none_") + "/t"
+    IcebergWriter.write(src, none, partitionBy = Seq("dt" -> "day"))
+    val hash = tmp("graft_dist_hash_") + "/t"
+    IcebergWriter.write(src, hash, partitionBy = Seq("dt" -> "day"),
+      distribution = "hash")
+    def fileCount(t: String) = IcebergScan.files(spark, t).count()
+    // none: up to tasks × partitions files; hash: ~one file per partition
+    assert(fileCount(none) > 3 * fileCount(hash),
+      s"none=${fileCount(none)} hash=${fileCount(hash)}")
+    assert(fileCount(hash) <= 20)
+    // same rows either way
+    assert(IcebergScan.scan(spark, hash).count() === 2000)
+    assert(IcebergScan.scan(spark, hash).agg(sum("id")).head().getLong(0) ===
+      (1L to 2000L).sum)
+  }
+
   test("removeOrphanFiles deletes only aged-out unreferenced files") {
     val table = tmp("graft_vacuum_") + "/t"
     (1L to 3L).foreach(i => IcebergWriter.write(idsDF(i), table))
