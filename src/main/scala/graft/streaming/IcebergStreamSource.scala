@@ -69,6 +69,9 @@ object SnapshotOffset {
   *  - `starting-snapshot-id`: stream only commits AFTER this snapshot.
   *  - `stream-from-latest`: `true` = start from the head at query start
   *    (ignore existing history). Default `false` = backfill everything.
+  *  - `branch`: stream a named BRANCH's lineage instead of main — e.g.
+  *    follow a write-audit-publish staging branch as its micro-batches
+  *    land, before they are published.
   *  - `skip-delete-snapshots` / `skip-overwrite-snapshots`: row-level
   *    deletes and overwrites (update/merge) cannot be represented in an
   *    append-only stream; by default the query FAILS when it meets one.
@@ -108,6 +111,7 @@ class IcebergStreamSource(
   require(maxFiles > 0, "max-files-per-trigger must be positive")
   private val skipDeletes = params.get("skip-delete-snapshots").exists(_.toBoolean)
   private val skipOverwrites = params.get("skip-overwrite-snapshots").exists(_.toBoolean)
+  private val branch = params.get("branch")
 
   private val conf = spark.sessionState.newHadoopConf()
   private val root = IcebergIO.tableRoot(path)
@@ -124,7 +128,12 @@ class IcebergStreamSource(
         .sequenceNumber
       case None if params.get("stream-from-latest").exists(_.toBoolean) =>
         if (info.snapshots.isEmpty) -1L
-        else IcebergMetadataParser.latest(info, skipSchema = true).sequenceNumber
+        else branch match {
+          case Some(name) =>
+            IcebergMetadataParser.byRef(info, name, skipSchema = true).sequenceNumber
+          case None =>
+            IcebergMetadataParser.latest(info, skipSchema = true).sequenceNumber
+        }
       case None => -1L
     }
   }
@@ -166,11 +175,15 @@ class IcebergStreamSource(
       finally out.close()
     }
 
-  /** Main-lineage snapshots with sequence in (aboveSeq, head], ascending. */
+  /** Streamed-lineage snapshots with sequence in (aboveSeq, head],
+    * ascending — main's lineage, or the configured branch's. */
   private def lineageAbove(
       info: IcebergMetadataParser.ParseInfo, aboveSeq: Long): Seq[Snapshot] = {
     if (info.snapshots.isEmpty) return Seq.empty
-    val head = IcebergMetadataParser.latest(info, skipSchema = true)
+    val head = branch match {
+      case Some(name) => IcebergMetadataParser.byRef(info, name, skipSchema = true)
+      case None => IcebergMetadataParser.latest(info, skipSchema = true)
+    }
     val byId = info.snapshots.map(n => n.get("snapshot-id").asLong -> n).toMap
     var ids = List.empty[Long]
     var cur: Option[Long] = Some(head.snapshotId)

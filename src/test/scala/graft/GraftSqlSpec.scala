@@ -178,6 +178,20 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) > 0L)
   }
 
+  test("iceberg_all_manifests and iceberg_all_files through SQL") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlall_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.write(nation, table)
+    assert(spark.sql(
+      s"SELECT count(*) FROM iceberg_all_manifests('$table')")
+      .head().getLong(0) === 3L) // 1 + 2
+    assert(spark.sql(
+      s"""SELECT count(*) FROM iceberg_all_files('$table')
+          WHERE content = 0""").head().getLong(0) === 3L)
+  }
+
   test("runtime registration on an extension-less session") {
     val fresh = spark.newSession()
     GraftSql.register(fresh)

@@ -219,6 +219,22 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("branch option streams a staging branch's commits before publish") {
+    val table = tmp("graft_src_branch_") + "/t"
+    IcebergWriter.write(idsDF(1), table)
+    graft.iceberg.IcebergWriter.createBranch(spark, table, "audit")
+    IcebergWriter.write(idsDF(2), table, branch = "audit")
+    val qMain = startToMemory(readSource(table), "src_br_main")
+    val qAudit = startToMemory(
+      readSource(table, "branch" -> "audit"), "src_br_audit")
+    try {
+      qMain.processAllAvailable()
+      qAudit.processAllAvailable()
+      assert(memoryIds("src_br_main") === Set(1L))     // staged row invisible
+      assert(memoryIds("src_br_audit") === Set(1L, 2L)) // branch lineage
+    } finally { qMain.stop(); qAudit.stop() }
+  }
+
   test("table-to-table mirror: source feeds the Iceberg sink exactly once") {
     val src = tmp("graft_src_mirror_a_") + "/t"
     val dst = tmp("graft_src_mirror_b_") + "/t"
