@@ -89,6 +89,24 @@ class OrcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq === (4L to 10L))
   }
 
+  test("ORC footer stats agree with parquet's for identical data") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "aardvark-with-a-very-long-name", 1.5),
+      (9L, "zebra-with-an-equally-long-name", -2.5))
+      .toDF("id", "name", "score").repartition(1)
+    val pq = tmp("graft_orc_par_p_") + "/t"
+    val orc = tmp("graft_orc_par_o_") + "/t"
+    IcebergWriter.write(rows, pq)
+    IcebergWriter.write(rows, orc, dataFormat = Some("orc"))
+    def bounds(t: String) = IcebergScan.files(spark, t).collect().map { r =>
+      (r.getAs[Map[Int, String]]("lower_bounds").toSeq.sorted,
+       r.getAs[Map[Int, String]]("upper_bounds").toSeq.sorted,
+       r.getAs[Map[Int, Long]]("null_value_counts").toSeq.sorted)
+    }.toSeq
+    assert(bounds(pq) === bounds(orc))
+  }
+
   test("write.format.default property is honored when no format is passed") {
     val table = tmp("graft_orc_prop_") + "/t"
     IcebergWriter.write(idsDF(1), table, dataFormat = Some("orc"))
