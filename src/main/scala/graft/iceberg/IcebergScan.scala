@@ -564,6 +564,22 @@ object IcebergScan {
                 .map(hi => ColPredicate(c, Lt, hi)).toSeq
           case _ => Seq.empty
         }
+      // OR of same-column equality tests merges into one IN check (a
+      // file survives when ANY disjunct may match — exactly In's keep
+      // rule). Disjunctions that aren't single same-column Eq/In on both
+      // sides extract nothing: a partial extraction would wrongly drop
+      // files matching the unextracted side.
+      case Or(l, r) =>
+        (extractPredicates(l), extractPredicates(r)) match {
+          case (Seq(ColPredicate(c1, op1, v1)), Seq(ColPredicate(c2, op2, v2)))
+              if c1 == c2 && Seq(op1, op2).forall(o => o == Eq || o == In) =>
+            def elems(op: Op, v: Any): Seq[Any] = op match {
+              case In => v.asInstanceOf[Seq[Any]]
+              case _ => Seq(v)
+            }
+            Seq(ColPredicate(c1, In, elems(op1, v1) ++ elems(op2, v2)))
+          case _ => Seq.empty
+        }
       case _ => Seq.empty
     }
   }

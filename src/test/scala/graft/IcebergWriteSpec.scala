@@ -318,8 +318,22 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.get
     val got = extractPredicates(resolved)
     assert(got.map(p => (p.column, p.op)) ===
-      Seq(("a", Eq), ("b", Lt), ("dt", Ge))) // startsWith not extractable
+      Seq(("a", Eq), ("b", Lt), ("dt", Ge),
+        ("s", Ge), ("s", Lt))) // startsWith = [prefix, prefix+1) range
     assert(got(2).value === 19727) // epoch days of 2024-01-05
+    assert(got(3).value === "x" && got(4).value === "y")
+
+    // OR of same-column equalities merges into one IN; mixed-column OR
+    // extracts nothing (partial extraction would over-prune)
+    import graft.iceberg.IcebergPruning.In
+    def extractOf(c: org.apache.spark.sql.Column) =
+      extractPredicates(dummy.filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get)
+    val orGot = extractOf((col("a") === 1L) || (col("a") === 7L))
+    assert(orGot.map(p => (p.column, p.op)) === Seq(("a", In)))
+    assert(orGot.head.value === Seq(1L, 7L))
+    assert(extractOf((col("a") === 1L) || (col("b") === 2)) === Seq.empty)
 
     // end to end: the plain-filter API reads strictly fewer files
     val table = Files.createTempDirectory("graft_wf_").toString + "/t"
