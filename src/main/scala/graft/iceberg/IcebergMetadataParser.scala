@@ -39,7 +39,28 @@ object IcebergMetadataParser {
       snapshotLog: Seq[(Long, Long)] = Seq.empty,
       // table `properties` (spec "Table Metadata" field): engine-visible
       // configuration, e.g. write.format.default for ORC-format tables
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      // `metadata-log` entries (spec "Metadata Log"): (timestamp-ms,
+      // metadata-file) pairs naming each superseded metadata.json — what
+      // the `metadata_log_entries` metadata table renders.
+      metadataLog: Seq[(Long, String)] = Seq.empty,
+      // `last-updated-ms` / `current-snapshot-id` root fields (the latter
+      // distinct from refs: it is what ref-less readers resolve).
+      lastUpdatedMs: Option[Long] = None,
+      currentSnapshotId: Option[Long] = None,
+      // per-ref retention policy fields (spec "Refs"): drive snapshot
+      // expiration, not reads — kept separate from `refs` so the many
+      // read-path consumers of (id, type) stay untouched.
+      refRetention: Map[String, RefRetention] = Map.empty)
+
+  /** Optional retention policy of one snapshot ref (spec "Refs"). */
+  final case class RefRetention(
+      maxRefAgeMs: Option[Long] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None) {
+    def isEmpty: Boolean =
+      maxRefAgeMs.isEmpty && maxSnapshotAgeMs.isEmpty && minSnapshotsToKeep.isEmpty
+  }
 
   /** One `statistics` entry of table metadata. */
   final case class StatsFile(
@@ -88,6 +109,14 @@ object IcebergMetadataParser {
         val t = Option(e.getValue.get("type")).map(_.asText).getOrElse("branch")
         e.getKey -> (e.getValue.get("snapshot-id").asLong, t)
       }.toMap
+    val refRet: Map[String, RefRetention] =
+      if (!root.has("refs")) Map.empty
+      else root.get("refs").fields.asScala.map { e =>
+        e.getKey -> RefRetention(
+          Option(e.getValue.get("max-ref-age-ms")).map(_.asLong),
+          Option(e.getValue.get("max-snapshot-age-ms")).map(_.asLong),
+          Option(e.getValue.get("min-snapshots-to-keep")).map(_.asInt))
+      }.filterNot(_._2.isEmpty).toMap
     val stats: Seq[StatsFile] =
       if (!root.has("statistics")) Seq.empty
       else root.get("statistics").elements.asScala.toSeq.map { s =>
@@ -128,16 +157,23 @@ object IcebergMetadataParser {
       if (!root.has("properties")) Map.empty
       else root.get("properties").fields.asScala
         .map(e => e.getKey -> e.getValue.asText).toMap
+    val metaLog: Seq[(Long, String)] =
+      if (!root.has("metadata-log")) Seq.empty
+      else root.get("metadata-log").elements.asScala.toSeq.map { e =>
+        e.get("timestamp-ms").asLong -> e.get("metadata-file").asText
+      }
+    val updatedMs = Option(root.get("last-updated-ms")).map(_.asLong)
+    val curSnap = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ >= 0)
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
       ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec,
-        refs, stats, pStats, snapLog, props)
+        refs, stats, pStats, snapLog, props, metaLog, updatedMs, curSnap, refRet)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
       ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec,
-        refs, stats, pStats, snapLog, props)
+        refs, stats, pStats, snapLog, props, metaLog, updatedMs, curSnap, refRet)
     }
   }
 

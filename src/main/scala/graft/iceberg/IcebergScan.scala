@@ -1099,6 +1099,60 @@ object IcebergScan {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** iceberg_metadata_log_entries — the `metadata_log_entries` metadata
+    * table (spec "Metadata Log"): one row per superseded metadata.json
+    * recorded in `metadata-log`, plus the CURRENT metadata file as the
+    * final row. `latest_*` columns resolve WITHOUT opening the old files
+    * (they may be gone): each entry's snapshot is the last `snapshot-log`
+    * entry at-or-before the metadata file's timestamp — the same
+    * derivation other Iceberg engines use — and the current row reads
+    * `current-snapshot-id` directly. Zero manifest or data I/O. */
+  def metadataLog(spark: SparkSession, path: String,
+                  opts: Options = Options()): DataFrame = {
+    val conf = hadoopConf(spark)
+    val metaPath = IcebergIO.resolveMetadataPath(
+      path, conf, opts.metadataCompressionCodec,
+      opts.version, opts.versionNameFormat, guessingEnabled(spark))
+    val info = IcebergMetadataParser.parseInfo(
+      IcebergIO.readString(metaPath, conf,
+        gzip = opts.metadataCompressionCodec == "gzip"))
+    val byId = info.snapshots
+      .map(n => n.get("snapshot-id").asLong -> n).toMap
+    def latestAt(ts: Long): (Any, Any, Any) =
+      info.snapshotLog.filter(_._1 <= ts).lastOption.flatMap {
+        case (_, id) => byId.get(id)
+      }.map { n =>
+        (n.get("snapshot-id").asLong,
+         if (n.has("schema-id")) Int.box(n.get("schema-id").asInt) else null,
+         if (n.has("sequence-number")) Long.box(n.get("sequence-number").asLong)
+         else null)
+      }.getOrElse((null, null, null))
+    val currentTs = info.lastUpdatedMs
+      .orElse(info.metadataLog.map(_._1).maxOption).getOrElse(0L)
+    def tsCol(ms: Long) = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+    val logRows = info.metadataLog.map { case (ts, file) =>
+      val (id, sid, seq) = latestAt(ts)
+      Row(tsCol(ts), file, id, sid, seq)
+    }
+    val currentRow = {
+      val (id, sid, seq) = info.currentSnapshotId.flatMap(byId.get).map { n =>
+        (n.get("snapshot-id").asLong,
+         if (n.has("schema-id")) Int.box(n.get("schema-id").asInt) else null,
+         if (n.has("sequence-number")) Long.box(n.get("sequence-number").asLong)
+         else null)
+      }.getOrElse((null, null, null))
+      Row(tsCol(currentTs), metaPath, id, sid, seq)
+    }
+    val schema = StructType(Seq(
+      StructField("timestamp", TimestampNTZType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("latest_snapshot_id", LongType, nullable = true),
+      StructField("latest_schema_id", IntegerType, nullable = true),
+      StructField("latest_sequence_number", LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(logRows :+ currentRow, 1), schema)
+  }
 
   /** iceberg_manifests — the `manifests` metadata table other Iceberg
     * engines expose (engine extension): one row per manifest of the

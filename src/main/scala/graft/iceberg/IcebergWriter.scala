@@ -1259,7 +1259,8 @@ object IcebergWriter {
                    else state.flatMap(_.branchHead("main")).getOrElse(snapshotId)
     val newRefs = state.map(_.refs).getOrElse(Map.empty) ++
       Map(branch -> (snapshotId, "branch"), "main" -> (mainHead, "branch"))
-    writeRefsNode(root, newRefs)
+    writeRefsNode(root, newRefs,
+      state.map(_.info.refRetention).getOrElse(Map.empty))
     // statistics entries carry forward: the commit's root is rebuilt
     // from scratch, and dropping them here would silently orphan every
     // analyze the moment any write lands. Their snapshots still exist.
@@ -1339,13 +1340,22 @@ object IcebergWriter {
     * break). Returns how many snapshots were dropped. */
   /** Serialize a refs map onto a metadata root (shared by every commit
     * path so a future refs field cannot be dropped on one of them). */
-  private def writeRefsNode(root: ObjectNode, refs: Map[String, (Long, String)]): Unit =
+  private def writeRefsNode(
+      root: ObjectNode, refs: Map[String, (Long, String)],
+      retention: Map[String, IcebergMetadataParser.RefRetention] = Map.empty): Unit =
     if (refs.nonEmpty) {
       val refsNode = root.putObject("refs")
       refs.toSeq.sortBy(_._1).foreach { case (name, (id, tpe)) =>
         val r = refsNode.putObject(name)
         r.put("snapshot-id", id)
         r.put("type", tpe)
+        // retention policy fields (spec "Refs") carry forward with the ref
+        // — a rewrite must not silently strip a foreign table's policies
+        retention.get(name).foreach { ret =>
+          ret.maxRefAgeMs.foreach(v => r.put("max-ref-age-ms", v): Unit)
+          ret.maxSnapshotAgeMs.foreach(v => r.put("max-snapshot-age-ms", v): Unit)
+          ret.minSnapshotsToKeep.foreach(v => r.put("min-snapshots-to-keep", v): Unit)
+        }
       }
     }
 
@@ -1413,7 +1423,8 @@ object IcebergWriter {
 
   private def rewriteSnapshots(
       path: String, conf: Configuration, state: State,
-      moveMainTo: Option[Long] = None)(
+      moveMainTo: Option[Long] = None,
+      dropRefs: Set[String] = Set.empty)(
       retain: JsonNode => Boolean): Int = {
     val json = IcebergIO.readString(
       new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
@@ -1425,7 +1436,8 @@ object IcebergWriter {
     // the parent walk fastForward needs, leaving a legitimately-ahead
     // branch permanently unpublishable. Main's own ancestors stay
     // expirable (that is what expiration is for).
-    val newRefs = state.refs ++ moveMainTo.map(id => "main" -> (id, "branch"))
+    val newRefs = (state.refs -- (dropRefs - "main")) ++
+      moveMainTo.map(id => "main" -> (id, "branch"))
     val parents = parentMap(state)
     val mainAnc = newRefs.get("main")
       .map(h => ancestorsOf(parents, h._1)).getOrElse(Set.empty)
@@ -1455,7 +1467,7 @@ object IcebergWriter {
         root.set[JsonNode](key, pruned): Unit
       }
     }
-    writeRefsNode(root, newRefs)
+    writeRefsNode(root, newRefs, state.info.refRetention)
     val newest = newRefs.get("main").map(_._1).getOrElse(
       state.snapshots.filter(keep).maxBy(_.get("timestamp-ms").asLong)
         .get("snapshot-id").asLong)
@@ -1606,21 +1618,64 @@ object IcebergWriter {
     * drop every snapshot committed before `olderThanMs` (epoch millis).
     * Ref heads, staged branch lineage and the newest snapshot survive
     * regardless (rewriteSnapshots' protections), so an aggressive cutoff
-    * can never empty the table or break an unpublished branch. Returns
-    * how many snapshots were dropped. */
+    * can never empty the table or break an unpublished branch.
+    *
+    * Per-ref retention policies (spec "Refs", set via [[setRefRetention]])
+    * are honored:
+    *  - a non-main ref whose snapshot is older than its `max-ref-age-ms`
+    *    (measured from `nowMs`) is DROPPED by this sweep, releasing its
+    *    pinned history;
+    *  - a branch's newest `min-snapshots-to-keep` ancestors survive;
+    *  - a branch's ancestors younger than `nowMs - max-snapshot-age-ms`
+    *    survive. Policies only ever PROTECT relative to the global
+    *    cutoff — expiration never drops more than `olderThanMs` asks.
+    * Returns how many snapshots were dropped. */
   def expireSnapshotsOlderThan(spark: SparkSession, path: String,
-                               olderThanMs: Long): Int = {
+                               olderThanMs: Long,
+                               nowMs: Long = System.currentTimeMillis()): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(
         s"expireSnapshotsOlderThan: no Iceberg table at $path"))
+    val ret = state.info.refRetention
+    val tsOf: Long => Option[Long] = id => state.snapshots
+      .find(_.get("snapshot-id").asLong == id)
+      .map(_.get("timestamp-ms").asLong)
+    // 1. lapsed refs (never main): age measured at the referenced snapshot
+    val expiredRefs: Set[String] = state.refs.collect {
+      case (name, (id, _))
+          if name != "main" && ret.get(name).flatMap(_.maxRefAgeMs)
+            .exists(age => tsOf(id).exists(ts => nowMs - ts > age)) => name
+    }.toSet
+    // 2. branch-policy protections over each surviving branch's lineage
+    val parents = parentMap(state)
+    def orderedAncestors(head: Long): Seq[Long] = {
+      var acc = List.empty[Long] // built oldest-first, reversed at the end
+      var cur: Option[Long] = Some(head)
+      var seen = Set.empty[Long]
+      while (cur.nonEmpty && parents.contains(cur.get) && !seen(cur.get)) {
+        seen += cur.get; acc ::= cur.get; cur = parents(cur.get)
+      }
+      acc.reverse // newest-first
+    }
+    val protectedByPolicy: Set[Long] = (state.refs -- expiredRefs).toSeq.collect {
+      case (name, (head, "branch")) if ret.contains(name) =>
+        val chain = orderedAncestors(head)
+        val byCount = ret(name).minSnapshotsToKeep
+          .map(n => chain.take(n).toSet).getOrElse(Set.empty)
+        val byAge = ret(name).maxSnapshotAgeMs.map { age =>
+          chain.filter(id => tsOf(id).exists(ts => nowMs - ts <= age)).toSet
+        }.getOrElse(Set.empty)
+        byCount ++ byAge
+    }.flatten.toSet
     // the newest snapshot always survives, even when everything predates
     // the cutoff — a retention sweep must never delete the table's head
     val newest = state.snapshots
       .maxBy(_.get("timestamp-ms").asLong).get("snapshot-id").asLong
-    rewriteSnapshots(path, conf, state)(s =>
+    rewriteSnapshots(path, conf, state, dropRefs = expiredRefs)(s =>
       s.get("timestamp-ms").asLong >= olderThanMs ||
-        s.get("snapshot-id").asLong == newest)
+        s.get("snapshot-id").asLong == newest ||
+        protectedByPolicy(s.get("snapshot-id").asLong))
   }
 
   /** Roll the table back to `snapshotId`: snapshots committed AFTER it
@@ -1654,7 +1709,10 @@ object IcebergWriter {
   /** Metadata-only commit that replaces the table's refs map (same
     * snapshots, vN+1 metadata.json — conflict-safe via the same
     * create-exclusive write every data commit uses). */
-  private def rewriteRefs(path: String, conf: Configuration, state: State)(
+  private def rewriteRefs(
+      path: String, conf: Configuration, state: State,
+      mutateRetention: Map[String, IcebergMetadataParser.RefRetention] =>
+        Map[String, IcebergMetadataParser.RefRetention] = identity)(
       mutate: Map[String, (Long, String)] => Map[String, (Long, String)]): Unit = {
     // a pre-refs table gets its implicit main branch materialized first,
     // so "latest" stays pinned to main once any other ref exists
@@ -1671,7 +1729,7 @@ object IcebergWriter {
     val json = IcebergIO.readString(
       new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
     val root = mapper.readTree(json).asInstanceOf[ObjectNode]
-    writeRefsNode(root, newRefs)
+    writeRefsNode(root, newRefs, mutateRetention(state.info.refRetention))
     newRefs.get("main").foreach { case (id, _) =>
       root.put("current-snapshot-id", id)
     }
@@ -1732,6 +1790,34 @@ object IcebergWriter {
     rewriteRefs(path, conf, state) { refs =>
       require(refs.contains(name), s"ref '$name' does not exist")
       refs - name
+    }
+  }
+
+  /** Set (or clear, by passing all-None) the retention policy of an
+    * existing ref — the spec's `max-ref-age-ms` / `max-snapshot-age-ms` /
+    * `min-snapshots-to-keep` fields (spec "Refs"). A metadata-only
+    * commit; the policy drives [[expireSnapshotsOlderThan]]:
+    *  - `maxRefAgeMs` (tags + branches, not main): the ref itself is
+    *    dropped once its snapshot is older than this;
+    *  - `maxSnapshotAgeMs` (branches): the branch's ancestors younger
+    *    than `now - maxSnapshotAgeMs` survive expiration even when the
+    *    global cutoff would drop them;
+    *  - `minSnapshotsToKeep` (branches): the branch's newest N ancestors
+    *    always survive. */
+  def setRefRetention(spark: SparkSession, path: String, name: String,
+                      maxRefAgeMs: Option[Long] = None,
+                      maxSnapshotAgeMs: Option[Long] = None,
+                      minSnapshotsToKeep: Option[Int] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = refState(path, conf, "setRefRetention")
+    val ret = IcebergMetadataParser.RefRetention(
+      maxRefAgeMs, maxSnapshotAgeMs, minSnapshotsToKeep)
+    rewriteRefs(path, conf, state,
+      mutateRetention = m => if (ret.isEmpty) m - name else m + (name -> ret)) {
+      refs =>
+        require(refs.contains(name) || name == "main",
+          s"setRefRetention: ref '$name' does not exist")
+        refs
     }
   }
 

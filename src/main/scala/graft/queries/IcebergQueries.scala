@@ -1101,6 +1101,42 @@ object IcebergQueries {
           .agg(count(lit(1)).as("cnt"))
         total.crossJoin(kept).crossJoin(cnt)
       }
+    ),
+    QueryDef(
+      "ib49_metadata_log",
+      // `metadata_log_entries` metadata table gate: two appends then a
+      // metadata-only tag commit. The log must list v1 and v2 as
+      // superseded plus the CURRENT v3 file, with latest_* resolved from
+      // snapshot-log timestamps alone (no old-file reads): v1 → snapshot
+      // 1 / seq 1, v2 and the tag commit → snapshot 2 / seq 2 (a
+      // metadata-only commit leaves the current snapshot untouched).
+      // Timestamps are wall-clock so the gate projects the deterministic
+      // columns; file basenames and snapshot ids are fixed by
+      // construction.
+      Some("""
+        SELECT * FROM (VALUES
+          ('v1.metadata.json', CAST(1 AS BIGINT), 0, CAST(1 AS BIGINT)),
+          ('v2.metadata.json', CAST(2 AS BIGINT), 0, CAST(2 AS BIGINT)),
+          ('v3.metadata.json', CAST(2 AS BIGINT), 0, CAST(2 AS BIGINT)))
+          t(file, latest_snapshot_id, latest_schema_id, latest_sequence_number)
+        ORDER BY file"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib49_").toString + "/orders_mlog"
+        val orders = graft.Tables.load(s, dir, "orders")
+        graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 0), table)
+        Thread.sleep(2) // commits are ms-timestamped; keep log entries ordered
+        graft.iceberg.IcebergWriter.write(
+          orders.filter(col("o_orderkey") % 2 === 1), table)
+        Thread.sleep(2)
+        graft.iceberg.IcebergWriter.createTag(s, table, "audit", Some(2L))
+        IcebergScan.metadataLog(s, table)
+          .select(element_at(split(col("file"), "/"), -1).as("file"),
+            col("latest_snapshot_id"), col("latest_schema_id"),
+            col("latest_sequence_number"))
+          .orderBy("file")
+      }
     )
   )
 }

@@ -246,6 +246,9 @@ object GraftSql {
       builder("iceberg_partitions", (s, p, o) => IcebergScan.partitions(s, p, o))),
     ("iceberg_history", "current-snapshot change log of an Apache Iceberg table",
       builder("iceberg_history", (s, p, o) => IcebergScan.history(s, p, o))),
+    ("iceberg_metadata_log_entries", "superseded and current metadata files of a table",
+      builder("iceberg_metadata_log_entries",
+        (s, p, o) => IcebergScan.metadataLog(s, p, o))),
     ("iceberg_manifests", "per-manifest file and row aggregates of a snapshot",
       builder("iceberg_manifests", (s, p, o) => IcebergScan.manifests(s, p, o))),
     ("iceberg_files", "per-file stats (counts, sizes, bounds) of a snapshot",

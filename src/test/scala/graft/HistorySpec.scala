@@ -134,4 +134,41 @@ class HistorySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(IcebergScan.history(spark, foreign).count() === 0L)
     }
   }
+
+  test("metadata_log_entries lists superseded files plus current, latest_* resolved") {
+    val table = newTable("graft_hist7_")
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation, table)
+    Thread.sleep(2)
+    IcebergWriter.write(nation.limit(2), table)
+    Thread.sleep(2)
+    IcebergWriter.createTag(spark, table, "t1", Some(2L)) // metadata-only
+    val rows = IcebergScan.metadataLog(spark, table)
+      .orderBy("file").collect()
+    assert(rows.map(_.getString(1).split("/").last).toSeq ===
+      Seq("v1.metadata.json", "v2.metadata.json", "v3.metadata.json"))
+    // v1 was current when snapshot 1 led; v2 and the tag commit → snapshot 2
+    assert(rows.map(_.getLong(2)).toSeq === Seq(1L, 2L, 2L))
+    assert(rows.map(_.getLong(4)).toSeq === Seq(1L, 2L, 2L))
+    // timestamps monotone non-decreasing in log order
+    val ts = IcebergScan.metadataLog(spark, table)
+      .collect().map(_.getAs[java.time.LocalDateTime](0))
+    assert(ts.toSeq === ts.sortBy(t => t.toEpochSecond(java.time.ZoneOffset.UTC) -> t.getNano).toSeq)
+    // SQL TVF surface
+    graft.sql.GraftSql.register(spark)
+    val n = spark.sql(
+      s"SELECT count(*) FROM iceberg_metadata_log_entries('$table')")
+      .collect()(0).getLong(0)
+    assert(n === 3L)
+    // foreign (reference-written) table: its one superseded entry plus the
+    // current file; the current row's latest_* resolve via
+    // current-snapshot-id
+    val foreign2 = "/root/reference/data/iceberg/lineitem_iceberg"
+    val f = IcebergScan.metadataLog(spark, foreign2,
+      IcebergScan.Options(allowMovedPaths = true)).collect()
+    assert(f.length === 2)
+    assert(f(0).getString(1).endsWith("v1.metadata.json"))
+    assert(f(1).getString(1).endsWith("v2.metadata.json"))
+    assert(f(1).getLong(2) === 7635660646343998149L)
+  }
 }

@@ -394,4 +394,81 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
       check()
     }
   }
+
+  test("ref retention: fields round-trip and survive unrelated ref commits") {
+    val table = freshTable("nation_ret")
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation, table)
+    IcebergWriter.createTag(spark, table, "audit")
+    IcebergWriter.setRefRetention(spark, table, "audit",
+      maxRefAgeMs = Some(86400000L))
+    IcebergWriter.setRefRetention(spark, table, "main",
+      maxSnapshotAgeMs = Some(3600000L), minSnapshotsToKeep = Some(2))
+    def ret = IcebergScan.loadInfo(spark, table).refRetention
+    assert(ret("audit").maxRefAgeMs === Some(86400000L))
+    assert(ret("main").minSnapshotsToKeep === Some(2))
+    // an unrelated ref commit must carry the policies forward
+    IcebergWriter.createTag(spark, table, "other")
+    assert(ret("audit").maxRefAgeMs === Some(86400000L))
+    assert(ret("main").maxSnapshotAgeMs === Some(3600000L))
+    // clearing removes the fields
+    IcebergWriter.setRefRetention(spark, table, "audit")
+    assert(!ret.contains("audit"))
+  }
+
+  test("expire honors max-ref-age-ms: lapsed tags drop, their history frees") {
+    val table = freshTable("nation_refage")
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation.limit(5), table)  // snap 1
+    IcebergWriter.createTag(spark, table, "old") // pins snap 1
+    IcebergWriter.write(nation.limit(3), table)  // snap 2
+    IcebergWriter.write(nation.limit(1), table)  // snap 3
+    val now = System.currentTimeMillis() + 10000
+    // age 0: the tag has lapsed → dropped, snapshot 1 expirable in-sweep
+    IcebergWriter.setRefRetention(spark, table, "old", maxRefAgeMs = Some(0L))
+    val dropped = IcebergWriter.expireSnapshotsOlderThan(
+      spark, table, olderThanMs = now, nowMs = now)
+    val info = IcebergScan.loadInfo(spark, table)
+    assert(!info.refs.contains("old"))
+    assert(dropped === 2) // snaps 1 and 2; 3 survives as newest
+    assert(IcebergScan.scan(spark, table).count() === 9L) // appends: 5+3+1
+    // a generous age would have kept the tag (fresh table)
+    val t2 = freshTable("nation_refage2")
+    IcebergWriter.write(nation.limit(5), t2)
+    IcebergWriter.createTag(spark, t2, "young")
+    IcebergWriter.setRefRetention(spark, t2, "young",
+      maxRefAgeMs = Some(7L * 86400000L))
+    IcebergWriter.write(nation.limit(3), t2)
+    IcebergWriter.expireSnapshotsOlderThan(
+      spark, t2, olderThanMs = System.currentTimeMillis() + 10000)
+    assert(IcebergScan.loadInfo(spark, t2).refs.contains("young"))
+    // the pinned snapshot stayed readable through the tag
+    assert(IcebergScan.scan(spark, t2,
+      Options(snapshotFromRef = Some("young"))).count() === 5L)
+  }
+
+  test("expire honors branch min-snapshots-to-keep and max-snapshot-age-ms") {
+    val table = freshTable("nation_minkeep")
+    val nation = Tables.load(spark, Sf, "nation")
+    (1 to 5).foreach(i => IcebergWriter.write(nation.limit(i), table))
+    IcebergWriter.setRefRetention(spark, table, "main",
+      minSnapshotsToKeep = Some(3))
+    val now = System.currentTimeMillis() + 10000
+    val dropped = IcebergWriter.expireSnapshotsOlderThan(
+      spark, table, olderThanMs = now, nowMs = now)
+    // expire-everything cutoff, but main keeps its newest 3 ancestors
+    assert(dropped === 2)
+    val ids = IcebergScan.snapshots(spark, table)
+      .select("snapshot_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(3L, 4L, 5L))
+    // age-based protection: everything younger than 7 days survives an
+    // expire-everything sweep
+    val t2 = freshTable("nation_age")
+    (1 to 3).foreach(i => IcebergWriter.write(nation.limit(i), t2))
+    IcebergWriter.setRefRetention(spark, t2, "main",
+      maxSnapshotAgeMs = Some(7L * 86400000L))
+    val now2 = System.currentTimeMillis() + 10000
+    assert(IcebergWriter.expireSnapshotsOlderThan(
+      spark, t2, olderThanMs = now2, nowMs = now2) === 0)
+  }
 }
