@@ -37,6 +37,14 @@ object IcebergSchemaParser {
     // binaries, optionally shredded), so the parquet reader decodes it
     // directly — no JSON round trip on the read path.
     case "variant"     => VariantType
+    // Iceberg v3 nanosecond timestamps: Spark has no nanos timestamp type
+    // — surface the raw INT64 nanos (documented deviation, like `time`).
+    // The session's nanosAsLong conf reads parquet TIMESTAMP(NANOS)
+    // columns the same way, so declared and physical types agree.
+    case "timestamp_ns" | "timestamptz_ns" => LongType
+    // Iceberg v3 `unknown`: always-null placeholder (values are never
+    // stored); reads materialize NULL via the missing-column fill.
+    case "unknown"     => NullType
     case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
     case FixedRe(_)    => BinaryType
     case other => throw new IllegalArgumentException(s"Encountered an unsupported type in JSON schema: '$other'")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.iceberg.IcebergScan
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -113,10 +114,11 @@ object DedupQueries {
           SELECT vec_id, ${dotDblSql("e", "e")} AS nn
           FROM embn)"""
 
-  /** Shared bigram-MinHash-LSH candidate pairs (doc_a < doc_b), the
-    * candidate generator behind d02/d04/d06. */
-  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.load(s, dir, "documents")
+  /** Bigram-MinHash-LSH band signatures of a `documents`-shaped frame:
+    * one (doc_id, b, sig) row per band — the persistable LSH index unit
+    * (d07 materializes it as an Iceberg table). */
+  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
+    val tok = docs
       .withColumn("__t", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"), explode(bigramShingles).as("w"))
       .withColumn("h",
@@ -131,8 +133,14 @@ object DedupQueries {
         (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}").cast("string")): _*)
         .cast("binary"))
     }
-    val bands = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       posexplode(array(bandSigs: _*)).as(Seq("b", "sig")))
+  }
+
+  /** Shared bigram-MinHash-LSH candidate pairs (doc_a < doc_b), the
+    * candidate generator behind d02/d04/d06. */
+  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(Tables.load(s, dir, "documents"))
     bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
         col("a.doc_id") < col("c.doc_id"))
@@ -357,6 +365,52 @@ object DedupQueries {
       (s, dir) => {
         clusterLabels(s, dir)
           .select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+      }
+    ),
+    QueryDef(
+      "d07_incremental_dedup",
+      // INCREMENTAL corpus dedup — the 100 TB ingestion pattern: the
+      // already-ingested corpus's LSH band signatures are PERSISTED as an
+      // Iceberg index table (built once, here within the gate); each new
+      // batch computes bands only for ITS docs and joins them against the
+      // index — the corpus text is never re-shingled, and the index join
+      // is a bucketed equi-join on (band, signature) whose cost scales
+      // with the batch, not the corpus. A new doc is dropped when it
+      // collides with any corpus band or with an earlier (lower doc_id)
+      // batch doc; survivors are the batch's keepers. The oracle
+      // recomputes the same rule from scratch over the full corpus.
+      Some(s"""
+        WITH ${minhashCandSql},
+        dropped AS (
+          SELECT DISTINCT x.doc_id
+          FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+          WHERE x.doc_id % 5 = 4
+            AND (y.doc_id % 5 != 4 OR y.doc_id < x.doc_id))
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 5 = 4
+          AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_d07_").toString + "/band_index"
+        val docs = Tables.load(s, dir, "documents")
+        val isBatch = col("doc_id") % 5 === 4
+        // one-time (per-ingest) index build: corpus bands → Iceberg
+        graft.iceberg.IcebergWriter.write(
+          minhashBands(docs.filter(!isBatch)), idx)
+        val index = IcebergScan.scan(s, idx)
+          .select(col("b"), col("sig"), col("doc_id").as("corpus_id"))
+        val batchBands = minhashBands(docs.filter(isBatch))
+        val hitCorpus = batchBands.join(index, Seq("b", "sig"))
+          .select("doc_id").distinct()
+        val hitEarlier = batchBands.as("x").join(batchBands.as("y"),
+            col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
+            col("y.doc_id") < col("x.doc_id"))
+          .select(col("x.doc_id")).distinct()
+        docs.filter(isBatch).select("doc_id", "lang")
+          .join(hitCorpus.unionByName(hitEarlier).distinct(), Seq("doc_id"),
+            "left_anti")
+          .orderBy("doc_id")
       }
     ),
     QueryDef(

@@ -124,4 +124,41 @@ class DefaultValuesSpec extends AnyFunSuite with BeforeAndAfterAll {
       IcebergWriter.write(slice(120, 130), table)
     }
   }
+
+  test("v3 unknown-typed column (foreign metadata) reads as all-NULL") {
+    val table = newTable("graft_dv_unk_")
+    IcebergWriter.write(firstN(20), table, formatVersion = 3)
+    // a foreign v3 writer may declare an `unknown` column (spec v3:
+    // always-null placeholder, values never stored) — splice one into
+    // the current schema by hand, like such a writer would
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = s"$table/metadata/v1.metadata.json"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(graft.iceberg.IcebergIO.readString(metaPath, conf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val nextId = root.get("last-column-id").asInt + 1
+    val sid = root.get("current-schema-id").asInt
+    val schema = root.get("schemas").elements()
+    var cur: com.fasterxml.jackson.databind.JsonNode = null
+    while (schema.hasNext) {
+      val s = schema.next()
+      if (s.get("schema-id").asInt == sid) cur = s
+    }
+    val f = cur.get("fields").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .addObject()
+    f.put("id", nextId); f.put("name", "mystery")
+    f.put("required", false); f.put("type", "unknown")
+    root.put("last-column-id", nextId)
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$table/metadata/v2.metadata.json"), true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)); out.close()
+    val hint = fs.create(new org.apache.hadoop.fs.Path(s"$table/metadata/version-hint.text"), true)
+    hint.write("2".getBytes); hint.close()
+
+    val df = IcebergScan.scan(spark, table)
+    assert(df.schema("mystery").dataType === NullType)
+    val rows = df.select(col("mystery"), col("o_orderkey")).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.isNullAt(0)))
+  }
 }

@@ -12,7 +12,8 @@ object IcebergPropertySpec extends Properties("iceberg.pure") {
 
   private val knownPrimitives = Set(
     "boolean", "int", "long", "float", "double", "date",
-    "time", "timestamp", "timestamptz", "string", "uuid", "binary")
+    "time", "timestamp", "timestamptz", "string", "uuid", "binary",
+    "variant", "timestamp_ns", "timestamptz_ns", "unknown")
 
   property("primitive names map to Spark types") =
     forAll(Gen.oneOf(knownPrimitives.toSeq)) { n =>
