@@ -228,6 +228,161 @@ object GraftSql {
     df.queryExecution.logical
   }
 
+  private def asLong(fn: String, what: String, e: Expression): Long =
+    evalLiteral(fn, e) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a BIGINT, got $other")
+    }
+
+  /** Maintenance PROCEDURES through SQL — the analogue of Iceberg's
+    * `CALL catalog.system.<proc>(...)` surface, expressed as table
+    * functions returning the action's result summary (engine extension;
+    * the reference is read-only). The action executes when the query is
+    * ANALYZED — exactly once per submitted statement:
+    *
+    *   SELECT * FROM iceberg_expire_snapshots('path', keep => 3)
+    *   SELECT * FROM iceberg_expire_snapshots('path', older_than => TIMESTAMP '...')
+    *   SELECT * FROM iceberg_rollback_to_snapshot('path', 2)
+    *   SELECT * FROM iceberg_rewrite_data_files('path')
+    *   SELECT * FROM iceberg_rewrite_manifests('path')
+    *   SELECT * FROM iceberg_remove_orphan_files('path', older_than => ..., dry_run => true)
+    *   SELECT * FROM iceberg_fast_forward('path', 'audit-branch')
+    *   SELECT * FROM iceberg_create_tag('path', 'v1'); iceberg_create_branch; iceberg_drop_ref
+    *   SELECT * FROM iceberg_analyze('path')
+    *   SELECT * FROM iceberg_compact('path')
+    */
+  private def proc(fn: String)(
+      run: (SparkSession, Seq[Expression], Map[String, Expression]) =>
+        org.apache.spark.sql.DataFrame): (String, String, Builder) = {
+    val b: Builder = exprs => {
+      val spark = SparkSession.active
+      val (namedRaw, positional) = exprs.partition(_.isInstanceOf[NamedArgumentExpression])
+      val named = namedRaw.collect {
+        case NamedArgumentExpression(k, v) =>
+          k.toLowerCase(java.util.Locale.ROOT) -> v
+      }.toMap
+      if (positional.isEmpty)
+        throw new IllegalArgumentException(s"$fn: a table path argument is required")
+      run(spark, positional, named).queryExecution.logical
+    }
+    (fn, s"maintenance procedure $fn", b)
+  }
+
+  private def olderThanMsOf(fn: String, named: Map[String, Expression]): Option[Long] =
+    named.get("older_than").map { e =>
+      e.dataType match {
+        case TimestampType | TimestampNTZType =>
+          Math.floorDiv(evalLiteral(fn, e).asInstanceOf[Long], 1000L)
+        case LongType | IntegerType => asLong(fn, "older_than", e)
+        case other => throw new IllegalArgumentException(
+          s"$fn: older_than must be a TIMESTAMP or epoch millis, got $other")
+      }
+    }
+
+  private[sql] def procedures: Seq[(String, String, Builder)] = Seq(
+    proc("iceberg_expire_snapshots") { (s, pos, named) =>
+      import s.implicits._
+      val path = asString("iceberg_expire_snapshots", "path", pos.head)
+      val n = (named.get("keep"), olderThanMsOf("iceberg_expire_snapshots", named)) match {
+        case (Some(k), None) => graft.iceberg.IcebergWriter
+          .expireSnapshots(s, path, asLong("iceberg_expire_snapshots", "keep", k).toInt)
+        case (None, Some(ms)) => graft.iceberg.IcebergWriter
+          .expireSnapshotsOlderThan(s, path, ms)
+        case _ => throw new IllegalArgumentException(
+          "iceberg_expire_snapshots: pass exactly one of keep => N or older_than => TIMESTAMP")
+      }
+      Seq(n.toLong).toDF("deleted_snapshots_count")
+    },
+    proc("iceberg_rollback_to_snapshot") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_rollback_to_snapshot"
+      val path = asString(fn, "path", pos.head)
+      val id = asLong(fn, "snapshot_id", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, snapshot_id)")))
+      graft.iceberg.IcebergWriter.rollback(s, path, id)
+      Seq(id).toDF("current_snapshot_id")
+    },
+    proc("iceberg_rewrite_data_files") { (s, pos, named) =>
+      import s.implicits._
+      val fn = "iceberg_rewrite_data_files"
+      val path = asString(fn, "path", pos.head)
+      val small = named.get("small_file_threshold")
+        .map(asLong(fn, "small_file_threshold", _)).getOrElse(32L * 1024 * 1024)
+      val target = named.get("target_file_size")
+        .map(asLong(fn, "target_file_size", _)).getOrElse(128L * 1024 * 1024)
+      val snap = graft.iceberg.IcebergWriter.rewriteDataFiles(s, path, small, target)
+      Seq((snap.isDefined, snap.getOrElse(-1L))).toDF("rewrote", "snapshot_id")
+    },
+    proc("iceberg_rewrite_manifests") { (s, pos, _) =>
+      import s.implicits._
+      val path = asString("iceberg_rewrite_manifests", "path", pos.head)
+      val snap = graft.iceberg.IcebergWriter.rewriteManifests(s, path)
+      Seq((snap.isDefined, snap.getOrElse(-1L))).toDF("rewrote", "snapshot_id")
+    },
+    proc("iceberg_remove_orphan_files") { (s, pos, named) =>
+      val fn = "iceberg_remove_orphan_files"
+      val path = asString(fn, "path", pos.head)
+      val ms = olderThanMsOf(fn, named).getOrElse(
+        throw new IllegalArgumentException(
+          s"$fn: older_than => TIMESTAMP is required (the age gate is the " +
+            "concurrent-commit safety rail)"))
+      val dry = named.get("dry_run").exists(asBoolean(fn, "dry_run", _))
+      graft.iceberg.IcebergWriter.removeOrphanFiles(s, path, ms, dry)
+    },
+    proc("iceberg_compact") { (s, pos, _) =>
+      import s.implicits._
+      val path = asString("iceberg_compact", "path", pos.head)
+      Seq(graft.iceberg.IcebergWriter.compact(s, path)).toDF("snapshot_id")
+    },
+    proc("iceberg_fast_forward") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_fast_forward"
+      val path = asString(fn, "path", pos.head)
+      val source = asString(fn, "source", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, source[, branch])")))
+      val branch = pos.lift(2).map(asString(fn, "branch", _)).getOrElse("main")
+      graft.iceberg.IcebergWriter.fastForward(s, path, source, branch)
+      val head = IcebergScan.loadInfo(s, path).refs(branch)._1
+      Seq((branch, head)).toDF("branch", "current_snapshot_id")
+    },
+    proc("iceberg_create_tag") { (s, pos, _) =>
+      refProc(s, pos, "iceberg_create_tag",
+        (p, n, at) => graft.iceberg.IcebergWriter.createTag(s, p, n, at))
+    },
+    proc("iceberg_create_branch") { (s, pos, _) =>
+      refProc(s, pos, "iceberg_create_branch",
+        (p, n, at) => graft.iceberg.IcebergWriter.createBranch(s, p, n, at))
+    },
+    proc("iceberg_drop_ref") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_drop_ref"
+      val path = asString(fn, "path", pos.head)
+      val name = asString(fn, "name", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, name)")))
+      graft.iceberg.IcebergWriter.dropRef(s, path, name)
+      Seq(name).toDF("dropped_ref")
+    },
+    proc("iceberg_analyze") { (s, pos, _) =>
+      import s.implicits._
+      val path = asString("iceberg_analyze", "path", pos.head)
+      val cols = pos.drop(1).map(asString("iceberg_analyze", "column", _))
+      graft.iceberg.IcebergWriter.analyze(s, path, cols)
+        .toSeq.sortBy(_._1).toDF("column_name", "ndv")
+    })
+
+  private def refProc(s: SparkSession, pos: Seq[Expression], fn: String,
+                      run: (String, String, Option[Long]) => Unit): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val path = asString(fn, "path", pos.head)
+    val name = asString(fn, "name", pos.lift(1).getOrElse(
+      throw new IllegalArgumentException(s"$fn: requires (path, name[, snapshot_id])")))
+    val at = pos.lift(2).map(asLong(fn, "snapshot_id", _))
+    run(path, name, at)
+    val id = IcebergScan.loadInfo(s, path).refs.get(name).map(_._1).getOrElse(-1L)
+    Seq((name, id)).toDF("ref", "snapshot_id")
+  }
+
   /** (name, info, builder) triples for the three reference table functions
     * plus the changelog extension. */
   private[sql] def functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
@@ -265,7 +420,7 @@ object GraftSql {
       builder("iceberg_all_files", (s, p, o) => IcebergScan.allFiles(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
       changelogBuilder)
-  ).map { case (name, usage, b) =>
+  ).++(procedures).map { case (name, usage, b) =>
     (FunctionIdentifier(name),
      new ExpressionInfo(GraftSql.getClass.getCanonicalName, null, name, usage, ""),
      b)

@@ -200,4 +200,69 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(n === 51793L)
   }
+
+  test("maintenance procedures through SQL: the CALL-surface lifecycle") {
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlproc_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.write(nation.limit(2), table)
+    graft.iceberg.IcebergWriter.write(nation.limit(1), table)
+
+    // tag + branch + analyze + manifests rewrite return their summaries
+    val tag = spark.sql(s"SELECT * FROM iceberg_create_tag('$table', 'v1', 1)").collect()(0)
+    assert(tag.getString(0) === "v1" && tag.getLong(1) === 1L)
+    val br = spark.sql(s"SELECT * FROM iceberg_create_branch('$table', 'dev')").collect()(0)
+    assert(br.getString(0) === "dev" && br.getLong(1) === 3L)
+    val ndv = spark.sql(s"SELECT * FROM iceberg_analyze('$table')").collect()
+    assert(ndv.map(_.getString(0)).toSet ===
+      nation.schema.fieldNames.toSet)
+    val rm = spark.sql(s"SELECT * FROM iceberg_rewrite_manifests('$table')").collect()(0)
+    assert(rm.getBoolean(0))
+
+    // rollback via SQL procedure; tag + branch still resolve
+    val rb = spark.sql(
+      s"SELECT * FROM iceberg_rollback_to_snapshot('$table', 2)").collect()(0)
+    assert(rb.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .collect()(0).getLong(0) === nation.count() + 2)
+
+    // drop the dev branch, releasing its staged snapshot 3
+    spark.sql(s"SELECT * FROM iceberg_drop_ref('$table', 'dev')").collect()
+    val refs = spark.sql(s"SELECT ref_name FROM iceberg_refs('$table')")
+      .collect().map(_.getString(0)).toSet
+    assert(!refs.contains("dev") && refs.contains("v1"))
+
+    // compact, then expire: keeps the compacted head + the v1 tag
+    spark.sql(s"SELECT * FROM iceberg_compact('$table')").collect()
+    val exp = spark.sql(
+      s"SELECT * FROM iceberg_expire_snapshots('$table', keep => 1)").collect()(0)
+    assert(exp.getLong(0) === 2L) // snapshots 2 and 3
+    // neither keep nor older_than is an error
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM iceberg_expire_snapshots('$table')").collect()
+    }
+
+    // orphan listing: dry run lists expired snapshots' files, deletes none
+    val dry = spark.sql(
+      s"""SELECT * FROM iceberg_remove_orphan_files('$table',
+            older_than => TIMESTAMP '2100-01-01 00:00:00', dry_run => true)""")
+      .collect()
+    assert(dry.nonEmpty) // snapshot-2/3 appends are orphan candidates
+    val conf = spark.sessionState.newHadoopConf()
+    dry.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r.getString(0))
+      assert(p.getFileSystem(conf).exists(p)) // dry run deleted nothing
+    }
+    // real vacuum removes them; head AND the tag still read
+    spark.sql(
+      s"""SELECT * FROM iceberg_remove_orphan_files('$table',
+            older_than => TIMESTAMP '2100-01-01 00:00:00')""").collect()
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .collect()(0).getLong(0) === nation.count() + 2)
+    assert(spark.sql(
+      s"SELECT count(*) FROM iceberg_scan('$table', snapshot_from_ref => 'v1')")
+      .collect()(0).getLong(0) === nation.count())
+  }
 }
