@@ -130,6 +130,106 @@ object PipelineQueries {
           .select("files_ok", "source", "n_docs", "n_tokens")
           .orderBy("source")
       }
+    ),
+    QueryDef(
+      "p03_sequence_packing",
+      // Pre-tokenization SEQUENCE PACKING: documents are laid into
+      // fixed-token-budget training sequences ("packs") without being
+      // split — each doc goes to the pack where its start offset falls
+      // (pack may overflow by at most one doc, the standard
+      // document-boundary packing rule). The running offset is a window
+      // cumsum, which is inherently sequential PER PARTITION — so the
+      // corpus is sharded by a content-free doc_id hash first and packed
+      // within (source, shard): every window partition is corpus/(sources
+      // × shards), bounded and parallel at any scale (at 100 TB raise
+      // SHARDS to ~10× cores; packs never cross shards so determinism
+      // holds). Output audits pack counts and fill efficiency per source.
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 8))::BIGINT % 8 AS shard
+          FROM documents),
+        offsets AS (
+          SELECT source, shard, n_tok,
+                 COALESCE(SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+          FROM toks),
+        packs AS (
+          SELECT source, shard, prev_cum // 2048 AS pack_id,
+                 CAST(SUM(n_tok) AS BIGINT) AS pack_tok, COUNT(*) AS n_docs
+          FROM offsets GROUP BY source, shard, pack_id)
+        SELECT source, COUNT(*) AS n_packs, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(MAX(pack_tok) AS BIGINT) AS max_pack_tokens,
+               round(AVG(pack_tok / CAST(2048.0 AS DOUBLE)), 6) AS avg_fill
+        FROM packs GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val Budget = 2048
+        val Shards = 8
+        val shard = conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#pack")).cast("binary")), 1, 8), 16, 10).cast("long") % Shards
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toksAll).as("n_tok"), shard.as("shard"))
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks
+          .withColumn("prev_cum", coalesce(sum("n_tok").over(w), lit(0L)))
+          .withColumn("pack_id", floor(col("prev_cum") / Budget))
+          .groupBy("source", "shard", "pack_id")
+          .agg(sum("n_tok").cast("long").as("pack_tok"),
+               count(lit(1)).as("n_docs"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_packs"),
+               sum("n_docs").cast("long").as("n_docs"),
+               max("pack_tok").cast("long").as("max_pack_tokens"),
+               round(avg(col("pack_tok") / Budget.toDouble), 6).as("avg_fill"))
+          .orderBy("source")
+      }
+    ),
+    QueryDef(
+      "p04_source_mixing",
+      // Deterministic WEIGHTED SOURCE MIXING (epoch construction): each
+      // source gets a mixture weight; a doc appears floor(w) times plus
+      // one more when its content-free hash fraction falls under
+      // frac(w) — so expected copies = w exactly, with zero RNG state and
+      // bit-identical epochs across engines and re-runs. The expansion is
+      // a per-row array_repeat + explode (linear, no shuffle until the
+      // final audit agg); at 100 TB the explode multiplies bytes by at
+      // most max(w), never materializing driver-side state.
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                 CAST(0.5 + (CAST(substring(source, 4) AS INTEGER) % 4) * 0.75 AS DOUBLE) AS weight,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT % 1000000 AS DOUBLE) / 1000000.0 AS u
+          FROM documents),
+        expanded AS (
+          SELECT source, weight, n_tok,
+                 unnest(range(0, CAST(floor(weight) AS INTEGER)
+                                 + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END)) AS rep
+          FROM base)
+        SELECT source, weight, COUNT(*) AS docs_out,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_out
+        FROM expanded GROUP BY source, weight ORDER BY source"""),
+      (s, dir) => {
+        val weight = lit(0.5) +
+          (substring(col("source"), 4, 10).cast("int") % 4).cast("double") * 0.75
+        val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#mix")).cast("binary")), 1, 8), 16, 10).cast("long") % 1000000)
+          .cast("double") / 1000000.0
+        val copies = (floor(weight) +
+          when(u < weight - floor(weight), 1).otherwise(0)).cast("int")
+        Tables.load(s, dir, "documents")
+          .select(col("source"), weight.as("weight"),
+            size(toksAll).as("n_tok"), copies.as("n_copies"))
+          .withColumn("rep", explode(array_repeat(lit(1), col("n_copies"))))
+          .groupBy("source", "weight")
+          .agg(count(lit(1)).as("docs_out"),
+               sum("n_tok").cast("long").as("tokens_out"))
+          .orderBy("source")
+      }
     )
   )
 }
