@@ -206,7 +206,8 @@ object IcebergMetadataParser {
         if (skipSchema) Seq.empty
         else withAddedAtSeq(info,
           IcebergSchemaParser.parseSchemaById(info.schemas, sid)),
-      partitionSpec = info.defaultPartitionSpec)
+      partitionSpec = info.defaultPartitionSpec,
+      properties = info.properties)
   }
 
   /** Derive each DEFAULTED column's first-appearance sequence number: the

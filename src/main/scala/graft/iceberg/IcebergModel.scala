@@ -30,7 +30,10 @@ object IcebergModel {
   final case class PartitionFieldSpec(
       name: String, transform: String, sourceId: Int, fieldId: Int)
 
-  /** A table snapshot (iceberg_metadata.hpp:71-106). */
+  /** A table snapshot (iceberg_metadata.hpp:71-106). `properties` is the
+    * table-level property map (spec "Table Metadata") — the scan keys
+    * read behavior off it (`schema.name-mapping.default` for migrated
+    * id-less files). */
   final case class Snapshot(
       snapshotId: Long,
       sequenceNumber: Long,
@@ -39,7 +42,8 @@ object IcebergModel {
       formatVersion: Int,
       schemaId: Int,
       schema: Seq[Column],
-      partitionSpec: Seq[PartitionFieldSpec] = Seq.empty)
+      partitionSpec: Seq[PartitionFieldSpec] = Seq.empty,
+      properties: Map[String, String] = Map.empty)
 
   /** Manifest-list entry (iceberg_types.hpp:80-118). content: 0=DATA 1=DELETE. */
   final case class Manifest(manifestPath: String, sequenceNumber: Long, content: Int)

@@ -215,15 +215,42 @@ object IcebergScan {
     def withLineageFields(s: StructType): StructType =
       if (opts.rowLineage) StructType(s.fields.toSeq ++ lineageFields) else s
 
+    // MIGRATED tables (spec "Column Projection" name mapping): when the
+    // table carries `schema.name-mapping.default` — set by
+    // [[IcebergWriter.addFiles]] registering foreign parquet files that
+    // predate field-id stamping — data files are read by NAME, not id:
+    // Spark's fieldId matching would fail (or null-fill) on id-less
+    // files, and a per-file fallback is not expressible in one relation.
+    // Name reads stay exact because renameColumns REJECTS renames while
+    // the mapping is present (physical names always equal current schema
+    // names); the guard below fails loudly on foreign metadata where the
+    // mapping and schema have drifted apart.
+    val nameMapped = snapshot.properties.contains(IcebergWriter.NameMappingProp)
+    if (nameMapped) IcebergWriter.requireNameMappingConsistent(snapshot)
+    def stripFieldIds(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = stripFieldIds(f.dataType),
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = stripFieldIds(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = stripFieldIds(m.keyType),
+          valueType = stripFieldIds(m.valueType))
+      case other => other
+    }
     // One relation per data format, same read schema. ORC caveat: Spark's
     // ORC reader resolves columns by NAME (the parquet field-id matching
     // doesn't apply), so metadata-only renames do not reach into ORC
     // files written before the rename — documented extension limitation.
     def formatRelation(fmt: String, paths: Seq[String], withMeta: Boolean): DataFrame = {
       val reader = spark.read.format(fmt)
+      val declared = withLineageFields(
+        IcebergSchemaParser.toStructType(snapshot.schema))
+      val readSchema =
+        if (nameMapped) stripFieldIds(declared).asInstanceOf[StructType]
+        else declared
       val r = (if (opts.skipSchemaInference) reader
-               else reader.schema(withLineageFields(
-                 IcebergSchemaParser.toStructType(snapshot.schema))))
+               else reader.schema(readSchema))
         .load(paths: _*)
       if (!withMeta) r
       else r.select(col("*"),
@@ -1161,6 +1188,37 @@ object IcebergScan {
     * The ops surface for manifest-merge and binpack decisions: a listing
     * full of single-file ADDED manifests is a streaming tail asking for
     * [[IcebergWriter.rewriteDataFiles]]. */
+  /** Metadata-only COUNT(*): the snapshot's row count from manifest
+    * `record_count` sums alone — O(manifests) at any table size, ZERO
+    * data-file I/O (the 100 TB `SELECT COUNT(*)` answers from the
+    * planning metadata a scan reads anyway). Sound only while the
+    * snapshot carries no live delete entry (position/equality/DV) that
+    * could shadow a live data file's rows — any such entry makes the
+    * metadata count an upper bound, so the fast path falls back to the
+    * full MoR scan and reports `metadata_only = false`. Returns one row
+    * (row_count BIGINT, metadata_only BOOLEAN). */
+  def rowCount(spark: SparkSession, path: String,
+               opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
+    val root = IcebergIO.tableRoot(path)
+    val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val deletes = livePaths(meta, manifestContent = 1, entryContent = 1, opts) ++
+      livePaths(meta, manifestContent = 1, entryContent = 2, opts)
+    val (n, metadataOnly) =
+      if (deletes.isEmpty)
+        (livePaths(meta, manifestContent = 0, entryContent = 0, opts)
+          .map(_._1.recordCount).sum, true)
+      else
+        (scanLoaded(spark, root,
+          opts.copy(skipSchemaInference = false),
+          selectSnapshot(spark, path, opts), meta).count(), false)
+    val schema = StructType(Seq(
+      StructField("row_count", LongType, nullable = false),
+      StructField("metadata_only", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(n, metadataOnly)), schema)
+  }
+
   def manifests(spark: SparkSession, path: String,
                 opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))

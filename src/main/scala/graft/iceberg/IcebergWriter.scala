@@ -2114,6 +2114,194 @@ object IcebergWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Table property holding the spec's name mapping ("Column Projection"):
+    * present iff the table contains files registered in place by
+    * [[addFiles]] (written before field-id stamping). Its presence flips
+    * the scan to NAME-based column resolution and blocks renames. */
+  val NameMappingProp = "schema.name-mapping.default"
+
+  /** Spec name-mapping JSON for the current schema: one entry per field,
+    * `{"field-id": id, "names": ["name"]}`, struct members nested under
+    * `fields`. List/map member mapping is not emitted (the engine's own
+    * name-based reads don't need it; foreign readers of migrated tables
+    * with id-less files holding struct-in-array columns would need the
+    * deeper mapping — documented limitation). */
+  private def nameMappingJson(schema: StructType, ids: Map[String, Int]): String = {
+    def entriesOf(st: StructType, prefix: String): com.fasterxml.jackson.databind.node.ArrayNode = {
+      val arr = mapper.createArrayNode()
+      st.fields.foreach { f =>
+        val node = arr.addObject()
+        ids.get(prefix + f.name).foreach(id => node.put("field-id", id))
+        node.putArray("names").add(f.name)
+        f.dataType match {
+          case s: StructType =>
+            node.set[JsonNode]("fields", entriesOf(s, prefix + f.name + "."))
+          case _ => ()
+        }
+      }
+      arr
+    }
+    mapper.writeValueAsString(entriesOf(schema, ""))
+  }
+
+  /** Fails when the recorded name mapping and the current schema have
+    * drifted apart (foreign metadata — our own [[renameColumns]] refuses
+    * renames while the mapping exists): a mapped field id whose current
+    * name is NOT among the mapping's names means migrated id-less files
+    * store the column under a different physical name, and a name-based
+    * read would silently null it. Columns ABSENT from the mapping are
+    * fine — they postdate the migration (addColumn) and correctly read
+    * NULL from pre-migration files. */
+  private[iceberg] def requireNameMappingConsistent(snapshot: Snapshot): Unit =
+    snapshot.properties.get(NameMappingProp).foreach { json =>
+      val mapped: Map[Long, Set[String]] =
+        mapper.readTree(json).elements.asScala.map { n =>
+          n.get("field-id").asLong ->
+            n.get("names").elements.asScala.map(_.asText).toSet
+        }.toMap
+      snapshot.schema.foreach { c =>
+        require(mapped.get(c.id.toLong).forall(_.contains(c.name)),
+          s"schema.name-mapping.default maps field id ${c.id} to a different " +
+            s"name than current column '${c.name}' — migrated id-less files " +
+            "would silently read wrong/null values. Rewrite the migrated " +
+            "files (compact) and drop the mapping before evolving names.")
+      }
+    }
+
+  /** The `add_files` / migrate-in-place procedure (Iceberg's
+    * `system.add_files`): registers EXISTING parquet files into the table
+    * WITHOUT copying or rewriting them — at 100 TB, migration cost is one
+    * footer read per file (bounded driver pool), not a data rewrite. The
+    * commit records absolute source paths, footer-derived record counts /
+    * bounds / null counts (so bounds pruning works on migrated files from
+    * day one), and sets the spec's `schema.name-mapping.default` property:
+    * foreign files predate field-id stamping, so this table's data files
+    * are resolved by NAME (the scan reads the whole table name-matched;
+    * appends after migration still stamp ids AND keep current names, so
+    * the name read stays exact — renames are blocked while the mapping
+    * exists).
+    *
+    * Partitioning: identity transforms only, with the partition VALUE
+    * columns physically present in the files (the hive `col=value` path
+    * segments feed only the manifest's partition tuples for pruning; data
+    * values come from the files — this engine cannot constant-fill a
+    * dropped partition column per file, so sources that strip the column
+    * from the data are rejected up front rather than read as NULLs). */
+  def addFiles(spark: SparkSession, path: String, sourceDir: String,
+               partitionBy: Seq[(String, String)] = Seq.empty,
+               summary: Map[String, String] = Map.empty,
+               formatVersion: Int = 2): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf)
+    val src = new Path(sourceDir)
+    val fs = src.getFileSystem(conf)
+    val files = {
+      val it = fs.listFiles(src, true)
+      val buf = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.result().sortBy(_.getPath.toString)
+    }
+    require(files.nonEmpty, s"addFiles: no .parquet files under $sourceDir")
+    // first file's PHYSICAL schema: new-table schema, and the
+    // physical-presence check for partition sources below. Read the one
+    // file directly — directory-level inference would materialize hive
+    // partition dirs as extra columns.
+    val fileSchema = spark.read.parquet(files.head.getPath.toString).schema
+    val schema: StructType = state match {
+      case Some(st) =>
+        val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
+        cols.foreach { c =>
+          fileSchema.fields.find(_.name == c.name).foreach { f =>
+            require(ignoreNull(f.dataType) == ignoreNull(c.dataType) ||
+                widens(f.dataType, c.dataType),
+              s"addFiles: column '${c.name}' is ${f.dataType.sql} in the files " +
+                s"but ${c.dataType.sql} in the table (not a widening read)")
+          }
+          // columns absent from the files read NULL by name — allowed
+          // (same rule as files predating addColumn)
+        }
+        StructType(cols.map(c => org.apache.spark.sql.types.StructField(
+          c.name, c.dataType, nullable = true)))
+      case None => fileSchema
+    }
+    // physical presence FIRST (before resolveSpec's fieldIndex throws a
+    // generic FIELD_NOT_FOUND): hive-stripped partition columns would
+    // read NULL under name matching — reject with the real reason
+    partitionBy.foreach { case (c, _) =>
+      require(fileSchema.fieldNames.contains(c),
+        s"addFiles: partition column '$c' is not physically present in the " +
+          "source files — hive-stripped partition columns would read NULL; " +
+          "re-export with the column retained or register unpartitioned")
+    }
+    val prevIds = state.flatMap(_.rootNode).map(existingIds).getOrElse(Map.empty)
+    val assigned = assignIds(schema, prevIds)
+    val spec =
+      if (partitionBy.nonEmpty) resolveSpec(schema, partitionBy, assigned)
+      else state.filter(_.snapshots.nonEmpty).map { st =>
+        currentSpec(
+          IcebergMetadataParser.latest(st.info, skipSchema = false), schema)
+      }.getOrElse(Seq.empty)
+    spec.foreach { sf =>
+      require(IcebergTransforms.parse(sf.transform) == IcebergTransforms.Identity,
+        s"addFiles: partition transform '${sf.transform}' on '${sf.source}' — " +
+          "only identity partitioning is supported for in-place registration")
+      require(fileSchema.fieldNames.contains(sf.source),
+        s"addFiles: partition column '${sf.source}' is not physically present " +
+          "in the source files — hive-stripped partition columns would read " +
+          "NULL; re-export with the column retained or register unpartitioned")
+    }
+    val fields = schema.fields.map(f => f.name -> (assigned(f.name), f.dataType)).toMap
+    import scala.concurrent.duration._
+    val par = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    val tmo = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+    val written = DriverPool.mapParallel(files, par, tmo, "graft-addfiles") { st =>
+      val segs = st.getPath.toString.split('/')
+      val partition = spec.flatMap { sf =>
+        val prefix = s"${sf.fieldName}="
+        segs.find(_.startsWith(prefix))
+          .map(seg => sf.fieldName -> parseDirValue(sf, seg.stripPrefix(prefix)))
+      }.toMap
+      if (spec.nonEmpty) require(partition.size == spec.size,
+        s"addFiles: ${st.getPath} lacks hive '<col>=' path segments for the " +
+          s"partition spec (${spec.map(_.fieldName).mkString(", ")})")
+      val (count, lower, upper, nulls) = footerStats(st, conf, fields)
+      WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
+        sizeBytes = st.getLen)
+    }
+    val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
+    val seq = state.map(_.nextSeq).getOrElse(1L)
+    val fv = state.map(_.info.formatVersion).getOrElse(formatVersion)
+    val (entries, rowRange) = assignRowIds(fv, nextRowIdOf(state), written.map { w =>
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
+    })
+    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+    writeManifest(manifestPath, conf, entries,
+      spec.map(sf => (sf.fieldName, sf.avroType)))
+    val prevManifests: Seq[Manifest] = state match {
+      case Some(st) if st.snapshots.nonEmpty =>
+        val base = IcebergMetadataParser.latest(st.info, skipSchema = true)
+        ManifestReader.readManifestList(base.manifestList, conf, base.formatVersion)
+      case _ => Seq.empty
+    }
+    val stdSummary = Map(
+      "added-data-files" -> written.size.toString,
+      "added-records" -> written.map(_.count).sum.toString,
+      "added-files-size" -> written.map(_.sizeBytes).sum.toString,
+      "graft.add-files-source" -> sourceDir)
+    commitSnapshot(path, conf, state, schema, snapshotId, seq,
+      prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
+      summary = stdSummary ++ summary,
+      formatVersion = if (state.isEmpty) Some(formatVersion) else None,
+      rowRange = rowRange,
+      propertiesDelta = Map(NameMappingProp -> nameMappingJson(schema, assigned)))
+  }
+
   /** Metadata-only column rename (Iceberg spec "Schema Evolution":
     * rename = keep the field id, change the name). The CURRENT schema is
     * re-emitted with `renames` (old → new) applied — keys may be
@@ -2133,6 +2321,14 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"renameColumns: no Iceberg table at $path"))
+    // Migrated tables read data files by NAME (addFiles registered
+    // id-less foreign files): a rename would desync the current name from
+    // every already-written file's physical name and silently null the
+    // column. Refuse until the migrated files are rewritten.
+    require(!state.info.properties.contains(NameMappingProp),
+      "renameColumns: table carries schema.name-mapping.default (files " +
+        "registered in place by addFiles are resolved by NAME) — renaming " +
+        "would desync physical names; compact/rewrite the table first")
     val json = IcebergIO.readString(
       new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
     val root = mapper.readTree(json).asInstanceOf[ObjectNode]

@@ -1137,6 +1137,61 @@ object IcebergQueries {
             col("latest_sequence_number"))
           .orderBy("file")
       }
+    ),
+    QueryDef(
+      "ib50_add_files_migrate",
+      // `add_files` / migrate-in-place gate: the driver's FOREIGN
+      // lineitem parquet (no parquet.field.id stamping — unreadable by
+      // the id-keyed scan path) is registered into an Iceberg table
+      // WITHOUT copy or rewrite; the scan resolves columns through the
+      // spec's schema.name-mapping.default property. zero_copy pins that
+      // every planned data file still lives at the SOURCE path (the 100
+      // TB migration cost is one footer read per file, never a data
+      // rewrite); the per-flag aggregates must match DuckDB reading the
+      // source directly — the registration loses nothing.
+      Some("""
+        SELECT CAST(TRUE AS BOOLEAN) AS zero_copy, l_returnflag,
+               COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib50_").toString + "/lineitem_migrated"
+        val source = s"$dir/lineitem.parquet"
+        graft.iceberg.IcebergWriter.addFiles(s, table, source)
+        val zeroCopy = IcebergScan.scan(s, table, Options(mode = "list_files"))
+          .filter(col("type") === "data")
+          .agg(every(col("file").contains(source)).as("zero_copy"))
+        IcebergScan.scan(s, table)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("l_quantity")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double"), 2).as("sum_qty"))
+          .crossJoin(zeroCopy)
+          .select("zero_copy", "l_returnflag", "cnt", "sum_qty")
+          .orderBy("l_returnflag")
+      }
+    ),
+    QueryDef(
+      "ib51_metadata_row_count",
+      // Metadata-only COUNT(*): lineitem registered in place (add_files,
+      // zero copy) and counted from manifest record_count sums alone —
+      // O(manifests) planning I/O and ZERO data-file reads at any table
+      // size. metadata_only pins that the fast path (not the fallback
+      // scan) answered; the count must equal DuckDB counting the raw
+      // source.
+      Some("""
+        SELECT COUNT(*) AS row_count, CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM lineitem"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib51_").toString + "/lineitem_count"
+        graft.iceberg.IcebergWriter.addFiles(s, table, s"$dir/lineitem.parquet")
+        IcebergScan.rowCount(s, table)
+      }
     )
   )
 }

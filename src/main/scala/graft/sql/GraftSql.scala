@@ -408,6 +408,8 @@ object GraftSql {
       builder("iceberg_manifests", (s, p, o) => IcebergScan.manifests(s, p, o))),
     ("iceberg_files", "per-file stats (counts, sizes, bounds) of a snapshot",
       builder("iceberg_files", (s, p, o) => IcebergScan.files(s, p, o))),
+    ("iceberg_row_count", "COUNT(*) from manifest metadata alone (falls back to a scan under live deletes)",
+      builder("iceberg_row_count", (s, p, o) => IcebergScan.rowCount(s, p, o))),
     ("iceberg_position_deletes", "rows stored in a snapshot's live position-delete files",
       builder("iceberg_position_deletes",
         (s, p, o) => IcebergScan.positionDeletes(s, p, o))),

@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergScan, IcebergWriter}
+import graft.iceberg.IcebergScan.Options
+import graft.iceberg.IcebergPruning.{ColPredicate, Eq, Gt}
+
+/** `addFiles` — migrate-in-place: register existing FOREIGN parquet files
+  * (no `parquet.field.id` stamping — the exact files a pre-Iceberg data
+  * lake holds) into a table without copying or rewriting them. The spec's
+  * `schema.name-mapping.default` property flips the scan to name-based
+  * column resolution; appends, MoR deletes, pruning and maintenance all
+  * compose on top. */
+class MigrateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-migrate").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Foreign-style source: plain Spark parquet WITHOUT field ids (bare
+    * toDF().write.parquet — unreadable by the id-keyed scan path). */
+  private def writeForeign(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  private def src(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"name-$i", i * 10.0)).toDF("id", "name", "score")
+  }
+
+  test("addFiles registers foreign files in place: rows exact, zero copy") {
+    val source = tmp("graft_mig_src_")
+    writeForeign(src(100).repartition(4), source)
+    val table = tmp("graft_mig_tbl_") + "/t"
+
+    IcebergWriter.addFiles(spark, table, source)
+
+    val got = IcebergScan.scan(spark, table)
+    assert(got.count() === 100)
+    assert(got.agg(sum("score")).head().getDouble(0) === src(100).agg(sum("score")).head().getDouble(0))
+    // zero copy: every planned data file still lives under the SOURCE dir
+    val files = IcebergScan.scan(spark, table, Options(mode = "list_files"))
+      .filter(col("type") === "data").collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(source)), files.mkString("\n"))
+    // the spec property is recorded
+    val snap = IcebergScan.loadInfo(spark, table)
+    assert(snap.properties.contains(IcebergWriter.NameMappingProp))
+  }
+
+  test("appends after migration compose: both generations read under one scan") {
+    val source = tmp("graft_mig_src2_")
+    writeForeign(src(50), source)
+    val table = tmp("graft_mig_tbl2_") + "/t"
+    IcebergWriter.addFiles(spark, table, source)
+
+    import spark.implicits._
+    val extra = Seq((1000L, "new-1", 1.5), (1001L, "new-2", 2.5)).toDF("id", "name", "score")
+    IcebergWriter.write(extra, table)
+
+    val got = IcebergScan.scan(spark, table)
+    assert(got.count() === 52)
+    assert(got.filter(col("id") >= 1000L).count() === 2)
+    assert(got.filter(col("id") <= 50L).agg(sum("id")).head().getLong(0) === (1L to 50L).sum)
+  }
+
+  test("MoR delete on a migrated table tombstones foreign rows without rewrite") {
+    val source = tmp("graft_mig_src3_")
+    writeForeign(src(40).repartition(2), source)
+    val table = tmp("graft_mig_tbl3_") + "/t"
+    IcebergWriter.addFiles(spark, table, source)
+
+    IcebergWriter.delete(spark, table, col("id") % 2 === 0)
+    val got = IcebergScan.scan(spark, table)
+    assert(got.count() === 20)
+    assert(got.filter(col("id") % 2 === 0).count() === 0)
+    // the foreign data files are untouched (delete files are additive)
+    val files = IcebergScan.scan(spark, table, Options(mode = "list_files")).collect()
+    assert(files.count(_.getString(1) === "data") === 2)
+    assert(files.count(_.getString(1) === "delete") >= 1)
+  }
+
+  test("footer bounds recorded at migration prune foreign files") {
+    val source = tmp("graft_mig_src4_")
+    // four files covering disjoint id ranges -> tight footer bounds
+    val parts = Seq((1, 25), (26, 50), (51, 75), (76, 100))
+    parts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      import spark.implicits._
+      writeForeign((lo to hi).map(v => (v.toLong, s"n$v", v * 1.0))
+        .toDF("id", "name", "score").coalesce(1), s"$source/part$i")
+    }
+    val table = tmp("graft_mig_tbl4_") + "/t"
+    IcebergWriter.addFiles(spark, table, source)
+
+    val all = IcebergScan.scan(spark, table, Options(mode = "list_files"))
+      .filter(col("type") === "data").count()
+    assert(all === 4)
+    val pruned = IcebergScan.scan(spark, table, Options(mode = "list_files",
+      filters = Seq(ColPredicate("id", Gt, 80L))))
+      .filter(col("type") === "data").count()
+    assert(pruned === 1, s"expected 1 file after bounds pruning, got $pruned")
+    assert(IcebergScan.scan(spark, table,
+      Options(filters = Seq(ColPredicate("id", Gt, 80L)))).count() === 20)
+  }
+
+  test("hive-layout source with retained partition columns registers tuples") {
+    val source = tmp("graft_mig_src5_")
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, s"cat${i % 3}", i * 2.0))
+      .toDF("id", "cat", "score")
+    // hive dirs with the partition column RETAINED in the files
+    (0 to 2).foreach { c =>
+      writeForeign(df.filter(col("cat") === s"cat$c").coalesce(1), s"$source/cat=cat$c")
+    }
+    val table = tmp("graft_mig_tbl5_") + "/t"
+    IcebergWriter.addFiles(spark, table, source, partitionBy = Seq("cat" -> "identity"))
+
+    assert(IcebergScan.scan(spark, table).count() === 60)
+    // partition-tuple pruning: a cat filter plans exactly one file
+    val pruned = IcebergScan.scan(spark, table, Options(mode = "list_files",
+      filters = Seq(ColPredicate("cat", Eq, "cat1")))).count()
+    assert(pruned === 1)
+    val got = IcebergScan.scan(spark, table,
+      Options(filters = Seq(ColPredicate("cat", Eq, "cat1"))))
+    assert(got.count() === 20)
+    assert(got.select("cat").distinct().head().getString(0) === "cat1")
+  }
+
+  test("hive-stripped partition columns are rejected, not read as NULL") {
+    val source = tmp("graft_mig_src6_")
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"cat${i % 2}")).toDF("id", "cat")
+    // Spark's partitionBy STRIPS the column from the files — the unsafe case
+    df.write.mode("overwrite").partitionBy("cat").parquet(source)
+    val table = tmp("graft_mig_tbl6_") + "/t"
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.addFiles(spark, table, source,
+        partitionBy = Seq("cat" -> "identity"))
+    }
+    assert(e.getMessage.contains("not physically present"))
+  }
+
+  test("renames are blocked while the name mapping exists") {
+    val source = tmp("graft_mig_src7_")
+    writeForeign(src(10), source)
+    val table = tmp("graft_mig_tbl7_") + "/t"
+    IcebergWriter.addFiles(spark, table, source)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumns(spark, table, Map("name" -> "label"))
+    }
+    assert(e.getMessage.contains("name-mapping"))
+  }
+
+  test("rowCount answers from metadata alone — even with a data file GONE") {
+    val source = tmp("graft_mig_src9_")
+    writeForeign(src(30).repartition(3), source)
+    val table = tmp("graft_mig_tbl9_") + "/t"
+    IcebergWriter.addFiles(spark, table, source)
+
+    val fast = IcebergScan.rowCount(spark, table).head()
+    assert(fast.getLong(0) === 30)
+    assert(fast.getBoolean(1), "expected the metadata-only fast path")
+
+    // the proof of zero data I/O: physically remove a registered data
+    // file — the metadata count still answers (a scan would now fail)
+    val victim = IcebergScan.scan(spark, table, Options(mode = "list_files"))
+      .filter(col("type") === "data").head().getString(0)
+    val p = new org.apache.hadoop.fs.Path(victim)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    val still = IcebergScan.rowCount(spark, table).head()
+    assert(still.getLong(0) === 30 && still.getBoolean(1))
+
+    // SQL surface
+    graft.sql.GraftSql.register(spark)
+    val viaSql = spark.sql(s"SELECT * FROM iceberg_row_count('$table')").head()
+    assert(viaSql.getLong(0) === 30 && viaSql.getBoolean(1))
+  }
+
+  test("rowCount under live deletes falls back to the exact MoR scan") {
+    val source = tmp("graft_mig_src10_")
+    writeForeign(src(20), source)
+    val table = tmp("graft_mig_tbl10_") + "/t"
+    IcebergWriter.addFiles(spark, table, source)
+    IcebergWriter.delete(spark, table, col("id") <= 5L)
+
+    val got = IcebergScan.rowCount(spark, table).head()
+    assert(got.getLong(0) === 15)
+    assert(!got.getBoolean(1), "live deletes must disable the metadata path")
+  }
+
+  test("addColumn after migration: new column null on foreign files, real on appends") {
+    val source = tmp("graft_mig_src8_")
+    writeForeign(src(10), source)
+    val table = tmp("graft_mig_tbl8_") + "/t"
+    IcebergWriter.addFiles(spark, table, source)
+    IcebergWriter.addColumn(spark, table, "tag",
+      org.apache.spark.sql.types.StringType)
+
+    import spark.implicits._
+    IcebergWriter.write(
+      Seq((99L, "x", 0.0, "tagged")).toDF("id", "name", "score", "tag"), table)
+    val got = IcebergScan.scan(spark, table)
+    assert(got.count() === 11)
+    assert(got.filter(col("tag").isNotNull).count() === 1)
+    assert(got.filter(col("id") === 99L).head().getAs[String]("tag") === "tagged")
+  }
+}
