@@ -2114,6 +2114,77 @@ object IcebergWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Zero-copy shallow CLONE (Iceberg's `snapshot` procedure): a new
+    * standalone table whose first metadata file references the source's
+    * CURRENT snapshot — manifest list, manifests, data and delete files
+    * all in place, nothing copied. At 100 TB, forking a table for an
+    * experiment costs one metadata.json write. The clone carries the
+    * source's schemas / field ids / partition specs / sort orders /
+    * properties verbatim (so appends, metadata-only renames, MoR deletes
+    * and maintenance behave exactly as on the source), but starts its own
+    * history: only the current snapshot is visible, refs reset to main,
+    * logs reset, fresh table-uuid. Divergence is copy-on-write — commits
+    * on the clone write under the CLONE's directories, and its vacuum
+    * (`removeOrphanFiles`) only ever scans those, so no clone-side
+    * maintenance can touch source files (expire/rollback are
+    * metadata-only by construction). */
+  def cloneTable(spark: SparkSession, sourcePath: String,
+                 targetPath: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcState = loadState(sourcePath, conf).getOrElse(
+      throw new IllegalArgumentException(s"cloneTable: no Iceberg table at $sourcePath"))
+    require(srcState.snapshots.nonEmpty, "cloneTable: source table has no snapshots")
+    require(loadState(targetPath, conf).isEmpty,
+      s"cloneTable: target $targetPath is already an Iceberg table")
+    val cur = IcebergMetadataParser.latest(srcState.info, skipSchema = true)
+    val json = IcebergIO.readString(
+      new Path(sourcePath, s"metadata/v${srcState.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val curNode = srcState.snapshots
+      .find(_.get("snapshot-id").asLong == cur.snapshotId).get
+      .deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    // the recorded manifest-list must resolve AS-IS from the clone (the
+    // moved-paths splice would re-root it under the CLONE dir and miss);
+    // foreign tables that moved since being written need a compact first
+    val listPath = new Path(curNode.get("manifest-list").asText)
+    require(listPath.getFileSystem(conf).exists(listPath),
+      s"cloneTable: source manifest list $listPath does not resolve in place " +
+        "— a moved table (allow_moved_paths reads) cannot be cloned " +
+        "zero-copy; compact the source first")
+    val snaps = mapper.createArrayNode()
+    snaps.add(curNode)
+    root.set[JsonNode]("snapshots", snaps)
+    root.put("current-snapshot-id", cur.snapshotId)
+    if (root.has("location")) root.put("location", targetPath): Unit
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeRefsNode(root, Map("main" -> (cur.snapshotId, "branch")),
+      srcState.info.refRetention.filter(_._1 == "main"))
+    // fresh history: one snapshot-log entry (the clone's current), no
+    // metadata log, and only the current snapshot's statistics entries
+    val slog = mapper.createArrayNode()
+    val se = slog.addObject()
+    se.put("timestamp-ms", curNode.get("timestamp-ms").asLong)
+    se.put("snapshot-id", cur.snapshotId)
+    root.set[JsonNode]("snapshot-log", slog)
+    root.remove("metadata-log")
+    Seq("statistics", "partition-statistics").foreach { key =>
+      Option(root.get(key)).filter(_.size > 0).foreach { arr =>
+        val pruned = mapper.createArrayNode()
+        arr.elements.asScala.foreach { e =>
+          if (e.get("snapshot-id").asLong == cur.snapshotId) pruned.add(e): Unit
+        }
+        root.set[JsonNode](key, pruned): Unit
+      }
+    }
+    val metaDir = new Path(targetPath, "metadata")
+    metaDir.getFileSystem(conf).mkdirs(metaDir)
+    writeNewVersion(new Path(metaDir, "v1.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, "1")
+    cur.snapshotId
+  }
+
   /** Table property holding the spec's name mapping ("Column Projection"):
     * present iff the table contains files registered in place by
     * [[addFiles]] (written before field-id stamping). Its presence flips

@@ -1192,6 +1192,42 @@ object IcebergQueries {
         graft.iceberg.IcebergWriter.addFiles(s, table, s"$dir/lineitem.parquet")
         IcebergScan.rowCount(s, table)
       }
+    ),
+    QueryDef(
+      "ib52_clone_table",
+      // Zero-copy shallow clone (Iceberg's `snapshot` procedure): orders
+      // lands in a table, the table is forked metadata-only, and the
+      // CLONE must aggregate identically to DuckDB over the raw source —
+      // while zero_copy pins that every file the clone plans still lives
+      // under the SOURCE table (forking a 100 TB table costs one
+      // metadata.json write).
+      Some("""
+        SELECT CAST(TRUE AS BOOLEAN) AS zero_copy, o_orderstatus,
+               COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""),
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ib52_").toString
+        val srcTable = s"$base/orders_src"
+        graft.iceberg.IcebergWriter.write(
+          graft.Tables.load(s, dir, "orders"), srcTable)
+        val clone = s"$base/orders_clone"
+        graft.iceberg.IcebergWriter.cloneTable(s, srcTable, clone)
+        val zeroCopy = IcebergScan.scan(s, clone, Options(mode = "list_files"))
+          .filter(col("type") === "data")
+          .agg(every(col("file").contains(srcTable)).as("zero_copy"))
+        IcebergScan.scan(s, clone)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double"), 2).as("sum_price"))
+          .crossJoin(zeroCopy)
+          .select("zero_copy", "o_orderstatus", "cnt", "sum_price")
+          .orderBy("o_orderstatus")
+      }
     )
   )
 }

@@ -335,6 +335,29 @@ object GraftSql {
       val path = asString("iceberg_compact", "path", pos.head)
       Seq(graft.iceberg.IcebergWriter.compact(s, path)).toDF("snapshot_id")
     },
+    proc("iceberg_clone_table") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_clone_table"
+      val source = asString(fn, "source", pos.head)
+      val target = asString(fn, "target", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (source, target)")))
+      val snap = graft.iceberg.IcebergWriter.cloneTable(s, source, target)
+      Seq((target, snap)).toDF("table", "current_snapshot_id")
+    },
+    proc("iceberg_add_files") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_add_files"
+      val path = asString(fn, "path", pos.head)
+      val source = asString(fn, "source", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, source_dir)")))
+      val snap = graft.iceberg.IcebergWriter.addFiles(s, path, source)
+      val added = IcebergScan.loadInfo(s, path).snapshots
+        .find(_.get("snapshot-id").asLong == snap)
+        .flatMap(n => Option(n.get("summary")))
+        .flatMap(m => Option(m.get("added-data-files")))
+        .map(_.asText.toLong).getOrElse(-1L)
+      Seq((snap, added)).toDF("snapshot_id", "added_files_count")
+    },
     proc("iceberg_fast_forward") { (s, pos, _) =>
       import s.implicits._
       val fn = "iceberg_fast_forward"

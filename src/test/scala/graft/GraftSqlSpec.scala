@@ -201,6 +201,28 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 51793L)
   }
 
+  test("iceberg_add_files and iceberg_row_count through SQL") {
+    import org.apache.spark.sql.functions.col
+    val source = java.nio.file.Files
+      .createTempDirectory("graft_sqladd_src_").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    // foreign-style export: no field ids
+    nation.write.mode("overwrite").parquet(source)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqladd_").toString + "/t"
+
+    val add = spark.sql(
+      s"SELECT * FROM iceberg_add_files('$table', '$source')").collect()(0)
+    assert(add.getLong(0) === 1L) // first snapshot
+    assert(add.getLong(1) >= 1L)  // files registered
+
+    val rc = spark.sql(s"SELECT * FROM iceberg_row_count('$table')").collect()(0)
+    assert(rc.getLong(0) === nation.count())
+    assert(rc.getBoolean(1)) // metadata-only fast path
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .collect()(0).getLong(0) === nation.count())
+  }
+
   test("maintenance procedures through SQL: the CALL-surface lifecycle") {
     import org.apache.spark.sql.functions.col
     val table = java.nio.file.Files

@@ -196,6 +196,43 @@ class MigrateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.getBoolean(1), "live deletes must disable the metadata path")
   }
 
+  test("cloneTable: zero-copy fork, copy-on-write divergence, id-preserving renames") {
+    val srcTable = tmp("graft_cl_src_") + "/t"
+    import spark.implicits._
+    val data = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    IcebergWriter.write(data, srcTable)
+    IcebergWriter.delete(spark, srcTable, col("id") > 45L) // live MoR deletes
+
+    val clone = tmp("graft_cl_dst_") + "/t"
+    IcebergWriter.cloneTable(spark, srcTable, clone)
+
+    // the clone reads the source's exact MoR state, zero copy
+    assert(IcebergScan.scan(spark, clone).count() === 45)
+    val files = IcebergScan.scan(spark, clone, Options(mode = "list_files"))
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(srcTable)))
+
+    // copy-on-write: commits on the clone never touch the source
+    IcebergWriter.write(Seq((100L, "new")).toDF("id", "v"), clone)
+    IcebergWriter.delete(spark, clone, col("id") === 1L)
+    assert(IcebergScan.scan(spark, clone).count() === 45)
+    assert(IcebergScan.scan(spark, srcTable).count() === 45)
+    assert(IcebergScan.scan(spark, srcTable).filter(col("id") === 1L).count() === 1)
+
+    // field ids carried verbatim: a metadata-only rename on the clone
+    // still resolves the SOURCE's data files by id
+    IcebergWriter.renameColumns(spark, clone, Map("v" -> "label"))
+    val renamed = IcebergScan.scan(spark, clone)
+    assert(renamed.filter(col("id") === 2L).head().getAs[String]("label") === "v2")
+
+    // clone-side vacuum scans only the clone's dirs — source files survive
+    IcebergWriter.removeOrphanFiles(spark, clone, Long.MaxValue)
+    assert(IcebergScan.scan(spark, srcTable).count() === 45)
+    // the clone's own history starts at the fork: 1 (forked current)
+    // + its append + its delete — the source's pre-fork history is gone
+    assert(IcebergScan.snapshots(spark, clone).count() === 3)
+  }
+
   test("addColumn after migration: new column null on foreign files, real on appends") {
     val source = tmp("graft_mig_src8_")
     writeForeign(src(10), source)
