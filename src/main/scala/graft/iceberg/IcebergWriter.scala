@@ -1164,9 +1164,16 @@ object IcebergWriter {
     val matchedSpec = prevSpecs.find(sn => triplesOf(sn) == newTriples)
     if (prevRoot.isDefined && (spec.isEmpty || matchedSpec.isDefined)) {
       // no spec carried, or a known spec re-declared: keep the history,
-      // pointing the default at the re-declared spec
+      // pointing the default at the re-declared spec. An EMPTY spec
+      // argument always means "keep the current default" — never a
+      // re-declaration of the recorded unpartitioned spec-0: maintenance
+      // commits (compact, rewrites) pass no spec, and redirecting the
+      // default to spec-0 there silently made an evolved table
+      // unpartitioned-by-default (appends stopped writing partition
+      // tuples; pruning died table-wide).
       carryPrevSpecs(prevRoot.get)
-      matchedSpec.foreach(m => root.put("default-spec-id", m.get("spec-id").asInt))
+      if (spec.nonEmpty)
+        matchedSpec.foreach(m => root.put("default-spec-id", m.get("spec-id").asInt))
     } else if (prevSpecs.nonEmpty) {
       // PARTITION SPEC EVOLUTION (Iceberg spec "Partition Evolution"):
       // the new spec is appended under a fresh spec-id and becomes the
@@ -2112,6 +2119,99 @@ object IcebergWriter {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Dynamic partition OVERWRITE (Iceberg's ReplacePartitions /
+    * `INSERT OVERWRITE` with dynamic partitioning — the standard
+    * batch-pipeline idiom: each run atomically replaces exactly the
+    * partitions it recomputed). One snapshot: the incoming rows land as
+    * new data files under the table's current spec, and every live data
+    * file whose partition tuple matches an INCOMING tuple is tombstoned;
+    * untouched partitions carry forward verbatim — at 100 TB a daily
+    * backfill replaces one day's files and never rewrites the other
+    * 1000 days. On an unpartitioned table this is a full overwrite.
+    * Old-spec files that lack the current spec's partition fields cannot
+    * be tuple-matched — the commit REFUSES rather than leave stale rows
+    * beside the replacement (compact to the current layout first).
+    * Schema must match the table exactly (evolution goes through
+    * [[write]]). Returns the new snapshot id. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          branch: String = "main",
+                          summary: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"overwritePartitions: no Iceberg table at $path — create it with write()"))
+    val latest = state.opBase("overwrite", branch)
+    if (branch != "main") requireUnchangedSchema(state, df.schema, branch)
+    val cols = IcebergSchemaParser.parseSchemaById(state.info.schemas, state.info.schemaId)
+    require(cols.map(c => (c.name, ignoreNull(c.dataType))) ==
+        df.schema.fields.toSeq.map(f => (f.name, ignoreNull(f.dataType))),
+      "overwritePartitions: incoming schema must match the table schema " +
+        s"exactly (table: ${cols.map(_.name).mkString(",")}, incoming: " +
+        s"${df.schema.fieldNames.mkString(",")}) — evolve via write() first")
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val spec = currentSpec(latest, df.schema)
+    val specFields = spec.map(_.fieldName)
+    def key(p: Map[String, Any]): Seq[String] =
+      specFields.map(f => String.valueOf(p.getOrElse(f, null)))
+    val liveData = meta.entries.collect {
+      case (m, es) if m.content == 0 =>
+        es.filter(e => e.status != 2 && e.content == 0).map(e => (m, e))
+    }.flatten
+    if (spec.nonEmpty) liveData.foreach { case (_, e) =>
+      require(specFields.forall(e.partition.contains),
+        s"overwritePartitions: live file ${e.filePath} predates the current " +
+          s"partition spec (${specFields.mkString(",")}) and cannot be " +
+          "tuple-matched — stale rows would survive beside the replacement; " +
+          "compact the table to the current layout first")
+    }
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val files = writeDataFiles(df,
+      new Path(path, s"data/snap-$snapshotId-${commitToken()}"), spec,
+      prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
+    val replaced: Set[Seq[String]] =
+      if (spec.isEmpty) Set(Seq.empty) else files.map(w => key(w.partition)).toSet
+    def hit(e: ManifestEntry): Boolean =
+      e.content == 0 && e.status != 2 &&
+        (spec.isEmpty || replaced.contains(key(e.partition)))
+
+    val addedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+    writeManifest(addedPath, conf, files.map { w =>
+      ManifestEntry(status = 1, content = 0, filePath = w.path,
+        fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        nullCounts = w.nulls)
+    }, spec.map(sf => (sf.fieldName, sf.avroType)))
+
+    // Data manifests holding replaced files rewrite to DELETED tombstones
+    // + EXISTING survivors under explicit sequence numbers (same shape as
+    // rewriteDataFiles); untouched data manifests and delete manifests
+    // carry verbatim.
+    var tombstoned = 0
+    val rewritten = meta.entries.map {
+      case (m, es) if m.content == 0 && es.exists(hit) =>
+        val entries = es.filter(_.status != 2).map { e =>
+          if (hit(e)) tombstoned += 1
+          e.copy(
+            status = if (hit(e)) 2 else 0,
+            sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
+        }
+        val p = new Path(path,
+          s"metadata/snap-$snapshotId-${commitToken()}-ow.avro")
+        writeManifest(p, conf, entries, mergedPartitionFields(entries))
+        Manifest(p.toString, m.sequenceNumber, m.content)
+      case (m, _) => m
+    }
+    commitSnapshot(path, conf, Some(state), df.schema, snapshotId, seq,
+      rewritten :+ Manifest(addedPath.toString, seq, 0), spec,
+      operation = "overwrite", branch = branch,
+      summary = addedFileSummary(files) ++ Map(
+        "deleted-data-files" -> tombstoned.toString,
+        "replaced-partitions" ->
+          (if (spec.isEmpty) "all" else replaced.size.toString)) ++ summary)
   }
 
   /** Zero-copy shallow CLONE (Iceberg's `snapshot` procedure): a new

@@ -1228,6 +1228,43 @@ object IcebergQueries {
           .select("zero_copy", "o_orderstatus", "cnt", "sum_price")
           .orderBy("o_orderstatus")
       }
+    ),
+    QueryDef(
+      "ib53_overwrite_partitions",
+      // Dynamic partition overwrite (ReplacePartitions / INSERT OVERWRITE):
+      // the events table lands day-partitioned, one day is recomputed
+      // (value doubled) and overwritten in ONE snapshot; every other
+      // day's files carry forward untouched — the daily-backfill idiom
+      // where a 100 TB table replaces 1/1000th of itself per run. The
+      // result must equal DuckDB applying the same replacement to the
+      // raw source.
+      Some("""
+        WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt, value FROM events),
+        merged AS (
+          SELECT dt, CASE WHEN dt = DATE '2024-01-05' THEN value * 2
+                          ELSE value END AS value
+          FROM e)
+        SELECT dt, COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        FROM merged GROUP BY dt ORDER BY dt"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib53_").toString + "/events_ow"
+        val e = graft.Tables.events(s, dir)
+          .select(to_date(col("ts")).as("dt"), col("value"))
+        graft.iceberg.IcebergWriter.write(e.repartition(8, col("dt")), table,
+          partitionBy = Seq("dt" -> "identity"))
+        val repl = e.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2)
+        graft.iceberg.IcebergWriter.overwritePartitions(repl, table)
+        IcebergScan.scan(s, table)
+          .groupBy("dt")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("value")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double"), 4).as("sum_v"))
+          .orderBy("dt")
+      }
     )
   )
 }
