@@ -3342,7 +3342,8 @@ object IcebergWriter {
     * extension; reference is read-only, SURVEY §7.4.) */
   def merge(spark: SparkSession, path: String,
             source: DataFrame, keyCols: Seq[String],
-            branch: String = "main"): Long = {
+            branch: String = "main",
+            summary: Map[String, String] = Map.empty): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"merge: no Iceberg table at $path"))
@@ -3418,9 +3419,13 @@ object IcebergWriter {
           Manifest(dataManifest.toString, seq, content = 0),
           Manifest(delManifest.toString, seq, content = 1)),
         spec, operation = "overwrite", branch = branch, rowRange = rowRange,
-        summary = addedFileSummary(dataFiles))
+        summary = addedFileSummary(dataFiles) ++ summary)
     } finally src.unpersist(blocking = false)
   }
+
+  /** Whether an Iceberg table exists at `path` (resolvable metadata). */
+  def tableExists(spark: SparkSession, path: String): Boolean =
+    loadState(path, spark.sessionState.newHadoopConf()).isDefined
 
   /** Compact the table: rewrite all live rows into fresh data files in ONE
     * new snapshot whose manifests mark every previous data file DELETED —

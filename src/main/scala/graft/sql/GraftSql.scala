@@ -228,6 +228,35 @@ object GraftSql {
     df.queryExecution.logical
   }
 
+  /** `iceberg_incremental_append('path', from_id[, to_id])` — the rows
+    * APPENDED by the snapshots in (from, to]: the SQL surface of
+    * [[IcebergScan.incrementalAppend]] (incremental batch processing —
+    * each run consumes only what landed since its last high-water mark). */
+  private def incrementalAppendBuilder: Builder = exprs => {
+    val fn = "iceberg_incremental_append"
+    val spark = SparkSession.active
+    val (namedRaw, positional) = exprs.partition(_.isInstanceOf[NamedArgumentExpression])
+    if (positional.size < 2 || positional.size > 3)
+      throw new IllegalArgumentException(
+        s"$fn: requires (path, from_snapshot_id[, to_snapshot_id])")
+    val path = asString(fn, "path", positional.head)
+    val from = asLong(fn, "from_snapshot_id", positional(1))
+    val to = positional.lift(2).map(asLong(fn, "to_snapshot_id", _))
+    var opts = IcebergScan.Options()
+    namedRaw.foreach { case NamedArgumentExpression(key, value) =>
+      key.toLowerCase(java.util.Locale.ROOT) match {
+        case "allow_moved_paths" =>
+          opts = opts.copy(allowMovedPaths = asBoolean(fn, key, value))
+        case "metadata_compression_codec" =>
+          opts = opts.copy(metadataCompressionCodec = asString(fn, key, value))
+        case other => throw new IllegalArgumentException(
+          s"$fn: unknown named argument '$other'")
+      }
+    }
+    IcebergScan.incrementalAppend(spark, path, from, to, opts)
+      .queryExecution.logical
+  }
+
   private def asLong(fn: String, what: String, e: Expression): Long =
     evalLiteral(fn, e) match {
       case n: java.lang.Number => n.longValue()
@@ -444,7 +473,9 @@ object GraftSql {
     ("iceberg_all_files", "every snapshot's live files with the referencing snapshot id",
       builder("iceberg_all_files", (s, p, o) => IcebergScan.allFiles(s, p, o))),
     ("iceberg_changelog", "net row-level changes of an Apache Iceberg table between two snapshots",
-      changelogBuilder)
+      changelogBuilder),
+    ("iceberg_incremental_append", "rows appended between two snapshots of an Apache Iceberg table",
+      incrementalAppendBuilder)
   ).++(procedures).map { case (name, usage, b) =>
     (FunctionIdentifier(name),
      new ExpressionInfo(GraftSql.getClass.getCanonicalName, null, name, usage, ""),

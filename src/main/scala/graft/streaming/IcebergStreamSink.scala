@@ -47,6 +47,62 @@ object IcebergStreamSink {
         summary = Map(key -> batchId.toString), branch = branch)
   }
 
+  /** Commit one micro-batch as an UPSERT (merge-by-key) snapshot — the
+    * streaming-CDC ingestion mode: each batch's rows replace the current
+    * rows with their keys (equality delete + append, O(batch) cost, no
+    * target scan — see [[IcebergWriter.merge]]), so the table converges
+    * to last-write-wins state per key at any table size. Within-batch
+    * duplicates collapse first: with `latestBy`, the row with the
+    * greatest value of that column per key wins (event-time
+    * last-write-wins); without, an arbitrary one does — safe either way
+    * because replayed batches are skipped whole via the batch-id
+    * bookkeeping, so only one collapse outcome ever commits. The first
+    * batch creates the table. */
+  private[graft] def commitBatchUpsert(
+      batch: DataFrame, batchId: Long, path: String, keys: Seq[String],
+      partitionBy: Seq[(String, String)] = Seq.empty,
+      latestBy: Option[String] = None,
+      sinkId: String = "default", branch: String = "main"): Unit = {
+    val key = batchIdKey(sinkId)
+    val spark = batch.sparkSession
+    val committed = IcebergWriter
+      .maxSummaryValue(spark, path, key)
+      .exists(_ >= batchId)
+    if (committed || batch.isEmpty) return
+    val deduped = latestBy match {
+      case Some(ts) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        batch.withColumn("__graft_rn", row_number().over(
+            Window.partitionBy(keys.map(col): _*).orderBy(col(ts).desc)))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      case None => batch.dropDuplicates(keys)
+    }
+    val bk = Map(key -> batchId.toString)
+    if (!IcebergWriter.tableExists(spark, path))
+      IcebergWriter.write(deduped, path, partitionBy, summary = bk, branch = branch)
+    else
+      IcebergWriter.merge(spark, path, deduped, keys, branch = branch, summary = bk)
+  }
+
+  /** Start UPSERT ingestion: every micro-batch merges by `keys` instead
+    * of appending — the sink for change streams where later events
+    * supersede earlier rows with the same key. Same checkpoint/sinkId
+    * exactly-once contract as [[start]]. */
+  def startUpsert(events: DataFrame, path: String, checkpoint: String,
+                  keys: Seq[String],
+                  partitionBy: Seq[(String, String)] = Seq.empty,
+                  latestBy: Option[String] = None,
+                  sinkId: String = "default",
+                  branch: String = "main"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchUpsert(batch, batchId, path, keys, partitionBy, latestBy,
+          sinkId, branch)
+      }
+      .start()
+
   /** Start ingesting `events` into the Iceberg table at `path`. Pair each
     * checkpoint with its own `sinkId` (see class doc). With `branch`,
     * micro-batches land on that branch (staged ingestion): main readers

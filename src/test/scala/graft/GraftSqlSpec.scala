@@ -223,6 +223,24 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === nation.count())
   }
 
+  test("iceberg_incremental_append through SQL returns only the new rows") {
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlinc_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation.filter(col("n_nationkey") < 10), table)
+    graft.iceberg.IcebergWriter.write(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20), table)
+    graft.iceberg.IcebergWriter.write(nation.filter(col("n_nationkey") >= 20), table)
+
+    val inc = spark.sql(s"SELECT * FROM iceberg_incremental_append('$table', 1)")
+    assert(inc.count() === nation.filter(col("n_nationkey") >= 10).count())
+    assert(inc.agg(org.apache.spark.sql.functions.min("n_nationkey"))
+      .head().get(0).toString.toLong === 10L)
+    val bounded = spark.sql(s"SELECT * FROM iceberg_incremental_append('$table', 1, 2)")
+    assert(bounded.agg(org.apache.spark.sql.functions.max("n_nationkey"))
+      .head().get(0).toString.toLong === 19L)
+  }
+
   test("maintenance procedures through SQL: the CALL-surface lifecycle") {
     import org.apache.spark.sql.functions.col
     val table = java.nio.file.Files

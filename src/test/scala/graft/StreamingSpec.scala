@@ -230,4 +230,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(IcebergScan.scan(spark, table).count() === 3)
     } finally q.stop()
   }
+
+  test("Iceberg UPSERT sink: merge-by-key CDC ingestion with last-write-wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.iceberg.IcebergScan
+    import graft.streaming.IcebergStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink_")
+    val table = dir.toString + "/t"
+    val in = MemoryStream[Event]
+    val q = IcebergStreamSink.startUpsert(in.toDF(), table, dir.toString + "/ckpt",
+      keys = Seq("user_id"), latestBy = Some("ts"))
+    try {
+      // batch 0 creates the table; user 1 appears TWICE — event-time
+      // last-write-wins picks the 10:30 row
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:30:00"), 1, "view", 5.0),
+        Event(3, ts("2026-01-01 10:10:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val after0 = IcebergScan.scan(spark, table)
+      assert(after0.count() === 2)
+      assert(after0.filter($"user_id" === 1).head().getAs[Double]("value") === 5.0)
+
+      // batch 1 upserts user 2 and inserts user 3
+      in.addData(
+        Event(4, ts("2026-01-01 11:00:00"), 2, "purchase", 9.0),
+        Event(5, ts("2026-01-01 11:05:00"), 3, "click", 1.5))
+      q.processAllAvailable()
+      val after1 = IcebergScan.scan(spark, table)
+      assert(after1.count() === 3)
+      assert(after1.filter($"user_id" === 2).head().getAs[Double]("value") === 9.0)
+
+      // replayed batch must not re-merge (exactly-once via summary ids)
+      val snapsBefore = IcebergScan.snapshots(spark, table).count()
+      IcebergStreamSink.commitBatchUpsert(
+        Seq(Event(4, ts("2026-01-01 11:00:00"), 2, "purchase", 9.0)).toDF(),
+        batchId = 1, table, keys = Seq("user_id"))
+      assert(IcebergScan.snapshots(spark, table).count() === snapsBefore)
+      assert(IcebergScan.scan(spark, table).count() === 3)
+    } finally q.stop()
+  }
 }
