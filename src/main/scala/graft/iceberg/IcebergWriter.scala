@@ -3427,6 +3427,85 @@ object IcebergWriter {
   def tableExists(spark: SparkSession, path: String): Boolean =
     loadState(path, spark.sessionState.newHadoopConf()).isDefined
 
+  /** The `rewrite_position_delete_files` maintenance action: consolidate
+    * the live parquet position-delete files into a minimal equivalent
+    * set. A MoR table under continuous row-level deletes accumulates one
+    * small delete file per commit, and every scan reads ALL of them —
+    * this rewrite merges them (clustered by target file for join
+    * locality) and DROPS dangling tombstones whose target data file is
+    * no longer live (left behind by compaction/overwrite), shrinking the
+    * anti-join's build side to what can actually match. v3 deletion
+    * vectors are already one-per-file and carry forward untouched.
+    * Old delete entries are tombstoned under explicit sequence numbers;
+    * the consolidated files commit at the new sequence — position
+    * deletes match purely by (file_path, pos), so re-sequencing them
+    * forward never changes which rows are tombstoned. Returns the new
+    * snapshot id, or None when there are no parquet delete files. */
+  def rewritePositionDeleteFiles(spark: SparkSession, path: String,
+                                 branch: String = "main"): Option[Long] = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"rewritePositionDeleteFiles: no Iceberg table at $path"))
+    val latest = state.opBase("rewritePositionDeleteFiles", branch)
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val parquetDeletes = meta.entries.collect {
+      case (m, es) if m.content == 1 =>
+        es.filter(e => e.status != 2 && e.content == 1 && !e.isDV)
+    }.flatten
+    if (parquetDeletes.isEmpty) return None
+    val liveData = meta.entries.collect {
+      case (m, es) if m.content == 0 =>
+        es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }.flatten
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val survivors = spark.read
+      .parquet(parquetDeletes.map(_.filePath).distinct: _*)
+      .select("file_path", "pos")
+      .join(org.apache.spark.sql.functions.broadcast(liveData.toDF("file_path")),
+        Seq("file_path"), "left_semi")
+    val numOut = math.max(1, parquetDeletes.size / 8)
+    val delDir = new Path(path, s"data/snap-$snapshotId-deletes-${commitToken()}")
+    survivors
+      .repartitionByRange(numOut, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(delDir.toString)
+    val delFiles = posDeleteFiles(delDir, conf)
+    val tok = commitToken()
+    val addedPath = new Path(path, s"metadata/snap-$snapshotId-$tok-m0.avro")
+    writeManifest(addedPath, conf, delFiles.map { w =>
+      ManifestEntry(status = 1, content = 1, filePath = w.path,
+        fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+        lowerBounds = w.lower, upperBounds = w.upper)
+    })
+    // delete manifests holding parquet entries rewrite to tombstones
+    // (DVs stay EXISTING); data manifests carry verbatim
+    val rewritten = meta.entries.map {
+      case (m, es) if m.content == 1 &&
+          es.exists(e => e.status != 2 && e.content == 1 && !e.isDV) =>
+        val entries = es.filter(_.status != 2).map { e =>
+          e.copy(
+            status = if (e.isDV) 0 else 2,
+            sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
+        }
+        val p = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-rpd.avro")
+        writeManifest(p, conf, entries, mergedPartitionFields(entries))
+        Manifest(p.toString, m.sequenceNumber, m.content)
+      case (m, _) => m
+    }
+    val dropped = parquetDeletes.map(_.recordCount).sum - delFiles.map(_.count).sum
+    Some(commitSnapshot(path, conf, Some(state),
+      IcebergSchemaParser.toStructType(latest.schema), snapshotId, seq,
+      rewritten :+ Manifest(addedPath.toString, seq, content = 1),
+      operation = "replace", branch = branch,
+      summary = Map(
+        "rewritten-delete-files" -> parquetDeletes.size.toString,
+        "added-delete-files" -> delFiles.size.toString,
+        "removed-dangling-delete-rows" -> dropped.toString)))
+  }
+
   /** Compact the table: rewrite all live rows into fresh data files in ONE
     * new snapshot whose manifests mark every previous data file DELETED —
     * the maintenance operation behind the reference's own checked-in table

@@ -343,6 +343,12 @@ object GraftSql {
       val snap = graft.iceberg.IcebergWriter.rewriteDataFiles(s, path, small, target)
       Seq((snap.isDefined, snap.getOrElse(-1L))).toDF("rewrote", "snapshot_id")
     },
+    proc("iceberg_rewrite_position_deletes") { (s, pos, _) =>
+      import s.implicits._
+      val path = asString("iceberg_rewrite_position_deletes", "path", pos.head)
+      val snap = graft.iceberg.IcebergWriter.rewritePositionDeleteFiles(s, path)
+      Seq((snap.isDefined, snap.getOrElse(-1L))).toDF("rewrote", "snapshot_id")
+    },
     proc("iceberg_rewrite_manifests") { (s, pos, _) =>
       import s.implicits._
       val path = asString("iceberg_rewrite_manifests", "path", pos.head)
