@@ -152,4 +152,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pEq.contains("BroadcastHashJoin") && pEq.contains("LeftAnti"), pEq.take(3000))
     assert(!pEq.contains("CartesianProduct") && !pEq.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("p03: the packing cumsum windows over (source, shard), never one " +
+       "global partition, and the pack rollup keeps map-side partial aggregation") {
+    val p = planString("p03_sequence_packing")
+    // the Window node must partition by BOTH source and shard — a
+    // missing shard key would funnel each source through one task
+    val windowLine = p.linesIterator.filter(_.contains("Window")).mkString
+    assert(windowLine.contains("source") && windowLine.contains("shard"), windowLine)
+    // two-phase hash aggregation (partial before the exchange)
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("p04: the mixing explode is shuffle-free before the audit " +
+       "aggregation — one exchange total, no join anywhere") {
+    val p = planString("p04_source_mixing")
+    assert(!p.contains("Join"), p.take(3000))
+    // generate(explode) feeds a partial aggregate; the only exchange is
+    // the final groupBy's hash partitioning (+ the orderBy's range)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("Generate explode") || p.contains("Generate"), p.take(2000))
+  }
+
+  test("migrated (name-mapped) tables: filters still push into the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val source = java.nio.file.Files.createTempDirectory("graft_pa3_src_").toString
+    Tables.load(spark, Sf, "orders").write.mode("overwrite").parquet(source)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_pa3_").toString + "/t"
+    graft.iceberg.IcebergWriter.addFiles(spark, table, source)
+    val df = graft.iceberg.IcebergScan.scan(spark, table)
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("o_totalprice"), p.take(3000))
+    val read = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(!read.contains("o_comment") && !read.contains("o_orderdate"), read)
+  }
 }
