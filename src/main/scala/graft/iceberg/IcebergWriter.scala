@@ -2361,26 +2361,33 @@ object IcebergWriter {
   def addFiles(spark: SparkSession, path: String, sourceDir: String,
                partitionBy: Seq[(String, String)] = Seq.empty,
                summary: Map[String, String] = Map.empty,
-               formatVersion: Int = 2): Long = {
+               formatVersion: Int = 2,
+               // "parquet" (default) or "orc" — ORC lakes migrate the
+               // same way (ORC scans resolve by name regardless)
+               dataFormat: String = "parquet"): Long = {
+    val fmt = dataFormat.toLowerCase
+    require(fmt == "parquet" || fmt == "orc",
+      s"addFiles: unsupported data format '$dataFormat' (parquet or orc)")
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
     val src = new Path(sourceDir)
     val fs = src.getFileSystem(conf)
+    val ext = "." + fmt
     val files = {
       val it = fs.listFiles(src, true)
       val buf = Seq.newBuilder[FileStatus]
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+        if (s.isFile && s.getPath.getName.endsWith(ext)) buf += s
       }
       buf.result().sortBy(_.getPath.toString)
     }
-    require(files.nonEmpty, s"addFiles: no .parquet files under $sourceDir")
+    require(files.nonEmpty, s"addFiles: no $ext files under $sourceDir")
     // first file's PHYSICAL schema: new-table schema, and the
     // physical-presence check for partition sources below. Read the one
     // file directly — directory-level inference would materialize hive
     // partition dirs as extra columns.
-    val fileSchema = spark.read.parquet(files.head.getPath.toString).schema
+    val fileSchema = spark.read.format(fmt).load(files.head.getPath.toString).schema
     val schema: StructType = state match {
       case Some(st) =>
         val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
@@ -2438,9 +2445,11 @@ object IcebergWriter {
       if (spec.nonEmpty) require(partition.size == spec.size,
         s"addFiles: ${st.getPath} lacks hive '<col>=' path segments for the " +
           s"partition spec (${spec.map(_.fieldName).mkString(", ")})")
-      val (count, lower, upper, nulls) = footerStats(st, conf, fields)
+      val (count, lower, upper, nulls) =
+        if (fmt == "orc") orcStats(st, conf, fields)
+        else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
-        sizeBytes = st.getLen)
+        sizeBytes = st.getLen, format = fmt.toUpperCase)
     }
     val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
     val seq = state.map(_.nextSeq).getOrElse(1L)

@@ -103,6 +103,45 @@ object IcebergStreamSink {
       }
       .start()
 
+  /** Commit one micro-batch as a dynamic partition OVERWRITE — the sink
+    * for streaming aggregations that RECOMPUTE windows: each batch
+    * atomically replaces exactly the partitions it contains (e.g. a
+    * windowed count keyed by day overwrites the recomputed days, leaving
+    * closed days untouched). First batch creates the table via write().
+    * Same batch-id exactly-once contract as the other modes. */
+  private[graft] def commitBatchOverwrite(
+      batch: DataFrame, batchId: Long, path: String,
+      partitionBy: Seq[(String, String)],
+      sinkId: String = "default", branch: String = "main"): Unit = {
+    val key = batchIdKey(sinkId)
+    val spark = batch.sparkSession
+    val committed = IcebergWriter
+      .maxSummaryValue(spark, path, key)
+      .exists(_ >= batchId)
+    if (committed || batch.isEmpty) return
+    val bk = Map(key -> batchId.toString)
+    if (!IcebergWriter.tableExists(spark, path))
+      IcebergWriter.write(batch, path, partitionBy, summary = bk, branch = branch)
+    else
+      IcebergWriter.overwritePartitions(batch, path, branch = branch, summary = bk)
+  }
+
+  /** Start OVERWRITE ingestion: every micro-batch replaces the
+    * partitions it recomputed (ReplacePartitions per batch) — pair with
+    * an `update`/`complete`-mode windowed aggregation whose window key is
+    * the partition column. */
+  def startOverwrite(events: DataFrame, path: String, checkpoint: String,
+                     partitionBy: Seq[(String, String)],
+                     sinkId: String = "default",
+                     branch: String = "main"): StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchOverwrite(batch, batchId, path, partitionBy, sinkId, branch)
+      }
+      .start()
+
   /** Start ingesting `events` into the Iceberg table at `path`. Pair each
     * checkpoint with its own `sinkId` (see class doc). With `branch`,
     * micro-batches land on that branch (staged ingestion): main readers

@@ -196,6 +196,30 @@ class MigrateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.getBoolean(1), "live deletes must disable the metadata path")
   }
 
+  test("addFiles migrates an ORC lake in place — stats pruning included") {
+    val source = tmp("graft_mig_orc_")
+    import spark.implicits._
+    val parts = Seq((1, 50), (51, 100))
+    parts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      (lo to hi).map(v => (v.toLong, s"n$v")).toDF("id", "name")
+        .coalesce(1).write.mode("overwrite").orc(s"$source/part$i")
+    }
+    val table = tmp("graft_mig_orct_") + "/t"
+    IcebergWriter.addFiles(spark, table, source, dataFormat = "orc")
+
+    val got = IcebergScan.scan(spark, table)
+    assert(got.count() === 100)
+    assert(got.agg(sum("id")).head().getLong(0) === (1L to 100L).sum)
+    // ORC footer stats recorded at registration drive bounds pruning
+    val pruned = IcebergScan.scan(spark, table, Options(mode = "list_files",
+      filters = Seq(ColPredicate("id", Gt, 60L))))
+      .filter(col("type") === "data").count()
+    assert(pruned === 1, s"expected 1 ORC file after pruning, got $pruned")
+    // appends (parquet by default) compose into a mixed-format table
+    IcebergWriter.write(Seq((999L, "new")).toDF("id", "name"), table)
+    assert(IcebergScan.scan(spark, table).count() === 101)
+  }
+
   test("cloneTable: zero-copy fork, copy-on-write divergence, id-preserving renames") {
     val srcTable = tmp("graft_cl_src_") + "/t"
     import spark.implicits._

@@ -231,6 +231,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("Iceberg OVERWRITE sink: recomputed windows replace their partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.iceberg.IcebergScan
+    import graft.streaming.IcebergStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_owsink_")
+    val table = dir.toString + "/t"
+    val in = MemoryStream[Event]
+    // per-day event counts, recomputed as late events arrive
+    val agg = in.toDF()
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"))
+    val q = IcebergStreamSink.startOverwrite(agg, table, dir.toString + "/ckpt",
+      partitionBy = Seq("dt" -> "identity"))
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 11:00:00"), 2, "view", 2.0),
+        Event(3, ts("2026-01-02 09:00:00"), 3, "view", 4.0))
+      q.processAllAvailable()
+      val day1 = IcebergScan.scan(spark, table)
+        .filter(col("dt") === lit("2026-01-01").cast("date"))
+      assert(day1.head().getAs[Long]("cnt") === 2)
+
+      // a late day-1 event: the recomputed day-1 row REPLACES the old
+      // one; day 2 is untouched (its partition is not in the batch)
+      in.addData(Event(4, ts("2026-01-01 23:00:00"), 4, "click", 8.0))
+      q.processAllAvailable()
+      val now = IcebergScan.scan(spark, table)
+      assert(now.count() === 2) // one row per day, no duplicates
+      assert(now.filter(col("dt") === lit("2026-01-01").cast("date"))
+        .head().getAs[Long]("cnt") === 3)
+      assert(now.filter(col("dt") === lit("2026-01-02").cast("date"))
+        .head().getAs[Long]("cnt") === 1)
+    } finally q.stop()
+  }
+
   test("Iceberg UPSERT sink: merge-by-key CDC ingestion with last-write-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
