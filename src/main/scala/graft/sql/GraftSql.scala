@@ -298,6 +298,17 @@ object GraftSql {
     (fn, s"maintenance procedure $fn", b)
   }
 
+  /** `'dt:day,cat'` → Seq(("dt","day"), ("cat","identity")). */
+  private def parsePartitionBy(s: String): Seq[(String, String)] =
+    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      p.split(':') match {
+        case Array(c) => (c.trim, "identity")
+        case Array(c, t) => (c.trim, t.trim)
+        case _ => throw new IllegalArgumentException(
+          s"malformed partition_by entry '$p' (expected col or col:transform)")
+      }
+    }
+
   private def olderThanMsOf(fn: String, named: Map[String, Expression]): Option[Long] =
     named.get("older_than").map { e =>
       e.dataType match {
@@ -369,6 +380,118 @@ object GraftSql {
       import s.implicits._
       val path = asString("iceberg_compact", "path", pos.head)
       Seq(graft.iceberg.IcebergWriter.compact(s, path)).toDF("snapshot_id")
+    },
+    proc("iceberg_ancestors_of") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_ancestors_of"
+      val path = asString(fn, "path", pos.head)
+      val info = IcebergScan.loadInfo(s, path)
+      val head = pos.lift(1).map(asLong(fn, "snapshot_id", _)).getOrElse(
+        graft.iceberg.IcebergMetadataParser.latest(info, skipSchema = true).snapshotId)
+      val parentOf: Map[Long, Option[Long]] = info.snapshots.map(n =>
+        n.get("snapshot-id").asLong ->
+          Option(n.get("parent-snapshot-id")).map(_.asLong)).toMap
+      val tsOf: Map[Long, Long] = info.snapshots.map(n =>
+        n.get("snapshot-id").asLong -> n.get("timestamp-ms").asLong).toMap
+      val chain = scala.collection.mutable.ListBuffer.empty[Long]
+      var cur: Option[Long] = Some(head)
+      while (cur.exists(parentOf.contains) && !chain.contains(cur.get)) {
+        chain += cur.get
+        cur = parentOf(cur.get)
+      }
+      chain.toSeq.map(id => (id, parentOf(id).getOrElse(-1L), tsOf(id)))
+        .toDF("snapshot_id", "parent_id", "timestamp_ms")
+    },
+    proc("iceberg_set_ref_retention") { (s, pos, named) =>
+      import s.implicits._
+      val fn = "iceberg_set_ref_retention"
+      val path = asString(fn, "path", pos.head)
+      val name = asString(fn, "ref", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, ref)")))
+      graft.iceberg.IcebergWriter.setRefRetention(s, path, name,
+        maxRefAgeMs = named.get("max_ref_age_ms").map(asLong(fn, "max_ref_age_ms", _)),
+        maxSnapshotAgeMs = named.get("max_snapshot_age_ms")
+          .map(asLong(fn, "max_snapshot_age_ms", _)),
+        minSnapshotsToKeep = named.get("min_snapshots_to_keep")
+          .map(asLong(fn, "min_snapshots_to_keep", _).toInt))
+      Seq((name, true)).toDF("ref", "updated")
+    },
+    proc("iceberg_compute_partition_stats") { (s, pos, _) =>
+      import s.implicits._
+      val path = asString("iceberg_compute_partition_stats", "path", pos.head)
+      val file = graft.iceberg.IcebergWriter.computePartitionStats(s, path)
+      Seq(file).toDF("statistics_file")
+    },
+    // ---- row-level WRITE operations from pure SQL -------------------
+    // The source relation is named by a registered table/temp view, the
+    // predicate/assignments are SQL text resolved against the table —
+    // together with the read TVFs this makes EVERY engine operation
+    // reachable without touching the Scala API.
+    proc("iceberg_write") { (s, pos, named) =>
+      import s.implicits._
+      val fn = "iceberg_write"
+      val path = asString(fn, "path", pos.head)
+      val view = asString(fn, "source", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, source_view)")))
+      val partitionBy = named.get("partition_by")
+        .map(asString(fn, "partition_by", _)).map(parsePartitionBy).getOrElse(Seq.empty)
+      val branch = named.get("branch").map(asString(fn, "branch", _)).getOrElse("main")
+      val snap = graft.iceberg.IcebergWriter.write(
+        s.table(view), path, partitionBy, branch = branch)
+      Seq(snap).toDF("snapshot_id")
+    },
+    proc("iceberg_delete_where") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_delete_where"
+      val path = asString(fn, "path", pos.head)
+      val cond = asString(fn, "condition", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, condition)")))
+      val snap = graft.iceberg.IcebergWriter.delete(
+        s, path, org.apache.spark.sql.functions.expr(cond))
+      Seq(snap).toDF("snapshot_id")
+    },
+    proc("iceberg_update_where") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_update_where"
+      val path = asString(fn, "path", pos.head)
+      val cond = asString(fn, "condition", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(
+          s"$fn: requires (path, condition, assignments)")))
+      val sets = asString(fn, "assignments", pos.lift(2).getOrElse(
+        throw new IllegalArgumentException(
+          s"$fn: requires (path, condition, assignments) — " +
+            "assignments as 'col = expr; col2 = expr2'")))
+      val assignments = sets.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"$fn: malformed assignment '$a' (expected col = expr)")
+        a.take(i).trim -> org.apache.spark.sql.functions.expr(a.drop(i + 1).trim)
+      }.toMap
+      val snap = graft.iceberg.IcebergWriter.update(
+        s, path, org.apache.spark.sql.functions.expr(cond), assignments)
+      Seq(snap).toDF("snapshot_id")
+    },
+    proc("iceberg_merge") { (s, pos, named) =>
+      import s.implicits._
+      val fn = "iceberg_merge"
+      val path = asString(fn, "path", pos.head)
+      val view = asString(fn, "source", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(
+          s"$fn: requires (path, source_view, keys => 'k1,k2')")))
+      val keys = named.get("keys").map(asString(fn, "keys", _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$fn: keys => 'k1,k2' is required"))
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      val snap = graft.iceberg.IcebergWriter.merge(s, path, s.table(view), keys)
+      Seq(snap).toDF("snapshot_id")
+    },
+    proc("iceberg_overwrite_partitions") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_overwrite_partitions"
+      val path = asString(fn, "path", pos.head)
+      val view = asString(fn, "source", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, source_view)")))
+      val snap = graft.iceberg.IcebergWriter.overwritePartitions(s.table(view), path)
+      Seq(snap).toDF("snapshot_id")
     },
     proc("iceberg_clone_table") { (s, pos, _) =>
       import s.implicits._

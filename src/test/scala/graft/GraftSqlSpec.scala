@@ -241,6 +241,99 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().get(0).toString.toLong === 19L)
   }
 
+  test("iceberg_ancestors_of, set_ref_retention, compute_partition_stats procs") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlanc_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.write(nation.limit(2), table)
+    graft.iceberg.IcebergWriter.write(nation.limit(1), table)
+
+    val anc = spark.sql(s"SELECT * FROM iceberg_ancestors_of('$table')").collect()
+    assert(anc.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L))
+    assert(anc.head.getLong(1) === 2L) // parent of head
+    val ancAt = spark.sql(s"SELECT * FROM iceberg_ancestors_of('$table', 2)").collect()
+    assert(ancAt.map(_.getLong(0)).toSeq === Seq(2L, 1L))
+
+    graft.iceberg.IcebergWriter.createTag(spark, table, "keepme", Some(1L))
+    val ret = spark.sql(
+      s"""SELECT * FROM iceberg_set_ref_retention('$table', 'keepme',
+            max_ref_age_ms => 86400000)""").head()
+    assert(ret.getString(0) === "keepme" && ret.getBoolean(1))
+    assert(graft.iceberg.IcebergScan.loadInfo(spark, table)
+      .refRetention.get("keepme").flatMap(_.maxRefAgeMs).contains(86400000L))
+
+    val stats = spark.sql(
+      s"SELECT * FROM iceberg_compute_partition_stats('$table')").head().getString(0)
+    assert(stats.contains("partition-stats"))
+  }
+
+  test("row-level write operations from pure SQL: write/delete/update/merge/overwrite") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlwr_").toString
+    val table = s"$base/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.createOrReplaceTempView("nation_src")
+
+    // CREATE + APPEND from a view
+    val w = spark.sql(
+      s"SELECT * FROM iceberg_write('$table', 'nation_src')").head()
+    assert(w.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .head().getLong(0) === nation.count())
+
+    // DELETE WHERE (MoR)
+    spark.sql(
+      s"SELECT * FROM iceberg_delete_where('$table', 'n_nationkey < 3')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .head().getLong(0) === nation.count() - 3)
+
+    // UPDATE WHERE with assignments
+    spark.sql(
+      s"""SELECT * FROM iceberg_update_where('$table',
+            'n_nationkey = 5', 'n_name = ''RENAMED''')""").collect()
+    assert(spark.sql(
+      s"SELECT n_name FROM iceberg_scan('$table') WHERE n_nationkey = 5")
+      .head().getString(0) === "RENAMED")
+
+    // MERGE from a view (upsert key 5 back, insert key 100)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(5, "BACK", 1),
+        org.apache.spark.sql.Row(100, "NEW", 1))),
+      nation.schema).createOrReplaceTempView("nation_upserts")
+    spark.sql(
+      s"SELECT * FROM iceberg_merge('$table', 'nation_upserts', keys => 'n_nationkey')")
+      .collect()
+    assert(spark.sql(
+      s"SELECT n_name FROM iceberg_scan('$table') WHERE n_nationkey = 5")
+      .head().getString(0) === "BACK")
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .head().getLong(0) === nation.count() - 3 + 1)
+
+    // OVERWRITE (unpartitioned -> full replace) from a view
+    nation.limit(4).createOrReplaceTempView("nation_replacement")
+    spark.sql(
+      s"SELECT * FROM iceberg_overwrite_partitions('$table', 'nation_replacement')")
+      .collect()
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .head().getLong(0) === 4L)
+
+    // partitioned write via partition_by
+    val t2 = s"$base/t2"
+    spark.sql(
+      s"""SELECT * FROM iceberg_write('$t2', 'nation_src',
+            partition_by => 'n_regionkey')""").collect()
+    val pruned = spark.sql(
+      s"""SELECT file, type FROM iceberg_scan('$t2', mode => 'list_files',
+            where => 'n_regionkey = 1')""")
+      .filter(col("type") === "data").count()
+    val total = spark.sql(
+      s"SELECT file, type FROM iceberg_scan('$t2', mode => 'list_files')")
+      .filter(col("type") === "data").count()
+    assert(pruned < total, s"partition pruning: $pruned vs $total files")
+  }
+
   test("maintenance procedures through SQL: the CALL-surface lifecycle") {
     import org.apache.spark.sql.functions.col
     val table = java.nio.file.Files
