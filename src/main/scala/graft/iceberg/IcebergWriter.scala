@@ -3436,6 +3436,76 @@ object IcebergWriter {
   def tableExists(spark: SparkSession, path: String): Boolean =
     loadState(path, spark.sessionState.newHadoopConf()).isDefined
 
+  /** The `cherrypick_snapshot` procedure: apply ONE snapshot's changes
+    * onto the main head — the selective alternative to [[fastForward]]
+    * when a staging branch holds several commits and only one should
+    * publish. APPEND-ONLY snapshots cherry-pick (the general case is
+    * ill-defined — a delete/rewrite may refer to files main never had):
+    * the manifests the source snapshot ADDED over its parent are
+    * re-read and their live data entries committed as a NEW manifest at
+    * main's next sequence number (fresh data seq — the files are new to
+    * THIS lineage; v3 row-id ranges are re-assigned the same way, so
+    * cherry-picking can never collide lineage ids). Data files are
+    * shared in place, nothing is copied or rewritten. The source branch
+    * is untouched. Returns the new main snapshot id. */
+  def cherrypickSnapshot(spark: SparkSession, path: String,
+                         sourceSnapshotId: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"cherrypickSnapshot: no Iceberg table at $path"))
+    val info = state.info
+    val src = IcebergMetadataParser.byId(info, sourceSnapshotId, skipSchema = true)
+    val srcNode = state.snapshots
+      .find(_.get("snapshot-id").asLong == sourceSnapshotId).get
+    val parentId = Option(srcNode.get("parent-snapshot-id")).map(_.asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        "cherrypickSnapshot: the source snapshot has no parent — nothing to diff"))
+    val parent = IcebergMetadataParser.byId(info, parentId, skipSchema = true)
+    val srcList = ManifestReader.readManifestList(src.manifestList, conf, src.formatVersion)
+    val parentList = ManifestReader.readManifestList(
+      parent.manifestList, conf, parent.formatVersion)
+    val parentPaths = parentList.map(_.manifestPath).toSet
+    val added = srcList.filterNot(m => parentPaths(m.manifestPath))
+    require(added.nonEmpty,
+      "cherrypickSnapshot: the source snapshot added no manifests")
+    require(added.forall(_.content == 0),
+      "cherrypickSnapshot: only APPEND snapshots cherry-pick — the source " +
+        "added delete manifests, whose targets may not exist on main")
+    val addedEntries = added.flatMap { m =>
+      ManifestReader.readManifestEntries(m.manifestPath, conf, src.formatVersion)
+        .filter(e => e.status != 2 && e.content == 0)
+    }
+    require(addedEntries.nonEmpty,
+      "cherrypickSnapshot: the source snapshot added no data files")
+    // a dropped-manifest check: every parent manifest must survive into
+    // the source list, else the "append" also removed something
+    require(parentList.forall(m => srcList.exists(_.manifestPath == m.manifestPath)),
+      "cherrypickSnapshot: source is not a pure append over its parent " +
+        "(it rewrote or dropped manifests) — fastForward the branch instead")
+    val latest = state.opBase("cherrypickSnapshot", "main")
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val fv = info.formatVersion
+    // fresh data sequence numbers AND (v3) fresh row-id ranges: the
+    // files are new to main's lineage
+    val (entries, rowRange) = assignRowIds(fv, nextRowIdOf(Some(state)),
+      addedEntries.map(_.copy(status = 1, sequenceNumber = None,
+        firstRowId = None)))
+    val manifestPath = new Path(path,
+      s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+    writeManifest(manifestPath, conf, entries, mergedPartitionFields(entries))
+    val mainManifests = ManifestReader.readManifestList(
+      latest.manifestList, conf, latest.formatVersion)
+    commitSnapshot(path, conf, Some(state),
+      IcebergSchemaParser.toStructType(latest.schema), snapshotId, seq,
+      mainManifests :+ Manifest(manifestPath.toString, seq, 0),
+      operation = "append", branch = "main", rowRange = rowRange,
+      summary = Map(
+        "added-data-files" -> entries.size.toString,
+        "added-records" -> entries.map(_.recordCount).sum.toString,
+        "source-snapshot-id" -> sourceSnapshotId.toString))
+  }
+
   /** The `rewrite_position_delete_files` maintenance action: consolidate
     * the live parquet position-delete files into a minimal equivalent
     * set. A MoR table under continuous row-level deletes accumulates one

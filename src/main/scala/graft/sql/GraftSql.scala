@@ -381,6 +381,15 @@ object GraftSql {
       val path = asString("iceberg_compact", "path", pos.head)
       Seq(graft.iceberg.IcebergWriter.compact(s, path)).toDF("snapshot_id")
     },
+    proc("iceberg_cherrypick_snapshot") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_cherrypick_snapshot"
+      val path = asString(fn, "path", pos.head)
+      val id = asLong(fn, "snapshot_id", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, snapshot_id)")))
+      val snap = graft.iceberg.IcebergWriter.cherrypickSnapshot(s, path, id)
+      Seq((snap, id)).toDF("snapshot_id", "source_snapshot_id")
+    },
     proc("iceberg_ancestors_of") { (s, pos, _) =>
       import s.implicits._
       val fn = "iceberg_ancestors_of"

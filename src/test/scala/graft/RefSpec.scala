@@ -471,4 +471,47 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergWriter.expireSnapshotsOlderThan(
       spark, t2, olderThanMs = now2, nowMs = now2) === 0)
   }
+
+  test("cherrypickSnapshot publishes ONE staged append, leaving the rest staged") {
+    val table = freshTable("cherry")
+    val nation = Tables.load(spark, Sf, "nation")
+    IcebergWriter.write(nation.filter(col("n_nationkey") < 10), table) // snap 1 (main)
+    IcebergWriter.createBranch(spark, table, "staging")
+    val picked = IcebergWriter.write(
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 15),
+      table, branch = "staging") // snap 2 (staged)
+    IcebergWriter.write(
+      nation.filter(col("n_nationkey") >= 15), table, branch = "staging") // snap 3
+
+    assert(IcebergScan.scan(spark, table).count() === 10) // main untouched
+    val newMain = IcebergWriter.cherrypickSnapshot(spark, table, picked)
+
+    // main gained ONLY the picked commit's rows; snap 3 stays staged
+    val main = IcebergScan.scan(spark, table)
+    assert(main.count() === 15)
+    assert(main.filter(col("n_nationkey") >= 15).count() === 0)
+    // the staging branch is untouched and still fully readable
+    assert(IcebergScan.scan(spark, table,
+      Options(snapshotFromRef = Some("staging"))).count() === nation.count())
+    // provenance recorded in the summary
+    assert(IcebergWriter.maxSummaryValue(spark, table, "source-snapshot-id")
+      .contains(picked))
+    assert(newMain > picked)
+
+    // a DELETE commit on the branch refuses to cherry-pick
+    IcebergWriter.delete(spark, table, col("n_nationkey") === 1,
+      branch = "staging")
+    val delSnap = IcebergScan.loadInfo(spark, table)
+      .refs("staging")._1
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.cherrypickSnapshot(spark, table, delSnap)
+    }
+    assert(e.getMessage.contains("APPEND"), e.getMessage)
+
+    // SQL procedure surface
+    graft.sql.GraftSql.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT * FROM iceberg_ancestors_of('$table')").collect()
+    assert(viaSql.head.getLong(0) === newMain)
+  }
 }
