@@ -1188,6 +1188,36 @@ object IcebergScan {
     * The ops surface for manifest-merge and binpack decisions: a listing
     * full of single-file ADDED manifests is a streaming tail asking for
     * [[IcebergWriter.rewriteDataFiles]]. */
+  /** Every snapshot's summary map, exploded to (snapshot_id,
+    * sequence_number, operation, key, value) rows — the operator-facing
+    * view of commit bookkeeping (added-files counts, stream batch ids,
+    * cherry-pick provenance, replaced partitions) with zero manifest
+    * I/O. */
+  def snapshotSummaries(spark: SparkSession, path: String,
+                        opts: Options = Options()): DataFrame = {
+    val info = loadInfo(spark, path, opts)
+    import scala.jdk.CollectionConverters._
+    val rows = info.snapshots.flatMap { n =>
+      val id = n.get("snapshot-id").asLong
+      val seq = Option(n.get("sequence-number")).map(_.asLong).getOrElse(0L)
+      Option(n.get("summary")).toSeq.flatMap { s =>
+        val op = Option(s.get("operation")).map(_.asText).getOrElse(null)
+        // the operation stays a row of its own too — a bare summary
+        // (operation only) must still surface its snapshot
+        s.properties().asScala.toSeq.map { e =>
+          Row(id, seq, op, e.getKey, e.getValue.asText)
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = true)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Metadata-only COUNT(*): the snapshot's row count from manifest
     * `record_count` sums alone — O(manifests) at any table size, ZERO
     * data-file I/O (the 100 TB `SELECT COUNT(*)` answers from the

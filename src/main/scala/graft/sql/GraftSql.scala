@@ -381,6 +381,12 @@ object GraftSql {
       val path = asString("iceberg_compact", "path", pos.head)
       Seq(graft.iceberg.IcebergWriter.compact(s, path)).toDF("snapshot_id")
     },
+    proc("iceberg_upgrade_format") { (s, pos, _) =>
+      import s.implicits._
+      val path = asString("iceberg_upgrade_format", "path", pos.head)
+      val snap = graft.iceberg.IcebergWriter.upgradeFormat(s, path)
+      Seq((snap, 3)).toDF("snapshot_id", "format_version")
+    },
     proc("iceberg_cherrypick_snapshot") { (s, pos, _) =>
       import s.implicits._
       val fn = "iceberg_cherrypick_snapshot"
@@ -600,6 +606,9 @@ object GraftSql {
       builder("iceberg_files", (s, p, o) => IcebergScan.files(s, p, o))),
     ("iceberg_row_count", "COUNT(*) from manifest metadata alone (falls back to a scan under live deletes)",
       builder("iceberg_row_count", (s, p, o) => IcebergScan.rowCount(s, p, o))),
+    ("iceberg_snapshot_summaries", "every snapshot's commit summary, exploded to key/value rows",
+      builder("iceberg_snapshot_summaries",
+        (s, p, o) => IcebergScan.snapshotSummaries(s, p, o))),
     ("iceberg_position_deletes", "rows stored in a snapshot's live position-delete files",
       builder("iceberg_position_deletes",
         (s, p, o) => IcebergScan.positionDeletes(s, p, o))),

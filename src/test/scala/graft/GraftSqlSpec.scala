@@ -241,6 +241,26 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().get(0).toString.toLong === 19L)
   }
 
+  test("iceberg_snapshot_summaries and iceberg_upgrade_format") {
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlsum_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.delete(spark, table, col("n_nationkey") === 3)
+
+    val sums = spark.sql(s"SELECT * FROM iceberg_snapshot_summaries('$table')")
+    assert(sums.filter(col("snapshot_id") === 1L && col("key") === "added-records")
+      .head().getString(4).toLong === nation.count())
+    assert(sums.filter(col("operation") === "delete").count() > 0)
+
+    val up = spark.sql(s"SELECT * FROM iceberg_upgrade_format('$table')").head()
+    assert(up.getInt(1) === 3)
+    // post-upgrade the table still reads, and the v2-era delete holds
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$table')")
+      .head().getLong(0) === nation.count() - 1)
+  }
+
   test("iceberg_ancestors_of, set_ref_retention, compute_partition_stats procs") {
     val table = java.nio.file.Files
       .createTempDirectory("graft_sqlanc_").toString + "/t"
