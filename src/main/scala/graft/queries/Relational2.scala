@@ -574,6 +574,66 @@ object Relational2 {
       }
     ),
     QueryDef(
+      "e07_rolling_anomaly",
+      // Per-user rolling z-score anomaly detection: each event compared
+      // against its user's TRAILING 10 events (mean/σ over a ROWS frame
+      // excluding the current row; partial windows don't flag). All
+      // moments accumulate as exact DECIMAL sums — cast to double only
+      // AFTER — so the flag comparisons run on bit-identical inputs in
+      // both engines (stddev's incremental formulations would not).
+      // One window shuffle on user_id, linear at any event volume.
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                 CAST(value AS DECIMAL(18,6)) AS vd
+          FROM events),
+        win AS (
+          SELECT user_id, event_id, CAST(vd AS DOUBLE) AS v,
+                 CAST(SUM(vd) OVER w AS DOUBLE) AS s,
+                 CAST(SUM(CAST(vd * vd AS DECIMAL(38,12))) OVER w AS DOUBLE) AS ss,
+                 COUNT(*) OVER w AS n
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        flagged AS (
+          SELECT user_id,
+                 CASE WHEN n = 10
+                        AND (ss - s * s / 10.0) / 9.0 > 0
+                        AND (v - s / 10.0) * (v - s / 10.0)
+                            > 4.0 * (ss - s * s / 10.0) / 9.0
+                      THEN 1 ELSE 0 END AS is_anomaly
+          FROM win)
+        SELECT user_id, CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies,
+               COUNT(*) AS n_events
+        FROM flagged GROUP BY user_id HAVING SUM(is_anomaly) > 0
+        ORDER BY user_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-10, -1)
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").cast(DecimalType(18, 6)).as("vd"))
+        val win = e.select(col("user_id"), col("event_id"),
+          col("vd").cast("double").as("v"),
+          sum("vd").over(w).cast("double").as("s"),
+          sum((col("vd") * col("vd")).cast(DecimalType(38, 12))).over(w)
+            .cast("double").as("ss"),
+          count(lit(1)).over(w).as("n"))
+        val varTimes9 = col("ss") - col("s") * col("s") / 10.0
+        val dev = col("v") - col("s") / 10.0
+        win
+          .withColumn("is_anomaly",
+            when(col("n") === 10 && varTimes9 / 9.0 > 0 &&
+              dev * dev > lit(4.0) * varTimes9 / 9.0, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum("is_anomaly").cast("long").as("n_anomalies"),
+               count(lit(1)).as("n_events"))
+          .filter(col("n_anomalies") > 0)
+          .orderBy("user_id")
+      }
+    ),
+    QueryDef(
       "e04_skew_salted_agg",
       // Skew-safe aggregation: events has only 5 event_type keys, so a
       // direct global groupBy funnels each key into one task. Two-phase
