@@ -66,6 +66,35 @@ class OverwriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Seq("2024-01-02"))
   }
 
+  test("equivalence: overwrite == (drop replaced partitions) UNION (replacement), " +
+       "across seeded random workloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val table = tmp(s"graft_owp${trial}_") + "/t"
+      val nDays = 2 + rnd.nextInt(4)
+      val base = (1 to 80).map { i =>
+        (i.toLong, s"d${rnd.nextInt(nDays)}", rnd.nextInt(1000).toDouble)
+      }.toDF("id", "dt", "v")
+      IcebergWriter.write(base.repartition(3, col("dt")), table,
+        partitionBy = Seq("dt" -> "identity"))
+      val replacedDays = (0 until nDays).filter(_ => rnd.nextBoolean()).map(d => s"d$d")
+      if (replacedDays.nonEmpty) {
+        val repl = (1 to 20).map { i =>
+          (1000L + i, replacedDays(rnd.nextInt(replacedDays.size)),
+            rnd.nextInt(1000).toDouble)
+        }.toDF("id", "dt", "v")
+        IcebergWriter.overwritePartitions(repl, table)
+        // only days the REPLACEMENT actually contains are replaced
+        val touched = repl.select("dt").distinct().as[String].collect().toSet
+        val expect = base.filter(!col("dt").isin(touched.toSeq: _*))
+          .union(repl).collect().map(_.toSeq).toSet
+        val got = IcebergScan.scan(spark, table).collect().map(_.toSeq).toSet
+        assert(got === expect, s"trial $trial: days=$touched")
+      }
+    }
+  }
+
   test("unpartitioned table: overwrite replaces everything in one snapshot") {
     val table = tmp("graft_ow2_") + "/t"
     import spark.implicits._
