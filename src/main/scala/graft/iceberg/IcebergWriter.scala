@@ -751,6 +751,10 @@ object IcebergWriter {
   private def posDeleteFiles(dir: Path, conf: Configuration): Seq[WrittenFile] =
     collectFiles(dir, conf, Seq.empty,
       Map("file_path" -> (PosDeleteFilePathFieldId, StringType)))
+      // a task that received no positions can still emit a zero-row
+      // parquet part; registering it would pad file counts (and every
+      // scan's delete-file list) with pure noise
+      .filter(_.count > 0)
 
   /** Distributed parquet write (with field ids; hive-partitioned when the
     * spec is non-empty) → written-file stats for the manifest.
