@@ -3239,7 +3239,9 @@ object IcebergWriter {
     val fields = keys.schema.fieldNames.map { n =>
       n -> (idByName(n), byName(n).dataType)
     }.toMap
-    val files = collectFiles(delDir, conf, Seq.empty, fields)
+    // zero-row parts (an empty write task) carry no delete rows — same
+    // noise filter as posDeleteFiles
+    val files = collectFiles(delDir, conf, Seq.empty, fields).filter(_.count > 0)
     val eqIds = keys.schema.fieldNames.toSeq.map(idByName)
     val manifestPath = new Path(path, s"metadata/$manifestName")
     writeManifest(manifestPath, conf, files.map { w =>
