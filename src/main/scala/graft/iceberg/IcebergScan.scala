@@ -1306,7 +1306,7 @@ object IcebergScan {
         data.map(_.fileSizeInBytes).sum,
         pos.size.toLong, pos.map(_.recordCount).sum,
         eq.size.toLong, eq.map(_.recordCount).sum)
-    }.sortBy(_.getAs[Map[String, String]](0).toSeq.sorted.mkString(" "))
+    }.sortBy(_.getAs[Map[String, String]](0).toSeq.sorted.mkString("\u0000"))
     val schema = StructType(Seq(
       StructField("partition",
         MapType(StringType, StringType, valueContainsNull = true), nullable = false),

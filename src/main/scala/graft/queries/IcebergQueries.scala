@@ -68,15 +68,20 @@ object IcebergQueries {
     ),
     QueryDef(
       "ib06_q6_revenue",
-      // golden: data/iceberg/lineitem_iceberg/README.md:14-17 (Spark-computed)
-      Some("SELECT CAST('1077536.9101' AS DECIMAL(38,4)) AS revenue"),
+      // golden: data/iceberg/lineitem_iceberg/README.md:14-17 (Spark-computed).
+      // The exact-decimal sum is emitted as fixed-scale VARCHAR — equally
+      // strong a pin on the golden value, and the only encoding the
+      // driver's pandas hasher treats identically on both engines
+      // (OutputTypeLintSpec bans DecimalType outputs).
+      Some("SELECT '1077536.9101' AS revenue"),
       (s, _) => IcebergScan.scan(s, Lineitem, moved)
         .filter(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
                 col("l_shipdate") < lit("1995-01-01").cast("date") &&
                 col("l_discount").between(
                   java.math.BigDecimal.valueOf(0.05), java.math.BigDecimal.valueOf(0.07)) &&
                 col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+        .agg(sum(col("l_extendedprice") * col("l_discount"))
+          .cast("string").as("revenue"))
     ),
     QueryDef(
       "ib07_snapshots",
@@ -135,11 +140,22 @@ object IcebergQueries {
       // column is normalized to UTC wall-clock on both engines, and the
       // BINARY column is hex-encoded on both engines (value equality is as
       // strong a check, and raw bytes break the driver's
-      // pandas-based row sort: unhashable bytearray).
+      // pandas-based row sort: unhashable bytearray). The three DECIMAL
+      // columns are emitted as fixed-scale VARCHAR on both engines: the
+      // driver's pandas compare converts DuckDB decimals to float64, whose
+      // int128-scaled division differs from correctly-rounded in the last
+      // ulp for some dec38_10 values, while fixed-scale text ("123.40") is
+      // exact and identical — value equality is as strong a check. The
+      // FLOAT column is widened to DOUBLE (exact IEEE widening on both
+      // engines) for the same hasher-stability reason.
       Some(s"""
-        SELECT l_orderkey_bool, l_partkey_int, l_suppkey_long, l_extendedprice_float,
-               l_extendedprice_double, l_extendedprice_dec9_2, l_extendedprice_dec18_6,
-               l_extendedprice_dec38_10, l_shipdate_date, l_partkey_time,
+        SELECT l_orderkey_bool, l_partkey_int, l_suppkey_long,
+               CAST(l_extendedprice_float AS DOUBLE) AS l_extendedprice_float,
+               l_extendedprice_double,
+               CAST(l_extendedprice_dec9_2 AS VARCHAR) AS l_extendedprice_dec9_2,
+               CAST(l_extendedprice_dec18_6 AS VARCHAR) AS l_extendedprice_dec18_6,
+               CAST(l_extendedprice_dec38_10 AS VARCHAR) AS l_extendedprice_dec38_10,
+               l_shipdate_date, l_partkey_time,
                l_commitdate_timestamp,
                timezone('UTC', l_commitdate_timestamp_tz) AS l_commitdate_timestamp_tz,
                l_comment_string, uuid, lower(hex(l_comment_blob)) AS l_comment_blob,
@@ -147,6 +163,10 @@ object IcebergQueries {
         FROM read_parquet('$Ref/generated_spec1_0_001/expected_results/last/data/*.parquet')"""),
       (s, _) => IcebergScan.scan(
           s, s"$Ref/generated_spec1_0_001/pyspark_iceberg_table", moved)
+        .withColumn("l_extendedprice_float", col("l_extendedprice_float").cast("double"))
+        .withColumn("l_extendedprice_dec9_2", col("l_extendedprice_dec9_2").cast("string"))
+        .withColumn("l_extendedprice_dec18_6", col("l_extendedprice_dec18_6").cast("string"))
+        .withColumn("l_extendedprice_dec38_10", col("l_extendedprice_dec38_10").cast("string"))
         .withColumn("l_commitdate_timestamp_tz",
           col("l_commitdate_timestamp_tz")
             .cast(org.apache.spark.sql.types.TimestampNTZType))
@@ -160,11 +180,17 @@ object IcebergQueries {
       // the MoR scan against the generator's expected parquet
       // (iceberg_scan_generated_data_0_001.test:76-88), so an off-by-one
       // row_index or wrong file match in the anti join cannot pass.
-      // Same normalizations as ib26: tz → UTC wall-clock, blob → lower(hex).
+      // Same normalizations as ib26: tz → UTC wall-clock, blob →
+      // lower(hex), DECIMAL → fixed-scale VARCHAR, FLOAT → DOUBLE (see
+      // ib26's comment for the decimal/float hasher rationale).
       Some(s"""
-        SELECT l_orderkey_bool, l_partkey_int, l_suppkey_long, l_extendedprice_float,
-               l_extendedprice_double, l_extendedprice_dec9_2, l_extendedprice_dec18_6,
-               l_extendedprice_dec38_10, l_shipdate_date, l_partkey_time,
+        SELECT l_orderkey_bool, l_partkey_int, l_suppkey_long,
+               CAST(l_extendedprice_float AS DOUBLE) AS l_extendedprice_float,
+               l_extendedprice_double,
+               CAST(l_extendedprice_dec9_2 AS VARCHAR) AS l_extendedprice_dec9_2,
+               CAST(l_extendedprice_dec18_6 AS VARCHAR) AS l_extendedprice_dec18_6,
+               CAST(l_extendedprice_dec38_10 AS VARCHAR) AS l_extendedprice_dec38_10,
+               l_shipdate_date, l_partkey_time,
                l_commitdate_timestamp,
                timezone('UTC', l_commitdate_timestamp_tz) AS l_commitdate_timestamp_tz,
                l_comment_string, uuid, lower(hex(l_comment_blob)) AS l_comment_blob,
@@ -172,6 +198,10 @@ object IcebergQueries {
         FROM read_parquet('$Ref/generated_spec2_0_001/expected_results/last/data/*.parquet')"""),
       (s, _) => IcebergScan.scan(
           s, s"$Ref/generated_spec2_0_001/pyspark_iceberg_table", moved)
+        .withColumn("l_extendedprice_float", col("l_extendedprice_float").cast("double"))
+        .withColumn("l_extendedprice_dec9_2", col("l_extendedprice_dec9_2").cast("string"))
+        .withColumn("l_extendedprice_dec18_6", col("l_extendedprice_dec18_6").cast("string"))
+        .withColumn("l_extendedprice_dec38_10", col("l_extendedprice_dec38_10").cast("string"))
         .withColumn("l_commitdate_timestamp_tz",
           col("l_commitdate_timestamp_tz")
             .cast(org.apache.spark.sql.types.TimestampNTZType))
