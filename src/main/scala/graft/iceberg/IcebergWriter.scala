@@ -2158,8 +2158,11 @@ object IcebergWriter {
     val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
     val spec = currentSpec(latest, df.schema)
     val specFields = spec.map(_.fieldName)
-    def key(p: Map[String, Any]): Seq[String] =
-      specFields.map(f => String.valueOf(p.getOrElse(f, null)))
+    // Option-wrapped tuple key: a null partition value must NOT collide
+    // with the literal string "null" (an incoming null-partition batch
+    // would otherwise tombstone live files partitioned under "null").
+    def key(p: Map[String, Any]): Seq[Option[String]] =
+      specFields.map(f => Option(p.getOrElse(f, null)).map(String.valueOf(_)))
     val liveData = meta.entries.collect {
       case (m, es) if m.content == 0 =>
         es.filter(e => e.status != 2 && e.content == 0).map(e => (m, e))
@@ -2176,7 +2179,7 @@ object IcebergWriter {
     val files = writeDataFiles(df,
       new Path(path, s"data/snap-$snapshotId-${commitToken()}"), spec,
       prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
-    val replaced: Set[Seq[String]] =
+    val replaced: Set[Seq[Option[String]]] =
       if (spec.isEmpty) Set(Seq.empty) else files.map(w => key(w.partition)).toSet
     def hit(e: ManifestEntry): Boolean =
       e.content == 0 && e.status != 2 &&
@@ -2343,6 +2346,26 @@ object IcebergWriter {
       }
     }
 
+  /** All (field-id → name) pairs of one schema JSON node, struct-nested
+    * fields included (nested ids are read-relevant too). Used by the
+    * [[addFiles]] rename-history guard. */
+  private def idNamePairs(schema: JsonNode): Seq[(Long, String)] = {
+    val buf = Seq.newBuilder[(Long, String)]
+    def walkFields(fields: JsonNode): Unit = fields.elements.asScala.foreach { f =>
+      if (f.has("id")) buf += f.get("id").asLong -> f.get("name").asText
+      walkType(f.get("type"))
+    }
+    def walkType(t: JsonNode): Unit =
+      if (t.isObject) t.get("type").asText match {
+        case "struct" => walkFields(t.get("fields"))
+        case "list"   => walkType(t.get("element"))
+        case "map"    => walkType(t.get("key")); walkType(t.get("value"))
+        case _        =>
+      }
+    walkFields(schema.get("fields"))
+    buf.result()
+  }
+
   /** The `add_files` / migrate-in-place procedure (Iceberg's
     * `system.add_files`): registers EXISTING parquet files into the table
     * WITHOUT copying or rewriting them — at 100 TB, migration cost is one
@@ -2394,6 +2417,26 @@ object IcebergWriter {
     val fileSchema = spark.read.format(fmt).load(files.head.getPath.toString).schema
     val schema: StructType = state match {
       case Some(st) =>
+        // Rename-history guard (mirror of renameColumns' forward guard):
+        // registering the mapping flips the whole table to name-based
+        // resolution, but data files written BEFORE a renameColumns store
+        // the OLD physical column name — the renamed column would silently
+        // read NULL from them. Walk the full schemas history and refuse
+        // when any currently-live field id ever carried a different name.
+        if (st.snapshots.nonEmpty) {
+          val current = st.info.schemas
+            .find(s => s.has("schema-id") && s.get("schema-id").asInt == st.info.schemaId)
+            .orElse(if (st.info.schemas.size == 1) st.info.schemas.headOption else None)
+            .map(idNamePairs(_).toMap).getOrElse(Map.empty)
+          for (hist <- st.info.schemas; (id, oldName) <- idNamePairs(hist);
+               curName <- current.get(id) if curName != oldName)
+            throw new IllegalArgumentException(
+              s"addFiles: field id $id was previously named '$oldName' (now " +
+                s"'$curName') — data files written before the rename store the " +
+                "old physical name and would silently read NULL once the " +
+                "migration's name mapping makes reads name-based. Migrate into " +
+                "a fresh table (clone/CTAS) instead of registering files here.")
+        }
         val cols = IcebergSchemaParser.parseSchemaById(st.info.schemas, st.info.schemaId)
         cols.foreach { c =>
           fileSchema.fields.find(_.name == c.name).foreach { f =>
@@ -3489,6 +3532,32 @@ object IcebergWriter {
       "cherrypickSnapshot: source is not a pure append over its parent " +
         "(it rewrote or dropped manifests) — fastForward the branch instead")
     val latest = state.opBase("cherrypickSnapshot", "main")
+    // Duplicate-publish guard: a source snapshot already reachable from
+    // main, or cherry-picked onto main before (summaries carry
+    // source-snapshot-id provenance), would re-commit its data files and
+    // silently duplicate every row. Walk main's parent chain.
+    locally {
+      val byId = state.snapshots.map(n => n.get("snapshot-id").asLong -> n).toMap
+      var cursor: Option[Long] = Some(latest.snapshotId)
+      while (cursor.isDefined) {
+        byId.get(cursor.get) match {
+          case Some(n) =>
+            val id = n.get("snapshot-id").asLong
+            require(id != sourceSnapshotId,
+              s"cherrypickSnapshot: snapshot $sourceSnapshotId is already " +
+                "reachable from main — picking it again would duplicate its rows")
+            val picked = Option(n.get("summary"))
+              .flatMap(s => Option(s.get("source-snapshot-id"))).map(_.asText)
+            require(!picked.contains(sourceSnapshotId.toString),
+              s"cherrypickSnapshot: snapshot $sourceSnapshotId was already " +
+                s"cherry-picked onto main (as snapshot $id) — picking it " +
+                "again would duplicate its rows")
+            cursor = Option(n.get("parent-snapshot-id"))
+              .filterNot(_.isNull).map(_.asLong)
+          case None => cursor = None
+        }
+      }
+    }
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     val fv = info.formatVersion

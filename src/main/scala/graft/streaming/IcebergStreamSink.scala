@@ -126,21 +126,68 @@ object IcebergStreamSink {
       IcebergWriter.overwritePartitions(batch, path, branch = branch, summary = bk)
   }
 
+  /** Overwrite-mode safety gate: under `update` (or `append`) output
+    * mode a micro-batch carries only the CHANGED (or closed) groups, and
+    * the partition overwrite replaces each touched partition with
+    * exactly the batch's rows — so the batch's groups must BE whole
+    * partitions. If the aggregation grouped by anything finer than the
+    * partition columns (e.g. day + user under a day partition), the
+    * unchanged rows of a recomputed partition would be silently dropped
+    * from the table. Refuse unless the grouping columns are exactly the
+    * partition columns; `complete` mode re-emits every group per trigger
+    * and is unconditionally safe. */
+  private def requireWholePartitionBatches(
+      events: DataFrame, partitionBy: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val partCols = partitionBy.map(_._1).toSet
+    // collectFirst is pre-order: the TOPMOST aggregation is the one whose
+    // groups the sink's batches consist of. A grouping expression's OUTPUT
+    // name lives in the aggregate's result list (the analyzer strips the
+    // alias from groupingExpressions), so resolve each one semantically
+    // against the aggregate's projected expressions.
+    val grouping = events.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a.groupingExpressions.map { g =>
+        a.aggregateExpressions.collectFirst {
+          case al: Alias if al.child.semanticEquals(g)        => al.name
+          case ar: AttributeReference if ar.semanticEquals(g) => ar.name
+        }
+      }
+    }
+    val ok = grouping.exists(gs =>
+      gs.forall(_.isDefined) && gs.flatten.toSet == partCols)
+    require(ok,
+      "startOverwrite: in update/append output mode each batch must hold " +
+        "WHOLE partitions, so the streaming aggregation's grouping columns " +
+        s"must be exactly the partition columns (${partCols.mkString(", ")}) " +
+        s"— found ${grouping.fold("no aggregation")(_.map(_.getOrElse("<unnamed expr>")).mkString(", "))}. " +
+        "Group by the partition columns only, or pass outputMode=\"complete\" " +
+        "(re-emits every group per trigger; safe for any grouping).")
+  }
+
   /** Start OVERWRITE ingestion: every micro-batch replaces the
     * partitions it recomputed (ReplacePartitions per batch) — pair with
-    * an `update`/`complete`-mode windowed aggregation whose window key is
-    * the partition column. */
+    * a windowed aggregation whose group key IS the partition column set.
+    * In the default `update` mode (and in `append`) this is validated up
+    * front — finer-grained groupings would silently drop the unchanged
+    * rows of a recomputed partition; pass `outputMode = "complete"` to
+    * run any grouping at the cost of re-emitting every group per
+    * trigger. */
   def startOverwrite(events: DataFrame, path: String, checkpoint: String,
                      partitionBy: Seq[(String, String)],
                      sinkId: String = "default",
-                     branch: String = "main"): StreamingQuery =
+                     branch: String = "main",
+                     outputMode: String = "update"): StreamingQuery = {
+    if (outputMode != "complete")
+      requireWholePartitionBatches(events, partitionBy)
     events.writeStream
-      .outputMode("update")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatchOverwrite(batch, batchId, path, partitionBy, sinkId, branch)
       }
       .start()
+  }
 
   /** Start ingesting `events` into the Iceberg table at `path`. Pair each
     * checkpoint with its own `sinkId` (see class doc). With `branch`,

@@ -148,6 +148,24 @@ class MigrateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not physically present"))
   }
 
+  test("addFiles refuses a table whose history renamed a live column") {
+    // the backward-direction rename guard: files written BEFORE a
+    // renameColumns store the OLD physical column name, so flipping the
+    // table to name-based resolution would silently null the renamed
+    // column on them
+    val table = tmp("graft_mig_hist_") + "/t"
+    IcebergWriter.write(src(10), table)
+    IcebergWriter.renameColumns(spark, table, Map("score" -> "points"))
+    val source = tmp("graft_mig_hist_src_")
+    import spark.implicits._
+    writeForeign((1 to 5).map(i => (i.toLong, s"n$i", i * 1.0))
+      .toDF("id", "name", "points"), source)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.addFiles(spark, table, source)
+    }
+    assert(e.getMessage.contains("previously named"), e.getMessage)
+  }
+
   test("renames are blocked while the name mapping exists") {
     val source = tmp("graft_mig_src7_")
     writeForeign(src(10), source)

@@ -106,6 +106,22 @@ class OverwriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.select("v").distinct().head().getString(0) === "new")
   }
 
+  test("null partition value does not collide with the string 'null'") {
+    val table = tmp("graft_ow5_") + "/t"
+    import spark.implicits._
+    val init = Seq((1L, "null", "keep"), (2L, null: String, "old"), (3L, "a", "keep"))
+      .toDF("id", "k", "v")
+    IcebergWriter.write(init, table, partitionBy = Seq("k" -> "identity"))
+    // a batch touching ONLY the null partition must not tombstone the
+    // files living under the literal string partition "null"
+    IcebergWriter.overwritePartitions(
+      Seq((9L, null: String, "new")).toDF("id", "k", "v"), table)
+    val got = IcebergScan.scan(spark, table).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, Some("null"), "keep"), (3L, Some("a"), "keep"), (9L, None, "new")))
+  }
+
   test("schema drift is rejected — evolution goes through write()") {
     val table = tmp("graft_ow3_") + "/t"
     import spark.implicits._

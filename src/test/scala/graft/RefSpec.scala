@@ -498,6 +498,19 @@ class RefSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(picked))
     assert(newMain > picked)
 
+    // duplicate-publish guards: the SAME staged snapshot cannot be
+    // picked twice (provenance check), and a snapshot already on main's
+    // lineage cannot be picked at all — either would re-add its data
+    // files and silently duplicate rows
+    val dup = intercept[IllegalArgumentException] {
+      IcebergWriter.cherrypickSnapshot(spark, table, picked)
+    }
+    assert(dup.getMessage.contains("already cherry-picked"), dup.getMessage)
+    val onMain = intercept[IllegalArgumentException] {
+      IcebergWriter.cherrypickSnapshot(spark, table, newMain)
+    }
+    assert(onMain.getMessage.contains("already reachable"), onMain.getMessage)
+
     // a DELETE commit on the branch refuses to cherry-pick
     IcebergWriter.delete(spark, table, col("n_nationkey") === 1,
       branch = "staging")

@@ -269,6 +269,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("OVERWRITE sink refuses finer-than-partition groupings in update mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IcebergStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_owguard_")
+    val in = MemoryStream[Event]
+    // day + user grouping under a day partition: update mode emits only
+    // the CHANGED (day,user) rows, so a recomputed day's unchanged users
+    // would be dropped from the replaced partition — must refuse up front
+    val fine = in.toDF()
+      .groupBy(to_date(col("ts")).as("dt"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergStreamSink.startOverwrite(fine, dir.toString + "/t",
+        dir.toString + "/ckpt", partitionBy = Seq("dt" -> "identity"))
+    }
+    assert(e.getMessage.contains("WHOLE partitions"), e.getMessage)
+
+    // complete mode re-emits every group per trigger — the same finer
+    // grouping is safe and produces exact per-(day,user) counts
+    import graft.iceberg.IcebergScan
+    val q = IcebergStreamSink.startOverwrite(fine, dir.toString + "/t2",
+      dir.toString + "/ckpt2", partitionBy = Seq("dt" -> "identity"),
+      outputMode = "complete")
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 11:00:00"), 1, "view", 2.0),
+        Event(3, ts("2026-01-01 12:00:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts("2026-01-01 13:00:00"), 2, "click", 4.0))
+      q.processAllAvailable()
+      val got = IcebergScan.scan(spark, dir.toString + "/t2")
+        .orderBy("user_id").collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt")))
+      assert(got.toSeq === Seq((1L, 2L), (2L, 2L)))
+    } finally q.stop()
+  }
+
   test("Iceberg UPSERT sink: merge-by-key CDC ingestion with last-write-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
