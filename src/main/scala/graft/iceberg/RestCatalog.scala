@@ -120,9 +120,173 @@ object RestCatalog {
     * spec's 0x1F unit separator in the URL. */
   def loadTable(c: Client, table: String): LoadedTable = {
     val ref = parseRef(table)
-    val body = parse(http("GET",
+    loaded(table, parse(http("GET",
       s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}",
-      c.token, None))
+      c.token, None)))
+  }
+
+  /** The catalog rejected a commit's requirements (HTTP 409): the
+    * expected branch head moved between load and commit. */
+  final class CommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+
+  // ---- write path ------------------------------------------------------
+
+  /** `POST .../namespaces/{ns}/register` — registers an EXISTING table's
+    * current metadata file under a catalog name (the REST spec's
+    * `register` endpoint: how engine-written or migrated tables enter a
+    * catalog). */
+  def registerTable(c: Client, table: String,
+      metadataLocation: String): LoadedTable = {
+    val ref = parseRef(table)
+    val body = mapper.createObjectNode()
+    body.put("name", ref.name)
+    body.put("metadata-location", metadataLocation)
+    loaded(table, parse(http("POST",
+      s"${root(c)}/namespaces/${nsPath(ref.namespace)}/register",
+      c.token, Some(body.toString))))
+  }
+
+  /** Create a table THROUGH the catalog: run `create` (any writer op
+    * that materializes an Iceberg table at `location`), then register
+    * the resulting metadata file under the catalog name. */
+  def createTable[A](spark: SparkSession, c: Client, table: String,
+      location: String)(create: String => A): A = {
+    val result = create(location)
+    val meta = IcebergIO.resolveMetadataPath(
+      location, spark.sessionState.newHadoopConf(), "none",
+      IcebergModel.UnknownTableVersion,
+      IcebergModel.DefaultTableVersionFormat, false)
+    registerTable(c, table, meta)
+    result
+  }
+
+  /** `POST .../tables/{table}` — the spec's CommitTableRequest:
+    * `requirements` guard the commit (assert-table-uuid,
+    * assert-ref-snapshot-id), `updates` describe it (add-snapshot,
+    * set-snapshot-ref). 409 maps to [[CommitConflictException]] so
+    * callers can refresh and retry. */
+  def commitTable(c: Client, table: String, requirements: Seq[JsonNode],
+      updates: Seq[JsonNode]): LoadedTable = {
+    val ref = parseRef(table)
+    val body = mapper.createObjectNode()
+    val id = body.putObject("identifier")
+    val nsArr = id.putArray("namespace")
+    ref.namespace.foreach(nsArr.add)
+    id.put("name", ref.name)
+    val reqArr = body.putArray("requirements")
+    requirements.foreach(reqArr.add)
+    val updArr = body.putArray("updates")
+    updates.foreach(updArr.add)
+    val url =
+      s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}"
+    try loaded(table, parse(http("POST", url, c.token, Some(body.toString))))
+    catch {
+      case e: java.io.IOException if e.getMessage.contains("HTTP 409") =>
+        throw new CommitConflictException(e.getMessage)
+    }
+  }
+
+  /** Run a writer op against a catalog table and publish the resulting
+    * commit(s) THROUGH the catalog — the provisioned-catalog flow the
+    * reference's test infra drives (`scripts/provision.py:40-133`:
+    * Spark writes, the REST catalog records each commit). The op runs
+    * against the table's storage path (data/manifest/metadata writes
+    * are the engine's as usual — a REST catalog never touches data);
+    * the resulting new snapshots and ref moves are then POSTed as a
+    * CommitTableRequest guarded by assert-table-uuid +
+    * assert-ref-snapshot-id on main's pre-op head. On 409 the catalog
+    * state is refreshed: if the catalog already records our head the
+    * commit is a replay (success); if the catalog head is an ancestor
+    * of ours the POST retries against it; anything else is a genuine
+    * divergence and throws. */
+  def commitThrough[A](spark: SparkSession, c: Client, table: String)(
+      op: String => A): A = {
+    val conf = spark.sessionState.newHadoopConf()
+    val before = loadTable(c, table)
+    val tablePath = tableRootOf(before.metadataLocation)
+    val beforeRoot = readMetadata(before.metadataLocation, conf)
+    val beforeHead = mainHead(beforeRoot)
+    val beforeIds = snapshotNodes(beforeRoot).map(_.get("snapshot-id").asLong).toSet
+
+    val result = op(tablePath)
+
+    val afterMeta = IcebergIO.resolveMetadataPath(
+      tablePath, conf, "none", IcebergModel.UnknownTableVersion,
+      IcebergModel.DefaultTableVersionFormat, false)
+    val afterRoot = readMetadata(afterMeta, conf)
+    val afterHead = mainHead(afterRoot)
+    val added = snapshotNodes(afterRoot)
+      .filterNot(n => beforeIds(n.get("snapshot-id").asLong))
+      .sortBy(n => Option(n.get("sequence-number")).map(_.asLong).getOrElse(0L))
+
+    def updates(): Seq[JsonNode] = {
+      val out = Seq.newBuilder[JsonNode]
+      added.foreach { sn =>
+        val u = mapper.createObjectNode()
+        u.put("action", "add-snapshot")
+        u.set[JsonNode]("snapshot", sn)
+        out += u
+      }
+      refsOf(afterRoot).foreach { case (name, (id, tpe)) =>
+        if (!refsOf(beforeRoot).get(name).exists(_._1 == id)) {
+          val u = mapper.createObjectNode()
+          u.put("action", "set-snapshot-ref")
+          u.put("ref-name", name)
+          u.put("type", tpe)
+          u.put("snapshot-id", id)
+          out += u
+        }
+      }
+      out.result()
+    }
+    def requirements(expectedMain: Option[Long]): Seq[JsonNode] = {
+      val out = Seq.newBuilder[JsonNode]
+      Option(afterRoot.get("table-uuid")).map(_.asText).foreach { uuid =>
+        val r = mapper.createObjectNode()
+        r.put("type", "assert-table-uuid")
+        r.put("uuid", uuid)
+        out += r
+      }
+      val r = mapper.createObjectNode()
+      r.put("type", "assert-ref-snapshot-id")
+      r.put("ref", "main")
+      expectedMain match {
+        case Some(id) => r.put("snapshot-id", id)
+        case None     => r.putNull("snapshot-id")
+      }
+      out += r
+      out.result()
+    }
+    // main's lineage AFTER the op, for ancestor checks on retry
+    val afterLineage: Set[Long] = {
+      val byId = snapshotNodes(afterRoot)
+        .map(n => n.get("snapshot-id").asLong -> n).toMap
+      Iterator.iterate(afterHead)(cur => cur.flatMap(byId.get).flatMap(n =>
+          Option(n.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong)))
+        .takeWhile(_.isDefined).flatten.toSet
+    }
+    var expected = beforeHead
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try { commitTable(c, table, requirements(expected), updates()); done = true }
+      catch {
+        case e: CommitConflictException =>
+          val now = readMetadata(loadTable(c, table).metadataLocation, conf)
+          val h = mainHead(now)
+          if (h == afterHead) done = true // replay: already committed
+          else if (attempts < 3 && h.exists(afterLineage)) expected = h
+          else throw new CommitConflictException(
+            s"commitThrough: catalog head $h diverged from this commit's " +
+              s"lineage (head $afterHead) for $table — ${e.getMessage}")
+      }
+    }
+    result
+  }
+
+  private def loaded(table: String, body: JsonNode): LoadedTable = {
     val loc = Option(body.get("metadata-location")).map(_.asText)
       .orElse(Option(body.get("metadata"))
         .flatMap(m => Option(m.get("metadata-location")).map(_.asText)))
@@ -130,6 +294,34 @@ object RestCatalog {
         s"catalog returned no metadata-location for table $table"))
     LoadedTable(loc, strMap(body.get("config")))
   }
+
+  /** `<root>/metadata/vN.metadata.json` → `<root>`. */
+  private def tableRootOf(metadataLocation: String): String = {
+    val p = new org.apache.hadoop.fs.Path(metadataLocation)
+    val metaDir = p.getParent
+    require(metaDir != null && metaDir.getParent != null,
+      s"cannot derive a table root from metadata location $metadataLocation")
+    metaDir.getParent.toString
+  }
+
+  private def readMetadata(
+      location: String,
+      conf: org.apache.hadoop.conf.Configuration): JsonNode =
+    parse(IcebergIO.readString(location, conf, gzip = location.endsWith(".gz")))
+
+  private def snapshotNodes(root: JsonNode): Seq[JsonNode] =
+    Option(root.get("snapshots")).map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+
+  private def refsOf(root: JsonNode): Map[String, (Long, String)] =
+    Option(root.get("refs")).map(_.fields.asScala.map { e =>
+      e.getKey -> (e.getValue.get("snapshot-id").asLong,
+        Option(e.getValue.get("type")).map(_.asText).getOrElse("branch"))
+    }.toMap).getOrElse(Map.empty)
+
+  private def mainHead(root: JsonNode): Option[Long] =
+    refsOf(root).get("main").map(_._1)
+      .orElse(Option(root.get("current-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong).filter(_ >= 0))
 
   // ---- scan integration ------------------------------------------------
 

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -36,6 +37,86 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val tables = scala.collection.concurrent.TrieMap.empty[String, String]
   @volatile private var lastAuthHeader: Option[String] = None
   @volatile private var tablePages = 1 // split listTables into N pages
+  @volatile private var injectConflictOnce = false // fail the next commit POST
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The server's storage-backed view of one table's CURRENT metadata
+    * (it reads the file it last served — a catalog's source of truth). */
+  private def serverMetadata(loc: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(loc.stripPrefix("file:"))))
+
+  private def serverMainHead(meta: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
+    Option(meta.get("refs")).flatMap(r => Option(r.get("main")))
+      .map(_.get("snapshot-id").asLong)
+      .orElse(Option(meta.get("current-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong).filter(_ >= 0))
+
+  /** Commit handler: validate requirements against the stored metadata,
+    * then "apply updates" the way a storage-backed catalog does — resolve
+    * the table's newest metadata file and verify it carries the committed
+    * snapshots/refs. */
+  private def handleCommit(x: HttpExchange, name: String): Unit = {
+    val body = mapper.readTree(new String(x.getRequestBody.readAllBytes(), UTF_8))
+    tables.get(name) match {
+      case None => respond(x, 404,
+        s"""{"error":{"message":"Table does not exist: analytics.$name","type":"NoSuchTableException","code":404}}""")
+      case Some(loc) =>
+        if (injectConflictOnce) {
+          injectConflictOnce = false
+          respond(x, 409,
+            """{"error":{"message":"injected: concurrent update","type":"CommitFailedException","code":409}}""")
+          return
+        }
+        val meta = serverMetadata(loc)
+        val head = serverMainHead(meta)
+        val reqs = Option(body.get("requirements")).toSeq
+          .flatMap(_.elements().asScala.toSeq)
+        val conflict = reqs.flatMap { r =>
+          r.get("type").asText match {
+            case "assert-ref-snapshot-id" if r.get("ref").asText == "main" =>
+              val expected = Option(r.get("snapshot-id")).filterNot(_.isNull).map(_.asLong)
+              if (expected != head)
+                Some(s"requirement failed: main is at ${head.getOrElse("none")}, expected ${expected.getOrElse("none")}")
+              else None
+            case "assert-table-uuid" =>
+              val got = Option(meta.get("table-uuid")).map(_.asText)
+              if (!got.contains(r.get("uuid").asText))
+                Some(s"requirement failed: table-uuid is ${got.getOrElse("none")}")
+              else None
+            case _ => None
+          }
+        }
+        conflict.headOption match {
+          case Some(msg) => respond(x, 409,
+            s"""{"error":{"message":"$msg","type":"CommitFailedException","code":409}}""")
+          case None =>
+            // apply: the storage backend already holds the new metadata
+            // file — resolve the newest version and serve it
+            val root = new java.io.File(loc.stripPrefix("file:"))
+              .getParentFile.getParentFile
+            val hint = new java.io.File(root, "metadata/version-hint.text")
+            val v = java.nio.file.Files.readString(hint.toPath).trim
+            val newLoc = s"${root.getAbsolutePath}/metadata/v$v.metadata.json"
+            val newMeta = serverMetadata(newLoc)
+            val committedIds = Option(body.get("updates")).toSeq
+              .flatMap(_.elements().asScala.toSeq)
+              .filter(_.get("action").asText == "add-snapshot")
+              .map(_.get("snapshot").get("snapshot-id").asLong)
+            val storedIds = Option(newMeta.get("snapshots")).toSeq
+              .flatMap(_.elements().asScala.toSeq)
+              .map(_.get("snapshot-id").asLong).toSet
+            if (!committedIds.forall(storedIds))
+              respond(x, 400,
+                """{"error":{"message":"add-snapshot refers to a snapshot the storage does not hold","code":400}}""")
+            else {
+              tables.put(name, newLoc)
+              respond(x, 200, s"""{"metadata-location":"$newLoc","metadata":{}}""")
+            }
+        }
+    }
+  }
 
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes(UTF_8)
@@ -66,7 +147,19 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       lastAuthHeader = Option(x.getRequestHeaders.getFirst("Authorization"))
       val path = x.getRequestURI.getPath.stripPrefix("/v1/ws/main/")
       val query = Option(x.getRequestURI.getQuery).getOrElse("")
+      val isPost = x.getRequestMethod == "POST"
       path match {
+        case "namespaces/analytics/register" if isPost =>
+          val body = mapper.readTree(
+            new String(x.getRequestBody.readAllBytes(), UTF_8))
+          val name = body.get("name").asText
+          val loc = body.get("metadata-location").asText
+          if (tables.putIfAbsent(name, loc).isDefined)
+            respond(x, 409,
+              s"""{"error":{"message":"Table already exists: analytics.$name","type":"AlreadyExistsException","code":409}}""")
+          else respond(x, 200, s"""{"metadata-location":"$loc","metadata":{}}""")
+        case p if isPost && p.startsWith("namespaces/analytics/tables/") =>
+          handleCommit(x, p.stripPrefix("namespaces/analytics/tables/"))
         case "namespaces" =>
           respond(x, 200, """{"namespaces":[["analytics"],["analytics","raw"]]}""")
         case "namespaces/analytics/tables" =>
@@ -172,6 +265,79 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       RestCatalog.connect(uri, credential = Some("graft:wrong"))
     }
     assert(e.getMessage.contains("bad client credentials"))
+  }
+
+  test("commits flow THROUGH the catalog: create → append → delete → scan") {
+    val c = RestCatalog.connect(uri)
+    val dir = Files.createTempDirectory("graft_rest_commit_").toString
+    val orders = Tables.load(spark, Sf, "orders")
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+    val extra = orders.filter(col("o_orderkey") % 2 =!= 0)
+
+    // create: write the table, then register its metadata file
+    RestCatalog.createTable(spark, c, "analytics.orders_commit", s"$dir/t") {
+      p => IcebergWriter.write(base, p)
+    }
+    assert(RestCatalog.scan(spark, c, "analytics.orders_commit").count()
+      === base.count())
+
+    // append THROUGH the catalog: its metadata-location must advance
+    // with no manual re-registration
+    RestCatalog.commitThrough(spark, c, "analytics.orders_commit") { p =>
+      IcebergWriter.write(extra, p)
+    }
+    assert(RestCatalog.scan(spark, c, "analytics.orders_commit").count()
+      === orders.count())
+
+    // MoR row-level delete through the catalog
+    RestCatalog.commitThrough(spark, c, "analytics.orders_commit") { p =>
+      IcebergWriter.delete(spark, p, col("o_orderstatus") === "F")
+    }
+    val after = RestCatalog.scan(spark, c, "analytics.orders_commit")
+    assert(after.filter(col("o_orderstatus") === "F").count() === 0)
+    assert(after.count() ===
+      orders.filter(col("o_orderstatus") =!= "F").count())
+    // the catalog handle sees the full commit history
+    assert(RestCatalog.snapshots(spark, c, "analytics.orders_commit")
+      .count() === 3)
+    // creating over an existing name is refused by the catalog
+    val dup = intercept[java.io.IOException] {
+      RestCatalog.registerTable(c, "analytics.orders_commit",
+        tables("orders_commit"))
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
+  test("commit conflict: 409 retries against a refreshed head; true divergence throws") {
+    val c = RestCatalog.connect(uri)
+    val dir = Files.createTempDirectory("graft_rest_conflict_").toString
+    import spark.implicits._
+    RestCatalog.createTable(spark, c, "analytics.t_conflict", s"$dir/t") {
+      p => IcebergWriter.write(Seq((1L, "a")).toDF("id", "v"), p)
+    }
+
+    // a transient 409 (simulated race): the client refreshes the head
+    // and retries — the commit lands
+    injectConflictOnce = true
+    RestCatalog.commitThrough(spark, c, "analytics.t_conflict") { p =>
+      IcebergWriter.write(Seq((2L, "b")).toDF("id", "v"), p)
+    }
+    assert(!injectConflictOnce) // the injected conflict was consumed
+    assert(RestCatalog.scan(spark, c, "analytics.t_conflict").count() === 2)
+
+    // true divergence: the catalog now tracks a FOREIGN table (different
+    // uuid, unrelated lineage) — refresh cannot reconcile, so it throws
+    // and the catalog entry is left untouched
+    RestCatalog.createTable(spark, c, "analytics.t_other", s"$dir/other") {
+      p => IcebergWriter.write(Seq((9L, "z")).toDF("id", "v"), p)
+    }
+    val e = intercept[RestCatalog.CommitConflictException] {
+      RestCatalog.commitThrough(spark, c, "analytics.t_conflict") { p =>
+        IcebergWriter.write(Seq((3L, "c")).toDF("id", "v"), p)
+        tables.put("t_conflict", tables("t_other")) // foreign commit wins
+      }
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
   }
 
   test("missing table maps 404 to a catchable not-found") {
