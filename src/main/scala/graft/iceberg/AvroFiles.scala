@@ -1,0 +1,295 @@
+package graft.iceberg
+
+import java.nio.ByteBuffer
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg's THIRD data-file format (spec "Avro"; engine extension — the
+  * reference reads parquet only, `iceberg_multi_file_reader.cpp`), built
+  * directly on avro-1.12.1: Spark ships no avro DataSource module in this
+  * deployment, so the bridge reads and writes Avro OCF files itself.
+  *
+  * Scale design:
+  *  - READ fans out one task per file (`parallelize(paths)` →
+  *    `flatMap`): each task streams one container file. File-level
+  *    parallelism (no intra-file sync-marker splits) is the deliberate
+  *    granularity — the write path targets bounded file sizes, so a 100 TB
+  *    table is wide in files, not deep in one.
+  *  - WRITE runs inside the executors (`foreachPartition`), one open
+  *    container per partition tuple per task, mirroring Spark's
+  *    `partitionBy` hive layout so [[IcebergWriter.collectFiles]] parses
+  *    partition tuples identically for all three formats.
+  *  - Row POSITIONS are first-class: a file is written and read
+  *    sequentially by a single task, so the reader's per-file record
+  *    index is exactly the write-time position — position deletes and
+  *    provenance work on Avro data files (unlike ORC, where Spark's
+  *    reader exposes no `_metadata.row_index`).
+  *
+  * Column resolution is BY NAME with null fill for missing fields (Avro
+  * has no parquet-style field-id stamping; same documented caveat as ORC:
+  * metadata-only renames do not reach into pre-rename files). Types
+  * cover Iceberg's flat primitive surface: boolean, int, long, float,
+  * double, string, binary, date, timestamp, timestamptz, decimal.
+  * Nested types are rejected loudly — use parquet for nested payloads.
+  */
+object AvroFiles {
+
+  private val Epoch = LocalDateTime.of(1970, 1, 1, 0, 0)
+
+  /** Spark (flat) schema → Avro record schema of nullable unions. */
+  def avroSchema(schema: StructType, recordName: String = "row"): Schema = {
+    val fields = schema.fields.map { f =>
+      val t = primitive(f.dataType, f.name)
+      val union = Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), t))
+      new Schema.Field(f.name, union, null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def primitive(dt: DataType, name: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case other => throw new UnsupportedOperationException(
+      s"avro data files: column '$name' has unsupported type ${other.sql} " +
+        "(flat primitives only — use parquet for nested payloads)")
+  }
+
+  /** External Row value → avro value (schema types validated above). */
+  private def toAvro(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case DateType => Int.box(v match {
+        case d: java.sql.Date  => d.toLocalDate.toEpochDay.toInt
+        case d: LocalDate      => d.toEpochDay.toInt
+      })
+      case TimestampNTZType =>
+        val ldt = v.asInstanceOf[LocalDateTime]
+        Long.box(java.time.Duration.between(Epoch, ldt).toNanos / 1000L)
+      case TimestampType => Long.box(v match {
+        case t: java.sql.Timestamp =>
+          t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+        case i: java.time.Instant =>
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+      })
+      case d: DecimalType =>
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+        ByteBuffer.wrap(bd.unscaledValue.toByteArray)
+      case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => v
+    }
+
+  /** Avro value → external Row value for the TARGET Spark type. */
+  private def fromAvro(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => v.toString // Utf8 → String
+      case DateType =>
+        java.sql.Date.valueOf(LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue))
+      case TimestampNTZType =>
+        Epoch.plusNanos(v.asInstanceOf[Number].longValue * 1000L)
+      case TimestampType =>
+        val micros = v.asInstanceOf[Number].longValue
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
+      case d: DecimalType =>
+        val bytes = bytesOf(v)
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
+      case BinaryType => bytesOf(v)
+      case FloatType  => Float.box(v.asInstanceOf[Number].floatValue)
+      case DoubleType => Double.box(v.asInstanceOf[Number].doubleValue)
+      case IntegerType => Int.box(v.asInstanceOf[Number].intValue)
+      case LongType    => Long.box(v.asInstanceOf[Number].longValue)
+      case _ => v
+    }
+
+  private def bytesOf(v: Any): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case a: Array[Byte] => a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes()
+  }
+
+  /** Hive-style dir value: %XX-escape everything outside [A-Za-z0-9._-]
+    * (strictly conservative; [[IcebergWriter.parseDirValue]] unescapes). */
+  private def dirValue(dt: DataType, v: Any): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else {
+      val raw = v match {
+        case d: java.sql.Date => d.toLocalDate.toString
+        case d: LocalDate     => d.toString
+        case other            => other.toString
+      }
+      raw.flatMap { c =>
+        if (c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-')
+          c.toString
+        else f"%%${c.toInt}%02X"
+      }
+    }
+
+  /** Executor-side partitioned write mirroring Spark's `partitionBy`
+    * layout: payload columns go into the container, `gpNames` columns
+    * become `<name>=<value>` directory segments only. */
+  def writePartitioned(df: DataFrame, dataDir: Path,
+      gpNames: Seq[String]): Unit = {
+    val schema = df.schema
+    val payload = StructType(schema.fields.filterNot(f => gpNames.contains(f.name)))
+    payload.fields.foreach(f => primitive(f.dataType, f.name)) // validate up front
+    val schemaJson = avroSchema(payload).toString
+    val gpIdx = gpNames.map(schema.fieldIndex)
+    val gpTypes = gpIdx.map(schema.fields(_).dataType)
+    val payloadIdx = payload.fields.map(f => schema.fieldIndex(f.name)).toSeq
+    val payloadTypes = payload.fields.map(_.dataType).toSeq
+    val payloadNames = payload.fieldNames.toSeq
+    val dirStr = dataDir.toString
+    df.rdd.foreachPartition { rows =>
+      val conf = new Configuration()
+      val writerSchema = new Schema.Parser().parse(schemaJson)
+      val taskId = org.apache.spark.TaskContext.getPartitionId()
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val writers = scala.collection.mutable.Map.empty[Seq[String], DataFileWriter[GenericRecord]]
+      try {
+        rows.foreach { row =>
+          val segs = gpIdx.zip(gpTypes).zip(gpNames).map { case ((i, dt), n) =>
+            s"$n=${dirValue(dt, if (row.isNullAt(i)) null else row.get(i))}"
+          }
+          val w = writers.getOrElseUpdate(segs, {
+            val dir = segs.foldLeft(new Path(dirStr))(new Path(_, _))
+            val file = new Path(dir, f"part-$taskId%05d-$token.avro")
+            val fs = file.getFileSystem(conf)
+            val out = fs.create(file, false)
+            new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](writerSchema))
+              .create(writerSchema, out)
+          })
+          val rec = new GenericData.Record(writerSchema)
+          payloadIdx.indices.foreach { j =>
+            val i = payloadIdx(j)
+            rec.put(payloadNames(j),
+              toAvro(payloadTypes(j), if (row.isNullAt(i)) null else row.get(i)))
+          }
+          w.append(rec)
+        }
+      } finally writers.values.foreach(_.close())
+    }
+  }
+
+  /** Distributed by-name read. `paths` pairs each manifest path with its
+    * fully-qualified URI (computed on the driver with the same
+    * [[IcebergIO.qualified]] the MoR delete bridge uses, so
+    * `__graft_file` equality holds exactly). `withMeta` appends
+    * `__graft_file` and `__graft_pos` — the per-file record index, which
+    * IS the write-time position (single sequential task per file). */
+  def read(spark: SparkSession, paths: Seq[(String, String)],
+      readSchema: StructType, withMeta: Boolean): DataFrame = {
+    val out =
+      if (!withMeta) readSchema
+      else StructType(readSchema.fields.toSeq :+
+        StructField("__graft_file", StringType) :+
+        StructField("__graft_pos", LongType))
+    val names = readSchema.fieldNames.toSeq
+    val types = readSchema.fields.map(_.dataType).toSeq
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { case (p, qualified) =>
+        val reader = DataFileReader.openReader(
+          new FsInput(new Path(p), new Configuration()),
+          new GenericDatumReader[GenericRecord]())
+        var pos = -1L
+        new Iterator[Row] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = !closed && reader.hasNext
+            if (!h && !closed) { reader.close(); closed = true }
+            h
+          }
+          def next(): Row = {
+            val rec = reader.next()
+            pos += 1
+            val base = names.indices.map { j =>
+              val f = rec.getSchema.getField(names(j))
+              fromAvro(types(j), if (f == null) null else rec.get(f.pos()))
+            }
+            Row.fromSeq(
+              if (withMeta) base :+ qualified :+ pos else base)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, out)
+  }
+
+  /** One file's writer schema → Spark schema (addFiles inference). */
+  def inferSchema(path: String, conf: Configuration): StructType = {
+    val reader = DataFileReader.openReader(
+      new FsInput(new Path(path), conf),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val s = reader.getSchema
+      require(s.getType == Schema.Type.RECORD,
+        s"avro data file $path is not a record container")
+      StructType(s.getFields.asScala.map { f =>
+        StructField(f.name, sparkType(unwrap(f.schema), f.name), nullable = true)
+      }.toArray)
+    } finally reader.close()
+  }
+
+  private def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  private def sparkType(s: Schema, name: String): DataType =
+    (s.getType, Option(s.getLogicalType)) match {
+      case (Schema.Type.INT, Some(_: LogicalTypes.Date)) => DateType
+      case (Schema.Type.LONG, Some(_: LogicalTypes.LocalTimestampMicros)) => TimestampNTZType
+      case (Schema.Type.LONG, Some(_: LogicalTypes.TimestampMicros)) => TimestampType
+      case (Schema.Type.BYTES | Schema.Type.FIXED, Some(d: LogicalTypes.Decimal)) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (Schema.Type.BOOLEAN, _) => BooleanType
+      case (Schema.Type.INT, _)     => IntegerType
+      case (Schema.Type.LONG, _)    => LongType
+      case (Schema.Type.FLOAT, _)   => FloatType
+      case (Schema.Type.DOUBLE, _)  => DoubleType
+      case (Schema.Type.STRING, _)  => StringType
+      case (Schema.Type.BYTES, _)   => BinaryType
+      case (t, _) => throw new UnsupportedOperationException(
+        s"avro data files: field '$name' has unsupported avro type $t")
+    }
+
+  /** Record count from block headers alone — no value decode. */
+  def rowCount(path: Path, conf: Configuration): Long = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(path, conf), new GenericDatumReader[GenericRecord]())
+    try {
+      var rows = 0L
+      while (reader.hasNext) { rows += reader.getBlockCount; reader.nextBlock() }
+      rows
+    } finally reader.close()
+  }
+}

@@ -167,22 +167,30 @@ object IcebergScan {
         dataEntries.exists { case (de, dseq) => dseq < delSeq && mayMatch(de) }
       }
     }
-    // Iceberg's second data format (engine extension — the reference is
-    // parquet-only): route ORC entries through the ORC file source and
-    // union. Single-format tables keep the single-relation plan.
+    // Iceberg's second and third data formats (engine extension — the
+    // reference is parquet-only): route ORC entries through the ORC file
+    // source and AVRO entries through [[AvroFiles]] (no Spark avro module
+    // in this deployment), then union. Single-format tables keep the
+    // single-relation plan.
     dataEntries.map(_._1.fileFormat).distinct.foreach { f =>
-      if (!f.equalsIgnoreCase("PARQUET") && !f.equalsIgnoreCase("ORC"))
+      if (!f.equalsIgnoreCase("PARQUET") && !f.equalsIgnoreCase("ORC") &&
+          !f.equalsIgnoreCase("AVRO"))
         throw new UnsupportedOperationException(
-          s"unsupported data file format '$f' (PARQUET and ORC are readable)")
+          s"unsupported data file format '$f' (PARQUET, ORC and AVRO are readable)")
     }
-    val (orcEntries, parquetEntriesData) = dataEntries.partition {
-      case (e, _) => e.fileFormat.equalsIgnoreCase("ORC")
+    val orcDataPaths = dataEntries.collect {
+      case (e, _) if e.fileFormat.equalsIgnoreCase("ORC") =>
+        resolved(path, e.filePath, opts)
     }
-    val orcDataPaths = orcEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
-    val parquetDataPaths = parquetEntriesData.map {
-      case (e, _) => resolved(path, e.filePath, opts)
+    val avroDataPaths = dataEntries.collect {
+      case (e, _) if e.fileFormat.equalsIgnoreCase("AVRO") =>
+        resolved(path, e.filePath, opts)
     }
-    val dataPaths = parquetDataPaths ++ orcDataPaths
+    val parquetDataPaths = dataEntries.collect {
+      case (e, _) if e.fileFormat.equalsIgnoreCase("PARQUET") =>
+        resolved(path, e.filePath, opts)
+    }
+    val dataPaths = parquetDataPaths ++ orcDataPaths ++ avroDataPaths
     val deletePaths = deleteEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     val eqPaths = eqEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     // one puffin file can hold many DVs — list it once
@@ -238,17 +246,25 @@ object IcebergScan {
           valueType = stripFieldIds(m.valueType))
       case other => other
     }
-    // One relation per data format, same read schema. ORC caveat: Spark's
-    // ORC reader resolves columns by NAME (the parquet field-id matching
-    // doesn't apply), so metadata-only renames do not reach into ORC
+    // One relation per data format, same read schema. ORC/Avro caveat:
+    // those readers resolve columns by NAME (the parquet field-id
+    // matching doesn't apply), so metadata-only renames do not reach into
     // files written before the rename — documented extension limitation.
+    // Avro rows DO carry positions: [[AvroFiles.read]] emits the per-file
+    // record index, which equals the write-time position, so position
+    // deletes/provenance work on avro (unlike ORC).
+    val scanConf = hadoopConf(spark)
     def formatRelation(fmt: String, paths: Seq[String], withMeta: Boolean): DataFrame = {
-      val reader = spark.read.format(fmt)
       val declared = withLineageFields(
         IcebergSchemaParser.toStructType(snapshot.schema))
       val readSchema =
         if (nameMapped) stripFieldIds(declared).asInstanceOf[StructType]
         else declared
+      if (fmt == "avro")
+        return AvroFiles.read(spark,
+          paths.map(p => (p, IcebergIO.qualified(p, scanConf))),
+          readSchema, withMeta)
+      val reader = spark.read.format(fmt)
       val r = (if (opts.skipSchemaInference) reader
                else reader.schema(readSchema))
         .load(paths: _*)
@@ -263,7 +279,8 @@ object IcebergScan {
     }
     def dataRelation(withMeta: Boolean): DataFrame = {
       val parts =
-        Seq(("parquet", parquetDataPaths), ("orc", orcDataPaths))
+        Seq(("parquet", parquetDataPaths), ("orc", orcDataPaths),
+            ("avro", avroDataPaths))
           .filter(_._2.nonEmpty)
           .map { case (fmt, ps) => formatRelation(fmt, ps, withMeta) }
       parts.reduce(_.unionByName(_))
@@ -707,12 +724,18 @@ object IcebergScan {
     if (appended.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
-      // per-format relations (ORC appends union with parquet ones)
+      // per-format relations (ORC/Avro appends union with parquet ones)
       val parts = appended.groupBy(_.fileFormat.toLowerCase).toSeq.sortBy(_._1)
         .map { case (fmt, es) =>
-          val reader = spark.read.format(fmt)
-          (if (opts.skipSchemaInference) reader else reader.schema(schema))
-            .load(es.map(e => resolved(root, e.filePath, opts)): _*)
+          val paths = es.map(e => resolved(root, e.filePath, opts))
+          if (fmt == "avro")
+            AvroFiles.read(spark, paths.map(p => (p, p)), schema,
+              withMeta = false)
+          else {
+            val reader = spark.read.format(fmt)
+            (if (opts.skipSchemaInference) reader else reader.schema(schema))
+              .load(paths: _*)
+          }
         }
       parts.reduce(_.unionByName(_))
     }

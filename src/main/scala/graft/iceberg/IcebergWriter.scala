@@ -676,6 +676,12 @@ object IcebergWriter {
       }.toMap
       val (count, lower, upper, nulls) =
         if (dataFormat.equalsIgnoreCase("orc")) orcStats(st, conf, fields)
+        // avro containers carry no column statistics: record count from
+        // block headers, no bounds (no pruning for avro files; sound)
+        else if (dataFormat.equalsIgnoreCase("avro"))
+          (AvroFiles.rowCount(st.getPath, conf),
+            Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
+            Map.empty[Int, Long])
         else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
         sizeBytes = st.getLen, format = dataFormat.toUpperCase)
@@ -803,9 +809,15 @@ object IcebergWriter {
     val sorted =
       if (sortBy.isEmpty) withParts
       else withParts.sortWithinPartitions((gpNames ++ sortBy).map(col): _*)
-    val writer = sorted.write.options(options).format(dataFormat.toLowerCase)
-    (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)
-      .save(dataDir.toString)
+    if (dataFormat.equalsIgnoreCase("avro"))
+      // no Spark avro module in this deployment — the bridge writes the
+      // same hive layout from inside the executors
+      AvroFiles.writePartitioned(sorted, dataDir, gpNames)
+    else {
+      val writer = sorted.write.options(options).format(dataFormat.toLowerCase)
+      (if (gpNames.nonEmpty) writer.partitionBy(gpNames: _*) else writer)
+        .save(dataDir.toString)
+    }
     // manifest bounds keyed by the same assigned top-level ids (lineage
     // columns excluded — they are file payload, not manifest surface)
     val fields = logicalFields.map { f =>
@@ -2046,8 +2058,9 @@ object IcebergWriter {
     val effectiveFormat = dataFormat
       .orElse(state.flatMap(_.info.properties.get("write.format.default")))
       .getOrElse("parquet").toLowerCase
-    require(effectiveFormat == "parquet" || effectiveFormat == "orc",
-      s"write: unsupported data format '$effectiveFormat' (parquet or orc)")
+    require(effectiveFormat == "parquet" || effectiveFormat == "orc" ||
+        effectiveFormat == "avro",
+      s"write: unsupported data format '$effectiveFormat' (parquet, orc or avro)")
     require(distribution == "none" || distribution == "hash",
       s"write: unsupported distribution mode '$distribution' (none or hash)")
     val distributed =
@@ -2389,12 +2402,13 @@ object IcebergWriter {
                partitionBy: Seq[(String, String)] = Seq.empty,
                summary: Map[String, String] = Map.empty,
                formatVersion: Int = 2,
-               // "parquet" (default) or "orc" — ORC lakes migrate the
-               // same way (ORC scans resolve by name regardless)
+               // "parquet" (default), "orc" or "avro" — ORC/Avro lakes
+               // migrate the same way (those scans resolve by name
+               // regardless of the mapping)
                dataFormat: String = "parquet"): Long = {
     val fmt = dataFormat.toLowerCase
-    require(fmt == "parquet" || fmt == "orc",
-      s"addFiles: unsupported data format '$dataFormat' (parquet or orc)")
+    require(fmt == "parquet" || fmt == "orc" || fmt == "avro",
+      s"addFiles: unsupported data format '$dataFormat' (parquet, orc or avro)")
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf)
     val src = new Path(sourceDir)
@@ -2414,7 +2428,9 @@ object IcebergWriter {
     // physical-presence check for partition sources below. Read the one
     // file directly — directory-level inference would materialize hive
     // partition dirs as extra columns.
-    val fileSchema = spark.read.format(fmt).load(files.head.getPath.toString).schema
+    val fileSchema =
+      if (fmt == "avro") AvroFiles.inferSchema(files.head.getPath.toString, conf)
+      else spark.read.format(fmt).load(files.head.getPath.toString).schema
     val schema: StructType = state match {
       case Some(st) =>
         // Rename-history guard (mirror of renameColumns' forward guard):
@@ -2494,6 +2510,10 @@ object IcebergWriter {
           s"partition spec (${spec.map(_.fieldName).mkString(", ")})")
       val (count, lower, upper, nulls) =
         if (fmt == "orc") orcStats(st, conf, fields)
+        else if (fmt == "avro")
+          (AvroFiles.rowCount(st.getPath, conf),
+            Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
+            Map.empty[Int, Long])
         else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
         sizeBytes = st.getLen, format = fmt.toUpperCase)

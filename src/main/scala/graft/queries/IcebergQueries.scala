@@ -1295,6 +1295,48 @@ object IcebergQueries {
               .cast("double"), 4).as("sum_v"))
           .orderBy("dt")
       }
+    ),
+    QueryDef(
+      "ib54_avro_roundtrip",
+      // Avro data files — Iceberg's third data format (engine extension;
+      // the reference reads parquet only, and no Spark avro module ships
+      // here, so AvroFiles bridges on avro-1.12.1 directly). The gate
+      // writes orders into an avro-format table, MoR-deletes one status
+      // (avro rows carry REAL positions — the bridge reads one file per
+      // task sequentially, so the record index is the write-time
+      // position), and aggregates the scan; DuckDB computes the same
+      // aggregate over the parquet source with the delete folded into
+      // the predicate. data_format pins that every live data file really
+      // is AVRO — the typed encode/decode round trip loses nothing.
+      Some("""
+        SELECT 'AVRO' AS data_format, o_orderpriority,
+               COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+        FROM orders WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_ib54_").toString + "/orders_avro"
+        val orders = graft.Tables.load(s, dir, "orders")
+        graft.iceberg.IcebergWriter.write(orders, table,
+          dataFormat = Some("avro"))
+        graft.iceberg.IcebergWriter.delete(
+          s, table, col("o_orderstatus") === "F")
+        val fmt = IcebergScan.files(s, table)
+          .filter(col("content") === 0)
+          // max: any stray PARQUET/ORC data file sorts above "AVRO" and
+          // turns the pin red
+          .agg(max(col("file_format")).as("data_format"))
+        IcebergScan.scan(s, table)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast("double"), 2).as("sum_price"))
+          .crossJoin(fmt)
+          .select("data_format", "o_orderpriority", "cnt", "sum_price")
+          .orderBy("o_orderpriority")
+      }
     )
   )
 }

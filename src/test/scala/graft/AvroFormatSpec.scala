@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{AvroFiles, IcebergScan, IcebergWriter}
+
+/** Avro data files — Iceberg's third data format (engine extension; the
+  * reference reads parquet only; no Spark avro module ships in this
+  * deployment, so [[AvroFiles]] bridges on avro-1.12.1 directly):
+  * avro-format appends, mixed-format tables, partition pruning (avro
+  * containers carry no column stats, so tuple pruning is the pruning
+  * story), BOTH delete flavors (avro rows have real positions — the
+  * bridge reads files sequentially, one task per file), typed
+  * round-trips, foreign-lake migration, and the format-default
+  * property. */
+class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[4]", "4").appName("graft-avro").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def idsDF(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id").withColumn("label", concat(lit("row-"), col("id")))
+  }
+
+  test("an avro-format table round-trips through write and scan") {
+    val table = tmp("graft_avro_rt_") + "/t"
+    IcebergWriter.write(idsDF(1, 2, 3), table, dataFormat = Some("avro"))
+    val rows = IcebergScan.scan(spark, table)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "row-1"), (2L, "row-2"), (3L, "row-3")))
+    val formats = IcebergScan.files(spark, table)
+      .select("file_format").collect().map(_.getString(0)).distinct
+    assert(formats.toSeq === Seq("AVRO"))
+  }
+
+  test("mixed parquet + orc + avro appends scan as one table") {
+    val table = tmp("graft_avro_mixed_") + "/t"
+    IcebergWriter.write(idsDF(1, 2), table)                        // parquet
+    IcebergWriter.write(idsDF(3), table, dataFormat = Some("avro"))
+    IcebergWriter.write(idsDF(4), table, dataFormat = Some("orc"))
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    val formats = IcebergScan.files(spark, table)
+      .select("file_format").collect().map(_.getString(0)).sorted.distinct
+    assert(formats.toSeq === Seq("AVRO", "ORC", "PARQUET"))
+    // incremental windows cross all format boundaries
+    val first = IcebergScan.snapshots(spark, table)
+      .orderBy("sequence_number").head().getAs[Long]("snapshot_id")
+    assert(IcebergScan.incrementalAppend(spark, table, first)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+  }
+
+  test("partition tuples prune avro files (no column stats needed)") {
+    import spark.implicits._
+    val table = tmp("graft_avro_prune_") + "/t"
+    val df = (1 to 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    IcebergWriter.write(df, table, partitionBy = Seq("grp" -> "identity"),
+      dataFormat = Some("avro"))
+    val all = IcebergScan.scan(spark, table, IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "data").count()
+    val kept = IcebergScan.scanFiltered(spark, table, col("grp") === "g1",
+      IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "data").count()
+    assert(kept < all, s"pruning kept $kept of $all")
+    assert(IcebergScan.scanFiltered(spark, table, col("grp") === "g1")
+      .count() === 20)
+  }
+
+  test("POSITION deletes work over avro (the bridge emits row positions)") {
+    import spark.implicits._
+    val table = tmp("graft_avro_mor_") + "/t"
+    IcebergWriter.write(idsDF(1L to 10L: _*), table, dataFormat = Some("avro"))
+    // unlike ORC, avro rows carry real positions: a predicate delete
+    // (position-based MoR) applies, no loud failure needed
+    IcebergWriter.delete(spark, table, col("id") <= 3)
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === (4L to 10L))
+    // equality deletes compose on top
+    IcebergWriter.deleteEquality(spark, table, Seq(10L).toDF("id"))
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === (4L to 9L))
+  }
+
+  test("typed round-trip matches a parquet table of the same rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha", 1.5, java.sql.Date.valueOf("2024-01-01"),
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 30, 0),
+        new java.math.BigDecimal("123.45"), Array[Byte](1, 2, 3)),
+      (2L, null: String, -2.5, null: java.sql.Date,
+        null: java.time.LocalDateTime,
+        null: java.math.BigDecimal, null: Array[Byte]))
+      .toDF("id", "name", "score", "d", "ts", "dec", "blob")
+      .withColumn("dec", col("dec").cast("decimal(9,2)"))
+    val pq = tmp("graft_avro_par_p_") + "/t"
+    val av = tmp("graft_avro_par_a_") + "/t"
+    IcebergWriter.write(rows, pq)
+    IcebergWriter.write(rows, av, dataFormat = Some("avro"))
+    def canon(t: String) = IcebergScan.scan(spark, t)
+      .withColumn("blob", hex(col("blob")))
+      .withColumn("dec", col("dec").cast("string"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(canon(av) === canon(pq))
+  }
+
+  test("addFiles migrates a foreign avro lake in place") {
+    import spark.implicits._
+    val source = tmp("graft_avro_mig_src_")
+    val df = (1 to 50).map(i => (i.toLong, s"n$i", i * 2.0))
+      .toDF("id", "name", "score")
+    // foreign-style files: raw avro containers, no Iceberg metadata
+    AvroFiles.writePartitioned(df.repartition(3),
+      new org.apache.hadoop.fs.Path(source), Seq.empty)
+    val table = tmp("graft_avro_mig_tbl_") + "/t"
+    val n = IcebergWriter.addFiles(spark, table, source, dataFormat = "avro")
+    assert(n > 0)
+    val got = IcebergScan.scan(spark, table)
+    assert(got.count() === 50)
+    assert(got.agg(sum("score")).head().getDouble(0) === (1 to 50).map(_ * 2.0).sum)
+    // zero copy: planned data files still live under the source dir
+    val files = IcebergScan.scan(spark, table,
+      IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "data").collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(source)))
+    // appends after migration compose across generations
+    IcebergWriter.write(Seq((99L, "new", 0.5)).toDF("id", "name", "score"), table)
+    assert(IcebergScan.scan(spark, table).count() === 51)
+  }
+
+  test("write.format.default=avro is honored when no format is passed") {
+    val table = tmp("graft_avro_prop_") + "/t"
+    IcebergWriter.write(idsDF(1), table, dataFormat = Some("avro"))
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new org.apache.hadoop.fs.Path(table, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val v1 = new org.apache.hadoop.fs.Path(metaDir, "v1.metadata.json")
+    val txt = new String(
+      fs.open(v1).readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    val withProp = txt.replaceFirst("\\{",
+      """{"properties":{"write.format.default":"avro"},""")
+    fs.delete(v1, false)
+    val out = fs.create(v1, true)
+    out.write(withProp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    IcebergWriter.write(idsDF(2), table) // no dataFormat: property decides
+    val formats = IcebergScan.files(spark, table)
+      .select("file_format").collect().map(_.getString(0)).distinct
+    assert(formats.toSeq === Seq("AVRO"))
+  }
+}
