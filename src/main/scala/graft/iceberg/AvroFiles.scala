@@ -136,8 +136,12 @@ object AvroFiles {
     case f: org.apache.avro.generic.GenericFixed => f.bytes()
   }
 
-  /** Hive-style dir value: %XX-escape everything outside [A-Za-z0-9._-]
-    * (strictly conservative; [[IcebergWriter.parseDirValue]] unescapes). */
+  /** Hive-style dir value: %XX-escape every UTF-8 BYTE outside
+    * [A-Za-z0-9._-] (strictly conservative; [[IcebergWriter.parseDirValue]]
+    * unescapes). Escaping bytes — not code points — keeps every escape
+    * exactly two hex digits, so the 2-digit unescape round-trips for
+    * non-Latin-1 strings (a code-point escape of e.g. U+65E5 would emit
+    * four digits and decode corrupted). */
   private def dirValue(dt: DataType, v: Any): String =
     if (v == null) "__HIVE_DEFAULT_PARTITION__"
     else {
@@ -146,16 +150,36 @@ object AvroFiles {
         case d: LocalDate     => d.toString
         case other            => other.toString
       }
-      raw.flatMap { c =>
-        if (c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-')
-          c.toString
-        else f"%%${c.toInt}%02X"
+      val sb = new java.lang.StringBuilder(raw.length)
+      raw.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        val c = (b & 0xFF).toChar
+        if (c < 128 && (c.isLetterOrDigit || c == '.' || c == '_' || c == '-'))
+          sb.append(c)
+        else sb.append(f"%%${b & 0xFF}%02X")
       }
+      sb.toString
     }
+
+  /** Staging-dir prefix for in-flight task output. [[IcebergWriter.collectFiles]]
+    * skips any path containing a segment with this prefix, so a crashed
+    * job's orphaned staging tree can never be registered in a snapshot. */
+  val StagingPrefix = "_graft_staging-"
 
   /** Executor-side partitioned write mirroring Spark's `partitionBy`
     * layout: payload columns go into the container, `gpNames` columns
-    * become `<name>=<value>` directory segments only. */
+    * become `<name>=<value>` directory segments only.
+    *
+    * Task-commit protocol (parquet/orc get this from Spark's committer;
+    * the bridge must provide its own): each task attempt writes into
+    * `dataDir/_graft_staging-<job>/attempt-<id>/…` and only after ALL its
+    * rows are appended and every container is closed does it rename the
+    * complete files into the data dir. Final names are deterministic per
+    * (partition dir, task partition id, job) — NOT per attempt — so when
+    * a retried or speculative attempt finds its destination already
+    * present, the earlier (complete, closed-before-rename) copy wins and
+    * the duplicate is discarded instead of double-committing rows. The
+    * driver deletes the whole staging tree after the job, sweeping any
+    * partial output of failed attempts. */
   def writePartitioned(df: DataFrame, dataDir: Path,
       gpNames: Seq[String]): Unit = {
     val schema = df.schema
@@ -168,35 +192,73 @@ object AvroFiles {
     val payloadTypes = payload.fields.map(_.dataType).toSeq
     val payloadNames = payload.fieldNames.toSeq
     val dirStr = dataDir.toString
-    df.rdd.foreachPartition { rows =>
-      val conf = new Configuration()
-      val writerSchema = new Schema.Parser().parse(schemaJson)
-      val taskId = org.apache.spark.TaskContext.getPartitionId()
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val writers = scala.collection.mutable.Map.empty[Seq[String], DataFileWriter[GenericRecord]]
-      try {
-        rows.foreach { row =>
-          val segs = gpIdx.zip(gpTypes).zip(gpNames).map { case ((i, dt), n) =>
-            s"$n=${dirValue(dt, if (row.isNullAt(i)) null else row.get(i))}"
+    // One token per WRITE JOB (not per attempt): all attempts of a task
+    // race toward the same final file name, making retries idempotent.
+    val jobToken = java.util.UUID.randomUUID().toString.take(8)
+    val stagingRoot = new Path(dataDir, StagingPrefix + jobToken)
+    val stagingStr = stagingRoot.toString
+    try {
+      df.rdd.foreachPartition { rows =>
+        val conf = new Configuration()
+        val writerSchema = new Schema.Parser().parse(schemaJson)
+        val tc = org.apache.spark.TaskContext.get()
+        val taskId = tc.partitionId()
+        val attemptDir = new Path(stagingStr, s"attempt-${tc.taskAttemptId()}")
+        // staged container -> its final destination under the data dir
+        val staged = scala.collection.mutable.Map.empty[
+          Seq[String], (DataFileWriter[GenericRecord], Path, Path)]
+        var complete = false
+        try {
+          rows.foreach { row =>
+            val segs = gpIdx.zip(gpTypes).zip(gpNames).map { case ((i, dt), n) =>
+              s"$n=${dirValue(dt, if (row.isNullAt(i)) null else row.get(i))}"
+            }
+            val (w, _, _) = staged.getOrElseUpdate(segs, {
+              val name = f"part-$taskId%05d-$jobToken.avro"
+              val src = new Path(segs.foldLeft(attemptDir)(new Path(_, _)), name)
+              val dest = new Path(segs.foldLeft(new Path(dirStr))(new Path(_, _)), name)
+              val fs = src.getFileSystem(conf)
+              val out = fs.create(src, false)
+              (new DataFileWriter[GenericRecord](
+                new GenericDatumWriter[GenericRecord](writerSchema))
+                .create(writerSchema, out), src, dest)
+            })
+            val rec = new GenericData.Record(writerSchema)
+            payloadIdx.indices.foreach { j =>
+              val i = payloadIdx(j)
+              rec.put(payloadNames(j),
+                toAvro(payloadTypes(j), if (row.isNullAt(i)) null else row.get(i)))
+            }
+            w.append(rec)
           }
-          val w = writers.getOrElseUpdate(segs, {
-            val dir = segs.foldLeft(new Path(dirStr))(new Path(_, _))
-            val file = new Path(dir, f"part-$taskId%05d-$token.avro")
-            val fs = file.getFileSystem(conf)
-            val out = fs.create(file, false)
-            new DataFileWriter[GenericRecord](
-              new GenericDatumWriter[GenericRecord](writerSchema))
-              .create(writerSchema, out)
-          })
-          val rec = new GenericData.Record(writerSchema)
-          payloadIdx.indices.foreach { j =>
-            val i = payloadIdx(j)
-            rec.put(payloadNames(j),
-              toAvro(payloadTypes(j), if (row.isNullAt(i)) null else row.get(i)))
+          staged.values.foreach(_._1.close())
+          complete = true
+        } finally {
+          if (!complete) {
+            staged.values.foreach { case (w, _, _) =>
+              try w.close() catch { case _: Exception => () }
+            }
+          } else {
+            // task commit: every container is closed and complete — move
+            // into place; a destination that already exists means another
+            // attempt of this task committed first, so drop ours.
+            staged.values.foreach { case (_, src, dest) =>
+              val fs = src.getFileSystem(conf)
+              fs.mkdirs(dest.getParent)
+              if (!fs.rename(src, dest)) {
+                if (fs.exists(dest)) fs.delete(src, false)
+                else throw new java.io.IOException(
+                  s"avro task commit: rename $src -> $dest failed")
+              }
+            }
           }
-          w.append(rec)
         }
-      } finally writers.values.foreach(_.close())
+      }
+    } finally {
+      // job cleanup: sweep failed attempts' partial containers
+      val fs = stagingRoot.getFileSystem(
+        df.sparkSession.sessionState.newHadoopConf())
+      fs.delete(stagingRoot, true)
     }
   }
 
@@ -224,9 +286,16 @@ object AvroFiles {
         var pos = -1L
         new Iterator[Row] {
           private var closed = false
+          private def close(): Unit =
+            if (!closed) { closed = true; reader.close() }
+          // a partially consumed iterator (limit/take, downstream
+          // early-exit) never drains hasNext — close with the task, the
+          // same guarantee Spark's own file sources provide
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => close()))
           def hasNext: Boolean = {
             val h = !closed && reader.hasNext
-            if (!h && !closed) { reader.close(); closed = true }
+            if (!h) close()
             h
           }
           def next(): Row = {

@@ -500,20 +500,31 @@ object IcebergWriter {
 
   /** Spark's hive-dir escaping replaces reserved chars with %XX but keeps
     * '+' literal — URLDecoder would corrupt it to a space. Undo exactly
-    * the %XX sequences. */
+    * the %XX sequences, accumulating BYTES and decoding UTF-8 at the end:
+    * Spark writes non-ASCII chars literally (their UTF-8 bytes pass
+    * through unchanged) while [[AvroFiles]] escapes them per-byte — both
+    * forms round-trip through the byte accumulator. */
   private def unescapeHiveDir(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length) {
         try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
           i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
+        } catch {
+          case _: NumberFormatException =>
+            out.write(c.toString.getBytes(utf8)); i += 1
+        }
+      } else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        // astral-plane literal: encode the pair as one code point
+        out.write(s.substring(i, i + 2).getBytes(utf8)); i += 2
+      } else { out.write(c.toString.getBytes(utf8)); i += 1 }
     }
-    sb.toString
+    new String(out.toByteArray, utf8)
   }
 
   /** Hive directory value → typed partition value in the manifest's Avro
@@ -655,7 +666,11 @@ object IcebergWriter {
       val buf = Seq.newBuilder[FileStatus]
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(ext)) buf += s
+        // never register in-flight/orphaned avro staging output
+        // (defense in depth: the writer also deletes its staging tree)
+        if (s.isFile && s.getPath.getName.endsWith(ext) &&
+            !s.getPath.toString.contains("/" + AvroFiles.StagingPrefix))
+          buf += s
       }
       buf.result()
     }

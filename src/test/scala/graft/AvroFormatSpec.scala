@@ -139,6 +139,63 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.scan(spark, table).count() === 51)
   }
 
+  test("non-ASCII string partition values round-trip (byte-wise %XX escaping)") {
+    import spark.implicits._
+    // '日本' is outside Latin-1 (code-point escaping would corrupt it);
+    // '%', '+', ' ' and an astral-plane emoji cover the escape edge cases
+    val nonAscii = Seq("日本", "café", "😀ok")
+    // Spark's parquet writer emits literal UTF-8 dir names, which this
+    // container's POSIX-locale JVM cannot create — the avro bridge's
+    // byte-escaping yields pure-ASCII dirs, so it runs the full set
+    val byFmt = Map(
+      "avro" -> (nonAscii ++ Seq("a%2Fb", "x + y")),
+      "parquet" -> Seq("a%2Fb", "x + y"))
+    for ((fmt, vals) <- byFmt) {
+      val df = vals.zipWithIndex.flatMap { case (g, i) =>
+        Seq((i.toLong * 2, g), (i.toLong * 2 + 1, g))
+      }.toDF("id", "grp")
+      val table = tmp(s"graft_nonascii_${fmt}_") + "/t"
+      IcebergWriter.write(df, table, partitionBy = Seq("grp" -> "identity"),
+        dataFormat = Some(fmt))
+      for (g <- vals) {
+        val got = IcebergScan.scanFiltered(spark, table, col("grp") === g)
+          .select("id", "grp").collect()
+        assert(got.length === 2, s"[$fmt] partition '$g' lost rows")
+        assert(got.forall(_.getString(1) == g),
+          s"[$fmt] partition value corrupted: ${got.map(_.getString(1)).toSeq}")
+      }
+      // the manifests' partition tuples still prune correctly
+      val kept = IcebergScan.scanFiltered(spark, table, col("grp") === vals.head,
+        IcebergScan.Options(mode = "list_files"))
+        .filter(col("type") === "data").count()
+      val all = IcebergScan.scan(spark, table,
+        IcebergScan.Options(mode = "list_files"))
+        .filter(col("type") === "data").count()
+      assert(kept < all, s"[$fmt] pruning kept $kept of $all")
+    }
+  }
+
+  test("avro write commits through staging: no staging dirs or partials remain") {
+    import spark.implicits._
+    val table = tmp("graft_avro_commit_") + "/t"
+    val df = (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "grp")
+    IcebergWriter.write(df.repartition(4), table,
+      partitionBy = Seq("grp" -> "identity"), dataFormat = Some("avro"))
+    val dataDir = new org.apache.hadoop.fs.Path(table, "data")
+    val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      assert(!p.contains(AvroFiles.StagingPrefix),
+        s"staging output leaked into the data dir: $p")
+    }
+    assert(IcebergScan.scan(spark, table).count() === 40)
+    // partial consumption (limit) must not break subsequent full scans —
+    // readers close with the task, not only on iterator drain
+    assert(IcebergScan.scan(spark, table).limit(5).collect().length === 5)
+    assert(IcebergScan.scan(spark, table).count() === 40)
+  }
+
   test("write.format.default=avro is honored when no format is passed") {
     val table = tmp("graft_avro_prop_") + "/t"
     IcebergWriter.write(idsDF(1), table, dataFormat = Some("avro"))
