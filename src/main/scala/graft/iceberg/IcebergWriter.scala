@@ -2763,6 +2763,39 @@ object IcebergWriter {
     writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
   }
 
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — a metadata-only commit (no
+    * new snapshot): merge `set` over the current properties, drop
+    * `remove`, bump the metadata version. Reserved engine-managed keys
+    * cannot be set here (they ride their owning commits). */
+  def setProperties(spark: SparkSession, path: String,
+      set: Map[String, String] = Map.empty,
+      remove: Seq[String] = Seq.empty): Unit = {
+    require(set.nonEmpty || remove.nonEmpty,
+      "setProperties: nothing to set or remove")
+    val overlap = set.keySet.intersect(remove.toSet)
+    require(overlap.isEmpty,
+      s"setProperties: keys both set and removed: ${overlap.mkString(", ")}")
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"setProperties: no Iceberg table at $path"))
+    val json = IcebergIO.readString(
+      new Path(path, s"metadata/v${state.version}.metadata.json").toString, conf)
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val merged = (state.info.properties ++ set) -- remove
+    root.remove("properties")
+    if (merged.nonEmpty) {
+      val pn = root.putObject("properties")
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+    }
+    root.put("last-updated-ms", state.nextTsMs)
+    appendLogs(root, Some(state), path, None)
+    val metaDir = new Path(path, "metadata")
+    val version = state.version + 1
+    writeNewVersion(new Path(metaDir, s"v$version.metadata.json"), conf,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(new Path(metaDir, DefaultVersionHintFile), conf, version.toString)
+  }
+
   /** ANALYZE TABLE — per-column NDV statistics (Iceberg spec "Table
     * statistics"). One distributed pass over the CURRENT snapshot's live
     * rows (MoR-correct: tombstoned rows excluded) aggregates a bounded

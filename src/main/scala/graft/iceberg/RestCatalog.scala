@@ -220,8 +220,82 @@ object RestCatalog {
       .filterNot(n => beforeIds(n.get("snapshot-id").asLong))
       .sortBy(n => Option(n.get("sequence-number")).map(_.asLong).getOrElse(0L))
 
+    // metadata surface diffs — schema evolution, partition-spec
+    // evolution, sort orders, and table properties all travel through
+    // the catalog too; dropping them would leave catalog readers on a
+    // stale schema after a DDL op (the one `weak` hole round 8 left)
+    val schemaChanged =
+      intField(afterRoot, "current-schema-id") != intField(beforeRoot, "current-schema-id") ||
+        newIdNodes(beforeRoot, afterRoot, "schemas", "schema-id").nonEmpty
+    val specChanged =
+      intField(afterRoot, "default-spec-id") != intField(beforeRoot, "default-spec-id") ||
+        newIdNodes(beforeRoot, afterRoot, "partition-specs", "spec-id").nonEmpty
+    val propsChanged = propsOf(afterRoot) != propsOf(beforeRoot)
+
     def updates(): Seq[JsonNode] = {
       val out = Seq.newBuilder[JsonNode]
+      // spec updates FIRST: an added snapshot may reference a new
+      // schema-id, and the REST spec applies updates in request order
+      newIdNodes(beforeRoot, afterRoot, "schemas", "schema-id").foreach { s =>
+        val u = mapper.createObjectNode()
+        u.put("action", "add-schema")
+        u.set[JsonNode]("schema", s)
+        intField(afterRoot, "last-column-id").foreach(u.put("last-column-id", _))
+        out += u
+      }
+      (intField(afterRoot, "current-schema-id"), intField(beforeRoot, "current-schema-id")) match {
+        case (Some(a), b) if !b.contains(a) =>
+          val u = mapper.createObjectNode()
+          u.put("action", "set-current-schema")
+          u.put("schema-id", a)
+          out += u
+        case _ => ()
+      }
+      newIdNodes(beforeRoot, afterRoot, "partition-specs", "spec-id").foreach { s =>
+        val u = mapper.createObjectNode()
+        u.put("action", "add-spec")
+        u.set[JsonNode]("spec", s)
+        out += u
+      }
+      (intField(afterRoot, "default-spec-id"), intField(beforeRoot, "default-spec-id")) match {
+        case (Some(a), b) if !b.contains(a) =>
+          val u = mapper.createObjectNode()
+          u.put("action", "set-default-spec")
+          u.put("spec-id", a)
+          out += u
+        case _ => ()
+      }
+      newIdNodes(beforeRoot, afterRoot, "sort-orders", "order-id").foreach { s =>
+        val u = mapper.createObjectNode()
+        u.put("action", "add-sort-order")
+        u.set[JsonNode]("sort-order", s)
+        out += u
+      }
+      (intField(afterRoot, "default-sort-order-id"), intField(beforeRoot, "default-sort-order-id")) match {
+        case (Some(a), b) if !b.contains(a) =>
+          val u = mapper.createObjectNode()
+          u.put("action", "set-default-sort-order")
+          u.put("sort-order-id", a)
+          out += u
+        case _ => ()
+      }
+      val (beforeProps, afterProps) = (propsOf(beforeRoot), propsOf(afterRoot))
+      val setProps = afterProps.filter { case (k, v) => !beforeProps.get(k).contains(v) }
+      if (setProps.nonEmpty) {
+        val u = mapper.createObjectNode()
+        u.put("action", "set-properties")
+        val m = u.putObject("updates")
+        setProps.foreach { case (k, v) => m.put(k, v) }
+        out += u
+      }
+      val removedProps = beforeProps.keySet -- afterProps.keySet
+      if (removedProps.nonEmpty) {
+        val u = mapper.createObjectNode()
+        u.put("action", "remove-properties")
+        val arr = u.putArray("removals")
+        removedProps.toSeq.sorted.foreach(arr.add)
+        out += u
+      }
       added.foreach { sn =>
         val u = mapper.createObjectNode()
         u.put("action", "add-snapshot")
@@ -256,6 +330,20 @@ object RestCatalog {
         case None     => r.putNull("snapshot-id")
       }
       out += r
+      // guard the metadata surfaces this commit rewrites: a concurrent
+      // DDL between our load and commit must 409, not be clobbered
+      if (schemaChanged) intField(beforeRoot, "current-schema-id").foreach { id =>
+        val a = mapper.createObjectNode()
+        a.put("type", "assert-current-schema-id")
+        a.put("current-schema-id", id)
+        out += a
+      }
+      if (specChanged) intField(beforeRoot, "default-spec-id").foreach { id =>
+        val a = mapper.createObjectNode()
+        a.put("type", "assert-default-spec-id")
+        a.put("default-spec-id", id)
+        out += a
+      }
       out.result()
     }
     // main's lineage AFTER the op, for ancestor checks on retry
@@ -266,6 +354,14 @@ object RestCatalog {
           Option(n.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong)))
         .takeWhile(_.isDefined).flatten.toSet
     }
+    // replay check: the catalog already records EVERYTHING this commit
+    // carries — head AND the metadata surfaces (a head-only check would
+    // mistake a schema-dropping half-commit for success)
+    def caughtUp(now: JsonNode): Boolean =
+      mainHead(now) == afterHead &&
+        intField(now, "current-schema-id") == intField(afterRoot, "current-schema-id") &&
+        intField(now, "default-spec-id") == intField(afterRoot, "default-spec-id") &&
+        (!propsChanged || propsOf(now) == propsOf(afterRoot))
     var expected = beforeHead
     var attempts = 0
     var done = false
@@ -276,7 +372,7 @@ object RestCatalog {
         case e: CommitConflictException =>
           val now = readMetadata(loadTable(c, table).metadataLocation, conf)
           val h = mainHead(now)
-          if (h == afterHead) done = true // replay: already committed
+          if (caughtUp(now)) done = true // replay: already committed
           else if (attempts < 3 && h.exists(afterLineage)) expected = h
           else throw new CommitConflictException(
             s"commitThrough: catalog head $h diverged from this commit's " +
@@ -322,6 +418,25 @@ object RestCatalog {
     refsOf(root).get("main").map(_._1)
       .orElse(Option(root.get("current-snapshot-id"))
         .filterNot(_.isNull).map(_.asLong).filter(_ >= 0))
+
+  private def intField(root: JsonNode, name: String): Option[Int] =
+    Option(root.get(name)).filterNot(_.isNull).map(_.asInt)
+
+  /** Table properties as a string map (absent node → empty). */
+  private def propsOf(root: JsonNode): Map[String, String] =
+    strMap(root.get("properties"))
+
+  /** Nodes of `after`'s `arrayField` whose `idField` is absent from
+    * `before`'s — the add-schema / add-spec / add-sort-order payloads. */
+  private def newIdNodes(before: JsonNode, after: JsonNode,
+      arrayField: String, idField: String): Seq[JsonNode] = {
+    def nodes(root: JsonNode): Seq[JsonNode] =
+      Option(root.get(arrayField)).map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    val beforeIds = nodes(before).flatMap(n =>
+      Option(n.get(idField)).map(_.asInt)).toSet
+    nodes(after).filter(n =>
+      Option(n.get(idField)).exists(id => !beforeIds(id.asInt)))
+  }
 
   // ---- scan integration ------------------------------------------------
 

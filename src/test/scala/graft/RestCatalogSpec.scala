@@ -38,6 +38,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   @volatile private var lastAuthHeader: Option[String] = None
   @volatile private var tablePages = 1 // split listTables into N pages
   @volatile private var injectConflictOnce = false // fail the next commit POST
+  @volatile private var lastCommitActions = Seq.empty[String] // last POST's update actions
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -85,6 +86,11 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
               if (!got.contains(r.get("uuid").asText))
                 Some(s"requirement failed: table-uuid is ${got.getOrElse("none")}")
               else None
+            case "assert-current-schema-id" =>
+              val got = Option(meta.get("current-schema-id")).map(_.asInt)
+              if (!got.contains(r.get("current-schema-id").asInt))
+                Some(s"requirement failed: current-schema-id is ${got.getOrElse("none")}")
+              else None
             case _ => None
           }
         }
@@ -100,16 +106,41 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
             val v = java.nio.file.Files.readString(hint.toPath).trim
             val newLoc = s"${root.getAbsolutePath}/metadata/v$v.metadata.json"
             val newMeta = serverMetadata(newLoc)
-            val committedIds = Option(body.get("updates")).toSeq
+            val updates = Option(body.get("updates")).toSeq
               .flatMap(_.elements().asScala.toSeq)
+            lastCommitActions = updates.map(_.get("action").asText)
+            val committedIds = updates
               .filter(_.get("action").asText == "add-snapshot")
               .map(_.get("snapshot").get("snapshot-id").asLong)
             val storedIds = Option(newMeta.get("snapshots")).toSeq
               .flatMap(_.elements().asScala.toSeq)
               .map(_.get("snapshot-id").asLong).toSet
+            // a catalog OWNS table metadata: every surface the new file
+            // changes must be described by an update action, else the
+            // catalog's own copy silently goes stale (the round-8 hole)
+            def intF(n: com.fasterxml.jackson.databind.JsonNode, f: String) =
+              Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
+            def props(n: com.fasterxml.jackson.databind.JsonNode) =
+              Option(n.get("properties")).map(p =>
+                p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+                .getOrElse(Map.empty[String, String])
+            val undescribed =
+              (if (intF(newMeta, "current-schema-id") != intF(meta, "current-schema-id") &&
+                   !lastCommitActions.contains("set-current-schema"))
+                 Seq("schema change not published") else Seq.empty) ++
+              (if (intF(newMeta, "default-spec-id") != intF(meta, "default-spec-id") &&
+                   !lastCommitActions.contains("set-default-spec"))
+                 Seq("spec change not published") else Seq.empty) ++
+              (if (props(newMeta) != props(meta) &&
+                   !lastCommitActions.exists(a =>
+                     a == "set-properties" || a == "remove-properties"))
+                 Seq("property change not published") else Seq.empty)
             if (!committedIds.forall(storedIds))
               respond(x, 400,
                 """{"error":{"message":"add-snapshot refers to a snapshot the storage does not hold","code":400}}""")
+            else if (undescribed.nonEmpty)
+              respond(x, 400,
+                s"""{"error":{"message":"${undescribed.mkString("; ")}","code":400}}""")
             else {
               tables.put(name, newLoc)
               respond(x, 200, s"""{"metadata-location":"$newLoc","metadata":{}}""")
@@ -338,6 +369,56 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
+  test("schema evolution and properties publish THROUGH the catalog") {
+    val c = RestCatalog.connect(uri)
+    val dir = Files.createTempDirectory("graft_rest_ddl_").toString
+    import spark.implicits._
+    RestCatalog.createTable(spark, c, "analytics.t_ddl", s"$dir/t") {
+      p => IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), p)
+    }
+
+    // ADD COLUMN through the catalog: the commit must carry
+    // add-schema + set-current-schema (the mock 400s a silent drop)
+    RestCatalog.commitThrough(spark, c, "analytics.t_ddl") { p =>
+      IcebergWriter.addColumn(spark, p, "note",
+        org.apache.spark.sql.types.StringType,
+        initialDefault = Some("none"))
+    }
+    assert(lastCommitActions.contains("add-schema"), lastCommitActions)
+    assert(lastCommitActions.contains("set-current-schema"), lastCommitActions)
+    val evolved = RestCatalog.scan(spark, c, "analytics.t_ddl")
+    assert(evolved.columns.contains("note"))
+    assert(evolved.select("note").collect().forall(_.getString(0) == "none"))
+
+    // SET TBLPROPERTIES through the catalog: set-properties must ride
+    RestCatalog.commitThrough(spark, c, "analytics.t_ddl") { p =>
+      IcebergWriter.setProperties(spark, p,
+        set = Map("commit.retry.num-retries" -> "7"))
+    }
+    assert(lastCommitActions.contains("set-properties"), lastCommitActions)
+
+    // UNSET through the catalog: remove-properties must ride
+    RestCatalog.commitThrough(spark, c, "analytics.t_ddl") { p =>
+      IcebergWriter.setProperties(spark, p,
+        remove = Seq("commit.retry.num-retries"))
+    }
+    assert(lastCommitActions.contains("remove-properties"), lastCommitActions)
+
+    // a schema-evolving APPEND (new column in the data) carries both the
+    // new snapshot and its schema in ONE commit, in apply order
+    RestCatalog.commitThrough(spark, c, "analytics.t_ddl") { p =>
+      IcebergWriter.write(
+        Seq((3L, "c", "x", 1.5)).toDF("id", "v", "note", "score"), p)
+    }
+    assert(lastCommitActions.contains("add-schema"), lastCommitActions)
+    assert(lastCommitActions.contains("add-snapshot"), lastCommitActions)
+    assert(lastCommitActions.indexOf("add-schema") <
+      lastCommitActions.indexOf("add-snapshot"), lastCommitActions)
+    val after = RestCatalog.scan(spark, c, "analytics.t_ddl")
+    assert(after.count() === 3)
+    assert(after.columns.contains("score"))
   }
 
   test("missing table maps 404 to a catchable not-found") {
