@@ -221,14 +221,77 @@ object ManifestReader {
     fetched.sortBy(_._1).map { case (_, m, es) => (m, es) }.toSeq
   }
 
+  /** Planning-cache bound (number of SNAPSHOTS held). Snapshots are
+    * immutable — a snapshot id never changes the files it names — so a
+    * (table, snapshot, manifest-list) key needs no invalidation: a new
+    * commit is a new snapshot id and a new manifest-list file name
+    * (random token suffix), which misses the cache by construction. The
+    * manifest-list path rides in the key precisely so a table DROPPED
+    * and re-created at the same path (sequential ids restart at 1)
+    * cannot alias a stale plan. 0 disables. */
+  val PlanningCacheSnapshotsKey = "spark.graft.iceberg.planningCacheSnapshots"
+  private val DefaultPlanningCacheSnapshots = 32
+
+  private final case class PlanKey(
+      tablePath: String, snapshotId: Long, manifestList: String,
+      allowMovedPaths: Boolean)
+  // access-order LinkedHashMap = LRU; all access under its own lock
+  private val planCache =
+    new java.util.LinkedHashMap[PlanKey, TableMeta](64, 0.75f, true)
+  private val planCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val planCacheMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses) since JVM start — test/diagnostic surface. */
+  def planningCacheStats: (Long, Long) =
+    (planCacheHits.get, planCacheMisses.get)
+
+  /** Drop every cached plan (tests; or to release driver memory). */
+  def invalidatePlanningCache(): Unit =
+    planCache.synchronized(planCache.clear())
+
   /** IcebergTable::Load (iceberg.cpp:15-36): manifest list, then every
     * manifest, eagerly, with optional moved-path re-anchoring. Manifests
     * are fetched concurrently — a 100 TB table has O(100k) entries across
     * many manifest files and, over an object store, sequential driver-side
     * reads would dominate planning time. The fetch runs on a dedicated
     * bounded pool (not the global EC, which unrelated driver code shares)
-    * and fails with a clear timeout instead of hanging the driver. */
+    * and fails with a clear timeout instead of hanging the driver.
+    *
+    * Results are cached per (table, snapshot, manifest list): interactive
+    * use re-plans the same immutable snapshot query after query, and on a
+    * 100k-entry table the planning I/O would otherwise repeat per query. */
   def loadTable(
+      tablePath: String,
+      snapshot: Snapshot,
+      conf: Configuration,
+      allowMovedPaths: Boolean): TableMeta = {
+    val maxCached = conf.getInt(
+      PlanningCacheSnapshotsKey, DefaultPlanningCacheSnapshots)
+    if (maxCached <= 0)
+      return loadTableUncached(tablePath, snapshot, conf, allowMovedPaths)
+    val key = PlanKey(
+      tablePath, snapshot.snapshotId, snapshot.manifestList, allowMovedPaths)
+    planCache.synchronized(Option(planCache.get(key))) match {
+      case Some(meta) =>
+        planCacheHits.incrementAndGet()
+        // the cached entry list is immutable; only the Snapshot header
+        // (schema as of the READ, not the plan) follows the caller
+        meta.copy(snapshot = snapshot)
+      case None =>
+        planCacheMisses.incrementAndGet()
+        val meta = loadTableUncached(tablePath, snapshot, conf, allowMovedPaths)
+        planCache.synchronized {
+          planCache.put(key, meta)
+          val it = planCache.entrySet.iterator
+          while (planCache.size > maxCached && it.hasNext) {
+            it.next(); it.remove()
+          }
+        }
+        meta
+    }
+  }
+
+  private def loadTableUncached(
       tablePath: String,
       snapshot: Snapshot,
       conf: Configuration,

@@ -35,11 +35,15 @@ class DistributedPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snapshot = IcebergScan.selectSnapshot(spark, Lineitem, moved)
     val base = spark.sessionState.newHadoopConf()
 
+    // cache off: this test compares the two UNCACHED decode paths — a
+    // cache hit on the second load would make the comparison vacuous
     val driverConf = new org.apache.hadoop.conf.Configuration(base)
+    driverConf.setInt(ManifestReader.PlanningCacheSnapshotsKey, 0)
     driverConf.setInt(ManifestReader.DistributedPlanningThresholdKey, 0)
     val viaDriver = ManifestReader.loadTable(Lineitem, snapshot, driverConf, true)
 
     val distConf = new org.apache.hadoop.conf.Configuration(base)
+    distConf.setInt(ManifestReader.PlanningCacheSnapshotsKey, 0)
     distConf.setInt(ManifestReader.DistributedPlanningThresholdKey, 1)
     val viaCluster = ManifestReader.loadTable(Lineitem, snapshot, distConf, true)
 
@@ -51,10 +55,12 @@ class DistributedPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("a scan planned distributed reads the same rows (golden 51793)") {
     val key = ManifestReader.DistributedPlanningThresholdKey
+    val cacheKey = ManifestReader.PlanningCacheSnapshotsKey
     spark.conf.set(key, "1")
+    spark.conf.set(cacheKey, "0") // force a live distributed plan
     try {
       val cnt = IcebergScan.scan(spark, Lineitem, moved).count()
       assert(cnt === 51793L)
-    } finally spark.conf.unset(key)
+    } finally { spark.conf.unset(key); spark.conf.unset(cacheKey) }
   }
 }
