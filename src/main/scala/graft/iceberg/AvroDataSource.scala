@@ -1,0 +1,230 @@
+package graft.iceberg
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 read path for Iceberg AVRO data files — the projection
+  * story [[AvroFiles.read]]'s RDD bridge cannot have: an RDD boundary is
+  * opaque to Catalyst, so `SELECT one_col` from a wide avro table used
+  * to decode every declared field. This source implements
+  * `SupportsPushDownRequiredColumns`, and the pruned schema reaches the
+  * DECODER: each task builds a projected Avro reader schema (nullable
+  * unions, field subset, writer's record name so Avro schema resolution
+  * applies) and the resolving decoder SKIPS non-projected fields without
+  * allocating them. `.explain` shows the pruned ReadSchema like any file
+  * source.
+  *
+  * Granularity stays one task per container file (positions must equal
+  * the write-time record index for MoR deletes — `__graft_pos` is the
+  * per-file sequential index, `__graft_file` the qualified URI). Reader
+  * lifecycle is Spark's `PartitionReader.close()` — early-exit operators
+  * (limit/take) close the file deterministically.
+  */
+final class AvroDataSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType.fromDDL(options.get(AvroDataSource.SchemaDdlOption))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroDataSource.AvroTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object AvroDataSource {
+
+  /** `\n`-joined raw manifest paths (what the task opens). */
+  val PathsOption = "graft.avro.paths"
+  /** `\n`-joined fully-qualified URIs, pairwise with `paths` — the
+    * `__graft_file` values (must equal [[IcebergIO.qualified]] exactly
+    * so MoR delete-file joins match). */
+  val QualifiedOption = "graft.avro.qualified"
+  /** DDL form of the full table schema (inferSchema fallback when no
+    * external schema is supplied). */
+  val SchemaDdlOption = "graft.avro.schema"
+
+  val FileCol = "__graft_file"
+  val PosCol = "__graft_pos"
+
+  /** The scan-side entry: an Avro-file relation whose column pruning
+    * reaches the decoder. `paths` pairs raw with qualified URIs;
+    * `withMeta` appends the provenance columns. */
+  def relation(spark: SparkSession, paths: Seq[(String, String)],
+      readSchema: StructType, withMeta: Boolean): DataFrame = {
+    val out =
+      if (!withMeta) readSchema
+      else StructType(readSchema.fields.toSeq :+
+        StructField(FileCol, StringType) :+
+        StructField(PosCol, LongType))
+    spark.read
+      .format(classOf[AvroDataSource].getName)
+      .schema(out)
+      .option(PathsOption, paths.map(_._1).mkString("\n"))
+      .option(QualifiedOption, paths.map(_._2).mkString("\n"))
+      .option(SchemaDdlOption, out.toDDL)
+      .load()
+  }
+
+  private final class AvroTable(
+      schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+    override def name(): String = "graft-avro-files"
+    override def schema(): StructType = schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(
+        caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
+      new AvroScanBuilder(schema, options)
+  }
+
+  private final class AvroScanBuilder(
+      fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = fullSchema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      // Catalyst hands the subset in table-schema order; empty (count(*)
+      // over the relation) is legal and decodes nothing per record
+      required = requiredSchema
+    override def build(): Scan = {
+      def split(key: String): Seq[String] =
+        Option(options.get(key)).map(_.split('\n').toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+      new AvroScan(required, split(PathsOption).zip(split(QualifiedOption)))
+    }
+  }
+
+  private final class AvroScan(
+      required: StructType, paths: Seq[(String, String)])
+    extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-avro-files [${paths.size} files] ReadSchema: ${required.catalogString}"
+    override def planInputPartitions(): Array[InputPartition] =
+      paths.map { case (p, q) => AvroFilePartition(p, q): InputPartition }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new AvroReaderFactory(required)
+  }
+
+  private final case class AvroFilePartition(path: String, qualified: String)
+    extends InputPartition
+
+  private final class AvroReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[AvroFilePartition]
+      new AvroPartitionReader(fp.path, fp.qualified, required)
+    }
+  }
+
+  /** One container file, sequential decode with a projected reader
+    * schema. The record index IS the Iceberg row position (files are
+    * written by a single task, read by a single task). */
+  private final class AvroPartitionReader(
+      path: String, qualified: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+    private val payload = required.fields.filter(f =>
+      f.name != FileCol && f.name != PosCol)
+    private val qualifiedUtf8 = UTF8String.fromString(qualified)
+
+    private val reader: DataFileReader[GenericRecord] = {
+      // probe the writer schema first (header only, then close): (a) the
+      // projected reader record must carry the writer's FULL name — Avro
+      // schema resolution matches records by name — and (b) required
+      // fields the writer never stored (schema evolution) must leave the
+      // projection and read as null, the same null-fill contract as ORC
+      val conf = new Configuration()
+      val writerSchema = {
+        val head = DataFileReader.openReader(
+          new FsInput(new Path(path), conf),
+          new GenericDatumReader[GenericRecord]())
+        try head.getSchema finally head.close()
+      }
+      val writerFields = writerSchema.getFields.asScala.map(_.name).toSet
+      val present = payload.filter(f => writerFields(f.name))
+      val projected = AvroFiles.projectedSchema(
+        StructType(present), writerSchema)
+      new DataFileReader[GenericRecord](
+        new FsInput(new Path(path), conf),
+        new GenericDatumReader[GenericRecord](writerSchema, projected))
+    }
+
+    private var pos = -1L
+    private var rec: GenericRecord = _
+
+    override def next(): Boolean = {
+      val h = reader.hasNext
+      if (h) { rec = reader.next(rec); pos += 1 }
+      h
+    }
+
+    override def get(): InternalRow = {
+      val vals = new Array[Any](required.length)
+      var i = 0
+      while (i < required.length) {
+        val f = required.fields(i)
+        vals(i) =
+          if (f.name == FileCol) qualifiedUtf8
+          else if (f.name == PosCol) pos
+          else {
+            val rf = rec.getSchema.getField(f.name)
+            if (rf == null) null
+            else toCatalyst(f.dataType, rec.get(rf.pos()))
+          }
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    }
+
+    override def close(): Unit = reader.close()
+  }
+
+  /** Avro-decoded value → Catalyst internal value for the target type.
+    * Dates/timestamps pass through (Avro logical date = epoch days INT,
+    * timestamp-micros = LONG — exactly Catalyst's internal encodings). */
+  private def toCatalyst(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v.toString)
+      case BinaryType => bytesOf(v)
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(bytesOf(v)), d.scale), d.precision, d.scale)
+      case IntegerType | DateType => Int.box(v.asInstanceOf[Number].intValue)
+      case LongType | TimestampType | TimestampNTZType =>
+        Long.box(v.asInstanceOf[Number].longValue)
+      case FloatType  => Float.box(v.asInstanceOf[Number].floatValue)
+      case DoubleType => Double.box(v.asInstanceOf[Number].doubleValue)
+      case BooleanType => v
+      case other => throw new UnsupportedOperationException(
+        s"avro data files: unsupported read type ${other.sql}")
+    }
+
+  private def bytesOf(v: Any): Array[Byte] = v match {
+    case b: java.nio.ByteBuffer =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case a: Array[Byte] => a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes()
+  }
+}

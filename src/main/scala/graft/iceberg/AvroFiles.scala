@@ -20,9 +20,9 @@ import scala.jdk.CollectionConverters._
   * deployment, so the bridge reads and writes Avro OCF files itself.
   *
   * Scale design:
-  *  - READ fans out one task per file (`parallelize(paths)` →
-  *    `flatMap`): each task streams one container file. File-level
-  *    parallelism (no intra-file sync-marker splits) is the deliberate
+  *  - READ is [[AvroDataSource]] (DataSource V2, one task per file,
+  *    column pruning pushed into the decode). File-level parallelism
+  *    (no intra-file sync-marker splits) is the deliberate
   *    granularity — the write path targets bounded file sizes, so a 100 TB
   *    table is wide in files, not deep in one.
   *  - WRITE runs inside the executors (`foreachPartition`), one open
@@ -55,6 +55,22 @@ object AvroFiles {
       new Schema.Field(f.name, union, null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
+  }
+
+  /** Projection of `payload` as an Avro READER schema that resolves
+    * against `writer`: same record full name (Avro matches records by
+    * name), nullable-union fields with null defaults so schema
+    * resolution — not manual field lookup — drives the decode and the
+    * resolving decoder SKIPS non-projected writer fields. */
+  def projectedSchema(payload: StructType, writer: Schema): Schema = {
+    val fields = payload.fields.map { f =>
+      val t = primitive(f.dataType, f.name)
+      val union = Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), t))
+      new Schema.Field(f.name, union, null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord(writer.getName, null, writer.getNamespace, false,
+      java.util.List.of(fields: _*))
   }
 
   private def primitive(dt: DataType, name: String): Schema = dt match {
@@ -260,57 +276,6 @@ object AvroFiles {
         df.sparkSession.sessionState.newHadoopConf())
       fs.delete(stagingRoot, true)
     }
-  }
-
-  /** Distributed by-name read. `paths` pairs each manifest path with its
-    * fully-qualified URI (computed on the driver with the same
-    * [[IcebergIO.qualified]] the MoR delete bridge uses, so
-    * `__graft_file` equality holds exactly). `withMeta` appends
-    * `__graft_file` and `__graft_pos` — the per-file record index, which
-    * IS the write-time position (single sequential task per file). */
-  def read(spark: SparkSession, paths: Seq[(String, String)],
-      readSchema: StructType, withMeta: Boolean): DataFrame = {
-    val out =
-      if (!withMeta) readSchema
-      else StructType(readSchema.fields.toSeq :+
-        StructField("__graft_file", StringType) :+
-        StructField("__graft_pos", LongType))
-    val names = readSchema.fieldNames.toSeq
-    val types = readSchema.fields.map(_.dataType).toSeq
-    val rdd = spark.sparkContext
-      .parallelize(paths, math.max(1, paths.size))
-      .flatMap { case (p, qualified) =>
-        val reader = DataFileReader.openReader(
-          new FsInput(new Path(p), new Configuration()),
-          new GenericDatumReader[GenericRecord]())
-        var pos = -1L
-        new Iterator[Row] {
-          private var closed = false
-          private def close(): Unit =
-            if (!closed) { closed = true; reader.close() }
-          // a partially consumed iterator (limit/take, downstream
-          // early-exit) never drains hasNext — close with the task, the
-          // same guarantee Spark's own file sources provide
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => close()))
-          def hasNext: Boolean = {
-            val h = !closed && reader.hasNext
-            if (!h) close()
-            h
-          }
-          def next(): Row = {
-            val rec = reader.next()
-            pos += 1
-            val base = names.indices.map { j =>
-              val f = rec.getSchema.getField(names(j))
-              fromAvro(types(j), if (f == null) null else rec.get(f.pos()))
-            }
-            Row.fromSeq(
-              if (withMeta) base :+ qualified :+ pos else base)
-          }
-        }
-      }
-    spark.createDataFrame(rdd, out)
   }
 
   /** One file's writer schema → Spark schema (addFiles inference). */

@@ -250,7 +250,7 @@ object IcebergScan {
     // those readers resolve columns by NAME (the parquet field-id
     // matching doesn't apply), so metadata-only renames do not reach into
     // files written before the rename — documented extension limitation.
-    // Avro rows DO carry positions: [[AvroFiles.read]] emits the per-file
+    // Avro rows DO carry positions: [[AvroDataSource]] emits the per-file
     // record index, which equals the write-time position, so position
     // deletes/provenance work on avro (unlike ORC).
     val scanConf = hadoopConf(spark)
@@ -261,7 +261,10 @@ object IcebergScan {
         if (nameMapped) stripFieldIds(declared).asInstanceOf[StructType]
         else declared
       if (fmt == "avro")
-        return AvroFiles.read(spark,
+        // DataSource V2 path: Catalyst's column pruning reaches the avro
+        // decoder (SupportsPushDownRequiredColumns) — a SELECT of 2
+        // columns from a wide avro table decodes 2 fields, not all
+        return AvroDataSource.relation(spark,
           paths.map(p => (p, IcebergIO.qualified(p, scanConf))),
           readSchema, withMeta)
       val reader = spark.read.format(fmt)
@@ -729,7 +732,7 @@ object IcebergScan {
         .map { case (fmt, es) =>
           val paths = es.map(e => resolved(root, e.filePath, opts))
           if (fmt == "avro")
-            AvroFiles.read(spark, paths.map(p => (p, p)), schema,
+            AvroDataSource.relation(spark, paths.map(p => (p, p)), schema,
               withMeta = false)
           else {
             val reader = spark.read.format(fmt)

@@ -196,6 +196,37 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.scan(spark, table).count() === 40)
   }
 
+  test("column pruning reaches the avro decoder (DataSource V2 pushdown)") {
+    import spark.implicits._
+    val table = tmp("graft_avro_prunecol_") + "/t"
+    val wide = (1 to 30).map(i =>
+      (i.toLong, s"n$i", i * 1.5, s"text-$i" * 10, i % 7, s"extra-$i"))
+      .toDF("id", "name", "score", "body", "bucket", "extra")
+    IcebergWriter.write(wide, table, dataFormat = Some("avro"))
+    def avroScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().startsWith("graft-avro-files") => b.scan
+      }
+    // narrow projection: the scan's read schema is the projection only
+    val narrow = IcebergScan.scan(spark, table).select("id", "score")
+    val scans = avroScans(narrow)
+    assert(scans.nonEmpty, "no graft-avro v2 scan in the plan")
+    assert(scans.forall(_.readSchema().fieldNames.toSeq === Seq("id", "score")),
+      scans.map(_.readSchema().catalogString).mkString("; "))
+    assert(narrow.agg(sum("score")).head().getDouble(0) ===
+      (1 to 30).map(_ * 1.5).sum)
+    // count(*): zero columns decode
+    val count = IcebergScan.scan(spark, table).groupBy().count()
+    assert(avroScans(count).forall(_.readSchema().isEmpty))
+    assert(count.head().getLong(0) === 30)
+    // MoR deletes: pruning composes with the anti-join's meta columns
+    IcebergWriter.delete(spark, table, col("bucket") === 0)
+    val afterDelete = IcebergScan.scan(spark, table).select("id")
+    assert(afterDelete.collect().map(_.getLong(0)).sorted.toSeq ===
+      (1 to 30).filter(_ % 7 != 0).map(_.toLong))
+  }
+
   test("write.format.default=avro is honored when no format is passed") {
     val table = tmp("graft_avro_prop_") + "/t"
     IcebergWriter.write(idsDF(1), table, dataFormat = Some("avro"))
