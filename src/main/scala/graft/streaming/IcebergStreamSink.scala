@@ -138,29 +138,82 @@ object IcebergStreamSink {
     * and is unconditionally safe. */
   private def requireWholePartitionBatches(
       events: DataFrame, partitionBy: Seq[(String, String)]): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val partCols = partitionBy.map(_._1).toSet
-    // collectFirst is pre-order: the TOPMOST aggregation is the one whose
-    // groups the sink's batches consist of. A grouping expression's OUTPUT
-    // name lives in the aggregate's result list (the analyzer strips the
-    // alias from groupingExpressions), so resolve each one semantically
-    // against the aggregate's projected expressions.
-    val grouping = events.queryExecution.analyzed.collectFirst {
-      case a: Aggregate => a.groupingExpressions.map { g =>
-        a.aggregateExpressions.collectFirst {
-          case al: Alias if al.child.semanticEquals(g)        => al.name
-          case ar: AttributeReference if ar.semanticEquals(g) => ar.name
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, ExprId, Expression, GetStructField}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.types.StructType
+    val partCols = partitionBy.map(_._1)
+
+    // The TOPMOST aggregation is the one whose groups the sink's batches
+    // consist of. Between it and the sink the user may project — in
+    // particular `group by window(ts, …)` then alias `window.start` as
+    // the partition column, which IS whole-partition safe (start ↔
+    // window is a bijection at fixed duration). Resolve every output
+    // column of the analyzed plan down to an expression over the
+    // aggregate's OUTPUT attributes, inlining intermediate projections.
+    def resolve(plan: LogicalPlan)
+        : Option[(Aggregate, Seq[(String, Expression)])] = plan match {
+      case a: Aggregate =>
+        Some((a, a.output.map(attr => attr.name -> (attr: Expression))))
+      case p: Project =>
+        resolve(p.child).map { case (agg, childCols) =>
+          val byId = p.child.output.map(_.exprId).zip(childCols.map(_._2)).toMap
+          (agg, p.projectList.map { ne =>
+            val e = ne match { case al: Alias => al.child; case o => o }
+            ne.name -> e.transformUp {
+              case ar: AttributeReference if byId.contains(ar.exprId) =>
+                byId(ar.exprId)
+            }
+          })
         }
-      }
+      case f: Filter        => resolve(f.child)
+      case s: SubqueryAlias => resolve(s.child)
+      case _                => None
     }
-    val ok = grouping.exists(gs =>
-      gs.forall(_.isDefined) && gs.flatten.toSet == partCols)
-    require(ok,
+
+    val checked = resolve(events.queryExecution.analyzed).map {
+      case (agg, cols) =>
+        // the aggregate's grouping OUTPUT attributes (the analyzer strips
+        // aliases from groupingExpressions; match semantically)
+        val groupingAttrs: Map[ExprId, Expression] =
+          agg.aggregateExpressions.collect {
+            case al: Alias
+                if agg.groupingExpressions.exists(al.child.semanticEquals) =>
+              al.exprId -> al.child
+            case ar: AttributeReference
+                if agg.groupingExpressions.exists(ar.semanticEquals) =>
+              ar.exprId -> (ar: Expression)
+          }.toMap
+        def isWindowStruct(e: Expression): Boolean = e.dataType match {
+          case s: StructType => s.fieldNames.toSeq == Seq("start", "end")
+          case _             => false
+        }
+        val colByName = cols.toMap
+        // each partition column must be a grouping attribute itself, or
+        // the start/end field of a window grouping struct; and every
+        // grouping attribute must be accounted for (a finer grouping
+        // would silently drop a recomputed partition's unchanged rows)
+        val covered = scala.collection.mutable.Set.empty[ExprId]
+        val partsOk = partCols.forall { p =>
+          colByName.get(p).exists {
+            case ar: AttributeReference if groupingAttrs.contains(ar.exprId) =>
+              covered += ar.exprId; true
+            case GetStructField(ar: AttributeReference, _, _)
+                if groupingAttrs.contains(ar.exprId) && isWindowStruct(ar) =>
+              covered += ar.exprId; true
+            case _ => false
+          }
+        }
+        partsOk && groupingAttrs.keySet.forall(covered)
+    }
+    require(checked.contains(true),
       "startOverwrite: in update/append output mode each batch must hold " +
-        "WHOLE partitions, so the streaming aggregation's grouping columns " +
-        s"must be exactly the partition columns (${partCols.mkString(", ")}) " +
-        s"— found ${grouping.fold("no aggregation")(_.map(_.getOrElse("<unnamed expr>")).mkString(", "))}. " +
+        "WHOLE partitions, so every partition column " +
+        s"(${partCols.mkString(", ")}) must be a grouping column of the " +
+        "streaming aggregation (or the start/end of its window() group), " +
+        "and the grouping must be no finer than the partition columns" +
+        (if (checked.isEmpty) " — found no aggregation" else "") + ". " +
         "Group by the partition columns only, or pass outputMode=\"complete\" " +
         "(re-emits every group per trigger; safe for any grouping).")
   }

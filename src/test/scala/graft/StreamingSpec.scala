@@ -308,6 +308,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("OVERWRITE sink accepts window() grouping with the partition from window.start") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.iceberg.IcebergScan
+    import graft.streaming.IcebergStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_owwin_")
+    val table = dir.toString + "/t"
+    val in = MemoryStream[Event]
+    // tumbling hourly window; the partition column is the window START —
+    // start ↔ window is a bijection, so each batch group IS a whole
+    // partition (the documented pattern the gate previously rejected)
+    val agg = in.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hour_start", col("window.start"))
+      .drop("window")
+    // hour transform over the window start — the Iceberg idiom for
+    // time partitions (identity over raw timestamps is rejected)
+    val q = IcebergStreamSink.startOverwrite(agg, table, dir.toString + "/ckpt",
+      partitionBy = Seq("hour_start" -> "hour"))
+    try {
+      in.addData(
+        Event(1, ts("2026-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:40:00"), 2, "view", 2.0),
+        Event(3, ts("2026-01-01 11:10:00"), 3, "view", 4.0))
+      q.processAllAvailable()
+      // a late 10:00-hour event recomputes that window; 11:00 untouched
+      in.addData(Event(4, ts("2026-01-01 10:55:00"), 4, "click", 8.0))
+      q.processAllAvailable()
+      val rows = IcebergScan.scan(spark, table)
+        .orderBy("hour_start").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_start")
+          .toLocalDateTime.getHour, r.getAs[Long]("cnt")))
+      assert(rows.toSeq === Seq((10, 3L), (11, 1L)))
+    } finally q.stop()
+
+    // still refused: a window group plus an EXTRA key under a
+    // window-start partition (finer than the partition)
+    val fine = in.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hour_start", col("window.start"))
+      .drop("window")
+    val e = intercept[IllegalArgumentException] {
+      IcebergStreamSink.startOverwrite(fine, dir.toString + "/t2",
+        dir.toString + "/ckpt2", partitionBy = Seq("hour_start" -> "hour"))
+    }
+    assert(e.getMessage.contains("WHOLE partitions"), e.getMessage)
+  }
+
   test("Iceberg UPSERT sink: merge-by-key CDC ingestion with last-write-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
