@@ -103,14 +103,26 @@ class IcebergStreamSource(
     throw new IllegalArgumentException("option 'path' is required"))
   private val opts = IcebergScan.Options(
     allowMovedPaths = params.get("allow_moved_paths").exists(_.toBoolean))
+  private val cdc = params.get("mode").map(_.toLowerCase) match {
+    case Some("cdc")                         => true
+    case None | Some("append" | "append-only") => false
+    case Some(other) => throw new IllegalArgumentException(
+      s"unknown mode '$other' (use 'append' or 'cdc')")
+  }
   private val maxSnapshots = params.get("max-snapshots-per-trigger")
     .map(_.toInt).getOrElse(Int.MaxValue)
   require(maxSnapshots > 0, "max-snapshots-per-trigger must be positive")
   private val maxFiles = params.get("max-files-per-trigger")
     .map(_.toLong).getOrElse(Long.MaxValue)
   require(maxFiles > 0, "max-files-per-trigger must be positive")
+  require(!cdc || params.get("max-files-per-trigger").isEmpty,
+    "mode=cdc paces per snapshot (a changelog diff has no stable file " +
+      "order); use max-snapshots-per-trigger")
   private val skipDeletes = params.get("skip-delete-snapshots").exists(_.toBoolean)
   private val skipOverwrites = params.get("skip-overwrite-snapshots").exists(_.toBoolean)
+  require(!cdc || (!skipDeletes && !skipOverwrites),
+    "mode=cdc streams deletes and overwrites as row-level changes; the " +
+      "skip-*-snapshots options only apply to append mode")
   private val branch = params.get("branch")
 
   private val conf = spark.sessionState.newHadoopConf()
@@ -118,23 +130,28 @@ class IcebergStreamSource(
 
   private def load() = IcebergScan.loadInfo(spark, path, opts)
 
-  /** Commits at or below this sequence are never streamed. */
-  private val floorSeq: Long = {
+  /** Commits at or below this sequence are never streamed; the id (when
+    * a concrete floor snapshot exists) anchors CDC diffs. */
+  private val (floorSeq: Long, floorId: Option[Long]) = {
     val info = load()
     require(info.formatVersion >= 2,
       s"streaming reads need format-version >= 2 (table is v${info.formatVersion})")
     params.get("starting-snapshot-id").map(_.toLong) match {
-      case Some(id) => IcebergMetadataParser.byId(info, id, skipSchema = true)
-        .sequenceNumber
+      case Some(id) =>
+        val s = IcebergMetadataParser.byId(info, id, skipSchema = true)
+        (s.sequenceNumber, Some(s.snapshotId))
       case None if params.get("stream-from-latest").exists(_.toBoolean) =>
-        if (info.snapshots.isEmpty) -1L
-        else branch match {
-          case Some(name) =>
-            IcebergMetadataParser.byRef(info, name, skipSchema = true).sequenceNumber
-          case None =>
-            IcebergMetadataParser.latest(info, skipSchema = true).sequenceNumber
+        if (info.snapshots.isEmpty) (-1L, None)
+        else {
+          val s = branch match {
+            case Some(name) =>
+              IcebergMetadataParser.byRef(info, name, skipSchema = true)
+            case None =>
+              IcebergMetadataParser.latest(info, skipSchema = true)
+          }
+          (s.sequenceNumber, Some(s.snapshotId))
         }
-      case None => -1L
+      case None => (-1L, None)
     }
   }
 
@@ -143,8 +160,14 @@ class IcebergStreamSource(
     if (info.snapshots.isEmpty)
       throw new IllegalArgumentException(
         s"cannot stream from an empty Iceberg table: $path")
-    IcebergSchemaParser.toStructType(
+    val base = IcebergSchemaParser.toStructType(
       IcebergMetadataParser.latest(info).schema)
+    if (!cdc) base
+    else StructType(base.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType))
   }
 
   // ---- offset persistence (rate-limit floor across restarts) ----
@@ -234,6 +257,17 @@ class IcebergStreamSource(
     val info = load()
     if (info.snapshots.isEmpty) return known
     val base = known.getOrElse(SnapshotOffset(-1L, floorSeq))
+    if (cdc) {
+      // CDC paces whole snapshots: each one becomes a changelog diff, so
+      // every operation — append, delete, overwrite, replace — advances
+      // the offset (replace diffs to zero rows by construction)
+      val pending = lineageAbove(info, base.sequenceNumber)
+      if (pending.isEmpty) return known
+      val last = pending.take(maxSnapshots).last
+      val off = SnapshotOffset(last.snapshotId, last.sequenceNumber)
+      remember(off)
+      return Some(off)
+    }
     // a partial offset means its snapshot still has unstreamed files —
     // keep it in the pending walk (lineage sequences are unique, so the
     // minus-one floor re-admits exactly that snapshot)
@@ -298,10 +332,52 @@ class IcebergStreamSource(
     })
   }
 
+  /** CDC batch: the row-level difference of the offset window, served by
+    * [[IcebergScan.changelogBySnapshot]] — delete and overwrite commits
+    * stream as `_change_type ∈ {insert, delete}` rows instead of failing
+    * the query. The initial batch of a full backfill emits the oldest
+    * lineage snapshot's rows as inserts, then diffs forward. Replay
+    * determinism requires the window's snapshots to still be RETAINED
+    * (append mode's sequence windows survive expiry; diffs cannot) —
+    * size snapshot retention to at least the checkpoint lag. */
+  private def cdcBatch(
+      startOff: Option[SnapshotOffset], endOff: SnapshotOffset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val info = load()
+    val changes = startOff.map(_.snapshotId).orElse(floorId) match {
+      case Some(fromId) if fromId != endOff.snapshotId =>
+        IcebergScan.changelogBySnapshot(
+          spark, path, fromId, Some(endOff.snapshotId), opts)
+      case Some(_) => // start == end: engine never asks, but be total
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None =>
+        // full backfill: oldest lineage snapshot = the initial inserts
+        val first = lineageAbove(info, -1L)
+          .filter(_.sequenceNumber <= endOff.sequenceNumber).head
+        val firstRows = IcebergScan.scan(spark, path,
+            opts.copy(snapshotId = Some(first.snapshotId)))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_snapshot_id", lit(first.snapshotId))
+        if (first.snapshotId == endOff.snapshotId) firstRows
+        else firstRows.unionByName(
+          IcebergScan.changelogBySnapshot(spark, path, first.snapshotId,
+            Some(endOff.snapshotId), opts),
+          allowMissingColumns = true)
+    }
+    // align to the source schema, then union an empty STREAMING relation:
+    // the engine asserts isStreaming on getBatch results, and a stateless
+    // union keeps the incremental planner away from the diff's joins
+    // (their subtrees stay batch and plan as ordinary batch joins)
+    changes.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .unionByName(streamingParquet(Seq.empty))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endOff = SnapshotOffset.from(end)
     remember(endOff)
     val startOff = start.map(SnapshotOffset.from)
+    if (cdc) return cdcBatch(startOff, endOff)
     val startSeq = startOff.map(_.sequenceNumber).getOrElse(floorSeq)
     val startIdx = startOff.map(_.fileIdx).getOrElse(-1L)
     val info = load()
@@ -370,8 +446,16 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
     if (info.snapshots.isEmpty)
       throw new IllegalArgumentException(
         s"cannot stream from an empty Iceberg table: $path")
-    (shortName, IcebergSchemaParser.toStructType(
-      IcebergMetadataParser.latest(info).schema))
+    val base = IcebergSchemaParser.toStructType(
+      IcebergMetadataParser.latest(info).schema)
+    val out =
+      if (!params.get("mode").exists(_.equalsIgnoreCase("cdc"))) base
+      else StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+          org.apache.spark.sql.types.LongType))
+    (shortName, out)
   }
 
   override def createSource(

@@ -253,4 +253,79 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(IcebergScan.snapshots(spark, dst).count() >= 2)
     } finally q.stop()
   }
+
+  test("mode=cdc streams deletes and overwrites as row-level changes") {
+    import spark.implicits._
+    val table = tmp("graft_src_cdc_") + "/t"
+    IcebergWriter.write(idsDF(1, 2, 3), table)               // inserts
+    IcebergWriter.delete(spark, table, col("id") === 1)      // delete commit
+    IcebergWriter.write(idsDF(4), table)                     // more inserts
+    // overwrite commit: row 2's payload changes via merge-by-key
+    IcebergWriter.merge(spark, table,
+      Seq((2L, "row-2-v2")).toDF("id", "payload"), Seq("id"))
+    val q = startToMemory(
+      readSource(table, "mode" -> "cdc"), "src_cdc_changes")
+    try {
+      q.processAllAvailable()
+      val got = spark.table("src_cdc_changes")
+        .select("id", "payload", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set(
+        (1L, "row-1", "insert"), (2L, "row-2", "insert"),
+        (3L, "row-3", "insert"), (4L, "row-4", "insert"),
+        (1L, "row-1", "delete"),                 // the delete commit
+        (2L, "row-2", "delete"), (2L, "row-2-v2", "insert")), // the merge
+        s"saw $got")
+      // commit attribution rides along
+      assert(spark.table("src_cdc_changes")
+        .select("_commit_snapshot_id").distinct().count() === 4)
+    } finally q.stop()
+  }
+
+  test("mode=cdc resumes from the checkpoint and streams only new diffs") {
+    val table = tmp("graft_src_cdcr_") + "/t"
+    val ckpt = tmp("graft_src_cdcr_ckpt_")
+    IcebergWriter.write(idsDF(1, 2), table)
+    def run(into: java.util.Queue[(Long, String)]): StreamingQuery =
+      readSource(table, "mode" -> "cdc").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id", "_change_type").collect()
+            .foreach(r => into.add((r.getLong(0), r.getString(1))))
+        }.start()
+    val first = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q1 = run(first)
+    try {
+      q1.processAllAvailable()
+      assert(first.toArray(Array.empty[(Long, String)]).toSet ===
+        Set((1L, "insert"), (2L, "insert")))
+    } finally q1.stop()
+    // a delete lands while the stream is down; restart picks up JUST it
+    IcebergWriter.delete(spark, table, col("id") === 2)
+    val second = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = run(second)
+    try {
+      q2.processAllAvailable()
+      val rows = second.toArray(Array.empty[(Long, String)]).toSeq
+      assert(rows === Seq((2L, "delete")), s"saw $rows")
+    } finally q2.stop()
+  }
+
+  test("mode=cdc with stream-from-latest diffs only post-start commits") {
+    val table = tmp("graft_src_cdcl_") + "/t"
+    IcebergWriter.write(idsDF(1, 2, 3), table) // pre-start history
+    val q = startToMemory(
+      readSource(table, "mode" -> "cdc", "stream-from-latest" -> "true"),
+      "src_cdc_latest")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("src_cdc_latest").count() === 0)
+      IcebergWriter.delete(spark, table, col("id") === 3)
+      q.processAllAvailable()
+      val rows = spark.table("src_cdc_latest")
+        .select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows === Seq((3L, "delete")), s"saw $rows")
+    } finally q.stop()
+  }
 }
