@@ -1994,7 +1994,13 @@ object IcebergWriter {
             // (one shuffle clustering rows by partition tuple first —
             // each partition's rows land in few files; THE small-files
             // lever for wide partitioned appends at scale).
-            distribution: String = "none"): Long = {
+            distribution: String = "none",
+            // explicit shuffle width for distribution="range"/"hash".
+            // None (default) lets AQE size the shuffle — at scale it
+            // coalesces toward the advisory partition size, the
+            // small-files lever; pin a count to force a layout (tests,
+            // fixed file budgets).
+            distributionPartitions: Option[Int] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     if (renames.nonEmpty) {
@@ -2076,12 +2082,29 @@ object IcebergWriter {
     require(effectiveFormat == "parquet" || effectiveFormat == "orc" ||
         effectiveFormat == "avro",
       s"write: unsupported data format '$effectiveFormat' (parquet, orc or avro)")
-    require(distribution == "none" || distribution == "hash",
-      s"write: unsupported distribution mode '$distribution' (none or hash)")
-    val distributed =
-      if (distribution == "hash" && spec.nonEmpty)
-        data.repartition(spec.map(sf => transformCol(sf, spark)): _*)
-      else data
+    require(distribution == "none" || distribution == "hash" ||
+        distribution == "range",
+      s"write: unsupported distribution mode '$distribution' (none, hash or range)")
+    val distributed = distribution match {
+      case "hash" if spec.nonEmpty =>
+        val keys = spec.map(sf => transformCol(sf, spark))
+        distributionPartitions.fold(data.repartition(keys: _*))(
+          n => data.repartition(n, keys: _*))
+      case "range" =>
+        // Iceberg's write.distribution-mode=range: one range shuffle on
+        // (partition transforms ++ sort keys), then the within-partition
+        // sort in writeDataFiles — a PARALLEL total-order sort whose
+        // tasks cover DISJOINT key ranges, so every file's footer
+        // min/max (→ manifest bounds) is tight and non-overlapping.
+        // This is the scale path to sorted layouts: a single-task sort
+        // caps at one node, range distribution sorts 100 TB wide.
+        val keys = spec.map(sf => transformCol(sf, spark)) ++ sortBy.map(col)
+        require(keys.nonEmpty,
+          "write: distribution='range' needs partition columns or sortBy")
+        distributionPartitions.fold(data.repartitionByRange(keys: _*))(
+          n => data.repartitionByRange(n, keys: _*))
+      case _ => data
+    }
     val files = writeDataFiles(
       distributed, new Path(path,
         s"data/snap-${state.map(_.nextSnapshotId).getOrElse(1L)}-${commitToken()}"),

@@ -35,6 +35,29 @@ object IcebergQueries {
       table
     })
 
+  /** Full-lineitem base tables shared by the MUTATING v2/v3 gates
+    * (ib35/ib36/ib37): written once per (JVM, sf dir, format version),
+    * then forked per gate via [[graft.iceberg.IcebergWriter.cloneTable]]
+    * — a zero-copy metadata fork, so each gate mutates its own lineage
+    * while the expensive base write happens once instead of per gate
+    * per bench run (was ~10% of bench wall time). */
+  private val lineitemBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private def lineitemFork(s: org.apache.spark.sql.SparkSession,
+      dir: String, formatVersion: Int, prefix: String): String = {
+    val base = lineitemBaseCache.computeIfAbsent((dir, formatVersion), _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft_li_base_v${formatVersion}_")
+        .toString + "/lineitem_base"
+      graft.iceberg.IcebergWriter.write(
+        graft.Tables.load(s, dir, "lineitem"), t, formatVersion = formatVersion)
+      t
+    })
+    val dst = java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+    graft.iceberg.IcebergWriter.cloneTable(s, base, dst)
+    dst
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ib01_scan_latest_count",
@@ -567,29 +590,31 @@ object IcebergQueries {
     ),
     QueryDef(
       "ib29_sorted_write_pruning",
-      // Sorted-write layout gate: lineitem written as ONE task sorted by
-      // l_orderkey and split at ~1/8 of the rows per file — the 8 files
-      // cover DISJOINT orderkey ranges, so their footer min/max (→ manifest
-      // bounds) are tight and a predicate on the minimum orderkey keeps
-      // exactly one file. The same data written unsorted keeps many more
-      // (IcebergWriteSpec pins the comparison); the sort order is recorded
-      // in the table's `sort-orders` metadata.
+      // Sorted-write layout gate: lineitem written with
+      // distribution='range' on l_orderkey — a PARALLEL range shuffle +
+      // within-partition sort whose tasks cover DISJOINT orderkey
+      // ranges, so every file's footer min/max (→ manifest bounds) is
+      // tight and non-overlapping, and a predicate on the minimum
+      // orderkey keeps exactly ONE of the many files. File counts from
+      // range boundaries are sampling-dependent, so the gate pins the
+      // invariants (spread across >1 file; exactly 1 kept), not a count;
+      // the sort order is recorded in the table's `sort-orders` metadata.
       Some("""
-        SELECT CAST(8 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept,
+        SELECT CAST(1 AS BIGINT) AS spread, CAST(1 AS BIGINT) AS files_kept,
                COUNT(*) AS cnt
         FROM lineitem WHERE l_orderkey <= 1"""),
       (s, dir) => {
         val table = java.nio.file.Files
           .createTempDirectory("graft_ib29_").toString + "/lineitem_sorted"
         val src = graft.Tables.load(s, dir, "lineitem")
-        val maxPer = src.count() / 8 + 1
         graft.iceberg.IcebergWriter.write(
-          src.repartition(1), table, sortBy = Seq("l_orderkey"),
-          options = Map("maxRecordsPerFile" -> maxPer.toString))
+          src, table, sortBy = Seq("l_orderkey"), distribution = "range",
+          distributionPartitions = Some(8))
         val filters = Seq(graft.iceberg.IcebergPruning.ColPredicate(
           "l_orderkey", graft.iceberg.IcebergPruning.Le, 1L))
         val total = IcebergScan.scan(s, table, Options(mode = "list_files"))
-          .filter(col("type") === "data").agg(count(lit(1)).as("files_total"))
+          .filter(col("type") === "data")
+          .agg((count(lit(1)) > 1).cast("long").as("spread"))
         val kept = IcebergScan.scan(s, table, Options(mode = "list_files", filters = filters))
           .filter(col("type") === "data").agg(count(lit(1)).as("files_kept"))
         val cnt = IcebergScan.scan(s, table, Options(filters = filters))
@@ -737,10 +762,7 @@ object IcebergQueries {
                CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_sum
         FROM lineitem WHERE l_orderkey % 5 <> 0 AND l_partkey % 7 <> 0"""),
       (s, dir) => {
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_ib35_").toString + "/lineitem_dv"
-        val li = graft.Tables.load(s, dir, "lineitem")
-        graft.iceberg.IcebergWriter.write(li, table, formatVersion = 3)
+        val table = lineitemFork(s, dir, 3, "graft_ib35_")
         graft.iceberg.IcebergWriter.delete(s, table, col("l_orderkey") % 5 === 0)
         graft.iceberg.IcebergWriter.delete(s, table, col("l_partkey") % 7 === 0)
         IcebergScan.scan(s, table).agg(
@@ -759,10 +781,7 @@ object IcebergQueries {
         SELECT COUNT(*) AS cnt, CAST(SUM(l_quantity) AS BIGINT) AS qty
         FROM lineitem WHERE l_orderkey % 4 <> 0 AND l_suppkey % 3 <> 0"""),
       (s, dir) => {
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_ib36_").toString + "/lineitem_up"
-        val li = graft.Tables.load(s, dir, "lineitem")
-        graft.iceberg.IcebergWriter.write(li, table) // v2
+        val table = lineitemFork(s, dir, 2, "graft_ib36_")
         graft.iceberg.IcebergWriter.delete(s, table, col("l_orderkey") % 4 === 0)
         graft.iceberg.IcebergWriter.upgradeFormat(s, table)
         graft.iceberg.IcebergWriter.delete(s, table, col("l_suppkey") % 3 === 0)
@@ -789,10 +808,7 @@ object IcebergQueries {
         FROM (SELECT COUNT(*) c FROM lineitem),
              (SELECT COUNT(*) s FROM lineitem WHERE l_orderkey % 5 <> 0)"""),
       (s, dir) => {
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_ib37_").toString + "/lineitem_rl"
-        val li = graft.Tables.load(s, dir, "lineitem")
-        graft.iceberg.IcebergWriter.write(li, table, formatVersion = 3)
+        val table = lineitemFork(s, dir, 3, "graft_ib37_")
         val rl = Options(rowLineage = true)
         val pre = IcebergScan.scan(s, table, rl).agg(
           count(lit(1)).as("total_cnt"),

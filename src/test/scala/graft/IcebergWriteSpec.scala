@@ -1303,4 +1303,41 @@ class IcebergWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = IcebergScan.scan(spark, table, Options(filters = filters)).count()
     assert(got === 2 * oneDay.count())
   }
+
+  test("distribution='range' writes disjoint sorted files in parallel") {
+    import spark.implicits._
+    import graft.iceberg.IcebergPruning
+    val table = Files.createTempDirectory("graft_range_dist_").toString + "/t"
+    // deliberately scrambled input across 8 tasks: the range shuffle —
+    // not the input layout — must produce the sorted-disjoint files
+    val df = (1L to 20000L).map(i => (i, s"p-$i")).toDF("id", "payload")
+      .repartition(8)
+    IcebergWriter.write(df, table, sortBy = Seq("id"), distribution = "range",
+      distributionPartitions = Some(6))
+    val total = IcebergScan.scan(spark, table, Options(mode = "list_files"))
+      .filter(col("type") === "data").count()
+    assert(total > 1, s"range write produced $total file(s) — not parallel")
+    // disjoint ranges: every probe key lives in exactly ONE file
+    for (probe <- Seq(1L, 5000L, 12345L, 20000L)) {
+      val kept = IcebergScan.scan(spark, table, Options(mode = "list_files",
+          filters = Seq(IcebergPruning.ColPredicate(
+            "id", IcebergPruning.Eq, probe))))
+        .filter(col("type") === "data").count()
+      assert(kept === 1, s"key $probe found in $kept files (ranges overlap)")
+    }
+    // the rows themselves survive the shuffle intact
+    assert(IcebergScan.scan(spark, table).agg(sum("id")).head().getLong(0)
+      === (1L to 20000L).sum)
+    // a partitioned range write clusters by (partition, sort key) — still
+    // whole rows, one partition dir per bucket value
+    val table2 = Files.createTempDirectory("graft_range_dist2_").toString + "/t"
+    val df2 = (1L to 4000L).map(i => (i, i % 4)).toDF("id", "bucket")
+      .repartition(8)
+    IcebergWriter.write(df2, table2, partitionBy = Seq("bucket" -> "identity"),
+      sortBy = Seq("id"), distribution = "range",
+      distributionPartitions = Some(8))
+    assert(IcebergScan.scanFiltered(spark, table2, col("bucket") === 2L)
+      .count() === 1000)
+    assert(IcebergScan.scan(spark, table2).count() === 4000)
+  }
 }
