@@ -1269,26 +1269,53 @@ object IcebergWriter {
       root.put("last-partition-id",
         (spec.map(_.fieldId) :+ 999).max)
     }
-    // sort-orders: order 0 (unsorted) always present; a sorted write adds
-    // order 1 with identity/asc/nulls-first fields and makes it default,
-    // advertising the layout to other readers (Iceberg spec "Sort Orders").
+    // sort-orders (Iceberg spec "Sort Orders"): order 0 (unsorted) always
+    // present, PRIOR orders carry forward (they are append-only table
+    // metadata — a sort-less maintenance commit must not reset the
+    // table's declared default), and a sorted write finds-or-adds its
+    // identity/asc/nulls-first order and makes it the default.
+    val prevOrders = state.flatMap(_.rootNode)
+      .flatMap(r => Option(r.get("sort-orders")))
+      .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    val prevDefaultOrder = state.flatMap(_.rootNode)
+      .flatMap(r => Option(r.get("default-sort-order-id")))
+      .map(_.asInt).getOrElse(0)
     val sortOrders = root.putArray("sort-orders")
-    val unsortedNode = sortOrders.addObject()
-    unsortedNode.put("order-id", 0)
-    unsortedNode.putArray("fields")
-    if (sortBy.nonEmpty) {
-      val so = sortOrders.addObject()
-      so.put("order-id", 1)
-      val fs = so.putArray("fields")
-      sortBy.foreach { c =>
-        val f = fs.addObject()
-        f.put("transform", "identity")
-        f.put("source-id", assigned(c))
-        f.put("direction", "asc")
-        f.put("null-order", "nulls-first")
-      }
+    if (prevOrders.nonEmpty) prevOrders.foreach(sortOrders.add)
+    else {
+      val unsortedNode = sortOrders.addObject()
+      unsortedNode.put("order-id", 0)
+      unsortedNode.putArray("fields")
     }
-    root.put("default-sort-order-id", if (sortBy.nonEmpty) 1 else 0)
+    val defaultOrderId =
+      if (sortBy.isEmpty) prevDefaultOrder
+      else {
+        val desired = sortBy.map(c =>
+          ("identity", assigned(c), "asc", "nulls-first"))
+        def fieldsOf(o: JsonNode): Seq[(String, Int, String, String)] =
+          Option(o.get("fields")).toSeq.flatMap(_.elements.asScala).map(f => (
+            f.get("transform").asText, f.get("source-id").asInt,
+            f.get("direction").asText, f.get("null-order").asText)).toSeq
+        val existingIdsJson = sortOrders.elements.asScala.toSeq
+        existingIdsJson.find(o => fieldsOf(o) == desired) match {
+          case Some(o) => o.get("order-id").asInt
+          case None =>
+            val newId =
+              existingIdsJson.map(_.get("order-id").asInt).max + 1
+            val so = sortOrders.addObject()
+            so.put("order-id", newId)
+            val fs = so.putArray("fields")
+            desired.foreach { case (t, sid, dir, no) =>
+              val f = fs.addObject()
+              f.put("transform", t)
+              f.put("source-id", sid)
+              f.put("direction", dir)
+              f.put("null-order", no)
+            }
+            newId
+        }
+      }
+    root.put("default-sort-order-id", defaultOrderId)
     // refs (Iceberg spec "Refs"): the committed branch's head advances;
     // every other ref carries forward. current-snapshot-id stays the MAIN
     // head, so a staged commit on an audit branch is invisible to plain
@@ -3927,24 +3954,64 @@ object IcebergWriter {
     * when fewer than two candidates exist (no commit). Files whose size
     * predates the `file_size_in_bytes` field (recorded as 0) are never
     * candidates: unknown is not small. */
+  /** Column names of the table's DEFAULT sort order (identity fields
+    * only — the only kind this writer emits; transform fields from a
+    * foreign writer are skipped with their order unusable → empty). */
+  private def recordedSortColumns(state: State): Seq[String] = {
+    val root = state.rootNode.getOrElse(return Seq.empty)
+    val defId = Option(root.get("default-sort-order-id"))
+      .map(_.asInt).getOrElse(0)
+    if (defId == 0) return Seq.empty
+    val cols = IcebergSchemaParser
+      .parseSchemaById(state.info.schemas, state.info.schemaId)
+    val byId = cols.map(c => c.id -> c.name).toMap
+    val fields = Option(root.get("sort-orders")).toSeq
+      .flatMap(_.elements.asScala)
+      .find(o => Option(o.get("order-id")).exists(_.asInt == defId)).toSeq
+      .flatMap(o => Option(o.get("fields")).toSeq.flatMap(_.elements.asScala.toSeq))
+    val names = fields.map { f =>
+      if (f.get("transform").asText != "identity") None
+      else byId.get(f.get("source-id").asInt)
+    }
+    if (names.exists(_.isEmpty)) Seq.empty else names.flatten
+  }
+
   def rewriteDataFiles(spark: SparkSession, path: String,
                        smallFileThreshold: Long = 32L * 1024 * 1024,
                        targetFileSize: Long = 128L * 1024 * 1024,
-                       branch: String = "main"): Option[Long] = {
+                       branch: String = "main",
+                       // "binpack" (default): merge small files only.
+                       // "sort": recluster EVERY live data file by the
+                       // table's default sort order (or `sortBy`) via one
+                       // range shuffle — the rewrite_data_files sort
+                       // strategy; restores a sorted layout that unsorted
+                       // appends have degraded, in parallel at any width.
+                       strategy: String = "binpack",
+                       sortBy: Seq[String] = Seq.empty): Option[Long] = {
     require(smallFileThreshold > 0 && targetFileSize > 0,
       "rewriteDataFiles: thresholds must be positive")
+    require(strategy == "binpack" || strategy == "sort",
+      s"rewriteDataFiles: unknown strategy '$strategy' (binpack or sort)")
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"rewriteDataFiles: no Iceberg table at $path"))
     val latest = state.opBase("rewriteDataFiles", branch)
+    val sortCols =
+      if (strategy != "sort") Seq.empty
+      else if (sortBy.nonEmpty) sortBy
+      else recordedSortColumns(state)
+    if (strategy == "sort") require(sortCols.nonEmpty,
+      "rewriteDataFiles(strategy=sort): the table records no default " +
+        "sort order — pass sortBy explicitly")
     val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
     def isCandidate(e: ManifestEntry): Boolean =
       e.content == 0 && e.status != 2 &&
-        e.fileSizeInBytes > 0L && e.fileSizeInBytes < smallFileThreshold
+        (strategy == "sort" ||
+          (e.fileSizeInBytes > 0L && e.fileSizeInBytes < smallFileThreshold))
     val candidates = meta.entries.collect {
       case (m, es) if m.content == 0 => es.filter(isCandidate)
     }.flatten
-    if (candidates.size < 2) return None
+    if (candidates.size < (if (strategy == "sort") 1 else 2)) return None
     val candidatePaths = candidates.map(_.filePath).toSet
 
     // Scan ONLY the candidates' surviving rows: restrict the loaded data
@@ -3968,10 +4035,17 @@ object IcebergWriter {
     val rowsPerFile = math.max(1L,
       targetFileSize * candidates.map(_.recordCount).sum /
         math.max(1L, candidates.map(_.fileSizeInBytes).sum))
+    val width = math.max(1,
+      (candidates.map(_.fileSizeInBytes).sum / targetFileSize).toInt)
+    // sort strategy: range-distribute on the sort keys (disjoint tight
+    // bounds per output file); binpack: plain coalesce, no shuffle
+    val shaped =
+      if (sortCols.nonEmpty) df.repartitionByRange(width, sortCols.map(col): _*)
+      else df.coalesce(width)
     val dataFiles = writeDataFiles(
-      df.coalesce(math.max(1,
-        (candidates.map(_.fileSizeInBytes).sum / targetFileSize).toInt)),
+      shaped,
       new Path(path, s"data/snap-$snapshotId-${commitToken()}"), spec,
+      sortBy = sortCols,
       options = Map("maxRecordsPerFile" -> rowsPerFile.toString),
       prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
 

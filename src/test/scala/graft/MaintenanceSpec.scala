@@ -265,4 +265,71 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergWriter.listOrphanFiles(spark, table).count() === 0)
     assert(IcebergScan.scan(spark, table).count() === 3)
   }
+
+  test("sort orders persist across sort-less commits (spec: append-only metadata)") {
+    import spark.implicits._
+    import graft.iceberg.{IcebergIO, IcebergPruning}
+    val table = tmp("graft_sortkeep_") + "/t"
+    val df = (1L to 1000L).map(i => (i, s"p-$i")).toDF("id", "payload")
+    IcebergWriter.write(df, table, sortBy = Seq("id"))
+    def meta() = {
+      val conf = spark.sessionState.newHadoopConf()
+      val hint = IcebergIO.readString(s"$table/metadata/version-hint.text", conf).trim
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        IcebergIO.readString(s"$table/metadata/v$hint.metadata.json", conf))
+    }
+    assert(meta().get("default-sort-order-id").asInt === 1)
+    // a sort-less append, a delete and a compaction must all KEEP it
+    IcebergWriter.write((1001L to 1010L).map(i => (i, s"p-$i")).toDF("id", "payload"), table)
+    assert(meta().get("default-sort-order-id").asInt === 1)
+    IcebergWriter.delete(spark, table, col("id") === 5L)
+    IcebergWriter.compact(spark, table)
+    assert(meta().get("default-sort-order-id").asInt === 1)
+    // re-declaring the same sort adds NO duplicate order
+    IcebergWriter.write((1011L to 1012L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+      table, sortBy = Seq("id"))
+    assert(meta().get("sort-orders").size === 2) // order 0 + order 1
+    assert(meta().get("default-sort-order-id").asInt === 1)
+    // a DIFFERENT sort appends order 2 and redirects the default
+    IcebergWriter.write((1013L to 1014L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+      table, sortBy = Seq("payload"))
+    assert(meta().get("sort-orders").size === 3)
+    assert(meta().get("default-sort-order-id").asInt === 2)
+  }
+
+  test("rewriteDataFiles strategy=sort reclusters by the recorded sort order") {
+    import spark.implicits._
+    import graft.iceberg.IcebergPruning
+    import graft.iceberg.IcebergScan.Options
+    val table = tmp("graft_sortrw_") + "/t"
+    // sorted creation, then unsorted scrambled appends degrade the layout
+    val a = (1L to 8000L).map(i => (i, s"p-$i")).toDF("id", "payload")
+    IcebergWriter.write(a, table, sortBy = Seq("id"), distribution = "range",
+      distributionPartitions = Some(4))
+    val b = (8001L to 16000L).map(i => (i, s"p-$i")).toDF("id", "payload")
+      .orderBy(rand(7)).repartition(4)
+    IcebergWriter.write(b, table) // unsorted: wide overlapping bounds
+    IcebergWriter.delete(spark, table, col("id") % 1000L === 0L)
+    def keptFor(probe: Long): Long =
+      IcebergScan.scan(spark, table, Options(mode = "list_files",
+          filters = Seq(IcebergPruning.ColPredicate(
+            "id", IcebergPruning.Eq, probe))))
+        .filter(col("type") === "data").count()
+    assert(keptFor(12345L) > 1, "unsorted append should overlap bounds")
+    val snap = IcebergWriter.rewriteDataFiles(spark, table,
+      targetFileSize = 256L * 1024, strategy = "sort")
+    assert(snap.isDefined, "sort rewrite did not commit")
+    // reclustered: every probe key now lives in exactly one file, the
+    // MoR delete stayed applied, and rows are intact
+    for (probe <- Seq(1L, 7777L, 12345L, 15999L))
+      assert(keptFor(probe) === 1, s"key $probe not uniquely clustered")
+    assert(IcebergScan.scan(spark, table).count() === 16000 - 16)
+    assert(IcebergScan.scan(spark, table)
+      .filter(col("id") % 1000L === 0L).count() === 0)
+    // the rewrite is a replace: changelog from before it is empty
+    val snaps = IcebergScan.snapshots(spark, table)
+      .orderBy("sequence_number").collect().map(_.getAs[Long]("snapshot_id"))
+    assert(IcebergScan.changelog(spark, table,
+      snaps(snaps.length - 2), Some(snaps.last)).count() === 0)
+  }
 }
