@@ -351,7 +351,13 @@ object GraftSql {
         .map(asLong(fn, "small_file_threshold", _)).getOrElse(32L * 1024 * 1024)
       val target = named.get("target_file_size")
         .map(asLong(fn, "target_file_size", _)).getOrElse(128L * 1024 * 1024)
-      val snap = graft.iceberg.IcebergWriter.rewriteDataFiles(s, path, small, target)
+      val strategy = named.get("strategy")
+        .map(asString(fn, "strategy", _)).getOrElse("binpack")
+      val sortBy = named.get("sort_by")
+        .map(asString(fn, "sort_by", _).split(',').map(_.trim).toSeq
+          .filter(_.nonEmpty)).getOrElse(Seq.empty)
+      val snap = graft.iceberg.IcebergWriter.rewriteDataFiles(
+        s, path, small, target, strategy = strategy, sortBy = sortBy)
       Seq((snap.isDefined, snap.getOrElse(-1L))).toDF("rewrote", "snapshot_id")
     },
     proc("iceberg_rewrite_position_deletes") { (s, pos, _) =>
@@ -430,6 +436,33 @@ object GraftSql {
         minSnapshotsToKeep = named.get("min_snapshots_to_keep")
           .map(asLong(fn, "min_snapshots_to_keep", _).toInt))
       Seq((name, true)).toDF("ref", "updated")
+    },
+    proc("iceberg_set_properties") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_set_properties"
+      val path = asString(fn, "path", pos.head)
+      val key = asString(fn, "key", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, key, value)")))
+      val value = asString(fn, "value", pos.lift(2).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, key, value)")))
+      graft.iceberg.IcebergWriter.setProperties(s, path, set = Map(key -> value))
+      Seq((key, value)).toDF("key", "value")
+    },
+    proc("iceberg_unset_properties") { (s, pos, _) =>
+      import s.implicits._
+      val fn = "iceberg_unset_properties"
+      val path = asString(fn, "path", pos.head)
+      val key = asString(fn, "key", pos.lift(1).getOrElse(
+        throw new IllegalArgumentException(s"$fn: requires (path, key)")))
+      graft.iceberg.IcebergWriter.setProperties(s, path, remove = Seq(key))
+      Seq(key).toDF("removed_key")
+    },
+    proc("iceberg_table_properties") { (s, pos, _) =>
+      import s.implicits._
+      val path = asString("iceberg_table_properties", "path", pos.head)
+      val info = graft.iceberg.IcebergScan.loadInfo(
+        s, path, graft.iceberg.IcebergScan.Options())
+      info.properties.toSeq.sortBy(_._1).toDF("key", "value")
     },
     proc("iceberg_compute_partition_stats") { (s, pos, _) =>
       import s.implicits._

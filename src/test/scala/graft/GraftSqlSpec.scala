@@ -261,6 +261,32 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) === nation.count() - 1)
   }
 
+  test("table properties through SQL: set / list / unset, and they take effect") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlprop_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+
+    spark.sql(s"SELECT * FROM iceberg_set_properties('$table', " +
+      "'write.format.default', 'avro')")
+    val props = spark.sql(s"SELECT * FROM iceberg_table_properties('$table')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("write.format.default").contains("avro"))
+    // the property drives behavior: a format-less append writes avro
+    graft.iceberg.IcebergWriter.write(nation.limit(2), table)
+    val formats = graft.iceberg.IcebergScan.files(spark, table)
+      .select("file_format").collect().map(_.getString(0)).toSet
+    assert(formats.contains("AVRO"))
+    // a metadata-only property commit: same snapshots, bumped version
+    assert(spark.sql(s"SELECT * FROM iceberg_snapshots('$table')").count() === 2)
+
+    spark.sql(s"SELECT * FROM iceberg_unset_properties('$table', " +
+      "'write.format.default')")
+    val after = spark.sql(s"SELECT * FROM iceberg_table_properties('$table')")
+      .collect().map(_.getString(0)).toSet
+    assert(!after.contains("write.format.default"))
+  }
+
   test("iceberg_ancestors_of, set_ref_retention, compute_partition_stats procs") {
     val table = java.nio.file.Files
       .createTempDirectory("graft_sqlanc_").toString + "/t"
