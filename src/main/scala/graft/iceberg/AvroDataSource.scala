@@ -55,6 +55,11 @@ object AvroDataSource {
 
   /** `\n`-joined raw manifest paths (what the task opens). */
   val PathsOption = "graft.avro.paths"
+  /** Manifest-known totals (`<rows>,<bytes>`) — reported to Catalyst via
+    * `SupportsReportStatistics` so join planning sees the relation's real
+    * size (a statless V2 relation defaults to "huge" and can never be
+    * broadcast). Zero I/O: the scan planner already holds the entries. */
+  val StatsOption = "graft.avro.stats"
   /** `\n`-joined fully-qualified URIs, pairwise with `paths` — the
     * `__graft_file` values (must equal [[IcebergIO.qualified]] exactly
     * so MoR delete-file joins match). */
@@ -70,19 +75,22 @@ object AvroDataSource {
     * reaches the decoder. `paths` pairs raw with qualified URIs;
     * `withMeta` appends the provenance columns. */
   def relation(spark: SparkSession, paths: Seq[(String, String)],
-      readSchema: StructType, withMeta: Boolean): DataFrame = {
+      readSchema: StructType, withMeta: Boolean,
+      stats: Option[(Long, Long)] = None): DataFrame = {
     val out =
       if (!withMeta) readSchema
       else StructType(readSchema.fields.toSeq :+
         StructField(FileCol, StringType) :+
         StructField(PosCol, LongType))
-    spark.read
+    val r = spark.read
       .format(classOf[AvroDataSource].getName)
       .schema(out)
       .option(PathsOption, paths.map(_._1).mkString("\n"))
       .option(QualifiedOption, paths.map(_._2).mkString("\n"))
       .option(SchemaDdlOption, out.toDDL)
-      .load()
+    stats.fold(r) { case (rows, bytes) =>
+      r.option(StatsOption, s"$rows,$bytes")
+    }.load()
   }
 
   private final class AvroTable(
@@ -109,13 +117,22 @@ object AvroDataSource {
       def split(key: String): Seq[String] =
         Option(options.get(key)).map(_.split('\n').toSeq.filter(_.nonEmpty))
           .getOrElse(Seq.empty)
-      new AvroScan(required, split(PathsOption).zip(split(QualifiedOption)))
+      val stats = Option(options.get(StatsOption)).flatMap { s =>
+        s.split(',') match {
+          case Array(r, b) =>
+            scala.util.Try((r.trim.toLong, b.trim.toLong)).toOption
+          case _ => None
+        }
+      }
+      new AvroScan(required, split(PathsOption).zip(split(QualifiedOption)),
+        stats)
     }
   }
 
   private final class AvroScan(
-      required: StructType, paths: Seq[(String, String)])
-    extends Scan with Batch {
+      required: StructType, paths: Seq[(String, String)],
+      stats: Option[(Long, Long)])
+    extends Scan with Batch with SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
@@ -124,6 +141,16 @@ object AvroDataSource {
       paths.map { case (p, q) => AvroFilePartition(p, q): InputPartition }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new AvroReaderFactory(required)
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          stats.fold(java.util.OptionalLong.empty())(s =>
+            java.util.OptionalLong.of(s._2))
+        override def numRows(): java.util.OptionalLong =
+          stats.fold(java.util.OptionalLong.empty())(s =>
+            java.util.OptionalLong.of(s._1))
+      }
   }
 
   private final case class AvroFilePartition(path: String, qualified: String)

@@ -260,13 +260,26 @@ object IcebergScan {
       val readSchema =
         if (nameMapped) stripFieldIds(declared).asInstanceOf[StructType]
         else declared
-      if (fmt == "avro")
+      if (fmt == "avro") {
         // DataSource V2 path: Catalyst's column pruning reaches the avro
         // decoder (SupportsPushDownRequiredColumns) — a SELECT of 2
-        // columns from a wide avro table decodes 2 fields, not all
+        // columns from a wide avro table decodes 2 fields, not all.
+        // Manifest-known totals ride along so join planning sees the
+        // relation's true size (bytes only when every entry recorded one
+        // — a partial sum would under-estimate and mis-broadcast).
+        val avroEntries = dataEntries.collect {
+          case (e, _) if e.fileFormat.equalsIgnoreCase("AVRO") => e
+        }
+        val stats =
+          if (avroEntries.isEmpty) None
+          else Some((avroEntries.map(_.recordCount).sum,
+            if (avroEntries.forall(_.fileSizeInBytes > 0L))
+              avroEntries.map(_.fileSizeInBytes).sum
+            else Long.MaxValue))
         return AvroDataSource.relation(spark,
           paths.map(p => (p, IcebergIO.qualified(p, scanConf))),
-          readSchema, withMeta)
+          readSchema, withMeta, stats)
+      }
       val reader = spark.read.format(fmt)
       val r = (if (opts.skipSchemaInference) reader
                else reader.schema(readSchema))

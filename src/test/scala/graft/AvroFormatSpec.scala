@@ -227,6 +227,24 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1 to 30).filter(_ % 7 != 0).map(_.toLong))
   }
 
+  test("avro scans report manifest-known statistics to the planner") {
+    import spark.implicits._
+    val table = tmp("graft_avro_stats_") + "/t"
+    IcebergWriter.write(idsDF(1L to 100L: _*), table, dataFormat = Some("avro"))
+    val df = IcebergScan.scan(spark, table)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // a statless V2 relation would default to "huge"; the manifest sums
+    // make it the small relation it really is
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1024 * 1024,
+      s"sizeInBytes=${stats.sizeInBytes}")
+    // ...so a join against a larger side BROADCASTS the avro relation
+    val big = (1L to 50000L).map(i => (i, i * 2.0)).toDF("id", "v")
+    val joined = big.join(df, "id")
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, joined.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("write.format.default=avro is honored when no format is passed") {
     val table = tmp("graft_avro_prop_") + "/t"
     IcebergWriter.write(idsDF(1), table, dataFormat = Some("avro"))
