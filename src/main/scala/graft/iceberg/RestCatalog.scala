@@ -161,6 +161,36 @@ object RestCatalog {
     result
   }
 
+  /** `DELETE .../tables/{table}` — drop the table from the catalog.
+    * `purge=true` asks the catalog to also delete data/metadata (the
+    * spec's `purgeRequested` flag); default false leaves storage intact
+    * (the register/drop pair then moves a table between catalogs without
+    * touching 100 TB of data). */
+  def dropTable(c: Client, table: String, purge: Boolean = false): Unit = {
+    val ref = parseRef(table)
+    val q = if (purge) "?purgeRequested=true" else ""
+    http("DELETE",
+      s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}$q",
+      c.token, None): Unit
+  }
+
+  /** `POST .../tables/rename` — rename/move a table inside the catalog
+    * (metadata-location unchanged; a pure catalog-entry move). */
+  def renameTable(c: Client, from: String, to: String): Unit = {
+    val f = parseRef(from)
+    val t = parseRef(to)
+    val body = mapper.createObjectNode()
+    def id(key: String, r: TableRef): Unit = {
+      val n = body.putObject(key)
+      val ns = n.putArray("namespace")
+      r.namespace.foreach(ns.add)
+      n.put("name", r.name)
+    }
+    id("source", f)
+    id("destination", t)
+    http("POST", s"${root(c)}/tables/rename", c.token, Some(body.toString)): Unit
+  }
+
   /** `POST .../tables/{table}` — the spec's CommitTableRequest:
     * `requirements` guard the commit (assert-table-uuid,
     * assert-ref-snapshot-id), `updates` describe it (add-snapshot,

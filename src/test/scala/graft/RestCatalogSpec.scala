@@ -189,6 +189,27 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
             respond(x, 409,
               s"""{"error":{"message":"Table already exists: analytics.$name","type":"AlreadyExistsException","code":409}}""")
           else respond(x, 200, s"""{"metadata-location":"$loc","metadata":{}}""")
+        case "tables/rename" if isPost =>
+          val body = mapper.readTree(
+            new String(x.getRequestBody.readAllBytes(), UTF_8))
+          val src = body.get("source").get("name").asText
+          val dst = body.get("destination").get("name").asText
+          tables.remove(src) match {
+            case Some(loc) if tables.putIfAbsent(dst, loc).isEmpty =>
+              respond(x, 204, "")
+            case Some(loc) => // destination taken: restore source
+              tables.put(src, loc)
+              respond(x, 409,
+                s"""{"error":{"message":"Table already exists: analytics.$dst","code":409}}""")
+            case None => respond(x, 404,
+              s"""{"error":{"message":"Table does not exist: analytics.$src","code":404}}""")
+          }
+        case p if x.getRequestMethod == "DELETE" &&
+            p.startsWith("namespaces/analytics/tables/") =>
+          val name = p.stripPrefix("namespaces/analytics/tables/")
+          if (tables.remove(name).isDefined) respond(x, 204, "")
+          else respond(x, 404,
+            s"""{"error":{"message":"Table does not exist: analytics.$name","code":404}}""")
         case p if isPost && p.startsWith("namespaces/analytics/tables/") =>
           handleCommit(x, p.stripPrefix("namespaces/analytics/tables/"))
         case "namespaces" =>
@@ -419,6 +440,35 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = RestCatalog.scan(spark, c, "analytics.t_ddl")
     assert(after.count() === 3)
     assert(after.columns.contains("score"))
+  }
+
+  test("renameTable and dropTable manage catalog entries without touching storage") {
+    val c = RestCatalog.connect(uri)
+    val dir = Files.createTempDirectory("graft_rest_mv_").toString
+    import spark.implicits._
+    RestCatalog.createTable(spark, c, "analytics.t_move", s"$dir/t") {
+      p => IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), p)
+    }
+    // rename: same metadata location under the new name
+    RestCatalog.renameTable(c, "analytics.t_move", "analytics.t_moved")
+    assert(!RestCatalog.tableExists(c, "analytics.t_move"))
+    assert(RestCatalog.scan(spark, c, "analytics.t_moved").count() === 2)
+    // rename onto an existing name is refused and the source survives
+    RestCatalog.createTable(spark, c, "analytics.t_occupied", s"$dir/o") {
+      p => IcebergWriter.write(Seq((9L, "z")).toDF("id", "v"), p)
+    }
+    val clash = intercept[java.io.IOException] {
+      RestCatalog.renameTable(c, "analytics.t_moved", "analytics.t_occupied")
+    }
+    assert(clash.getMessage.contains("already exists"))
+    assert(RestCatalog.scan(spark, c, "analytics.t_moved").count() === 2)
+    // drop (no purge): entry gone, STORAGE intact — re-register restores
+    val loc = RestCatalog.loadTable(c, "analytics.t_moved").metadataLocation
+    RestCatalog.dropTable(c, "analytics.t_moved")
+    assert(!RestCatalog.tableExists(c, "analytics.t_moved"))
+    assert(graft.iceberg.IcebergScan.scan(spark, loc).count() === 2)
+    RestCatalog.registerTable(c, "analytics.t_back", loc)
+    assert(RestCatalog.scan(spark, c, "analytics.t_back").count() === 2)
   }
 
   test("missing table maps 404 to a catchable not-found") {
