@@ -175,26 +175,38 @@ object AvroDataSource {
       f.name != FileCol && f.name != PosCol)
     private val qualifiedUtf8 = UTF8String.fromString(qualified)
 
+    // decode plan per required column, resolved ONCE per file: -2 file
+    // provenance, -3 row position, -1 null (field the writer never
+    // stored — schema evolution null-fill, the ORC contract), >=0 the
+    // field's position in the projected reader record
+    private val ColFile = -2
+    private val ColPos = -3
+    private val ColNull = -1
+    private var colPlan: Array[Int] = _
+
     private val reader: DataFileReader[GenericRecord] = {
-      // probe the writer schema first (header only, then close): (a) the
-      // projected reader record must carry the writer's FULL name — Avro
-      // schema resolution matches records by name — and (b) required
-      // fields the writer never stored (schema evolution) must leave the
-      // projection and read as null, the same null-fill contract as ORC
-      val conf = new Configuration()
-      val writerSchema = {
-        val head = DataFileReader.openReader(
-          new FsInput(new Path(path), conf),
-          new GenericDatumReader[GenericRecord]())
-        try head.getSchema finally head.close()
-      }
-      val writerFields = writerSchema.getFields.asScala.map(_.name).toSet
-      val present = payload.filter(f => writerFields(f.name))
-      val projected = AvroFiles.projectedSchema(
-        StructType(present), writerSchema)
-      new DataFileReader[GenericRecord](
-        new FsInput(new Path(path), conf),
-        new GenericDatumReader[GenericRecord](writerSchema, projected))
+      // ONE open: the container header (already parsed by the reader)
+      // carries the writer schema; the projected reader schema — the
+      // writer's FULL record name, Avro matches records by name — is
+      // installed via setExpected before the first record decodes
+      val datumReader = new GenericDatumReader[GenericRecord]()
+      val r = new DataFileReader[GenericRecord](
+        new FsInput(new Path(path), new Configuration()), datumReader)
+      try {
+        val writerSchema = r.getSchema
+        val writerFields = writerSchema.getFields.asScala.map(_.name).toSet
+        val present = payload.filter(f => writerFields(f.name))
+        val projected = AvroFiles.projectedSchema(
+          StructType(present), writerSchema)
+        datumReader.setExpected(projected)
+        val posIn = present.iterator.map(_.name).zipWithIndex.toMap
+        colPlan = required.fields.map { f =>
+          if (f.name == FileCol) ColFile
+          else if (f.name == PosCol) ColPos
+          else posIn.getOrElse(f.name, ColNull)
+        }
+        r
+      } catch { case e: Throwable => r.close(); throw e }
     }
 
     private var pos = -1L
@@ -210,15 +222,12 @@ object AvroDataSource {
       val vals = new Array[Any](required.length)
       var i = 0
       while (i < required.length) {
-        val f = required.fields(i)
-        vals(i) =
-          if (f.name == FileCol) qualifiedUtf8
-          else if (f.name == PosCol) pos
-          else {
-            val rf = rec.getSchema.getField(f.name)
-            if (rf == null) null
-            else toCatalyst(f.dataType, rec.get(rf.pos()))
-          }
+        vals(i) = colPlan(i) match {
+          case ColFile => qualifiedUtf8
+          case ColPos  => pos
+          case ColNull => null
+          case p       => toCatalyst(required.fields(i).dataType, rec.get(p))
+        }
         i += 1
       }
       new GenericInternalRow(vals)
@@ -234,10 +243,11 @@ object AvroDataSource {
     if (v == null) null
     else dt match {
       case StringType => UTF8String.fromString(v.toString)
-      case BinaryType => bytesOf(v)
+      case BinaryType => AvroFiles.bytesOf(v)
       case d: DecimalType =>
         Decimal(new java.math.BigDecimal(
-          new java.math.BigInteger(bytesOf(v)), d.scale), d.precision, d.scale)
+          new java.math.BigInteger(AvroFiles.bytesOf(v)), d.scale),
+          d.precision, d.scale)
       case IntegerType | DateType => Int.box(v.asInstanceOf[Number].intValue)
       case LongType | TimestampType | TimestampNTZType =>
         Long.box(v.asInstanceOf[Number].longValue)
@@ -248,10 +258,4 @@ object AvroDataSource {
         s"avro data files: unsupported read type ${other.sql}")
     }
 
-  private def bytesOf(v: Any): Array[Byte] = v match {
-    case b: java.nio.ByteBuffer =>
-      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
-    case a: Array[Byte] => a
-    case f: org.apache.avro.generic.GenericFixed => f.bytes()
-  }
 }

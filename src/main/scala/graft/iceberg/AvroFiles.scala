@@ -145,7 +145,7 @@ object AvroFiles {
       case _ => v
     }
 
-  private def bytesOf(v: Any): Array[Byte] = v match {
+  private[iceberg] def bytesOf(v: Any): Array[Byte] = v match {
     case b: ByteBuffer =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
     case a: Array[Byte] => a

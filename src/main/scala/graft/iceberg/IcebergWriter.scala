@@ -2825,6 +2825,13 @@ object IcebergWriter {
     val overlap = set.keySet.intersect(remove.toSet)
     require(overlap.isEmpty,
       s"setProperties: keys both set and removed: ${overlap.mkString(", ")}")
+    // engine-managed keys ride their owning commits; hand-editing them
+    // silently corrupts reads (dropping the name mapping flips a
+    // migrated table onto the field-id read path against id-less files)
+    val reserved = (set.keySet ++ remove).filter(_ == NameMappingProp)
+    require(reserved.isEmpty,
+      s"setProperties: ${reserved.mkString(", ")} is engine-managed " +
+        "(set by add_files migration; it cannot be edited directly)")
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"setProperties: no Iceberg table at $path"))

@@ -232,6 +232,13 @@ object ManifestReader {
   val PlanningCacheSnapshotsKey = "spark.graft.iceberg.planningCacheSnapshots"
   private val DefaultPlanningCacheSnapshots = 32
 
+  /** Driver-memory backstop: evict LRU plans while the cache's TOTAL
+    * entry count exceeds this, regardless of snapshot count — 32 cached
+    * snapshots of a 100k-file table would otherwise pin millions of
+    * entry objects on the driver. */
+  val PlanningCacheMaxEntriesKey = "spark.graft.iceberg.planningCacheMaxEntries"
+  private val DefaultPlanningCacheMaxEntries = 1000000
+
   private final case class PlanKey(
       tablePath: String, snapshotId: Long, manifestList: String,
       allowMovedPaths: Boolean)
@@ -280,11 +287,19 @@ object ManifestReader {
       case None =>
         planCacheMisses.incrementAndGet()
         val meta = loadTableUncached(tablePath, snapshot, conf, allowMovedPaths)
+        val maxEntries = conf.getLong(
+          PlanningCacheMaxEntriesKey, DefaultPlanningCacheMaxEntries.toLong)
+        def entryCount(m: TableMeta): Long =
+          m.entries.iterator.map(_._2.size.toLong).sum
         planCache.synchronized {
           planCache.put(key, meta)
+          var totalEntries = 0L
+          planCache.values.asScala.foreach(totalEntries += entryCount(_))
           val it = planCache.entrySet.iterator
-          while (planCache.size > maxCached && it.hasNext) {
-            it.next(); it.remove()
+          while ((planCache.size > maxCached || totalEntries > maxEntries) &&
+              planCache.size > 1 && it.hasNext) {
+            totalEntries -= entryCount(it.next().getValue)
+            it.remove()
           }
         }
         meta

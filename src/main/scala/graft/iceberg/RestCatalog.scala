@@ -260,6 +260,9 @@ object RestCatalog {
     val specChanged =
       intField(afterRoot, "default-spec-id") != intField(beforeRoot, "default-spec-id") ||
         newIdNodes(beforeRoot, afterRoot, "partition-specs", "spec-id").nonEmpty
+    val sortOrderChanged =
+      intField(afterRoot, "default-sort-order-id") != intField(beforeRoot, "default-sort-order-id") ||
+        newIdNodes(beforeRoot, afterRoot, "sort-orders", "order-id").nonEmpty
     val propsChanged = propsOf(afterRoot) != propsOf(beforeRoot)
 
     def updates(): Seq[JsonNode] = {
@@ -374,6 +377,13 @@ object RestCatalog {
         a.put("default-spec-id", id)
         out += a
       }
+      if (sortOrderChanged)
+        intField(beforeRoot, "default-sort-order-id").foreach { id =>
+          val a = mapper.createObjectNode()
+          a.put("type", "assert-default-sort-order-id")
+          a.put("default-sort-order-id", id)
+          out += a
+        }
       out.result()
     }
     // main's lineage AFTER the op, for ancestor checks on retry
@@ -391,6 +401,7 @@ object RestCatalog {
       mainHead(now) == afterHead &&
         intField(now, "current-schema-id") == intField(afterRoot, "current-schema-id") &&
         intField(now, "default-spec-id") == intField(afterRoot, "default-spec-id") &&
+        intField(now, "default-sort-order-id") == intField(afterRoot, "default-sort-order-id") &&
         (!propsChanged || propsOf(now) == propsOf(afterRoot))
     var expected = beforeHead
     var attempts = 0

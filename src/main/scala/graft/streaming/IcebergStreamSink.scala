@@ -142,7 +142,7 @@ object IcebergStreamSink {
       Alias, AttributeReference, ExprId, Expression, GetStructField}
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
     val partCols = partitionBy.map(_._1)
 
     // The TOPMOST aggregation is the one whose groups the sink's batches
@@ -175,19 +175,30 @@ object IcebergStreamSink {
     val checked = resolve(events.queryExecution.analyzed).map {
       case (agg, cols) =>
         // the aggregate's grouping OUTPUT attributes (the analyzer strips
-        // aliases from groupingExpressions; match semantically)
-        val groupingAttrs: Map[ExprId, Expression] =
-          agg.aggregateExpressions.collect {
-            case al: Alias
-                if agg.groupingExpressions.exists(al.child.semanticEquals) =>
-              al.exprId -> al.child
-            case ar: AttributeReference
-                if agg.groupingExpressions.exists(ar.semanticEquals) =>
-              ar.exprId -> (ar: Expression)
-          }.toMap
+        // aliases from groupingExpressions; match semantically). EVERY
+        // grouping expression must resolve to an output attribute — an
+        // unprojected grouping column is still a finer grouping (its
+        // groups split the partition) and must fail the check.
+        val groupingAttrs: Seq[Option[(ExprId, Expression)]] =
+          agg.groupingExpressions.map { g =>
+            agg.aggregateExpressions.collectFirst {
+              case al: Alias if al.child.semanticEquals(g) =>
+                al.exprId -> al.child
+              case ar: AttributeReference if ar.semanticEquals(g) =>
+                ar.exprId -> (ar: Expression)
+            }
+          }
+        val groupingById: Map[ExprId, Expression] =
+          groupingAttrs.flatten.toMap
+        // a time-window struct, not just anything named start/end: both
+        // fields must be timestamps (a user struct<start:string,...>
+        // grouping does NOT determine a whole partition per start value)
         def isWindowStruct(e: Expression): Boolean = e.dataType match {
-          case s: StructType => s.fieldNames.toSeq == Seq("start", "end")
-          case _             => false
+          case s: StructType =>
+            s.fieldNames.toSeq == Seq("start", "end") &&
+              s.fields.forall(f => f.dataType == TimestampType ||
+                f.dataType == TimestampNTZType)
+          case _ => false
         }
         val colByName = cols.toMap
         // each partition column must be a grouping attribute itself, or
@@ -197,15 +208,16 @@ object IcebergStreamSink {
         val covered = scala.collection.mutable.Set.empty[ExprId]
         val partsOk = partCols.forall { p =>
           colByName.get(p).exists {
-            case ar: AttributeReference if groupingAttrs.contains(ar.exprId) =>
+            case ar: AttributeReference if groupingById.contains(ar.exprId) =>
               covered += ar.exprId; true
             case GetStructField(ar: AttributeReference, _, _)
-                if groupingAttrs.contains(ar.exprId) && isWindowStruct(ar) =>
+                if groupingById.contains(ar.exprId) && isWindowStruct(ar) =>
               covered += ar.exprId; true
             case _ => false
           }
         }
-        partsOk && groupingAttrs.keySet.forall(covered)
+        partsOk && groupingAttrs.forall(_.isDefined) &&
+          groupingById.keySet.forall(covered)
     }
     require(checked.contains(true),
       "startOverwrite: in update/append output mode each batch must hold " +

@@ -49,6 +49,21 @@ object SnapshotOffset {
   }
 }
 
+object IcebergStreamSource {
+  val ChangeTypeCol = "_change_type"
+  val CommitSnapshotCol = "_commit_snapshot_id"
+
+  /** The CDC output schema: the table's columns plus the change
+    * metadata — ONE definition shared by the source, the provider's
+    * advertised schema, and the batch alignment. */
+  def cdcSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq :+
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField(CommitSnapshotCol,
+        org.apache.spark.sql.types.LongType))
+}
+
 /** `spark.readStream.format("graft-iceberg").option("path", …)` — an
   * Iceberg table as a Structured Streaming SOURCE (the read half of the
   * engine's streaming extension; [[IcebergStreamSink]] is the write
@@ -162,12 +177,7 @@ class IcebergStreamSource(
         s"cannot stream from an empty Iceberg table: $path")
     val base = IcebergSchemaParser.toStructType(
       IcebergMetadataParser.latest(info).schema)
-    if (!cdc) base
-    else StructType(base.fields.toSeq :+
-      org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType) :+
-      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
-        org.apache.spark.sql.types.LongType))
+    if (!cdc) base else IcebergStreamSource.cdcSchema(base)
   }
 
   // ---- offset persistence (rate-limit floor across restarts) ----
@@ -357,8 +367,9 @@ class IcebergStreamSource(
           .filter(_.sequenceNumber <= endOff.sequenceNumber).head
         val firstRows = IcebergScan.scan(spark, path,
             opts.copy(snapshotId = Some(first.snapshotId)))
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_snapshot_id", lit(first.snapshotId))
+          .withColumn(IcebergStreamSource.ChangeTypeCol, lit("insert"))
+          .withColumn(IcebergStreamSource.CommitSnapshotCol,
+            lit(first.snapshotId))
         if (first.snapshotId == endOff.snapshotId) firstRows
         else firstRows.unionByName(
           IcebergScan.changelogBySnapshot(spark, path, first.snapshotId,
@@ -450,11 +461,7 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
       IcebergMetadataParser.latest(info).schema)
     val out =
       if (!params.get("mode").exists(_.equalsIgnoreCase("cdc"))) base
-      else StructType(base.fields.toSeq :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("_commit_snapshot_id",
-          org.apache.spark.sql.types.LongType))
+      else IcebergStreamSource.cdcSchema(base)
     (shortName, out)
   }
 

@@ -285,6 +285,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.sql(s"SELECT * FROM iceberg_table_properties('$table')")
       .collect().map(_.getString(0)).toSet
     assert(!after.contains("write.format.default"))
+
+    // engine-managed keys are refused: unsetting the name mapping would
+    // silently flip a migrated table onto the field-id read path
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM iceberg_unset_properties('$table', " +
+        "'schema.name-mapping.default')").collect()
+    }
+    assert(e.getMessage.contains("engine-managed"), e.getMessage)
   }
 
   test("iceberg_ancestors_of, set_ref_retention, compute_partition_stats procs") {

@@ -359,6 +359,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("WHOLE partitions"), e.getMessage)
   }
 
+  test("OVERWRITE sink gate: unprojected grouping columns and fake windows refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IcebergStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_owguard2_")
+    val in = MemoryStream[Event]
+    // SQL can group by a column it does NOT project: the grouping is
+    // still finer than the partition, and a batch holds only the changed
+    // (day, user) groups — the day overwrite would drop the other users
+    in.toDF().createOrReplaceTempView("ow_guard_events")
+    val hidden = spark.sql(
+      """SELECT to_date(ts) AS dt, COUNT(*) AS cnt
+         FROM ow_guard_events GROUP BY to_date(ts), user_id""")
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergStreamSink.startOverwrite(hidden, dir.toString + "/t1",
+        dir.toString + "/ckpt1", partitionBy = Seq("dt" -> "identity"))
+    }
+    assert(e1.getMessage.contains("WHOLE partitions"), e1.getMessage)
+
+    // a user struct named start/end is NOT a time window: many distinct
+    // groups share one 'start' value, so .start does not cover the group
+    val fake = in.toDF()
+      .groupBy(struct(col("event_type").as("start"),
+        col("event_type").as("end")).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("w.start")).drop("w")
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergStreamSink.startOverwrite(fake, dir.toString + "/t2",
+        dir.toString + "/ckpt2", partitionBy = Seq("p" -> "identity"))
+    }
+    assert(e2.getMessage.contains("WHOLE partitions"), e2.getMessage)
+  }
+
   test("Iceberg UPSERT sink: merge-by-key CDC ingestion with last-write-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
