@@ -634,6 +634,40 @@ object Relational2 {
       }
     ),
     QueryDef(
+      "e08_event_transitions",
+      // Behavioral bigram model: per-user event streams ordered by
+      // (ts, event_id), counting (previous type -> type) transitions —
+      // the Markov transition matrix of user behavior. One window lag
+      // per user partition + one hash agg over at most |types|² keys;
+      // exact integer counts and one rounded double share per row.
+      Some("""
+        WITH seq AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_type
+          FROM events)
+        SELECT from_type, to_type, COUNT(*) AS cnt,
+               round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*))
+                 OVER (PARTITION BY from_type) AS DOUBLE), 6) AS from_share
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val fromW = Window.partitionBy("from_type")
+        Tables.events(s, dir)
+          .select(col("event_type").as("to_type"),
+            lag(col("event_type"), 1).over(w).as("from_type"))
+          .filter(col("from_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("from_share",
+            round(col("cnt").cast("double") /
+              sum(col("cnt")).over(fromW).cast("double"), 6))
+          .orderBy("from_type", "to_type")
+      }
+    ),
+    QueryDef(
       "e04_skew_salted_agg",
       // Skew-safe aggregation: events has only 5 event_type keys, so a
       // direct global groupBy funnels each key into one task. Two-phase

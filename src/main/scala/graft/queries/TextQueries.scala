@@ -359,6 +359,40 @@ object TextQueries {
             md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp_norm"),
             md5(array_join(array_sort(array_distinct(tokens)), " ").cast("binary")).as("fp_sorted"))
           .orderBy("doc_id")
+    ),
+    QueryDef(
+      "t11_rare_token_score",
+      // Rare-token quality signal (perplexity-proxy filtering without a
+      // model): corpus unigram frequencies in one hash agg, then each
+      // doc scores the fraction of its token OCCURRENCES whose corpus
+      // frequency <= 2. All-integer counts (exact across engines); the
+      // final ratio is one correctly-rounded double division. Scale: the
+      // token→frequency join keys on the token itself — both sides hash-
+      // partition by token, no broadcast of an unbounded vocabulary.
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS cf FROM toks GROUP BY w)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+               round(CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_frac
+        FROM toks JOIN freq USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens).as("w"))
+        val freq = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+        toks.join(freq, "w")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("cf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+          .withColumn("rare_frac",
+            round(col("n_rare").cast("double") / col("n_tokens"), 6))
+          .orderBy("doc_id")
+      }
     )
   )
 }
