@@ -193,4 +193,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val read = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
     assert(!read.contains("o_comment") && !read.contains("o_orderdate"), read)
   }
+
+  test("t11: the token-frequency join is a hash join with partial aggregation " +
+      "(no broadcast of an unbounded vocabulary, no pair explosion)") {
+    val p = planString("t11_rare_token_score")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the frequency side aggregates map-side BEFORE its shuffle (partial
+    // then final HashAggregate) — the skew-safety of the design
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("e08: one window per user partition, then a bounded hash aggregation") {
+    val p = planString("e08_event_transitions")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
 }
