@@ -124,8 +124,11 @@ class IcebergStreamSource(
     case Some(other) => throw new IllegalArgumentException(
       s"unknown mode '$other' (use 'append' or 'cdc')")
   }
+  // CDC batches union one changelog segment PER SNAPSHOT in the window,
+  // so an unbounded backfill over thousands of commits would build a
+  // thousand-segment plan in one batch — cdc paces by default
   private val maxSnapshots = params.get("max-snapshots-per-trigger")
-    .map(_.toInt).getOrElse(Int.MaxValue)
+    .map(_.toInt).getOrElse(if (cdc) 64 else Int.MaxValue)
   require(maxSnapshots > 0, "max-snapshots-per-trigger must be positive")
   private val maxFiles = params.get("max-files-per-trigger")
     .map(_.toLong).getOrElse(Long.MaxValue)

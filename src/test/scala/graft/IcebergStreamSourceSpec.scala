@@ -311,6 +311,28 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("mode=cdc paces per snapshot: each batch diffs a bounded window") {
+    val table = tmp("graft_src_cdcp_") + "/t"
+    IcebergWriter.write(idsDF(1), table)
+    IcebergWriter.write(idsDF(2), table)
+    IcebergWriter.delete(spark, table, col("id") === 1)
+    IcebergWriter.write(idsDF(3), table)
+    IcebergWriter.write(idsDF(4), table)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = readSource(table, "mode" -> "cdc",
+        "max-snapshots-per-trigger" -> "2").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => batches.add(b.count()): Unit }
+      .start()
+    try {
+      q.processAllAvailable()
+      val sizes = batches.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      // 5 snapshots / 2 per trigger -> at least 3 non-trivial batches,
+      // all changes delivered exactly once
+      assert(sizes.count(_ > 0) >= 3, sizes.toSeq.toString)
+      assert(sizes.sum === 5, sizes.toSeq.toString) // 4 inserts + 1 delete
+    } finally q.stop()
+  }
+
   test("mode=cdc with stream-from-latest diffs only post-start commits") {
     val table = tmp("graft_src_cdcl_") + "/t"
     IcebergWriter.write(idsDF(1, 2, 3), table) // pre-start history
