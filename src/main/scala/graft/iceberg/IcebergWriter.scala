@@ -2484,7 +2484,11 @@ object IcebergWriter {
       val buf = Seq.newBuilder[FileStatus]
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(ext)) buf += s
+        // a crashed producer's staging leftovers are partial containers —
+        // registering one would commit garbage (same guard as collectFiles)
+        if (s.isFile && s.getPath.getName.endsWith(ext) &&
+            !s.getPath.toString.contains("/" + AvroFiles.StagingPrefix))
+          buf += s
       }
       buf.result().sortBy(_.getPath.toString)
     }

@@ -156,6 +156,54 @@ object MultimodalQueries {
           }
         }.toDF().orderBy("doc_id")
       }
+    ),
+    QueryDef(
+      "m04_frame_sample",
+      // Frame sampling over video-like binary columns: fixed 16-byte
+      // "frames" after a 4-byte container magic, up to 4 evenly strided
+      // samples per asset (a real pipeline would hand each sampled byte
+      // range to a codec — the byte-range arithmetic, explode shape and
+      // per-frame hashing are the production plumbing). Pure integer
+      // offset math + string hashing → bit-identical across engines;
+      // linear in assets × 4, no shuffle before the final sort.
+      Some("""
+        WITH assets AS (
+          SELECT doc_id, unhex('52494646') || encode(text) AS blob
+          FROM documents),
+        sized AS (
+          SELECT doc_id, blob,
+                 CAST((octet_length(blob) - 4) // 16 AS BIGINT) AS n_frames
+          FROM assets),
+        strided AS (
+          SELECT *, CAST(greatest(1, n_frames // 4) AS BIGINT) AS stride
+          FROM sized WHERE n_frames >= 1),
+        samples AS (
+          SELECT doc_id, j AS sample_idx, j * stride AS frame_no,
+                 4 + j * stride * 16 AS offset_bytes, blob
+          FROM strided, (VALUES (0), (1), (2), (3)) t(j)
+          WHERE j * stride < n_frames)
+        SELECT doc_id, CAST(sample_idx AS BIGINT) AS sample_idx,
+               CAST(frame_no AS BIGINT) AS frame_no,
+               CAST(offset_bytes AS BIGINT) AS offset_bytes,
+               md5(substr(hex(blob), offset_bytes * 2 + 1, 32)) AS frame_md5
+        FROM samples ORDER BY doc_id, sample_idx"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("blob", concat(lit(WavMagic), col("text").cast("binary")))
+          .withColumn("n_frames",
+            expr("CAST((length(blob) - 4) DIV 16 AS BIGINT)"))
+          .filter(col("n_frames") >= 1)
+          .withColumn("stride",
+            greatest(lit(1L), expr("n_frames DIV 4")))
+          .withColumn("sample_idx", explode(sequence(lit(0L), lit(3L))))
+          .withColumn("frame_no", col("sample_idx") * col("stride"))
+          .filter(col("frame_no") < col("n_frames"))
+          .withColumn("offset_bytes", lit(4L) + col("frame_no") * 16L)
+          .select(col("doc_id"), col("sample_idx"), col("frame_no"),
+            col("offset_bytes"),
+            md5(expr("CAST(substring(hex(blob), CAST(offset_bytes * 2 + 1 AS INT), 32) AS BINARY)"))
+              .as("frame_md5"))
+          .orderBy("doc_id", "sample_idx")
     )
   )
 }

@@ -227,6 +227,32 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1 to 30).filter(_ % 7 != 0).map(_.toLong))
   }
 
+  test("orphaned staging output from a dead attempt is never registered") {
+    import spark.implicits._
+    // a foreign avro lake whose producer crashed mid-write: a partial
+    // container still sits in its staging tree — the recursive
+    // collectFiles sweep behind addFiles must skip it
+    val source = tmp("graft_avro_orphan_src_")
+    AvroFiles.writePartitioned(idsDF(1, 2, 3),
+      new org.apache.hadoop.fs.Path(source), Seq.empty)
+    val conf = spark.sessionState.newHadoopConf()
+    val srcDir = new org.apache.hadoop.fs.Path(source)
+    val fs = srcDir.getFileSystem(conf)
+    val stray = new org.apache.hadoop.fs.Path(srcDir,
+      AvroFiles.StagingPrefix + "deadjob/attempt-7/part-00000-dead.avro")
+    val out = fs.create(stray, false)
+    out.write(Array[Byte](1, 2, 3)) // not even a valid container
+    out.close()
+    val table = tmp("graft_avro_orphan_tbl_") + "/t"
+    IcebergWriter.addFiles(spark, table, source, dataFormat = "avro")
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    val files = IcebergScan.files(spark, table)
+      .select("file_path").collect().map(_.getString(0))
+    assert(!files.exists(_.contains(AvroFiles.StagingPrefix)), files.toSeq)
+  }
+
   test("avro scans report manifest-known statistics to the planner") {
     import spark.implicits._
     val table = tmp("graft_avro_stats_") + "/t"
