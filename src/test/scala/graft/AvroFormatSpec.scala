@@ -93,6 +93,25 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq === (4L to 9L))
   }
 
+  test("v3 deletion vectors apply over avro data files") {
+    val table = tmp("graft_avro_dv_") + "/t"
+    IcebergWriter.write(idsDF(1L to 12L: _*), table,
+      dataFormat = Some("avro"), formatVersion = 3)
+    IcebergWriter.delete(spark, table, col("id") % 3 === 0)
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (1L to 12L).filterNot(_ % 3 == 0))
+    // a second delete merges into the live DVs (at most one per file)
+    IcebergWriter.delete(spark, table, col("id") === 1)
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (2L to 12L).filterNot(_ % 3 == 0))
+    val dvs = IcebergScan.scan(spark, table,
+        IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "delete").collect().map(_.getString(0))
+    assert(dvs.nonEmpty && dvs.forall(_.endsWith(".puffin")), dvs.toSeq)
+  }
+
   test("typed round-trip matches a parquet table of the same rows") {
     import spark.implicits._
     val rows = Seq(
