@@ -195,6 +195,7 @@ object GraftSql {
     }
     var opts = IcebergScan.Options()
     var bySnapshot = false
+    var updateKeys = Seq.empty[String]
     namedRaw.foreach { case NamedArgumentExpression(key, value) =>
       key.toLowerCase(java.util.Locale.ROOT) match {
         case "allow_moved_paths" =>
@@ -203,6 +204,11 @@ object GraftSql {
           opts = opts.copy(metadataCompressionCodec = asString(fn, key, value))
         case "by_snapshot" =>
           bySnapshot = asBoolean(fn, key, value)
+        case "update_keys" =>
+          // delete+insert pairs sharing these keys within one commit
+          // become update_preimage/update_postimage rows
+          updateKeys = asString(fn, key, value)
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         case other => throw new IllegalArgumentException(
           s"$fn: unknown named argument '$other'")
       }
@@ -223,7 +229,10 @@ object GraftSql {
       case other => other.map(resolve)
     }
     val df =
-      if (bySnapshot) IcebergScan.changelogBySnapshot(spark, path, fromId, toId, opts)
+      if (updateKeys.nonEmpty)
+        IcebergScan.changelogWithUpdates(spark, path, updateKeys, fromId, toId, opts)
+      else if (bySnapshot)
+        IcebergScan.changelogBySnapshot(spark, path, fromId, toId, opts)
       else IcebergScan.changelog(spark, path, fromId, toId, opts)
     df.queryExecution.logical
   }

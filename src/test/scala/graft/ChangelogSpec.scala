@@ -270,4 +270,60 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.contains("must not be NULL"))
   }
+
+  test("changelogWithUpdates pairs same-commit delete+insert into update rows") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_cdc_upd_").toString + "/t"
+    val snap0 = IcebergWriter.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "name", "score"), table)
+    // one commit: merge updates id=2 (delete+insert pair) and adds id=4
+    IcebergWriter.merge(spark, table,
+      Seq((2L, "b2", 21.0), (4L, "d", 40.0)).toDF("id", "name", "score"),
+      Seq("id"))
+    // another commit: pure delete of id=3
+    IcebergWriter.delete(spark, table, col("id") === 3L)
+
+    val upd = IcebergScan.changelogWithUpdates(
+      spark, table, Seq("id"), snap0)
+    val rows = upd.select("id", "name", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(
+      (2L, "b", "update_preimage"), (2L, "b2", "update_postimage"),
+      (4L, "d", "insert"),
+      (3L, "c", "delete")), rows)
+    // a cross-COMMIT delete then re-insert is NOT an update (different
+    // commits — the key genuinely left and returned)
+    val snapMid = IcebergScan.snapshots(spark, table)
+      .orderBy(col("sequence_number").desc).head().getAs[Long]("snapshot_id")
+    IcebergWriter.write(Seq((3L, "c2", 31.0)).toDF("id", "name", "score"), table)
+    val later = IcebergScan.changelogWithUpdates(spark, table, Seq("id"), snapMid)
+    assert(later.select("_change_type").collect().map(_.getString(0)).toSeq
+      === Seq("insert"))
+
+    // the SQL surface: update_keys routes to the pairing scan
+    val sql = spark.sql(
+      s"SELECT * FROM iceberg_changelog('$table', $snap0, update_keys => 'id')")
+    val sqlTypes = sql.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlTypes === Map(
+      "update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 2L, "delete" -> 1L), sqlTypes)
+  }
+
+  test("changelogWithUpdates rank-pairs duplicate keys without loss") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_cdc_dup_").toString + "/t"
+    // two rows share key 1; the merge replaces BOTH with one new row
+    val snap0 = IcebergWriter.write(
+      Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v"), table)
+    IcebergWriter.merge(spark, table, Seq((1L, "w")).toDF("id", "v"), Seq("id"))
+    val upd = IcebergScan.changelogWithUpdates(spark, table, Seq("id"), snap0)
+    val t = upd.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one delete pairs the insert; the second delete stays a delete —
+    // total multiplicity preserved (2 deletes + 1 insert = 3 changes)
+    assert(t === Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L), t)
+  }
 }
