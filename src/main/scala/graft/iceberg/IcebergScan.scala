@@ -1077,9 +1077,11 @@ object IcebergScan {
     val joinCols = (keys :+ "_commit_snapshot_id") :+ "__rn"
     import org.apache.spark.sql.expressions.Window
     def ranked(side: DataFrame): DataFrame = {
+      // deterministic intra-group order via the JSON-serialized row —
+      // xxhash64 over raw columns would reject map-typed tables
       val w = Window
         .partitionBy((keys :+ "_commit_snapshot_id").map(col): _*)
-        .orderBy(xxhash64(dataCols.map(col): _*))
+        .orderBy(xxhash64(to_json(struct(dataCols.map(col): _*))))
       side.withColumn("__rn", row_number().over(w))
     }
     val dels = ranked(cl.filter(col("_change_type") === "delete"))

@@ -311,6 +311,19 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "insert" -> 2L, "delete" -> 1L), sqlTypes)
   }
 
+  test("changelogWithUpdates handles map-typed columns (JSON-hash ordering)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_cdc_map_").toString + "/t"
+    val snap0 = IcebergWriter.write(
+      Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2))).toDF("id", "attrs"), table)
+    IcebergWriter.merge(spark, table,
+      Seq((2L, Map("b" -> 9))).toDF("id", "attrs"), Seq("id"))
+    val t = IcebergScan.changelogWithUpdates(spark, table, Seq("id"), snap0)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t === Map("update_preimage" -> 1L, "update_postimage" -> 1L), t)
+  }
+
   test("changelogWithUpdates rank-pairs duplicate keys without loss") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_cdc_dup_").toString + "/t"
