@@ -51,7 +51,11 @@ object IcebergMetadataParser {
       // per-ref retention policy fields (spec "Refs"): drive snapshot
       // expiration, not reads — kept separate from `refs` so the many
       // read-path consumers of (id, type) stay untouched.
-      refRetention: Map[String, RefRetention] = Map.empty)
+      refRetention: Map[String, RefRetention] = Map.empty,
+      // every recorded spec by spec-id (not just the default) — the
+      // manifest-level pruner resolves historical manifests' summaries
+      // against the spec each was written under.
+      partitionSpecsById: Map[Int, Seq[PartitionFieldSpec]] = Map.empty)
 
   /** Optional retention policy of one snapshot ref (spec "Refs"). */
   final case class RefRetention(
@@ -75,15 +79,29 @@ object IcebergMetadataParser {
   /** partition-specs / default-spec-id (v2) or legacy flat partition-spec
     * (v1). The reference leaves these unread (SURVEY §2.10); they feed the
     * driver-side file pruning here. */
+  private def specFields(node: JsonNode): Seq[PartitionFieldSpec] =
+    node.elements.asScala.toSeq.map { f =>
+      PartitionFieldSpec(
+        name = f.get("name").asText,
+        transform = f.get("transform").asText,
+        sourceId = f.get("source-id").asInt,
+        fieldId = if (f.has("field-id")) f.get("field-id").asInt else 1000)
+    }
+
+  /** EVERY recorded spec keyed by spec-id — manifest-level pruning must
+    * align a manifest's partition summaries to the spec it was written
+    * under, which historical manifests keep naming after evolution. */
+  private def parseAllSpecs(root: JsonNode): Map[Int, Seq[PartitionFieldSpec]] =
+    if (root.has("partition-specs"))
+      root.get("partition-specs").elements.asScala.toSeq.flatMap { s =>
+        Option(s.get("spec-id")).map(id => id.asInt -> specFields(s.get("fields")))
+      }.toMap
+    else if (root.has("partition-spec"))
+      Map(0 -> specFields(root.get("partition-spec")))
+    else Map.empty
+
   private def parsePartitionSpec(root: JsonNode): Seq[PartitionFieldSpec] = {
-    def fields(node: JsonNode): Seq[PartitionFieldSpec] =
-      node.elements.asScala.toSeq.map { f =>
-        PartitionFieldSpec(
-          name = f.get("name").asText,
-          transform = f.get("transform").asText,
-          sourceId = f.get("source-id").asInt,
-          fieldId = if (f.has("field-id")) f.get("field-id").asInt else 1000)
-      }
+    def fields(node: JsonNode): Seq[PartitionFieldSpec] = specFields(node)
     if (root.has("partition-specs")) {
       val specs = root.get("partition-specs").elements.asScala.toSeq
       val wanted =
@@ -164,16 +182,19 @@ object IcebergMetadataParser {
       }
     val updatedMs = Option(root.get("last-updated-ms")).map(_.asLong)
     val curSnap = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ >= 0)
+    val specsById = parseAllSpecs(root)
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
       ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec,
         refs, stats, pStats, snapLog, props, metaLog, updatedMs, curSnap, refRet)
+        .copy(partitionSpecsById = specsById)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
       ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec,
         refs, stats, pStats, snapLog, props, metaLog, updatedMs, curSnap, refRet)
+        .copy(partitionSpecsById = specsById)
     }
   }
 
@@ -207,7 +228,8 @@ object IcebergMetadataParser {
         else withAddedAtSeq(info,
           IcebergSchemaParser.parseSchemaById(info.schemas, sid)),
       partitionSpec = info.defaultPartitionSpec,
-      properties = info.properties)
+      properties = info.properties,
+      partitionSpecsById = info.partitionSpecsById)
   }
 
   /** Derive each DEFAULTED column's first-appearance sequence number: the

@@ -43,10 +43,51 @@ object IcebergModel {
       schemaId: Int,
       schema: Seq[Column],
       partitionSpec: Seq[PartitionFieldSpec] = Seq.empty,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      // EVERY spec of the table keyed by spec-id (not just the default):
+      // manifest-list `partition_spec_id` names which one a manifest's
+      // partition summaries align to, so manifest-level pruning must
+      // resolve historical specs too.
+      partitionSpecsById: Map[Int, Seq[PartitionFieldSpec]] = Map.empty)
 
-  /** Manifest-list entry (iceberg_types.hpp:80-118). content: 0=DATA 1=DELETE. */
-  final case class Manifest(manifestPath: String, sequenceNumber: Long, content: Int)
+  /** Per-partition-field value summary of one manifest (Iceberg spec
+    * "Manifest Lists" `field_summary`; the reference's full codec models it
+    * as r508, avro_codegen/iceberg_manifest_file_full.hpp:85-99). Bounds
+    * are Iceberg single-value-serialized in the TRANSFORMED partition
+    * domain; None = not recorded (prune conservatively). */
+  final case class FieldSummary(
+      containsNull: Boolean,
+      containsNan: Option[Boolean] = None,
+      lowerBound: Option[Array[Byte]] = None,
+      upperBound: Option[Array[Byte]] = None)
+
+  /** The v2-required manifest-list fields beyond path/content/seq
+    * (iceberg_manifest_file_full.hpp:118-133): file length, the spec the
+    * manifest's partition tuples were written under, sequence-number
+    * floor, adding snapshot, per-status file/row counts, and the
+    * partition summaries manifest-level pruning keys off. `partitions`
+    * is None when the writer recorded no summaries (or the manifest's
+    * fields could not be aligned to a recorded spec — counts stay valid,
+    * pruning skips it). */
+  final case class ManifestStats(
+      manifestLength: Long,
+      partitionSpecId: Int,
+      minSequenceNumber: Long,
+      addedSnapshotId: Long,
+      addedFilesCount: Int,
+      existingFilesCount: Int,
+      deletedFilesCount: Int,
+      addedRowsCount: Long,
+      existingRowsCount: Long,
+      deletedRowsCount: Long,
+      partitions: Option[Seq[FieldSummary]] = None)
+
+  /** Manifest-list entry (iceberg_types.hpp:80-118). content: 0=DATA 1=DELETE.
+    * `stats` carries the v2 full-schema fields when the list recorded them
+    * (graft round-10 writer, iceberg-java); None on lists from the
+    * reference's partial 3-field writer or older graft tables. */
+  final case class Manifest(manifestPath: String, sequenceNumber: Long, content: Int,
+      stats: Option[ManifestStats] = None)
 
   /** Manifest entry = one data/delete file (iceberg_types.hpp:159-199).
     * status: 0=EXISTING 1=ADDED 2=DELETED;
@@ -101,7 +142,11 @@ object IcebergModel {
   final case class TableMeta(
       path: String,
       snapshot: Snapshot,
-      entries: Seq[(Manifest, Seq[ManifestEntry])])
+      entries: Seq[(Manifest, Seq[ManifestEntry])],
+      // true when a manifest-level summary filter skipped manifests during
+      // planning: `entries` is a correct view FOR THAT FILTER's predicates
+      // but not the snapshot's full plan — never cache it as one.
+      partialPlan: Boolean = false)
 
   // Spec v3 ROW LINEAGE: virtual column names and their reserved field
   // ids (Iceberg spec "Row Lineage" / "Reserved field IDs"). Rewritten

@@ -421,6 +421,146 @@ object IcebergPruning {
       }
     }
 
+  // ---- manifest-level pruning (round 10) -----------------------------------
+
+  /** Keep/skip for a [lo, hi] range vs a predicate value under `cmp`.
+    * Missing bound → that side unconstrained (keep). `widen` treats
+    * Lt as Le and Gt as Ge — required in TRANSFORMED ordinal domains,
+    * where a file in the predicate's own ordinal can hold rows on either
+    * side of the exact cut point. */
+  private def rangeKeep[T](
+      lo: Option[T], hi: Option[T], v: Option[T],
+      cmp: (T, T) => Option[Int], op: Op, widen: Boolean): Boolean = v match {
+    case None => true
+    case Some(x) =>
+      def loK(k: Int => Boolean) = lo.flatMap(cmp(_, x)).forall(k)
+      def hiK(k: Int => Boolean) = hi.flatMap(cmp(_, x)).forall(k)
+      op match {
+        case Eq => loK(_ <= 0) && hiK(_ >= 0)
+        case Lt => if (widen) loK(_ <= 0) else loK(_ < 0)
+        case Le => loK(_ <= 0)
+        case Gt => if (widen) hiK(_ >= 0) else hiK(_ > 0)
+        case Ge => hiK(_ >= 0)
+        case _ => true
+      }
+  }
+
+  /** Summary bound bytes → Long in the transform's ordinal domain
+    * (int-typed date/bucket ordinals are 4-byte LE; long-domain truncate
+    * is 8-byte LE). Unexpected width → None → keep. */
+  private def ordinalOfBytes(bytes: Array[Byte]): Option[Long] = {
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length >= 8) Some(le.getLong)
+    else if (bytes.length >= 4) Some(le.getInt.toLong)
+    else None
+  }
+
+  private def cmpLong(a: Long, b: Long): Option[Int] = Some(java.lang.Long.compare(a, b))
+
+  /** Does the manifest-wide partition-value range of one spec field
+    * possibly satisfy `p`? */
+  private def summaryKeep(
+      s: FieldSummary, sf: PartitionFieldSpec, dt: DataType, p: ColPredicate): Boolean = {
+    import IcebergTransforms.{Identity, Day, Month, Year, Hour, Bucket, Truncate}
+    def ordLo = s.lowerBound.flatMap(ordinalOfBytes)
+    def ordHi = s.upperBound.flatMap(ordinalOfBytes)
+    IcebergTransforms.parse(sf.transform) match {
+      case Identity =>
+        // identity summaries bound the source domain exactly — same
+        // semantics as per-file column bounds, over the whole manifest
+        rangeKeep(
+          s.lowerBound.flatMap(b => scala.util.Try(decodeBound(dt, b)).toOption.flatten),
+          s.upperBound.flatMap(b => scala.util.Try(decodeBound(dt, b)).toOption.flatten),
+          normalize(dt, p.value), compare, p.op, widen = false)
+      case t @ (Day | Month | Year | Hour) =>
+        rangeKeep(ordLo, ordHi, toTransformOrdinal(t, dt, p.value), cmpLong, p.op, widen = true)
+      case Bucket(n) => p.op match {
+        // buckets scramble ordering — only equality projects, but the
+        // range check is still sound: ordinals ARE comparable ints.
+        case Eq => rangeKeep(ordLo, ordHi, toBucketOrdinal(n, dt, p.value), cmpLong, Eq, widen = true)
+        case _ => true
+      }
+      case Truncate(w) => dt match {
+        case IntegerType | LongType | ShortType | ByteType =>
+          val tv = normalize(dt, p.value).collect {
+            case b: java.math.BigDecimal if b.stripTrailingZeros.scale <= 0 =>
+              IcebergTransforms.truncateLong(b.longValueExact, w.toLong)
+          }
+          rangeKeep(ordLo, ordHi, tv, cmpLong, p.op, widen = true)
+        case StringType =>
+          val tv = p.value match {
+            case s2: String => Some(IcebergTransforms.truncateString(s2, w))
+            case u: org.apache.spark.unsafe.types.UTF8String =>
+              Some(IcebergTransforms.truncateString(u.toString, w))
+            case _ => None
+          }
+          def str(b: Option[Array[Byte]]) = b.map(new String(_, "UTF-8"))
+          rangeKeep(str(s.lowerBound), str(s.upperBound), tv,
+            (a: String, b: String) => Some(utf8Compare(a, b)), p.op, widen = true)
+        case _ => true
+      }
+      case _ => true // unknown transform: conservative keep
+    }
+  }
+
+  /** Manifest-LEVEL pruning (Iceberg spec "Manifest Lists": scan planning
+    * may use partition field summaries to skip whole manifests — what the
+    * reference's full codec decodes as r508,
+    * avro_codegen/iceberg_manifest_file_full.hpp:85-99): can ANY file in a
+    * manifest with these summaries match every predicate? `summaries`
+    * align positionally to `spec` (the spec the manifest was written
+    * under). Conservative exactly like [[prune]]. */
+  def manifestMayMatch(
+      summaries: Seq[FieldSummary],
+      spec: Seq[PartitionFieldSpec],
+      schema: Seq[Column],
+      predicates: Seq[ColPredicate]): Boolean = {
+    def fieldKeep(p: ColPredicate): Boolean = {
+      val column = findColumn(schema, p.column)
+      column.isEmpty || spec.zipWithIndex
+        .filter(_._1.sourceId == column.get.id)
+        .forall { case (sf, i) =>
+          i >= summaries.size || summaryKeep(summaries(i), sf, column.get.dataType, p)
+        }
+    }
+    // every transform maps null → null (spec "Partition Transforms"), so
+    // contains_null=false on ANY spec field over the column proves the
+    // manifest holds no null source values for it
+    def nullKeep(name: String): Boolean = {
+      val column = findColumn(schema, name)
+      column.isEmpty || spec.zipWithIndex
+        .filter(_._1.sourceId == column.get.id)
+        .forall { case (_, i) => i >= summaries.size || summaries(i).containsNull }
+    }
+    predicates.forall {
+      case ColPredicate(c, In, vs: Seq[_]) =>
+        vs.size > MaxInValues || vs.exists(v => fieldKeep(ColPredicate(c, Eq, v)))
+      case ColPredicate(_, In, _) => true // malformed value → conservative
+      case ColPredicate(c, IsNull, _) => nullKeep(c)
+      case ColPredicate(_, NotNull, _) => true // null-bearing manifests can hold non-nulls
+      case p => fieldKeep(p)
+    }
+  }
+
+  /** The [[ManifestReader.loadTable]] filter: keep every delete manifest
+    * (content != 0 — its files scope to surviving data files downstream)
+    * and every data manifest without usable summaries; skip data manifests
+    * whose summaries prove no file can match. Alignment guard: summaries
+    * are positional, so a count mismatch with the named spec keeps. */
+  def manifestFilter(
+      specsById: Map[Int, Seq[PartitionFieldSpec]],
+      schema: Seq[Column],
+      predicates: Seq[ColPredicate]): Manifest => Boolean =
+    if (predicates.isEmpty) (_: Manifest) => true
+    else (m: Manifest) =>
+      m.content != 0 || m.stats.forall { s =>
+        (s.partitions, specsById.get(s.partitionSpecId)) match {
+          case (Some(sums), Some(spec)) if spec.nonEmpty && sums.size == spec.size =>
+            manifestMayMatch(sums, spec, schema, predicates)
+          case _ => true
+        }
+      }
+
   /** Null-count pruning (spec `null_value_counts`, recorded by this
     * engine's writer; absent on foreign files → unknown → keep). */
   private def keepByNullCount(

@@ -98,7 +98,13 @@ object IcebergScan {
   def scan(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts)
     val root = IcebergIO.tableRoot(path)
-    val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    // manifest-LEVEL pruning: predicates vs the list's partition summaries
+    // skip whole manifests before any entry is decoded (first-touch
+    // planning I/O ∝ matching manifests, not table size)
+    val meta = ManifestReader.loadTable(
+      root, snapshot, hadoopConf(spark), opts.allowMovedPaths,
+      IcebergPruning.manifestFilter(
+        snapshot.partitionSpecsById, snapshot.schema, opts.filters))
     scanLoaded(spark, root, opts, snapshot, meta)
   }
 
@@ -665,14 +671,19 @@ object IcebergScan {
       opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts)
     val root = IcebergIO.tableRoot(path)
-    val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
     // Resolve the Column against the snapshot schema to get its Catalyst
-    // expression (Spark 4 Columns no longer expose one directly).
+    // expression (Spark 4 Columns no longer expose one directly). Runs
+    // BEFORE planning so the extracted predicates can prune whole
+    // manifests out of the planning read itself.
     val schema = IcebergSchemaParser.toStructType(snapshot.schema)
     val dummy = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val preds = dummy.filter(condition).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.map(extractPredicates).getOrElse(Seq.empty)
+    val meta = ManifestReader.loadTable(
+      root, snapshot, hadoopConf(spark), opts.allowMovedPaths,
+      IcebergPruning.manifestFilter(
+        snapshot.partitionSpecsById, snapshot.schema, opts.filters ++ preds))
     val scanned =
       scanLoaded(spark, root, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
     if (opts.mode == "list_files") return scanned

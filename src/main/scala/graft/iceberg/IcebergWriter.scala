@@ -239,11 +239,35 @@ object IcebergWriter {
         new com.fasterxml.jackson.databind.node.TextNode(toIcebergType(other))
     }
 
+  /** SPEC-COMPLETE v2 manifest-list schema (round 10) — every field the
+    * Iceberg v2 spec requires, matching the reference's full codec
+    * (avro_codegen/iceberg_manifest_file_full.hpp:118-133) field for
+    * field, plus the per-partition-field `partitions` summaries (r508,
+    * :85-99) that manifest-level pruning keys off. Rounds 2-9 wrote only
+    * the 3-field subset the reference's partial reader consumes; a strict
+    * foreign reader (iceberg-java) requires the full record. */
   private val manifestListSchema = new Schema.Parser().parse("""
     {"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string"},
+      {"name":"manifest_length","type":"long"},
+      {"name":"partition_spec_id","type":"int"},
       {"name":"content","type":"int"},
-      {"name":"sequence_number","type":"long"}]}""")
+      {"name":"sequence_number","type":"long"},
+      {"name":"min_sequence_number","type":"long"},
+      {"name":"added_snapshot_id","type":"long"},
+      {"name":"added_data_files_count","type":"int"},
+      {"name":"existing_data_files_count","type":"int"},
+      {"name":"deleted_data_files_count","type":"int"},
+      {"name":"added_rows_count","type":"long"},
+      {"name":"existing_rows_count","type":"long"},
+      {"name":"deleted_rows_count","type":"long"},
+      {"name":"partitions","type":["null",{"type":"array","items":
+        {"type":"record","name":"r508","fields":[
+          {"name":"contains_null","type":"boolean"},
+          {"name":"contains_nan","type":["null","boolean"],"default":null},
+          {"name":"lower_bound","type":["null","bytes"],"default":null},
+          {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+       "default":null}]}""")
 
   /** Avro type name for a partition value of this transform over this
     * source column (identity keeps the column's domain; date-ordinal
@@ -842,6 +866,75 @@ object IcebergWriter {
       dataFormat)
   }
 
+  /** Raw per-manifest stats captured at [[writeManifest]] time, finalized
+    * into spec [[ManifestStats]] at manifest-LIST write time (which knows
+    * the manifest's list-level sequence number, the commit snapshot id and
+    * the resolved partition-spec id — none available while the manifest
+    * itself is written). */
+  private final case class PendingStats(
+      length: Long,
+      added: Int, existing: Int, deleted: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long,
+      // min over entries' EXPLICIT sequence numbers; entries without one
+      // inherit the manifest's list-level seq, folded in at finalize
+      minExplicitSeq: Option[Long], anyInheritedSeq: Boolean,
+      partitionNames: Seq[String],
+      summaries: Option[Seq[FieldSummary]])
+
+  // (manifest path → pending stats) for manifests written THIS commit —
+  // lets the list writer emit full v2 records without re-reading files it
+  // just wrote. Bounded LRU: paths carry a per-commit random token, so
+  // stale entries are only ever dead weight, never aliases.
+  private val pendingStatsMemo =
+    new java.util.LinkedHashMap[String, PendingStats](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, PendingStats]): Boolean = size > 1024
+    }
+
+  /** Value summary of one partition field across a manifest's entries
+    * (spec `field_summary`). Bounds only when every non-null value shares
+    * one encodable type — a mixed or unknown domain yields no bound
+    * (pruning keeps), never a wrong one. */
+  private def summaryOf(vs: Seq[Any]): FieldSummary = {
+    val nonNull = vs.filterNot(_ == null)
+    val hasNull = nonNull.size != vs.size
+    def enc(dt: DataType, v: Any) = IcebergPruning.encodeBound(dt, v)
+    val (lo, hi) = nonNull.headOption match {
+      case Some(_: java.lang.Integer) if nonNull.forall(_.isInstanceOf[java.lang.Integer]) =>
+        val ns = nonNull.map(_.asInstanceOf[java.lang.Integer].intValue)
+        (enc(IntegerType, Int.box(ns.min)), enc(IntegerType, Int.box(ns.max)))
+      case Some(_: java.lang.Long) if nonNull.forall(_.isInstanceOf[java.lang.Long]) =>
+        val ns = nonNull.map(_.asInstanceOf[java.lang.Long].longValue)
+        (enc(LongType, Long.box(ns.min)), enc(LongType, Long.box(ns.max)))
+      case Some(_: String) if nonNull.forall(_.isInstanceOf[String]) =>
+        val ss = nonNull.map(_.asInstanceOf[String])
+        val mn = ss.reduce((a, b) => if (IcebergPruning.utf8Compare(a, b) <= 0) a else b)
+        val mx = ss.reduce((a, b) => if (IcebergPruning.utf8Compare(a, b) >= 0) a else b)
+        (Some(mn.getBytes("UTF-8")), Some(mx.getBytes("UTF-8")))
+      case _ => (None, None)
+    }
+    FieldSummary(containsNull = hasNull, containsNan = None,
+      lowerBound = lo, upperBound = hi)
+  }
+
+  private def computePending(
+      entries: Seq[ManifestEntry], partitionNames: Seq[String],
+      length: Long): PendingStats = {
+    def cnt(st: Int) = entries.count(_.status == st)
+    def rows(st: Int) = entries.iterator.filter(_.status == st).map(_.recordCount).sum
+    PendingStats(
+      length,
+      added = cnt(1), existing = cnt(0), deleted = cnt(2),
+      addedRows = rows(1), existingRows = rows(0), deletedRows = rows(2),
+      minExplicitSeq = entries.flatMap(_.sequenceNumber).minOption,
+      anyInheritedSeq = entries.isEmpty || entries.exists(_.sequenceNumber.isEmpty),
+      partitionNames = partitionNames,
+      summaries =
+        if (partitionNames.isEmpty) None
+        else Some(partitionNames.map(n =>
+          summaryOf(entries.map(_.partition.getOrElse(n, null))))))
+  }
+
   private def writeManifest(
       p: Path, conf: Configuration, entries: Seq[ManifestEntry],
       partitionFields: Seq[(String, String)] = Seq.empty): Unit = {
@@ -905,7 +998,112 @@ object IcebergWriter {
         rec
       }
     }
+    val length = p.getFileSystem(conf).getFileStatus(p).getLen
+    val pending = computePending(entries, partitionFields.map(_._1), length)
+    pendingStatsMemo.synchronized { pendingStatsMemo.put(p.toString, pending); () }
   }
+
+  /** The spec-id (and its ordered field names) this commit's manifest-list
+    * records will carry — the SAME match-or-append resolution
+    * [[commitSnapshot]]'s partition-spec block performs later on the
+    * metadata root, evaluated early because the manifest list is written
+    * first. An empty `spec` keeps the table's current default. */
+  private def resolveCommitSpec(
+      state: Option[State], spec: Seq[SpecField]): (Int, Seq[String]) = {
+    val prevRoot = state.flatMap(_.rootNode).filter(_.has("partition-specs"))
+    val prevSpecs = prevRoot
+      .map(_.get("partition-specs").elements.asScala.toSeq).getOrElse(Seq.empty)
+    def normTransform(t: String): String = if (t == "days") "day" else t
+    val newTriples = spec.map(sf => (sf.fieldName, normTransform(sf.transform), sf.sourceId))
+    def triplesOf(sn: JsonNode): Seq[(String, String, Int)] =
+      sn.get("fields").elements.asScala.toSeq.map(f =>
+        (f.get("name").asText, f.get("transform").asText, f.get("source-id").asInt))
+    def namesOf(sn: JsonNode): Seq[String] =
+      sn.get("fields").elements.asScala.toSeq.map(_.get("name").asText)
+    if (spec.isEmpty && prevRoot.isDefined) {
+      val dflt =
+        if (prevRoot.get.has("default-spec-id")) prevRoot.get.get("default-spec-id").asInt
+        else 0
+      prevSpecs.find(sn => sn.has("spec-id") && sn.get("spec-id").asInt == dflt)
+        .map(sn => (dflt, namesOf(sn))).getOrElse((dflt, Seq.empty))
+    } else prevSpecs.find(sn => triplesOf(sn) == newTriples) match {
+      case Some(sn) => (sn.get("spec-id").asInt, namesOf(sn))
+      case None =>
+        val id =
+          if (prevSpecs.nonEmpty)
+            prevSpecs.map(sn => if (sn.has("spec-id")) sn.get("spec-id").asInt else 0).max + 1
+          else 0
+        (id, spec.map(_.fieldName))
+    }
+  }
+
+  /** (spec-id, ordered field names) of every spec the table records. */
+  private def recordedSpecs(state: Option[State]): Seq[(Int, Seq[String])] =
+    state.flatMap(_.rootNode).filter(_.has("partition-specs")).toSeq.flatMap { r =>
+      r.get("partition-specs").elements.asScala.toSeq.map { sn =>
+        (if (sn.has("spec-id")) sn.get("spec-id").asInt else 0,
+         sn.get("fields").elements.asScala.toSeq.map(_.get("name").asText))
+      }
+    }
+
+  /** Recompute pending stats for a carried manifest whose parent list
+    * predates the full schema (rounds 2-9, or the reference's partial
+    * writer) — a one-time upgrade read per legacy manifest; once a commit
+    * re-lists it with full stats, every later commit carries them forward
+    * from [[ManifestReader.readManifestList]] without touching the file. */
+  private def pendingFromRead(
+      m: Manifest, conf: Configuration, state: Option[State]): PendingStats = {
+    val entries =
+      ManifestReader.readManifestEntries(m.manifestPath, conf, formatVersion = 2)
+    val nameSet = entries.flatMap(_.partition.keys).toSet
+    // summaries are positional per spec — only a recorded spec whose
+    // field-name set matches the manifest's yields a safe ordering
+    val ordered = recordedSpecs(state).collectFirst {
+      case (_, names) if names.toSet == nameSet && names.size == nameSet.size => names
+    }
+    val length = scala.util.Try(
+      new Path(m.manifestPath).getFileSystem(conf).getFileStatus(
+        new Path(m.manifestPath)).getLen).getOrElse(0L)
+    computePending(entries, ordered.getOrElse(Seq.empty), length)
+  }
+
+  /** Finalize one manifest's list-record stats: carried manifests keep the
+    * stats their parent list recorded; fresh ones resolve from the write
+    * memo; legacy carried ones recompute once. */
+  private def resolvedStats(
+      m: Manifest, conf: Configuration, snapshotId: Long,
+      commitSpec: (Int, Seq[String]), state: Option[State]): ManifestStats =
+    m.stats.getOrElse {
+      val pending = pendingStatsMemo.synchronized(
+        Option(pendingStatsMemo.get(m.manifestPath)))
+        .getOrElse(pendingFromRead(m, conf, state))
+      val minSeq =
+        if (pending.anyInheritedSeq)
+          math.min(m.sequenceNumber, pending.minExplicitSeq.getOrElse(m.sequenceNumber))
+        else pending.minExplicitSeq.getOrElse(m.sequenceNumber)
+      val (specId, summaries) =
+        if (pending.partitionNames == commitSpec._2) (commitSpec._1, pending.summaries)
+        else recordedSpecs(state).find(_._2 == pending.partitionNames) match {
+          case Some((id, _)) => (id, pending.summaries)
+          // fields don't align to any recorded spec (e.g. merged manifests
+          // spanning spec evolution): spec-id still names the commit's
+          // spec, but NO summaries are claimed under it — counts stay
+          // valid, manifest-level pruning skips this manifest
+          case None => (commitSpec._1, None)
+        }
+      ManifestStats(
+        manifestLength = pending.length,
+        partitionSpecId = specId,
+        minSequenceNumber = minSeq,
+        addedSnapshotId = snapshotId,
+        addedFilesCount = pending.added,
+        existingFilesCount = pending.existing,
+        deletedFilesCount = pending.deleted,
+        addedRowsCount = pending.addedRows,
+        existingRowsCount = pending.existingRows,
+        deletedRowsCount = pending.deletedRows,
+        partitions = summaries)
+    }
 
   /** Manifest-count threshold above which a commit rewrites the manifests
     * it carries into ONE merged manifest per content class (metadata-only
@@ -1047,12 +1245,38 @@ object IcebergWriter {
     val metaDir = new Path(path, "metadata")
     val listPath = new Path(metaDir, s"snap-$snapshotId-${commitToken()}-1-list.avro")
     val kept = maybeMergeManifests(path, conf, snapshotId, manifests)
+    val commitSpec = resolveCommitSpec(state, spec)
+    val summarySchema = manifestListSchema.getField("partitions").schema()
+      .getTypes.get(1).getElementType // non-null branch's element record
     writeAvro(manifestListSchema, listPath, conf) {
       kept.map { m =>
+        val st = resolvedStats(m, conf, snapshotId, commitSpec, state)
         val rec = new GenericData.Record(manifestListSchema)
         rec.put("manifest_path", m.manifestPath)
+        rec.put("manifest_length", st.manifestLength)
+        rec.put("partition_spec_id", st.partitionSpecId)
         rec.put("content", m.content)
         rec.put("sequence_number", m.sequenceNumber)
+        rec.put("min_sequence_number", st.minSequenceNumber)
+        rec.put("added_snapshot_id", st.addedSnapshotId)
+        rec.put("added_data_files_count", st.addedFilesCount)
+        rec.put("existing_data_files_count", st.existingFilesCount)
+        rec.put("deleted_data_files_count", st.deletedFilesCount)
+        rec.put("added_rows_count", st.addedRowsCount)
+        rec.put("existing_rows_count", st.existingRowsCount)
+        rec.put("deleted_rows_count", st.deletedRowsCount)
+        st.partitions.foreach { sums =>
+          val arr = new java.util.ArrayList[GenericRecord](sums.size)
+          sums.foreach { s =>
+            val sr = new GenericData.Record(summarySchema)
+            sr.put("contains_null", s.containsNull)
+            s.containsNan.foreach(b => sr.put("contains_nan", Boolean.box(b)))
+            s.lowerBound.foreach(b => sr.put("lower_bound", ByteBuffer.wrap(b)))
+            s.upperBound.foreach(b => sr.put("upper_bound", ByteBuffer.wrap(b)))
+            arr.add(sr)
+          }
+          rec.put("partitions", arr)
+        }
         rec
       }
     }

@@ -15,18 +15,6 @@ import scala.jdk.CollectionConverters._
   */
 object ManifestReader {
 
-  // Partial reader schemas: only the fields the engine consumes. Avro
-  // resolves reader-vs-writer by field name and skips the rest.
-  private val manifestListV2 = new Schema.Parser().parse("""
-    {"type":"record","name":"manifest_file","fields":[
-      {"name":"manifest_path","type":"string"},
-      {"name":"content","type":"int"},
-      {"name":"sequence_number","type":"long"}]}""")
-
-  private val manifestListV1 = new Schema.Parser().parse("""
-    {"type":"record","name":"manifest_file","fields":[
-      {"name":"manifest_path","type":"string"}]}""")
-
   private def readRecords(path: String, conf: Configuration, readerSchema: Schema): Seq[GenericRecord] = {
     val bytes = IcebergIO.readBytes(path, conf)
     // null reader schema → decode with the file's writer schema (full records)
@@ -39,18 +27,69 @@ object ManifestReader {
     } finally reader.close()
   }
 
+  private def longOr(r: GenericRecord, name: String, dflt: Long): Long =
+    fieldOrNull(r, name) match {
+      case n: java.lang.Number => n.longValue
+      case _ => dflt
+    }
+  private def intOr(r: GenericRecord, name: String, dflt: Int): Int =
+    fieldOrNull(r, name) match {
+      case n: java.lang.Number => n.intValue
+      case _ => dflt
+    }
+
+  /** The v2 full-schema fields of one manifest-list record, when the
+    * writer recorded them (round-10 graft, iceberg-java). A list from the
+    * reference's partial 3-field writer lacks `manifest_length` → None,
+    * and planning treats the manifest as unsummarized (no manifest-level
+    * pruning, counts unknown). */
+  private def statsOf(r: GenericRecord): Option[ManifestStats] = {
+    if (r.getSchema.getField("manifest_length") == null ||
+        r.getSchema.getField("added_snapshot_id") == null) return None
+    val partitions = fieldOrNull(r, "partitions") match {
+      case c: java.util.Collection[_] =>
+        Some(c.asScala.toSeq.collect { case s: GenericRecord =>
+          FieldSummary(
+            containsNull = fieldOrNull(s, "contains_null") match {
+              case b: java.lang.Boolean => b.booleanValue
+              case _ => true // unknown → assume nulls present (conservative)
+            },
+            containsNan = fieldOrNull(s, "contains_nan") match {
+              case b: java.lang.Boolean => Some(b.booleanValue)
+              case _ => None
+            },
+            lowerBound = Option(fieldOrNull(s, "lower_bound")).map(toByteArray),
+            upperBound = Option(fieldOrNull(s, "upper_bound")).map(toByteArray))
+        })
+      case _ => None
+    }
+    Some(ManifestStats(
+      manifestLength = longOr(r, "manifest_length", 0L),
+      partitionSpecId = intOr(r, "partition_spec_id", 0),
+      minSequenceNumber = longOr(r, "min_sequence_number", 0L),
+      addedSnapshotId = longOr(r, "added_snapshot_id", -1L),
+      addedFilesCount = intOr(r, "added_data_files_count", 0),
+      existingFilesCount = intOr(r, "existing_data_files_count", 0),
+      deletedFilesCount = intOr(r, "deleted_data_files_count", 0),
+      addedRowsCount = longOr(r, "added_rows_count", 0L),
+      existingRowsCount = longOr(r, "existing_rows_count", 0L),
+      deletedRowsCount = longOr(r, "deleted_rows_count", 0L),
+      partitions = partitions))
+  }
+
+  /** Manifest-list records decoded with the file's WRITER schema (round 10;
+    * rounds 2-9 used the reference's partial 3-field projection) so the v2
+    * full-schema fields — counts, spec id, partition summaries — survive
+    * into [[Manifest.stats]] when present. Absent fields (v1 lists, the
+    * reference's own partial writer) degrade per field. */
   def readManifestList(path: String, conf: Configuration, formatVersion: Int): Seq[Manifest] =
-    if (formatVersion == 1)
-      readRecords(path, conf, manifestListV1).map { r =>
-        Manifest(r.get("manifest_path").toString, sequenceNumber = 0L, content = 0)
-      }
-    else
-      readRecords(path, conf, manifestListV2).map { r =>
-        Manifest(
-          r.get("manifest_path").toString,
-          r.get("sequence_number").asInstanceOf[Long],
-          r.get("content").asInstanceOf[Int])
-      }
+    readRecords(path, conf, null).map { r =>
+      Manifest(
+        r.get("manifest_path").toString,
+        sequenceNumber = longOr(r, "sequence_number", 0L),
+        content = intOr(r, "content", 0),
+        stats = statsOf(r))
+    }
 
   /** Field value, or null when the writer schema lacks the field —
     * GenericRecord.get(name) THROWS on unknown fields, and v1 manifests
@@ -206,17 +245,15 @@ object ManifestReader {
       formatVersion: Int,
       allowMovedPaths: Boolean): Seq[(Manifest, Seq[ManifestEntry])] = {
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val items = manifests.zipWithIndex.map { case (m, i) =>
-      (i, m.manifestPath, m.sequenceNumber, m.content)
-    }
+    val items = manifests.zipWithIndex.map { case (m, i) => (i, m) }
     val slices = math.max(1,
       math.min(items.size, spark.sparkContext.defaultParallelism * 2))
     val fetched = spark.sparkContext.parallelize(items, slices)
-      .map { case (i, p, seq, c) =>
+      .map { case (i, m) =>
         val mPath =
-          if (allowMovedPaths) IcebergIO.fullPath(tablePath, p) else p
-        (i, Manifest(p, seq, c),
-         readManifestEntries(mPath, sconf.value, formatVersion))
+          if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
+          else m.manifestPath
+        (i, m, readManifestEntries(mPath, sconf.value, formatVersion))
       }.collect()
     fetched.sortBy(_._1).map { case (_, m, es) => (m, es) }.toSeq
   }
@@ -256,6 +293,15 @@ object ManifestReader {
   def invalidatePlanningCache(): Unit =
     planCache.synchronized(planCache.clear())
 
+  private val manifestsDecodedCtr = new java.util.concurrent.atomic.AtomicLong
+  private val manifestsPrunedCtr = new java.util.concurrent.atomic.AtomicLong
+
+  /** (manifests decoded, manifests skipped by summary pruning) since JVM
+    * start — the test/gate surface proving a partition-filtered first-touch
+    * plan reads FEWER manifest files, not just fewer entries. */
+  def manifestPruneStats: (Long, Long) =
+    (manifestsDecodedCtr.get, manifestsPrunedCtr.get)
+
   /** IcebergTable::Load (iceberg.cpp:15-36): manifest list, then every
     * manifest, eagerly, with optional moved-path re-anchoring. Manifests
     * are fetched concurrently — a 100 TB table has O(100k) entries across
@@ -266,16 +312,25 @@ object ManifestReader {
     *
     * Results are cached per (table, snapshot, manifest list): interactive
     * use re-plans the same immutable snapshot query after query, and on a
-    * 100k-entry table the planning I/O would otherwise repeat per query. */
+    * 100k-entry table the planning I/O would otherwise repeat per query.
+    *
+    * `manifestFilter` (round 10) is the manifest-LEVEL prune: a predicate
+    * over the list's per-manifest partition summaries that skips decoding
+    * whole manifests a filtered scan cannot need. It is an I/O
+    * optimization only — entry-level pruning downstream re-checks every
+    * surviving file — so a CACHED full plan is returned as-is (zero
+    * manifest reads either way), and a PARTIAL (filtered) load is never
+    * inserted into the snapshot cache. */
   def loadTable(
       tablePath: String,
       snapshot: Snapshot,
       conf: Configuration,
-      allowMovedPaths: Boolean): TableMeta = {
+      allowMovedPaths: Boolean,
+      manifestFilter: Manifest => Boolean = _ => true): TableMeta = {
     val maxCached = conf.getInt(
       PlanningCacheSnapshotsKey, DefaultPlanningCacheSnapshots)
     if (maxCached <= 0)
-      return loadTableUncached(tablePath, snapshot, conf, allowMovedPaths)
+      return loadTableUncached(tablePath, snapshot, conf, allowMovedPaths, manifestFilter)
     val key = PlanKey(
       tablePath, snapshot.snapshotId, snapshot.manifestList, allowMovedPaths)
     planCache.synchronized(Option(planCache.get(key))) match {
@@ -286,7 +341,9 @@ object ManifestReader {
         meta.copy(snapshot = snapshot)
       case None =>
         planCacheMisses.incrementAndGet()
-        val meta = loadTableUncached(tablePath, snapshot, conf, allowMovedPaths)
+        val meta = loadTableUncached(tablePath, snapshot, conf, allowMovedPaths, manifestFilter)
+        if (meta.partialPlan)
+          return meta // filtered view — do not cache as the snapshot's plan
         val maxEntries = conf.getLong(
           PlanningCacheMaxEntriesKey, DefaultPlanningCacheMaxEntries.toLong)
         def entryCount(m: TableMeta): Long =
@@ -310,11 +367,15 @@ object ManifestReader {
       tablePath: String,
       snapshot: Snapshot,
       conf: Configuration,
-      allowMovedPaths: Boolean): TableMeta = {
+      allowMovedPaths: Boolean,
+      manifestFilter: Manifest => Boolean = _ => true): TableMeta = {
     val listPath =
       if (allowMovedPaths) IcebergIO.fullPath(tablePath, snapshot.manifestList)
       else snapshot.manifestList
-    val manifests = readManifestList(listPath, conf, snapshot.formatVersion)
+    val allManifests = readManifestList(listPath, conf, snapshot.formatVersion)
+    val manifests = allManifests.filter(manifestFilter)
+    manifestsDecodedCtr.addAndGet(manifests.size.toLong)
+    manifestsPrunedCtr.addAndGet((allManifests.size - manifests.size).toLong)
 
     import scala.concurrent.duration._
     val threshold = conf.getInt(
@@ -335,6 +396,7 @@ object ManifestReader {
           m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
         }
     }
-    TableMeta(tablePath, snapshot, entries)
+    TableMeta(tablePath, snapshot, entries,
+      partialPlan = manifests.size != allManifests.size)
   }
 }
