@@ -1353,6 +1353,57 @@ object IcebergQueries {
           .select("data_format", "o_orderpriority", "cnt", "sum_price")
           .orderBy("o_orderpriority")
       }
+    ),
+    QueryDef(
+      "ib55_manifest_pruning",
+      // Manifest-LEVEL pruning gate (round 10): six commits append six
+      // disjoint 5-day slices of events under an identity(dt) spec, so
+      // the table carries six manifests whose manifest-list partition
+      // summaries cover disjoint day ranges. A one-day filtered scan must
+      // then DECODE exactly one manifest and SKIP five — planning I/O on
+      // a first touch scales with matching manifests, not table history.
+      // The row count pins that pruning never changed semantics.
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS manifests_decoded,
+               CAST(5 AS BIGINT) AS manifests_pruned,
+               COUNT(*) AS cnt
+        FROM events WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'"""),
+      (s, dir) => {
+        val table = eventsSlicedTable(s, dir)
+        graft.iceberg.ManifestReader.invalidatePlanningCache()
+        val (d0, p0) = graft.iceberg.ManifestReader.manifestPruneStats
+        // scanFiltered plans EAGERLY on the driver: the counters move here
+        val scanned = IcebergScan.scanFiltered(
+          s, table, col("dt") === lit("2024-01-05").cast("date"))
+        val (d1, p1) = graft.iceberg.ManifestReader.manifestPruneStats
+        scanned.agg(count(lit(1)).as("cnt"))
+          .withColumn("manifests_decoded", lit(d1 - d0))
+          .withColumn("manifests_pruned", lit(p1 - p0))
+          .select("manifests_decoded", "manifests_pruned", "cnt")
+      }
     )
   )
+
+  /** Six-commit identity(dt) events fixture for ib55 — written once per
+    * (JVM, sf dir) like [[eventsByDayTable]]; each commit appends one
+    * disjoint 5-day slice so manifests carry disjoint partition-summary
+    * ranges. */
+  private val eventsSlicedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsSlicedTable(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    eventsSlicedCache.computeIfAbsent(dir, _ => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_events_sliced_").toString + "/events_sliced"
+      val src = graft.Tables.events(s, dir)
+        .withColumn("dt", to_date(col("ts")))
+      (0 until 6).foreach { i =>
+        val lo = java.time.LocalDate.of(2024, 1, 1).plusDays(i * 5L)
+        val hi = lo.plusDays(5L)
+        val slice = src.filter(
+          col("dt") >= lit(lo.toString).cast("date") &&
+          col("dt") < lit(hi.toString).cast("date"))
+        graft.iceberg.IcebergWriter.write(slice, table,
+          partitionBy = Seq("dt" -> "identity"))
+      }
+      table
+    })
 }
