@@ -52,7 +52,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = GraftSessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Best-effort: a broken data dir should still produce the per-query
@@ -61,26 +61,51 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    // Min of `runs` executions: a single-shot timing on an oversubscribed
-    // machine swings up to 30x (round-5 driver artifacts vs idle re-run),
-    // which makes real regressions indistinguishable from contention. The
-    // min of two runs is the contention-free estimate.
+    // INTERLEAVED rounds, median per query (round 10): back-to-back
+    // repeats of one query land in the same contention window, so a
+    // transient stall poisons every sample and min-of-2 still reported
+    // up to 9.3x same-query spread (round-9 driver artifact). Running
+    // the whole list as rounds A/B/A/B separates a query's samples by
+    // the full sweep (~minutes), and the MEDIAN of 3 ignores one bad
+    // sample entirely — a reported 2x regression now needs contention
+    // in two of three well-separated windows to be fake.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).iterator.takeWhile(_ => !errors.contains(name)).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { runToNoop(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-          None
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (name, _) => allRuns(name) = Seq.empty }
+    // One UNTIMED sweep first: builds the shared mutation-gate fixtures
+    // and per-query codegen, so every timed sample below is steady-state
+    // and the spread telemetry measures CONTENTION, not first-touch
+    // amortization. Failures are swallowed here — the timed rounds
+    // re-raise and record them.
+    ordered.foreach { case (_, fn) =>
+      try runToNoop(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    (1 to runs).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            runToNoop(fn(spark, sfDir))
+            allRuns(name) = allRuns(name) :+ (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          }
         }
-      }.toSeq
-      allRuns(name) = times
+      }
+    }
+    // Median: odd count → middle; even count → LOWER middle (for runs=2
+    // that is the min — contention only ever inflates, never deflates).
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      s((s.size - 1) / 2)
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = allRuns(name)
       // ANY failed run marks the query failed — a success-then-failure
-      // sequence must not smuggle its run-1 timing into the artifact
-      name -> (if (errors.contains(name) || times.isEmpty) -1.0 else times.min)
+      // sequence must not smuggle a surviving timing into the artifact
+      name -> (if (errors.contains(name) || times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -94,6 +119,13 @@ object Bench {
     val maxSpreadRatio = allRuns.values.collect {
       case ts if ts.size >= 2 && ts.min > 0 => ts.max / ts.min
     }.maxOption.getOrElse(1.0)
+    // How far the REPORTED stat (median) sits above each query's best
+    // sample — the noise bound on the artifact's numbers themselves. A
+    // raw max/min outlier with statSpread ≈ 1 means one contended sample
+    // that the median already discarded, not an untrustworthy timing.
+    val statSpreadRatio = allRuns.values.collect {
+      case ts if ts.size >= 2 && ts.min > 0 => median(ts) / ts.min
+    }.maxOption.getOrElse(1.0)
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -101,9 +133,12 @@ object Bench {
     // count, -1 timing) AND in the exit code — the old harness logged to
     // stderr and exited 0, so a broken query benched as "fast".
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""stat":"median","interleaved":true,""" +
       s""""failed":${errors.size},"errors":$errs,"queries":$qs,""" +
       s""""spread":$spread,"max_spread_ratio":""" +
       "%.2f".formatLocal(java.util.Locale.ROOT, maxSpreadRatio) +
+      s""","stat_spread_ratio":""" +
+      "%.2f".formatLocal(java.util.Locale.ROOT, statSpreadRatio) +
       s""","sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
