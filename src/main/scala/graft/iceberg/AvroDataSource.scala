@@ -140,7 +140,12 @@ object AvroDataSource {
     override def planInputPartitions(): Array[InputPartition] =
       paths.map { case (p, q) => AvroFilePartition(p, q): InputPartition }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new AvroReaderFactory(required)
+      // runs on the DRIVER: snapshot the session Hadoop conf into the
+      // (serialized) factory so executor-side opens see the same
+      // spark.hadoop.* settings path qualification resolved under
+      new AvroReaderFactory(required,
+        new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics =
       new org.apache.spark.sql.connector.read.Statistics {
@@ -156,11 +161,13 @@ object AvroDataSource {
   private final case class AvroFilePartition(path: String, qualified: String)
     extends InputPartition
 
-  private final class AvroReaderFactory(required: StructType)
+  private final class AvroReaderFactory(
+      required: StructType,
+      sconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[AvroFilePartition]
-      new AvroPartitionReader(fp.path, fp.qualified, required)
+      new AvroPartitionReader(fp.path, fp.qualified, required, sconf.value)
     }
   }
 
@@ -168,7 +175,8 @@ object AvroDataSource {
     * schema. The record index IS the Iceberg row position (files are
     * written by a single task, read by a single task). */
   private final class AvroPartitionReader(
-      path: String, qualified: String, required: StructType)
+      path: String, qualified: String, required: StructType,
+      hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
 
     private val payload = required.fields.filter(f =>
@@ -191,7 +199,7 @@ object AvroDataSource {
       // installed via setExpected before the first record decodes
       val datumReader = new GenericDatumReader[GenericRecord]()
       val r = new DataFileReader[GenericRecord](
-        new FsInput(new Path(path), new Configuration()), datumReader)
+        new FsInput(new Path(path), hadoopConf), datumReader)
       try {
         val writerSchema = r.getSchema
         val writerFields = writerSchema.getFields.asScala.map(_.name).toSet

@@ -213,9 +213,14 @@ object AvroFiles {
     val jobToken = java.util.UUID.randomUUID().toString.take(8)
     val stagingRoot = new Path(dataDir, StagingPrefix + jobToken)
     val stagingStr = stagingRoot.toString
+    // the SESSION Hadoop conf, serialized into the tasks: a bare
+    // new Configuration() on executors would drop every spark.hadoop.*
+    // setting (credentials, custom FS impls) the driver resolved with
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     try {
       df.rdd.foreachPartition { rows =>
-        val conf = new Configuration()
+        val conf = sconf.value
         val writerSchema = new Schema.Parser().parse(schemaJson)
         val tc = org.apache.spark.TaskContext.get()
         val taskId = tc.partitionId()

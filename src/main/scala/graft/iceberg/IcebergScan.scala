@@ -1085,7 +1085,13 @@ object IcebergScan {
       s"changelogWithUpdates: key '$k' is not a table column"))
     val dataCols = cl.columns.filterNot(c =>
       c == "_change_type" || c == "_commit_snapshot_id").toSeq
-    val joinCols = (keys :+ "_commit_snapshot_id") :+ "__rn"
+    // collision-proof internal rank name: a table column literally named
+    // __rn would otherwise be overwritten by withColumn AND ride in
+    // dataCols, corrupting both the pairing keys and the output values
+    val rnCol = Iterator.from(0)
+      .map(i => if (i == 0) "__rn" else s"__rn_$i")
+      .find(n => !cl.columns.contains(n)).get
+    val joinCols = (keys :+ "_commit_snapshot_id") :+ rnCol
     import org.apache.spark.sql.expressions.Window
     def ranked(side: DataFrame): DataFrame = {
       // deterministic intra-group order via the JSON-serialized row —
@@ -1093,7 +1099,7 @@ object IcebergScan {
       val w = Window
         .partitionBy((keys :+ "_commit_snapshot_id").map(col): _*)
         .orderBy(xxhash64(to_json(struct(dataCols.map(col): _*))))
-      side.withColumn("__rn", row_number().over(w))
+      side.withColumn(rnCol, row_number().over(w))
     }
     val dels = ranked(cl.filter(col("_change_type") === "delete"))
       .drop("_change_type")

@@ -35,10 +35,19 @@ object RestCatalog {
   final case class Client(
       uri: String,
       prefix: Option[String],
-      token: Option[String],
+      initialToken: Option[String],
       config: Map[String, String],
       connectTimeoutMs: Int = 10000,
-      readTimeoutMs: Int = 30000)
+      readTimeoutMs: Int = 30000,
+      // the client_id:client_secret pair, kept ONLY when connect()
+      // exchanged it — enables re-auth + retry when the issued token
+      // expires mid-session (catalog answers 401)
+      credential: Option[String] = None) {
+    private val tokenRef =
+      new java.util.concurrent.atomic.AtomicReference[Option[String]](initialToken)
+    def token: Option[String] = tokenRef.get
+    private[iceberg] def setToken(t: String): Unit = tokenRef.set(Some(t))
+  }
 
   final case class TableRef(namespace: Seq[String], name: String) {
     override def toString: String = (namespace :+ name).mkString(".")
@@ -73,8 +82,27 @@ object RestCatalog {
     // spec merge order: defaults lose to client-supplied, which lose to
     // server overrides
     val merged = defaults ++ props ++ overrides
-    Client(base, merged.get("prefix").filter(_.nonEmpty), bearer, merged)
+    Client(base, merged.get("prefix").filter(_.nonEmpty), bearer, merged,
+      credential = credential)
   }
+
+  /** A catalog request answered 401: the bearer token expired or was
+    * revoked mid-session. */
+  final class UnauthorizedException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Client-scoped request: on 401, re-run the OAuth client-credentials
+    * exchange (when the client holds a credential) and retry ONCE with
+    * the fresh token — long-lived sessions outlive catalog token TTLs. */
+  private def httpC(c: Client, method: String, url: String,
+      body: Option[String],
+      contentType: String = "application/json"): String =
+    try http(method, url, c.token, body, contentType)
+    catch {
+      case _: UnauthorizedException if c.credential.isDefined =>
+        c.setToken(oauthToken(c.uri, c.credential.get))
+        http(method, url, c.token, body, contentType)
+    }
 
   /** OAuth2 client-credentials exchange against the catalog's token
     * endpoint (`POST v1/oauth/tokens`, form-encoded per RFC 6749). */
@@ -120,9 +148,9 @@ object RestCatalog {
     * spec's 0x1F unit separator in the URL. */
   def loadTable(c: Client, table: String): LoadedTable = {
     val ref = parseRef(table)
-    loaded(table, parse(http("GET",
+    loaded(table, parse(httpC(c, "GET",
       s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}",
-      c.token, None)))
+      None)))
   }
 
   /** The catalog rejected a commit's requirements (HTTP 409): the
@@ -142,9 +170,9 @@ object RestCatalog {
     val body = mapper.createObjectNode()
     body.put("name", ref.name)
     body.put("metadata-location", metadataLocation)
-    loaded(table, parse(http("POST",
+    loaded(table, parse(httpC(c, "POST",
       s"${root(c)}/namespaces/${nsPath(ref.namespace)}/register",
-      c.token, Some(body.toString))))
+      Some(body.toString))))
   }
 
   /** Create a table THROUGH the catalog: run `create` (any writer op
@@ -169,9 +197,9 @@ object RestCatalog {
   def dropTable(c: Client, table: String, purge: Boolean = false): Unit = {
     val ref = parseRef(table)
     val q = if (purge) "?purgeRequested=true" else ""
-    http("DELETE",
+    httpC(c, "DELETE",
       s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}$q",
-      c.token, None): Unit
+      None): Unit
   }
 
   /** `POST .../tables/rename` — rename/move a table inside the catalog
@@ -188,7 +216,7 @@ object RestCatalog {
     }
     id("source", f)
     id("destination", t)
-    http("POST", s"${root(c)}/tables/rename", c.token, Some(body.toString)): Unit
+    httpC(c, "POST", s"${root(c)}/tables/rename", Some(body.toString)): Unit
   }
 
   /** `POST .../tables/{table}` — the spec's CommitTableRequest:
@@ -210,7 +238,7 @@ object RestCatalog {
     updates.foreach(updArr.add)
     val url =
       s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}"
-    try loaded(table, parse(http("POST", url, c.token, Some(body.toString))))
+    try loaded(table, parse(httpC(c, "POST", url, Some(body.toString))))
     catch {
       case e: java.io.IOException if e.getMessage.contains("HTTP 409") =>
         throw new CommitConflictException(e.getMessage)
@@ -386,23 +414,57 @@ object RestCatalog {
         }
       out.result()
     }
-    // main's lineage AFTER the op, for ancestor checks on retry
-    val afterLineage: Set[Long] = {
-      val byId = snapshotNodes(afterRoot)
+    def lineageFrom(root: JsonNode, head: Option[Long]): Set[Long] = {
+      val byId = snapshotNodes(root)
         .map(n => n.get("snapshot-id").asLong -> n).toMap
-      Iterator.iterate(afterHead)(cur => cur.flatMap(byId.get).flatMap(n =>
+      Iterator.iterate(head)(cur => cur.flatMap(byId.get).flatMap(n =>
           Option(n.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong)))
         .takeWhile(_.isDefined).flatten.toSet
     }
-    // replay check: the catalog already records EVERYTHING this commit
-    // carries — head AND the metadata surfaces (a head-only check would
-    // mistake a schema-dropping half-commit for success)
-    def caughtUp(now: JsonNode): Boolean =
-      mainHead(now) == afterHead &&
+    // main's lineage AFTER the op, for ancestor checks on retry
+    val afterLineage: Set[Long] = lineageFrom(afterRoot, afterHead)
+    val addedIds = added.map(_.get("snapshot-id").asLong)
+    def idsOf(root: JsonNode, array: String, idField: String): Set[Int] =
+      Option(root.get(array)).map(_.elements.asScala
+        .flatMap(n => Option(n.get(idField)).map(_.asInt)).toSet)
+        .getOrElse(Set.empty)
+    val newSchemaIds =
+      newIdNodes(beforeRoot, afterRoot, "schemas", "schema-id")
+        .map(_.get("schema-id").asInt)
+    val newSpecIds =
+      newIdNodes(beforeRoot, afterRoot, "partition-specs", "spec-id")
+        .map(_.get("spec-id").asInt)
+    val newOrderIds =
+      newIdNodes(beforeRoot, afterRoot, "sort-orders", "order-id")
+        .map(_.get("order-id").asInt)
+    // Replay check (round-10 ADVICE): our commit is in the catalog when
+    // everything it ADDED is present — our snapshots in the snapshot set
+    // and main's move inside now's lineage, our new schemas/specs/orders
+    // by id. Requiring full surface EQUALITY with afterRoot was wrong:
+    // if our commit landed but the response surfaced as a conflict, a
+    // concurrent actor may legitimately move a surface PAST ours before
+    // the retry reads, and the retry then re-sent an add-snapshot for an
+    // already-present id. Additions travel atomically with their pointer
+    // moves, so presence of the additions witnesses the whole commit. A
+    // commit carrying ONLY pointer/property changes has nothing whose
+    // presence can witness it — that (rare) shape keeps the strict check.
+    def caughtUp(now: JsonNode): Boolean = {
+      val nowSnapIds = snapshotNodes(now).map(_.get("snapshot-id").asLong).toSet
+      val additionsIn =
+        addedIds.forall(nowSnapIds) &&
+        (afterHead == beforeHead ||
+          afterHead.forall(lineageFrom(now, mainHead(now)))) &&
+        newSchemaIds.forall(idsOf(now, "schemas", "schema-id")) &&
+        newSpecIds.forall(idsOf(now, "partition-specs", "spec-id")) &&
+        newOrderIds.forall(idsOf(now, "sort-orders", "order-id"))
+      val carriesAdditions = addedIds.nonEmpty || afterHead != beforeHead ||
+        newSchemaIds.nonEmpty || newSpecIds.nonEmpty || newOrderIds.nonEmpty
+      additionsIn && (carriesAdditions || (
         intField(now, "current-schema-id") == intField(afterRoot, "current-schema-id") &&
         intField(now, "default-spec-id") == intField(afterRoot, "default-spec-id") &&
         intField(now, "default-sort-order-id") == intField(afterRoot, "default-sort-order-id") &&
-        (!propsChanged || propsOf(now) == propsOf(afterRoot))
+        (!propsChanged || propsOf(now) == propsOf(afterRoot))))
+    }
     var expected = beforeHead
     var attempts = 0
     var done = false
@@ -540,7 +602,7 @@ object RestCatalog {
         case Some(t) => s"$url?pageToken=${enc(t)}"
         case None    => url
       }
-      val body = parse(http("GET", u, c.token, None))
+      val body = parse(httpC(c, "GET", u, None))
       Option(body.get(field)).foreach(_.elements.asScala.foreach(out += decode(_)))
       val next = Option(body.get("next-page-token")).map(_.asText)
         .filter(_.nonEmpty)
@@ -590,6 +652,7 @@ object RestCatalog {
           serverMsg.map(m => s" — $m").getOrElse(
             if (text.nonEmpty) s" — $text" else "")
         if (code == 404) throw new java.io.FileNotFoundException(msg)
+        else if (code == 401) throw new UnauthorizedException(msg)
         else throw new java.io.IOException(msg)
       }
     } finally conn.disconnect()

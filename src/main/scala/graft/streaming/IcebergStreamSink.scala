@@ -190,16 +190,26 @@ object IcebergStreamSink {
           }
         val groupingById: Map[ExprId, Expression] =
           groupingAttrs.flatten.toMap
-        // a time-window struct, not just anything named start/end: both
-        // fields must be timestamps (a user struct<start:string,...>
-        // grouping does NOT determine a whole partition per start value)
-        def isWindowStruct(e: Expression): Boolean = e.dataType match {
-          case s: StructType =>
-            s.fieldNames.toSeq == Seq("start", "end") &&
-              s.fields.forall(f => f.dataType == TimestampType ||
-                f.dataType == TimestampNTZType)
-          case _ => false
-        }
+        // a REAL window()/session_window() output, not just anything
+        // shaped like one: the analyzer stamps the rewritten window
+        // attribute with a marker metadata key (the same one
+        // window_time() checks). A hand-built
+        // struct(day_ts AS start, other_ts AS end) matches the shape but
+        // start does not determine end there — two groups can share a
+        // start, and a partition overwrite keyed on it would silently
+        // drop one group's rows.
+        def isWindowStruct(ar: AttributeReference): Boolean =
+          (ar.metadata.contains(
+             org.apache.spark.sql.catalyst.expressions.TimeWindow.marker) ||
+           ar.metadata.contains(
+             org.apache.spark.sql.catalyst.expressions.SessionWindow.marker)) &&
+          (ar.dataType match {
+            case s: StructType =>
+              s.fieldNames.toSeq == Seq("start", "end") &&
+                s.fields.forall(f => f.dataType == TimestampType ||
+                  f.dataType == TimestampNTZType)
+            case _ => false
+          })
         val colByName = cols.toMap
         // each partition column must be a grouping attribute itself, or
         // the start/end field of a window grouping struct; and every

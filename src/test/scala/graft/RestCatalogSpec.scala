@@ -37,6 +37,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val tables = scala.collection.concurrent.TrieMap.empty[String, String]
   @volatile private var lastAuthHeader: Option[String] = None
   @volatile private var tablePages = 1 // split listTables into N pages
+  // token-expiry simulation: when enforceToken is on, only the CURRENT
+  // token authorizes; rotating currentToken invalidates issued bearers
+  @volatile private var enforceToken = false
+  @volatile private var currentToken = "tok-123"
   @volatile private var injectConflictOnce = false // fail the next commit POST
   @volatile private var lastCommitActions = Seq.empty[String] // last POST's update actions
 
@@ -163,7 +167,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       val form = new String(x.getRequestBody.readAllBytes(), UTF_8)
       if (form.contains("client_id=graft") && form.contains("client_secret=s3cret"))
         respond(x, 200,
-          """{"access_token":"tok-123","token_type":"bearer","expires_in":3600}""")
+          s"""{"access_token":"$currentToken","token_type":"bearer","expires_in":3600}""")
       else respond(x, 401,
         """{"error":{"message":"bad client credentials","type":"NotAuthorizedException","code":401}}""")
     })
@@ -176,6 +180,15 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // everything under the prefix: namespaces + tables
     server.createContext("/v1/ws/main/", (x: HttpExchange) => {
       lastAuthHeader = Option(x.getRequestHeaders.getFirst("Authorization"))
+      if (enforceToken && !lastAuthHeader.contains(s"Bearer $currentToken")) {
+        respond(x, 401,
+          """{"error":{"message":"token expired","type":"NotAuthorizedException","code":401}}""")
+      } else handleWsMain(x)
+    })
+    server.start()
+  }
+
+  private def handleWsMain(x: HttpExchange): Unit = {
       val path = x.getRequestURI.getPath.stripPrefix("/v1/ws/main/")
       val query = Option(x.getRequestURI.getQuery).getOrElse("")
       val isPost = x.getRequestMethod == "POST"
@@ -237,8 +250,6 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
           }
         case _ => respond(x, 404, """{"error":{"message":"no route","code":404}}""")
       }
-    })
-    server.start()
   }
 
   override def afterAll(): Unit = {
@@ -279,6 +290,33 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(listed.toSet === tables.keys.toSet)
       assert(listed.size === tables.size) // no page dropped or doubled
     } finally tablePages = 1
+  }
+
+  test("mid-session 401 re-runs the oauth exchange and retries once") {
+    createTable("orders_reauth")
+    val c = RestCatalog.connect(uri, credential = Some("graft:s3cret"))
+    assert(c.token === Some("tok-123"))
+    // the catalog rotates its accepted token: every request bearing the
+    // issued tok-123 now answers 401 (token TTL elapsed, server-side)
+    currentToken = "tok-rotated"
+    enforceToken = true
+    try {
+      val listed = RestCatalog.listTables(c, Seq("analytics")).map(_.name)
+      assert(listed.contains("orders_reauth"))
+      // the client re-exchanged its stored credential and retried
+      assert(c.token === Some("tok-rotated"))
+      assert(lastAuthHeader === Some("Bearer tok-rotated"))
+      // a static-token client (no credential) cannot re-auth: 401 surfaces
+      val static = RestCatalog.connect(uri, token = Some("tok-rotated"))
+      currentToken = "tok-rotated-2"
+      intercept[graft.iceberg.RestCatalog.UnauthorizedException] {
+        RestCatalog.listTables(static, Seq("analytics"))
+      }
+    } finally {
+      enforceToken = false
+      currentToken = "tok-123"
+      RestCatalog.dropTable(c, "analytics.orders_reauth")
+    }
   }
 
   test("loadTable + scan equals the direct-path scan (incl. time travel)") {

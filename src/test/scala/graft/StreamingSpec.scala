@@ -391,6 +391,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         dir.toString + "/ckpt2", partitionBy = Seq("p" -> "identity"))
     }
     assert(e2.getMessage.contains("WHOLE partitions"), e2.getMessage)
+
+    // a TIMESTAMP-typed hand-built start/end struct passes the shape
+    // check but lacks the analyzer's window marker metadata: end is not
+    // determined by start (two groups share a start), so partitioning by
+    // .start alone must be refused (round-10 ADVICE)
+    val fakeTs = in.toDF()
+      .groupBy(struct(date_trunc("day", col("ts")).as("start"),
+        col("ts").as("end")).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("w.start")).drop("w")
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergStreamSink.startOverwrite(fakeTs, dir.toString + "/t3",
+        dir.toString + "/ckpt3", partitionBy = Seq("p" -> "identity"))
+    }
+    assert(e3.getMessage.contains("WHOLE partitions"), e3.getMessage)
   }
 
   test("Iceberg UPSERT sink: merge-by-key CDC ingestion with last-write-wins") {
