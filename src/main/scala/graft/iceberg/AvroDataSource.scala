@@ -105,14 +105,52 @@ object AvroDataSource {
       new AvroScanBuilder(schema, options)
   }
 
+  /** Filter shapes the reader evaluates during decode iteration:
+    * comparisons/null-checks/IN over one ATOMIC payload column. Row
+    * positions still advance for skipped records (MoR positions are the
+    * write-time record index), but non-matching rows never materialize
+    * an InternalRow or cross the DSv2 boundary. All pushed filters are
+    * ALSO returned as post-scan residuals — evaluation here is an
+    * optimization, Spark re-checks semantics (nulls, casts) above. */
+  private def supportedFilter(f: org.apache.spark.sql.sources.Filter,
+      schema: StructType): Boolean = {
+    import org.apache.spark.sql.sources._
+    def atomic(name: String): Boolean =
+      name != FileCol && name != PosCol &&
+        schema.fields.find(_.name == name).exists(_.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => false
+          case _ => true
+        })
+    f match {
+      case EqualTo(c, _)            => atomic(c)
+      case GreaterThan(c, _)        => atomic(c)
+      case GreaterThanOrEqual(c, _) => atomic(c)
+      case LessThan(c, _)           => atomic(c)
+      case LessThanOrEqual(c, _)    => atomic(c)
+      case In(c, vs)                => atomic(c) && vs != null && vs.length <= 1000
+      case IsNull(c)                => atomic(c)
+      case IsNotNull(c)             => atomic(c)
+      case _                        => false
+    }
+  }
+
   private final class AvroScanBuilder(
       fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
     private var required: StructType = fullSchema
+    private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
     override def pruneColumns(requiredSchema: StructType): Unit =
       // Catalyst hands the subset in table-schema order; empty (count(*)
       // over the relation) is legal and decodes nothing per record
       required = requiredSchema
+    override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+        : Array[org.apache.spark.sql.sources.Filter] = {
+      pushed = filters.filter(supportedFilter(_, fullSchema))
+      filters // everything stays a residual; see supportedFilter
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+      pushed
     override def build(): Scan = {
       def split(key: String): Seq[String] =
         Option(options.get(key)).map(_.split('\n').toSeq.filter(_.nonEmpty))
@@ -125,25 +163,28 @@ object AvroDataSource {
         }
       }
       new AvroScan(required, split(PathsOption).zip(split(QualifiedOption)),
-        stats)
+        stats, pushed.toSeq)
     }
   }
 
   private final class AvroScan(
       required: StructType, paths: Seq[(String, String)],
-      stats: Option[(Long, Long)])
+      stats: Option[(Long, Long)],
+      pushed: Seq[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch with SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-avro-files [${paths.size} files] ReadSchema: ${required.catalogString}"
+      s"graft-avro-files [${paths.size} files] " +
+        s"PushedFilters: [${pushed.mkString(", ")}] " +
+        s"ReadSchema: ${required.catalogString}"
     override def planInputPartitions(): Array[InputPartition] =
       paths.map { case (p, q) => AvroFilePartition(p, q): InputPartition }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       // runs on the DRIVER: snapshot the session Hadoop conf into the
       // (serialized) factory so executor-side opens see the same
       // spark.hadoop.* settings path qualification resolved under
-      new AvroReaderFactory(required,
+      new AvroReaderFactory(required, pushed,
         new org.apache.spark.util.SerializableConfiguration(
           org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
     override def estimateStatistics()
@@ -163,19 +204,30 @@ object AvroDataSource {
 
   private final class AvroReaderFactory(
       required: StructType,
+      pushed: Seq[org.apache.spark.sql.sources.Filter],
       sconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[AvroFilePartition]
-      new AvroPartitionReader(fp.path, fp.qualified, required, sconf.value)
+      new AvroPartitionReader(fp.path, fp.qualified, required, pushed, sconf.value)
     }
   }
 
   /** One container file, sequential decode with a projected reader
     * schema. The record index IS the Iceberg row position (files are
     * written by a single task, read by a single task). */
+  // decode/emit telemetry (test surface): records deserialized vs rows
+  // handed to Spark — a pushed filter's saving is the gap between them
+  private val recordsRead = new java.util.concurrent.atomic.AtomicLong
+  private val rowsEmitted = new java.util.concurrent.atomic.AtomicLong
+
+  /** (records deserialized, rows emitted past pushed filters) since JVM
+    * start. local[*] only — counters live in this JVM. */
+  def decoderStats: (Long, Long) = (recordsRead.get, rowsEmitted.get)
+
   private final class AvroPartitionReader(
       path: String, qualified: String, required: StructType,
+      pushed: Seq[org.apache.spark.sql.sources.Filter],
       hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -191,6 +243,9 @@ object AvroDataSource {
     private val ColPos = -3
     private val ColNull = -1
     private var colPlan: Array[Int] = _
+    // payload column -> (position in the projected record, Spark type);
+    // columns the writer never stored are absent (null-filled on read)
+    private var presentPos: Map[String, (Int, DataType)] = _
 
     private val reader: DataFileReader[GenericRecord] = {
       // ONE open: the container header (already parsed by the reader)
@@ -208,6 +263,8 @@ object AvroDataSource {
           StructType(present), writerSchema)
         datumReader.setExpected(projected)
         val posIn = present.iterator.map(_.name).zipWithIndex.toMap
+        presentPos = present.iterator.zipWithIndex
+          .map { case (f, i) => f.name -> (i, f.dataType) }.toMap
         colPlan = required.fields.map { f =>
           if (f.name == FileCol) ColFile
           else if (f.name == PosCol) ColPos
@@ -217,13 +274,81 @@ object AvroDataSource {
       } catch { case e: Throwable => r.close(); throw e }
     }
 
+    /** Pushed filters compiled against the projected record, once per
+      * file. Anything that fails to compile (unexpected value type) is
+      * dropped — the residual Filter above re-checks every row anyway,
+      * so a dropped matcher only costs the skipped-row saving. */
+    private val matchers: Array[GenericRecord => Boolean] = {
+      import org.apache.spark.sql.sources._
+      import org.apache.spark.sql.catalyst.CatalystTypeConverters
+      import org.apache.spark.sql.catalyst.util.TypeUtils
+      def info(c: String): Option[(Int, DataType)] = presentPos.get(c)
+      def mk(f: Filter): Option[GenericRecord => Boolean] =
+        scala.util.Try[Option[GenericRecord => Boolean]] {
+          def comparison(c: String, v: Any, keep: Int => Boolean)
+              : Option[GenericRecord => Boolean] = info(c) match {
+            // writer never stored the column → it reads null → SQL
+            // comparison semantics: never matches
+            case None => Some(_ => false)
+            case Some((p, dt)) =>
+              val target = CatalystTypeConverters.createToCatalystConverter(dt)(v)
+              if (target == null) Some(_ => false)
+              else {
+                val ord = TypeUtils.getInterpretedOrdering(dt)
+                Some { r =>
+                  val raw = r.get(p)
+                  raw != null && keep(ord.compare(toCatalyst(dt, raw), target))
+                }
+              }
+          }
+          f match {
+            case EqualTo(c, v)            => comparison(c, v, _ == 0)
+            case GreaterThan(c, v)        => comparison(c, v, _ > 0)
+            case GreaterThanOrEqual(c, v) => comparison(c, v, _ >= 0)
+            case LessThan(c, v)           => comparison(c, v, _ < 0)
+            case LessThanOrEqual(c, v)    => comparison(c, v, _ <= 0)
+            case In(c, vs) => info(c) match {
+              case None => Some(_ => false)
+              case Some((p, dt)) =>
+                val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+                val set = vs.filter(_ != null).map(v => conv(v)).toSet
+                Some { r =>
+                  val raw = r.get(p)
+                  raw != null && set.contains(toCatalyst(dt, raw))
+                }
+            }
+            case IsNull(c) => info(c) match {
+              case None => Some(_ => true)
+              case Some((p, _)) => Some(r => r.get(p) == null)
+            }
+            case IsNotNull(c) => info(c) match {
+              case None => Some(_ => false)
+              case Some((p, _)) => Some(r => r.get(p) != null)
+            }
+            case _ => None
+          }
+        }.toOption.flatten
+      pushed.flatMap(mk).toArray
+    }
+
     private var pos = -1L
     private var rec: GenericRecord = _
+    // batched into the shared counters at close() — two atomic
+    // increments per record would put contention in the decode loop
+    private var readN = 0L
+    private var emitN = 0L
 
     override def next(): Boolean = {
-      val h = reader.hasNext
-      if (h) { rec = reader.next(rec); pos += 1 }
-      h
+      while (reader.hasNext) {
+        rec = reader.next(rec)
+        pos += 1 // positions advance over SKIPPED records too (MoR index)
+        readN += 1
+        var ok = true
+        var i = 0
+        while (ok && i < matchers.length) { ok = matchers(i)(rec); i += 1 }
+        if (ok) { emitN += 1; return true }
+      }
+      false
     }
 
     override def get(): InternalRow = {
@@ -241,7 +366,12 @@ object AvroDataSource {
       new GenericInternalRow(vals)
     }
 
-    override def close(): Unit = reader.close()
+    override def close(): Unit = {
+      recordsRead.addAndGet(readN)
+      rowsEmitted.addAndGet(emitN)
+      readN = 0; emitN = 0
+      reader.close()
+    }
   }
 
   /** Avro-decoded value → Catalyst internal value for the target type.
