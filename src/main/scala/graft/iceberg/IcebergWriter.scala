@@ -300,14 +300,17 @@ object IcebergWriter {
     * All three are nullable with null defaults so manifests stay readable
     * by schema-resolving readers that don't know them. */
   private def entrySchemaFor(partitionFields: Seq[(String, String)]): Schema = {
-    val partField =
-      if (partitionFields.isEmpty) ""
-      else {
-        val fs = partitionFields.map { case (n, t) =>
-          s"""{"name":"$n","type":["null","$t"],"default":null}"""
-        }.mkString(",")
-        s""",{"name":"partition","type":["null",{"type":"record","name":"r102","fields":[$fs]}],"default":null}"""
-      }
+    // `partition` is REQUIRED by the spec (data_file field 102) — always
+    // present as a non-nullable record, EMPTY for the unpartitioned spec,
+    // exactly the reference full codec's r102 shape
+    // (iceberg_manifest_entry_full.hpp:67-71). Rounds ≤9 omitted it on
+    // unpartitioned tables, which a strict no-defaults reader refuses.
+    val partField = {
+      val fs = partitionFields.map { case (n, t) =>
+        s"""{"name":"$n","type":["null","$t"],"default":null}"""
+      }.mkString(",")
+      s""",{"name":"partition","type":{"type":"record","name":"r102","fields":[$fs]}}"""
+    }
     new Schema.Parser().parse(s"""
       {"type":"record","name":"manifest_entry","fields":[
         {"name":"status","type":"int"},
@@ -323,7 +326,9 @@ object IcebergWriter {
             {"type":"record","name":"k126_v127","fields":[
               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
            "default":null},
-          {"name":"upper_bounds","type":["null",{"type":"array","items":"k126_v127"}],
+          {"name":"upper_bounds","type":["null",{"type":"array","items":
+            {"type":"record","name":"k129_v130","fields":[
+              {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
            "default":null},
           {"name":"null_value_counts","type":["null",{"type":"array","items":
             {"type":"record","name":"k121_v122","fields":[
@@ -940,12 +945,15 @@ object IcebergWriter {
       partitionFields: Seq[(String, String)] = Seq.empty): Unit = {
     val entrySchema = entrySchemaFor(partitionFields)
     val dataFileSchema = entrySchema.getField("data_file").schema()
-    val boundsSchema = dataFileSchema.getField("lower_bounds").schema()
-      .getTypes.get(1) // non-null branch of the union
-    def boundsArray(m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
+    // per-field item records: the spec schema (and the reference's full
+    // codec) names lower/upper bound items DISTINCTLY (k126_v127 vs
+    // k129_v130) — strict name-resolving readers refuse a shared name
+    def boundsArray(field: String, m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
+      val itemSchema = dataFileSchema.getField(field).schema()
+        .getTypes.get(1).getElementType // non-null branch of the union
       val arr = new java.util.ArrayList[GenericRecord](m.size)
       m.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        val kv = new GenericData.Record(boundsSchema.getElementType)
+        val kv = new GenericData.Record(itemSchema)
         kv.put("key", k)
         kv.put("value", ByteBuffer.wrap(v))
         arr.add(kv)
@@ -960,17 +968,16 @@ object IcebergWriter {
         dfr.put("file_format", e.fileFormat)
         dfr.put("record_count", e.recordCount)
         dfr.put("file_size_in_bytes", e.fileSizeInBytes)
-        if (partitionFields.nonEmpty) {
-          val pSchema = dataFileSchema.getField("partition").schema()
-            .getTypes.get(1)
-          val pr = new GenericData.Record(pSchema)
-          partitionFields.foreach { case (n, _) =>
-            pr.put(n, e.partition.getOrElse(n, null))
-          }
-          dfr.put("partition", pr)
+        val pSchema = dataFileSchema.getField("partition").schema()
+        val pr = new GenericData.Record(pSchema)
+        partitionFields.foreach { case (n, _) =>
+          pr.put(n, e.partition.getOrElse(n, null))
         }
-        if (e.lowerBounds.nonEmpty) dfr.put("lower_bounds", boundsArray(e.lowerBounds))
-        if (e.upperBounds.nonEmpty) dfr.put("upper_bounds", boundsArray(e.upperBounds))
+        dfr.put("partition", pr)
+        if (e.lowerBounds.nonEmpty)
+          dfr.put("lower_bounds", boundsArray("lower_bounds", e.lowerBounds))
+        if (e.upperBounds.nonEmpty)
+          dfr.put("upper_bounds", boundsArray("upper_bounds", e.upperBounds))
         if (e.nullCounts.nonEmpty) {
           val ncSchema = dataFileSchema.getField("null_value_counts").schema()
             .getTypes.get(1)
