@@ -67,6 +67,10 @@ object AvroDataSource {
   /** DDL form of the full table schema (inferSchema fallback when no
     * external schema is supplied). */
   val SchemaDdlOption = "graft.avro.schema"
+  /** Per-file spec `split_offsets` (block sync points), comma-joined,
+    * files `\n`-joined pairwise with `paths`; empty entry = unknown →
+    * that file reads as one task. */
+  val SplitsOption = "graft.avro.splits"
 
   val FileCol = "__graft_file"
   val PosCol = "__graft_pos"
@@ -76,7 +80,8 @@ object AvroDataSource {
     * `withMeta` appends the provenance columns. */
   def relation(spark: SparkSession, paths: Seq[(String, String)],
       readSchema: StructType, withMeta: Boolean,
-      stats: Option[(Long, Long)] = None): DataFrame = {
+      stats: Option[(Long, Long)] = None,
+      splits: Seq[Seq[Long]] = Seq.empty): DataFrame = {
     val out =
       if (!withMeta) readSchema
       else StructType(readSchema.fields.toSeq :+
@@ -88,8 +93,11 @@ object AvroDataSource {
       .option(PathsOption, paths.map(_._1).mkString("\n"))
       .option(QualifiedOption, paths.map(_._2).mkString("\n"))
       .option(SchemaDdlOption, out.toDDL)
-    stats.fold(r) { case (rows, bytes) =>
-      r.option(StatsOption, s"$rows,$bytes")
+    val r2 =
+      if (splits.isEmpty) r
+      else r.option(SplitsOption, splits.map(_.mkString(",")).mkString("\n"))
+    stats.fold(r2) { case (rows, bytes) =>
+      r2.option(StatsOption, s"$rows,$bytes")
     }.load()
   }
 
@@ -162,15 +170,23 @@ object AvroDataSource {
           case _ => None
         }
       }
+      // per-file split offsets: \n-split must keep EMPTY entries so the
+      // pairwise alignment with paths holds (unknown files → no split)
+      val splitOffsets: Seq[Seq[Long]] =
+        Option(options.get(SplitsOption))
+          .map(_.split("\n", -1).toSeq.map(line => // -1: keep trailing empties
+            line.split(',').toSeq.filter(_.nonEmpty).map(_.trim.toLong)))
+          .getOrElse(Seq.empty)
       new AvroScan(required, split(PathsOption).zip(split(QualifiedOption)),
-        stats, pushed.toSeq)
+        stats, pushed.toSeq, splitOffsets)
     }
   }
 
   private final class AvroScan(
       required: StructType, paths: Seq[(String, String)],
       stats: Option[(Long, Long)],
-      pushed: Seq[org.apache.spark.sql.sources.Filter])
+      pushed: Seq[org.apache.spark.sql.sources.Filter],
+      splits: Seq[Seq[Long]] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
@@ -178,8 +194,38 @@ object AvroDataSource {
       s"graft-avro-files [${paths.size} files] " +
         s"PushedFilters: [${pushed.mkString(", ")}] " +
         s"ReadSchema: ${required.catalogString}"
-    override def planInputPartitions(): Array[InputPartition] =
-      paths.map { case (p, q) => AvroFilePartition(p, q): InputPartition }.toArray
+    /** One task per ~maxPartitionBytes run of blocks when the manifest
+      * recorded `split_offsets` — a single wide file spreads across the
+      * cluster instead of serializing through one task. Splitting is
+      * DISABLED whenever the scan needs `__graft_pos`: a split task
+      * cannot know how many records precede its first block, and wrong
+      * positions would corrupt MoR delete application (those scans read
+      * one task per file, exactly as before). Range tiling follows the
+      * canonical Avro split contract (sync to first block after start,
+      * stop past end), so every block lands in exactly one task. */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val canSplit = !required.fieldNames.contains(PosCol)
+      val maxSplit = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.filesMaxPartitionBytes
+      paths.zipWithIndex.flatMap { case ((p, q), i) =>
+        val offs = splits.lift(i).getOrElse(Seq.empty)
+        if (!canSplit || offs.size <= 1) Seq(AvroFilePartition(p, q))
+        else {
+          val bounds = Seq.newBuilder[Long]
+          var rangeStart = 0L
+          offs.foreach { o =>
+            if (o > rangeStart && o - rangeStart >= maxSplit) {
+              bounds += o; rangeStart = o
+            }
+          }
+          val bs = 0L +: bounds.result()
+          bs.zipWithIndex.map { case (s, j) =>
+            val e = if (j + 1 < bs.size) bs(j + 1) else -1L
+            AvroFilePartition(p, q, s, e): InputPartition
+          }
+        }
+      }.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       // runs on the DRIVER: snapshot the session Hadoop conf into the
       // (serialized) factory so executor-side opens see the same
@@ -199,7 +245,11 @@ object AvroDataSource {
       }
   }
 
-  private final case class AvroFilePartition(path: String, qualified: String)
+  private final case class AvroFilePartition(
+      path: String, qualified: String,
+      // byte range [start, end) under the canonical Avro split contract;
+      // end = -1 reads to EOF. (0, -1) = the whole file, one task.
+      start: Long = 0L, end: Long = -1L)
     extends InputPartition
 
   private final class AvroReaderFactory(
@@ -209,7 +259,8 @@ object AvroDataSource {
     extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[AvroFilePartition]
-      new AvroPartitionReader(fp.path, fp.qualified, required, pushed, sconf.value)
+      new AvroPartitionReader(fp.path, fp.qualified, required, pushed,
+        sconf.value, fp.start, fp.end)
     }
   }
 
@@ -228,7 +279,8 @@ object AvroDataSource {
   private final class AvroPartitionReader(
       path: String, qualified: String, required: StructType,
       pushed: Seq[org.apache.spark.sql.sources.Filter],
-      hadoopConf: Configuration)
+      hadoopConf: Configuration,
+      start: Long = 0L, end: Long = -1L)
     extends PartitionReader[InternalRow] {
 
     private val payload = required.fields.filter(f =>
@@ -270,6 +322,11 @@ object AvroDataSource {
           else if (f.name == PosCol) ColPos
           else posIn.getOrElse(f.name, ColNull)
         }
+        // canonical split start: seek to the first sync point AFTER
+        // `start` (start = 0 is the whole-file/first-range case — the
+        // header already positions at block 1). The planner never
+        // produces start > 0 for position-bearing scans.
+        if (start > 0L) r.sync(start)
         r
       } catch { case e: Throwable => r.close(); throw e }
     }
@@ -339,7 +396,9 @@ object AvroDataSource {
     private var emitN = 0L
 
     override def next(): Boolean = {
-      while (reader.hasNext) {
+      // canonical split stop: a range ends once the reader passes the
+      // sync point at `end` — blocks tile exactly across range tasks
+      while (reader.hasNext && !(end >= 0L && reader.pastSync(end))) {
         rec = reader.next(rec)
         pos += 1 // positions advance over SKIPPED records too (MoR index)
         readN += 1

@@ -240,9 +240,14 @@ object AvroFiles {
               val dest = new Path(segs.foldLeft(new Path(dirStr))(new Path(_, _)), name)
               val fs = src.getFileSystem(conf)
               val out = fs.create(src, false)
-              (new DataFileWriter[GenericRecord](
+              val w = new DataFileWriter[GenericRecord](
                 new GenericDatumWriter[GenericRecord](writerSchema))
-                .create(writerSchema, out), src, dest)
+              // block size drives split granularity: the default 64 KB
+              // sync interval would put thousands of split_offsets per
+              // data file in the manifests; ~2 MB blocks keep offsets
+              // compact while still splitting a wide file across tasks
+              w.setSyncInterval(1 << 21)
+              (w.create(writerSchema, out), src, dest)
             })
             val rec = new GenericData.Record(writerSchema)
             payloadIdx.indices.foreach { j =>
@@ -322,13 +327,24 @@ object AvroFiles {
     }
 
   /** Record count from block headers alone — no value decode. */
-  def rowCount(path: Path, conf: Configuration): Long = {
+  def rowCount(path: Path, conf: Configuration): Long =
+    blockIndex(path, conf)._1
+
+  /** (total rows, block sync offsets) from the container's block headers
+    * — no record decodes. The offsets are the file's spec `split_offsets`
+    * (sync points a reader can seek to), recorded once at commit time. */
+  def blockIndex(path: Path, conf: Configuration): (Long, Seq[Long]) = {
     val reader = new DataFileReader[GenericRecord](
       new FsInput(path, conf), new GenericDatumReader[GenericRecord]())
     try {
       var rows = 0L
-      while (reader.hasNext) { rows += reader.getBlockCount; reader.nextBlock() }
-      rows
+      val offsets = Seq.newBuilder[Long]
+      while (reader.hasNext) {
+        offsets += reader.previousSync()
+        rows += reader.getBlockCount
+        reader.nextBlock()
+      }
+      (rows, offsets.result())
     } finally reader.close()
   }
 }

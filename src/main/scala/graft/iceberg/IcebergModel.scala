@@ -132,7 +132,14 @@ object IcebergModel {
       // the file has _row_id = first_row_id + N. None on v2 tables, on
       // delete entries, and on files whose ids are MATERIALIZED as a
       // column (compaction rewrites — the column is then authoritative).
-      firstRowId: Option[Long] = None) {
+      firstRowId: Option[Long] = None,
+      // spec data_file field 132: byte offsets where the file can be
+      // split for parallel reads — parquet row-group starts, ORC stripe
+      // starts, avro block sync points. Empty = unknown (one read task).
+      // Decoded by the reference's full codec
+      // (iceberg_manifest_entry_full.hpp:306-353), written by nobody
+      // there; here both sides are live (round 10).
+      splitOffsets: Seq[Long] = Seq.empty) {
     def isDV: Boolean =
       content == 1 && fileFormat.equalsIgnoreCase("PUFFIN") && referencedDataFile.isDefined
     /** The effective data sequence number under inheritance. */

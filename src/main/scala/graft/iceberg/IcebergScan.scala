@@ -282,9 +282,18 @@ object IcebergScan {
             if (avroEntries.forall(_.fileSizeInBytes > 0L))
               avroEntries.map(_.fileSizeInBytes).sum
             else Long.MaxValue))
+        // manifest-recorded split_offsets, aligned pairwise with paths —
+        // the source splits a wide file across tasks when the scan needs
+        // no row positions (withMeta=false); MoR scans stay one task per
+        // file so positions remain the write-time record index
+        val offsetsByPath = avroEntries
+          .map(e => resolved(path, e.filePath, opts) -> e.splitOffsets).toMap
+        val splits =
+          if (withMeta) Seq.empty
+          else paths.map(p => offsetsByPath.getOrElse(p, Seq.empty))
         return AvroDataSource.relation(spark,
           paths.map(p => (p, IcebergIO.qualified(p, scanConf))),
-          readSchema, withMeta, stats)
+          readSchema, withMeta, stats, splits)
       }
       val reader = spark.read.format(fmt)
       val r = (if (opts.skipSchemaInference) reader

@@ -334,6 +334,8 @@ object IcebergWriter {
             {"type":"record","name":"k121_v122","fields":[
               {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
            "default":null},
+          {"name":"split_offsets","type":["null",{"type":"array","items":"long"}],
+           "default":null},
           {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
            "default":null},
           {"name":"referenced_data_file","type":["null","string"],"default":null},
@@ -577,7 +579,8 @@ object IcebergWriter {
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       nulls: Map[Int, Long] = Map.empty,
       sizeBytes: Long = 0L,
-      format: String = "PARQUET")
+      format: String = "PARQUET",
+      splitOffsets: Seq[Long] = Seq.empty)
 
   /** Parquet statistics value → the bound domain [[IcebergPruning.encodeBound]]
     * accepts. Unhandled types / NaN → None (no bound emitted → no pruning
@@ -631,7 +634,7 @@ object IcebergWriter {
     * bounds conservative by construction. */
   private def footerStats(
       st: FileStatus, conf: Configuration,
-      fields: Map[String, (Int, DataType)]): (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
+      fields: Map[String, (Int, DataType)]): (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long], Seq[Long]) = {
     val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
     try {
       val lower = scala.collection.mutable.Map.empty[Int, (DataType, Any)]
@@ -677,7 +680,9 @@ object IcebergWriter {
           IcebergPruning.encodeBound(dt, adjusted).map(id -> _)
         }.toMap
       (r.getRecordCount, enc(lower, upperSide = false), enc(upper, upperSide = true),
-        nulls.collect { case (id, Some(n)) => id -> n }.toMap)
+        nulls.collect { case (id, Some(n)) => id -> n }.toMap,
+        // spec split_offsets (field 132): row-group starting positions
+        r.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq)
     } finally r.close()
   }
 
@@ -718,17 +723,20 @@ object IcebergWriter {
         segs.find(_.startsWith(prefix))
           .map(seg => sf.fieldName -> parseDirValue(sf, seg.stripPrefix(prefix)))
       }.toMap
-      val (count, lower, upper, nulls) =
+      val (count, lower, upper, nulls, splits) =
         if (dataFormat.equalsIgnoreCase("orc")) orcStats(st, conf, fields)
-        // avro containers carry no column statistics: record count from
-        // block headers, no bounds (no pruning for avro files; sound)
-        else if (dataFormat.equalsIgnoreCase("avro"))
-          (AvroFiles.rowCount(st.getPath, conf),
-            Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
-            Map.empty[Int, Long])
+        // avro containers carry no column statistics: record count AND
+        // block sync offsets from the header walk (split_offsets), no
+        // bounds (no column pruning for avro files; sound)
+        else if (dataFormat.equalsIgnoreCase("avro")) {
+          val (rows, blockOffsets) = AvroFiles.blockIndex(st.getPath, conf)
+          (rows, Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
+            Map.empty[Int, Long], blockOffsets)
+        }
         else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
-        sizeBytes = st.getLen, format = dataFormat.toUpperCase)
+        sizeBytes = st.getLen, format = dataFormat.toUpperCase,
+        splitOffsets = splits)
     }
   }
 
@@ -740,7 +748,7 @@ object IcebergWriter {
   private def orcStats(
       st: FileStatus, conf: Configuration,
       fields: Map[String, (Int, DataType)]):
-      (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
+      (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long], Seq[Long]) = {
     val reader = org.apache.orc.OrcFile.createReader(
       st.getPath, org.apache.orc.OrcFile.readerOptions(conf))
     try {
@@ -785,7 +793,9 @@ object IcebergWriter {
           }
         }
       }
-      (rows, lower.toMap, upper.toMap, nulls.toMap)
+      (rows, lower.toMap, upper.toMap, nulls.toMap,
+        // spec split_offsets: ORC stripe starting positions
+        reader.getStripes.asScala.map(_.getOffset).toSeq)
     } finally reader.close()
   }
 
@@ -990,6 +1000,8 @@ object IcebergWriter {
           }
           dfr.put("null_value_counts", arr)
         }
+        if (e.splitOffsets.nonEmpty)
+          dfr.put("split_offsets", e.splitOffsets.map(Long.box).asJava)
         if (e.equalityIds.nonEmpty)
           dfr.put("equality_ids", e.equalityIds.map(Int.box).asJava)
         e.referencedDataFile.foreach(dfr.put("referenced_data_file", _))
@@ -2386,7 +2398,7 @@ object IcebergWriter {
         effectiveFv, nextRowIdOf(state), files.map { w =>
           ManifestEntry(status = 1, content = 0, filePath = w.path,
             fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-            partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+            partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
             nullCounts = w.nulls)
         })
       writeManifest(manifestPath, conf, dataEntries,
@@ -2498,7 +2510,7 @@ object IcebergWriter {
     writeManifest(addedPath, conf, files.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
 
@@ -2808,15 +2820,16 @@ object IcebergWriter {
       if (spec.nonEmpty) require(partition.size == spec.size,
         s"addFiles: ${st.getPath} lacks hive '<col>=' path segments for the " +
           s"partition spec (${spec.map(_.fieldName).mkString(", ")})")
-      val (count, lower, upper, nulls) =
+      val (count, lower, upper, nulls, splits) =
         if (fmt == "orc") orcStats(st, conf, fields)
-        else if (fmt == "avro")
-          (AvroFiles.rowCount(st.getPath, conf),
-            Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
-            Map.empty[Int, Long])
+        else if (fmt == "avro") {
+          val (rows, blockOffsets) = AvroFiles.blockIndex(st.getPath, conf)
+          (rows, Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
+            Map.empty[Int, Long], blockOffsets)
+        }
         else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
-        sizeBytes = st.getLen, format = fmt.toUpperCase)
+        sizeBytes = st.getLen, format = fmt.toUpperCase, splitOffsets = splits)
     }
     val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
     val seq = state.map(_.nextSeq).getOrElse(1L)
@@ -2824,7 +2837,7 @@ object IcebergWriter {
     val (entries, rowRange) = assignRowIds(fv, nextRowIdOf(state), written.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
         nullCounts = w.nulls)
     })
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
@@ -3407,7 +3420,7 @@ object IcebergWriter {
       writeManifest(manifestPath, conf, delFiles.map { w =>
         ManifestEntry(status = 1, content = 1, filePath = w.path, // POSITION_DELETES
           fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-          lowerBounds = w.lower, upperBounds = w.upper)
+          lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets)
       })
       return prevManifests :+ Manifest(manifestPath.toString, seq, content = 1)
     }
@@ -3650,7 +3663,7 @@ object IcebergWriter {
     writeManifest(manifestPath, conf, files.map { w =>
       ManifestEntry(status = 1, content = 2, filePath = w.path, // EQUALITY_DELETES
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        lowerBounds = w.lower, upperBounds = w.upper, nullCounts = w.nulls,
+        lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets, nullCounts = w.nulls,
         equalityIds = eqIds)
     })
     manifestPath
@@ -3726,7 +3739,7 @@ object IcebergWriter {
       latest.formatVersion, nextRowIdOf(Some(state)), dataFiles.map { w =>
         ManifestEntry(status = 1, content = 0, filePath = w.path,
           fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
           nullCounts = w.nulls)
       })
     writeManifest(dataManifest, conf, updEntries,
@@ -3823,7 +3836,7 @@ object IcebergWriter {
         latest.formatVersion, nextRowIdOf(Some(state)), dataFiles.map { w =>
           ManifestEntry(status = 1, content = 0, filePath = w.path,
             fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-            partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+            partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
             nullCounts = w.nulls)
         })
       writeManifest(dataManifest, conf, mrgEntries,
@@ -3992,7 +4005,7 @@ object IcebergWriter {
     writeManifest(addedPath, conf, delFiles.map { w =>
       ManifestEntry(status = 1, content = 1, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        lowerBounds = w.lower, upperBounds = w.upper)
+        lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets)
     })
     // delete manifests holding parquet entries rewrite to tombstones
     // (DVs stay EXISTING); data manifests carry verbatim
@@ -4061,7 +4074,7 @@ object IcebergWriter {
       // firstRowId stays None: the materialized column is authoritative
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val deletedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m1.avro")
@@ -4137,7 +4150,7 @@ object IcebergWriter {
     writeManifest(addedPath, conf, dataFiles.map { w =>
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val deletedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m1.avro")
@@ -4297,7 +4310,7 @@ object IcebergWriter {
       // firstRowId stays None: v3 lineage is materialized in the files
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+        partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
         nullCounts = w.nulls)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
 

@@ -210,6 +210,11 @@ object ManifestReader {
         firstRowId = fieldOrNull(df, "first_row_id") match {
           case l: java.lang.Long => Some(l.longValue)
           case _ => None
+        },
+        splitOffsets = fieldOrNull(df, "split_offsets") match {
+          case c: java.util.Collection[_] =>
+            c.asScala.toSeq.collect { case l: java.lang.Long => l.longValue }
+          case _ => Seq.empty
         })
     }
   }

@@ -297,6 +297,37 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("bucket") === 3).count() === 10) // ids ≡3 (mod 20) deleted
   }
 
+  test("split_offsets spread a wide avro file across read tasks (round 10)") {
+    import spark.implicits._
+    val table = tmp("graft_avro_split_") + "/t"
+    // ~8 MB of payload in ONE container → ≥4 blocks at the 2 MB sync interval
+    val df = (1 to 20000).map(i => (i.toLong, "x" * 400 + i)).toDF("id", "body")
+    IcebergWriter.write(df.coalesce(1), table, dataFormat = Some("avro"))
+
+    val conf = spark.sessionState.newHadoopConf()
+    val snap = IcebergScan.selectSnapshot(spark, table, IcebergScan.Options())
+    graft.iceberg.ManifestReader.invalidatePlanningCache()
+    val meta = graft.iceberg.ManifestReader.loadTable(
+      table, snap, conf, allowMovedPaths = false)
+    val entry = meta.entries.flatMap(_._2).head
+    assert(entry.splitOffsets.size >= 4,
+      s"expected >=4 block offsets, got ${entry.splitOffsets.size}")
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+    try {
+      val scan = IcebergScan.scan(spark, table)
+      val parts = scan.select("id").rdd.getNumPartitions
+      assert(parts > 1, s"wide avro file planned as $parts task(s)")
+      // block tiling is exact: no row lost or doubled across range tasks
+      assert(scan.count() === 20000)
+      assert(scan.agg(sum("id")).head().getLong(0) === 20000L * 20001 / 2)
+      // a scan that needs positions (MoR) refuses to split — deletes
+      // still subtract exactly
+      IcebergWriter.delete(spark, table, col("id") % 3 === 0)
+      assert(IcebergScan.scan(spark, table).count() === 20000 - 6666)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("orphaned staging output from a dead attempt is never registered") {
     import spark.implicits._
     // a foreign avro lake whose producer crashed mid-write: a partial

@@ -189,6 +189,22 @@ class ManifestListSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.scan(spark, table).count() === 24)
   }
 
+  test("parquet entries record row-group split_offsets (spec field 132)") {
+    val table = tmp("graft_mlist_split_") + "/t"
+    IcebergWriter.write(grpDF(1, 50), table)
+    ManifestReader.invalidatePlanningCache()
+    val snap = IcebergScan.selectSnapshot(spark, table, IcebergScan.Options())
+    val meta = ManifestReader.loadTable(table, snap, conf, allowMovedPaths = false)
+    val entries = meta.entries.flatMap(_._2)
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      assert(e.splitOffsets.nonEmpty, s"${e.filePath} has no split_offsets")
+      // first row group starts just past the PAR1 magic
+      assert(e.splitOffsets.head >= 4 && e.splitOffsets.head < 1024)
+      assert(e.splitOffsets == e.splitOffsets.sorted)
+    }
+  }
+
   test("manifestMayMatch: transform-aware, conservative on unknowns") {
     val schema = Seq(
       Column(1, "grp", org.apache.spark.sql.types.IntegerType, required = false),
