@@ -141,6 +141,19 @@ class IcebergStreamSource(
   require(!cdc || (!skipDeletes && !skipOverwrites),
     "mode=cdc streams deletes and overwrites as row-level changes; the " +
       "skip-*-snapshots options only apply to append mode")
+  // UPDATE PAIRING (round 10): with update-keys set, each commit's
+  // delete+insert rows sharing the key values stream as
+  // update_preimage/update_postimage pairs ([[IcebergScan
+  // .changelogWithUpdates]]) — the shape a downstream MERGE consumer
+  // applies directly. Pairing is per commit, so checkpoint restarts
+  // (whole-snapshot offsets) re-pair deterministically.
+  private val updateKeys: Seq[String] =
+    params.get("update-keys")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+  require(updateKeys.isEmpty || cdc,
+    "update-keys requires mode=cdc (it pairs each commit's delete+insert " +
+      "rows into update_preimage/update_postimage)")
   private val branch = params.get("branch")
 
   private val conf = spark.sessionState.newHadoopConf()
@@ -357,10 +370,14 @@ class IcebergStreamSource(
       startOff: Option[SnapshotOffset], endOff: SnapshotOffset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val info = load()
+    def diffOf(fromId: Long, toId: Long): DataFrame =
+      if (updateKeys.nonEmpty)
+        IcebergScan.changelogWithUpdates(
+          spark, path, updateKeys, fromId, Some(toId), opts)
+      else IcebergScan.changelogBySnapshot(spark, path, fromId, Some(toId), opts)
     val changes = startOff.map(_.snapshotId).orElse(floorId) match {
       case Some(fromId) if fromId != endOff.snapshotId =>
-        IcebergScan.changelogBySnapshot(
-          spark, path, fromId, Some(endOff.snapshotId), opts)
+        diffOf(fromId, endOff.snapshotId)
       case Some(_) => // start == end: engine never asks, but be total
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -375,8 +392,7 @@ class IcebergStreamSource(
             lit(first.snapshotId))
         if (first.snapshotId == endOff.snapshotId) firstRows
         else firstRows.unionByName(
-          IcebergScan.changelogBySnapshot(spark, path, first.snapshotId,
-            Some(endOff.snapshotId), opts),
+          diffOf(first.snapshotId, endOff.snapshotId),
           allowMissingColumns = true)
     }
     // align to the source schema, then union an empty STREAMING relation:

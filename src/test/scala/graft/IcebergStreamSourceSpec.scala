@@ -311,6 +311,54 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("mode=cdc with update-keys pairs updates, across a checkpoint restart") {
+    val table = tmp("graft_src_cdcu_") + "/t"
+    val ckpt = tmp("graft_src_cdcu_ckpt_")
+    IcebergWriter.write(idsDF(1, 2, 3), table)
+    def run(into: java.util.Queue[(Long, String, String)]): StreamingQuery =
+      readSource(table, "mode" -> "cdc", "update-keys" -> "id").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id", "payload", "_change_type").collect()
+            .foreach(r => into.add((r.getLong(0), r.getString(1), r.getString(2))))
+        }.start()
+    // an UPDATE commit (same-commit delete+insert per row) pairs into
+    // preimage/postimage instead of raw delete+insert
+    IcebergWriter.update(spark, table, col("id") === 2,
+      Map("payload" -> lit("row-2-v2")))
+    val first = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val q1 = run(first)
+    try {
+      q1.processAllAvailable()
+      val rows = first.toArray(Array.empty[(Long, String, String)]).toSet
+      assert(rows === Set(
+        (1L, "row-1", "insert"), (2L, "row-2", "insert"), (3L, "row-3", "insert"),
+        (2L, "row-2", "update_preimage"), (2L, "row-2-v2", "update_postimage")),
+        s"saw $rows")
+    } finally q1.stop()
+    // another update lands while the stream is down; the restarted query
+    // re-pairs JUST the new commit from the checkpoint
+    IcebergWriter.update(spark, table, col("id") === 3,
+      Map("payload" -> lit("row-3-v2")))
+    val second = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val q2 = run(second)
+    try {
+      q2.processAllAvailable()
+      val rows = second.toArray(Array.empty[(Long, String, String)]).toSet
+      assert(rows === Set(
+        (3L, "row-3", "update_preimage"), (3L, "row-3-v2", "update_postimage")),
+        s"saw $rows")
+    } finally q2.stop()
+    // update-keys without cdc mode is rejected up front
+    val err = intercept[Exception] {
+      startToMemory(readSource(table, "update-keys" -> "id"), "src_cdcu_bad")
+        .processAllAvailable()
+    }
+    assert(err.getMessage.contains("update-keys requires mode=cdc") ||
+      Option(err.getCause).exists(_.getMessage.contains("update-keys requires mode=cdc")),
+      err.getMessage)
+  }
+
   test("mode=cdc paces per snapshot: each batch diffs a bounded window") {
     val table = tmp("graft_src_cdcp_") + "/t"
     IcebergWriter.write(idsDF(1), table)
