@@ -96,12 +96,13 @@ object RestCatalog {
     * the fresh token — long-lived sessions outlive catalog token TTLs. */
   private def httpC(c: Client, method: String, url: String,
       body: Option[String],
-      contentType: String = "application/json"): String =
-    try http(method, url, c.token, body, contentType)
+      contentType: String = "application/json",
+      headers: Map[String, String] = Map.empty): String =
+    try http(method, url, c.token, body, contentType, headers)
     catch {
       case _: UnauthorizedException if c.credential.isDefined =>
         c.setToken(oauthToken(c.uri, c.credential.get))
-        http(method, url, c.token, body, contentType)
+        http(method, url, c.token, body, contentType, headers)
     }
 
   /** OAuth2 client-credentials exchange against the catalog's token
@@ -150,7 +151,47 @@ object RestCatalog {
     val ref = parseRef(table)
     loaded(table, parse(httpC(c, "GET",
       s"${root(c)}/namespaces/${nsPath(ref.namespace)}/tables/${enc(ref.name)}",
-      None)))
+      None,
+      // REST spec access delegation: ask the catalog to vend short-lived
+      // storage credentials in the LoadTableResult config
+      headers = Map("X-Iceberg-Access-Delegation" -> "vended-credentials"))))
+  }
+
+  /** VENDED CREDENTIALS (REST spec access delegation): translate the
+    * storage properties a catalog returns in `LoadTableResult.config`
+    * into Hadoop filesystem settings — the standard Iceberg `s3.*` keys
+    * map to their `fs.s3a.*` equivalents, and any `hadoop.`-prefixed key
+    * passes through verbatim (catalog-driven FS configuration). Unknown
+    * keys are ignored (they configure FileIO features this engine does
+    * not use). */
+  def vendedHadoopProps(config: Map[String, String]): Map[String, String] = {
+    val s3Map = Map(
+      "s3.access-key-id" -> "fs.s3a.access.key",
+      "s3.secret-access-key" -> "fs.s3a.secret.key",
+      "s3.session-token" -> "fs.s3a.session.token",
+      "s3.endpoint" -> "fs.s3a.endpoint",
+      "s3.path-style-access" -> "fs.s3a.path.style.access",
+      "client.region" -> "fs.s3a.endpoint.region")
+    config.flatMap { case (k, v) =>
+      s3Map.get(k).map(_ -> v)
+        .orElse(if (k.startsWith("hadoop.")) Some(k.stripPrefix("hadoop.") -> v)
+                else None)
+    }
+  }
+
+  /** Apply a loaded table's vended storage credentials to the SESSION so
+    * the subsequent scan's Hadoop configuration (and every executor task
+    * deriving from it) can reach the table's storage. Session-scoped by
+    * design — the credentials a catalog vends are per-principal, exactly
+    * the session's scope. */
+  private def applyVended(spark: SparkSession, t: LoadedTable): LoadedTable = {
+    // bare hadoop keys: sessionState.newHadoopConf() copies session SQL
+    // conf entries into the Hadoop configuration VERBATIM (the
+    // spark.hadoop.* prefix is only stripped from the STATIC SparkConf
+    // at context startup), so runtime-vended settings must use the
+    // final key names
+    vendedHadoopProps(t.config).foreach { case (k, v) => spark.conf.set(k, v) }
+    t
   }
 
   /** The catalog rejected a commit's requirements (HTTP 409): the
@@ -548,16 +589,19 @@ object RestCatalog {
     * apply — snapshot ids, refs, timestamps, pruning filters, modes). */
   def scan(spark: SparkSession, c: Client, table: String,
       opts: IcebergScan.Options = IcebergScan.Options()): DataFrame =
-    IcebergScan.scan(spark, loadTable(c, table).metadataLocation, opts)
+    IcebergScan.scan(spark,
+      applyVended(spark, loadTable(c, table)).metadataLocation, opts)
 
   /** `iceberg_snapshots` over a catalog table. */
   def snapshots(spark: SparkSession, c: Client, table: String): DataFrame =
-    IcebergScan.snapshots(spark, loadTable(c, table).metadataLocation)
+    IcebergScan.snapshots(spark,
+      applyVended(spark, loadTable(c, table)).metadataLocation)
 
   /** `iceberg_metadata` over a catalog table. */
   def metadata(spark: SparkSession, c: Client, table: String,
       opts: IcebergScan.Options = IcebergScan.Options()): DataFrame =
-    IcebergScan.metadata(spark, loadTable(c, table).metadataLocation, opts)
+    IcebergScan.metadata(spark,
+      applyVended(spark, loadTable(c, table)).metadataLocation, opts)
 
   // ---- plumbing --------------------------------------------------------
 
@@ -621,7 +665,8 @@ object RestCatalog {
     * everything else → IOException carrying the server's error JSON
     * (`{"error":{"message",...}}`) when present. */
   private def http(method: String, url: String, bearer: Option[String],
-      body: Option[String], contentType: String = "application/json"): String = {
+      body: Option[String], contentType: String = "application/json",
+      headers: Map[String, String] = Map.empty): String = {
     val conn = new URI(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     try {
@@ -629,6 +674,7 @@ object RestCatalog {
       conn.setConnectTimeout(10000)
       conn.setReadTimeout(30000)
       conn.setRequestProperty("Accept", "application/json")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       bearer.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
       body.foreach { b =>
         conn.setDoOutput(true)

@@ -43,3 +43,19 @@ class MockS3FileSystem extends RawLocalFileSystem {
   override def listStatus(f: Path): Array[FileStatus] =
     super.listStatus(f).map(sanitize)
 }
+
+/** A mock object store that REQUIRES a session token in its Hadoop
+  * configuration — the sandbox analogue of an S3 bucket readable only
+  * with catalog-vended credentials (RestCatalog access delegation). */
+class CredentialedMockS3FileSystem extends MockS3FileSystem {
+  override def initialize(name: URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (conf.get("fs.vended-s3.session.token") != "vended-token")
+      throw new java.io.IOException(
+        "vended-s3: access denied (no valid session token in the configuration)")
+    super.initialize(name, conf)
+  }
+  override def getUri: URI =
+    if (super.getUri.getScheme == "mock-s3") URI.create("vended-s3:///")
+    else super.getUri
+  override def getScheme: String = "vended-s3"
+}

@@ -41,6 +41,9 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   // token authorizes; rotating currentToken invalidates issued bearers
   @volatile private var enforceToken = false
   @volatile private var currentToken = "tok-123"
+  // extra LoadTableResult.config entries (vended-credentials simulation)
+  @volatile private var vendedConfig = Map.empty[String, String]
+  @volatile private var lastAccessDelegation: Option[String] = None
   @volatile private var injectConflictOnce = false // fail the next commit POST
   @volatile private var lastCommitActions = Seq.empty[String] // last POST's update actions
 
@@ -242,9 +245,14 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
           respond(x, 200, s"""{"identifiers":[${ids.mkString(",")}]$next}""")
         case p if p.startsWith("namespaces/analytics/tables/") =>
           val name = p.stripPrefix("namespaces/analytics/tables/")
+          lastAccessDelegation =
+            Option(x.getRequestHeaders.getFirst("X-Iceberg-Access-Delegation"))
           tables.get(name) match {
-            case Some(loc) => respond(x, 200,
-              s"""{"metadata-location":"$loc","config":{"read.split.target-size":"134217728"}}""")
+            case Some(loc) =>
+              val cfg = (Map("read.split.target-size" -> "134217728") ++
+                vendedConfig).map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+              respond(x, 200,
+                s"""{"metadata-location":"$loc","config":{$cfg}}""")
             case None => respond(x, 404,
               s"""{"error":{"message":"Table does not exist: analytics.$name","type":"NoSuchTableException","code":404}}""")
           }
@@ -316,6 +324,59 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       enforceToken = false
       currentToken = "tok-123"
       RestCatalog.dropTable(c, "analytics.orders_reauth")
+    }
+  }
+
+  test("vended credentials from loadTable reach the scan's filesystem") {
+    val fsImpl = classOf[CredentialedMockS3FileSystem].getName
+    val localDir = Files.createTempDirectory("graft_rest_vended_").toString
+    val path = s"vended-s3://bucket$localDir/t"
+    // create the table WITH credentials in the session, then remove them
+    // (cache disabled so later accesses re-initialize from scratch)
+    spark.conf.set("fs.vended-s3.impl", fsImpl)
+    spark.conf.set("fs.vended-s3.impl.disable.cache", "true")
+    spark.conf.set("fs.vended-s3.session.token", "vended-token")
+    val expected = try {
+      IcebergWriter.write(Tables.load(spark, Sf, "nation"), path)
+      IcebergScan.scan(spark, path).count()
+    } finally {
+      spark.conf.unset("fs.vended-s3.impl")
+      spark.conf.unset("fs.vended-s3.session.token")
+    }
+    assert(expected > 0)
+    // without the catalog, the scheme is unreachable in this session
+    intercept[Exception] { IcebergScan.scan(spark, path).count() }
+
+    val conf = spark.sessionState.newHadoopConf()
+    // register under the vended-s3 metadata location (resolve with a
+    // conf that still knows the scheme)
+    val metaConf = new org.apache.hadoop.conf.Configuration(conf)
+    metaConf.set("fs.vended-s3.impl", fsImpl)
+    metaConf.set("fs.vended-s3.session.token", "vended-token")
+    val meta = graft.iceberg.IcebergIO.resolveMetadataPath(
+      path, metaConf, "none",
+      graft.iceberg.IcebergModel.UnknownTableVersion,
+      graft.iceberg.IcebergModel.DefaultTableVersionFormat, false)
+    tables.put("nation_vended", meta)
+    vendedConfig = Map(
+      "hadoop.fs.vended-s3.impl" -> fsImpl,
+      "hadoop.fs.vended-s3.impl.disable.cache" -> "true",
+      "hadoop.fs.vended-s3.session.token" -> "vended-token",
+      "s3.access-key-id" -> "AKIAVENDED") // exercises the s3.* mapping too
+    try {
+      val c = RestCatalog.connect(uri)
+      assert(RestCatalog.scan(spark, c, "analytics.nation_vended").count() === expected)
+      // the client asked for delegation and applied the vended mapping
+      assert(lastAccessDelegation === Some("vended-credentials"))
+      assert(spark.conf.get("fs.s3a.access.key") === "AKIAVENDED")
+    } finally {
+      vendedConfig = Map.empty
+      tables.remove("nation_vended")
+      Seq("fs.vended-s3.impl",
+        "fs.vended-s3.impl.disable.cache",
+        "fs.vended-s3.session.token",
+        "fs.s3a.access.key").foreach(k =>
+        scala.util.Try(spark.conf.unset(k)))
     }
   }
 
