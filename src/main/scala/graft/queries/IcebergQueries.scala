@@ -1375,6 +1375,44 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib56_avro_filter_pushdown",
+      // Avro decode-loop filter pushdown gate (round 10): a filtered scan
+      // of an avro-format orders table must emit from the decoder ONLY the
+      // matching rows (the counter delta equals the result count — checked
+      // as emitted_matches_result), while the aggregate itself must equal
+      // DuckDB's over the parquet source. Proves pushed predicates skip
+      // non-matching rows before the DSv2 boundary without changing
+      // semantics.
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS emitted_matches_result,
+               COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+        FROM orders WHERE o_orderstatus = 'F' AND o_custkey <= 500"""),
+      (s, dir) => {
+        val table = cachedTable("ib56", dir) { () =>
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_ib56_").toString + "/orders_avro_pf"
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.load(s, dir, "orders"), t, dataFormat = Some("avro"))
+          t
+        }
+        val (_, e0) = graft.iceberg.AvroDataSource.decoderStats
+        val rows = IcebergScan.scan(s, table)
+          .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 500L)
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast("double"), 2).as("sum_price"))
+          .collect()(0)
+        val (_, e1) = graft.iceberg.AvroDataSource.decoderStats
+        val emitted = e1 - e0
+        import s.implicits._
+        Seq((if (emitted == rows.getLong(0)) 1L else 0L,
+          rows.getLong(0), rows.getDouble(1)))
+          .toDF("emitted_matches_result", "cnt", "sum_price")
+      }
+    ),
+    QueryDef(
       "ib55_manifest_pruning",
       // Manifest-LEVEL pruning gate (round 10): six commits append six
       // disjoint 5-day slices of events under an identity(dt) spec, so
