@@ -129,13 +129,19 @@ object AvroDataSource {
           case _: StructType | _: ArrayType | _: MapType => false
           case _ => true
         })
+    def nonBinary(name: String): Boolean =
+      !schema.fields.find(_.name == name).exists(_.dataType == BinaryType)
     f match {
       case EqualTo(c, _)            => atomic(c)
       case GreaterThan(c, _)        => atomic(c)
       case GreaterThanOrEqual(c, _) => atomic(c)
       case LessThan(c, _)           => atomic(c)
       case LessThanOrEqual(c, _)    => atomic(c)
-      case In(c, vs)                => atomic(c) && vs != null && vs.length <= 1000
+      // binary IN would compare Array[Byte] by REFERENCE in the matcher's
+      // Set — always false, silently dropping every match (comparisons go
+      // through the interpreted ordering, which compares contents)
+      case In(c, vs)                => atomic(c) && nonBinary(c) &&
+        vs != null && vs.length <= 1000
       case IsNull(c)                => atomic(c)
       case IsNotNull(c)             => atomic(c)
       case _                        => false

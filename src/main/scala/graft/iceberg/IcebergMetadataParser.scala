@@ -100,20 +100,19 @@ object IcebergMetadataParser {
       Map(0 -> specFields(root.get("partition-spec")))
     else Map.empty
 
-  private def parsePartitionSpec(root: JsonNode): Seq[PartitionFieldSpec] = {
-    def fields(node: JsonNode): Seq[PartitionFieldSpec] = specFields(node)
+  /** The DEFAULT spec's fields (what unkeyed consumers prune with) —
+    * default-spec-id when recorded, else the first spec, else the v1
+    * legacy flat spec (which [[parseAllSpecs]] maps to id 0). */
+  private def parsePartitionSpec(root: JsonNode): Seq[PartitionFieldSpec] =
     if (root.has("partition-specs")) {
       val specs = root.get("partition-specs").elements.asScala.toSeq
       val wanted =
         if (root.has("default-spec-id")) root.get("default-spec-id").asInt else 0
       specs.find(s => s.has("spec-id") && s.get("spec-id").asInt == wanted)
         .orElse(specs.headOption)
-        .map(s => fields(s.get("fields")))
+        .map(s => specFields(s.get("fields")))
         .getOrElse(Seq.empty)
-    } else if (root.has("partition-spec")) {
-      fields(root.get("partition-spec"))
-    } else Seq.empty
-  }
+    } else parseAllSpecs(root).getOrElse(0, Seq.empty)
 
   def parseInfo(json: String): ParseInfo = {
     val root = mapper.readTree(json)

@@ -462,6 +462,12 @@ object IcebergPruning {
   private def summaryKeep(
       s: FieldSummary, sf: PartitionFieldSpec, dt: DataType, p: ColPredicate): Boolean = {
     import IcebergTransforms.{Identity, Day, Month, Year, Hour, Bucket, Truncate}
+    // Iceberg EXCLUDES NaN from float/double bounds (contains_nan flags
+    // it instead), and NaN sorts above every value in Spark — a foreign
+    // manifest flagged contains_nan can satisfy any comparison its
+    // bounds rule out, so it is never prunable by this field.
+    if (s.containsNan.contains(true) &&
+        (dt == FloatType || dt == DoubleType)) return true
     def ordLo = s.lowerBound.flatMap(ordinalOfBytes)
     def ordHi = s.upperBound.flatMap(ordinalOfBytes)
     IcebergTransforms.parse(sf.transform) match {

@@ -907,12 +907,21 @@ object IcebergWriter {
     }
 
   /** Value summary of one partition field across a manifest's entries
-    * (spec `field_summary`). Bounds only when every non-null value shares
-    * one encodable type — a mixed or unknown domain yields no bound
-    * (pruning keeps), never a wrong one. */
-  private def summaryOf(vs: Seq[Any]): FieldSummary = {
-    val nonNull = vs.filterNot(_ == null)
-    val hasNull = nonNull.size != vs.size
+    * (spec `field_summary`). Bounds only when EVERY entry carries a
+    * non-null value of one encodable type: a null or ABSENT partition
+    * value means "this file is unconstrained on the field" under the
+    * entry-level pruner's own rule (keepByPartition keeps on null —
+    * merged manifests can span partition-spec evolution, where
+    * pre-evolution files hold rows of ANY value), so claiming bounds
+    * over the remaining files would let manifest-level pruning skip a
+    * manifest whose unconstrained file matches. No bound ever, only a
+    * missed skip. */
+  private def summaryOf(vs: Seq[Option[Any]]): FieldSummary = {
+    val anyUnconstrained = vs.exists(v => v.isEmpty || v.contains(null))
+    if (anyUnconstrained)
+      return FieldSummary(containsNull = true, containsNan = None,
+        lowerBound = None, upperBound = None)
+    val nonNull = vs.flatten
     def enc(dt: DataType, v: Any) = IcebergPruning.encodeBound(dt, v)
     val (lo, hi) = nonNull.headOption match {
       case Some(_: java.lang.Integer) if nonNull.forall(_.isInstanceOf[java.lang.Integer]) =>
@@ -928,7 +937,7 @@ object IcebergWriter {
         (Some(mn.getBytes("UTF-8")), Some(mx.getBytes("UTF-8")))
       case _ => (None, None)
     }
-    FieldSummary(containsNull = hasNull, containsNan = None,
+    FieldSummary(containsNull = false, containsNan = None,
       lowerBound = lo, upperBound = hi)
   }
 
@@ -947,7 +956,7 @@ object IcebergWriter {
       summaries =
         if (partitionNames.isEmpty) None
         else Some(partitionNames.map(n =>
-          summaryOf(entries.map(_.partition.getOrElse(n, null))))))
+          summaryOf(entries.map(_.partition.get(n))))))
   }
 
   private def writeManifest(

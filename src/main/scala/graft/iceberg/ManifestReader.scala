@@ -294,9 +294,29 @@ object ManifestReader {
   def planningCacheStats: (Long, Long) =
     (planCacheHits.get, planCacheMisses.get)
 
+  // Immutable-FILE caches under the snapshot plan cache (round 10):
+  // manifest lists and manifests are never rewritten in place (commit
+  // names embed a random token), so their decode memoizes by path. A
+  // PARTIAL (manifest-pruned) plan cannot enter the snapshot cache, but
+  // with these a repeated filtered scan of the same snapshot costs zero
+  // metadata I/O — only the filter re-evaluates.
+  private val listCache =
+    new java.util.LinkedHashMap[String, Seq[Manifest]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Manifest]]): Boolean = size > 64
+    }
+  private val entryCache =
+    new java.util.LinkedHashMap[String, Seq[ManifestEntry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[ManifestEntry]]): Boolean = size > 512
+    }
+
   /** Drop every cached plan (tests; or to release driver memory). */
-  def invalidatePlanningCache(): Unit =
+  def invalidatePlanningCache(): Unit = {
     planCache.synchronized(planCache.clear())
+    listCache.synchronized(listCache.clear())
+    entryCache.synchronized(entryCache.clear())
+  }
 
   private val manifestsDecodedCtr = new java.util.concurrent.atomic.AtomicLong
   private val manifestsPrunedCtr = new java.util.concurrent.atomic.AtomicLong
@@ -374,33 +394,56 @@ object ManifestReader {
       conf: Configuration,
       allowMovedPaths: Boolean,
       manifestFilter: Manifest => Boolean = _ => true): TableMeta = {
+    val useFileCaches = conf.getInt(
+      PlanningCacheSnapshotsKey, DefaultPlanningCacheSnapshots) > 0
     val listPath =
       if (allowMovedPaths) IcebergIO.fullPath(tablePath, snapshot.manifestList)
       else snapshot.manifestList
-    val allManifests = readManifestList(listPath, conf, snapshot.formatVersion)
+    val allManifests =
+      (if (useFileCaches) listCache.synchronized(Option(listCache.get(listPath)))
+       else None).getOrElse {
+        val ms = readManifestList(listPath, conf, snapshot.formatVersion)
+        if (useFileCaches) listCache.synchronized { listCache.put(listPath, ms); () }
+        ms
+      }
     val manifests = allManifests.filter(manifestFilter)
     manifestsDecodedCtr.addAndGet(manifests.size.toLong)
     manifestsPrunedCtr.addAndGet((allManifests.size - manifests.size).toLong)
+
+    val cachedEntries: Map[String, Seq[ManifestEntry]] =
+      if (!useFileCaches) Map.empty
+      else entryCache.synchronized {
+        manifests.flatMap(m =>
+          Option(entryCache.get(m.manifestPath)).map(m.manifestPath -> _)).toMap
+      }
+    val toFetch = manifests.filterNot(m => cachedEntries.contains(m.manifestPath))
 
     import scala.concurrent.duration._
     val threshold = conf.getInt(
       DistributedPlanningThresholdKey, DefaultDistributedPlanningThreshold)
     val active = org.apache.spark.sql.SparkSession.getActiveSession
-    val entries = active match {
-      case Some(spark) if threshold > 0 && manifests.size >= threshold =>
-        fetchDistributed(spark, tablePath, manifests, conf,
+    val fetched: Map[String, Seq[ManifestEntry]] = (active match {
+      case _ if toFetch.isEmpty => Seq.empty
+      case Some(spark) if threshold > 0 && toFetch.size >= threshold =>
+        fetchDistributed(spark, tablePath, toFetch, conf,
           snapshot.formatVersion, allowMovedPaths)
+          .map { case (m, es) => m.manifestPath -> es }
       case _ =>
         val parallelism = conf.getInt(FetchParallelismKey, DefaultFetchParallelism)
         val timeout = conf.getLong(FetchTimeoutSecKey, DefaultFetchTimeoutSec).seconds
         DriverPool.mapParallel(
-          manifests, parallelism, timeout, "graft-manifest-fetch") { m =>
+          toFetch, parallelism, timeout, "graft-manifest-fetch") { m =>
           val mPath =
             if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
             else m.manifestPath
-          m -> readManifestEntries(mPath, conf, snapshot.formatVersion)
+          m.manifestPath -> readManifestEntries(mPath, conf, snapshot.formatVersion)
         }
+    }).toMap
+    if (useFileCaches && fetched.nonEmpty) entryCache.synchronized {
+      fetched.foreach { case (p, es) => entryCache.put(p, es) }
     }
+    val entries = manifests.map(m =>
+      m -> cachedEntries.getOrElse(m.manifestPath, fetched(m.manifestPath)))
     TableMeta(tablePath, snapshot, entries,
       partialPlan = manifests.size != allManifests.size)
   }

@@ -190,9 +190,23 @@ object RestCatalog {
     // spark.hadoop.* prefix is only stripped from the STATIC SparkConf
     // at context startup), so runtime-vended settings must use the
     // final key names
-    vendedHadoopProps(t.config).foreach { case (k, v) => spark.conf.set(k, v) }
+    val props = vendedHadoopProps(t.config)
+    // When THIS table vends s3 credentials, clear the credential keys it
+    // does NOT carry: a stale fs.s3a.session.token from a previously
+    // scanned table combined with a fresh static key pair signs as the
+    // wrong principal. A table that vends no s3 credentials leaves the
+    // session's (possibly user-set) credentials untouched; hadoop.*
+    // passthroughs are additive config, not rotating credentials.
+    if (S3CredentialKeys.exists(props.contains))
+      S3CredentialKeys.filterNot(props.contains).foreach { k =>
+        scala.util.Try(spark.conf.unset(k))
+      }
+    props.foreach { case (k, v) => spark.conf.set(k, v) }
     t
   }
+
+  private val S3CredentialKeys = Seq(
+    "fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.session.token")
 
   /** The catalog rejected a commit's requirements (HTTP 409): the
     * expected branch head moved between load and commit. */
@@ -498,9 +512,15 @@ object RestCatalog {
         newSchemaIds.forall(idsOf(now, "schemas", "schema-id")) &&
         newSpecIds.forall(idsOf(now, "partition-specs", "spec-id")) &&
         newOrderIds.forall(idsOf(now, "sort-orders", "order-id"))
-      val carriesAdditions = addedIds.nonEmpty || afterHead != beforeHead ||
+      // `afterHead != beforeHead` alone is NOT an addition: a ROLLBACK
+      // moves the head to an ANCESTOR, which is in every descendant's
+      // lineage whether or not our commit landed — a backward pointer
+      // move has nothing whose presence can witness it, so it keeps the
+      // strict check like other pointer-only commits.
+      val carriesAdditions = addedIds.nonEmpty ||
         newSchemaIds.nonEmpty || newSpecIds.nonEmpty || newOrderIds.nonEmpty
       additionsIn && (carriesAdditions || (
+        mainHead(now) == afterHead &&
         intField(now, "current-schema-id") == intField(afterRoot, "current-schema-id") &&
         intField(now, "default-spec-id") == intField(afterRoot, "default-spec-id") &&
         intField(now, "default-sort-order-id") == intField(afterRoot, "default-sort-order-id") &&

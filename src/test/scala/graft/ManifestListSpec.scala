@@ -189,6 +189,37 @@ class ManifestListSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.scan(spark, table).count() === 24)
   }
 
+  test("cross-spec merged manifests claim no bounds — pre-evolution rows survive pruning") {
+    val table = tmp("graft_mlist_xspec_") + "/t"
+    // commit 1: UNPARTITIONED, rows with grp = 7 (outside the later range)
+    IcebergWriter.write(grpDF(7, 4), table)
+    // evolve to identity(grp) and stack commits past the manifest-merge
+    // threshold (10) so a MERGED manifest spans both specs
+    (1 to 11).foreach(g =>
+      IcebergWriter.write(grpDF(g % 6 + 1, 2), table,
+        partitionBy = Seq("grp" -> "identity")))
+    ManifestReader.invalidatePlanningCache()
+    val manifests = ManifestReader.readManifestList(currentList(table), conf, 2)
+    // the merge fired (fewer manifests than commits)
+    assert(manifests.size < 12)
+    // every manifest holding an old-spec (grp-less) entry must be
+    // unconstrained on grp: absent values ⇒ no bounds + containsNull
+    manifests.filter(_.content == 0).foreach { m =>
+      val entries = ManifestReader.readManifestEntries(m.manifestPath, conf, 2)
+      if (entries.exists(e => e.content == 0 && !e.partition.contains("grp")))
+        m.stats.flatMap(_.partitions).toSeq.flatten.foreach { s =>
+          assert(s.lowerBound.isEmpty && s.upperBound.isEmpty && s.containsNull,
+            s"merged manifest ${m.manifestPath} claims grp bounds over " +
+              "an unconstrained old-spec entry")
+        }
+    }
+    // the actual gate: a filtered scan for the pre-evolution value
+    // returns its rows (round-10 review: summaries over merged manifests
+    // used to claim bounds from partitioned entries only)
+    val out = IcebergScan.scanFiltered(spark, table, col("grp") === 7)
+    assert(out.count() === 4, "pre-evolution rows were pruned away")
+  }
+
   test("parquet entries record row-group split_offsets (spec field 132)") {
     val table = tmp("graft_mlist_split_") + "/t"
     IcebergWriter.write(grpDF(1, 50), table)
@@ -234,6 +265,21 @@ class ManifestListSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(ColPredicate("name", Eq, "zzz"))))
     // missing bounds → conservative keep
     assert(manifestMayMatch(Seq(FieldSummary(containsNull = false)), spec, schema, p(Eq, 99)))
+    // contains_nan on a float/double identity field disables pruning:
+    // Iceberg excludes NaN from bounds, and NaN sorts above every value
+    // in Spark — bounds cannot rule the manifest out (round-10 review)
+    val dblSchema = Seq(Column(1, "score", org.apache.spark.sql.types.DoubleType, required = false))
+    val dblSpec = Seq(PartitionFieldSpec("score", "identity", sourceId = 1, fieldId = 1000))
+    def dblBytes(v: Double) = java.nio.ByteBuffer.allocate(8)
+      .order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array
+    val nanSum = Seq(FieldSummary(containsNull = false, containsNan = Some(true),
+      lowerBound = Some(dblBytes(1.0)), upperBound = Some(dblBytes(1.0))))
+    assert(manifestMayMatch(nanSum, dblSpec, dblSchema,
+      Seq(ColPredicate("score", Gt, 5.0))))
+    val noNanSum = Seq(FieldSummary(containsNull = false, containsNan = Some(false),
+      lowerBound = Some(dblBytes(1.0)), upperBound = Some(dblBytes(1.0))))
+    assert(!manifestMayMatch(noNanSum, dblSpec, dblSchema,
+      Seq(ColPredicate("score", Gt, 5.0))))
 
     // day-transform: Lt widens to the whole ordinal bucket
     val tsSchema = Seq(Column(1, "ts", org.apache.spark.sql.types.TimestampType, required = false))
