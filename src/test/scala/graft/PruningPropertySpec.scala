@@ -369,4 +369,96 @@ object PruningPropertySpec extends Properties("iceberg.pruning") {
         upperBounds = Map(1 -> encodeBound(StringType, padded).get))
       prune(Seq(e), Seq(ColPredicate("s", op, Int.box(v))), Seq.empty, strSchema).nonEmpty
     }
+
+  // ---- manifest-level pruning: at least as conservative as entry level ----
+  // (round 10). The soundness contract for manifestMayMatch: whenever
+  // entry-level prune() keeps ANY file of a manifest, the manifest's
+  // summaries — derived by the writer's rule (bounds only when every
+  // entry carries a non-null value; else unconstrained) — must keep the
+  // whole manifest. A violation is silent data loss at planning time.
+
+  private val idLongSpec =
+    Seq(PartitionFieldSpec("x", "identity", sourceId = 1, fieldId = 1000))
+
+  private def longSummary(vals: Seq[Option[Long]]): Seq[FieldSummary] = Seq(
+    if (vals.exists(_.isEmpty)) FieldSummary(containsNull = true)
+    else {
+      val ns = vals.flatten
+      FieldSummary(containsNull = false, containsNan = None,
+        lowerBound = encodeBound(LongType, Long.box(ns.min)),
+        upperBound = encodeBound(LongType, Long.box(ns.max)))
+    })
+
+  property("manifest pruning (identity) keeps whenever entry pruning keeps") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.option(Gen.choose(-1000L, 1000L))),
+      genOp, Gen.choose(-1100L, 1100L)) { (fileVals, op, v) =>
+      val entries = fileVals.zipWithIndex.map { case (pv, i) =>
+        ManifestEntry(1, 0, s"f$i", "PARQUET", 1L,
+          partition = pv.map(x => Map("x" -> (Long.box(x): Any))).getOrElse(Map.empty))
+      }
+      val preds = Seq(ColPredicate("x", op, Long.box(v)))
+      val anyKept = prune(entries, preds, idLongSpec, longSchema).nonEmpty
+      !anyKept || manifestMayMatch(longSummary(fileVals), idLongSpec, longSchema, preds)
+    }
+
+  property("manifest pruning (identity, IN) keeps whenever entry pruning keeps") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.option(Gen.choose(-1000L, 1000L))),
+      Gen.nonEmptyListOf(Gen.choose(-1100L, 1100L))) { (fileVals, vs) =>
+      val entries = fileVals.zipWithIndex.map { case (pv, i) =>
+        ManifestEntry(1, 0, s"f$i", "PARQUET", 1L,
+          partition = pv.map(x => Map("x" -> (Long.box(x): Any))).getOrElse(Map.empty))
+      }
+      val preds = Seq(ColPredicate("x", In, vs.map(Long.box)))
+      val anyKept = prune(entries, preds, idLongSpec, longSchema).nonEmpty
+      !anyKept || manifestMayMatch(longSummary(fileVals), idLongSpec, longSchema, preds)
+    }
+
+  private def daySummary(days: Seq[Option[Int]]): Seq[FieldSummary] = Seq(
+    if (days.exists(_.isEmpty)) FieldSummary(containsNull = true)
+    else {
+      val ns = days.flatten
+      FieldSummary(containsNull = false, containsNan = None,
+        lowerBound = encodeBound(IntegerType, Int.box(ns.min)),
+        upperBound = encodeBound(IntegerType, Int.box(ns.max)))
+    })
+
+  property("manifest pruning (day transform) keeps whenever entry pruning keeps") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.option(Gen.choose(19000, 20000))),
+      genOp, Gen.choose(19000L, 20000L)) { (fileDays, op, vDay) =>
+      val v = java.time.LocalDate.ofEpochDay(vDay)
+      val entries = fileDays.zipWithIndex.map { case (pd, i) =>
+        ManifestEntry(1, 0, s"f$i", "PARQUET", 1L,
+          partition = pd.map(d => Map("dt_day" -> (Int.box(d): Any))).getOrElse(Map.empty))
+      }
+      val preds = Seq(ColPredicate("dt", op, v))
+      val anyKept = prune(entries, preds, daySpec, dateSchema).nonEmpty
+      !anyKept || manifestMayMatch(daySummary(fileDays), daySpec, dateSchema, preds)
+    }
+
+  // IsNull compares against GROUND TRUTH, not the entry pruner: with no
+  // recorded null counts the entry pruner keeps out of ignorance, while
+  // contains_null is real knowledge — pruning an all-non-null manifest
+  // for IsNull is correct. The invariant is: any file that MAY hold null
+  // source values (absent/unconstrained partition value) keeps the
+  // manifest.
+  property("manifest pruning (IsNull) keeps any manifest that may hold nulls") =
+    forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(-1000L, 1000L)))) { fileVals =>
+      val preds = Seq(ColPredicate("x", IsNull, null))
+      val mayHoldNull = fileVals.exists(_.isEmpty)
+      !mayHoldNull ||
+        manifestMayMatch(longSummary(fileVals), idLongSpec, longSchema, preds)
+    }
+
+  // genuinely NON-COMPARABLE values only: an Int predicate against a Long
+  // column is sound numeric widening (pruning it is correct), so it does
+  // not belong here
+  property("hostile predicate values keep manifests without crashing") =
+    forAll(genOp,
+      Gen.oneOf[Any](Double.NaN, "not-a-number", "", null)) { (op, bad) =>
+      val sums = longSummary(Seq(Some(1L), Some(5L)))
+      manifestMayMatch(sums, idLongSpec, longSchema, Seq(ColPredicate("x", op, bad)))
+    }
 }
