@@ -40,6 +40,13 @@ object GraftFunctions {
        }
        IcebergBucket(exprs.head, n)
      }),
+    (FunctionIdentifier("graft_nfc"),
+     new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, null,
+       "graft_nfc", "Unicode NFC normalization of a string", ""),
+     (exprs: Seq[Expression]) => {
+       require(exprs.length == 1, s"graft_nfc expects 1 argument, got ${exprs.length}")
+       NfcNormalize(exprs.head)
+     }),
     (FunctionIdentifier("graft_theta"),
      new ExpressionInfo(classOf[ThetaSketchAgg].getCanonicalName, null,
        "graft_theta", "KMV theta sketch of a pre-hashed long column (binary)", ""),

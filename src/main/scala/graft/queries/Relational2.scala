@@ -429,6 +429,41 @@ object Relational2 {
       }
     ),
     QueryDef(
+      "q29_range_bucket_join",
+      // RANGE JOIN via bucketing — the operator whose naive plan is a
+      // nested-loop pair explosion at scale. Events join time windows on
+      // `ts ∈ [lo, hi)` with NO equi key; the Spark plan derives one: the
+      // window's DAY is an equi bucket (windows are intra-day), events
+      // bucket by day(ts), and the range condition becomes a residual on
+      // a hash join. Swap broadcast for shuffle and the same plan runs at
+      // any dim size — never a cartesian (PlanAuditSpec pins it).
+      Some("""
+        WITH w AS (
+          SELECT range AS wid,
+                 make_timestamp(2024, 1, CAST(range + 1 AS INT), 6, 0, 0) AS lo,
+                 make_timestamp(2024, 1, CAST(range + 1 AS INT), 18, 0, 0) AS hi
+          FROM range(0, 30, 3))
+        SELECT wid, COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM events e JOIN w
+          ON CAST(e.ts AS TIMESTAMP) >= w.lo AND CAST(e.ts AS TIMESTAMP) < w.hi
+        GROUP BY wid ORDER BY wid"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("d", dayofmonth(col("ts")))
+        val w = s.range(0, 30, 3).select(
+          col("id").as("wid"),
+          (col("id") + 1).cast("int").as("wd"),
+          expr("make_timestamp_ntz(2024, 1, CAST(id + 1 AS INT), 6, 0, 0)").as("lo"),
+          expr("make_timestamp_ntz(2024, 1, CAST(id + 1 AS INT), 18, 0, 0)").as("hi"))
+        e.join(broadcast(w),
+            e("d") === w("wd") && col("ts") >= col("lo") && col("ts") < col("hi"))
+          .groupBy("wid")
+          .agg(count(lit(1)).as("cnt"), dsumOut4(col("value")).as("sum_value"))
+          .orderBy("wid")
+      }
+    ),
+    QueryDef(
       "q23_asof_join",
       // As-of join: each event picks the same user's most recent purchase
       // at-or-before its timestamp. The Spark plan is the scalable union +

@@ -393,6 +393,43 @@ object TextQueries {
             round(col("n_rare").cast("double") / col("n_tokens"), 6))
           .orderBy("doc_id")
       }
+    ),
+    QueryDef(
+      "t12_unicode_normalize",
+      // Unicode NFC normalization (round 10): canonical-equivalent byte
+      // sequences (decomposed e+U+0301 vs precomposed é) must normalize
+      // before exact dedup / MinHash / fingerprinting, or visually
+      // identical documents hash apart. Spark has no built-in — this is
+      // the custom codegen'd [[graft.functions.NfcNormalize]] expression;
+      // DuckDB's native nfc_normalize is the oracle. The fixture appends
+      // a decomposed sequence to each doc prefix so normalization
+      // provably CHANGES bytes (byte lengths shrink by exactly one),
+      // while the already-NFC corpus prefix passes through untouched.
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 substr(text, 1, 24) || 'e' || chr(769) || '!' AS raw
+          FROM documents)
+        SELECT doc_id,
+               strlen(raw) AS bytes_raw,
+               strlen(nfc_normalize(raw)) AS bytes_nfc,
+               md5(nfc_normalize(raw)) AS fp_nfc,
+               nfc_normalize(raw) = raw AS was_nfc
+        FROM d ORDER BY doc_id"""),
+      (s, dir) => {
+        graft.sql.GraftSql.register(s)
+        val raw = concat(substring(col("text"), 1, 24),
+          lit("e"), lit("\u0301"), lit("!")) // e + COMBINING ACUTE (decomposed)
+        val nfc = call_function("graft_nfc", raw)
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            octet_length(raw).cast("long").as("bytes_raw"),
+            octet_length(nfc).cast("long").as("bytes_nfc"),
+            md5(nfc.cast("binary")).as("fp_nfc"),
+            (nfc === raw).as("was_nfc"))
+          .orderBy("doc_id")
+      }
     )
   )
 }

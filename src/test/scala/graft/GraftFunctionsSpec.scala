@@ -66,4 +66,27 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.sql("SELECT graft_dot(array(2.0D), array(8.0D))")
       .collect()(0).getDouble(0) === 16.0)
   }
+
+  test("graft_nfc normalizes decomposed sequences, passes NFC through, nulls propagate") {
+    import spark.implicits._
+    val decomposed = "e\u0301"   // e + COMBINING ACUTE, 3 UTF-8 bytes
+    val precomposed = "\u00e9"   // é, 2 UTF-8 bytes
+    val ring = "A\u030a"         // A + COMBINING RING
+    val ringNfc = "\u00c5"       // Å
+    val df = Seq(decomposed, "already nfc", null, ring).toDF("s")
+      .selectExpr("graft_nfc(s) AS n", "octet_length(graft_nfc(s)) AS b",
+        "graft_nfc(graft_nfc(s)) AS nn")
+    val rows = df.collect()
+    assert(rows(0).getString(0) == precomposed)
+    assert(rows(0).getInt(1) == 2)
+    assert(rows(0).getString(2) == precomposed) // idempotent
+    assert(rows(1).getString(0) == "already nfc")
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+    assert(rows(3).getString(0) == ringNfc)
+    // non-string input fails analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_nfc(42)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
 }

@@ -63,6 +63,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q29: the range join runs as an equi-bucket hash join, never a nested loop") {
+    val p = planString("q29_range_bucket_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the day bucket is the join key; the range condition is the residual
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
   test("relational aggregation stays inside whole-stage codegen") {
     // AQE prints codegen stages only in the FINAL plan, so execute first.
     val df = SparkEntry.queries("q01_pricing_summary")(spark, Sf)
