@@ -1368,13 +1368,37 @@ object IcebergScan {
   def manifests(spark: SparkSession, path: String,
                 opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
-    val meta = ManifestReader.loadTable(
-      IcebergIO.tableRoot(path), snapshot, hadoopConf(spark), opts.allowMovedPaths)
-    val rows = meta.entries.map { case (m, es) =>
-      def files(st: Int) = es.count(_.status == st).toLong
-      def recs(st: Int) = es.filter(_.status == st).map(_.recordCount).sum
-      Row(m.manifestPath, m.content, m.sequenceNumber,
-        files(1), files(0), files(2), recs(1), recs(0), recs(2))
+    val conf = hadoopConf(spark)
+    val root = IcebergIO.tableRoot(path)
+    // The v2 full manifest-list schema (round 10) records every count
+    // this listing renders — when present, the whole table serves from
+    // ONE list-file read, no manifest decoded (a 10k-manifest table's
+    // listing is O(1) I/O). Legacy/foreign partial lists fall back to
+    // decoding entries, per manifest.
+    val listPath = resolved(root, snapshot.manifestList, opts)
+    val ms = ManifestReader.readManifestList(listPath, conf, snapshot.formatVersion)
+    lazy val byPath: Map[String, Seq[ManifestEntry]] =
+      ManifestReader.loadTable(root, snapshot, conf, opts.allowMovedPaths)
+        .entries.map { case (m, es) => m.manifestPath -> es }.toMap
+    val needFallback = ms.exists(_.stats.isEmpty)
+    val rows = ms.map { m =>
+      m.stats match {
+        case Some(st) =>
+          Row(m.manifestPath, m.content, m.sequenceNumber,
+            st.addedFilesCount.toLong, st.existingFilesCount.toLong,
+            st.deletedFilesCount.toLong,
+            st.addedRowsCount, st.existingRowsCount, st.deletedRowsCount,
+            st.manifestLength, st.partitionSpecId,
+            st.minSequenceNumber, st.addedSnapshotId)
+        case None =>
+          val es = if (needFallback) byPath.getOrElse(m.manifestPath, Seq.empty)
+                   else Seq.empty
+          def files(st: Int) = es.count(_.status == st).toLong
+          def recs(st: Int) = es.filter(_.status == st).map(_.recordCount).sum
+          Row(m.manifestPath, m.content, m.sequenceNumber,
+            files(1), files(0), files(2), recs(1), recs(0), recs(2),
+            null, null, null, null)
+      }
     }
     val schema = StructType(Seq(
       StructField("path", StringType, nullable = false),
@@ -1385,7 +1409,12 @@ object IcebergScan {
       StructField("deleted_files_count", LongType, nullable = false),
       StructField("added_rows_count", LongType, nullable = false),
       StructField("existing_rows_count", LongType, nullable = false),
-      StructField("deleted_rows_count", LongType, nullable = false)))
+      StructField("deleted_rows_count", LongType, nullable = false),
+      // v2 full-schema fields; null on manifests from partial-list writers
+      StructField("length", LongType, nullable = true),
+      StructField("partition_spec_id", IntegerType, nullable = true),
+      StructField("min_sequence_number", LongType, nullable = true),
+      StructField("added_snapshot_id", LongType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

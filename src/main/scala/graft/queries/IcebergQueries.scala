@@ -1025,9 +1025,10 @@ object IcebergQueries {
       // content class: paths carry random commit tokens, counts don't.
       Some("""
         SELECT 0 AS content, CAST(4 AS BIGINT) AS files_added,
-               COUNT(*) AS rows_added FROM orders
+               COUNT(*) AS rows_added, CAST(1 AS BIGINT) AS stats_full
+        FROM orders
         UNION ALL
-        SELECT 1, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        SELECT 1, CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         ORDER BY content"""),
       (s, dir) => {
         val table = java.nio.file.Files
@@ -1039,7 +1040,12 @@ object IcebergQueries {
         IcebergScan.manifests(s, table)
           .groupBy("content")
           .agg(sum("added_files_count").as("files_added"),
-               sum("added_rows_count").as("rows_added"))
+               sum("added_rows_count").as("rows_added"),
+               // v2 full-schema fields ride the listing: every manifest
+               // carries a real length and adding-snapshot id
+               min(when(col("length") > 0 &&
+                 col("added_snapshot_id").isNotNull, 1L).otherwise(0L))
+                 .as("stats_full"))
           .orderBy("content")
       }
     ),
