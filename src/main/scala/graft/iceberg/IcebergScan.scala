@@ -1347,6 +1347,22 @@ object IcebergScan {
                opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
     val root = IcebergIO.tableRoot(path)
+    val countSchema = StructType(Seq(
+      StructField("row_count", LongType, nullable = false),
+      StructField("metadata_only", BooleanType, nullable = false)))
+    // O(1) fast path (round 10): with full list stats and NO delete
+    // manifests, the live row count is Σ(added + existing rows) over the
+    // data manifests — one list-file read, zero manifests decoded
+    // (DELETED-status entries are excluded by definition of the counts).
+    val ms = ManifestReader.readManifestList(
+      resolved(root, snapshot.manifestList, opts),
+      hadoopConf(spark), snapshot.formatVersion)
+    if (ms.nonEmpty && ms.forall(_.stats.isDefined) && !ms.exists(_.content == 1)) {
+      val n = ms.filter(_.content == 0).flatMap(_.stats)
+        .map(st => st.addedRowsCount + st.existingRowsCount).sum
+      return spark.createDataFrame(
+        java.util.Arrays.asList(Row(n, true)), countSchema)
+    }
     val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
     val deletes = livePaths(meta, manifestContent = 1, entryContent = 1, opts) ++
       livePaths(meta, manifestContent = 1, entryContent = 2, opts)
@@ -1358,11 +1374,8 @@ object IcebergScan {
         (scanLoaded(spark, root,
           opts.copy(skipSchemaInference = false),
           selectSnapshot(spark, path, opts), meta).count(), false)
-    val schema = StructType(Seq(
-      StructField("row_count", LongType, nullable = false),
-      StructField("metadata_only", BooleanType, nullable = false)))
     spark.createDataFrame(
-      java.util.Arrays.asList(Row(n, metadataOnly)), schema)
+      java.util.Arrays.asList(Row(n, metadataOnly)), countSchema)
   }
 
   def manifests(spark: SparkSession, path: String,
