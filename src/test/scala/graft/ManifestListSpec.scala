@@ -236,6 +236,33 @@ class ManifestListSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("foreign (iceberg-java) manifest lists decode their full stats") {
+    // the reference's pyspark-written fixture: real iceberg-java lists
+    // carry every v2 field — our reader must surface them, and a filtered
+    // scan over the (unpartitioned) table must stay exact with manifest
+    // pruning active in the planner
+    val table = "/root/reference/data/iceberg/lineitem_iceberg"
+    val opts = IcebergScan.Options(allowMovedPaths = true)
+    val snap = IcebergScan.selectSnapshot(spark, table, opts)
+    val listPath = graft.iceberg.IcebergIO.fullPath(table, snap.manifestList)
+    val ms = ManifestReader.readManifestList(listPath, conf, snap.formatVersion)
+    assert(ms.nonEmpty)
+    ms.foreach { m =>
+      val st = m.stats.getOrElse(fail(s"foreign list carries no stats: ${m.manifestPath}"))
+      assert(st.manifestLength > 0)
+      assert(st.addedSnapshotId > 0)
+      // a manifest can be all DELETED entries (the fixture's second
+      // snapshot removes a file) — count every status
+      assert(st.addedFilesCount + st.existingFilesCount + st.deletedFilesCount >= 1)
+    }
+    ManifestReader.invalidatePlanningCache()
+    val filtered = IcebergScan.scanFiltered(spark, table,
+      col("l_orderkey") <= 1000L, opts)
+    val expected = IcebergScan.scan(spark, table, opts)
+      .filter(col("l_orderkey") <= 1000L).count()
+    assert(filtered.count() === expected)
+  }
+
   test("manifestMayMatch: transform-aware, conservative on unknowns") {
     val schema = Seq(
       Column(1, "grp", org.apache.spark.sql.types.IntegerType, required = false),
