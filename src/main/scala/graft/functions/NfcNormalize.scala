@@ -31,7 +31,10 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    // NullType: an untyped NULL literal evaluates to null (null in →
+    // null out), matching DuckDB's nfc_normalize(NULL)
+    case StringType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_nfc expects a string argument, got ${other.sql}")
   }

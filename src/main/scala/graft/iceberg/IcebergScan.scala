@@ -1390,8 +1390,12 @@ object IcebergScan {
     // decoding entries, per manifest.
     val listPath = resolved(root, snapshot.manifestList, opts)
     val ms = ManifestReader.readManifestList(listPath, conf, snapshot.formatVersion)
+    // fallback fetch is PROPORTIONAL to the stats-less subset: the
+    // manifestFilter selects only those, so full-stats manifests are
+    // never decoded just because one legacy manifest rides the list
     lazy val byPath: Map[String, Seq[ManifestEntry]] =
-      ManifestReader.loadTable(root, snapshot, conf, opts.allowMovedPaths)
+      ManifestReader.loadTable(root, snapshot, conf, opts.allowMovedPaths,
+        manifestFilter = m => m.stats.isEmpty)
         .entries.map { case (m, es) => m.manifestPath -> es }.toMap
     val needFallback = ms.exists(_.stats.isEmpty)
     val rows = ms.map { m =>

@@ -38,14 +38,25 @@ object ManifestReader {
       case _ => dflt
     }
 
+  private def longOpt(r: GenericRecord, name: String): Option[Long] =
+    fieldOrNull(r, name) match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
+  private def intOpt(r: GenericRecord, name: String): Option[Int] =
+    fieldOrNull(r, name) match {
+      case n: java.lang.Number => Some(n.intValue)
+      case _ => None
+    }
+
   /** The v2 full-schema fields of one manifest-list record, when the
-    * writer recorded them (round-10 graft, iceberg-java). A list from the
-    * reference's partial 3-field writer lacks `manifest_length` → None,
-    * and planning treats the manifest as unsummarized (no manifest-level
-    * pruning, counts unknown). */
+    * writer recorded them (round-10 graft, iceberg-java). ALL-OR-NOTHING:
+    * v1 marks the count fields OPTIONAL and old writers wrote null —
+    * coercing an absent count to 0 would let the rowCount fast path and
+    * the manifests listing serve "0 rows" for a populated table, so any
+    * missing/null serving field yields None and consumers fall back to
+    * entry decoding. Partition summaries stay optional on top. */
   private def statsOf(r: GenericRecord): Option[ManifestStats] = {
-    if (r.getSchema.getField("manifest_length") == null ||
-        r.getSchema.getField("added_snapshot_id") == null) return None
     val partitions = fieldOrNull(r, "partitions") match {
       case c: java.util.Collection[_] =>
         Some(c.asScala.toSeq.collect { case s: GenericRecord =>
@@ -63,18 +74,30 @@ object ManifestReader {
         })
       case _ => None
     }
-    Some(ManifestStats(
-      manifestLength = longOr(r, "manifest_length", 0L),
-      partitionSpecId = intOr(r, "partition_spec_id", 0),
-      minSequenceNumber = longOr(r, "min_sequence_number", 0L),
-      addedSnapshotId = longOr(r, "added_snapshot_id", -1L),
-      addedFilesCount = intOr(r, "added_data_files_count", 0),
-      existingFilesCount = intOr(r, "existing_data_files_count", 0),
-      deletedFilesCount = intOr(r, "deleted_data_files_count", 0),
-      addedRowsCount = longOr(r, "added_rows_count", 0L),
-      existingRowsCount = longOr(r, "existing_rows_count", 0L),
-      deletedRowsCount = longOr(r, "deleted_rows_count", 0L),
-      partitions = partitions))
+    for {
+      len <- longOpt(r, "manifest_length")
+      specId <- intOpt(r, "partition_spec_id")
+      minSeq = longOpt(r, "min_sequence_number")
+        .orElse(longOpt(r, "sequence_number")).getOrElse(0L)
+      addedSnap <- longOpt(r, "added_snapshot_id")
+      af <- intOpt(r, "added_data_files_count")
+      ef <- intOpt(r, "existing_data_files_count")
+      df <- intOpt(r, "deleted_data_files_count")
+      ar <- longOpt(r, "added_rows_count")
+      er <- longOpt(r, "existing_rows_count")
+      dr <- longOpt(r, "deleted_rows_count")
+    } yield ManifestStats(
+      manifestLength = len,
+      partitionSpecId = specId,
+      minSequenceNumber = minSeq,
+      addedSnapshotId = addedSnap,
+      addedFilesCount = af,
+      existingFilesCount = ef,
+      deletedFilesCount = df,
+      addedRowsCount = ar,
+      existingRowsCount = er,
+      deletedRowsCount = dr,
+      partitions = partitions)
   }
 
   /** Manifest-list records decoded with the file's WRITER schema (round 10;
@@ -311,6 +334,21 @@ object ManifestReader {
           e: java.util.Map.Entry[String, Seq[ManifestEntry]]): Boolean = size > 512
     }
 
+  /** Driver-memory backstop for the entry cache, mirroring the plan
+    * cache's: 512 manifests of a 100k-file table would otherwise pin
+    * millions of entry objects. Caller holds the conf, so the bound is
+    * enforced at insert time. */
+  private def trimEntryCache(maxEntries: Long): Unit =
+    entryCache.synchronized {
+      var total = 0L
+      entryCache.values.asScala.foreach(total += _.size.toLong)
+      val it = entryCache.entrySet.iterator
+      while (total > maxEntries && entryCache.size > 1 && it.hasNext) {
+        total -= it.next().getValue.size.toLong
+        it.remove()
+      }
+    }
+
   /** Drop every cached plan (tests; or to release driver memory). */
   def invalidatePlanningCache(): Unit = {
     planCache.synchronized(planCache.clear())
@@ -439,8 +477,14 @@ object ManifestReader {
           m.manifestPath -> readManifestEntries(mPath, conf, snapshot.formatVersion)
         }
     }).toMap
-    if (useFileCaches && fetched.nonEmpty) entryCache.synchronized {
-      fetched.foreach { case (p, es) => entryCache.put(p, es) }
+    if (useFileCaches && fetched.nonEmpty) {
+      entryCache.synchronized {
+        fetched.foreach { case (p, es) => entryCache.put(p, es) }
+      }
+      // half the plan-cache bound: the two caches overlap in content and
+      // together must stay within the configured driver budget
+      trimEntryCache(conf.getLong(
+        PlanningCacheMaxEntriesKey, DefaultPlanningCacheMaxEntries.toLong) / 2)
     }
     val entries = manifests.map(m =>
       m -> cachedEntries.getOrElse(m.manifestPath, fetched(m.manifestPath)))

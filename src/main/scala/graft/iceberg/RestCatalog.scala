@@ -520,7 +520,10 @@ object RestCatalog {
       val carriesAdditions = addedIds.nonEmpty ||
         newSchemaIds.nonEmpty || newSpecIds.nonEmpty || newOrderIds.nonEmpty
       additionsIn && (carriesAdditions || (
-        mainHead(now) == afterHead &&
+        // head equality only matters when OUR commit moved it (rollback);
+        // a head-unchanged props/DDL commit must not fail verification
+        // because a concurrent append advanced main afterwards
+        (afterHead == beforeHead || mainHead(now) == afterHead) &&
         intField(now, "current-schema-id") == intField(afterRoot, "current-schema-id") &&
         intField(now, "default-spec-id") == intField(afterRoot, "default-spec-id") &&
         intField(now, "default-sort-order-id") == intField(afterRoot, "default-sort-order-id") &&

@@ -83,6 +83,8 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(0) == "already nfc")
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
     assert(rows(3).getString(0) == ringNfc)
+    // untyped NULL literal → NULL (DuckDB nfc_normalize(NULL) parity)
+    assert(spark.sql("SELECT graft_nfc(NULL)").collect()(0).isNullAt(0))
     // non-string input fails analysis
     val e = intercept[Exception] {
       spark.sql("SELECT graft_nfc(42)").collect()
