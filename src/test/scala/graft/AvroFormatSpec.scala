@@ -342,6 +342,52 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("pushdown fuzz: avro filtered scans equal parquet ground truth") {
+    import spark.implicits._
+    // same rows in BOTH formats; nulls in every nullable column
+    val rows = (1 to 300).map { i =>
+      (i.toLong,
+        if (i % 11 == 0) null else s"s${i % 40}",
+        if (i % 13 == 0) null else java.lang.Double.valueOf((i % 17) * 1.5),
+        i % 7,
+        java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"))
+    }
+    val df = rows.toDF("id", "s", "d", "b", "dt")
+    val at = tmp("graft_avro_fuzz_a_") + "/t"
+    val pt = tmp("graft_avro_fuzz_p_") + "/t"
+    IcebergWriter.write(df, at, dataFormat = Some("avro"))
+    IcebergWriter.write(df, pt)
+
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("id") === 42L, col("id") > 250L, col("id") <= 11L,
+      col("id").isin(1L, 99L, 300L, 999L),
+      col("s") === "s13", col("s") > "s3", col("s") < "s1",
+      col("s").isNull, col("s").isNotNull,
+      col("s").isin("s0", "s39", "zzz"),
+      col("d") === 6.0, col("d") >= 22.5, col("d") < 1.5,
+      col("d").isNull,
+      col("b") === 3, col("b") >= 5, col("b").isin(0, 6),
+      col("dt") === java.sql.Date.valueOf("2024-01-05"),
+      col("dt") > java.sql.Date.valueOf("2024-01-20"),
+      col("id") > 100L && col("b") === 2,
+      col("s") >= "s2" && col("d") < 20.0,
+      (col("id") < 50L) || (col("id") > 280L), // OR: not pushable, residual only
+      col("id") % 9 === 0)                     // arithmetic: residual only
+    def digest(table: String, p: org.apache.spark.sql.Column): (Long, Long) = {
+      // xor digest: rows are id-distinct, and summing full-range hashes
+      // overflows under ANSI arithmetic
+      val r = IcebergScan.scan(spark, table).filter(p)
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(to_json(struct(col("id"), col("s"), col("d"),
+            col("b"), col("dt"))))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    preds.zipWithIndex.foreach { case (p, i) =>
+      assert(digest(at, p) === digest(pt, p), s"predicate #$i diverged: $p")
+    }
+  }
+
   test("orphaned staging output from a dead attempt is never registered") {
     import spark.implicits._
     // a foreign avro lake whose producer crashed mid-write: a partial
