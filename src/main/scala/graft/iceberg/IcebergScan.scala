@@ -1598,14 +1598,29 @@ object IcebergScan {
         if (opts.allowMovedPaths) IcebergIO.fullPath(root, snap.manifestList)
         else snap.manifestList
       ManifestReader.readManifestList(listPath, conf, snap.formatVersion).map { m =>
-        Row(snap.snapshotId, m.manifestPath, m.content, m.sequenceNumber)
+        // the round-10 full-list stats ride along when recorded (null on
+        // legacy/partial lists) — the listing stays one list read per
+        // snapshot either way, no manifest decodes
+        val st = m.stats
+        Row(snap.snapshotId, m.manifestPath, m.content, m.sequenceNumber,
+          st.map(s => Long.box(s.addedFilesCount.toLong
+            + s.existingFilesCount.toLong)).orNull,
+          st.map(s => Long.box(s.addedRowsCount + s.existingRowsCount)).orNull,
+          st.map(s => Long.box(s.manifestLength)).orNull,
+          st.map(s => Int.box(s.partitionSpecId)).orNull,
+          st.map(s => Long.box(s.addedSnapshotId)).orNull)
       }
     }.flatten.sortBy(r => (r.getLong(0), r.getString(1)))
     val schema = StructType(Seq(
       StructField("reference_snapshot_id", LongType, nullable = false),
       StructField("path", StringType, nullable = false),
       StructField("content", IntegerType, nullable = false),
-      StructField("sequence_number", LongType, nullable = false)))
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("live_files_count", LongType, nullable = true),
+      StructField("live_rows_count", LongType, nullable = true),
+      StructField("length", LongType, nullable = true),
+      StructField("partition_spec_id", IntegerType, nullable = true),
+      StructField("added_snapshot_id", LongType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

@@ -1381,6 +1381,43 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib57_all_manifests",
+      // `all_manifests` metadata table gate (iceberg-java family): three
+      // appends → snapshots carrying 1, 2 and 3 manifests respectively
+      // (6 listing rows over 3 distinct manifest files), and the LATEST
+      // snapshot's added+existing rows must equal the source row count.
+      // Served from manifest-list stats — no manifest decodes.
+      Some("""
+        SELECT CAST(6 AS BIGINT) AS manifest_rows,
+               CAST(3 AS BIGINT) AS distinct_manifests,
+               COUNT(*) AS latest_rows
+        FROM orders"""),
+      (s, dir) => {
+        val table = cachedTable("ib57", dir) { () =>
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_ib57_").toString + "/orders_am"
+          val orders = graft.Tables.load(s, dir, "orders")
+          // three disjoint slices via a deterministic key split
+          graft.iceberg.IcebergWriter.write(
+            orders.filter(col("o_orderkey") % 3 === 0), t)
+          graft.iceberg.IcebergWriter.write(
+            orders.filter(col("o_orderkey") % 3 === 1), t)
+          graft.iceberg.IcebergWriter.write(
+            orders.filter(col("o_orderkey") % 3 === 2), t)
+          t
+        }
+        val am = IcebergScan.allManifests(s, table)
+        val latest = IcebergScan.selectSnapshot(
+          s, table, Options()).snapshotId
+        am.agg(
+          count(lit(1)).as("manifest_rows"),
+          countDistinct(col("path")).as("distinct_manifests"),
+          sum(when(col("reference_snapshot_id") === latest,
+            col("live_rows_count")).otherwise(0L))
+            .cast("long").as("latest_rows"))
+      }
+    ),
+    QueryDef(
       "ib56_avro_filter_pushdown",
       // Avro decode-loop filter pushdown gate (round 10): a filtered scan
       // of an avro-format orders table must emit from the decoder ONLY the
