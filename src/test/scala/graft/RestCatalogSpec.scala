@@ -45,6 +45,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   @volatile private var vendedConfig = Map.empty[String, String]
   @volatile private var lastAccessDelegation: Option[String] = None
   @volatile private var injectConflictOnce = false // fail the next commit POST
+  // apply the next commit server-side but answer 409 (landed, response
+  // lost) — the replay-detection scenario
+  @volatile private var applyThenConflictOnce = false
+  @volatile private var commitPosts = 0
   @volatile private var lastCommitActions = Seq.empty[String] // last POST's update actions
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -71,10 +75,25 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       case None => respond(x, 404,
         s"""{"error":{"message":"Table does not exist: analytics.$name","type":"NoSuchTableException","code":404}}""")
       case Some(loc) =>
+        commitPosts += 1
         if (injectConflictOnce) {
           injectConflictOnce = false
           respond(x, 409,
             """{"error":{"message":"injected: concurrent update","type":"CommitFailedException","code":409}}""")
+          return
+        }
+        if (applyThenConflictOnce) {
+          applyThenConflictOnce = false
+          // the storage backend already holds the new metadata (the op
+          // wrote it) — the catalog APPLIES the commit, then the response
+          // is lost and the client sees a conflict
+          val root0 = new java.io.File(loc.stripPrefix("file:"))
+            .getParentFile.getParentFile
+          val hint0 = new java.io.File(root0, "metadata/version-hint.text")
+          val v0 = java.nio.file.Files.readString(hint0.toPath).trim
+          tables.put(name, s"${root0.getAbsolutePath}/metadata/v$v0.metadata.json")
+          respond(x, 409,
+            """{"error":{"message":"landed but response lost","type":"CommitFailedException","code":409}}""")
           return
         }
         val meta = serverMetadata(loc)
@@ -489,6 +508,26 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
+  test("a commit that lands but surfaces as a conflict replays without re-sending") {
+    val c = RestCatalog.connect(uri)
+    val dir = Files.createTempDirectory("graft_rest_replay_").toString
+    import spark.implicits._
+    RestCatalog.createTable(spark, c, "analytics.t_replay", s"$dir/t") {
+      p => IcebergWriter.write(Seq((1L, "a")).toDF("id", "v"), p)
+    }
+    commitPosts = 0
+    applyThenConflictOnce = true
+    // the catalog applied the commit but the response was a 409; the
+    // retry must RECOGNIZE its additions in the refreshed metadata
+    // (presence-based replay) instead of re-sending add-snapshot
+    RestCatalog.commitThrough(spark, c, "analytics.t_replay") { p =>
+      IcebergWriter.write(Seq((2L, "b")).toDF("id", "v"), p)
+    }
+    assert(commitPosts === 1,
+      s"retry re-sent an already-landed commit ($commitPosts POSTs)")
+    assert(RestCatalog.scan(spark, c, "analytics.t_replay").count() === 2)
   }
 
   test("schema evolution and properties publish THROUGH the catalog") {
