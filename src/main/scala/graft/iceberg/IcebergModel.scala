@@ -118,6 +118,12 @@ object IcebergModel {
       // RECORDED ZERO null count for every key column can be ruled out by
       // bounds alone (a null data key then matches no delete row).
       nullCounts: Map[Int, Long] = Map.empty,
+      // Iceberg spec nan_value_counts (field id → NaN count). Bounds
+      // EXCLUDE NaN by spec while NaN sorts ABOVE every double in Spark,
+      // so >/>= pruning on a float/double upper bound is only sound when
+      // the column's NaN count is RECORDED ZERO. Absent = unknown = may
+      // hold NaN = keep.
+      nanCounts: Map[Int, Long] = Map.empty,
       equalityIds: Seq[Int] = Seq.empty,
       sequenceNumber: Option[Long] = None,
       // Spec v3 deletion-vector fields (Iceberg spec "Data File" fields

@@ -375,6 +375,13 @@ object IcebergPruning {
     val column = findColumn(schema, p.column)
     if (column.isEmpty) return true
     val dt = column.get.dataType
+    // NaN GUARD (spec nan_value_counts): bounds EXCLUDE NaN while NaN
+    // sorts ABOVE every float/double in Spark, so a file whose NaN count
+    // is not RECORDED ZERO may hold rows satisfying any >/>= predicate
+    // its upper bound rules out. Our parquet writer proves 0 via NaN-
+    // poisoned stats; foreign writers record real counts; absent = keep.
+    val nanUnsafe = (dt == FloatType || dt == DoubleType) &&
+      !e.nanCounts.get(column.get.id).contains(0L)
     normalize(dt, p.value) match {
       case None => true
       case Some(v) =>
@@ -388,8 +395,8 @@ object IcebergPruning {
           case Eq => cmpOr(lower, _ <= 0) && cmpOr(upper, _ >= 0)
           case Lt => cmpOr(lower, _ < 0)
           case Le => cmpOr(lower, _ <= 0)
-          case Gt => cmpOr(upper, _ > 0)
-          case Ge => cmpOr(upper, _ >= 0)
+          case Gt => nanUnsafe || cmpOr(upper, _ > 0)
+          case Ge => nanUnsafe || cmpOr(upper, _ >= 0)
           case _ => true // In/null ops handled in prune()
         }
     }
@@ -463,11 +470,14 @@ object IcebergPruning {
       s: FieldSummary, sf: PartitionFieldSpec, dt: DataType, p: ColPredicate): Boolean = {
     import IcebergTransforms.{Identity, Day, Month, Year, Hour, Bucket, Truncate}
     // Iceberg EXCLUDES NaN from float/double bounds (contains_nan flags
-    // it instead), and NaN sorts above every value in Spark — a foreign
-    // manifest flagged contains_nan can satisfy any comparison its
-    // bounds rule out, so it is never prunable by this field.
-    if (s.containsNan.contains(true) &&
-        (dt == FloatType || dt == DoubleType)) return true
+    // it instead), and NaN sorts above every value in Spark — a manifest
+    // flagged contains_nan can satisfy any comparison its bounds rule
+    // out (never prunable), and an UNKNOWN flag may hide NaN rows that
+    // satisfy >/>= above the upper bound (keep for those ops).
+    if (dt == FloatType || dt == DoubleType) {
+      if (s.containsNan.contains(true)) return true
+      if (!s.containsNan.contains(false) && (p.op == Gt || p.op == Ge)) return true
+    }
     def ordLo = s.lowerBound.flatMap(ordinalOfBytes)
     def ordHi = s.upperBound.flatMap(ordinalOfBytes)
     IcebergTransforms.parse(sf.transform) match {

@@ -334,6 +334,10 @@ object IcebergWriter {
             {"type":"record","name":"k121_v122","fields":[
               {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
            "default":null},
+          {"name":"nan_value_counts","type":["null",{"type":"array","items":
+            {"type":"record","name":"k138_v139","fields":[
+              {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+           "default":null},
           {"name":"split_offsets","type":["null",{"type":"array","items":"long"}],
            "default":null},
           {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
@@ -580,7 +584,8 @@ object IcebergWriter {
       nulls: Map[Int, Long] = Map.empty,
       sizeBytes: Long = 0L,
       format: String = "PARQUET",
-      splitOffsets: Seq[Long] = Seq.empty)
+      splitOffsets: Seq[Long] = Seq.empty,
+      nans: Map[Int, Long] = Map.empty)
 
   /** Parquet statistics value → the bound domain [[IcebergPruning.encodeBound]]
     * accepts. Unhandled types / NaN → None (no bound emitted → no pruning
@@ -634,7 +639,7 @@ object IcebergWriter {
     * bounds conservative by construction. */
   private def footerStats(
       st: FileStatus, conf: Configuration,
-      fields: Map[String, (Int, DataType)]): (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long], Seq[Long]) = {
+      fields: Map[String, (Int, DataType)]): (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long], Seq[Long], Map[Int, Long]) = {
     val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
     try {
       val lower = scala.collection.mutable.Map.empty[Int, (DataType, Any)]
@@ -643,6 +648,12 @@ object IcebergWriter {
       // poisons its column (None = unknown, NOT zero — emitting 0 for an
       // unknown would let eq-delete scoping wrongly rule files out)
       val nulls = scala.collection.mutable.Map.empty[Int, Option[Long]]
+      // spec nan_value_counts, float/double only, and ONLY the provable
+      // value 0: parquet-mr min/max run through Math.min/max, which any
+      // NaN poisons to NaN — so clean decodable stats prove a NaN-free
+      // chunk. One unclean chunk → unknown → no count emitted (pruning
+      // must then keep the file for >/>= predicates).
+      val nanZero = scala.collection.mutable.Map.empty[Int, Boolean]
       for {
         block <- r.getFooter.getBlocks.asScala
         chunk <- block.getColumns.asScala
@@ -656,6 +667,13 @@ object IcebergWriter {
         nulls(id) = (nulls.getOrElse(id, Some(0L)), chunkNulls) match {
           case (Some(a), Some(b)) => Some(a + b)
           case _ => None
+        }
+        if (dt == FloatType || dt == DoubleType) {
+          val clean = stats != null && !stats.isEmpty &&
+            (!stats.hasNonNullValue ||
+              (statValue(dt, stats.genericGetMin).isDefined &&
+               statValue(dt, stats.genericGetMax).isDefined))
+          nanZero(id) = nanZero.getOrElse(id, true) && clean
         }
         if (stats != null && !stats.isEmpty && stats.hasNonNullValue) {
           statValue(dt, stats.genericGetMin).foreach { v =>
@@ -682,7 +700,8 @@ object IcebergWriter {
       (r.getRecordCount, enc(lower, upperSide = false), enc(upper, upperSide = true),
         nulls.collect { case (id, Some(n)) => id -> n }.toMap,
         // spec split_offsets (field 132): row-group starting positions
-        r.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq)
+        r.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq,
+        nanZero.collect { case (id, true) => id -> 0L }.toMap)
     } finally r.close()
   }
 
@@ -723,7 +742,7 @@ object IcebergWriter {
         segs.find(_.startsWith(prefix))
           .map(seg => sf.fieldName -> parseDirValue(sf, seg.stripPrefix(prefix)))
       }.toMap
-      val (count, lower, upper, nulls, splits) =
+      val (count, lower, upper, nulls, splits, nans) =
         if (dataFormat.equalsIgnoreCase("orc")) orcStats(st, conf, fields)
         // avro containers carry no column statistics: record count AND
         // block sync offsets from the header walk (split_offsets), no
@@ -731,12 +750,12 @@ object IcebergWriter {
         else if (dataFormat.equalsIgnoreCase("avro")) {
           val (rows, blockOffsets) = AvroFiles.blockIndex(st.getPath, conf)
           (rows, Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
-            Map.empty[Int, Long], blockOffsets)
+            Map.empty[Int, Long], blockOffsets, Map.empty[Int, Long])
         }
         else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
         sizeBytes = st.getLen, format = dataFormat.toUpperCase,
-        splitOffsets = splits)
+        splitOffsets = splits, nans = nans)
     }
   }
 
@@ -748,7 +767,7 @@ object IcebergWriter {
   private def orcStats(
       st: FileStatus, conf: Configuration,
       fields: Map[String, (Int, DataType)]):
-      (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long], Seq[Long]) = {
+      (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long], Seq[Long], Map[Int, Long]) = {
     val reader = org.apache.orc.OrcFile.createReader(
       st.getPath, org.apache.orc.OrcFile.readerOptions(conf))
     try {
@@ -795,7 +814,12 @@ object IcebergWriter {
       }
       (rows, lower.toMap, upper.toMap, nulls.toMap,
         // spec split_offsets: ORC stripe starting positions
-        reader.getStripes.asScala.map(_.getOffset).toSeq)
+        reader.getStripes.asScala.map(_.getOffset).toSeq,
+        // ORC statistics silently exclude NaN, so a clean min/max proves
+        // nothing about NaN presence — no nan count is ever provable here
+        // (float/double >/>= pruning keeps ORC files; bounds still serve
+        // Lt/Le/Eq)
+        Map.empty[Int, Long])
     } finally reader.close()
   }
 
@@ -997,18 +1021,21 @@ object IcebergWriter {
           dfr.put("lower_bounds", boundsArray("lower_bounds", e.lowerBounds))
         if (e.upperBounds.nonEmpty)
           dfr.put("upper_bounds", boundsArray("upper_bounds", e.upperBounds))
-        if (e.nullCounts.nonEmpty) {
-          val ncSchema = dataFileSchema.getField("null_value_counts").schema()
-            .getTypes.get(1)
-          val arr = new java.util.ArrayList[GenericRecord](e.nullCounts.size)
-          e.nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) =>
-            val kv = new GenericData.Record(ncSchema.getElementType)
-            kv.put("key", k)
-            kv.put("value", v)
-            arr.add(kv)
+        def countsArray(field: String, m: Map[Int, Long]): Unit =
+          if (m.nonEmpty) {
+            val cSchema = dataFileSchema.getField(field).schema()
+              .getTypes.get(1)
+            val arr = new java.util.ArrayList[GenericRecord](m.size)
+            m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+              val kv = new GenericData.Record(cSchema.getElementType)
+              kv.put("key", k)
+              kv.put("value", v)
+              arr.add(kv)
+            }
+            dfr.put(field, arr)
           }
-          dfr.put("null_value_counts", arr)
-        }
+        countsArray("null_value_counts", e.nullCounts)
+        countsArray("nan_value_counts", e.nanCounts)
         if (e.splitOffsets.nonEmpty)
           dfr.put("split_offsets", e.splitOffsets.map(Long.box).asJava)
         if (e.equalityIds.nonEmpty)
@@ -2408,7 +2435,7 @@ object IcebergWriter {
           ManifestEntry(status = 1, content = 0, filePath = w.path,
             fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
             partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-            nullCounts = w.nulls)
+            nullCounts = w.nulls, nanCounts = w.nans)
         })
       writeManifest(manifestPath, conf, dataEntries,
         spec.map(sf => (sf.fieldName, sf.avroType)))
@@ -2520,7 +2547,7 @@ object IcebergWriter {
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-        nullCounts = w.nulls)
+        nullCounts = w.nulls, nanCounts = w.nans)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
 
     // Data manifests holding replaced files rewrite to DELETED tombstones
@@ -2829,16 +2856,17 @@ object IcebergWriter {
       if (spec.nonEmpty) require(partition.size == spec.size,
         s"addFiles: ${st.getPath} lacks hive '<col>=' path segments for the " +
           s"partition spec (${spec.map(_.fieldName).mkString(", ")})")
-      val (count, lower, upper, nulls, splits) =
+      val (count, lower, upper, nulls, splits, nans) =
         if (fmt == "orc") orcStats(st, conf, fields)
         else if (fmt == "avro") {
           val (rows, blockOffsets) = AvroFiles.blockIndex(st.getPath, conf)
           (rows, Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
-            Map.empty[Int, Long], blockOffsets)
+            Map.empty[Int, Long], blockOffsets, Map.empty[Int, Long])
         }
         else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
-        sizeBytes = st.getLen, format = fmt.toUpperCase, splitOffsets = splits)
+        sizeBytes = st.getLen, format = fmt.toUpperCase, splitOffsets = splits,
+        nans = nans)
     }
     val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
     val seq = state.map(_.nextSeq).getOrElse(1L)
@@ -2847,7 +2875,7 @@ object IcebergWriter {
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-        nullCounts = w.nulls)
+        nullCounts = w.nulls, nanCounts = w.nans)
     })
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
     writeManifest(manifestPath, conf, entries,
@@ -3672,7 +3700,7 @@ object IcebergWriter {
     writeManifest(manifestPath, conf, files.map { w =>
       ManifestEntry(status = 1, content = 2, filePath = w.path, // EQUALITY_DELETES
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-        lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets, nullCounts = w.nulls,
+        lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets, nullCounts = w.nulls, nanCounts = w.nans,
         equalityIds = eqIds)
     })
     manifestPath
@@ -3749,7 +3777,7 @@ object IcebergWriter {
         ManifestEntry(status = 1, content = 0, filePath = w.path,
           fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
           partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-          nullCounts = w.nulls)
+          nullCounts = w.nulls, nanCounts = w.nans)
       })
     writeManifest(dataManifest, conf, updEntries,
       spec.map(sf => (sf.fieldName, sf.avroType)))
@@ -3846,7 +3874,7 @@ object IcebergWriter {
           ManifestEntry(status = 1, content = 0, filePath = w.path,
             fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
             partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-            nullCounts = w.nulls)
+            nullCounts = w.nulls, nanCounts = w.nans)
         })
       writeManifest(dataManifest, conf, mrgEntries,
         spec.map(sf => (sf.fieldName, sf.avroType)))
@@ -4084,7 +4112,7 @@ object IcebergWriter {
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-        nullCounts = w.nulls)
+        nullCounts = w.nulls, nanCounts = w.nans)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val deletedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m1.avro")
     writeManifest(deletedPath, conf,
@@ -4160,7 +4188,7 @@ object IcebergWriter {
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-        nullCounts = w.nulls)
+        nullCounts = w.nulls, nanCounts = w.nans)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
     val deletedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m1.avro")
     writeManifest(deletedPath, conf, liveEntries.map(_.copy(status = 2)))
@@ -4320,7 +4348,7 @@ object IcebergWriter {
       ManifestEntry(status = 1, content = 0, filePath = w.path,
         fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
         partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets,
-        nullCounts = w.nulls)
+        nullCounts = w.nulls, nanCounts = w.nans)
     }, spec.map(sf => (sf.fieldName, sf.avroType)))
 
     // Data manifests holding candidates are rewritten: candidates become

@@ -133,6 +133,29 @@ object ManifestReader {
     case other => throw new IllegalArgumentException(s"expected bytes, got $other")
   }
 
+  /** Iceberg's `map<int, long>` counts (null_value_counts,
+    * nan_value_counts) in either Avro encoding. */
+  private def countsMap(raw: Any): Map[Int, Long] = raw match {
+    case c: java.util.Collection[_] =>
+      c.asScala.toSeq.collect {
+        case kv: GenericRecord => kv.get("key") match {
+          case k: java.lang.Integer => Some(k.intValue -> (kv.get("value") match {
+            case v: java.lang.Number => v.longValue
+            case _ => 0L
+          }))
+          case _ => None
+        }
+      }.flatten.toMap
+    case m: java.util.Map[_, _] => // Avro map encoding (foreign writers)
+      m.asScala.toSeq.flatMap { case (k, v) =>
+        (scala.util.Try(k.toString.toInt).toOption, v) match {
+          case (Some(id), n: java.lang.Number) => Some(id -> n.longValue)
+          case _ => None
+        }
+      }.toMap
+    case _ => Map.empty[Int, Long]
+  }
+
   /** Iceberg's `map<int, binary>` bounds are Avro-encoded either as an
     * array of {key, value} records (spec encoding) or a genuine Avro map —
     * handle both, defensively. */
@@ -186,27 +209,8 @@ object ManifestReader {
         partition = partition,
         lowerBounds = boundsMap(fieldOrNull(df, "lower_bounds")),
         upperBounds = boundsMap(fieldOrNull(df, "upper_bounds")),
-        nullCounts = fieldOrNull(df, "null_value_counts") match {
-          case c: java.util.Collection[_] =>
-            c.asScala.toSeq.collect {
-              case kv: GenericRecord => kv.get("key") match {
-                case k: java.lang.Integer => Some(k.intValue -> (kv.get("value") match {
-                  case v: java.lang.Long => v.longValue
-                  case v: java.lang.Integer => v.longValue
-                  case _ => 0L
-                }))
-                case _ => None
-              }
-            }.flatten.toMap
-          case m: java.util.Map[_, _] => // Avro map encoding (foreign writers)
-            m.asScala.toSeq.flatMap { case (k, v) =>
-              (scala.util.Try(k.toString.toInt).toOption, v) match {
-                case (Some(id), n: java.lang.Number) => Some(id -> n.longValue)
-                case _ => None
-              }
-            }.toMap
-          case _ => Map.empty[Int, Long]
-        },
+        nullCounts = countsMap(fieldOrNull(df, "null_value_counts")),
+        nanCounts = countsMap(fieldOrNull(df, "nan_value_counts")),
         equalityIds = fieldOrNull(df, "equality_ids") match {
           case c: java.util.Collection[_] =>
             c.asScala.toSeq.collect { case i: java.lang.Integer => i.intValue }

@@ -263,6 +263,36 @@ class ManifestListSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.count() === expected)
   }
 
+  test("NaN rows survive double range pruning (spec nan_value_counts)") {
+    import spark.implicits._
+    import graft.iceberg.IcebergPruning.{ColPredicate, Gt}
+    // clean double column: parquet stats decode non-NaN → the writer
+    // PROVES a zero NaN count and records it → >/>= bounds pruning stays
+    // active (file skipped for an out-of-range predicate)
+    val t1 = tmp("graft_nan_clean_") + "/t"
+    IcebergWriter.write((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "x"), t1)
+    ManifestReader.invalidatePlanningCache()
+    val snap1 = IcebergScan.selectSnapshot(spark, t1, IcebergScan.Options())
+    val e1 = ManifestReader.loadTable(t1, snap1, conf, false).entries.flatMap(_._2).head
+    val xId = snap1.schema.find(_.name == "x").get.id
+    assert(e1.nanCounts.get(xId).contains(0L), s"nan count not recorded: ${e1.nanCounts}")
+    val kept1 = IcebergScan.scan(spark, t1, IcebergScan.Options(
+      mode = "list_files", filters = Seq(ColPredicate("x", Gt, 100.0))))
+      .filter(col("type") === "data").count()
+    assert(kept1 === 0, "clean-column file not pruned for x > 100")
+
+    // NaN-bearing file: parquet min/max NaN-poison → no bounds, no
+    // provable count → the file is KEPT and the NaN row (which satisfies
+    // x > 100 under Spark's NaN-is-greatest ordering) comes back
+    val t2 = tmp("graft_nan_rows_") + "/t"
+    IcebergWriter.write(Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.5))
+      .toDF("id", "x"), t2)
+    ManifestReader.invalidatePlanningCache()
+    val got = IcebergScan.scanFiltered(spark, t2, col("x") > 100.0)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L), s"NaN row pruned away: got $got")
+  }
+
   test("manifestMayMatch: transform-aware, conservative on unknowns") {
     val schema = Seq(
       Column(1, "grp", org.apache.spark.sql.types.IntegerType, required = false),
