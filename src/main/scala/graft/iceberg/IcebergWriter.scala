@@ -1303,9 +1303,10 @@ object IcebergWriter {
     val commitSpec = resolveCommitSpec(state, spec)
     val summarySchema = manifestListSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType // non-null branch's element record
+    val keptStats = kept.map(m =>
+      m -> resolvedStats(m, conf, snapshotId, commitSpec, state))
     writeAvro(manifestListSchema, listPath, conf) {
-      kept.map { m =>
-        val st = resolvedStats(m, conf, snapshotId, commitSpec, state)
+      keptStats.map { case (m, st) =>
         val rec = new GenericData.Record(manifestListSchema)
         rec.put("manifest_path", m.manifestPath)
         rec.put("manifest_length", st.manifestLength)
@@ -1633,6 +1634,22 @@ object IcebergWriter {
     val sum = sn.putObject("summary")
     sum.put("operation", operation)
     summary.foreach { case (k, v) => sum.put(k, v) }
+    // Standard TOTAL metrics (Iceberg spec "Snapshots" summary fields),
+    // free from the manifest-list stats the commit just resolved —
+    // external planners size incremental work off these. Caller-supplied
+    // summary keys win.
+    val dataStats = keptStats.collect { case (m, st) if m.content == 0 => st }
+    val delStats = keptStats.collect { case (m, st) if m.content == 1 => st }
+    Seq(
+      "total-records" ->
+        dataStats.map(s => s.addedRowsCount + s.existingRowsCount).sum,
+      "total-data-files" ->
+        dataStats.map(s => s.addedFilesCount.toLong + s.existingFilesCount).sum,
+      "total-delete-files" ->
+        delStats.map(s => s.addedFilesCount.toLong + s.existingFilesCount).sum
+    ).foreach { case (k, v) =>
+      if (!summary.contains(k)) sum.put(k, v.toString)
+    }
     // Streaming batch-id bookkeeping must SURVIVE maintenance commits
     // (compact/expire/rollback write no batch id themselves): carry the
     // per-sink max forward, else a replayed batch after maintenance would

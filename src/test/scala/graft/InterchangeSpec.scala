@@ -127,6 +127,11 @@ class InterchangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snaps = root.get("snapshots")
     assert(snaps.size === 2)
     val second = snaps.get(1)
+    // round 10: standard TOTAL summary metrics from manifest-list stats
+    assert(second.get("summary").get("total-records").asText.toLong ===
+      2 * Tables.load(spark, Sf, "nation").count())
+    assert(second.get("summary").get("total-data-files").asText.toLong >= 2)
+    assert(second.get("summary").get("total-delete-files").asText === "0")
     assert(second.get("snapshot-id").asLong === snap2)
     assert(second.get("parent-snapshot-id").asLong === snap1)
     assert(second.get("summary").get("operation").asText === "append")
