@@ -750,7 +750,15 @@ object IcebergScan {
       .map(IcebergMetadataParser.byId(info, _, opts.skipSchemaInference))
       .getOrElse(IcebergMetadataParser.latest(info, opts.skipSchemaInference))
     val root = IcebergIO.tableRoot(path)
-    val meta = ManifestReader.loadTable(root, to, hadoopConf(spark), opts.allowMovedPaths)
+    // list-level window skip: an entry's effective sequence never exceeds
+    // its manifest's, so manifests at or below the window floor cannot
+    // contribute — an incremental read of a long-history table decodes
+    // only the window's manifests, not the whole tree (stats not even
+    // needed; the list's own sequence_number suffices)
+    val meta = ManifestReader.loadTable(
+      root, to, hadoopConf(spark), opts.allowMovedPaths,
+      manifestFilter = m =>
+        m.content == 0 && m.sequenceNumber > from.sequenceNumber)
     val appended = meta.entries.collect {
       case (m, es) if m.content == 0 =>
         es.filter(e => e.status != 2 && e.content == 0 &&

@@ -263,6 +263,23 @@ class ManifestListSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.count() === expected)
   }
 
+  test("incremental reads decode only the window's manifests") {
+    val table = tmp("graft_mlist_incr_") + "/t"
+    (1 to 6).foreach(g => IcebergWriter.write(grpDF(g, 3), table))
+    val snaps = IcebergScan.snapshots(spark, table)
+      .orderBy("sequence_number").collect()
+    assert(snaps.length === 6)
+    val fromId = snaps(4).getAs[Long]("snapshot_id") // floor = 5th commit
+    ManifestReader.invalidatePlanningCache()
+    val (d0, p0) = ManifestReader.manifestPruneStats
+    val rows = IcebergScan.incrementalAppend(spark, table, fromId)
+      .select("label").collect().map(_.getString(0))
+    assert(rows.toSet === Set("g6-r1", "g6-r2", "g6-r3"))
+    val (d1, p1) = ManifestReader.manifestPruneStats
+    assert(d1 - d0 === 1, s"decoded ${d1 - d0} manifests for a 1-commit window")
+    assert(p1 - p0 === 5)
+  }
+
   test("NaN rows survive double range pruning (spec nan_value_counts)") {
     import spark.implicits._
     import graft.iceberg.IcebergPruning.{ColPredicate, Gt}
