@@ -347,7 +347,14 @@ class IcebergStreamSource(
     * compaction's sequence). */
   private def appendedPaths(s: Snapshot): Seq[String] = synchronized {
     pathCache.getOrElseUpdate(s.snapshotId, {
-      val meta = ManifestReader.loadTable(root, s, conf, opts.allowMovedPaths)
+      // entries appended BY this commit carry its sequence number, and an
+      // entry's effective sequence never exceeds its manifest's — only
+      // manifests AT the commit's sequence can contribute, so each
+      // trigger decodes one manifest of a long-history table, not the
+      // whole tree (list-level skip, round 10)
+      val meta = ManifestReader.loadTable(root, s, conf, opts.allowMovedPaths,
+        manifestFilter = m =>
+          m.content == 0 && m.sequenceNumber == s.sequenceNumber)
       (for {
         (m, es) <- meta.entries if m.content == 0
         e <- es
