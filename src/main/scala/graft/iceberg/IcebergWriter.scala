@@ -2883,7 +2883,12 @@ object IcebergWriter {
         else footerStats(st, conf, fields)
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
         sizeBytes = st.getLen, format = fmt.toUpperCase, splitOffsets = splits,
-        nans = nans)
+        // FOREIGN files: the provable-zero NaN inference rests on
+        // parquet-mr's NaN-poisoned min/max — spec-recommended writers
+        // (arrow, duckdb) EXCLUDE NaN from stats instead, so a clean
+        // foreign footer proves nothing. No nan count for migrated files
+        // (float/double >/>= pruning keeps them; still exact).
+        nans = Map.empty)
     }
     val snapshotId = state.map(_.nextSnapshotId).getOrElse(1L)
     val seq = state.map(_.nextSeq).getOrElse(1L)

@@ -138,11 +138,12 @@ object ManifestReader {
   private def countsMap(raw: Any): Map[Int, Long] = raw match {
     case c: java.util.Collection[_] =>
       c.asScala.toSeq.collect {
-        case kv: GenericRecord => kv.get("key") match {
-          case k: java.lang.Integer => Some(k.intValue -> (kv.get("value") match {
-            case v: java.lang.Number => v.longValue
-            case _ => 0L
-          }))
+        case kv: GenericRecord => (kv.get("key"), kv.get("value")) match {
+          // non-numeric/null values are OMITTED, never coerced to 0 — a
+          // zero nan/null count is a PROOF consumers prune on, and an
+          // off-spec encoding must degrade to "unknown", not "proven"
+          case (k: java.lang.Integer, v: java.lang.Number) =>
+            Some(k.intValue -> v.longValue)
           case _ => None
         }
       }.flatten.toMap

@@ -833,18 +833,19 @@ object IcebergQueries {
              (SELECT COUNT(*) s FROM lineitem WHERE l_orderkey % 5 <> 0)"""),
       (s, dir) => {
         val rl = Options(rowLineage = true)
-        // two cached states: an UNMUTATED fork (dense id space) and the
-        // delete+compact lineage — built once per JVM, both lineage
-        // scans re-timed per run
-        val preTable = cachedTable("ib37pre", dir)(() =>
-          lineitemFork(s, dir, 3, "graft_ib37p_"))
+        // ONE cached fixture (built once per JVM); the pre-mutation state
+        // is the lineage's own first snapshot via time travel — both
+        // lineage scans re-timed per run
         val mutated = cachedTable("ib37", dir) { () =>
           val t = lineitemFork(s, dir, 3, "graft_ib37_")
           graft.iceberg.IcebergWriter.delete(s, t, col("l_orderkey") % 5 === 0)
           graft.iceberg.IcebergWriter.compact(s, t)
           t
         }
-        val pre = IcebergScan.scan(s, preTable, rl).agg(
+        val firstSnap = IcebergScan.snapshots(s, mutated)
+          .orderBy("sequence_number").select("snapshot_id").head().getLong(0)
+        val pre = IcebergScan.scan(s, mutated,
+            rl.copy(snapshotId = Some(firstSnap))).agg(
           count(lit(1)).as("total_cnt"),
           sum(col("_row_id")).as("id_sum"),
           min(col("_row_id")).as("id_min"),
