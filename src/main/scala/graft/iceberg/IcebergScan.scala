@@ -1443,6 +1443,38 @@ object IcebergScan {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** `entries` — one row per manifest ENTRY of the selected snapshot,
+    * INCLUDING DELETED-status tombstone markers the `files` listing
+    * hides (iceberg-java's metadata table of the same name; the MoR
+    * debugging view: which manifest carries which file under which
+    * status and effective sequence). */
+  def entries(spark: SparkSession, path: String,
+              opts: Options = Options()): DataFrame = {
+    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
+    val meta = ManifestReader.loadTable(
+      IcebergIO.tableRoot(path), snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val rows = (for {
+      (m, es) <- meta.entries
+      e <- es
+    } yield Row(
+      m.manifestPath, m.content, statusName(e.status), e.content,
+      resolved(meta.path, e.filePath, opts), e.fileFormat, e.recordCount,
+      if (e.fileSizeInBytes == 0L) null else e.fileSizeInBytes,
+      e.seqOr(m.sequenceNumber)))
+      .sortBy(r => (r.getString(0), r.getString(4)))
+    val schema = StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_content", IntegerType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = true),
+      StructField("data_sequence_number", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** iceberg_partitions — one row per live partition tuple with data and
     * delete-file aggregates (the `partitions` metadata table other Iceberg
     * engines expose; engine extension here). Computed from manifest

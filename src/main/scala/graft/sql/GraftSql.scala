@@ -646,6 +646,8 @@ object GraftSql {
       builder("iceberg_manifests", (s, p, o) => IcebergScan.manifests(s, p, o))),
     ("iceberg_files", "per-file stats (counts, sizes, bounds) of a snapshot",
       builder("iceberg_files", (s, p, o) => IcebergScan.files(s, p, o))),
+    ("iceberg_entries", "every manifest entry incl. DELETED tombstone markers",
+      builder("iceberg_entries", (s, p, o) => IcebergScan.entries(s, p, o))),
     ("iceberg_row_count", "COUNT(*) from manifest metadata alone (falls back to a scan under live deletes)",
       builder("iceberg_row_count", (s, p, o) => IcebergScan.rowCount(s, p, o))),
     ("iceberg_snapshot_summaries", "every snapshot's commit summary, exploded to key/value rows",

@@ -192,6 +192,31 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           WHERE content = 0""").head().getLong(0) === 3L)
   }
 
+  test("iceberg_entries shows DELETED tombstone markers the files listing hides") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sqlentries_").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.iceberg.IcebergWriter.write(nation, table)
+    graft.iceberg.IcebergWriter.delete(spark, table,
+      org.apache.spark.sql.functions.col("n_nationkey") === 0)
+    graft.iceberg.IcebergWriter.compact(spark, table)
+    val byStatus = spark.sql(
+      s"""SELECT status, count(*) AS n FROM iceberg_entries('$table')
+          GROUP BY status""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // compaction marks the pre-compact data file DELETED and adds the
+    // rewritten file — both generations visible here (the delete-file
+    // manifest is dropped from the list outright, not tombstoned)
+    assert(byStatus.getOrElse("DELETED", 0L) >= 1, byStatus.toString)
+    assert(byStatus.getOrElse("ADDED", 0L) >= 1, byStatus.toString)
+    // the files listing hides tombstones: strictly fewer rows
+    val filesN = spark.sql(
+      s"SELECT count(*) FROM iceberg_files('$table')").head().getLong(0)
+    val entriesN = spark.sql(
+      s"SELECT count(*) FROM iceberg_entries('$table')").head().getLong(0)
+    assert(entriesN > filesN, s"entries=$entriesN files=$filesN")
+  }
+
   test("runtime registration on an extension-less session") {
     val fresh = spark.newSession()
     GraftSql.register(fresh)
