@@ -350,9 +350,10 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (i % 11 == 0) null else s"s${i % 40}",
         if (i % 13 == 0) null else java.lang.Double.valueOf((i % 17) * 1.5),
         i % 7,
-        java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"))
+        java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"),
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 0${i % 10}:30:00"))
     }
-    val df = rows.toDF("id", "s", "d", "b", "dt")
+    val df = rows.toDF("id", "s", "d", "b", "dt", "ts")
     val at = tmp("graft_avro_fuzz_a_") + "/t"
     val pt = tmp("graft_avro_fuzz_p_") + "/t"
     IcebergWriter.write(df, at, dataFormat = Some("avro"))
@@ -369,6 +370,9 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("b") === 3, col("b") >= 5, col("b").isin(0, 6),
       col("dt") === java.sql.Date.valueOf("2024-01-05"),
       col("dt") > java.sql.Date.valueOf("2024-01-20"),
+      col("ts") >= java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+      col("ts") < java.sql.Timestamp.valueOf("2024-01-03 12:00:00"),
+      col("ts") === java.sql.Timestamp.valueOf("2024-01-05 04:30:00"),
       col("id") > 100L && col("b") === 2,
       col("s") >= "s2" && col("d") < 20.0,
       (col("id") < 50L) || (col("id") > 280L), // OR: not pushable, residual only
@@ -379,7 +383,7 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r = IcebergScan.scan(spark, table).filter(p)
         .agg(count(lit(1)),
           coalesce(bit_xor(xxhash64(to_json(struct(col("id"), col("s"), col("d"),
-            col("b"), col("dt"))))), lit(0L)))
+            col("b"), col("dt"), col("ts"))))), lit(0L)))
         .head()
       (r.getLong(0), r.getLong(1))
     }
