@@ -346,6 +346,17 @@ object AvroDataSource {
       import org.apache.spark.sql.catalyst.CatalystTypeConverters
       import org.apache.spark.sql.catalyst.util.TypeUtils
       def info(c: String): Option[(Int, DataType)] = presentPos.get(c)
+      // Spark's codegen'd comparisons see float/double values AFTER
+      // UnsafeRow normalization (-0.0 stored as 0.0), so EqualTo(c, 0.0)
+      // matches a stored -0.0. The interpreted ordering used here
+      // distinguishes them (Double.compare(-0.0, 0.0) < 0), which would
+      // skip a row the residual filter can never resurrect. Normalize
+      // both sides so matcher semantics stay a superset of Spark's.
+      def norm(dt: DataType, v: Any): Any = (dt, v) match {
+        case (DoubleType, d: java.lang.Double) if d.doubleValue == 0.0d => 0.0d
+        case (FloatType, f: java.lang.Float) if f.floatValue == 0.0f => 0.0f
+        case _ => v
+      }
       def mk(f: Filter): Option[GenericRecord => Boolean] =
         scala.util.Try[Option[GenericRecord => Boolean]] {
           def comparison(c: String, v: Any, keep: Int => Boolean)
@@ -354,13 +365,15 @@ object AvroDataSource {
             // comparison semantics: never matches
             case None => Some(_ => false)
             case Some((p, dt)) =>
-              val target = CatalystTypeConverters.createToCatalystConverter(dt)(v)
+              val target = norm(dt,
+                CatalystTypeConverters.createToCatalystConverter(dt)(v))
               if (target == null) Some(_ => false)
               else {
                 val ord = TypeUtils.getInterpretedOrdering(dt)
                 Some { r =>
                   val raw = r.get(p)
-                  raw != null && keep(ord.compare(toCatalyst(dt, raw), target))
+                  raw != null &&
+                    keep(ord.compare(norm(dt, toCatalyst(dt, raw)), target))
                 }
               }
           }
@@ -374,10 +387,10 @@ object AvroDataSource {
               case None => Some(_ => false)
               case Some((p, dt)) =>
                 val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-                val set = vs.filter(_ != null).map(v => conv(v)).toSet
+                val set = vs.filter(_ != null).map(v => norm(dt, conv(v))).toSet
                 Some { r =>
                   val raw = r.get(p)
-                  raw != null && set.contains(toCatalyst(dt, raw))
+                  raw != null && set.contains(norm(dt, toCatalyst(dt, raw)))
                 }
             }
             case IsNull(c) => info(c) match {

@@ -453,13 +453,22 @@ object ManifestReader {
     manifestsDecodedCtr.addAndGet(manifests.size.toLong)
     manifestsPrunedCtr.addAndGet((allManifests.size - manifests.size).toLong)
 
+    // Cache key = the RESOLVED physical path (like listCache's listPath).
+    // With allowMovedPaths, two distinct table copies record identical
+    // manifest paths; keying by the recorded path would serve one copy's
+    // decoded entries to the other — wrong the moment the copies diverge.
+    def resolved(m: Manifest): String =
+      if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
+      else m.manifestPath
     val cachedEntries: Map[String, Seq[ManifestEntry]] =
       if (!useFileCaches) Map.empty
       else entryCache.synchronized {
-        manifests.flatMap(m =>
-          Option(entryCache.get(m.manifestPath)).map(m.manifestPath -> _)).toMap
+        manifests.flatMap { m =>
+          val rp = resolved(m)
+          Option(entryCache.get(rp)).map(rp -> _)
+        }.toMap
       }
-    val toFetch = manifests.filterNot(m => cachedEntries.contains(m.manifestPath))
+    val toFetch = manifests.filterNot(m => cachedEntries.contains(resolved(m)))
 
     import scala.concurrent.duration._
     val threshold = conf.getInt(
@@ -470,16 +479,14 @@ object ManifestReader {
       case Some(spark) if threshold > 0 && toFetch.size >= threshold =>
         fetchDistributed(spark, tablePath, toFetch, conf,
           snapshot.formatVersion, allowMovedPaths)
-          .map { case (m, es) => m.manifestPath -> es }
+          .map { case (m, es) => resolved(m) -> es }
       case _ =>
         val parallelism = conf.getInt(FetchParallelismKey, DefaultFetchParallelism)
         val timeout = conf.getLong(FetchTimeoutSecKey, DefaultFetchTimeoutSec).seconds
         DriverPool.mapParallel(
           toFetch, parallelism, timeout, "graft-manifest-fetch") { m =>
-          val mPath =
-            if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
-            else m.manifestPath
-          m.manifestPath -> readManifestEntries(mPath, conf, snapshot.formatVersion)
+          val mPath = resolved(m)
+          mPath -> readManifestEntries(mPath, conf, snapshot.formatVersion)
         }
     }).toMap
     if (useFileCaches && fetched.nonEmpty) {
@@ -492,7 +499,7 @@ object ManifestReader {
         PlanningCacheMaxEntriesKey, DefaultPlanningCacheMaxEntries.toLong) / 2)
     }
     val entries = manifests.map(m =>
-      m -> cachedEntries.getOrElse(m.manifestPath, fetched(m.manifestPath)))
+      m -> cachedEntries.getOrElse(resolved(m), fetched(resolved(m))))
     TableMeta(tablePath, snapshot, entries,
       partialPlan = manifests.size != allManifests.size)
   }

@@ -47,6 +47,17 @@ object RestCatalog {
       new java.util.concurrent.atomic.AtomicReference[Option[String]](initialToken)
     def token: Option[String] = tokenRef.get
     private[iceberg] def setToken(t: String): Unit = tokenRef.set(Some(t))
+    // NOTE: copy() builds a fresh instance, so its live token re-seeds
+    // from initialToken — a mid-session re-auth (401 → oauth retry) on
+    // the original does NOT carry over to copies. Treat a Client as a
+    // session-long singleton; reconnect() rather than copy().
+    /** Secrets never render: the bearer token and the
+      * client_id:client_secret pair would otherwise leak through any
+      * log line or exception message that interpolates the client. */
+    override def toString: String =
+      s"Client($uri, prefix=$prefix, config=${config.size} keys, " +
+        s"token=${initialToken.map(_ => "***")}, " +
+        s"credential=${credential.map(_ => "***")})"
   }
 
   final case class TableRef(namespace: Seq[String], name: String) {
@@ -144,6 +155,24 @@ object RestCatalog {
     try { loadTable(c, table); true }
     catch { case _: java.io.FileNotFoundException => false }
 
+  /** `POST v1/namespaces` — create a namespace. */
+  def createNamespace(c: Client, namespace: Seq[String]): Unit = {
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("namespace")
+    namespace.foreach(arr.add)
+    httpC(c, "POST", s"${root(c)}/namespaces", Some(body.toString)): Unit
+  }
+
+  /** `DELETE v1/namespaces/{ns}` — drop an (empty) namespace. */
+  def dropNamespace(c: Client, namespace: Seq[String]): Unit =
+    httpC(c, "DELETE", s"${root(c)}/namespaces/${nsPath(namespace)}", None): Unit
+
+  /** loadTable + vended-credential application — the entry point scan
+    * integrations outside this object (the DSv2 catalog) use to resolve
+    * a table AND make its storage reachable in one step. */
+  def loadTableScoped(spark: SparkSession, c: Client, table: String): LoadedTable =
+    applyVended(spark, loadTable(c, table))
+
   /** `GET .../tables/{table}` → the table's current metadata location.
     * `table` is `ns.sub_ns.name`; the namespace part joins with the
     * spec's 0x1F unit separator in the URL. */
@@ -190,15 +219,37 @@ object RestCatalog {
     // spark.hadoop.* prefix is only stripped from the STATIC SparkConf
     // at context startup), so runtime-vended settings must use the
     // final key names
-    val props = vendedHadoopProps(t.config)
+    val raw = vendedHadoopProps(t.config)
+    // Scope rotating fs.s3a.* settings to the table's bucket
+    // (fs.s3a.bucket.<b>.<suffix>, S3A per-bucket configuration) when
+    // the metadata location names one. Scans are LAZY — loading a second
+    // vended table before collecting the first must not re-sign the
+    // first table's reads with the second's credentials, and a
+    // short-lived vended token must not become the session default for
+    // unrelated s3a paths. Non-s3a schemes (hadoop.* passthrough config)
+    // have no per-bucket mechanism and stay session-wide.
+    val bucket: Option[String] =
+      try {
+        val u = new URI(t.metadataLocation)
+        if (Set("s3a", "s3", "s3n").contains(u.getScheme) && u.getHost != null
+            && u.getHost.nonEmpty) Some(u.getHost)
+        else None
+      } catch { case _: Exception => None }
+    def scoped(k: String): String = bucket match {
+      case Some(b) if k.startsWith("fs.s3a.") =>
+        s"fs.s3a.bucket.$b.${k.stripPrefix("fs.s3a.")}"
+      case _ => k
+    }
+    val props = raw.map { case (k, v) => scoped(k) -> v }
     // When THIS table vends s3 credentials, clear the credential keys it
-    // does NOT carry: a stale fs.s3a.session.token from a previously
-    // scanned table combined with a fresh static key pair signs as the
-    // wrong principal. A table that vends no s3 credentials leaves the
-    // session's (possibly user-set) credentials untouched; hadoop.*
-    // passthroughs are additive config, not rotating credentials.
-    if (S3CredentialKeys.exists(props.contains))
-      S3CredentialKeys.filterNot(props.contains).foreach { k =>
+    // does NOT carry (at the same scope): a stale session token from a
+    // previously scanned table combined with a fresh static key pair
+    // signs as the wrong principal. A table that vends no s3 credentials
+    // leaves the session's (possibly user-set) credentials untouched;
+    // hadoop.* passthroughs are additive config, not rotating credentials.
+    val credKeys = S3CredentialKeys.map(scoped)
+    if (credKeys.exists(props.contains))
+      credKeys.filterNot(props.contains).foreach { k =>
         scala.util.Try(spark.conf.unset(k))
       }
     props.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -311,6 +311,32 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("b") === Array[Byte](3, 4)).count() === 1)
   }
 
+  test("pushed Eq/In on float/double match -0.0 like Spark does (round 11)") {
+    import spark.implicits._
+    // Spark's UnsafeRow normalizes -0.0 to 0.0, so EqualTo(d, 0.0)
+    // matches a stored -0.0. The pushed decode-loop matcher must not be
+    // stricter — a row skipped in the decoder never reaches the
+    // residual filter (silent row loss).
+    val table = tmp("graft_avro_negzero_") + "/t"
+    val df = Seq(
+      (1L, 0.0d, 0.0f), (2L, -0.0d, -0.0f),
+      (3L, 1.5d, 1.5f), (4L, -1.5d, -1.5f))
+      .toDF("id", "d", "f")
+    IcebergWriter.write(df, table, dataFormat = Some("avro"))
+
+    def ids(dfq: org.apache.spark.sql.DataFrame): Seq[Long] =
+      dfq.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val scan = IcebergScan.scan(spark, table)
+    assert(ids(scan.filter(col("d") === 0.0d)) === Seq(1L, 2L))
+    assert(ids(scan.filter(col("d") === -0.0d)) === Seq(1L, 2L))
+    assert(ids(scan.filter(col("f") === 0.0f)) === Seq(1L, 2L))
+    assert(ids(scan.filter(col("d").isin(0.0d, 1.5d))) === Seq(1L, 2L, 3L))
+    assert(ids(scan.filter(col("f").isin(-0.0f))) === Seq(1L, 2L))
+    // ordering comparisons agree with Spark on the normalized value
+    assert(ids(scan.filter(col("d") >= 0.0d)) === Seq(1L, 2L, 3L))
+    assert(ids(scan.filter(col("d") < 0.0d)) === Seq(4L))
+  }
+
   test("split_offsets spread a wide avro file across read tasks (round 10)") {
     import spark.implicits._
     val table = tmp("graft_avro_split_") + "/t"
