@@ -52,13 +52,17 @@ object GraftSessions {
     // events.ts is parquet TIMESTAMP(NANOS)
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  /** Standard local session builder for the driver harnesses and tests. */
+  /** Standard local session builder for the driver harnesses and tests.
+    * Installs the graft extensions (TVFs, scalar functions, and the
+    * catalog-identifier rewrite rule) the way a cluster deployment would
+    * via `spark.sql.extensions=graft.sql.GraftSqlExtensions`. */
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     requiredConfs.foldLeft(
       SparkSession.builder()
         .master(master)
         .config("spark.sql.shuffle.partitions", shufflePartitions)
-        .config("spark.ui.enabled", "false")) {
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.sql.GraftSqlExtensions)) {
       case (b, (k, v)) => b.config(k, v)
     }
 }

@@ -69,6 +69,31 @@ object IcebergQueries {
   private def cachedTable(key: String, dir: String)(build: () => String): String =
     gateTableCache.computeIfAbsent((key, dir), _ => build())
 
+  /** Register the DSv2 catalog plugin once per session (ib58/ib59).
+    * Catalog registration is ADDITIVE session config (Spark instantiates
+    * the plugin lazily on first identifier lookup) — unlike read-behavior
+    * confs, setting it here cannot leak into other gates' semantics. */
+  private def ensureCatalog(s: org.apache.spark.sql.SparkSession): String = {
+    if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty) {
+      val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh_").toString
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    }
+    s.conf.get("spark.sql.catalog.graft_cat.warehouse")
+  }
+
+  /** The orders table registered under a catalog identifier — written
+    * once per (JVM, sf dir) into the catalog warehouse. */
+  private def catalogOrdersTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cachedTable("ib58", dir) { () =>
+      val wh = ensureCatalog(s)
+      val suffix = math.abs(dir.hashCode)
+      graft.iceberg.IcebergWriter.write(
+        graft.Tables.load(s, dir, "orders"), s"$wh/g/orders_$suffix")
+      s"graft_cat.g.orders_$suffix"
+    }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ib01_scan_latest_count",
@@ -1500,6 +1525,86 @@ object IcebergQueries {
           .withColumn("manifests_decoded", lit(d1 - d0))
           .withColumn("manifests_pruned", lit(p1 - p0))
           .select("manifests_decoded", "manifests_pruned", "cnt")
+      }
+    ),
+    QueryDef(
+      "ib58_catalog_sql_scan",
+      // DSv2 TableCatalog gate (round 11): a graft table addressed as a
+      // plain SQL identifier (`graft_cat.g.orders_<sf>`) — resolution via
+      // the GraftCatalog plugin, the analyzer rule splicing the native
+      // scan (pushdown + pruning intact; GraftCatalogSpec pins the plan
+      // shape). Values must equal DuckDB's over the parquet source.
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM orders WHERE o_custkey % 10 = 3
+        GROUP BY o_orderpriority"""),
+      (s, dir) => {
+        val name = catalogOrdersTable(s, dir)
+        s.sql(
+          s"""SELECT o_orderpriority,
+                     COUNT(*) AS cnt,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM $name WHERE o_custkey % 10 = 3
+              GROUP BY o_orderpriority""")
+      }
+    ),
+    QueryDef(
+      "ib59_catalog_lifecycle",
+      // Catalog DML lifecycle gate: CREATE TABLE / INSERT INTO /
+      // DELETE FROM / UPDATE / MERGE INTO as plain SQL statements on a
+      // catalog identifier — each routing into the engine's MoR commits
+      // (tombstones + appends, never file rewrites). The oracle replays
+      // the same mutations as relational algebra over the parquet source.
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 7 = 0),
+        afterdel AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+        afterupd AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_custkey % 2 = 0 THEN price + 1 ELSE price END AS price
+          FROM afterdel),
+        msrc AS (
+          SELECT o_orderkey, o_custkey, CAST(price * 2 AS DOUBLE) AS price
+          FROM base WHERE o_orderkey % 14 = 0),
+        merged AS (
+          SELECT * FROM msrc
+          UNION ALL
+          SELECT * FROM afterupd
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM msrc))
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM merged"""),
+      (s, dir) => {
+        val name = cachedTable("ib59", dir) { () =>
+          ensureCatalog(s)
+          val n = s"graft_cat.g.life_${math.abs(dir.hashCode)}"
+          val view = s"ib59_src_${math.abs(dir.hashCode)}"
+          graft.Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double").as("price"))
+            .createOrReplaceTempView(view)
+          s.sql(s"CREATE TABLE $n (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)")
+          s.sql(s"INSERT INTO $n SELECT * FROM $view WHERE o_orderkey % 7 = 0")
+          s.sql(s"DELETE FROM $n WHERE o_orderkey % 3 = 0")
+          s.sql(s"UPDATE $n SET price = price + 1 WHERE o_custkey % 2 = 0")
+          s.sql(
+            s"""MERGE INTO $n t
+                USING (SELECT o_orderkey, o_custkey, CAST(price * 2 AS DOUBLE) AS price
+                       FROM $view WHERE o_orderkey % 14 = 0) s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+          n
+        }
+        s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM $name""")
       }
     )
   )

@@ -1,0 +1,245 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftshim.GraftShims
+
+import graft.iceberg.IcebergWriter
+
+/** Analyzer extensions for catalog-resolved graft tables.
+  *
+  * Read fast path: a resolved [[GraftTable]] relation is REPLACED by the
+  * logical plan of the engine's own scan (`IcebergScan.scan` — MoR
+  * composition, manifest/file pruning, provenance handling), aliased to
+  * the relation's attribute ids. Catalyst then optimizes the spliced
+  * subtree exactly like the TVF path: filters/projection reach the
+  * parquet scans, whole-stage codegen spans the plan — the same
+  * bind_replace idea the reference uses (`iceberg_scan.cpp:305`),
+  * expressed as a resolution rule.
+  *
+  * Row-level SQL: `DELETE FROM` / `UPDATE` / `MERGE INTO` over catalog
+  * identifiers convert to commands running the existing writer commits
+  * ([[IcebergWriter.delete]]/[[IcebergWriter.update]]/
+  * [[IcebergWriter.merge]]) — MoR tombstones, never file rewrites.
+  *
+  * Write targets (INSERT/append/overwrite and the row-level statements'
+  * own targets) keep their V2 relation so Spark's write resolution (or
+  * this rule's command conversion) still sees the table.
+  */
+case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private object GraftRelation {
+    def unapply(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] = p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Write-target relations must survive as relations: Spark's insert
+    // resolution binds the incoming query to them, and the row-level
+    // conversions below consume them whole. Identity-keyed — two scans
+    // of one table elsewhere in the same query still get spliced.
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def protect(p: LogicalPlan): Unit = p match {
+      case r: DataSourceV2Relation => writeTargets.add(r): Unit
+      case SubqueryAlias(_, child) => protect(child)
+      case _ => ()
+    }
+    plan.foreach {
+      case i: InsertIntoStatement          => protect(i.table)
+      case a: AppendData                   => protect(a.table)
+      case o: OverwriteByExpression        => protect(o.table)
+      case o: OverwritePartitionsDynamic   => protect(o.table)
+      case d: DeleteFromTable              => protect(d.table)
+      case u: UpdateTable                  => protect(u.table)
+      case m: MergeIntoTable               => protect(m.targetTable)
+      case _                               => ()
+    }
+
+    plan.resolveOperatorsDown {
+      case DeleteFromTable(GraftRelation(_, t), cond)
+          if cond.resolved && noSubquery(cond, "DELETE") =>
+        GraftDeleteCommand(t, toColumn(cond))
+
+      case UpdateTable(GraftRelation(_, t), assignments, cond)
+          if assignments.forall(_.resolved) && cond.forall(_.resolved) &&
+            cond.forall(noSubquery(_, "UPDATE")) =>
+        val assigns = assignments.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new UnsupportedOperationException(
+              s"UPDATE: only top-level columns can be assigned, got ${other.sql}")
+          }
+          name -> toColumn(a.value)
+        }.toMap
+        GraftUpdateCommand(t, assigns,
+          cond.map(toColumn).getOrElse(org.apache.spark.sql.functions.lit(true)))
+
+      case m @ MergeIntoTable(GraftRelation(_, t), source, cond,
+            matched, notMatched, notMatchedBySource, _)
+          if m.resolved =>
+        convertMerge(t, source, cond, matched, notMatched, notMatchedBySource)
+
+      case GraftRelation(r, t) if !writeTargets.contains(r) =>
+        splice(r, t)
+    }
+  }
+
+  /** Replace the relation with the engine scan's analyzed plan, output
+    * re-bound to the relation's attribute ids by (case-insensitive)
+    * name. */
+  private def splice(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
+    val inner = t.scanDF(spark).queryExecution.analyzed
+    val byName = inner.output.map(a => a.name.toLowerCase -> a).toMap
+    val projs: Seq[NamedExpression] = r.output.map { o =>
+      val src = byName.getOrElse(o.name.toLowerCase,
+        throw new IllegalStateException(
+          s"graft catalog: scan of ${t.name()} lost column '${o.name}'"))
+      Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(projs, inner)
+  }
+
+  private def noSubquery(e: Expression, what: String): Boolean = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        s"$what on a graft table: subqueries in the condition are not " +
+          "supported — materialize the subquery and use MERGE, or the " +
+          "Scala API")
+    true
+  }
+
+  /** Resolved condition → Column over a FRESH scan: strip the stale
+    * attribute bindings back to names (the writer re-resolves them
+    * against its own tombstone-aware scan). */
+  private def toColumn(e: Expression): Column =
+    GraftShims.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** MERGE INTO → [[IcebergWriter.merge]] (key-replace upsert). Accepted
+    * shape — the canonical upsert the writer's commit implements:
+    *   ON conjunction of target.k = source.k equalities
+    *   WHEN MATCHED THEN UPDATE SET (star, or every column := bare source column)
+    *   WHEN NOT MATCHED THEN INSERT (star, or every column := bare source column)
+    * with matching per-column sources in both branches. Anything richer
+    * raises with a pointer to the procedure/Scala surface. */
+  private def convertMerge(
+      t: GraftTable, source: LogicalPlan, cond: Expression,
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+      notMatchedBySource: Seq[MergeAction]): LogicalPlan = {
+    def unsupported(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"MERGE INTO a graft table supports the upsert form (ON key " +
+          s"equality, WHEN MATCHED UPDATE SET *, WHEN NOT MATCHED INSERT *); " +
+          s"$why. Use the merge procedure or IcebergWriter.merge for more.")
+
+    if (notMatchedBySource.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not part of it")
+
+    val sourceOut = source.outputSet
+
+    // ON clause → key column names (target.k = source.k conjuncts only)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keyCols = conjuncts(cond).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            (sourceOut.contains(a) ^ sourceOut.contains(b)) =>
+        if (sourceOut.contains(a)) b.name else a.name
+      case other => unsupported(s"ON clause term '${other.sql}' is not a " +
+        "target-to-source key equality")
+    }
+
+    // per-column source expression from the update/insert assignments;
+    // both branches must agree (one effective source row per key)
+    def assignMap(as: Seq[Assignment], branch: String): Map[String, Expression] =
+      as.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name.toLowerCase
+          case other => unsupported(s"$branch assigns non-column ${other.sql}")
+        }
+        name -> a.value
+      }.toMap
+
+    val updateAssigns = matched match {
+      case Seq(UpdateAction(None, as, _)) => assignMap(as, "WHEN MATCHED")
+      case Seq() => Map.empty[String, Expression]
+      case _ => unsupported("WHEN MATCHED must be a single unconditional UPDATE")
+    }
+    val insertAssigns = notMatched match {
+      case Seq(InsertAction(None, as)) => assignMap(as, "WHEN NOT MATCHED")
+      case Seq() => Map.empty[String, Expression]
+      case _ => unsupported("WHEN NOT MATCHED must be a single unconditional INSERT")
+    }
+    if (updateAssigns.isEmpty && insertAssigns.isEmpty)
+      unsupported("no actions")
+    if (updateAssigns.nonEmpty && insertAssigns.nonEmpty) {
+      val same = updateAssigns.keySet == insertAssigns.keySet &&
+        updateAssigns.forall { case (k, v) => insertAssigns(k).semanticEquals(v) }
+      if (!same) unsupported(
+        "UPDATE and INSERT branches assign different values")
+    }
+    val assigns = if (updateAssigns.nonEmpty) updateAssigns else insertAssigns
+
+    val tableCols = t.tableSchema.fieldNames.toSeq
+    val missing = tableCols.filterNot(c => assigns.contains(c.toLowerCase))
+    if (missing.nonEmpty)
+      unsupported(s"columns ${missing.mkString(", ")} are not assigned " +
+        "(partial-row upsert would null them)")
+
+    // effective source: one projection over the source plan, in table
+    // column order — attribute references stay bound to the source plan
+    val projs: Seq[NamedExpression] = tableCols.map { c =>
+      Alias(assigns(c.toLowerCase), c)()
+    }
+    GraftMergeCommand(t, Project(projs, source), keyCols)
+  }
+}
+
+/** DELETE FROM <graft table> WHERE <cond>. */
+final case class GraftDeleteCommand(table: GraftTable, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergWriter.delete(spark, table.path, cond)
+    Seq.empty
+  }
+}
+
+/** UPDATE <graft table> SET ... WHERE <cond>. */
+final case class GraftUpdateCommand(
+    table: GraftTable, assigns: Map[String, Column], cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergWriter.update(spark, table.path, cond, assigns)
+    Seq.empty
+  }
+}
+
+/** MERGE INTO <graft table> — upsert by key. `source` is the analyzed
+  * effective-source plan (already projected to table columns). */
+final case class GraftMergeCommand(
+    table: GraftTable, source: LogicalPlan, keyCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergWriter.merge(spark, table.path,
+      GraftShims.ofRows(spark, source), keyCols)
+    Seq.empty
+  }
+}

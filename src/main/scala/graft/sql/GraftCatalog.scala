@@ -1,0 +1,588 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.iceberg.{IcebergIO, IcebergMetadataParser, IcebergScan, IcebergSchemaParser, IcebergWriter, RestCatalog}
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `TableCatalog` plugin — graft tables as plain SQL identifiers.
+  *
+  * The reference gets native-identifier binding for free from DuckDB's
+  * extension loader (`src/iceberg_extension.cpp:33-38` registers the
+  * extension; `iceberg_scan.cpp:305` bind_replace splices the scan); the
+  * Spark-idiomatic equivalent is a V2 catalog:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sql.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  *   SELECT * FROM graft.db.tbl
+  *   SELECT * FROM graft.db.tbl VERSION AS OF 3776207205136740581
+  *   SELECT * FROM graft.db.tbl VERSION AS OF 'audit-branch'
+  *   SELECT * FROM graft.db.tbl TIMESTAMP AS OF '2024-03-01 00:00:00'
+  *   INSERT INTO graft.db.tbl SELECT ...
+  *   CREATE TABLE graft.db.tbl (id BIGINT, ts TIMESTAMP_NTZ)
+  *     PARTITIONED BY (days(ts), bucket(8, id))
+  * }}}
+  *
+  * Two catalog backends behind one class, selected by the `type` option:
+  *  - `hadoop` (default): identifier → `<warehouse>/<ns...>/<name>`
+  *    directory layout (the ecosystem's filesystem-catalog convention);
+  *    tables are the engine's own Iceberg tables, written/read in place.
+  *  - `rest`: identifiers resolve through [[graft.iceberg.RestCatalog]]
+  *    (`uri`, optional `warehouse`/`credential`/`token` options); the
+  *    returned `metadata-location` feeds the same direct-metadata scan.
+  *
+  * Read path: [[GraftTable]] resolves the snapshot ONCE at `loadTable`
+  * (analysis-time pinning — concurrent commits cannot shear a multi-scan
+  * query). The fast path is [[GraftTableRewrite]] (injected by
+  * [[GraftSqlExtensions]]), which splices `IcebergScan.scan`'s logical
+  * plan over the relation — full parquet pushdown, manifest/file pruning,
+  * MoR composition and whole-stage codegen, identical to the TVF path.
+  * Without the extension the V1 fallback scan below still answers every
+  * query correctly (filters/projection applied to the same DataFrame, at
+  * a Row-conversion cost).
+  *
+  * Write path: `V1Write` → `InsertableRelation` routing into
+  * [[IcebergWriter]] — INSERT INTO appends, INSERT OVERWRITE / truncate
+  * tombstones the matched rows then appends (MoR overwrite; at 100 TB an
+  * overwrite never rewrites untouched files).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Option[String] = None
+  private var backend: String = "hadoop"
+  private var restOptions: Map[String, String] = Map.empty
+  // lazily connected; one catalog client per plugin instance (per session)
+  @volatile private var restClientRef: Option[RestCatalog.Client] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    backend = Option(options.get("type")).getOrElse("hadoop").toLowerCase
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+    restOptions = options.asScala.toMap
+    backend match {
+      case "hadoop" =>
+        require(warehouse.isDefined,
+          s"catalog '$name': the hadoop backend requires option " +
+            s"'spark.sql.catalog.$name.warehouse'")
+      case "rest" =>
+        require(restOptions.contains("uri"),
+          s"catalog '$name': the rest backend requires option " +
+            s"'spark.sql.catalog.$name.uri'")
+      case other =>
+        throw new IllegalArgumentException(
+          s"catalog '$name': unknown type '$other' (expected hadoop or rest)")
+    }
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def restClient: RestCatalog.Client = {
+    restClientRef.getOrElse {
+      synchronized {
+        restClientRef.getOrElse {
+          val c = RestCatalog.connect(
+            restOptions("uri"),
+            warehouse = restOptions.get("warehouse"),
+            credential = restOptions.get("credential"),
+            token = restOptions.get("token"))
+          restClientRef = Some(c)
+          c
+        }
+      }
+    }
+  }
+
+  private def restName(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString(".")
+
+  /** hadoop backend: identifier → warehouse-relative directory. */
+  private def tableDir(ident: Identifier): Path =
+    (ident.namespace :+ ident.name)
+      .foldLeft(new Path(warehouse.get))((p, part) => new Path(p, part))
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(new Path(warehouse.get))((p, part) => new Path(p, part))
+
+  /** A directory is a graft table iff it has Iceberg metadata. */
+  private def isTableDir(p: Path): Boolean = {
+    val fs = p.getFileSystem(hconf)
+    fs.exists(new Path(p, "metadata"))
+  }
+
+  private def resolveTablePath(ident: Identifier): String = backend match {
+    case "rest" =>
+      RestCatalog.loadTableScoped(spark, restClient, restName(ident)).metadataLocation
+    case _ => tableDir(ident).toString
+  }
+
+  override def tableExists(ident: Identifier): Boolean = backend match {
+    case "rest" =>
+      try { restClient; RestCatalog.tableExists(restClient, restName(ident)) }
+      catch { case _: Exception => false }
+    case _ => isTableDir(tableDir(ident))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, IcebergScan.Options())
+
+  /** `VERSION AS OF v`: a numeric v is a snapshot id, anything else a
+    * ref (branch/tag) name — the same dispatch as the TVF's second
+    * positional argument (GraftSql.parseArgs). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val opts = scala.util.Try(version.toLong).toOption match {
+      case Some(id) => IcebergScan.Options(snapshotId = Some(id))
+      case None     => IcebergScan.Options(snapshotFromRef = Some(version))
+    }
+    load(ident, opts)
+  }
+
+  /** `TIMESTAMP AS OF ts`: Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, IcebergScan.Options(
+      asOfTimestampMs = Some(Math.floorDiv(timestampMicros, 1000L))))
+
+  private def load(ident: Identifier, opts: IcebergScan.Options): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = resolveTablePath(ident)
+    GraftTable.resolve(spark, catalogName, ident, path, opts)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = backend match {
+    case "rest" =>
+      RestCatalog.listTables(restClient, namespace.toSeq)
+        .map(r => Identifier.of(r.namespace.toArray, r.name)).toArray
+    case _ =>
+      val dir = nsDir(namespace)
+      val fs = dir.getFileSystem(hconf)
+      if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && isTableDir(s.getPath))
+        .map(s => Identifier.of(namespace, s.getPath.getName))
+        .toArray
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap -
+      TableCatalog.PROP_OWNER - TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER
+    val partitionBy = partitions.toSeq.map(GraftCatalog.toWriterTransform)
+    val formatVersion = props.get("format-version").map(_.toInt).getOrElse(2)
+    val path = backend match {
+      case "rest" =>
+        // stage the table under the catalog's warehouse dir (rest catalogs
+        // vend locations on create; this client-side create mirrors the
+        // register flow: write locally, then register the metadata)
+        val wh = warehouse.getOrElse(throw new UnsupportedOperationException(
+          s"catalog '$catalogName': CREATE TABLE on a rest catalog needs a " +
+            "'warehouse' option naming a writable staging location"))
+        (ident.namespace :+ ident.name)
+          .foldLeft(new Path(wh))((p, part) => new Path(p, part)).toString
+      case _ => tableDir(ident).toString
+    }
+    // the writer creates the table on its first commit; an empty frame
+    // yields a zero-file snapshot with the declared schema + spec
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    IcebergWriter.write(empty, path,
+      partitionBy = partitionBy,
+      formatVersion = formatVersion,
+      options = Map.empty)
+    val userProps = props - "format-version"
+    if (userProps.nonEmpty)
+      IcebergWriter.setProperties(spark, path, set = userProps)
+    if (backend == "rest") {
+      val meta = IcebergIO.resolveMetadataPath(
+        path, hconf, "none",
+        graft.iceberg.IcebergModel.UnknownTableVersion,
+        graft.iceberg.IcebergModel.DefaultTableVersionFormat, false)
+      RestCatalog.registerTable(restClient, restName(ident), meta)
+    }
+    GraftTable.resolve(spark, catalogName, ident, path, IcebergScan.Options())
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = resolveTablePath(ident)
+    import TableChange._
+    changes.foreach {
+      case s: SetProperty =>
+        IcebergWriter.setProperties(spark, path, set = Map(s.property -> s.value))
+      case r: RemoveProperty =>
+        IcebergWriter.setProperties(spark, path, remove = Seq(r.property))
+      case a: AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMN: only top-level columns are supported")
+        IcebergWriter.addColumn(spark, path, a.fieldNames.head, a.dataType)
+      case r: RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "ALTER TABLE RENAME COLUMN: only top-level columns are supported")
+        IcebergWriter.renameColumns(spark, path, Map(r.fieldNames.head -> r.newName))
+      case d: DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "ALTER TABLE DROP COLUMN: only top-level columns are supported")
+        IcebergWriter.dropColumns(spark, path, Seq(d.fieldNames.head))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE: unsupported change $other")
+    }
+    GraftTable.resolve(spark, catalogName, ident, path, IcebergScan.Options())
+  }
+
+  override def dropTable(ident: Identifier): Boolean = backend match {
+    case "rest" =>
+      try { RestCatalog.dropTable(restClient, restName(ident)); true }
+      catch { case _: Exception => false }
+    case _ =>
+      val dir = tableDir(ident)
+      val fs = dir.getFileSystem(hconf)
+      isTableDir(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (backend == "rest") {
+      RestCatalog.renameTable(restClient, restName(oldIdent), restName(newIdent))
+      return
+    }
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val fs = tableDir(oldIdent).getFileSystem(hconf)
+    val dst = tableDir(newIdent)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(tableDir(oldIdent), dst),
+      s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ---- namespaces (hadoop backend: directories; rest: the API) ---------
+
+  override def listNamespaces(): Array[Array[String]] = backend match {
+    case "rest" =>
+      RestCatalog.listNamespaces(restClient).map(_.toArray).toArray
+    case _ =>
+      val root = new Path(warehouse.get)
+      val fs = root.getFileSystem(hconf)
+      if (!fs.exists(root)) Array.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && !isTableDir(s.getPath))
+        .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    backend match {
+      case "rest" => Array.empty // REST namespaces are single-level here
+      case _ =>
+        val dir = nsDir(namespace)
+        val fs = dir.getFileSystem(hconf)
+        if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isDirectory && !isTableDir(s.getPath))
+          .map(s => namespace :+ s.getPath.getName).toArray
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = backend match {
+    case "rest" => RestCatalog.listNamespaces(restClient)
+      .exists(_ == namespace.toSeq)
+    case _ =>
+      val dir = nsDir(namespace)
+      dir.getFileSystem(hconf).exists(dir) && !isTableDir(dir)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (backend == "rest") Map.empty[String, String].asJava
+    else Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = backend match {
+    case "rest" => RestCatalog.createNamespace(restClient, namespace.toSeq)
+    case _ =>
+      val dir = nsDir(namespace)
+      dir.getFileSystem(hconf).mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    backend match {
+      case "rest" =>
+        try { RestCatalog.dropNamespace(restClient, namespace.toSeq); true }
+        catch { case _: Exception => false }
+      case _ =>
+        val dir = nsDir(namespace)
+        val fs = dir.getFileSystem(hconf)
+        if (!fs.exists(dir)) false
+        else {
+          if (!cascade)
+            require(fs.listStatus(dir).isEmpty,
+              s"namespace ${namespace.mkString(".")} is not empty")
+          fs.delete(dir, true)
+        }
+    }
+}
+
+object GraftCatalog {
+  /** DSv2 Transform → the writer's (column, transform-string) grammar
+    * (IcebergTransforms): identity, bucket[n], truncate[w], year, month,
+    * day, hour. */
+  def toWriterTransform(t: Transform): (String, String) = {
+    def ref: String = t.references.head.fieldNames.mkString(".")
+    t.name.toLowerCase match {
+      case "identity" => ref -> "identity"
+      case "bucket" =>
+        val n = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(s"bucket needs a width: $t"))
+        ref -> s"bucket[$n]"
+      case "truncate" =>
+        val w = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(s"truncate needs a width: $t"))
+        ref -> s"truncate[$w]"
+      case "years" | "year"   => ref -> "year"
+      case "months" | "month" => ref -> "month"
+      case "days" | "day"     => ref -> "day"
+      case "hours" | "hour"   => ref -> "hour"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform '$other'")
+    }
+  }
+
+  /** Writer transform-string → DSv2 Transform (Table.partitioning). */
+  def toV2Transform(field: graft.iceberg.IcebergModel.PartitionFieldSpec,
+                    sourceName: String): Transform = {
+    val Bracket = """(\w+)\[(\d+)\]""".r
+    field.transform match {
+      case "identity" => Expressions.identity(sourceName)
+      case Bracket("bucket", n) => Expressions.bucket(n.toInt, sourceName)
+      case Bracket("truncate", w) =>
+        Expressions.apply("truncate",
+          Expressions.literal(w.toInt), Expressions.column(sourceName))
+      case "year"  => Expressions.years(sourceName)
+      case "month" => Expressions.months(sourceName)
+      case "day"   => Expressions.days(sourceName)
+      case "hour"  => Expressions.hours(sourceName)
+      case other   => Expressions.apply(other, Expressions.column(sourceName))
+    }
+  }
+}
+
+/** A catalog-resolved graft table. `opts` carries the user's time-travel
+  * intent verbatim (plain loads stay "latest" so later schema evolution
+  * is visible); `version()` reports the snapshot resolved at load time. */
+final case class GraftTable(
+    catalog: String,
+    ident: Identifier,
+    path: String,
+    opts: IcebergScan.Options,
+    tableSchema: StructType,
+    partitionFields: Seq[(graft.iceberg.IcebergModel.PartitionFieldSpec, String)],
+    props: Map[String, String],
+    snapshotId: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String =
+    (catalog +: ident.namespace :+ ident.name).mkString(".")
+
+  override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] =
+    partitionFields.map { case (f, src) => GraftCatalog.toV2Transform(f, src) }.toArray
+
+  override def properties(): util.Map[String, String] =
+    (props ++ snapshotId.map("current-snapshot-id" -> _.toString)).asJava
+
+  override def version(): String = snapshotId.map(_.toString).orNull
+
+  override def capabilities(): util.Set[TableCapability] = {
+    import TableCapability._
+    Set(BATCH_READ, V1_BATCH_WRITE, TRUNCATE, OVERWRITE_BY_FILTER).asJava
+  }
+
+  // ---- read: V1 fallback (the extension rule is the fast path) ---------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftV1ScanBuilder(this)
+
+  // ---- write: V1 InsertableRelation into IcebergWriter -----------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this)
+
+  // ---- DELETE FROM (Spark's metadata-delete path; the extension rule
+  //      handles arbitrary predicates before this is consulted) ----------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftTable.filtersToColumn(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = GraftTable.filtersToColumn(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE: cannot translate filters ${filters.mkString(", ")}"))
+    IcebergWriter.delete(SparkSession.active, path, cond)
+  }
+
+  /** The pinned-snapshot scan every read path shares. */
+  def scanDF(spark: SparkSession): DataFrame = IcebergScan.scan(spark, path, opts)
+}
+
+object GraftTable {
+  /** Resolve the table's snapshot once and capture schema/spec/properties
+    * from it. Tables created snapshot-less by foreign writers fall back
+    * to the metadata's current schema, unpinned. */
+  def resolve(spark: SparkSession, catalog: String, ident: Identifier,
+              path: String, opts: IcebergScan.Options): GraftTable = {
+    val info = IcebergScan.loadInfo(spark, path, opts)
+    val snap = scala.util.Try {
+      (opts.snapshotId, opts.snapshotFromRef, opts.asOfTimestampMs) match {
+        case (Some(id), _, _)   => IcebergMetadataParser.byId(info, id)
+        case (_, Some(name), _) => IcebergMetadataParser.byRef(info, name)
+        case (_, _, Some(ts))   => IcebergMetadataParser.byTimestamp(info, ts)
+        case _                  => IcebergMetadataParser.latest(info)
+      }
+    }.toOption
+    val schema = snap.map(s => IcebergSchemaParser.toStructType(s.schema))
+      .getOrElse(IcebergSchemaParser.toStructType(
+        IcebergSchemaParser.parseSchemaById(info.schemas, info.schemaId)))
+    val spec = snap.map(_.partitionSpec).getOrElse(Seq.empty)
+    val byId = snap.map(_.schema.map(c => c.id -> c.name).toMap).getOrElse(Map.empty)
+    val partitionFields = spec.flatMap { f =>
+      byId.get(f.sourceId).map(src => f -> src)
+    }
+    // The user's travel intent passes through VERBATIM: an explicit
+    // snapshot id/ref/timestamp reads that snapshot under its DECLARED
+    // schema (time-travel semantics), while a plain load stays "latest"
+    // — pinning it to an id would freeze out schema evolution committed
+    // after this resolution (byId reads the snapshot's declared schema,
+    // not the table's current one). The resolved id still reports
+    // through version(). A commit racing the analysis at worst moves
+    // the scan to the newer snapshot — the same window every
+    // analysis-time resolution has — and a schema change in that window
+    // fails the splice's column check loudly rather than mis-binding.
+    GraftTable(catalog, ident, path, opts, schema, partitionFields,
+      info.properties, snap.map(_.snapshotId))
+  }
+
+  /** V2 source Filters → one Column predicate; None when any filter has
+    * no translation (the caller then refuses rather than over-deletes). */
+  def filtersToColumn(filters: Array[Filter]): Option[Column] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.sources._
+    def one(f: Filter): Option[Column] = f match {
+      case EqualTo(c, v)            => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v)        => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v)           => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+      case In(c, vs)                => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c)                => Some(col(c).isNull)
+      case IsNotNull(c)             => Some(col(c).isNotNull)
+      case And(l, r)  => for (a <- one(l); b <- one(r)) yield a && b
+      case Or(l, r)   => for (a <- one(l); b <- one(r)) yield a || b
+      case Not(child) => one(child).map(!_)
+      case AlwaysTrue()  => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v)   => Some(col(c).endsWith(v))
+      case StringContains(c, v)   => Some(col(c).contains(v))
+      case _ => None
+    }
+    if (filters.isEmpty) Some(org.apache.spark.sql.functions.lit(true))
+    else filters.toSeq.map(one).reduce((a, b) =>
+      for (x <- a; y <- b) yield x && y)
+  }
+}
+
+/** V1 read fallback: correct without the extension rule. Projection is
+  * honored (the inner DataFrame selects only the required columns, so
+  * pruning reaches the parquet scan); filters are left to Spark's
+  * post-scan Filter (the inner plan still sees them when the extension
+  * rule is active, which is the performance path). */
+private final class GraftV1ScanBuilder(table: GraftTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = new V1Scan {
+    private val schema = required.filter(_.nonEmpty).getOrElse(table.tableSchema)
+    override def readSchema(): StructType = schema
+    override def description(): String = s"graft-catalog-v1 ${table.name()}"
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val rel = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = build().readSchema()
+        override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+          val df = table.scanDF(context.sparkSession)
+          val projected =
+            if (schema.isEmpty) df
+            else df.select(schema.fieldNames.toIndexedSeq.map(
+              org.apache.spark.sql.functions.col): _*)
+          projected.rdd
+        }
+      }
+      rel.asInstanceOf[T]
+    }
+  }
+}
+
+/** INSERT INTO → append; INSERT OVERWRITE/TRUNCATE → MoR delete of the
+  * matched rows + append, through the existing writer commits. */
+private final class GraftWriteBuilder(table: GraftTable)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+  // None = plain append; Some(cond) = overwrite rows matching cond first
+  private var overwriteCond: Option[Column] = None
+
+  override def truncate(): WriteBuilder = {
+    overwriteCond = Some(org.apache.spark.sql.functions.lit(true))
+    this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteCond = Some(GraftTable.filtersToColumn(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE: cannot translate ${filters.mkString(", ")}")))
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          overwriteCond.foreach { cond =>
+            // MoR overwrite: tombstone matched rows (no file rewrite),
+            // then append — untouched data files carry forward verbatim
+            IcebergWriter.delete(spark, table.path, cond)
+          }
+          IcebergWriter.write(data, table.path)
+        }
+      }
+  }
+}

@@ -699,5 +699,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     GraftSql.scalarFunctions.foreach { case (ident, info, b) =>
       ext.injectFunction((ident, info, b))
     }
+    // catalog-identifier fast path + row-level SQL (see GraftAnalysis)
+    ext.injectResolutionRule(session => GraftTableRewrite(session))
   }
 }
