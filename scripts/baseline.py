@@ -67,6 +67,12 @@ def main(sfdir, outdir, runs=3):
         if real[n]:
             total_real += med
 
+    # Two comparison tiers:
+    #  - comparable: the oracle touches real tables (timing is meaningful)
+    #  - same_work: comparable MINUS ib gates — the ib gates' Spark side
+    #    runs Iceberg write/maintenance workflows their SELECT-only
+    #    oracles don't, so only the non-ib families are apples-to-apples
+    same_work = sorted(n for n in queries if real[n] and not n.startswith("ib"))
     out = {
         "engine": "duckdb",
         "version": duckdb.__version__,
@@ -76,7 +82,9 @@ def main(sfdir, outdir, runs=3):
         "threads": con.sql("SELECT current_setting('threads')").fetchone()[0],
         "total_sec": round(total_all, 3),
         "comparable_total_sec": round(total_real, 3),
+        "same_work_total_sec": round(sum(queries[n] for n in same_work), 3),
         "comparable_queries": sorted(n for n in queries if real[n]),
+        "same_work_queries": same_work,
         "constant_oracles": sorted(n for n in queries if not real[n]),
         "queries": queries,
     }

@@ -129,6 +129,51 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Empirical baseline ratio (round 11): BASELINE_DUCKDB.json records
+    // the DuckDB medians for every oracle (scripts/baseline.py). The
+    // comparable set excludes constant oracles (golden-value pins time
+    // nothing); the ratio is spark/duckdb over that intersection — the
+    // falsifiable form of the "within 2x of baseline" bar.
+    val baseline: String = try {
+      val p = Paths.get("BASELINE_DUCKDB.json")
+      if (!Files.exists(p)) "" else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(p))
+        val baseSf = node.get("sf").asText
+        if (baseSf != Paths.get(sfDir).getFileName.toString) "" else {
+          import scala.jdk.CollectionConverters._
+          val resMap = results.toMap
+          def tier(field: String): Option[(Int, Double, Double)] =
+            Option(node.get(field)).map { arr =>
+              val joint = arr.elements.asScala.map(_.asText)
+                .filter(q => resMap.getOrElse(q, -1.0) >= 0).toSeq
+              (joint.size,
+               joint.iterator.map(q => node.get("queries").get(q).asDouble).sum,
+               joint.iterator.map(resMap).sum)
+            }.filter(_._2 > 0)
+          // comparable = oracle touches tables; same_work additionally
+          // drops the ib gates (their Spark side runs write/maintenance
+          // workflows the SELECT-only oracle doesn't — see baseline.py)
+          (tier("comparable_queries"), tier("same_work_queries")) match {
+            case (Some((cn, cd, cs)), sw) =>
+              val swPart = sw.map { case (n, d, s) =>
+                s""","same_work_queries":$n,"same_work_duckdb_sec":${
+                  "%.3f".formatLocal(java.util.Locale.ROOT, d)},"same_work_spark_sec":${
+                  "%.3f".formatLocal(java.util.Locale.ROOT, s)},"vs_baseline_same_work":${
+                  "%.3f".formatLocal(java.util.Locale.ROOT, s / d)}"""
+              }.getOrElse("")
+              s""","baseline":{"engine":"duckdb","version":${
+                jsonStr(node.get("version").asText)},"comparable_queries":$cn,"duckdb_sec":${
+                "%.3f".formatLocal(java.util.Locale.ROOT, cd)},"spark_sec":${
+                "%.3f".formatLocal(java.util.Locale.ROOT, cs)},"vs_baseline":${
+                "%.3f".formatLocal(java.util.Locale.ROOT, cs / cd)}$swPart}"""
+            case _ => ""
+          }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline compare skipped: ${e.getMessage}"); ""
+    }
     // A failed query must be loud in the artifact (errors map, failed
     // count, -1 timing) AND in the exit code — the old harness logged to
     // stderr and exited 0, so a broken query benched as "fast".
@@ -139,6 +184,7 @@ object Bench {
       "%.2f".formatLocal(java.util.Locale.ROOT, maxSpreadRatio) +
       s""","stat_spread_ratio":""" +
       "%.2f".formatLocal(java.util.Locale.ROOT, statSpreadRatio) +
+      baseline +
       s""","sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)

@@ -1528,6 +1528,51 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib60_wide_planning",
+      // WIDE-METADATA planning gate (round 11): a 1,000-manifest /
+      // 50,000-entry snapshot (WideFixture — the metadata width of a
+      // ~100 TB daily-append table). A one-day filtered plan must decode
+      // 1 manifest and skip 999 at the manifest-LIST level, keeping that
+      // manifest's 50 files; the FULL load fans out through distributed
+      // planning (1000 ≥ the 64-manifest threshold) and returns all 50k
+      // entries; COUNT(*) serves from list stats with zero manifest
+      // decodes. Bench times this whole planning cycle per round (cache
+      // invalidated), so planning cost at width IS a bench series.
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS manifests_decoded,
+               CAST(999 AS BIGINT) AS manifests_pruned,
+               CAST(50 AS BIGINT) AS files_kept,
+               CAST(50000 AS BIGINT) AS entries_total,
+               CAST(50000 AS BIGINT) AS rows_from_stats"""),
+      (s, dir) => {
+        val table = cachedTable("ib60", dir) { () =>
+          WideFixture.build(s, 1000, 50)
+        }
+        graft.iceberg.ManifestReader.invalidatePlanningCache()
+        val day = WideFixture.BaseDate.plusDays(123)
+        val (d0, p0) = graft.iceberg.ManifestReader.manifestPruneStats
+        val listing = IcebergScan.scanFiltered(
+          s, table, col("dt") === lit(day.toString).cast("date"),
+          Options(mode = "list_files"))
+        val (d1, p1) = graft.iceberg.ManifestReader.manifestPruneStats
+        // full plan: distributed fetch of all 1000 manifests
+        val snap = IcebergScan.selectSnapshot(s, table, Options())
+        val full = graft.iceberg.ManifestReader.loadTable(
+          table, snap, s.sessionState.newHadoopConf(), allowMovedPaths = false)
+        val entriesTotal = full.entries.iterator.map(_._2.size.toLong).sum
+        val rows = IcebergScan.rowCount(s, table)
+          .select(col("row_count").as("rows_from_stats"))
+        listing.filter(col("type") === "data")
+          .agg(count(lit(1)).as("files_kept"))
+          .withColumn("manifests_decoded", lit(d1 - d0))
+          .withColumn("manifests_pruned", lit(p1 - p0))
+          .withColumn("entries_total", lit(entriesTotal))
+          .crossJoin(rows)
+          .select("manifests_decoded", "manifests_pruned", "files_kept",
+            "entries_total", "rows_from_stats")
+      }
+    ),
+    QueryDef(
       "ib58_catalog_sql_scan",
       // DSv2 TableCatalog gate (round 11): a graft table addressed as a
       // plain SQL identifier (`graft_cat.g.orders_<sf>`) — resolution via

@@ -617,4 +617,47 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("Table does not exist"))
   }
+
+  test("DSv2 catalog plugin (type=rest): SQL identifiers resolve through the catalog") {
+    val path = createTable("plug_orders")
+    // catalog plugins instantiate lazily on first identifier lookup, so a
+    // runtime conf set (with the mock's dynamic port) is the deployment
+    // shape: spark.sql.catalog.<name> = GraftCatalog, type=rest
+    spark.conf.set("spark.sql.catalog.grest", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grest.type", "rest")
+    spark.conf.set("spark.sql.catalog.grest.uri", uri)
+
+    val direct = IcebergScan.scan(spark, path).count()
+    assert(direct > 0)
+    assert(spark.sql("SELECT count(*) FROM grest.analytics.plug_orders")
+      .head.getLong(0) === direct)
+    // the splice keeps the native plan (no V1 bridge) through REST too
+    val physical = spark.sql(
+      "SELECT o_orderkey FROM grest.analytics.plug_orders WHERE o_orderkey = 7")
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("RowDataSourceScan"), physical)
+
+    // SHOW TABLES walks the catalog's paginated list endpoint
+    val listed = spark.sql("SHOW TABLES IN grest.analytics")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(listed.contains("plug_orders"))
+
+    // time travel by snapshot id through the identifier: commit again,
+    // re-register the NEW metadata (a real catalog commit moves the
+    // pointer), and read the first snapshot back
+    val v1 = IcebergScan.snapshots(spark, path)
+      .select("snapshot_id").collect().map(_.getLong(0)).head
+    IcebergWriter.write(Tables.load(spark, Sf, "orders").limit(10)
+      .select(IcebergScan.scan(spark, path).columns.map(col).toIndexedSeq: _*), path)
+    val conf = spark.sessionState.newHadoopConf()
+    tables.put("plug_orders", graft.iceberg.IcebergIO.resolveMetadataPath(
+      path, conf, "none",
+      graft.iceberg.IcebergModel.UnknownTableVersion,
+      graft.iceberg.IcebergModel.DefaultTableVersionFormat, false))
+    assert(spark.sql(
+      "SELECT count(*) FROM grest.analytics.plug_orders").head.getLong(0) === direct + 10)
+    assert(spark.sql(
+      s"SELECT count(*) FROM grest.analytics.plug_orders VERSION AS OF $v1")
+      .head.getLong(0) === direct)
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergPruning, IcebergScan, ManifestReader}
+import graft.queries.WideFixture
+
+/** Planning behavior at 100 TB metadata width (round 11): a snapshot of
+  * 1,000 manifests / 50,000 entries — synthesized via [[WideFixture]] —
+  * must (a) decode ONLY matching manifests on a partition-filtered first
+  * touch, (b) plan the full load through the DISTRIBUTED fetch with
+  * entry-for-entry parity against the driver pool, and (c) keep planning
+  * wall-time bounded. The reference's eager full-load at bind time
+  * (`common/iceberg.cpp:38-91`) is the anti-pattern these pin against. */
+class WidePlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSessions.builder("local[8]", "8").appName("graft-wide-plan").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val Manifests = 1000
+  private val EntriesPer = 50
+
+  private lazy val table: String = WideFixture.build(spark, Manifests, EntriesPer)
+
+  test("a partition-filtered first touch decodes 1 manifest of 1000") {
+    ManifestReader.invalidatePlanningCache()
+    val day = WideFixture.BaseDate.plusDays(123)
+    val (d0, p0) = ManifestReader.manifestPruneStats
+    val listing = IcebergScan.scanFiltered(
+      spark, table, col("dt") === lit(day.toString).cast("date"),
+      IcebergScan.Options(mode = "list_files"))
+    val (d1, p1) = ManifestReader.manifestPruneStats
+    assert(d1 - d0 === 1L, "manifests decoded")
+    assert(p1 - p0 === (Manifests - 1).toLong, "manifests pruned at the LIST level")
+    assert(listing.filter(col("type") === "data").count() === EntriesPer.toLong)
+  }
+
+  test("full load plans distributed with driver-pool parity and all 50k entries") {
+    val base = spark.sessionState.newHadoopConf()
+    val snap = IcebergScan.selectSnapshot(spark, table, IcebergScan.Options())
+
+    val driverConf = new org.apache.hadoop.conf.Configuration(base)
+    driverConf.setInt(ManifestReader.PlanningCacheSnapshotsKey, 0)
+    driverConf.setInt(ManifestReader.DistributedPlanningThresholdKey, 0)
+    val t0 = System.nanoTime()
+    val viaDriver = ManifestReader.loadTable(table, snap, driverConf, false)
+    val driverSec = (System.nanoTime() - t0) / 1e9
+
+    val distConf = new org.apache.hadoop.conf.Configuration(base)
+    distConf.setInt(ManifestReader.PlanningCacheSnapshotsKey, 0)
+    distConf.setInt(ManifestReader.DistributedPlanningThresholdKey, 64)
+    val t1 = System.nanoTime()
+    val viaCluster = ManifestReader.loadTable(table, snap, distConf, false)
+    val distSec = (System.nanoTime() - t1) / 1e9
+
+    assert(viaDriver.entries.map(_._2.size).sum === Manifests * EntriesPer)
+    assert(viaCluster.entries.map(_._2.size).sum === Manifests * EntriesPer)
+    assert(viaDriver.entries.map(_._1.manifestPath) ===
+      viaCluster.entries.map(_._1.manifestPath))
+    assert(viaDriver.entries.map(_._2.map(_.filePath)) ===
+      viaCluster.entries.map(_._2.map(_.filePath)))
+    // wall-time bound: generous enough for CI contention, tight enough
+    // that an accidentally serialized 1000-file fetch (or a per-entry
+    // quadratic) fails loudly
+    assert(driverSec < 30.0, s"driver-pool planning took ${driverSec}s")
+    assert(distSec < 30.0, s"distributed planning took ${distSec}s")
+    info(f"planning: driver-pool $driverSec%.2fs, distributed $distSec%.2fs")
+  }
+
+  test("row count serves from manifest-list stats without decoding entries") {
+    ManifestReader.invalidatePlanningCache()
+    val (d0, _) = ManifestReader.manifestPruneStats
+    val cnt = IcebergScan.rowCount(spark, table)
+      .head.getLong(0)
+    assert(cnt === (Manifests * EntriesPer).toLong)
+    val (d1, _) = ManifestReader.manifestPruneStats
+    assert(d1 - d0 === 0L, "row count must not decode any manifest")
+  }
+
+  test("a narrow date RANGE decodes only its manifests (incremental window shape)") {
+    ManifestReader.invalidatePlanningCache()
+    val lo = WideFixture.BaseDate.plusDays(200)
+    val hi = WideFixture.BaseDate.plusDays(209)
+    val (d0, p0) = ManifestReader.manifestPruneStats
+    val listing = IcebergScan.scanFiltered(
+      spark, table,
+      col("dt") >= lit(lo.toString).cast("date") &&
+        col("dt") <= lit(hi.toString).cast("date"),
+      IcebergScan.Options(mode = "list_files"))
+    val kept = listing.filter(col("type") === "data").count()
+    val (d1, p1) = ManifestReader.manifestPruneStats
+    assert(d1 - d0 === 10L)
+    assert(p1 - p0 === (Manifests - 10).toLong)
+    assert(kept === 10L * EntriesPer)
+  }
+}
