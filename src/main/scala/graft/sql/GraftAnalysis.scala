@@ -31,6 +31,13 @@ import graft.iceberg.IcebergWriter
   * own targets) keep their V2 relation so Spark's write resolution (or
   * this rule's command conversion) still sees the table.
   */
+object GraftTableRewrite {
+  /** Escape hatch (and the honest way to test the V1 bridge): `false`
+    * leaves catalog relations on the DSv2 V1Scan path and row-level
+    * statements on Spark's own resolution. */
+  val EnabledKey = "spark.graft.catalog.nativeRewrite"
+}
+
 case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private object GraftRelation {
@@ -45,6 +52,8 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(GraftTableRewrite.EnabledKey)
+        .forall(_.toBoolean)) return plan
     // Write-target relations must survive as relations: Spark's insert
     // resolution binds the incoming query to them, and the row-level
     // conversions below consume them whole. Identity-keyed — two scans
@@ -90,6 +99,13 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             matched, notMatched, notMatchedBySource, _)
           if m.resolved =>
         convertMerge(t, source, cond, matched, notMatched, notMatchedBySource)
+
+      // INSERT OVERWRITE under dynamic partitionOverwriteMode → the
+      // writer's single-commit partition replacement (tombstone matched
+      // partition tuples + append; untouched partitions carry forward)
+      case o @ OverwritePartitionsDynamic(GraftRelation(_, t), query, _, _, _)
+          if query.resolved && o.outputResolved =>
+        GraftDynamicOverwriteCommand(t, query)
 
       case GraftRelation(r, t) if !writeTargets.contains(r) =>
         splice(r, t)
@@ -149,6 +165,7 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       unsupported("WHEN NOT MATCHED BY SOURCE is not part of it")
 
     val sourceOut = source.outputSet
+    lazy val deleteForm = matched == Seq(DeleteAction(None)) && notMatched.isEmpty
 
     // ON clause → key column names (target.k = source.k conjuncts only)
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -164,6 +181,16 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (sourceOut.contains(a)) b.name else a.name
       case other => unsupported(s"ON clause term '${other.sql}' is not a " +
         "target-to-source key equality")
+    }
+
+    // WHEN MATCHED THEN DELETE (and nothing else): an equality delete on
+    // the key tuple — the source's keys become the delete predicate
+    if (deleteForm) {
+      val keyAttrs: Seq[NamedExpression] = keyCols.map { k =>
+        source.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          unsupported(s"key column '$k' not found in the source"))
+      }
+      return GraftMergeDeleteCommand(t, Project(keyAttrs, source))
     }
 
     // per-column source expression from the update/insert assignments;
@@ -240,6 +267,33 @@ final case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     IcebergWriter.merge(spark, table.path,
       GraftShims.ofRows(spark, source), keyCols)
+    Seq.empty
+  }
+}
+
+/** MERGE ... WHEN MATCHED THEN DELETE — an Iceberg equality delete on
+  * the source's key tuples (`keys` is the projected key plan). */
+final case class GraftMergeDeleteCommand(table: GraftTable, keys: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(keys)
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergWriter.deleteEquality(spark, table.path,
+      GraftShims.ofRows(spark, keys))
+    Seq.empty
+  }
+}
+
+/** Dynamic INSERT OVERWRITE — replace exactly the partitions the incoming
+  * rows land in, one commit, no file rewrites of untouched partitions. */
+final case class GraftDynamicOverwriteCommand(table: GraftTable, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the analyzer aligned the query to the table schema; rename
+    // positionally so the writer's exact-name check sees table columns
+    val df = GraftShims.ofRows(spark, query)
+    val named = df.toDF(table.tableSchema.fieldNames.toIndexedSeq: _*)
+    IcebergWriter.overwritePartitions(named, table.path)
     Seq.empty
   }
 }

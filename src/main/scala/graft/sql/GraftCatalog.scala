@@ -419,7 +419,12 @@ final case class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] = {
     import TableCapability._
-    Set(BATCH_READ, V1_BATCH_WRITE, TRUNCATE, OVERWRITE_BY_FILTER).asJava
+    // OVERWRITE_DYNAMIC is served by the extension rule's conversion to
+    // the writer's single-commit partition replacement; without the
+    // extension it fails loudly at planning (no V1 fallback exists for
+    // dynamic overwrite in Spark), never silently.
+    Set(BATCH_READ, V1_BATCH_WRITE, TRUNCATE, OVERWRITE_BY_FILTER,
+      OVERWRITE_DYNAMIC).asJava
   }
 
   // ---- read: V1 fallback (the extension rule is the fast path) ---------
