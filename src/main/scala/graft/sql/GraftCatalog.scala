@@ -423,8 +423,12 @@ final case class GraftTable(
     // the writer's single-commit partition replacement; without the
     // extension it fails loudly at planning (no V1 fallback exists for
     // dynamic overwrite in Spark), never silently.
-    Set(BATCH_READ, V1_BATCH_WRITE, TRUNCATE, OVERWRITE_BY_FILTER,
-      OVERWRITE_DYNAMIC).asJava
+    // BATCH_WRITE rides alongside V1_BATCH_WRITE because
+    // DataFrameWriter.save() gates on the former even for V1Write
+    // tables; every write this table builds IS a V1Write, so planning
+    // always lands on the V1 fallback execs.
+    Set(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE, TRUNCATE,
+      OVERWRITE_BY_FILTER, OVERWRITE_DYNAMIC).asJava
   }
 
   // ---- read: V1 fallback (the extension rule is the fast path) ---------

@@ -1,0 +1,67 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.iceberg.IcebergScan
+
+import java.util
+
+/** `spark.read.format("graft").load(path)` — the DataFrame-reader
+  * one-liner over an Iceberg table, registered via
+  * META-INF/services (DataSourceRegister). The same [[GraftTable]]
+  * backs it as the catalog plugin, so the extension rule splices the
+  * native scan (pushdown + pruning + MoR) and the V1 bridge covers
+  * extension-less sessions.
+  *
+  * Options (mirroring the TVF's named arguments):
+  *   snapshot-id, as-of-timestamp (epoch millis), ref (branch/tag),
+  *   allow-moved-paths, metadata-compression-codec, version,
+  *   version-name-format
+  *
+  * `df.write.format("graft").mode("append"|"overwrite").save(path)`
+  * appends / MoR-overwrites an EXISTING table through the same
+  * `V1Write` path as `INSERT INTO`; table CREATION stays with
+  * `IcebergWriter.write` or `CREATE TABLE` on the catalog (a bare
+  * format write carries no partition spec to create from).
+  */
+class GraftSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def parse(map: CaseInsensitiveStringMap): (String, IcebergScan.Options) = {
+    val path = Option(map.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "format(\"graft\"): a table path is required — .load(path)"))
+    var o = IcebergScan.Options()
+    Option(map.get("snapshot-id")).foreach(v => o = o.copy(snapshotId = Some(v.toLong)))
+    Option(map.get("as-of-timestamp")).foreach(v =>
+      o = o.copy(asOfTimestampMs = Some(v.toLong)))
+    Option(map.get("ref")).foreach(v => o = o.copy(snapshotFromRef = Some(v)))
+    Option(map.get("allow-moved-paths")).foreach(v =>
+      o = o.copy(allowMovedPaths = v.toBoolean))
+    Option(map.get("metadata-compression-codec")).foreach(v =>
+      o = o.copy(metadataCompressionCodec = v))
+    Option(map.get("version")).foreach(v => o = o.copy(version = v))
+    Option(map.get("version-name-format")).foreach(v =>
+      o = o.copy(versionNameFormat = v))
+    (path, o)
+  }
+
+  private def resolve(map: CaseInsensitiveStringMap): GraftTable = {
+    val (path, o) = parse(map)
+    GraftTable.resolve(SparkSession.active, "graft",
+      Identifier.of(Array.empty, path), path, o)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    resolve(new CaseInsensitiveStringMap(properties))
+}

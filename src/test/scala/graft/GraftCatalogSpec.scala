@@ -247,6 +247,26 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left === (1L to 12L).filterNot(Set(2L, 5L, 11L)))
   }
 
+  test("spark.read.format(\"graft\") reads, time-travels, and appends") {
+    import spark.implicits._
+    val path = mkOrders("orders_fmt", rows = 25)
+    val df = spark.read.format("graft").load(path)
+    assert(df.count() === 25)
+    // pushdown flows through the same splice
+    val plan = df.filter(col("id") > 20).select("id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RowDataSourceScan") && plan.contains("PushedFilters"), plan)
+
+    val v1 = IcebergScan.snapshots(spark, path)
+      .select("snapshot_id").head.getLong(0)
+    (26L to 30L).map(i => (i, "cust-x", 1.0, "L"))
+      .toDF("id", "cust", "amount", "prio")
+      .write.format("graft").mode("append").save(path)
+    assert(spark.read.format("graft").load(path).count() === 30)
+    assert(spark.read.format("graft")
+      .option("snapshot-id", v1.toString).load(path).count() === 25)
+  }
+
   test("catalog tables compose: self-join and IN-subquery splice per relation") {
     mkOrders("orders_comp", rows = 40)
     // self-join: two relations of one table, each spliced independently
