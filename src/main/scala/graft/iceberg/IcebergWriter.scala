@@ -2595,6 +2595,109 @@ object IcebergWriter {
           (if (spec.isEmpty) "all" else replaced.size.toString)) ++ summary)
   }
 
+  /** Atomic predicate OVERWRITE (the DSv2 `OverwriteByExpression` /
+    * `INSERT OVERWRITE` contract): ONE snapshot in which every row
+    * matching `predicate` is replaced by `df`'s rows — readers see
+    * either the old table or the finished overwrite, never a truncated
+    * intermediate, and a crash mid-operation leaves the old snapshot
+    * current (the uncommitted files are orphans for maintenance).
+    *
+    * Two shapes inside the same commit:
+    *  - `truncateAll` (INSERT OVERWRITE of the whole table): every live
+    *    data entry tombstones to DELETED status in rewritten manifests —
+    *    pure metadata, no delete files, no data rewritten;
+    *  - predicate overwrite: MoR position tombstones for the matching
+    *    rows (v2 parquet deletes / v3 DVs) + the new data files.
+    *
+    * Schema must match the table exactly (evolution goes through
+    * [[write]], same rule as [[overwritePartitions]]). */
+  def overwriteWhere(spark: SparkSession, path: String,
+                     predicate: org.apache.spark.sql.Column,
+                     df: DataFrame,
+                     truncateAll: Boolean = false,
+                     branch: String = "main",
+                     summary: Map[String, String] = Map.empty): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"overwriteWhere: no Iceberg table at $path — create it with write()"))
+    val latest = state.opBase("overwrite", branch)
+    if (branch != "main") requireUnchangedSchema(state, df.schema, branch)
+    val cols = IcebergSchemaParser.parseSchemaById(state.info.schemas, state.info.schemaId)
+    require(cols.map(c => (c.name, ignoreNull(c.dataType))) ==
+        df.schema.fields.toSeq.map(f => (f.name, ignoreNull(f.dataType))),
+      "overwriteWhere: incoming schema must match the table schema " +
+        s"exactly (table: ${cols.map(_.name).mkString(",")}, incoming: " +
+        s"${df.schema.fieldNames.mkString(",")}) — evolve via write() first")
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val spec = currentSpec(latest, df.schema)
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+
+    val files = writeDataFiles(df,
+      new Path(path, s"data/snap-$snapshotId-${commitToken()}"), spec,
+      prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty))
+    val effectiveFv = state.info.formatVersion
+    val (dataEntries, rowRange) = assignRowIds(
+      effectiveFv, nextRowIdOf(Some(state)), files.map { w =>
+        ManifestEntry(status = 1, content = 0, filePath = w.path,
+          fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+          splitOffsets = w.splitOffsets, nullCounts = w.nulls, nanCounts = w.nans)
+      })
+    val addedPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+    writeManifest(addedPath, conf, dataEntries,
+      spec.map(sf => (sf.fieldName, sf.avroType)))
+    val added = Manifest(addedPath.toString, seq, 0)
+
+    if (truncateAll) {
+      // file-level truncation: rewrite data manifests with every live
+      // entry tombstoned; delete manifests carry verbatim (their rows
+      // now target dead files — harmless, reclaimed by maintenance)
+      var tombstoned = 0
+      val rewritten = meta.entries.map {
+        case (m, es) if m.content == 0 && es.exists(e => e.status != 2) =>
+          val entries = es.filter(_.status != 2).map { e =>
+            tombstoned += 1
+            e.copy(status = 2, sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
+          }
+          val p = new Path(path,
+            s"metadata/snap-$snapshotId-${commitToken()}-ow.avro")
+          writeManifest(p, conf, entries, mergedPartitionFields(entries))
+          Manifest(p.toString, m.sequenceNumber, m.content)
+        case (m, _) => m
+      }
+      commitSnapshot(path, conf, Some(state), df.schema, snapshotId, seq,
+        rewritten :+ added, spec, operation = "overwrite", branch = branch,
+        summary = addedFileSummary(files) ++
+          Map("deleted-data-files" -> tombstoned.toString) ++ summary,
+        rowRange = rowRange)
+    } else {
+      // MoR: position tombstones for matching rows, same commit as the
+      // new data. The delete rows reference the PRE-commit files by
+      // path, so the same-sequence data files above are never affected.
+      import spark.implicits._
+      val liveFiles = meta.entries.collect {
+        case (m, es) if m.content == 0 =>
+          es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+      }.flatten
+      val qualify: String => String = IcebergIO.qualified(_, conf)
+      val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
+      val positions = IcebergScan.scanLoaded(spark, path,
+          IcebergScan.Options(keepProvenance = true), latest, meta)
+        .filter(predicate)
+        .join(org.apache.spark.sql.functions.broadcast(fileMap),
+          col("__graft_file") === col("__qual"))
+        .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
+      val manifests = commitPositionDeletes(
+        spark, path, conf, latest, meta, positions, snapshotId, seq,
+        manifestIdx = 1)
+      commitSnapshot(path, conf, Some(state), df.schema, snapshotId, seq,
+        manifests :+ added, spec, operation = "overwrite", branch = branch,
+        summary = addedFileSummary(files) ++ summary, rowRange = rowRange)
+    }
+  }
+
   /** Zero-copy shallow CLONE (Iceberg's `snapshot` procedure): a new
     * standalone table whose first metadata file references the source's
     * CURRENT snapshot — manifest list, manifests, data and delete files

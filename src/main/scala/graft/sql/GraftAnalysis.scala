@@ -83,7 +83,8 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case UpdateTable(GraftRelation(_, t), assignments, cond)
           if assignments.forall(_.resolved) && cond.forall(_.resolved) &&
-            cond.forall(noSubquery(_, "UPDATE")) =>
+            cond.forall(noSubquery(_, "UPDATE")) &&
+            assignments.forall(a => noSubquery(a.value, "UPDATE SET")) =>
         val assigns = assignments.map { a =>
           val name = a.key match {
             case ar: AttributeReference => ar.name
@@ -107,8 +108,13 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if query.resolved && o.outputResolved =>
         GraftDynamicOverwriteCommand(t, query)
 
-      case GraftRelation(r, t) if !writeTargets.contains(r) =>
-        splice(r, t)
+      // Splice the BARE relation only: matching through SubqueryAlias
+      // would replace the alias node itself, stranding qualified
+      // references (`a.id`) that resolve in a later fixpoint iteration.
+      // The alias wrapper survives; its child becomes the spliced plan.
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
+        splice(r, r.table.asInstanceOf[GraftTable])
     }
   }
 
@@ -204,25 +210,29 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         name -> a.value
       }.toMap
 
+    // BOTH branches are required: the writer's merge is an unconditional
+    // key-replace upsert, so an update-only MERGE (which must IGNORE
+    // unmatched source rows) or insert-only MERGE (which must LEAVE
+    // matched target rows) cannot be expressed by it — accepting either
+    // would silently insert/overwrite rows SQL says to leave alone.
     val updateAssigns = matched match {
       case Seq(UpdateAction(None, as, _)) => assignMap(as, "WHEN MATCHED")
-      case Seq() => Map.empty[String, Expression]
+      case Seq() => unsupported(
+        "a WHEN MATCHED THEN UPDATE branch is required (an insert-only " +
+          "MERGE must skip matched rows, which the upsert cannot)")
       case _ => unsupported("WHEN MATCHED must be a single unconditional UPDATE")
     }
     val insertAssigns = notMatched match {
       case Seq(InsertAction(None, as)) => assignMap(as, "WHEN NOT MATCHED")
-      case Seq() => Map.empty[String, Expression]
+      case Seq() => unsupported(
+        "a WHEN NOT MATCHED THEN INSERT branch is required (an update-only " +
+          "MERGE must skip unmatched source rows, which the upsert cannot)")
       case _ => unsupported("WHEN NOT MATCHED must be a single unconditional INSERT")
     }
-    if (updateAssigns.isEmpty && insertAssigns.isEmpty)
-      unsupported("no actions")
-    if (updateAssigns.nonEmpty && insertAssigns.nonEmpty) {
-      val same = updateAssigns.keySet == insertAssigns.keySet &&
-        updateAssigns.forall { case (k, v) => insertAssigns(k).semanticEquals(v) }
-      if (!same) unsupported(
-        "UPDATE and INSERT branches assign different values")
-    }
-    val assigns = if (updateAssigns.nonEmpty) updateAssigns else insertAssigns
+    val same = updateAssigns.keySet == insertAssigns.keySet &&
+      updateAssigns.forall { case (k, v) => insertAssigns(k).semanticEquals(v) }
+    if (!same) unsupported("UPDATE and INSERT branches assign different values")
+    val assigns = updateAssigns
 
     val tableCols = t.tableSchema.fieldNames.toSeq
     val missing = tableCols.filterNot(c => assigns.contains(c.toLowerCase))
@@ -243,7 +253,7 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 final case class GraftDeleteCommand(table: GraftTable, cond: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    IcebergWriter.delete(spark, table.path, cond)
+    table.withWrite(spark)(root => IcebergWriter.delete(spark, root, cond))
     Seq.empty
   }
 }
@@ -253,7 +263,8 @@ final case class GraftUpdateCommand(
     table: GraftTable, assigns: Map[String, Column], cond: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    IcebergWriter.update(spark, table.path, cond, assigns)
+    table.withWrite(spark)(root =>
+      IcebergWriter.update(spark, root, cond, assigns))
     Seq.empty
   }
 }
@@ -265,8 +276,8 @@ final case class GraftMergeCommand(
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    IcebergWriter.merge(spark, table.path,
-      GraftShims.ofRows(spark, source), keyCols)
+    table.withWrite(spark)(root =>
+      IcebergWriter.merge(spark, root, GraftShims.ofRows(spark, source), keyCols))
     Seq.empty
   }
 }
@@ -277,8 +288,8 @@ final case class GraftMergeDeleteCommand(table: GraftTable, keys: LogicalPlan)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(keys)
   override def run(spark: SparkSession): Seq[Row] = {
-    IcebergWriter.deleteEquality(spark, table.path,
-      GraftShims.ofRows(spark, keys))
+    table.withWrite(spark)(root =>
+      IcebergWriter.deleteEquality(spark, root, GraftShims.ofRows(spark, keys)))
     Seq.empty
   }
 }
@@ -293,7 +304,8 @@ final case class GraftDynamicOverwriteCommand(table: GraftTable, query: LogicalP
     // positionally so the writer's exact-name check sees table columns
     val df = GraftShims.ofRows(spark, query)
     val named = df.toDF(table.tableSchema.fieldNames.toIndexedSeq: _*)
-    IcebergWriter.overwritePartitions(named, table.path)
+    table.withWrite(spark)(root =>
+      IcebergWriter.overwritePartitions(named, root))
     Seq.empty
   }
 }

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -59,7 +60,8 @@ import scala.jdk.CollectionConverters._
   * tombstones the matched rows then appends (MoR overwrite; at 100 TB an
   * overwrite never rewrites untouched files).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with GraftProcedures.Ops {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -133,9 +135,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean = backend match {
-    case "rest" =>
-      try { restClient; RestCatalog.tableExists(restClient, restName(ident)) }
-      catch { case _: Exception => false }
+    // only a definite not-found is "no" — a 500/timeout/auth failure
+    // must surface as itself, not as NoSuchTableException (and must not
+    // let createTable's pre-check pass during an outage)
+    case "rest" => RestCatalog.tableExists(restClient, restName(ident))
     case _ => isTableDir(tableDir(ident))
   }
 
@@ -161,7 +164,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def load(ident: Identifier, opts: IcebergScan.Options): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val path = resolveTablePath(ident)
-    GraftTable.resolve(spark, catalogName, ident, path, opts)
+    GraftTable.resolve(spark, catalogName, ident, path, opts,
+      rest = if (backend == "rest") Some((restClient, restName(ident))) else None)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = backend match {
@@ -182,22 +186,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val props = properties.asScala.toMap -
+    val rawProps = properties.asScala.toMap
+    val props = rawProps -
       TableCatalog.PROP_OWNER - TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER
     val partitionBy = partitions.toSeq.map(GraftCatalog.toWriterTransform)
     val formatVersion = props.get("format-version").map(_.toInt).getOrElse(2)
-    val path = backend match {
+    // a user LOCATION wins over the warehouse layout — silently creating
+    // the table elsewhere would strand tooling pointed at the declared
+    // location
+    val userLocation = rawProps.get(TableCatalog.PROP_LOCATION)
+      .map(_.stripSuffix("/"))
+    val path = userLocation.getOrElse(backend match {
       case "rest" =>
         // stage the table under the catalog's warehouse dir (rest catalogs
         // vend locations on create; this client-side create mirrors the
         // register flow: write locally, then register the metadata)
         val wh = warehouse.getOrElse(throw new UnsupportedOperationException(
           s"catalog '$catalogName': CREATE TABLE on a rest catalog needs a " +
-            "'warehouse' option naming a writable staging location"))
+            "'warehouse' option naming a writable staging location (or a " +
+            "LOCATION clause)"))
         (ident.namespace :+ ident.name)
           .foldLeft(new Path(wh))((p, part) => new Path(p, part)).toString
       case _ => tableDir(ident).toString
-    }
+    })
+    if (backend == "hadoop" && userLocation.exists(_ != tableDir(ident).toString))
+      throw new UnsupportedOperationException(
+        s"catalog '$catalogName': the hadoop backend derives table paths " +
+          s"from the warehouse layout; a LOCATION outside it " +
+          s"(${userLocation.get}) would be unreachable by identifier — " +
+          "use the rest backend or register the path directly")
     // the writer creates the table on its first commit; an empty frame
     // yields a zero-file snapshot with the declared schema + spec
     val empty = spark.createDataFrame(
@@ -221,36 +238,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val path = resolveTablePath(ident)
     import TableChange._
+    // DDL is a table COMMIT: on a rest backend it must run against the
+    // table root and publish through the catalog (commitThrough diffs
+    // the schema/property changes into the CommitTableRequest)
+    def run(op: String => Unit): Unit = backend match {
+      case "rest" =>
+        RestCatalog.commitThrough(spark, restClient, restName(ident))(op)
+      case _ => op(tableDir(ident).toString)
+    }
     changes.foreach {
-      case s: SetProperty =>
-        IcebergWriter.setProperties(spark, path, set = Map(s.property -> s.value))
-      case r: RemoveProperty =>
-        IcebergWriter.setProperties(spark, path, remove = Seq(r.property))
+      case s: SetProperty => run(p =>
+        IcebergWriter.setProperties(spark, p, set = Map(s.property -> s.value)))
+      case r: RemoveProperty => run(p =>
+        IcebergWriter.setProperties(spark, p, remove = Seq(r.property)))
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER TABLE ADD COLUMN: only top-level columns are supported")
-        IcebergWriter.addColumn(spark, path, a.fieldNames.head, a.dataType)
+        run(p => IcebergWriter.addColumn(spark, p, a.fieldNames.head, a.dataType))
       case r: RenameColumn =>
         require(r.fieldNames.length == 1,
           "ALTER TABLE RENAME COLUMN: only top-level columns are supported")
-        IcebergWriter.renameColumns(spark, path, Map(r.fieldNames.head -> r.newName))
+        run(p => IcebergWriter.renameColumns(spark, p, Map(r.fieldNames.head -> r.newName)))
       case d: DeleteColumn =>
         require(d.fieldNames.length == 1,
           "ALTER TABLE DROP COLUMN: only top-level columns are supported")
-        IcebergWriter.dropColumns(spark, path, Seq(d.fieldNames.head))
+        run(p => IcebergWriter.dropColumns(spark, p, Seq(d.fieldNames.head)))
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE: unsupported change $other")
     }
-    GraftTable.resolve(spark, catalogName, ident, path, IcebergScan.Options())
+    load(ident, IcebergScan.Options())
   }
 
   override def dropTable(ident: Identifier): Boolean = backend match {
     case "rest" =>
       try { RestCatalog.dropTable(restClient, restName(ident)); true }
-      catch { case _: Exception => false }
+      catch { case _: java.io.FileNotFoundException => false }
     case _ =>
       val dir = tableDir(ident)
       val fs = dir.getFileSystem(hconf)
@@ -269,6 +293,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(dst.getParent)
     require(fs.rename(tableDir(oldIdent), dst),
       s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ---- procedures (CALL graft.system.<name>(...)) ----------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live under the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(ident.name, this).getOrElse(
+      throw new RuntimeException(
+        s"unknown procedure '${ident.name}' — one of ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** [[GraftProcedures.Ops]]: resolve a catalog-relative dotted name and
+    * run a writer op against its root, committing through the rest
+    * catalog when one manages the table. */
+  override def withTableWrite[A](session: SparkSession, table: String)(
+      op: String => A): A = backend match {
+    case "rest" => RestCatalog.commitThrough(session, restClient, table)(op)
+    case _ =>
+      val parts = table.split("\\.").filter(_.nonEmpty)
+      require(parts.length >= 2,
+        s"table must be a catalog-relative dotted name (ns.table), got '$table'")
+      val ident = Identifier.of(parts.init, parts.last)
+      if (!tableExists(ident)) throw new NoSuchTableException(ident)
+      op(tableDir(ident).toString)
   }
 
   // ---- namespaces (hadoop backend: directories; rest: the API) ---------
@@ -328,7 +382,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     backend match {
       case "rest" =>
         try { RestCatalog.dropNamespace(restClient, namespace.toSeq); true }
-        catch { case _: Exception => false }
+        catch { case _: java.io.FileNotFoundException => false }
       case _ =>
         val dir = nsDir(namespace)
         val fs = dir.getFileSystem(hconf)
@@ -401,8 +455,22 @@ final case class GraftTable(
     tableSchema: StructType,
     partitionFields: Seq[(graft.iceberg.IcebergModel.PartitionFieldSpec, String)],
     props: Map[String, String],
-    snapshotId: Option[Long]) extends Table
+    snapshotId: Option[Long],
+    // REST-backed tables: (client, dotted name). Writes must then run
+    // against the table ROOT and commit back through the catalog —
+    // `path` is a metadata-FILE location (read pin), not a table root.
+    rest: Option[(RestCatalog.Client, String)] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** Run a writer op against the correct table root, committing through
+    * the REST catalog when this table is catalog-managed — a write that
+    * skipped the catalog would leave its pointer stale (readers resolve
+    * the OLD metadata) or, worse, root a new table under the metadata
+    * file path. */
+  def withWrite[A](spark: SparkSession)(op: String => A): A = rest match {
+    case Some((c, name)) => RestCatalog.commitThrough(spark, c, name)(op)
+    case None => op(path)
+  }
 
   override def name(): String =
     (catalog +: ident.namespace :+ ident.name).mkString(".")
@@ -451,7 +519,8 @@ final case class GraftTable(
     val cond = GraftTable.filtersToColumn(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"DELETE: cannot translate filters ${filters.mkString(", ")}"))
-    IcebergWriter.delete(SparkSession.active, path, cond)
+    val spark = SparkSession.active
+    withWrite(spark)(root => IcebergWriter.delete(spark, root, cond))
   }
 
   /** The pinned-snapshot scan every read path shares. */
@@ -463,7 +532,8 @@ object GraftTable {
     * from it. Tables created snapshot-less by foreign writers fall back
     * to the metadata's current schema, unpinned. */
   def resolve(spark: SparkSession, catalog: String, ident: Identifier,
-              path: String, opts: IcebergScan.Options): GraftTable = {
+              path: String, opts: IcebergScan.Options,
+              rest: Option[(RestCatalog.Client, String)] = None): GraftTable = {
     val info = IcebergScan.loadInfo(spark, path, opts)
     val snap = scala.util.Try {
       (opts.snapshotId, opts.snapshotFromRef, opts.asOfTimestampMs) match {
@@ -492,7 +562,7 @@ object GraftTable {
     // analysis-time resolution has — and a schema change in that window
     // fails the splice's column check loudly rather than mis-binding.
     GraftTable(catalog, ident, path, opts, schema, partitionFields,
-      info.properties, snap.map(_.snapshotId))
+      info.properties, snap.map(_.snapshotId), rest)
   }
 
   /** V2 source Filters → one Column predicate; None when any filter has
@@ -535,8 +605,17 @@ private final class GraftV1ScanBuilder(table: GraftTable)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: Option[StructType] = None
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = Some(requiredSchema)
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // TOP-LEVEL pruning only: Spark may hand a nested-pruned struct
+    // (s:struct<b> of a 2-field s), but buildScan selects whole columns —
+    // declaring the narrower struct while emitting the full one would
+    // mis-read fields positionally. Map each requested name back to the
+    // table's full field; nested pruning stays with the native-rewrite
+    // path.
+    val byName = table.tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    required = Some(StructType(
+      requiredSchema.fields.flatMap(f => byName.get(f.name.toLowerCase))))
+  }
 
   override def build(): Scan = new V1Scan {
     private val schema = required.filter(_.nonEmpty).getOrElse(table.tableSchema)
@@ -561,15 +640,20 @@ private final class GraftV1ScanBuilder(table: GraftTable)
   }
 }
 
-/** INSERT INTO → append; INSERT OVERWRITE/TRUNCATE → MoR delete of the
-  * matched rows + append, through the existing writer commits. */
+/** INSERT INTO → append; INSERT OVERWRITE / truncate →
+  * [[IcebergWriter.overwriteWhere]] — ONE snapshot replacing the
+  * matched rows (truncate tombstones files metadata-only; a predicate
+  * takes MoR position tombstones), so readers never observe a
+  * truncated intermediate. */
 private final class GraftWriteBuilder(table: GraftTable)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
-  // None = plain append; Some(cond) = overwrite rows matching cond first
+  // None = plain append; Some(cond) = atomic overwrite of matching rows
   private var overwriteCond: Option[Column] = None
+  private var truncateAll = false
 
   override def truncate(): WriteBuilder = {
     overwriteCond = Some(org.apache.spark.sql.functions.lit(true))
+    truncateAll = true
     this
   }
 
@@ -577,6 +661,7 @@ private final class GraftWriteBuilder(table: GraftTable)
     overwriteCond = Some(GraftTable.filtersToColumn(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"INSERT OVERWRITE: cannot translate ${filters.mkString(", ")}")))
+    truncateAll = filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue())
     this
   }
 
@@ -585,12 +670,15 @@ private final class GraftWriteBuilder(table: GraftTable)
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val spark = data.sparkSession
-          overwriteCond.foreach { cond =>
-            // MoR overwrite: tombstone matched rows (no file rewrite),
-            // then append — untouched data files carry forward verbatim
-            IcebergWriter.delete(spark, table.path, cond)
+          table.withWrite(spark) { root =>
+            overwriteCond match {
+              case Some(cond) =>
+                IcebergWriter.overwriteWhere(spark, root, cond, data,
+                  truncateAll = truncateAll)
+              case None =>
+                IcebergWriter.write(data, root)
+            }
           }
-          IcebergWriter.write(data, table.path)
         }
       }
   }

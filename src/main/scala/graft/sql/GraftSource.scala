@@ -10,6 +10,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.iceberg.IcebergScan
 
 import java.util
+import scala.jdk.CollectionConverters._
 
 /** `spark.read.format("graft").load(path)` — the DataFrame-reader
   * one-liner over an Iceberg table, registered via
@@ -52,10 +53,22 @@ class GraftSource extends TableProvider with DataSourceRegister {
     (path, o)
   }
 
+  // Spark calls inferSchema then getTable with the same options on one
+  // provider instance — memoize so the metadata load (snapshot
+  // selection + schema parse, remote I/O on object stores) runs once
+  @volatile private var last: Option[(Map[String, String], GraftTable)] = None
+
   private def resolve(map: CaseInsensitiveStringMap): GraftTable = {
-    val (path, o) = parse(map)
-    GraftTable.resolve(SparkSession.active, "graft",
-      Identifier.of(Array.empty, path), path, o)
+    val key = map.asCaseSensitiveMap().asScala.toMap
+    last match {
+      case Some((k, t)) if k == key => t
+      case _ =>
+        val (path, o) = parse(map)
+        val t = GraftTable.resolve(SparkSession.active, "graft",
+          Identifier.of(Array.empty, path), path, o)
+        last = Some((key, t))
+        t
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -111,13 +111,61 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  (3, 'click', TIMESTAMP_NTZ '2024-01-02 12:00:00')""".stripMargin)
     assert(spark.sql("SELECT count(*) FROM graft.db.events_ddl").head.getLong(0) === 3)
 
+    val before = IcebergScan.snapshots(spark, path).count()
     spark.sql(
       """INSERT OVERWRITE graft.db.events_ddl VALUES
         |  (9, 'purge', TIMESTAMP_NTZ '2024-02-01 00:00:00')""".stripMargin)
     val rows = spark.sql("SELECT id, kind FROM graft.db.events_ddl").collect()
     assert(rows.length === 1 && rows.head.getLong(0) === 9)
-    // MoR overwrite: history shows delete + append commits, no rewrite
-    assert(IcebergScan.snapshots(spark, path).count() >= 3)
+    // ATOMIC overwrite: exactly ONE snapshot (truncate tombstones + new
+    // data in the same commit) — readers can never observe the
+    // truncated intermediate a delete-then-append pair would expose
+    assert(IcebergScan.snapshots(spark, path).count() === before + 1)
+  }
+
+  test("MERGE with only one branch raises rather than silently upserting") {
+    import spark.implicits._
+    mkOrders("orders_m1", rows = 6)
+    Seq((3L, "cust-z", 1.0, "Z"), (99L, "cust-z", 2.0, "Z"))
+      .toDF("id", "cust", "amount", "prio").createOrReplaceTempView("m1_src")
+    // update-only: must NOT insert id 99
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.orders_m1 t USING m1_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e1.getMessage.contains("WHEN NOT MATCHED THEN INSERT branch is required"),
+      e1.getMessage)
+    // insert-only: must NOT overwrite id 3
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.orders_m1 t USING m1_src s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("WHEN MATCHED THEN UPDATE branch is required"),
+      e2.getMessage)
+    // the table is untouched either way
+    assert(spark.sql("SELECT count(*) FROM graft.db.orders_m1").head.getLong(0) === 6)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.orders_m1 WHERE cust = 'cust-z'")
+      .head.getLong(0) === 0)
+  }
+
+  test("V1 bridge survives nested-schema pruning (whole-column fallback)") {
+    import spark.implicits._
+    val path = s"$wh/db/nested_v1"
+    IcebergWriter.write(
+      Seq((1L, ("a1", 10)), (2L, ("a2", 20))).toDF("id", "s")
+        .selectExpr("id", "named_struct('a', s._1, 'b', s._2) AS s"),
+      path)
+    spark.conf.set(graft.sql.GraftTableRewrite.EnabledKey, "false")
+    try {
+      val rows = spark.sql("SELECT s.b FROM graft.db.nested_v1 ORDER BY s.b")
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows === Seq(10, 20))
+    } finally spark.conf.unset(graft.sql.GraftTableRewrite.EnabledKey)
   }
 
   test("DELETE FROM / UPDATE / MERGE INTO as plain SQL") {
@@ -265,6 +313,52 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(path).count() === 30)
     assert(spark.read.format("graft")
       .option("snapshot-id", v1.toString).load(path).count() === 25)
+  }
+
+  test("CALL graft.system.<procedure> runs maintenance through the catalog") {
+    import spark.implicits._
+    val path = mkOrders("orders_proc", rows = 30)
+    IcebergWriter.write(
+      (31L to 40L).map(i => (i, "cust-p", 1.0, "L"))
+        .toDF("id", "cust", "amount", "prio"), path)
+
+    // create_tag on the FIRST snapshot, read it back via VERSION AS OF
+    val v1 = IcebergScan.snapshots(spark, path)
+      .select("snapshot_id").collect().map(_.getLong(0)).min
+    val tagged = spark.sql(
+      s"CALL graft.system.create_tag('db.orders_proc', 'rel', snapshot_id => ${v1}L)")
+      .collect()
+    assert(tagged.map(_.getString(0)).toSeq === Seq("rel"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.orders_proc VERSION AS OF 'rel'")
+      .head.getLong(0) === 30)
+
+    // rewrite_data_files compacts the two tiny commits into one file set
+    val rewritten = spark.sql(
+      "CALL graft.system.rewrite_data_files('db.orders_proc')").collect()
+    assert(rewritten.length === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db.orders_proc")
+      .head.getLong(0) === 40)
+
+    // expire down to the newest snapshots; the tag's snapshot is retained
+    // by ref (named args bind by name)
+    val expired = spark.sql(
+      "CALL graft.system.expire_snapshots(`table` => 'db.orders_proc', keep => 2)")
+      .head.getLong(0)
+    assert(expired >= 0)
+
+    // analyze emits (column, ndv) rows and records stats
+    val ndv = spark.sql(
+      "CALL graft.system.analyze('db.orders_proc', columns => 'cust')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ndv.contains("cust") && ndv("cust") >= 2)
+
+    // unknown procedure raises (Spark wraps our message in
+    // FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.nope('db.orders_proc')")
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
   test("catalog tables compose: self-join and IN-subquery splice per relation") {

@@ -659,5 +659,19 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       s"SELECT count(*) FROM grest.analytics.plug_orders VERSION AS OF $v1")
       .head.getLong(0) === direct)
+
+    // writes THROUGH the plugin must commit back through the catalog:
+    // the server's pointer advances (commit POST) and catalog readers
+    // see the rows — a write that skipped the catalog would leave the
+    // pointer stale (or root a bogus table under the metadata file path)
+    val posts0 = commitPosts
+    spark.sql(
+      """INSERT INTO grest.analytics.plug_orders
+        |SELECT * FROM grest.analytics.plug_orders LIMIT 5""".stripMargin)
+    assert(commitPosts > posts0, "INSERT must POST a commit to the catalog")
+    assert(spark.sql("SELECT count(*) FROM grest.analytics.plug_orders")
+      .head.getLong(0) === direct + 15)
+    spark.sql("DELETE FROM grest.analytics.plug_orders WHERE o_orderkey < 0")
+    assert(commitPosts > posts0 + 1, "DELETE must POST a commit to the catalog")
   }
 }
