@@ -2676,19 +2676,7 @@ object IcebergWriter {
       // MoR: position tombstones for matching rows, same commit as the
       // new data. The delete rows reference the PRE-commit files by
       // path, so the same-sequence data files above are never affected.
-      import spark.implicits._
-      val liveFiles = meta.entries.collect {
-        case (m, es) if m.content == 0 =>
-          es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
-      }.flatten
-      val qualify: String => String = IcebergIO.qualified(_, conf)
-      val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
-      val positions = IcebergScan.scanLoaded(spark, path,
-          IcebergScan.Options(keepProvenance = true), latest, meta)
-        .filter(predicate)
-        .join(org.apache.spark.sql.functions.broadcast(fileMap),
-          col("__graft_file") === col("__qual"))
-        .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
+      val positions = matchedPositions(spark, path, latest, meta, predicate)
       val manifests = commitPositionDeletes(
         spark, path, conf, latest, meta, positions, snapshotId, seq,
         manifestIdx = 1)
@@ -3509,33 +3497,39 @@ object IcebergWriter {
       throw new IllegalArgumentException(s"delete: no Iceberg table at $path"))
     val latest = state.opBase("delete", branch)
     val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val positions = matchedPositions(spark, path, latest, meta, predicate)
+    val manifests = commitPositionDeletes(
+      spark, path, conf, latest, meta, positions, snapshotId, seq)
+    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+      manifests, operation = "delete", branch = branch)
+  }
+
+  /** (file_path, pos) of live rows matching `predicate`, matched against
+    * the TOMBSTONE-AWARE scan (provenance kept) — already position/
+    * equality-deleted rows must not be re-tombstoned. Reuses the
+    * caller's loaded manifest tree (no second metadata fetch); the
+    * qualified-URI → manifest-path bridge mirrors the scan's. Shared by
+    * [[delete]] and [[overwriteWhere]]. */
+  private def matchedPositions(
+      spark: SparkSession, path: String, latest: Snapshot, meta: TableMeta,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
     val liveFiles = meta.entries.collect {
       case (m, es) if m.content == 0 =>
         es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
     }.flatten
-    val schema = IcebergSchemaParser.toStructType(latest.schema)
-
-    // qualified-URI → manifest path string, same bridge the scan uses
-    import spark.implicits._
     val qualify: String => String = IcebergIO.qualified(_, conf)
     val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
-
-    val snapshotId = state.nextSnapshotId
-    val seq = state.nextSeq
-    // Match against the TOMBSTONE-AWARE scan (provenance kept): already
-    // position/equality-deleted rows must not be re-tombstoned. Reuses
-    // the manifest tree loaded above — no second metadata fetch.
-    val positions = IcebergScan.scanLoaded(spark, path,
+    IcebergScan.scanLoaded(spark, path,
         IcebergScan.Options(keepProvenance = true), latest, meta)
       .filter(predicate)
       .join(org.apache.spark.sql.functions.broadcast(fileMap),
         col("__graft_file") === col("__qual"))
       .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
-
-    val manifests = commitPositionDeletes(
-      spark, path, conf, latest, meta, positions, snapshotId, seq)
-    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      manifests, operation = "delete", branch = branch)
   }
 
   /** Commit-side position tombstones, routed by the table's format:

@@ -399,6 +399,29 @@ object RestCatalog {
         newIdNodes(beforeRoot, afterRoot, "sort-orders", "order-id").nonEmpty
     val propsChanged = propsOf(afterRoot) != propsOf(beforeRoot)
 
+    // removal + statistics diffs (round 11) — shared by updates() and
+    // the replay check
+    val afterIds = snapshotNodes(afterRoot).map(_.get("snapshot-id").asLong).toSet
+    val removedSnapIds = (beforeIds -- afterIds).toSeq.sorted
+    val removedRefNames =
+      (refsOf(beforeRoot).keySet -- refsOf(afterRoot).keySet).toSeq.sorted
+    def statsById(root: JsonNode, field: String): Map[Long, JsonNode] =
+      Option(root.get(field)).map(_.elements.asScala
+        .flatMap(n => Option(n.get("snapshot-id")).map(_.asLong -> n)).toMap)
+        .getOrElse(Map.empty)
+    val (beforeStats, afterStats) =
+      (statsById(beforeRoot, "statistics"), statsById(afterRoot, "statistics"))
+    val newStats = afterStats
+      .filter { case (id, n) => !beforeStats.get(id).contains(n) }
+      .toSeq.sortBy(_._1)
+    val removedStatIds = (beforeStats.keySet -- afterStats.keySet).toSeq.sorted
+    val (beforePS, afterPS) = (statsById(beforeRoot, "partition-statistics"),
+      statsById(afterRoot, "partition-statistics"))
+    val newPartStats = afterPS
+      .filter { case (id, n) => !beforePS.get(id).contains(n) }
+      .toSeq.sortBy(_._1)
+    val removedPartStatIds = (beforePS.keySet -- afterPS.keySet).toSeq.sorted
+
     def updates(): Seq[JsonNode] = {
       val out = Seq.newBuilder[JsonNode]
       // spec updates FIRST: an added snapshot may reference a new
@@ -478,6 +501,53 @@ object RestCatalog {
           u.put("snapshot-id", id)
           out += u
         }
+      }
+      // REMOVALS travel too (round 11): an expire/rollback prunes
+      // snapshots and a drop_ref removes refs from LOCAL metadata — a
+      // catalog that never hears about them keeps serving expired
+      // snapshots (whose files maintenance then deletes → readers crash)
+      // and resolvable dropped refs.
+      if (removedSnapIds.nonEmpty) {
+        val u = mapper.createObjectNode()
+        u.put("action", "remove-snapshots")
+        val arr = u.putArray("snapshot-ids")
+        removedSnapIds.foreach(arr.add)
+        out += u
+      }
+      removedRefNames.foreach { name =>
+        val u = mapper.createObjectNode()
+        u.put("action", "remove-snapshot-ref")
+        u.put("ref-name", name)
+        out += u
+      }
+      // table statistics (spec set-statistics / remove-statistics):
+      // analyze's NDV sketches must reach catalog readers — the
+      // broadcast-costing consumer resolves through the catalog metadata
+      newStats.foreach { case (id, node) =>
+        val u = mapper.createObjectNode()
+        u.put("action", "set-statistics")
+        u.put("snapshot-id", id)
+        u.set[JsonNode]("statistics", node)
+        out += u
+      }
+      removedStatIds.foreach { id =>
+        val u = mapper.createObjectNode()
+        u.put("action", "remove-statistics")
+        u.put("snapshot-id", id)
+        out += u
+      }
+      newPartStats.foreach { case (id, node) =>
+        val u = mapper.createObjectNode()
+        u.put("action", "set-partition-statistics")
+        u.put("snapshot-id", id)
+        u.set[JsonNode]("partition-statistics", node)
+        out += u
+      }
+      removedPartStatIds.foreach { id =>
+        val u = mapper.createObjectNode()
+        u.put("action", "remove-partition-statistics")
+        u.put("snapshot-id", id)
+        out += u
       }
       out.result()
     }
@@ -562,14 +632,26 @@ object RestCatalog {
           afterHead.forall(lineageFrom(now, mainHead(now)))) &&
         newSchemaIds.forall(idsOf(now, "schemas", "schema-id")) &&
         newSpecIds.forall(idsOf(now, "partition-specs", "spec-id")) &&
-        newOrderIds.forall(idsOf(now, "sort-orders", "order-id"))
+        newOrderIds.forall(idsOf(now, "sort-orders", "order-id")) &&
+        // removals witness by ABSENCE (snapshot ids are never re-minted;
+        // a dropped ref name could legitimately be re-created, but then
+        // re-sending remove-snapshot-ref is what the retry would do
+        // anyway) and statistics by presence of the exact entry
+        removedSnapIds.forall(id => !nowSnapIds(id)) &&
+        removedRefNames.forall(n => !refsOf(now).contains(n)) &&
+        newStats.forall { case (id, n) =>
+          statsById(now, "statistics").get(id).contains(n) } &&
+        newPartStats.forall { case (id, n) =>
+          statsById(now, "partition-statistics").get(id).contains(n) }
       // `afterHead != beforeHead` alone is NOT an addition: a ROLLBACK
       // moves the head to an ANCESTOR, which is in every descendant's
       // lineage whether or not our commit landed — a backward pointer
       // move has nothing whose presence can witness it, so it keeps the
       // strict check like other pointer-only commits.
       val carriesAdditions = addedIds.nonEmpty ||
-        newSchemaIds.nonEmpty || newSpecIds.nonEmpty || newOrderIds.nonEmpty
+        newSchemaIds.nonEmpty || newSpecIds.nonEmpty || newOrderIds.nonEmpty ||
+        removedSnapIds.nonEmpty || removedRefNames.nonEmpty ||
+        newStats.nonEmpty || newPartStats.nonEmpty
       additionsIn && (carriesAdditions || (
         // head equality only matters when OUR commit moved it (rollback);
         // a head-unchanged props/DDL commit must not fail verification
@@ -610,7 +692,7 @@ object RestCatalog {
   }
 
   /** `<root>/metadata/vN.metadata.json` → `<root>`. */
-  private def tableRootOf(metadataLocation: String): String = {
+  def tableRootOf(metadataLocation: String): String = {
     val p = new org.apache.hadoop.fs.Path(metadataLocation)
     val metaDir = p.getParent
     require(metaDir != null && metaDir.getParent != null,

@@ -209,7 +209,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .foldLeft(new Path(wh))((p, part) => new Path(p, part)).toString
       case _ => tableDir(ident).toString
     })
-    if (backend == "hadoop" && userLocation.exists(_ != tableDir(ident).toString))
+    // Path-normalized comparison: 'file:///wh/db/t', '/wh/db/t' and the
+    // derived layout path may be string-distinct but name the same dir
+    if (backend == "hadoop" && userLocation.exists(loc =>
+        new Path(loc).toString != tableDir(ident).toString))
       throw new UnsupportedOperationException(
         s"catalog '$catalogName': the hadoop backend derives table paths " +
           s"from the warehouse layout; a LOCATION outside it " +
@@ -233,7 +236,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         graft.iceberg.IcebergModel.DefaultTableVersionFormat, false)
       RestCatalog.registerTable(restClient, restName(ident), meta)
     }
-    GraftTable.resolve(spark, catalogName, ident, path, IcebergScan.Options())
+    // resolve through load() so the returned table CARRIES the rest
+    // context — CTAS writes into this very instance, and a rest-less
+    // table would commit past the catalog (stale pointer)
+    load(ident, IcebergScan.Options())
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -241,32 +247,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     import TableChange._
     // DDL is a table COMMIT: on a rest backend it must run against the
     // table root and publish through the catalog (commitThrough diffs
-    // the schema/property changes into the CommitTableRequest)
+    // the schema/property changes into ONE CommitTableRequest — all of
+    // this ALTER's changes land atomically, one catalog round-trip)
     def run(op: String => Unit): Unit = backend match {
       case "rest" =>
         RestCatalog.commitThrough(spark, restClient, restName(ident))(op)
       case _ => op(tableDir(ident).toString)
     }
-    changes.foreach {
-      case s: SetProperty => run(p =>
-        IcebergWriter.setProperties(spark, p, set = Map(s.property -> s.value)))
-      case r: RemoveProperty => run(p =>
-        IcebergWriter.setProperties(spark, p, remove = Seq(r.property)))
-      case a: AddColumn =>
-        require(a.fieldNames.length == 1,
-          "ALTER TABLE ADD COLUMN: only top-level columns are supported")
-        run(p => IcebergWriter.addColumn(spark, p, a.fieldNames.head, a.dataType))
-      case r: RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "ALTER TABLE RENAME COLUMN: only top-level columns are supported")
-        run(p => IcebergWriter.renameColumns(spark, p, Map(r.fieldNames.head -> r.newName)))
-      case d: DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "ALTER TABLE DROP COLUMN: only top-level columns are supported")
-        run(p => IcebergWriter.dropColumns(spark, p, Seq(d.fieldNames.head)))
-      case other =>
-        throw new UnsupportedOperationException(
-          s"ALTER TABLE: unsupported change $other")
+    run { p =>
+      changes.foreach {
+        case s: SetProperty =>
+          IcebergWriter.setProperties(spark, p, set = Map(s.property -> s.value))
+        case r: RemoveProperty =>
+          IcebergWriter.setProperties(spark, p, remove = Seq(r.property))
+        case a: AddColumn =>
+          require(a.fieldNames.length == 1,
+            "ALTER TABLE ADD COLUMN: only top-level columns are supported")
+          IcebergWriter.addColumn(spark, p, a.fieldNames.head, a.dataType)
+        case r: RenameColumn =>
+          require(r.fieldNames.length == 1,
+            "ALTER TABLE RENAME COLUMN: only top-level columns are supported")
+          IcebergWriter.renameColumns(spark, p, Map(r.fieldNames.head -> r.newName))
+        case d: DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            "ALTER TABLE DROP COLUMN: only top-level columns are supported")
+          IcebergWriter.dropColumns(spark, p, Seq(d.fieldNames.head))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE: unsupported change $other")
+      }
     }
     load(ident, IcebergScan.Options())
   }
@@ -316,13 +325,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def withTableWrite[A](session: SparkSession, table: String)(
       op: String => A): A = backend match {
     case "rest" => RestCatalog.commitThrough(session, restClient, table)(op)
-    case _ =>
-      val parts = table.split("\\.").filter(_.nonEmpty)
-      require(parts.length >= 2,
-        s"table must be a catalog-relative dotted name (ns.table), got '$table'")
-      val ident = Identifier.of(parts.init, parts.last)
-      if (!tableExists(ident)) throw new NoSuchTableException(ident)
-      op(tableDir(ident).toString)
+    case _ => op(hadoopTableRoot(table))
+  }
+
+  override def withTableRead[A](session: SparkSession, table: String)(
+      op: String => A): A = backend match {
+    case "rest" => op(RestCatalog.tableRootOf(
+      RestCatalog.loadTableScoped(session, restClient, table).metadataLocation))
+    case _ => op(hadoopTableRoot(table))
+  }
+
+  private def hadoopTableRoot(table: String): String = {
+    val parts = table.split("\\.").filter(_.nonEmpty)
+    require(parts.length >= 2,
+      s"table must be a catalog-relative dotted name (ns.table), got '$table'")
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    tableDir(ident).toString
   }
 
   // ---- namespaces (hadoop backend: directories; rest: the API) ---------

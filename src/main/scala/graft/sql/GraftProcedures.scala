@@ -36,6 +36,11 @@ object GraftProcedures {
     * catalog when one manages the table. */
   trait Ops {
     def withTableWrite[A](spark: SparkSession, table: String)(op: String => A): A
+    /** Root resolution WITHOUT a catalog commit — for operations that
+      * touch storage but never move table metadata (orphan-file
+      * removal); a commitThrough wrapper there would POST an empty
+      * commit that can spuriously 409 against concurrent writers. */
+    def withTableRead[A](spark: SparkSession, table: String)(op: String => A): A
   }
 
   private final case class Param(
@@ -132,7 +137,8 @@ object GraftProcedures {
         Param("dry_run", BooleanType, Some("false"))),
       StructType(Seq(StructField("orphan_file", StringType))),
       (s, ops, a) => {
-        val df = ops.withTableWrite(s, a.str("table"))(p =>
+        // storage-only: no metadata commit, so no catalog round-trip
+        val df = ops.withTableRead(s, a.str("table"))(p =>
           IcebergWriter.removeOrphanFiles(s, p,
             a.longOpt("older_than_ms").get, dryRun = a.boolOr("dry_run", false)))
         df.collect().map(r => row(utf8(r.getString(0)))).toSeq

@@ -315,6 +315,17 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("snapshot-id", v1.toString).load(path).count() === 25)
   }
 
+  test("TRUNCATE TABLE tombstones every row through SupportsDelete") {
+    mkOrders("orders_trunc", rows = 8)
+    spark.sql("TRUNCATE TABLE graft.db.orders_trunc")
+    assert(spark.sql("SELECT count(*) FROM graft.db.orders_trunc")
+      .head.getLong(0) === 0)
+    // and the table keeps accepting inserts
+    spark.sql("INSERT INTO graft.db.orders_trunc VALUES (1, 'c', 1.0, 'L')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.orders_trunc")
+      .head.getLong(0) === 1)
+  }
+
   test("CALL graft.system.<procedure> runs maintenance through the catalog") {
     import spark.implicits._
     val path = mkOrders("orders_proc", rows = 30)

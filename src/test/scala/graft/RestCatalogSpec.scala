@@ -674,4 +674,35 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DELETE FROM grest.analytics.plug_orders WHERE o_orderkey < 0")
     assert(commitPosts > posts0 + 1, "DELETE must POST a commit to the catalog")
   }
+
+  test("DSv2 plugin (type=rest): CTAS commits through the catalog; expire propagates removals") {
+    spark.conf.set("spark.sql.catalog.grest2", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grest2.type", "rest")
+    spark.conf.set("spark.sql.catalog.grest2.uri", uri)
+    spark.conf.set("spark.sql.catalog.grest2.warehouse",
+      Files.createTempDirectory("graft_rest_wh_").toString)
+
+    // CTAS: the created Table instance itself receives the write — it
+    // must carry the rest context, else the data lands past the catalog
+    // and catalog readers see the empty registration
+    spark.sql(
+      """CREATE TABLE grest2.analytics.ctas_rest AS
+        |SELECT id FROM range(0, 25)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM grest2.analytics.ctas_rest")
+      .head.getLong(0) === 25)
+
+    // grow history, then expire THROUGH the catalog: the removal must
+    // reach the catalog metadata (remove-snapshots action), not just
+    // the local files
+    spark.sql("INSERT INTO grest2.analytics.ctas_rest SELECT id FROM range(100, 110)")
+    val metaBefore = serverMetadata(tables("ctas_rest"))
+    assert(metaBefore.get("snapshots").size >= 2)
+    spark.sql(
+      "CALL grest2.system.expire_snapshots(`table` => 'analytics.ctas_rest', keep => 1)")
+    val metaAfter = serverMetadata(tables("ctas_rest"))
+    assert(metaAfter.get("snapshots").size === 1,
+      s"catalog still serves ${metaAfter.get("snapshots").size} snapshots")
+    assert(spark.sql("SELECT count(*) FROM grest2.analytics.ctas_rest")
+      .head.getLong(0) === 35)
+  }
 }
