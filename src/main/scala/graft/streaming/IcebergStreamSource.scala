@@ -53,6 +53,38 @@ object IcebergStreamSource {
   val ChangeTypeCol = "_change_type"
   val CommitSnapshotCol = "_commit_snapshot_id"
 
+  /** Table location from the stream options: `path` names a table root
+    * directly; `table` (round 11) names a DSv2-catalog identifier
+    * (`catalog.ns.tbl`) resolved through the session's catalog plugin —
+    * so catalog-managed tables stream without the caller knowing their
+    * storage path:
+    * {{{ spark.readStream.format("graft-iceberg").option("table", "graft.db.t") }}} */
+  private[streaming] def resolvePath(
+      spark: SparkSession, params: Map[String, String]): String =
+    params.get("table") match {
+      case Some(ident) =>
+        require(!params.contains("path"),
+          "pass exactly one of 'path' or 'table'")
+        val parts = ident.split("\\.").filter(_.nonEmpty)
+        require(parts.length >= 3,
+          s"option 'table' must be 'catalog.namespace.name', got '$ident'")
+        val cat = org.apache.spark.sql.graftshim.GraftShims
+          .catalogPlugin(spark, parts.head) match {
+          case tc: org.apache.spark.sql.connector.catalog.TableCatalog => tc
+          case other => throw new IllegalArgumentException(
+            s"'${parts.head}' is not a table catalog (${other.getClass.getName})")
+        }
+        cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(parts.tail.init, parts.last)) match {
+          case g: graft.sql.GraftTable => g.path
+          case other => throw new IllegalArgumentException(
+            s"'$ident' is not a graft table (${other.getClass.getName})")
+        }
+      case None => params.getOrElse("path",
+        throw new IllegalArgumentException(
+          "option 'path' (table root) or 'table' (catalog identifier) is required"))
+    }
+
   /** The CDC output schema: the table's columns plus the change
     * metadata — ONE definition shared by the source, the provider's
     * advertised schema, and the batch alignment. */
@@ -114,8 +146,7 @@ class IcebergStreamSource(
     parameters: Map[String, String]) extends Source {
 
   private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
-  private val path = params.getOrElse("path",
-    throw new IllegalArgumentException("option 'path' is required"))
+  private val path = IcebergStreamSource.resolvePath(spark, params)
   private val opts = IcebergScan.Options(
     allowMovedPaths = params.get("allow_moved_paths").exists(_.toBoolean))
   private val cdc = params.get("mode").map(_.toLowerCase) match {
@@ -475,8 +506,7 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
       ctx: SQLContext, userSchema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val path = params.getOrElse("path",
-      throw new IllegalArgumentException("option 'path' is required"))
+    val path = IcebergStreamSource.resolvePath(ctx.sparkSession, params)
     val opts = IcebergScan.Options(
       allowMovedPaths = params.get("allow_moved_paths").exists(_.toBoolean))
     val info = IcebergScan.loadInfo(ctx.sparkSession, path, opts)

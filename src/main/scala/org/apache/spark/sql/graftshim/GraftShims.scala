@@ -29,4 +29,11 @@ object GraftShims {
     * context for ColumnNode conversion). */
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** A configured catalog plugin by name (CatalogManager is
+    * `private[sql]`; the returned CatalogPlugin is public API). */
+  def catalogPlugin(spark: SparkSession,
+      name: String): connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
 }

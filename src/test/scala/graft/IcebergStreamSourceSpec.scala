@@ -57,6 +57,30 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("option('table', catalog identifier) streams a catalog-managed table (round 11)") {
+    val wh = tmp("graft_src_cat_wh_")
+    spark.conf.set("spark.sql.catalog.gsrc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsrc.warehouse", wh)
+    val table = s"$wh/db/stream_t"
+    IcebergWriter.write(idsDF(1, 2), table)
+    val df = spark.readStream.format("graft-iceberg")
+      .option("table", "gsrc.db.stream_t").load()
+    val q = startToMemory(df, "src_cat")
+    try {
+      q.processAllAvailable()
+      assert(memoryIds("src_cat") === Set(1L, 2L))
+      IcebergWriter.write(idsDF(3), table)
+      q.processAllAvailable()
+      assert(memoryIds("src_cat") === Set(1L, 2L, 3L))
+    } finally q.stop()
+    // both path and table → loud error
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-iceberg")
+        .option("table", "gsrc.db.stream_t").option("path", table).load()
+    }
+    assert(e.getMessage.contains("exactly one"), e.getMessage)
+  }
+
   test("filters and projections push into each micro-batch's parquet scan") {
     val table = tmp("graft_src_push_") + "/t"
     IcebergWriter.write(idsDF(1L to 10L: _*), table)
