@@ -2676,7 +2676,7 @@ object IcebergWriter {
       // MoR: position tombstones for matching rows, same commit as the
       // new data. The delete rows reference the PRE-commit files by
       // path, so the same-sequence data files above are never affected.
-      val positions = matchedPositions(spark, path, latest, meta, predicate)
+      val positions = matchedPositions(spark, path, latest, meta, predicate, conf)
       val manifests = commitPositionDeletes(
         spark, path, conf, latest, meta, positions, snapshotId, seq,
         manifestIdx = 1)
@@ -3500,7 +3500,7 @@ object IcebergWriter {
     val schema = IcebergSchemaParser.toStructType(latest.schema)
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
-    val positions = matchedPositions(spark, path, latest, meta, predicate)
+    val positions = matchedPositions(spark, path, latest, meta, predicate, conf)
     val manifests = commitPositionDeletes(
       spark, path, conf, latest, meta, positions, snapshotId, seq)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
@@ -3515,9 +3515,9 @@ object IcebergWriter {
     * [[delete]] and [[overwriteWhere]]. */
   private def matchedPositions(
       spark: SparkSession, path: String, latest: Snapshot, meta: TableMeta,
-      predicate: org.apache.spark.sql.Column): DataFrame = {
+      predicate: org.apache.spark.sql.Column,
+      conf: Configuration): DataFrame = {
     import spark.implicits._
-    val conf = spark.sessionState.newHadoopConf()
     val liveFiles = meta.entries.collect {
       case (m, es) if m.content == 0 =>
         es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)

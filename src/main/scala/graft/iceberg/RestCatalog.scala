@@ -636,13 +636,20 @@ object RestCatalog {
         // removals witness by ABSENCE (snapshot ids are never re-minted;
         // a dropped ref name could legitimately be re-created, but then
         // re-sending remove-snapshot-ref is what the retry would do
-        // anyway) and statistics by presence of the exact entry
+        // anyway). Statistics witness by ID PRESENCE, not node equality:
+        // a concurrent analyze may legitimately replace our entry before
+        // the retry reads — exact-node matching would re-POST the STALE
+        // sketch over the newer one (the same moved-past-ours rule the
+        // schema/spec witnesses follow).
         removedSnapIds.forall(id => !nowSnapIds(id)) &&
         removedRefNames.forall(n => !refsOf(now).contains(n)) &&
-        newStats.forall { case (id, n) =>
-          statsById(now, "statistics").get(id).contains(n) } &&
-        newPartStats.forall { case (id, n) =>
-          statsById(now, "partition-statistics").get(id).contains(n) }
+        newStats.forall { case (id, _) =>
+          statsById(now, "statistics").contains(id) } &&
+        newPartStats.forall { case (id, _) =>
+          statsById(now, "partition-statistics").contains(id) } &&
+        removedStatIds.forall(id => !statsById(now, "statistics").contains(id)) &&
+        removedPartStatIds.forall(id =>
+          !statsById(now, "partition-statistics").contains(id))
       // `afterHead != beforeHead` alone is NOT an addition: a ROLLBACK
       // moves the head to an ANCESTOR, which is in every descendant's
       // lineage whether or not our commit landed — a backward pointer
@@ -651,7 +658,8 @@ object RestCatalog {
       val carriesAdditions = addedIds.nonEmpty ||
         newSchemaIds.nonEmpty || newSpecIds.nonEmpty || newOrderIds.nonEmpty ||
         removedSnapIds.nonEmpty || removedRefNames.nonEmpty ||
-        newStats.nonEmpty || newPartStats.nonEmpty
+        newStats.nonEmpty || newPartStats.nonEmpty ||
+        removedStatIds.nonEmpty || removedPartStatIds.nonEmpty
       additionsIn && (carriesAdditions || (
         // head equality only matters when OUR commit moved it (rollback);
         // a head-unchanged props/DDL commit must not fail verification

@@ -209,10 +209,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .foldLeft(new Path(wh))((p, part) => new Path(p, part)).toString
       case _ => tableDir(ident).toString
     })
-    // Path-normalized comparison: 'file:///wh/db/t', '/wh/db/t' and the
-    // derived layout path may be string-distinct but name the same dir
+    // Filesystem-qualified comparison: 'file:///wh/db/t', '/wh/db/t'
+    // and the derived layout path may be string-distinct but name the
+    // same directory (Path.toString never strips schemes — qualify both)
+    def qualified(p: Path): String =
+      p.getFileSystem(hconf).makeQualified(p).toString
     if (backend == "hadoop" && userLocation.exists(loc =>
-        new Path(loc).toString != tableDir(ident).toString))
+        qualified(new Path(loc)) != qualified(tableDir(ident))))
       throw new UnsupportedOperationException(
         s"catalog '$catalogName': the hadoop backend derives table paths " +
           s"from the warehouse layout; a LOCATION outside it " +
@@ -254,6 +257,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         RestCatalog.commitThrough(spark, restClient, restName(ident))(op)
       case _ => op(tableDir(ident).toString)
     }
+    // VALIDATE every change before the first mutation: a mid-list
+    // failure would otherwise leave earlier changes applied to local
+    // metadata but never POSTed — the next unrelated commit would then
+    // silently publish the failed ALTER's residue
+    changes.foreach {
+      case a: AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMN: only top-level columns are supported")
+      case r: RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "ALTER TABLE RENAME COLUMN: only top-level columns are supported")
+      case d: DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "ALTER TABLE DROP COLUMN: only top-level columns are supported")
+      case _: SetProperty | _: RemoveProperty => ()
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE: unsupported change $other")
+    }
     run { p =>
       changes.foreach {
         case s: SetProperty =>
@@ -261,20 +283,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case r: RemoveProperty =>
           IcebergWriter.setProperties(spark, p, remove = Seq(r.property))
         case a: AddColumn =>
-          require(a.fieldNames.length == 1,
-            "ALTER TABLE ADD COLUMN: only top-level columns are supported")
           IcebergWriter.addColumn(spark, p, a.fieldNames.head, a.dataType)
         case r: RenameColumn =>
-          require(r.fieldNames.length == 1,
-            "ALTER TABLE RENAME COLUMN: only top-level columns are supported")
           IcebergWriter.renameColumns(spark, p, Map(r.fieldNames.head -> r.newName))
         case d: DeleteColumn =>
-          require(d.fieldNames.length == 1,
-            "ALTER TABLE DROP COLUMN: only top-level columns are supported")
           IcebergWriter.dropColumns(spark, p, Seq(d.fieldNames.head))
-        case other =>
-          throw new UnsupportedOperationException(
-            s"ALTER TABLE: unsupported change $other")
+        case other => throw new IllegalStateException(s"unvalidated $other")
       }
     }
     load(ident, IcebergScan.Options())
@@ -695,7 +709,14 @@ private final class GraftWriteBuilder(table: GraftTable)
                 IcebergWriter.overwriteWhere(spark, root, cond, data,
                   truncateAll = truncateAll)
               case None =>
-                IcebergWriter.write(data, root)
+                // honor the table's recorded write.distribution-mode
+                // (Iceberg's table property): 'hash' clusters rows by
+                // partition tuple before the write — THE small-files
+                // lever for wide partitioned appends at scale; 'range'
+                // needs partition/sort keys, which the writer validates
+                val dist = table.props
+                  .getOrElse("write.distribution-mode", "none")
+                IcebergWriter.write(data, root, distribution = dist)
             }
           }
         }

@@ -76,6 +76,12 @@ object IcebergStreamSource {
         }
         cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
           .of(parts.tail.init, parts.last)) match {
+          // rest-backed tables pin `path` to one metadata.json (read
+          // snapshot isolation) — a STREAM must follow the table ROOT or
+          // it would replay the pinned version forever and silently
+          // stall on later commits
+          case g: graft.sql.GraftTable if g.rest.isDefined =>
+            graft.iceberg.RestCatalog.tableRootOf(g.path)
           case g: graft.sql.GraftTable => g.path
           case other => throw new IllegalArgumentException(
             s"'$ident' is not a graft table (${other.getClass.getName})")

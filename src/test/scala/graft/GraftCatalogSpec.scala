@@ -372,6 +372,47 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("INSERT honors the table's write.distribution-mode property") {
+    spark.sql(
+      """CREATE TABLE graft.db.dist_t (id BIGINT, region STRING)
+        |PARTITIONED BY (region)
+        |TBLPROPERTIES ('write.distribution-mode' = 'hash')""".stripMargin)
+    // 200 rows over 2 partition values from a parallel source: hash
+    // distribution clusters by partition tuple first, so the commit
+    // lands few files instead of tasks x partitions
+    spark.sql(
+      """INSERT INTO graft.db.dist_t
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END
+        |FROM range(0, 200)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dist_t").head.getLong(0) === 200)
+    val files = IcebergScan.scan(
+      spark, s"$wh/db/dist_t", IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "data").count()
+    assert(files <= 4, s"hash distribution should cluster: $files files")
+  }
+
+  test("TVF, format reader and catalog identifier agree on one table") {
+    val path = mkOrders("orders_xsurface", rows = 33)
+    val viaCat = spark.sql(
+      "SELECT sum(id) FROM graft.db.orders_xsurface").head.getLong(0)
+    val viaTvf = spark.sql(
+      s"SELECT sum(id) FROM iceberg_scan('$path')").head.getLong(0)
+    val viaFmt = spark.read.format("graft").load(path)
+      .agg(sum("id")).head.getLong(0)
+    val direct = IcebergScan.scan(spark, path).agg(sum("id")).head.getLong(0)
+    assert(Set(viaCat, viaTvf, viaFmt, direct).size === 1)
+  }
+
+  test("INSERT INTO works through the V1 write path with the rewrite disabled") {
+    mkOrders("orders_v1w", rows = 5)
+    spark.conf.set(graft.sql.GraftTableRewrite.EnabledKey, "false")
+    try {
+      spark.sql("INSERT INTO graft.db.orders_v1w VALUES (6, 'c', 1.0, 'L')")
+      assert(spark.sql("SELECT count(*) FROM graft.db.orders_v1w")
+        .head.getLong(0) === 6)
+    } finally spark.conf.unset(graft.sql.GraftTableRewrite.EnabledKey)
+  }
+
   test("catalog tables compose: self-join and IN-subquery splice per relation") {
     mkOrders("orders_comp", rows = 40)
     // self-join: two relations of one table, each spliced independently

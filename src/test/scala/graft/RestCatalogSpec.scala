@@ -704,5 +704,32 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"catalog still serves ${metaAfter.get("snapshots").size} snapshots")
     assert(spark.sql("SELECT count(*) FROM grest2.analytics.ctas_rest")
       .head.getLong(0) === 35)
+
+    // ALTER publishes through the catalog in ONE commit: properties land
+    // in the catalog-served metadata
+    spark.sql(
+      """ALTER TABLE grest2.analytics.ctas_rest
+        |SET TBLPROPERTIES ('team' = 'ml', 'tier' = 'gold')""".stripMargin)
+    val props = serverMetadata(tables("ctas_rest")).get("properties")
+    assert(props.get("team").asText === "ml" && props.get("tier").asText === "gold")
+
+    // STREAMING by rest-catalog identifier must follow the table ROOT,
+    // not the load-time metadata pin — commits made after the stream
+    // starts have to keep arriving (the pin would stall silently)
+    val stream = spark.readStream.format("graft-iceberg")
+      .option("table", "grest2.analytics.ctas_rest").load()
+      .select("id")
+    val q = stream.writeStream.format("memory").queryName("rest_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only RETAINED snapshots replay: the expire above kept one
+      // snapshot (the 10-row insert); the expired 25-row history is gone
+      assert(spark.table("rest_stream").count() === 10)
+      spark.sql(
+        "INSERT INTO grest2.analytics.ctas_rest SELECT id FROM range(500, 510)")
+      q.processAllAvailable()
+      assert(spark.table("rest_stream").count() === 20)
+    } finally q.stop()
   }
 }
