@@ -4010,6 +4010,185 @@ object IcebergWriter {
     } finally src.unpersist(blocking = false)
   }
 
+  /** One WHEN clause of [[mergeInto]]. `condition` None = unconditional;
+    * `assigns` None = DELETE, Some = the new row's values by target
+    * column name (UPDATE clauses may assign a subset — unassigned
+    * columns keep the target's value; INSERT clauses must cover every
+    * column). Both are functions of (target, source) DataFrames so
+    * callers bind by name against the actual join inputs. */
+  final case class MergeClause(
+      condition: Option[(DataFrame, DataFrame) => org.apache.spark.sql.Column],
+      assigns: Option[Map[String, (DataFrame, DataFrame) => org.apache.spark.sql.Column]])
+
+  /** General SQL MERGE (engine extension): arbitrary ON condition and
+    * ordered WHEN MATCHED / WHEN NOT MATCHED / WHEN NOT MATCHED BY
+    * SOURCE clauses, each optionally conditional — the full statement
+    * surface, unlike [[merge]]'s key-replace upsert.
+    *
+    * ONE merge-on-read snapshot: target rows an applied clause updates
+    * or deletes become position tombstones (v2 parquet deletes / v3
+    * DVs), and the updated + inserted rows land as new data files —
+    * untouched data files are never rewritten, so commit cost scales
+    * with the CHANGE set plus one join against the target, not with
+    * table size.
+    *
+    * Semantics follow the standard: clauses apply in declaration order
+    * (first passing condition wins); a target row updated/deleted by
+    * MORE THAN ONE source row is an error (the standard's cardinality
+    * violation — silently picking one would be nondeterministic). The
+    * join is planned by Catalyst like any other (broadcast for small
+    * sources, shuffle hash otherwise; AQE handles skew).
+    *
+    * Scale note: the join result is persisted (MEMORY_AND_DISK) so the
+    * tombstone set and the appended rows come from ONE materialization
+    * even under non-deterministic sources/conditions. Without
+    * NOT MATCHED BY SOURCE clauses the join keeps only matched/source
+    * rows (≈ change-set sized); WITH them every target row flows
+    * through — correct, but at 100 TB prefer expressing by-source
+    * sweeps as a separate DELETE/UPDATE whose predicate can prune. */
+  def mergeInto(spark: SparkSession, path: String,
+      source: DataFrame,
+      on: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
+      matched: Seq[MergeClause] = Seq.empty,
+      notMatched: Seq[MergeClause] = Seq.empty,
+      notMatchedBySource: Seq[MergeClause] = Seq.empty,
+      branch: String = "main",
+      summary: Map[String, String] = Map.empty): Long = {
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeInto: at least one WHEN clause is required")
+    notMatched.foreach(c => require(c.assigns.isDefined,
+      "mergeInto: WHEN NOT MATCHED supports INSERT only"))
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(s"mergeInto: no Iceberg table at $path"))
+    val latest = state.opBase("merge", branch)
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+    val cols = schema.fieldNames.toSeq
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val spec = currentSpec(latest, schema)
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+
+    // presence markers survive the outer join where natural columns
+    // go null; provenance (file,pos) identifies target rows to tombstone
+    val t = IcebergScan.scanLoaded(spark, path,
+        IcebergScan.Options(keepProvenance = true), latest, meta)
+      .withColumn("__t_present", lit(true))
+    val s = source.withColumn("__s_present", lit(true))
+    val joinType =
+      if (notMatched.nonEmpty && notMatchedBySource.nonEmpty) "full_outer"
+      else if (notMatched.nonEmpty) "right_outer"
+      else if (notMatchedBySource.nonEmpty) "left_outer"
+      else "inner"
+    // the join (and the clause conditions below) may evaluate
+    // non-deterministic expressions; persist so the tombstone set and
+    // the appended rows are computed from ONE materialization
+    val j = t.join(s, on(t, s), joinType).persist()
+    try {
+      val tPresent = col("__t_present").isNotNull
+      val sPresent = col("__s_present").isNotNull
+
+      // first-passing-clause selection: clause i applies iff its
+      // condition holds and no earlier clause's did
+      def applied(clauses: Seq[MergeClause], base: org.apache.spark.sql.Column)
+          : Seq[org.apache.spark.sql.Column] = {
+        var prior = lit(false)
+        clauses.map { c =>
+          val own = c.condition.map(_(t, s)).getOrElse(lit(true))
+          val app = base && !prior && own
+          prior = prior || own
+          app
+        }
+      }
+      val matchedApp = applied(matched, tPresent && sPresent)
+      val notMatchedApp = applied(notMatched, !tPresent && sPresent)
+      val bySourceApp = applied(notMatchedBySource, tPresent && !sPresent)
+
+      // cardinality rule: >1 APPLIED matched pairing per target row
+      val touchesTarget = matchedApp.foldLeft(lit(false))(_ || _)
+      val dup = j.filter(touchesTarget)
+        .groupBy(col("__graft_file"), col("__graft_pos"))
+        .count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE cardinality violation: a target row matched (and would be " +
+          "changed by) more than one source row — deduplicate the source " +
+          "or tighten the ON condition")
+
+      // tombstones: matched update/delete + not-matched-by-source
+      // update/delete (distinct — outer-join duplication is benign here)
+      val targetTouched = (matchedApp ++ bySourceApp)
+        .foldLeft(lit(false))(_ || _)
+      val qualify: String => String = IcebergIO.qualified(_, conf)
+      val liveFiles = meta.entries.collect {
+        case (m, es) if m.content == 0 =>
+          es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+      }.flatten
+      import spark.implicits._
+      val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
+      val positions = j.filter(targetTouched)
+        .select(col("__graft_file"), col("__graft_pos")).distinct()
+        .join(org.apache.spark.sql.functions.broadcast(fileMap),
+          col("__graft_file") === col("__qual"))
+        .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
+
+      // appended rows: updates (unassigned columns keep the target's
+      // value), not-matched-by-source updates, and inserts
+      def projected(app: org.apache.spark.sql.Column,
+          assigns: Map[String, (DataFrame, DataFrame) => org.apache.spark.sql.Column],
+          fallback: Option[String => org.apache.spark.sql.Column]): DataFrame = {
+        val lower = assigns.map { case (k, v) => k.toLowerCase -> v }
+        val projs = cols.map { c =>
+          lower.get(c.toLowerCase).map(_(t, s)).orElse(fallback.map(_(c)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"mergeInto: INSERT clause does not assign column '$c'"))
+            .cast(schema(c).dataType).as(c)
+        }
+        j.filter(app).select(projs: _*)
+      }
+      val updateOut = (matched.zip(matchedApp) ++ notMatchedBySource.zip(bySourceApp))
+        .collect { case (c, app) if c.assigns.isDefined =>
+          projected(app, c.assigns.get, Some(name => t(name))) }
+      val insertOut = notMatched.zip(notMatchedApp).map { case (c, app) =>
+        projected(app, c.assigns.get, None) }
+      val appendedAll = updateOut ++ insertOut
+      val appended = appendedAll.reduceOption(_ unionAll _)
+
+      val touched = positions.limit(1).count() > 0
+      val hasNew = appended.exists(_.limit(1).count() > 0)
+      if (!touched && !hasNew) return latest.snapshotId // true no-op
+
+      val files = appended.filter(_ => hasNew).map(df => writeDataFiles(df,
+        new Path(path, s"data/snap-$snapshotId-${commitToken()}"), spec,
+        prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty)))
+        .getOrElse(Seq.empty)
+      val (dataEntries, rowRange) = assignRowIds(
+        state.info.formatVersion, nextRowIdOf(Some(state)), files.map { w =>
+          ManifestEntry(status = 1, content = 0, filePath = w.path,
+            fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+            partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+            splitOffsets = w.splitOffsets, nullCounts = w.nulls, nanCounts = w.nans)
+        })
+      val manifests =
+        if (touched) commitPositionDeletes(
+          spark, path, conf, latest, meta, positions, snapshotId, seq,
+          manifestIdx = 1)
+        else ManifestReader.readManifestList(
+          latest.manifestList, conf, latest.formatVersion)
+      val withData =
+        if (dataEntries.isEmpty) manifests
+        else {
+          val addedPath = new Path(path,
+            s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+          writeManifest(addedPath, conf, dataEntries,
+            spec.map(sf => (sf.fieldName, sf.avroType)))
+          manifests :+ Manifest(addedPath.toString, seq, 0)
+        }
+      commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+        withData, spec, operation = "merge", branch = branch,
+        summary = addedFileSummary(files) ++ summary, rowRange = rowRange)
+    } finally j.unpersist(blocking = false)
+  }
+
   /** Whether an Iceberg table exists at `path` (resolvable metadata). */
   def tableExists(spark: SparkSession, path: String): Boolean =
     loadState(path, spark.sessionState.newHadoopConf()).isDefined

@@ -1528,6 +1528,74 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib61_conditional_merge",
+      // GENERAL MERGE gate (round 11): ordered conditional WHEN clauses
+      // incl. NOT MATCHED BY SOURCE, executed as ONE MoR commit
+      // (position tombstones + new files; IcebergWriter.mergeInto). The
+      // oracle replays the same clause semantics as relational algebra.
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 CAST(o_totalprice AS DOUBLE) AS p
+          FROM orders WHERE o_orderkey % 5 = 0),
+        src AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice * 3 AS DOUBLE) AS p
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 1 AS k, CAST(o_totalprice AS DOUBLE) AS p
+          FROM orders WHERE o_orderkey % 10 = 0),
+        m_upd AS (
+          SELECT b.k, b.c, s.p FROM base b JOIN src s ON b.k = s.k
+          WHERE s.p < 50000),
+        kept AS (
+          SELECT b.k, b.c,
+                 CASE WHEN b.k % 3 = 0 THEN CAST(0 AS DOUBLE) ELSE b.p END AS p
+          FROM base b WHERE b.k NOT IN (SELECT k FROM src)),
+        ins AS (
+          SELECT s.k, CAST(-1 AS BIGINT) AS c, s.p FROM src s
+          WHERE s.k NOT IN (SELECT k FROM base) AND s.p >= 1000),
+        final AS (
+          SELECT * FROM m_upd UNION ALL SELECT * FROM kept
+          UNION ALL SELECT * FROM ins)
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(k) AS BIGINT) AS key_sum,
+               round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM final"""),
+      (s, dir) => {
+        val name = cachedTable("ib61", dir) { () =>
+          ensureCatalog(s)
+          val n = s"graft_cat.g.cmerge_${math.abs(dir.hashCode)}"
+          val view = s"ib61_src_${math.abs(dir.hashCode)}"
+          graft.Tables.load(s, dir, "orders").createOrReplaceTempView(view)
+          s.sql(s"CREATE TABLE $n (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)")
+          s.sql(
+            s"""INSERT INTO $n
+                SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+                FROM $view WHERE o_orderkey % 5 = 0""")
+          s.sql(
+            s"""MERGE INTO $n t USING (
+                  SELECT o_orderkey AS k, CAST(o_totalprice * 3 AS DOUBLE) AS p
+                  FROM $view WHERE o_orderkey % 10 = 0
+                  UNION ALL
+                  SELECT o_orderkey + 1 AS k, CAST(o_totalprice AS DOUBLE) AS p
+                  FROM $view WHERE o_orderkey % 10 = 0) s
+                ON t.o_orderkey = s.k
+                WHEN MATCHED AND s.p < 50000 THEN UPDATE SET price = s.p
+                WHEN MATCHED THEN DELETE
+                WHEN NOT MATCHED AND s.p >= 1000 THEN
+                  INSERT (o_orderkey, o_custkey, price) VALUES (s.k, -1, s.p)
+                WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 3 = 0 THEN
+                  UPDATE SET price = 0""")
+          n
+        }
+        s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM $name""")
+      }
+    ),
+    QueryDef(
       "ib60_wide_planning",
       // WIDE-METADATA planning gate (round 11): a 1,000-manifest /
       // 50,000-entry snapshot (WideFixture — the metadata width of a

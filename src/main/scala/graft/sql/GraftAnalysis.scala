@@ -157,95 +157,120 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     *   WHEN NOT MATCHED THEN INSERT (star, or every column := bare source column)
     * with matching per-column sources in both branches. Anything richer
     * raises with a pointer to the procedure/Scala surface. */
+  /** MERGE INTO conversion. Two FAST paths keep their cheaper commits —
+    * the canonical star-upsert (`IcebergWriter.merge`: O(source), no
+    * target join) and the pure delete-by-key (`deleteEquality`) — and
+    * every other resolved shape (conditional clauses, multiple clauses,
+    * partial SET, non-equality ON, NOT MATCHED BY SOURCE) lowers to the
+    * GENERAL single-commit MoR merge (`IcebergWriter.mergeInto`). */
   private def convertMerge(
       t: GraftTable, source: LogicalPlan, cond: Expression,
       matched: Seq[MergeAction], notMatched: Seq[MergeAction],
       notMatchedBySource: Seq[MergeAction]): LogicalPlan = {
-    def unsupported(why: String): Nothing =
-      throw new UnsupportedOperationException(
-        s"MERGE INTO a graft table supports the upsert form (ON key " +
-          s"equality, WHEN MATCHED UPDATE SET *, WHEN NOT MATCHED INSERT *); " +
-          s"$why. Use the merge procedure or IcebergWriter.merge for more.")
-
-    if (notMatchedBySource.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not part of it")
-
     val sourceOut = source.outputSet
-    lazy val deleteForm = matched == Seq(DeleteAction(None)) && notMatched.isEmpty
+    noSubquery(cond, "MERGE ON")
 
-    // ON clause → key column names (target.k = source.k conjuncts only)
+    // re-binding: resolved attrs → the runtime join inputs, by SIDE
+    // (the writer builds fresh target/source frames; names re-resolve
+    // against whichever side owned the original attribute)
+    def bindFn(e: Expression): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => Column = {
+      noSubquery(e, "MERGE")
+      (tdf, sdf) =>
+        GraftShims.column(e.transform {
+          case a: AttributeReference =>
+            GraftShims.expression(
+              if (sourceOut.contains(a)) sdf(a.name) else tdf(a.name))
+        })
+    }
+    def clauseOf(condO: Option[Expression], assignsO: Option[Seq[Assignment]])
+        : IcebergWriter.MergeClause =
+      IcebergWriter.MergeClause(
+        condO.map(bindFn),
+        assignsO.map(_.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new UnsupportedOperationException(
+              s"MERGE: only top-level columns can be assigned, got ${other.sql}")
+          }
+          name -> bindFn(a.value)
+        }.toMap))
+    def general: LogicalPlan = GraftMergeIntoCommand(
+      t, source, bindFn(cond),
+      matched.map {
+        case UpdateAction(c, as, _) => clauseOf(c, Some(as))
+        case DeleteAction(c)        => clauseOf(c, None)
+        case other => throw new UnsupportedOperationException(
+          s"MERGE: unsupported WHEN MATCHED action $other")
+      },
+      notMatched.map {
+        case InsertAction(c, as) => clauseOf(c, Some(as))
+        case other => throw new UnsupportedOperationException(
+          s"MERGE: unsupported WHEN NOT MATCHED action $other")
+      },
+      notMatchedBySource.map {
+        case UpdateAction(c, as, _) => clauseOf(c, Some(as))
+        case DeleteAction(c)        => clauseOf(c, None)
+        case other => throw new UnsupportedOperationException(
+          s"MERGE: unsupported WHEN NOT MATCHED BY SOURCE action $other")
+      })
+
+    // ---- fast-path detection (all-or-nothing; any mismatch → general)
+
+    // ON clause as pure target.k = source.k conjuncts
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val keyCols = conjuncts(cond).map {
-      case org.apache.spark.sql.catalyst.expressions.EqualTo(
-          a: AttributeReference, b: AttributeReference)
-          if a.name.equalsIgnoreCase(b.name) &&
-            (sourceOut.contains(a) ^ sourceOut.contains(b)) =>
-        if (sourceOut.contains(a)) b.name else a.name
-      case other => unsupported(s"ON clause term '${other.sql}' is not a " +
-        "target-to-source key equality")
-    }
-
-    // WHEN MATCHED THEN DELETE (and nothing else): an equality delete on
-    // the key tuple — the source's keys become the delete predicate
-    if (deleteForm) {
-      val keyAttrs: Seq[NamedExpression] = keyCols.map { k =>
-        source.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
-          unsupported(s"key column '$k' not found in the source"))
+    val keyColsOpt: Option[Seq[String]] = {
+      val keys = conjuncts(cond).map {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if a.name.equalsIgnoreCase(b.name) &&
+              (sourceOut.contains(a) ^ sourceOut.contains(b)) =>
+          Some(if (sourceOut.contains(a)) b.name else a.name)
+        case _ => None
       }
-      return GraftMergeDeleteCommand(t, Project(keyAttrs, source))
+      if (keys.forall(_.isDefined)) Some(keys.flatten) else None
     }
 
-    // per-column source expression from the update/insert assignments;
-    // both branches must agree (one effective source row per key)
-    def assignMap(as: Seq[Assignment], branch: String): Map[String, Expression] =
-      as.map { a =>
-        val name = a.key match {
-          case ar: AttributeReference => ar.name.toLowerCase
-          case other => unsupported(s"$branch assigns non-column ${other.sql}")
-        }
-        name -> a.value
-      }.toMap
-
-    // BOTH branches are required: the writer's merge is an unconditional
-    // key-replace upsert, so an update-only MERGE (which must IGNORE
-    // unmatched source rows) or insert-only MERGE (which must LEAVE
-    // matched target rows) cannot be expressed by it — accepting either
-    // would silently insert/overwrite rows SQL says to leave alone.
-    val updateAssigns = matched match {
-      case Seq(UpdateAction(None, as, _)) => assignMap(as, "WHEN MATCHED")
-      case Seq() => unsupported(
-        "a WHEN MATCHED THEN UPDATE branch is required (an insert-only " +
-          "MERGE must skip matched rows, which the upsert cannot)")
-      case _ => unsupported("WHEN MATCHED must be a single unconditional UPDATE")
+    def assignMapOpt(as: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val entries = as.map(a => a.key match {
+        case ar: AttributeReference => Some(ar.name.toLowerCase -> a.value)
+        case _ => None
+      })
+      if (entries.forall(_.isDefined)) Some(entries.flatten.toMap) else None
     }
-    val insertAssigns = notMatched match {
-      case Seq(InsertAction(None, as)) => assignMap(as, "WHEN NOT MATCHED")
-      case Seq() => unsupported(
-        "a WHEN NOT MATCHED THEN INSERT branch is required (an update-only " +
-          "MERGE must skip unmatched source rows, which the upsert cannot)")
-      case _ => unsupported("WHEN NOT MATCHED must be a single unconditional INSERT")
-    }
-    val same = updateAssigns.keySet == insertAssigns.keySet &&
-      updateAssigns.forall { case (k, v) => insertAssigns(k).semanticEquals(v) }
-    if (!same) unsupported("UPDATE and INSERT branches assign different values")
-    val assigns = updateAssigns
 
-    val tableCols = t.tableSchema.fieldNames.toSeq
-    val missing = tableCols.filterNot(c => assigns.contains(c.toLowerCase))
-    if (missing.nonEmpty)
-      unsupported(s"columns ${missing.mkString(", ")} are not assigned " +
-        "(partial-row upsert would null them)")
-
-    // effective source: one projection over the source plan, in table
-    // column order — attribute references stay bound to the source plan
-    val projs: Seq[NamedExpression] = tableCols.map { c =>
-      Alias(assigns(c.toLowerCase), c)()
+    val fast: Option[LogicalPlan] = keyColsOpt.flatMap { keyCols =>
+      (matched, notMatched, notMatchedBySource) match {
+        // delete-by-key: equality delete on the source's key tuples
+        case (Seq(DeleteAction(None)), Seq(), Seq()) =>
+          val keyAttrs = keyCols.map(k =>
+            source.output.find(_.name.equalsIgnoreCase(k)))
+          if (keyAttrs.forall(_.isDefined))
+            Some(GraftMergeDeleteCommand(t,
+              Project(keyAttrs.flatten.map(a => a: NamedExpression), source)))
+          else None
+        // star upsert: both branches assign the SAME full row per key
+        case (Seq(UpdateAction(None, uas, _)), Seq(InsertAction(None, ias)), Seq()) =>
+          (assignMapOpt(uas), assignMapOpt(ias)) match {
+            case (Some(u), Some(i))
+                if u.keySet == i.keySet &&
+                  u.forall { case (k, v) => i(k).semanticEquals(v) } =>
+              val tableCols = t.tableSchema.fieldNames.toSeq
+              if (tableCols.forall(c => u.contains(c.toLowerCase))) {
+                val projs: Seq[NamedExpression] =
+                  tableCols.map(c => Alias(u(c.toLowerCase), c)())
+                Some(GraftMergeCommand(t, Project(projs, source), keyCols))
+              } else None
+            case _ => None
+          }
+        case _ => None
+      }
     }
-    GraftMergeCommand(t, Project(projs, source), keyCols)
+    fast.getOrElse(general)
   }
 }
 
@@ -278,6 +303,24 @@ final case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     table.withWrite(spark)(root =>
       IcebergWriter.merge(spark, root, GraftShims.ofRows(spark, source), keyCols))
+    Seq.empty
+  }
+}
+
+/** General MERGE INTO — ordered conditional clauses through the writer's
+  * single-commit MoR merge (tombstones + new files, no rewrites). */
+final case class GraftMergeIntoCommand(
+    table: GraftTable, source: LogicalPlan,
+    on: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => Column,
+    matched: Seq[IcebergWriter.MergeClause],
+    notMatched: Seq[IcebergWriter.MergeClause],
+    notMatchedBySource: Seq[IcebergWriter.MergeClause])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.withWrite(spark)(root =>
+      IcebergWriter.mergeInto(spark, root, GraftShims.ofRows(spark, source),
+        on, matched, notMatched, notMatchedBySource))
     Seq.empty
   }
 }

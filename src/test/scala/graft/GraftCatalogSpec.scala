@@ -123,34 +123,86 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.snapshots(spark, path).count() === before + 1)
   }
 
-  test("MERGE with only one branch raises rather than silently upserting") {
+  test("single-branch MERGE keeps exact SQL semantics (general path)") {
     import spark.implicits._
     mkOrders("orders_m1", rows = 6)
     Seq((3L, "cust-z", 1.0, "Z"), (99L, "cust-z", 2.0, "Z"))
       .toDF("id", "cust", "amount", "prio").createOrReplaceTempView("m1_src")
-    // update-only: must NOT insert id 99
-    val e1 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft.db.orders_m1 t USING m1_src s
-          |ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-    }
-    assert(e1.getMessage.contains("WHEN NOT MATCHED THEN INSERT branch is required"),
-      e1.getMessage)
-    // insert-only: must NOT overwrite id 3
-    val e2 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft.db.orders_m1 t USING m1_src s
-          |ON t.id = s.id
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(e2.getMessage.contains("WHEN MATCHED THEN UPDATE branch is required"),
-      e2.getMessage)
-    // the table is untouched either way
+    // update-only: id 3 updates, id 99 must NOT be inserted
+    spark.sql(
+      """MERGE INTO graft.db.orders_m1 t USING m1_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     assert(spark.sql("SELECT count(*) FROM graft.db.orders_m1").head.getLong(0) === 6)
     assert(spark.sql(
-      "SELECT count(*) FROM graft.db.orders_m1 WHERE cust = 'cust-z'")
-      .head.getLong(0) === 0)
+      "SELECT cust FROM graft.db.orders_m1 WHERE id = 3").head.getString(0) === "cust-z")
+    // insert-only: id 99 inserts, id 3 must NOT change again
+    spark.sql(
+      """MERGE INTO graft.db.orders_m1 t USING m1_src s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.db.orders_m1").head.getLong(0) === 7)
+    assert(spark.sql("SELECT amount FROM graft.db.orders_m1 WHERE id = 3")
+      .head.getDouble(0) === 1.0)
+    assert(spark.sql("SELECT amount FROM graft.db.orders_m1 WHERE id = 99")
+      .head.getDouble(0) === 2.0)
+  }
+
+  test("conditional multi-clause MERGE with NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    mkOrders("orders_mc", rows = 10) // ids 1..10, amounts id*10
+    Seq((2L, 5.0), (3L, 500.0), (20L, 7.0))
+      .toDF("id", "amt").createOrReplaceTempView("mc_src")
+    spark.sql(
+      """MERGE INTO graft.db.orders_mc t USING mc_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.amt < 100 THEN UPDATE SET amount = s.amt
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.amt > 5 THEN
+        |  INSERT (id, cust, amount, prio) VALUES (s.id, 'new', s.amt, 'N')
+        |WHEN NOT MATCHED BY SOURCE AND t.id > 8 THEN DELETE""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, amount FROM graft.db.orders_mc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // id2: updated to 5 (first clause). id3: deleted (second clause).
+    // id20: inserted (amt 7 > 5). ids 9,10: deleted by-source. others keep.
+    assert(rows === Seq(1L -> 10.0, 2L -> 5.0, 4L -> 40.0, 5L -> 50.0,
+      6L -> 60.0, 7L -> 70.0, 8L -> 80.0, 20L -> 7.0))
+    // partial SET kept the other columns
+    assert(spark.sql("SELECT cust FROM graft.db.orders_mc WHERE id = 2")
+      .head.getString(0) === "cust-2")
+  }
+
+  test("MERGE cardinality violation raises instead of picking a row") {
+    import spark.implicits._
+    mkOrders("orders_mdup", rows = 4)
+    Seq((2L, 1.0), (2L, 2.0)).toDF("id", "amt")
+      .createOrReplaceTempView("mdup_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.orders_mdup t USING mdup_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET amount = s.amt""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // nothing committed
+    assert(spark.sql("SELECT sum(amount) FROM graft.db.orders_mdup")
+      .head.getDouble(0) === (1 + 2 + 3 + 4) * 10.0)
+  }
+
+  test("MERGE with a non-equality ON condition (general join)") {
+    import spark.implicits._
+    mkOrders("orders_mrange", rows = 6)
+    Seq((1L, 25L, 35L)).toDF("sid", "lo", "hi")
+      .createOrReplaceTempView("mrange_src")
+    // amounts are id*10: rows with amount in [25,35] → id 3
+    spark.sql(
+      """MERGE INTO graft.db.orders_mrange t USING mrange_src s
+        |ON t.amount >= s.lo AND t.amount <= s.hi
+        |WHEN MATCHED THEN UPDATE SET prio = 'R'""".stripMargin)
+    assert(spark.sql(
+      "SELECT id FROM graft.db.orders_mrange WHERE prio = 'R'")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
   test("V1 bridge survives nested-schema pruning (whole-column fallback)") {
