@@ -3516,7 +3516,19 @@ object IcebergWriter {
   private def matchedPositions(
       spark: SparkSession, path: String, latest: Snapshot, meta: TableMeta,
       predicate: org.apache.spark.sql.Column,
-      conf: Configuration): DataFrame = {
+      conf: Configuration): DataFrame =
+    toOriginalPositions(spark, meta, conf,
+      IcebergScan.scanLoaded(spark, path,
+          IcebergScan.Options(keepProvenance = true), latest, meta)
+        .filter(predicate)
+        .select(col("__graft_file"), col("__graft_pos")))
+
+  /** Provenance (`__graft_file` qualified URI, `__graft_pos`) →
+    * (file_path, pos) with the MANIFEST-recorded original path — the
+    * qualified-URI bridge all row-tombstoning ops share. */
+  private def toOriginalPositions(
+      spark: SparkSession, meta: TableMeta, conf: Configuration,
+      rows: DataFrame): DataFrame = {
     import spark.implicits._
     val liveFiles = meta.entries.collect {
       case (m, es) if m.content == 0 =>
@@ -3524,10 +3536,7 @@ object IcebergWriter {
     }.flatten
     val qualify: String => String = IcebergIO.qualified(_, conf)
     val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
-    IcebergScan.scanLoaded(spark, path,
-        IcebergScan.Options(keepProvenance = true), latest, meta)
-      .filter(predicate)
-      .join(org.apache.spark.sql.functions.broadcast(fileMap),
+    rows.join(org.apache.spark.sql.functions.broadcast(fileMap),
         col("__graft_file") === col("__qual"))
       .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
   }
@@ -4058,12 +4067,20 @@ object IcebergWriter {
       "mergeInto: at least one WHEN clause is required")
     notMatched.foreach(c => require(c.assigns.isDefined,
       "mergeInto: WHEN NOT MATCHED supports INSERT only"))
+    // unknown assignment keys must fail loudly, not silently fall back
+    // to "keep the target value" (same rule as update())
     val conf = spark.sessionState.newHadoopConf()
     val state = loadState(path, conf).getOrElse(
       throw new IllegalArgumentException(s"mergeInto: no Iceberg table at $path"))
     val latest = state.opBase("merge", branch)
     val schema = IcebergSchemaParser.toStructType(latest.schema)
     val cols = schema.fieldNames.toSeq
+    (matched ++ notMatched ++ notMatchedBySource).flatMap(_.assigns).foreach { as =>
+      val unknown = as.keySet.filterNot(k => cols.exists(_.equalsIgnoreCase(k)))
+      require(unknown.isEmpty,
+        s"mergeInto: unknown assignment columns ${unknown.mkString(", ")} " +
+          s"(table columns: ${cols.mkString(", ")})")
+    }
     val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
     val spec = currentSpec(latest, schema)
     val snapshotId = state.nextSnapshotId
@@ -4080,29 +4097,43 @@ object IcebergWriter {
       else if (notMatched.nonEmpty) "right_outer"
       else if (notMatchedBySource.nonEmpty) "left_outer"
       else "inner"
-    // the join (and the clause conditions below) may evaluate
-    // non-deterministic expressions; persist so the tombstone set and
-    // the appended rows are computed from ONE materialization
-    val j = t.join(s, on(t, s), joinType).persist()
-    try {
-      val tPresent = col("__t_present").isNotNull
-      val sPresent = col("__s_present").isNotNull
+    val tPresent = col("__t_present").isNotNull
+    val sPresent = col("__s_present").isNotNull
 
-      // first-passing-clause selection: clause i applies iff its
-      // condition holds and no earlier clause's did
-      def applied(clauses: Seq[MergeClause], base: org.apache.spark.sql.Column)
-          : Seq[org.apache.spark.sql.Column] = {
-        var prior = lit(false)
-        clauses.map { c =>
-          val own = c.condition.map(_(t, s)).getOrElse(lit(true))
-          val app = base && !prior && own
-          prior = prior || own
-          app
-        }
+    // First-passing-clause selection: clause i applies iff its condition
+    // holds and no earlier clause's did. A NULL condition neither
+    // applies (SQL filter semantics) nor blocks later clauses —
+    // coalesce, or `prior` would go NULL and poison every later
+    // clause's flag into silent no-ops.
+    def applied(clauses: Seq[MergeClause], base: org.apache.spark.sql.Column)
+        : Seq[org.apache.spark.sql.Column] = {
+      var prior = lit(false)
+      clauses.map { c =>
+        val own = org.apache.spark.sql.functions.coalesce(
+          c.condition.map(_(t, s)).getOrElse(lit(true)), lit(false))
+        val app = base && !prior && own
+        prior = prior || own
+        app
       }
-      val matchedApp = applied(matched, tPresent && sPresent)
-      val notMatchedApp = applied(notMatched, !tPresent && sPresent)
-      val bySourceApp = applied(notMatchedBySource, tPresent && !sPresent)
+    }
+    // The decision FLAGS are computed into the cached frame itself: every
+    // downstream job (cardinality check, tombstones, appends) reads the
+    // same materialized booleans, so non-deterministic clause conditions
+    // evaluate exactly ONCE per row — the tombstone set and the appended
+    // rows can never diverge.
+    val mCols = applied(matched, tPresent && sPresent)
+      .zipWithIndex.map { case (c, i) => c.as(s"__m$i") }
+    val nCols = applied(notMatched, !tPresent && sPresent)
+      .zipWithIndex.map { case (c, i) => c.as(s"__n$i") }
+    val bCols = applied(notMatchedBySource, tPresent && !sPresent)
+      .zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
+    val j = t.join(s, on(t, s), joinType)
+      .select(Seq(col("*")) ++ mCols ++ nCols ++ bCols: _*)
+      .persist()
+    try {
+      val matchedApp = matched.indices.map(i => col(s"__m$i"))
+      val notMatchedApp = notMatched.indices.map(i => col(s"__n$i"))
+      val bySourceApp = notMatchedBySource.indices.map(i => col(s"__b$i"))
 
       // cardinality rule: >1 APPLIED matched pairing per target row
       val touchesTarget = matchedApp.foldLeft(lit(false))(_ || _)
@@ -4118,18 +4149,9 @@ object IcebergWriter {
       // update/delete (distinct — outer-join duplication is benign here)
       val targetTouched = (matchedApp ++ bySourceApp)
         .foldLeft(lit(false))(_ || _)
-      val qualify: String => String = IcebergIO.qualified(_, conf)
-      val liveFiles = meta.entries.collect {
-        case (m, es) if m.content == 0 =>
-          es.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
-      }.flatten
-      import spark.implicits._
-      val fileMap = liveFiles.map(f => (qualify(f), f)).toDF("__qual", "__orig")
-      val positions = j.filter(targetTouched)
-        .select(col("__graft_file"), col("__graft_pos")).distinct()
-        .join(org.apache.spark.sql.functions.broadcast(fileMap),
-          col("__graft_file") === col("__qual"))
-        .select(col("__orig").as("file_path"), col("__graft_pos").as("pos"))
+      val positions = toOriginalPositions(spark, meta, conf,
+        j.filter(targetTouched)
+          .select(col("__graft_file"), col("__graft_pos")).distinct())
 
       // appended rows: updates (unassigned columns keep the target's
       // value), not-matched-by-source updates, and inserts
@@ -4184,7 +4206,9 @@ object IcebergWriter {
           manifests :+ Manifest(addedPath.toString, seq, 0)
         }
       commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-        withData, spec, operation = "merge", branch = branch,
+        // spec snapshot operations are append/replace/overwrite/delete —
+        // "overwrite" is the delete+append shape (same as merge())
+        withData, spec, operation = "overwrite", branch = branch,
         summary = addedFileSummary(files) ++ summary, rowRange = rowRange)
     } finally j.unpersist(blocking = false)
   }

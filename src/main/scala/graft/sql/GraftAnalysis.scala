@@ -150,13 +150,6 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
 
-  /** MERGE INTO → [[IcebergWriter.merge]] (key-replace upsert). Accepted
-    * shape — the canonical upsert the writer's commit implements:
-    *   ON conjunction of target.k = source.k equalities
-    *   WHEN MATCHED THEN UPDATE SET (star, or every column := bare source column)
-    *   WHEN NOT MATCHED THEN INSERT (star, or every column := bare source column)
-    * with matching per-column sources in both branches. Anything richer
-    * raises with a pointer to the procedure/Scala surface. */
   /** MERGE INTO conversion. Two FAST paths keep their cheaper commits —
     * the canonical star-upsert (`IcebergWriter.merge`: O(source), no
     * target join) and the pure delete-by-key (`deleteEquality`) — and

@@ -173,6 +173,26 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getString(0) === "cust-2")
   }
 
+  test("a NULL clause condition neither applies nor blocks later clauses") {
+    import spark.implicits._
+    mkOrders("orders_mnull", rows = 4)
+    // s.amt NULL for id 2: first clause's condition is NULL → the
+    // unconditional DELETE must still fire (NULL must not poison the
+    // first-passing-clause chain)
+    Seq((2L, Option.empty[Double]), (3L, Some(5.0)))
+      .toDF("id", "amt").createOrReplaceTempView("mnull_src")
+    spark.sql(
+      """MERGE INTO graft.db.orders_mnull t USING mnull_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.amt < 100 THEN UPDATE SET amount = s.amt
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, amount FROM graft.db.orders_mnull ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // id2 deleted (second clause), id3 updated to 5 (first clause)
+    assert(rows === Seq(1L -> 10.0, 3L -> 5.0, 4L -> 40.0))
+  }
+
   test("MERGE cardinality violation raises instead of picking a row") {
     import spark.implicits._
     mkOrders("orders_mdup", rows = 4)
