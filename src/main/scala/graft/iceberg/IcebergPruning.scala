@@ -411,22 +411,47 @@ object IcebergPruning {
       spec: Seq[PartitionFieldSpec],
       schema: Seq[Column]): Seq[ManifestEntry] =
     if (predicates.isEmpty) entries
-    else entries.filter { e =>
-      predicates.forall {
-        case ColPredicate(c, In, vs: Seq[_]) =>
-          // disjunction of Eq checks; an oversized list skips pruning
-          // (keep), an EMPTY list matches no row (drop every file)
-          vs.size > MaxInValues || vs.exists { v =>
-            val p = ColPredicate(c, Eq, v)
-            keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema)
-          }
-        case ColPredicate(_, In, _) => true // malformed value → conservative
-        case ColPredicate(c, IsNull, _) => keepByNullCount(e, c, schema, wantNull = true)
-        case ColPredicate(c, NotNull, _) => keepByNullCount(e, c, schema, wantNull = false)
-        case p =>
+    else entries.filter(keepEntry(_, predicates, spec, schema))
+
+  /** One entry of [[prune]]: may this data file contain a matching row? */
+  def keepEntry(
+      e: ManifestEntry,
+      predicates: Seq[ColPredicate],
+      spec: Seq[PartitionFieldSpec],
+      schema: Seq[Column]): Boolean =
+    predicates.forall {
+      case ColPredicate(c, In, vs: Seq[_]) =>
+        // disjunction of Eq checks; an oversized list skips pruning
+        // (keep), an EMPTY list matches no row (drop every file)
+        vs.size > MaxInValues || vs.exists { v =>
+          val p = ColPredicate(c, Eq, v)
           keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema)
-      }
+        }
+      case ColPredicate(_, In, _) => true // malformed value → conservative
+      case ColPredicate(c, IsNull, _) => keepByNullCount(e, c, schema, wantNull = true)
+      case ColPredicate(c, NotNull, _) => keepByNullCount(e, c, schema, wantNull = false)
+      case p =>
+        keepByPartition(e, p, spec, schema) && keepByBounds(e, p, schema)
     }
+
+  /** Serializable entry-level predicate for DISTRIBUTED planning: the same
+    * keep/skip check [[prune]] runs on the driver, packaged so
+    * [[ManifestReader]] can evaluate it inside the executor map and collect
+    * ONLY surviving entries (driver heap ∝ survivors, not table size).
+    * Delete-manifest entries and delete-content entries always survive —
+    * their files scope to surviving data files downstream, and dropping one
+    * here could un-delete rows. Semantics-safe by construction: everything
+    * this drops, the driver-side [[prune]] in `scanLoaded` would drop too,
+    * and the full predicate is re-applied as the residual Spark filter. */
+  final case class EntryPredicate(
+      predicates: Seq[ColPredicate],
+      spec: Seq[PartitionFieldSpec],
+      schema: Seq[Column]) extends Serializable {
+    def nonTrivial: Boolean = predicates.nonEmpty
+    def keep(manifestContent: Int, e: ManifestEntry): Boolean =
+      manifestContent != 0 || e.content != 0 ||
+        keepEntry(e, predicates, spec, schema)
+  }
 
   // ---- manifest-level pruning (round 10) -----------------------------------
 

@@ -104,7 +104,11 @@ object IcebergScan {
     val meta = ManifestReader.loadTable(
       root, snapshot, hadoopConf(spark), opts.allowMovedPaths,
       IcebergPruning.manifestFilter(
-        snapshot.partitionSpecsById, snapshot.schema, opts.filters))
+        snapshot.partitionSpecsById, snapshot.schema, opts.filters),
+      // entry-LEVEL pruning inside the distributed fetch: survivors-only
+      // collect on wide tables (same predicate scanLoaded re-applies)
+      entryFilter = Some(IcebergPruning.EntryPredicate(
+        opts.filters, snapshot.partitionSpec, snapshot.schema)))
     scanLoaded(spark, root, opts, snapshot, meta)
   }
 
@@ -692,7 +696,9 @@ object IcebergScan {
     val meta = ManifestReader.loadTable(
       root, snapshot, hadoopConf(spark), opts.allowMovedPaths,
       IcebergPruning.manifestFilter(
-        snapshot.partitionSpecsById, snapshot.schema, opts.filters ++ preds))
+        snapshot.partitionSpecsById, snapshot.schema, opts.filters ++ preds),
+      entryFilter = Some(IcebergPruning.EntryPredicate(
+        opts.filters ++ preds, snapshot.partitionSpec, snapshot.schema)))
     val scanned =
       scanLoaded(spark, root, opts.copy(filters = opts.filters ++ preds), snapshot, meta)
     if (opts.mode == "list_files") return scanned

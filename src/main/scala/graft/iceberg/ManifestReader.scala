@@ -267,16 +267,21 @@ object ManifestReader {
 
   /** Decode every manifest on the EXECUTORS: one task per slice of the
     * manifest list, results restored to manifest-list order. The closure
-    * only captures the table path, format version and a serializable
-    * Hadoop conf — entry decoding is the same [[readManifestEntries]] the
-    * driver pool runs, so the two paths cannot diverge. */
+    * only captures the table path, format version, a serializable Hadoop
+    * conf and (round 12) the optional entry-level prune predicate — entry
+    * decoding is the same [[readManifestEntries]] the driver pool runs, so
+    * the two paths cannot diverge. With `entryFilter` set, each task drops
+    * non-surviving entries BEFORE the collect, so the driver receives heap
+    * ∝ survivors instead of ∝ table size — the reference's eager full load
+    * (`common/iceberg.cpp:38-91`) shipped every entry regardless. */
   private def fetchDistributed(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       manifests: Seq[Manifest],
       conf: Configuration,
       formatVersion: Int,
-      allowMovedPaths: Boolean): Seq[(Manifest, Seq[ManifestEntry])] = {
+      allowMovedPaths: Boolean,
+      entryFilter: Option[IcebergPruning.EntryPredicate]): Seq[(Manifest, Seq[ManifestEntry])] = {
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val items = manifests.zipWithIndex.map { case (m, i) => (i, m) }
     val slices = math.max(1,
@@ -286,10 +291,27 @@ object ManifestReader {
         val mPath =
           if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
           else m.manifestPath
-        (i, m, readManifestEntries(mPath, sconf.value, formatVersion))
+        val all = readManifestEntries(mPath, sconf.value, formatVersion)
+        val kept = entryFilter match {
+          case Some(f) => all.filter(f.keep(m.content, _))
+          case None => all
+        }
+        (i, m, kept, all.size)
       }.collect()
-    fetched.sortBy(_._1).map { case (_, m, es) => (m, es) }.toSeq
+    entriesCollectedCtr.addAndGet(fetched.iterator.map(_._3.size.toLong).sum)
+    entriesPrunedDistributedCtr.addAndGet(
+      fetched.iterator.map(t => (t._4 - t._3.size).toLong).sum)
+    fetched.sortBy(_._1).map { case (_, m, es, _) => (m, es) }.toSeq
   }
+
+  private val entriesCollectedCtr = new java.util.concurrent.atomic.AtomicLong
+  private val entriesPrunedDistributedCtr = new java.util.concurrent.atomic.AtomicLong
+
+  /** (entries collected to the driver, entries dropped ON THE EXECUTORS)
+    * by distributed planning since JVM start — the gate surface proving a
+    * filtered wide-table plan collects ∝ survivors, not table size. */
+  def distributedEntryStats: (Long, Long) =
+    (entriesCollectedCtr.get, entriesPrunedDistributedCtr.get)
 
   /** Planning-cache bound (number of SNAPSHOTS held). Snapshots are
     * immutable — a snapshot id never changes the files it names — so a
@@ -394,11 +416,13 @@ object ManifestReader {
       snapshot: Snapshot,
       conf: Configuration,
       allowMovedPaths: Boolean,
-      manifestFilter: Manifest => Boolean = _ => true): TableMeta = {
+      manifestFilter: Manifest => Boolean = _ => true,
+      entryFilter: Option[IcebergPruning.EntryPredicate] = None): TableMeta = {
     val maxCached = conf.getInt(
       PlanningCacheSnapshotsKey, DefaultPlanningCacheSnapshots)
     if (maxCached <= 0)
-      return loadTableUncached(tablePath, snapshot, conf, allowMovedPaths, manifestFilter)
+      return loadTableUncached(tablePath, snapshot, conf, allowMovedPaths,
+        manifestFilter, entryFilter)
     val key = PlanKey(
       tablePath, snapshot.snapshotId, snapshot.manifestList, allowMovedPaths)
     planCache.synchronized(Option(planCache.get(key))) match {
@@ -409,7 +433,8 @@ object ManifestReader {
         meta.copy(snapshot = snapshot)
       case None =>
         planCacheMisses.incrementAndGet()
-        val meta = loadTableUncached(tablePath, snapshot, conf, allowMovedPaths, manifestFilter)
+        val meta = loadTableUncached(tablePath, snapshot, conf, allowMovedPaths,
+          manifestFilter, entryFilter)
         if (meta.partialPlan)
           return meta // filtered view — do not cache as the snapshot's plan
         val maxEntries = conf.getLong(
@@ -436,7 +461,8 @@ object ManifestReader {
       snapshot: Snapshot,
       conf: Configuration,
       allowMovedPaths: Boolean,
-      manifestFilter: Manifest => Boolean = _ => true): TableMeta = {
+      manifestFilter: Manifest => Boolean = _ => true,
+      entryFilter: Option[IcebergPruning.EntryPredicate] = None): TableMeta = {
     val useFileCaches = conf.getInt(
       PlanningCacheSnapshotsKey, DefaultPlanningCacheSnapshots) > 0
     val listPath =
@@ -474,11 +500,34 @@ object ManifestReader {
     val threshold = conf.getInt(
       DistributedPlanningThresholdKey, DefaultDistributedPlanningThreshold)
     val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val distributed =
+      active.isDefined && threshold > 0 && toFetch.size >= threshold
+    // Entry-level pruning ON THE EXECUTORS (round 12): when the fetch
+    // fans out AND a full decode would blow the driver's entry budget
+    // (or caching is off, so nothing is preserved by collecting it all),
+    // the scan's prune predicate runs inside the map and only survivors
+    // return. Small tables whose full entry set fits the budget still
+    // collect everything, so their snapshot plan stays cacheable and
+    // repeated scans cost zero metadata I/O. Unknown size (v1 lists
+    // without counts) errs toward the bounded collect — planning I/O is
+    // recoverable, a driver OOM is not. Total entries per manifest =
+    // added + existing + deleted (DELETED-status rows are still records
+    // of the manifest file).
+    val entryBudget = conf.getLong(
+      PlanningCacheMaxEntriesKey, DefaultPlanningCacheMaxEntries.toLong) / 2
+    val estimatedToFetch: Option[Long] =
+      toFetch.foldLeft(Option(0L)) { (acc, m) =>
+        for (a <- acc; s <- m.stats) yield
+          a + s.addedFilesCount + s.existingFilesCount + s.deletedFilesCount
+      }
+    val applyEntryFilter = entryFilter.exists(_.nonTrivial) && distributed &&
+      (!useFileCaches || estimatedToFetch.forall(_ > entryBudget))
     val fetched: Map[String, Seq[ManifestEntry]] = (active match {
       case _ if toFetch.isEmpty => Seq.empty
-      case Some(spark) if threshold > 0 && toFetch.size >= threshold =>
+      case Some(spark) if distributed =>
         fetchDistributed(spark, tablePath, toFetch, conf,
-          snapshot.formatVersion, allowMovedPaths)
+          snapshot.formatVersion, allowMovedPaths,
+          if (applyEntryFilter) entryFilter else None)
           .map { case (m, es) => resolved(m) -> es }
       case _ =>
         val parallelism = conf.getInt(FetchParallelismKey, DefaultFetchParallelism)
@@ -489,7 +538,9 @@ object ManifestReader {
           mPath -> readManifestEntries(mPath, conf, snapshot.formatVersion)
         }
     }).toMap
-    if (useFileCaches && fetched.nonEmpty) {
+    // a FILTERED fetch is a partial view of each manifest — it must never
+    // enter the per-path entry cache as the manifest's full decode
+    if (useFileCaches && fetched.nonEmpty && !applyEntryFilter) {
       entryCache.synchronized {
         fetched.foreach { case (p, es) => entryCache.put(p, es) }
       }
@@ -501,6 +552,6 @@ object ManifestReader {
     val entries = manifests.map(m =>
       m -> cachedEntries.getOrElse(resolved(m), fetched(resolved(m))))
     TableMeta(tablePath, snapshot, entries,
-      partialPlan = manifests.size != allManifests.size)
+      partialPlan = manifests.size != allManifests.size || applyEntryFilter)
   }
 }

@@ -72,6 +72,54 @@ class WidePlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"planning: driver-pool $driverSec%.2fs, distributed $distSec%.2fs")
   }
 
+  test("distributed entry pruning collects ∝ survivors, not table size") {
+    // Model a wide table whose manifest-list summaries CANNOT answer the
+    // filter (keep-all manifestFilter = a foreign list without summaries):
+    // planning must fan out, run the entry predicate ON THE EXECUTORS and
+    // collect only the one matching day's entries — not all 50k.
+    ManifestReader.invalidatePlanningCache()
+    val snap = IcebergScan.selectSnapshot(spark, table, IcebergScan.Options())
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.setInt(ManifestReader.PlanningCacheSnapshotsKey, 0) // nothing to preserve
+    conf.setInt(ManifestReader.DistributedPlanningThresholdKey, 64)
+    val day = WideFixture.BaseDate.plusDays(777)
+    val pred = IcebergPruning.ColPredicate(
+      "dt", IcebergPruning.Eq, java.sql.Date.valueOf(day.toString))
+    val (c0, p0) = ManifestReader.distributedEntryStats
+    val meta = ManifestReader.loadTable(
+      table, snap, conf, allowMovedPaths = false,
+      entryFilter = Some(IcebergPruning.EntryPredicate(
+        Seq(pred), snap.partitionSpec, snap.schema)))
+    val (c1, p1) = ManifestReader.distributedEntryStats
+    assert(meta.partialPlan, "a filtered distributed load is a partial plan")
+    assert(meta.entries.map(_._2.size).sum === EntriesPer.toLong,
+      "plan holds only the matching day's entries")
+    assert(c1 - c0 === EntriesPer.toLong, "collected entries = survivors")
+    assert(p1 - p0 === (Manifests.toLong * EntriesPer - EntriesPer),
+      "non-matching entries dropped on the executors")
+  }
+
+  test("entry pruning bypassed when the full plan fits the cache budget") {
+    // a 50k-entry table fits the default 500k-entry budget: with caching
+    // ON the load must collect everything once and cache the full plan,
+    // so repeated scans stay zero-I/O (the small-table fast path)
+    ManifestReader.invalidatePlanningCache()
+    val snap = IcebergScan.selectSnapshot(spark, table, IcebergScan.Options())
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.setInt(ManifestReader.DistributedPlanningThresholdKey, 64)
+    val pred = IcebergPruning.ColPredicate(
+      "dt", IcebergPruning.Eq,
+      java.sql.Date.valueOf(WideFixture.BaseDate.plusDays(5).toString))
+    val meta = ManifestReader.loadTable(
+      table, snap, conf, allowMovedPaths = false,
+      entryFilter = Some(IcebergPruning.EntryPredicate(
+        Seq(pred), snap.partitionSpec, snap.schema)))
+    assert(!meta.partialPlan, "budget-fitting load stays a full cached plan")
+    assert(meta.entries.map(_._2.size).sum === (Manifests * EntriesPer).toLong)
+  }
+
   test("row count serves from manifest-list stats without decoding entries") {
     ManifestReader.invalidatePlanningCache()
     val (d0, _) = ManifestReader.manifestPruneStats
