@@ -756,7 +756,11 @@ object IcebergWriter {
       WrittenFile(st.getPath.toString, count, partition, lower, upper, nulls,
         sizeBytes = st.getLen, format = dataFormat.toUpperCase,
         splitOffsets = splits, nans = nans)
-    }
+      // zero-row part files (empty tasks, CREATE TABLE's empty frame) are
+      // pure noise: registering one pads every future scan's file list and,
+      // carrying no stats, it survives all pruning forever (same guard as
+      // posDeleteFiles)
+    }.filter(_.count > 0)
   }
 
   /** ORC footer statistics — row count, per-column null counts and
@@ -2497,6 +2501,127 @@ object IcebergWriter {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  // ---- V2 streaming write support (round 12) ------------------------------
+
+  /** Everything the streaming write's executor factory needs, computed
+    * once on the driver per micro-batch run: the write schema with
+    * `parquet.field.id` metadata stamped (same assignment the batch
+    * writer emits) and the table's current partition spec with its
+    * transform Columns (same [[transformCol]] the batch writer and the
+    * pruner share — per-row routing cannot diverge from batch layout). */
+  private[graft] final case class StreamWriteSupport(
+      schemaWithIds: StructType,
+      specFields: Seq[(String, String)], // (fieldName, avroType)
+      transformCols: Seq[SqlColumn],
+      dataDir: String)
+
+  private[graft] def streamingWriteSupport(
+      spark: SparkSession, path: String,
+      incoming: StructType): StreamWriteSupport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(throw new IllegalArgumentException(
+      s"streaming write: no Iceberg table at $path — create it first " +
+        "(CREATE TABLE / IcebergWriter.write)"))
+    // exact-match guard (streaming cannot evolve schema mid-stream)
+    val cols = IcebergSchemaParser.parseSchemaById(state.info.schemas, state.info.schemaId)
+    require(cols.map(c => (c.name, ignoreNull(c.dataType))) ==
+        incoming.fields.toSeq.map(f => (f.name, ignoreNull(f.dataType))),
+      "streaming write: incoming schema must match the table schema exactly " +
+        s"(table: ${cols.map(_.name).mkString(",")}, incoming: " +
+        s"${incoming.fieldNames.mkString(",")}) — evolve via ALTER TABLE first")
+    val prevIds = state.rootNode.map(existingIds).getOrElse(Map.empty)
+    val assigned = assignIds(incoming, prevIds)
+    val schemaWithIds = StructType(incoming.fields.map { f =>
+      StructField(f.name, typeWithIds(f.dataType, f.name + ".", assigned),
+        f.nullable, new MetadataBuilder()
+          .putLong("parquet.field.id", assigned(f.name).toLong).build())
+    })
+    val spec =
+      if (state.snapshots.nonEmpty)
+        currentSpec(IcebergMetadataParser.latest(state.info, skipSchema = false), incoming)
+      else Seq.empty
+    StreamWriteSupport(
+      schemaWithIds,
+      spec.map(sf => (sf.fieldName, sf.avroType)),
+      spec.map(sf => transformCol(sf, spark)),
+      new Path(path, s"data/stream-${commitToken()}").toString)
+  }
+
+  /** Commit one streaming micro-batch's ALREADY-WRITTEN data files as one
+    * snapshot — the driver half of the V2 `StreamingWrite`. Files were
+    * written by executor `DataWriter`s (stats come from their footers
+    * here, same as the batch path); `partition` tuples ride in the commit
+    * messages (typed, Avro-domain values) so no path parsing is needed.
+    * Exactly-once via the same snapshot-summary batch-id bookkeeping as
+    * [[graft.streaming.IcebergStreamSink]]: a replayed epoch whose id is
+    * already committed deletes its re-written files and returns. With
+    * `replaceAll` (streaming `complete` output mode), each commit is a
+    * full-table overwrite: previous manifests are not carried forward. */
+  private[graft] def commitStreamBatch(
+      spark: SparkSession, path: String,
+      files: Seq[(String, Map[String, Any])],
+      batchKey: String, batchId: Long,
+      replaceAll: Boolean = false,
+      branch: String = "main"): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def dropFiles(): Unit = files.foreach { case (p, _) =>
+      val hp = new Path(p)
+      try hp.getFileSystem(conf).delete(hp, false) catch { case _: Exception => () }
+    }
+    val committed = maxSummaryValue(spark, path, batchKey).exists(_ >= batchId)
+    if (committed) { dropFiles(); return }
+    if (files.isEmpty) return
+    val state = loadState(path, conf).getOrElse(throw new IllegalStateException(
+      s"streaming commit: table at $path disappeared mid-stream"))
+    val latest = state.opBase("streaming write", branch)
+    val schema = IcebergSchemaParser.toStructType(latest.schema)
+    val assigned = latest.schema.map(c => c.name -> c.id).toMap
+    val fields = schema.fields.flatMap(f =>
+      assigned.get(f.name).map(id => f.name -> (id, f.dataType))).toMap
+    val spec = currentSpec(latest, schema)
+    import scala.concurrent.duration._
+    val par = conf.getInt(ManifestReader.FetchParallelismKey, 16)
+    val tmo = conf.getLong(ManifestReader.FetchTimeoutSecKey, 300L).seconds
+    val written = DriverPool.mapParallel(
+      files.sortBy(_._1), par, tmo, "graft-stream-footer") { case (p, part) =>
+      val hp = new Path(p)
+      val st = hp.getFileSystem(conf).getFileStatus(hp)
+      val (count, lower, upper, nulls, splits, nans) = footerStats(st, conf, fields)
+      WrittenFile(st.getPath.toString, count, part, lower, upper, nulls,
+        sizeBytes = st.getLen, splitOffsets = splits, nans = nans)
+    }.filter(_.count > 0) // a task that saw no rows still opened no file; guard anyway
+    if (written.isEmpty) { dropFiles(); return }
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val manifestPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
+    val (dataEntries, rowRange) = assignRowIds(
+      state.info.formatVersion, nextRowIdOf(Some(state)), written.map { w =>
+        ManifestEntry(status = 1, content = 0, filePath = w.path,
+          fileFormat = w.format, recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+          partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
+          splitOffsets = w.splitOffsets, nullCounts = w.nulls, nanCounts = w.nans)
+      })
+    writeManifest(manifestPath, conf, dataEntries,
+      spec.map(sf => (sf.fieldName, sf.avroType)))
+    val prevManifests: Seq[Manifest] =
+      if (replaceAll || state.snapshots.isEmpty) Seq.empty
+      else {
+        val base = state.branchHead(branch)
+          .map(IcebergMetadataParser.byId(state.info, _, skipSchema = true))
+          .getOrElse(IcebergMetadataParser.latest(state.info, skipSchema = true))
+        ManifestReader.readManifestList(base.manifestList, conf, base.formatVersion)
+      }
+    val stdSummary = Map(
+      "added-data-files" -> written.size.toString,
+      "added-records" -> written.map(_.count).sum.toString,
+      "added-files-size" -> written.map(_.sizeBytes).sum.toString,
+      batchKey -> batchId.toString)
+    commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
+      prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
+      operation = if (replaceAll) "overwrite" else "append",
+      summary = stdSummary, branch = branch, rowRange = rowRange): Unit
   }
 
   /** Dynamic partition OVERWRITE (Iceberg's ReplacePartitions /

@@ -135,11 +135,53 @@ object RestCatalog {
 
   // ---- catalog operations ----------------------------------------------
 
-  /** All namespaces, following pagination to exhaustion. */
-  def listNamespaces(c: Client): Seq[Seq[String]] =
-    paged(c, s"${root(c)}/namespaces", "namespaces") { n =>
+  /** Namespaces one level below `parent` (empty = top level), following
+    * pagination to exhaustion. The spec's `parent` query parameter is the
+    * unit-separator-joined namespace (`a%1Fb`), same encoding as the path
+    * segments; a missing parent surfaces the server's 404. */
+  def listNamespaces(c: Client, parent: Seq[String] = Seq.empty): Seq[Seq[String]] = {
+    val url =
+      if (parent.isEmpty) s"${root(c)}/namespaces"
+      else s"${root(c)}/namespaces?parent=${nsPath(parent)}"
+    paged(c, url, "namespaces") { n =>
       n.elements.asScala.map(_.asText).toSeq
     }
+  }
+
+  /** `GET v1/namespaces/{ns}` — the namespace's recorded properties.
+    * 404 → FileNotFoundException (existence probes catch narrowly). */
+  def loadNamespace(c: Client, namespace: Seq[String]): Map[String, String] = {
+    val body = parse(httpC(c, "GET",
+      s"${root(c)}/namespaces/${nsPath(namespace)}", None))
+    strMap(body.get("properties"))
+  }
+
+  /** Direct existence probe — one GET, 404 → false. Never scans a
+    * listing: nested namespaces (a.b) don't appear in the top-level
+    * page and a big catalog's listing is O(namespaces) transfers. */
+  def namespaceExists(c: Client, namespace: Seq[String]): Boolean =
+    try { loadNamespace(c, namespace); true }
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** `POST v1/namespaces/{ns}/properties` — set/remove namespace
+    * properties in one catalog transaction (spec
+    * UpdateNamespacePropertiesRequest). */
+  def updateNamespaceProperties(
+      c: Client, namespace: Seq[String],
+      updates: Map[String, String], removals: Seq[String]): Unit = {
+    val body = mapper.createObjectNode()
+    if (removals.nonEmpty) {
+      val arr = body.putArray("removals")
+      removals.foreach(arr.add)
+    }
+    if (updates.nonEmpty) {
+      val up = body.putObject("updates")
+      updates.foreach { case (k, v) => up.put(k, v) }
+    }
+    httpC(c, "POST",
+      s"${root(c)}/namespaces/${nsPath(namespace)}/properties",
+      Some(body.toString)): Unit
+  }
 
   /** Tables of `namespace`, following pagination to exhaustion. */
   def listTables(c: Client, namespace: Seq[String]): Seq[TableRef] =
@@ -155,11 +197,16 @@ object RestCatalog {
     try { loadTable(c, table); true }
     catch { case _: java.io.FileNotFoundException => false }
 
-  /** `POST v1/namespaces` — create a namespace. */
-  def createNamespace(c: Client, namespace: Seq[String]): Unit = {
+  /** `POST v1/namespaces` — create a namespace (with properties). */
+  def createNamespace(c: Client, namespace: Seq[String],
+                      properties: Map[String, String] = Map.empty): Unit = {
     val body = mapper.createObjectNode()
     val arr = body.putArray("namespace")
     namespace.foreach(arr.add)
+    if (properties.nonEmpty) {
+      val p = body.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
     httpC(c, "POST", s"${root(c)}/namespaces", Some(body.toString)): Unit
   }
 
@@ -806,8 +853,10 @@ object RestCatalog {
     var seen = Set.empty[String]
     var done = false
     while (!done) {
+      // the base url may already carry a query (?parent=…) — append then
+      val sep = if (url.contains('?')) "&" else "?"
       val u = token match {
-        case Some(t) => s"$url?pageToken=${enc(t)}"
+        case Some(t) => s"$url${sep}pageToken=${enc(t)}"
         case None    => url
       }
       val body = parse(httpC(c, "GET", u, None))

@@ -216,17 +216,24 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val keyColsOpt: Option[Seq[String]] = {
+    // (key name, target attr, source attr) per conjunct — nullability of
+    // BOTH sides decides fast-path eligibility below: the fast paths
+    // match keys NULL-SAFELY (<=>, the Iceberg equality-delete rule)
+    // while the SQL ON condition `t.k = s.k` never matches NULLs, so a
+    // NULL-keyed row on either side would silently delete/replace
+    // NULL-keyed target rows.
+    val keyPairsOpt: Option[Seq[(String, AttributeReference, AttributeReference)]] = {
       val keys = conjuncts(cond).map {
         case org.apache.spark.sql.catalyst.expressions.EqualTo(
             a: AttributeReference, b: AttributeReference)
             if a.name.equalsIgnoreCase(b.name) &&
               (sourceOut.contains(a) ^ sourceOut.contains(b)) =>
-          Some(if (sourceOut.contains(a)) b.name else a.name)
+          Some(if (sourceOut.contains(a)) (b.name, b, a) else (a.name, a, b))
         case _ => None
       }
       if (keys.forall(_.isDefined)) Some(keys.flatten) else None
     }
+    val keyColsOpt: Option[Seq[String]] = keyPairsOpt.map(_.map(_._1))
 
     def assignMapOpt(as: Seq[Assignment]): Option[Map[String, Expression]] = {
       val entries = as.map(a => a.key match {
@@ -236,18 +243,38 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (entries.forall(_.isDefined)) Some(entries.flatten.toMap) else None
     }
 
-    val fast: Option[LogicalPlan] = keyColsOpt.flatMap { keyCols =>
+    val fast: Option[LogicalPlan] = keyPairsOpt.flatMap { keyPairs =>
+      val keyCols = keyPairs.map(_._1)
       (matched, notMatched, notMatchedBySource) match {
-        // delete-by-key: equality delete on the source's key tuples
+        // delete-by-key: equality delete on the source's key tuples.
+        // NULL-keyed source rows are PRE-FILTERED: under SQL `t.k = s.k`
+        // they match nothing, while the equality delete's null-safe rule
+        // would delete NULL-keyed target rows.
         case (Seq(DeleteAction(None)), Seq(), Seq()) =>
           val keyAttrs = keyCols.map(k =>
             source.output.find(_.name.equalsIgnoreCase(k)))
-          if (keyAttrs.forall(_.isDefined))
+          if (keyAttrs.forall(_.isDefined)) {
+            val attrs = keyAttrs.flatten
+            val nullables = attrs.filter(_.nullable)
+            val filtered: LogicalPlan =
+              if (nullables.isEmpty) source
+              else org.apache.spark.sql.catalyst.plans.logical.Filter(
+                nullables.map(a =>
+                  org.apache.spark.sql.catalyst.expressions.IsNotNull(a)
+                    : Expression).reduce(
+                  org.apache.spark.sql.catalyst.expressions.And(_, _)),
+                source)
             Some(GraftMergeDeleteCommand(t,
-              Project(keyAttrs.flatten.map(a => a: NamedExpression), source)))
-          else None
-        // star upsert: both branches assign the SAME full row per key
-        case (Seq(UpdateAction(None, uas, _)), Seq(InsertAction(None, ias)), Seq()) =>
+              Project(attrs.map(a => a: NamedExpression), filtered)))
+          } else None
+        // star upsert: both branches assign the SAME full row per key.
+        // Taken only when every key attribute is NON-NULLABLE on both
+        // sides — with a nullable key, a NULL-keyed source row must
+        // INSERT beside existing NULL-keyed target rows (SQL), but the
+        // merge's null-safe equality delete would replace them; the
+        // general path handles that correctly.
+        case (Seq(UpdateAction(None, uas, _)), Seq(InsertAction(None, ias)), Seq())
+            if keyPairs.forall { case (_, ta, sa) => !ta.nullable && !sa.nullable } =>
           (assignMapOpt(uas), assignMapOpt(ias)) match {
             case (Some(u), Some(i))
                 if u.keySet == i.keySet &&

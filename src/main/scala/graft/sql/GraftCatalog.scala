@@ -265,6 +265,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER TABLE ADD COLUMN: only top-level columns are supported")
+        // loud-failure parity with the other unsupported changes: the
+        // writer records the column nullable and without comment/
+        // position, so silently accepting these clauses would drop them
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"ALTER TABLE ADD COLUMN: '${a.fieldNames.head}' NOT NULL is not " +
+            "supported — added columns read NULL from pre-existing files, " +
+            "so a NOT NULL addition cannot hold; add nullable, backfill, " +
+            "then enforce")
+        if (a.comment != null) throw new UnsupportedOperationException(
+          "ALTER TABLE ADD COLUMN: COMMENT is not supported (it would be " +
+            "silently dropped)")
+        if (a.position != null) throw new UnsupportedOperationException(
+          "ALTER TABLE ADD COLUMN: FIRST/AFTER is not supported (columns " +
+            "append at the end)")
       case r: RenameColumn =>
         require(r.fieldNames.length == 1,
           "ALTER TABLE RENAME COLUMN: only top-level columns are supported")
@@ -375,7 +389,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     backend match {
-      case "rest" => Array.empty // REST namespaces are single-level here
+      case "rest" =>
+        // spec `parent` parameter: one level below `namespace`, paginated
+        // to exhaustion (round 12 — `SHOW NAMESPACES IN a.b` on a nested
+        // catalog used to come back empty)
+        try RestCatalog.listNamespaces(restClient, namespace.toSeq)
+          .map(_.toArray).toArray
+        catch { case _: java.io.FileNotFoundException =>
+          throw new NoSuchNamespaceException(namespace)
+        }
       case _ =>
         val dir = nsDir(namespace)
         val fs = dir.getFileSystem(hconf)
@@ -387,29 +409,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = backend match {
-    case "rest" => RestCatalog.listNamespaces(restClient)
-      .exists(_ == namespace.toSeq)
+    // direct probe (GET …/namespaces/{ns}, 404 → false): nested
+    // namespaces never appear in the top-level listing, and scanning a
+    // listing is O(namespaces) where one GET suffices
+    case "rest" => RestCatalog.namespaceExists(restClient, namespace.toSeq)
     case _ =>
       val dir = nsDir(namespace)
       dir.getFileSystem(hconf).exists(dir) && !isTableDir(dir)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
-    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    if (backend == "rest") Map.empty[String, String].asJava
-    else Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace).toString).asJava
+    if (backend == "rest")
+      try RestCatalog.loadNamespace(restClient, namespace.toSeq).asJava
+      catch { case _: java.io.FileNotFoundException =>
+        throw new NoSuchNamespaceException(namespace)
+      }
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace).toString).asJava
+    }
   }
 
   override def createNamespace(
       namespace: Array[String], metadata: util.Map[String, String]): Unit = backend match {
-    case "rest" => RestCatalog.createNamespace(restClient, namespace.toSeq)
+    case "rest" =>
+      RestCatalog.createNamespace(restClient, namespace.toSeq, metadata.asScala.toMap)
     case _ =>
       val dir = nsDir(namespace)
       dir.getFileSystem(hconf).mkdirs(dir)
   }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+    backend match {
+      case "rest" =>
+        // one catalog transaction per statement (spec
+        // UpdateNamespacePropertiesRequest {removals, updates})
+        import NamespaceChange._
+        val sets = changes.collect { case s: SetProperty => s.property -> s.value }
+        val removes = changes.collect { case r: RemoveProperty => r.property }
+        val unsupported = changes.filterNot(c =>
+          c.isInstanceOf[SetProperty] || c.isInstanceOf[RemoveProperty])
+        if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+          s"ALTER NAMESPACE: unsupported changes ${unsupported.mkString(", ")}")
+        if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+        RestCatalog.updateNamespaceProperties(
+          restClient, namespace.toSeq, sets.toMap, removes.toSeq)
+      case _ => throw new UnsupportedOperationException(
+        "ALTER NAMESPACE is not supported on the hadoop backend " +
+          "(directory namespaces carry no property store)")
+    }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     backend match {
@@ -528,7 +576,10 @@ final case class GraftTable(
     // DataFrameWriter.save() gates on the former even for V1Write
     // tables; every write this table builds IS a V1Write, so planning
     // always lands on the V1 fallback execs.
-    Set(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE, TRUNCATE,
+    // STREAMING_WRITE (round 12): writeStream.toTable lands micro-batches
+    // through GraftStreamingWrite (executor-written data files, one
+    // commit per epoch through withWrite).
+    Set(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE, STREAMING_WRITE, TRUNCATE,
       OVERWRITE_BY_FILTER, OVERWRITE_DYNAMIC).asJava
   }
 
@@ -540,7 +591,7 @@ final case class GraftTable(
   // ---- write: V1 InsertableRelation into IcebergWriter -----------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(this)
+    new GraftWriteBuilder(this, info)
 
   // ---- DELETE FROM (Spark's metadata-delete path; the extension rule
   //      handles arbitrary predicates before this is consulted) ----------
@@ -678,7 +729,7 @@ private final class GraftV1ScanBuilder(table: GraftTable)
   * matched rows (truncate tombstones files metadata-only; a predicate
   * takes MoR position tombstones), so readers never observe a
   * truncated intermediate. */
-private final class GraftWriteBuilder(table: GraftTable)
+private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   // None = plain append; Some(cond) = atomic overwrite of matching rows
   private var overwriteCond: Option[Column] = None
@@ -721,5 +772,20 @@ private final class GraftWriteBuilder(table: GraftTable)
           }
         }
       }
+
+    // writeStream.toTable / format("graft") streaming sinks: append
+    // mode per-epoch appends; complete mode (signaled via truncate())
+    // per-epoch full-table overwrites. A FILTERED streaming overwrite
+    // has no defined semantics here — fail loudly.
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (overwriteCond.isDefined && !truncateAll)
+        throw new UnsupportedOperationException(
+          "streaming write: only append and complete (truncate) modes " +
+            "are supported on graft tables")
+      new graft.streaming.GraftStreamingWrite(
+        spark => op => table.withWrite(spark)(root => op(root)),
+        table.path, info, replaceAll = truncateAll)
+    }
   }
 }

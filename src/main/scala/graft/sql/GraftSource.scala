@@ -63,9 +63,34 @@ class GraftSource extends TableProvider with DataSourceRegister {
     last match {
       case Some((k, t)) if k == key => t
       case _ =>
-        val (path, o) = parse(map)
-        val t = GraftTable.resolve(SparkSession.active, "graft",
-          Identifier.of(Array.empty, path), path, o)
+        val t = Option(map.get("table")) match {
+          // `option("table", "catalog.ns.t")` (round 12): resolve through
+          // the session's catalog plugin so the returned table CARRIES
+          // its catalog write context (REST commits go through
+          // commitThrough, not past the pointer) — the sink-side twin of
+          // the stream source's identifier option
+          case Some(ident) =>
+            require(map.get("path") == null,
+              "format(\"graft\"): pass exactly one of 'path' or 'table'")
+            val parts = ident.split("\\.").filter(_.nonEmpty)
+            require(parts.length >= 3,
+              s"option 'table' must be 'catalog.namespace.name', got '$ident'")
+            org.apache.spark.sql.graftshim.GraftShims
+              .catalogPlugin(SparkSession.active, parts.head) match {
+              case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
+                tc.loadTable(Identifier.of(parts.tail.init, parts.last)) match {
+                  case g: GraftTable => g
+                  case other => throw new IllegalArgumentException(
+                    s"'$ident' is not a graft table (${other.getClass.getName})")
+                }
+              case other => throw new IllegalArgumentException(
+                s"'${parts.head}' is not a table catalog (${other.getClass.getName})")
+            }
+          case None =>
+            val (path, o) = parse(map)
+            GraftTable.resolve(SparkSession.active, "graft",
+              Identifier.of(Array.empty, path), path, o)
+        }
         last = Some((key, t))
         t
     }

@@ -35,6 +35,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // name -> metadata-location, mutated as tests create tables
   private val tables = scala.collection.concurrent.TrieMap.empty[String, String]
+  // namespace tree with properties (round 12: nested levels + pagination)
+  private val nsStore = scala.collection.concurrent.TrieMap[Seq[String], Map[String, String]](
+    Seq("analytics") -> Map.empty, Seq("analytics", "raw") -> Map.empty)
+  @volatile private var nsPages = 1 // split namespace listings into N pages
   @volatile private var lastAuthHeader: Option[String] = None
   @volatile private var tablePages = 1 // split listTables into N pages
   // token-expiry simulation: when enforceToken is on, only the CURRENT
@@ -247,8 +251,76 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
             s"""{"error":{"message":"Table does not exist: analytics.$name","code":404}}""")
         case p if isPost && p.startsWith("namespaces/analytics/tables/") =>
           handleCommit(x, p.stripPrefix("namespaces/analytics/tables/"))
+        case "namespaces" if isPost =>
+          val body = mapper.readTree(
+            new String(x.getRequestBody.readAllBytes(), UTF_8))
+          val ns = body.get("namespace").elements.asScala.map(_.asText).toSeq
+          val props = Option(body.get("properties")).map(p =>
+            p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+            .getOrElse(Map.empty[String, String])
+          if (nsStore.putIfAbsent(ns, props).isDefined)
+            respond(x, 409,
+              s"""{"error":{"message":"Namespace already exists: ${ns.mkString(".")}","code":409}}""")
+          else respond(x, 200, s"""{"namespace":[${ns.map(n => s""""$n"""").mkString(",")}]}""")
         case "namespaces" =>
-          respond(x, 200, """{"namespaces":[["analytics"],["analytics","raw"]]}""")
+          // children ONE level below `parent` (spec semantics), paginated
+          val parent = query.split("&").toSeq
+            .find(_.startsWith("parent=")).map(_.stripPrefix("parent="))
+            .map(p => java.net.URLDecoder.decode(p, "UTF-8")
+              .split('\u001f').toSeq).getOrElse(Seq.empty)
+          val all = nsStore.keys.toSeq
+            .filter(ns => ns.size == parent.size + 1 && ns.startsWith(parent))
+            .sortBy(_.mkString("."))
+          val pages = all.grouped(math.max(1, math.ceil(
+            all.size.toDouble / nsPages).toInt)).toSeq
+          val pageIdx = query.split("&").toSeq
+            .find(_.startsWith("pageToken=")).map(_.stripPrefix("pageToken=").toInt)
+            .getOrElse(0)
+          val page = pages.lift(pageIdx).getOrElse(Seq.empty)
+            .map(ns => s"""[${ns.map(n => s""""$n"""").mkString(",")}]""")
+          val next =
+            if (pageIdx + 1 < pages.size) s""","next-page-token":"${pageIdx + 1}""""
+            else ""
+          if (parent.nonEmpty && !nsStore.contains(parent))
+            respond(x, 404,
+              s"""{"error":{"message":"Namespace does not exist: ${parent.mkString(".")}","code":404}}""")
+          else respond(x, 200, s"""{"namespaces":[${page.mkString(",")}]$next}""")
+        case p if isPost && p.startsWith("namespaces/") && p.endsWith("/properties") &&
+            !p.contains("/tables") =>
+          val ns = p.stripPrefix("namespaces/").stripSuffix("/properties")
+            .split('\u001f').toSeq
+          nsStore.get(ns) match {
+            case None => respond(x, 404,
+              s"""{"error":{"message":"Namespace does not exist: ${ns.mkString(".")}","code":404}}""")
+            case Some(props) =>
+              val body = mapper.readTree(
+                new String(x.getRequestBody.readAllBytes(), UTF_8))
+              val removals = Option(body.get("removals")).toSeq
+                .flatMap(_.elements.asScala.map(_.asText).toSeq)
+              val updates = Option(body.get("updates")).map(u =>
+                u.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+                .getOrElse(Map.empty[String, String])
+              nsStore.put(ns, props -- removals ++ updates)
+              respond(x, 200,
+                s"""{"updated":[${updates.keys.map(k => s""""$k"""").mkString(",")}],"removed":[${removals.map(k => s""""$k"""").mkString(",")}]}""")
+          }
+        case p if x.getRequestMethod == "DELETE" && p.startsWith("namespaces/") &&
+            !p.contains("/tables") =>
+          val ns = p.stripPrefix("namespaces/").split('\u001f').toSeq
+          if (nsStore.remove(ns).isDefined) respond(x, 204, "")
+          else respond(x, 404,
+            s"""{"error":{"message":"Namespace does not exist: ${ns.mkString(".")}","code":404}}""")
+        case p if !isPost && p.startsWith("namespaces/") && !p.contains("/tables") &&
+            !p.endsWith("/register") =>
+          val ns = p.stripPrefix("namespaces/").split('\u001f').toSeq
+          nsStore.get(ns) match {
+            case Some(props) =>
+              val pj = props.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+              respond(x, 200,
+                s"""{"namespace":[${ns.map(n => s""""$n"""").mkString(",")}],"properties":{$pj}}""")
+            case None => respond(x, 404,
+              s"""{"error":{"message":"Namespace does not exist: ${ns.mkString(".")}","code":404}}""")
+          }
         case "namespaces/analytics/tables" =>
           val names = tables.keys.toSeq.sorted
           val pages = names.grouped(math.max(1, math.ceil(
@@ -309,8 +381,12 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("listNamespaces and paginated listTables walk every page") {
     createTable("orders_a"); createTable("orders_b"); createTable("orders_c")
     val c = RestCatalog.connect(uri)
-    assert(RestCatalog.listNamespaces(c) ===
-      Seq(Seq("analytics"), Seq("analytics", "raw")))
+    // spec semantics: no parent → TOP-LEVEL namespaces only; children
+    // come from the parent-scoped listing (round 12)
+    assert(RestCatalog.listNamespaces(c).contains(Seq("analytics")))
+    assert(!RestCatalog.listNamespaces(c).contains(Seq("analytics", "raw")))
+    assert(RestCatalog.listNamespaces(c, Seq("analytics"))
+      .contains(Seq("analytics", "raw")))
     tablePages = 2
     try {
       val listed = RestCatalog.listTables(c, Seq("analytics")).map(_.name)
@@ -730,6 +806,90 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         "INSERT INTO grest2.analytics.ctas_rest SELECT id FROM range(500, 510)")
       q.processAllAvailable()
       assert(spark.table("rest_stream").count() === 20)
+    } finally q.stop()
+  }
+
+  test("nested namespaces: pagination below level 1 + properties round-trip") {
+    spark.conf.set("spark.sql.catalog.grestns", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grestns.type", "rest")
+    spark.conf.set("spark.sql.catalog.grestns.uri", uri)
+
+    // a 2-level tree, listed through a PAGINATING server (3 pages)
+    spark.sql("CREATE NAMESPACE grestns.lake")
+    (1 to 7).foreach(i =>
+      spark.sql(s"CREATE NAMESPACE grestns.lake.zone$i"))
+    nsPages = 3
+    try {
+      val level2 = spark.sql("SHOW NAMESPACES IN grestns.lake")
+        .collect().map(_.getString(0)).toSet
+      assert(level2 === (1 to 7).map(i => s"lake.zone$i").toSet,
+        "level-2 listing must walk every page")
+      // nested existence probes directly (no listing scan): a GET on the
+      // namespace itself — DESCRIBE works on a nested namespace
+      assert(spark.sql("SHOW NAMESPACES IN grestns.lake.zone3").collect().isEmpty)
+    } finally nsPages = 1
+
+    // properties round-trip: create-with-properties, ALTER SET/UNSET,
+    // DESCRIBE reads them back from the catalog
+    spark.sql(
+      "CREATE NAMESPACE grestns.proped WITH PROPERTIES ('team' = 'ml', 'tier' = 'raw')")
+    def props(): Map[String, String] =
+      spark.sql("DESCRIBE NAMESPACE EXTENDED grestns.proped")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        .get("Properties").map(_.stripPrefix("(").stripSuffix(")")
+          .split(", *").map(_.split("=") match {
+            case Array(k, v) => k.trim -> v.trim
+            case a => a.head.trim -> ""
+          }).toMap).getOrElse(Map.empty)
+    val c = RestCatalog.connect(uri, credential = Some("graft:s3cret"))
+    // Spark stamps reserved 'owner' onto CREATE NAMESPACE metadata
+    assert(RestCatalog.loadNamespace(c, Seq("proped")) - "owner" ===
+      Map("team" -> "ml", "tier" -> "raw"))
+    spark.sql("ALTER NAMESPACE grestns.proped SET PROPERTIES ('tier' = 'gold')")
+    spark.sql("ALTER NAMESPACE grestns.proped UNSET PROPERTIES ('team')")
+    assert(RestCatalog.loadNamespace(c, Seq("proped")) - "owner" ===
+      Map("tier" -> "gold"))
+    assert(props().get("tier").forall(_.contains("gold")))
+
+    // a missing nested namespace maps to a catchable not-found
+    val err = intercept[Exception] {
+      spark.sql("SHOW NAMESPACES IN grestns.lake.missing.deeper").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("namespace") ||
+      err.getMessage.toLowerCase.contains("not"), err.getMessage)
+  }
+
+  test("streaming WRITES to a rest identifier commit through the catalog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.grest3", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grest3.type", "rest")
+    spark.conf.set("spark.sql.catalog.grest3.uri", uri)
+    spark.conf.set("spark.sql.catalog.grest3.warehouse",
+      Files.createTempDirectory("graft_rest_wh_").toString)
+    spark.sql("CREATE TABLE grest3.analytics.stream_rest (id BIGINT, v DOUBLE)")
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val ckpt = Files.createTempDirectory("graft_rest_ckpt_").toString
+    val posts0 = commitPosts
+    val q = in.toDF().toDF("id", "v")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("grest3.analytics.stream_rest")
+    try {
+      in.addData((1L, 1.5), (2L, 2.5))
+      q.processAllAvailable()
+      // each epoch's snapshot must POST through commitThrough — the
+      // server pointer advances and catalog readers see the rows
+      assert(commitPosts > posts0, "streaming epoch must POST a commit")
+      assert(spark.sql("SELECT count(*) FROM grest3.analytics.stream_rest")
+        .head.getLong(0) === 2L)
+      val meta = serverMetadata(tables("stream_rest"))
+      assert(meta.get("snapshots").size >= 2, "epoch snapshot in catalog metadata")
+      in.addData((3L, 3.5))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(id) FROM grest3.analytics.stream_rest")
+        .head.getLong(0) === 6L)
     } finally q.stop()
   }
 }

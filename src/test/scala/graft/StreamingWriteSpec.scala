@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergScan, IcebergWriter}
+
+/** V2 StreamingWrite through the catalog (round 12):
+  * `writeStream.toTable("graft.db.t")` lands each micro-batch as one
+  * snapshot — executor-written, field-id-stamped data files; driver-side
+  * footer stats + append commit; batch-id exactly-once. The reference's
+  * own test infra drives Spark through a catalog (scripts/provision.py);
+  * this is the write half of that surface. */
+class StreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft_streamw_wh_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = GraftSessions.builder("local[4]", "4")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .appName("graft-streaming-write")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("writeStream.toTable appends one snapshot per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql(
+      "CREATE TABLE graft.db.stream_sink (id BIGINT, name STRING, amount DOUBLE)")
+    val in = MemoryStream[(Long, String, Double)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("id", "name", "amount")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("graft.db.stream_sink")
+    try {
+      in.addData((1L, "a", 1.5), (2L, "b", 2.5))
+      q.processAllAvailable()
+      in.addData((3L, "c", 3.5))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT id, name, amount FROM graft.db.stream_sink ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(rows === Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+      // one data snapshot per non-empty batch (plus the CREATE's empty one)
+      val snaps = IcebergScan.snapshots(spark, s"$wh/db/stream_sink").count()
+      assert(snaps === 3L)
+    } finally q.stop()
+  }
+
+  test("streaming into a PARTITIONED table routes rows per transform") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql(
+      "CREATE TABLE graft.db.stream_part (ts TIMESTAMP_NTZ, user STRING, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("ts", "user", "v")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("graft.db.stream_part")
+    try {
+      in.addData(
+        (ts("2026-01-01 10:00:00"), "u1", 1L),
+        (ts("2026-01-01 23:00:00"), "u2", 2L),
+        (ts("2026-01-02 01:00:00"), "u1", 3L))
+      q.processAllAvailable()
+      // partition pruning proves the tuples landed: one day's files only
+      val path = s"$wh/db/stream_part"
+      val listing = IcebergScan.scanFiltered(
+        spark, path,
+        col("ts") >= lit("2026-01-02 00:00:00").cast("timestamp_ntz"),
+        IcebergScan.Options(mode = "list_files"))
+      val dataFiles = listing.filter(col("type") === "data").count()
+      assert(dataFiles === 1L, "day-partition pruning over streamed files")
+      val total = spark.sql("SELECT sum(v) FROM graft.db.stream_part")
+        .head.getLong(0)
+      assert(total === 6L)
+    } finally q.stop()
+  }
+
+  test("epoch replay is idempotent: a committed batch id never double-lands") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.db.stream_replay (id BIGINT, v DOUBLE)")
+    val path = s"$wh/db/stream_replay"
+    val tbl = graft.sql.GraftTable.resolve(
+      spark, "graft",
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "stream_replay"),
+      path, IcebergScan.Options())
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    // drive commitStreamBatch directly with a fixed epoch id, twice:
+    // second call must detect the recorded id and drop its files
+    def filesFor(marker: String): Seq[(String, Map[String, Any])] = {
+      val dir = new org.apache.hadoop.fs.Path(path, s"data/replay-$marker")
+      df.coalesce(1).write.parquet(dir.toString)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(dir, true)
+      val buf = Seq.newBuilder[(String, Map[String, Any])]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          buf += ((s.getPath.toString, Map.empty[String, Any]))
+      }
+      buf.result()
+    }
+    val key = graft.streaming.IcebergStreamSink.batchIdKey("v2-replaytest")
+    IcebergWriter.commitStreamBatch(spark, path, filesFor("a"), key, 7L)
+    val afterFirst = spark.sql("SELECT count(*) FROM graft.db.stream_replay")
+      .head.getLong(0)
+    val replayFiles = filesFor("b")
+    IcebergWriter.commitStreamBatch(spark, path, replayFiles, key, 7L)
+    val afterReplay = spark.sql("SELECT count(*) FROM graft.db.stream_replay")
+      .head.getLong(0)
+    assert(afterFirst === 2L)
+    assert(afterReplay === 2L, "replayed epoch must not double-append")
+    // and the replay's files were dropped (no orphan accumulation)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(replayFiles.forall { case (p, _) =>
+      !fs.exists(new org.apache.hadoop.fs.Path(p)) })
+    assert(tbl != null)
+  }
+
+  test("complete output mode overwrites the whole table per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql(
+      "CREATE TABLE graft.db.stream_complete (name STRING, cnt BIGINT)")
+    val in = MemoryStream[(String, Long)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("name", "v")
+      .groupBy("name").agg(count("*").as("cnt"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .toTable("graft.db.stream_complete")
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      q.processAllAvailable()
+      in.addData(("a", 4L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT name, cnt FROM graft.db.stream_complete ORDER BY name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // complete mode re-emits ALL groups with updated counts — the table
+      // holds exactly the latest full result, not an accumulation
+      assert(rows === Seq(("a", 3L), ("b", 1L)))
+    } finally q.stop()
+  }
+
+  test("format(\"graft\") streaming sink: by path and by catalog identifier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE graft.db.stream_fmt (id BIGINT, v DOUBLE)")
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("id", "v")
+      .writeStream
+      .format("graft")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .option("table", "graft.db.stream_fmt")
+      .start()
+    try {
+      in.addData((1L, 0.5), (2L, 1.5))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft.db.stream_fmt")
+        .head.getLong(0) === 2L)
+    } finally q.stop()
+    // by path: the same sink against the table root directly
+    val in2 = MemoryStream[(Long, Double)]
+    val q2 = in2.toDF().toDF("id", "v")
+      .writeStream
+      .format("graft")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .option("path", s"$wh/db/stream_fmt")
+      .start()
+    try {
+      in2.addData((3L, 2.5))
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft.db.stream_fmt")
+        .head.getLong(0) === 3L)
+    } finally q2.stop()
+  }
+
+  test("streamed files carry footer stats that drive pruning (field ids)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE graft.db.stream_stats (id BIGINT, grp STRING)")
+    val in = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("id", "grp")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.db.stream_stats")
+    try {
+      in.addData((1L, "x"), (2L, "x"))
+      q.processAllAvailable()
+      in.addData((100L, "y"), (200L, "y"))
+      q.processAllAvailable()
+      // bounds pruning: id > 50 must skip the first epoch's file
+      val listing = IcebergScan.scanFiltered(
+        spark, s"$wh/db/stream_stats", col("id") > 50,
+        IcebergScan.Options(mode = "list_files"))
+      assert(listing.filter(col("type") === "data").count() === 1L,
+        "manifest bounds from streamed footers must prune the other epoch")
+    } finally q.stop()
+  }
+}
