@@ -795,6 +795,46 @@ object Relational2 {
                dsumOut4(col("value")).as("sum_value"))
           .orderBy("user_id", "session_seq")
       }
+    ),
+    QueryDef(
+      "q30_percentiles_scalable",
+      // Same exact interpolated percentiles as q25, computed WITHOUT the
+      // percentile aggregate's value buffer (which grows with the group's
+      // distinct values — q25's one documented 100 TB pressure point,
+      // README "Exact percentiles at scale"): rank rows per group with a
+      // spill-safe window sort, keep only the two rows flanking each
+      // target position, interpolate. Memory per task is the external
+      // sorter's budget regardless of group size.
+      Some("""
+        SELECT c_mktsegment,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("c_mktsegment"), col("o_totalprice").cast("double").as("v"))
+        // ties broken by value only — equal values are interchangeable
+        // for quantiles, so the rank assignment is deterministic enough
+        val byVal = Window.partitionBy("c_mktsegment").orderBy("v")
+        val whole = Window.partitionBy("c_mktsegment")
+        val ranked = joined
+          .withColumn("rn", row_number().over(byVal).cast("long") - 1L)
+          .withColumn("cnt", count(lit(1)).over(whole))
+        def pct(p: Double) = {
+          val posRow = lit(p) * (col("cnt") - 1).cast("double") // per-row
+          val lower = max(when(col("rn") === floor(posRow), col("v")))
+          val upper = max(when(col("rn") === ceil(posRow), col("v")))
+          val pos = lit(p) * (max(col("cnt")) - 1).cast("double") // per-group
+          round(lower + (pos - floor(pos)) * (upper - lower), 4)
+        }
+        ranked.groupBy("c_mktsegment")
+          .agg(pct(0.5).as("p50"), pct(0.9).as("p90"), pct(0.99).as("p99"))
+          .orderBy("c_mktsegment")
+      }
     )
   )
 }

@@ -65,9 +65,15 @@ object IcebergStreamSource {
       case Some(ident) =>
         require(!params.contains("path"),
           "pass exactly one of 'path' or 'table'")
-        val parts = ident.split("\\.").filter(_.nonEmpty)
+        val raw = ident.split("\\.").filter(_.nonEmpty)
+        // 2-part identifiers resolve against the session's CURRENT
+        // catalog (round 12) — `USE graft` then option("table", "db.t")
+        val parts =
+          if (raw.length == 2) spark.catalog.currentCatalog() +: raw
+          else raw
         require(parts.length >= 3,
-          s"option 'table' must be 'catalog.namespace.name', got '$ident'")
+          s"option 'table' must be 'catalog.namespace.name' (or " +
+            s"'namespace.name' under the current catalog), got '$ident'")
         val cat = org.apache.spark.sql.graftshim.GraftShims
           .catalogPlugin(spark, parts.head) match {
           case tc: org.apache.spark.sql.connector.catalog.TableCatalog => tc
@@ -196,7 +202,24 @@ class IcebergStreamSource(
   private val conf = spark.sessionState.newHadoopConf()
   private val root = IcebergIO.tableRoot(path)
 
-  private def load() = IcebergScan.loadInfo(spark, path, opts)
+  // Catalog-resolved streams re-resolve the table periodically so a
+  // long-running query outlives short-lived VENDED credentials: each
+  // re-resolution runs the catalog's loadTable, which re-applies fresh
+  // storage config to the session (round 12; vended tokens used to be
+  // applied once at source creation and then expire mid-stream).
+  private val RefreshIntervalMs = 30000L
+  @volatile private var lastResolveMs = System.currentTimeMillis()
+  private def refreshCredentials(): Unit =
+    if (params.contains("table") &&
+        System.currentTimeMillis() - lastResolveMs > RefreshIntervalMs) {
+      IcebergStreamSource.resolvePath(spark, params): Unit
+      lastResolveMs = System.currentTimeMillis()
+    }
+
+  private def load() = {
+    refreshCredentials()
+    IcebergScan.loadInfo(spark, path, opts)
+  }
 
   /** Commits at or below this sequence are never streamed; the id (when
     * a concrete floor snapshot exists) anchors CDC diffs. */

@@ -367,6 +367,45 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left === (1L to 12L).filterNot(Set(2L, 5L, 11L)))
   }
 
+  test("MERGE NULL keys follow SQL semantics (ON never matches NULLs)") {
+    import spark.implicits._
+    // target holds a NULL-keyed row; the fast paths' null-safe equality
+    // matching must never let a NULL-keyed SOURCE row delete/replace it
+    val path = s"$wh/db/orders_mnull"
+    IcebergWriter.write(Seq(
+      (Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "target-null"))
+      .toDF("id", "v"), path)
+
+    // delete form: NULL source key deletes NOTHING (SQL: t.id = s.id is
+    // never true on NULL); key 2 deletes its row
+    Seq(Option(2L), Option.empty[Long]).toDF("id")
+      .createOrReplaceTempView("mnull_del_src")
+    spark.sql(
+      """MERGE INTO graft.db.orders_mnull t USING mnull_del_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val afterDelete = spark.sql(
+      "SELECT v FROM graft.db.orders_mnull ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(afterDelete === Seq("a", "target-null"),
+      "NULL-keyed source row must not delete the NULL-keyed target row")
+
+    // upsert form: a NULL-keyed source row INSERTS beside the existing
+    // NULL-keyed target row (never replaces it)
+    Seq((Option(1L), "a2"), (Option.empty[Long], "source-null"))
+      .toDF("id", "v").createOrReplaceTempView("mnull_up_src")
+    spark.sql(
+      """MERGE INTO graft.db.orders_mnull t USING mnull_up_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.id = s.id, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val afterUpsert = spark.sql(
+      "SELECT v FROM graft.db.orders_mnull ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(afterUpsert === Seq("a2", "source-null", "target-null"),
+      "NULL-keyed source row must insert beside the NULL-keyed target row")
+  }
+
   test("spark.read.format(\"graft\") reads, time-travels, and appends") {
     import spark.implicits._
     val path = mkOrders("orders_fmt", rows = 25)
