@@ -52,7 +52,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // 5 interleaved rounds by default (round 12, was 3): the median of 5
+    // discards two contended samples per side, so a reported regression
+    // needs contention in three well-separated windows to be fake.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val spark = GraftSessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Best-effort: a broken data dir should still produce the per-query
@@ -71,7 +74,12 @@ object Bench {
     // in two of three well-separated windows to be fake.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — the sf1
+    // stress tier benches only the heavy subset (scripts/sf1_bench.py)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     ordered.foreach { case (name, _) => allRuns(name) = Seq.empty }
     // One UNTIMED sweep first: builds the shared mutation-gate fixtures
     // and per-query codegen, so every timed sample below is steady-state
@@ -157,10 +165,28 @@ object Bench {
           (tier("comparable_queries"), tier("same_work_queries")) match {
             case (Some((cn, cd, cs)), sw) =>
               val swPart = sw.map { case (n, d, s) =>
+                // PAIRED per-round ratios (round 12): the same-work sum
+                // recomputed from each round's own samples — min/max
+                // bound the ratio's run-to-run noise inside ONE artifact
+                // instead of needing a second bench invocation
+                val swNames = Option(node.get("same_work_queries")).toSeq
+                  .flatMap(_.elements.asScala.map(_.asText))
+                  .filter(q => resMap.getOrElse(q, -1.0) >= 0 &&
+                    allRuns.getOrElse(q, Seq.empty).size >= 1)
+                val dSum = swNames.iterator
+                  .map(q => node.get("queries").get(q).asDouble).sum
+                val roundCount = swNames.map(allRuns(_).size).minOption.getOrElse(0)
+                val perRound = (0 until roundCount).map(r =>
+                  swNames.iterator.map(q => allRuns(q)(r)).sum / dSum)
+                val pairedPart =
+                  if (perRound.size < 2 || dSum <= 0) ""
+                  else s""","vs_baseline_same_work_min":${
+                    "%.3f".formatLocal(java.util.Locale.ROOT, perRound.min)},"vs_baseline_same_work_max":${
+                    "%.3f".formatLocal(java.util.Locale.ROOT, perRound.max)}"""
                 s""","same_work_queries":$n,"same_work_duckdb_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, d)},"same_work_spark_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, s)},"vs_baseline_same_work":${
-                  "%.3f".formatLocal(java.util.Locale.ROOT, s / d)}"""
+                  "%.3f".formatLocal(java.util.Locale.ROOT, s / d)}$pairedPart"""
               }.getOrElse("")
               s""","baseline":{"engine":"duckdb","version":${
                 jsonStr(node.get("version").asText)},"comparable_queries":$cn,"duckdb_sec":${
@@ -177,6 +203,15 @@ object Bench {
     // A failed query must be loud in the artifact (errors map, failed
     // count, -1 timing) AND in the exit code — the old harness logged to
     // stderr and exited 0, so a broken query benched as "fast".
+    // Explicit contention annotation (round 12): queries whose raw
+    // samples spread >5x in one artifact ran through at least one
+    // contended window — their MEDIAN is still trustworthy (the outlier
+    // was discarded), but cross-round per-query comparison should skip
+    // them rather than read the spread as a regression.
+    val contended = allRuns.collect {
+      case (k, ts) if ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 5.0 =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""stat":"median","interleaved":true,""" +
       s""""failed":${errors.size},"errors":$errs,"queries":$qs,""" +
@@ -184,6 +219,7 @@ object Bench {
       "%.2f".formatLocal(java.util.Locale.ROOT, maxSpreadRatio) +
       s""","stat_spread_ratio":""" +
       "%.2f".formatLocal(java.util.Locale.ROOT, statSpreadRatio) +
+      s""","contended_queries":$contended""" +
       baseline +
       s""","sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
