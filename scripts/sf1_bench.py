@@ -28,9 +28,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sfdir, verify_out, spark_bench, out, prev_bench=None):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sfdir}/{t}.parquet')")
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{verify_out}/oracle_sql.json"))
     spark = json.load(open(spark_bench))
     names = sorted(set(oracle) & set(spark["queries"]))
@@ -48,6 +50,9 @@ def main(sfdir, verify_out, spark_bench, out, prev_bench=None):
     prev_ratio = {}
     if prev_bench:
         prev = json.load(open(prev_bench))
+        # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
+        if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
         prev_base = json.load(open("BASELINE_DUCKDB.json"))
         for n in names:
             ps, pd = prev["queries"].get(n), prev_base["queries"].get(n)

@@ -34,28 +34,39 @@ object GenSf1 {
     // plain micros timestamps in the output (INT96 is deprecated and the
     // DuckDB oracle views read these files directly)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    require(spark.read.parquet(s"$src/events.parquet").schema("ts").dataType ==
-      org.apache.spark.sql.types.TimestampType,
-      "events.ts must be a micros TIMESTAMP (nanos-era testdata needs the " +
-        "Tables.events normalization first)")
 
-    def writeOne(df: DataFrame, table: String): Unit = {
-      val tmp = s"$dst/_tmp_$table"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val conf = spark.sessionState.newHadoopConf()
-      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-      val fs = tmpPath.getFileSystem(conf)
-      val part = fs.listStatus(tmpPath).map(_.getPath)
-        .find(_.getName.endsWith(".parquet")).get
+    // fact tables land as MULTI-file directories named `t.parquet` (the
+    // realistic layout — a single 10x file would cap Spark's scan
+    // parallelism at sizeBytes/maxPartitionBytes splits while DuckDB
+    // parallelizes by row group; both engines read a multi-file dir at
+    // full width). Dimension tables stay single files.
+    def writeOne(df: DataFrame, table: String, files: Int = 1): Unit = {
       val out = new org.apache.hadoop.fs.Path(s"$dst/$table.parquet")
-      fs.delete(out, false)
-      require(fs.rename(part, out), s"rename failed for $table")
-      fs.delete(tmpPath, true): Unit
-      println(s"[gen-sf1] wrote $out")
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = out.getFileSystem(conf)
+      if (files > 1) {
+        fs.delete(out, true)
+        df.repartition(files).write.mode("overwrite").parquet(out.toString)
+      } else {
+        val tmp = s"$dst/_tmp_$table"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        val part = fs.listStatus(tmpPath).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.delete(out, true)
+        require(fs.rename(part, out), s"rename failed for $table")
+        fs.delete(tmpPath, true): Unit
+      }
+      println(s"[gen-sf1] wrote $out ($files file(s))")
     }
 
     def clones(table: String)(mutate: (DataFrame, Int) => DataFrame): DataFrame = {
-      val base = spark.read.parquet(s"$src/$table.parquet")
+      // events ride through Tables.events: the driver's sf0.1 file stores
+      // nanos (read as Long under nanosAsLong) — normalize to NTZ micros
+      // once so the sf1 file is a plain timestamp both engines read
+      val base =
+        if (table == "events") Tables.events(spark, src)
+        else spark.read.parquet(s"$src/$table.parquet")
       (0 until copies).map(k => if (k == 0) base else mutate(base, k))
         .reduce(_ unionByName _)
     }
@@ -64,12 +75,15 @@ object GenSf1 {
       writeOne(spark.read.parquet(s"$src/$t.parquet"), t)
     }
     writeOne(clones("orders")((d, k) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + k * Shift)), "orders")
+      d.withColumn("o_orderkey", col("o_orderkey") + k * Shift)),
+      "orders", files = 8)
     writeOne(clones("lineitem")((d, k) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + k * Shift)), "lineitem")
+      d.withColumn("l_orderkey", col("l_orderkey") + k * Shift)),
+      "lineitem", files = 16)
     writeOne(clones("events")((d, k) => d
       .withColumn("event_id", col("event_id") + k * Shift)
-      .withColumn("user_id", col("user_id") + k * Shift)), "events")
+      .withColumn("user_id", col("user_id") + k * Shift)),
+      "events", files = 8)
     writeOne(clones("embeddings")((d, k) =>
       d.withColumn("vec_id", col("vec_id") + k * Shift)), "embeddings")
     writeOne(clones("documents") { (d, k) =>
@@ -77,7 +91,7 @@ object GenSf1 {
       d.withColumn("doc_id", col("doc_id") + k * Shift)
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
-    }, "documents")
+    }, "documents", files = 8)
     spark.stop()
   }
 }
