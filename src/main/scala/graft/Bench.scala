@@ -151,11 +151,14 @@ object Bench {
         if (baseSf != Paths.get(sfDir).getFileName.toString) "" else {
           import scala.jdk.CollectionConverters._
           val resMap = results.toMap
-          def tier(field: String): Option[(Int, Double, Double)] =
+          // (joint query list, duckdb sum, spark sum) — ONE filter shared
+          // by the headline ratio and the per-round min/max, so the
+          // bounds always bracket the exact ratio they annotate
+          def tier(field: String): Option[(Seq[String], Double, Double)] =
             Option(node.get(field)).map { arr =>
               val joint = arr.elements.asScala.map(_.asText)
                 .filter(q => resMap.getOrElse(q, -1.0) >= 0).toSeq
-              (joint.size,
+              (joint,
                joint.iterator.map(q => node.get("queries").get(q).asDouble).sum,
                joint.iterator.map(resMap).sum)
             }.filter(_._2 > 0)
@@ -163,33 +166,28 @@ object Bench {
           // drops the ib gates (their Spark side runs write/maintenance
           // workflows the SELECT-only oracle doesn't — see baseline.py)
           (tier("comparable_queries"), tier("same_work_queries")) match {
-            case (Some((cn, cd, cs)), sw) =>
-              val swPart = sw.map { case (n, d, s) =>
+            case (Some((cJoint, cd, cs)), sw) =>
+              val swPart = sw.map { case (joint, d, s) =>
                 // PAIRED per-round ratios (round 12): the same-work sum
-                // recomputed from each round's own samples — min/max
-                // bound the ratio's run-to-run noise inside ONE artifact
-                // instead of needing a second bench invocation
-                val swNames = Option(node.get("same_work_queries")).toSeq
-                  .flatMap(_.elements.asScala.map(_.asText))
-                  .filter(q => resMap.getOrElse(q, -1.0) >= 0 &&
-                    allRuns.getOrElse(q, Seq.empty).size >= 1)
-                val dSum = swNames.iterator
-                  .map(q => node.get("queries").get(q).asDouble).sum
-                val roundCount = swNames.map(allRuns(_).size).minOption.getOrElse(0)
+                // recomputed from each round's own samples over the SAME
+                // joint list as the headline ratio — min/max bound the
+                // ratio's run-to-run noise inside ONE artifact
+                val roundCount = joint.map(q =>
+                  allRuns.getOrElse(q, Seq.empty).size).minOption.getOrElse(0)
                 val perRound = (0 until roundCount).map(r =>
-                  swNames.iterator.map(q => allRuns(q)(r)).sum / dSum)
+                  joint.iterator.map(q => allRuns(q)(r)).sum / d)
                 val pairedPart =
-                  if (perRound.size < 2 || dSum <= 0) ""
+                  if (perRound.size < 2) ""
                   else s""","vs_baseline_same_work_min":${
                     "%.3f".formatLocal(java.util.Locale.ROOT, perRound.min)},"vs_baseline_same_work_max":${
                     "%.3f".formatLocal(java.util.Locale.ROOT, perRound.max)}"""
-                s""","same_work_queries":$n,"same_work_duckdb_sec":${
+                s""","same_work_queries":${joint.size},"same_work_duckdb_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, d)},"same_work_spark_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, s)},"vs_baseline_same_work":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, s / d)}$pairedPart"""
               }.getOrElse("")
               s""","baseline":{"engine":"duckdb","version":${
-                jsonStr(node.get("version").asText)},"comparable_queries":$cn,"duckdb_sec":${
+                jsonStr(node.get("version").asText)},"comparable_queries":${cJoint.size},"duckdb_sec":${
                 "%.3f".formatLocal(java.util.Locale.ROOT, cd)},"spark_sec":${
                 "%.3f".formatLocal(java.util.Locale.ROOT, cs)},"vs_baseline":${
                 "%.3f".formatLocal(java.util.Locale.ROOT, cs / cd)}$swPart}"""

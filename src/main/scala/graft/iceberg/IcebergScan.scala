@@ -721,10 +721,29 @@ object IcebergScan {
           if ndvLower.contains(c.toLowerCase) => ndvLower(c.toLowerCase)
     }
     if (eqNdvs.isEmpty) return filtered
-    val totalRows = meta.entries.collect {
-      case (m, es) if m.content == 0 =>
-        es.collect { case e if e.status != 2 && e.content == 0 => e.recordCount }.sum
-    }.sum
+    // PRE-pruning row total — the conservative base the NDV shrink is
+    // calibrated against. `meta` may already be pruned (manifest-level
+    // and, round 12, entry-level on the executors), and applying 1/NDV
+    // selectivity to the pruned total would double-count the predicate
+    // and hint broadcasts on scans that materialize far more than the
+    // estimate. Serve the total from the manifest LIST's stats (zero
+    // I/O — the list is cached); a stats-less legacy list falls back to
+    // the loaded entries only when the plan is complete, else no hint.
+    val listTotal: Option[Long] = {
+      val allMs = ManifestReader.readManifestList(
+        resolved(root, snapshot.manifestList, opts),
+        hadoopConf(spark), snapshot.formatVersion)
+      val sums = allMs.filter(_.content == 0)
+        .map(_.stats.map(s => s.addedRowsCount + s.existingRowsCount))
+      if (sums.forall(_.isDefined)) Some(sums.flatten.sum) else None
+    }
+    val totalRowsOpt: Option[Long] = listTotal.orElse(
+      if (meta.partialPlan) None
+      else Some(meta.entries.collect {
+        case (m, es) if m.content == 0 =>
+          es.collect { case e if e.status != 2 && e.content == 0 => e.recordCount }.sum
+      }.sum))
+    val totalRows = totalRowsOpt.getOrElse(return filtered)
     val sel = eqNdvs.foldLeft(1.0)((s, ndv) => s / math.max(1L, ndv).toDouble)
     val estRows = math.max(1.0, totalRows * sel)
     val rowWidth = IcebergSchemaParser.toStructType(snapshot.schema).defaultSize

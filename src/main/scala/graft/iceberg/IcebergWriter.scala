@@ -758,8 +758,9 @@ object IcebergWriter {
         splitOffsets = splits, nans = nans)
       // zero-row part files (empty tasks, CREATE TABLE's empty frame) are
       // pure noise: registering one pads every future scan's file list and,
-      // carrying no stats, it survives all pruning forever (same guard as
-      // posDeleteFiles)
+      // carrying no stats, it survives all pruning forever — the SINGLE
+      // zero-row guard for every collectFiles consumer (data, position-
+      // delete and equality-delete registration)
     }.filter(_.count > 0)
   }
 
@@ -837,12 +838,9 @@ object IcebergWriter {
     * footers keyed by the reserved id — the stats the scan's
     * position-delete scoping consumes. */
   private def posDeleteFiles(dir: Path, conf: Configuration): Seq[WrittenFile] =
+    // zero-row parts are filtered inside collectFiles itself
     collectFiles(dir, conf, Seq.empty,
       Map("file_path" -> (PosDeleteFilePathFieldId, StringType)))
-      // a task that received no positions can still emit a zero-row
-      // parquet part; registering it would pad file counts (and every
-      // scan's delete-file list) with pure noise
-      .filter(_.count > 0)
 
   /** Distributed parquet write (with field ids; hive-partitioned when the
     * spec is non-empty) → written-file stats for the manifest.
@@ -2570,11 +2568,19 @@ object IcebergWriter {
       val hp = new Path(p)
       try hp.getFileSystem(conf).delete(hp, false) catch { case _: Exception => () }
     }
-    val committed = maxSummaryValue(spark, path, batchKey).exists(_ >= batchId)
-    if (committed) { dropFiles(); return }
-    if (files.isEmpty) return
+    // ONE metadata load per epoch: the replay check reads the summaries
+    // off the same parsed state the commit uses (a separate
+    // maxSummaryValue call would re-read metadata.json)
     val state = loadState(path, conf).getOrElse(throw new IllegalStateException(
       s"streaming commit: table at $path disappeared mid-stream"))
+    val committed = state.snapshots
+      .flatMap(s => Option(s.get("summary")).flatMap(n => Option(n.get(batchKey))))
+      .map(_.asText.toLong).maxOption.exists(_ >= batchId)
+    if (committed) { dropFiles(); return }
+    // append mode: an empty epoch commits nothing (replay check is >=, so
+    // skipping keeps idempotence). complete mode: an EMPTY epoch is a
+    // full-table TRUNCATE — the latest complete result is the table.
+    if (files.isEmpty && !replaceAll) return
     val latest = state.opBase("streaming write", branch)
     val schema = IcebergSchemaParser.toStructType(latest.schema)
     val assigned = latest.schema.map(c => c.name -> c.id).toMap
@@ -2592,7 +2598,8 @@ object IcebergWriter {
       WrittenFile(st.getPath.toString, count, part, lower, upper, nulls,
         sizeBytes = st.getLen, splitOffsets = splits, nans = nans)
     }.filter(_.count > 0) // a task that saw no rows still opened no file; guard anyway
-    if (written.isEmpty) { dropFiles(); return }
+    if (written.isEmpty && !replaceAll) { dropFiles(); return }
+    if (written.isEmpty) dropFiles() // truncate commit references no file
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
@@ -3945,9 +3952,8 @@ object IcebergWriter {
     val fields = keys.schema.fieldNames.map { n =>
       n -> (idByName(n), byName(n).dataType)
     }.toMap
-    // zero-row parts (an empty write task) carry no delete rows — same
-    // noise filter as posDeleteFiles
-    val files = collectFiles(delDir, conf, Seq.empty, fields).filter(_.count > 0)
+    // zero-row parts (empty write tasks) are filtered inside collectFiles
+    val files = collectFiles(delDir, conf, Seq.empty, fields)
     val eqIds = keys.schema.fieldNames.toSeq.map(idByName)
     val manifestPath = new Path(path, s"metadata/$manifestName")
     writeManifest(manifestPath, conf, files.map { w =>

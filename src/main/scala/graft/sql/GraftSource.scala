@@ -72,9 +72,16 @@ class GraftSource extends TableProvider with DataSourceRegister {
           case Some(ident) =>
             require(map.get("path") == null,
               "format(\"graft\"): pass exactly one of 'path' or 'table'")
-            val parts = ident.split("\\.").filter(_.nonEmpty)
+            val raw = ident.split("\\.").filter(_.nonEmpty)
+            // 2-part identifiers resolve against the session's current
+            // catalog — same promotion as the stream source's option
+            val parts =
+              if (raw.length == 2)
+                SparkSession.active.catalog.currentCatalog() +: raw
+              else raw
             require(parts.length >= 3,
-              s"option 'table' must be 'catalog.namespace.name', got '$ident'")
+              s"option 'table' must be 'catalog.namespace.name' (or " +
+                s"'namespace.name' under the current catalog), got '$ident'")
             org.apache.spark.sql.graftshim.GraftShims
               .catalogPlugin(SparkSession.active, parts.head) match {
               case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>

@@ -167,8 +167,14 @@ private final class GraftStreamingDataWriter(
       else {
         val p = projection(row)
         val vs = extractors.map(_(p))
-        // length-prefixed so no string value can alias a tuple boundary
-        (vs.map { v => val s = String.valueOf(v); s"${s.length}:$s" }.mkString,
+        // length-prefixed so no string value can alias a tuple boundary;
+        // NULL gets its own marker (String.valueOf(null) would collide
+        // with the literal string "null" and merge two distinct tuples
+        // into one file)
+        (vs.map {
+          case null => "N"
+          case v => val s = String.valueOf(v); s"V${s.length}:$s"
+        }.mkString,
           f.specFields.map(_._1).zip(vs).toMap)
       }
     val (w, _, _) = writers.getOrElseUpdate(key, {

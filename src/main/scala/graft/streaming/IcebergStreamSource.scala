@@ -212,7 +212,14 @@ class IcebergStreamSource(
   private def refreshCredentials(): Unit =
     if (params.contains("table") &&
         System.currentTimeMillis() - lastResolveMs > RefreshIntervalMs) {
-      IcebergStreamSource.resolvePath(spark, params): Unit
+      // best-effort: a transient catalog outage must not kill a stream
+      // whose current credentials still work — retry next window, and
+      // let the READ path surface the failure if they actually expired
+      try IcebergStreamSource.resolvePath(spark, params): Unit
+      catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"credential refresh failed (will retry): ${e.getMessage}")
+      }
       lastResolveMs = System.currentTimeMillis()
     }
 

@@ -371,7 +371,7 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // target holds a NULL-keyed row; the fast paths' null-safe equality
     // matching must never let a NULL-keyed SOURCE row delete/replace it
-    val path = s"$wh/db/orders_mnull"
+    val path = s"$wh/db/orders_nullsem"
     IcebergWriter.write(Seq(
       (Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "target-null"))
       .toDF("id", "v"), path)
@@ -381,11 +381,11 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(Option(2L), Option.empty[Long]).toDF("id")
       .createOrReplaceTempView("mnull_del_src")
     spark.sql(
-      """MERGE INTO graft.db.orders_mnull t USING mnull_del_src s
+      """MERGE INTO graft.db.orders_nullsem t USING mnull_del_src s
         |ON t.id = s.id
         |WHEN MATCHED THEN DELETE""".stripMargin)
     val afterDelete = spark.sql(
-      "SELECT v FROM graft.db.orders_mnull ORDER BY v")
+      "SELECT v FROM graft.db.orders_nullsem ORDER BY v")
       .collect().map(_.getString(0)).toSeq
     assert(afterDelete === Seq("a", "target-null"),
       "NULL-keyed source row must not delete the NULL-keyed target row")
@@ -395,12 +395,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((Option(1L), "a2"), (Option.empty[Long], "source-null"))
       .toDF("id", "v").createOrReplaceTempView("mnull_up_src")
     spark.sql(
-      """MERGE INTO graft.db.orders_mnull t USING mnull_up_src s
+      """MERGE INTO graft.db.orders_nullsem t USING mnull_up_src s
         |ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET t.id = s.id, t.v = s.v
         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
     val afterUpsert = spark.sql(
-      "SELECT v FROM graft.db.orders_mnull ORDER BY v")
+      "SELECT v FROM graft.db.orders_nullsem ORDER BY v")
       .collect().map(_.getString(0)).toSeq
     assert(afterUpsert === Seq("a2", "source-null", "target-null"),
       "NULL-keyed source row must insert beside the NULL-keyed target row")

@@ -198,6 +198,59 @@ class StreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("complete mode: an EMPTY epoch truncates instead of going stale") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE graft.db.stream_empty (name STRING, cnt BIGINT)")
+    val in = MemoryStream[(String, Long)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("name", "v")
+      .groupBy("name").agg(count("*").as("cnt"))
+      .filter(col("cnt") < 2) // grows past the filter -> empty result
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .toTable("graft.db.stream_empty")
+    try {
+      in.addData(("a", 1L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft.db.stream_empty")
+        .head.getLong(0) === 1L)
+      in.addData(("a", 2L)) // cnt becomes 2 -> filtered -> EMPTY epoch
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft.db.stream_empty")
+        .head.getLong(0) === 0L,
+        "an empty complete-mode epoch must truncate the table")
+    } finally q.stop()
+  }
+
+  test("NULL and the string 'null' route to distinct partition files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql(
+      "CREATE TABLE graft.db.stream_nullpart (k STRING, v BIGINT) " +
+        "PARTITIONED BY (k)")
+    val in = MemoryStream[(Option[String], Long)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("k", "v")
+      .coalesce(1) // one task sees both rows — the collision scenario
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.db.stream_nullpart")
+    try {
+      in.addData((None, 1L), (Some("null"), 2L))
+      q.processAllAvailable()
+      val listing = IcebergScan.scan(spark, s"$wh/db/stream_nullpart",
+        IcebergScan.Options(mode = "list_files"))
+        .filter(col("type") === "data").count()
+      assert(listing === 2L,
+        "NULL-keyed and 'null'-keyed rows must land in separate files")
+      val rows = spark.sql(
+        "SELECT k, v FROM graft.db.stream_nullpart ORDER BY v")
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+      assert(rows === Seq((None, 1L), (Some("null"), 2L)))
+    } finally q.stop()
+  }
+
   test("streamed files carry footer stats that drive pruning (field ids)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
