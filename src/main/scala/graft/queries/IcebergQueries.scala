@@ -1719,6 +1719,56 @@ object IcebergQueries {
                      round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
               FROM $name""")
       }
+    ),
+    QueryDef(
+      "ib62_streaming_write",
+      // V2 STREAMING WRITE gate (round 12): two MemoryStream micro-batches
+      // land through writeStream.toTable on a catalog identifier — one
+      // snapshot per epoch (snaps pins create + 2 epochs), executor-written
+      // field-id-stamped files, batch-id exactly-once. The oracle replays
+      // the streamed rows relationally and pins the snapshot count.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               round(CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+               CAST(3 AS BIGINT) AS snaps
+        FROM orders WHERE o_orderkey % 31 = 0"""),
+      (s, dir) => {
+        val name = cachedTable("ib62", dir) { () =>
+          ensureCatalog(s)
+          val n = s"graft_cat.g.stream_${math.abs(dir.hashCode)}"
+          s.sql(s"CREATE TABLE $n (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)")
+          val rows = graft.Tables.load(s, dir, "orders")
+            .filter(col("o_orderkey") % 31 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double"))
+            .collect() // bounded gate fixture (~500 rows at sf0.01)
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          val (even, odd) = rows.partition(_._1 % 2 == 0)
+          import s.implicits._
+          implicit val ctx = s.sqlContext
+          val in = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Long, Double)]
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_ib62_ckpt_").toString
+          val q = in.toDF().toDF("o_orderkey", "o_custkey", "price")
+            .writeStream.option("checkpointLocation", ckpt).toTable(n)
+          try {
+            in.addData(even.toSeq); q.processAllAvailable()
+            in.addData(odd.toSeq); q.processAllAvailable()
+          } finally q.stop()
+          n
+        }
+        val wh = ensureCatalog(s)
+        val path = s"$wh/g/stream_${math.abs(dir.hashCode)}"
+        val snaps = IcebergScan.snapshots(s, path).count()
+        s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM $name""")
+          .withColumn("snaps", lit(snaps))
+      }
     )
   )
 
