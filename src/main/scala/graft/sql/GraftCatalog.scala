@@ -61,7 +61,9 @@ import scala.jdk.CollectionConverters._
   * overwrite never rewrites untouched files).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with GraftProcedures.Ops {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with GraftProcedures.Ops {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -346,6 +348,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
+
+  // ---- V2 functions (the Iceberg transforms as catalog functions) ------
+
+  /** Resolvable under BOTH the empty namespace (how `V2ExpressionUtils`
+    * looks a table's partition Transform up when turning it into a
+    * catalyst expression — the storage-partitioned-join / clustered-
+    * distribution seam) and `system` (the human-facing
+    * `SELECT graft.system.bucket(4, id)`). */
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val ok = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
+    (if (ok) GraftV2Functions.load(ident.name) else None).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftV2Functions.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))) &&
+      GraftV2Functions.load(ident.name).isDefined
 
   /** [[GraftProcedures.Ops]]: resolve a catalog-relative dotted name and
     * run a writer op against its root, committing through the rest

@@ -1,0 +1,182 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+import graft.iceberg.{IcebergTransforms => T}
+
+/** The Iceberg partition transforms as DSv2 CATALOG FUNCTIONS —
+  * `SELECT graft.system.bucket(4, id)`, `days(ts)`, `truncate(3, s)` —
+  * bound to the SAME value-level arithmetic the writer's
+  * [[graft.iceberg.IcebergTransforms.column]] and the pruner use, so a
+  * query-side transform value always equals the manifest's partition
+  * ordinal. This is the groundwork Spark's planner needs to reason about
+  * graft partitioning as expressions (clustered write distributions,
+  * storage-partitioned joins): `V2ExpressionUtils` resolves a table's
+  * `bucket`/`days` Transform against the owning catalog's
+  * FunctionCatalog, which [[GraftCatalog]] now implements.
+  *
+  * Date/timestamp ordinals follow the spec's UTC-instant definition:
+  * timestamp (with local zone) ordinals derive from the instant's micros
+  * with exact floor division — never session-zone date parts (the
+  * DST-ambiguity rationale documented at IcebergTransforms.column).
+  */
+object GraftV2Functions {
+
+  val names: Seq[String] =
+    Seq("bucket", "truncate", "years", "months", "days", "hours")
+
+  def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
+    case "bucket"   => Some(BucketUnbound)
+    case "truncate" => Some(TruncateUnbound)
+    case "years"  | "year"  => Some(dateUnbound("years", T.Year))
+    case "months" | "month" => Some(dateUnbound("months", T.Month))
+    case "days"   | "day"   => Some(dateUnbound("days", T.Day))
+    case "hours"  | "hour"  => Some(dateUnbound("hours", T.Hour))
+    case _ => None
+  }
+
+  private def micros(row: InternalRow, i: Int): Long = row.getLong(i)
+
+  /** Epoch-micros → transform ordinal (exact integer arithmetic; floor
+    * division correct for pre-1970 instants). */
+  private def ordinalOfMicros(t: T.Transform, us: Long): Int = t match {
+    case T.Hour => Math.floorDiv(us, 3600000000L).toInt
+    case T.Day  => Math.floorDiv(us, 86400000000L).toInt
+    case T.Month =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L))
+      T.monthOrdinal(d).toInt
+    case T.Year =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L))
+      T.yearOrdinal(d).toInt
+    case other => throw new IllegalStateException(s"not a date transform: $other")
+  }
+
+  private def ordinalOfDays(t: T.Transform, days: Int): Int = t match {
+    case T.Day => days
+    case T.Month => T.monthOrdinal(java.time.LocalDate.ofEpochDay(days.toLong)).toInt
+    case T.Year => T.yearOrdinal(java.time.LocalDate.ofEpochDay(days.toLong)).toInt
+    case other => throw new IllegalArgumentException(
+      s"$other is not applicable to a date")
+  }
+
+  // ---- bucket(n, v) --------------------------------------------------------
+
+  private object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col) — Iceberg bucket transform (murmur3)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket takes (numBuckets INT, value); got ${inputType.simpleString}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"bucket: numBuckets must be INT, got ${inputType.fields(0).dataType.sql}")
+      val vt = inputType.fields(1).dataType
+      vt match {
+        case IntegerType | LongType | DateType | TimestampType |
+             TimestampNTZType | StringType | _: DecimalType => ()
+        case other => throw new UnsupportedOperationException(
+          s"bucket over ${other.sql} is not supported")
+      }
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = s"graft.bucket(${vt.sql})"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Integer = {
+          if (input.isNullAt(1)) return null
+          val n = input.getInt(0)
+          require(n > 0, s"bucket: numBuckets must be positive, got $n")
+          vt match {
+            case IntegerType | DateType =>
+              Int.box(T.bucketLong(input.getInt(1).toLong, n))
+            case LongType | TimestampType | TimestampNTZType =>
+              Int.box(T.bucketLong(input.getLong(1), n))
+            case StringType => Int.box(T.bucketUtf8(input.getUTF8String(1), n))
+            case d: DecimalType =>
+              Int.box(T.bucketDecimal(
+                input.getDecimal(1, d.precision, d.scale), d.scale, n))
+            case _ => throw new IllegalStateException("unreachable")
+          }
+        }
+      }
+    }
+  }
+
+  // ---- truncate(w, v) ------------------------------------------------------
+
+  private object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(width, col) — Iceberg truncate transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate takes (width INT, value); got ${inputType.simpleString}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"truncate: width must be INT, got ${inputType.fields(0).dataType.sql}")
+      val vt = inputType.fields(1).dataType
+      vt match {
+        case IntegerType | LongType | StringType => ()
+        case other => throw new UnsupportedOperationException(
+          s"truncate over ${other.sql} is not supported")
+      }
+      new ScalarFunction[AnyRef] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
+        override def resultType(): DataType = vt
+        override def name(): String = "truncate"
+        override def canonicalName(): String = s"graft.truncate(${vt.sql})"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): AnyRef = {
+          if (input.isNullAt(1)) return null
+          val w = input.getInt(0)
+          require(w > 0, s"truncate: width must be positive, got $w")
+          vt match {
+            case IntegerType =>
+              Int.box(T.truncateLong(input.getInt(1).toLong, w.toLong).toInt)
+            case LongType => Long.box(T.truncateLong(input.getLong(1), w.toLong))
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                T.truncateString(input.getUTF8String(1).toString, w))
+            case _ => throw new IllegalStateException("unreachable")
+          }
+        }
+      }
+    }
+  }
+
+  // ---- years/months/days/hours(v) -----------------------------------------
+
+  private def dateUnbound(fname: String, t: T.Transform): UnboundFunction =
+    new UnboundFunction {
+      override def name(): String = fname
+      override def description(): String =
+        s"$fname(col) — Iceberg $fname transform ordinal (UTC instant)"
+      override def bind(inputType: StructType): BoundFunction = {
+        require(inputType.fields.length == 1,
+          s"$fname takes one date/timestamp argument; got ${inputType.simpleString}")
+        val vt = inputType.fields(0).dataType
+        vt match {
+          case DateType if t != T.Hour => ()
+          case TimestampType | TimestampNTZType => ()
+          case other => throw new UnsupportedOperationException(
+            s"$fname over ${other.sql} is not supported")
+        }
+        new ScalarFunction[Integer] {
+          override def inputTypes(): Array[DataType] = Array(vt)
+          override def resultType(): DataType = IntegerType
+          override def name(): String = fname
+          override def canonicalName(): String = s"graft.$fname(${vt.sql})"
+          override def isResultNullable: Boolean = true
+          override def produceResult(input: InternalRow): Integer = {
+            if (input.isNullAt(0)) return null
+            vt match {
+              case DateType => Int.box(ordinalOfDays(t, input.getInt(0)))
+              case _ => Int.box(ordinalOfMicros(t, micros(input, 0)))
+            }
+          }
+        }
+      }
+    }
+}
