@@ -774,7 +774,38 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     this
   }
 
-  override def build(): Write = new V1Write {
+  // hash-mode appends declare a CLUSTERED distribution over the table's
+  // partition Transforms (resolvable because GraftCatalog is a
+  // FunctionCatalog). Measured division of labor on Spark 4.1:
+  // STREAMING epochs get the repartition from the planner (V2Writes
+  // applies prepareQuery to WriteToMicroBatchDataSource — without it,
+  // every epoch wrote tasks x partitions files); the BATCH V1 path
+  // ignores required distributions, so the batch insert below keeps the
+  // writer's own hash repartition. If a future Spark applies it to V1
+  // writes too, the worst case is a redundant same-key shuffle, never a
+  // wrong result.
+  private def plannerClusters: Boolean =
+    overwriteCond.isEmpty && table.partitionFields.nonEmpty &&
+      table.props.getOrElse("write.distribution-mode", "none") == "hash"
+
+  override def build(): Write = new V1Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    override def requiredDistribution():
+        org.apache.spark.sql.connector.distributions.Distribution =
+      if (plannerClusters)
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(table.partitioning()
+            .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+      else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+    // advisory, not strict: AQE may still coalesce the shuffle toward
+    // the advisory partition size (the small-files sweet spot)
+    override def distributionStrictlyRequired(): Boolean = false
+
+    override def requiredOrdering():
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -789,7 +820,9 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
                 // (Iceberg's table property): 'hash' clusters rows by
                 // partition tuple before the write — THE small-files
                 // lever for wide partitioned appends at scale; 'range'
-                // needs partition/sort keys, which the writer validates
+                // needs partition/sort keys, which the writer validates.
+                // (The V1 batch path ignores requiredDistribution — see
+                // plannerClusters — so the writer's shuffle stays.)
                 val dist = table.props
                   .getOrElse("write.distribution-mode", "none")
                 IcebergWriter.write(data, root, distribution = dist)
