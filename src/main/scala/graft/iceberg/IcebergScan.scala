@@ -82,6 +82,13 @@ object IcebergScan {
     * gain over the plain anti join. */
   private val EqScopeMaxFiles = 2000
 
+  /** Spec-fixed position-delete columns (delete files may also carry a
+    * `row` struct — pruned by this projection). No field ids: name
+    * matching, exactly what the schema inference this replaces did. */
+  private val posDeleteSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
   private def livePaths(meta: TableMeta, manifestContent: Int, entryContent: Int,
                         opts: Options): Seq[(ManifestEntry, Long)] =
     meta.entries.collect {
@@ -188,18 +195,16 @@ object IcebergScan {
         throw new UnsupportedOperationException(
           s"unsupported data file format '$f' (PARQUET, ORC and AVRO are readable)")
     }
-    val orcDataPaths = dataEntries.collect {
-      case (e, _) if e.fileFormat.equalsIgnoreCase("ORC") =>
-        resolved(path, e.filePath, opts)
+    def dataFilesOf(fmt: String): Seq[(String, Long)] = dataEntries.collect {
+      case (e, _) if e.fileFormat.equalsIgnoreCase(fmt) =>
+        (resolved(path, e.filePath, opts), e.fileSizeInBytes)
     }
-    val avroDataPaths = dataEntries.collect {
-      case (e, _) if e.fileFormat.equalsIgnoreCase("AVRO") =>
-        resolved(path, e.filePath, opts)
-    }
-    val parquetDataPaths = dataEntries.collect {
-      case (e, _) if e.fileFormat.equalsIgnoreCase("PARQUET") =>
-        resolved(path, e.filePath, opts)
-    }
+    val orcDataFiles = dataFilesOf("ORC")
+    val avroDataFiles = dataFilesOf("AVRO")
+    val parquetDataFiles = dataFilesOf("PARQUET")
+    val orcDataPaths = orcDataFiles.map(_._1)
+    val avroDataPaths = avroDataFiles.map(_._1)
+    val parquetDataPaths = parquetDataFiles.map(_._1)
     val dataPaths = parquetDataPaths ++ orcDataPaths ++ avroDataPaths
     val deletePaths = deleteEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
     val eqPaths = eqEntries.map { case (e, _) => resolved(path, e.filePath, opts) }
@@ -264,7 +269,8 @@ object IcebergScan {
     // record index, which equals the write-time position, so position
     // deletes/provenance work on avro (unlike ORC).
     val scanConf = hadoopConf(spark)
-    def formatRelation(fmt: String, paths: Seq[String], withMeta: Boolean): DataFrame = {
+    def formatRelation(fmt: String, files: Seq[(String, Long)], withMeta: Boolean): DataFrame = {
+      val paths = files.map(_._1)
       val declared = withLineageFields(
         IcebergSchemaParser.toStructType(snapshot.schema))
       val readSchema =
@@ -299,10 +305,18 @@ object IcebergScan {
           paths.map(p => (p, IcebergIO.qualified(p, scanConf))),
           readSchema, withMeta, stats, splits)
       }
-      val reader = spark.read.format(fmt)
-      val r = (if (opts.skipSchemaInference) reader
-               else reader.schema(readSchema))
-        .load(paths: _*)
+      // Plan-time stat avoidance: the relation's FileIndex is seeded
+      // from the manifest-recorded (path, size) pairs — zero storage
+      // round trips at planning (the reference's explicit-cardinality
+      // injection, iceberg_scan.cpp:140-154, extended to file sizes).
+      // Fallbacks that must stat: schema inference (needs footers) and
+      // legacy metadata with unrecorded sizes (a 0-length status would
+      // silently drop the file's splits).
+      val r =
+        if (opts.skipSchemaInference)
+          spark.read.format(fmt).load(paths: _*)
+        else ManifestFileIndex.relation(spark, fmt, files, readSchema, scanConf)
+          .getOrElse(spark.read.format(fmt).schema(readSchema).load(paths: _*))
       if (!withMeta) r
       else r.select(col("*"),
         col("_metadata.file_path").as("__graft_file"),
@@ -314,8 +328,8 @@ object IcebergScan {
     }
     def dataRelation(withMeta: Boolean): DataFrame = {
       val parts =
-        Seq(("parquet", parquetDataPaths), ("orc", orcDataPaths),
-            ("avro", avroDataPaths))
+        Seq(("parquet", parquetDataFiles), ("orc", orcDataFiles),
+            ("avro", avroDataFiles))
           .filter(_._2.nonEmpty)
           .map { case (fmt, ps) => formatRelation(fmt, ps, withMeta) }
       parts.reduce(_.unionByName(_))
@@ -536,14 +550,17 @@ object IcebergScan {
       val keyStructNoIds = org.apache.spark.sql.types.StructType(
         keyStruct.fields.map(_.copy(metadata =
           org.apache.spark.sql.types.Metadata.empty)))
-      def readPool(paths: Seq[String], schema: org.apache.spark.sql.types.StructType) =
-        spark.read.schema(schema).parquet(paths: _*)
+      def readPool(pf: Seq[(String, Long)], schema: org.apache.spark.sql.types.StructType) =
+        ManifestFileIndex.relation(spark, "parquet", pf, schema, conf)
+          .getOrElse(spark.read.schema(schema).parquet(pf.map(_._1): _*))
           .select(cols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
       val (withIds, idLess) =
         files.partition { case (e, _) => e.equalityIds.nonEmpty }
       val pools = Seq(withIds -> keyStruct, idLess -> keyStructNoIds).collect {
         case (fs, schema) if fs.nonEmpty =>
-          readPool(fs.map { case (e, _) => resolved(path, e.filePath, opts) }, schema)
+          readPool(fs.map { case (e, _) =>
+            (resolved(path, e.filePath, opts), e.fileSizeInBytes)
+          }, schema)
       }
       // per-file delete sequence number via a small broadcast
       // (qualified URI → seq), same bridge as the data side
@@ -730,7 +747,7 @@ object IcebergScan {
     // I/O — the list is cached); a stats-less legacy list falls back to
     // the loaded entries only when the plan is complete, else no hint.
     val listTotal: Option[Long] = {
-      val allMs = ManifestReader.readManifestList(
+      val allMs = ManifestReader.cachedManifestList(
         resolved(root, snapshot.manifestList, opts),
         hadoopConf(spark), snapshot.formatVersion)
       val sums = allMs.filter(_.content == 0)
@@ -800,11 +817,12 @@ object IcebergScan {
           if (fmt == "avro")
             AvroDataSource.relation(spark, paths.map(p => (p, p)), schema,
               withMeta = false)
-          else {
-            val reader = spark.read.format(fmt)
-            (if (opts.skipSchemaInference) reader else reader.schema(schema))
-              .load(paths: _*)
-          }
+          else if (opts.skipSchemaInference)
+            spark.read.format(fmt).load(paths: _*)
+          else ManifestFileIndex.relation(spark, fmt,
+              es.map(e => (resolved(root, e.filePath, opts), e.fileSizeInBytes)),
+              schema, hadoopConf(spark))
+            .getOrElse(spark.read.format(fmt).schema(schema).load(paths: _*))
         }
       parts.reduce(_.unionByName(_))
     }
@@ -1187,11 +1205,19 @@ object IcebergScan {
         Puffin.readDV(new org.apache.hadoop.fs.Path(p), sconf.value, off, len)
           .map(pos => (ref, pos))
       }.toDF("file_path", "pos")
-    val deletePaths = parquetEntries.map { case (e, _) => resolved(root, e.filePath, opts) }
+    val deleteFiles = parquetEntries.map { case (e, _) =>
+      (resolved(root, e.filePath, opts), e.fileSizeInBytes)
+    }
     val dvTargets = dvEntries.map(_._1.referencedDataFile.get).distinct
     val parquetRows0 =
-      if (deletePaths.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
-      else spark.read.parquet(deletePaths: _*).select("file_path", "pos")
+      if (deleteFiles.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+      // explicit spec-fixed schema (name-matched, like the inference it
+      // replaces) over a manifest-seeded index: no plan-time footer read
+      // or stat per delete file
+      else ManifestFileIndex.relation(spark, "parquet", deleteFiles,
+          posDeleteSchema, conf)
+        .getOrElse(spark.read.parquet(deleteFiles.map(_._1): _*))
+        .select("file_path", "pos")
     val parquetRows =
       if (dvTargets.isEmpty) parquetRows0
       else parquetRows0.join(
@@ -1785,10 +1811,12 @@ object IcebergScan {
           val passed = resolved(meta.path, e.filePath, opts)
           (qualify(passed), passed, seq)
         }.toDF("__pd_qual", "delete_file_path", "data_sequence_number")
-        val paths = parquetEntries.map { case (e, _) =>
-          resolved(meta.path, e.filePath, opts)
+        val files = parquetEntries.map { case (e, _) =>
+          (resolved(meta.path, e.filePath, opts), e.fileSizeInBytes)
         }
-        spark.read.parquet(paths: _*)
+        ManifestFileIndex.relation(spark, "parquet", files,
+            posDeleteSchema, conf)
+          .getOrElse(spark.read.parquet(files.map(_._1): _*))
           .select(col("file_path"), col("pos"),
             col("_metadata.file_path").as("__pd_qual"))
           .join(broadcast(seqMap), Seq("__pd_qual"))

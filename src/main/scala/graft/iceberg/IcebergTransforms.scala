@@ -130,6 +130,13 @@ object IcebergTransforms {
     * (Iceberg: truncate(-7, 10) = -10, not 0). */
   def truncateLong(v: Long, w: Long): Long = v - Math.floorMod(v, w)
 
+  /** Decimal truncate (spec: `v - (v % W)` on the UNSCALED value, W in
+    * unscaled units). BigInteger.mod is already floored for a positive
+    * modulus, so negatives truncate down like the long form. */
+  def truncateDecimalUnscaled(
+      unscaled: java.math.BigInteger, w: Long): java.math.BigInteger =
+    unscaled.subtract(unscaled.mod(java.math.BigInteger.valueOf(w)))
+
   /** First `w` Unicode code points — the same definition Spark's
     * `substring(c, 1, w)` uses, so writer columns and pruner projections
     * agree on supplementary characters. */
@@ -189,6 +196,11 @@ object IcebergTransforms {
       case Truncate(w) => dt match {
         case IntegerType | LongType | ShortType | ByteType => c - pmod(c, lit(w))
         case StringType => substring(c, 1, w)
+        case d: org.apache.spark.sql.types.DecimalType =>
+          // W in unscaled units: the modulus decimal is W·10^-scale, and
+          // pmod keeps the remainder non-negative (floored like the long
+          // form). Cast back — decimal +/- widens precision by one.
+          (c - pmod(c, lit(java.math.BigDecimal.valueOf(w.toLong, d.scale)))).cast(d)
         case other => throw new IllegalArgumentException(
           s"truncate[$w] over ${other.sql} not supported")
       }

@@ -2536,10 +2536,15 @@ object IcebergWriter {
         f.nullable, new MetadataBuilder()
           .putLong("parquet.field.id", assigned(f.name).toLong).build())
     })
-    val spec =
-      if (state.snapshots.nonEmpty)
-        currentSpec(IcebergMetadataParser.latest(state.info, skipSchema = false), incoming)
-      else Seq.empty
+    // Spec from the metadata's default-spec-id, NOT the latest snapshot:
+    // an externally-registered partitioned table with zero snapshots must
+    // still route its first epoch's rows into partition tuples (the
+    // latest-snapshot derivation would silently fall back to an empty
+    // spec and fail confusingly at first commit).
+    val spec = resolveSpec(incoming,
+      state.info.defaultPartitionSpec.flatMap { pf =>
+        cols.find(_.id == pf.sourceId).map(c => c.name -> pf.transform)
+      }, cols.map(c => c.name -> c.id).toMap)
     StreamWriteSupport(
       schemaWithIds,
       spec.map(sf => (sf.fieldName, sf.avroType)),

@@ -376,6 +376,22 @@ object ManifestReader {
       }
     }
 
+  /** Manifest-list read through [[listCache]], keyed by the RESOLVED
+    * physical path exactly like loadTable's listPath — repeat consumers
+    * (NDV broadcast costing, a re-planned filtered scan) decode the Avro
+    * once per JVM, zero storage round trips after the first. */
+  def cachedManifestList(
+      listPath: String, conf: Configuration, formatVersion: Int): Seq[Manifest] = {
+    val useFileCaches = conf.getInt(
+      PlanningCacheSnapshotsKey, DefaultPlanningCacheSnapshots) > 0
+    (if (useFileCaches) listCache.synchronized(Option(listCache.get(listPath)))
+     else None).getOrElse {
+      val ms = readManifestList(listPath, conf, formatVersion)
+      if (useFileCaches) listCache.synchronized { listCache.put(listPath, ms); () }
+      ms
+    }
+  }
+
   /** Drop every cached plan (tests; or to release driver memory). */
   def invalidatePlanningCache(): Unit = {
     planCache.synchronized(planCache.clear())
@@ -468,13 +484,7 @@ object ManifestReader {
     val listPath =
       if (allowMovedPaths) IcebergIO.fullPath(tablePath, snapshot.manifestList)
       else snapshot.manifestList
-    val allManifests =
-      (if (useFileCaches) listCache.synchronized(Option(listCache.get(listPath)))
-       else None).getOrElse {
-        val ms = readManifestList(listPath, conf, snapshot.formatVersion)
-        if (useFileCaches) listCache.synchronized { listCache.put(listPath, ms); () }
-        ms
-      }
+    val allManifests = cachedManifestList(listPath, conf, snapshot.formatVersion)
     val manifests = allManifests.filter(manifestFilter)
     manifestsDecodedCtr.addAndGet(manifests.size.toLong)
     manifestsPrunedCtr.addAndGet((allManifests.size - manifests.size).toLong)

@@ -726,15 +726,31 @@ private final class GraftV1ScanBuilder(table: GraftTable)
       requiredSchema.fields.flatMap(f => byName.get(f.name.toLowerCase))))
   }
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = {
+    // Storage-partitioned join path (opt-in via Spark's SPJ flag): a
+    // keyed V2 scan reporting KeyGroupedPartitioning, so co-partitioned
+    // graft⋈graft joins plan with zero Exchange. Falls through to the
+    // V1 bridge whenever the table can't claim the grouping faithfully.
+    if (GraftKeyedScan.enabled(SparkSession.active)) {
+      val spark = SparkSession.active
+      GraftKeyedScan.plan(spark, table).foreach { keyed =>
+        return GraftKeyedV2Scan(spark, table,
+          required.filter(_.nonEmpty).getOrElse(table.tableSchema), keyed)
+      }
+    }
+    buildV1()
+  }
+
+  private def buildV1(): Scan = new V1Scan {
     private val schema = required.filter(_.nonEmpty).getOrElse(table.tableSchema)
+    private val outSchema = schema
     override def readSchema(): StructType = schema
     override def description(): String = s"graft-catalog-v1 ${table.name()}"
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val rel = new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
-        override def schema: StructType = build().readSchema()
+        override def schema: StructType = outSchema
         override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
           val df = table.scanDF(context.sparkSession)
           val projected =
@@ -786,7 +802,14 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   // wrong result.
   private def plannerClusters: Boolean =
     overwriteCond.isEmpty && table.partitionFields.nonEmpty &&
-      table.props.getOrElse("write.distribution-mode", "none") == "hash"
+      table.props.getOrElse("write.distribution-mode", "none") == "hash" &&
+      // every transform must bind through the FunctionCatalog, else the
+      // clustered distribution would fail the write's analysis — degrade
+      // to unspecified (the writer's own shuffle still applies)
+      table.partitionFields.forall { case (f, src) =>
+        table.schema.fields.find(_.name == src)
+          .exists(fld => GraftV2Functions.bindable(f.transform, fld.dataType))
+      }
 
   override def build(): Write = new V1Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {

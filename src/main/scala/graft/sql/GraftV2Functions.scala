@@ -37,6 +37,29 @@ object GraftV2Functions {
     case _ => None
   }
 
+  /** Can this catalog bind the Iceberg metadata transform (e.g.
+    * "bucket[16]") over the given source type? `plannerClusters`
+    * consults it before declaring a clustered distribution: a transform
+    * the FunctionCatalog can't bind would otherwise turn the V2 write's
+    * analysis into a failure (V2ExpressionUtils surfaces the bind
+    * exception) instead of degrading to an unspecified distribution. */
+  def bindable(transform: String, sourceType: DataType): Boolean = {
+    val t = transform.toLowerCase
+    if (t == "identity" || t == "void") return true
+    val (fname, input) =
+      if (t.startsWith("bucket"))
+        ("bucket", StructType(Seq(
+          StructField("n", IntegerType), StructField("v", sourceType))))
+      else if (t.startsWith("truncate"))
+        ("truncate", StructType(Seq(
+          StructField("w", IntegerType), StructField("v", sourceType))))
+      else (t, StructType(Seq(StructField("v", sourceType))))
+    load(fname).exists { u =>
+      try { u.bind(input); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
+
   private def micros(row: InternalRow, i: Int): Long = row.getLong(i)
 
   /** Epoch-micros → transform ordinal (exact integer arithmetic; floor
@@ -118,7 +141,7 @@ object GraftV2Functions {
         s"truncate: width must be INT, got ${inputType.fields(0).dataType.sql}")
       val vt = inputType.fields(1).dataType
       vt match {
-        case IntegerType | LongType | StringType => ()
+        case IntegerType | LongType | StringType | _: DecimalType => ()
         case other => throw new UnsupportedOperationException(
           s"truncate over ${other.sql} is not supported")
       }
@@ -139,6 +162,14 @@ object GraftV2Functions {
             case StringType =>
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 T.truncateString(input.getUTF8String(1).toString, w))
+            case d: DecimalType =>
+              // spec decimal truncate: v - (v % W) on the UNSCALED value
+              val v = input.getDecimal(1, d.precision, d.scale)
+              val unscaled = v.toJavaBigDecimal.unscaledValue
+              org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(
+                  T.truncateDecimalUnscaled(unscaled, w.toLong), d.scale),
+                d.precision, d.scale)
             case _ => throw new IllegalStateException("unreachable")
           }
         }

@@ -86,7 +86,10 @@ final class GraftStreamingWrite(
       }
     GraftStreamingWriterFactory(
       sup.dataDir, sup.specFields, bound,
-      GraftParquetWrite.prepare(spark, sup.schemaWithIds))
+      GraftParquetWrite.prepare(spark, sup.schemaWithIds),
+      maxOpenWriters = spark.conf
+        .getOption("spark.graft.streaming.maxOpenWriters")
+        .map(_.toInt).getOrElse(32))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -120,7 +123,8 @@ private[streaming] final case class GraftStreamingWriterFactory(
     dataDir: String,
     specFields: Seq[(String, String)], // (fieldName, avroType)
     boundTransforms: Seq[Expression],
-    parquet: GraftParquetWrite.WriteSupport) extends StreamingDataWriterFactory {
+    parquet: GraftParquetWrite.WriteSupport,
+    maxOpenWriters: Int = 32) extends StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
@@ -158,8 +162,18 @@ private final class GraftStreamingDataWriter(
         (r: InternalRow) => if (r.isNullAt(i)) null else get(r)
     }
 
-  private val writers = scala.collection.mutable.LinkedHashMap
-    .empty[String, (GraftParquetWrite.RowFileWriter, String, Map[String, Any])]
+  // Open writers are LRU-capped: with write.distribution-mode 'none' on
+  // a partitioned table, one task can see unboundedly many tuples, and
+  // an open parquet writer buffers a whole row group — uncapped, that is
+  // an executor OOM at scale. At the cap the least-recently-written
+  // tuple's file is CLOSED (multiple files per tuple is Iceberg-legal);
+  // a re-encountered tuple just opens a fresh file. `files` records
+  // every file ever opened (closed + open) for commit/abort.
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, GraftParquetWrite.RowFileWriter]
+  private val files =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, Any])]
+  private var fileSeq = 0
 
   override def write(row: InternalRow): Unit = {
     val (key, tuple) =
@@ -177,23 +191,37 @@ private final class GraftStreamingDataWriter(
         }.mkString,
           f.specFields.map(_._1).zip(vs).toMap)
       }
-    val (w, _, _) = writers.getOrElseUpdate(key, {
-      val path = s"${f.dataDir}/b$epochId-p$partitionId-t$taskId-" +
-        s"${writers.size}.parquet"
-      (f.parquet.open(path, partitionId, taskId), path, tuple)
-    })
+    val w = open.get(key) match {
+      case Some(w0) =>
+        // refresh recency (Scala's LinkedHashMap is insertion-ordered)
+        open.remove(key); open.put(key, w0); w0
+      case None =>
+        if (open.size >= f.maxOpenWriters) {
+          val (lruKey, lruW) = open.head
+          lruW.close()
+          open.remove(lruKey)
+        }
+        val path = s"${f.dataDir}/b$epochId-p$partitionId-t$taskId-" +
+          s"$fileSeq.parquet"
+        fileSeq += 1
+        val w0 = f.parquet.open(path, partitionId, taskId)
+        open.put(key, w0)
+        files += ((path, tuple))
+        w0
+    }
     w.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    writers.values.foreach(_._1.close())
-    GraftStreamFilesMessage(
-      writers.values.map { case (_, p, t) => (p, t) }.toSeq)
+    open.values.foreach(_.close())
+    open.clear()
+    GraftStreamFilesMessage(files.toSeq)
   }
 
   override def abort(): Unit = {
-    writers.values.foreach { case (w, p, _) =>
-      try w.close() catch { case _: Exception => () }
+    open.values.foreach(w => try w.close() catch { case _: Exception => () })
+    open.clear()
+    files.foreach { case (p, _) =>
       val hp = new Path(p)
       try hp.getFileSystem(f.parquet.hadoopConf).delete(hp, false)
       catch { case _: Exception => () }

@@ -67,6 +67,8 @@ class GraftV2FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("dt", col("s").cast("date"))
       .withColumn("l", unix_micros(col("ts")))
       .withColumn("str", concat(lit("v"), col("s")))
+      // negative decimals must truncate DOWN (unscaled floored mod)
+      .withColumn("dec", ((col("l") % 100000) / 100).cast("decimal(12,2)"))
     def writerCol(t: T.Transform, c: org.apache.spark.sql.Column,
                   dt: org.apache.spark.sql.types.DataType) =
       T.column(t, c, dt, spark)
@@ -93,7 +95,11 @@ class GraftV2FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (expr("graft.system.truncate(5, l)") <=>
         writerCol(T.Truncate(5), col("l"), LongType)).as("t_l"),
       (expr("graft.system.truncate(4, str)") <=>
-        writerCol(T.Truncate(4), col("str"), StringType)).as("t_s"))
+        writerCol(T.Truncate(4), col("str"), StringType)).as("t_s"),
+      (expr("graft.system.truncate(50, dec)") <=>
+        writerCol(T.Truncate(50), col("dec"), DecimalType(12, 2))).as("t_d"),
+      (expr("graft.system.bucket(16, dec)") <=>
+        writerCol(T.Bucket(16), col("dec"), DecimalType(12, 2))).as("b_d"))
     val rows = checked.collect()
     rows.foreach { r =>
       (0 until r.length).foreach { i =>

@@ -25,7 +25,7 @@ class MockS3FileSystem extends RawLocalFileSystem {
   // called during construction (working-dir qualification) before
   // initialize() runs — fall back to a bare scheme URI until then
   override def getUri: URI =
-    if (myUri == null) URI.create("mock-s3:///") else myUri
+    if (myUri == null) URI.create(getScheme + ":///") else myUri
 
   override def getScheme: String = "mock-s3"
 
@@ -58,4 +58,44 @@ class CredentialedMockS3FileSystem extends MockS3FileSystem {
     if (super.getUri.getScheme == "mock-s3") URI.create("vended-s3:///")
     else super.getUri
   override def getScheme: String = "vended-s3"
+}
+
+/** A mock object store that COUNTS every metadata/data round trip —
+  * `getFileStatus`, `listStatus`, `open` — so specs can pin exactly
+  * which storage calls a code path makes. The 100-TB concern: a cold
+  * scan that re-stats files the manifests already measured turns
+  * planning into minutes of object-store round trips; the counter is
+  * how [[ZeroStatPlanningSpec]] proves the scan never does. */
+class CountingMockFileSystem extends MockS3FileSystem {
+  override def getScheme: String = "counting"
+
+  override def getFileStatus(f: Path): FileStatus = {
+    CountingMockFileSystem.record("stat", f)
+    super.getFileStatus(f)
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    CountingMockFileSystem.record("list", f)
+    super.listStatus(f)
+  }
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingMockFileSystem.record("open", f)
+    super.open(f, bufferSize)
+  }
+}
+
+object CountingMockFileSystem {
+  import java.util.concurrent.ConcurrentLinkedQueue
+  private val calls = new ConcurrentLinkedQueue[(String, String)]()
+
+  private[graft] def record(op: String, f: Path): Unit =
+    calls.add((op, f.toString))
+
+  def reset(): Unit = calls.clear()
+
+  def snapshot(): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    calls.asScala.toSeq
+  }
 }
