@@ -50,7 +50,13 @@ object GraftSessions {
     // Iceberg field-id-keyed schema resolution (SURVEY §2.1 S5)
     "spark.sql.parquet.fieldId.read.enabled" -> "true",
     // events.ts is parquet TIMESTAMP(NANOS)
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // storage-partitioned joins (Spark's SPJ opt-in): catalog scans of
+    // partitioned graft tables report KeyGroupedPartitioning, so
+    // co-bucketed joins/aggregations plan with zero Exchange (ib64);
+    // pushPartValues keeps one-sided tuples joinable
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
 
   /** Standard local session builder for the driver harnesses and tests.
     * Installs the graft extensions (TVFs, scalar functions, and the

@@ -1769,8 +1769,72 @@ object IcebergQueries {
               FROM $name""")
           .withColumn("snaps", lit(snaps))
       }
+    ),
+    QueryDef(
+      "ib64_storage_partitioned_join",
+      // STORAGE-PARTITIONED JOIN gate (round 13): two catalog tables
+      // bucket(8)-partitioned on the join key join through the keyed V2
+      // scan (KeyGroupedPartitioning over the catalog-bound bucket
+      // function) — the forced sort-merge join plans with ZERO Exchange
+      // of its own; the single shuffle in the plan is the final one-row
+      // aggregate's. `spj_shuffles` pins that count against the oracle
+      // literal — at 100 TB this is both fact-table shuffles gone.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+               CAST(1 AS INT) AS spj_shuffles
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_linenumber = 1"""),
+      (s, dir) => {
+        val (ot, lt) = spjTables(s, dir)
+        val joined = s.sql(
+          s"""SELECT /*+ MERGE(o) */
+                     COUNT(*) AS cnt,
+                     CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
+                     round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM $ot o JOIN $lt l ON o.o_orderkey = l.l_orderkey""")
+        joined.collect() // finalize the adaptive plan before counting
+        joined.withColumn("spj_shuffles",
+          lit(countShuffles(joined.queryExecution.executedPlan)))
+      }
     )
   )
+
+  /** Exchange nodes in the FINAL adaptive plan (stages resolved). */
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self + children.map(countShuffles).sum
+  }
+
+  /** Bucket(8)-co-partitioned orders + lineitem catalog tables for ib64,
+    * written once per (JVM, sf dir). lineitem is thinned to one line per
+    * order so the gate's collect stays bounded at every sf tier. */
+  private def spjTables(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val key = cachedTable("ib64", dir) { () =>
+      val wh = ensureCatalog(s)
+      val suffix = math.abs(dir.hashCode)
+      graft.iceberg.IcebergWriter.write(
+        graft.Tables.load(s, dir, "orders"),
+        s"$wh/g/spj_orders_$suffix",
+        partitionBy = Seq("o_orderkey" -> "bucket[8]"))
+      graft.iceberg.IcebergWriter.write(
+        graft.Tables.load(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1),
+        s"$wh/g/spj_lines_$suffix",
+        partitionBy = Seq("l_orderkey" -> "bucket[8]"))
+      suffix.toString
+    }
+    (s"graft_cat.g.spj_orders_$key", s"graft_cat.g.spj_lines_$key")
+  }
 
   /** Six-commit identity(dt) events fixture for ib55 — written once per
     * (JVM, sf dir) like [[eventsByDayTable]]; each commit appends one

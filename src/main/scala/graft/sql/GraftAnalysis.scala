@@ -114,7 +114,15 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // The alias wrapper survives; its child becomes the spliced plan.
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
-        splice(r, r.table.asInstanceOf[GraftTable])
+        val t = r.table.asInstanceOf[GraftTable]
+        // Storage-partitioned joins: when Spark's SPJ flag is on and the
+        // table can report KeyGroupedPartitioning faithfully, keep the
+        // V2 relation — the keyed scan (GraftKeyedScan) then lets a
+        // co-partitioned graft⋈graft join plan with zero Exchange,
+        // which the spliced native plan cannot express.
+        if (GraftKeyedScan.enabled(spark) &&
+            GraftKeyedScan.plan(spark, t).isDefined) r
+        else splice(r, t)
     }
   }
 

@@ -711,8 +711,22 @@ object GraftTable {
   * post-scan Filter (the inner plan still sees them when the extension
   * rule is active, which is the performance path). */
 private final class GraftV1ScanBuilder(table: GraftTable)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: Option[StructType] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  // EVERYTHING stays residual (return = the full input): pruning and
+  // row-group filtering are accelerants; Spark re-evaluates the exact
+  // predicate above the scan, so translation gaps can't lose rows.
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // TOP-LEVEL pruning only: Spark may hand a nested-pruned struct
@@ -733,9 +747,15 @@ private final class GraftV1ScanBuilder(table: GraftTable)
     // V1 bridge whenever the table can't claim the grouping faithfully.
     if (GraftKeyedScan.enabled(SparkSession.active)) {
       val spark = SparkSession.active
-      GraftKeyedScan.plan(spark, table).foreach { keyed =>
-        return GraftKeyedV2Scan(spark, table,
-          required.filter(_.nonEmpty).getOrElse(table.tableSchema), keyed)
+      val preds = pushed.toSeq.flatMap(GraftKeyedScan.toPredicates)
+      GraftKeyedScan.plan(spark, table, preds) match {
+        // all files pruned → the native empty scan is simpler than an
+        // empty KeyGroupedPartitioning
+        case Some(keyed) if keyed.groups.nonEmpty =>
+          return GraftKeyedV2Scan(spark, table,
+            required.filter(_.nonEmpty).getOrElse(table.tableSchema),
+            keyed, pushed)
+        case _ => ()
       }
     }
     buildV1()

@@ -53,13 +53,21 @@ object GraftKeyedScan {
   final case class Keyed(
       keyTypes: Seq[DataType],
       // (partition tuple, that tuple's (qualified path, size) files)
-      groups: Seq[(InternalRow, Seq[(String, Long)])])
+      groups: Seq[(InternalRow, Seq[(String, Long)])],
+      // manifest-known totals (post-pruning) → SupportsReportStatistics,
+      // so join sizing sees the relation's true size (P5), not the V2
+      // default of "unknown = huge"
+      totalRows: Long, totalBytes: Long)
 
   /** The keyed plan, or None when this table/snapshot cannot claim
     * KeyGroupedPartitioning faithfully. Metadata reads go through the
     * planning caches, so the splice-skip check and the scan build share
-    * one decode. */
-  def plan(spark: SparkSession, t: GraftTable): Option[Keyed] = {
+    * one decode. `preds` (pushed filters) prune entries exactly like the
+    * native path — never semantics, only file count, since Spark keeps
+    * the full residual filter. */
+  def plan(spark: SparkSession, t: GraftTable,
+           preds: Seq[graft.iceberg.IcebergPruning.ColPredicate] = Seq.empty)
+      : Option[Keyed] = {
     if (t.partitionFields.isEmpty) return None
     if (t.opts.rowLineage || t.opts.keepProvenance ||
         t.opts.filters.nonEmpty || t.opts.mode != "default") return None
@@ -89,11 +97,14 @@ object GraftKeyedScan {
     // the keyed grouping claim would still hold, but the native path is
     // the one wired for correctness there — stay on it
     if (live.exists(_.content != 0)) return None
-    val data = live
-    if (data.isEmpty) return None
-    if (data.exists(e =>
+    if (live.isEmpty) return None
+    if (live.exists(e =>
         !e.fileFormat.equalsIgnoreCase("PARQUET") || e.fileSizeInBytes <= 0L))
       return None
+    // entry-level pruning from the pushed filters (partition tuples +
+    // column bounds) — the same keep/skip the native path runs
+    val data = graft.iceberg.IcebergPruning.prune(
+      live, preds, snapshot.partitionSpec, snapshot.schema)
     def qualify(p: String): String = IcebergIO.qualified(p, conf)
     val keyedFiles: Seq[(Seq[Any], (String, Long))] = data.map { e =>
       val vs = t.partitionFields.zip(keyTypes).map { case ((pf, _), kt) =>
@@ -110,7 +121,37 @@ object GraftKeyedScan {
     val groups = keyedFiles.groupBy(_._1).toSeq.map { case (vs, fs) =>
       (new GenericInternalRow(vs.toArray): InternalRow, fs.map(_._2))
     }
-    Some(Keyed(keyTypes, groups))
+    Some(Keyed(keyTypes, groups,
+      totalRows = data.map(_.recordCount).sum,
+      totalBytes = data.map(_.fileSizeInBytes).sum))
+  }
+
+  /** V2 source Filters → pruning predicates. Untranslatable shapes
+    * extract NOTHING (conservative keep) — Spark always re-evaluates the
+    * full residual, so translation can only skip files, never rows.
+    * Value domains pass through verbatim; IcebergPruning.normalize
+    * already tolerates external types (java.sql.Date, LocalDate,
+    * BigDecimal, String), and an unrecognized value normalizes to None
+    * = keep. */
+  def toPredicates(f: org.apache.spark.sql.sources.Filter)
+      : Seq[graft.iceberg.IcebergPruning.ColPredicate] = {
+    import org.apache.spark.sql.{sources => s}
+    import graft.iceberg.{IcebergPruning => P}
+    def one(c: String, op: P.Op, v: Any) = Seq(P.ColPredicate(c, op, v))
+    f match {
+      case s.EqualTo(c, v) => one(c, P.Eq, v)
+      case s.EqualNullSafe(c, null) => one(c, P.IsNull, null)
+      case s.EqualNullSafe(c, v) => one(c, P.Eq, v)
+      case s.LessThan(c, v) => one(c, P.Lt, v)
+      case s.LessThanOrEqual(c, v) => one(c, P.Le, v)
+      case s.GreaterThan(c, v) => one(c, P.Gt, v)
+      case s.GreaterThanOrEqual(c, v) => one(c, P.Ge, v)
+      case s.In(c, vs) => one(c, P.In, vs.toSeq)
+      case s.IsNull(c) => one(c, P.IsNull, null)
+      case s.IsNotNull(c) => one(c, P.NotNull, null)
+      case s.And(l, r) => toPredicates(l) ++ toPredicates(r)
+      case _ => Seq.empty
+    }
   }
 
   /** Manifest Avro-domain partition value → Catalyst value of the
@@ -142,12 +183,23 @@ private final class GraftKeyedFilePartition(
   * conf — the same reader the native path's relation uses). */
 private final class GraftKeyedV2Scan(
     spark: SparkSession, table: GraftTable, schema: StructType,
-    keyed: GraftKeyedScan.Keyed)
-    extends Scan with Batch with SupportsReportPartitioning {
+    keyed: GraftKeyedScan.Keyed,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(keyed.totalBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(keyed.totalRows)
+    }
 
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-keyed ${table.name()} (${keyed.groups.size} partition tuples)"
+    s"graft-keyed ${table.name()} (${keyed.groups.size} partition tuples)" +
+      (if (filters.isEmpty) "" else s" PushedFilters: ${filters.mkString(", ")}")
   override def toBatch: Batch = this
 
   override def outputPartitioning(): Partitioning =
@@ -166,15 +218,42 @@ private final class GraftKeyedV2Scan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
     val sqlConf = spark.sessionState.conf
+    // the exact conf hand-off Spark's own ParquetScan.createReaderFactory
+    // performs — the read-support class and requested schema ride the
+    // broadcast Hadoop conf, not the factory's constructor
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, schema.json)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
     val broadcasted = spark.sparkContext.broadcast(
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(hadoopConf))
     ParquetPartitionReaderFactory(
       sqlConf, broadcasted,
       dataSchema = table.tableSchema,
       readDataSchema = schema,
       partitionSchema = new StructType(),
-      filters = Array.empty,
+      // row-group/page pruning inside the parquet reader; rows still
+      // pass through Spark's residual Filter above the scan
+      filters = filters,
       aggregation = None,
       options = new ParquetOptions(
         Map.empty[String, String], sqlConf))
@@ -183,6 +262,8 @@ private final class GraftKeyedV2Scan(
 
 private[sql] object GraftKeyedV2Scan {
   def apply(spark: SparkSession, table: GraftTable, schema: StructType,
-            keyed: GraftKeyedScan.Keyed): Scan =
-    new GraftKeyedV2Scan(spark, table, schema, keyed)
+            keyed: GraftKeyedScan.Keyed,
+            filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : Scan =
+    new GraftKeyedV2Scan(spark, table, schema, keyed, filters)
 }
