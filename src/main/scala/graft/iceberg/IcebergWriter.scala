@@ -2561,13 +2561,28 @@ object IcebergWriter {
     * [[graft.streaming.IcebergStreamSink]]: a replayed epoch whose id is
     * already committed deletes its re-written files and returns. With
     * `replaceAll` (streaming `complete` output mode), each commit is a
-    * full-table overwrite: previous manifests are not carried forward. */
+    * full-table overwrite: previous manifests are not carried forward.
+    *
+    * With `upsertKeys` (streaming CDC-apply, `update` output mode + the
+    * `upsert-keys` writer option), each epoch commits the [[merge]] shape
+    * instead of a plain append: an equality-delete file on the epoch's
+    * key values plus the epoch's data files in the SAME snapshot — the
+    * delete's sequence number scopes it to strictly-older data, so each
+    * epoch's rows replace the previous version of their key without
+    * rewriting any file. Commit cost stays O(epoch), independent of
+    * table size — continuous keyed ingestion at 100 TB. The key columns
+    * are re-read from the epoch's OWN parquet files (one bounded
+    * distributed job over exactly the new files; nothing row-shaped
+    * returns to the driver). */
   private[graft] def commitStreamBatch(
       spark: SparkSession, path: String,
       files: Seq[(String, Map[String, Any])],
       batchKey: String, batchId: Long,
       replaceAll: Boolean = false,
-      branch: String = "main"): Unit = {
+      branch: String = "main",
+      upsertKeys: Seq[String] = Seq.empty): Unit = {
+    require(upsertKeys.isEmpty || !replaceAll,
+      "streaming upsert: complete output mode cannot combine with upsert-keys")
     val conf = spark.sessionState.newHadoopConf()
     def dropFiles(): Unit = files.foreach { case (p, _) =>
       val hp = new Path(p)
@@ -2617,6 +2632,40 @@ object IcebergWriter {
       })
     writeManifest(manifestPath, conf, dataEntries,
       spec.map(sf => (sf.fieldName, sf.avroType)))
+    // CDC-apply epoch: equality delete on the epoch's keys, committed in
+    // the same snapshot as the data (merge's proven commit shape). Key
+    // columns come back off the epoch's own files — a bounded job.
+    val deleteManifest: Option[Manifest] =
+      if (upsertKeys.isEmpty || written.isEmpty) None
+      else {
+        require(upsertKeys.toSet.subsetOf(schema.fieldNames.toSet),
+          s"streaming upsert: key columns $upsertKeys must be table columns " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        val keyDf = spark.read.schema(schema)
+          .parquet(written.map(_.path): _*)
+          .select(upsertKeys.map(col): _*)
+        val (delPath, distinctKeys) = writeEqualityDeleteManifest(
+          conf, path, snapshotId, keyDf, latest.schema,
+          s"snap-$snapshotId-${commitToken()}-m1.avro")
+        // "each source row replaces the row with its key" is only
+        // coherent with ONE row per key per epoch (same rule as merge's
+        // batch upsert) — both versions would otherwise survive, since
+        // the delete only reaches strictly-older sequence numbers.
+        // Detected from the delete files' own footers: distinct keys <
+        // epoch rows means a duplicate. Nothing was committed; drop the
+        // epoch's files so the stream fails clean and replayable.
+        if (distinctKeys < written.map(_.count).sum) {
+          dropFiles()
+          val fs = new Path(path).getFileSystem(conf)
+          try fs.delete(new Path(path, s"data/snap-$snapshotId-eqdeletes"), true)
+          catch { case _: Exception => () }
+          throw new IllegalStateException(
+            s"streaming upsert: epoch $batchId carries more than one row for " +
+              s"the same key $upsertKeys — deduplicate the feed (e.g. " +
+              "aggregate per key in update mode) before the sink")
+        }
+        Some(Manifest(delPath.toString, seq, content = 1))
+      }
     val prevManifests: Seq[Manifest] =
       if (replaceAll || state.snapshots.isEmpty) Seq.empty
       else {
@@ -2631,8 +2680,10 @@ object IcebergWriter {
       "added-files-size" -> written.map(_.sizeBytes).sum.toString,
       batchKey -> batchId.toString)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      prevManifests :+ Manifest(manifestPath.toString, seq, 0), spec,
-      operation = if (replaceAll) "overwrite" else "append",
+      (prevManifests :+ Manifest(manifestPath.toString, seq, 0)) ++ deleteManifest,
+      spec,
+      operation =
+        if (replaceAll || deleteManifest.nonEmpty) "overwrite" else "append",
       summary = stdSummary, branch = branch, rowRange = rowRange): Unit
   }
 
@@ -3916,7 +3967,7 @@ object IcebergWriter {
 
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
-    val manifestPath = writeEqualityDeleteManifest(
+    val (manifestPath, _) = writeEqualityDeleteManifest(
       conf, path, snapshotId, keys, latest.schema,
       s"snap-$snapshotId-${commitToken()}-m0.avro")
     val prevManifests = ManifestReader.readManifestList(
@@ -3931,11 +3982,14 @@ object IcebergWriter {
     * columns are cast to the TABLE's declared types and stamped with
     * `parquet.field.id` footer metadata (Iceberg spec: delete files carry
     * field ids like data files) so id-keyed readers — including our own
-    * grouped MoR scan — resolve them across renames and type widening. */
+    * grouped MoR scan — resolve them across renames and type widening.
+    * Returns (manifest path, DISTINCT key count) — the count lets the
+    * streaming upsert detect intra-epoch duplicate keys from the delete
+    * files' own footers, without a second aggregation job. */
   private def writeEqualityDeleteManifest(
       conf: Configuration, path: String, snapshotId: Long,
       keys: DataFrame, tableCols: Seq[IcebergModel.Column],
-      manifestName: String): Path = {
+      manifestName: String): (Path, Long) = {
     val delDir = new Path(path, s"data/snap-$snapshotId-eqdeletes")
     val byName = tableCols.map(c => c.name -> c).toMap
     val idByName = tableCols.map(c => c.name -> c.id).toMap
@@ -3967,7 +4021,7 @@ object IcebergWriter {
         lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets, nullCounts = w.nulls, nanCounts = w.nans,
         equalityIds = eqIds)
     })
-    manifestPath
+    (manifestPath, files.map(_.count).sum)
   }
 
   /** Row-level UPDATE, merge-on-read, in ONE snapshot: matching rows are
@@ -4116,7 +4170,7 @@ object IcebergWriter {
 
       // Equality delete on the source keys. Keys with no current match are
       // harmless no-ops at read time, so no existence probe is needed.
-      val delManifest = writeEqualityDeleteManifest(
+      val (delManifest, _) = writeEqualityDeleteManifest(
         conf, path, snapshotId, src.select(keyCols.map(col): _*), latest.schema,
         s"snap-$snapshotId-${commitToken()}-m1.avro")
 

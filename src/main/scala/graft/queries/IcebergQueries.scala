@@ -1771,6 +1771,65 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib63_streaming_upsert",
+      // STREAMING CDC-APPLY gate (round 13): a keyed change feed streams
+      // through writeStream.outputMode("update") + upsert-keys into a
+      // catalog table — each epoch commits an equality delete on its key
+      // values plus its data files in ONE snapshot (merge's O(epoch)
+      // shape; no file rewritten). Epoch 2 re-keys a subset of epoch 1,
+      // so the final table is last-writer-wins; the oracle replays that
+      // relationally. `snaps` pins create + 2 epochs.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               round(CAST(sum(CAST(CASE WHEN o_orderkey % 102 = 0
+                     THEN 2 * CAST(o_totalprice AS DOUBLE)
+                     ELSE CAST(o_totalprice AS DOUBLE) END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+               CAST(3 AS BIGINT) AS snaps
+        FROM orders WHERE o_orderkey % 51 = 0"""),
+      (s, dir) => {
+        val name = cachedTable("ib63", dir) { () =>
+          ensureCatalog(s)
+          val n = s"graft_cat.g.upsert_${math.abs(dir.hashCode)}"
+          s.sql(s"CREATE TABLE $n (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)")
+          val rows = graft.Tables.load(s, dir, "orders")
+            .filter(col("o_orderkey") % 51 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double"))
+            .collect() // bounded gate fixture (~300 rows at sf0.01)
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          import s.implicits._
+          implicit val ctx = s.sqlContext
+          val in = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Long, Double)]
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_ib63_ckpt_").toString
+          val q = in.toDF().toDF("o_orderkey", "o_custkey", "price")
+            .writeStream.outputMode("update")
+            .option("upsert-keys", "o_orderkey")
+            .option("checkpointLocation", ckpt).toTable(n)
+          try {
+            in.addData(rows.toSeq); q.processAllAvailable()
+            // CDC epoch: doubled price for every key divisible by 102 —
+            // replaces those keys' epoch-1 rows via the equality delete
+            in.addData(rows.toSeq.collect {
+              case (k, c, p) if k % 102 == 0 => (k, c, 2 * p)
+            }); q.processAllAvailable()
+          } finally q.stop()
+          n
+        }
+        val wh = ensureCatalog(s)
+        val path = s"$wh/g/upsert_${math.abs(dir.hashCode)}"
+        val snaps = IcebergScan.snapshots(s, path).count()
+        s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM $name""")
+          .withColumn("snaps", lit(snaps))
+      }
+    ),
+    QueryDef(
       "ib64_storage_partitioned_join",
       // STORAGE-PARTITIONED JOIN gate (round 13): two catalog tables
       // bucket(8)-partitioned on the join key join through the keyed V2

@@ -791,7 +791,12 @@ private final class GraftV1ScanBuilder(table: GraftTable)
   * takes MoR position tombstones), so readers never observe a
   * truncated intermediate. */
 private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    // streaming `update` output mode reaches build() unchanged (Spark's
+    // V2Writes requires this marker for update); the actual upsert
+    // semantics are keyed by the `upsert-keys` option below — without
+    // it, update-mode rows append, the marker's documented contract
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   // None = plain append; Some(cond) = atomic overwrite of matching rows
   private var overwriteCond: Option[Column] = None
   private var truncateAll = false
@@ -876,17 +881,30 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
 
     // writeStream.toTable / format("graft") streaming sinks: append
     // mode per-epoch appends; complete mode (signaled via truncate())
-    // per-epoch full-table overwrites. A FILTERED streaming overwrite
-    // has no defined semantics here — fail loudly.
+    // per-epoch full-table overwrites; update mode + `upsert-keys`
+    // per-epoch CDC-apply (equality-delete + append in one snapshot).
+    // A FILTERED streaming overwrite has no defined semantics here —
+    // fail loudly.
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (overwriteCond.isDefined && !truncateAll)
         throw new UnsupportedOperationException(
-          "streaming write: only append and complete (truncate) modes " +
-            "are supported on graft tables")
+          "streaming write: only append, complete (truncate), and " +
+            "update-with-upsert-keys modes are supported on graft tables")
+      // writer option first; the table property is the durable form a
+      // CDC pipeline sets once (`write.upsert.key-columns`)
+      val upsertKeys = Option(info.options.get("upsert-keys"))
+        .orElse(table.props.get("write.upsert.key-columns"))
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      if (upsertKeys.nonEmpty && truncateAll)
+        throw new UnsupportedOperationException(
+          "streaming write: complete output mode cannot combine with " +
+            "upsert-keys (a full-table overwrite already replaces every key)")
       new graft.streaming.GraftStreamingWrite(
         spark => op => table.withWrite(spark)(root => op(root)),
-        table.path, info, replaceAll = truncateAll)
+        table.path, info, replaceAll = truncateAll,
+        upsertKeys = upsertKeys)
     }
   }
 }

@@ -37,9 +37,15 @@ import graft.iceberg.IcebergWriter
   * by a manifest and are reclaimable by `remove_orphan_files`.
   *
   * `complete` output mode maps to a full-table overwrite per epoch
-  * (Spark signals it through `SupportsTruncate.truncate()`); `update`
-  * mode is rejected by Spark itself (no streaming-update-as-append
-  * declared), never silently misapplied.
+  * (Spark signals it through `SupportsTruncate.truncate()`).
+  *
+  * CDC-apply (upsert) streaming: with `upsertKeys` (the `upsert-keys`
+  * writer option, typically with `update` output mode), each epoch
+  * commits an equality delete on its key values plus its data files in
+  * ONE snapshot ([[IcebergWriter.commitStreamBatch]]'s merge shape) —
+  * every epoch row replaces the current row of its key without
+  * rewriting a single file, and the epoch-id fence makes replays
+  * no-ops exactly as in append mode.
   */
 final class GraftStreamingWrite(
     // resolution + commit context (root for hadoop tables; commitThrough
@@ -49,7 +55,16 @@ final class GraftStreamingWrite(
     // metadata-resolving location (table root, or the REST read pin)
     tableLocation: String,
     info: LogicalWriteInfo,
-    replaceAll: Boolean) extends StreamingWrite {
+    replaceAll: Boolean,
+    upsertKeys: Seq[String] = Seq.empty) extends StreamingWrite {
+
+  // fail at stream START, not first commit: unknown key columns are a
+  // configuration error the user should see before any file is written
+  upsertKeys.foreach { k =>
+    require(info.schema().fieldNames.contains(k),
+      s"streaming upsert: key column '$k' is not in the write schema " +
+        s"(${info.schema().fieldNames.mkString(", ")})")
+  }
 
   private def batchKey: String =
     IcebergStreamSink.batchIdKey("v2-" + info.queryId())
@@ -99,7 +114,8 @@ final class GraftStreamingWrite(
     val spark = SparkSession.active
     withWrite(spark) { root =>
       IcebergWriter.commitStreamBatch(
-        spark, root, files, batchKey, epochId, replaceAll = replaceAll)
+        spark, root, files, batchKey, epochId, replaceAll = replaceAll,
+        upsertKeys = upsertKeys)
     }
   }
 

@@ -332,4 +332,59 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergScan.changelog(spark, table,
       snaps(snaps.length - 2), Some(snaps.last)).count() === 0)
   }
+
+  test("branch-aware retention: WAP branch survives a main-line expire " +
+      "per the per-ref property matrix") {
+    // The write-audit-publish shape: snapshots staged on a branch must
+    // outlive an aggressive main-line retention sweep — per-ref policies
+    // (min-snapshots-to-keep / max-snapshot-age-ms) protect the branch's
+    // PRE-FORK ancestors too, and a lapsed ref (max-ref-age-ms) releases
+    // everything it pinned.
+    val table = tmp("graft_wap_ret_") + "/t"
+    IcebergWriter.write(idsDF(1L), table)                   // s1 (main)
+    IcebergWriter.write(idsDF(2L), table)                   // s2 (main)
+    IcebergWriter.write(idsDF(3L), table)                   // s3 (main)
+    IcebergWriter.createBranch(spark, table, "wap")         // head = s3
+    IcebergWriter.write(idsDF(4L), table, branch = "wap")   // s4 (staged)
+    IcebergWriter.write(idsDF(5L), table, branch = "wap")   // s5 (staged)
+    IcebergWriter.write(idsDF(6L), table)                   // s6 (main)
+    // wap's newest 3 ancestors = s5, s4 and the PRE-FORK s3 — the policy
+    // must reach across the fork point, not stop at staged commits
+    IcebergWriter.setRefRetention(spark, table, "wap",
+      minSnapshotsToKeep = Some(3))
+    val now = System.currentTimeMillis() + 10000
+    val dropped = IcebergWriter.expireSnapshotsOlderThan(
+      spark, table, olderThanMs = now, nowMs = now)
+    // expire-everything sweep: only main's pre-fork history (s1, s2) may
+    // go — s6 is the protected main head, s5/s4 staged WAP lineage,
+    // s3 kept by the branch's min-snapshots-to-keep
+    assert(dropped === 2)
+    val ids = IcebergScan.snapshots(spark, table)
+      .orderBy("sequence_number").collect().map(_.getAs[Long]("snapshot_id"))
+    assert(ids.length === 4)
+    // the branch still reads its full staged state (5 rows: s1..s5 appends
+    // minus the expired... appends accumulate, so wap sees 1..5)
+    val wapRows = IcebergScan.scan(spark, table,
+      IcebergScan.Options(snapshotFromRef = Some("wap")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(wapRows === Set(1L, 2L, 3L, 4L, 5L))
+    // main unaffected by the branch: 1,2,3,6
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 6L))
+    // the fork-point ancestor s3 time-travel-resolves (policy kept it)
+    assert(ids.contains(ids.sorted.apply(0)))
+    // Now the ref lapses: max-ref-age 0 drops the branch AND its staged
+    // snapshots in the same sweep — the pinned history frees
+    IcebergWriter.setRefRetention(spark, table, "wap",
+      maxRefAgeMs = Some(0L))
+    val now2 = System.currentTimeMillis() + 10000
+    val dropped2 = IcebergWriter.expireSnapshotsOlderThan(
+      spark, table, olderThanMs = now2, nowMs = now2)
+    val info = IcebergScan.loadInfo(spark, table)
+    assert(!info.refs.contains("wap"))
+    assert(dropped2 === 3) // s3, s4, s5 — nothing pins them anymore
+    assert(IcebergScan.snapshots(spark, table).count() === 1) // s6 only
+    assert(IcebergScan.scan(spark, table)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 6L))
+  }
 }
