@@ -1155,7 +1155,7 @@ object IcebergQueries {
       // predicate; count + decimal-exact sum vs the source oracle).
       Some("""
         SELECT CAST(TRUE AS BOOLEAN) AS pruned, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM orders
         WHERE o_custkey <= 500
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1265,7 +1265,7 @@ object IcebergQueries {
       Some("""
         SELECT CAST(TRUE AS BOOLEAN) AS zero_copy, l_returnflag,
                COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+               CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag"""),
@@ -1317,7 +1317,7 @@ object IcebergQueries {
       Some("""
         SELECT CAST(TRUE AS BOOLEAN) AS zero_copy, o_orderstatus,
                COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus"""),
@@ -1358,7 +1358,7 @@ object IcebergQueries {
                           ELSE value END AS value
           FROM e)
         SELECT dt, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+               CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_v
         FROM merged GROUP BY dt ORDER BY dt"""),
       (s, dir) => {
         val table = cachedTable("ib53", dir) { () =>
@@ -1397,7 +1397,7 @@ object IcebergQueries {
       Some("""
         SELECT 'AVRO' AS data_format, o_orderpriority,
                COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         FROM orders WHERE o_orderstatus <> 'F'
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       (s, dir) => {
@@ -1473,7 +1473,7 @@ object IcebergQueries {
       Some("""
         SELECT CAST(1 AS BIGINT) AS emitted_matches_result,
                COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         FROM orders WHERE o_orderstatus = 'F' AND o_custkey <= 500"""),
       (s, dir) => {
         val table = cachedTable("ib56", dir) { () =>
@@ -1559,7 +1559,7 @@ object IcebergQueries {
           UNION ALL SELECT * FROM ins)
         SELECT COUNT(*) AS cnt,
                CAST(sum(k) AS BIGINT) AS key_sum,
-               round(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+               CAST(round(sum(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         FROM final"""),
       (s, dir) => {
         val name = cachedTable("ib61", dir) { () =>
@@ -1591,7 +1591,7 @@ object IcebergQueries {
         s.sql(
           s"""SELECT COUNT(*) AS cnt,
                      CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+                     CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               FROM $name""")
       }
     ),
@@ -1650,7 +1650,7 @@ object IcebergQueries {
       Some("""
         SELECT o_orderpriority,
                COUNT(*) AS cnt,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         FROM orders WHERE o_custkey % 10 = 3
         GROUP BY o_orderpriority"""),
       (s, dir) => {
@@ -1658,7 +1658,7 @@ object IcebergQueries {
         s.sql(
           s"""SELECT o_orderpriority,
                      COUNT(*) AS cnt,
-                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+                     CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               FROM $name WHERE o_custkey % 10 = 3
               GROUP BY o_orderpriority""")
       }
@@ -1689,7 +1689,7 @@ object IcebergQueries {
           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM msrc))
         SELECT COUNT(*) AS cnt,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-               round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+               CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         FROM merged"""),
       (s, dir) => {
         val name = cachedTable("ib59", dir) { () =>
@@ -1716,7 +1716,7 @@ object IcebergQueries {
         s.sql(
           s"""SELECT COUNT(*) AS cnt,
                      CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+                     CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               FROM $name""")
       }
     ),
@@ -1730,7 +1730,7 @@ object IcebergQueries {
       Some("""
         SELECT COUNT(*) AS cnt,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-               round(CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+               CAST(round(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
                CAST(3 AS BIGINT) AS snaps
         FROM orders WHERE o_orderkey % 31 = 0"""),
       (s, dir) => {
@@ -1765,7 +1765,7 @@ object IcebergQueries {
         s.sql(
           s"""SELECT COUNT(*) AS cnt,
                      CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+                     CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               FROM $name""")
           .withColumn("snaps", lit(snaps))
       }
@@ -1782,9 +1782,9 @@ object IcebergQueries {
       Some("""
         SELECT COUNT(*) AS cnt,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-               round(CAST(sum(CAST(CASE WHEN o_orderkey % 102 = 0
+               CAST(round(sum(CAST(CASE WHEN o_orderkey % 102 = 0
                      THEN 2 * CAST(o_totalprice AS DOUBLE)
-                     ELSE CAST(o_totalprice AS DOUBLE) END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+                     ELSE CAST(o_totalprice AS DOUBLE) END AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
                CAST(3 AS BIGINT) AS snaps
         FROM orders WHERE o_orderkey % 51 = 0"""),
       (s, dir) => {
@@ -1824,7 +1824,7 @@ object IcebergQueries {
         s.sql(
           s"""SELECT COUNT(*) AS cnt,
                      CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-                     round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+                     CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               FROM $name""")
           .withColumn("snaps", lit(snaps))
       }
@@ -1841,7 +1841,7 @@ object IcebergQueries {
       Some("""
         SELECT COUNT(*) AS cnt,
                CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
-               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
                CAST(1 AS INT) AS spj_shuffles
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE l.l_linenumber = 1"""),
@@ -1851,7 +1851,7 @@ object IcebergQueries {
           s"""SELECT /*+ MERGE(o) */
                      COUNT(*) AS cnt,
                      CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
-                     round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+                     CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               FROM $ot o JOIN $lt l ON o.o_orderkey = l.l_orderkey""")
         joined.collect() // finalize the adaptive plan before counting
         joined.withColumn("spj_shuffles",

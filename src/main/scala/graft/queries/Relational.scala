@@ -30,11 +30,17 @@ object Relational {
     * backs wide sums with int128), so never surface this type in output. */
   private def dsum(e: Column): Column = sum(e.cast(DecimalType(18, 6)))
 
-  /** Output form of a decimal sum: exact sum, then one double cast rounded
-    * at 1e-2 so the engines' decimal→double 1-ulp cast wobble is absorbed.
-    * Mirrors `round(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 2)`. */
+  /** Output form of a decimal sum: round the EXACT decimal at 1e-2, THEN
+    * cast to double. Rounding must happen in the decimal domain — a sum
+    * landing exactly on a half-cent (549463674.4350, sf1 q04) rounds
+    * differently per engine once it has passed through a double (Spark's
+    * round(double) re-derives the shortest decimal and sees the tie;
+    * DuckDB rounds the binary value sitting just below it). The final
+    * decimal(…,2)→double cast is the correctly-rounded nearest double in
+    * both engines, so the surfaced value is bit-identical.
+    * Mirrors `CAST(round(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)`. */
   private[queries] def dsumOut(e: Column): Column =
-    round(dsum(e).cast("double"), 2)
+    round(dsum(e), 2).cast("double")
 
   /** Deterministic average surfaced as a rounded double. */
   private def davg(e: Column): Column =
@@ -49,10 +55,10 @@ object Relational {
       // TPC-H Q1 shape: group-by agg with sum/avg/count over lineitem.
       Some("""
         SELECT l_returnflag, l_linestatus,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+               CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
                round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
                COUNT(*) AS count_order
@@ -80,7 +86,7 @@ object Relational {
       // TPC-H Q6 shape: selective filter + single exact aggregate; the
       // filter must reach the parquet scan as a pushed predicate.
       Some("""
-        SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -104,7 +110,7 @@ object Relational {
       Some("""
         SELECT c_mktsegment,
                COUNT(*) AS order_cnt,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment"""),

@@ -19,7 +19,8 @@ object Relational2 {
   private def dsumOut(e: Column): Column = Relational.dsumOut(e)
 
   /** Same, rounded at 1e-4 for small-magnitude (events.value) sums. */
-  private def dsumOut4(e: Column): Column = round(dsum(e).cast("double"), 4)
+  // round in the DECIMAL domain, then cast — see Relational.dsumOut
+  private def dsumOut4(e: Column): Column = round(dsum(e), 4).cast("double")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -27,7 +28,7 @@ object Relational2 {
       // TPC-H Q5 shape: 5-way join through two dimension chains.
       Some("""
         SELECT n_name,
-               round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+               CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -86,7 +87,7 @@ object Relational2 {
       "q08_outer_join_agg",
       Some("""
         SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-               round(CAST(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+               CAST(round(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
         ORDER BY c_custkey"""),
@@ -127,9 +128,9 @@ object Relational2 {
       "q10_window_running",
       Some("""
         SELECT o_custkey, o_orderkey,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
                rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
                lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         FROM orders
@@ -140,8 +141,8 @@ object Relational2 {
           .select(
             col("o_custkey"), col("o_orderkey"),
             round(sum(col("o_totalprice").cast(DecimalType(18, 6)))
-              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("double"), 2)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+              2).cast("double")
               .as("running_total"),
             rank().over(w).as("rk"),
             lag(col("o_totalprice"), 1).over(w).as("prev_price"))
@@ -270,7 +271,7 @@ object Relational2 {
       "q18_rollup",
       Some("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+               CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
@@ -329,7 +330,7 @@ object Relational2 {
       "q22_not_exists",
       Some("""
         SELECT c_mktsegment, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS bal
+               CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
         FROM customer
         WHERE c_acctbal > 0 AND NOT EXISTS (
           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
@@ -347,7 +348,7 @@ object Relational2 {
       "q24_cube",
       Some("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+               CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
@@ -363,7 +364,7 @@ object Relational2 {
       // expresses: per-returnflag totals alongside per-linestatus totals
       Some("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+               CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
@@ -384,7 +385,7 @@ object Relational2 {
       Some("""
         SELECT o_orderkey,
                COUNT(*) OVER w AS cnt_30d,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS sum_30d
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS sum_30d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -399,8 +400,8 @@ object Relational2 {
             datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
           .select(col("o_orderkey"),
             count(lit(1)).over(w).as("cnt_30d"),
-            round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
-              .cast("double"), 2).as("sum_30d"))
+            round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+              .cast("double").as("sum_30d"))
           .orderBy("o_orderkey")
       }
     ),
@@ -444,7 +445,7 @@ object Relational2 {
                  make_timestamp(2024, 1, CAST(range + 1 AS INT), 18, 0, 0) AS hi
           FROM range(0, 30, 3))
         SELECT wid, COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+               CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         FROM events e JOIN w
           ON CAST(e.ts AS TIMESTAMP) >= w.lo AND CAST(e.ts AS TIMESTAMP) < w.hi
         GROUP BY wid ORDER BY wid"""),
@@ -510,7 +511,7 @@ object Relational2 {
       Some("""
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
                COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+               CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2 ORDER BY hour, event_type"""),
       (s, dir) =>
@@ -772,7 +773,7 @@ object Relational2 {
           FROM marked)
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                MIN(us) AS start_us, MAX(us) AS end_us,
-               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+               CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         FROM sessions
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq"""),
