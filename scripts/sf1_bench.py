@@ -60,11 +60,14 @@ def main(sfdir, verify_out, spark_bench, out, prev_bench=None):
         # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
         if "queries" not in prev and isinstance(prev.get("parsed"), dict):
             prev = prev["parsed"]
-        prev_base = json.load(open("BASELINE_DUCKDB.json"))
-        for n in names:
-            ps, pd = prev["queries"].get(n), prev_base["queries"].get(n)
-            if ps and pd and ps > 0 and pd > 0:
-                prev_ratio[n] = ps / pd
+        # a driver artifact whose bench line failed to parse carries
+        # parsed: null — skip the degradation compare rather than crash
+        if isinstance(prev.get("queries"), dict):
+            prev_base = json.load(open("BASELINE_DUCKDB.json"))
+            for n in names:
+                ps, pd = prev["queries"].get(n), prev_base["queries"].get(n)
+                if ps and pd and ps > 0 and pd > 0:
+                    prev_ratio[n] = ps / pd
 
     rows = {}
     flagged = []

@@ -190,12 +190,18 @@ object Bench {
                   else sortedRounds((sortedRounds.size - 1) / 2)
                 val (kept, contendedRounds) =
                   perRound.partition(_ <= medRound * 3.0)
+                // the exclusion count is reported whenever anything was
+                // excluded, even if too few clean rounds remain for a
+                // min/max band — a heavily-contended run must not look
+                // like a run that simply had few rounds
+                val excludedPart =
+                  if (contendedRounds.isEmpty) ""
+                  else s""","contended_rounds_excluded":${contendedRounds.size}"""
                 val pairedPart =
-                  if (kept.size < 2) ""
+                  if (kept.size < 2) excludedPart
                   else s""","vs_baseline_same_work_min":${
                     "%.3f".formatLocal(java.util.Locale.ROOT, kept.min)},"vs_baseline_same_work_max":${
-                    "%.3f".formatLocal(java.util.Locale.ROOT, kept.max)},"contended_rounds_excluded":${
-                    contendedRounds.size}"""
+                    "%.3f".formatLocal(java.util.Locale.ROOT, kept.max)}$excludedPart"""
                 s""","same_work_queries":${joint.size},"same_work_duckdb_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, d)},"same_work_spark_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, s)},"vs_baseline_same_work":${

@@ -2580,14 +2580,22 @@ object IcebergWriter {
       batchKey: String, batchId: Long,
       replaceAll: Boolean = false,
       branch: String = "main",
-      upsertKeys: Seq[String] = Seq.empty): Unit = {
+      upsertKeys: Seq[String] = Seq.empty,
+      // CDC tombstones: executor-written keys-only parquet scratch files
+      // (rows the change column marked 'delete'). Their keys join the
+      // epoch's equality delete; the files themselves are never part of
+      // the table and are removed before this method returns.
+      tombstoneFiles: Seq[String] = Seq.empty): Unit = {
     require(upsertKeys.isEmpty || !replaceAll,
       "streaming upsert: complete output mode cannot combine with upsert-keys")
+    require(tombstoneFiles.isEmpty || upsertKeys.nonEmpty,
+      "streaming upsert: tombstones require upsert keys")
     val conf = spark.sessionState.newHadoopConf()
-    def dropFiles(): Unit = files.foreach { case (p, _) =>
+    def drop(ps: Seq[String]): Unit = ps.foreach { p =>
       val hp = new Path(p)
       try hp.getFileSystem(conf).delete(hp, false) catch { case _: Exception => () }
     }
+    def dropFiles(): Unit = drop(files.map(_._1) ++ tombstoneFiles)
     // ONE metadata load per epoch: the replay check reads the summaries
     // off the same parsed state the commit uses (a separate
     // maxSummaryValue call would re-read metadata.json)
@@ -2599,10 +2607,21 @@ object IcebergWriter {
     if (committed) { dropFiles(); return }
     // append mode: an empty epoch commits nothing (replay check is >=, so
     // skipping keeps idempotence). complete mode: an EMPTY epoch is a
-    // full-table TRUNCATE — the latest complete result is the table.
-    if (files.isEmpty && !replaceAll) return
+    // full-table TRUNCATE — the latest complete result is the table. A
+    // tombstone-only CDC epoch still commits (a pure-delete snapshot).
+    if (files.isEmpty && tombstoneFiles.isEmpty && !replaceAll) return
     val latest = state.opBase("streaming write", branch)
     val schema = IcebergSchemaParser.toStructType(latest.schema)
+    // key validation BEFORE any manifest write: a mid-stream schema
+    // change that drops a key column must fail with the epoch's files
+    // cleaned up, not leak a written data manifest (every other failure
+    // path here drops the epoch's files too)
+    if (upsertKeys.nonEmpty && !upsertKeys.toSet.subsetOf(schema.fieldNames.toSet)) {
+      dropFiles()
+      throw new IllegalStateException(
+        s"streaming upsert: key columns $upsertKeys must be table columns " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
     val assigned = latest.schema.map(c => c.name -> c.id).toMap
     val fields = schema.fields.flatMap(f =>
       assigned.get(f.name).map(id => f.name -> (id, f.dataType))).toMap
@@ -2618,10 +2637,12 @@ object IcebergWriter {
       WrittenFile(st.getPath.toString, count, part, lower, upper, nulls,
         sizeBytes = st.getLen, splitOffsets = splits, nans = nans)
     }.filter(_.count > 0) // a task that saw no rows still opened no file; guard anyway
-    if (written.isEmpty && !replaceAll) { dropFiles(); return }
-    if (written.isEmpty) dropFiles() // truncate commit references no file
+    if (written.isEmpty && tombstoneFiles.isEmpty && !replaceAll) { dropFiles(); return }
+    if (written.isEmpty && tombstoneFiles.isEmpty) dropFiles() // truncate commit references no file
     val snapshotId = state.nextSnapshotId
     val seq = state.nextSeq
+    // data manifest only when the epoch carried data rows — a
+    // tombstone-only CDC epoch commits a delete manifest alone
     val manifestPath = new Path(path, s"metadata/snap-$snapshotId-${commitToken()}-m0.avro")
     val (dataEntries, rowRange) = assignRowIds(
       state.info.formatVersion, nextRowIdOf(Some(state)), written.map { w =>
@@ -2630,35 +2651,58 @@ object IcebergWriter {
           partition = w.partition, lowerBounds = w.lower, upperBounds = w.upper,
           splitOffsets = w.splitOffsets, nullCounts = w.nulls, nanCounts = w.nans)
       })
-    writeManifest(manifestPath, conf, dataEntries,
-      spec.map(sf => (sf.fieldName, sf.avroType)))
-    // CDC-apply epoch: equality delete on the epoch's keys, committed in
-    // the same snapshot as the data (merge's proven commit shape). Key
-    // columns come back off the epoch's own files — a bounded job.
-    val deleteManifest: Option[Manifest] =
-      if (upsertKeys.isEmpty || written.isEmpty) None
+    val dataManifest: Option[Manifest] =
+      if (written.isEmpty) None
       else {
-        require(upsertKeys.toSet.subsetOf(schema.fieldNames.toSet),
-          s"streaming upsert: key columns $upsertKeys must be table columns " +
-            s"(${schema.fieldNames.mkString(", ")})")
-        val keyDf = spark.read.schema(schema)
-          .parquet(written.map(_.path): _*)
-          .select(upsertKeys.map(col): _*)
+        writeManifest(manifestPath, conf, dataEntries,
+          spec.map(sf => (sf.fieldName, sf.avroType)))
+        Some(Manifest(manifestPath.toString, seq, 0))
+      }
+    // CDC-apply epoch: equality delete on the epoch's keys — data rows'
+    // keys (they replace) plus tombstone rows' keys (they only delete) —
+    // committed in the same snapshot as the data (merge's proven commit
+    // shape). Key columns come back off the epoch's own files — a
+    // bounded job.
+    val deleteManifest: Option[Manifest] =
+      if (upsertKeys.isEmpty || (written.isEmpty && tombstoneFiles.isEmpty)) None
+      else {
+        val keysSchema = StructType(
+          schema.fields.filter(f => upsertKeys.contains(f.name)))
+        val dataKeys =
+          if (written.isEmpty) None
+          else Some(spark.read.schema(schema)
+            .parquet(written.map(_.path): _*)
+            .select(upsertKeys.map(col): _*))
+        val tombKeys =
+          if (tombstoneFiles.isEmpty) None
+          else Some(spark.read.schema(keysSchema)
+            .parquet(tombstoneFiles: _*)
+            .select(upsertKeys.map(col): _*))
+        val keyDf = (dataKeys.toSeq ++ tombKeys).reduce(_ unionByName _)
         val (delPath, distinctKeys) = writeEqualityDeleteManifest(
           conf, path, snapshotId, keyDf, latest.schema,
           s"snap-$snapshotId-${commitToken()}-m1.avro")
         // "each source row replaces the row with its key" is only
-        // coherent with ONE row per key per epoch (same rule as merge's
-        // batch upsert) — both versions would otherwise survive, since
-        // the delete only reaches strictly-older sequence numbers.
-        // Detected from the delete files' own footers: distinct keys <
-        // epoch rows means a duplicate. Nothing was committed; drop the
-        // epoch's files so the stream fails clean and replayable.
-        if (distinctKeys < written.map(_.count).sum) {
+        // coherent with ONE data row per key per epoch (same rule as
+        // merge's batch upsert) — both versions would otherwise survive,
+        // since the delete only reaches strictly-older sequence numbers.
+        // (A tombstone sharing a data row's key is fine and common: CDC
+        // updates arrive as delete+insert pairs.) Without tombstones the
+        // delete files' own footers detect it (distinct keys < epoch
+        // rows); with them, one explicit distinct over the data keys.
+        val dupe = written.nonEmpty && {
+          val dataRows = written.map(_.count).sum
+          if (tombstoneFiles.isEmpty) distinctKeys < dataRows
+          else dataKeys.get.distinct().count() < dataRows
+        }
+        if (dupe) {
           dropFiles()
           val fs = new Path(path).getFileSystem(conf)
           try fs.delete(new Path(path, s"data/snap-$snapshotId-eqdeletes"), true)
           catch { case _: Exception => () }
+          // nothing was committed: the written data manifest is dead too
+          dataManifest.foreach(_ => try fs.delete(manifestPath, false)
+            catch { case _: Exception => () })
           throw new IllegalStateException(
             s"streaming upsert: epoch $batchId carries more than one row for " +
               s"the same key $upsertKeys — deduplicate the feed (e.g. " +
@@ -2680,11 +2724,16 @@ object IcebergWriter {
       "added-files-size" -> written.map(_.sizeBytes).sum.toString,
       batchKey -> batchId.toString)
     commitSnapshot(path, conf, Some(state), schema, snapshotId, seq,
-      (prevManifests :+ Manifest(manifestPath.toString, seq, 0)) ++ deleteManifest,
+      (prevManifests ++ dataManifest) ++ deleteManifest,
       spec,
       operation =
-        if (replaceAll || deleteManifest.nonEmpty) "overwrite" else "append",
+        if (deleteManifest.nonEmpty && dataManifest.isEmpty) "delete"
+        else if (replaceAll || deleteManifest.nonEmpty) "overwrite"
+        else "append",
       summary = stdSummary, branch = branch, rowRange = rowRange): Unit
+    // tombstone key files are scratch — never referenced by a manifest;
+    // remove them now that their keys are in the committed delete file
+    drop(tombstoneFiles)
   }
 
   /** Dynamic partition OVERWRITE (Iceberg's ReplacePartitions /

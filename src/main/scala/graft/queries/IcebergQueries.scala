@@ -1179,8 +1179,8 @@ object IcebergQueries {
         val agg = IcebergScan.scanFiltered(s, table, cond).agg(
           count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-            .cast("double"), 2).as("total"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+            .cast("double").as("total"))
         total.crossJoin(kept).crossJoin(agg)
           .select((col("fk") < col("ft")).as("pruned"), col("cnt"), col("total"))
       }
@@ -1281,8 +1281,8 @@ object IcebergQueries {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("cnt"),
             round(sum(col("l_quantity")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-              .cast("double"), 2).as("sum_qty"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+              .cast("double").as("sum_qty"))
           .crossJoin(zeroCopy)
           .select("zero_copy", "l_returnflag", "cnt", "sum_qty")
           .orderBy("l_returnflag")
@@ -1335,8 +1335,8 @@ object IcebergQueries {
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("cnt"),
             round(sum(col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-              .cast("double"), 2).as("sum_price"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+              .cast("double").as("sum_price"))
           .crossJoin(zeroCopy)
           .select("zero_copy", "o_orderstatus", "cnt", "sum_price")
           .orderBy("o_orderstatus")
@@ -1377,8 +1377,8 @@ object IcebergQueries {
           .groupBy("dt")
           .agg(count(lit(1)).as("cnt"),
             round(sum(col("value")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-              .cast("double"), 4).as("sum_v"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 4)
+              .cast("double").as("sum_v"))
           .orderBy("dt")
       }
     ),
@@ -1417,8 +1417,8 @@ object IcebergQueries {
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("cnt"),
             round(sum(col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-              .cast("double"), 2).as("sum_price"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+              .cast("double").as("sum_price"))
           .crossJoin(fmt)
           .select("data_format", "o_orderpriority", "cnt", "sum_price")
           .orderBy("o_orderpriority")
@@ -1488,8 +1488,8 @@ object IcebergQueries {
           .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 500L)
           .agg(count(lit(1)).as("cnt"),
             round(sum(col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-              .cast("double"), 2).as("sum_price"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+              .cast("double").as("sum_price"))
           .collect()(0)
         val (_, e1) = graft.iceberg.AvroDataSource.decoderStats
         val emitted = e1 - e0

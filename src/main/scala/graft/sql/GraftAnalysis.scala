@@ -121,7 +121,7 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // co-partitioned graft⋈graft join plan with zero Exchange,
         // which the spliced native plan cannot express.
         if (GraftKeyedScan.enabled(spark) &&
-            GraftKeyedScan.plan(spark, t).isDefined) r
+            t.keyedPlan(spark).isDefined) r
         else splice(r, t)
     }
   }

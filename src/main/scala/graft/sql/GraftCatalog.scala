@@ -568,6 +568,25 @@ final case class GraftTable(
     rest: Option[(RestCatalog.Client, String)] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
 
+  // Keyed-scan (SPJ) plan memo: the extension rule probes eligibility on
+  // EVERY analyzer fixpoint iteration and the scan builder re-derives the
+  // plan with pushed predicates — each derivation re-reads the version
+  // hint + metadata.json from storage and regroups every live entry. One
+  // GraftTable instance = one resolution = one consistent snapshot view,
+  // so memoizing per predicate set is safe and caps the planning cost at
+  // one derivation per distinct pushdown, not per analyzer pass.
+  @transient private lazy val keyedPlanMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      Seq[graft.iceberg.IcebergPruning.ColPredicate],
+      Option[GraftKeyedScan.Keyed]]()
+
+  private[sql] def keyedPlan(
+      spark: SparkSession,
+      preds: Seq[graft.iceberg.IcebergPruning.ColPredicate] = Seq.empty)
+      : Option[GraftKeyedScan.Keyed] =
+    keyedPlanMemo.computeIfAbsent(
+      preds, p => GraftKeyedScan.plan(spark, this, p))
+
   /** Run a writer op against the correct table root, committing through
     * the REST catalog when this table is catalog-managed — a write that
     * skipped the catalog would leave its pointer stale (readers resolve
@@ -748,14 +767,19 @@ private final class GraftV1ScanBuilder(table: GraftTable)
     if (GraftKeyedScan.enabled(SparkSession.active)) {
       val spark = SparkSession.active
       val preds = pushed.toSeq.flatMap(GraftKeyedScan.toPredicates)
-      GraftKeyedScan.plan(spark, table, preds) match {
-        // all files pruned → the native empty scan is simpler than an
-        // empty KeyGroupedPartitioning
+      table.keyedPlan(spark, preds) match {
         case Some(keyed) if keyed.groups.nonEmpty =>
           return GraftKeyedV2Scan(spark, table,
             required.filter(_.nonEmpty).getOrElse(table.tableSchema),
             keyed, pushed)
-        case _ => ()
+        // pushed filters pruned EVERY file: plan zero splits — the V1
+        // fallback would rebuild the unfiltered native relation (the
+        // extension rule already skipped splicing) and read the whole
+        // table to produce no rows
+        case Some(_) =>
+          return new GraftEmptyV2Scan(table,
+            required.filter(_.nonEmpty).getOrElse(table.tableSchema))
+        case None => ()
       }
     }
     buildV1()
@@ -891,8 +915,16 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
         throw new UnsupportedOperationException(
           "streaming write: only append, complete (truncate), and " +
             "update-with-upsert-keys modes are supported on graft tables")
-      // writer option first; the table property is the durable form a
-      // CDC pipeline sets once (`write.upsert.key-columns`)
+      // Writer option first; the table property is the durable form a
+      // CDC pipeline sets once (`write.upsert.key-columns`). A table
+      // carrying the property is an UPSERT TABLE (Flink-Iceberg
+      // `write.upsert.enabled` semantics): EVERY streaming epoch applies
+      // keyed replacement regardless of output mode — Spark gives the
+      // builder no mode signal (V2Writes casts to
+      // SupportsStreamingUpdateAsAppend and calls the same build()), so
+      // the property cannot be update-mode-scoped. A stream that wants
+      // plain appends into an upsert table opts out explicitly with
+      // .option("upsert-keys", "").
       val upsertKeys = Option(info.options.get("upsert-keys"))
         .orElse(table.props.get("write.upsert.key-columns"))
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -901,10 +933,16 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
         throw new UnsupportedOperationException(
           "streaming write: complete output mode cannot combine with " +
             "upsert-keys (a full-table overwrite already replaces every key)")
+      // full change-feed apply: a feed column (NOT a table column) whose
+      // value 'delete'/'D' marks tombstone rows — the `_change_type`
+      // shape the CDC stream source emits
+      val changeCol = Option(info.options.get("upsert-change-column"))
+        .orElse(table.props.get("write.upsert.change-column"))
+        .map(_.trim).filter(_.nonEmpty)
       new graft.streaming.GraftStreamingWrite(
         spark => op => table.withWrite(spark)(root => op(root)),
         table.path, info, replaceAll = truncateAll,
-        upsertKeys = upsertKeys)
+        upsertKeys = upsertKeys, changeCol = changeCol)
     }
   }
 }

@@ -267,3 +267,31 @@ private[sql] object GraftKeyedV2Scan {
       : Scan =
     new GraftKeyedV2Scan(spark, table, schema, keyed, filters)
 }
+
+/** Zero-partition scan for the "pushed filters pruned EVERY file" case.
+  * Falling back to the V1 bridge there would rebuild the UNfiltered
+  * native relation (the extension rule already skipped splicing), i.e. a
+  * full-table scan to produce zero rows — at 100 TB, a point lookup for
+  * absent data must plan zero splits instead. No partitioning claim:
+  * `KeyGroupedPartitioning(…, 0)` has nothing to zip anyway. */
+private[sql] final class GraftEmptyV2Scan(table: GraftTable, schema: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-keyed ${table.name()} (all files pruned)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition) =
+        throw new IllegalStateException("empty scan has no partitions")
+    }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(0L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(0L)
+    }
+}

@@ -163,13 +163,19 @@ object GraftV2Functions {
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 T.truncateString(input.getUTF8String(1).toString, w))
             case d: DecimalType =>
-              // spec decimal truncate: v - (v % W) on the UNSCALED value
+              // spec decimal truncate: v - (v % W) on the UNSCALED value.
+              // Truncation rounds toward -inf, so a value within W of the
+              // type's lower bound can need precision+1 (-99.99 trunc 100
+              // = -100.00 over DECIMAL(4,2)); the writer's transform
+              // column null-s that overflow (cast semantics), so the
+              // bound function must too — a throw here would fail the
+              // whole query where the writer routes to the null tuple.
               val v = input.getDecimal(1, d.precision, d.scale)
               val unscaled = v.toJavaBigDecimal.unscaledValue
-              org.apache.spark.sql.types.Decimal(
+              val t = org.apache.spark.sql.types.Decimal(
                 new java.math.BigDecimal(
-                  T.truncateDecimalUnscaled(unscaled, w.toLong), d.scale),
-                d.precision, d.scale)
+                  T.truncateDecimalUnscaled(unscaled, w.toLong), d.scale))
+              if (t.changePrecision(d.precision, d.scale)) t else null
             case _ => throw new IllegalStateException("unreachable")
           }
         }

@@ -46,6 +46,18 @@ import graft.iceberg.IcebergWriter
   * every epoch row replaces the current row of its key without
   * rewriting a single file, and the epoch-id fence makes replays
   * no-ops exactly as in append mode.
+  *
+  * Full change-feed apply: `changeCol` (the `upsert-change-column`
+  * writer option) names a STRING column of the feed — NOT a table
+  * column — whose value 'delete' (or 'D') marks a tombstone row: its
+  * key joins the epoch's equality delete but no data row is written,
+  * so true deletions replicate. Any other value (CDC 'insert',
+  * changelog 'update_postimage', null, …) is an upsert row. This is
+  * exactly the shape `iceberg_changelog` / the CDC stream source emit
+  * (`_change_type`), so source→sink table replication is one
+  * `withColumnRenamed` away. Tombstone keys ride keys-only scratch
+  * parquet per task; the driver folds them into the delete file and
+  * removes the scratch before the commit returns.
   */
 final class GraftStreamingWrite(
     // resolution + commit context (root for hadoop tables; commitThrough
@@ -56,7 +68,8 @@ final class GraftStreamingWrite(
     tableLocation: String,
     info: LogicalWriteInfo,
     replaceAll: Boolean,
-    upsertKeys: Seq[String] = Seq.empty) extends StreamingWrite {
+    upsertKeys: Seq[String] = Seq.empty,
+    changeCol: Option[String] = None) extends StreamingWrite {
 
   // fail at stream START, not first commit: unknown key columns are a
   // configuration error the user should see before any file is written
@@ -64,6 +77,18 @@ final class GraftStreamingWrite(
     require(info.schema().fieldNames.contains(k),
       s"streaming upsert: key column '$k' is not in the write schema " +
         s"(${info.schema().fieldNames.mkString(", ")})")
+  }
+  require(changeCol.isEmpty || upsertKeys.nonEmpty,
+    "streaming upsert: upsert-change-column requires upsert-keys")
+  changeCol.foreach { c =>
+    val f = info.schema().fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming upsert: change column '$c' is not in the write schema " +
+          s"(${info.schema().fieldNames.mkString(", ")})"))
+    require(f.dataType == StringType,
+      s"streaming upsert: change column '$c' must be STRING, is ${f.dataType.sql}")
+    require(!upsertKeys.contains(c),
+      s"streaming upsert: change column '$c' cannot be an upsert key")
   }
 
   private def batchKey: String =
@@ -73,7 +98,14 @@ final class GraftStreamingWrite(
       physical: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val root = graft.iceberg.IcebergIO.tableRoot(tableLocation)
-    val sup = IcebergWriter.streamingWriteSupport(spark, root, info.schema())
+    // the change column is feed metadata, not table data: the table-side
+    // support (schema guard, ids, transforms) sees the schema WITHOUT it
+    val incoming = info.schema()
+    val dataSchema = changeCol match {
+      case Some(c) => StructType(incoming.fields.filterNot(_.name == c))
+      case None    => incoming
+    }
+    val sup = IcebergWriter.streamingWriteSupport(spark, root, dataSchema)
     // Bind the table's partition-transform Columns (the SAME expressions
     // the batch writer and pruner use) to the incoming row layout: an
     // analyzed Project over an empty frame resolves them, then attribute
@@ -99,48 +131,83 @@ final class GraftStreamingWrite(
           }
         }
       }
+    // ordinal plumbing for the change-column feed: data rows are written
+    // through a projection that strips the change column; tombstone rows
+    // contribute only their key columns (keys-only scratch parquet)
+    val dataProj: Seq[Expression] =
+      if (changeCol.isEmpty) Seq.empty
+      else dataSchema.fields.toSeq.map { f =>
+        val i = incoming.fieldIndex(f.name)
+        BoundReference(i, incoming(i).dataType, incoming(i).nullable)
+      }
+    val keyProj: Seq[Expression] =
+      if (changeCol.isEmpty) Seq.empty
+      else upsertKeys.map { k =>
+        val i = incoming.fieldIndex(k)
+        BoundReference(i, incoming(i).dataType, incoming(i).nullable)
+      }
+    val tombParquet =
+      if (changeCol.isEmpty) None
+      else Some(GraftParquetWrite.prepare(spark, StructType(
+        sup.schemaWithIds.fields.filter(f => upsertKeys.contains(f.name)))))
     GraftStreamingWriterFactory(
       sup.dataDir, sup.specFields, bound,
       GraftParquetWrite.prepare(spark, sup.schemaWithIds),
+      // floor at 1: a 0/negative setting would make the LRU evict from
+      // an empty map on the first row (NoSuchElementException per task)
       maxOpenWriters = spark.conf
         .getOption("spark.graft.streaming.maxOpenWriters")
-        .map(_.toInt).getOrElse(32))
+        .map(_.toInt.max(1)).getOrElse(32),
+      changeIdx = changeCol.map(incoming.fieldIndex).getOrElse(-1),
+      dataProjExprs = dataProj,
+      keyProjExprs = keyProj,
+      tombstoneParquet = tombParquet)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.toSeq.collect {
-      case m: GraftStreamFilesMessage => m.files
-    }.flatten
+    val msgs = messages.toSeq.collect { case m: GraftStreamFilesMessage => m }
+    val files = msgs.flatMap(_.files)
+    val tombstones = msgs.flatMap(_.tombstones)
     val spark = SparkSession.active
     withWrite(spark) { root =>
       IcebergWriter.commitStreamBatch(
         spark, root, files, batchKey, epochId, replaceAll = replaceAll,
-        upsertKeys = upsertKeys)
+        upsertKeys = upsertKeys, tombstoneFiles = tombstones)
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    messages.toSeq.collect { case m: GraftStreamFilesMessage => m.files }
-      .flatten.foreach { case (p, _) =>
-        val hp = new Path(p)
-        try hp.getFileSystem(conf).delete(hp, false)
-        catch { case _: Exception => () }
-      }
+    val msgs = messages.toSeq.collect { case m: GraftStreamFilesMessage => m }
+    (msgs.flatMap(_.files).map(_._1) ++ msgs.flatMap(_.tombstones)).foreach { p =>
+      val hp = new Path(p)
+      try hp.getFileSystem(conf).delete(hp, false)
+      catch { case _: Exception => () }
+    }
   }
 }
 
-/** (file path, partition tuple in manifest Avro domain) per written file. */
+/** (file path, partition tuple in manifest Avro domain) per written data
+  * file, plus the task's keys-only tombstone scratch paths (CDC apply). */
 final case class GraftStreamFilesMessage(
-    files: Seq[(String, Map[String, Any])]) extends WriterCommitMessage
+    files: Seq[(String, Map[String, Any])],
+    tombstones: Seq[String] = Seq.empty) extends WriterCommitMessage
 
 private[streaming] final case class GraftStreamingWriterFactory(
     dataDir: String,
     specFields: Seq[(String, String)], // (fieldName, avroType)
     boundTransforms: Seq[Expression],
     parquet: GraftParquetWrite.WriteSupport,
-    maxOpenWriters: Int = 32) extends StreamingDataWriterFactory {
+    maxOpenWriters: Int = 32,
+    // CDC apply: incoming-row ordinal of the change column (-1 = none),
+    // strip-the-change-column projection, key projection, and the
+    // keys-only parquet support for tombstone scratch files
+    changeIdx: Int = -1,
+    dataProjExprs: Seq[Expression] = Seq.empty,
+    keyProjExprs: Seq[Expression] = Seq.empty,
+    tombstoneParquet: Option[GraftParquetWrite.WriteSupport] = None)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
@@ -191,7 +258,32 @@ private final class GraftStreamingDataWriter(
     scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, Any])]
   private var fileSeq = 0
 
+  // CDC apply: strip-change-column projection for data rows, key
+  // projection + one keys-only scratch writer per task for tombstones
+  private val dataProj =
+    if (f.dataProjExprs.isEmpty) null
+    else UnsafeProjection.create(f.dataProjExprs.toArray)
+  private val keyProj =
+    if (f.keyProjExprs.isEmpty) null
+    else UnsafeProjection.create(f.keyProjExprs.toArray)
+  private var tombWriter: GraftParquetWrite.RowFileWriter = null
+  private var tombPath: String = null
+
+  private def isTombstone(row: InternalRow): Boolean =
+    f.changeIdx >= 0 && !row.isNullAt(f.changeIdx) && {
+      val v = row.getUTF8String(f.changeIdx).toString
+      v.equalsIgnoreCase("delete") || v.equalsIgnoreCase("d")
+    }
+
   override def write(row: InternalRow): Unit = {
+    if (isTombstone(row)) {
+      if (tombWriter == null) {
+        tombPath = s"${f.dataDir}/b$epochId-p$partitionId-t$taskId-tomb.parquet"
+        tombWriter = f.tombstoneParquet.get.open(tombPath, partitionId, taskId)
+      }
+      tombWriter.write(keyProj(row))
+      return
+    }
     val (key, tuple) =
       if (projection == null) ("", Map.empty[String, Any])
       else {
@@ -225,19 +317,25 @@ private final class GraftStreamingDataWriter(
         files += ((path, tuple))
         w0
     }
-    w.write(row)
+    w.write(if (dataProj == null) row else dataProj(row))
   }
 
   override def commit(): WriterCommitMessage = {
     open.values.foreach(_.close())
     open.clear()
-    GraftStreamFilesMessage(files.toSeq)
+    if (tombWriter != null) { tombWriter.close(); tombWriter = null }
+    GraftStreamFilesMessage(files.toSeq,
+      if (tombPath == null) Seq.empty else Seq(tombPath))
   }
 
   override def abort(): Unit = {
     open.values.foreach(w => try w.close() catch { case _: Exception => () })
     open.clear()
-    files.foreach { case (p, _) =>
+    if (tombWriter != null) {
+      try tombWriter.close() catch { case _: Exception => () }
+      tombWriter = null
+    }
+    (files.map(_._1) ++ Option(tombPath)).foreach { p =>
       val hp = new Path(p)
       try hp.getFileSystem(f.parquet.hadoopConf).delete(hp, false)
       catch { case _: Exception => () }

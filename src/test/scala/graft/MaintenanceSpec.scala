@@ -344,6 +344,9 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     IcebergWriter.write(idsDF(1L), table)                   // s1 (main)
     IcebergWriter.write(idsDF(2L), table)                   // s2 (main)
     IcebergWriter.write(idsDF(3L), table)                   // s3 (main)
+    val s3 = IcebergScan.snapshots(spark, table)
+      .orderBy(desc("sequence_number")).limit(1)
+      .collect()(0).getAs[Long]("snapshot_id")
     IcebergWriter.createBranch(spark, table, "wap")         // head = s3
     IcebergWriter.write(idsDF(4L), table, branch = "wap")   // s4 (staged)
     IcebergWriter.write(idsDF(5L), table, branch = "wap")   // s5 (staged)
@@ -371,8 +374,9 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // main unaffected by the branch: 1,2,3,6
     assert(IcebergScan.scan(spark, table)
       .select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 6L))
-    // the fork-point ancestor s3 time-travel-resolves (policy kept it)
-    assert(ids.contains(ids.sorted.apply(0)))
+    // the fork-point ancestor s3 time-travel-resolves (policy kept it —
+    // without min-snapshots-to-keep=3 the sweep would have expired it)
+    assert(ids.contains(s3))
     // Now the ref lapses: max-ref-age 0 drops the branch AND its staged
     // snapshots in the same sweep — the pinned history frees
     IcebergWriter.setRefRetention(spark, table, "wap",

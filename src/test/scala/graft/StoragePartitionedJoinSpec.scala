@@ -109,6 +109,21 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(q.count() === 1L)
   }
 
+  test("a filter pruning EVERY file plans zero splits, not a full scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // -1 sits below every file's o_orderkey lower bound: entry pruning
+    // drops all groups; the scan must plan ZERO input partitions (the V1
+    // fallback would rebuild the unfiltered relation = full-table scan)
+    val q = spark.sql("SELECT * FROM graft.db.spj_orders WHERE o_orderkey = -1")
+    assert(q.count() === 0L)
+    val scans = collect(q.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected the keyed/empty V2 scan")
+    assert(scans.head.inputRDD.getNumPartitions === 0,
+      s"expected zero splits, got ${scans.head.inputRDD.getNumPartitions}")
+  }
+
   test("keyed path stays OFF for MoR tables (deletes force the native plan)") {
     spark.sql(
       "CREATE TABLE graft.db.spj_mor (o_orderkey BIGINT, v BIGINT) " +

@@ -425,6 +425,122 @@ class StreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("upsert-keys='' opts a stream out of an upsert table's property") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the property makes this an UPSERT TABLE for every stream (Spark
+    // gives the builder no output-mode signal, so the property cannot be
+    // update-mode-scoped); a plain append feed must opt out explicitly
+    spark.sql(
+      "CREATE TABLE graft.db.stream_upsert_opt (id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('write.upsert.key-columns'='id')")
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("id", "v")
+      .writeStream
+      .option("upsert-keys", "")
+      .option("checkpointLocation", ckpt)
+      .toTable("graft.db.stream_upsert_opt")
+    try {
+      in.addData((1L, 1.0)); q.processAllAvailable()
+      // same key again: with the property active this would replace; the
+      // opt-out makes it a plain append, so both versions survive
+      in.addData((1L, 2.0)); q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft.db.stream_upsert_opt")
+        .head.getLong(0) === 2L)
+    } finally q.stop()
+  }
+
+  test("upsert-change-column: tombstone rows delete, others replace") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE graft.db.stream_cdc (id BIGINT, v DOUBLE)")
+    val in = MemoryStream[(Long, Double, String)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    // the change column is feed metadata (not a table column), so the
+    // feed goes through format("graft") where the write schema is the
+    // query's own — toTable would reject the extra column at analysis
+    val q = in.toDF().toDF("id", "v", "_ct")
+      .writeStream
+      .outputMode("update")
+      .format("graft")
+      .option("table", "graft.db.stream_cdc")
+      .option("upsert-keys", "id")
+      .option("upsert-change-column", "_ct")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, 1.0, "insert"), (2L, 2.0, "insert"), (3L, 3.0, "insert"))
+      q.processAllAvailable()
+      // one epoch mixing a true delete, an update, and an insert
+      in.addData((1L, 0.0, "delete"), (2L, 2.5, "update_postimage"),
+        (4L, 4.0, "insert"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, v FROM graft.db.stream_cdc ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows === Seq((2L, 2.5), (3L, 3.0), (4L, 4.0)))
+      // delete-only epoch: commits a pure-delete snapshot
+      in.addData((3L, 0.0, "D"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM graft.db.stream_cdc ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L, 4L))
+      // tombstone scratch files were reclaimed (only table files remain)
+      val dataDir = new java.io.File(s"$wh/db/stream_cdc/data")
+      def tombs(d: java.io.File): Seq[String] =
+        Option(d.listFiles).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) tombs(f)
+          else if (f.getName.contains("-tomb")) Seq(f.getName) else Seq.empty)
+      assert(tombs(dataDir).isEmpty, s"tombstone scratch left: ${tombs(dataDir)}")
+    } finally q.stop()
+  }
+
+  test("CDC source -> upsert sink replicates a mutating table end-to-end") {
+    import spark.implicits._
+    // SOURCE: an Iceberg table that lives through appends, a keyed merge
+    // (update+insert) and a row-level delete
+    val src = Files.createTempDirectory("graft_cdc_src_").toString + "/t"
+    val t0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "amt")
+    IcebergWriter.write(t0, src)
+    IcebergWriter.merge(spark, src,
+      Seq((2L, "b2", 21.0), (4L, "d", 40.0)).toDF("id", "name", "amt"),
+      keyCols = Seq("id"))
+    IcebergWriter.delete(spark, src, col("id") === 1L)
+    // MIRROR: change feed -> keyed apply. One source snapshot per epoch
+    // keeps the feed's delete/insert ordering aligned with epochs (a
+    // multi-snapshot epoch could fold a later delete of key k into the
+    // same equality delete as k's own earlier insert).
+    spark.sql("CREATE TABLE graft.db.cdc_mirror (id BIGINT, name STRING, amt DOUBLE)")
+    val q = spark.readStream
+      .format("graft-iceberg")
+      .option("path", src)
+      .option("mode", "cdc")
+      .option("max-snapshots-per-trigger", "1")
+      .load()
+      .select(col("id"), col("name"), col("amt"),
+        col("_change_type").as("_ct"))
+      .writeStream
+      .outputMode("update")
+      .format("graft")
+      .option("table", "graft.db.cdc_mirror")
+      .option("upsert-keys", "id")
+      .option("upsert-change-column", "_ct")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val mirror = spark.sql(
+        "SELECT id, name, amt FROM graft.db.cdc_mirror ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val source = IcebergScan.scan(spark, src)
+        .select("id", "name", "amt").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(mirror === source)
+      assert(mirror === Seq((2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    } finally q.stop()
+  }
+
   test("an unknown upsert key column fails the stream at start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
