@@ -1830,6 +1830,72 @@ object IcebergQueries {
       }
     ),
     QueryDef(
+      "ib65_cdc_replication",
+      // TABLE REPLICATION gate (round 13): source Iceberg table lives
+      // through an append, a keyed MERGE (update+insert via equality
+      // delete) and a row-level DELETE; the CDC stream source replays
+      // its lineage as a change feed (one snapshot per epoch) and the
+      // upsert sink applies it — inserts/updates replace by key,
+      // tombstones truly delete. The mirror must equal the source's
+      // final state, which the oracle recomputes relationally. `snaps`
+      // pins mirror commits: create + insert/merge/delete epochs.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(SUM(CAST(CASE WHEN o_orderkey % 106 = 0
+                     THEN 2 * CAST(o_totalprice AS DOUBLE)
+                     ELSE CAST(o_totalprice AS DOUBLE) END AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+               CAST(4 AS BIGINT) AS snaps
+        FROM orders WHERE o_orderkey % 53 = 0 AND o_orderkey % 159 <> 0"""),
+      (s, dir) => {
+        val name = cachedTable("ib65", dir) { () =>
+          val wh = ensureCatalog(s)
+          val suffix = math.abs(dir.hashCode)
+          val src = s"$wh/g/cdc_src_$suffix"
+          val base = graft.Tables.load(s, dir, "orders")
+            .filter(col("o_orderkey") % 53 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double").as("price"))
+          graft.iceberg.IcebergWriter.write(base, src)            // snap 1
+          graft.iceberg.IcebergWriter.merge(s, src,               // snap 2
+            base.filter(col("o_orderkey") % 106 === 0)
+              .withColumn("price", col("price") * 2),
+            keyCols = Seq("o_orderkey"))
+          graft.iceberg.IcebergWriter.delete(s, src,              // snap 3
+            col("o_orderkey") % 159 === 0)
+          val n = s"graft_cat.g.cdc_mirror_$suffix"
+          s.sql(s"CREATE TABLE $n (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)")
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_ib65_ckpt_").toString
+          val q = s.readStream.format("graft-iceberg")
+            .option("path", src).option("mode", "cdc")
+            // one source snapshot per epoch keeps delete/insert ordering
+            // aligned with the sink's per-epoch equality deletes
+            .option("max-snapshots-per-trigger", "1")
+            .load()
+            .select(col("o_orderkey"), col("o_custkey"), col("price"),
+              col("_change_type").as("_ct"))
+            .writeStream.outputMode("update").format("graft")
+            .option("table", n)
+            .option("upsert-keys", "o_orderkey")
+            .option("upsert-change-column", "_ct")
+            .option("checkpointLocation", ckpt)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          n
+        }
+        val wh = ensureCatalog(s)
+        val path = s"$wh/g/cdc_mirror_${math.abs(dir.hashCode)}"
+        val snaps = IcebergScan.snapshots(s, path).count()
+        s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                     CAST(round(SUM(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+              FROM $name""")
+          .withColumn("snaps", lit(snaps))
+      }
+    ),
+    QueryDef(
       "ib64_storage_partitioned_join",
       // STORAGE-PARTITIONED JOIN gate (round 13): two catalog tables
       // bucket(8)-partitioned on the join key join through the keyed V2
