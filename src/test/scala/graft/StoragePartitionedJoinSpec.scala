@@ -124,6 +124,28 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
       s"expected zero splits, got ${scans.head.inputRDD.getNumPartitions}")
   }
 
+  test("identity-partitioned tables also join storage-partitioned") {
+    // SPJ is not bucket-specific: any catalog-resolvable transform whose
+    // tuples match across sides zips — here identity(region) on both
+    spark.sql(
+      "CREATE TABLE graft.db.spj_id_a (region STRING, v BIGINT) " +
+        "PARTITIONED BY (region)")
+    spark.sql(
+      "CREATE TABLE graft.db.spj_id_b (region STRING, w BIGINT) " +
+        "PARTITIONED BY (region)")
+    spark.sql(
+      "INSERT INTO graft.db.spj_id_a VALUES ('emea', 1), ('apac', 2), ('amer', 3)")
+    spark.sql(
+      "INSERT INTO graft.db.spj_id_b VALUES ('emea', 10), ('apac', 20), ('apac', 21)")
+    val joined = spark.sql(
+      """SELECT a.region, a.v, b.w
+        |FROM graft.db.spj_id_a a JOIN graft.db.spj_id_b b
+        |  ON a.region = b.region""".stripMargin)
+    assert(shuffles(joined) === 0,
+      joined.queryExecution.executedPlan.toString)
+    assert(joined.count() === 3L) // emea x1, apac 1x2
+  }
+
   test("keyed path stays OFF for MoR tables (deletes force the native plan)") {
     spark.sql(
       "CREATE TABLE graft.db.spj_mor (o_orderkey BIGINT, v BIGINT) " +
