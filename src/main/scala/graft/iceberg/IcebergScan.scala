@@ -315,7 +315,8 @@ object IcebergScan {
       val r =
         if (opts.skipSchemaInference)
           spark.read.format(fmt).load(paths: _*)
-        else ManifestFileIndex.relation(spark, fmt, files, readSchema, scanConf)
+        else ManifestFileIndex.relation(spark, fmt, files, readSchema, scanConf,
+            mtimeMs = snapshot.timestampMs)
           .getOrElse(spark.read.format(fmt).schema(readSchema).load(paths: _*))
       if (!withMeta) r
       else r.select(col("*"),
@@ -551,7 +552,8 @@ object IcebergScan {
         keyStruct.fields.map(_.copy(metadata =
           org.apache.spark.sql.types.Metadata.empty)))
       def readPool(pf: Seq[(String, Long)], schema: org.apache.spark.sql.types.StructType) =
-        ManifestFileIndex.relation(spark, "parquet", pf, schema, conf)
+        ManifestFileIndex.relation(spark, "parquet", pf, schema, conf,
+            mtimeMs = snapshot.timestampMs)
           .getOrElse(spark.read.schema(schema).parquet(pf.map(_._1): _*))
           .select(cols.map(col) :+ col("_metadata.file_path").as("__del_path"): _*)
       val (withIds, idLess) =
@@ -821,7 +823,7 @@ object IcebergScan {
             spark.read.format(fmt).load(paths: _*)
           else ManifestFileIndex.relation(spark, fmt,
               es.map(e => (resolved(root, e.filePath, opts), e.fileSizeInBytes)),
-              schema, hadoopConf(spark))
+              schema, hadoopConf(spark), mtimeMs = to.timestampMs)
             .getOrElse(spark.read.format(fmt).schema(schema).load(paths: _*))
         }
       parts.reduce(_.unionByName(_))

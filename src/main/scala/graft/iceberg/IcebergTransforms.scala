@@ -137,6 +137,19 @@ object IcebergTransforms {
       unscaled: java.math.BigInteger, w: Long): java.math.BigInteger =
     unscaled.subtract(unscaled.mod(java.math.BigInteger.valueOf(w)))
 
+  /** Result type of decimal truncate: ONE extra digit of precision
+    * (capped at 38), because truncation toward -inf can land one unit of
+    * W below the source type's lower bound — Iceberg's TruncateDecimal
+    * has no precision check, so the partition value must not be clamped
+    * back to the source precision. Shared by the writer's transform
+    * column and the bound catalog function so both sides canonicalize to
+    * the same type. */
+  def truncateDecimalType(d: org.apache.spark.sql.types.DecimalType)
+      : org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(
+      math.min(d.precision + 1, org.apache.spark.sql.types.DecimalType.MAX_PRECISION),
+      d.scale)
+
   /** First `w` Unicode code points — the same definition Spark's
     * `substring(c, 1, w)` uses, so writer columns and pruner projections
     * agree on supplementary characters. */
@@ -199,8 +212,16 @@ object IcebergTransforms {
         case d: org.apache.spark.sql.types.DecimalType =>
           // W in unscaled units: the modulus decimal is W·10^-scale, and
           // pmod keeps the remainder non-negative (floored like the long
-          // form). Cast back — decimal +/- widens precision by one.
-          (c - pmod(c, lit(java.math.BigDecimal.valueOf(w.toLong, d.scale)))).cast(d)
+          // form). Keep the subtraction's NATURAL precision (+1): Iceberg's
+          // TruncateDecimal computes in the unscaled domain with no
+          // precision check, so a value within W of the type's lower bound
+          // truncates BELOW the declared precision (-99.99 trunc 100 over
+          // DECIMAL(4,2) = -100.00) — casting back to the source type would
+          // null it and route the row to the null tuple, which an external
+          // reader evaluating the spec transform for pruning would then
+          // miss. (resultType in GraftV2Functions widens identically.)
+          (c - pmod(c, lit(java.math.BigDecimal.valueOf(w.toLong, d.scale))))
+            .cast(truncateDecimalType(d))
         case other => throw new IllegalArgumentException(
           s"truncate[$w] over ${other.sql} not supported")
       }

@@ -61,7 +61,15 @@ private[graft] object ManifestFileIndex {
     */
   def relation(
       spark: SparkSession, fmt: String, files: Seq[(String, Long)],
-      schema: StructType, conf: Configuration): Option[DataFrame] = {
+      schema: StructType, conf: Configuration,
+      // `_metadata.file_modification_time` for the synthesized statuses.
+      // The statting InMemoryFileIndex returned each file's real mtime;
+      // manifests don't record one, so the committing SNAPSHOT's
+      // timestamp (already in loaded metadata — no extra round trip) is
+      // the honest stand-in: every file a snapshot added was finalized
+      // at-or-before its commit instant. 0 (no snapshot in scope) keeps
+      // the epoch placeholder.
+      mtimeMs: Long = 0L): Option[DataFrame] = {
     if (files.isEmpty || files.exists(_._2 <= 0L)) None
     else {
       val fileFormat = fmt match {
@@ -70,7 +78,7 @@ private[graft] object ManifestFileIndex {
         case other     => return None // avro has its own V2 source
       }
       val statuses = files.map { case (p, len) =>
-        new FileStatus(len, false, 1, 134217728L, 0L,
+        new FileStatus(len, false, 1, 134217728L, mtimeMs,
           new Path(IcebergIO.qualified(p, conf)))
       }
       val rel = HadoopFsRelation(

@@ -145,9 +145,17 @@ object GraftV2Functions {
         case other => throw new UnsupportedOperationException(
           s"truncate over ${other.sql} is not supported")
       }
+      // decimal truncate WIDENS precision by one (Iceberg TruncateDecimal
+      // computes in the unscaled domain with no precision check, so
+      // -99.99 trunc 100 over DECIMAL(4,2) = -100.00) — the declared
+      // result type must carry it or the value would be clamped to null
+      val outType: DataType = vt match {
+        case d: DecimalType => T.truncateDecimalType(d)
+        case other => other
+      }
       new ScalarFunction[AnyRef] {
         override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
-        override def resultType(): DataType = vt
+        override def resultType(): DataType = outType
         override def name(): String = "truncate"
         override def canonicalName(): String = s"graft.truncate(${vt.sql})"
         override def isResultNullable: Boolean = true
@@ -163,19 +171,19 @@ object GraftV2Functions {
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 T.truncateString(input.getUTF8String(1).toString, w))
             case d: DecimalType =>
-              // spec decimal truncate: v - (v % W) on the UNSCALED value.
-              // Truncation rounds toward -inf, so a value within W of the
-              // type's lower bound can need precision+1 (-99.99 trunc 100
-              // = -100.00 over DECIMAL(4,2)); the writer's transform
-              // column null-s that overflow (cast semantics), so the
-              // bound function must too — a throw here would fail the
-              // whole query where the writer routes to the null tuple.
+              // spec decimal truncate: v - (v % W) on the UNSCALED value,
+              // emitted at the widened result precision (matches the
+              // writer's transform column and Iceberg's TruncateDecimal).
+              // Null only past the absolute 38-digit cap — a degenerate
+              // W > 10^37; the widened cast on the writer side nulls the
+              // same way, so the two stay consistent even there.
+              val o = T.truncateDecimalType(d)
               val v = input.getDecimal(1, d.precision, d.scale)
               val unscaled = v.toJavaBigDecimal.unscaledValue
               val t = org.apache.spark.sql.types.Decimal(
                 new java.math.BigDecimal(
-                  T.truncateDecimalUnscaled(unscaled, w.toLong), d.scale))
-              if (t.changePrecision(d.precision, d.scale)) t else null
+                  T.truncateDecimalUnscaled(unscaled, w.toLong), o.scale))
+              if (t.changePrecision(o.precision, o.scale)) t else null
             case _ => throw new IllegalStateException("unreachable")
           }
         }

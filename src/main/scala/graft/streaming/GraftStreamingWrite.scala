@@ -140,16 +140,26 @@ final class GraftStreamingWrite(
         val i = incoming.fieldIndex(f.name)
         BoundReference(i, incoming(i).dataType, incoming(i).nullable)
       }
+    // ONE ordered field list drives BOTH the tombstone parquet schema and
+    // the key projection: RowFileWriter writes positionally, so deriving
+    // them separately (schema in table order, projection in upsert-keys
+    // order) would write key VALUES under swapped column NAMES whenever
+    // the user lists multi-column keys in a different order than the
+    // table schema — commitStreamBatch reads the scratch by name, so the
+    // equality delete would then delete the WRONG rows, silently when the
+    // key columns share a type.
+    val tombFields: Seq[StructField] =
+      if (changeCol.isEmpty) Seq.empty
+      else sup.schemaWithIds.fields.toSeq.filter(f => upsertKeys.contains(f.name))
     val keyProj: Seq[Expression] =
       if (changeCol.isEmpty) Seq.empty
-      else upsertKeys.map { k =>
-        val i = incoming.fieldIndex(k)
+      else tombFields.map { f =>
+        val i = incoming.fieldIndex(f.name)
         BoundReference(i, incoming(i).dataType, incoming(i).nullable)
       }
     val tombParquet =
       if (changeCol.isEmpty) None
-      else Some(GraftParquetWrite.prepare(spark, StructType(
-        sup.schemaWithIds.fields.filter(f => upsertKeys.contains(f.name)))))
+      else Some(GraftParquetWrite.prepare(spark, StructType(tombFields)))
     GraftStreamingWriterFactory(
       sup.dataDir, sup.specFields, bound,
       GraftParquetWrite.prepare(spark, sup.schemaWithIds),

@@ -109,6 +109,26 @@ class GraftV2FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decimal truncate at the type's lower bound widens, never nulls") {
+    import spark.implicits._
+    // Iceberg TruncateDecimal: -99.99 trunc W=100 (unscaled units) =
+    // -100.00 — one digit BELOW DECIMAL(4,2); the result type carries
+    // precision+1 so the value survives instead of clamping to null
+    val r = spark.sql(
+      "SELECT graft.system.truncate(100, CAST(-99.99 AS DECIMAL(4,2))) AS t")
+    assert(r.schema("t").dataType ===
+      org.apache.spark.sql.types.DecimalType(5, 2))
+    assert(r.head.getDecimal(0) === new java.math.BigDecimal("-100.00"))
+    // writer transform column agrees (same widened domain)
+    import org.apache.spark.sql.functions._
+    val w = Seq("-99.99").toDF("s")
+      .select(graft.iceberg.IcebergTransforms.column(
+        graft.iceberg.IcebergTransforms.Truncate(100),
+        col("s").cast("decimal(4,2)"),
+        org.apache.spark.sql.types.DecimalType(4, 2), spark).as("t"))
+    assert(w.head.getDecimal(0).compareTo(new java.math.BigDecimal("-100.00")) == 0)
+  }
+
   test("NULLs pass through; bad widths and types fail loudly") {
     assert(spark.sql("SELECT graft.system.bucket(4, CAST(NULL AS BIGINT))")
       .head.isNullAt(0))

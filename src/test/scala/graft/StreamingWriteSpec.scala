@@ -494,6 +494,39 @@ class StreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("multi-column upsert-keys listed in NON-table order tombstone the right row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same-typed key columns so a column-order swap is silent: with the
+    // tombstone scratch schema in table order (a,b) but the projection in
+    // upsert-keys order (b,a), deleting (a=1,b=2) would write values
+    // (2,1) under names (a,b) and delete the WRONG row (a=2,b=1)
+    spark.sql(
+      "CREATE TABLE graft.db.stream_cdc_rev (a BIGINT, b BIGINT, v DOUBLE)")
+    val in = MemoryStream[(Long, Long, Double, String)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = in.toDF().toDF("a", "b", "v", "_ct")
+      .writeStream
+      .outputMode("update")
+      .format("graft")
+      .option("table", "graft.db.stream_cdc_rev")
+      .option("upsert-keys", "b,a") // REVERSED vs table column order
+      .option("upsert-change-column", "_ct")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, 2L, 12.0, "insert"), (2L, 1L, 21.0, "insert"))
+      q.processAllAvailable()
+      in.addData((1L, 2L, 0.0, "delete"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT a, b, v FROM graft.db.stream_cdc_rev ORDER BY a")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows === Seq((2L, 1L, 21.0)),
+        "tombstone (a=1,b=2) must delete that row, not its swap (a=2,b=1)")
+    } finally q.stop()
+  }
+
   test("CDC source -> upsert sink replicates a mutating table end-to-end") {
     import spark.implicits._
     // SOURCE: an Iceberg table that lives through appends, a keyed merge
