@@ -176,20 +176,29 @@ object Bench {
                   allRuns.getOrElse(q, Seq.empty).size).minOption.getOrElse(0)
                 val perRound = (0 until roundCount).map(r =>
                   joint.iterator.map(q => allRuns(q)(r)).sum / d)
-                // De-contend (round 13): a single stalled window used to
-                // poison the paired max (round-12 artifact: one 15.9 s
-                // q24 sample in a ~1 s query made max 2.880 vs min
-                // 0.962). A round whose sum exceeds 3x the MEDIAN round
-                // is machine contention, not engine performance — drop
-                // it from the min/max band and say so in the artifact
+                // De-contend (round 13, tightened round 14): a stalled
+                // window used to poison the paired max (round-12
+                // artifact: one 15.9 s q24 sample in a ~1 s query made
+                // max 2.880 vs min 0.962), and the round-13 3x-median
+                // cutoff still let a 2.8x-median round through. Robust
+                // bound: median + 4·MAD, floored at 1.25x median so a
+                // run of near-identical rounds (MAD ≈ 0) doesn't exclude
+                // ordinary engine noise. Rounds above it are machine
+                // contention, not engine performance — drop them from
+                // the min/max band and say so in the artifact
                 // (contended_rounds_excluded), so the band bounds the
                 // ratio's genuine run-to-run noise.
                 val sortedRounds = perRound.sorted
                 val medRound =
                   if (perRound.isEmpty) 0.0
                   else sortedRounds((sortedRounds.size - 1) / 2)
+                val mad = {
+                  val devs = perRound.map(x => math.abs(x - medRound)).sorted
+                  if (devs.isEmpty) 0.0 else devs((devs.size - 1) / 2)
+                }
+                val bound = math.max(medRound + 4.0 * mad, medRound * 1.25)
                 val (kept, contendedRounds) =
-                  perRound.partition(_ <= medRound * 3.0)
+                  perRound.partition(_ <= bound)
                 // the exclusion count is reported whenever anything was
                 // excluded, even if too few clean rounds remain for a
                 // min/max band — a heavily-contended run must not look

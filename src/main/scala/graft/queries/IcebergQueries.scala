@@ -1923,8 +1923,88 @@ object IcebergQueries {
         joined.withColumn("spj_shuffles",
           lit(countShuffles(joined.queryExecution.executedPlan)))
       }
+    ),
+    QueryDef(
+      "ib66_runtime_dim_pruning",
+      // RUNTIME (dim-side) PRUNING gate (round 14): a star join whose
+      // only filter lives on the DIM side. The fact table is identity(dt)
+      // partitioned; the keyed V2 scan implements
+      // SupportsRuntimeV2Filtering, so Spark's dynamic partition pruning
+      // broadcasts the dim's surviving dt keys into the scan, which
+      // re-prunes its manifest entries before execution — the fact scan
+      // reads ONLY the selected days. `dpp_pruned` pins that inside the
+      // oracle-checked output: the scan's own output-row metric must
+      // equal the join's row count (files of unselected days were never
+      // opened) with a runtime filter present in the executed plan.
+      Some("""
+        WITH dim AS (
+          SELECT make_date(2024, 1, CAST(d AS INT)) AS dt,
+                 CAST(d % 7 AS INT) AS grp
+          FROM generate_series(1, 31) AS t(d))
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(f.user_id) AS BIGINT) AS user_sum,
+               CAST(round(SUM(CAST(f.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+               CAST(TRUE AS BOOLEAN) AS dpp_pruned
+        FROM (SELECT CAST(ts AS DATE) AS dt, user_id, value FROM events) f
+        JOIN dim d ON f.dt = d.dt
+        WHERE d.grp = 3"""),
+      (s, dir) => {
+        val fact = rfEventsTable(s, dir)
+        s.sql(
+          """SELECT make_date(2024, 1, CAST(id AS INT)) AS dt,
+                    CAST(id % 7 AS INT) AS grp
+             FROM range(1, 32)""").createOrReplaceTempView("ib66_dim")
+        val joined = s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(f.user_id) AS BIGINT) AS user_sum,
+                     CAST(round(SUM(CAST(f.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+              FROM $fact f JOIN ib66_dim d ON f.dt = d.dt
+              WHERE d.grp = 3""")
+        val row = joined.collect().head // finalize the adaptive plan
+        val cnt = row.getLong(0)
+        val factScan = collectScans(joined.queryExecution.executedPlan)
+          .find(_.table.name.contains("events_rf"))
+        val pruned = factScan.exists(b =>
+          b.runtimeFilters.nonEmpty &&
+            b.metrics("numOutputRows").value == cnt)
+        joined.withColumn("dpp_pruned", lit(pruned))
+      }
     )
   )
+
+  /** Every BatchScanExec in the FINAL adaptive plan. */
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    (p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case _ => Seq.empty
+    }) ++ children.flatMap(collectScans)
+  }
+
+  /** Identity(dt)-partitioned events table under the catalog for ib66 —
+    * written once per (JVM, sf dir); one file per day so the gate's
+    * pruning pin is exact. */
+  private def rfEventsTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val key = cachedTable("ib66", dir) { () =>
+      val wh = ensureCatalog(s)
+      val suffix = math.abs(dir.hashCode)
+      val src = graft.Tables.events(s, dir)
+        .withColumn("dt", to_date(col("ts")))
+        .repartition(30, col("dt"))
+      graft.iceberg.IcebergWriter.write(
+        src, s"$wh/g/events_rf_$suffix",
+        partitionBy = Seq("dt" -> "identity"))
+      suffix.toString
+    }
+    s"graft_cat.g.events_rf_$key"
+  }
 
   /** Exchange nodes in the FINAL adaptive plan (stages resolved). */
   private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {

@@ -2,12 +2,13 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.iceberg.IcebergWriter
 
@@ -115,15 +116,116 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[GraftTable]
-        // Storage-partitioned joins: when Spark's SPJ flag is on and the
-        // table can report KeyGroupedPartitioning faithfully, keep the
-        // V2 relation — the keyed scan (GraftKeyedScan) then lets a
-        // co-partitioned graft⋈graft join plan with zero Exchange,
-        // which the spliced native plan cannot express.
-        if (GraftKeyedScan.enabled(spark) &&
-            t.keyedPlan(spark).isDefined) r
-        else splice(r, t)
+        // Storage-partitioned joins / runtime pruning: when Spark's SPJ
+        // flag is on and the table can plan keyed faithfully, keep the
+        // V2 relation IF the query shape can exploit it, and tag the
+        // relation with the claim mode the scan should take:
+        //  - "kgp"    — a co-partitioned graft⋈graft join or an
+        //               aggregation covering the partition keys: claim
+        //               KeyGroupedPartitioning (zero-Exchange plans);
+        //  - "splits" — an equi-join on a partition source against a
+        //               non-co-partitioned side (runtime dim-side
+        //               pruning), or a filter touching a partition
+        //               source (entry pruning / zero-split lookups):
+        //               keep the keyed scan but pack splits for full
+        //               parallelism, claiming nothing.
+        // Any other shape splices the native plan — a keyed claim there
+        // would collapse a plain scan of a bucket(8) table to 8 tasks
+        // regardless of size. The decision waits for the WHOLE plan to
+        // resolve (an early iteration hasn't seen the join yet);
+        // deferring is free because keeping the relation is a no-op.
+        // Note: shape detection reads the enclosing SQL plan, so
+        // DataFrame-API subtrees analyzed standalone (spark.table(...))
+        // splice natively — SQL is the shape-aware surface.
+        if (!GraftKeyedScan.enabled(spark) || t.keyedPlan(spark).isEmpty)
+          splice(r, t)
+        else if (!plan.resolved) r
+        else keyedMode(plan, r, t) match {
+          case Some(mode) =>
+            if (Option(r.options.get(GraftKeyedScan.ModeOption)).contains(mode)) r
+            else r.copy(options = withMode(r.options, mode))
+          case None => splice(r, t)
+        }
     }
+  }
+
+  /** The keyed-scan claim this RESOLVED plan justifies for relation `r`,
+    * or None (splice native). Deterministic over a given plan, so the
+    * fixpoint stabilizes: tags only flip when sibling relations splice
+    * out from under an alignment check, which is monotone. */
+  private def keyedMode(
+      plan: LogicalPlan, r: DataSourceV2Relation, t: GraftTable)
+      : Option[String] = {
+    val srcCols: Set[String] = t.partitionFields.map(_._2.toLowerCase).toSet
+    if (srcCols.isEmpty) return None
+    val rOut = r.outputSet
+    def normT(s: String) = s.toLowerCase.replaceAll("\\s", "")
+    var kgp = false
+    var splits = false
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conj(l) ++ conj(rr)
+      case other => Seq(other)
+    }
+    plan.foreach {
+      case agg: Aggregate =>
+        // group-by on (a superset of) the partition sources: the keyed
+        // grouping satisfies the aggregation's clustered distribution
+        val grouped = agg.groupingExpressions.collect {
+          case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
+        }.toSet
+        if (srcCols.subsetOf(grouped)) kgp = true
+      case j: Join if j.condition.isDefined =>
+        val pairs = conj(j.condition.get).collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+        }
+        // (my attr, counterpart attr) for conjuncts touching this relation
+        val mine = pairs.flatMap { case (a, b) =>
+          if (rOut.contains(a)) Some((a, b))
+          else if (rOut.contains(b)) Some((b, a)) else None
+        }
+        val myKeys = mine.map(_._1.name.toLowerCase).toSet
+        if ((myKeys intersect srcCols).nonEmpty) {
+          val counterpart: Map[String, Seq[AttributeReference]] =
+            mine.groupBy(_._1.name.toLowerCase)
+              .view.mapValues(_.map(_._2)).toMap
+          // SPJ-able: every partition source is a join key, and the
+          // other side owns a graft relation whose spec aligns
+          // positionally (same transforms, sources connected by the
+          // equi-pairs) and which can itself plan keyed
+          def aligned: Boolean = j.exists {
+            case r2: DataSourceV2Relation
+                if (r2 ne r) && r2.table.isInstanceOf[GraftTable] =>
+              val t2 = r2.table.asInstanceOf[GraftTable]
+              t2.partitionFields.length == t.partitionFields.length &&
+                t.partitionFields.zip(t2.partitionFields).forall {
+                  case ((pf1, s1), (pf2, s2)) =>
+                    normT(pf1.transform) == normT(pf2.transform) &&
+                      counterpart.getOrElse(s1.toLowerCase, Seq.empty)
+                        .exists(attr => r2.outputSet.contains(attr) &&
+                          attr.name.equalsIgnoreCase(s2))
+                } && t2.keyedPlan(spark).isDefined
+            case _ => false
+          }
+          if (srcCols.subsetOf(myKeys) && aligned) kgp = true
+          else splits = true
+        }
+      case f: Filter =>
+        val names = f.condition.references.toSeq.collect {
+          case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
+        }
+        if ((names.toSet intersect srcCols).nonEmpty) splits = true
+      case _ => ()
+    }
+    if (kgp) Some(GraftKeyedScan.ModeKgp)
+    else if (splits) Some(GraftKeyedScan.ModeSplits)
+    else None
+  }
+
+  private def withMode(
+      opts: CaseInsensitiveStringMap, mode: String): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](opts.asCaseSensitiveMap())
+    m.put(GraftKeyedScan.ModeOption, mode)
+    new CaseInsensitiveStringMap(m)
   }
 
   /** Replace the relation with the engine scan's analyzed plan, output

@@ -630,7 +630,7 @@ final case class GraftTable(
   // ---- read: V1 fallback (the extension rule is the fast path) ---------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftV1ScanBuilder(this)
+    new GraftV1ScanBuilder(this, options)
 
   // ---- write: V1 InsertableRelation into IcebergWriter -----------------
 
@@ -729,7 +729,9 @@ object GraftTable {
   * pruning reaches the parquet scan); filters are left to Spark's
   * post-scan Filter (the inner plan still sees them when the extension
   * rule is active, which is the performance path). */
-private final class GraftV1ScanBuilder(table: GraftTable)
+private final class GraftV1ScanBuilder(
+    table: GraftTable,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: Option[StructType] = None
@@ -761,17 +763,23 @@ private final class GraftV1ScanBuilder(table: GraftTable)
 
   override def build(): Scan = {
     // Storage-partitioned join path (opt-in via Spark's SPJ flag): a
-    // keyed V2 scan reporting KeyGroupedPartitioning, so co-partitioned
-    // graft⋈graft joins plan with zero Exchange. Falls through to the
-    // V1 bridge whenever the table can't claim the grouping faithfully.
+    // keyed V2 scan, claiming KeyGroupedPartitioning only when
+    // GraftTableRewrite tagged the relation "kgp" (the plan exploits the
+    // grouping — SPJ join or agg on the keys); a "splits" tag packs
+    // splits for parallelism and serves runtime (dim-side) pruning. An
+    // untagged relation (rewrite disabled, or a plan shape the rule
+    // never settled) keeps the legacy claim. Falls through to the V1
+    // bridge whenever the table can't plan keyed faithfully.
     if (GraftKeyedScan.enabled(SparkSession.active)) {
       val spark = SparkSession.active
       val preds = pushed.toSeq.flatMap(GraftKeyedScan.toPredicates)
+      val claimKgp = Option(options.get(GraftKeyedScan.ModeOption))
+        .forall(_ == GraftKeyedScan.ModeKgp)
       table.keyedPlan(spark, preds) match {
-        case Some(keyed) if keyed.groups.nonEmpty =>
+        case Some(keyed) if keyed.entries.nonEmpty =>
           return GraftKeyedV2Scan(spark, table,
             required.filter(_.nonEmpty).getOrElse(table.tableSchema),
-            keyed, pushed)
+            keyed, pushed, claimKgp = claimKgp)
         // pushed filters pruned EVERY file: plan zero splits — the V1
         // fallback would rebuild the unfiltered native relation (the
         // extension rule already skipped splicing) and read the whole

@@ -28,6 +28,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def planString(name: String): String = plan(name).toString
 
+  test("iceberg reads: every file-source leaf is manifest-seeded " +
+      "(ManifestFileIndex, never a re-statting InMemoryFileIndex)") {
+    // VERDICT r13 #5: the zero-stat planning property lives in dedicated
+    // specs; this central pin makes sure no refactor silently
+    // re-introduces InMemoryFileIndex (an O(files) storage round-trip at
+    // every cold plan) on any relation-construction site — plain scans,
+    // MoR with position deletes, and v2 generated tables all route
+    // through the manifest-seeded index.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (p match { case f: FileSourceScanExec => Seq(f); case _ => Seq.empty }) ++
+        children.flatMap(leaves)
+    }
+    for (q <- Seq("ib01_scan_latest_count", "ib10_scan_mor_deletes",
+        "ib34_scan_v2_generated")) {
+      val scans = leaves(plan(q))
+      assert(scans.nonEmpty, s"$q: expected file-source leaves")
+      scans.foreach { f =>
+        assert(f.relation.location.isInstanceOf[graft.iceberg.ManifestFileIndex],
+          s"$q: leaf ${f.nodeName} uses ${f.relation.location.getClass.getName}" +
+            " — Iceberg reads must plan from manifest-recorded sizes")
+      }
+    }
+  }
+
   test("q06: filters are pushed into the parquet scan") {
     val p = planString("q06_revenue_filter_agg")
     assert(p.contains("PushedFilters:"), p.take(2000))

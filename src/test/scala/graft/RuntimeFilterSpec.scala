@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime (dim-side) pruning — VERDICT r13 #1. The keyed V2 scan
+  * implements `SupportsRuntimeV2Filtering`: Spark's dynamic partition
+  * pruning broadcasts the dim side's surviving join keys into the fact
+  * scan, which re-prunes its manifest entries (partition tuples + column
+  * bounds) BEFORE execution. A star join `fact ⋈ dim WHERE dim.attr = …`
+  * then scans only the fact partitions the dim filter selects — at
+  * 100 TB, the difference between a full fact scan and a sliver. */
+class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll
+    with AdaptiveSparkPlanHelper {
+
+  private val wh = Files.createTempDirectory("graft_rf_wh_").toString
+
+  private lazy val spark: SparkSession = {
+    // broadcast joins stay ENABLED (DPP reuses the dim broadcast)
+    val s = GraftSessions.builder("local[4]", "4")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .appName("graft-runtime-filter")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def factScans(df: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] = {
+    df.collect()
+    collect(df.queryExecution.executedPlan) { case b: BatchScanExec => b }
+  }
+
+  test("dim-side filter prunes fact partitions at runtime (DPP)") {
+    spark.sql(
+      "CREATE TABLE graft.db.rf_fact (dt INT, v BIGINT) PARTITIONED BY (dt)")
+    // three commits → three files per day: 30 files across 10 days
+    (1 to 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.db.rf_fact
+            SELECT CAST(id % 10 AS INT) AS dt, id * $i AS v FROM range(0, 1000)""")
+    }
+    // NON-graft dim (a parquet view): the join cannot SPJ, so the rewrite
+    // tags the fact relation "splits" — the runtime-filter path
+    val dimDir = Files.createTempDirectory("graft_rf_dim_").toString
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("dt"),
+        (col("id") % 5).as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("rf_dim")
+
+    val q = spark.sql(
+      """SELECT count(*) AS c, sum(f.v) AS s
+        |FROM graft.db.rf_fact f JOIN rf_dim d ON f.dt = d.dt
+        |WHERE d.grp = 0""".stripMargin)
+    val scans = factScans(q)
+    assert(scans.nonEmpty, "expected the keyed V2 scan on the fact side")
+    val scan = scans.head
+    // the DPP subquery reached the scan...
+    assert(scan.runtimeFilters.nonEmpty,
+      s"expected a runtime filter on the fact scan:\n${q.queryExecution.executedPlan}")
+    // ...and pruned execution to the dim-selected days only: dt ∈ {0, 5}
+    // → 6 of 30 files (3 files x 2 days; tiny files never split)
+    val parts = scan.inputRDD.getNumPartitions
+    assert(parts <= 6, s"expected ≤6 pruned splits, got $parts")
+    assert(parts > 0)
+
+    // hash-identical to the unpruned plan
+    val expected = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      try spark.sql(
+        """SELECT count(*) AS c, sum(f.v) AS s
+          |FROM graft.db.rf_fact f JOIN rf_dim d ON f.dt = d.dt
+          |WHERE d.grp = 0""".stripMargin).head
+      finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    }
+    assert(q.head === expected)
+  }
+
+  test("runtime filter also prunes under a key-grouped (SPJ) claim") {
+    // both sides graft, identity(dt), joined on dt → the rewrite tags
+    // "kgp"; runtime filtering must still prune (filtered splits stay a
+    // SUBSET of the reported partitioning — Spark's contract)
+    spark.sql(
+      "CREATE TABLE graft.db.rf_dim2 (dt INT, grp INT) PARTITIONED BY (dt)")
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("dt"), (col("id") % 5).cast("int").as("grp"))
+      .createOrReplaceTempView("rf_dim2_src")
+    spark.sql("INSERT INTO graft.db.rf_dim2 SELECT dt, grp FROM rf_dim2_src")
+    val q = spark.sql(
+      """SELECT count(*) AS c, sum(f.v) AS s
+        |FROM graft.db.rf_fact f JOIN graft.db.rf_dim2 d ON f.dt = d.dt
+        |WHERE d.grp = 0""".stripMargin)
+    val rows = q.head
+    assert(rows.getLong(0) === 600L) // 2 of 10 days x 100 rows x 3 commits
+    val scans = factScans(q)
+    val fact = scans.find(_.table.name.contains("rf_fact"))
+    assert(fact.nonEmpty, q.queryExecution.executedPlan.toString)
+    if (fact.get.runtimeFilters.nonEmpty) {
+      // under a KGP claim Spark pads the filtered groups back to the
+      // original partition VALUES (outputPartitioning must stay valid),
+      // so task count is not the metric — the scan's own output-row
+      // metric is: only the surviving days' files were read (600 rows),
+      // not the whole table (3000). The residual join/filter sits ABOVE
+      // the scan, so an unpruned scan would emit all 3000.
+      val rowsRead = fact.get.metrics("numOutputRows").value
+      assert(rowsRead === 600L,
+        s"runtime filter present but unpruned: scan emitted $rowsRead rows")
+    }
+  }
+
+  test("an untranslatable runtime predicate degrades to conservative keep") {
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    // direct unit check on the bridge: unknown shapes extract nothing
+    val unknown = new Predicate("STARTS_WITH",
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("dt")))
+    assert(graft.sql.GraftKeyedScan.toColPredicates(unknown).isEmpty)
+  }
+}

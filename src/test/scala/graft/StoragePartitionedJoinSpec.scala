@@ -146,7 +146,72 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(joined.count() === 3L) // emea x1, apac 1x2
   }
 
-  test("keyed path stays OFF for MoR tables (deletes force the native plan)") {
+  test("a PLAIN scan does not collapse to one task per tuple (native splice)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // no join, no agg-on-key, no partition-source filter: the rewrite
+    // splices the native plan — a keyed claim here would execute a
+    // bucket(4) table as exactly 4 tasks regardless of data size
+    val q = spark.sql("SELECT * FROM graft.db.spj_orders")
+    q.collect()
+    val scans = collect(q.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }
+    assert(scans.isEmpty,
+      s"plain scan must splice the native plan, got:\n${q.queryExecution.executedPlan}")
+    // an aggregate NOT covering the partition key splices too
+    val q2 = spark.sql("SELECT sum(o_totalprice) FROM graft.db.spj_orders")
+    q2.collect()
+    assert(collect(q2.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }.isEmpty, "non-key aggregate must splice the native plan")
+  }
+
+  test("partially-clustered SPJ splits a hot tuple into multiple tasks") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql(
+      "CREATE TABLE graft.db.spj_skew_a (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(2, k))")
+    spark.sql(
+      "CREATE TABLE graft.db.spj_skew_b (k BIGINT, w BIGINT) " +
+        "PARTITIONED BY (bucket(2, k))")
+    // several INSERTs → several files per tuple on the hot side
+    (1 to 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.db.spj_skew_a " +
+        s"SELECT id AS k, id * $i AS v FROM range(0, 400)")
+    }
+    spark.sql("INSERT INTO graft.db.spj_skew_b SELECT id AS k, id AS w FROM range(0, 40)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      // shrink split packing so the hot tuple's files cannot collapse
+      // into one bin (the fixture is tiny; at real scale maxPartitionBytes
+      // does this by itself)
+      "spark.sql.files.maxPartitionBytes" -> "4096",
+      "spark.sql.files.openCostInBytes" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        """SELECT a.k, a.v, b.w FROM graft.db.spj_skew_a a
+          |JOIN graft.db.spj_skew_b b ON a.k = b.k""".stripMargin)
+      assert(shuffles(joined) === 0,
+        joined.queryExecution.executedPlan.toString)
+      val scans = collect(joined.queryExecution.executedPlan) {
+        case b: BatchScanExec => b
+      }
+      assert(scans.nonEmpty)
+      // the larger (partially-clustered) side keeps its packed splits as
+      // separate tasks instead of one straggler per tuple
+      val maxParts = scans.map(_.inputRDD.getNumPartitions).max
+      assert(maxParts > 2,
+        s"expected >2 tasks for a 2-bucket skewed side, got $maxParts")
+      assert(joined.count() === 160L) // 40 keys x 4 inserts
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("keyed path stays OFF for POSITION-delete MoR tables (native plan)") {
     spark.sql(
       "CREATE TABLE graft.db.spj_mor (o_orderkey BIGINT, v BIGINT) " +
         "PARTITIONED BY (bucket(4, o_orderkey))")
@@ -156,5 +221,63 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     val expected = spark.table("spj_src")
       .filter(col("o_orderkey") % 3 =!= 0).count()
     assert(spark.sql("SELECT * FROM graft.db.spj_mor").count() === expected)
+  }
+
+  test("CDC-upserted table (equality deletes) KEEPS zero-shuffle joins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // VERDICT r13 #2: the streaming upsert sink's own output (an
+    // equality delete per epoch) must not cost a co-bucketed table its
+    // storage-partitioned joins until compaction
+    spark.sql(
+      "CREATE TABLE graft.db.spj_ups_a (k BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      "CREATE TABLE graft.db.spj_ups_b (k BIGINT, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      "INSERT INTO graft.db.spj_ups_a SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql(
+      "INSERT INTO graft.db.spj_ups_b SELECT id, id % 9 FROM range(0, 100)")
+    // one epoch through the ib63 sink: replace keys 0..29, delete
+    // multiples of 10 (true tombstones)
+    val in = MemoryStream[(Long, Double, String)]
+    val q = in.toDF().toDF("k", "v", "_ct")
+      .writeStream
+      .outputMode("update")
+      .format("graft")
+      .option("table", "graft.db.spj_ups_a")
+      .option("upsert-keys", "k")
+      .option("upsert-change-column", "_ct")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_spj_ckpt_").toString)
+      .start()
+    try {
+      in.addData((0L until 30L).map { k =>
+        if (k % 10 == 0) (k, 0.0, "delete") else (k, k + 1000.0, "update")
+      }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val joined = spark.sql(
+      """SELECT a.k, a.v, b.w
+        |FROM graft.db.spj_ups_a a JOIN graft.db.spj_ups_b b
+        |  ON a.k = b.k""".stripMargin)
+    assert(shuffles(joined) === 0,
+      s"eq-deletes must not break SPJ:\n${joined.queryExecution.executedPlan}")
+    // value-exact vs the oracle recomputed from first principles
+    val got = joined.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq.sorted
+    val want = (0L until 100L)
+      .filterNot(k => k < 30 && k % 10 == 0) // tombstoned keys are GONE
+      .map(k => (k, if (k < 30) k + 1000.0 else k.toDouble, k % 9))
+      .sorted
+    assert(got === want)
+    // and a keyed point lookup through the MoR path stays correct too
+    assert(spark.sql(
+      "SELECT v FROM graft.db.spj_ups_a WHERE k = 11").head.getDouble(0) === 1011.0)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.spj_ups_a WHERE k = 10").head.getLong(0) === 0L)
   }
 }
