@@ -2573,7 +2573,16 @@ object IcebergWriter {
     * table size — continuous keyed ingestion at 100 TB. The key columns
     * are re-read from the epoch's OWN parquet files (one bounded
     * distributed job over exactly the new files; nothing row-shaped
-    * returns to the driver). */
+    * returns to the driver).
+    *
+    * ORDERING PRECONDITION: because the epoch's delete reaches only
+    * strictly-older sequences, a tombstone key colliding with a data-row
+    * key inside ONE epoch resolves DELETE-BEFORE-INSERT (the CDC
+    * update-pair shape). A feed where the delete can FOLLOW the insert
+    * within an epoch (multi-commit batching) must be resolved upstream —
+    * the sink's `upsert-ordinal-column` option does it per key run
+    * before any file is written (see GraftStreamingWrite) — or paced to
+    * one source commit per trigger. */
   private[graft] def commitStreamBatch(
       spark: SparkSession, path: String,
       files: Seq[(String, Map[String, Any])],
@@ -2696,6 +2705,12 @@ object IcebergWriter {
           else dataKeys.get.distinct().count() < dataRows
         }
         if (dupe) {
+          // name a few offending keys BEFORE dropping the files — "some
+          // key somewhere" is undebuggable on a real feed
+          val sample = scala.util.Try(
+            dataKeys.get.groupBy(upsertKeys.map(col): _*)
+              .count().filter(col("count") > 1)
+              .limit(5).collect().toSeq.map(_.toString)).getOrElse(Seq.empty)
           dropFiles()
           val fs = new Path(path).getFileSystem(conf)
           try fs.delete(new Path(path, s"data/snap-$snapshotId-eqdeletes"), true)
@@ -2706,7 +2721,9 @@ object IcebergWriter {
           throw new IllegalStateException(
             s"streaming upsert: epoch $batchId carries more than one row for " +
               s"the same key $upsertKeys — deduplicate the feed (e.g. " +
-              "aggregate per key in update mode) before the sink")
+              "aggregate per key in update mode, or set " +
+              "upsert-ordinal-column for last-writer-wins) before the sink" +
+              (if (sample.isEmpty) "" else s"; sample keys: ${sample.mkString(", ")}"))
         }
         Some(Manifest(delPath.toString, seq, content = 1))
       }

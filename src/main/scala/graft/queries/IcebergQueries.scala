@@ -1969,6 +1969,72 @@ object IcebergQueries {
             b.metrics("numOutputRows").value == cnt)
         joined.withColumn("dpp_pruned", lit(pruned))
       }
+    ),
+    QueryDef(
+      "ib67_cdc_ordinal_replication",
+      // ORDINAL-RESOLVED REPLICATION gate (round 14): the same mutating
+      // lineage as ib65 (append, keyed MERGE, row DELETE) replicated in
+      // ONE sink epoch — no per-snapshot pacing. The epoch batches a
+      // later DELETE of keys an earlier snapshot inserted, the exact
+      // shape a strictly-older equality delete cannot order by itself;
+      // `upsert-ordinal-column` (= the CDC source's monotone
+      // `_commit_snapshot_id`) resolves every key to its LAST action
+      // before any file is written. `snaps` pins the single-epoch apply:
+      // CREATE + one commit.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(SUM(CAST(CASE WHEN o_orderkey % 106 = 0
+                     THEN 2 * CAST(o_totalprice AS DOUBLE)
+                     ELSE CAST(o_totalprice AS DOUBLE) END AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+               CAST(2 AS BIGINT) AS snaps
+        FROM orders WHERE o_orderkey % 53 = 0 AND o_orderkey % 159 <> 0"""),
+      (s, dir) => {
+        val name = cachedTable("ib67", dir) { () =>
+          val wh = ensureCatalog(s)
+          val suffix = math.abs(dir.hashCode)
+          val src = s"$wh/g/cdc_src_ord_$suffix"
+          val base = graft.Tables.load(s, dir, "orders")
+            .filter(col("o_orderkey") % 53 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double").as("price"))
+          graft.iceberg.IcebergWriter.write(base, src)            // snap 1
+          graft.iceberg.IcebergWriter.merge(s, src,               // snap 2
+            base.filter(col("o_orderkey") % 106 === 0)
+              .withColumn("price", col("price") * 2),
+            keyCols = Seq("o_orderkey"))
+          graft.iceberg.IcebergWriter.delete(s, src,              // snap 3
+            col("o_orderkey") % 159 === 0)
+          val n = s"graft_cat.g.cdc_ord_mirror_$suffix"
+          s.sql(s"CREATE TABLE $n (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)")
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_ib67_ckpt_").toString
+          val q = s.readStream.format("graft-iceberg")
+            .option("path", src).option("mode", "cdc")
+            .load()
+            .select(col("o_orderkey"), col("o_custkey"), col("price"),
+              col("_change_type").as("_ct"),
+              col("_commit_snapshot_id").as("_ord"))
+            .writeStream.outputMode("update").format("graft")
+            .option("table", n)
+            .option("upsert-keys", "o_orderkey")
+            .option("upsert-change-column", "_ct")
+            .option("upsert-ordinal-column", "_ord")
+            .option("checkpointLocation", ckpt)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          n
+        }
+        val wh = ensureCatalog(s)
+        val path = s"$wh/g/cdc_ord_mirror_${math.abs(dir.hashCode)}"
+        val snaps = IcebergScan.snapshots(s, path).count()
+        s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                     CAST(round(SUM(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+              FROM $name""")
+          .withColumn("snaps", lit(snaps))
+      }
     )
   )
 

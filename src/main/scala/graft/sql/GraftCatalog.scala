@@ -868,23 +868,57 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
           .exists(fld => GraftV2Functions.bindable(f.transform, fld.dataType))
       }
 
+  // streaming upsert options, shared by the distribution declaration and
+  // toStreaming (writer option first; table property is the durable form)
+  private def streamUpsertKeys: Seq[String] =
+    Option(info.options.get("upsert-keys"))
+      .orElse(table.props.get("write.upsert.key-columns"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+  private def streamOrdinalCol: Option[String] =
+    Option(info.options.get("upsert-ordinal-column"))
+      .orElse(table.props.get("write.upsert.ordinal-column"))
+      .map(_.trim).filter(_.nonEmpty)
+
   override def build(): Write = new V1Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
+    // ordinal-resolved CDC apply: rows of one key MUST land in one task,
+    // in feed order — the run-resolution that fixes intra-epoch
+    // insert-then-delete ordering depends on it. V2Writes applies this
+    // to every streaming epoch (prepareQuery on
+    // WriteToMicroBatchDataSource); batch V1 writes ignore it.
+    private def upsertClusters: Boolean =
+      streamOrdinalCol.isDefined && streamUpsertKeys.nonEmpty
+
     override def requiredDistribution():
         org.apache.spark.sql.connector.distributions.Distribution =
-      if (plannerClusters)
+      if (upsertClusters)
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          streamUpsertKeys.toArray.map(k =>
+            org.apache.spark.sql.connector.expressions.Expressions.column(k)
+              : org.apache.spark.sql.connector.expressions.Expression))
+      else if (plannerClusters)
         org.apache.spark.sql.connector.distributions.Distributions
           .clustered(table.partitioning()
             .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
       else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
     // advisory, not strict: AQE may still coalesce the shuffle toward
-    // the advisory partition size (the small-files sweet spot)
+    // the advisory partition size (the small-files sweet spot). For the
+    // upsert clustering, coalescing never splits a key across tasks, so
+    // run-resolution stays correct (and the commit-side duplicate-key
+    // check backstops it loudly).
     override def distributionStrictlyRequired(): Boolean = false
 
     override def requiredOrdering():
-        Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (!upsertClusters) Array.empty
+      else (streamUpsertKeys ++ streamOrdinalCol).toArray.map { c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }
 
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
@@ -933,10 +967,7 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
       // the property cannot be update-mode-scoped. A stream that wants
       // plain appends into an upsert table opts out explicitly with
       // .option("upsert-keys", "").
-      val upsertKeys = Option(info.options.get("upsert-keys"))
-        .orElse(table.props.get("write.upsert.key-columns"))
-        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq.empty)
+      val upsertKeys = streamUpsertKeys
       if (upsertKeys.nonEmpty && truncateAll)
         throw new UnsupportedOperationException(
           "streaming write: complete output mode cannot combine with " +
@@ -950,7 +981,10 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
       new graft.streaming.GraftStreamingWrite(
         spark => op => table.withWrite(spark)(root => op(root)),
         table.path, info, replaceAll = truncateAll,
-        upsertKeys = upsertKeys, changeCol = changeCol)
+        upsertKeys = upsertKeys, changeCol = changeCol,
+        // intra-epoch ordering (a feed whose delete can follow the
+        // insert inside one epoch): see GraftStreamingWrite's scaladoc
+        ordinalCol = streamOrdinalCol)
     }
   }
 }

@@ -58,6 +58,24 @@ import graft.iceberg.IcebergWriter
   * `withColumnRenamed` away. Tombstone keys ride keys-only scratch
   * parquet per task; the driver folds them into the delete file and
   * removes the scratch before the commit returns.
+  *
+  * INTRA-EPOCH ORDERING. Without an ordinal, an epoch's equality delete
+  * reaches strictly-OLDER sequence numbers only, so a key colliding
+  * between a tombstone and a data row resolves DELETE-BEFORE-INSERT —
+  * the CDC update-pair convention (one source commit per epoch always
+  * satisfies it; `max-snapshots-per-trigger=1` on the CDC source pins
+  * that). A feed whose delete can FOLLOW the insert inside one epoch
+  * (multi-commit batching, Debezium-style streams) must name
+  * `ordinalCol` (the `upsert-ordinal-column` writer option): a LONG/INT
+  * feed-metadata column monotone in feed order (a commit sequence, LSN,
+  * Kafka offset — the CDC source's `_commit_snapshot_id` works for
+  * graft-written sources). The write then REQUIRES a clustered-by-key,
+  * sorted-by-(key, ordinal) distribution (Spark plans the shuffle —
+  * the same repartition every keyed upsert sink performs), and each
+  * task resolves every key run to its LAST action: final delete →
+  * tombstone only; final upsert → exactly that row. Ties (a CDC update
+  * pair shares its commit's ordinal) resolve delete-first, matching the
+  * no-ordinal convention. NULL ordinals fail the task loudly.
   */
 final class GraftStreamingWrite(
     // resolution + commit context (root for hadoop tables; commitThrough
@@ -69,7 +87,8 @@ final class GraftStreamingWrite(
     info: LogicalWriteInfo,
     replaceAll: Boolean,
     upsertKeys: Seq[String] = Seq.empty,
-    changeCol: Option[String] = None) extends StreamingWrite {
+    changeCol: Option[String] = None,
+    ordinalCol: Option[String] = None) extends StreamingWrite {
 
   // fail at stream START, not first commit: unknown key columns are a
   // configuration error the user should see before any file is written
@@ -90,6 +109,21 @@ final class GraftStreamingWrite(
     require(!upsertKeys.contains(c),
       s"streaming upsert: change column '$c' cannot be an upsert key")
   }
+  require(ordinalCol.isEmpty || changeCol.nonEmpty,
+    "streaming upsert: upsert-ordinal-column requires upsert-change-column " +
+      "(without tombstones an epoch has no ordering ambiguity)")
+  ordinalCol.foreach { c =>
+    val f = info.schema().fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming upsert: ordinal column '$c' is not in the write schema " +
+          s"(${info.schema().fieldNames.mkString(", ")})"))
+    require(f.dataType == LongType || f.dataType == IntegerType,
+      s"streaming upsert: ordinal column '$c' must be BIGINT or INT, " +
+        s"is ${f.dataType.sql}")
+    require(!upsertKeys.contains(c) && !changeCol.contains(c),
+      s"streaming upsert: ordinal column '$c' cannot also be a key or " +
+        "change column")
+  }
 
   private def batchKey: String =
     IcebergStreamSink.batchIdKey("v2-" + info.queryId())
@@ -98,13 +132,14 @@ final class GraftStreamingWrite(
       physical: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val root = graft.iceberg.IcebergIO.tableRoot(tableLocation)
-    // the change column is feed metadata, not table data: the table-side
-    // support (schema guard, ids, transforms) sees the schema WITHOUT it
+    // change + ordinal columns are feed metadata, not table data: the
+    // table-side support (schema guard, ids, transforms) sees the schema
+    // WITHOUT them
     val incoming = info.schema()
-    val dataSchema = changeCol match {
-      case Some(c) => StructType(incoming.fields.filterNot(_.name == c))
-      case None    => incoming
-    }
+    val metaCols: Set[String] = (changeCol.toSeq ++ ordinalCol).toSet
+    val dataSchema =
+      if (metaCols.isEmpty) incoming
+      else StructType(incoming.fields.filterNot(f => metaCols.contains(f.name)))
     val sup = IcebergWriter.streamingWriteSupport(spark, root, dataSchema)
     // Bind the table's partition-transform Columns (the SAME expressions
     // the batch writer and pruner use) to the incoming row layout: an
@@ -171,7 +206,10 @@ final class GraftStreamingWrite(
       changeIdx = changeCol.map(incoming.fieldIndex).getOrElse(-1),
       dataProjExprs = dataProj,
       keyProjExprs = keyProj,
-      tombstoneParquet = tombParquet)
+      tombstoneParquet = tombParquet,
+      ordinalIdx = ordinalCol.map(incoming.fieldIndex).getOrElse(-1),
+      ordinalIsLong = ordinalCol.exists(c =>
+        incoming(incoming.fieldIndex(c)).dataType == LongType))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -216,7 +254,13 @@ private[streaming] final case class GraftStreamingWriterFactory(
     changeIdx: Int = -1,
     dataProjExprs: Seq[Expression] = Seq.empty,
     keyProjExprs: Seq[Expression] = Seq.empty,
-    tombstoneParquet: Option[GraftParquetWrite.WriteSupport] = None)
+    tombstoneParquet: Option[GraftParquetWrite.WriteSupport] = None,
+    // intra-epoch ordering: incoming-row index of the ordinal column
+    // (-1 = none). When set, the write REQUIRED clustering by key and
+    // (key, ordinal) in-partition order, so each key's rows arrive
+    // consecutively and the writer keeps only the run's LAST action.
+    ordinalIdx: Int = -1,
+    ordinalIsLong: Boolean = true)
     extends StreamingDataWriterFactory {
 
   override def createWriter(
@@ -285,8 +329,54 @@ private final class GraftStreamingDataWriter(
       v.equalsIgnoreCase("delete") || v.equalsIgnoreCase("d")
     }
 
+  // ---- intra-epoch ordering (upsert-ordinal-column) ----------------------
+  // Rows arrive clustered by key, sorted by (key, ordinal): buffer the
+  // current key run's WINNING action and write only on run change/commit.
+  // Ties (a CDC update pair shares its commit's ordinal) resolve
+  // delete-first — the pair's insert supersedes its delete.
+  private var pendingKey: InternalRow = null
+  private var pendingRow: InternalRow = null
+  private var pendingIsTomb = false
+  private var pendingOrd = 0L
+
+  private def ordOf(row: InternalRow): Long = {
+    require(!row.isNullAt(f.ordinalIdx),
+      "streaming upsert: the upsert-ordinal-column must be non-null on " +
+        "every feed row")
+    if (f.ordinalIsLong) row.getLong(f.ordinalIdx)
+    else row.getInt(f.ordinalIdx).toLong
+  }
+
+  private def flushPending(): Unit = if (pendingRow != null) {
+    writeResolved(pendingRow, pendingIsTomb)
+    pendingRow = null
+    pendingKey = null
+  }
+
   override def write(row: InternalRow): Unit = {
-    if (isTombstone(row)) {
+    if (f.ordinalIdx < 0) { writeResolved(row, isTombstone(row)); return }
+    val key = keyProj(row) // reused buffer; pendingKey is a copy
+    val ord = ordOf(row)
+    val tomb = isTombstone(row)
+    if (pendingKey == null || pendingKey != key) {
+      // copy BEFORE flushing: a tombstone flush re-projects through the
+      // same keyProj buffer `key` points into, so copying after would
+      // capture the FLUSHED row's key and split the new run in two
+      val keyCopy = key.copy()
+      flushPending()
+      pendingKey = keyCopy
+      pendingRow = row.copy()
+      pendingIsTomb = tomb
+      pendingOrd = ord
+    } else if (ord > pendingOrd || (ord == pendingOrd && pendingIsTomb && !tomb)) {
+      pendingRow = row.copy()
+      pendingIsTomb = tomb
+      pendingOrd = ord
+    }
+  }
+
+  private def writeResolved(row: InternalRow, tomb: Boolean): Unit = {
+    if (tomb) {
       if (tombWriter == null) {
         tombPath = s"${f.dataDir}/b$epochId-p$partitionId-t$taskId-tomb.parquet"
         tombWriter = f.tombstoneParquet.get.open(tombPath, partitionId, taskId)
@@ -331,6 +421,7 @@ private final class GraftStreamingDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
+    flushPending() // last key run of an ordinal-resolved task
     open.values.foreach(_.close())
     open.clear()
     if (tombWriter != null) { tombWriter.close(); tombWriter = null }
@@ -339,6 +430,8 @@ private final class GraftStreamingDataWriter(
   }
 
   override def abort(): Unit = {
+    pendingRow = null
+    pendingKey = null
     open.values.foreach(w => try w.close() catch { case _: Exception => () })
     open.clear()
     if (tombWriter != null) {

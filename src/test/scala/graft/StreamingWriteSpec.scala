@@ -574,6 +574,111 @@ class StreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("upsert-ordinal-column resolves multi-action keys to the LAST action") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE graft.db.stream_cdc_ord (k BIGINT, v DOUBLE)")
+    val in = MemoryStream[(Long, Double, Long, String)]
+    val q = in.toDF().toDF("k", "v", "_ord", "_ct")
+      .writeStream
+      .outputMode("update")
+      .format("graft")
+      .option("table", "graft.db.stream_cdc_ord")
+      .option("upsert-keys", "k")
+      .option("upsert-change-column", "_ct")
+      .option("upsert-ordinal-column", "_ord")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    try {
+      in.addData((1L, 1.0, 0L, "insert"), (2L, 2.0, 0L, "insert"),
+        (3L, 3.0, 0L, "insert"), (4L, 4.0, 0L, "insert"), (5L, 5.0, 0L, "insert"))
+      q.processAllAvailable()
+      // ONE epoch carrying several actions per key — the shapes the
+      // strictly-older equality delete cannot order by itself:
+      in.addData(
+        (1L, 10.0, 1L, "insert"), (1L, 11.0, 2L, "update"), // multi-upsert → last
+        (2L, 20.0, 1L, "update"), (2L, 0.0, 2L, "delete"),  // insert THEN delete → gone
+        (3L, 0.0, 1L, "delete"), (3L, 30.0, 2L, "insert"),  // delete then re-insert
+        (4L, 0.0, 5L, "delete"), (4L, 40.0, 5L, "update"))  // TIE → data wins (CDC pair)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v FROM graft.db.stream_cdc_ord ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows === Seq((1L, 11.0), (3L, 30.0), (4L, 40.0), (5L, 5.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
+  test("CDC source: a MULTI-snapshot epoch replicates via the commit ordinal") {
+    import spark.implicits._
+    // append, keyed merge, then a DELETE — all batched into ONE sink
+    // epoch (no max-snapshots-per-trigger pacing). _commit_snapshot_id is
+    // monotone for graft-written sources, so it serves as the ordinal;
+    // without it, k=1's delete (a LATER snapshot than its insert) would
+    // fold into the same equality delete as the insert and k=1 would
+    // wrongly survive.
+    val src = Files.createTempDirectory("graft_cdc_ord_src_").toString + "/t"
+    IcebergWriter.write(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), src)
+    IcebergWriter.merge(spark, src,
+      Seq((2L, 21.0), (3L, 30.0)).toDF("k", "v"), keyCols = Seq("k"))
+    IcebergWriter.delete(spark, src, col("k") === 1L)
+    spark.sql("CREATE TABLE graft.db.cdc_ord_mirror (k BIGINT, v DOUBLE)")
+    val q = spark.readStream
+      .format("graft-iceberg")
+      .option("path", src)
+      .option("mode", "cdc")
+      .load()
+      .select(col("k"), col("v"),
+        col("_change_type").as("_ct"),
+        col("_commit_snapshot_id").as("_ord"))
+      .writeStream
+      .outputMode("update")
+      .format("graft")
+      .option("table", "graft.db.cdc_ord_mirror")
+      .option("upsert-keys", "k")
+      .option("upsert-change-column", "_ct")
+      .option("upsert-ordinal-column", "_ord")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val mirror = spark.sql("SELECT k, v FROM graft.db.cdc_ord_mirror ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val source = IcebergScan.scan(spark, src).select("k", "v").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mirror === source)
+      assert(mirror === Seq((2L, 21.0), (3L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("a NULL ordinal fails the epoch loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE graft.db.stream_ord_null (k BIGINT, v DOUBLE)")
+    val in = MemoryStream[(Long, Double, Option[Long], String)]
+    val q = in.toDF().toDF("k", "v", "_ord", "_ct")
+      .writeStream
+      .outputMode("update")
+      .format("graft")
+      .option("table", "graft.db.stream_ord_null")
+      .option("upsert-keys", "k")
+      .option("upsert-change-column", "_ct")
+      .option("upsert-ordinal-column", "_ord")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    try {
+      in.addData((1L, 1.0, None, "insert"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("ordinal") ||
+        Option(e.getCause).exists(_.getMessage.contains("ordinal")), e.getMessage)
+    } finally q.stop()
+  }
+
   test("an unknown upsert key column fails the stream at start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
