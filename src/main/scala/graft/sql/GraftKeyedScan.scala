@@ -223,6 +223,10 @@ object GraftKeyedScan {
     // eq-deletes present, bounds-based pruning stays sound: a pruned
     // file can't contain a matching row, deleted or not.
     val bySig = dataLive0.map { case (e, s) => e.filePath -> s }.toMap
+    // a data path added twice (abnormal but representable) would fold to
+    // ONE sequence here; under eq-deletes that could scope a delete to
+    // the wrong copy — the native path reads duplicates verbatim, go there
+    if (eqDeletes.nonEmpty && bySig.size != dataLive0.size) return None
     val data = graft.iceberg.IcebergPruning.prune(
       dataLive0.map(_._1), preds, snapshot.partitionSpec, snapshot.schema)
     val keyedEntries: Seq[KeyedEntry] = data.map { e =>
