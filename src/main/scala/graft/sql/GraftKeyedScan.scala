@@ -31,7 +31,7 @@ import graft.iceberg.{IcebergIO, IcebergModel, IcebergPruning, IcebergScan, Iceb
   *    Exchange. Spark groups the emitted splits one TASK per partition
   *    tuple — the right trade only when the plan actually exploits the
   *    grouping, hence the shape gate. Under
-  *    `spark.sql.sources.v2.bucketing.partiallyClustered.distribution
+  *    `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
   *    .enabled` Spark keeps the per-tuple splits of the larger side as
   *    separate tasks, so a hot bucket is no longer one straggler.
   *
@@ -290,11 +290,15 @@ object GraftKeyedScan {
       case l: V2Literal[_] => Some(l.value)
       case _ => None
     }
-    p.name match {
+    // total by construction: this runs inside execution (BatchScanExec's
+    // filteredPartitions) — a malformed/unexpected shape must degrade to
+    // "extract nothing", never fail the query
+    Try(p.name match {
       case "IN" =>
         val ch = p.children()
         (for {
-          c <- refName(ch.head)
+          h <- ch.headOption
+          c <- refName(h)
           vs <- Try(ch.tail.toSeq.map(e => litVal(e).get)).toOption
         } yield Seq(P.ColPredicate(c, P.In, vs))).getOrElse(Seq.empty)
       case "=" =>
@@ -307,10 +311,10 @@ object GraftKeyedScan {
             toColPredicates(c)
         }.flatten
       case "IS_NOT_NULL" =>
-        refName(p.children().head)
+        p.children().headOption.flatMap(refName)
           .map(c => Seq(P.ColPredicate(c, P.NotNull, null))).getOrElse(Seq.empty)
       case _ => Seq.empty
-    }
+    }).getOrElse(Seq.empty)
   }
 
   /** Manifest Avro-domain partition value → Catalyst value of the
