@@ -40,6 +40,24 @@ object Tables {
   }
 }
 
+/** Collect nodes from an executed (possibly adaptive) physical plan,
+  * descending through `AdaptiveSparkPlanExec`/`QueryStageExec` wrappers —
+  * the one traversal every plan-shape pin shares (gates pin shuffle
+  * counts and scan metrics INSIDE oracle-checked output; specs pin leaf
+  * types), so the wrapper-unwrapping lives in exactly one place. */
+object PlanWalk {
+  def collect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    pf.lift(p).toSeq ++ children.flatMap(collect(_)(pf))
+  }
+}
+
 /** Session configuration the engine's read paths rely on. Set ONCE at
   * session build (mutating session conf inside query builders would leak
   * into unrelated reads in the same session). */

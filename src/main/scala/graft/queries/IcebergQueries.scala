@@ -2040,18 +2040,10 @@ object IcebergQueries {
 
   /** Every BatchScanExec in the FINAL adaptive plan. */
   private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val children = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+    graft.PlanWalk.collect(p) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    (p match {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
-      case _ => Seq.empty
-    }) ++ children.flatMap(collectScans)
-  }
 
   /** Identity(dt)-partitioned events table under the catalog for ib66 —
     * written once per (JVM, sf dir); one file per day so the gate's
@@ -2073,17 +2065,10 @@ object IcebergQueries {
   }
 
   /** Exchange nodes in the FINAL adaptive plan (stages resolved). */
-  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
-    val children = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    self + children.map(countShuffles).sum
-  }
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    graft.PlanWalk.collect(p) {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }.size
 
   /** Bucket(8)-co-partitioned orders + lineitem catalog tables for ib64,
     * written once per (JVM, sf dir). lineitem is thinned to one line per

@@ -189,12 +189,30 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             mine.groupBy(_._1.name.toLowerCase)
               .view.mapValues(_.map(_._2)).toMap
           // SPJ-able: every partition source is a join key, and the
-          // other side owns a graft relation whose spec aligns
-          // positionally (same transforms, sources connected by the
-          // equi-pairs) and which can itself plan keyed
-          def aligned: Boolean = j.exists {
-            case r2: DataSourceV2Relation
-                if (r2 ne r) && r2.table.isInstanceOf[GraftTable] =>
+          // OPPOSITE join side's DIRECT relation (reachable through
+          // unary pass-through nodes only — an intermediate join or
+          // aggregate re-shuffles its child, destroying the grouping
+          // SPJ would zip, so a deeper counterpart must not claim kgp)
+          // is a graft table whose spec aligns positionally (same
+          // transforms, sources connected by the equi-pairs) and which
+          // can itself plan keyed
+          def directRelations(p: LogicalPlan): Seq[DataSourceV2Relation] =
+            p match {
+              case r2: DataSourceV2Relation => Seq(r2)
+              case SubqueryAlias(_, child) => directRelations(child)
+              case Project(_, child) => directRelations(child)
+              case Filter(_, child) => directRelations(child)
+              case _ => Seq.empty
+            }
+          val rInLeft = mine.exists { case (a, _) => j.left.outputSet.contains(a) }
+          val otherSide = if (rInLeft) j.right else j.left
+          // the SAME directness applies to r's own side: a relation
+          // buried under an intermediate join gets re-shuffled before
+          // this join, so its scan-level grouping buys nothing here
+          val rIsDirect =
+            directRelations(if (rInLeft) j.left else j.right).exists(_ eq r)
+          def aligned: Boolean = rIsDirect && directRelations(otherSide).exists {
+            case r2 if (r2 ne r) && r2.table.isInstanceOf[GraftTable] =>
               val t2 = r2.table.asInstanceOf[GraftTable]
               t2.partitionFields.length == t.partitionFields.length &&
                 t.partitionFields.zip(t2.partitionFields).forall {

@@ -849,14 +849,15 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
 
   // hash-mode appends declare a CLUSTERED distribution over the table's
   // partition Transforms (resolvable because GraftCatalog is a
-  // FunctionCatalog). Measured division of labor on Spark 4.1:
-  // STREAMING epochs get the repartition from the planner (V2Writes
-  // applies prepareQuery to WriteToMicroBatchDataSource — without it,
-  // every epoch wrote tasks x partitions files); the BATCH V1 path
-  // ignores required distributions, so the batch insert below keeps the
-  // writer's own hash repartition. If a future Spark applies it to V1
-  // writes too, the worst case is a redundant same-key shuffle, never a
-  // wrong result.
+  // FunctionCatalog). STREAMING epochs get the repartition from the
+  // planner (V2Writes applies prepareQuery to
+  // WriteToMicroBatchDataSource — without it, every epoch wrote
+  // tasks x partitions files). V2Writes applies prepareQuery to batch
+  // AppendData as well (verified against Spark 4.1 bytecode), so the
+  // batch insert below may see an already-clustered child before the
+  // writer's own hash repartition — a redundant same-key shuffle at
+  // worst, never a wrong result (the writer's shuffle also serves
+  // non-catalog write paths, so it stays).
   private def plannerClusters: Boolean =
     overwriteCond.isEmpty && table.partitionFields.nonEmpty &&
       table.props.getOrElse("write.distribution-mode", "none") == "hash" &&
@@ -887,9 +888,18 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     // in feed order — the run-resolution that fixes intra-epoch
     // insert-then-delete ordering depends on it. V2Writes applies this
     // to every streaming epoch (prepareQuery on
-    // WriteToMicroBatchDataSource); batch V1 writes ignore it.
+    // WriteToMicroBatchDataSource) — and to batch writes too, so the
+    // declaration is gated on the ORDINAL COLUMN BEING IN THE WRITE
+    // SCHEMA: only a change feed carries it. A plain batch INSERT into a
+    // table whose durable properties name the ordinal would otherwise
+    // fail analysis trying to sort by a column the insert query doesn't
+    // have (the ordinal is feed metadata, never a table column).
     private def upsertClusters: Boolean =
-      streamOrdinalCol.isDefined && streamUpsertKeys.nonEmpty
+      streamUpsertKeys.nonEmpty && {
+        val fields = info.schema().fieldNames
+        streamOrdinalCol.exists(fields.contains) &&
+          streamUpsertKeys.forall(fields.contains)
+      }
 
     override def requiredDistribution():
         org.apache.spark.sql.connector.distributions.Distribution =

@@ -200,11 +200,17 @@ object GraftKeyedScan {
         if (idSets.size != 1 || idSets.head.isEmpty) return None
         val byId = snapshot.schema.map(c => c.id -> c).toMap
         val keyCols = idSets.head.map(id => byId.getOrElse(id, return None))
-        // top-level primitives only (UnsafeProjection key equality)
+        // top-level primitives only (UnsafeProjection key equality), and
+        // NO float/double keys: byte equality diverges from SQL equality
+        // there (-0.0 vs 0.0, NaN bit patterns) while the native path
+        // joins under NormalizeFloatingNumbers — and the Iceberg spec
+        // itself forbids float/double identifier fields, so bailing to
+        // the native plan loses nothing legitimate
         val keyStruct = Try(graft.iceberg.IcebergSchemaParser
           .toStructType(keyCols)).toOption.getOrElse(return None)
         if (keyStruct.fields.exists(f => f.dataType match {
             case _: StructType | _: ArrayType | _: MapType => true
+            case FloatType | DoubleType => true
             case _ => false })) return None
         val ds = eqLive.map { case (e, seq) =>
           // empty tuple map = unpartitioned delete file = GLOBAL (the
@@ -364,8 +370,13 @@ private[sql] object EqDeleteKeyCache {
   def load(files: Array[(String, Long)],
            factory: PartitionReaderFactory,
            keySchema: StructType): java.util.HashSet[InternalRow] = {
+    // (path, SIZE) identity, not path alone: a table dropped and
+    // recreated at the same location can re-mint the same delete path
+    // (graft snapshot ids restart), and a long-lived executor must not
+    // serve the old table's keys against the new one
     val cacheKey =
-      files.map(_._1).sorted.mkString("\n") + "#" + keySchema.catalogString
+      files.map { case (p, len) => s"$p@$len" }.sorted.mkString("\n") +
+        "#" + keySchema.catalogString
     val hit = Option(cache.get(cacheKey)).flatMap(r => Option(r.get()))
     hit.getOrElse {
       val set = new java.util.HashSet[InternalRow]()

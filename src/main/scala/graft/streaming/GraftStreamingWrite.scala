@@ -372,6 +372,19 @@ private final class GraftStreamingDataWriter(
       pendingRow = row.copy()
       pendingIsTomb = tomb
       pendingOrd = ord
+    } else if (ord == pendingOrd && !pendingIsTomb && !tomb) {
+      // two DATA actions at ONE ordinal: an idempotent duplicate is
+      // harmless, but DIFFERING table data is genuinely ambiguous — the
+      // arrival order within an equal-ordinal sort is arbitrary, so
+      // keeping either would commit a run-dependent value. Fail loudly,
+      // matching the strictness the no-ordinal path's duplicate-key
+      // check gives the same feed.
+      val a = (if (dataProj == null) row else dataProj(row)).copy()
+      val b = if (dataProj == null) pendingRow else dataProj(pendingRow)
+      require(a == b,
+        s"streaming upsert: two different rows for one key at ordinal " +
+          s"$ord — the upsert-ordinal-column must order a key's actions " +
+          "totally (or deduplicate the feed)")
     }
   }
 

@@ -37,16 +37,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // MoR with position deletes, and v2 generated tables all route
     // through the manifest-seeded index.
     import org.apache.spark.sql.execution.FileSourceScanExec
-    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      val children = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      (p match { case f: FileSourceScanExec => Seq(f); case _ => Seq.empty }) ++
-        children.flatMap(leaves)
-    }
+    def leaves(p: SparkPlan): Seq[FileSourceScanExec] =
+      PlanWalk.collect(p) { case f: FileSourceScanExec => f }
     for (q <- Seq("ib01_scan_latest_count", "ib10_scan_mor_deletes",
         "ib34_scan_v2_generated")) {
       val scans = leaves(plan(q))

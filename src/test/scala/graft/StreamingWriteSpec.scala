@@ -653,6 +653,22 @@ class StreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("durable upsert/ordinal table properties do not break BATCH inserts") {
+    // the clustered+sorted distribution the ordinal mode declares must be
+    // gated on the ordinal column being IN the write schema: a plain
+    // batch INSERT carries only table columns, and an unconditional
+    // declaration would fail its analysis trying to sort by the feed's
+    // metadata column
+    spark.sql(
+      """CREATE TABLE graft.db.ord_props (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES (
+        |  'write.upsert.key-columns' = 'k',
+        |  'write.upsert.change-column' = '_ct',
+        |  'write.upsert.ordinal-column' = '_ord')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.ord_props VALUES (1, 1.0), (2, 2.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ord_props").head.getLong(0) === 2L)
+  }
+
   test("a NULL ordinal fails the epoch loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
