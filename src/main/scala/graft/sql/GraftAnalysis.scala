@@ -202,6 +202,9 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case SubqueryAlias(_, child) => directRelations(child)
               case Project(_, child) => directRelations(child)
               case Filter(_, child) => directRelations(child)
+              // join hints (/*+ MERGE(x) */) wrap the hinted side in the
+              // ANALYZED plan; the optimizer folds them into the Join later
+              case h: ResolvedHint => directRelations(h.child)
               case _ => Seq.empty
             }
           val rInLeft = mine.exists { case (a, _) => j.left.outputSet.contains(a) }

@@ -118,6 +118,40 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("runtime IN-sets project through BUCKET transforms") {
+    // the star-join shape on a bucketed key: the dim IN-set's values
+    // hash through the bucket transform, so only the surviving buckets'
+    // files are read (a selective dim filter on a 16-bucket 100-TB fact
+    // reads only the matching buckets)
+    spark.sql(
+      "CREATE TABLE graft.db.rf_bfact (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      """INSERT INTO graft.db.rf_bfact
+         SELECT id % 40 AS k, id AS v FROM range(0, 4000)""")
+    val dimDir = Files.createTempDirectory("graft_rf_bdim_").toString
+    spark.range(0, 40)
+      .select(col("id").as("k"), (col("id") % 20).as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("rf_bdim")
+    val q = spark.sql(
+      """SELECT count(*) AS c, sum(f.v) AS s
+        |FROM graft.db.rf_bfact f JOIN rf_bdim d ON f.k = d.k
+        |WHERE d.grp = 0""".stripMargin)
+    val row = q.head
+    assert(row.getLong(0) === 200L) // keys {0, 20}: 100 rows each
+    val scan = factScans(q).find(_.table.name.contains("rf_bfact"))
+    assert(scan.nonEmpty)
+    if (scan.get.runtimeFilters.nonEmpty) {
+      // 2 surviving keys land in at most 2 of 4 buckets — strictly less
+      // than the full table was read
+      val rowsRead = scan.get.metrics("numOutputRows").value
+      assert(rowsRead < 4000L,
+        s"bucket projection did not prune: scan read $rowsRead rows")
+      assert(rowsRead >= 200L)
+    }
+  }
+
   test("an untranslatable runtime predicate degrades to conservative keep") {
     import org.apache.spark.sql.connector.expressions.filter.Predicate
     // direct unit check on the bridge: unknown shapes extract nothing
