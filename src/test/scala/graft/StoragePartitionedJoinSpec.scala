@@ -124,6 +124,18 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
       s"expected zero splits, got ${scans.head.inputRDD.getNumPartitions}")
   }
 
+  test("a JOIN HINT on one side does not cost the SPJ claim") {
+    // ResolvedHint wraps the hinted side in the analyzed plan — the
+    // shape detection must see through it (ib64's gate runs exactly
+    // this: /*+ MERGE */ to force a sort-merge join for the pin)
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(a) */ a.o_orderkey, a.o_totalprice, b.qty
+        |FROM graft.db.spj_orders a JOIN graft.db.spj_items b
+        |  ON a.o_orderkey = b.o_orderkey""".stripMargin)
+    assert(shuffles(joined) === 0,
+      joined.queryExecution.executedPlan.toString)
+  }
+
   test("identity-partitioned tables also join storage-partitioned") {
     // SPJ is not bucket-specific: any catalog-resolvable transform whose
     // tuples match across sides zips — here identity(region) on both
