@@ -473,7 +473,9 @@ private final class GraftKeyedV2Scan(
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-keyed ${table.name()} (${keyed.groups.size} partition tuples" +
-      (if (claimKgp) ", key-grouped)" else ", packed)") +
+      (if (claimKgp) ", key-grouped" else ", packed") +
+      (if (keyed.eqDeletes.isEmpty) ")"
+       else s", ${keyed.eqDeletes.size} eq-deletes)") +
       (if (filters.isEmpty) "" else s" PushedFilters: ${filters.mkString(", ")}")
   override def toBatch: Batch = this
 
