@@ -64,11 +64,14 @@ private[graft] object ManifestFileIndex {
       schema: StructType, conf: Configuration,
       // `_metadata.file_modification_time` for the synthesized statuses.
       // The statting InMemoryFileIndex returned each file's real mtime;
-      // manifests don't record one, so the committing SNAPSHOT's
-      // timestamp (already in loaded metadata — no extra round trip) is
-      // the honest stand-in: every file a snapshot added was finalized
-      // at-or-before its commit instant. 0 (no snapshot in scope) keeps
-      // the epoch placeholder.
+      // manifests don't record one, so the SCANNED snapshot's timestamp
+      // (already in loaded metadata — no extra round trip) is the
+      // documented approximation: every file visible to a snapshot was
+      // finalized at-or-before its commit instant, so the stamp is an
+      // upper bound — exact for files the scanned snapshot added, later
+      // than the real mtime for files inherited from earlier commits
+      // (whose committing-snapshot ids the entry model does not retain).
+      // 0 (no snapshot in scope) keeps the epoch placeholder.
       mtimeMs: Long = 0L): Option[DataFrame] = {
     if (files.isEmpty || files.exists(_._2 <= 0L)) None
     else {

@@ -166,14 +166,33 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case And(l, rr) => conj(l) ++ conj(rr)
       case other => Seq(other)
     }
+    // relations reachable through unary pass-through nodes only — an
+    // intermediate join or aggregate re-shuffles its child, destroying
+    // the scan-level grouping before the consumer sees it
+    def directRelations(p: LogicalPlan): Seq[DataSourceV2Relation] =
+      p match {
+        case r2: DataSourceV2Relation => Seq(r2)
+        case SubqueryAlias(_, child) => directRelations(child)
+        case Project(_, child) => directRelations(child)
+        case Filter(_, child) => directRelations(child)
+        // join hints (/*+ MERGE(x) */) wrap the hinted side in the
+        // ANALYZED plan; the optimizer folds them into the Join later
+        case h: ResolvedHint => directRelations(h.child)
+        case _ => Seq.empty
+      }
     plan.foreach {
       case agg: Aggregate =>
         // group-by on (a superset of) the partition sources: the keyed
-        // grouping satisfies the aggregation's clustered distribution
+        // grouping satisfies the aggregation's clustered distribution —
+        // but only when the relation feeds the Aggregate DIRECTLY. An
+        // intermediate join on non-partition keys re-shuffles anyway, so
+        // a kgp claim there would collapse the scan's parallelism while
+        // saving no exchange.
         val grouped = agg.groupingExpressions.collect {
           case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
         }.toSet
-        if (srcCols.subsetOf(grouped)) kgp = true
+        if (srcCols.subsetOf(grouped) &&
+            directRelations(agg.child).exists(_ eq r)) kgp = true
       case j: Join if j.condition.isDefined =>
         val pairs = conj(j.condition.get).collect {
           case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
@@ -189,24 +208,9 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             mine.groupBy(_._1.name.toLowerCase)
               .view.mapValues(_.map(_._2)).toMap
           // SPJ-able: every partition source is a join key, and the
-          // OPPOSITE join side's DIRECT relation (reachable through
-          // unary pass-through nodes only — an intermediate join or
-          // aggregate re-shuffles its child, destroying the grouping
-          // SPJ would zip, so a deeper counterpart must not claim kgp)
-          // is a graft table whose spec aligns positionally (same
-          // transforms, sources connected by the equi-pairs) and which
-          // can itself plan keyed
-          def directRelations(p: LogicalPlan): Seq[DataSourceV2Relation] =
-            p match {
-              case r2: DataSourceV2Relation => Seq(r2)
-              case SubqueryAlias(_, child) => directRelations(child)
-              case Project(_, child) => directRelations(child)
-              case Filter(_, child) => directRelations(child)
-              // join hints (/*+ MERGE(x) */) wrap the hinted side in the
-              // ANALYZED plan; the optimizer folds them into the Join later
-              case h: ResolvedHint => directRelations(h.child)
-              case _ => Seq.empty
-            }
+          // OPPOSITE join side's DIRECT relation is a graft table whose
+          // spec aligns positionally (same transforms, sources connected
+          // by the equi-pairs) and which can itself plan keyed
           val rInLeft = mine.exists { case (a, _) => j.left.outputSet.contains(a) }
           val otherSide = if (rInLeft) j.right else j.left
           // the SAME directness applies to r's own side: a relation

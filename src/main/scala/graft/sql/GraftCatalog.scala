@@ -914,12 +914,18 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
             .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
       else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
-    // advisory, not strict: AQE may still coalesce the shuffle toward
-    // the advisory partition size (the small-files sweet spot). For the
-    // upsert clustering, coalescing never splits a key across tasks, so
-    // run-resolution stays correct (and the commit-side duplicate-key
-    // check backstops it loudly).
-    override def distributionStrictlyRequired(): Boolean = false
+    // Upsert clustering must be STRICT: with strict=false Spark plans
+    // RebalancePartitions, and AQE's OptimizeSkewInRebalancePartitions
+    // can split a skewed reducer partition by MAPPER ranges — splitting
+    // one key's run across tasks. A delete (later ordinal) and insert
+    // (earlier ordinal) resolved in different tasks silently keep the
+    // stale insert (the epoch's eq-delete only reaches strictly-older
+    // sequences, and the duplicate-key check only catches data-data
+    // collisions). Strict hash repartition can never split a key.
+    // Planner (partition-tuple) clustering stays advisory: AQE
+    // coalescing toward the advisory size is the small-files sweet
+    // spot, and correctness there doesn't depend on key co-location.
+    override def distributionStrictlyRequired(): Boolean = upsertClusters
 
     override def requiredOrdering():
         Array[org.apache.spark.sql.connector.expressions.SortOrder] =

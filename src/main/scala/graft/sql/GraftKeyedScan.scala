@@ -379,6 +379,12 @@ private[sql] object EqDeleteKeyCache {
         "#" + keySchema.catalogString
     val hit = Option(cache.get(cacheKey)).flatMap(r => Option(r.get()))
     hit.getOrElse {
+      // GC cleared some referents (or delete-file sets churned across
+      // epochs/queries): purge dead entries now so the map's keys —
+      // potentially long concatenated path lists — don't accumulate
+      // without bound on a long-lived executor.
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) { if (it.next().getValue.get() == null) it.remove() }
       val set = new java.util.HashSet[InternalRow]()
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(keySchema)

@@ -178,6 +178,35 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     }.isEmpty, "non-key aggregate must splice the native plan")
   }
 
+  test("a key-grouped AGG above an intermediate join does not claim kgp") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // GROUP BY covers the partition source, but the relation reaches the
+    // Aggregate through a join on a NON-partition key: that join
+    // re-shuffles anyway, so a kgp claim would collapse the scan's
+    // parallelism while saving no exchange — the rewrite must splice
+    // the native plan (ADVICE r14: Aggregate arm lacked the directness
+    // check the Join arm applies).
+    spark.sql("SELECT o_totalprice FROM graft.db.spj_orders LIMIT 5")
+      .createOrReplaceTempView("spj_prices")
+    val q = spark.sql(
+      """SELECT a.o_orderkey, count(*) AS c
+        |FROM graft.db.spj_orders a JOIN spj_prices p
+        |  ON a.o_totalprice = p.o_totalprice
+        |GROUP BY a.o_orderkey""".stripMargin)
+    q.collect()
+    assert(collect(q.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }.isEmpty,
+      "agg-through-join must splice native:\n" + q.queryExecution.executedPlan)
+    // a DIRECT covering group-by still claims kgp (regression guard)
+    val direct = spark.sql(
+      "SELECT o_orderkey, count(*) AS c FROM graft.db.spj_orders GROUP BY o_orderkey")
+    direct.collect()
+    assert(collect(direct.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }.nonEmpty, "direct covering group-by must keep the keyed scan")
+  }
+
   test("partially-clustered SPJ splits a hot tuple into multiple tasks") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     spark.sql(
