@@ -55,7 +55,13 @@ object IcebergMetadataParser {
       // every recorded spec by spec-id (not just the default) — the
       // manifest-level pruner resolves historical manifests' summaries
       // against the spec each was written under.
-      partitionSpecsById: Map[Int, Seq[PartitionFieldSpec]] = Map.empty)
+      partitionSpecsById: Map[Int, Seq[PartitionFieldSpec]] = Map.empty,
+      // source-ids of the DEFAULT sort order's identity fields (spec
+      // "Sort Orders"): a declared layout means per-file column bounds
+      // on these columns are clustered, so runtime (dim-side) IN-sets
+      // can prune files on them — the read-side consumer of the layout
+      // `sortBy` writes. Empty = unsorted or non-identity transforms.
+      defaultSortFields: Seq[Int] = Seq.empty)
 
   /** Optional retention policy of one snapshot ref (spec "Refs"). */
   final case class RefRetention(
@@ -182,18 +188,34 @@ object IcebergMetadataParser {
     val updatedMs = Option(root.get("last-updated-ms")).map(_.asLong)
     val curSnap = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ >= 0)
     val specsById = parseAllSpecs(root)
+    // default sort order → identity-field source ids (ALL fields must be
+    // identity: a partially-transformed order still clusters its leading
+    // identity fields, but conservatively require the simple shape the
+    // writer emits — anything else reads as unsorted)
+    val sortFields: Seq[Int] = (for {
+      orders <- Option(root.get("sort-orders"))
+      defId <- Option(root.get("default-sort-order-id")).map(_.asInt)
+      order <- orders.elements.asScala.find(o =>
+        Option(o.get("order-id")).exists(_.asInt == defId))
+      fields <- Option(order.get("fields"))
+    } yield {
+      val fs = fields.elements.asScala.toSeq
+      if (fs.forall(f => Option(f.get("transform")).exists(_.asText == "identity")))
+        fs.flatMap(f => Option(f.get("source-id")).map(_.asInt))
+      else Seq.empty
+    }).getOrElse(Seq.empty)
     // v2: schemas[] + current-schema-id; v1 legacy: single schema object.
     if (root.has("current-schema-id")) {
       val schemas = root.get("schemas").elements.asScala.toSeq
       ParseInfo(version, root.get("current-schema-id").asInt, schemas, snaps, spec,
         refs, stats, pStats, snapLog, props, metaLog, updatedMs, curSnap, refRet)
-        .copy(partitionSpecsById = specsById)
+        .copy(partitionSpecsById = specsById, defaultSortFields = sortFields)
     } else {
       val schema = Option(root.get("schema")).getOrElse(
         throw new IllegalArgumentException("Neither a valid schema or schemas field was found"))
       ParseInfo(version, schema.get("schema-id").asInt, Seq(schema), snaps, spec,
         refs, stats, pStats, snapLog, props, metaLog, updatedMs, curSnap, refRet)
-        .copy(partitionSpecsById = specsById)
+        .copy(partitionSpecsById = specsById, defaultSortFields = sortFields)
     }
   }
 

@@ -50,7 +50,12 @@ object IcebergScan {
       // `_last_updated_sequence_number` to the output. A row's id is
       // stable across MoR deletes/updates and compaction (rewrites
       // materialize it); rows from files predating lineage read null.
-      rowLineage: Boolean = false)
+      rowLineage: Boolean = false,
+      // MAINTENANCE-INTERNAL (rewrite_equality_deletes): skip the
+      // equality-delete anti joins so the conversion can diff
+      // "position-filtered" against "fully-filtered" rows. Never set on
+      // user-facing reads — the result resurrects eq-tombstoned rows.
+      skipEqualityDeletes: Boolean = false)
 
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
@@ -445,7 +450,7 @@ object IcebergScan {
     }
 
     // --- v2 merge-on-read equality deletes (engine extension) ---
-    if (eqEntries.nonEmpty) {
+    if (eqEntries.nonEmpty && !opts.skipEqualityDeletes) {
       // per-row data sequence number via a broadcast (qualified URI → seq)
       val seqMap = dataEntries.map { case (e, seq) =>
         (qualify(resolved(path, e.filePath, opts)), seq)

@@ -3825,7 +3825,10 @@ object IcebergWriter {
       snapshotId: Long, seq: Long, manifestIdx: Int = 0,
       tombstoneParquetDeletes: Boolean = false,
       // upgradeFormat commits DVs while the LOADED table is still v2
-      forceDV: Boolean = false): Seq[Manifest] = {
+      forceDV: Boolean = false,
+      // rewriteEqualityDeletes: the incoming positions ABSORB the live
+      // equality deletes — tombstone their entries in the same commit
+      tombstoneEqualityDeletes: Boolean = false): Seq[Manifest] = {
     import spark.implicits._
     val prevManifests = ManifestReader.readManifestList(
       latest.manifestList, conf, latest.formatVersion)
@@ -3836,12 +3839,36 @@ object IcebergWriter {
       val delDir = new Path(path, s"data/snap-$snapshotId-deletes")
       positions.write.parquet(delDir.toString)
       val delFiles = posDeleteFiles(delDir, conf)
-      writeManifest(manifestPath, conf, delFiles.map { w =>
-        ManifestEntry(status = 1, content = 1, filePath = w.path, // POSITION_DELETES
-          fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
-          lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets)
-      })
-      return prevManifests :+ Manifest(manifestPath.toString, seq, content = 1)
+      val added =
+        if (delFiles.isEmpty) Seq.empty
+        else {
+          writeManifest(manifestPath, conf, delFiles.map { w =>
+            ManifestEntry(status = 1, content = 1, filePath = w.path, // POSITION_DELETES
+              fileFormat = "PARQUET", recordCount = w.count, fileSizeInBytes = w.sizeBytes,
+              lowerBounds = w.lower, upperBounds = w.upper, splitOffsets = w.splitOffsets)
+          })
+          Seq(Manifest(manifestPath.toString, seq, content = 1))
+        }
+      if (!tombstoneEqualityDeletes) return prevManifests ++ added
+      // absorbed eq-delete entries rewrite to DELETED status, with
+      // carried entries pinning their effective sequence numbers (the
+      // rewritten manifest is referenced from a new list position;
+      // inheritance would otherwise re-stamp them)
+      val manifestByPath2 = meta.entries.map { case (m, es) => m.manifestPath -> es }.toMap
+      val carried2 = prevManifests.zipWithIndex.map { case (m, i) =>
+        val es = manifestByPath2.getOrElse(m.manifestPath, Seq.empty)
+        if (m.content != 1 || !es.exists(e => e.status != 2 && e.content == 2)) m
+        else {
+          val rewritten = es.filter(_.status != 2).map { e =>
+            val e2 = e.copy(sequenceNumber = Some(e.seqOr(m.sequenceNumber)))
+            if (e.content == 2) e2.copy(status = 2) else e2
+          }
+          val p = new Path(path, s"metadata/snap-$snapshotId-$tok-req$i.avro")
+          writeManifest(p, conf, rewritten, mergedPartitionFields(rewritten))
+          Manifest(p.toString, m.sequenceNumber, content = 1)
+        }
+      }
+      return carried2 ++ added
     }
 
     // ---- v3: deletion vectors ----
@@ -3921,9 +3948,10 @@ object IcebergWriter {
     val carried = prevManifests.zipWithIndex.map { case (m, i) =>
       val es = manifestByPath.getOrElse(m.manifestPath, Seq.empty)
       def superseded(e: ManifestEntry): Boolean =
-        e.status != 2 && e.content == 1 && (
+        e.status != 2 && ((e.content == 1 && (
           (e.isDV && affected(e.referencedDataFile.get)) ||
-          (!e.isDV && tombstoneParquetDeletes))
+          (!e.isDV && tombstoneParquetDeletes))) ||
+          (e.content == 2 && tombstoneEqualityDeletes))
       if (m.content != 1 || !es.exists(superseded)) m
       else {
         val rewritten = es.map { e =>
@@ -4646,6 +4674,70 @@ object IcebergWriter {
         "rewritten-delete-files" -> parquetDeletes.size.toString,
         "added-delete-files" -> delFiles.size.toString,
         "removed-dangling-delete-rows" -> dropped.toString)))
+  }
+
+  /** The `rewrite_equality_deletes` maintenance action: CONVERT the live
+    * equality deletes into position tombstones (parquet position-delete
+    * files on v2; deletion vectors on v3) and tombstone every
+    * equality-delete entry, in ONE `replace` snapshot.
+    *
+    * Why convert rather than merge: an equality delete at sequence S
+    * reaches data rows with sequence < S, so each key's effective
+    * sequence window is (last stale row's seq, first re-insert's seq] —
+    * merging N epoch files into one file at ANY single sequence either
+    * resurrects stale rows (too low) or kills re-inserted ones (too
+    * high) whenever two keys' windows are disjoint, which is the normal
+    * CDC steady state. Locating the matched rows ONCE and pinning them
+    * by (file, pos) is the only per-tuple-bounded representation that
+    * preserves semantics exactly — and it is sequence-insensitive, so
+    * the conversion commits at the new sequence like any delete.
+    *
+    * Effect at scale: a CDC mirror accrues one eq-delete file per epoch,
+    * and every scan's anti-join build side (and the keyed MoR reader's
+    * per-split delete set) grows O(epochs) between compactions. After
+    * conversion the delete side is one DV per affected data file (v3) or
+    * a handful of consolidated position files (v2); on v3 the keyed
+    * (storage-partitioned) read path composes with DVs, so zero-shuffle
+    * joins survive the maintenance. Dangling keys (matching no live row)
+    * vanish entirely. Changelog-invisible (`replace`). Returns the new
+    * snapshot id, or None when the table has no live equality deletes. */
+  def rewriteEqualityDeletes(spark: SparkSession, path: String,
+                             branch: String = "main"): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val state = loadState(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"rewriteEqualityDeletes: no Iceberg table at $path"))
+    val latest = state.opBase("rewriteEqualityDeletes", branch)
+    val meta = ManifestReader.loadTable(path, latest, conf, allowMovedPaths = false)
+    val eqEntries = meta.entries.collect {
+      case (m, es) if m.content == 1 =>
+        es.filter(e => e.status != 2 && e.content == 2)
+    }.flatten
+    if (eqEntries.isEmpty) return None
+    // rows the equality deletes currently remove = (position-filtered)
+    // MINUS (fully-filtered): both sides ride the one scan composition,
+    // so the conversion can never drift from read semantics
+    val optsP = IcebergScan.Options(keepProvenance = true)
+    val prov = Seq(col("__graft_file"), col("__graft_pos"))
+    val base = IcebergScan.scanLoaded(spark, path,
+        optsP.copy(skipEqualityDeletes = true), latest, meta).select(prov: _*)
+    val survivors = IcebergScan.scanLoaded(spark, path, optsP, latest, meta)
+      .select(prov: _*)
+    val hits = base.join(survivors,
+      Seq("__graft_file", "__graft_pos"), "left_anti")
+    val positions = toOriginalPositions(spark, meta, conf, hits)
+    val snapshotId = state.nextSnapshotId
+    val seq = state.nextSeq
+    val manifests = commitPositionDeletes(
+      spark, path, conf, latest, meta, positions, snapshotId, seq,
+      tombstoneEqualityDeletes = true)
+    Some(commitSnapshot(path, conf, Some(state),
+      IcebergSchemaParser.toStructType(latest.schema), snapshotId, seq,
+      manifests, operation = "replace", branch = branch,
+      summary = Map(
+        "rewritten-equality-delete-files" -> eqEntries.size.toString,
+        "rewritten-equality-delete-rows" ->
+          eqEntries.map(_.recordCount).sum.toString)))
   }
 
   /** Compact the table: rewrite all live rows into fresh data files in ONE

@@ -2035,6 +2035,110 @@ object IcebergQueries {
               FROM $name""")
           .withColumn("snaps", lit(snaps))
       }
+    ),
+    QueryDef(
+      "ib68_dataframe_runtime_pruning",
+      // DATAFRAME-API runtime pruning gate (round 15): ib66's star-join
+      // shape — dim-only filter, identity(dt)-partitioned fact — but the
+      // query is COMPOSED WITH THE DATAFRAME API (`spark.table(...).join`),
+      // not SQL. A `spark.table` subtree analyzes standalone before the
+      // join exists in any plan, so the analysis-stage rewrite can't see
+      // the shape; the claim decision now lives in an optimizer rule
+      // (GraftKeyedModeRule) where the whole plan is visible for both
+      // surfaces. Same pin as ib66, inside the oracle-checked output: the
+      // fact scan carries a runtime filter AND its own output-row metric
+      // equals the join's row count — unselected days' files were never
+      // opened.
+      Some("""
+        WITH dim AS (
+          SELECT make_date(2024, 1, CAST(d AS INT)) AS dt,
+                 CAST(d % 7 AS INT) AS grp
+          FROM generate_series(1, 31) AS t(d))
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(f.user_id) AS BIGINT) AS user_sum,
+               CAST(round(SUM(CAST(f.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+               CAST(TRUE AS BOOLEAN) AS dpp_pruned
+        FROM (SELECT CAST(ts AS DATE) AS dt, user_id, value FROM events) f
+        JOIN dim d ON f.dt = d.dt
+        WHERE d.grp = 2"""),
+      (s, dir) => {
+        val fact = rfEventsTable(s, dir)
+        val dim = s.range(1, 32)
+          .select(
+            make_date(lit(2024), lit(1), col("id").cast("int")).as("dt"),
+            (col("id") % 7).cast("int").as("grp"))
+          .filter(col("grp") === 2)
+        val joined = s.table(fact)
+          .join(dim, Seq("dt"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum("user_id").cast("bigint").as("user_sum"),
+            round(sum(col("value").cast("decimal(18,6)")), 2)
+              .cast("double").as("total"))
+        val row = joined.collect().head // finalize the adaptive plan
+        val cnt = row.getLong(0)
+        val factScan = collectScans(joined.queryExecution.executedPlan)
+          .find(_.table.name.contains("events_rf"))
+        val pruned = factScan.exists(b =>
+          b.runtimeFilters.nonEmpty &&
+            b.metrics("numOutputRows").value == cnt)
+        joined.withColumn("dpp_pruned", lit(pruned))
+      }
+    ),
+    QueryDef(
+      "ib69_rewrite_equality_deletes",
+      // EQUALITY-DELETE CONSOLIDATION gate (round 15): a table mutated by
+      // keyed MERGE + equality DELETE epochs accrues one eq-delete file
+      // per commit; `rewrite_equality_deletes` (SQL proc surface) CONVERTS
+      // them to position tombstones in one replace snapshot — the only
+      // per-tuple-bounded representation that preserves semantics exactly
+      // (per-key sequence windows make a merged eq file impossible in
+      // general). The oracle recomputes the final state from first
+      // principles; `eq_converted` pins that a second CALL finds nothing
+      // equality-shaped left (the first CALL is required non-null at
+      // fixture build).
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(SUM(CAST(CASE WHEN o_orderkey % 62 = 0
+                     THEN 2 * CAST(o_totalprice AS DOUBLE)
+                     ELSE CAST(o_totalprice AS DOUBLE) END AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+               CAST(TRUE AS BOOLEAN) AS eq_converted
+        FROM orders WHERE o_orderkey % 31 = 0 AND o_orderkey % 93 <> 0"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib69", dir) { () =>
+          val wh = ensureCatalog(s)
+          val src = s"$wh/g/req_$suffix"
+          val base = graft.Tables.load(s, dir, "orders")
+            .filter(col("o_orderkey") % 31 === 0)
+            .select(col("o_orderkey"),
+              col("o_totalprice").cast("double").as("price"))
+          graft.iceberg.IcebergWriter.write(base, src)            // snap 1
+          graft.iceberg.IcebergWriter.merge(s, src,               // snap 2
+            base.filter(col("o_orderkey") % 62 === 0)
+              .withColumn("price", col("price") * 2),
+            keyCols = Seq("o_orderkey"))
+          graft.iceberg.IcebergWriter.deleteEquality(s, src,      // snap 3
+            base.filter(col("o_orderkey") % 93 === 0).select("o_orderkey"))
+          val rid = s.sql(
+            s"CALL graft_cat.system.rewrite_equality_deletes('g.req_$suffix')")
+            .head()
+          require(!rid.isNullAt(0),
+            "rewrite_equality_deletes found no equality deletes to convert")
+          s"graft_cat.g.req_$suffix"
+        }
+        ensureCatalog(s)
+        val again = s.sql(
+          s"CALL graft_cat.system.rewrite_equality_deletes('g.req_$suffix')")
+          .head()
+        s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                     CAST(round(SUM(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+              FROM $name""")
+          .withColumn("eq_converted", lit(again.isNullAt(0)))
+      }
     )
   )
 

@@ -117,156 +117,28 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[GraftTable]
         // Storage-partitioned joins / runtime pruning: when Spark's SPJ
-        // flag is on and the table can plan keyed faithfully, keep the
-        // V2 relation IF the query shape can exploit it, and tag the
-        // relation with the claim mode the scan should take:
-        //  - "kgp"    — a co-partitioned graft⋈graft join or an
-        //               aggregation covering the partition keys: claim
-        //               KeyGroupedPartitioning (zero-Exchange plans);
-        //  - "splits" — an equi-join on a partition source against a
-        //               non-co-partitioned side (runtime dim-side
-        //               pruning), or a filter touching a partition
-        //               source (entry pruning / zero-split lookups):
-        //               keep the keyed scan but pack splits for full
-        //               parallelism, claiming nothing.
-        // Any other shape splices the native plan — a keyed claim there
-        // would collapse a plain scan of a bucket(8) table to 8 tasks
-        // regardless of size. The decision waits for the WHOLE plan to
-        // resolve (an early iteration hasn't seen the join yet);
-        // deferring is free because keeping the relation is a no-op.
-        // Note: shape detection reads the enclosing SQL plan, so
-        // DataFrame-API subtrees analyzed standalone (spark.table(...))
-        // splice natively — SQL is the shape-aware surface.
+        // flag is on and the table can plan keyed faithfully, DEFER —
+        // keep the V2 relation and let [[GraftKeyedModeRule]] (an
+        // optimizer rule) pick the claim mode or splice. The analyzer
+        // can't decide: a DataFrame-API subtree (`spark.table(...)`)
+        // analyzes standalone BEFORE the join exists in any plan, so an
+        // analysis-time shape check would splice natively and the query
+        // would lose zero-Exchange joins and runtime dim-side pruning —
+        // the two biggest 100-TB plan shapes — purely because the user
+        // composed in the DataFrame API instead of SQL. At optimizer
+        // time the WHOLE plan is visible for both surfaces. Deferring
+        // is free: the relation is a no-op until a scan is built.
         if (!GraftKeyedScan.enabled(spark) || t.keyedPlan(spark).isEmpty)
           splice(r, t)
-        else if (!plan.resolved) r
-        else keyedMode(plan, r, t) match {
-          case Some(mode) =>
-            if (Option(r.options.get(GraftKeyedScan.ModeOption)).contains(mode)) r
-            else r.copy(options = withMode(r.options, mode))
-          case None => splice(r, t)
-        }
+        else r
     }
-  }
-
-  /** The keyed-scan claim this RESOLVED plan justifies for relation `r`,
-    * or None (splice native). Deterministic over a given plan, so the
-    * fixpoint stabilizes: tags only flip when sibling relations splice
-    * out from under an alignment check, which is monotone. */
-  private def keyedMode(
-      plan: LogicalPlan, r: DataSourceV2Relation, t: GraftTable)
-      : Option[String] = {
-    val srcCols: Set[String] = t.partitionFields.map(_._2.toLowerCase).toSet
-    if (srcCols.isEmpty) return None
-    val rOut = r.outputSet
-    def normT(s: String) = s.toLowerCase.replaceAll("\\s", "")
-    var kgp = false
-    var splits = false
-    def conj(e: Expression): Seq[Expression] = e match {
-      case And(l, rr) => conj(l) ++ conj(rr)
-      case other => Seq(other)
-    }
-    // relations reachable through unary pass-through nodes only — an
-    // intermediate join or aggregate re-shuffles its child, destroying
-    // the scan-level grouping before the consumer sees it
-    def directRelations(p: LogicalPlan): Seq[DataSourceV2Relation] =
-      p match {
-        case r2: DataSourceV2Relation => Seq(r2)
-        case SubqueryAlias(_, child) => directRelations(child)
-        case Project(_, child) => directRelations(child)
-        case Filter(_, child) => directRelations(child)
-        // join hints (/*+ MERGE(x) */) wrap the hinted side in the
-        // ANALYZED plan; the optimizer folds them into the Join later
-        case h: ResolvedHint => directRelations(h.child)
-        case _ => Seq.empty
-      }
-    plan.foreach {
-      case agg: Aggregate =>
-        // group-by on (a superset of) the partition sources: the keyed
-        // grouping satisfies the aggregation's clustered distribution —
-        // but only when the relation feeds the Aggregate DIRECTLY. An
-        // intermediate join on non-partition keys re-shuffles anyway, so
-        // a kgp claim there would collapse the scan's parallelism while
-        // saving no exchange.
-        val grouped = agg.groupingExpressions.collect {
-          case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
-        }.toSet
-        if (srcCols.subsetOf(grouped) &&
-            directRelations(agg.child).exists(_ eq r)) kgp = true
-      case j: Join if j.condition.isDefined =>
-        val pairs = conj(j.condition.get).collect {
-          case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
-        }
-        // (my attr, counterpart attr) for conjuncts touching this relation
-        val mine = pairs.flatMap { case (a, b) =>
-          if (rOut.contains(a)) Some((a, b))
-          else if (rOut.contains(b)) Some((b, a)) else None
-        }
-        val myKeys = mine.map(_._1.name.toLowerCase).toSet
-        if ((myKeys intersect srcCols).nonEmpty) {
-          val counterpart: Map[String, Seq[AttributeReference]] =
-            mine.groupBy(_._1.name.toLowerCase)
-              .view.mapValues(_.map(_._2)).toMap
-          // SPJ-able: every partition source is a join key, and the
-          // OPPOSITE join side's DIRECT relation is a graft table whose
-          // spec aligns positionally (same transforms, sources connected
-          // by the equi-pairs) and which can itself plan keyed
-          val rInLeft = mine.exists { case (a, _) => j.left.outputSet.contains(a) }
-          val otherSide = if (rInLeft) j.right else j.left
-          // the SAME directness applies to r's own side: a relation
-          // buried under an intermediate join gets re-shuffled before
-          // this join, so its scan-level grouping buys nothing here
-          val rIsDirect =
-            directRelations(if (rInLeft) j.left else j.right).exists(_ eq r)
-          def aligned: Boolean = rIsDirect && directRelations(otherSide).exists {
-            case r2 if (r2 ne r) && r2.table.isInstanceOf[GraftTable] =>
-              val t2 = r2.table.asInstanceOf[GraftTable]
-              t2.partitionFields.length == t.partitionFields.length &&
-                t.partitionFields.zip(t2.partitionFields).forall {
-                  case ((pf1, s1), (pf2, s2)) =>
-                    normT(pf1.transform) == normT(pf2.transform) &&
-                      counterpart.getOrElse(s1.toLowerCase, Seq.empty)
-                        .exists(attr => r2.outputSet.contains(attr) &&
-                          attr.name.equalsIgnoreCase(s2))
-                } && t2.keyedPlan(spark).isDefined
-            case _ => false
-          }
-          if (srcCols.subsetOf(myKeys) && aligned) kgp = true
-          else splits = true
-        }
-      case f: Filter =>
-        val names = f.condition.references.toSeq.collect {
-          case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
-        }
-        if ((names.toSet intersect srcCols).nonEmpty) splits = true
-      case _ => ()
-    }
-    if (kgp) Some(GraftKeyedScan.ModeKgp)
-    else if (splits) Some(GraftKeyedScan.ModeSplits)
-    else None
-  }
-
-  private def withMode(
-      opts: CaseInsensitiveStringMap, mode: String): CaseInsensitiveStringMap = {
-    val m = new java.util.HashMap[String, String](opts.asCaseSensitiveMap())
-    m.put(GraftKeyedScan.ModeOption, mode)
-    new CaseInsensitiveStringMap(m)
   }
 
   /** Replace the relation with the engine scan's analyzed plan, output
     * re-bound to the relation's attribute ids by (case-insensitive)
     * name. */
-  private def splice(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
-    val inner = t.scanDF(spark).queryExecution.analyzed
-    val byName = inner.output.map(a => a.name.toLowerCase -> a).toMap
-    val projs: Seq[NamedExpression] = r.output.map { o =>
-      val src = byName.getOrElse(o.name.toLowerCase,
-        throw new IllegalStateException(
-          s"graft catalog: scan of ${t.name()} lost column '${o.name}'"))
-      Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-    }
-    Project(projs, inner)
-  }
+  private def splice(r: DataSourceV2Relation, t: GraftTable): LogicalPlan =
+    GraftSplice(spark, r, t, forOptimizer = false)
 
   private def noSubquery(e: Expression, what: String): Boolean = {
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
@@ -505,5 +377,204 @@ final case class GraftDynamicOverwriteCommand(table: GraftTable, query: LogicalP
     table.withWrite(spark)(root =>
       IcebergWriter.overwritePartitions(named, root))
     Seq.empty
+  }
+}
+
+/** Shared relation-splice: replace a catalog relation with the engine
+  * scan's analyzed plan, output re-bound to the relation's attribute ids
+  * by (case-insensitive) name — the reference's bind-time replacement
+  * (`iceberg_scan.cpp:305`) as a Catalyst rewrite. */
+private[sql] object GraftSplice {
+  def apply(spark: SparkSession, r: DataSourceV2Relation, t: GraftTable,
+            forOptimizer: Boolean): LogicalPlan = {
+    val analyzed = t.scanDF(spark).queryExecution.analyzed
+    // An OPTIMIZER-stage splice arrives after the one-shot "Finish
+    // Analysis" batch already ran on the enclosing plan and will never
+    // run on this subtree: fold join hints into their Joins (the MoR
+    // scan composition uses broadcast() hints — an unfolded ResolvedHint
+    // reaching the planner is an INTERNAL_ERROR), strip SubqueryAlias
+    // wrappers (no physical operator of their own), and lower
+    // RuntimeReplaceable expressions, in FinishAnalysis's own order.
+    // Everything else the subtree needs — pushdown, pruning, projection
+    // collapse — lives in the fixed-point operator batch the splicing
+    // rule runs in, so Catalyst still optimizes the spliced plan exactly
+    // like an analysis-time splice.
+    val inner =
+      if (forOptimizer)
+        org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(
+          org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+            org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
+              analyzed)))
+      else analyzed
+    val byName = inner.output.map(a => a.name.toLowerCase -> a).toMap
+    val projs: Seq[NamedExpression] = r.output.map { o =>
+      val src = byName.getOrElse(o.name.toLowerCase,
+        throw new IllegalStateException(
+          s"graft catalog: scan of ${t.name()} lost column '${o.name}'"))
+      Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(projs, inner)
+  }
+}
+
+/** OPTIMIZER-stage claim/splice decision for catalog relations the
+  * analyzer deferred ([[GraftTableRewrite]] keeps a relation whenever
+  * Spark's SPJ flag is on and the table can plan keyed faithfully).
+  *
+  * Runs inside the fixed-point operator-optimization batch, where the
+  * WHOLE query plan is visible regardless of surface syntax — a
+  * DataFrame-API `spark.table(f).join(spark.table(d), ...)` analyzes its
+  * subtrees standalone (the join doesn't exist in any analyzed plan the
+  * relation sees), so analysis-time shape detection reached SQL only.
+  * Here both surfaces converge, and the claim the scan takes is:
+  *
+  *  - "kgp"    — a co-partitioned graft⋈graft join or an aggregation
+  *               covering the partition keys, with the relation feeding
+  *               the consumer DIRECTLY: claim KeyGroupedPartitioning
+  *               (zero-Exchange storage-partitioned plans);
+  *  - "splits" — an equi-join on a partition source against a
+  *               non-co-partitioned side (runtime dim-side pruning), or
+  *               a filter touching a partition source (entry pruning /
+  *               zero-split lookups): keep the keyed scan but pack
+  *               splits to `maxPartitionBytes`, claiming nothing;
+  *  - neither  — splice the native plan (vectorized ManifestFileIndex
+  *               scan): a keyed claim on a plain scan would collapse a
+  *               bucket(8) table to 8 tasks regardless of size.
+  *
+  * By this stage "Finish Analysis" has folded join hints into the Join
+  * node and eliminated SubqueryAlias, so the directness walk sees the
+  * shapes it tests (the alias/hint arms stay for robustness — the rule
+  * also runs on subquery plans via OptimizeSubqueries, whose rewrite
+  * timing is version-dependent). Decisions are deterministic over a
+  * given plan, so the fixed point converges: a tag only flips when a
+  * sibling relation splices out from under an alignment check, which is
+  * monotone. */
+case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(GraftTableRewrite.EnabledKey)
+        .forall(_.toBoolean)) return plan
+    val hasGraft = plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+      case _ => false
+    }
+    if (!hasGraft) return plan
+    plan.transformDown {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        keyedMode(plan, r, t) match {
+          case Some(mode) =>
+            if (Option(r.options.get(GraftKeyedScan.ModeOption)).contains(mode)) r
+            else r.copy(options = withMode(r.options, mode))
+          case None => GraftSplice(spark, r, t, forOptimizer = true)
+        }
+    }
+  }
+
+  /** The keyed-scan claim this plan justifies for relation `r`, or None
+    * (splice native). */
+  private def keyedMode(
+      plan: LogicalPlan, r: DataSourceV2Relation, t: GraftTable)
+      : Option[String] = {
+    val srcCols: Set[String] = t.partitionFields.map(_._2.toLowerCase).toSet
+    if (srcCols.isEmpty) return None
+    val rOut = r.outputSet
+    def normT(s: String) = s.toLowerCase.replaceAll("\\s", "")
+    var kgp = false
+    var splits = false
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conj(l) ++ conj(rr)
+      case other => Seq(other)
+    }
+    // relations reachable through unary pass-through nodes only — an
+    // intermediate join or aggregate re-shuffles its child, destroying
+    // the scan-level grouping before the consumer sees it
+    def directRelations(p: LogicalPlan): Seq[DataSourceV2Relation] =
+      p match {
+        case r2: DataSourceV2Relation => Seq(r2)
+        case SubqueryAlias(_, child) => directRelations(child)
+        case Project(_, child) => directRelations(child)
+        case Filter(_, child) => directRelations(child)
+        case h: ResolvedHint => directRelations(h.child)
+        case _ => Seq.empty
+      }
+    plan.foreach {
+      case agg: Aggregate =>
+        // group-by on (a superset of) the partition sources: the keyed
+        // grouping satisfies the aggregation's clustered distribution —
+        // but only when the relation feeds the Aggregate DIRECTLY. An
+        // intermediate join on non-partition keys re-shuffles anyway, so
+        // a kgp claim there would collapse the scan's parallelism while
+        // saving no exchange.
+        val grouped = agg.groupingExpressions.collect {
+          case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
+        }.toSet
+        if (srcCols.subsetOf(grouped) &&
+            directRelations(agg.child).exists(_ eq r)) kgp = true
+      case j: Join if j.condition.isDefined =>
+        val pairs = conj(j.condition.get).collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+        }
+        // (my attr, counterpart attr) for conjuncts touching this relation
+        val mine = pairs.flatMap { case (a, b) =>
+          if (rOut.contains(a)) Some((a, b))
+          else if (rOut.contains(b)) Some((b, a)) else None
+        }
+        val myKeys = mine.map(_._1.name.toLowerCase).toSet
+        if ((myKeys intersect srcCols).nonEmpty) {
+          val counterpart: Map[String, Seq[AttributeReference]] =
+            mine.groupBy(_._1.name.toLowerCase)
+              .view.mapValues(_.map(_._2)).toMap
+          // SPJ-able: every partition source is a join key, and the
+          // OPPOSITE join side's DIRECT relation is a graft table whose
+          // spec aligns positionally (same transforms, sources connected
+          // by the equi-pairs) and which can itself plan keyed
+          val rInLeft = mine.exists { case (a, _) => j.left.outputSet.contains(a) }
+          val otherSide = if (rInLeft) j.right else j.left
+          // the SAME directness applies to r's own side: a relation
+          // buried under an intermediate join gets re-shuffled before
+          // this join, so its scan-level grouping buys nothing here
+          val rIsDirect =
+            directRelations(if (rInLeft) j.left else j.right).exists(_ eq r)
+          def aligned: Boolean = rIsDirect && directRelations(otherSide).exists {
+            case r2 if (r2 ne r) && r2.table.isInstanceOf[GraftTable] =>
+              val t2 = r2.table.asInstanceOf[GraftTable]
+              t2.partitionFields.length == t.partitionFields.length &&
+                t.partitionFields.zip(t2.partitionFields).forall {
+                  case ((pf1, s1), (pf2, s2)) =>
+                    normT(pf1.transform) == normT(pf2.transform) &&
+                      counterpart.getOrElse(s1.toLowerCase, Seq.empty)
+                        .exists(attr => r2.outputSet.contains(attr) &&
+                          attr.name.equalsIgnoreCase(s2))
+                } && t2.keyedPlan(spark).isDefined
+            case _ => false
+          }
+          if (srcCols.subsetOf(myKeys) && aligned) kgp = true
+          else splits = true
+        } else if ((myKeys intersect
+            t.sortColumns.map(_.toLowerCase).toSet).nonEmpty) {
+          // equi-join on a SORTED (clustered-layout) data column: the
+          // keyed scan exposes it for runtime filtering, so a dim-side
+          // IN-set prunes files by their column bounds — the same
+          // star-join win as partition-source joins, one level down
+          splits = true
+        }
+      case f: Filter =>
+        val names = f.condition.references.toSeq.collect {
+          case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
+        }
+        if ((names.toSet intersect srcCols).nonEmpty) splits = true
+      case _ => ()
+    }
+    if (kgp) Some(GraftKeyedScan.ModeKgp)
+    else if (splits) Some(GraftKeyedScan.ModeSplits)
+    else None
+  }
+
+  private def withMode(
+      opts: CaseInsensitiveStringMap, mode: String): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](opts.asCaseSensitiveMap())
+    m.put(GraftKeyedScan.ModeOption, mode)
+    new CaseInsensitiveStringMap(m)
   }
 }

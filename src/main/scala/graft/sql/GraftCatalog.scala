@@ -565,7 +565,12 @@ final case class GraftTable(
     // REST-backed tables: (client, dotted name). Writes must then run
     // against the table ROOT and commit back through the catalog —
     // `path` is a metadata-FILE location (read pin), not a table root.
-    rest: Option[(RestCatalog.Client, String)] = None) extends Table
+    rest: Option[(RestCatalog.Client, String)] = None,
+    // columns of the table's DEFAULT sort order (identity fields only):
+    // their per-file bounds are clustered, so the keyed scan exposes them
+    // for runtime (dim-side) pruning and the rewrite keeps the keyed
+    // scan for joins on them.
+    sortColumns: Seq[String] = Seq.empty) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
 
   // Keyed-scan (SPJ) plan memo: the extension rule probes eligibility on
@@ -689,8 +694,9 @@ object GraftTable {
     // the scan to the newer snapshot — the same window every
     // analysis-time resolution has — and a schema change in that window
     // fails the splice's column check loudly rather than mis-binding.
+    val sortCols = info.defaultSortFields.flatMap(byId.get)
     GraftTable(catalog, ident, path, opts, schema, partitionFields,
-      info.properties, snap.map(_.snapshotId), rest)
+      info.properties, snap.map(_.snapshotId), rest, sortColumns = sortCols)
   }
 
   /** V2 source Filters → one Column predicate; None when any filter has

@@ -126,6 +126,13 @@ object GraftProcedures {
       StructType(Seq(StructField("rewritten_snapshot_id", LongType, nullable = true))),
       (s, ops, a) => Seq(row(ops.withTableWrite(s, a.str("table"))(p =>
         IcebergWriter.rewritePositionDeleteFiles(s, p)).map(Long.box).orNull))),
+    ProcDef("rewrite_equality_deletes",
+      "convert accumulated equality deletes to position tombstones " +
+        "(bounds the per-scan delete set a CDC mirror accrues per epoch)",
+      Seq(TableParam),
+      StructType(Seq(StructField("rewritten_snapshot_id", LongType, nullable = true))),
+      (s, ops, a) => Seq(row(ops.withTableWrite(s, a.str("table"))(p =>
+        IcebergWriter.rewriteEqualityDeletes(s, p)).map(Long.box).orNull))),
     ProcDef("rewrite_manifests", "merge small manifests for planning I/O",
       Seq(TableParam),
       StructType(Seq(StructField("rewritten_snapshot_id", LongType, nullable = true))),

@@ -701,5 +701,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     }
     // catalog-identifier fast path + row-level SQL (see GraftAnalysis)
     ext.injectResolutionRule(session => GraftTableRewrite(session))
+    // optimizer-stage claim/splice for keyed-capable relations the
+    // analyzer deferred — the whole plan (DataFrame-API joins included)
+    // is visible there, so SPJ and runtime dim-side pruning engage for
+    // both query surfaces (see GraftKeyedModeRule)
+    ext.injectOptimizerRule(session => GraftKeyedModeRule(session))
   }
 }

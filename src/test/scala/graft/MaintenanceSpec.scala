@@ -72,6 +72,75 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.getBoolean(0))
   }
 
+  test("rewriteEqualityDeletes converts epoch eq-deletes to position tombstones") {
+    import spark.implicits._
+    val table = tmp("graft_req_") + "/t"
+    val base = (1 to 40).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    IcebergWriter.write(base, table)                                // seq 1
+    // three "epochs" with overlapping keys — the per-key sequence
+    // windows CONFLICT (some keys re-inserted after others' deletes),
+    // the exact shape that makes a single merged eq-delete file
+    // semantically impossible and conversion the only bounded form
+    IcebergWriter.merge(spark, table,                               // seq 2
+      base.filter($"id" % 4 === 0).withColumn("payload", lit("u1")),
+      keyCols = Seq("id"))
+    IcebergWriter.deleteEquality(spark, table,                      // seq 3
+      base.filter($"id" % 10 === 0).select("id"))
+    IcebergWriter.merge(spark, table,                               // seq 4
+      base.filter($"id" % 6 === 0).withColumn("payload", lit("u2")),
+      keyCols = Seq("id"))
+
+    val expect = IcebergScan.scan(spark, table).collect().map(_.toSeq).toSet
+    val preSnap = IcebergScan.snapshots(spark, table)
+      .agg(max("snapshot_id")).head().getLong(0)
+
+    val snap = IcebergWriter.rewriteEqualityDeletes(spark, table)
+    assert(snap.nonEmpty)
+    // scan semantics pinned unchanged: stale versions stay dead,
+    // re-inserted keys stay alive (30 was deleted at seq 3, re-inserted
+    // at seq 4 — a conversion at the wrong sequence would kill it)
+    val got = IcebergScan.scan(spark, table).collect().map(_.toSeq).toSet
+    assert(got === expect)
+    assert(got.exists(r => r.head == 30L && r(1) == "u2"))
+    // the eq deletes became position tombstones (v2 form: parquet)
+    assert(IcebergScan.positionDeletes(spark, table).count() > 0)
+    // nothing equality-shaped left: a second call has no work
+    assert(IcebergWriter.rewriteEqualityDeletes(spark, table).isEmpty)
+    // the replace commit is invisible to the changelog
+    assert(IcebergScan.changelog(spark, table, preSnap, None).count() === 0)
+    // time travel to the pre-rewrite snapshot still applies the ORIGINAL
+    // equality deletes under its own manifest tree
+    assert(IcebergScan.scan(spark, table,
+        IcebergScan.Options(snapshotId = Some(preSnap)))
+      .collect().map(_.toSeq).toSet === expect)
+  }
+
+  test("rewriteEqualityDeletes on a v3 table emits deletion vectors") {
+    import spark.implicits._
+    val table = tmp("graft_req3_") + "/t"
+    val base = (1 to 30).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    IcebergWriter.write(base, table, formatVersion = 3)
+    IcebergWriter.merge(spark, table,
+      base.filter($"id" % 3 === 0).withColumn("payload", lit("u1")),
+      keyCols = Seq("id"))
+    IcebergWriter.deleteEquality(spark, table,
+      base.filter($"id" % 5 === 0).select("id"))
+    val expect = IcebergScan.scan(spark, table).collect().map(_.toSeq).toSet
+
+    assert(IcebergWriter.rewriteEqualityDeletes(spark, table).nonEmpty)
+    assert(IcebergScan.scan(spark, table)
+      .collect().map(_.toSeq).toSet === expect)
+    assert(IcebergWriter.rewriteEqualityDeletes(spark, table).isEmpty)
+    // v3 conversion lands as DVs (puffin), not parquet delete files
+    val delFiles = IcebergScan.scan(spark, table,
+        IcebergScan.Options(mode = "list_files"))
+      .filter(col("type") === "delete")
+      .collect().map(_.getString(0))
+    assert(delFiles.nonEmpty)
+    assert(delFiles.forall(_.endsWith(".puffin")),
+      s"expected puffin DVs, got: ${delFiles.mkString(", ")}")
+  }
+
   test("rewriteManifests merges planning metadata without touching data") {
     val table = tmp("graft_rw_manifests_") + "/t"
     (1L to 5L).foreach(i => IcebergWriter.write(idsDF(i), table))

