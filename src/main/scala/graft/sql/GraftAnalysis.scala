@@ -477,7 +477,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       plan: LogicalPlan, r: DataSourceV2Relation, t: GraftTable)
       : Option[String] = {
     val srcCols: Set[String] = t.partitionFields.map(_._2.toLowerCase).toSet
-    if (srcCols.isEmpty) return None
+    val sortCols: Set[String] = t.sortColumns.map(_.toLowerCase).toSet
+    if (srcCols.isEmpty && sortCols.isEmpty) return None
     val rOut = r.outputSet
     def normT(s: String) = s.toLowerCase.replaceAll("\\s", "")
     var kgp = false
@@ -509,7 +510,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val grouped = agg.groupingExpressions.collect {
           case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
         }.toSet
-        if (srcCols.subsetOf(grouped) &&
+        if (srcCols.nonEmpty && srcCols.subsetOf(grouped) &&
             directRelations(agg.child).exists(_ eq r)) kgp = true
       case j: Join if j.condition.isDefined =>
         val pairs = conj(j.condition.get).collect {
@@ -549,10 +550,9 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 } && t2.keyedPlan(spark).isDefined
             case _ => false
           }
-          if (srcCols.subsetOf(myKeys) && aligned) kgp = true
+          if (srcCols.nonEmpty && srcCols.subsetOf(myKeys) && aligned) kgp = true
           else splits = true
-        } else if ((myKeys intersect
-            t.sortColumns.map(_.toLowerCase).toSet).nonEmpty) {
+        } else if ((myKeys intersect sortCols).nonEmpty) {
           // equi-join on a SORTED (clustered-layout) data column: the
           // keyed scan exposes it for runtime filtering, so a dim-side
           // IN-set prunes files by their column bounds — the same
@@ -563,7 +563,12 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val names = f.condition.references.toSeq.collect {
           case a: AttributeReference if rOut.contains(a) => a.name.toLowerCase
         }
-        if ((names.toSet intersect srcCols).nonEmpty) splits = true
+        // filters on partition sources prune by tuple; filters on SORTED
+        // columns prune whole files by bounds — both only on the keyed
+        // path (the native relation's parquet pushdown skips row groups,
+        // not files)
+        if ((names.toSet intersect (srcCols ++ sortCols)).nonEmpty)
+          splits = true
       case _ => ()
     }
     if (kgp) Some(GraftKeyedScan.ModeKgp)

@@ -267,6 +267,57 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(q.head === expected)
   }
 
+  test("runtime + static pruning on an UNPARTITIONED sorted table") {
+    // round 15: a z-ordered/sorted UNPARTITIONED layout is common at
+    // 100 TB — the keyed scan now plans it as one tuple group (splits
+    // mode only; no partitioning claim is possible or made) purely for
+    // its bounds pruning: static pushed filters and runtime dim IN-sets
+    // both skip whole files
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val table = s"$wh/db/rf_sorted_unpart"
+    val df = spark.range(0, 3000)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+    graft.iceberg.IcebergWriter.write(
+      df.repartitionByRange(10, col("k")), table, sortBy = Seq("k"))
+    val dimDir = Files.createTempDirectory("graft_rf_udim_").toString
+    spark.range(0, 30)
+      .select(col("id").as("k"), (col("id") / 10).cast("int").as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("rf_udim")
+
+    // static: a point filter on the sorted column plans a subset of files
+    val point = spark.sql(
+      "SELECT * FROM graft.db.rf_sorted_unpart WHERE k = 5")
+    point.collect()
+    val pScans = collect(point.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }
+    assert(pScans.nonEmpty, "sorted-column filter must keep the keyed scan")
+    assert(pScans.head.inputRDD.getNumPartitions < 10,
+      s"expected file-level pruning, got ${pScans.head.inputRDD.getNumPartitions}")
+
+    // runtime: dim-filtered star join on the sorted column
+    val q = spark.sql(
+      """SELECT count(*) AS c, sum(f.v) AS s
+        |FROM graft.db.rf_sorted_unpart f JOIN rf_udim d ON f.k = d.k
+        |WHERE d.grp = 1""".stripMargin)
+    val scans = factScans(q)
+    assert(scans.nonEmpty)
+    assert(scans.head.runtimeFilters.nonEmpty,
+      q.queryExecution.executedPlan.toString)
+    assert(scans.head.metrics("numOutputRows").value < 3000L)
+    val expected = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      try spark.sql(
+        """SELECT count(*) AS c, sum(f.v) AS s
+          |FROM graft.db.rf_sorted_unpart f JOIN rf_udim d ON f.k = d.k
+          |WHERE d.grp = 1""".stripMargin).head
+      finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    }
+    assert(q.head === expected)
+  }
+
   test("an untranslatable runtime predicate degrades to conservative keep") {
     import org.apache.spark.sql.connector.expressions.filter.Predicate
     // direct unit check on the bridge: unknown shapes extract nothing

@@ -254,7 +254,7 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
-  test("keyed path stays OFF for POSITION-delete MoR tables (native plan)") {
+  test("v2 POSITION-delete MoR tables keep zero-shuffle joins (round 15)") {
     spark.sql(
       "CREATE TABLE graft.db.spj_mor (o_orderkey BIGINT, v BIGINT) " +
         "PARTITIONED BY (bucket(4, o_orderkey))")
@@ -264,6 +264,22 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     val expected = spark.table("spj_src")
       .filter(col("o_orderkey") % 3 =!= 0).count()
     assert(spark.sql("SELECT * FROM graft.db.spj_mor").count() === expected)
+    // v2 DML writes PARQUET position deletes; the keyed scan routes them
+    // per tuple and filters by row index, so the co-bucketed join still
+    // plans zero Exchange — value-exact against the delete-aware oracle
+    val joined = spark.sql(
+      """SELECT a.o_orderkey, a.v, b.o_totalprice
+        |FROM graft.db.spj_mor a JOIN graft.db.spj_orders b
+        |  ON a.o_orderkey = b.o_orderkey""".stripMargin)
+    assert(shuffles(joined) === 0,
+      s"position deletes must not break SPJ:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() === expected)
+    // point lookup through the position-delete path
+    val deadKey = spark.table("spj_src")
+      .filter(col("o_orderkey") % 3 === 0).head.getLong(0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.spj_mor WHERE o_orderkey = $deadKey")
+      .head.getLong(0) === 0L)
   }
 
   test("CDC-upserted table (equality deletes) KEEPS zero-shuffle joins") {
