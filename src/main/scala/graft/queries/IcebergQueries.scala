@@ -2139,6 +2139,47 @@ object IcebergQueries {
               FROM $name""")
           .withColumn("eq_converted", lit(again.isNullAt(0)))
       }
+    ),
+    QueryDef(
+      "ib70_spj_position_deletes",
+      // SPJ UNDER POSITION DELETES gate (round 15): ib64's co-bucketed
+      // join shape, but the orders side has been row-level DELETEd (v2
+      // DML → parquet position-delete files). The keyed scan routes the
+      // delete files per tuple and filters rows by parquet row index, so
+      // the join still plans with ZERO Exchange of its own —
+      // `spj_shuffles` pins the single (final-aggregate) shuffle against
+      // the oracle literal, and the values are oracle-recomputed over
+      // the deleted state.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+               CAST(1 AS INT) AS spj_shuffles
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_linenumber = 1 AND o.o_orderkey % 7 <> 0"""),
+      (s, dir) => {
+        val (_, lt) = spjTables(s, dir)
+        val suffix = math.abs(dir.hashCode)
+        val ot = cachedTable("ib70", dir) { () =>
+          val wh = ensureCatalog(s)
+          val src = s"$wh/g/spj_mor_orders_$suffix"
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.load(s, dir, "orders"),
+            src, partitionBy = Seq("o_orderkey" -> "bucket[8]"))
+          graft.iceberg.IcebergWriter.delete(s, src,
+            col("o_orderkey") % 7 === 0)
+          s"graft_cat.g.spj_mor_orders_$suffix"
+        }
+        val joined = s.sql(
+          s"""SELECT /*+ MERGE(o) */
+                     COUNT(*) AS cnt,
+                     CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
+                     CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+              FROM $ot o JOIN $lt l ON o.o_orderkey = l.l_orderkey""")
+        joined.collect() // finalize the adaptive plan before counting
+        joined.withColumn("spj_shuffles",
+          lit(countShuffles(joined.queryExecution.executedPlan)))
+      }
     )
   )
 
