@@ -1411,11 +1411,37 @@ object IcebergScan {
     * (row_count BIGINT, metadata_only BOOLEAN). */
   def rowCount(spark: SparkSession, path: String,
                opts: Options = Options()): DataFrame = {
-    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
-    val root = IcebergIO.tableRoot(path)
     val countSchema = StructType(Seq(
       StructField("row_count", LongType, nullable = false),
       StructField("metadata_only", BooleanType, nullable = false)))
+    metadataRowCount(spark, path, opts) match {
+      case Some(n) =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(Row(n, true)), countSchema)
+      case None =>
+        // the full MoR scan needs the real schema even when the caller
+        // skipped inference for the metadata probe
+        val fullOpts = opts.copy(skipSchemaInference = false)
+        val snapshot = selectSnapshot(spark, path, fullOpts)
+        val root = IcebergIO.tableRoot(path)
+        val meta = ManifestReader.loadTable(
+          root, snapshot, hadoopConf(spark), fullOpts.allowMovedPaths)
+        val n = scanLoaded(spark, root, fullOpts, snapshot, meta).count()
+        spark.createDataFrame(
+          java.util.Arrays.asList(Row(n, false)), countSchema)
+    }
+  }
+
+  /** The snapshot's EXACT live row count from metadata alone, or None
+    * when metadata can't answer exactly (any live delete entry —
+    * position/equality/DV — shadows data rows, making the manifest sum
+    * an upper bound). O(1) with full list stats and no delete
+    * manifests; O(manifests) otherwise; ZERO data-file I/O either way.
+    * Consumed by [[rowCount]] and the catalog's COUNT(*) rewrite. */
+  def metadataRowCount(spark: SparkSession, path: String,
+                       opts: Options = Options()): Option[Long] = {
+    val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))
+    val root = IcebergIO.tableRoot(path)
     // O(1) fast path (round 10): with full list stats and NO delete
     // manifests, the live row count is Σ(added + existing rows) over the
     // data manifests — one list-file read, zero manifests decoded
@@ -1423,25 +1449,16 @@ object IcebergScan {
     val ms = ManifestReader.readManifestList(
       resolved(root, snapshot.manifestList, opts),
       hadoopConf(spark), snapshot.formatVersion)
-    if (ms.nonEmpty && ms.forall(_.stats.isDefined) && !ms.exists(_.content == 1)) {
-      val n = ms.filter(_.content == 0).flatMap(_.stats)
-        .map(st => st.addedRowsCount + st.existingRowsCount).sum
-      return spark.createDataFrame(
-        java.util.Arrays.asList(Row(n, true)), countSchema)
-    }
+    if (ms.nonEmpty && ms.forall(_.stats.isDefined) && !ms.exists(_.content == 1))
+      return Some(ms.filter(_.content == 0).flatMap(_.stats)
+        .map(st => st.addedRowsCount + st.existingRowsCount).sum)
     val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
     val deletes = livePaths(meta, manifestContent = 1, entryContent = 1, opts) ++
       livePaths(meta, manifestContent = 1, entryContent = 2, opts)
-    val (n, metadataOnly) =
-      if (deletes.isEmpty)
-        (livePaths(meta, manifestContent = 0, entryContent = 0, opts)
-          .map(_._1.recordCount).sum, true)
-      else
-        (scanLoaded(spark, root,
-          opts.copy(skipSchemaInference = false),
-          selectSnapshot(spark, path, opts), meta).count(), false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(Row(n, metadataOnly)), countSchema)
+    if (deletes.isEmpty)
+      Some(livePaths(meta, manifestContent = 0, entryContent = 0, opts)
+        .map(_._1.recordCount).sum)
+    else None
   }
 
   def manifests(spark: SparkSession, path: String,

@@ -14,19 +14,21 @@ import graft.iceberg.IcebergWriter
 
 /** Analyzer extensions for catalog-resolved graft tables.
   *
-  * Read fast path: a resolved [[GraftTable]] relation is REPLACED by the
-  * logical plan of the engine's own scan (`IcebergScan.scan` — MoR
-  * composition, manifest/file pruning, provenance handling), aliased to
-  * the relation's attribute ids. Catalyst then optimizes the spliced
-  * subtree exactly like the TVF path: filters/projection reach the
-  * parquet scans, whole-stage codegen spans the plan — the same
-  * bind_replace idea the reference uses (`iceberg_scan.cpp:305`),
-  * expressed as a resolution rule.
-  *
-  * Row-level SQL: `DELETE FROM` / `UPDATE` / `MERGE INTO` over catalog
+  * This rule owns the ROW-LEVEL SQL conversions only: `DELETE FROM` /
+  * `UPDATE` / `MERGE INTO` / dynamic `INSERT OVERWRITE` over catalog
   * identifiers convert to commands running the existing writer commits
   * ([[IcebergWriter.delete]]/[[IcebergWriter.update]]/
   * [[IcebergWriter.merge]]) — MoR tombstones, never file rewrites.
+  *
+  * The READ fast path lives in [[GraftKeyedModeRule]] (optimizer stage):
+  * a [[GraftTable]] relation is REPLACED by the logical plan of the
+  * engine's own scan (`IcebergScan.scan` — MoR composition,
+  * manifest/file pruning, provenance handling), aliased to the
+  * relation's attribute ids — the reference's bind_replace idea
+  * (`iceberg_scan.cpp:305`) — OR kept as a keyed V2 scan when the plan
+  * shape earns SPJ / runtime pruning, OR collapsed to a metadata
+  * COUNT(*). Deciding at the optimizer makes the DataFrame API and SQL
+  * equivalent: both surfaces' full plans are visible there.
   *
   * Write targets (INSERT/append/overwrite and the row-level statements'
   * own targets) keep their V2 relation so Spark's write resolution (or
@@ -55,28 +57,15 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.getOption(GraftTableRewrite.EnabledKey)
         .forall(_.toBoolean)) return plan
-    // Write-target relations must survive as relations: Spark's insert
-    // resolution binds the incoming query to them, and the row-level
-    // conversions below consume them whole. Identity-keyed — two scans
-    // of one table elsewhere in the same query still get spliced.
-    val writeTargets = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
-    def protect(p: LogicalPlan): Unit = p match {
-      case r: DataSourceV2Relation => writeTargets.add(r): Unit
-      case SubqueryAlias(_, child) => protect(child)
-      case _ => ()
-    }
-    plan.foreach {
-      case i: InsertIntoStatement          => protect(i.table)
-      case a: AppendData                   => protect(a.table)
-      case o: OverwriteByExpression        => protect(o.table)
-      case o: OverwritePartitionsDynamic   => protect(o.table)
-      case d: DeleteFromTable              => protect(d.table)
-      case u: UpdateTable                  => protect(u.table)
-      case m: MergeIntoTable               => protect(m.targetTable)
-      case _                               => ()
-    }
-
+    // READ relations are never touched here: [[GraftKeyedModeRule]] (an
+    // optimizer rule) splices the native plan, keeps a keyed scan, or
+    // rewrites a metadata COUNT(*), per the WHOLE plan's shape. The
+    // analyzer can't decide — a DataFrame-API subtree (`spark.table(…)`)
+    // analyzes standalone BEFORE the join/aggregate exists in any plan,
+    // so an analysis-time shape check reached SQL only. Deferring is
+    // free (a relation is a no-op until a scan is built), and it keeps
+    // write-target relations intact for Spark's own insert resolution
+    // and the row-level conversions below without any bookkeeping.
     plan.resolveOperatorsDown {
       case DeleteFromTable(GraftRelation(_, t), cond)
           if cond.resolved && noSubquery(cond, "DELETE") =>
@@ -109,36 +98,8 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if query.resolved && o.outputResolved =>
         GraftDynamicOverwriteCommand(t, query)
 
-      // Splice the BARE relation only: matching through SubqueryAlias
-      // would replace the alias node itself, stranding qualified
-      // references (`a.id`) that resolve in a later fixpoint iteration.
-      // The alias wrapper survives; its child becomes the spliced plan.
-      case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
-        val t = r.table.asInstanceOf[GraftTable]
-        // Storage-partitioned joins / runtime pruning: when Spark's SPJ
-        // flag is on and the table can plan keyed faithfully, DEFER —
-        // keep the V2 relation and let [[GraftKeyedModeRule]] (an
-        // optimizer rule) pick the claim mode or splice. The analyzer
-        // can't decide: a DataFrame-API subtree (`spark.table(...)`)
-        // analyzes standalone BEFORE the join exists in any plan, so an
-        // analysis-time shape check would splice natively and the query
-        // would lose zero-Exchange joins and runtime dim-side pruning —
-        // the two biggest 100-TB plan shapes — purely because the user
-        // composed in the DataFrame API instead of SQL. At optimizer
-        // time the WHOLE plan is visible for both surfaces. Deferring
-        // is free: the relation is a no-op until a scan is built.
-        if (!GraftKeyedScan.enabled(spark) || t.keyedPlan(spark).isEmpty)
-          splice(r, t)
-        else r
     }
   }
-
-  /** Replace the relation with the engine scan's analyzed plan, output
-    * re-bound to the relation's attribute ids by (case-insensitive)
-    * name. */
-  private def splice(r: DataSourceV2Relation, t: GraftTable): LogicalPlan =
-    GraftSplice(spark, r, t, forOptimizer = false)
 
   private def noSubquery(e: Expression, what: String): Boolean = {
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
@@ -460,15 +421,66 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!hasGraft) return plan
     plan.transformDown {
+      // metadata COUNT(*): a bare count over a graft relation (through
+      // cardinality-preserving Projects only — a Filter disqualifies)
+      // answers from manifest record_count sums when the snapshot
+      // carries no delete entry that could shadow rows — the 100-TB
+      // `SELECT count(*)` costs one manifest-list read, zero data I/O
+      // (the reference's host engine does the same from its scan's
+      // cardinality). Falls through to the normal plan otherwise.
+      case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+          agg.aggregateExpressions.forall(isCountStar) =>
+        countRelation(agg.child).flatMap { t =>
+          t.metadataCount(spark).map { n =>
+            Project(agg.aggregateExpressions.map {
+              case a: Alias =>
+                Alias(Literal(n), a.name)(
+                  exprId = a.exprId, qualifier = a.qualifier)
+              case other => other // unreachable: isCountStar demands Alias
+            }, OneRowRelation())
+          }
+        }.getOrElse(agg)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
-        keyedMode(plan, r, t) match {
+        // tables that can't plan keyed faithfully (MoR shapes the keyed
+        // reader doesn't serve, non-parquet, name mapping, …) splice
+        // straight to the native plan — tagging them would land on the
+        // V1 row bridge, a performance cliff
+        if (!GraftKeyedScan.enabled(spark) || t.keyedPlan(spark).isEmpty)
+          GraftSplice(spark, r, t, forOptimizer = true)
+        else keyedMode(plan, r, t) match {
           case Some(mode) =>
             if (Option(r.options.get(GraftKeyedScan.ModeOption)).contains(mode)) r
             else r.copy(options = withMode(r.options, mode))
           case None => GraftSplice(spark, r, t, forOptimizer = true)
         }
     }
+  }
+
+  /** Is this output expression a plain `count(*)` (count over non-null
+    * literals, non-distinct, unfiltered) under an Alias? */
+  private def isCountStar(e: NamedExpression): Boolean = e match {
+    case Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression, _) =>
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count =>
+          c.children.nonEmpty && c.children.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          }
+        case _ => false
+      })
+    case _ => false
+  }
+
+  /** The graft table a COUNT can answer for: the aggregate's child must
+    * reach the relation through cardinality-preserving nodes only. */
+  private def countRelation(p: LogicalPlan): Option[GraftTable] = p match {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      Some(r.table.asInstanceOf[GraftTable])
+    case SubqueryAlias(_, child) => countRelation(child)
+    case Project(_, child) => countRelation(child)
+    case _ => None
   }
 
   /** The keyed-scan claim this plan justifies for relation `r`, or None

@@ -592,6 +592,15 @@ final case class GraftTable(
     keyedPlanMemo.computeIfAbsent(
       preds, p => GraftKeyedScan.plan(spark, this, p))
 
+  /** EXACT metadata-only row count, or None when metadata can't answer
+    * (live deletes) — serves the optimizer's COUNT(*) rewrite. Goes
+    * through the planning caches, so a count costs one (cached)
+    * manifest-list decode, never data I/O. */
+  private[sql] def metadataCount(spark: SparkSession): Option[Long] =
+    if (opts.filters.nonEmpty || opts.mode != "default") None
+    else scala.util.Try(
+      IcebergScan.metadataRowCount(spark, path, opts)).toOption.flatten
+
   /** Run a writer op against the correct table root, committing through
     * the REST catalog when this table is catalog-managed — a write that
     * skipped the catalog would leave its pointer stale (readers resolve
@@ -694,7 +703,25 @@ object GraftTable {
     // the scan to the newer snapshot — the same window every
     // analysis-time resolution has — and a schema change in that window
     // fails the splice's column check loudly rather than mis-binding.
-    val sortCols = info.defaultSortFields.flatMap(byId.get)
+    // Clustered-layout columns, two sources: the table's declared
+    // default sort order (identity fields), and — when the RESOLVED
+    // snapshot is a zorder rewrite — the z-columns from its summary.
+    // Iceberg sort orders cannot express a z-order, so the rewrite
+    // records its columns in the snapshot summary instead; bounds-based
+    // pruning is sound on any layout and EFFECTIVE on a z-ordered one
+    // (ib48's box pruning, now also at runtime). An append after the
+    // rewrite moves the head to a summary-less snapshot and the claim
+    // honestly drops (the new files aren't clustered).
+    val zCols: Seq[String] = snap.toSeq.flatMap { sn =>
+      info.snapshots.find(n =>
+          Option(n.get("snapshot-id")).exists(_.asLong == sn.snapshotId))
+        .flatMap(n => Option(n.get("summary")))
+        .flatMap(s => Option(s.get("zorder-columns")))
+        .map(_.asText.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+        .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    }
+    val sortCols = (info.defaultSortFields.flatMap(byId.get) ++ zCols).distinct
     GraftTable(catalog, ident, path, opts, schema, partitionFields,
       info.properties, snap.map(_.snapshotId), rest, sortColumns = sortCols)
   }

@@ -65,6 +65,38 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 45)
   }
 
+  test("COUNT(*) answers from metadata alone on delete-free tables") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = mkOrders("orders_cnt", rows = 137)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      PlanWalk.collect(df.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // SQL surface: no scan node anywhere — the count is a literal
+    val q = spark.sql("SELECT count(*) AS c FROM graft.db.orders_cnt")
+    assert(q.head.getLong(0) === 137L)
+    assert(scansOf(q) === 0,
+      s"metadata count must plan no scan:\n${q.queryExecution.executedPlan}")
+    // DataFrame surface: Dataset.count() compiles to the same shape
+    val df = spark.table("graft.db.orders_cnt")
+    assert(df.count() === 137L)
+    // count(*) with a FILTER must NOT take the fast path
+    val filtered = spark.sql(
+      "SELECT count(*) FROM graft.db.orders_cnt WHERE prio = 'H'")
+    assert(filtered.head.getLong(0) === 68L)
+    assert(scansOf(filtered) > 0, "filtered count must scan")
+    // after a row-level DELETE the metadata sum is an upper bound —
+    // the fast path must fall back to the MoR scan and stay exact
+    spark.sql("DELETE FROM graft.db.orders_cnt WHERE id % 5 = 0")
+    val afterDelete = spark.sql("SELECT count(*) FROM graft.db.orders_cnt")
+    assert(afterDelete.head.getLong(0) === 137L - 27L)
+    assert(scansOf(afterDelete) > 0, "MoR count must scan")
+  }
+
   test("VERSION AS OF (snapshot id and branch/tag name) + TIMESTAMP AS OF") {
     import spark.implicits._
     val path = mkOrders("orders_tt", rows = 50)

@@ -318,6 +318,47 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(q.head === expected)
   }
 
+  test("runtime pruning engages on Z-ORDERED columns (snapshot summary)") {
+    // a z-order rewrite records its columns in the snapshot summary
+    // (Iceberg sort orders can't express z-order); the resolved table
+    // exposes them like sort columns, so a dim IN-set box-prunes files
+    // at runtime — ib48's static box pruning, one stage later
+    val table = s"$wh/db/rf_zorder"
+    val df = spark.range(0, 4000).select(
+      (col("id") % 64).as("a"), (col("id") / 64).as("b"),
+      col("id").as("v"))
+    graft.iceberg.IcebergWriter.write(df, table)
+    graft.iceberg.IcebergWriter.zorder(spark, table, Seq("a", "b"), numFiles = 16)
+    val dimDir = Files.createTempDirectory("graft_rf_zdim_").toString
+    spark.range(0, 64)
+      .select(col("id").as("a"), (col("id") / 16).cast("int").as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("rf_zdim")
+
+    val q = spark.sql(
+      """SELECT count(*) AS c, sum(f.v) AS s
+        |FROM graft.db.rf_zorder f JOIN rf_zdim d ON f.a = d.a
+        |WHERE d.grp = 0""".stripMargin)
+    val scans = factScans(q)
+    assert(scans.nonEmpty,
+      "a join on a z-order column must keep the keyed scan:\n" +
+        q.queryExecution.executedPlan)
+    assert(scans.head.runtimeFilters.nonEmpty,
+      q.queryExecution.executedPlan.toString)
+    val rowsRead = scans.head.metrics("numOutputRows").value
+    assert(rowsRead < 4000L, s"box pruning skipped nothing ($rowsRead rows)")
+    val expected = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      try spark.sql(
+        """SELECT count(*) AS c, sum(f.v) AS s
+          |FROM graft.db.rf_zorder f JOIN rf_zdim d ON f.a = d.a
+          |WHERE d.grp = 0""".stripMargin).head
+      finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    }
+    assert(q.head === expected)
+  }
+
   test("an untranslatable runtime predicate degrades to conservative keep") {
     import org.apache.spark.sql.connector.expressions.filter.Predicate
     // direct unit check on the bridge: unknown shapes extract nothing
