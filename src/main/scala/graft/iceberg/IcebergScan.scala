@@ -1461,6 +1461,25 @@ object IcebergScan {
     else None
   }
 
+  /** Live DATA entries + snapshot schema when the snapshot carries NO
+    * live delete entry (position/equality/DV) — the precondition for
+    * answering aggregates from manifest stats exactly. None otherwise.
+    * Consumed by the catalog's metadata MIN/MAX rewrite. */
+  def metadataLiveEntries(spark: SparkSession, path: String,
+                          opts: Options = Options())
+      : Option[(Seq[ManifestEntry], Seq[IcebergModel.Column])] = {
+    val snapshot = selectSnapshot(spark, path, opts)
+    val root = IcebergIO.tableRoot(path)
+    val meta = ManifestReader.loadTable(
+      root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
+    val deletes = livePaths(meta, manifestContent = 1, entryContent = 1, opts) ++
+      livePaths(meta, manifestContent = 1, entryContent = 2, opts)
+    if (deletes.nonEmpty) None
+    else Some((
+      livePaths(meta, manifestContent = 0, entryContent = 0, opts).map(_._1),
+      snapshot.schema))
+  }
+
   def manifests(spark: SparkSession, path: String,
                 opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))

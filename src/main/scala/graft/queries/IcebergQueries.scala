@@ -2180,6 +2180,44 @@ object IcebergQueries {
         joined.withColumn("spj_shuffles",
           lit(countShuffles(joined.queryExecution.executedPlan)))
       }
+    ),
+    QueryDef(
+      "ib71_metadata_minmax",
+      // METADATA AGGREGATE gate (round 15): COUNT(*)/MIN/MAX over a
+      // delete-free catalog table answer from manifest stats alone —
+      // `metadata_only` pins that the executed plan contains NO scan
+      // node of any kind (the count is a literal; min/max decode from
+      // per-file bounds), while the values hash-match DuckDB computing
+      // them the hard way over the raw source.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               min(o_orderkey) AS lo,
+               max(o_orderkey) AS hi,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM orders"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib71", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.load(s, dir, "orders"), s"$wh/g/mm_$suffix")
+          s"graft_cat.g.mm_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     min(o_orderkey) AS lo,
+                     max(o_orderkey) AS hi
+              FROM $name""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

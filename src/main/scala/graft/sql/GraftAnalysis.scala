@@ -421,25 +421,22 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!hasGraft) return plan
     plan.transformDown {
-      // metadata COUNT(*): a bare count over a graft relation (through
-      // cardinality-preserving Projects only — a Filter disqualifies)
-      // answers from manifest record_count sums when the snapshot
-      // carries no delete entry that could shadow rows — the 100-TB
-      // `SELECT count(*)` costs one manifest-list read, zero data I/O
-      // (the reference's host engine does the same from its scan's
-      // cardinality). Falls through to the normal plan otherwise.
+      // metadata aggregates: a bare COUNT(*) / MIN / MAX combination
+      // over a graft relation (through cardinality-preserving Projects
+      // only — a Filter disqualifies) answers from manifest stats when
+      // the snapshot carries no delete entry that could shadow rows —
+      // the 100-TB `SELECT count(*), max(ts)` costs one manifest
+      // decode, zero data I/O. MIN/MAX serve fixed-width exact-bound
+      // types only (int/long/date/timestamp; strings may be truncated,
+      // float/double bounds exclude NaN which Spark sorts ABOVE all) and
+      // require EVERY live file to record the column's bounds — any gap
+      // (all-null file, metrics off) falls through to the normal plan.
       case agg: Aggregate if agg.groupingExpressions.isEmpty &&
-          agg.aggregateExpressions.forall(isCountStar) =>
-        countRelation(agg.child).flatMap { t =>
-          t.metadataCount(spark).map { n =>
-            Project(agg.aggregateExpressions.map {
-              case a: Alias =>
-                Alias(Literal(n), a.name)(
-                  exprId = a.exprId, qualifier = a.qualifier)
-              case other => other // unreachable: isCountStar demands Alias
-            }, OneRowRelation())
-          }
-        }.getOrElse(agg)
+          agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall(metadataServable) =>
+        countRelation(agg.child)
+          .flatMap(t => metadataAggregate(agg, t))
+          .getOrElse(agg)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
         // tables that can't plan keyed faithfully (MoR shapes the keyed
@@ -457,20 +454,110 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Is this output expression a plain `count(*)` (count over non-null
-    * literals, non-distinct, unfiltered) under an Alias? */
-  private def isCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate
-        .AggregateExpression, _) =>
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+  import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+  /** Bounds of these types are fixed-width EXACT values in manifests. */
+  private def boundServable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Is this output a metadata-servable aggregate under an Alias —
+    * `count(*)` (non-null literals, non-distinct, unfiltered) or
+    * MIN/MAX of a plain column of an exact-bound type? */
+  private def metadataServable(e: NamedExpression): Boolean = e match {
+    case Alias(ae: AggregateExpression, _) =>
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-        case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count =>
+        case c: Count =>
           c.children.nonEmpty && c.children.forall {
             case l: Literal => l.value != null
             case _ => false
           }
+        case m: Min => m.child.isInstanceOf[AttributeReference] &&
+          boundServable(m.child.dataType)
+        case m: Max => m.child.isInstanceOf[AttributeReference] &&
+          boundServable(m.child.dataType)
         case _ => false
       })
     case _ => false
+  }
+
+  /** The one-row literal plan answering `agg` from manifest stats, or
+    * None when metadata can't serve it exactly. */
+  private def metadataAggregate(
+      agg: Aggregate, t: GraftTable): Option[LogicalPlan] = {
+    val needsBounds = agg.aggregateExpressions.exists {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        case _: Min | _: Max => true
+        case _ => false
+      }
+      case _ => false
+    }
+    // count-only: the O(1) manifest-list stats path suffices
+    if (!needsBounds) return t.metadataCount(spark).map { n =>
+      Project(agg.aggregateExpressions.map {
+        case a: Alias =>
+          Alias(Literal(n), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        case other => other
+      }, OneRowRelation())
+    }
+    t.metadataLive(spark).flatMap { case (entries0, cols) =>
+      val total = entries0.map(_.recordCount).sum
+      val entries = entries0.filter(_.recordCount > 0)
+      def decodeCat(dt: DataType, bytes: Array[Byte]): Option[Any] = {
+        def le = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        dt match {
+          case IntegerType | DateType if bytes.length >= 4 => Some(le.getInt)
+          case LongType | TimestampType | TimestampNTZType
+              if bytes.length >= 8 => Some(le.getLong)
+          case _ => None
+        }
+      }
+      def cmpKey(v: Any): Long = v match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long => l.longValue
+      }
+      // min/max of a column across live files, from per-entry bounds:
+      // Some(Some(v)) = served; Some(None) = empty table → NULL;
+      // None = a file lacks the bound (all-null file, metrics off) →
+      // can't serve exactly
+      def boundOf(a: AttributeReference, lower: Boolean)
+          : Option[Option[Any]] = {
+        val id = cols.find(_.name.equalsIgnoreCase(a.name)).map(_.id)
+          .getOrElse(return None)
+        if (entries.isEmpty) return Some(None)
+        val decoded = entries.map { e =>
+          (if (lower) e.lowerBounds else e.upperBounds).get(id)
+            .flatMap(decodeCat(a.dataType, _))
+        }
+        if (decoded.exists(_.isEmpty)) None
+        else {
+          val vs = decoded.map(_.get)
+          Some(Some(if (lower) vs.minBy(cmpKey) else vs.maxBy(cmpKey)))
+        }
+      }
+      val outputs = agg.aggregateExpressions.map {
+        case a @ Alias(ae: AggregateExpression, _) =>
+          val lit: Option[Literal] = ae.aggregateFunction match {
+            case _: Count => Some(Literal(total))
+            case m: Min =>
+              boundOf(m.child.asInstanceOf[AttributeReference], lower = true)
+                .map(v => Literal(v.orNull, m.child.dataType))
+            case m: Max =>
+              boundOf(m.child.asInstanceOf[AttributeReference], lower = false)
+                .map(v => Literal(v.orNull, m.child.dataType))
+            case _ => None
+          }
+          lit.map(l =>
+            Alias(l, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+        case _ => None
+      }
+      if (outputs.exists(_.isEmpty)) None
+      else Some(Project(outputs.map(_.get), OneRowRelation()))
+    }
   }
 
   /** The graft table a COUNT can answer for: the aggregate's child must

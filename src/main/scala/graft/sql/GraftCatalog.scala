@@ -601,6 +601,15 @@ final case class GraftTable(
     else scala.util.Try(
       IcebergScan.metadataRowCount(spark, path, opts)).toOption.flatten
 
+  /** Live data entries + snapshot schema when the snapshot is
+    * delete-free — the metadata MIN/MAX rewrite's input. */
+  private[sql] def metadataLive(spark: SparkSession)
+      : Option[(Seq[graft.iceberg.IcebergModel.ManifestEntry],
+                Seq[graft.iceberg.IcebergModel.Column])] =
+    if (opts.filters.nonEmpty || opts.mode != "default") None
+    else scala.util.Try(
+      IcebergScan.metadataLiveEntries(spark, path, opts)).toOption.flatten
+
   /** Run a writer op against the correct table root, committing through
     * the REST catalog when this table is catalog-managed — a write that
     * skipped the catalog would leave its pointer stale (readers resolve

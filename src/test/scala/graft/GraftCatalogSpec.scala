@@ -97,6 +97,39 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scansOf(afterDelete) > 0, "MoR count must scan")
   }
 
+  test("MIN/MAX answer from manifest bounds on delete-free tables") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    mkOrders("orders_minmax", rows = 200)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      PlanWalk.collect(df.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    val q = spark.sql(
+      "SELECT count(*) AS c, min(id) AS lo, max(id) AS hi " +
+        "FROM graft.db.orders_minmax")
+    val row = q.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((200L, 1L, 200L)))
+    assert(scansOf(q) === 0,
+      s"metadata min/max must plan no scan:\n${q.queryExecution.executedPlan}")
+    // string bounds may be TRUNCATED → the rewrite must bail, stay exact
+    val s = spark.sql("SELECT max(cust) AS m FROM graft.db.orders_minmax")
+    assert(s.head.getString(0) === "cust-6")
+    assert(scansOf(s) > 0, "string max must scan")
+    // float/double bounds exclude NaN → bail
+    val d = spark.sql("SELECT max(amount) AS m FROM graft.db.orders_minmax")
+    assert(d.head.getDouble(0) === 2000.0)
+    assert(scansOf(d) > 0, "double max must scan")
+    // a row-level DELETE voids the metadata answer; fallback stays exact
+    spark.sql("DELETE FROM graft.db.orders_minmax WHERE id = 200")
+    val after = spark.sql("SELECT max(id) AS hi FROM graft.db.orders_minmax")
+    assert(after.head.getLong(0) === 199L)
+    assert(scansOf(after) > 0, "MoR max must scan")
+  }
+
   test("VERSION AS OF (snapshot id and branch/tag name) + TIMESTAMP AS OF") {
     import spark.implicits._
     val path = mkOrders("orders_tt", rows = 50)
