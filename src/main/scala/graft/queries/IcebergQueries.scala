@@ -2218,6 +2218,45 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib72_metadata_rename",
+      // METADATA AGGREGATE LINEAGE gate (round 16): the renaming-subquery
+      // shape the round-15 rewrite got WRONG — `max(o_orderkey)` over a
+      // subquery that aliases o_custkey AS o_orderkey must serve
+      // o_custkey's bounds (the rewrite binds by exprId lineage to the
+      // relation output, never by name against the snapshot schema). The
+      // oracle computes min/max of the SOURCE column the alias points at;
+      // `metadata_only` pins the plan is still scan-free.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               min(o_custkey) AS lo,
+               max(o_custkey) AS hi,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM orders"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib71", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.load(s, dir, "orders"), s"$wh/g/mm_$suffix")
+          s"graft_cat.g.mm_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     min(o_orderkey) AS lo,
+                     max(o_orderkey) AS hi
+              FROM (SELECT o_custkey AS o_orderkey FROM $name)""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

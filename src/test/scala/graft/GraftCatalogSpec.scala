@@ -130,6 +130,55 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scansOf(after) > 0, "MoR max must scan")
   }
 
+  test("metadata MIN/MAX binds by lineage, not name, through renaming Projects") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    // x = 0..999, y = 5000..5999: a rename of y to "x" COLLIDES with a
+    // physical column whose manifest bounds differ — the round-15 wrong
+    // answer served max(physical x)=999 for max(y AS x)
+    val df = (0 until 1000).map(i => (i.toLong, 5000L + i))
+      .toDF("x", "y")
+    IcebergWriter.write(df, s"$wh/db/mm_rename")
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // colliding rename, SQL surface: must serve column y's bounds
+    val sqlQ = spark.sql(
+      "SELECT max(x) AS hi FROM (SELECT y AS x FROM graft.db.mm_rename)")
+    assert(sqlQ.head.getLong(0) === 5999L)
+    assert(scansOf(sqlQ) === 0,
+      s"lineage-resolved rename still serves from metadata:\n${sqlQ.queryExecution.executedPlan}")
+    // colliding rename, DataFrame surface
+    val dfQ = spark.table("graft.db.mm_rename")
+      .select(col("y").as("x")).agg(max(col("x")).as("hi"))
+    assert(dfQ.head.getLong(0) === 5999L)
+    assert(scansOf(dfQ) === 0)
+    // min under the same rename
+    val minQ = spark.sql(
+      "SELECT min(x) AS lo FROM (SELECT y AS x FROM graft.db.mm_rename)")
+    assert(minQ.head.getLong(0) === 5000L)
+    // rename to a FRESH name: lineage resolution serves it too
+    val fresh = spark.sql(
+      "SELECT max(z) AS hi FROM (SELECT y AS z FROM graft.db.mm_rename)")
+    assert(fresh.head.getLong(0) === 5999L)
+    assert(scansOf(fresh) === 0)
+    // COMPUTED projection sharing a physical name: must fall through
+    // to a real scan and stay exact
+    val computed = spark.sql(
+      "SELECT max(x) AS hi FROM (SELECT x + 1 AS x FROM graft.db.mm_rename)")
+    assert(computed.head.getLong(0) === 1000L)
+    assert(scansOf(computed) > 0, "computed projection must scan")
+    // case-insensitive reference to the physical column still serves
+    val cased = spark.sql("SELECT max(X) AS hi FROM graft.db.mm_rename")
+    assert(cased.head.getLong(0) === 999L)
+    assert(scansOf(cased) === 0)
+  }
+
   test("VERSION AS OF (snapshot id and branch/tag name) + TIMESTAMP AS OF") {
     import spark.implicits._
     val path = mkOrders("orders_tt", rows = 50)
