@@ -52,10 +52,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 5 interleaved rounds by default (round 12, was 3): the median of 5
-    // discards two contended samples per side, so a reported regression
-    // needs contention in three well-separated windows to be fake.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
+    // 7 interleaved rounds by default (round 16, was 5 — VERDICT r15 #2:
+    // two consecutive contended artifacts): the median of 7 discards
+    // three contended samples per side, so a reported regression needs
+    // contention in four well-separated windows to be fake.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "7").toInt.max(1)
     val spark = GraftSessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Best-effort: a broken data dir should still produce the per-query
@@ -108,6 +109,32 @@ object Bench {
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       s((s.size - 1) / 2)
+    }
+    // CONTENDED-QUERY RETRY (round 16, VERDICT r15 #2): a query whose
+    // median still sits >1.5x above its own best sample after the
+    // interleaved rounds ran through contended windows — give it two
+    // extra samples now (separated from the contention by the rest of
+    // the sweep) and recompute over the widened set. The median then
+    // needs a MAJORITY of contended windows to stay inflated, which is
+    // what "re-run attempted" means mechanically; the artifact records
+    // the retried queries.
+    val retriedQueries = scala.collection.mutable.ArrayBuffer[String]()
+    if (runs >= 3) {
+      val byName = ordered.toMap
+      ordered.foreach { case (name, _) =>
+        val ts = allRuns(name)
+        if (!errors.contains(name) && ts.size >= 2 && ts.min > 0 &&
+            median(ts) / ts.min > 1.5) {
+          retriedQueries += name
+          (1 to 2).foreach { _ =>
+            val t0 = System.nanoTime()
+            try {
+              runToNoop(byName(name)(spark, sfDir))
+              allRuns(name) = allRuns(name) :+ (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => () }
+          }
+        }
+      }
     }
     val results = ordered.map { case (name, _) =>
       val times = allRuns(name)
@@ -248,6 +275,7 @@ object Bench {
       s""","stat_spread_ratio":""" +
       "%.2f".formatLocal(java.util.Locale.ROOT, statSpreadRatio) +
       s""","contended_queries":$contended""" +
+      s""","contended_retried":${retriedQueries.size}""" +
       baseline +
       s""","sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")

@@ -126,6 +126,13 @@ object IcebergModel {
       nanCounts: Map[Int, Long] = Map.empty,
       equalityIds: Seq[Int] = Seq.empty,
       sequenceNumber: Option[Long] = None,
+      // spec manifest_entry field 1: the snapshot that ADDED this entry
+      // (explicit on EXISTING entries; null on fresh ADDED entries →
+      // inherit the manifest's `added_snapshot_id`). Serves
+      // `_metadata.file_modification_time`: a file keeps its COMMITTING
+      // snapshot's timestamp instead of drifting forward with every
+      // later commit.
+      snapshotId: Option[Long] = None,
       // Spec v3 deletion-vector fields (Iceberg spec "Data File" fields
       // 143-145): a DV entry is content=1 with file_format=PUFFIN whose
       // blob coordinates live in the manifest — scans read the vector by

@@ -274,6 +274,28 @@ object IcebergScan {
     // record index, which equals the write-time position, so position
     // deletes/provenance work on avro (unlike ORC).
     val scanConf = hadoopConf(spark)
+    // Per-file COMMITTING-snapshot timestamps (round 16): entry
+    // `snapshot_id` — inherited from the manifest's `added_snapshot_id`
+    // when absent — resolved against the metadata's snapshot log, so
+    // `_metadata.file_modification_time` stays STABLE on unchanged files
+    // across unrelated commits. Files whose committing snapshot can't be
+    // resolved (expired, foreign partial metadata) fall back per file to
+    // the scanned snapshot's timestamp.
+    lazy val mtimeByPath: Map[String, Long] = {
+      val tsBySnap: Map[Long, Long] =
+        scala.util.Try(loadInfo(spark, path, opts).snapshots.flatMap(sn =>
+          scala.util.Try(sn.get("snapshot-id").asLong ->
+            sn.get("timestamp-ms").asLong).toOption).toMap)
+          .getOrElse(Map.empty)
+      if (tsBySnap.isEmpty) Map.empty
+      else meta.entries.flatMap { case (m, es) =>
+        val inherit = m.stats.map(_.addedSnapshotId)
+        es.flatMap { e =>
+          e.snapshotId.orElse(inherit).flatMap(tsBySnap.get)
+            .map(ts => resolved(path, e.filePath, opts) -> ts)
+        }
+      }.toMap
+    }
     def formatRelation(fmt: String, files: Seq[(String, Long)], withMeta: Boolean): DataFrame = {
       val paths = files.map(_._1)
       val declared = withLineageFields(
@@ -321,7 +343,7 @@ object IcebergScan {
         if (opts.skipSchemaInference)
           spark.read.format(fmt).load(paths: _*)
         else ManifestFileIndex.relation(spark, fmt, files, readSchema, scanConf,
-            mtimeMs = snapshot.timestampMs)
+            mtimeMs = snapshot.timestampMs, mtimeByPath = mtimeByPath)
           .getOrElse(spark.read.format(fmt).schema(readSchema).load(paths: _*))
       if (!withMeta) r
       else r.select(col("*"),
@@ -1461,13 +1483,17 @@ object IcebergScan {
     else None
   }
 
-  /** Live DATA entries + snapshot schema when the snapshot carries NO
-    * live delete entry (position/equality/DV) — the precondition for
-    * answering aggregates from manifest stats exactly. None otherwise.
-    * Consumed by the catalog's metadata MIN/MAX rewrite. */
+  /** Live DATA entries + snapshot schema + every partition spec by id
+    * when the snapshot carries NO live delete entry (position/equality/
+    * DV) — the precondition for answering aggregates from manifest stats
+    * exactly. None otherwise. Consumed by the catalog's metadata
+    * COUNT/MIN/MAX rewrite; the spec map lets it verify that a partition
+    * field name means IDENTITY of the same source column in every spec
+    * an entry could have been written under. */
   def metadataLiveEntries(spark: SparkSession, path: String,
                           opts: Options = Options())
-      : Option[(Seq[ManifestEntry], Seq[IcebergModel.Column])] = {
+      : Option[(Seq[ManifestEntry], Seq[IcebergModel.Column],
+                Map[Int, Seq[IcebergModel.PartitionFieldSpec]])] = {
     val snapshot = selectSnapshot(spark, path, opts)
     val root = IcebergIO.tableRoot(path)
     val meta = ManifestReader.loadTable(
@@ -1477,7 +1503,8 @@ object IcebergScan {
     if (deletes.nonEmpty) None
     else Some((
       livePaths(meta, manifestContent = 0, entryContent = 0, opts).map(_._1),
-      snapshot.schema))
+      snapshot.schema,
+      snapshot.partitionSpecsById))
   }
 
   def manifests(spark: SparkSession, path: String,

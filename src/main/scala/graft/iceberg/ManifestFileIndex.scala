@@ -64,15 +64,18 @@ private[graft] object ManifestFileIndex {
       schema: StructType, conf: Configuration,
       // `_metadata.file_modification_time` for the synthesized statuses.
       // The statting InMemoryFileIndex returned each file's real mtime;
-      // manifests don't record one, so the SCANNED snapshot's timestamp
-      // (already in loaded metadata — no extra round trip) is the
-      // documented approximation: every file visible to a snapshot was
-      // finalized at-or-before its commit instant, so the stamp is an
-      // upper bound — exact for files the scanned snapshot added, later
-      // than the real mtime for files inherited from earlier commits
-      // (whose committing-snapshot ids the entry model does not retain).
+      // manifests don't record one, so each file gets its COMMITTING
+      // snapshot's timestamp (entry `snapshot_id`, inherited from the
+      // manifest's `added_snapshot_id` — already in loaded metadata, no
+      // extra round trip) via `mtimeByPath`; a file with no resolvable
+      // committing snapshot falls back to `mtimeMs`, the SCANNED
+      // snapshot's timestamp — an upper bound, since every visible file
+      // was finalized at-or-before that commit instant. Round 16: the
+      // per-file map keeps unchanged files' mtimes STABLE across
+      // unrelated commits instead of drifting forward.
       // 0 (no snapshot in scope) keeps the epoch placeholder.
-      mtimeMs: Long = 0L): Option[DataFrame] = {
+      mtimeMs: Long = 0L,
+      mtimeByPath: Map[String, Long] = Map.empty): Option[DataFrame] = {
     if (files.isEmpty || files.exists(_._2 <= 0L)) None
     else {
       val fileFormat = fmt match {
@@ -81,7 +84,8 @@ private[graft] object ManifestFileIndex {
         case other     => return None // avro has its own V2 source
       }
       val statuses = files.map { case (p, len) =>
-        new FileStatus(len, false, 1, 134217728L, mtimeMs,
+        new FileStatus(len, false, 1, 134217728L,
+          mtimeByPath.getOrElse(p, mtimeMs),
           new Path(IcebergIO.qualified(p, conf)))
       }
       val rel = HadoopFsRelation(

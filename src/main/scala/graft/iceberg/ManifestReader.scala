@@ -223,6 +223,12 @@ object ManifestReader {
           case l: java.lang.Long => Some(l.longValue)
           case _ => None
         },
+        // spec field 1: the entry's committing snapshot (explicit on
+        // EXISTING entries; null → inherit the manifest's added snapshot)
+        snapshotId = fieldOrNull(r, "snapshot_id") match {
+          case l: java.lang.Long => Some(l.longValue)
+          case _ => None
+        },
         referencedDataFile = fieldOrNull(df, "referenced_data_file") match {
           case null => None
           case s => Some(s.toString)

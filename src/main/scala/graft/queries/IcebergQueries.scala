@@ -2257,6 +2257,76 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib73_metadata_filtered_agg",
+      // FILTERED METADATA AGGREGATE gate (round 16, VERDICT #3): the
+      // most common dashboard query at 100 TB — COUNT/MIN/MAX under a
+      // WHERE whose every attribute is an IDENTITY partition source
+      // (dt). The predicate is constant per file, so the rewrite
+      // evaluates it on each manifest entry's partition tuple and sums
+      // record_count / folds bounds over the surviving files — zero
+      // data I/O, pinned by `metadata_only`, values hash-matched
+      // against DuckDB computing over the raw source.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               min(dt) AS lo,
+               max(dt) AS hi,
+               CAST(min(user_id) AS BIGINT) AS umin,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM (SELECT CAST(ts AS DATE) AS dt, user_id FROM events)
+        WHERE dt BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'"""),
+      (s, dir) => {
+        val fact = rfEventsTable(s, dir)
+        val q = s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     min(dt) AS lo,
+                     max(dt) AS hi,
+                     min(user_id) AS umin
+              FROM $fact
+              WHERE dt BETWEEN DATE'2024-01-05' AND DATE'2024-01-10'""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
+    ),
+    QueryDef(
+      "ib74_metadata_grouped_agg",
+      // PER-PARTITION METADATA AGGREGATE gate (round 16, VERDICT #4):
+      // GROUP BY on an identity partition source over a delete-free
+      // snapshot serves per-day row counts and per-group MIN/MAX
+      // straight from manifest stats — groups are distinct live
+      // partition tuples, counts are per-tuple record_count sums,
+      // bounds fold per group. `metadata_only` pins the scan-free plan;
+      // values hash-match DuckDB's grouped aggregate over the raw rows.
+      Some("""
+        SELECT dt,
+               COUNT(*) AS cnt,
+               CAST(max(user_id) AS BIGINT) AS umax,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM (SELECT CAST(ts AS DATE) AS dt, user_id FROM events)
+        GROUP BY dt"""),
+      (s, dir) => {
+        val fact = rfEventsTable(s, dir)
+        val q = s.sql(
+          s"""SELECT dt,
+                     COUNT(*) AS cnt,
+                     max(user_id) AS umax
+              FROM $fact GROUP BY dt""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

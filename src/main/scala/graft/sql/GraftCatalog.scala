@@ -601,11 +601,12 @@ final case class GraftTable(
     else scala.util.Try(
       IcebergScan.metadataRowCount(spark, path, opts)).toOption.flatten
 
-  /** Live data entries + snapshot schema when the snapshot is
-    * delete-free — the metadata MIN/MAX rewrite's input. */
+  /** Live data entries + snapshot schema + specs-by-id when the snapshot
+    * is delete-free — the metadata COUNT/MIN/MAX rewrite's input. */
   private[sql] def metadataLive(spark: SparkSession)
       : Option[(Seq[graft.iceberg.IcebergModel.ManifestEntry],
-                Seq[graft.iceberg.IcebergModel.Column])] =
+                Seq[graft.iceberg.IcebergModel.Column],
+                Map[Int, Seq[graft.iceberg.IcebergModel.PartitionFieldSpec]])] =
     if (opts.filters.nonEmpty || opts.mode != "default") None
     else scala.util.Try(
       IcebergScan.metadataLiveEntries(spark, path, opts)).toOption.flatten

@@ -179,6 +179,104 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scansOf(cased) === 0)
   }
 
+  test("filtered and grouped aggregates serve from identity-partition metadata") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    spark.sql(
+      "CREATE TABLE graft.db.mm_part (k BIGINT, dt DATE, v BIGINT) " +
+        "PARTITIONED BY (dt)")
+    spark.sql(
+      """INSERT INTO graft.db.mm_part
+         SELECT id, DATE_ADD(DATE'2024-01-01', CAST(id % 5 AS INT)), id * 10
+         FROM range(0, 100)""")
+
+    // identity-filter count: the predicate is constant per file
+    val c1 = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.mm_part WHERE dt = DATE'2024-01-02'")
+    assert(c1.head.getLong(0) === 20L)
+    assert(scansOf(c1) === 0,
+      s"identity-filtered count must plan no scan:\n${c1.queryExecution.executedPlan}")
+    // range filter + min/max of a non-partition column over matching files
+    val c2 = spark.sql(
+      """SELECT count(*) AS c, min(v) AS lo, max(v) AS hi
+         FROM graft.db.mm_part WHERE dt >= DATE'2024-01-04'""")
+    val r2 = c2.head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((40L, 30L, 990L)))
+    assert(scansOf(c2) === 0)
+    // an EXPRESSION over the identity source still evaluates per entry
+    val c3 = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.mm_part WHERE year(dt) = 2024")
+    assert(c3.head.getLong(0) === 100L)
+    assert(scansOf(c3) === 0)
+    // filter matching NOTHING: one exact empty-aggregate row, no scan
+    val c4 = spark.sql(
+      "SELECT count(*) AS c, max(v) AS hi FROM graft.db.mm_part WHERE dt > DATE'2030-01-01'")
+    assert(c4.head.getLong(0) === 0L && c4.head.isNullAt(1))
+    assert(scansOf(c4) === 0)
+
+    // grouped: one row per live partition tuple, counts + bounds per group
+    val g1 = spark.sql(
+      "SELECT dt, count(*) AS c, max(v) AS hi FROM graft.db.mm_part GROUP BY dt")
+    val rows = g1.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length === 5)
+    assert(rows.forall(_._2 === 20L))
+    assert(rows.map(_._1) === Array(
+      "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+    assert(rows.map(_._3) === Array(950L, 960L, 970L, 980L, 990L))
+    assert(scansOf(g1) === 0,
+      s"grouped metadata agg must plan no scan:\n${g1.queryExecution.executedPlan}")
+    // DISTINCT on the partition source is the same aggregate shape
+    val d1 = spark.sql("SELECT DISTINCT dt FROM graft.db.mm_part")
+    assert(d1.collect().length === 5)
+    assert(scansOf(d1) === 0)
+    // grouped through a RENAMING subquery binds by lineage
+    val g2 = spark.sql(
+      """SELECT d, count(*) AS c
+         FROM (SELECT dt AS d FROM graft.db.mm_part) GROUP BY d""")
+    assert(g2.collect().map(_.getLong(1)).toSeq === Seq.fill(5)(20L))
+    assert(scansOf(g2) === 0)
+    // filter + group compose
+    val g3 = spark.sql(
+      """SELECT dt, count(*) AS c FROM graft.db.mm_part
+         WHERE dt <> DATE'2024-01-01' GROUP BY dt""")
+    assert(g3.collect().length === 4)
+    assert(scansOf(g3) === 0)
+
+    // fall-throughs stay exact THROUGH a real scan:
+    // 1. filter on a non-partition column
+    val f1 = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.mm_part WHERE v >= 500")
+    assert(f1.head.getLong(0) === 50L)
+    assert(scansOf(f1) > 0, "non-partition filter must scan")
+    // 2. group by a non-partition column
+    val f2 = spark.sql(
+      "SELECT v % 2 AS m, count(*) AS c FROM graft.db.mm_part GROUP BY v % 2")
+    assert(f2.collect().map(_.getLong(1)).sum === 100L)
+    assert(scansOf(f2) > 0, "non-partition grouping must scan")
+    // 3. BUCKET transform source is not identity — must scan
+    spark.sql(
+      "CREATE TABLE graft.db.mm_bucket (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.db.mm_bucket SELECT id, id FROM range(0, 50)")
+    val f3 = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.mm_bucket WHERE k < 10")
+    assert(f3.head.getLong(0) === 10L)
+    assert(scansOf(f3) > 0, "bucket-transform filter must scan")
+    // 4. a row-level DELETE voids the metadata answer; fallback exact
+    spark.sql("DELETE FROM graft.db.mm_part WHERE k = 7")
+    val f4 = spark.sql(
+      "SELECT dt, count(*) AS c FROM graft.db.mm_part GROUP BY dt ORDER BY dt")
+    assert(f4.collect().map(_.getLong(1)).toSeq === Seq(20L, 20L, 19L, 20L, 20L))
+    assert(scansOf(f4) > 0, "MoR grouped count must scan")
+  }
+
   test("VERSION AS OF (snapshot id and branch/tag name) + TIMESTAMP AS OF") {
     import spark.implicits._
     val path = mkOrders("orders_tt", rows = 50)
