@@ -3872,6 +3872,13 @@ object IcebergWriter {
     }
 
     // ---- v3: deletion vectors ----
+    // Driver-side collect is BOUNDED by the number of DISTINCT data
+    // files this delete touches (paths only, no positions) — a
+    // maintenance action's working set, not the table's file count. At
+    // 100-TB churn a delete touching ~1M files would hold ~100 MB of
+    // path strings here; acceptable for a maintenance commit, and the
+    // set must be driver-side anyway to route prior delete-file
+    // carryover below.
     val affected = positions.select("file_path").distinct().as[String].collect().toSet
     val prevDel: Seq[(Manifest, ManifestEntry)] = meta.entries.collect {
       case (m, es) if m.content == 1 =>

@@ -474,7 +474,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Is this output a metadata-servable aggregate under an Alias —
-    * `count(*)` (non-null literals, non-distinct, unfiltered) or
+    * `count(*)` (non-null literals, non-distinct, unfiltered),
+    * `count(col)` (served from recorded null counts — round 16), or
     * MIN/MAX of a plain column of an exact-bound type? */
   private def metadataServable(e: NamedExpression): Boolean = e match {
     case Alias(ae: AggregateExpression, _) =>
@@ -482,6 +483,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case c: Count =>
           c.children.nonEmpty && c.children.forall {
             case l: Literal => l.value != null
+            case _: AttributeReference => c.children.size == 1
             case _ => false
           }
         case m: Min => m.child.isInstanceOf[AttributeReference] &&
@@ -557,14 +559,19 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** min/max of field `id` across `entries` from per-entry bounds:
-    * Some(Some(v)) = served; Some(None) = no surviving rows → NULL;
-    * None = a file lacks the bound (all-null file, metrics off) →
-    * can't serve exactly. */
+    * Some(Some(v)) = served; Some(None) = no surviving non-null values →
+    * NULL; None = a file lacks the bound without being provably all-null
+    * (metrics off) → can't serve exactly. Files whose RECORDED null
+    * count equals their row count hold no value of the column — they
+    * contribute nothing to MIN/MAX (SQL ignores nulls) and are skipped
+    * instead of bailing (round 16: sparse columns stay servable). */
   private def boundFold(
       entries: Seq[graft.iceberg.IcebergModel.ManifestEntry],
       id: Int, dt: DataType, lower: Boolean): Option[Option[Any]] = {
-    if (entries.isEmpty) return Some(None)
-    val decoded = entries.map { e =>
+    val contributing = entries.filterNot(e =>
+      e.nullCounts.get(id).contains(e.recordCount))
+    if (contributing.isEmpty) return Some(None)
+    val decoded = contributing.map { e =>
       (if (lower) e.lowerBounds else e.upperBounds).get(id)
         .flatMap(decodeCat(dt, _))
     }
@@ -573,6 +580,17 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val vs = decoded.map(_.get)
       Some(Some(if (lower) vs.minBy(cmpKey) else vs.maxBy(cmpKey)))
     }
+  }
+
+  /** Non-null count of field `id` across `entries` from recorded null
+    * counts (`count(col)` semantics) — None when any entry omits the
+    * count (can't serve exactly). */
+  private def nonNullFold(
+      entries: Seq[graft.iceberg.IcebergModel.ManifestEntry],
+      id: Int): Option[Long] = {
+    val per = entries.map(e =>
+      e.nullCounts.get(id).map(nc => e.recordCount - nc))
+    if (per.exists(_.isEmpty)) None else Some(per.map(_.get).sum)
   }
 
   /** Bind `a0` by LINEAGE (exprId down to the relation output through
@@ -612,15 +630,16 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def metadataAggregate(
       agg: Aggregate, aggChild: LogicalPlan, t: GraftTable)
       : Option[LogicalPlan] = {
-    val needsBounds = agg.aggregateExpressions.exists {
+    // count(*)-only: the O(1) manifest-list stats path suffices —
+    // MIN/MAX and count(col) both need per-entry stats
+    val onlyStarCounts = agg.aggregateExpressions.forall {
       case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
-        case _: Min | _: Max => true
+        case c: Count => c.children.forall(_.isInstanceOf[Literal])
         case _ => false
       }
       case _ => false
     }
-    // count-only: the O(1) manifest-list stats path suffices
-    if (!needsBounds) return t.metadataCount(spark).map { n =>
+    if (onlyStarCounts) return t.metadataCount(spark).map { n =>
       Project(agg.aggregateExpressions.map {
         case a: Alias =>
           Alias(Literal(n), a.name)(exprId = a.exprId, qualifier = a.qualifier)
@@ -637,7 +656,15 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val outputs = agg.aggregateExpressions.map {
         case a @ Alias(ae: AggregateExpression, _) =>
           val lit: Option[Literal] = ae.aggregateFunction match {
-            case _: Count => Some(Literal(total))
+            case c: Count => c.children match {
+              // count(col): Σ(record_count − null_count), exact when
+              // every live entry records the column's null count
+              case Seq(ar: AttributeReference) =>
+                fieldIdOf(aggChild, ar, cols)
+                  .flatMap(id => nonNullFold(entries, id))
+                  .map(Literal(_))
+              case _ => Some(Literal(total))
+            }
             case m: Min =>
               boundOf(m.child.asInstanceOf[AttributeReference], lower = true)
                 .map(v => Literal(v.orNull, m.child.dataType))
@@ -765,7 +792,13 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val vs = agg.aggregateExpressions.map {
           case Alias(ae: AggregateExpression, _) =>
             ae.aggregateFunction match {
-              case _: Count => es.map(_.recordCount).sum
+              case c: Count => c.children match {
+                case Seq(ar: AttributeReference) =>
+                  fieldIdOf(agg.child, ar, cols)
+                    .flatMap(id => nonNullFold(es, id))
+                    .getOrElse(return None)
+                case _ => es.map(_.recordCount).sum
+              }
               case m: Min =>
                 val a = m.child.asInstanceOf[AttributeReference]
                 fieldIdOf(agg.child, a, cols)

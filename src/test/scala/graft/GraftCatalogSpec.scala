@@ -179,6 +179,49 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scansOf(cased) === 0)
   }
 
+  test("count(col) serves from null counts; sparse-column MIN/MAX skips all-null files") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    spark.sql("CREATE TABLE graft.db.mm_sparse (k BIGINT, c BIGINT)")
+    // commit 1: c entirely NULL (recorded null count = row count);
+    // commit 2: real values — a sparse telemetry column's shape
+    spark.sql(
+      "INSERT INTO graft.db.mm_sparse SELECT id, CAST(NULL AS BIGINT) FROM range(0, 50)")
+    spark.sql(
+      "INSERT INTO graft.db.mm_sparse SELECT id, id * 2 FROM range(50, 100)")
+    // count(col) = Σ(record_count − null_count), scan-free
+    val c = spark.sql(
+      "SELECT count(c) AS nn, count(*) AS n FROM graft.db.mm_sparse")
+    assert((c.head.getLong(0), c.head.getLong(1)) === ((50L, 100L)))
+    assert(scansOf(c) === 0,
+      s"count(col) must serve from null counts:\n${c.queryExecution.executedPlan}")
+    // MIN/MAX skip the provably-all-null file instead of bailing
+    val m = spark.sql(
+      "SELECT min(c) AS lo, max(c) AS hi FROM graft.db.mm_sparse")
+    assert((m.head.getLong(0), m.head.getLong(1)) === ((100L, 198L)))
+    assert(scansOf(m) === 0,
+      s"sparse min/max must serve from bounds:\n${m.queryExecution.executedPlan}")
+    // an ENTIRELY-null column aggregates to NULL, still scan-free
+    spark.sql("CREATE TABLE graft.db.mm_allnull (k BIGINT, c BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.db.mm_allnull SELECT id, CAST(NULL AS BIGINT) FROM range(0, 30)")
+    val an = spark.sql(
+      "SELECT count(c) AS nn, max(c) AS hi FROM graft.db.mm_allnull")
+    assert(an.head.getLong(0) === 0L && an.head.isNullAt(1))
+    assert(scansOf(an) === 0)
+    // count(DISTINCT c) must NOT take the fast path
+    val d = spark.sql("SELECT count(DISTINCT c) AS dc FROM graft.db.mm_sparse")
+    assert(d.head.getLong(0) === 50L)
+    assert(scansOf(d) > 0, "distinct count must scan")
+  }
+
   test("filtered and grouped aggregates serve from identity-partition metadata") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.FileSourceScanExec
