@@ -2327,6 +2327,50 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib75_metadata_interval_agg",
+      // INTERVAL METADATA AGGREGATE gate (round 16): a DAY-ALIGNED
+      // timestamp range over a day(ts)-partitioned table decides per
+      // file — each file's rows span one known day, so a monotone
+      // comparison evaluates identically at both endpoints — and the
+      // week-of-January dashboard count/min/max serves scan-free
+      // (`metadata_only` pins it); mid-period boundaries provably fall
+      // through (spec-tested). Values hash-match DuckDB over raw rows.
+      Some("""
+        SELECT COUNT(*) AS cnt,
+               min(user_id) AS lo,
+               max(user_id) AS hi,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib75", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), s"$wh/g/ivl_$suffix",
+            partitionBy = Seq("ts" -> "day"))
+          s"graft_cat.g.ivl_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT COUNT(*) AS cnt,
+                     min(user_id) AS lo,
+                     max(user_id) AS hi
+              FROM $name
+              WHERE ts >= TIMESTAMP_NTZ'2024-01-08 00:00:00'
+                AND ts < TIMESTAMP_NTZ'2024-01-15 00:00:00'""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

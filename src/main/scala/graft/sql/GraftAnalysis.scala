@@ -705,15 +705,54 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     t.metadataLive(spark).flatMap { case (entries0, cols, specsById) =>
       val typeById = cols.map(c => c.id -> c.dataType).toMap
-      // identity fields of the default spec, by lowercase SOURCE column
-      // name — duplicates (two identity fields over one source) drop out
+      // VALUE-EXACT partition fields: identity on any source, plus
+      // day/days on a DATE source — day(date) stores the epoch-day
+      // ordinal, which IS the date value, so every row of a file shares
+      // the stored value exactly like identity (the most common 100-TB
+      // layout: a day-partitioned date column). day on TIMESTAMP is NOT
+      // exact (rows span the day) and falls through here.
+      def valueExact(pf: graft.iceberg.IcebergModel.PartitionFieldSpec,
+                     dt: DataType): Boolean =
+        pf.transform.equalsIgnoreCase("identity") ||
+          ((pf.transform.equalsIgnoreCase("day") ||
+            pf.transform.equalsIgnoreCase("days")) && dt == DateType)
+      // by lowercase SOURCE column name — duplicates drop out
       val idBySrc: Map[String, (graft.iceberg.IcebergModel.PartitionFieldSpec,
                                 DataType)] =
         t.partitionFields
-          .filter(_._1.transform.equalsIgnoreCase("identity"))
           .groupBy(_._2.toLowerCase)
           .collect { case (src, Seq((pf, _))) =>
-            typeById.get(pf.sourceId).map(dt => src -> (pf, dt))
+            typeById.get(pf.sourceId)
+              .filter(dt => valueExact(pf, dt))
+              .map(dt => src -> (pf, dt))
+          }.flatten.toMap
+
+      // INTERVAL-DECIDABLE fields: day/hour/month/year on a timestamp
+      // source (and month/year on a date source) store an ordinal whose
+      // rows span a known [lo, hiInc] source-value range — a MONOTONE
+      // comparison against a literal evaluates identically at both
+      // endpoints exactly when it is constant over the whole file, so
+      // `WHERE ts >= X AND ts < Y` on a day-partitioned fact decides
+      // per file when the bounds are period-aligned, and a STRADDLING
+      // file provably falls through to the normal plan.
+      val intervalBySrc: Map[String,
+          (graft.iceberg.IcebergModel.PartitionFieldSpec, DataType, String)] =
+        t.partitionFields
+          .groupBy(_._2.toLowerCase)
+          .collect { case (src, Seq((pf, _))) =>
+            val kind = pf.transform.toLowerCase match {
+              case "day" | "days"     => "day"
+              case "hour" | "hours"   => "hour"
+              case "month" | "months" => "month"
+              case "year" | "years"   => "year"
+              case _ => ""
+            }
+            typeById.get(pf.sourceId).collect {
+              case dt @ (TimestampType | TimestampNTZType)
+                  if kind.nonEmpty => src -> (pf, dt, kind)
+              case DateType if kind == "month" || kind == "year" =>
+                src -> (pf, DateType, kind)
+            }
           }.flatten.toMap
 
       // resolve an aggregate-level attribute to its identity field
@@ -728,33 +767,108 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val groupSrcs = groupAttrs.map(a =>
         identityOf(agg.child, a).getOrElse(return None))
 
-      // filter attributes, resolved at each Filter's own depth
-      val filterSrcs = filters.flatMap { case (cond, child) =>
+      // classify each filter conjunct: VALUE-EXACT (every attribute an
+      // identity source — any deterministic expression evaluates on the
+      // partition tuple) or INTERVAL (a bare monotone comparison / null
+      // check on an interval field). Anything else → normal plan.
+      import org.apache.spark.sql.catalyst.expressions.{EqualTo => CEq, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+      final case class IntervalCheck(
+          fieldName: String, dt: DataType, kind: String, op: String, lit: Long)
+      def conjunctsOf(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+        case other => Seq(other)
+      }
+      def intervalOf(chain: LogicalPlan, a: AttributeReference)
+          : Option[(graft.iceberg.IcebergModel.PartitionFieldSpec, DataType, String)] =
+        resolveToRelation(chain, a).map(_.name.toLowerCase)
+          .flatMap(intervalBySrc.get)
+      def litLong(l: Literal): Option[Long] = l.value match {
+        case null => None
+        case i: java.lang.Integer => Some(i.longValue)
+        case lo: java.lang.Long => Some(lo.longValue)
+        case _ => None
+      }
+      def asInterval(cj: Expression, child: LogicalPlan)
+          : Option[IntervalCheck] = {
+        def mk(a: AttributeReference, op: String, l: Literal)
+            : Option[IntervalCheck] =
+          intervalOf(child, a).flatMap { case (pf, dt, kind) =>
+            if (a.dataType != dt) None
+            else litLong(l).map(v => IntervalCheck(pf.name, dt, kind, op, v))
+          }
+        cj match {
+          case IsNotNull(a: AttributeReference) =>
+            intervalOf(child, a).map { case (pf, dt, kind) =>
+              IntervalCheck(pf.name, dt, kind, "notnull", 0L) }
+          case GreaterThanOrEqual(a: AttributeReference, l: Literal) => mk(a, ">=", l)
+          case GreaterThanOrEqual(l: Literal, a: AttributeReference) => mk(a, "<=", l)
+          case GreaterThan(a: AttributeReference, l: Literal) => mk(a, ">", l)
+          case GreaterThan(l: Literal, a: AttributeReference) => mk(a, "<", l)
+          case LessThan(a: AttributeReference, l: Literal) => mk(a, "<", l)
+          case LessThan(l: Literal, a: AttributeReference) => mk(a, ">", l)
+          case LessThanOrEqual(a: AttributeReference, l: Literal) => mk(a, "<=", l)
+          case LessThanOrEqual(l: Literal, a: AttributeReference) => mk(a, ">=", l)
+          case CEq(a: AttributeReference, l: Literal) => mk(a, "=", l)
+          case CEq(l: Literal, a: AttributeReference) => mk(a, "=", l)
+          case _ => None
+        }
+      }
+      val exactConjs = Seq.newBuilder[(Expression, LogicalPlan)]
+      val intervalChecks = Seq.newBuilder[IntervalCheck]
+      filters.foreach { case (cond, child) =>
         if (!cond.deterministic) return None
-        if (cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
-        cond.collect { case a: AttributeReference =>
+        if (cond.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+          return None
+        conjunctsOf(cond).foreach { cj =>
+          val attrs = cj.collect { case a: AttributeReference => a }
+          if (attrs.forall(a => identityOf(child, a).isDefined))
+            exactConjs += ((cj, child))
+          else asInterval(cj, child) match {
+            case Some(ic) => intervalChecks += ic
+            case None => return None
+          }
+        }
+      }
+      val exactFilters = exactConjs.result()
+      val intervals = intervalChecks.result()
+
+      // filter attributes of the exact conjuncts, at their own depth
+      val filterSrcs = exactFilters.flatMap { case (cj, child) =>
+        cj.collect { case a: AttributeReference =>
           identityOf(child, a).getOrElse(return None)
         }
       }
 
       val usedSrcs: Seq[String] = (groupSrcs ++ filterSrcs).distinct
-      if (usedSrcs.isEmpty) return None // bare-agg shape handled elsewhere
+      // bare-agg shape (no exact fields, no interval checks) is the
+      // global path's job
+      if (usedSrcs.isEmpty && intervals.isEmpty) return None
       val srcIdx: Map[String, Int] = usedSrcs.zipWithIndex.toMap
       val usedFields = usedSrcs.map(s => idBySrc(s))
 
       // partition-evolution guard: every spec that names a used field
-      // must define identity of the same source (entries from specs
-      // WITHOUT the field bail per-entry below)
-      val specSafe = usedFields.forall { case (pf, _) =>
+      // must define a VALUE-EXACT transform of the same source —
+      // identity(date) and day(date) store the same epoch-day int, so
+      // either is safe; interval fields need the SAME transform kind.
+      // Anything else under the name poisons the entries' stored values
+      // (entries from specs WITHOUT the field bail per-entry below).
+      val specSafe = usedFields.forall { case (pf, dt) =>
         specsById.values.forall(_.filter(_.name == pf.name).forall(f =>
-          f.transform.equalsIgnoreCase("identity") && f.sourceId == pf.sourceId))
+          valueExact(f, dt) && f.sourceId == pf.sourceId))
+      } && intervals.forall { ic =>
+        val pf = t.partitionFields.map(_._1).find(_.name == ic.fieldName)
+          .getOrElse(return None)
+        specsById.values.forall(_.filter(_.name == ic.fieldName).forall(f =>
+          f.sourceId == pf.sourceId &&
+            f.transform.toLowerCase.stripSuffix("s") == ic.kind))
       }
       if (!specSafe) return None
 
-      // bind each filter condition against the used-field row layout
-      val predicates: Seq[BasePredicate] = filters.map { case (cond, child) =>
+      // bind each EXACT conjunct against the used-field row layout
+      val predicates: Seq[BasePredicate] = exactFilters.map { case (cj, child) =>
         var ok = true
-        val bound = cond.transformUp {
+        val bound = cj.transformUp {
           case a: AttributeReference =>
             identityOf(child, a).map(s =>
               BoundReference(srcIdx(s), a.dataType, nullable = true))
@@ -762,6 +876,52 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         if (!ok) return None
         scala.util.Try(CPredicate.create(bound)).toOption.getOrElse(return None)
+      }
+
+      // the [lo, hiInc] SOURCE-value range of one stored ordinal
+      def rangeOf(kind: String, dt: DataType, v: Int): (Long, Long) = {
+        def monthStart(m: Int) = java.time.LocalDate.of(
+          1970 + Math.floorDiv(m, 12), Math.floorMod(m, 12) + 1, 1)
+        def span(start: java.time.LocalDate, end: java.time.LocalDate) =
+          if (dt == DateType) (start.toEpochDay, end.toEpochDay - 1)
+          else (start.toEpochDay * 86400000000L,
+                end.toEpochDay * 86400000000L - 1)
+        kind match {
+          case "day"  => (v.toLong * 86400000000L,
+                          (v + 1).toLong * 86400000000L - 1)
+          case "hour" => (v.toLong * 3600000000L,
+                          (v + 1).toLong * 3600000000L - 1)
+          case "month" => span(monthStart(v), monthStart(v).plusMonths(1))
+          case _       => span(java.time.LocalDate.of(1970 + v, 1, 1),
+                               java.time.LocalDate.of(1971 + v, 1, 1))
+        }
+      }
+      // Some(keep?) when the predicate is CONSTANT over the file's
+      // range; None = the file straddles the literal → can't serve
+      // exactly (the caller bails the whole rewrite)
+      def decideInterval(ic: IntervalCheck, stored: Option[Any])
+          : Option[Boolean] = stored match {
+        // null ordinal = every row's source value is null → any
+        // comparison is null-false, IS NOT NULL is false
+        case None | Some(null) => Some(false)
+        case Some(i: java.lang.Integer) =>
+          if (ic.op == "notnull") return Some(true)
+          val (lo, hi) = rangeOf(ic.kind, ic.dt, i.intValue)
+          ic.op match {
+            case ">=" => if (lo >= ic.lit) Some(true)
+                         else if (hi < ic.lit) Some(false) else None
+            case ">"  => if (lo > ic.lit) Some(true)
+                         else if (hi <= ic.lit) Some(false) else None
+            case "<=" => if (hi <= ic.lit) Some(true)
+                         else if (lo > ic.lit) Some(false) else None
+            case "<"  => if (hi < ic.lit) Some(true)
+                         else if (lo >= ic.lit) Some(false) else None
+            // a range never collapses to one value → equality is only
+            // ever decidable FALSE (outside) — inside straddles
+            case _    => if (ic.lit < lo || ic.lit > hi) Some(false)
+                         else None
+          }
+        case _ => None // unexpected stored type — bail, don't guess
       }
 
       // Catalyst row of the used identity values for one entry; None =
@@ -777,13 +937,22 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(new GenericInternalRow(vs.toArray))
       }
 
-      // evaluate: zero-row files add nothing and must not mint groups
+      // evaluate: zero-row files add nothing and must not mint groups.
+      // Exact conjuncts first — a file they exclude is out regardless of
+      // any straddling interval conjunct (AND semantics), so straddles
+      // only bail when the file would otherwise survive.
       val entries = entries0.filter(_.recordCount > 0)
       val evaluated: Seq[(graft.iceberg.IcebergModel.ManifestEntry,
                           InternalRow)] =
         entries.map(e => e -> entryRow(e).getOrElse(return None))
-      val matching = evaluated.filter { case (_, row) =>
-        predicates.forall(_.eval(row))
+      val matching = evaluated.filter { case (e, row) =>
+        predicates.forall(_.eval(row)) && intervals.forall { ic =>
+          // a field the entry doesn't carry (older spec) is
+          // UNEVALUABLE, not excluded — bail the rewrite
+          if (!e.partition.contains(ic.fieldName)) return None
+          decideInterval(ic, e.partition.get(ic.fieldName))
+            .getOrElse(return None)
+        }
       }
 
       // per-output serving over one group's entries

@@ -320,6 +320,88 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scansOf(f4) > 0, "MoR grouped count must scan")
   }
 
+  test("day-transform on a DATE source is value-exact for metadata aggregates") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // day(date) stores the epoch-day ordinal = the date value itself
+    val src = spark.range(0, 90).selectExpr(
+      "id AS k",
+      "DATE_ADD(DATE'2024-03-01', CAST(id % 3 AS INT)) AS dt",
+      "CAST(id AS TIMESTAMP) AS ts")
+    IcebergWriter.write(src, s"$wh/db/mm_day",
+      partitionBy = Seq("dt" -> "day"))
+    val c = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.mm_day WHERE dt = DATE'2024-03-02'")
+    assert(c.head.getLong(0) === 30L)
+    assert(scansOf(c) === 0,
+      s"day(date) filter must serve from metadata:\n${c.queryExecution.executedPlan}")
+    val g = spark.sql(
+      "SELECT dt, count(*) AS c FROM graft.db.mm_day GROUP BY dt")
+    assert(g.collect().map(_.getLong(1)).toSeq === Seq.fill(3)(30L))
+    assert(scansOf(g) === 0)
+    // day on a TIMESTAMP source is NOT value-exact — rows span the day
+    IcebergWriter.write(src, s"$wh/db/mm_dayts",
+      partitionBy = Seq("ts" -> "day"))
+    val f = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.mm_dayts WHERE ts >= TIMESTAMP'1970-01-01 00:00:30'")
+    assert(f.head.getLong(0) === 60L)
+    assert(scansOf(f) > 0, "day(timestamp) filter must scan")
+  }
+
+  test("period-aligned timestamp filters decide per file on day transforms") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // 5 days × 24 hourly rows, day(ts)-partitioned
+    val src = spark.range(0, 120).selectExpr(
+      "id AS k",
+      "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2024-05-01 00:00:00') AS ts")
+    IcebergWriter.write(src, s"$wh/db/mm_ivl",
+      partitionBy = Seq("ts" -> "day"))
+    // DAY-ALIGNED range: every file decides whole → scan-free count +
+    // min/max of another column over exactly the matching files
+    val q1 = spark.sql(
+      """SELECT count(*) AS c, min(k) AS lo, max(k) AS hi
+         FROM graft.db.mm_ivl
+         WHERE ts >= TIMESTAMP'2024-05-02 00:00:00'
+           AND ts < TIMESTAMP'2024-05-04 00:00:00'""")
+    val r1 = q1.head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((48L, 24L, 71L)))
+    assert(scansOf(q1) === 0,
+      s"day-aligned ts range must serve from metadata:\n${q1.queryExecution.executedPlan}")
+    // a MID-DAY boundary straddles one file → provably falls through
+    val q2 = spark.sql(
+      """SELECT count(*) AS c FROM graft.db.mm_ivl
+         WHERE ts >= TIMESTAMP'2024-05-02 12:00:00'""")
+    assert(q2.head.getLong(0) === 84L)
+    assert(scansOf(q2) > 0, "straddling boundary must scan")
+    // equality OUTSIDE every file's range is decidable-false: 0, scan-free
+    val q3 = spark.sql(
+      """SELECT count(*) AS c FROM graft.db.mm_ivl
+         WHERE ts = TIMESTAMP'2030-01-01 00:00:00'""")
+    assert(q3.head.getLong(0) === 0L)
+    assert(scansOf(q3) === 0)
+    // equality INSIDE a day straddles → scans, stays exact
+    val q4 = spark.sql(
+      """SELECT count(*) AS c FROM graft.db.mm_ivl
+         WHERE ts = TIMESTAMP'2024-05-02 05:00:00'""")
+    assert(q4.head.getLong(0) === 1L)
+    assert(scansOf(q4) > 0)
+  }
+
   test("VERSION AS OF (snapshot id and branch/tag name) + TIMESTAMP AS OF") {
     import spark.implicits._
     val path = mkOrders("orders_tt", rows = 50)
