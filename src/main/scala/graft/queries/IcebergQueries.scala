@@ -2371,6 +2371,46 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib76_metadata_daily_rollup",
+      // DAILY-ROLLUP METADATA gate (round 16): `GROUP BY CAST(ts AS
+      // DATE)` over a day(ts)-partitioned table — the cast is constant
+      // per day file, so the per-day dashboard rollup (counts + bounds)
+      // serves straight from manifest stats, one row per live day,
+      // zero data I/O. `metadata_only` pins the scan-free plan; values
+      // hash-match DuckDB's grouped aggregate over the raw rows.
+      Some("""
+        SELECT CAST(ts AS DATE) AS d,
+               COUNT(*) AS cnt,
+               max(user_id) AS umax,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM events
+        GROUP BY CAST(ts AS DATE)"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib75", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), s"$wh/g/ivl_$suffix",
+            partitionBy = Seq("ts" -> "day"))
+          s"graft_cat.g.ivl_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT CAST(ts AS DATE) AS d,
+                     COUNT(*) AS cnt,
+                     max(user_id) AS umax
+              FROM $name GROUP BY CAST(ts AS DATE)""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

@@ -439,7 +439,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // partition tuple, spec-evolution ambiguity) falls through to the
       // normal plan.
       case agg: Aggregate if agg.aggregateExpressions.nonEmpty &&
-          agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) &&
+          agg.groupingExpressions.forall(groupingShape) &&
           agg.aggregateExpressions.forall(e =>
             metadataServable(e) ||
               groupingPassthrough(e, agg.groupingExpressions)) =>
@@ -517,12 +517,22 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Is `e` a grouping column surfaced in the output — the bare
-    * attribute or an alias of it? */
+  /** Grouping-expression shapes the metadata path can evaluate per
+    * file: a bare attribute, or `CAST(ts AS DATE)` over an attribute
+    * (decided later against day/hour interval fields). */
+  private def groupingShape(e: Expression): Boolean = e match {
+    case _: AttributeReference => true
+    case org.apache.spark.sql.catalyst.expressions.Cast(
+        _: AttributeReference, DateType, _, _) => true
+    case _ => false
+  }
+
+  /** Is `e` a grouping expression surfaced in the output — the bare
+    * expression or an alias of it? */
   private def groupingPassthrough(
       e: NamedExpression, groups: Seq[Expression]): Boolean = e match {
     case a: AttributeReference => groups.exists(_.semanticEquals(a))
-    case Alias(a: AttributeReference, _) => groups.exists(_.semanticEquals(a))
+    case Alias(inner, _) => groups.exists(_.semanticEquals(inner))
     case _ => false
   }
 
@@ -761,11 +771,70 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         resolveToRelation(chain, a).map(_.name.toLowerCase)
           .filter(idBySrc.contains)
 
-      // grouping columns (guard already ensured AttributeReference)
-      val groupAttrs = agg.groupingExpressions
-        .map(_.asInstanceOf[AttributeReference])
-      val groupSrcs = groupAttrs.map(a =>
-        identityOf(agg.child, a).getOrElse(return None))
+      // grouping columns (guard already ensured AttributeReference).
+      // Each must resolve to a PER-FILE-CONSTANT value: a value-exact
+      // field itself, or `CAST(ts AS DATE)` over a day/hour interval
+      // field — the optimizer's PullOutGroupingExpressions rewrites
+      // `GROUP BY CAST(ts AS DATE)` into a `_groupingexpression` Project
+      // alias, so the cast is found down the Project chain. Every row of
+      // a day (or hour) file shares one calendar date, making the cast
+      // constant per file. TimestampType casts go through the session
+      // zone — admitted only when that zone is UTC (the ordinal→date
+      // arithmetic below is UTC); NTZ casts are zone-free.
+      sealed trait GroupVal
+      final case class ExactVal(src: String) extends GroupVal
+      final case class DayCastVal(fieldName: String, kind: String)
+          extends GroupVal
+      lazy val sessionTzUtc: Boolean = {
+        val rules = java.time.ZoneId
+          .of(spark.sessionState.conf.sessionLocalTimeZone).getRules
+        rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      }
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      def dayCastOf(p: LogicalPlan, a: AttributeReference)
+          : Option[GroupVal] = p match {
+        case SubqueryAlias(_, c) => dayCastOf(c, a)
+        case Filter(_, c) => dayCastOf(c, a)
+        case Project(list, c) =>
+          list.find(_.exprId == a.exprId).flatMap {
+            case ar: AttributeReference => dayCastOf(c, ar)
+            case Alias(ar: AttributeReference, _) => dayCastOf(c, ar)
+            case Alias(Cast(ar: AttributeReference, DateType, _, _), _) =>
+              resolveToRelation(c, ar).map(_.name.toLowerCase)
+                .flatMap(intervalBySrc.get)
+                .collect { case (pf, dt, kind)
+                    if (kind == "day" || kind == "hour") &&
+                       (dt == TimestampNTZType || sessionTzUtc) =>
+                  DayCastVal(pf.name, kind)
+                }
+            case _ => None
+          }
+        case _ => None
+      }
+      def intervalDayCast(chain: LogicalPlan, ar: AttributeReference)
+          : Option[GroupVal] =
+        resolveToRelation(chain, ar).map(_.name.toLowerCase)
+          .flatMap(intervalBySrc.get)
+          .collect { case (pf, dt, kind)
+              if (kind == "day" || kind == "hour") &&
+                 (dt == TimestampNTZType || sessionTzUtc) =>
+            DayCastVal(pf.name, kind)
+          }
+      val groupExprs = agg.groupingExpressions
+      val groupSpecs: Seq[GroupVal] = groupExprs.map {
+        // the cast stays INLINE when this rule runs (the optimizer's
+        // PullOutGroupingExpressions batch comes later); the pulled-out
+        // _groupingexpression attribute shape is handled by dayCastOf
+        case Cast(ar: AttributeReference, DateType, _, _) =>
+          intervalDayCast(agg.child, ar).getOrElse(return None)
+        case a: AttributeReference =>
+          identityOf(agg.child, a).map(ExactVal(_))
+            .orElse(dayCastOf(agg.child, a))
+            .getOrElse(return None)
+        case _ => return None
+      }
+      val groupSrcs = groupSpecs.collect { case ExactVal(s) => s }
 
       // classify each filter conjunct: VALUE-EXACT (every attribute an
       // identity source — any deterministic expression evaluates on the
@@ -841,9 +910,10 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
 
       val usedSrcs: Seq[String] = (groupSrcs ++ filterSrcs).distinct
-      // bare-agg shape (no exact fields, no interval checks) is the
-      // global path's job
-      if (usedSrcs.isEmpty && intervals.isEmpty) return None
+      // bare-agg shape (no exact fields, no interval checks, no
+      // grouping) is the global path's job
+      if (usedSrcs.isEmpty && intervals.isEmpty && groupSpecs.isEmpty)
+        return None
       val srcIdx: Map[String, Int] = usedSrcs.zipWithIndex.toMap
       val usedFields = usedSrcs.map(s => idBySrc(s))
 
@@ -856,13 +926,15 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val specSafe = usedFields.forall { case (pf, dt) =>
         specsById.values.forall(_.filter(_.name == pf.name).forall(f =>
           valueExact(f, dt) && f.sourceId == pf.sourceId))
-      } && intervals.forall { ic =>
-        val pf = t.partitionFields.map(_._1).find(_.name == ic.fieldName)
-          .getOrElse(return None)
-        specsById.values.forall(_.filter(_.name == ic.fieldName).forall(f =>
-          f.sourceId == pf.sourceId &&
-            f.transform.toLowerCase.stripSuffix("s") == ic.kind))
-      }
+      } && (intervals.map(ic => (ic.fieldName, ic.kind)) ++
+            groupSpecs.collect { case DayCastVal(f, k) => (f, k) })
+        .distinct.forall { case (fname, kind) =>
+          val pf = t.partitionFields.map(_._1).find(_.name == fname)
+            .getOrElse(return None)
+          specsById.values.forall(_.filter(_.name == fname).forall(f =>
+            f.sourceId == pf.sourceId &&
+              f.transform.toLowerCase.stripSuffix("s") == kind))
+        }
       if (!specSafe) return None
 
       // bind each EXACT conjunct against the used-field row layout
@@ -955,9 +1027,27 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
 
+      // the grouping-key values of one entry; None = unevaluable → bail
+      def groupKey(e: graft.iceberg.IcebergModel.ManifestEntry,
+                   row: InternalRow): Option[Seq[Any]] = {
+        val vs = groupSpecs.map {
+          case ExactVal(s) => row.get(srcIdx(s), idBySrc(s)._2)
+          case DayCastVal(fname, kind) =>
+            e.partition.get(fname) match {
+              case None => return None // older spec — unevaluable
+              case Some(null) => null  // null ts → null date group
+              case Some(i: java.lang.Integer) =>
+                if (kind == "day") Int.box(i.intValue)
+                else Int.box(Math.floorDiv(i.intValue, 24))
+              case _ => return None
+            }
+        }
+        Some(vs)
+      }
+
       // per-output serving over one group's entries
       def outputsFor(es: Seq[graft.iceberg.IcebergModel.ManifestEntry],
-                     row: InternalRow): Option[Seq[Any]] = {
+                     key: Seq[Any]): Option[Seq[Any]] = {
         val vs = agg.aggregateExpressions.map {
           case Alias(ae: AggregateExpression, _) =>
             ae.aggregateFunction match {
@@ -981,11 +1071,13 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => return None
             }
           case a: AttributeReference =>
-            val s = identityOf(agg.child, a).getOrElse(return None)
-            row.get(srcIdx.getOrElse(s, return None), idBySrc(s)._2)
-          case Alias(a: AttributeReference, _) =>
-            val s = identityOf(agg.child, a).getOrElse(return None)
-            row.get(srcIdx.getOrElse(s, return None), idBySrc(s)._2)
+            val i = groupExprs.indexWhere(_.semanticEquals(a))
+            if (i < 0) return None
+            key(i)
+          case Alias(inner, _) =>
+            val i = groupExprs.indexWhere(_.semanticEquals(inner))
+            if (i < 0) return None
+            key(i)
           case _ => return None
         }
         Some(vs)
@@ -995,7 +1087,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (agg.groupingExpressions.isEmpty) {
         // filtered global: exactly one row (count 0 / NULL bounds when
         // nothing matches)
-        outputsFor(matching.map(_._1), InternalRow.empty).map { vs =>
+        outputsFor(matching.map(_._1), Seq.empty).map { vs =>
           Project(agg.aggregateExpressions.zip(vs).map { case (e, v) =>
             val a = e.asInstanceOf[Alias]
             Alias(Literal(v, a.dataType), a.name)(
@@ -1003,15 +1095,13 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }, OneRowRelation())
         }
       } else {
-        // grouped: one row per distinct live partition tuple that
-        // survived the filters — group keys are the used-field row
-        // values restricted to the grouping columns
-        val groupIdxs = groupSrcs.map(srcIdx)
-        val grouped = matching.groupBy { case (_, row) =>
-          groupIdxs.map(i => row.get(i, usedFields(i)._2))
+        // grouped: one row per distinct per-file-constant grouping key
+        // that survived the filters
+        val grouped = matching.groupBy { case (e, row) =>
+          groupKey(e, row).getOrElse(return None)
         }
-        val rows = grouped.toSeq.map { case (_, pairs) =>
-          outputsFor(pairs.map(_._1), pairs.head._2).getOrElse(return None)
+        val rows = grouped.toSeq.map { case (key, pairs) =>
+          outputsFor(pairs.map(_._1), key).getOrElse(return None)
         }
         Some(LocalRelation(
           outAttrs, rows.map(vs => InternalRow.fromSeq(vs))))

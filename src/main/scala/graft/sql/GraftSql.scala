@@ -135,6 +135,27 @@ object GraftSql {
     exprs => {
       val spark = SparkSession.active
       val (path, opts, where) = parseArgs(fn, exprs)
+      // Plain `iceberg_scan(path[, travel])` resolves to the SAME
+      // DSv2 relation the catalog and format("graft") surfaces produce
+      // (round 16): the optimizer rule then gives TVF queries the keyed
+      // claims (SPJ, runtime pruning) and the metadata COUNT/MIN/MAX
+      // rewrites; non-keyed shapes splice to the identical native scan
+      // there. Failed snapshot resolution (snapshotId empty) falls back
+      // to the direct scan so the reference's error-text parity raises
+      // from the same place it always did; list_files/metadata modes
+      // and `where`-filtered scans keep the direct path outright.
+      val v2: Option[LogicalPlan] =
+        if (fn == "iceberg_scan" && where.isEmpty &&
+            opts.mode == "default" && !opts.skipSchemaInference)
+          scala.util.Try(GraftTable.resolve(spark, "graft",
+              org.apache.spark.sql.connector.catalog.Identifier
+                .of(Array.empty, path), path, opts))
+            .toOption.filter(_.snapshotId.isDefined)
+            .map(table => org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation.create(table, None, None))
+        else None
+      if (v2.isDefined) v2.get
+      else {
       val df = where match {
         case Some(cond) =>
           // parseArgs only accepts `where` on iceberg_scan, so this branch
@@ -149,6 +170,7 @@ object GraftSql {
         case None => run(spark, path, opts)
       }
       df.queryExecution.logical
+      }
     }
 
   /** `iceberg_changelog('path', from_id[, to_id], named...)` — the CDC

@@ -400,6 +400,34 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
          WHERE ts = TIMESTAMP'2024-05-02 05:00:00'""")
     assert(q4.head.getLong(0) === 1L)
     assert(scansOf(q4) > 0)
+    // GROUP BY CAST(ts AS DATE): the cast is constant per day file —
+    // per-day counts serve scan-free (session tz is UTC)
+    val q5 = spark.sql(
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS c, max(k) AS hi
+         FROM graft.db.mm_ivl GROUP BY CAST(ts AS DATE)""")
+    val byDay = q5.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(byDay.length === 5)
+    assert(byDay.forall(_._2 === 24L))
+    assert(byDay.map(_._1) === Array(
+      "2024-05-01", "2024-05-02", "2024-05-03", "2024-05-04", "2024-05-05"))
+    assert(byDay.map(_._3) === Array(23L, 47L, 71L, 95L, 119L))
+    assert(scansOf(q5) === 0,
+      s"GROUP BY CAST(ts AS DATE) must serve from metadata:\n${q5.queryExecution.executedPlan}")
+    // ... and composes with a day-aligned filter
+    val q6 = spark.sql(
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS c
+         FROM graft.db.mm_ivl
+         WHERE ts >= TIMESTAMP'2024-05-03 00:00:00'
+         GROUP BY CAST(ts AS DATE)""")
+    assert(q6.collect().length === 3)
+    assert(scansOf(q6) === 0)
+    // GROUP BY a non-constant expression of ts must scan
+    val q7 = spark.sql(
+      """SELECT hour(ts) AS h, count(*) AS c
+         FROM graft.db.mm_ivl GROUP BY hour(ts)""")
+    assert(q7.collect().map(_.getLong(1)).sum === 120L)
+    assert(scansOf(q7) > 0, "hour-of-day grouping must scan")
   }
 
   test("VERSION AS OF (snapshot id and branch/tag name) + TIMESTAMP AS OF") {

@@ -45,6 +45,29 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 51793L)
   }
 
+  test("iceberg_scan resolves to the DSv2 relation: metadata count is scan-free") {
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sql_v2_").toString + "/t"
+    import spark.implicits._
+    graft.iceberg.IcebergWriter.write(
+      (1 to 321).map(i => (i.toLong, s"r$i")).toDF("id", "s"), table)
+    val q = spark.sql(
+      s"SELECT count(*) AS c, min(id) AS lo, max(id) AS hi FROM iceberg_scan('$table')")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((321L, 1L, 321L)))
+    q.collect()
+    val scans = PlanWalk.collect(q.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b: Any
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+    }
+    assert(scans.isEmpty,
+      s"TVF metadata count must plan no scan:\n${q.queryExecution.executedPlan}")
+    // row results still exact through the spliced native plan
+    assert(spark.sql(s"SELECT sum(id) FROM iceberg_scan('$table') WHERE id <= 10")
+      .head.getLong(0) === 55L)
+  }
+
   test("iceberg_scan mode=list_files through SQL (iceberg_scan.cpp:280-282)") {
     val rows = spark.sql(
       s"""SELECT file, type FROM iceberg_scan('$Lineitem',
