@@ -1047,3 +1047,32 @@ private final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     }
   }
 }
+
+/** Function resolver for PATH-based relations (the `iceberg_scan` TVF):
+  * Spark's `V2ScanPartitioningAndOrdering` resolves a scan's
+  * KeyGroupedPartitioning transforms through `relation.catalog` — a
+  * relation without one leaves bucket/truncate transforms unresolved
+  * and storage-partitioned joins never engage. This plugin serves ONLY
+  * the transform functions (the same [[GraftV2Functions]] the real
+  * catalog binds) and owns no tables. */
+object GraftPathFunctionCatalog
+    extends org.apache.spark.sql.connector.catalog.CatalogPlugin
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = ()
+
+  override def name(): String = "graft_path"
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val ok = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
+    (if (ok) GraftV2Functions.load(ident.name) else None).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftV2Functions.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+}

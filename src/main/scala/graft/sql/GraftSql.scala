@@ -151,8 +151,15 @@ object GraftSql {
               org.apache.spark.sql.connector.catalog.Identifier
                 .of(Array.empty, path), path, opts))
             .toOption.filter(_.snapshotId.isDefined)
+            // the function "catalog" lets V2ScanPartitioningAndOrdering
+            // resolve bucket/truncate transforms, so TVF relations earn
+            // storage-partitioned joins like catalog identifiers. NO
+            // identifier: with one, V2TableRefreshUtil would demand the
+            // plugin be a TableCatalog (path relations pin their
+            // snapshot at bind time anyway — nothing to refresh).
             .map(table => org.apache.spark.sql.execution.datasources.v2
-              .DataSourceV2Relation.create(table, None, None))
+              .DataSourceV2Relation.create(
+                table, Some(GraftPathFunctionCatalog), None))
         else None
       if (v2.isDefined) v2.get
       else {

@@ -483,6 +483,26 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(shuffles(agg) === 0, agg.queryExecution.executedPlan.toString)
   }
 
+  test("TVF iceberg_scan joins storage-partitioned too (round 16 unification)") {
+    // the reference's own surface: two path-based iceberg_scan calls
+    // over co-bucketed tables now resolve to DSv2 relations and zip
+    // with zero Exchange, exactly like catalog identifiers
+    val pa = s"$wh/db/spj_orders"
+    val pb = s"$wh/db/spj_items"
+    val joined = spark.sql(
+      s"""SELECT a.o_orderkey, a.o_totalprice, b.qty
+         |FROM iceberg_scan('$pa') a
+         |JOIN iceberg_scan('$pb') b ON a.o_orderkey = b.o_orderkey"""
+        .stripMargin)
+    assert(shuffles(joined) === 0,
+      s"TVF SPJ must plan zero Exchange:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() ===
+      spark.sql(
+        """SELECT count(*) FROM graft.db.spj_orders a
+          |JOIN graft.db.spj_items b ON a.o_orderkey = b.o_orderkey"""
+          .stripMargin).head.getLong(0))
+  }
+
   test("DataFrame-API co-bucketed join runs with zero Exchange too") {
     // VERDICT r14 #1: `spark.table(...)` analyzes standalone — the join
     // only exists once the composed plan reaches the OPTIMIZER, where
