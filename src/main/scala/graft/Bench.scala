@@ -238,10 +238,20 @@ object Bench {
                   else s""","vs_baseline_same_work_min":${
                     "%.3f".formatLocal(java.util.Locale.ROOT, kept.min)},"vs_baseline_same_work_max":${
                     "%.3f".formatLocal(java.util.Locale.ROOT, kept.max)}$excludedPart"""
+                // noise bound restricted to the queries whose numbers
+                // the same-work ratio actually reports (round 16): the
+                // global stat_spread_ratio is dominated by sub-100 ms
+                // ib-gate scheduler jitter that no headline ratio uses
+                val swSpread = joint.flatMap { q =>
+                  val ts = allRuns.getOrElse(q, Seq.empty)
+                  if (ts.size >= 2 && ts.min > 0) Some(median(ts) / ts.min)
+                  else None
+                }.maxOption.getOrElse(1.0)
                 s""","same_work_queries":${joint.size},"same_work_duckdb_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, d)},"same_work_spark_sec":${
                   "%.3f".formatLocal(java.util.Locale.ROOT, s)},"vs_baseline_same_work":${
-                  "%.3f".formatLocal(java.util.Locale.ROOT, s / d)}$pairedPart"""
+                  "%.3f".formatLocal(java.util.Locale.ROOT, s / d)},"stat_spread_ratio_same_work":${
+                  "%.2f".formatLocal(java.util.Locale.ROOT, swSpread)}$pairedPart"""
               }.getOrElse("")
               s""","baseline":{"engine":"duckdb","version":${
                 jsonStr(node.get("version").asText)},"comparable_queries":${cJoint.size},"duckdb_sec":${
