@@ -446,7 +446,14 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         relationAndFilters(agg.child)
           .flatMap { case (t, fs) => serveMetadata(agg, t, fs) }
           .getOrElse(agg)
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      case r0: DataSourceV2Relation if r0.table.isInstanceOf[GraftTable] =>
+        // catalog-less relations (format("graft"), TVF fallbacks) get
+        // the transform-function resolver so V2ScanPartitioning can
+        // bind their bucket/truncate transforms — without it a kept
+        // keyed relation would claim KeyGroupedPartitioning that never
+        // converts to a catalyst partitioning, and SPJ never engages
+        val r = if (r0.catalog.isEmpty)
+          r0.copy(catalog = Some(GraftPathFunctionCatalog)) else r0
         val t = r.table.asInstanceOf[GraftTable]
         // tables that can't plan keyed faithfully (MoR shapes the keyed
         // reader doesn't serve, non-parquet, name mapping, …) splice
@@ -454,9 +461,10 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // V1 row bridge, a performance cliff
         if (!GraftKeyedScan.enabled(spark) || t.keyedPlan(spark).isEmpty)
           GraftSplice(spark, r, t, forOptimizer = true)
-        else keyedMode(plan, r, t) match {
+        else keyedMode(plan, r0, t) match {
           case Some(mode) =>
-            if (Option(r.options.get(GraftKeyedScan.ModeOption)).contains(mode)) r
+            if ((r eq r0) &&
+                Option(r.options.get(GraftKeyedScan.ModeOption)).contains(mode)) r
             else r.copy(options = withMode(r.options, mode))
           case None => GraftSplice(spark, r, t, forOptimizer = true)
         }
