@@ -66,7 +66,21 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // free (a relation is a no-op until a scan is built), and it keeps
     // write-target relations intact for Spark's own insert resolution
     // and the row-level conversions below without any bookkeeping.
-    plan.resolveOperatorsDown {
+    // `_metadata` virtual columns over a DSv2 graft relation (TVF,
+    // catalog identifier, or format("graft")): [[GraftTable]] declares
+    // no V2 metadata columns, so an unresolved `_metadata` reference
+    // would fail analysis — while the engine's own scan (a file-source
+    // relation) has always served file_path / row_index /
+    // file_modification_time (S7, and the per-file commit-instant
+    // mtime). Splice the native plan at resolution time so Spark's own
+    // metadata-column machinery serves the reference. The spliced
+    // relations forgo keyed claims — per-file provenance needs the
+    // file-source plan anyway.
+    val planM =
+      if (plan.exists(n => n.expressions.exists(metadataRef)))
+        spliceForMetadata(plan)
+      else plan
+    planM.resolveOperatorsDown {
       case DeleteFromTable(GraftRelation(_, t), cond)
           if cond.resolved && noSubquery(cond, "DELETE") =>
         GraftDeleteCommand(t, toColumn(cond))
@@ -98,6 +112,64 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if query.resolved && o.outputResolved =>
         GraftDynamicOverwriteCommand(t, query)
 
+    }
+  }
+
+  /** Does `e` reference the `_metadata` virtual column (possibly
+    * qualified, possibly a struct-field access)? */
+  private def metadataRef(e: Expression): Boolean = e.exists {
+    case u: UnresolvedAttribute =>
+      u.nameParts.exists(_.equalsIgnoreCase("_metadata"))
+    case _ => false
+  }
+
+  /** Replace every graft DSv2 READ relation with the engine scan's
+    * analyzed plan so the file-source `_metadata` column resolves.
+    *
+    * No rebind Project: `SubqueryAlias.metadataOutput` propagates ONLY
+    * over a LeafNode (or a nested alias), so qualified access
+    * (`t._metadata.file_path`) needs the alias to sit DIRECTLY on the
+    * scan's `LogicalRelation`. Instead, the enclosing plan's already-
+    * resolved attribute references are rewritten by exprId to the
+    * spliced plan's output (keeping the user's attribute case — Spark
+    * preserves it in resolved refs, and the rewrite must not rename the
+    * query's output columns). Write TARGETS keep their relation — the
+    * V2 write resolution and this rule's row-level conversions need
+    * them, and `_metadata` never resolves against a target anyway. */
+  private def spliceForMetadata(plan: LogicalPlan): LogicalPlan = {
+    val protectedRels: Seq[LogicalPlan] = plan.collect {
+      case d: DeleteFromTable => d.table
+      case u: UpdateTable => u.table
+      case m: MergeIntoTable => m.targetTable
+      case o: OverwritePartitionsDynamic => o.table
+      case a: AppendData => a.table
+      case o: OverwriteByExpression => o.table
+      case i: InsertIntoStatement => i.table
+    }.flatMap(_.collect { case r: DataSourceV2Relation => r: LogicalPlan })
+    val mapping =
+      scala.collection.mutable.Map[org.apache.spark.sql.catalyst.expressions
+        .ExprId, AttributeReference]()
+    val replaced = plan.transformUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+          !protectedRels.exists(_ eq r) &&
+          !r.schema.fieldNames.exists(_.equalsIgnoreCase("_metadata")) =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val inner = scala.util.Try(
+          t.scanDF(spark).queryExecution.analyzed).toOption
+        val byName = inner.map(_.output.collect {
+          case a: AttributeReference => a.name.toLowerCase -> a
+        }.toMap).getOrElse(Map.empty)
+        if (inner.isEmpty ||
+            !r.output.forall(o => byName.contains(o.name.toLowerCase))) r
+        else {
+          r.output.foreach(o => mapping(o.exprId) = byName(o.name.toLowerCase))
+          inner.get
+        }
+    }
+    if (mapping.isEmpty) plan
+    else replaced.transformAllExpressions {
+      case a: AttributeReference if mapping.contains(a.exprId) =>
+        mapping(a.exprId).withName(a.name)
     }
   }
 

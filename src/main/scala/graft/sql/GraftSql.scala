@@ -30,7 +30,7 @@ import graft.iceberg.IcebergScan
   * logical plan is spliced into the query — Catalyst then optimizes it like
   * any other subtree (pushdown, pruning, join strategy).
   */
-object GraftSql {
+object GraftSql extends org.apache.spark.internal.Logging {
 
   private type Builder = Seq[Expression] => LogicalPlan
 
@@ -147,10 +147,19 @@ object GraftSql {
       val v2: Option[LogicalPlan] =
         if (fn == "iceberg_scan" && where.isEmpty &&
             opts.mode == "default" && !opts.skipSchemaInference)
-          scala.util.Try(GraftTable.resolve(spark, "graft",
+          (scala.util.Try(GraftTable.resolve(spark, "graft",
               org.apache.spark.sql.connector.catalog.Identifier
-                .of(Array.empty, path), path, opts))
-            .toOption.filter(_.snapshotId.isDefined)
+                .of(Array.empty, path), path, opts)) match {
+            case scala.util.Success(t) => Some(t)
+            case scala.util.Failure(e) =>
+              // a clean fallback and a corrupt table look identical to
+              // the user (both re-raise from the direct-scan path with
+              // the reference's error text) — log the swallowed cause so
+              // operators can tell the two apart (VERDICT r16 #7)
+              logDebug(s"iceberg_scan('$path'): DSv2 resolution failed, " +
+                s"falling back to the direct scan: $e")
+              None
+          }).filter(_.snapshotId.isDefined)
             // the function "catalog" lets V2ScanPartitioningAndOrdering
             // resolve bucket/truncate transforms, so TVF relations earn
             // storage-partitioned joins like catalog identifiers. NO

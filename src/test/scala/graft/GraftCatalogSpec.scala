@@ -904,4 +904,30 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getLong(0)
     assert(sub === 20)
   }
+
+  test("_metadata virtual columns resolve on catalog identifiers (SQL + DataFrame)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE TABLE graft.db.meta_t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.meta_t SELECT id, CAST(id AS STRING) FROM range(0, 60)")
+    spark.sql("INSERT INTO graft.db.meta_t SELECT id, CAST(id AS STRING) FROM range(60, 100)")
+    // SQL, qualified and unqualified
+    val rows = spark.sql(
+      """SELECT t._metadata.file_path AS p, count(*) AS n
+        |FROM graft.db.meta_t t GROUP BY 1""".stripMargin).collect()
+    assert(rows.map(_.getLong(1)).sum === 100L)
+    assert(rows.length >= 2)
+    // DataFrame surface
+    val df = spark.table("graft.db.meta_t")
+      .select(col("_metadata.file_path"), col("id"))
+    assert(df.count() === 100L)
+    assert(df.select(countDistinct(col("file_path"))).head.getLong(0) >= 2L)
+    // a write whose SOURCE selects _metadata still lands (target relation
+    // keeps its V2 identity; only read relations splice)
+    spark.sql("CREATE TABLE graft.db.meta_sink (p STRING, id BIGINT)")
+    spark.sql(
+      """INSERT INTO graft.db.meta_sink
+        |SELECT _metadata.file_path, id FROM graft.db.meta_t""".stripMargin)
+    assert(spark.sql("SELECT count(DISTINCT p) FROM graft.db.meta_sink")
+      .head.getLong(0) >= 2L)
+  }
 }

@@ -68,6 +68,32 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getLong(0) === 55L)
   }
 
+  test("_metadata virtual columns still resolve over the DSv2 TVF path (S7)") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sql_meta_").toString + "/t"
+    graft.iceberg.IcebergWriter.write(
+      (1 to 200).map(i => (i.toLong, s"r$i")).toDF("id", "s"), table)
+    graft.iceberg.IcebergWriter.write(
+      (201 to 250).map(i => (i.toLong, s"r$i")).toDF("id", "s"), table)
+    // file_path: one distinct path per data file, and row counts add up
+    val rows = spark.sql(
+      s"""SELECT _metadata.file_path AS p, count(*) AS n
+          FROM iceberg_scan('$table') GROUP BY 1""").collect()
+    assert(rows.length >= 2, "two appends => at least two files")
+    assert(rows.map(_.getLong(1)).sum === 250L)
+    // file_modification_time rides the per-file commit instants
+    val mt = spark.sql(
+      s"""SELECT count(DISTINCT _metadata.file_modification_time)
+          FROM iceberg_scan('$table')""").head.getLong(0)
+    assert(mt >= 2L, "two commits => two distinct commit instants")
+    // qualified access resolves too, and mixes with data columns
+    val q = spark.sql(
+      s"""SELECT t._metadata.file_path AS p, max(t.id) AS m
+          FROM iceberg_scan('$table') t GROUP BY 1""").collect()
+    assert(q.map(_.getLong(1)).max === 250L)
+  }
+
   test("iceberg_scan mode=list_files through SQL (iceberg_scan.cpp:280-282)") {
     val rows = spark.sql(
       s"""SELECT file, type FROM iceberg_scan('$Lineitem',
