@@ -647,13 +647,87 @@ object IcebergScan {
         case (_, _, Some(c), Some(v)) => Seq(ColPredicate(c, flipped, v))
         case _ => Seq.empty
       }
+    // `CAST(ts AS DATE) cmp DATE'…'` — the cast is MONOTONE in ts, so
+    // the date comparison rewrites EXACTLY into a raw-timestamp range
+    // and files prune on the column's own bounds (VERDICT r16 #1: the
+    // ubiquitous dashboard filter over a day-partitioned fact must not
+    // full-scan). TimestampType casts go through the cast's resolved
+    // zone — rewritten only when it is UTC; NTZ is zone-free. Semantics
+    // always come from the full residual filter, so this only skips
+    // files, never rows.
+    def castDayCol(x: Expression): Option[String] = x match {
+      case c @ Cast(a, DateType, _, _) => a.dataType match {
+        case TimestampNTZType => attrName(a)
+        case TimestampType if c.timeZoneId.exists { z =>
+            val rules = java.time.ZoneId.of(z).getRules
+            rules.isFixedOffset &&
+              rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+          } => attrName(a)
+        case _ => None
+      }
+      case _ => None
+    }
+    def dateLit(x: Expression): Option[Long] = x match {
+      case Literal(d: java.lang.Integer, DateType) => Some(d.longValue)
+      case c: Cast if c.resolved && c.foldable && c.dataType == DateType =>
+        Option(c.eval(null)).collect { case i: java.lang.Integer => i.longValue }
+      case _ => None
+    }
+    def castDayRange(aSide: Expression, bSide: Expression, op: String)
+        : Seq[ColPredicate] =
+      (castDayCol(aSide), dateLit(bSide)) match {
+        case (Some(c), Some(d)) =>
+          val lo = d * 86400000000L
+          val next = (d + 1) * 86400000000L
+          op match {
+            case "="  => Seq(ColPredicate(c, Ge, lo), ColPredicate(c, Lt, next))
+            case ">=" => Seq(ColPredicate(c, Ge, lo))
+            case ">"  => Seq(ColPredicate(c, Ge, next))
+            case "<=" => Seq(ColPredicate(c, Lt, next))
+            case "<"  => Seq(ColPredicate(c, Lt, lo))
+            case _    => Seq.empty
+          }
+        case _ => Seq.empty
+      }
     e match {
       case And(l, r) => extractPredicates(l) ++ extractPredicates(r)
-      case EqualTo(a, b) => comparison(a, b, Eq, Eq)
-      case LessThan(a, b) => comparison(a, b, Lt, Gt)
-      case LessThanOrEqual(a, b) => comparison(a, b, Le, Ge)
-      case GreaterThan(a, b) => comparison(a, b, Gt, Lt)
-      case GreaterThanOrEqual(a, b) => comparison(a, b, Ge, Le)
+      // analyzed (pre-optimizer) trees keep BETWEEN and friends as
+      // RuntimeReplaceable wrappers — extract from the replacement,
+      // which is what actually executes
+      case rr: RuntimeReplaceable => extractPredicates(rr.replacement)
+      // ... and the replacement may share subtrees through With/
+      // CommonExpressionRef (Between does): inline the defs so the
+      // comparisons expose their real attribute side
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        extractPredicates(w.child.transformUp {
+          case r: CommonExpressionRef => byId.getOrElse(r.id, r)
+        })
+      case EqualTo(a, b) =>
+        comparison(a, b, Eq, Eq) match {
+          case Seq() => castDayRange(a, b, "=") ++ castDayRange(b, a, "=")
+          case r => r
+        }
+      case LessThan(a, b) =>
+        comparison(a, b, Lt, Gt) match {
+          case Seq() => castDayRange(a, b, "<") ++ castDayRange(b, a, ">")
+          case r => r
+        }
+      case LessThanOrEqual(a, b) =>
+        comparison(a, b, Le, Ge) match {
+          case Seq() => castDayRange(a, b, "<=") ++ castDayRange(b, a, ">=")
+          case r => r
+        }
+      case GreaterThan(a, b) =>
+        comparison(a, b, Gt, Lt) match {
+          case Seq() => castDayRange(a, b, ">") ++ castDayRange(b, a, "<")
+          case r => r
+        }
+      case GreaterThanOrEqual(a, b) =>
+        comparison(a, b, Ge, Le) match {
+          case Seq() => castDayRange(a, b, ">=") ++ castDayRange(b, a, "<=")
+          case r => r
+        }
       // IN-list: every element must extract or the predicate is skipped
       // (a partially-extracted list would wrongly drop files matching the
       // unextracted values)
@@ -675,6 +749,9 @@ object IcebergScan {
         }
       case CatIsNull(a) =>
         attrName(a).map(c => ColPredicate(c, IsNull, null)).toSeq
+      case CatIsNotNull(Cast(a, DateType, _, _)) =>
+        // cast-to-date null-ness is the source's null-ness, zone-free
+        attrName(a).map(c => ColPredicate(c, NotNull, null)).toSeq
       case CatIsNotNull(a) =>
         attrName(a).map(c => ColPredicate(c, NotNull, null)).toSeq
       // Prefix predicates prune as a range: every string with prefix P

@@ -2411,6 +2411,54 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib77_metadata_castdate_filter",
+      // CAST-DATE FILTER METADATA gate (round 17, VERDICT r16 #1): the
+      // ubiquitous dashboard filters `WHERE CAST(ts AS DATE) = DATE'…'`
+      // and `BETWEEN DATE'…' AND DATE'…'` over a day(ts)-partitioned
+      // table decide per file — the cast collapses each day file's
+      // range to ONE date, so even EQUALITY decides both ways — and the
+      // count/min/max serves scan-free (`metadata_only` pins it).
+      // Values hash-match DuckDB over the raw rows.
+      Some("""
+        SELECT which, cnt, lo, hi, CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM (
+          SELECT 'eq' AS which, COUNT(*) AS cnt,
+                 min(user_id) AS lo, max(user_id) AS hi
+          FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+          UNION ALL
+          SELECT 'range', COUNT(*), min(user_id), max(user_id)
+          FROM events
+          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+        )"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib75", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), s"$wh/g/ivl_$suffix",
+            partitionBy = Seq("ts" -> "day"))
+          s"graft_cat.g.ivl_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT 'eq' AS which, COUNT(*) AS cnt,
+                     min(user_id) AS lo, max(user_id) AS hi
+              FROM $name WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+              UNION ALL
+              SELECT 'range', COUNT(*), min(user_id), max(user_id)
+              FROM $name
+              WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

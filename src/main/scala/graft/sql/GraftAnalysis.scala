@@ -513,11 +513,26 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg: Aggregate if agg.aggregateExpressions.nonEmpty &&
           agg.groupingExpressions.forall(groupingShape) &&
           agg.aggregateExpressions.forall(e =>
-            metadataServable(e) ||
+            metadataServable(e) || constOutput(e) ||
               groupingPassthrough(e, agg.groupingExpressions)) =>
         relationAndFilters(agg.child)
           .flatMap { case (t, fs) => serveMetadata(agg, t, fs) }
           .getOrElse(agg)
+      // `CAST(ts AS DATE) cmp DATE'…'` filters over a graft relation:
+      // AND the implied raw-timestamp range onto the condition (exact —
+      // the cast is monotone and UTC-aligned by the guard), so the
+      // keyed scan's pushdown and the parquet reader's row-group
+      // pruning see plain comparisons they can act on. The original
+      // cast conjunct stays (residual semantics unchanged); fixpoint
+      // converges because implied conjuncts already present are never
+      // re-added.
+      case f: Filter if f.child.exists {
+            case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+            case _ => false
+          } =>
+        val implied = castDateImplied(f.condition)
+        if (implied.isEmpty) f
+        else Filter(implied.foldLeft(f.condition)(And(_, _)), f.child)
       case r0: DataSourceV2Relation if r0.table.isInstanceOf[GraftTable] =>
         // catalog-less relations (format("graft"), TVF fallbacks) get
         // the transform-function resolver so V2ScanPartitioning can
@@ -545,6 +560,92 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
   import org.apache.spark.sql.types.{BooleanType, DataType, DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+
+  /** Raw-timestamp range conjuncts implied by `CAST(ts AS DATE)`
+    * comparisons in `cond` that aren't already conjuncts. UTC-safe only
+    * (TimestampType casts run through the cast's resolved session
+    * zone); exact, never approximate — `cast(ts) >= d` ⇔ `ts >= d 00:00`
+    * etc., so AND-ing them preserves semantics while giving the pushdown
+    * a shape it can translate. */
+  private def castDateImplied(cond: Expression): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo => CEq, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal => CLit}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def castTs(x: Expression): Option[AttributeReference] = x match {
+      case c @ Cast(a: AttributeReference, DateType, _, _) => a.dataType match {
+        case TimestampNTZType => Some(a)
+        case TimestampType if c.timeZoneId.exists { z =>
+            val rules = java.time.ZoneId.of(z).getRules
+            rules.isFixedOffset &&
+              rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+          } => Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+    def dayLit(x: Expression): Option[Long] = x match {
+      case CLit(d: java.lang.Integer, DateType) => Some(d.longValue)
+      case _ => None
+    }
+    def range(a: AttributeReference, op: String, d: Long): Seq[Expression] = {
+      def ts(v: Long) = CLit(v, a.dataType)
+      val lo = d * 86400000000L
+      val next = (d + 1) * 86400000000L
+      op match {
+        case "="  => Seq(GreaterThanOrEqual(a, ts(lo)), LessThan(a, ts(next)))
+        case ">=" => Seq(GreaterThanOrEqual(a, ts(lo)))
+        case ">"  => Seq(GreaterThanOrEqual(a, ts(next)))
+        case "<=" => Seq(LessThan(a, ts(next)))
+        case "<"  => Seq(LessThan(a, ts(lo)))
+        case _    => Seq.empty
+      }
+    }
+    val cjs = conjuncts(cond)
+    val implied = cjs.flatMap {
+      case CEq(c, l) => (castTs(c), dayLit(l)) match {
+        case (Some(a), Some(d)) => range(a, "=", d)
+        case _ => (castTs(l), dayLit(c)) match {
+          case (Some(a), Some(d)) => range(a, "=", d)
+          case _ => Seq.empty
+        }
+      }
+      case GreaterThanOrEqual(c, l) => (castTs(c), dayLit(l)) match {
+        case (Some(a), Some(d)) => range(a, ">=", d)
+        case _ => (castTs(l), dayLit(c)) match {
+          case (Some(a), Some(d)) => range(a, "<=", d)
+          case _ => Seq.empty
+        }
+      }
+      case GreaterThan(c, l) => (castTs(c), dayLit(l)) match {
+        case (Some(a), Some(d)) => range(a, ">", d)
+        case _ => (castTs(l), dayLit(c)) match {
+          case (Some(a), Some(d)) => range(a, "<", d)
+          case _ => Seq.empty
+        }
+      }
+      case LessThanOrEqual(c, l) => (castTs(c), dayLit(l)) match {
+        case (Some(a), Some(d)) => range(a, "<=", d)
+        case _ => (castTs(l), dayLit(c)) match {
+          case (Some(a), Some(d)) => range(a, ">=", d)
+          case _ => Seq.empty
+        }
+      }
+      case LessThan(c, l) => (castTs(c), dayLit(l)) match {
+        case (Some(a), Some(d)) => range(a, "<", d)
+        case _ => (castTs(l), dayLit(c)) match {
+          case (Some(a), Some(d)) => range(a, ">", d)
+          case _ => Seq.empty
+        }
+      }
+      case _ => Seq.empty
+    }
+    implied.filterNot(i => cjs.exists(_.semanticEquals(i)))
+      .foldLeft(Seq.empty[Expression]) { (acc, i) =>
+        if (acc.exists(_.semanticEquals(i))) acc else acc :+ i
+      }
+  }
 
   /** Bounds of these types are fixed-width EXACT values in manifests. */
   private def boundServable(dt: DataType): Boolean = dt match {
@@ -604,6 +705,13 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _: AttributeReference => true
     case org.apache.spark.sql.catalyst.expressions.Cast(
         _: AttributeReference, DateType, _, _) => true
+    case _ => false
+  }
+
+  /** A constant output column (`SELECT 'tag' AS which, count(*) …`) —
+    * servable verbatim alongside metadata aggregates. */
+  private def constOutput(e: NamedExpression): Boolean = e match {
+    case Alias(_: Literal, _) => true
     case _ => false
   }
 
@@ -724,13 +832,17 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // MIN/MAX and count(col) both need per-entry stats
     val onlyStarCounts = agg.aggregateExpressions.forall {
       case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
-        case c: Count => c.children.forall(_.isInstanceOf[Literal])
+        case c: Count => !ae.isDistinct && ae.filter.isEmpty &&
+          c.children.forall(_.isInstanceOf[Literal])
         case _ => false
       }
+      case Alias(_: Literal, _) => true // constant tag column rides along
       case _ => false
     }
     if (onlyStarCounts) return t.metadataCount(spark).map { n =>
       Project(agg.aggregateExpressions.map {
+        case a @ Alias(l: Literal, _) =>
+          Alias(l, a.name)(exprId = a.exprId, qualifier = a.qualifier)
         case a: Alias =>
           Alias(Literal(n), a.name)(exprId = a.exprId, qualifier = a.qualifier)
         case other => other
@@ -744,6 +856,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         fieldIdOf(aggChild, a0, cols)
           .flatMap(id => boundFold(entries, id, a0.dataType, lower))
       val outputs = agg.aggregateExpressions.map {
+        case a @ Alias(l: Literal, _) =>
+          Some(Alias(l, a.name)(exprId = a.exprId, qualifier = a.qualifier))
         case a @ Alias(ae: AggregateExpression, _) =>
           val lit: Option[Literal] = ae.aggregateFunction match {
             case c: Count => c.children match {
@@ -921,8 +1035,14 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // partition tuple) or INTERVAL (a bare monotone comparison / null
       // check on an interval field). Anything else → normal plan.
       import org.apache.spark.sql.catalyst.expressions.{EqualTo => CEq, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+      // `cast = true`: the comparison is `CAST(ts AS DATE) op DATE'…'`
+      // — decided in the EPOCH-DAY domain, where a day (or hour) file's
+      // range collapses to ONE value, so unlike raw-timestamp equality
+      // the cast equality decides BOTH ways (VERDICT r16 #1: the most
+      // common dashboard filter over a day-partitioned fact).
       final case class IntervalCheck(
-          fieldName: String, dt: DataType, kind: String, op: String, lit: Long)
+          fieldName: String, dt: DataType, kind: String, op: String,
+          lit: Long, cast: Boolean = false)
       def conjunctsOf(e: Expression): Seq[Expression] = e match {
         case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
         case other => Seq(other)
@@ -945,8 +1065,33 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (a.dataType != dt) None
             else litLong(l).map(v => IntervalCheck(pf.name, dt, kind, op, v))
           }
+        // `CAST(ts AS DATE) op DATE'…'` over an interval field: the cast
+        // is per-file CONSTANT on day/hour transforms and monotone on
+        // all, so the comparison decides in the epoch-day domain.
+        // TimestampType casts go through the session zone — admitted
+        // only when that zone is UTC; NTZ casts are zone-free.
+        def mkCast(e: Expression, op: String, l: Literal)
+            : Option[IntervalCheck] = e match {
+          case Cast(a: AttributeReference, DateType, _, _)
+              if a.dataType == TimestampNTZType ||
+                 (a.dataType == TimestampType && sessionTzUtc) =>
+            intervalOf(child, a).flatMap { case (pf, dt, kind) =>
+              if (a.dataType != dt) None
+              else l match {
+                case Literal(d: java.lang.Integer, DateType) =>
+                  Some(IntervalCheck(pf.name, dt, kind, op, d.longValue,
+                    cast = true))
+                case _ => None
+              }
+            }
+          case _ => None
+        }
         cj match {
           case IsNotNull(a: AttributeReference) =>
+            intervalOf(child, a).map { case (pf, dt, kind) =>
+              IntervalCheck(pf.name, dt, kind, "notnull", 0L) }
+          // CAST(ts AS DATE) IS NOT NULL ⇔ ts IS NOT NULL
+          case IsNotNull(Cast(a: AttributeReference, DateType, _, _)) =>
             intervalOf(child, a).map { case (pf, dt, kind) =>
               IntervalCheck(pf.name, dt, kind, "notnull", 0L) }
           case GreaterThanOrEqual(a: AttributeReference, l: Literal) => mk(a, ">=", l)
@@ -959,6 +1104,16 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case LessThanOrEqual(l: Literal, a: AttributeReference) => mk(a, ">=", l)
           case CEq(a: AttributeReference, l: Literal) => mk(a, "=", l)
           case CEq(l: Literal, a: AttributeReference) => mk(a, "=", l)
+          case GreaterThanOrEqual(c: Cast, l: Literal) => mkCast(c, ">=", l)
+          case GreaterThanOrEqual(l: Literal, c: Cast) => mkCast(c, "<=", l)
+          case GreaterThan(c: Cast, l: Literal) => mkCast(c, ">", l)
+          case GreaterThan(l: Literal, c: Cast) => mkCast(c, "<", l)
+          case LessThan(c: Cast, l: Literal) => mkCast(c, "<", l)
+          case LessThan(l: Literal, c: Cast) => mkCast(c, ">", l)
+          case LessThanOrEqual(c: Cast, l: Literal) => mkCast(c, "<=", l)
+          case LessThanOrEqual(l: Literal, c: Cast) => mkCast(c, ">=", l)
+          case CEq(c: Cast, l: Literal) => mkCast(c, "=", l)
+          case CEq(l: Literal, c: Cast) => mkCast(c, "=", l)
           case _ => None
         }
       }
@@ -1048,6 +1203,23 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                                java.time.LocalDate.of(1971 + v, 1, 1))
         }
       }
+      // the [loDay, hiDay] EPOCH-DAY range of one stored ordinal — the
+      // domain `CAST(ts AS DATE)` comparisons decide in. Day and hour
+      // ordinals collapse to ONE date, so cast equality decides both
+      // ways there; month/year ranges span dates and equality inside
+      // them straddles like raw comparisons.
+      def dayRangeOf(kind: String, v: Int): (Long, Long) = {
+        def monthStart(m: Int) = java.time.LocalDate.of(
+          1970 + Math.floorDiv(m, 12), Math.floorMod(m, 12) + 1, 1)
+        kind match {
+          case "day"  => (v.toLong, v.toLong)
+          case "hour" => val d = Math.floorDiv(v, 24).toLong; (d, d)
+          case "month" => (monthStart(v).toEpochDay,
+                           monthStart(v).plusMonths(1).toEpochDay - 1)
+          case _ => (java.time.LocalDate.of(1970 + v, 1, 1).toEpochDay,
+                     java.time.LocalDate.of(1971 + v, 1, 1).toEpochDay - 1)
+        }
+      }
       // Some(keep?) when the predicate is CONSTANT over the file's
       // range; None = the file straddles the literal → can't serve
       // exactly (the caller bails the whole rewrite)
@@ -1058,7 +1230,9 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None | Some(null) => Some(false)
         case Some(i: java.lang.Integer) =>
           if (ic.op == "notnull") return Some(true)
-          val (lo, hi) = rangeOf(ic.kind, ic.dt, i.intValue)
+          val (lo, hi) =
+            if (ic.cast) dayRangeOf(ic.kind, i.intValue)
+            else rangeOf(ic.kind, ic.dt, i.intValue)
           ic.op match {
             case ">=" => if (lo >= ic.lit) Some(true)
                          else if (hi < ic.lit) Some(false) else None
@@ -1068,9 +1242,11 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                          else if (lo > ic.lit) Some(false) else None
             case "<"  => if (hi < ic.lit) Some(true)
                          else if (lo >= ic.lit) Some(false) else None
-            // a range never collapses to one value → equality is only
-            // ever decidable FALSE (outside) — inside straddles
+            // equality: outside the range is FALSE; a range collapsed
+            // to one value (cast on day/hour) decides TRUE; a spanning
+            // range (raw micros, cast on month/year) straddles
             case _    => if (ic.lit < lo || ic.lit > hi) Some(false)
+                         else if (lo == hi && ic.lit == lo) Some(true)
                          else None
           }
         case _ => None // unexpected stored type — bail, don't guess
@@ -1129,6 +1305,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       def outputsFor(es: Seq[graft.iceberg.IcebergModel.ManifestEntry],
                      key: Seq[Any]): Option[Seq[Any]] = {
         val vs = agg.aggregateExpressions.map {
+          case Alias(l: Literal, _) => l.value
           case Alias(ae: AggregateExpression, _) =>
             ae.aggregateFunction match {
               case c: Count => c.children match {

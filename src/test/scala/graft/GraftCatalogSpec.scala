@@ -905,6 +905,118 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sub === 20)
   }
 
+  test("CAST(ts AS DATE) filters serve from day-transform metadata; month/non-UTC fall through exact") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // 4 days × 24 hourly rows, one partition per day
+    spark.sql(
+      "CREATE TABLE graft.db.cd_day (k BIGINT, ts TIMESTAMP_NTZ) " +
+        "PARTITIONED BY (days(ts))")
+    spark.sql(
+      """INSERT INTO graft.db.cd_day
+        |SELECT id, timestampadd(HOUR, CAST(id AS INT),
+        |                        TIMESTAMP_NTZ'2024-03-01 00:00:00')
+        |FROM range(0, 96)""".stripMargin)
+    // equality decides BOTH ways (the cast collapses a day file to one date)
+    val eq = spark.sql(
+      """SELECT count(*) AS c, min(k) AS lo, max(k) AS hi
+        |FROM graft.db.cd_day WHERE CAST(ts AS DATE) = DATE'2024-03-02'""".stripMargin)
+    assert((eq.head.getLong(0), eq.head.getLong(1), eq.head.getLong(2)) ===
+      ((24L, 24L, 47L)))
+    assert(scansOf(eq) === 0,
+      s"cast-date equality must serve scan-free:\n${eq.queryExecution.executedPlan}")
+    // BETWEEN over dates (unfolds to >= and <=), and a strict bound
+    val bw = spark.sql(
+      """SELECT count(*) AS c FROM graft.db.cd_day
+        |WHERE CAST(ts AS DATE) BETWEEN DATE'2024-03-02' AND DATE'2024-03-03'""".stripMargin)
+    assert(bw.head.getLong(0) === 48L)
+    assert(scansOf(bw) === 0)
+    val gt = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.cd_day WHERE CAST(ts AS DATE) > DATE'2024-03-02'")
+    assert(gt.head.getLong(0) === 48L)
+    assert(scansOf(gt) === 0)
+    // composes with a GROUP BY on the same cast
+    val grp = spark.sql(
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM graft.db.cd_day
+        |WHERE CAST(ts AS DATE) >= DATE'2024-03-03' GROUP BY 1 ORDER BY d""".stripMargin)
+    assert(grp.collect().map(_.getLong(1)).toSeq === Seq(24L, 24L))
+    assert(scansOf(grp) === 0)
+    // NTZ casts are zone-free: serving survives a non-UTC session zone
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val z = spark.sql(
+        "SELECT count(*) AS c FROM graft.db.cd_day WHERE CAST(ts AS DATE) = DATE'2024-03-02'")
+      assert(z.head.getLong(0) === 24L)
+      assert(scansOf(z) === 0, "NTZ cast is zone-free; must still serve")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+    // MONTH transform: a cast-date equality inside the month straddles →
+    // normal plan, exact values
+    spark.sql(
+      "CREATE TABLE graft.db.cd_month (k BIGINT, ts TIMESTAMP_NTZ) " +
+        "PARTITIONED BY (months(ts))")
+    spark.sql(
+      """INSERT INTO graft.db.cd_month
+        |SELECT id, timestampadd(HOUR, CAST(id AS INT),
+        |                        TIMESTAMP_NTZ'2024-03-01 00:00:00')
+        |FROM range(0, 96)""".stripMargin)
+    val m = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.cd_month WHERE CAST(ts AS DATE) = DATE'2024-03-02'")
+    assert(m.head.getLong(0) === 24L)
+    assert(scansOf(m) > 0, "in-month cast equality must scan")
+    // ... but a MONTH-aligned cast comparison decides
+    val mAligned = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.cd_month WHERE CAST(ts AS DATE) < DATE'2024-04-01'")
+    assert(mAligned.head.getLong(0) === 96L)
+    assert(scansOf(mAligned) === 0)
+    // TIMESTAMP (with zone) under a NON-UTC session: the cast shifts
+    // through the zone → must scan, values exact vs the disabled rewrite
+    spark.sql(
+      "CREATE TABLE graft.db.cd_tz (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    spark.sql(
+      """INSERT INTO graft.db.cd_tz
+        |SELECT id, timestampadd(HOUR, CAST(id AS INT),
+        |                        TIMESTAMP'2024-03-01 00:00:00')
+        |FROM range(0, 96)""".stripMargin)
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val q = "SELECT count(*) AS c FROM graft.db.cd_tz " +
+        "WHERE CAST(ts AS DATE) = DATE'2024-03-02'"
+      val tz = spark.sql(q)
+      val got = tz.head.getLong(0)
+      assert(scansOf(tz) > 0, "non-UTC TIMESTAMP cast must scan")
+      spark.conf.set("spark.graft.catalog.nativeRewrite", "false")
+      val expected = try spark.sql(q).head.getLong(0)
+        finally spark.conf.set("spark.graft.catalog.nativeRewrite", "true")
+      assert(got === expected)
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
+  test("cast-date filter prunes keyed-scan files via the implied timestamp range") {
+    // the enriched Filter pushes `ts >= lo AND ts < next` into the keyed
+    // scan, so only the matching day's file is read: pin via the scan's
+    // numOutputRows metric (task counts are padded under claims)
+    val q = spark.sql(
+      """SELECT sum(k) AS s FROM graft.db.cd_day
+        |WHERE CAST(ts AS DATE) = DATE'2024-03-02' AND k % 2 = 0""".stripMargin)
+    assert(q.collect().head.getLong(0) === (24 to 47 by 2).map(_.toLong).sum)
+    val scans = PlanWalk.collect(q.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, s"expected a keyed scan:\n${q.queryExecution.executedPlan}")
+    val rows = scans.map(_.metrics("numOutputRows").value).sum
+    assert(rows === 24L,
+      s"cast-date filter must prune to one day's 24 rows, scanned $rows")
+  }
+
   test("_metadata virtual columns resolve on catalog identifiers (SQL + DataFrame)") {
     import org.apache.spark.sql.functions._
     spark.sql("CREATE TABLE graft.db.meta_t (id BIGINT, v STRING)")

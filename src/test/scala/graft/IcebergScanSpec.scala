@@ -118,6 +118,33 @@ class IcebergScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("CAST(ts AS DATE) predicates file-prune the filtered scan (extractPredicates)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_castdate_").toString + "/t"
+    // 4 days × 24 hourly rows, one file per day(ts) partition
+    val src = spark.range(0, 96).select(
+      col("id").as("k"),
+      expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ'2024-03-01 00:00:00')")
+        .as("ts"))
+    graft.iceberg.IcebergWriter.write(src, table, partitionBy = Seq("ts" -> "day"))
+    def files(cond: String): Long =
+      IcebergScan.scanFiltered(spark, table,
+        org.apache.spark.sql.functions.expr(cond),
+        Options(mode = "list_files"))
+        .filter(col("type") === "data").count()
+    val all = files("true")
+    assert(all === 4L)
+    assert(files("CAST(ts AS DATE) = DATE'2024-03-02'") === 1L)
+    assert(files("CAST(ts AS DATE) BETWEEN DATE'2024-03-02' AND DATE'2024-03-03'") === 2L)
+    assert(files("CAST(ts AS DATE) > DATE'2024-03-03'") === 1L)
+    // and the rewritten range is EXACT: rows still filter correctly
+    val n = IcebergScan.scanFiltered(spark, table,
+      expr("CAST(ts AS DATE) = DATE'2024-03-02'")).count()
+    assert(n === 24L)
+  }
+
   test("schema evolution: added col absent at v6, INT at v8, BIGINT at v9 " +
        "(iceberg_scan_generated_data_0_001.test:92-108)") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
