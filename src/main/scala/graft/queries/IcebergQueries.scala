@@ -2459,6 +2459,55 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib78_metadata_count_distinct",
+      // COUNT(DISTINCT part) METADATA gate (round 17, VERDICT r16 #2):
+      // the distinct count of a VALUE-EXACT partition source is exactly
+      // the number of distinct non-null stored tuple values over the
+      // surviving entries — `SELECT count(DISTINCT dt)` on a
+      // day-partitioned fact costs zero data I/O, filtered and grouped
+      // alike. `metadata_only` pins the scan-free plan; values
+      // hash-match DuckDB over the raw rows.
+      Some("""
+        WITH t AS (SELECT CAST(ts AS DATE) AS dt, event_type FROM events)
+        SELECT grp, days, n, CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM (
+          SELECT event_type AS grp, count(DISTINCT dt) AS days, count(*) AS n
+          FROM t WHERE dt >= DATE '2024-01-05' GROUP BY event_type
+          UNION ALL
+          SELECT 'ALL', count(DISTINCT dt), count(*)
+          FROM t WHERE dt >= DATE '2024-01-05'
+        )"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib78", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir)
+              .withColumn("dt", to_date(col("ts")))
+              .repartition(32, col("dt"), col("event_type")),
+            s"$wh/g/cdst_$suffix",
+            partitionBy = Seq("dt" -> "identity", "event_type" -> "identity"))
+          s"graft_cat.g.cdst_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT event_type AS grp, count(DISTINCT dt) AS days,
+                     count(*) AS n
+              FROM $name WHERE dt >= DATE '2024-01-05' GROUP BY event_type
+              UNION ALL
+              SELECT 'ALL', count(DISTINCT dt), count(*)
+              FROM $name WHERE dt >= DATE '2024-01-05'""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

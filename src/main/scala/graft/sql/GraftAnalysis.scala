@@ -660,7 +660,19 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * MIN/MAX of a plain column of an exact-bound type? */
   private def metadataServable(e: NamedExpression): Boolean = e match {
     case Alias(ae: AggregateExpression, _) =>
-      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      // count(DISTINCT col[, col…]) is admitted when every child is a
+      // plain attribute — served later ONLY if each resolves (by
+      // lineage) to a VALUE-EXACT partition source, whose distinct
+      // count is exactly the number of distinct non-null stored tuple
+      // values over the surviving entries (VERDICT r16 #2)
+      if (ae.isDistinct)
+        ae.filter.isEmpty && (ae.aggregateFunction match {
+          case c: Count =>
+            c.children.nonEmpty &&
+              c.children.forall(_.isInstanceOf[AttributeReference])
+          case _ => false
+        })
+      else ae.filter.isEmpty && (ae.aggregateFunction match {
         case c: Count =>
           c.children.nonEmpty && c.children.forall {
             case l: Literal => l.value != null
@@ -815,10 +827,15 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * GROUP BY evaluates per entry on identity partition tuples. */
   private def serveMetadata(
       agg: Aggregate, t: GraftTable,
-      filters: Seq[(Expression, LogicalPlan)]): Option[LogicalPlan] =
-    if (filters.isEmpty && agg.groupingExpressions.isEmpty)
+      filters: Seq[(Expression, LogicalPlan)]): Option[LogicalPlan] = {
+    val hasDistinct = agg.aggregateExpressions.exists {
+      case Alias(ae: AggregateExpression, _) => ae.isDistinct
+      case _ => false
+    }
+    if (filters.isEmpty && agg.groupingExpressions.isEmpty && !hasDistinct)
       metadataAggregate(agg, agg.child, t)
     else metadataGrouped(agg, t, filters)
+  }
 
   /** The one-row literal plan answering the GLOBAL unfiltered `agg`
     * from manifest stats, or None when metadata can't serve it exactly.
@@ -1144,9 +1161,28 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
 
-      val usedSrcs: Seq[String] = (groupSrcs ++ filterSrcs).distinct
+      // DISTINCT-count children: each must resolve (by lineage) to a
+      // VALUE-EXACT partition source — the distinct count then equals
+      // the number of distinct non-null stored tuple values over the
+      // surviving entries. Anything else (interval transform, bucket,
+      // data column) bails to the normal plan.
+      val distinctSrcs: Seq[String] = agg.aggregateExpressions.flatMap {
+        case Alias(ae: AggregateExpression, _) if ae.isDistinct =>
+          ae.aggregateFunction match {
+            case c: Count => c.children.map {
+              case ar: AttributeReference =>
+                identityOf(agg.child, ar).getOrElse(return None)
+              case _ => return None
+            }
+            case _ => return None
+          }
+        case _ => Seq.empty
+      }
+
+      val usedSrcs: Seq[String] =
+        (groupSrcs ++ filterSrcs ++ distinctSrcs).distinct
       // bare-agg shape (no exact fields, no interval checks, no
-      // grouping) is the global path's job
+      // grouping, no distinct counts) is the global path's job
       if (usedSrcs.isEmpty && intervals.isEmpty && groupSpecs.isEmpty)
         return None
       val srcIdx: Map[String, Int] = usedSrcs.zipWithIndex.toMap
@@ -1301,11 +1337,27 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(vs)
       }
 
-      // per-output serving over one group's entries
-      def outputsFor(es: Seq[graft.iceberg.IcebergModel.ManifestEntry],
+      // per-output serving over one group's (entry, used-value row) pairs
+      def outputsFor(pairs: Seq[(graft.iceberg.IcebergModel.ManifestEntry,
+                                 InternalRow)],
                      key: Seq[Any]): Option[Seq[Any]] = {
+        val es = pairs.map(_._1)
         val vs = agg.aggregateExpressions.map {
           case Alias(l: Literal, _) => l.value
+          case Alias(ae: AggregateExpression, _) if ae.isDistinct =>
+            // distinct tuples of value-exact sources; SQL distinct
+            // excludes any tuple with a null component
+            val picks = ae.aggregateFunction match {
+              case c: Count => c.children.map { case ar: AttributeReference =>
+                val s = identityOf(agg.child, ar).getOrElse(return None)
+                (srcIdx(s), idBySrc(s)._2)
+              }
+              case _ => return None
+            }
+            pairs.map { case (_, row) =>
+              picks.map { case (i, dt) =>
+                if (row.isNullAt(i)) null else row.get(i, dt) }
+            }.filter(_.forall(_ != null)).distinct.size.toLong
           case Alias(ae: AggregateExpression, _) =>
             ae.aggregateFunction match {
               case c: Count => c.children match {
@@ -1344,7 +1396,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (agg.groupingExpressions.isEmpty) {
         // filtered global: exactly one row (count 0 / NULL bounds when
         // nothing matches)
-        outputsFor(matching.map(_._1), Seq.empty).map { vs =>
+        outputsFor(matching, Seq.empty).map { vs =>
           Project(agg.aggregateExpressions.zip(vs).map { case (e, v) =>
             val a = e.asInstanceOf[Alias]
             Alias(Literal(v, a.dataType), a.name)(
@@ -1358,7 +1410,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           groupKey(e, row).getOrElse(return None)
         }
         val rows = grouped.toSeq.map { case (key, pairs) =>
-          outputsFor(pairs.map(_._1), key).getOrElse(return None)
+          outputsFor(pairs, key).getOrElse(return None)
         }
         Some(LocalRelation(
           outAttrs, rows.map(vs => InternalRow.fromSeq(vs))))

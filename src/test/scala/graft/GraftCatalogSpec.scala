@@ -1000,6 +1000,68 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", zone0)
   }
 
+  test("count(DISTINCT part) serves from distinct live tuples; non-value-exact falls through") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // fresh delete-free fixture (mm_part grew a MoR tombstone upstream)
+    spark.sql(
+      "CREATE TABLE graft.db.mm_dst (k BIGINT, dt DATE, v BIGINT) " +
+        "PARTITIONED BY (dt)")
+    spark.sql(
+      """INSERT INTO graft.db.mm_dst
+         SELECT id, DATE_ADD(DATE'2024-01-01', CAST(id % 5 AS INT)), id * 10
+         FROM range(0, 100)""")
+    // global: distinct identity-partition values over all live entries
+    val g = spark.sql(
+      "SELECT count(DISTINCT dt) AS d, count(*) AS n FROM graft.db.mm_dst")
+    assert((g.head.getLong(0), g.head.getLong(1)) === ((5L, 100L)))
+    assert(scansOf(g) === 0,
+      s"count(DISTINCT part) must serve scan-free:\n${g.queryExecution.executedPlan}")
+    // filtered: distinct over the surviving entries only
+    val f = spark.sql(
+      """SELECT count(DISTINCT dt) AS d FROM graft.db.mm_dst
+        |WHERE dt >= DATE'2024-01-03'""".stripMargin)
+    assert(f.head.getLong(0) === 3L)
+    assert(scansOf(f) === 0)
+    // grouped: per-group distinct (degenerate 1 per group, still exact)
+    val gg = spark.sql(
+      """SELECT dt, count(DISTINCT dt) AS d, count(*) AS n
+        |FROM graft.db.mm_dst GROUP BY dt""".stripMargin)
+    assert(gg.collect().map(_.getLong(1)).toSeq === Seq.fill(5)(1L))
+    assert(scansOf(gg) === 0)
+    // composes with min/max and a renaming subquery
+    val rn = spark.sql(
+      """SELECT count(DISTINCT d) AS dd, max(w) AS hi
+        |FROM (SELECT dt AS d, v AS w FROM graft.db.mm_dst)""".stripMargin)
+    assert((rn.head.getLong(0), rn.head.getLong(1)) === ((5L, 990L)))
+    assert(scansOf(rn) === 0)
+    // fall-throughs stay exact through a real scan:
+    // a MoR table (mm_part carries a live delete from the DML test)
+    val mor = spark.sql(
+      "SELECT count(DISTINCT dt) AS d, count(*) AS n FROM graft.db.mm_part")
+    assert((mor.head.getLong(0), mor.head.getLong(1)) === ((5L, 99L)))
+    assert(scansOf(mor) > 0, "MoR distinct must scan")
+    // non-partition column
+    val f1 = spark.sql("SELECT count(DISTINCT v) AS d FROM graft.db.mm_dst")
+    assert(f1.head.getLong(0) === 100L)
+    assert(scansOf(f1) > 0, "non-partition distinct must scan")
+    // bucket transform is not value-exact
+    val f2 = spark.sql("SELECT count(DISTINCT k) AS d FROM graft.db.mm_bucket")
+    assert(f2.head.getLong(0) === 50L)
+    assert(scansOf(f2) > 0, "bucket-source distinct must scan")
+    // day(timestamp) is interval-only, not value-exact
+    val f3 = spark.sql("SELECT count(DISTINCT ts) AS d FROM graft.db.cd_day")
+    assert(f3.head.getLong(0) === 96L)
+    assert(scansOf(f3) > 0, "day(ts)-source distinct must scan")
+  }
+
   test("cast-date filter prunes keyed-scan files via the implied timestamp range") {
     // the enriched Filter pushes `ts >= lo AND ts < next` into the keyed
     // scan, so only the matching day's file is read: pin via the scan's
