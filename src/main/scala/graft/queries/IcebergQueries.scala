@@ -2508,6 +2508,51 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib79_metadata_period_rollup",
+      // PERIOD-ROLLUP METADATA gate (round 17, VERDICT r16 #4): monthly
+      // / weekly / yearly rollups over a day(ts)-partitioned table —
+      // each day file's ordinal maps into exactly ONE month, week and
+      // year, so `GROUP BY trunc(…, 'MM'), trunc(…, 'week'), year(…)`
+      // serves straight from manifest stats, zero data I/O (a month
+      // file provably cannot serve a daily rollup — spec-tested).
+      // `metadata_only` pins the scan-free plan; values hash-match
+      // DuckDB's grouped aggregate over the raw rows.
+      Some("""
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+               CAST(date_trunc('week', ts) AS DATE) AS w,
+               CAST(year(ts) AS INTEGER) AS y,
+               COUNT(*) AS cnt,
+               max(user_id) AS hi,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM events GROUP BY 1, 2, 3"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib75", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), s"$wh/g/ivl_$suffix",
+            partitionBy = Seq("ts" -> "day"))
+          s"graft_cat.g.ivl_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT trunc(CAST(ts AS DATE), 'MM') AS m,
+                     trunc(CAST(ts AS DATE), 'week') AS w,
+                     year(ts) AS y,
+                     COUNT(*) AS cnt,
+                     max(user_id) AS hi
+              FROM $name GROUP BY 1, 2, 3""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

@@ -711,13 +711,19 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Grouping-expression shapes the metadata path can evaluate per
-    * file: a bare attribute, or `CAST(ts AS DATE)` over an attribute
-    * (decided later against day/hour interval fields). */
-  private def groupingShape(e: Expression): Boolean = e match {
-    case _: AttributeReference => true
-    case org.apache.spark.sql.catalyst.expressions.Cast(
-        _: AttributeReference, DateType, _, _) => true
-    case _ => false
+    * file: a bare attribute, or a calendar-period expression over one
+    * column — `CAST(ts AS DATE)`, `date_trunc(fmt, ts)`,
+    * `trunc(date, fmt)`, `year/month/quarter(…)` (decided later against
+    * the partition transforms). */
+  private def groupingShape(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Month, Quarter, TruncDate, TruncTimestamp, Year}
+    e match {
+      case _: AttributeReference => true
+      case _: Cast | _: TruncTimestamp | _: TruncDate |
+           _: Year | _: Month | _: Quarter =>
+        e.deterministic && e.references.size == 1
+      case _ => false
+    }
   }
 
   /** A constant output column (`SELECT 'tag' AS which, count(*) …`) —
@@ -982,68 +988,184 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         resolveToRelation(chain, a).map(_.name.toLowerCase)
           .filter(idBySrc.contains)
 
-      // grouping columns (guard already ensured AttributeReference).
-      // Each must resolve to a PER-FILE-CONSTANT value: a value-exact
-      // field itself, or `CAST(ts AS DATE)` over a day/hour interval
-      // field — the optimizer's PullOutGroupingExpressions rewrites
-      // `GROUP BY CAST(ts AS DATE)` into a `_groupingexpression` Project
-      // alias, so the cast is found down the Project chain. Every row of
-      // a day (or hour) file shares one calendar date, making the cast
-      // constant per file. TimestampType casts go through the session
-      // zone — admitted only when that zone is UTC (the ordinal→date
-      // arithmetic below is UTC); NTZ casts are zone-free.
+      // grouping columns: each must resolve to a PER-FILE-CONSTANT
+      // value — a value-exact field itself (ExactVal), or a calendar
+      // PERIOD of a date/timestamp partition source (PeriodVal):
+      // `CAST(ts AS DATE)`, `date_trunc('month'|'year'|…, ts)`,
+      // `trunc(date, fmt)`, `year/month/quarter(…)`. The period is
+      // constant per file exactly when the file's ordinal range maps
+      // into ONE period — a day file serves monthly rollups, a month
+      // file does not serve daily ones (provable fall-through). The
+      // optimizer's PullOutGroupingExpressions rewrites computed group
+      // keys into a `_groupingexpression` Project alias, so the shape
+      // is also recognized down the Project chain. Expressions touching
+      // TimestampType go through the session zone — admitted only when
+      // that zone is UTC (the ordinal→period arithmetic below is UTC);
+      // NTZ and DATE shapes are zone-free.
       sealed trait GroupVal
       final case class ExactVal(src: String) extends GroupVal
-      final case class DayCastVal(fieldName: String, kind: String)
-          extends GroupVal
+      // src: lowercase source column (idBySrc/intervalBySrc key);
+      // fieldName: the partition field whose stored value is read;
+      // srcKind: ordinal domain ("day"/"hour"/"month"/"year" interval
+      // ordinals, "day" epoch-days for exact DATE sources, "micros"
+      // for exact TIMESTAMP sources); out: requested period rendering.
+      final case class PeriodVal(
+          src: String, fieldName: String, srcKind: String, out: String,
+          exact: Boolean) extends GroupVal
       lazy val sessionTzUtc: Boolean = {
         val rules = java.time.ZoneId
           .of(spark.sessionState.conf.sessionLocalTimeZone).getRules
         rules.isFixedOffset &&
           rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
       }
-      import org.apache.spark.sql.catalyst.expressions.Cast
-      def dayCastOf(p: LogicalPlan, a: AttributeReference)
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Month, Quarter, TruncDate, TruncTimestamp, Year}
+
+      // the [loDay, hiDay] EPOCH-DAY range of one stored value
+      def dayRangeOf(kind: String, v: Int): (Long, Long) = {
+        def monthStart(m: Int) = java.time.LocalDate.of(
+          1970 + Math.floorDiv(m, 12), Math.floorMod(m, 12) + 1, 1)
+        kind match {
+          case "day"  => (v.toLong, v.toLong)
+          case "hour" => val d = Math.floorDiv(v, 24).toLong; (d, d)
+          case "month" => (monthStart(v).toEpochDay,
+                           monthStart(v).plusMonths(1).toEpochDay - 1)
+          case _ => (java.time.LocalDate.of(1970 + v, 1, 1).toEpochDay,
+                     java.time.LocalDate.of(1971 + v, 1, 1).toEpochDay - 1)
+        }
+      }
+      def dayRangeOfAny(srcKind: String, v: Any): Option[(Long, Long)] =
+        (srcKind, v) match {
+          case ("micros", l: java.lang.Long) =>
+            val d = Math.floorDiv(l.longValue, 86400000000L); Some((d, d))
+          case ("micros", _) => None
+          case (_, i: java.lang.Integer) => Some(dayRangeOf(srcKind, i.intValue))
+          case _ => None
+        }
+      // the period's rendered value when the day range maps into ONE
+      // period; None = the file spans periods (or odd value) → bail
+      def periodValue(srcKind: String, out: String, v: Any): Option[Any] =
+        dayRangeOfAny(srcKind, v).flatMap { case (loD, hiD) =>
+          import java.time.LocalDate
+          val a = LocalDate.ofEpochDay(loD)
+          val b = LocalDate.ofEpochDay(hiD)
+          def date(d: LocalDate): Any = Int.box(d.toEpochDay.toInt)
+          def micros(d: LocalDate): Any = Long.box(d.toEpochDay * 86400000000L)
+          out match {
+            case "date" | "day-date" =>
+              if (loD == hiD) Some(date(a)) else None
+            case "day-ts" => if (loD == hiD) Some(micros(a)) else None
+            case "week-date" | "week-ts" =>
+              val wa = a.minusDays(a.getDayOfWeek.getValue - 1L)
+              val wb = b.minusDays(b.getDayOfWeek.getValue - 1L)
+              if (wa == wb)
+                Some(if (out == "week-date") date(wa) else micros(wa))
+              else None
+            case "month-date" | "month-ts" | "month-int" =>
+              if (a.getYear == b.getYear && a.getMonthValue == b.getMonthValue) {
+                if (out == "month-int") Some(Int.box(a.getMonthValue))
+                else {
+                  val s = a.withDayOfMonth(1)
+                  Some(if (out == "month-date") date(s) else micros(s))
+                }
+              } else None
+            case "quarter-date" | "quarter-ts" | "quarter-int" =>
+              val qa = (a.getMonthValue - 1) / 3
+              val qb = (b.getMonthValue - 1) / 3
+              if (a.getYear == b.getYear && qa == qb) {
+                if (out == "quarter-int") Some(Int.box(qa + 1))
+                else {
+                  val s = java.time.LocalDate.of(a.getYear, qa * 3 + 1, 1)
+                  Some(if (out == "quarter-date") date(s) else micros(s))
+                }
+              } else None
+            case "year-date" | "year-ts" | "year-int" =>
+              if (a.getYear == b.getYear) {
+                if (out == "year-int") Some(Int.box(a.getYear))
+                else {
+                  val s = java.time.LocalDate.of(a.getYear, 1, 1)
+                  Some(if (out == "year-date") date(s) else micros(s))
+                }
+              } else None
+            case _ => None
+          }
+        }
+
+      // (source attribute, out-kind) of a supported period expression
+      def tsSide(x: Expression): Option[AttributeReference] = x match {
+        case ar: AttributeReference => Some(ar)
+        case Cast(ar: AttributeReference,
+                  TimestampType | TimestampNTZType, _, _) => Some(ar)
+        case _ => None
+      }
+      def dateSide(x: Expression): Option[AttributeReference] = x match {
+        case ar: AttributeReference if ar.dataType == DateType => Some(ar)
+        case Cast(ar: AttributeReference, DateType, _, _) => Some(ar)
+        case _ => None
+      }
+      def truncKey(fmt: Any): Option[String] =
+        Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
+          case "month" | "mon" | "mm" => "month"
+          case "year" | "yyyy" | "yy" => "year"
+          case "quarter"              => "quarter"
+          case "week"                 => "week"
+          case "day" | "dd"           => "day"
+        }
+      def periodShape(e: Expression): Option[(AttributeReference, String)] =
+        e match {
+          case Cast(ar: AttributeReference, DateType, _, _) =>
+            Some((ar, "date"))
+          case TruncTimestamp(Literal(fmt, StringType), tse, _) =>
+            for (k <- truncKey(fmt); ar <- tsSide(tse)) yield (ar, s"$k-ts")
+          case TruncDate(de, Literal(fmt, StringType)) =>
+            for (k <- truncKey(fmt); ar <- dateSide(de)) yield (ar, s"$k-date")
+          case Year(de)    => dateSide(de).map((_, "year-int"))
+          case Month(de)   => dateSide(de).map((_, "month-int"))
+          case Quarter(de) => dateSide(de).map((_, "quarter-int"))
+          case _ => None
+        }
+      // any TimestampType node evaluates through the session zone
+      def zoneOk(e: Expression): Boolean =
+        sessionTzUtc || !e.exists(n =>
+          scala.util.Try(n.dataType == TimestampType).getOrElse(false))
+      def periodOf(chain: LogicalPlan, e: Expression): Option[GroupVal] =
+        periodShape(e).filter(_ => zoneOk(e)).flatMap { case (ar, out) =>
+          resolveToRelation(chain, ar).map(_.name.toLowerCase).flatMap {
+            src =>
+              intervalBySrc.get(src)
+                .map { case (pf, _, kind) =>
+                  PeriodVal(src, pf.name, kind, out, exact = false) }
+                .orElse(idBySrc.get(src).collect {
+                  case (pf, DateType) =>
+                    PeriodVal(src, pf.name, "day", out, exact = true)
+                  case (pf, TimestampType | TimestampNTZType) =>
+                    PeriodVal(src, pf.name, "micros", out, exact = true)
+                })
+          }
+        }
+      def periodAliasOf(p: LogicalPlan, a: AttributeReference)
           : Option[GroupVal] = p match {
-        case SubqueryAlias(_, c) => dayCastOf(c, a)
-        case Filter(_, c) => dayCastOf(c, a)
+        case SubqueryAlias(_, c) => periodAliasOf(c, a)
+        case Filter(_, c) => periodAliasOf(c, a)
         case Project(list, c) =>
           list.find(_.exprId == a.exprId).flatMap {
-            case ar: AttributeReference => dayCastOf(c, ar)
-            case Alias(ar: AttributeReference, _) => dayCastOf(c, ar)
-            case Alias(Cast(ar: AttributeReference, DateType, _, _), _) =>
-              resolveToRelation(c, ar).map(_.name.toLowerCase)
-                .flatMap(intervalBySrc.get)
-                .collect { case (pf, dt, kind)
-                    if (kind == "day" || kind == "hour") &&
-                       (dt == TimestampNTZType || sessionTzUtc) =>
-                  DayCastVal(pf.name, kind)
-                }
+            case ar: AttributeReference => periodAliasOf(c, ar)
+            case Alias(ar: AttributeReference, _) => periodAliasOf(c, ar)
+            case Alias(inner, _) => periodOf(c, inner)
             case _ => None
           }
         case _ => None
       }
-      def intervalDayCast(chain: LogicalPlan, ar: AttributeReference)
-          : Option[GroupVal] =
-        resolveToRelation(chain, ar).map(_.name.toLowerCase)
-          .flatMap(intervalBySrc.get)
-          .collect { case (pf, dt, kind)
-              if (kind == "day" || kind == "hour") &&
-                 (dt == TimestampNTZType || sessionTzUtc) =>
-            DayCastVal(pf.name, kind)
-          }
       val groupExprs = agg.groupingExpressions
       val groupSpecs: Seq[GroupVal] = groupExprs.map {
-        // the cast stays INLINE when this rule runs (the optimizer's
-        // PullOutGroupingExpressions batch comes later); the pulled-out
-        // _groupingexpression attribute shape is handled by dayCastOf
-        case Cast(ar: AttributeReference, DateType, _, _) =>
-          intervalDayCast(agg.child, ar).getOrElse(return None)
         case a: AttributeReference =>
           identityOf(agg.child, a).map(ExactVal(_))
-            .orElse(dayCastOf(agg.child, a))
+            .orElse(periodAliasOf(agg.child, a))
             .getOrElse(return None)
-        case _ => return None
+        // computed group keys stay INLINE when this rule runs (the
+        // optimizer's PullOutGroupingExpressions batch comes later);
+        // the pulled-out shape is handled by periodAliasOf above
+        case e =>
+          periodOf(agg.child, e).getOrElse(return None)
       }
       val groupSrcs = groupSpecs.collect { case ExactVal(s) => s }
 
@@ -1198,13 +1320,22 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         specsById.values.forall(_.filter(_.name == pf.name).forall(f =>
           valueExact(f, dt) && f.sourceId == pf.sourceId))
       } && (intervals.map(ic => (ic.fieldName, ic.kind)) ++
-            groupSpecs.collect { case DayCastVal(f, k) => (f, k) })
+            groupSpecs.collect {
+              case PeriodVal(_, f, k, _, false) => (f, k) })
         .distinct.forall { case (fname, kind) =>
           val pf = t.partitionFields.map(_._1).find(_.name == fname)
             .getOrElse(return None)
           specsById.values.forall(_.filter(_.name == fname).forall(f =>
             f.sourceId == pf.sourceId &&
               f.transform.toLowerCase.stripSuffix("s") == kind))
+        } && groupSpecs.collect {
+          case PeriodVal(src, f, _, _, true) => (src, f) }
+        .distinct.forall { case (src, fname) =>
+          // value-exact period source: every spec naming the field must
+          // stay value-exact of the same source (like usedFields)
+          val (pf, dt) = idBySrc.getOrElse(src, return None)
+          specsById.values.forall(_.filter(_.name == fname).forall(f =>
+            valueExact(f, dt) && f.sourceId == pf.sourceId))
         }
       if (!specSafe) return None
 
@@ -1237,23 +1368,6 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case "month" => span(monthStart(v), monthStart(v).plusMonths(1))
           case _       => span(java.time.LocalDate.of(1970 + v, 1, 1),
                                java.time.LocalDate.of(1971 + v, 1, 1))
-        }
-      }
-      // the [loDay, hiDay] EPOCH-DAY range of one stored ordinal — the
-      // domain `CAST(ts AS DATE)` comparisons decide in. Day and hour
-      // ordinals collapse to ONE date, so cast equality decides both
-      // ways there; month/year ranges span dates and equality inside
-      // them straddles like raw comparisons.
-      def dayRangeOf(kind: String, v: Int): (Long, Long) = {
-        def monthStart(m: Int) = java.time.LocalDate.of(
-          1970 + Math.floorDiv(m, 12), Math.floorMod(m, 12) + 1, 1)
-        kind match {
-          case "day"  => (v.toLong, v.toLong)
-          case "hour" => val d = Math.floorDiv(v, 24).toLong; (d, d)
-          case "month" => (monthStart(v).toEpochDay,
-                           monthStart(v).plusMonths(1).toEpochDay - 1)
-          case _ => (java.time.LocalDate.of(1970 + v, 1, 1).toEpochDay,
-                     java.time.LocalDate.of(1971 + v, 1, 1).toEpochDay - 1)
         }
       }
       // Some(keep?) when the predicate is CONSTANT over the file's
@@ -1324,14 +1438,12 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                    row: InternalRow): Option[Seq[Any]] = {
         val vs = groupSpecs.map {
           case ExactVal(s) => row.get(srcIdx(s), idBySrc(s)._2)
-          case DayCastVal(fname, kind) =>
+          case PeriodVal(_, fname, srcKind, out, _) =>
             e.partition.get(fname) match {
               case None => return None // older spec — unevaluable
-              case Some(null) => null  // null ts → null date group
-              case Some(i: java.lang.Integer) =>
-                if (kind == "day") Int.box(i.intValue)
-                else Int.box(Math.floorDiv(i.intValue, 24))
-              case _ => return None
+              case Some(null) => null  // null source → null period group
+              case Some(v) =>
+                periodValue(srcKind, out, v).getOrElse(return None)
             }
         }
         Some(vs)

@@ -1062,6 +1062,75 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scansOf(f3) > 0, "day(ts)-source distinct must scan")
   }
 
+  test("month/year/week rollups serve from day-or-finer transforms; coarse falls through") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // cd_day: 4 day(ts) files of 24 hourly rows (Mar 1-4 2024); cd_month:
+    // same data under months(ts) — created by the cast-date test above
+    val m1 = spark.sql(
+      """SELECT date_trunc('month', ts) AS m, count(*) AS c, min(k) AS lo
+        |FROM graft.db.cd_day GROUP BY 1""".stripMargin)
+    val r1 = m1.collect()
+    assert(r1.length === 1 && r1.head.getLong(1) === 96L && r1.head.getLong(2) === 0L)
+    assert(r1.head.getTimestamp(0).toString === "2024-03-01 00:00:00.0")
+    assert(scansOf(m1) === 0,
+      s"monthly rollup over day files must serve:\n${m1.queryExecution.executedPlan}")
+    // DateType rendering via trunc(CAST(ts AS DATE), 'MM')
+    val m2 = spark.sql(
+      """SELECT trunc(CAST(ts AS DATE), 'MM') AS m, count(*) AS c
+        |FROM graft.db.cd_day GROUP BY 1""".stripMargin)
+    assert(m2.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ===
+      Seq(("2024-03-01", 96L)))
+    assert(scansOf(m2) === 0)
+    // year(ts) int rollup
+    val y1 = spark.sql(
+      "SELECT year(ts) AS y, count(*) AS c FROM graft.db.cd_day GROUP BY 1")
+    assert(y1.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((2024, 96L)))
+    assert(scansOf(y1) === 0)
+    // week rollup: Mar 1-3 belong to the week of Mon Feb 26; Mar 4 IS a Monday
+    val w1 = spark.sql(
+      """SELECT trunc(CAST(ts AS DATE), 'week') AS w, count(*) AS c
+        |FROM graft.db.cd_day GROUP BY 1 ORDER BY w""".stripMargin)
+    assert(w1.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ===
+      Seq(("2024-02-26", 72L), ("2024-03-04", 24L)))
+    assert(scansOf(w1) === 0)
+    // month transform serves month/quarter/year rollups ...
+    val m3 = spark.sql(
+      """SELECT date_trunc('month', ts) AS m, quarter(ts) AS q, count(*) AS c
+        |FROM graft.db.cd_month GROUP BY 1, 2""".stripMargin)
+    assert(m3.collect().map(_.getLong(2)).toSeq === Seq(96L))
+    assert(scansOf(m3) === 0)
+    // ... but NOT the finer daily one (files span dates): scans, exact
+    val d1 = spark.sql(
+      "SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM graft.db.cd_month GROUP BY 1")
+    assert(d1.collect().map(_.getLong(1)).sum === 96L)
+    assert(scansOf(d1) > 0, "daily rollup over month files must scan")
+    // value-exact DATE source (identity dt): any period of the stored date
+    val e1 = spark.sql(
+      """SELECT year(dt) AS y, month(dt) AS mo, count(*) AS c
+        |FROM graft.db.mm_dst GROUP BY 1, 2""".stripMargin)
+    assert(e1.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((2024, 1, 100L)))
+    assert(scansOf(e1) === 0)
+    // non-UTC session: TimestampType truncation must scan, stays exact
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val z = spark.sql(
+        "SELECT date_trunc('month', ts) AS m, count(*) AS c FROM graft.db.cd_day GROUP BY 1")
+      assert(z.collect().map(_.getLong(1)).sum === 96L)
+      assert(scansOf(z) > 0, "non-UTC date_trunc must scan")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
   test("cast-date filter prunes keyed-scan files via the implied timestamp range") {
     // the enriched Filter pushes `ts >= lo AND ts < next` into the keyed
     // scan, so only the matching day's file is read: pin via the scan's
