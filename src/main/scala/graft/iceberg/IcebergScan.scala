@@ -1584,6 +1584,34 @@ object IcebergScan {
       snapshot.partitionSpecsById))
   }
 
+  /** Per-partition-tuple stat partials + snapshot schema + specs-by-id
+    * when the snapshot is delete-free — the metadata aggregate rewrite's
+    * input (round 17). Wide snapshots (past the distributed threshold
+    * AND the driver entry budget) fold entries to partials ON THE
+    * EXECUTORS ([[ManifestReader.wideTupleStats]]), so planning collects
+    * O(partition tuples), never O(entries); everything else reuses the
+    * cached full decode. `neededCols` are the resolved relation-attr
+    * names whose null counts / bounds the aggregates consume. */
+  def metadataTupleStats(spark: SparkSession, path: String,
+                         opts: Options, neededCols: Seq[String])
+      : Option[(Seq[TupleAgg], Seq[IcebergModel.Column],
+                Map[Int, Seq[IcebergModel.PartitionFieldSpec]])] = {
+    val snapshot = selectSnapshot(spark, path, opts)
+    val root = IcebergIO.tableRoot(path)
+    val needed: Seq[(Int, org.apache.spark.sql.types.DataType)] =
+      neededCols.distinct.flatMap(n =>
+        MetaAgg.columnByName(snapshot.schema, n).map(c => c.id -> c.dataType))
+    ManifestReader.wideTupleStats(
+        root, snapshot, hadoopConf(spark), opts.allowMovedPaths, needed) match {
+      case Some(tuples) =>
+        Some((tuples, snapshot.schema, snapshot.partitionSpecsById))
+      case None =>
+        metadataLiveEntries(spark, path, opts).map { case (es, cols, specs) =>
+          (MetaAgg.fold(es.iterator, needed), cols, specs)
+        }
+    }
+  }
+
   def manifests(spark: SparkSession, path: String,
                 opts: Options = Options()): DataFrame = {
     val snapshot = selectSnapshot(spark, path, opts.copy(skipSchemaInference = true))

@@ -648,11 +648,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Bounds of these types are fixed-width EXACT values in manifests. */
-  private def boundServable(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DateType | TimestampType |
-         TimestampNTZType => true
-    case _ => false
-  }
+  private def boundServable(dt: DataType): Boolean =
+    graft.iceberg.MetaAgg.boundServable(dt)
 
   /** Is this output a metadata-servable aggregate under an Alias —
     * `count(*)` (non-null literals, non-distinct, unfiltered),
@@ -757,57 +754,52 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Exact manifest-bound decode for the fixed-width served types. */
-  private def decodeCat(dt: DataType, bytes: Array[Byte]): Option[Any] = {
-    def le = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    dt match {
-      case IntegerType | DateType if bytes.length >= 4 => Some(le.getInt)
-      case LongType | TimestampType | TimestampNTZType
-          if bytes.length >= 8 => Some(le.getLong)
-      case _ => None
-    }
-  }
-
-  private def cmpKey(v: Any): Long = v match {
-    case i: java.lang.Integer => i.longValue
-    case l: java.lang.Long => l.longValue
-  }
-
-  /** min/max of field `id` across `entries` from per-entry bounds:
-    * Some(Some(v)) = served; Some(None) = no surviving non-null values →
-    * NULL; None = a file lacks the bound without being provably all-null
-    * (metrics off) → can't serve exactly. Files whose RECORDED null
-    * count equals their row count hold no value of the column — they
-    * contribute nothing to MIN/MAX (SQL ignores nulls) and are skipped
-    * instead of bailing (round 16: sparse columns stay servable). */
+  /** min/max of field `id` across tuple partials: Some(Some(v)) =
+    * served; Some(None) = no surviving non-null values → NULL; None = a
+    * contributing file lacks the bound without being provably all-null
+    * (metrics off) → can't serve exactly. All-null partials contribute
+    * nothing to MIN/MAX (SQL ignores nulls) and are skipped instead of
+    * bailing (round 16: sparse columns stay servable). */
   private def boundFold(
-      entries: Seq[graft.iceberg.IcebergModel.ManifestEntry],
-      id: Int, dt: DataType, lower: Boolean): Option[Option[Any]] = {
-    val contributing = entries.filterNot(e =>
-      e.nullCounts.get(id).contains(e.recordCount))
+      ts: Seq[graft.iceberg.TupleAgg],
+      id: Int, lower: Boolean): Option[Option[Any]] = {
+    val contributing = ts.filterNot(_.allNull(id))
     if (contributing.isEmpty) return Some(None)
-    val decoded = contributing.map { e =>
-      (if (lower) e.lowerBounds else e.upperBounds).get(id)
-        .flatMap(decodeCat(dt, _))
-    }
-    if (decoded.exists(_.isEmpty)) None
+    if (contributing.exists(t => t.poisoned(id) ||
+        !t.lo.contains(id) || !t.hi.contains(id))) None
     else {
-      val vs = decoded.map(_.get)
-      Some(Some(if (lower) vs.minBy(cmpKey) else vs.maxBy(cmpKey)))
+      val vs = contributing.map(t => if (lower) t.lo(id) else t.hi(id))
+      Some(Some(
+        if (lower) vs.minBy(graft.iceberg.MetaAgg.cmpKey)
+        else vs.maxBy(graft.iceberg.MetaAgg.cmpKey)))
     }
   }
 
-  /** Non-null count of field `id` across `entries` from recorded null
-    * counts (`count(col)` semantics) — None when any entry omits the
-    * count (can't serve exactly). */
+  /** Non-null count of field `id` across tuple partials from recorded
+    * null counts (`count(col)` semantics) — None when any contributing
+    * entry omitted the count (can't serve exactly). */
   private def nonNullFold(
-      entries: Seq[graft.iceberg.IcebergModel.ManifestEntry],
-      id: Int): Option[Long] = {
-    val per = entries.map(e =>
-      e.nullCounts.get(id).map(nc => e.recordCount - nc))
+      ts: Seq[graft.iceberg.TupleAgg], id: Int): Option[Long] = {
+    val per = ts.map(_.nonNull.get(id))
     if (per.exists(_.isEmpty)) None else Some(per.map(_.get).sum)
   }
+
+  /** Relation-attr names whose null counts / bounds the aggregates read
+    * — the columns the tuple-stat fold must carry. */
+  private def neededColsOf(agg: Aggregate): Seq[String] =
+    agg.aggregateExpressions.flatMap {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct =>
+        (ae.aggregateFunction match {
+          case c: Count => c.children.collect {
+            case ar: AttributeReference => ar }
+          case m: Min => m.child match {
+            case ar: AttributeReference => Seq(ar); case _ => Seq.empty }
+          case m: Max => m.child match {
+            case ar: AttributeReference => Seq(ar); case _ => Seq.empty }
+          case _ => Seq.empty
+        }).flatMap(ar => resolveToRelation(agg.child, ar).map(_.name))
+      case _ => Seq.empty
+    }.distinct
 
   /** Bind `a0` by LINEAGE (exprId down to the relation output through
     * `chain`), then map that physical attribute's name to its Iceberg
@@ -819,14 +811,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def fieldIdOf(
       chain: LogicalPlan, a0: AttributeReference,
       cols: Seq[graft.iceberg.IcebergModel.Column]): Option[Int] =
-    resolveToRelation(chain, a0).flatMap { a =>
-      cols.find(_.name == a.name)
-        .orElse(cols.filter(_.name.equalsIgnoreCase(a.name)) match {
-          case Seq(one) => Some(one)
-          case _ => None
-        })
-        .map(_.id)
-    }
+    resolveToRelation(chain, a0).flatMap(a =>
+      graft.iceberg.MetaAgg.columnByName(cols, a.name).map(_.id))
 
   /** Route to the cheapest exact metadata answer: unfiltered/ungrouped
     * goes through the O(1) list-stats path; anything with Filters or
@@ -871,13 +857,12 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => other
       }, OneRowRelation())
     }
-    t.metadataLive(spark).flatMap { case (entries0, cols, _) =>
-      val total = entries0.map(_.recordCount).sum
-      val entries = entries0.filter(_.recordCount > 0)
+    t.metadataLive(spark, neededColsOf(agg)).flatMap { case (tuples, cols, _) =>
+      val total = tuples.map(_.rows).sum
       def boundOf(a0: AttributeReference, lower: Boolean)
           : Option[Option[Any]] =
         fieldIdOf(aggChild, a0, cols)
-          .flatMap(id => boundFold(entries, id, a0.dataType, lower))
+          .flatMap(id => boundFold(tuples, id, lower))
       val outputs = agg.aggregateExpressions.map {
         case a @ Alias(l: Literal, _) =>
           Some(Alias(l, a.name)(exprId = a.exprId, qualifier = a.qualifier))
@@ -888,7 +873,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // every live entry records the column's null count
               case Seq(ar: AttributeReference) =>
                 fieldIdOf(aggChild, ar, cols)
-                  .flatMap(id => nonNullFold(entries, id))
+                  .flatMap(id => nonNullFold(tuples, id))
                   .map(Literal(_))
               case _ => Some(Literal(total))
             }
@@ -930,7 +915,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{BasePredicate, BoundReference, PlanExpression, Predicate => CPredicate}
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
-    t.metadataLive(spark).flatMap { case (entries0, cols, specsById) =>
+    t.metadataLive(spark, neededColsOf(agg)).flatMap {
+        case (tuples0, cols, specsById) =>
       val typeById = cols.map(c => c.id -> c.dataType).toMap
       // VALUE-EXACT partition fields: identity on any source, plus
       // day/days on a DATE source — day(date) stores the epoch-day
@@ -1402,10 +1388,9 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None // unexpected stored type — bail, don't guess
       }
 
-      // Catalyst row of the used identity values for one entry; None =
-      // the entry can't be evaluated (older spec, unconvertible value)
-      def entryRow(e: graft.iceberg.IcebergModel.ManifestEntry)
-          : Option[InternalRow] = {
+      // Catalyst row of the used identity values for one tuple; None =
+      // the tuple can't be evaluated (older spec, unconvertible value)
+      def entryRow(e: graft.iceberg.TupleAgg): Option[InternalRow] = {
         val vs = usedFields.map { case (pf, dt) =>
           e.partition.get(pf.name) match {
             case None => return None
@@ -1415,14 +1400,13 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(new GenericInternalRow(vs.toArray))
       }
 
-      // evaluate: zero-row files add nothing and must not mint groups.
-      // Exact conjuncts first — a file they exclude is out regardless of
-      // any straddling interval conjunct (AND semantics), so straddles
-      // only bail when the file would otherwise survive.
-      val entries = entries0.filter(_.recordCount > 0)
-      val evaluated: Seq[(graft.iceberg.IcebergModel.ManifestEntry,
-                          InternalRow)] =
-        entries.map(e => e -> entryRow(e).getOrElse(return None))
+      // evaluate per tuple (zero-row files were dropped by the fold and
+      // mint no groups). Exact conjuncts first — a tuple they exclude is
+      // out regardless of any straddling interval conjunct (AND
+      // semantics), so straddles only bail when the tuple would
+      // otherwise survive.
+      val evaluated: Seq[(graft.iceberg.TupleAgg, InternalRow)] =
+        tuples0.map(e => e -> entryRow(e).getOrElse(return None))
       val matching = evaluated.filter { case (e, row) =>
         predicates.forall(_.eval(row)) && intervals.forall { ic =>
           // a field the entry doesn't carry (older spec) is
@@ -1433,8 +1417,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
 
-      // the grouping-key values of one entry; None = unevaluable → bail
-      def groupKey(e: graft.iceberg.IcebergModel.ManifestEntry,
+      // the grouping-key values of one tuple; None = unevaluable → bail
+      def groupKey(e: graft.iceberg.TupleAgg,
                    row: InternalRow): Option[Seq[Any]] = {
         val vs = groupSpecs.map {
           case ExactVal(s) => row.get(srcIdx(s), idBySrc(s)._2)
@@ -1449,9 +1433,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(vs)
       }
 
-      // per-output serving over one group's (entry, used-value row) pairs
-      def outputsFor(pairs: Seq[(graft.iceberg.IcebergModel.ManifestEntry,
-                                 InternalRow)],
+      // per-output serving over one group's (tuple, used-value row) pairs
+      def outputsFor(pairs: Seq[(graft.iceberg.TupleAgg, InternalRow)],
                      key: Seq[Any]): Option[Seq[Any]] = {
         val es = pairs.map(_._1)
         val vs = agg.aggregateExpressions.map {
@@ -1477,17 +1460,17 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   fieldIdOf(agg.child, ar, cols)
                     .flatMap(id => nonNullFold(es, id))
                     .getOrElse(return None)
-                case _ => es.map(_.recordCount).sum
+                case _ => es.map(_.rows).sum
               }
               case m: Min =>
                 val a = m.child.asInstanceOf[AttributeReference]
                 fieldIdOf(agg.child, a, cols)
-                  .flatMap(id => boundFold(es, id, a.dataType, lower = true))
+                  .flatMap(id => boundFold(es, id, lower = true))
                   .getOrElse(return None).orNull
               case m: Max =>
                 val a = m.child.asInstanceOf[AttributeReference]
                 fieldIdOf(agg.child, a, cols)
-                  .flatMap(id => boundFold(es, id, a.dataType, lower = false))
+                  .flatMap(id => boundFold(es, id, lower = false))
                   .getOrElse(return None).orNull
               case _ => return None
             }

@@ -601,15 +601,29 @@ final case class GraftTable(
     else scala.util.Try(
       IcebergScan.metadataRowCount(spark, path, opts)).toOption.flatten
 
-  /** Live data entries + snapshot schema + specs-by-id when the snapshot
-    * is delete-free — the metadata COUNT/MIN/MAX rewrite's input. */
-  private[sql] def metadataLive(spark: SparkSession)
-      : Option[(Seq[graft.iceberg.IcebergModel.ManifestEntry],
+  // one distributed fold per (snapshot view, needed columns), not per
+  // analyzer/optimizer fixpoint iteration
+  @transient private lazy val metadataLiveMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      Seq[String],
+      Option[(Seq[graft.iceberg.TupleAgg],
+              Seq[graft.iceberg.IcebergModel.Column],
+              Map[Int, Seq[graft.iceberg.IcebergModel.PartitionFieldSpec]])]]()
+
+  /** Per-tuple stat partials + snapshot schema + specs-by-id when the
+    * snapshot is delete-free — the metadata COUNT/MIN/MAX rewrite's
+    * input. Wide snapshots fold entries to partials on the executors
+    * (round 17); `neededCols` are the columns whose null counts/bounds
+    * the aggregates read. */
+  private[sql] def metadataLive(spark: SparkSession, neededCols: Seq[String])
+      : Option[(Seq[graft.iceberg.TupleAgg],
                 Seq[graft.iceberg.IcebergModel.Column],
                 Map[Int, Seq[graft.iceberg.IcebergModel.PartitionFieldSpec]])] =
     if (opts.filters.nonEmpty || opts.mode != "default") None
-    else scala.util.Try(
-      IcebergScan.metadataLiveEntries(spark, path, opts)).toOption.flatten
+    else metadataLiveMemo.computeIfAbsent(
+      neededCols.distinct.sorted,
+      k => scala.util.Try(
+        IcebergScan.metadataTupleStats(spark, path, opts, k)).toOption.flatten)
 
   /** Run a writer op against the correct table root, committing through
     * the REST catalog when this table is catalog-managed — a write that

