@@ -131,7 +131,13 @@ object Bench {
             try {
               runToNoop(byName(name)(spark, sfDir))
               allRuns(name) = allRuns(name) :+ (System.nanoTime() - t0) / 1e9
-            } catch { case _: Throwable => () }
+            } catch { case e: Throwable =>
+              // a retry crash marks the query failed like any other run
+              // (ADVICE r16: swallowing it kept the success status)
+              System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
+              errors(name) =
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+            }
           }
         }
       }
@@ -286,6 +292,8 @@ object Bench {
       "%.2f".formatLocal(java.util.Locale.ROOT, statSpreadRatio) +
       s""","contended_queries":$contended""" +
       s""","contended_retried":${retriedQueries.size}""" +
+      s""","contended_retried_queries":${
+        retriedQueries.map(q => "\"" + q + "\"").mkString("[", ",", "]")}""" +
       baseline +
       s""","sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")

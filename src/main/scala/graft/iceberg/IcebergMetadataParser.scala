@@ -250,7 +250,10 @@ object IcebergMetadataParser {
           IcebergSchemaParser.parseSchemaById(info.schemas, sid)),
       partitionSpec = info.defaultPartitionSpec,
       properties = info.properties,
-      partitionSpecsById = info.partitionSpecsById)
+      partitionSpecsById = info.partitionSpecsById,
+      snapshotTimestamps = info.snapshots.flatMap(sn =>
+        scala.util.Try(sn.get("snapshot-id").asLong ->
+          sn.get("timestamp-ms").asLong).toOption).toMap)
   }
 
   /** Derive each DEFAULTED column's first-appearance sequence number: the

@@ -48,7 +48,11 @@ object IcebergModel {
       // manifest-list `partition_spec_id` names which one a manifest's
       // partition summaries align to, so manifest-level pruning must
       // resolve historical specs too.
-      partitionSpecsById: Map[Int, Seq[PartitionFieldSpec]] = Map.empty)
+      partitionSpecsById: Map[Int, Seq[PartitionFieldSpec]] = Map.empty,
+      // snapshot-id → timestamp-ms over the metadata's retained
+      // snapshots, captured at parse time so per-file commit-instant
+      // mtimes never re-read metadata.json during scan building.
+      snapshotTimestamps: Map[Long, Long] = Map.empty)
 
   /** Per-partition-field value summary of one manifest (Iceberg spec
     * "Manifest Lists" `field_summary`; the reference's full codec models it

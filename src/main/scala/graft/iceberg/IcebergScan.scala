@@ -276,23 +276,24 @@ object IcebergScan {
     val scanConf = hadoopConf(spark)
     // Per-file COMMITTING-snapshot timestamps (round 16): entry
     // `snapshot_id` — inherited from the manifest's `added_snapshot_id`
-    // when absent — resolved against the metadata's snapshot log, so
+    // when absent — resolved against the snapshot log CAPTURED AT PARSE
+    // TIME (ADVICE r16: no metadata.json re-read per scan build), so
     // `_metadata.file_modification_time` stays STABLE on unchanged files
-    // across unrelated commits. Files whose committing snapshot can't be
-    // resolved (expired, foreign partial metadata) fall back per file to
-    // the scanned snapshot's timestamp.
+    // across unrelated commits. Only DATA manifests fold — delete-file
+    // paths can never appear in the data-file status list. Files whose
+    // committing snapshot can't be resolved (expired, foreign partial
+    // metadata) fall back per file to the scanned snapshot's timestamp.
     lazy val mtimeByPath: Map[String, Long] = {
-      val tsBySnap: Map[Long, Long] =
-        scala.util.Try(loadInfo(spark, path, opts).snapshots.flatMap(sn =>
-          scala.util.Try(sn.get("snapshot-id").asLong ->
-            sn.get("timestamp-ms").asLong).toOption).toMap)
-          .getOrElse(Map.empty)
+      val tsBySnap = snapshot.snapshotTimestamps
       if (tsBySnap.isEmpty) Map.empty
       else meta.entries.flatMap { case (m, es) =>
-        val inherit = m.stats.map(_.addedSnapshotId)
-        es.flatMap { e =>
-          e.snapshotId.orElse(inherit).flatMap(tsBySnap.get)
-            .map(ts => resolved(path, e.filePath, opts) -> ts)
+        if (m.content != 0) Seq.empty
+        else {
+          val inherit = m.stats.map(_.addedSnapshotId)
+          es.flatMap { e =>
+            e.snapshotId.orElse(inherit).flatMap(tsBySnap.get)
+              .map(ts => resolved(path, e.filePath, opts) -> ts)
+          }
         }
       }.toMap
     }
