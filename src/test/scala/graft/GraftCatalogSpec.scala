@@ -1120,6 +1120,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq ===
       Seq((2024, 1, 100L)))
     assert(scansOf(e1) === 0)
+    // WEEK over a month transform must scan (weeks straddle months) ...
+    val w2 = spark.sql(
+      """SELECT trunc(CAST(ts AS DATE), 'week') AS w, count(*) AS c
+        |FROM graft.db.cd_month GROUP BY 1""".stripMargin)
+    assert(w2.collect().map(_.getLong(1)).sum === 96L)
+    assert(scansOf(w2) > 0, "weekly rollup over month files must scan")
     // non-UTC session: TimestampType truncation must scan, stays exact
     val zone0 = spark.conf.get("spark.sql.session.timeZone")
     try {

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.iceberg.{IcebergModel, MetaAgg, TupleAgg}
+
+/** Unit pins for the per-tuple stat partials (round 17): the fold/merge
+  * must preserve the driver-side rules EXACTLY — an all-null entry skips
+  * MIN/MAX without poisoning, a contributing entry without a decodable
+  * bound poisons, absent null counts poison the non-null total, zero-row
+  * entries never mint partials, and merging is associative over the
+  * three-valued bound state. */
+class MetaAggSpec extends AnyFunSuite {
+
+  private val Id = 7
+  private val needed = Seq(Id -> LongType)
+
+  private def le8(v: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(v); b.array()
+  }
+
+  private def entry(rows: Long, nullCount: Option[Long],
+                    lo: Option[Long], hi: Option[Long],
+                    part: Map[String, Any] = Map("dt" -> Int.box(1))) =
+    IcebergModel.ManifestEntry(
+      status = 1, content = 0, filePath = s"f${util.Random.nextInt()}",
+      fileFormat = "PARQUET", recordCount = rows, fileSizeInBytes = 1L,
+      partition = part,
+      nullCounts = nullCount.map(Id -> _).toMap,
+      lowerBounds = lo.map(v => Id -> le8(v)).toMap,
+      upperBounds = hi.map(v => Id -> le8(v)).toMap)
+
+  test("fold drops zero-row entries and merges per partition tuple") {
+    val ts = MetaAgg.fold(Iterator(
+      entry(10, Some(0), Some(5), Some(9)),
+      entry(0, Some(0), Some(1), Some(2)), // zero-row: no partial
+      entry(20, Some(2), Some(3), Some(7)),
+      entry(5, Some(0), Some(100), Some(200), Map("dt" -> Int.box(2)))),
+      needed)
+    assert(ts.size === 2)
+    val t1 = ts.find(_.partition("dt") == Int.box(1)).get
+    assert(t1.rows === 30L)
+    assert(t1.nonNull(Id) === 28L)
+    assert(MetaAgg.cmpKey(t1.lo(Id)) === 3L)
+    assert(MetaAgg.cmpKey(t1.hi(Id)) === 9L)
+    assert(!t1.allNull(Id) && !t1.poisoned(Id))
+  }
+
+  test("all-null entries skip MIN/MAX without poisoning; fully-null tuples mark allNull") {
+    // sparse column: one all-null file + one real file
+    val sparse = MetaAgg.fold(Iterator(
+      entry(10, Some(10), None, None), // provably all-null: no bound needed
+      entry(4, Some(0), Some(42), Some(50))), needed).head
+    assert(!sparse.poisoned(Id) && !sparse.allNull(Id))
+    assert(MetaAgg.cmpKey(sparse.lo(Id)) === 42L)
+    assert(sparse.nonNull(Id) === 4L)
+    // entirely-null tuple
+    val allN = MetaAgg.fold(Iterator(
+      entry(10, Some(10), None, None),
+      entry(3, Some(3), None, None)), needed).head
+    assert(allN.allNull(Id) && !allN.poisoned(Id))
+    assert(allN.nonNull(Id) === 0L)
+  }
+
+  test("a contributing entry without a decodable bound poisons; absent null count poisons the total") {
+    val poisoned = MetaAgg.fold(Iterator(
+      entry(10, Some(0), None, None), // contributing, no bounds recorded
+      entry(4, Some(0), Some(1), Some(2))), needed).head
+    assert(poisoned.poisoned(Id))
+    // absent null count: bounds still fine, non-null total absent
+    val noNc = MetaAgg.fold(Iterator(
+      entry(10, None, Some(1), Some(9))), needed).head
+    assert(!noNc.nonNull.contains(Id))
+    assert(!noNc.poisoned(Id) && MetaAgg.cmpKey(noNc.hi(Id)) === 9L)
+  }
+
+  test("merge propagates poison over allNull and keeps exact sums") {
+    def t(rows: Long, nn: Option[Long], lo: Option[Long], hi: Option[Long],
+          all: Boolean, poi: Boolean) =
+      TupleAgg(Map("dt" -> Int.box(1)), rows,
+        nn.map(Id -> _).toMap,
+        lo.map(v => Id -> (v: Any)).toMap, hi.map(v => Id -> (v: Any)).toMap,
+        if (all) Set(Id) else Set.empty, if (poi) Set(Id) else Set.empty)
+    val a = t(10, Some(8), Some(3L), Some(7L), all = false, poi = false)
+    val b = t(5, Some(5), None, None, all = true, poi = false)
+    val c = t(2, None, None, None, all = false, poi = true)
+    val ab = MetaAgg.merge(a, b, needed)
+    assert(ab.rows === 15L && ab.nonNull(Id) === 13L)
+    assert(!ab.allNull(Id) && !ab.poisoned(Id))
+    assert(MetaAgg.cmpKey(ab.lo(Id)) === 3L)
+    val abc = MetaAgg.merge(ab, c, needed)
+    assert(abc.poisoned(Id), "poison must survive any merge order")
+    assert(!abc.nonNull.contains(Id), "absent total poisons the sum")
+    val bb = MetaAgg.merge(b, b, needed)
+    assert(bb.allNull(Id) && bb.nonNull(Id) === 10L)
+  }
+
+  test("decode is exact for int (4-byte) and long (8-byte) domains") {
+    val b4 = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b4.putInt(-123); val intBytes = b4.array()
+    assert(MetaAgg.decodeCat(IntegerType, intBytes) === Some(-123))
+    assert(MetaAgg.decodeCat(LongType, intBytes) === None,
+      "a long decode must not read past a 4-byte bound")
+    assert(MetaAgg.decodeCat(LongType, le8(Long.MinValue)) ===
+      Some(Long.MinValue))
+  }
+}

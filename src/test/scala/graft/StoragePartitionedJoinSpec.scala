@@ -537,6 +537,54 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
       (0L until 150L).filterNot(Set(5L, 120L, 7L, 121L)).map(_ + 7).sum)
   }
 
+  test("equality delete ON the defaulted column matches filled values (round 17)") {
+    import spark.implicits._
+    // The subtle composition case: the eq-delete KEY column is itself the
+    // initial-default column. Pre-evolution rows carry no stored value —
+    // the reader must present the FILL to the key probe (the native plan
+    // fills before its anti join), so a delete keyed on the default value
+    // kills every legacy row.
+    val pa = s"$wh/db/spjdk_a"
+    val pb = s"$wh/db/spjdk_b"
+    IcebergWriter.write(
+      spark.range(0, 80).select(col("id").as("k"), (col("id") * 10).as("v")),
+      pa, partitionBy = Seq("k" -> "bucket[4]"), formatVersion = 3)
+    IcebergWriter.write(
+      spark.range(0, 200).select(col("id").as("k"), (col("id") + 7).as("w")),
+      pb, partitionBy = Seq("k" -> "bucket[4]"), formatVersion = 3)
+    IcebergWriter.addColumn(spark, pa, "tier",
+      org.apache.spark.sql.types.StringType,
+      initialDefault = Some("legacy"), writeDefault = Some("standard"))
+    IcebergWriter.write(
+      spark.range(80, 120).select(col("id").as("k"), (col("id") * 10).as("v"),
+        when(col("id") % 2 === 0, lit("gold")).otherwise(lit("legacy"))
+          .as("tier")),
+      pa)
+    // delete BY the defaulted column's default value
+    IcebergWriter.deleteEquality(spark, pa, Seq("legacy").toDF("tier"))
+    val joined = spark.sql(
+      """SELECT a.k, a.tier, b.w
+        |FROM graft.db.spjdk_a a JOIN graft.db.spjdk_b b ON a.k = b.k"""
+        .stripMargin)
+    assert(shuffles(joined) === 0,
+      s"defaulted-key eq-delete must keep SPJ:\n${joined.queryExecution.executedPlan}")
+    val rows = joined.collect()
+    // 80 legacy-filled + 20 stored-'legacy' rows die; 20 'gold' survive
+    assert(rows.length === 20)
+    assert(rows.forall(_.getString(1) == "gold"))
+    // and the keyed answer matches the native spliced plan exactly
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val native = spark.sql(
+        "SELECT count(*) FROM graft.db.spjdk_a WHERE tier = 'gold'")
+        .head.getLong(0)
+      assert(native === 20L)
+      assert(spark.sql("SELECT count(*) FROM graft.db.spjdk_a")
+        .head.getLong(0) === 20L)
+    } finally
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
   test("TVF iceberg_scan joins storage-partitioned too (round 16 unification)") {
     // the reference's own surface: two path-based iceberg_scan calls
     // over co-bucketed tables now resolve to DSv2 relations and zip
