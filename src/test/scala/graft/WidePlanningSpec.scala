@@ -197,6 +197,30 @@ class WidePlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(ManifestReader.PlanningCacheMaxEntriesKey)
   }
 
+  test("tuple partials: executor fold matches the driver-side fold exactly") {
+    // parity pin (like the entry-fetch parity test): the distributed
+    // wideTupleStats fold and MetaAgg.fold over a full driver decode
+    // must agree partial-for-partial — the two paths share the fold
+    // code, and this keeps them honest if either ever specializes
+    ManifestReader.invalidatePlanningCache()
+    val snap = IcebergScan.selectSnapshot(spark, table, IcebergScan.Options())
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.setLong(ManifestReader.PlanningCacheMaxEntriesKey, 2000L)
+    val wide = ManifestReader.wideTupleStats(
+      table, snap, conf, allowMovedPaths = false, Seq.empty)
+    assert(wide.isDefined, "the 50k-entry fixture must take the wide path")
+    val driver = graft.iceberg.MetaAgg.fold(
+      ManifestReader.loadTable(table, snap,
+          spark.sessionState.newHadoopConf(), allowMovedPaths = false)
+        .entries.iterator.flatMap(_._2), Seq.empty)
+    def keyed(ts: Seq[graft.iceberg.TupleAgg]) =
+      ts.map(t => t.partition("dt") -> t.rows).toMap
+    assert(keyed(wide.get) === keyed(driver))
+    assert(wide.get.size === Manifests)
+    assert(wide.get.map(_.rows).sum === (Manifests * EntriesPer).toLong)
+  }
+
   test("row count serves from manifest-list stats without decoding entries") {
     ManifestReader.invalidatePlanningCache()
     val (d0, _) = ManifestReader.manifestPruneStats
