@@ -293,6 +293,21 @@ object AvroDataSource {
       f.name != FileCol && f.name != PosCol)
     private val qualifiedUtf8 = UTF8String.fromString(qualified)
 
+    // v3 initial-defaults, the same per-file presence rule the parquet
+    // reader applies: a field PHYSICALLY ABSENT from this container's
+    // writer schema reads its EXISTS_DEFAULT (catalyst-internal value,
+    // resolved once per reader from the read schema's field metadata);
+    // fields the writer stored keep their values, including nulls.
+    private val existsDefault: Array[Any] =
+      if (!org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .hasExistenceDefaultValues(required)) new Array[Any](required.length)
+      else org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .getExistenceDefaultValues(required)
+    private def hasExistsDefault(c: String): Boolean =
+      required.fields.exists(f => f.name == c && f.metadata.contains(
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+
     // decode plan per required column, resolved ONCE per file: -2 file
     // provenance, -3 row position, -1 null (field the writer never
     // stored — schema evolution null-fill, the ORC contract), >=0 the
@@ -362,7 +377,10 @@ object AvroDataSource {
           def comparison(c: String, v: Any, keep: Int => Boolean)
               : Option[GenericRecord => Boolean] = info(c) match {
             // writer never stored the column → it reads null → SQL
-            // comparison semantics: never matches
+            // comparison semantics: never matches. EXCEPT defaulted
+            // columns, which read their initial-default: no matcher
+            // (the residual filter re-checks the filled value).
+            case None if hasExistsDefault(c) => None
             case None => Some(_ => false)
             case Some((p, dt)) =>
               val target = norm(dt,
@@ -384,6 +402,7 @@ object AvroDataSource {
             case LessThan(c, v)           => comparison(c, v, _ < 0)
             case LessThanOrEqual(c, v)    => comparison(c, v, _ <= 0)
             case In(c, vs) => info(c) match {
+              case None if hasExistsDefault(c) => None
               case None => Some(_ => false)
               case Some((p, dt)) =>
                 val conv = CatalystTypeConverters.createToCatalystConverter(dt)
@@ -394,10 +413,12 @@ object AvroDataSource {
                 }
             }
             case IsNull(c) => info(c) match {
+              case None if hasExistsDefault(c) => None
               case None => Some(_ => true)
               case Some((p, _)) => Some(r => r.get(p) == null)
             }
             case IsNotNull(c) => info(c) match {
+              case None if hasExistsDefault(c) => None
               case None => Some(_ => false)
               case Some((p, _)) => Some(r => r.get(p) != null)
             }
@@ -436,7 +457,7 @@ object AvroDataSource {
         vals(i) = colPlan(i) match {
           case ColFile => qualifiedUtf8
           case ColPos  => pos
-          case ColNull => null
+          case ColNull => existsDefault(i) // null unless an initial-default
           case p       => toCatalyst(required.fields(i).dataType, rec.get(p))
         }
         i += 1

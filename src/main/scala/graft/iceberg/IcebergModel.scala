@@ -14,15 +14,14 @@ object IcebergModel {
   /** One column of a snapshot schema (iceberg_metadata.hpp:38-51). */
   /** `initialDefault`/`writeDefault` are the spec-v3 column defaults
     * (Iceberg spec "Default values"): initial-default is the value rows
-    * written BEFORE the field existed read back; write-default fills the
-    * column when an append omits it. `addedAtSeq` is derived (not stored):
-    * the first sequence number whose snapshot schema declares this field —
-    * data files strictly older than it predate the column. */
+    * read back from files that do NOT physically contain the field
+    * (decided per file from its footer, via EXISTS_DEFAULT read-schema
+    * metadata — see IcebergSchemaParser.toStructType); write-default
+    * fills the column when an append omits it. */
   final case class Column(
       id: Int, name: String, dataType: DataType, required: Boolean,
       initialDefault: Option[Any] = None,
-      writeDefault: Option[Any] = None,
-      addedAtSeq: Option[Long] = None)
+      writeDefault: Option[Any] = None)
 
   /** One field of a partition spec (metadata.json `partition-specs`). The
     * reference parses specs with nobody consuming them (SURVEY §2.10); here

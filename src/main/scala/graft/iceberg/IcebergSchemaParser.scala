@@ -122,10 +122,29 @@ object IcebergSchemaParser {
   /** Columns → Spark read schema carrying Iceberg field ids so the parquet
     * reader resolves columns by id (rename/evolution-safe), the analogue of
     * the reference's id-keyed schema map (iceberg_scan.cpp:103-128).
-    * Requires spark.sql.parquet.fieldId.read.enabled=true. */
+    * Requires spark.sql.parquet.fieldId.read.enabled=true.
+    *
+    * Spec-v3 `initial-default` columns additionally carry Spark's
+    * EXISTS_DEFAULT field metadata: the parquet/ORC readers substitute it
+    * for columns PHYSICALLY ABSENT from a data file (present columns keep
+    * their stored values, including genuine nulls). That per-file
+    * footer-presence rule is the spec's own default-resolution rule, and —
+    * unlike any sequence-number derivation — it cannot be perturbed by
+    * snapshot expiry (an expired declaring snapshot used to slide the
+    * derived add-sequence forward and overwrite stored values). */
   def toStructType(cols: Seq[Column]): StructType =
     StructType(cols.map { c =>
-      val md = new MetadataBuilder().putLong("parquet.field.id", c.id.toLong).build()
-      StructField(c.name, c.dataType, nullable = !c.required, metadata = md)
+      val b = new MetadataBuilder().putLong("parquet.field.id", c.id.toLong)
+      c.initialDefault.foreach { v =>
+        val sql = scala.util.Try(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(v, c.dataType).sql)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"column '${c.name}': initial-default value '$v' is not " +
+            s"expressible as a ${c.dataType.sql} literal"))
+        b.putString(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+      }
+      StructField(c.name, c.dataType, nullable = !c.required, metadata = b.build())
     }.toArray)
 }

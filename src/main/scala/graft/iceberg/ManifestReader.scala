@@ -474,6 +474,7 @@ object ManifestReader {
     planCache.synchronized(planCache.clear())
     listCache.synchronized(listCache.clear())
     entryCache.synchronized(entryCache.clear())
+    IcebergScan.clearDvCardinalityCache()
   }
 
   private val manifestsDecodedCtr = new java.util.concurrent.atomic.AtomicLong

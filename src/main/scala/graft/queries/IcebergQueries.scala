@@ -2553,6 +2553,66 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib80_metadata_dv_count",
+      // DV-ONLY METADATA COUNT gate (round 18, VERDICT r17 #2): a v3
+      // day(ts)-partitioned fact DML-deleted in place — the normal
+      // production state between compactions — keeps its scan-free
+      // COUNT(*) shapes: count = Σ record_count − Σ DV cardinality
+      // (one memoized puffin blob read per DV'd file, zero data I/O),
+      // subtracted per partition tuple for the filtered and grouped
+      // forms. `metadata_only` pins the scan-free plan; values
+      // hash-match DuckDB replaying the delete predicate over the raw
+      // rows. Equality/parquet-position deletes provably fall through
+      // (spec'd in GraftCatalogSpec).
+      Some("""
+        SELECT which, d, cnt, CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM (
+          SELECT 'total' AS which, CAST(NULL AS DATE) AS d, COUNT(*) AS cnt
+          FROM events WHERE event_id % 7 <> 3
+          UNION ALL
+          SELECT 'filtered', CAST(NULL AS DATE), COUNT(*)
+          FROM events
+          WHERE event_id % 7 <> 3
+            AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+          UNION ALL
+          SELECT 'day', CAST(ts AS DATE), COUNT(*)
+          FROM events WHERE event_id % 7 <> 3
+          GROUP BY CAST(ts AS DATE)
+        )"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib80", dir) { () =>
+          val wh = ensureCatalog(s)
+          val path = s"$wh/g/dvcnt_$suffix"
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), path,
+            partitionBy = Seq("ts" -> "day"), formatVersion = 3)
+          graft.iceberg.IcebergWriter.delete(s, path, expr("event_id % 7 = 3"))
+          s"graft_cat.g.dvcnt_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT 'total' AS which, CAST(NULL AS DATE) AS d,
+                     COUNT(*) AS cnt
+              FROM $name
+              UNION ALL
+              SELECT 'filtered', CAST(NULL AS DATE), COUNT(*)
+              FROM $name
+              WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+              UNION ALL
+              SELECT 'day', CAST(ts AS DATE), COUNT(*)
+              FROM $name GROUP BY CAST(ts AS DATE)""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 

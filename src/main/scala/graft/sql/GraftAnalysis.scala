@@ -666,7 +666,8 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         ae.filter.isEmpty && (ae.aggregateFunction match {
           case c: Count =>
             c.children.nonEmpty &&
-              c.children.forall(_.isInstanceOf[AttributeReference])
+              c.children.forall(ch => ch.isInstanceOf[AttributeReference] ||
+                periodShape(ch).isDefined) // r18: distinct periods
           case _ => false
         })
       else ae.filter.isEmpty && (ae.aggregateFunction match {
@@ -813,6 +814,53 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       cols: Seq[graft.iceberg.IcebergModel.Column]): Option[Int] =
     resolveToRelation(chain, a0).flatMap(a =>
       graft.iceberg.MetaAgg.columnByName(cols, a.name).map(_.id))
+
+  // --- calendar-period expression shapes (shared by the GROUP BY and
+  // count(DISTINCT …) recognizers and the servability pre-check) ---
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Month, Quarter, TruncDate, TruncTimestamp, Year}
+  private def tsSide(x: Expression): Option[AttributeReference] = x match {
+    case ar: AttributeReference => Some(ar)
+    case Cast(ar: AttributeReference,
+              TimestampType | TimestampNTZType, _, _) => Some(ar)
+    case _ => None
+  }
+  private def dateSide(x: Expression): Option[AttributeReference] = x match {
+    case ar: AttributeReference if ar.dataType == DateType => Some(ar)
+    case Cast(ar: AttributeReference, DateType, _, _) => Some(ar)
+    case _ => None
+  }
+  private def truncKey(fmt: Any): Option[String] =
+    Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
+      case "month" | "mon" | "mm" => "month"
+      case "year" | "yyyy" | "yy" => "year"
+      case "quarter"              => "quarter"
+      case "week"                 => "week"
+      case "day" | "dd"           => "day"
+      case "hour"                 => "hour"
+    }
+  /** (source attribute, out-kind) of a supported period expression.
+    * `date_trunc('hour', ts)` is admitted (r18, VERDICT r17 #4): an
+    * hour-transform file's ordinal maps to exactly one hour. An OUTER
+    * cast of a timestamp-valued period to TIMESTAMP_NTZ renders the
+    * same micros (serving requires the UTC session zone anyway), so
+    * `CAST(date_trunc(…, ts) AS TIMESTAMP_NTZ)` serves too. */
+  private def periodShape(e: Expression): Option[(AttributeReference, String)] =
+    e match {
+      case Cast(ar: AttributeReference, DateType, _, _) =>
+        Some((ar, "date"))
+      case Cast(inner, TimestampNTZType, _, _) =>
+        periodShape(inner).filter(_._2.endsWith("-ts"))
+      case TruncTimestamp(Literal(fmt, StringType), tse, _) =>
+        for (k <- truncKey(fmt); ar <- tsSide(tse)) yield (ar, s"$k-ts")
+      case TruncDate(de, Literal(fmt, StringType)) =>
+        // dates carry no hours — trunc(date, 'hour') is NULL in Spark
+        for (k <- truncKey(fmt) if k != "hour"; ar <- dateSide(de))
+          yield (ar, s"$k-date")
+      case Year(de)    => dateSide(de).map((_, "year-int"))
+      case Month(de)   => dateSide(de).map((_, "month-int"))
+      case Quarter(de) => dateSide(de).map((_, "quarter-int"))
+      case _ => None
+    }
 
   /** Route to the cheapest exact metadata answer: unfiltered/ungrouped
     * goes through the O(1) list-stats path; anything with Filters or
@@ -1028,9 +1076,19 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }
       // the period's rendered value when the day range maps into ONE
-      // period; None = the file spans periods (or odd value) → bail
+      // period; None = the file spans periods (or odd value) → bail.
+      // "hour-ts" (r18) is finer than a day: it serves only from hour
+      // ordinals and micros-exact sources — every coarser transform's
+      // range spans 24+ hours and provably falls through.
       def periodValue(srcKind: String, out: String, v: Any): Option[Any] =
-        dayRangeOfAny(srcKind, v).flatMap { case (loD, hiD) =>
+        if (out == "hour-ts") (srcKind, v) match {
+          case ("hour", i: java.lang.Integer) =>
+            Some(Long.box(i.longValue * 3600000000L))
+          case ("micros", l: java.lang.Long) =>
+            Some(Long.box(Math.floorDiv(l.longValue, 3600000000L) * 3600000000L))
+          case _ => None
+        }
+        else dayRangeOfAny(srcKind, v).flatMap { case (loD, hiD) =>
           import java.time.LocalDate
           val a = LocalDate.ofEpochDay(loD)
           val b = LocalDate.ofEpochDay(hiD)
@@ -1076,39 +1134,6 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
 
-      // (source attribute, out-kind) of a supported period expression
-      def tsSide(x: Expression): Option[AttributeReference] = x match {
-        case ar: AttributeReference => Some(ar)
-        case Cast(ar: AttributeReference,
-                  TimestampType | TimestampNTZType, _, _) => Some(ar)
-        case _ => None
-      }
-      def dateSide(x: Expression): Option[AttributeReference] = x match {
-        case ar: AttributeReference if ar.dataType == DateType => Some(ar)
-        case Cast(ar: AttributeReference, DateType, _, _) => Some(ar)
-        case _ => None
-      }
-      def truncKey(fmt: Any): Option[String] =
-        Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
-          case "month" | "mon" | "mm" => "month"
-          case "year" | "yyyy" | "yy" => "year"
-          case "quarter"              => "quarter"
-          case "week"                 => "week"
-          case "day" | "dd"           => "day"
-        }
-      def periodShape(e: Expression): Option[(AttributeReference, String)] =
-        e match {
-          case Cast(ar: AttributeReference, DateType, _, _) =>
-            Some((ar, "date"))
-          case TruncTimestamp(Literal(fmt, StringType), tse, _) =>
-            for (k <- truncKey(fmt); ar <- tsSide(tse)) yield (ar, s"$k-ts")
-          case TruncDate(de, Literal(fmt, StringType)) =>
-            for (k <- truncKey(fmt); ar <- dateSide(de)) yield (ar, s"$k-date")
-          case Year(de)    => dateSide(de).map((_, "year-int"))
-          case Month(de)   => dateSide(de).map((_, "month-int"))
-          case Quarter(de) => dateSide(de).map((_, "quarter-int"))
-          case _ => None
-        }
       // any TimestampType node evaluates through the session zone
       def zoneOk(e: Expression): Boolean =
         sessionTzUtc || !e.exists(n =>
@@ -1272,26 +1297,38 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // DISTINCT-count children: each must resolve (by lineage) to a
       // VALUE-EXACT partition source — the distinct count then equals
       // the number of distinct non-null stored tuple values over the
-      // surviving entries. Anything else (interval transform, bucket,
-      // data column) bails to the normal plan.
-      val distinctSrcs: Seq[String] = agg.aggregateExpressions.flatMap {
+      // surviving entries — or (r18, VERDICT r17 #3) to a calendar
+      // PERIOD of a partition source: the distinct count of
+      // `CAST(ts AS DATE)` over a day(ts) transform is the count of
+      // distinct rendered periods over surviving entries, exact when
+      // every file's ordinal maps into one period ("active days"
+      // dashboards). Anything else (bucket, data column) bails.
+      // (a period child may already be pulled into a Project alias by
+      // the time this rule sees it — periodAliasOf chases the exprId)
+      def distinctPick(ch: Expression): Option[GroupVal] = ch match {
+        case ar: AttributeReference =>
+          identityOf(agg.child, ar).map(ExactVal(_): GroupVal)
+            .orElse(periodAliasOf(agg.child, ar))
+        case e => periodOf(agg.child, e)
+      }
+      val distinctVals: Seq[GroupVal] = agg.aggregateExpressions.flatMap {
         case Alias(ae: AggregateExpression, _) if ae.isDistinct =>
           ae.aggregateFunction match {
-            case c: Count => c.children.map {
-              case ar: AttributeReference =>
-                identityOf(agg.child, ar).getOrElse(return None)
-              case _ => return None
-            }
+            case c: Count =>
+              c.children.map(distinctPick(_).getOrElse(return None))
             case _ => return None
           }
         case _ => Seq.empty
       }
+      val distinctSrcs: Seq[String] =
+        distinctVals.collect { case ExactVal(s) => s }
 
       val usedSrcs: Seq[String] =
         (groupSrcs ++ filterSrcs ++ distinctSrcs).distinct
       // bare-agg shape (no exact fields, no interval checks, no
       // grouping, no distinct counts) is the global path's job
-      if (usedSrcs.isEmpty && intervals.isEmpty && groupSpecs.isEmpty)
+      if (usedSrcs.isEmpty && intervals.isEmpty && groupSpecs.isEmpty &&
+          distinctVals.isEmpty)
         return None
       val srcIdx: Map[String, Int] = usedSrcs.zipWithIndex.toMap
       val usedFields = usedSrcs.map(s => idBySrc(s))
@@ -1306,7 +1343,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         specsById.values.forall(_.filter(_.name == pf.name).forall(f =>
           valueExact(f, dt) && f.sourceId == pf.sourceId))
       } && (intervals.map(ic => (ic.fieldName, ic.kind)) ++
-            groupSpecs.collect {
+            (groupSpecs ++ distinctVals).collect {
               case PeriodVal(_, f, k, _, false) => (f, k) })
         .distinct.forall { case (fname, kind) =>
           val pf = t.partitionFields.map(_._1).find(_.name == fname)
@@ -1314,7 +1351,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           specsById.values.forall(_.filter(_.name == fname).forall(f =>
             f.sourceId == pf.sourceId &&
               f.transform.toLowerCase.stripSuffix("s") == kind))
-        } && groupSpecs.collect {
+        } && (groupSpecs ++ distinctVals).collect {
           case PeriodVal(src, f, _, _, true) => (src, f) }
         .distinct.forall { case (src, fname) =>
           // value-exact period source: every spec naming the field must
@@ -1440,18 +1477,28 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val vs = agg.aggregateExpressions.map {
           case Alias(l: Literal, _) => l.value
           case Alias(ae: AggregateExpression, _) if ae.isDistinct =>
-            // distinct tuples of value-exact sources; SQL distinct
-            // excludes any tuple with a null component
-            val picks = ae.aggregateFunction match {
-              case c: Count => c.children.map { case ar: AttributeReference =>
-                val s = identityOf(agg.child, ar).getOrElse(return None)
-                (srcIdx(s), idBySrc(s)._2)
-              }
+            // distinct tuples of value-exact sources and/or rendered
+            // calendar periods (r18); SQL distinct excludes any tuple
+            // with a null component; a period straddle bails (the
+            // month-transform-asked-for-days fall-through)
+            val picks: Seq[GroupVal] = ae.aggregateFunction match {
+              case c: Count =>
+                c.children.map(distinctPick(_).getOrElse(return None))
               case _ => return None
             }
-            pairs.map { case (_, row) =>
-              picks.map { case (i, dt) =>
-                if (row.isNullAt(i)) null else row.get(i, dt) }
+            pairs.map { case (e, row) =>
+              picks.map {
+                case ExactVal(s) =>
+                  val (i, dt) = (srcIdx(s), idBySrc(s)._2)
+                  if (row.isNullAt(i)) null else row.get(i, dt)
+                case PeriodVal(_, fname, srcKind, out, _) =>
+                  e.partition.get(fname) match {
+                    case None => return None // older spec — unevaluable
+                    case Some(null) => null  // all-null source: excluded
+                    case Some(v) =>
+                      periodValue(srcKind, out, v).getOrElse(return None)
+                  }
+              }
             }.filter(_.forall(_ != null)).distinct.size.toLong
           case Alias(ae: AggregateExpression, _) =>
             ae.aggregateFunction match {

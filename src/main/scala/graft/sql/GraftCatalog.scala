@@ -593,7 +593,8 @@ final case class GraftTable(
       preds, p => GraftKeyedScan.plan(spark, this, p))
 
   /** EXACT metadata-only row count, or None when metadata can't answer
-    * (live deletes) — serves the optimizer's COUNT(*) rewrite. Goes
+    * (live equality/parquet-position deletes; DV-only snapshots stay
+    * exact, r18) — serves the optimizer's COUNT(*) rewrite. Goes
     * through the planning caches, so a count costs one (cached)
     * manifest-list decode, never data I/O. */
   private[sql] def metadataCount(spark: SparkSession): Option[Long] =
@@ -611,19 +612,22 @@ final case class GraftTable(
               Map[Int, Seq[graft.iceberg.IcebergModel.PartitionFieldSpec]])]]()
 
   /** Per-tuple stat partials + snapshot schema + specs-by-id when the
-    * snapshot is delete-free — the metadata COUNT/MIN/MAX rewrite's
-    * input. Wide snapshots fold entries to partials on the executors
-    * (round 17); `neededCols` are the columns whose null counts/bounds
-    * the aggregates read. */
+    * snapshot is delete-free or DV-only (r18) — the metadata
+    * COUNT/MIN/MAX rewrite's input. Wide snapshots fold entries to
+    * partials on the executors (round 17); `neededCols` are the columns
+    * whose null counts/bounds the aggregates read. A transient failure
+    * (IO hiccup during the fold) propagates OUT of the memo so nothing
+    * is cached — only legitimately-None answers (live eq/pos deletes)
+    * memoize (ADVICE r17). */
   private[sql] def metadataLive(spark: SparkSession, neededCols: Seq[String])
       : Option[(Seq[graft.iceberg.TupleAgg],
                 Seq[graft.iceberg.IcebergModel.Column],
                 Map[Int, Seq[graft.iceberg.IcebergModel.PartitionFieldSpec]])] =
     if (opts.filters.nonEmpty || opts.mode != "default") None
-    else metadataLiveMemo.computeIfAbsent(
+    else scala.util.Try(metadataLiveMemo.computeIfAbsent(
       neededCols.distinct.sorted,
-      k => scala.util.Try(
-        IcebergScan.metadataTupleStats(spark, path, opts, k)).toOption.flatten)
+      k => IcebergScan.metadataTupleStats(spark, path, opts, k)))
+      .toOption.flatten
 
   /** Run a writer op against the correct table root, committing through
     * the REST catalog when this table is catalog-managed — a write that

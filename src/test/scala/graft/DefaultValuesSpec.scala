@@ -125,6 +125,54 @@ class DefaultValuesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stored values survive snapshot expiry (judge probe r17): the fill " +
+      "decides per file from the footer, never from retained snapshots") {
+    val table = newTable("graft_dv_expire_")
+    IcebergWriter.write(firstN(50), table, formatVersion = 3)
+    IcebergWriter.addColumn(spark, table, "tier", StringType,
+      initialDefault = Some("legacy"), writeDefault = Some("standard"))
+    // append with STORED tier values
+    IcebergWriter.write(
+      slice(50, 100).withColumn("tier", lit("stored")), table)
+    // one more append, then expire everything but the head — the
+    // declaring snapshots of `tier` are now gone from the log
+    IcebergWriter.write(
+      slice(100, 120).withColumn("tier", lit("tail")), table)
+    assert(IcebergWriter.expireSnapshots(spark, table, keep = 1) > 0)
+
+    val s = IcebergScan.scan(spark, table)
+    val counts = s.groupBy("tier").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pre-r18 regression: the derived add-sequence slid forward under
+    // expiry and the fill overwrote the 50 stored values with 'legacy'
+    assert(counts === Map("legacy" -> 50L, "stored" -> 50L, "tail" -> 20L))
+  }
+
+  test("initial-defaults fill per footer on ORC and Avro data files too") {
+    for (fmt <- Seq("orc", "avro")) {
+      val table = newTable(s"graft_dv_fmt_${fmt}_")
+      IcebergWriter.write(firstN(40), table, formatVersion = 3,
+        dataFormat = Some(fmt))
+      IcebergWriter.addColumn(spark, table, "tier", StringType,
+        initialDefault = Some("legacy"), writeDefault = Some("standard"))
+      IcebergWriter.write(
+        slice(40, 70).withColumn("tier",
+          when(col("o_orderkey") % 2 === 0, lit("gold"))
+            .otherwise(lit(null: String))),
+        table, dataFormat = Some(fmt))
+      val s = IcebergScan.scan(spark, table)
+      val expGold = slice(40, 70).filter(col("o_orderkey") % 2 === 0).count()
+      assert(s.filter(col("tier") === "legacy").count() === 40, fmt)
+      assert(s.filter(col("tier") === "gold").count() === expGold, fmt)
+      // stored nulls win over the default
+      assert(s.filter(col("tier").isNull).count() === 30 - expGold, fmt)
+      // filters on the defaulted column survive the decoder's pushdown
+      // (the avro matcher must not treat a defaulted-absent column as
+      // an all-null column)
+      assert(s.filter(col("tier").isNotNull).count() === 40 + expGold, fmt)
+    }
+  }
+
   test("v3 unknown-typed column (foreign metadata) reads as all-NULL") {
     val table = newTable("graft_dv_unk_")
     IcebergWriter.write(firstN(20), table, formatVersion = 3)

@@ -320,6 +320,67 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scansOf(f4) > 0, "MoR grouped count must scan")
   }
 
+  test("DV-only deletes keep COUNT shapes metadata-served (round 18)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // a v3 identity-partitioned table, DML-maintained: the normal
+    // production state between compactions
+    spark.sql(
+      "CREATE TABLE graft.db.mm_dv (k BIGINT, dt DATE, v BIGINT) " +
+        "PARTITIONED BY (dt) TBLPROPERTIES ('format-version'='3')")
+    spark.sql(
+      "INSERT INTO graft.db.mm_dv SELECT id, " +
+        "DATE_ADD(DATE'2024-01-01', CAST(id % 5 AS INT)), id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.db.mm_dv WHERE k % 7 = 3") // DVs, all tuples
+    val expected = (0L until 100L).filterNot(_ % 7 == 3)
+
+    // global count(*): Σ record_count − Σ DV cardinality, scan-free
+    val g = spark.sql("SELECT count(*) AS c FROM graft.db.mm_dv")
+    assert(g.head.getLong(0) === expected.size.toLong)
+    assert(scansOf(g) === 0,
+      s"DV-only count must stay scan-free:\n${g.queryExecution.executedPlan}")
+    // identity-partition FILTERED count: per-tuple subtraction
+    val f = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.mm_dv WHERE dt = DATE'2024-01-03'")
+    assert(f.head.getLong(0) === expected.count(_ % 5 == 2).toLong)
+    assert(scansOf(f) === 0,
+      s"DV-only filtered count must stay scan-free:\n${f.queryExecution.executedPlan}")
+    // GROUPED count
+    val gr = spark.sql(
+      "SELECT dt, count(*) AS c FROM graft.db.mm_dv GROUP BY dt ORDER BY dt")
+    assert(gr.collect().map(_.getLong(1)).toSeq ===
+      (0 until 5).map(m => expected.count(_ % 5 == m).toLong))
+    assert(scansOf(gr) === 0,
+      s"DV-only grouped count must stay scan-free:\n${gr.queryExecution.executedPlan}")
+    // MIN/MAX and count(col) degrade on DV'd tuples: must SCAN, stay exact
+    val mm = spark.sql("SELECT min(v) AS lo, max(v) AS hi FROM graft.db.mm_dv")
+    assert(mm.head.getLong(0) === expected.min && mm.head.getLong(1) === expected.max)
+    assert(scansOf(mm) > 0, "bounds under DVs must fall back to the scan")
+    val cv = spark.sql("SELECT count(v) AS c FROM graft.db.mm_dv")
+    assert(cv.head.getLong(0) === expected.size.toLong)
+    assert(scansOf(cv) > 0, "non-null counts under DVs must fall back")
+
+    // EQUALITY deletes stay a bail (match counts unknown): exact via scan
+    import spark.implicits._
+    val eqPath = s"$wh/db/mm_dv_eq"
+    IcebergWriter.write(
+      spark.range(0, 60).select(col("id").as("k"), (col("id") + 1).as("v")),
+      eqPath, formatVersion = 3)
+    IcebergWriter.deleteEquality(spark, eqPath, Seq(7L, 9L).toDF("k"))
+    val eq = spark.sql("SELECT count(*) AS c FROM graft.db.mm_dv_eq")
+    assert(eq.head.getLong(0) === 58L)
+    assert(scansOf(eq) > 0, "eq-deletes must fall back to the MoR scan")
+    // (the parquet position-delete fall-through is pinned by the v2
+    // "MoR count must scan" test above — v2 DML writes parquet deletes)
+  }
+
   test("day-transform on a DATE source is value-exact for metadata aggregates") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -1135,6 +1196,92 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(z.collect().map(_.getLong(1)).sum === 96L)
       assert(scansOf(z) > 0, "non-UTC date_trunc must scan")
     } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
+  test("distinct periods and hourly rollups serve from interval ordinals (round 18)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // --- count(DISTINCT CAST(ts AS DATE)) over day ordinals (r17 #3) ---
+    // cd_day: 4 day(ts) files of 24 hourly rows (Mar 1-4 2024)
+    val g = spark.sql(
+      "SELECT count(DISTINCT CAST(ts AS DATE)) AS d FROM graft.db.cd_day")
+    assert(g.head.getLong(0) === 4L)
+    assert(scansOf(g) === 0,
+      s"active-days count must serve scan-free:\n${g.queryExecution.executedPlan}")
+    // filtered
+    val f = spark.sql(
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS d FROM graft.db.cd_day
+        |WHERE CAST(ts AS DATE) >= DATE'2024-03-02'""".stripMargin)
+    assert(f.head.getLong(0) === 3L)
+    assert(scansOf(f) === 0)
+    // grouped by a coarser period, distinct of the finer one
+    val gr = spark.sql(
+      """SELECT trunc(CAST(ts AS DATE), 'MM') AS m,
+        |       count(DISTINCT CAST(ts AS DATE)) AS d, count(*) AS n
+        |FROM graft.db.cd_day GROUP BY 1""".stripMargin)
+    assert(gr.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("2024-03-01", 4L, 96L)))
+    assert(scansOf(gr) === 0)
+    // distinct WEEKS render from day ordinals too (Feb 26 + Mar 4 weeks)
+    val wk = spark.sql(
+      """SELECT count(DISTINCT trunc(CAST(ts AS DATE), 'week')) AS w
+        |FROM graft.db.cd_day""".stripMargin)
+    assert(wk.head.getLong(0) === 2L)
+    assert(scansOf(wk) === 0)
+    // month transform asked for distinct DAYS: provably falls through
+    val m = spark.sql(
+      "SELECT count(DISTINCT CAST(ts AS DATE)) AS d FROM graft.db.cd_month")
+    assert(m.head.getLong(0) === 4L)
+    assert(scansOf(m) > 0, "distinct days over month files must scan")
+
+    // --- hourly rollups over hour ordinals (r17 #4) ---
+    spark.sql(
+      "CREATE TABLE graft.db.cd_hour (k BIGINT, ts TIMESTAMP_NTZ) " +
+        "PARTITIONED BY (hours(ts))")
+    spark.sql(
+      """INSERT INTO graft.db.cd_hour
+        |SELECT id, timestampadd(MINUTE, CAST(id * 30 AS INT),
+        |                        TIMESTAMP_NTZ'2024-03-01 00:00:00')
+        |FROM range(0, 96)""".stripMargin) // 48 hours × 2 rows
+    val h1 = spark.sql(
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS h,
+        |       count(*) AS c
+        |FROM graft.db.cd_hour GROUP BY 1 ORDER BY h""".stripMargin)
+    val hr = h1.collect()
+    assert(hr.length === 48 && hr.forall(_.getLong(1) === 2L))
+    assert(hr.head.get(0).toString === "2024-03-01T00:00")
+    assert(scansOf(h1) === 0,
+      s"hourly rollup over hour files must serve:\n${h1.queryExecution.executedPlan}")
+    // plain TimestampType rendering (UTC session) serves too
+    val h2 = spark.sql(
+      """SELECT date_trunc('hour', ts) AS h, count(*) AS c
+        |FROM graft.db.cd_hour GROUP BY 1""".stripMargin)
+    assert(h2.collect().length === 48)
+    assert(scansOf(h2) === 0)
+    // hour files serve DAILY rollups as well (coarser period)
+    val h3 = spark.sql(
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS c
+        |FROM graft.db.cd_hour GROUP BY 1 ORDER BY d""".stripMargin)
+    assert(h3.collect().map(_.getLong(1)).toSeq === Seq(48L, 48L))
+    assert(scansOf(h3) === 0)
+    // distinct active HOURS from hour ordinals
+    val h4 = spark.sql(
+      "SELECT count(DISTINCT date_trunc('hour', ts)) AS h FROM graft.db.cd_hour")
+    assert(h4.head.getLong(0) === 48L)
+    assert(scansOf(h4) === 0)
+    // a DAY transform asked for hourly rollups: provably falls through
+    val h5 = spark.sql(
+      """SELECT date_trunc('hour', ts) AS h, count(*) AS c
+        |FROM graft.db.cd_day GROUP BY 1""".stripMargin)
+    assert(h5.collect().length === 96)
+    assert(scansOf(h5) > 0, "hourly rollup over day files must scan")
   }
 
   test("cast-date filter prunes keyed-scan files via the implied timestamp range") {

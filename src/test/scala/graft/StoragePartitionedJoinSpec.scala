@@ -537,6 +537,42 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
       (0L until 150L).filterNot(Set(5L, 120L, 7L, 121L)).map(_ + 7).sum)
   }
 
+  test("keyed reader: stored values survive snapshot expiry (judge probe r17)") {
+    import spark.implicits._
+    // the keyed path must apply the same per-file footer rule as the
+    // native path: expiring the snapshots that first declared a
+    // defaulted column must not resurrect the default over stored values
+    val pa = s"$wh/db/spjexp_a"
+    val pb = s"$wh/db/spjexp_b"
+    IcebergWriter.write(
+      spark.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("v")),
+      pa, partitionBy = Seq("k" -> "bucket[4]"), formatVersion = 3)
+    IcebergWriter.write(
+      spark.range(0, 120).select(col("id").as("k"), (col("id") + 7).as("w")),
+      pb, partitionBy = Seq("k" -> "bucket[4]"), formatVersion = 3)
+    IcebergWriter.addColumn(spark, pa, "tier",
+      org.apache.spark.sql.types.StringType,
+      initialDefault = Some("legacy"), writeDefault = Some("standard"))
+    IcebergWriter.write(
+      spark.range(50, 100).select(col("id").as("k"), (col("id") * 10).as("v"),
+        lit("stored").as("tier")), pa)
+    IcebergWriter.write(
+      spark.range(100, 120).select(col("id").as("k"), (col("id") * 10).as("v"),
+        lit("tail").as("tier")), pa)
+    assert(IcebergWriter.expireSnapshots(spark, pa, keep = 1) > 0)
+
+    val joined = spark.sql(
+      """SELECT a.k, a.tier, b.w
+        |FROM graft.db.spjexp_a a JOIN graft.db.spjexp_b b ON a.k = b.k"""
+        .stripMargin)
+    assert(shuffles(joined) === 0,
+      s"defaulted table must keep SPJ after expiry:\n${joined.queryExecution.executedPlan}")
+    val rows = joined.collect()
+    assert(rows.length === 120)
+    val byTier = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byTier === Map("legacy" -> 50, "stored" -> 50, "tail" -> 20))
+  }
+
   test("equality delete ON the defaulted column matches filled values (round 17)") {
     import spark.implicits._
     // The subtle composition case: the eq-delete KEY column is itself the
