@@ -2613,6 +2613,106 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib81_metadata_distinct_days",
+      // DISTINCT-PERIOD METADATA gate (round 18, VERDICT r17 #3): the
+      // "active days" dashboard — count(DISTINCT CAST(ts AS DATE)) over
+      // a day(ts)-partitioned table is the count of distinct day
+      // ordinals over surviving entries (each file's ordinal maps to
+      // exactly one date), served scan-free globally, filtered, and
+      // grouped by a coarser period. `metadata_only` pins the plan;
+      // values hash-match DuckDB computing the distinct over raw rows.
+      Some("""
+        SELECT which, m, days, CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM (
+          SELECT 'total' AS which, CAST(NULL AS DATE) AS m,
+                 count(DISTINCT CAST(ts AS DATE)) AS days
+          FROM events
+          UNION ALL
+          SELECT 'filtered', CAST(NULL AS DATE),
+                 count(DISTINCT CAST(ts AS DATE))
+          FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+          UNION ALL
+          SELECT 'monthly', CAST(date_trunc('month', ts) AS DATE),
+                 count(DISTINCT CAST(ts AS DATE))
+          FROM events GROUP BY 2
+        )"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib75", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), s"$wh/g/ivl_$suffix",
+            partitionBy = Seq("ts" -> "day"))
+          s"graft_cat.g.ivl_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT 'total' AS which, CAST(NULL AS DATE) AS m,
+                     count(DISTINCT CAST(ts AS DATE)) AS days
+              FROM $name
+              UNION ALL
+              SELECT 'filtered', CAST(NULL AS DATE),
+                     count(DISTINCT CAST(ts AS DATE))
+              FROM $name WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+              UNION ALL
+              SELECT 'monthly', trunc(CAST(ts AS DATE), 'MM'),
+                     count(DISTINCT CAST(ts AS DATE))
+              FROM $name GROUP BY 2""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
+    ),
+    QueryDef(
+      "ib82_metadata_hourly_rollup",
+      // HOURLY-ROLLUP METADATA gate (round 18, VERDICT r17 #4):
+      // `GROUP BY date_trunc('hour', ts)` over an HOUR-transform table
+      // serves scan-free — each hour file's ordinal maps to exactly one
+      // hour-start; counts and bounds fold per group from manifest
+      // stats (3 days of events = 72 hour partitions). `metadata_only`
+      // pins the scan-free plan; values hash-match DuckDB's grouped
+      // aggregate over the raw rows. Day-transform fall-through is
+      // spec'd in GraftCatalogSpec.
+      Some("""
+        SELECT date_trunc('hour', ts) AS h,
+               COUNT(*) AS cnt,
+               max(user_id) AS hi,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-04'
+        GROUP BY 1"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib82", dir) { () =>
+          val wh = ensureCatalog(s)
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir)
+              .filter(col("ts") < lit("2024-01-04").cast("timestamp_ntz")),
+            s"$wh/g/hrl_$suffix",
+            partitionBy = Seq("ts" -> "hour"))
+          s"graft_cat.g.hrl_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS h,
+                     COUNT(*) AS cnt,
+                     max(user_id) AS hi
+              FROM $name GROUP BY 1""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
     )
   )
 
