@@ -292,6 +292,7 @@ object IcebergScan {
     // committing snapshot can't be resolved (expired, foreign partial
     // metadata) fall back per file to the scanned snapshot's timestamp.
     lazy val mtimeByPath: Map[String, Long] = {
+      mtimeFoldsCtr.incrementAndGet()
       val tsBySnap = snapshot.snapshotTimestamps
       if (tsBySnap.isEmpty) Map.empty
       else meta.entries.flatMap { case (m, es) =>
@@ -654,7 +655,11 @@ object IcebergScan {
     // always come from the full residual filter, so this only skips
     // files, never rows.
     def castDayCol(x: Expression): Option[String] = x match {
-      case c @ Cast(a, DateType, _, _) => a.dataType match {
+      // `a.resolved` guard (ADVICE r17): extractPredicates is best-effort
+      // over possibly-unresolved input (attrName accepts
+      // UnresolvedAttribute) — probing dataType on an unresolved child
+      // must skip the conjunct, not throw UnresolvedException
+      case c @ Cast(a, DateType, _, _) if a.resolved => a.dataType match {
         case TimestampNTZType => attrName(a)
         case TimestampType if c.timeZoneId.exists { z =>
             val rules = java.time.ZoneId.of(z).getRules
@@ -1554,13 +1559,22 @@ object IcebergScan {
     if (ms.nonEmpty && ms.forall(_.stats.isDefined) && !ms.exists(_.content == 1))
       return Some(ms.filter(_.content == 0).flatMap(_.stats)
         .map(st => st.addedRowsCount + st.existingRowsCount).sum)
+    // WIDE DV-only snapshots (r18): fold on the executors instead of
+    // collecting O(entries) to the driver — the count is the partials'
+    // row sum (DV cardinalities already subtracted per tuple)
+    ManifestReader.wideTupleStats(
+        root, snapshot, hadoopConf(spark), opts.allowMovedPaths, Seq.empty) match {
+      case Some(ts) => return Some(ts.map(_.rows).sum)
+      case None => ()
+    }
     val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
     dvOnlyDeletes(meta, opts).flatMap { dvs =>
       val dataSum = livePaths(meta, manifestContent = 0, entryContent = 0, opts)
         .map(_._1.recordCount).sum
       val conf = hadoopConf(spark)
       dvs.foldLeft(Option(0L)) { (acc, e) =>
-        for (a <- acc; c <- dvCardinality(root, e, opts, conf)) yield a + c
+        for (a <- acc; c <- dvCardinality(root, e, opts.allowMovedPaths, conf))
+          yield a + c
       }.map(dataSum - _).filter(_ >= 0) // negative = corrupt foreign DV: bail
     }
   }
@@ -1586,6 +1600,12 @@ object IcebergScan {
     }
   }
 
+  private val mtimeFoldsCtr = new java.util.concurrent.atomic.AtomicLong
+  /** Per-file mtime folds run since JVM start (r18 test surface: the
+    * O(entries) map is BY-NAME — a plan the optimizer answers scan-free,
+    * e.g. a metadata COUNT, must never force it). */
+  def mtimeFoldCount: Long = mtimeFoldsCtr.get
+
   // DV blob cardinalities memoized by (resolved puffin path, offset):
   // puffin files are immutable (commit-token-unique names) so keys never
   // alias; crudely bounded — a clear costs one re-read per live DV
@@ -1597,11 +1617,12 @@ object IcebergScan {
     * cardinality, one (memoized) blob read — never trusts the entry's
     * record_count, which a foreign writer may have filled loosely. None
     * when the entry lacks the v3 blob offsets (fields 144/145). */
-  private def dvCardinality(
-      root: String, e: ManifestEntry, opts: Options,
+  private[iceberg] def dvCardinality(
+      root: String, e: ManifestEntry, allowMovedPaths: Boolean,
       conf: org.apache.hadoop.conf.Configuration): Option[Long] =
     for (off <- e.contentOffset; len <- e.contentSizeInBytes) yield {
-      val p = resolved(root, e.filePath, opts)
+      val p =
+        if (allowMovedPaths) IcebergIO.fullPath(root, e.filePath) else e.filePath
       if (dvCardCache.size > 4096) dvCardCache.clear()
       dvCardCache.computeIfAbsent((p, off), _ =>
         Puffin.readDV(new org.apache.hadoop.fs.Path(p), conf, off, len)
@@ -1628,8 +1649,23 @@ object IcebergScan {
     val needed: Seq[(Int, org.apache.spark.sql.types.DataType)] =
       neededCols.distinct.flatMap(n =>
         MetaAgg.columnByName(snapshot.schema, n).map(c => c.id -> c.dataType))
-    def out(ts: Seq[TupleAgg]) =
+    // String MIN serving (r18) trusts the spec DEFAULT truncation length
+    // (16 code points): a table overriding its metrics config may have
+    // truncated bounds SHORTER than 16, indistinguishable from exact
+    // values — strip string bounds so min(string) refuses there (counts
+    // and null totals stay served; they are never truncated).
+    val stringIds = needed.collect {
+      case (id, org.apache.spark.sql.types.StringType) => id
+    }.toSet
+    val metricsOverridden = stringIds.nonEmpty &&
+      snapshot.properties.keysIterator.exists(
+        _.startsWith("write.metadata.metrics."))
+    def out(ts0: Seq[TupleAgg]) = {
+      val ts =
+        if (!metricsOverridden) ts0
+        else ts0.map(t => t.copy(lo = t.lo -- stringIds, hi = t.hi -- stringIds))
       Some((ts, snapshot.schema, snapshot.partitionSpecsById))
+    }
     ManifestReader.wideTupleStats(
         root, snapshot, hadoopConf(spark), opts.allowMovedPaths, needed) match {
       case Some(tuples) => out(tuples)
@@ -1648,33 +1684,18 @@ object IcebergScan {
           if (dvs.isEmpty) out(base)
           else {
             // DV-ONLY snapshots serve COUNT shapes exactly: subtract each
-            // vector's cardinality from its data file's tuple. The deleted
-            // rows' VALUES are unknown, so per affected tuple the column
-            // stats degrade — bounds poison (the min may be deleted) and
-            // non-null totals drop (except provably-all-null columns,
-            // whose zero survives any row deletion). Untouched tuples
-            // keep full exactness.
+            // vector's cardinality from its data file's tuple; affected
+            // tuples' column stats degrade (MetaAgg.applyDvAdjust).
             val tupleByFile = dataEntries.map(e => e.filePath -> e.partition).toMap
             val delByTuple = scala.collection.mutable.Map.empty[Map[String, Any], Long]
             dvs.foreach { e =>
-              val c = dvCardinality(root, e, opts, conf).getOrElse(return None)
+              val c = dvCardinality(root, e, opts.allowMovedPaths, conf)
+                .getOrElse(return None)
               val t = tupleByFile(e.referencedDataFile.get)
               delByTuple(t) = delByTuple.getOrElse(t, 0L) + c
             }
-            val ids = needed.map(_._1).toSet
-            val adjusted = base.flatMap { t =>
-              delByTuple.get(t.partition) match {
-                case None => Some(t)
-                case Some(d) if d > t.rows => return None // corrupt foreign DV
-                case Some(d) if d == t.rows => None // fully deleted: no group
-                case Some(d) => Some(t.copy(
-                  rows = t.rows - d,
-                  nonNull = t.nonNull.filter { case (id, _) => t.allNull(id) },
-                  lo = Map.empty, hi = Map.empty,
-                  poisoned = (ids -- t.allNull) ++ t.poisoned))
-              }
-            }
-            out(adjusted)
+            MetaAgg.applyDvAdjust(base, delByTuple.toMap, needed.map(_._1).toSet)
+              .flatMap(out)
           }
         }
     }

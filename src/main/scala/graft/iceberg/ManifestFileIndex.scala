@@ -35,17 +35,24 @@ import org.apache.spark.sql.types.StructType
   * so the relation is unpartitioned and `listFiles` ignores filters;
   * row-group pruning still happens reader-side from the pushed filters.
   */
-private[graft] final class ManifestFileIndex(files: Seq[FileStatus])
+private[graft] final class ManifestFileIndex(
+    files: Seq[(Path, Long)], mkStatuses: () => Seq[FileStatus])
     extends FileIndex {
-  override val rootPaths: Seq[Path] = files.map(_.getPath)
+  override val rootPaths: Seq[Path] = files.map(_._1)
+  // statuses materialize LAZILY (r18, ADVICE r17): paths/sizes answer
+  // planning-time questions (stats, root paths) without them, so a
+  // query the optimizer answers from metadata alone — e.g. the
+  // COUNT(*) rewrite discarding the spliced scan — never pays the
+  // per-file mtime fold the statuses embed
+  private lazy val statuses: Array[FileStatus] = mkStatuses().toArray
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
   override def inputFiles: Array[String] =
-    files.map(_.getPath.toString).toArray
+    files.map(_._1.toString).toArray
   override def refresh(): Unit = ()
-  override val sizeInBytes: Long = files.map(_.getLen).sum
+  override val sizeInBytes: Long = files.map(_._2).sum
   override def partitionSchema: StructType = new StructType()
   override def metadataOpsTimeNs: Option[Long] = Some(0L)
 }
@@ -74,8 +81,11 @@ private[graft] object ManifestFileIndex {
       // per-file map keeps unchanged files' mtimes STABLE across
       // unrelated commits instead of drifting forward.
       // 0 (no snapshot in scope) keeps the epoch placeholder.
+      // BY-NAME (r18, ADVICE r17): the O(entries) fold behind the map
+      // runs only if the index ever materializes statuses — once per
+      // relation, and never for plans the optimizer answers scan-free.
       mtimeMs: Long = 0L,
-      mtimeByPath: Map[String, Long] = Map.empty): Option[DataFrame] = {
+      mtimeByPath: => Map[String, Long] = Map.empty): Option[DataFrame] = {
     if (files.isEmpty || files.exists(_._2 <= 0L)) None
     else {
       val fileFormat = fmt match {
@@ -83,13 +93,17 @@ private[graft] object ManifestFileIndex {
         case "orc"     => new OrcFileFormat()
         case other     => return None // avro has its own V2 source
       }
-      val statuses = files.map { case (p, len) =>
+      val qualified = files.map { case (p, len) =>
+        (p, new Path(IcebergIO.qualified(p, conf)), len)
+      }
+      lazy val mtimes = mtimeByPath // forced at most once per relation
+      val mkStatuses = () => qualified.map { case (raw, qp, len) =>
         new FileStatus(len, false, 1, 134217728L,
-          mtimeByPath.getOrElse(p, mtimeMs),
-          new Path(IcebergIO.qualified(p, conf)))
+          mtimes.getOrElse(raw, mtimeMs), qp)
       }
       val rel = HadoopFsRelation(
-        location = new ManifestFileIndex(statuses),
+        location = new ManifestFileIndex(
+          qualified.map(t => (t._2, t._3)), mkStatuses),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,

@@ -332,10 +332,13 @@ object ManifestReader {
     * the driver's collected-entry budget. Returns None when the shape
     * doesn't apply — snapshot below the distributed threshold or within
     * the entry budget (the cached driver-side decode is then cheaper and
-    * keeps the plan cacheable), a delete manifest rides the list (the
-    * full decode checks entry-level liveness exactly), stats-less legacy
-    * lists (unknown width errs toward the bounded collect), or no active
-    * session — the caller falls back to the existing full-decode path. */
+    * keeps the plan cacheable), a non-DV delete entry rides a delete
+    * manifest (eq/parquet-position match counts need the exact driver
+    * check), stats-less legacy lists (unknown width errs toward the
+    * bounded collect), or no active session — the caller falls back to
+    * the existing full-decode path. DV-ONLY snapshots stay distributed
+    * (r18): delete manifests decode on the driver, the data fold runs on
+    * executors, and partials adjust per tuple by DV cardinality. */
   def wideTupleStats(
       tablePath: String,
       snapshot: Snapshot,
@@ -352,11 +355,17 @@ object ManifestReader {
       if (allowMovedPaths) IcebergIO.fullPath(tablePath, snapshot.manifestList)
       else snapshot.manifestList
     val ms = cachedManifestList(listPath, conf, snapshot.formatVersion)
-    // delete manifests (even ones whose entries might all be DELETED
-    // status) defer to the full decode's exact liveness check
-    if (ms.isEmpty || ms.exists(_.content == 1)) return None
-    if (ms.size < threshold) return None
-    val estimated: Option[Long] = ms.foldLeft(Option(0L)) { (acc, m) =>
+    if (ms.isEmpty) return None
+    // DV-ONLY wide snapshots still fold distributed (r18, VERDICT r17
+    // #2 at scale): delete manifests — a tiny fraction of the tier —
+    // decode on the DRIVER to prove every live delete is a deletion
+    // vector and collect referenced paths; equality / parquet-position
+    // entries (match counts unknown) and pathological delete-manifest
+    // counts defer to the driver path's exact liveness check.
+    val (deleteMs, dataMs) = ms.partition(_.content == 1)
+    if (dataMs.isEmpty || deleteMs.size > 64) return None
+    if (dataMs.size < threshold) return None
+    val estimated: Option[Long] = dataMs.foldLeft(Option(0L)) { (acc, m) =>
       for (a <- acc; s <- m.stats) yield
         a + s.addedFilesCount + s.existingFilesCount + s.deletedFilesCount
     }
@@ -367,21 +376,62 @@ object ManifestReader {
     val spark = active.get
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val formatVersion = snapshot.formatVersion
-    val paths = ms.map(m =>
-      if (allowMovedPaths) IcebergIO.fullPath(tablePath, m.manifestPath)
-      else m.manifestPath)
+    def resolvedPath(p: String): String =
+      if (allowMovedPaths) IcebergIO.fullPath(tablePath, p) else p
+    // live delete entries, deduped to the max-sequence DV per data file
+    val dvs: Seq[ManifestEntry] =
+      if (deleteMs.isEmpty) Seq.empty
+      else {
+        val del = deleteMs.flatMap { m =>
+          readManifestEntries(resolvedPath(m.manifestPath), conf, formatVersion)
+            .filter(e => e.status != 2 && (e.content == 1 || e.content == 2))
+            .map(e => (e, e.seqOr(m.sequenceNumber)))
+        }
+        if (!del.forall(_._1.isDV)) return None
+        del.groupBy(_._1.referencedDataFile.get)
+          .values.map(_.maxBy(_._2)._1).toSeq
+      }
+    val refSet = dvs.flatMap(_.referencedDataFile).toSet
+    if (refSet.size > entryBudget) return None
+
+    val paths = dataMs.map(m => resolvedPath(m.manifestPath))
     val slices = math.max(1,
       math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
-    val partials = spark.sparkContext.parallelize(paths, slices)
+    val refSetB = spark.sparkContext.broadcast(refSet)
+    val fetched = spark.sparkContext.parallelize(paths, slices)
       .mapPartitions { ps =>
         // fold WITHIN the task across its manifests: what returns to the
-        // driver is O(distinct tuples per slice), never O(entries)
-        val perManifest = ps.flatMap(p => MetaAgg.fold(
-          readManifestEntries(p, sconf.value, formatVersion).iterator, needed))
-        mergePartials(perManifest.toSeq, needed).iterator
+        // driver is O(distinct tuples per slice) + O(DV'd files in the
+        // slice), never O(entries)
+        val refs = Seq.newBuilder[(String, Map[String, Any])]
+        val perManifest = ps.flatMap { p =>
+          val es = readManifestEntries(p, sconf.value, formatVersion)
+          if (refSetB.value.nonEmpty) es.foreach { e =>
+            if (e.status != 2 && e.content == 0 && refSetB.value(e.filePath))
+              refs += e.filePath -> e.partition
+          }
+          MetaAgg.fold(es.iterator, needed)
+        }.toSeq
+        Iterator.single((mergePartials(perManifest, needed), refs.result()))
       }.collect()
+    val partials = fetched.flatMap(_._1)
     tupleStatsCollectedCtr.addAndGet(partials.length.toLong)
-    Some(mergePartials(partials.toSeq, needed))
+    val merged = mergePartials(partials.toSeq, needed)
+    if (dvs.isEmpty) Some(merged)
+    else {
+      // one memoized blob read per LIVE-referenced DV; a DV whose data
+      // file is gone (not in any live entry) is ignorable by definition
+      val tupleByFile = fetched.flatMap(_._2).toMap
+      val delByTuple = scala.collection.mutable.Map.empty[Map[String, Any], Long]
+      dvs.foreach { e =>
+        tupleByFile.get(e.referencedDataFile.get).foreach { t =>
+          val c = IcebergScan.dvCardinality(tablePath, e, allowMovedPaths, conf)
+            .getOrElse(return None)
+          delByTuple(t) = delByTuple.getOrElse(t, 0L) + c
+        }
+      }
+      MetaAgg.applyDvAdjust(merged, delByTuple.toMap, needed.map(_._1).toSet)
+    }
   }
 
   private def mergePartials(

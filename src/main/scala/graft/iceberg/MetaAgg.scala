@@ -1,6 +1,7 @@
 package graft.iceberg
 
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-partition-tuple manifest-stat partials — the unit the metadata
   * COUNT/MIN/MAX rewrite consumes (round 17, VERDICT r16 #5).
@@ -41,7 +42,20 @@ object MetaAgg extends Serializable {
     case _ => false
   }
 
-  /** Exact manifest-bound decode for the fixed-width served types. */
+  /** MIN additionally serves STRINGS (r18, VERDICT r17 #5): a recorded
+    * lower bound SHORTER than the spec's 16-code-point truncation limit
+    * is provably the file's exact minimum (truncation only shortens —
+    * a sub-limit bound cannot be a truncation artifact). MAX stays
+    * unserved: a truncated-then-incremented upper bound is
+    * indistinguishable from a stored value without an untruncatedness
+    * marker the spec doesn't have. */
+  def minServable(dt: DataType): Boolean =
+    boundServable(dt) || dt == StringType
+
+  /** Exact manifest-bound decode for the served types. Strings decode
+    * ONLY when provably untruncated (< 16 code points) and compare as
+    * UTF8String — binary UTF-8 order, exactly Spark's min/max(string)
+    * semantics and Iceberg's bound order. */
   def decodeCat(dt: DataType, bytes: Array[Byte]): Option[Any] = {
     def le = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -49,14 +63,33 @@ object MetaAgg extends Serializable {
       case IntegerType | DateType if bytes.length >= 4 => Some(le.getInt)
       case LongType | TimestampType | TimestampNTZType
           if bytes.length >= 8 => Some(le.getLong)
+      case StringType =>
+        val s = UTF8String.fromBytes(bytes.clone)
+        if (s.numChars < 16) Some(s) else None
       case _ => None
     }
   }
 
-  def cmpKey(v: Any): Long = v match {
-    case i: java.lang.Integer => i.longValue
-    case l: java.lang.Long => l.longValue
+  /** Total, REFUSING comparator over decoded bound values: None =
+    * incomparable (a hostile/foreign bound type) — callers poison or
+    * refuse instead of throwing (VERDICT r17 #7). */
+  def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) =>
+      Some(Integer.compare(x.intValue, y.intValue))
+    case (x: java.lang.Long, y: java.lang.Long) =>
+      Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+    case _ => None
   }
+
+  /** min/max by [[cmpAny]]; None on any incomparable pair. */
+  def extremum(vs: Seq[Any], lower: Boolean): Option[Any] =
+    vs.reduceLeftOption[Any] { (acc, v) =>
+      cmpAny(acc, v) match {
+        case Some(c) => if ((c <= 0) == lower) acc else v
+        case None => return None
+      }
+    }
 
   /** The exact-match-first column lookup every name→field-id binding
     * shares (case-insensitive only when unambiguous — case-sensitive
@@ -81,7 +114,15 @@ object MetaAgg extends Serializable {
       val nc = e.nullCounts.get(id)
       nc.foreach(n => nonNull += id -> (e.recordCount - n))
       if (nc.contains(e.recordCount)) allNull += id
-      else {
+      else if (dt == org.apache.spark.sql.types.StringType) {
+        // strings are MIN-ONLY (r18): an exact (provably untruncated)
+        // lower bound serves; the upper bound never does — expressed as
+        // `hi` simply absent, which refuses max without poisoning min
+        e.lowerBounds.get(id).flatMap(decodeCat(dt, _)) match {
+          case Some(l) => lo += id -> l
+          case None => poisoned += id
+        }
+      } else {
         (e.lowerBounds.get(id).flatMap(decodeCat(dt, _)),
          e.upperBounds.get(id).flatMap(decodeCat(dt, _))) match {
           case (Some(l), Some(h)) => lo += id -> l; hi += id -> h
@@ -112,15 +153,53 @@ object MetaAgg extends Serializable {
       else if (aAll && bAll) allNull += id
       else {
         // contributors: the non-all-null sides (an all-null side adds
-        // nothing to MIN/MAX, exactly like the entry-level skip)
-        val los = Seq(a.lo.get(id), b.lo.get(id)).flatten
-        val his = Seq(a.hi.get(id), b.hi.get(id)).flatten
-        if (los.isEmpty || his.isEmpty) poisoned += id
-        else { lo += id -> los.minBy(cmpKey); hi += id -> his.maxBy(cmpKey) }
+        // nothing to MIN/MAX, exactly like the entry-level skip). Each
+        // bound side folds INDEPENDENTLY (r18): strings carry only `lo`
+        // (min-only serving) — a side every contributor carries folds,
+        // a side any contributor lacks stays absent (refuses without
+        // poisoning the other); incomparable values poison (hostile
+        // foreign bound types must refuse, never throw).
+        val sides = Seq(a, b).filterNot(_.allNull(id))
+        if (sides.forall(_.lo.contains(id)))
+          extremum(sides.map(_.lo(id)), lower = true) match {
+            case Some(m) => lo += id -> m
+            case None => poisoned += id
+          }
+        if (sides.forall(_.hi.contains(id)))
+          extremum(sides.map(_.hi(id)), lower = false) match {
+            case Some(m) => hi += id -> m
+            case None => poisoned += id
+          }
       }
     }
     TupleAgg(a.partition, a.rows + b.rows,
       nonNull.result(), lo.result(), hi.result(), allNull, poisoned)
+  }
+
+  /** Subtract per-tuple DELETION-VECTOR row counts from folded partials
+    * (r18): COUNT shapes stay exact; each affected tuple poisons its
+    * bounds (the min may be deleted) and drops its non-null totals
+    * (all-null zeros survive any row deletion); a fully-deleted tuple
+    * mints no group. None = corrupt foreign metadata (a tuple's
+    * deletions exceed its rows) — the caller refuses to serve. */
+  def applyDvAdjust(
+      base: Seq[TupleAgg],
+      delByTuple: Map[Map[String, Any], Long],
+      ids: Set[Int]): Option[Seq[TupleAgg]] = {
+    val out = Seq.newBuilder[TupleAgg]
+    base.foreach { t =>
+      delByTuple.get(t.partition) match {
+        case None => out += t
+        case Some(d) if d > t.rows => return None
+        case Some(d) if d == t.rows => ()
+        case Some(d) => out += t.copy(
+          rows = t.rows - d,
+          nonNull = t.nonNull.filter { case (id, _) => t.allNull(id) },
+          lo = Map.empty, hi = Map.empty,
+          poisoned = (ids -- t.allNull) ++ t.poisoned)
+      }
+    }
+    Some(out.result())
   }
 
   /** Fold live entries into one partial per partition tuple. */

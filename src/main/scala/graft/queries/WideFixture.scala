@@ -39,7 +39,13 @@ object WideFixture {
     * append pipeline produces). */
   val BaseDate: java.time.LocalDate = java.time.LocalDate.of(2024, 1, 1)
 
-  def build(spark: SparkSession, manifests: Int, entriesPer: Int): String = {
+  /** `dv = true` (r18): the seed is v3 and DML-deleted once, so the
+    * snapshot carries a REAL delete manifest + puffin deletion vector;
+    * the DV's `referenced_data_file` is re-pointed at the first
+    * synthesized data path (`wide-0-0.parquet`, record_count 1 of a
+    * cardinality-1 vector) — the wide DV-only metadata-count shape. */
+  def build(spark: SparkSession, manifests: Int, entriesPer: Int,
+            dv: Boolean = false): String = {
     import spark.implicits._
     val table = java.nio.file.Files
       .createTempDirectory("graft_wide_").toString + "/wide"
@@ -50,7 +56,9 @@ object WideFixture {
       (2L, java.sql.Date.valueOf(BaseDate.plusDays(1).toString)))
       .toDF("id", "dt").repartition(2, col("dt"))
     graft.iceberg.IcebergWriter.write(seed, table,
-      partitionBy = Seq("dt" -> "identity"))
+      partitionBy = Seq("dt" -> "identity"),
+      formatVersion = if (dv) 3 else 2)
+    if (dv) graft.iceberg.IcebergWriter.delete(spark, table, col("id") === 1L)
 
     val conf = spark.sessionState.newHadoopConf()
     val snap = graft.iceberg.IcebergScan.selectSnapshot(
@@ -70,7 +78,10 @@ object WideFixture {
       } finally r.close()
     }
     val (listSchema, listRecs) = readAll(listPath)
-    val mfTemplate = listRecs.head
+    def contentOf(r: GenericRecord): Int =
+      Option(r.get("content")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+    val mfTemplate = listRecs.find(contentOf(_) == 0).get
+    val deleteMfRecs = listRecs.filter(contentOf(_) == 1)
     val (entrySchema, entryRecs) = readAll(
       new Path(mfTemplate.get("manifest_path").toString))
     val entryTemplate = entryRecs.head
@@ -113,6 +124,21 @@ object WideFixture {
       })
     }
 
+    // 3b. DV variant: re-point the real delete manifest's vector at the
+    // first SYNTHESIZED data path — a cardinality-1 DV fully deleting
+    // the 1-row file wide-0-0.parquet (the blob itself is untouched)
+    if (dv) deleteMfRecs.foreach { mrec =>
+      val mPath = new Path(mrec.get("manifest_path").toString)
+      val (delSchema, delRecs) = readAll(mPath)
+      writeAvro(mPath, delSchema)(delRecs.iterator.map { r =>
+        val rec = copy(delSchema, r)
+        rec.get("data_file").asInstanceOf[GenericRecord]
+          .put("referenced_data_file", s"$table/data/wide-0-0.parquet")
+        rec
+      })
+      mrec.put("manifest_length", fs.getFileStatus(mPath).getLen)
+    }
+
     // 4. rewrite the manifest list in place with per-manifest summaries
     def le4(v: Int): ByteBuffer = {
       val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
@@ -124,7 +150,8 @@ object WideFixture {
       val arr = partsField.getTypes.get(1)
       arr.getElementType
     }
-    writeAvro(listPath, listSchema)((0 until manifests).iterator.map { m =>
+    writeAvro(listPath, listSchema)(
+      deleteMfRecs.iterator ++ (0 until manifests).iterator.map { m =>
       val p = new Path(table, f"metadata/wide-m$m%05d.avro")
       val rec = copy(listSchema, mfTemplate)
       rec.put("manifest_path", p.toString)

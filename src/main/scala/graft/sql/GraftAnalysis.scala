@@ -146,23 +146,64 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case o: OverwriteByExpression => o.table
       case i: InsertIntoStatement => i.table
     }.flatMap(_.collect { case r: DataSourceV2Relation => r: LogicalPlan })
+    // SCOPE (ADVICE r17): splice only relations the unresolved
+    // `_metadata` reference could actually resolve to. A QUALIFIED ref
+    // (`t._metadata.x`) names its relation — an unrelated graft relation
+    // in the same plan (the other join side, a different subquery) must
+    // keep its keyed/SPJ claims. Matching over-approximates on purpose:
+    // a false candidate only costs that relation its claims; a missed
+    // one breaks resolution.
+    val refQuals: Seq[Seq[String]] = plan.collect {
+      case n if n.expressions.exists(metadataRef) =>
+        n.expressions.flatMap(_.collect {
+          case u: UnresolvedAttribute
+              if u.nameParts.exists(_.equalsIgnoreCase("_metadata")) =>
+            u.nameParts.takeWhile(!_.equalsIgnoreCase("_metadata"))
+        })
+    }.flatten
+    val anyUnqualified = refQuals.isEmpty || refQuals.exists(_.isEmpty)
+    val aliasesByRel =
+      new java.util.IdentityHashMap[DataSourceV2Relation, Seq[String]]()
+    def walk(p: LogicalPlan, names: Seq[String]): Unit = p match {
+      case SubqueryAlias(ident, c) => walk(c, names :+ ident.name)
+      case r: DataSourceV2Relation => aliasesByRel.put(r, names)
+      case other => other.children.foreach(walk(_, names))
+    }
+    walk(plan, Seq.empty)
+    def candidate(r: DataSourceV2Relation): Boolean =
+      anyUnqualified || {
+        val names = Option(aliasesByRel.get(r)).getOrElse(Seq.empty) ++
+          r.table.name().split('.').lastOption
+        refQuals.exists(q =>
+          q.nonEmpty && names.exists(_.equalsIgnoreCase(q.last)))
+      }
     val mapping =
       scala.collection.mutable.Map[org.apache.spark.sql.catalyst.expressions
         .ExprId, AttributeReference]()
     val replaced = plan.transformUp {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
-          !protectedRels.exists(_ eq r) &&
+          !protectedRels.exists(_ eq r) && candidate(r) &&
           !r.schema.fieldNames.exists(_.equalsIgnoreCase("_metadata")) =>
         val t = r.table.asInstanceOf[GraftTable]
         val inner = scala.util.Try(
           t.scanDF(spark).queryExecution.analyzed).toOption
-        val byName = inner.map(_.output.collect {
-          case a: AttributeReference => a.name.toLowerCase -> a
-        }.toMap).getOrElse(Map.empty)
-        if (inner.isEmpty ||
-            !r.output.forall(o => byName.contains(o.name.toLowerCase))) r
+        // exact-name match first, case-insensitive only when UNAMBIGUOUS
+        // (ADVICE r17: a table with two columns differing only in case
+        // under case-sensitive analysis must not wire both outputs to
+        // one inner attribute — bail and keep the DSv2 relation)
+        val innerOut = inner.map(_.output.collect {
+          case a: AttributeReference => a
+        }).getOrElse(Seq.empty)
+        def lookup(name: String): Option[AttributeReference] =
+          innerOut.find(_.name == name)
+            .orElse(innerOut.filter(_.name.equalsIgnoreCase(name)) match {
+              case Seq(one) => Some(one)
+              case _ => None
+            })
+        val resolved = r.output.map(o => o -> lookup(o.name))
+        if (inner.isEmpty || resolved.exists(_._2.isEmpty)) r
         else {
-          r.output.foreach(o => mapping(o.exprId) = byName(o.name.toLowerCase))
+          resolved.foreach { case (o, a) => mapping(o.exprId) = a.get }
           inner.get
         }
     }
@@ -678,7 +719,7 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           }
         case m: Min => m.child.isInstanceOf[AttributeReference] &&
-          boundServable(m.child.dataType)
+          graft.iceberg.MetaAgg.minServable(m.child.dataType)
         case m: Max => m.child.isInstanceOf[AttributeReference] &&
           boundServable(m.child.dataType)
         case _ => false
@@ -766,14 +807,12 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       id: Int, lower: Boolean): Option[Option[Any]] = {
     val contributing = ts.filterNot(_.allNull(id))
     if (contributing.isEmpty) return Some(None)
-    if (contributing.exists(t => t.poisoned(id) ||
-        !t.lo.contains(id) || !t.hi.contains(id))) None
-    else {
-      val vs = contributing.map(t => if (lower) t.lo(id) else t.hi(id))
-      Some(Some(
-        if (lower) vs.minBy(graft.iceberg.MetaAgg.cmpKey)
-        else vs.maxBy(graft.iceberg.MetaAgg.cmpKey)))
-    }
+    // only the REQUESTED side must be present on every contributor:
+    // strings fold min-only (`hi` absent by construction, r18), and an
+    // incomparable (hostile) bound value refuses instead of throwing
+    val vs = contributing.map(t => if (lower) t.lo.get(id) else t.hi.get(id))
+    if (contributing.exists(_.poisoned(id)) || vs.exists(_.isEmpty)) None
+    else graft.iceberg.MetaAgg.extremum(vs.flatten, lower).map(Some(_))
   }
 
   /** Non-null count of field `id` across tuple partials from recorded

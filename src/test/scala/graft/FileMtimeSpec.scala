@@ -61,4 +61,27 @@ class FileMtimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     first.values.foreach(ts => assert(math.abs(ts.getTime - snap1Millis) < 1,
       s"old-file mtime ${ts.getTime} != first commit $snap1Millis"))
   }
+
+  test("the per-file mtime fold is lazy: a metadata-served count never " +
+      "forces it; observing _metadata forces it once per relation (r18)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_mtime_wh_").toString
+    val s2 = GraftSessions.builder("local[4]", "4")
+      .config("spark.sql.catalog.glazy", "graft.sql.GraftCatalog")
+      .config("spark.sql.catalog.glazy.warehouse", wh)
+      .getOrCreate()
+    IcebergWriter.write(
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "s"), s"$wh/db/lz")
+    // a COUNT the optimizer serves from metadata discards the spliced
+    // scan — the O(entries) mtime map must never build
+    val before = IcebergScan.mtimeFoldCount
+    assert(s2.sql("SELECT count(*) AS c FROM glazy.db.lz").head.getLong(0) === 50L)
+    assert(IcebergScan.mtimeFoldCount === before,
+      "a metadata-served count must not force the mtime fold")
+    // selecting the virtual column forces the fold — exactly once
+    val withMeta = s2.sql(
+      "SELECT DISTINCT _metadata.file_modification_time FROM glazy.db.lz")
+    assert(withMeta.collect().nonEmpty)
+    assert(IcebergScan.mtimeFoldCount >= before + 1)
+  }
 }

@@ -1198,6 +1198,53 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", zone0)
   }
 
+  test("min(string) serves from provably-untruncated lower bounds (round 18)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    import spark.implicits._
+    // short string values: every file's recorded lower bound is whole
+    val p1 = s"$wh/db/smin_short"
+    IcebergWriter.write(
+      spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("name-"), format_string("%03d", col("id"))).as("nm")), p1)
+    val q1 = spark.sql(
+      "SELECT min(nm) AS lo, count(*) AS c FROM graft.db.smin_short")
+    assert(q1.head.getString(0) === "name-000" && q1.head.getLong(1) === 100L)
+    assert(scansOf(q1) === 0,
+      s"short-string min must serve scan-free:\n${q1.queryExecution.executedPlan}")
+    // max(string) has no untruncatedness proof: must scan, stays exact
+    val q2 = spark.sql("SELECT max(nm) AS hi FROM graft.db.smin_short")
+    assert(q2.head.getString(0) === "name-099")
+    assert(scansOf(q2) > 0, "string max must fall back to the scan")
+    // a >=16-code-point minimum records a truncated (ambiguous) lower
+    // bound: min must scan, stays exact
+    val p2 = s"$wh/db/smin_long"
+    IcebergWriter.write(
+      spark.range(0, 50).select(col("id").as("k"),
+        concat(lit("averylongprefix-xyz-"),
+          format_string("%03d", col("id"))).as("nm")), p2)
+    val q3 = spark.sql("SELECT min(nm) AS lo FROM graft.db.smin_long")
+    assert(q3.head.getString(0) === "averylongprefix-xyz-000")
+    assert(scansOf(q3) > 0, "truncation-ambiguous min must scan")
+    // a table overriding its metrics config may truncate SHORTER than
+    // the spec default: string min must refuse there too
+    val p3 = s"$wh/db/smin_conf"
+    IcebergWriter.write(
+      spark.range(0, 20).select(col("id").as("k"), lit("abc").as("nm")), p3)
+    IcebergWriter.setProperties(spark, p3,
+      Map("write.metadata.metrics.default" -> "truncate(8)"))
+    val q4 = spark.sql("SELECT min(nm) AS lo FROM graft.db.smin_conf")
+    assert(q4.head.getString(0) === "abc")
+    assert(scansOf(q4) > 0, "overridden metrics config must refuse string min")
+  }
+
   test("distinct periods and hourly rollups serve from interval ordinals (round 18)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -1325,5 +1372,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         |SELECT _metadata.file_path, id FROM graft.db.meta_t""".stripMargin)
     assert(spark.sql("SELECT count(DISTINCT p) FROM graft.db.meta_sink")
       .head.getLong(0) >= 2L)
+  }
+
+  test("a qualified _metadata on the file-source join side leaves the graft " +
+      "relation unspliced (round 18)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    mkOrders("orders_scope", rows = 40)
+    val pdir = Files.createTempDirectory("graft_scope_p_").toString
+    spark.range(1, 41).selectExpr("id", "id * 2 AS w")
+      .write.mode("overwrite").parquet(pdir)
+    // `p._metadata` names the FILE-SOURCE side (a direct path relation —
+    // views hide metadata columns): the graft relation must keep its
+    // DSv2 identity (keyed/SPJ claims intact), not be spliced
+    val df = spark.sql(
+      s"""SELECT p._metadata.file_path AS f, g.id
+         |FROM parquet.`$pdir` p JOIN graft.db.orders_scope g ON p.id = g.id"""
+        .stripMargin)
+    assert(df.count() === 40L)
+    assert(df.queryExecution.analyzed.collect {
+      case r: DataSourceV2Relation => r }.nonEmpty,
+      "graft relation must stay DSv2 when _metadata targets the other side:\n" +
+        df.queryExecution.analyzed)
+    // the graft side's OWN qualified _metadata still splices and resolves
+    val df2 = spark.sql(
+      s"""SELECT g._metadata.file_path AS f
+         |FROM parquet.`$pdir` p JOIN graft.db.orders_scope g ON p.id = g.id"""
+        .stripMargin)
+    assert(df2.count() === 40L)
+    assert(df2.queryExecution.analyzed.collect {
+      case r: DataSourceV2Relation => r }.isEmpty,
+      "the referenced graft relation must splice")
   }
 }

@@ -45,8 +45,8 @@ class MetaAggSpec extends AnyFunSuite {
     val t1 = ts.find(_.partition("dt") == Int.box(1)).get
     assert(t1.rows === 30L)
     assert(t1.nonNull(Id) === 28L)
-    assert(MetaAgg.cmpKey(t1.lo(Id)) === 3L)
-    assert(MetaAgg.cmpKey(t1.hi(Id)) === 9L)
+    assert(t1.lo(Id) === 3L)
+    assert(t1.hi(Id) === 9L)
     assert(!t1.allNull(Id) && !t1.poisoned(Id))
   }
 
@@ -56,7 +56,7 @@ class MetaAggSpec extends AnyFunSuite {
       entry(10, Some(10), None, None), // provably all-null: no bound needed
       entry(4, Some(0), Some(42), Some(50))), needed).head
     assert(!sparse.poisoned(Id) && !sparse.allNull(Id))
-    assert(MetaAgg.cmpKey(sparse.lo(Id)) === 42L)
+    assert(sparse.lo(Id) === 42L)
     assert(sparse.nonNull(Id) === 4L)
     // entirely-null tuple
     val allN = MetaAgg.fold(Iterator(
@@ -75,7 +75,7 @@ class MetaAggSpec extends AnyFunSuite {
     val noNc = MetaAgg.fold(Iterator(
       entry(10, None, Some(1), Some(9))), needed).head
     assert(!noNc.nonNull.contains(Id))
-    assert(!noNc.poisoned(Id) && MetaAgg.cmpKey(noNc.hi(Id)) === 9L)
+    assert(!noNc.poisoned(Id) && noNc.hi(Id) === 9L)
   }
 
   test("merge propagates poison over allNull and keeps exact sums") {
@@ -91,7 +91,7 @@ class MetaAggSpec extends AnyFunSuite {
     val ab = MetaAgg.merge(a, b, needed)
     assert(ab.rows === 15L && ab.nonNull(Id) === 13L)
     assert(!ab.allNull(Id) && !ab.poisoned(Id))
-    assert(MetaAgg.cmpKey(ab.lo(Id)) === 3L)
+    assert(ab.lo(Id) === 3L)
     val abc = MetaAgg.merge(ab, c, needed)
     assert(abc.poisoned(Id), "poison must survive any merge order")
     assert(!abc.nonNull.contains(Id), "absent total poisons the sum")
@@ -108,5 +108,61 @@ class MetaAggSpec extends AnyFunSuite {
       "a long decode must not read past a 4-byte bound")
     assert(MetaAgg.decodeCat(LongType, le8(Long.MinValue)) ===
       Some(Long.MinValue))
+  }
+
+  test("strings fold MIN-ONLY: sub-limit lower bounds serve, 16-code-point " +
+      "bounds refuse (possible truncation), upper bounds never serve") {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val sid = 9
+    val sneeded = Seq(sid -> (StringType: org.apache.spark.sql.types.DataType))
+    def sentry(lo: Option[String], hi: Option[String]) =
+      IcebergModel.ManifestEntry(
+        status = 1, content = 0, filePath = s"s${util.Random.nextInt()}",
+        fileFormat = "PARQUET", recordCount = 5, fileSizeInBytes = 1L,
+        partition = Map("dt" -> Int.box(1)),
+        nullCounts = Map(sid -> 0L),
+        lowerBounds = lo.map(v => sid -> v.getBytes("UTF-8")).toMap,
+        upperBounds = hi.map(v => sid -> v.getBytes("UTF-8")).toMap)
+    // short bounds: lo serves, hi is NOT recorded in the partial
+    val ok = MetaAgg.fold(Iterator(
+      sentry(Some("apple"), Some("pear")),
+      sentry(Some("ant"), Some("zebra"))), sneeded).head
+    assert(!ok.poisoned(sid))
+    assert(ok.lo(sid) === UTF8String.fromString("ant"))
+    assert(!ok.hi.contains(sid), "string max must never serve")
+    // a 16-code-point lower bound is ambiguous (may be truncated): poison
+    val long16 = "abcdefghijklmnop" // exactly 16 cp
+    assert(long16.codePointCount(0, long16.length) === 16)
+    val amb = MetaAgg.fold(Iterator(
+      sentry(Some(long16), Some("z")),
+      sentry(Some("ant"), Some("z"))), sneeded).head
+    assert(amb.poisoned(sid))
+    // 15 code points is provably whole
+    assert(MetaAgg.decodeCat(StringType, "abcdefghijklmno".getBytes("UTF-8"))
+      .contains(UTF8String.fromString("abcdefghijklmno")))
+    // UTF-8 BYTE order, not UTF-16 code-unit order: U+10000 (surrogate
+    // pair in UTF-16, sorts LOW there) must sort ABOVE U+FFFD
+    val supplementary = new String(Character.toChars(0x10000))
+    val mix = MetaAgg.fold(Iterator(
+      sentry(Some(supplementary), Some("z")),
+      sentry(Some("�"), Some("z"))), sneeded).head
+    assert(mix.lo(sid) === UTF8String.fromString("�"))
+  }
+
+  test("hostile bound types REFUSE (poison) on merge instead of throwing") {
+    def t(lo: Option[Any], hi: Option[Any]) =
+      TupleAgg(Map("dt" -> Int.box(1)), 5,
+        Map(Id -> 5L),
+        lo.map(Id -> _).toMap, hi.map(Id -> _).toMap,
+        Set.empty, Set.empty)
+    // a foreign/hostile partial carrying a non-integral bound under a
+    // LongType column: the merge must poison, never MatchError
+    val good = t(Some(3L), Some(9L))
+    val hostile = t(Some("not-a-long"), Some(new Object))
+    val m = MetaAgg.merge(good, hostile, needed)
+    assert(m.poisoned(Id))
+    assert(MetaAgg.cmpAny(Long.box(1L), "x").isEmpty)
+    assert(MetaAgg.extremum(Seq(Long.box(1L), Int.box(2)), lower = true).isEmpty)
   }
 }

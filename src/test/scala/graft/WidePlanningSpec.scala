@@ -231,6 +231,39 @@ class WidePlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1 - d0 === 0L, "row count must not decode any manifest")
   }
 
+  test("DV-only wide snapshots keep the distributed tuple fold (round 18)") {
+    // a 200-manifest / 10k-entry v3 fact with ONE live deletion vector:
+    // the metadata count must still fold on the EXECUTORS (collect ∝
+    // tuples, zero entries to the driver) and subtract the vector's
+    // cardinality from its file's tuple exactly
+    val dvTable = WideFixture.build(spark, manifests = 200, entriesPer = 50,
+      dv = true)
+    ManifestReader.invalidatePlanningCache()
+    spark.conf.set(ManifestReader.PlanningCacheMaxEntriesKey, "2000")
+    try {
+      val df = spark.read.format("graft").load(dvTable)
+      val (e0, _) = ManifestReader.distributedEntryStats
+      val t0 = ManifestReader.tupleStatsCollected
+      val q = df.agg(count(lit(1)).as("n"))
+      assert(q.collect().head.getLong(0) === 200L * 50 - 1,
+        "the DV's one deleted row must subtract")
+      assert(PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b: Any
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+      }.isEmpty, s"must serve from metadata:\n${q.queryExecution.executedPlan}")
+      assert(ManifestReader.tupleStatsCollected - t0 > 0,
+        "the wide tuple-stats path must engage under a DV")
+      assert(ManifestReader.distributedEntryStats._1 - e0 === 0L,
+        "no entries may reach the driver")
+      // grouped: only day 0's tuple lost a row
+      val g = df.groupBy(col("dt")).agg(count(lit(1)).as("n"))
+        .orderBy(col("dt")).collect()
+      assert(g.length === 200)
+      assert(g.head.getLong(1) === 49L)
+      assert(g.tail.forall(_.getLong(1) === 50L))
+    } finally spark.conf.unset(ManifestReader.PlanningCacheMaxEntriesKey)
+  }
+
   test("a narrow date RANGE decodes only its manifests (incremental window shape)") {
     ManifestReader.invalidatePlanningCache()
     val lo = WideFixture.BaseDate.plusDays(200)
