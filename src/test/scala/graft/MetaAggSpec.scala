@@ -150,6 +150,35 @@ class MetaAggSpec extends AnyFunSuite {
     assert(mix.lo(sid) === UTF8String.fromString("�"))
   }
 
+  test("applyDvAdjust: counts subtract per tuple, stats degrade, corrupt refuses") {
+    def t(part: Int, rows: Long) =
+      TupleAgg(Map("dt" -> Int.box(part)), rows,
+        Map(Id -> rows), Map(Id -> (3L: Any)), Map(Id -> (9L: Any)),
+        Set.empty, Set.empty)
+    val base = Seq(t(1, 10), t(2, 5), t(3, 7))
+    val out = MetaAgg.applyDvAdjust(base,
+      Map(Map[String, Any]("dt" -> Int.box(1)) -> 4L,
+          Map[String, Any]("dt" -> Int.box(2)) -> 5L),
+      Set(Id)).get
+    // tuple 2 fully deleted: mints no group; tuple 3 untouched: exact
+    assert(out.map(x => x.partition("dt") -> x.rows).toMap ===
+      Map(Int.box(1) -> 6L, Int.box(3) -> 7L))
+    val adj = out.find(_.partition("dt") == Int.box(1)).get
+    assert(adj.poisoned(Id) && !adj.nonNull.contains(Id) && adj.lo.isEmpty)
+    val keep = out.find(_.partition("dt") == Int.box(3)).get
+    assert(!keep.poisoned(Id) && keep.nonNull(Id) === 7L && keep.lo(Id) === 3L)
+    // all-null columns keep their exact zero under deletion
+    val an = TupleAgg(Map("dt" -> Int.box(9)), 4, Map(Id -> 0L),
+      Map.empty, Map.empty, Set(Id), Set.empty)
+    val outAn = MetaAgg.applyDvAdjust(Seq(an),
+      Map(Map[String, Any]("dt" -> Int.box(9)) -> 1L), Set(Id)).get
+    assert(outAn.head.allNull(Id) && outAn.head.nonNull(Id) === 0L &&
+      !outAn.head.poisoned(Id))
+    // deletions exceeding a tuple's rows = corrupt foreign DV: refuse
+    assert(MetaAgg.applyDvAdjust(base,
+      Map(Map[String, Any]("dt" -> Int.box(3)) -> 8L), Set(Id)).isEmpty)
+  }
+
   test("hostile bound types REFUSE (poison) on merge instead of throwing") {
     def t(lo: Option[Any], hi: Option[Any]) =
       TupleAgg(Map("dt" -> Int.box(1)), 5,
