@@ -1684,15 +1684,19 @@ object IcebergScan {
           if (dvs.isEmpty) out(base)
           else {
             // DV-ONLY snapshots serve COUNT shapes exactly: subtract each
-            // vector's cardinality from its data file's tuple; affected
-            // tuples' column stats degrade (MetaAgg.applyDvAdjust).
-            val tupleByFile = dataEntries.map(e => e.filePath -> e.partition).toMap
-            val delByTuple = scala.collection.mutable.Map.empty[Map[String, Any], Long]
+            // vector's cardinality from its data file's tuple; per-column
+            // non-null losses are provable for zero-null / all-null files
+            // (MetaAgg.applyDvAdjust degrades the rest).
+            val entryByFile = dataEntries.map(e => e.filePath -> e).toMap
+            val delByTuple =
+              scala.collection.mutable.Map.empty[Map[String, Any], MetaAgg.DvDelta]
             dvs.foreach { e =>
               val c = dvCardinality(root, e, opts.allowMovedPaths, conf)
                 .getOrElse(return None)
-              val t = tupleByFile(e.referencedDataFile.get)
-              delByTuple(t) = delByTuple.getOrElse(t, 0L) + c
+              val de = entryByFile(e.referencedDataFile.get)
+              val delta = MetaAgg.dvDeltaOf(de.recordCount, de.nullCounts, c, needed)
+              delByTuple(de.partition) = delByTuple.get(de.partition)
+                .map(MetaAgg.mergeDelta(_, delta)).getOrElse(delta)
             }
             MetaAgg.applyDvAdjust(base, delByTuple.toMap, needed.map(_._1).toSet)
               .flatMap(out)

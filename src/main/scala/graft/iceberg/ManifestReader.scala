@@ -398,17 +398,20 @@ object ManifestReader {
     val slices = math.max(1,
       math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
     val refSetB = spark.sparkContext.broadcast(refSet)
+    val neededIds = needed.map(_._1).toSet
     val fetched = spark.sparkContext.parallelize(paths, slices)
       .mapPartitions { ps =>
         // fold WITHIN the task across its manifests: what returns to the
         // driver is O(distinct tuples per slice) + O(DV'd files in the
-        // slice), never O(entries)
-        val refs = Seq.newBuilder[(String, Map[String, Any])]
+        // slice), never O(entries). Referenced files carry their null
+        // structure so per-column non-null losses stay provable.
+        val refs = Seq.newBuilder[(String, (Map[String, Any], Long, Map[Int, Long]))]
         val perManifest = ps.flatMap { p =>
           val es = readManifestEntries(p, sconf.value, formatVersion)
           if (refSetB.value.nonEmpty) es.foreach { e =>
             if (e.status != 2 && e.content == 0 && refSetB.value(e.filePath))
-              refs += e.filePath -> e.partition
+              refs += e.filePath -> ((e.partition, e.recordCount,
+                e.nullCounts.filter { case (id, _) => neededIds(id) }))
           }
           MetaAgg.fold(es.iterator, needed)
         }.toSeq
@@ -421,16 +424,20 @@ object ManifestReader {
     else {
       // one memoized blob read per LIVE-referenced DV; a DV whose data
       // file is gone (not in any live entry) is ignorable by definition
-      val tupleByFile = fetched.flatMap(_._2).toMap
-      val delByTuple = scala.collection.mutable.Map.empty[Map[String, Any], Long]
+      val infoByFile = fetched.flatMap(_._2).toMap
+      val delByTuple =
+        scala.collection.mutable.Map.empty[Map[String, Any], MetaAgg.DvDelta]
       dvs.foreach { e =>
-        tupleByFile.get(e.referencedDataFile.get).foreach { t =>
-          val c = IcebergScan.dvCardinality(tablePath, e, allowMovedPaths, conf)
-            .getOrElse(return None)
-          delByTuple(t) = delByTuple.getOrElse(t, 0L) + c
+        infoByFile.get(e.referencedDataFile.get).foreach {
+          case (tuple, recordCount, nullCounts) =>
+            val c = IcebergScan.dvCardinality(tablePath, e, allowMovedPaths, conf)
+              .getOrElse(return None)
+            val delta = MetaAgg.dvDeltaOf(recordCount, nullCounts, c, needed)
+            delByTuple(tuple) = delByTuple.get(tuple)
+              .map(MetaAgg.mergeDelta(_, delta)).getOrElse(delta)
         }
       }
-      MetaAgg.applyDvAdjust(merged, delByTuple.toMap, needed.map(_._1).toSet)
+      MetaAgg.applyDvAdjust(merged, delByTuple.toMap, neededIds)
     }
   }
 

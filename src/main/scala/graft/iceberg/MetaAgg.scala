@@ -176,27 +176,71 @@ object MetaAgg extends Serializable {
       nonNull.result(), lo.result(), hi.result(), allNull, poisoned)
   }
 
-  /** Subtract per-tuple DELETION-VECTOR row counts from folded partials
-    * (r18): COUNT shapes stay exact; each affected tuple poisons its
-    * bounds (the min may be deleted) and drops its non-null totals
-    * (all-null zeros survive any row deletion); a fully-deleted tuple
-    * mints no group. None = corrupt foreign metadata (a tuple's
-    * deletions exceed its rows) — the caller refuses to serve. */
+  /** Per-tuple deletion-vector summary: total deleted rows plus the
+    * per-column EXACT non-null losses — provable only when every DV'd
+    * file in the tuple records the column as ZERO-null (the vector
+    * removes exactly its cardinality of non-null values) or ALL-null
+    * (removes none); `unprovable` collects columns where some DV'd
+    * file's null structure leaves the loss unknown. */
+  final case class DvDelta(
+      rows: Long, nonNullLoss: Map[Int, Long], unprovable: Set[Int])
+
+  /** One DV'd data file's delta, classified per needed column from the
+    * file's recorded row/null counts. */
+  def dvDeltaOf(recordCount: Long, nullCounts: Map[Int, Long],
+                cardinality: Long, needed: Seq[(Int, DataType)]): DvDelta = {
+    val loss = Map.newBuilder[Int, Long]
+    var unk = Set.empty[Int]
+    needed.foreach { case (id, _) =>
+      nullCounts.get(id) match {
+        case Some(0L) => loss += id -> cardinality
+        case Some(n) if n == recordCount => loss += id -> 0L
+        case _ => unk += id
+      }
+    }
+    DvDelta(cardinality, loss.result(), unk)
+  }
+
+  def mergeDelta(a: DvDelta, b: DvDelta): DvDelta = DvDelta(
+    a.rows + b.rows,
+    (a.nonNullLoss.keySet ++ b.nonNullLoss.keySet).iterator.map(id =>
+      id -> (a.nonNullLoss.getOrElse(id, 0L) +
+             b.nonNullLoss.getOrElse(id, 0L))).toMap,
+    a.unprovable ++ b.unprovable)
+
+  /** Subtract per-tuple DELETION-VECTOR deltas from folded partials
+    * (r18): COUNT(*) stays exact; count(col) stays exact where the loss
+    * is provable (NOT-NULL columns — the common fact-table shape — and
+    * all-null columns) and drops otherwise; each affected tuple poisons
+    * its bounds (the min may be deleted); a fully-deleted tuple mints
+    * no group. None = corrupt foreign metadata (a tuple's deletions
+    * exceed its rows or a column's non-null total) — the caller refuses
+    * to serve. */
   def applyDvAdjust(
       base: Seq[TupleAgg],
-      delByTuple: Map[Map[String, Any], Long],
+      delByTuple: Map[Map[String, Any], DvDelta],
       ids: Set[Int]): Option[Seq[TupleAgg]] = {
     val out = Seq.newBuilder[TupleAgg]
     base.foreach { t =>
       delByTuple.get(t.partition) match {
         case None => out += t
-        case Some(d) if d > t.rows => return None
-        case Some(d) if d == t.rows => ()
-        case Some(d) => out += t.copy(
-          rows = t.rows - d,
-          nonNull = t.nonNull.filter { case (id, _) => t.allNull(id) },
-          lo = Map.empty, hi = Map.empty,
-          poisoned = (ids -- t.allNull) ++ t.poisoned)
+        case Some(dd) if dd.rows > t.rows => return None
+        case Some(dd) if dd.rows == t.rows => ()
+        case Some(dd) =>
+          val adjNonNull = t.nonNull.flatMap { case (id, n) =>
+            if (t.allNull(id)) Some(id -> n) // exact zero survives deletion
+            else if (dd.unprovable(id)) None
+            else dd.nonNullLoss.get(id) match {
+              case Some(loss) if loss <= n => Some(id -> (n - loss))
+              case Some(_) => return None // loss exceeds the total: corrupt
+              case None => None // id never classified — refuse, don't guess
+            }
+          }
+          out += t.copy(
+            rows = t.rows - dd.rows,
+            nonNull = adjNonNull,
+            lo = Map.empty, hi = Map.empty,
+            poisoned = (ids -- t.allNull) ++ t.poisoned)
       }
     }
     Some(out.result())

@@ -335,9 +335,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(
       "CREATE TABLE graft.db.mm_dv (k BIGINT, dt DATE, v BIGINT) " +
         "PARTITIONED BY (dt) TBLPROPERTIES ('format-version'='3')")
+    // v mixes genuine NULLs into every file (its non-null loss under a
+    // DV is unprovable); k is never null (loss = the DV cardinality)
     spark.sql(
       "INSERT INTO graft.db.mm_dv SELECT id, " +
-        "DATE_ADD(DATE'2024-01-01', CAST(id % 5 AS INT)), id FROM range(0, 100)")
+        "DATE_ADD(DATE'2024-01-01', CAST(id % 5 AS INT)), " +
+        "IF(id % 3 = 0, NULL, id) FROM range(0, 100)")
     spark.sql("DELETE FROM graft.db.mm_dv WHERE k % 7 = 3") // DVs, all tuples
     val expected = (0L until 100L).filterNot(_ % 7 == 3)
 
@@ -359,13 +362,20 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 5).map(m => expected.count(_ % 5 == m).toLong))
     assert(scansOf(gr) === 0,
       s"DV-only grouped count must stay scan-free:\n${gr.queryExecution.executedPlan}")
-    // MIN/MAX and count(col) degrade on DV'd tuples: must SCAN, stay exact
-    val mm = spark.sql("SELECT min(v) AS lo, max(v) AS hi FROM graft.db.mm_dv")
+    // MIN/MAX degrade on DV'd tuples: must SCAN, stay exact
+    val mm = spark.sql("SELECT min(k) AS lo, max(k) AS hi FROM graft.db.mm_dv")
     assert(mm.head.getLong(0) === expected.min && mm.head.getLong(1) === expected.max)
     assert(scansOf(mm) > 0, "bounds under DVs must fall back to the scan")
+    // count(col) of a NEVER-NULL column stays exact scan-free: each
+    // DV'd zero-null file provably loses its full cardinality (r18)
+    val ck = spark.sql("SELECT count(k) AS c FROM graft.db.mm_dv")
+    assert(ck.head.getLong(0) === expected.size.toLong)
+    assert(scansOf(ck) === 0,
+      s"count of a zero-null column must serve:\n${ck.queryExecution.executedPlan}")
+    // … but a column with genuine nulls in the DV'd files is unprovable
     val cv = spark.sql("SELECT count(v) AS c FROM graft.db.mm_dv")
-    assert(cv.head.getLong(0) === expected.size.toLong)
-    assert(scansOf(cv) > 0, "non-null counts under DVs must fall back")
+    assert(cv.head.getLong(0) === expected.count(_ % 3 != 0).toLong)
+    assert(scansOf(cv) > 0, "unprovable non-null counts must fall back")
 
     // EQUALITY deletes stay a bail (match counts unknown): exact via scan
     import spark.implicits._

@@ -150,33 +150,54 @@ class MetaAggSpec extends AnyFunSuite {
     assert(mix.lo(sid) === UTF8String.fromString("�"))
   }
 
-  test("applyDvAdjust: counts subtract per tuple, stats degrade, corrupt refuses") {
+  test("applyDvAdjust: counts subtract per tuple, provable non-null losses " +
+      "stay exact, bounds degrade, corrupt refuses") {
+    import MetaAgg.DvDelta
     def t(part: Int, rows: Long) =
       TupleAgg(Map("dt" -> Int.box(part)), rows,
         Map(Id -> rows), Map(Id -> (3L: Any)), Map(Id -> (9L: Any)),
         Set.empty, Set.empty)
+    def key(part: Int) = Map[String, Any]("dt" -> Int.box(part))
     val base = Seq(t(1, 10), t(2, 5), t(3, 7))
     val out = MetaAgg.applyDvAdjust(base,
-      Map(Map[String, Any]("dt" -> Int.box(1)) -> 4L,
-          Map[String, Any]("dt" -> Int.box(2)) -> 5L),
+      Map(key(1) -> DvDelta(4L, Map(Id -> 4L), Set.empty),
+          key(2) -> DvDelta(5L, Map(Id -> 5L), Set.empty)),
       Set(Id)).get
     // tuple 2 fully deleted: mints no group; tuple 3 untouched: exact
     assert(out.map(x => x.partition("dt") -> x.rows).toMap ===
       Map(Int.box(1) -> 6L, Int.box(3) -> 7L))
     val adj = out.find(_.partition("dt") == Int.box(1)).get
-    assert(adj.poisoned(Id) && !adj.nonNull.contains(Id) && adj.lo.isEmpty)
+    // provable zero-null loss: count(col) stays exact; bounds poison
+    assert(adj.poisoned(Id) && adj.nonNull(Id) === 6L && adj.lo.isEmpty)
     val keep = out.find(_.partition("dt") == Int.box(3)).get
     assert(!keep.poisoned(Id) && keep.nonNull(Id) === 7L && keep.lo(Id) === 3L)
+    // an UNPROVABLE column drops its total instead of guessing
+    val unk = MetaAgg.applyDvAdjust(Seq(t(4, 10)),
+      Map(key(4) -> DvDelta(2L, Map.empty, Set(Id))), Set(Id)).get.head
+    assert(unk.rows === 8L && !unk.nonNull.contains(Id))
     // all-null columns keep their exact zero under deletion
     val an = TupleAgg(Map("dt" -> Int.box(9)), 4, Map(Id -> 0L),
       Map.empty, Map.empty, Set(Id), Set.empty)
     val outAn = MetaAgg.applyDvAdjust(Seq(an),
-      Map(Map[String, Any]("dt" -> Int.box(9)) -> 1L), Set(Id)).get
+      Map(key(9) -> DvDelta(1L, Map(Id -> 0L), Set.empty)), Set(Id)).get
     assert(outAn.head.allNull(Id) && outAn.head.nonNull(Id) === 0L &&
       !outAn.head.poisoned(Id))
-    // deletions exceeding a tuple's rows = corrupt foreign DV: refuse
+    // deletions exceeding a tuple's rows (or a column's total) = corrupt
     assert(MetaAgg.applyDvAdjust(base,
-      Map(Map[String, Any]("dt" -> Int.box(3)) -> 8L), Set(Id)).isEmpty)
+      Map(key(3) -> DvDelta(8L, Map(Id -> 8L), Set.empty)), Set(Id)).isEmpty)
+    assert(MetaAgg.applyDvAdjust(Seq(t(5, 10)),
+      Map(key(5) -> DvDelta(3L, Map(Id -> 11L), Set.empty)), Set(Id)).isEmpty)
+    // per-file classification: zero-null loses cardinality, all-null
+    // loses nothing, mixed is unprovable; deltas merge per tuple
+    val d1 = MetaAgg.dvDeltaOf(10L, Map(Id -> 0L), 3L, needed)
+    val d2 = MetaAgg.dvDeltaOf(4L, Map(Id -> 4L), 2L, needed)
+    val d3 = MetaAgg.dvDeltaOf(6L, Map(Id -> 2L), 1L, needed)
+    assert(d1 === DvDelta(3L, Map(Id -> 3L), Set.empty))
+    assert(d2 === DvDelta(2L, Map(Id -> 0L), Set.empty))
+    assert(d3.unprovable === Set(Id))
+    val m12 = MetaAgg.mergeDelta(d1, d2)
+    assert(m12 === DvDelta(5L, Map(Id -> 3L), Set.empty))
+    assert(MetaAgg.mergeDelta(m12, d3).unprovable === Set(Id))
   }
 
   test("hostile bound types REFUSE (poison) on merge instead of throwing") {
