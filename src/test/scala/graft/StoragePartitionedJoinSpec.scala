@@ -571,6 +571,14 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(rows.length === 120)
     val byTier = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byTier === Map("legacy" -> 50, "stored" -> 50, "tail" -> 20))
+    // r18 perf pin: the per-file reader fill keeps BOTH keyed scans
+    // VECTORIZED (the old fill projection forced the defaulted side
+    // row-based — only one ColumnarToRow would appear)
+    val c2r = PlanWalk.collect(joined.queryExecution.executedPlan) {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.size
+    assert(c2r >= 2,
+      s"both keyed scans must stay columnar:\n${joined.queryExecution.executedPlan}")
   }
 
   test("equality delete ON the defaulted column matches filled values (round 17)") {
