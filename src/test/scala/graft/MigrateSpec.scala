@@ -202,6 +202,30 @@ class MigrateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.getLong(0) === 30 && viaSql.getBoolean(1))
   }
 
+  test("initial-defaults fill name-mapped (migrated) files by footer presence") {
+    // foreign files carry NO field ids — the name-mapped read strips id
+    // metadata but must KEEP the EXISTS_DEFAULT marker (r18), so files
+    // missing a later-added column by NAME read the initial-default
+    val source = tmp("graft_mig_def_")
+    writeForeign(src(30), source)
+    val table = tmp("graft_mig_deft_") + "/t"
+    IcebergWriter.addFiles(spark, table, source, formatVersion = 3)
+    IcebergWriter.addColumn(spark, table, "tier",
+      org.apache.spark.sql.types.StringType,
+      initialDefault = Some("legacy"), writeDefault = Some("standard"))
+    val s = IcebergScan.scan(spark, table)
+    assert(s.filter(col("tier") === "legacy").count() === 30)
+    // an appended file STORES its values (including nulls) — they win
+    import spark.implicits._
+    IcebergWriter.write(
+      Seq((100L, "name-100", 1.0, "stored"), (101L, "name-101", 2.0, null))
+        .toDF("id", "name", "score", "tier"), table)
+    val s2 = IcebergScan.scan(spark, table)
+    assert(s2.filter(col("tier") === "legacy").count() === 30)
+    assert(s2.filter(col("tier") === "stored").count() === 1)
+    assert(s2.filter(col("tier").isNull).count() === 1)
+  }
+
   test("rowCount under live deletes falls back to the exact MoR scan") {
     val source = tmp("graft_mig_src10_")
     writeForeign(src(20), source)
