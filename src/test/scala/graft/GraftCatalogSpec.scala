@@ -1229,6 +1229,25 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q1.head.getString(0) === "name-000" && q1.head.getLong(1) === 100L)
     assert(scansOf(q1) === 0,
       s"short-string min must serve scan-free:\n${q1.queryExecution.executedPlan}")
+    // grouped shape folds the same lower bounds per group
+    val qg = spark.sql(
+      """SELECT CAST(k % 2 AS INT) AS g, min(nm) AS lo
+        |FROM graft.db.smin_short GROUP BY 1""".stripMargin)
+    // k is not a partition column -> grouped must scan BUT stay exact;
+    // the scan-free grouped pin rides the partitioned table below
+    assert(qg.collect().map(_.getString(1)).sorted ===
+      Array("name-000", "name-001"))
+    val pg = s"$wh/db/smin_part"
+    IcebergWriter.write(
+      spark.range(0, 40).select((col("id") % 4).as("b"),
+        concat(lit("v"), format_string("%02d", col("id"))).as("nm")),
+      pg, partitionBy = Seq("b" -> "identity"))
+    val qp = spark.sql(
+      "SELECT b, min(nm) AS lo FROM graft.db.smin_part GROUP BY b ORDER BY b")
+    assert(qp.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      (0L to 3L).map(b => b -> f"v${b}%02d"))
+    assert(scansOf(qp) === 0,
+      s"grouped string min must serve scan-free:\n${qp.queryExecution.executedPlan}")
     // max(string) has no untruncatedness proof: must scan, stays exact
     val q2 = spark.sql("SELECT max(nm) AS hi FROM graft.db.smin_short")
     assert(q2.head.getString(0) === "name-099")
