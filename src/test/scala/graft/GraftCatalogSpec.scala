@@ -377,6 +377,21 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cv.head.getLong(0) === expected.count(_ % 3 != 0).toLong)
     assert(scansOf(cv) > 0, "unprovable non-null counts must fall back")
 
+    // STACKED DML deletes: a second DELETE supersedes each file's DV
+    // (max-sequence, cumulative positions) — counts stay scan-free exact
+    spark.sql("DELETE FROM graft.db.mm_dv WHERE k % 5 = 1")
+    val expected2 = expected.filterNot(_ % 5 == 1)
+    val g2 = spark.sql("SELECT count(*) AS c FROM graft.db.mm_dv")
+    assert(g2.head.getLong(0) === expected2.size.toLong)
+    assert(scansOf(g2) === 0,
+      s"stacked-DV count must stay scan-free:\n${g2.queryExecution.executedPlan}")
+    val gr2 = spark.sql(
+      "SELECT dt, count(*) AS c FROM graft.db.mm_dv GROUP BY dt ORDER BY dt")
+    // dt of id%5==1 is now FULLY deleted: that group must vanish, not
+    // surface as a zero-count row
+    assert(gr2.collect().map(_.getLong(1)).toSeq ===
+      (0 until 5).map(m => expected2.count(_ % 5 == m).toLong).filter(_ > 0))
+
     // EQUALITY deletes stay a bail (match counts unknown): exact via scan
     import spark.implicits._
     val eqPath = s"$wh/db/mm_dv_eq"
