@@ -392,6 +392,20 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gr2.collect().map(_.getLong(1)).toSeq ===
       (0 until 5).map(m => expected2.count(_ % 5 == m).toLong).filter(_ > 0))
 
+    // COMPOSED: distinct partition counts over DV'd tuples — the fully
+    // deleted dt is NOT active (a naive count of stored tuple values
+    // over entries would say 5); filtered variant stays exact too
+    val ad = spark.sql("SELECT count(DISTINCT dt) AS d FROM graft.db.mm_dv")
+    assert(ad.head.getLong(0) === 4L,
+      "a fully-deleted partition must not count as active")
+    assert(scansOf(ad) === 0,
+      s"distinct-under-DVs must serve:\n${ad.queryExecution.executedPlan}")
+    val adf = spark.sql(
+      """SELECT count(DISTINCT dt) AS d FROM graft.db.mm_dv
+        |WHERE dt >= DATE'2024-01-02'""".stripMargin)
+    assert(adf.head.getLong(0) === 3L)
+    assert(scansOf(adf) === 0)
+
     // EQUALITY deletes stay a bail (match counts unknown): exact via scan
     import spark.implicits._
     val eqPath = s"$wh/db/mm_dv_eq"
