@@ -392,6 +392,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gr2.collect().map(_.getLong(1)).toSeq ===
       (0 until 5).map(m => expected2.count(_ % 5 == m).toLong).filter(_ > 0))
 
+    // the rowCount surface (iceberg_row_count TVF) reports the exact
+    // count METADATA-ONLY on the DV'd table too
+    val rc = IcebergScan.rowCount(spark, s"$wh/db/mm_dv").head
+    assert(rc.getLong(0) === expected2.size.toLong && rc.getBoolean(1),
+      "DV-only row count must serve from metadata")
+
     // COMPOSED: distinct partition counts over DV'd tuples — the fully
     // deleted dt is NOT active (a naive count of stored tuple values
     // over entries would say 5); filtered variant stays exact too
