@@ -23,6 +23,14 @@ object IcebergModel {
       initialDefault: Option[Any] = None,
       writeDefault: Option[Any] = None)
 
+  /** A default value this engine cannot represent (foreign metadata with
+    * an unsupported default type/encoding). Carried IN PLACE of the
+    * value so schema construction and queries over OTHER columns keep
+    * working (r19, ADVICE r18): the failure surfaces — loudly, with
+    * `message` — only when the defaulted column itself is read or
+    * written. */
+  final case class UnsupportedDefault(message: String)
+
   /** One field of a partition spec (metadata.json `partition-specs`). The
     * reference parses specs with nobody consuming them (SURVEY §2.10); here
     * they drive driver-side file pruning. */

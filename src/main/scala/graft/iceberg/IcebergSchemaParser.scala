@@ -84,25 +84,61 @@ object IcebergSchemaParser {
     * types this engine writes (primitives; Iceberg spec "JSON single-value
     * serialization"): numbers as numbers, date as 'YYYY-MM-DD' string,
     * decimal as numeric string. */
-  def parseDefaultJson(dt: DataType, node: JsonNode): Any = dt match {
-    case BooleanType => node.asBoolean
-    case IntegerType => node.asInt
-    case LongType    => node.asLong
-    case FloatType   => node.asDouble.toFloat
-    case DoubleType  => node.asDouble
-    case StringType  => node.asText
-    case DateType    => java.time.LocalDate.parse(node.asText)
-    case _: DecimalType => new java.math.BigDecimal(node.asText)
-    case other => throw new IllegalArgumentException(
-      s"unsupported default-value type ${other.sql}")
+  def parseDefaultJson(dt: DataType, node: JsonNode): Any = {
+    // numeric JSON nodes only: Jackson's asLong/asInt silently coerce
+    // non-numeric text to 0, which would serve a WRONG default value —
+    // refuse loudly instead (r19)
+    def num[A](f: JsonNode => A): A =
+      if (node.isNumber) f(node)
+      else throw new IllegalArgumentException(
+        s"non-numeric default-value JSON '$node' for ${dt.sql}")
+    dt match {
+      case BooleanType if node.isBoolean => node.asBoolean
+      case BooleanType => throw new IllegalArgumentException(
+        s"non-boolean default-value JSON '$node'")
+      case IntegerType => num(_.asInt)
+      // a TEXTUAL long default is the Iceberg `time` type (micros of
+      // day — this engine's documented LongType mapping): spec JSON
+      // "HH:mm:ss.ffffff"
+      case LongType if node.isTextual =>
+        java.time.LocalTime.parse(node.asText).toNanoOfDay / 1000L
+      case LongType    => num(_.asLong)
+      case FloatType   => num(_.asDouble.toFloat)
+      case DoubleType  => num(_.asDouble)
+      case StringType  => node.asText
+      case DateType    => java.time.LocalDate.parse(node.asText)
+      // spec single-value JSON: timestamptz carries an ISO offset
+      // ("2017-11-16T14:31:08.000001+00:00"), timestamp does not
+      case TimestampType =>
+        java.time.OffsetDateTime.parse(node.asText).toInstant
+      case TimestampNTZType => java.time.LocalDateTime.parse(node.asText)
+      // binary / fixed: JSON string of hex digits
+      case BinaryType =>
+        val s = node.asText
+        require(s.matches("([0-9a-fA-F]{2})*"), s"not a hex string: '$s'")
+        s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      case _: DecimalType => new java.math.BigDecimal(node.asText)
+      case other => throw new IllegalArgumentException(
+        s"unsupported default-value type ${other.sql}")
+    }
   }
 
-  /** Top-level schema object → column list (schema.cpp:143-171). */
+  /** Top-level schema object → column list (schema.cpp:143-171). An
+    * unparseable/unsupported default becomes [[IcebergModel.UnsupportedDefault]]
+    * instead of failing the whole schema (r19, ADVICE r18): queries that
+    * never touch the defaulted column keep working; reading or writing
+    * it fails loudly with the recorded message. */
   def parseColumns(schema: JsonNode): Seq[Column] =
     schema.get("fields").elements.asScala.map { f =>
       val dt = parseType(f.get("type"))
       def dflt(key: String): Option[Any] =
-        Option(f.get(key)).filterNot(_.isNull).map(parseDefaultJson(dt, _))
+        Option(f.get(key)).filterNot(_.isNull).map { n =>
+          try parseDefaultJson(dt, n)
+          catch {
+            case e: Exception => IcebergModel.UnsupportedDefault(
+              s"default '$n' is not representable as ${dt.sql}: ${e.getMessage}")
+          }
+        }
       Column(
         id = f.get("id").asInt,
         name = f.get("name").asText,
@@ -132,18 +168,52 @@ object IcebergSchemaParser {
     * unlike any sequence-number derivation — it cannot be perturbed by
     * snapshot expiry (an expired declaring snapshot used to slide the
     * derived add-sequence forward and overwrite stored values). */
+  /** The EXISTS_DEFAULT SQL rendering of one initial-default value.
+    * TIMESTAMP defaults are rendered with an EXPLICIT UTC offset (r19,
+    * ADVICE r18): `Literal.sql` renders a TimestampType value under the
+    * session zone at SCHEMA-BUILD time while ResolveDefaultColumns
+    * re-parses it under the READER's session zone — a zone change
+    * between the two would shift the filled instant. An offset-carrying
+    * literal parses to the same instant under every session zone. */
+  private def defaultSql(name: String, dt: DataType, v: Any): String = v match {
+    case IcebergModel.UnsupportedDefault(msg) =>
+      // the failure is DEFERRED from metadata parse to here — metadata
+      // surfaces (snapshots/history/manifests listings) keep working on
+      // hostile foreign schemas; only building a READ schema for the
+      // table's rows fails, with the recorded reason. Per-COLUMN read
+      // deferral is not attainable on the V1 parquet path: Spark
+      // resolves existence defaults over the FULL data schema, so a
+      // poisoned EXISTS_DEFAULT fails every projection (verified
+      // empirically, r19 ADVICE response).
+      throw new UnsupportedOperationException(s"column '$name': $msg")
+    case i: java.time.Instant if dt == TimestampType =>
+      val odt = java.time.OffsetDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      val body = odt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      s"TIMESTAMP '$body+00:00'"
+    case _: Array[Byte] =>
+      // decodable at the metadata layer (write-defaults fill fine), but
+      // Spark's vectorized parquet reader cannot populate byte-array
+      // existence defaults (ParquetColumnVector refuses) — fail with
+      // the real reason instead of a deep reader crash
+      throw new UnsupportedOperationException(
+        s"column '$name': binary initial-defaults are not fillable by " +
+        "Spark's vectorized parquet reader")
+    case other => scala.util.Try(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(other, dt).sql)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"column '$name': initial-default value '$other' is not " +
+        s"expressible as a ${dt.sql} literal"))
+  }
+
   def toStructType(cols: Seq[Column]): StructType =
     StructType(cols.map { c =>
       val b = new MetadataBuilder().putLong("parquet.field.id", c.id.toLong)
       c.initialDefault.foreach { v =>
-        val sql = scala.util.Try(
-          org.apache.spark.sql.catalyst.expressions.Literal.create(v, c.dataType).sql)
-          .getOrElse(throw new UnsupportedOperationException(
-            s"column '${c.name}': initial-default value '$v' is not " +
-            s"expressible as a ${c.dataType.sql} literal"))
         b.putString(
           org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
-            .EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+          defaultSql(c.name, c.dataType, v))
       }
       StructField(c.name, c.dataType, nullable = !c.required, metadata = b.build())
     }.toArray)

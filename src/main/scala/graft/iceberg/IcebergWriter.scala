@@ -2347,8 +2347,16 @@ object IcebergWriter {
       if (missing.isEmpty ||
           cols.take(df.schema.size).map(_.name) != df.schema.fieldNames.toSeq ||
           !missing.forall(_.writeDefault.isDefined)) df
-      else missing.foldLeft(df)((d, c) =>
-        d.withColumn(c.name, lit(c.writeDefault.get).cast(c.dataType)))
+      else missing.foldLeft(df) { (d, c) =>
+        c.writeDefault.get match {
+          // an unrepresentable default (deferred at schema parse, r19)
+          // fails loudly HERE — the one place it would be used
+          case IcebergModel.UnsupportedDefault(msg) =>
+            throw new UnsupportedOperationException(
+              s"write: column '${c.name}' write-default is unusable: $msg")
+          case v => d.withColumn(c.name, lit(v).cast(c.dataType))
+        }
+      }
     }.getOrElse(df)
 
     def guards(state: Option[State]): Unit = {

@@ -398,22 +398,25 @@ object ManifestReader {
     val slices = math.max(1,
       math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
     val refSetB = spark.sparkContext.broadcast(refSet)
-    val neededIds = needed.map(_._1).toSet
     val fetched = spark.sparkContext.parallelize(paths, slices)
       .mapPartitions { ps =>
         // fold WITHIN the task across its manifests: what returns to the
         // driver is O(distinct tuples per slice) + O(DV'd files in the
-        // slice), never O(entries). Referenced files carry their null
-        // structure so per-column non-null losses stay provable.
-        val refs = Seq.newBuilder[(String, (Map[String, Any], Long, Map[Int, Long]))]
+        // slice), never O(entries). DV-referenced files are EXCLUDED
+        // from the fold and shipped as per-file single-entry partials
+        // instead (r19): the driver subtracts each vector's cardinality
+        // per file and keeps min/max servable when the un-deleted fold
+        // dominates the DV'd files' bounds (MetaAgg.applyDeletes).
+        val refs = Seq.newBuilder[(String, TupleAgg)]
         val perManifest = ps.flatMap { p =>
           val es = readManifestEntries(p, sconf.value, formatVersion)
-          if (refSetB.value.nonEmpty) es.foreach { e =>
-            if (e.status != 2 && e.content == 0 && refSetB.value(e.filePath))
-              refs += e.filePath -> ((e.partition, e.recordCount,
-                e.nullCounts.filter { case (id, _) => neededIds(id) }))
-          }
-          MetaAgg.fold(es.iterator, needed)
+          val (ref, plain) =
+            if (refSetB.value.isEmpty) (Seq.empty, es)
+            else es.partition(e =>
+              e.status != 2 && e.content == 0 && refSetB.value(e.filePath))
+          ref.foreach(e =>
+            if (e.recordCount > 0) refs += e.filePath -> MetaAgg.ofEntry(e, needed))
+          MetaAgg.fold(plain.iterator, needed)
         }.toSeq
         Iterator.single((mergePartials(perManifest, needed), refs.result()))
       }.collect()
@@ -424,20 +427,15 @@ object ManifestReader {
     else {
       // one memoized blob read per LIVE-referenced DV; a DV whose data
       // file is gone (not in any live entry) is ignorable by definition
-      val infoByFile = fetched.flatMap(_._2).toMap
-      val delByTuple =
-        scala.collection.mutable.Map.empty[Map[String, Any], MetaAgg.DvDelta]
-      dvs.foreach { e =>
-        infoByFile.get(e.referencedDataFile.get).foreach {
-          case (tuple, recordCount, nullCounts) =>
-            val c = IcebergScan.dvCardinality(tablePath, e, allowMovedPaths, conf)
-              .getOrElse(return None)
-            val delta = MetaAgg.dvDeltaOf(recordCount, nullCounts, c, needed)
-            delByTuple(tuple) = delByTuple.get(tuple)
-              .map(MetaAgg.mergeDelta(_, delta)).getOrElse(delta)
+      val partialByFile = fetched.flatMap(_._2).toMap
+      val deletedFiles = dvs.flatMap { e =>
+        partialByFile.get(e.referencedDataFile.get).map { p =>
+          val c = IcebergScan.dvCardinality(tablePath, e, allowMovedPaths, conf)
+            .getOrElse(return None)
+          MetaAgg.DeletedFile(p, c)
         }
       }
-      MetaAgg.applyDvAdjust(merged, delByTuple.toMap, neededIds)
+      MetaAgg.applyDeletes(merged, deletedFiles, needed)
     }
   }
 

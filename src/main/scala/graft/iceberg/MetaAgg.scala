@@ -23,7 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - poisoned: some non-all-null entry lacks a decodable bound —
   *    MIN/MAX of that column can't serve exactly.
   * Non-null totals are exact sums or absent (an entry omitted the null
-  *  count — a v1 manifest's absent counts never serve as zeros). */
+  *  count — a v1 manifest's absent counts never serve as zeros).
+  *
+  * `tainted` (r19, VERDICT r18 #1) marks a tuple a live EQUALITY delete
+  * may still touch (its key bounds cannot rule out every data file of
+  * the tuple): the partial's values are then upper bounds, not answers
+  * — consumers serve only when their filters provably EXCLUDE every
+  * tainted tuple, and bail otherwise. A CDC-upserted partition thus
+  * taints itself without disqualifying scan-free counts on the
+  * partitions its deletes provably cannot match. */
 final case class TupleAgg(
     partition: Map[String, Any],
     rows: Long,
@@ -31,7 +39,8 @@ final case class TupleAgg(
     lo: Map[Int, Any],
     hi: Map[Int, Any],
     allNull: Set[Int],
-    poisoned: Set[Int])
+    poisoned: Set[Int],
+    tainted: Boolean = false)
 
 object MetaAgg extends Serializable {
 
@@ -173,74 +182,106 @@ object MetaAgg extends Serializable {
       }
     }
     TupleAgg(a.partition, a.rows + b.rows,
-      nonNull.result(), lo.result(), hi.result(), allNull, poisoned)
+      nonNull.result(), lo.result(), hi.result(), allNull, poisoned,
+      a.tainted || b.tainted)
   }
 
-  /** Per-tuple deletion-vector summary: total deleted rows plus the
-    * per-column EXACT non-null losses — provable only when every DV'd
-    * file in the tuple records the column as ZERO-null (the vector
-    * removes exactly its cardinality of non-null values) or ALL-null
-    * (removes none); `unprovable` collects columns where some DV'd
-    * file's null structure leaves the loss unknown. */
-  final case class DvDelta(
-      rows: Long, nonNullLoss: Map[Int, Long], unprovable: Set[Int])
+  /** One PARTIALLY-DELETED data file: its single-entry stat partial
+    * ([[ofEntry]]) plus the EXACT number of rows a deletion vector or
+    * the live v2 position-delete set removes from it (r19 — DVs and
+    * parquet position deletes share this shape: both name positions in
+    * one file, so both subtract an exact per-file count). */
+  final case class DeletedFile(partial: TupleAgg, deleted: Long)
 
-  /** One DV'd data file's delta, classified per needed column from the
-    * file's recorded row/null counts. */
-  def dvDeltaOf(recordCount: Long, nullCounts: Map[Int, Long],
-                cardinality: Long, needed: Seq[(Int, DataType)]): DvDelta = {
-    val loss = Map.newBuilder[Int, Long]
-    var unk = Set.empty[Int]
-    needed.foreach { case (id, _) =>
-      nullCounts.get(id) match {
-        case Some(0L) => loss += id -> cardinality
-        case Some(n) if n == recordCount => loss += id -> 0L
-        case _ => unk += id
-      }
-    }
-    DvDelta(cardinality, loss.result(), unk)
-  }
-
-  def mergeDelta(a: DvDelta, b: DvDelta): DvDelta = DvDelta(
-    a.rows + b.rows,
-    (a.nonNullLoss.keySet ++ b.nonNullLoss.keySet).iterator.map(id =>
-      id -> (a.nonNullLoss.getOrElse(id, 0L) +
-             b.nonNullLoss.getOrElse(id, 0L))).toMap,
-    a.unprovable ++ b.unprovable)
-
-  /** Subtract per-tuple DELETION-VECTOR deltas from folded partials
-    * (r18): COUNT(*) stays exact; count(col) stays exact where the loss
-    * is provable (NOT-NULL columns — the common fact-table shape — and
-    * all-null columns) and drops otherwise; each affected tuple poisons
-    * its bounds (the min may be deleted); a fully-deleted tuple mints
-    * no group. None = corrupt foreign metadata (a tuple's deletions
-    * exceed its rows or a column's non-null total) — the caller refuses
-    * to serve. */
-  def applyDvAdjust(
+  /** Merge the UN-deleted entries' per-tuple partials with per-file
+    * deleted-file partials into exact live partials (r19, VERDICT r18
+    * #2/#3 — replaces the r18 per-tuple DV adjust):
+    *  - COUNT(*): live rows = un-deleted rows + Σ(file rows − deleted);
+    *  - count(col): exact where every deleted file's null structure is
+    *    provable — zero-null (loses exactly `deleted` non-nulls) or
+    *    all-null (loses none); mixed nulls drop the column's total;
+    *  - MIN/MAX (r19 refinement): a deletion only SHRINKS a file's
+    *    value set, so a deleted file's live min/max stays INSIDE its
+    *    recorded bounds. The un-deleted side's bound therefore serves
+    *    exactly when it DOMINATES every live deleted file's
+    *    corresponding bound (un-deleted lo ≤ every deleted file's lo —
+    *    the un-deleted bound is attained and nothing deleted can beat
+    *    it); a dominated side is omitted (refuses without poisoning the
+    *    other side), matching the r18 string min-only convention;
+    *  - fully-deleted files impose no bound constraint and a
+    *    fully-deleted tuple mints no group;
+    *  - all-null columns keep their exact zero under deletion.
+    * None = corrupt foreign metadata (a file's deletions exceed its
+    * rows) — the caller refuses to serve. */
+  def applyDeletes(
       base: Seq[TupleAgg],
-      delByTuple: Map[Map[String, Any], DvDelta],
-      ids: Set[Int]): Option[Seq[TupleAgg]] = {
+      deleted: Seq[DeletedFile],
+      needed: Seq[(Int, DataType)]): Option[Seq[TupleAgg]] = {
+    if (deleted.exists(df => df.deleted > df.partial.rows)) return None
+    val byTuple = deleted.groupBy(_.partial.partition)
+    val baseByTuple = base.map(t => t.partition -> t).toMap
     val out = Seq.newBuilder[TupleAgg]
-    base.foreach { t =>
-      delByTuple.get(t.partition) match {
-        case None => out += t
-        case Some(dd) if dd.rows > t.rows => return None
-        case Some(dd) if dd.rows == t.rows => ()
-        case Some(dd) =>
-          val adjNonNull = t.nonNull.flatMap { case (id, n) =>
-            if (t.allNull(id)) Some(id -> n) // exact zero survives deletion
-            else if (dd.unprovable(id)) None
-            else dd.nonNullLoss.get(id) match {
-              case Some(loss) if loss <= n => Some(id -> (n - loss))
-              case Some(_) => return None // loss exceeds the total: corrupt
-              case None => None // id never classified — refuse, don't guess
+    (base.map(_.partition) ++
+      byTuple.keys.filterNot(baseByTuple.contains)).distinct.foreach { part =>
+      val u = baseByTuple.get(part)
+      val dfs = byTuple.getOrElse(part, Seq.empty)
+      if (dfs.isEmpty) u.foreach(out += _)
+      else {
+        val liveRows = dfs.map(df => df.partial.rows - df.deleted).sum
+        val rows = u.map(_.rows).getOrElse(0L) + liveRows
+        if (rows > 0) {
+          // live (partially-deleted) files constrain bounds; fully-
+          // deleted files contribute nothing to any aggregate
+          val live = dfs.filter(df => df.deleted < df.partial.rows)
+          val dAgg = live.map(_.partial).reduceOption(merge(_, _, needed))
+          val nonNull = Map.newBuilder[Int, Long]
+          val lo = Map.newBuilder[Int, Any]
+          val hi = Map.newBuilder[Int, Any]
+          var allNull = Set.empty[Int]
+          var poisoned = Set.empty[Int]
+          needed.foreach { case (id, _) =>
+            // exact live non-null: un-deleted total + per-file provable
+            // losses (zero-null file loses `deleted`, all-null loses 0)
+            val uNN: Option[Long] =
+              u.map(_.nonNull.get(id)).getOrElse(Some(0L))
+            val dNN: Option[Long] = dfs.foldLeft(Option(0L)) { (acc, df) =>
+              val p = df.partial
+              for {
+                a <- acc
+                n <- p.nonNull.get(id)
+                liveN <-
+                  if (p.allNull(id)) Some(0L)
+                  else if (n == p.rows) Some(n - df.deleted) // zero-null
+                  else None // mixed nulls: loss unknowable from counts
+              } yield a + liveN
+            }
+            for (a <- uNN; b <- dNN) nonNull += id -> (a + b)
+            val uC = u.filterNot(_.allNull(id))
+            val dC = dAgg.filterNot(_.allNull(id))
+            if (uC.exists(_.poisoned(id)) || dC.exists(_.poisoned(id)))
+              poisoned += id
+            else if (uC.isEmpty && dC.isEmpty) allNull += id
+            else {
+              // each bound side serves iff the UN-deleted side carries
+              // it and dominates every live deleted file's bound; with
+              // no live deleted contributor the un-deleted fold is
+              // already exact. A deleted-only side refuses (the live
+              // extremum may have been deleted).
+              def side(pick: TupleAgg => Option[Any], keepLeft: Int => Boolean)
+                  : Option[Any] = (uC.flatMap(pick), dC.map(pick)) match {
+                case (Some(uv), None) => Some(uv)
+                case (Some(uv), Some(Some(dv))) =>
+                  cmpAny(uv, dv).filter(keepLeft).map(_ => uv)
+                case _ => None
+              }
+              side(_.lo.get(id), _ <= 0).foreach(lo += id -> _)
+              side(_.hi.get(id), _ >= 0).foreach(hi += id -> _)
             }
           }
-          out += t.copy(
-            rows = t.rows - dd.rows,
-            nonNull = adjNonNull,
-            lo = Map.empty, hi = Map.empty,
-            poisoned = (ids -- t.allNull) ++ t.poisoned)
+          out += TupleAgg(part, rows, nonNull.result(),
+            lo.result(), hi.result(), allNull, poisoned,
+            u.exists(_.tainted) || dfs.exists(_.partial.tainted))
+        }
       }
     }
     Some(out.result())

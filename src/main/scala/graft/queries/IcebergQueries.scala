@@ -2713,6 +2713,197 @@ object IcebergQueries {
         }.isEmpty
         q.withColumn("metadata_only", lit(scanFree))
       }
+    ),
+    QueryDef(
+      "ib83_metadata_eq_scoped",
+      // SCOPED EQUALITY-DELETE METADATA gate (round 19, VERDICT r18 #1):
+      // a CDC-style upsert leaves a live equality delete on ONE day of a
+      // day(ts)-partitioned v3 fact. Its key bounds (event_id is
+      // monotone with ts, so per-day id ranges are disjoint) provably
+      // match no other partition's files, so filtered/grouped COUNT
+      // shapes on the UNTOUCHED partitions keep serving scan-free; the
+      // global count — the tainted partition in scope — falls through
+      // to the MoR scan and stays exact (metadata_only=false pinned
+      // inside the hash-compared output).
+      Some("""
+        SELECT which, d, cnt, metadata_only FROM (
+          SELECT 'other' AS which, CAST(NULL AS DATE) AS d, COUNT(*) AS cnt,
+                 CAST(TRUE AS BOOLEAN) AS metadata_only
+          FROM events
+          WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 11 = 0)
+            AND CAST(ts AS DATE) >= DATE '2024-01-10'
+          UNION ALL
+          SELECT 'day', CAST(ts AS DATE), COUNT(*), CAST(TRUE AS BOOLEAN)
+          FROM events
+          WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 11 = 0)
+            AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+          GROUP BY 2
+          UNION ALL
+          SELECT 'global', CAST(NULL AS DATE), COUNT(*), CAST(FALSE AS BOOLEAN)
+          FROM events
+          WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 11 = 0)
+        )"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib83", dir) { () =>
+          val wh = ensureCatalog(s)
+          val path = s"$wh/g/eqscope_$suffix"
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), path,
+            partitionBy = Seq("ts" -> "day"), formatVersion = 3)
+          val keys = graft.Tables.events(s, dir)
+            .where("CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 11 = 0")
+            .select("event_id")
+          graft.iceberg.IcebergWriter.deleteEquality(s, path, keys)
+          s"graft_cat.g.eqscope_$suffix"
+        }
+        ensureCatalog(s)
+        def scanFree(q: org.apache.spark.sql.DataFrame): Boolean = {
+          q.collect() // finalize the adaptive plan
+          graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b: Any
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+            case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+          }.isEmpty
+        }
+        val served = s.sql(
+          s"""SELECT 'other' AS which, CAST(NULL AS DATE) AS d,
+                     COUNT(*) AS cnt
+              FROM $name WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+              UNION ALL
+              SELECT 'day', CAST(ts AS DATE), COUNT(*)
+              FROM $name
+              WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+              GROUP BY 2""")
+        val global = s.sql(
+          s"SELECT 'global' AS which, CAST(NULL AS DATE) AS d, " +
+            s"COUNT(*) AS cnt FROM $name")
+        served.withColumn("metadata_only", lit(scanFree(served)))
+          .unionByName(global.withColumn("metadata_only", lit(scanFree(global))))
+      }
+    ),
+    QueryDef(
+      "ib84_metadata_pos_count",
+      // v2 POSITION-DELETE METADATA COUNT gate (round 19, VERDICT r18
+      // #2): the pre-v3 DML norm — two STACKED delete commits tombstone
+      // a day(ts)-partitioned v2 fact. count = Σ record_count −
+      // |distinct live (file_path, pos)|, read from the position-delete
+      // files alone (scoped by their reserved-field path bounds, deduped
+      // across the stacked files); the DATA files are never scanned.
+      // `metadata_only` pins the scan-free plan; values hash-match
+      // DuckDB replaying both delete predicates over the raw rows.
+      Some("""
+        SELECT which, d, cnt, CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM (
+          SELECT 'total' AS which, CAST(NULL AS DATE) AS d, COUNT(*) AS cnt
+          FROM events WHERE event_id % 7 <> 3 AND event_id % 5 <> 1
+          UNION ALL
+          SELECT 'filtered', CAST(NULL AS DATE), COUNT(*)
+          FROM events
+          WHERE event_id % 7 <> 3 AND event_id % 5 <> 1
+            AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-16'
+          UNION ALL
+          SELECT 'day', CAST(ts AS DATE), COUNT(*)
+          FROM events WHERE event_id % 7 <> 3 AND event_id % 5 <> 1
+          GROUP BY CAST(ts AS DATE)
+        )"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib84", dir) { () =>
+          val wh = ensureCatalog(s)
+          val path = s"$wh/g/poscnt_$suffix"
+          graft.iceberg.IcebergWriter.write(
+            graft.Tables.events(s, dir), path,
+            partitionBy = Seq("ts" -> "day"), formatVersion = 2)
+          graft.iceberg.IcebergWriter.delete(s, path, expr("event_id % 7 = 3"))
+          graft.iceberg.IcebergWriter.delete(s, path, expr("event_id % 5 = 1"))
+          s"graft_cat.g.poscnt_$suffix"
+        }
+        ensureCatalog(s)
+        val q = s.sql(
+          s"""SELECT 'total' AS which, CAST(NULL AS DATE) AS d,
+                     COUNT(*) AS cnt
+              FROM $name
+              UNION ALL
+              SELECT 'filtered', CAST(NULL AS DATE), COUNT(*)
+              FROM $name
+              WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-16'
+              UNION ALL
+              SELECT 'day', CAST(ts AS DATE), COUNT(*)
+              FROM $name GROUP BY CAST(ts AS DATE)""")
+        q.collect() // finalize the adaptive plan
+        val scanFree = graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b: Any
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+        }.isEmpty
+        q.withColumn("metadata_only", lit(scanFree))
+      }
+    ),
+    QueryDef(
+      "ib85_metadata_dv_minmax",
+      // DV MIN/MAX DOMINANCE gate (round 19, VERDICT r18 #3): a deletion
+      // only shrinks a file's value set, so a tuple's un-deleted files'
+      // fold serves min/max exactly when it dominates every DV'd file's
+      // corresponding bound. The fixture appends a user_id-shifted copy
+      // of every day, then DML-deletes only shifted rows: per-day
+      // min(user_id) lives in the un-DV'd original files (dominates →
+      // scan-free, with exact per-day counts); max lives in the DV'd
+      // copies (dominated → exact fall-through, metadata_only=false
+      // pinned in the hash-compared output).
+      Some("""
+        WITH t AS (
+          SELECT * FROM events
+          UNION ALL
+          SELECT event_id + 10000000, ts, user_id + 3000000,
+                 event_type, value, props
+          FROM events WHERE user_id % 3 <> 0)
+        SELECT 'min' AS which, CAST(ts AS DATE) AS d,
+               min(user_id) AS x, COUNT(*) AS cnt,
+               CAST(TRUE AS BOOLEAN) AS metadata_only
+        FROM t GROUP BY 2
+        UNION ALL
+        SELECT 'max', CAST(NULL AS DATE), max(user_id), COUNT(*),
+               CAST(FALSE AS BOOLEAN)
+        FROM t"""),
+      (s, dir) => {
+        val suffix = math.abs(dir.hashCode)
+        val name = cachedTable("ib85", dir) { () =>
+          val wh = ensureCatalog(s)
+          val path = s"$wh/g/dvmm_$suffix"
+          val base = graft.Tables.events(s, dir)
+          graft.iceberg.IcebergWriter.write(
+            base, path, partitionBy = Seq("ts" -> "day"), formatVersion = 3)
+          graft.iceberg.IcebergWriter.write(
+            base.withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("user_id", col("user_id") + lit(3000000L)),
+            path)
+          graft.iceberg.IcebergWriter.delete(
+            s, path, expr("event_id >= 10000000 AND user_id % 3 = 0"))
+          s"graft_cat.g.dvmm_$suffix"
+        }
+        ensureCatalog(s)
+        def scanFree(q: org.apache.spark.sql.DataFrame): Boolean = {
+          q.collect() // finalize the adaptive plan
+          graft.PlanWalk.collect(q.queryExecution.executedPlan) {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b: Any
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f: Any
+            case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r: Any
+          }.isEmpty
+        }
+        val mins = s.sql(
+          s"""SELECT 'min' AS which, CAST(ts AS DATE) AS d,
+                     min(user_id) AS x, COUNT(*) AS cnt
+              FROM $name GROUP BY 2""")
+        val maxs = s.sql(
+          s"SELECT 'max' AS which, CAST(NULL AS DATE) AS d, " +
+            s"max(user_id) AS x, COUNT(*) AS cnt FROM $name")
+        mins.withColumn("metadata_only", lit(scanFree(mins)))
+          .unionByName(maxs.withColumn("metadata_only", lit(scanFree(maxs))))
+      }
     )
   )
 

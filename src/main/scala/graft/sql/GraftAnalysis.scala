@@ -945,6 +945,11 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }, OneRowRelation())
     }
     t.metadataLive(spark, neededColsOf(agg)).flatMap { case (tuples, cols, _) =>
+      // a tainted tuple (a live equality delete may still match it,
+      // r19) makes every global aggregate an upper bound — bail; the
+      // filtered/grouped path below can still serve when its filters
+      // provably exclude the tainted tuples
+      if (tuples.exists(_.tainted)) return None
       val total = tuples.map(_.rows).sum
       def boundOf(a0: AttributeReference, lower: Boolean)
           : Option[Option[Any]] =
@@ -1492,6 +1497,13 @@ case class GraftKeyedModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .getOrElse(return None)
         }
       }
+      // TAINTED tuples (a live equality delete may still match their
+      // files, r19 VERDICT r18 #1): servable only by EXCLUSION — every
+      // tainted tuple must fall to the filters; one surviving taints
+      // the whole answer (its partials are upper bounds) → normal plan.
+      // A CDC-upserted partition thus keeps the scan-free counts on
+      // every partition its deletes provably cannot touch.
+      if (matching.exists(_._1.tainted)) return None
 
       // the grouping-key values of one tuple; None = unevaluable → bail
       def groupKey(e: graft.iceberg.TupleAgg,

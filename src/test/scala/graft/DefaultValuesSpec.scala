@@ -209,4 +209,120 @@ class DefaultValuesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length === 20)
     assert(rows.forall(_.isNullAt(0)))
   }
+
+  /** Splice a foreign-writer column with an initial-default into the
+    * current schema (the fixture shape of the unknown-type test). */
+  private def spliceColumn(table: String, name: String, typeName: String,
+                           defaultJson: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = s"$table/metadata/v1.metadata.json"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(graft.iceberg.IcebergIO.readString(metaPath, conf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val nextId = root.get("last-column-id").asInt + 1
+    val sid = root.get("current-schema-id").asInt
+    val schema = root.get("schemas").elements()
+    var cur: com.fasterxml.jackson.databind.JsonNode = null
+    while (schema.hasNext) {
+      val s = schema.next()
+      if (s.get("schema-id").asInt == sid) cur = s
+    }
+    val f = cur.get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    f.put("id", nextId); f.put("name", name)
+    f.put("required", false); f.put("type", typeName)
+    f.set("initial-default", mapper.readTree(defaultJson))
+    ()
+    root.put("last-column-id", nextId)
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$table/metadata/v2.metadata.json"), true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+    val hint = fs.create(
+      new org.apache.hadoop.fs.Path(s"$table/metadata/version-hint.text"), true)
+    hint.write("2".getBytes); hint.close()
+  }
+
+  test("timestamp initial-defaults fill zone-independently (round 19)") {
+    val table = newTable("graft_dv_tsd_")
+    IcebergWriter.write(firstN(20), table, formatVersion = 3)
+    spliceColumn(table, "seen", "timestamptz",
+      "\"2021-03-04T05:06:07.000001+00:00\"")
+    val schema = IcebergScan.scan(spark, table).schema
+    val existsKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    // the EXISTS_DEFAULT literal pins an explicit UTC offset: re-parsed
+    // under ANY reader session zone it yields the same instant (ADVICE
+    // r18 — Literal.sql would render under the schema-build session
+    // zone and shift if the reader's zone differs)
+    val sql = schema("seen").metadata.getString(existsKey)
+    assert(sql.contains("+00:00"), s"default must carry an offset: $sql")
+    val want = java.time.Instant.parse("2021-03-04T05:06:07.000001Z")
+    def readBack(): java.time.Instant =
+      IcebergScan.scan(spark, table).select(col("seen")).head
+        .getTimestamp(0).toInstant
+    assert(readBack() === want)
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      assert(readBack() === want,
+        "the filled instant must not shift with the reader session zone")
+    } finally spark.conf.set(tzKey, saved)
+    // the zone-free NTZ shape parses and fills too
+    val t2 = newTable("graft_dv_tsd2_")
+    IcebergWriter.write(firstN(20), t2, formatVersion = 3)
+    spliceColumn(t2, "local", "timestamp", "\"2021-03-04T05:06:07\"")
+    val got = IcebergScan.scan(spark, t2).select(col("local")).head
+      .getAs[java.time.LocalDateTime](0)
+    assert(got === java.time.LocalDateTime.parse("2021-03-04T05:06:07"))
+  }
+
+  test("time-of-day initial-defaults fill; binary refuses with the real " +
+      "reason (round 19)") {
+    // spec single-value JSON: time defaults are HH:mm:ss.ffffff (this
+    // engine maps time → LongType micros-of-day, the documented
+    // deviation)
+    val t2 = newTable("graft_dv_time_")
+    IcebergWriter.write(firstN(20), t2, formatVersion = 3)
+    spliceColumn(t2, "opened", "time", "\"22:31:08.123456\"")
+    val micros = IcebergScan.scan(spark, t2).select(col("opened")).head
+      .getLong(0)
+    assert(micros ===
+      java.time.LocalTime.parse("22:31:08.123456").toNanoOfDay / 1000L)
+    // binary defaults decode at the metadata layer but Spark's
+    // vectorized reader cannot POPULATE byte-array existence defaults:
+    // the read-schema build must carry the real reason, and metadata
+    // surfaces must keep working
+    val table = newTable("graft_dv_bin_")
+    IcebergWriter.write(firstN(20), table, formatVersion = 3)
+    spliceColumn(table, "blob", "binary", "\"74657374\"") // hex("test")
+    assert(IcebergScan.snapshots(spark, table).count() >= 1L)
+    val e = intercept[UnsupportedOperationException] {
+      IcebergScan.scan(spark, table).collect()
+    }
+    assert(e.getMessage.contains("blob") && e.getMessage.contains("binary"),
+      e.getMessage)
+  }
+
+  test("an unrepresentable default fails table reads loudly but leaves " +
+      "metadata surfaces working (round 19)") {
+    val table = newTable("graft_dv_bad_")
+    IcebergWriter.write(firstN(20), table, formatVersion = 3)
+    // a hostile/undecodable default (pre-r19 this failed METADATA PARSE,
+    // so even iceberg_snapshots/metadata listings died; the failure now
+    // defers to building the table's READ schema. Per-COLUMN deferral is
+    // not attainable on the V1 parquet path — Spark resolves existence
+    // defaults over the full data schema, verified empirically.)
+    spliceColumn(table, "seen", "date", "\"not-a-date\"")
+    assert(IcebergScan.snapshots(spark, table).count() >= 1L,
+      "metadata surfaces must keep working")
+    assert(IcebergScan.manifests(spark, table).count() >= 1L)
+    val e = intercept[UnsupportedOperationException] {
+      IcebergScan.scan(spark, table).collect()
+    }
+    assert(e.getMessage.contains("seen"),
+      s"error must name the defaulted column: ${e.getMessage}")
+  }
 }

@@ -89,12 +89,15 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM graft.db.orders_cnt WHERE prio = 'H'")
     assert(filtered.head.getLong(0) === 68L)
     assert(scansOf(filtered) > 0, "filtered count must scan")
-    // after a row-level DELETE the metadata sum is an upper bound —
-    // the fast path must fall back to the MoR scan and stay exact
+    // after a v2 row-level DELETE the count still serves from metadata
+    // (r19): Σ record_count − distinct live tombstones, read from the
+    // position-delete files only — the DATA files stay unscanned
     spark.sql("DELETE FROM graft.db.orders_cnt WHERE id % 5 = 0")
     val afterDelete = spark.sql("SELECT count(*) FROM graft.db.orders_cnt")
     assert(afterDelete.head.getLong(0) === 137L - 27L)
-    assert(scansOf(afterDelete) > 0, "MoR count must scan")
+    assert(scansOf(afterDelete) === 0,
+      s"v2 position-delete count must serve scan-free (r19):\n" +
+        s"${afterDelete.queryExecution.executedPlan}")
   }
 
   test("MIN/MAX answer from manifest bounds on delete-free tables") {
@@ -312,12 +315,14 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) AS c FROM graft.db.mm_bucket WHERE k < 10")
     assert(f3.head.getLong(0) === 10L)
     assert(scansOf(f3) > 0, "bucket-transform filter must scan")
-    // 4. a row-level DELETE voids the metadata answer; fallback exact
+    // 4. a v2 row-level DELETE keeps grouped counts metadata-served
+    // (r19): per-tuple tombstone counts from the delete files alone
     spark.sql("DELETE FROM graft.db.mm_part WHERE k = 7")
     val f4 = spark.sql(
       "SELECT dt, count(*) AS c FROM graft.db.mm_part GROUP BY dt ORDER BY dt")
     assert(f4.collect().map(_.getLong(1)).toSeq === Seq(20L, 20L, 19L, 20L, 20L))
-    assert(scansOf(f4) > 0, "MoR grouped count must scan")
+    assert(scansOf(f4) === 0,
+      "v2 position-delete grouped count must serve scan-free (r19)")
   }
 
   test("DV-only deletes keep COUNT shapes metadata-served (round 18)") {
@@ -1148,12 +1153,14 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM (SELECT dt AS d, v AS w FROM graft.db.mm_dst)""".stripMargin)
     assert((rn.head.getLong(0), rn.head.getLong(1)) === ((5L, 990L)))
     assert(scansOf(rn) === 0)
-    // fall-throughs stay exact through a real scan:
-    // a MoR table (mm_part carries a live delete from the DML test)
+    // a v2 position-deleted table serves too (r19): the tombstoned
+    // partition keeps live rows, so the distinct-tuple count is exact
+    // and count(*) subtracts the delete files' tombstones
     val mor = spark.sql(
       "SELECT count(DISTINCT dt) AS d, count(*) AS n FROM graft.db.mm_part")
     assert((mor.head.getLong(0), mor.head.getLong(1)) === ((5L, 99L)))
-    assert(scansOf(mor) > 0, "MoR distinct must scan")
+    assert(scansOf(mor) === 0,
+      "position-deleted distinct must serve scan-free (r19)")
     // non-partition column
     val f1 = spark.sql("SELECT count(DISTINCT v) AS d FROM graft.db.mm_dst")
     assert(f1.head.getLong(0) === 100L)
@@ -1307,6 +1314,286 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q4 = spark.sql("SELECT min(nm) AS lo FROM graft.db.smin_conf")
     assert(q4.head.getString(0) === "abc")
     assert(scansOf(q4) > 0, "overridden metrics config must refuse string min")
+    // set-then-UNSET lifecycle (r19, VERDICT r18 #4): live files may
+    // have been written under the override, so the retained metadata
+    // LOG — not just the current properties — decides; min must refuse
+    val p5 = s"$wh/db/smin_hist"
+    IcebergWriter.write(
+      spark.range(0, 20).select(col("id").as("k"), lit("abc").as("nm")), p5)
+    IcebergWriter.setProperties(spark, p5,
+      Map("write.metadata.metrics.default" -> "truncate(8)"))
+    IcebergWriter.setProperties(spark, p5,
+      remove = Seq("write.metadata.metrics.default"))
+    val q5 = spark.sql("SELECT min(nm) AS lo FROM graft.db.smin_hist")
+    assert(q5.head.getString(0) === "abc")
+    assert(scansOf(q5) > 0,
+      "a historically-overridden metrics config must refuse string min")
+  }
+
+  test("equality deletes taint only the tuples they may match (round 19)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    import spark.implicits._
+    // the CDC-upsert layout: a day-partitioned v3 fact whose keys are
+    // partition-local (id ranges per day are DISJOINT), so an upsert
+    // epoch's equality deletes carry key bounds no other partition's
+    // data files overlap
+    spark.sql(
+      "CREATE TABLE graft.db.eq_scope (id BIGINT, dt DATE, v BIGINT) " +
+        "PARTITIONED BY (dt) TBLPROPERTIES ('format-version'='3')")
+    spark.sql(
+      "INSERT INTO graft.db.eq_scope SELECT id, " +
+        "DATE_ADD(DATE'2024-05-01', CAST(id DIV 100 AS INT)), id % 100 " +
+        "FROM range(0, 500)")
+    val path = s"$wh/db/eq_scope"
+    // delete keys 105..109 — inside day 2024-05-02's range [100, 199],
+    // provably disjoint from every other partition's id bounds
+    IcebergWriter.deleteEquality(spark, path, (105L to 109L).toDF("id"))
+
+    // filtered count EXCLUDING the touched partition: scan-free exact
+    val f = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.eq_scope WHERE dt <> DATE'2024-05-02'")
+    assert(f.head.getLong(0) === 400L)
+    assert(scansOf(f) === 0,
+      s"counts on untouched partitions must serve scan-free:\n" +
+        s"${f.queryExecution.executedPlan}")
+    // grouped count over the untouched partitions: scan-free exact
+    val g = spark.sql(
+      """SELECT dt, count(*) AS c FROM graft.db.eq_scope
+        |WHERE dt > DATE'2024-05-02' GROUP BY dt ORDER BY dt""".stripMargin)
+    assert(g.collect().map(_.getLong(1)).toSeq === Seq(100L, 100L, 100L))
+    assert(scansOf(g) === 0)
+    // global count: the tainted partition is in scope → normal plan, exact
+    val tot = spark.sql("SELECT count(*) AS c FROM graft.db.eq_scope")
+    assert(tot.head.getLong(0) === 495L)
+    assert(scansOf(tot) > 0, "global count under a may-match delete must scan")
+    // the touched partition itself: normal plan, exact
+    val touched = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.eq_scope WHERE dt = DATE'2024-05-02'")
+    assert(touched.head.getLong(0) === 95L)
+    assert(scansOf(touched) > 0, "the touched partition must scan")
+    // grouped over ALL partitions (touched one survives the filter set):
+    // normal plan, exact
+    val ga = spark.sql(
+      "SELECT dt, count(*) AS c FROM graft.db.eq_scope GROUP BY dt ORDER BY dt")
+    assert(ga.collect().map(_.getLong(1)).toSeq ===
+      Seq(100L, 95L, 100L, 100L, 100L))
+    assert(scansOf(ga) > 0)
+
+    // a delete whose key bounds match NO live data file taints nothing:
+    // even the GLOBAL count stays scan-free
+    IcebergWriter.deleteEquality(spark, path, Seq(90000L, 90001L).toDF("id"))
+    val tot2 = spark.sql("SELECT count(*) AS c FROM graft.db.eq_scope")
+    assert(tot2.head.getLong(0) === 495L)
+    // (the first delete still taints day 2: global remains a scan; pin
+    // the no-match scoping on the filtered shape instead)
+    val f2 = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.eq_scope WHERE dt = DATE'2024-05-04'")
+    assert(f2.head.getLong(0) === 100L)
+    assert(scansOf(f2) === 0,
+      "a provably-no-match delete must not disqualify untouched partitions")
+
+    // null-count-ABSENT delete metadata refuses scoping (a null delete
+    // key matches rows bounds cannot see): may-match keeps everything
+    val keyCol = graft.iceberg.IcebergModel.Column(
+      id = 1, name = "id", dataType = org.apache.spark.sql.types.LongType,
+      required = false)
+    def le8(v: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); b.array()
+    }
+    def mk(content: Int, nullCounts: Map[Int, Long],
+           lo: Long, hi: Long, ids: Seq[Int]) =
+      graft.iceberg.IcebergModel.ManifestEntry(
+        status = 1, content = content, filePath = s"f$content-$lo",
+        fileFormat = "PARQUET", recordCount = 5, fileSizeInBytes = 1L,
+        partition = Map.empty,
+        nullCounts = nullCounts,
+        lowerBounds = Map(1 -> le8(lo)), upperBounds = Map(1 -> le8(hi)),
+        equalityIds = ids)
+    val dataFar = mk(0, Map(1 -> 0L), 0L, 50L, Seq.empty)
+    val delNoNull = mk(2, Map.empty, 105L, 109L, Seq(1))
+    assert(graft.iceberg.IcebergPruning
+      .eqDeleteMayMatch(Seq(delNoNull), Seq(keyCol))(dataFar),
+      "absent delete-side null counts must keep every data file (refuse)")
+    val delZeroNull = mk(2, Map(1 -> 0L), 105L, 109L, Seq(1))
+    assert(!graft.iceberg.IcebergPruning
+      .eqDeleteMayMatch(Seq(delZeroNull), Seq(keyCol))(dataFar),
+      "zero-null disjoint bounds must rule the file out")
+  }
+
+  test("DV'd tuples serve min/max when un-deleted files dominate (round 19)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // two files: A holds [0, 9] (stays un-deleted), B holds [10, 19] —
+    // written one commit each through the writer (coalesce(1) pins ONE
+    // file per commit; SQL INSERT VALUES may split tasks)
+    val dvmmPath = s"$wh/db/dv_mm"
+    IcebergWriter.write(
+      spark.range(0, 10).coalesce(1).select(col("id")),
+      dvmmPath, formatVersion = 3)
+    IcebergWriter.write(
+      spark.range(10, 20).coalesce(1).select(col("id")), dvmmPath)
+    IcebergWriter.delete(spark, dvmmPath, expr("id = 12")) // DV on B only
+    // min: the un-deleted file's bound (0) DOMINATES the DV'd file's
+    // lower bound (10) — nothing deleted can beat it → scan-free
+    val lo = spark.sql(
+      "SELECT min(id) AS lo, count(*) AS c FROM graft.db.dv_mm")
+    assert(lo.head.getLong(0) === 0L && lo.head.getLong(1) === 19L)
+    assert(scansOf(lo) === 0,
+      s"dominating un-deleted min must serve scan-free:\n" +
+        s"${lo.queryExecution.executedPlan}")
+    // max: the DV'd file holds the global max (19 > 9) — its extremum
+    // may have been the deleted row → exact fall-through
+    val hi = spark.sql("SELECT max(id) AS hi FROM graft.db.dv_mm")
+    assert(hi.head.getLong(0) === 19L)
+    assert(scansOf(hi) > 0, "a dominated max must fall back to the scan")
+
+    // grouped variant on a partitioned table: per-tuple dominance
+    val dvmmpPath = s"$wh/db/dv_mmp"
+    def dayDf(ids: Seq[Long], day: String) =
+      ids.toDF("id").withColumn("dt", lit(day).cast("date")).coalesce(1)
+    IcebergWriter.write(
+      dayDf(0L to 9L, "2024-06-01")
+        .unionByName(dayDf(20L to 29L, "2024-06-02")),
+      dvmmpPath, partitionBy = Seq("dt" -> "identity"), formatVersion = 3)
+    IcebergWriter.write(
+      dayDf(100L to 109L, "2024-06-01")
+        .unionByName(dayDf(120L to 129L, "2024-06-02")), dvmmpPath)
+    IcebergWriter.delete(spark, dvmmpPath, expr("id IN (105, 125)"))
+    val gmin = spark.sql(
+      "SELECT dt, min(id) AS lo, count(*) AS c FROM graft.db.dv_mmp " +
+        "GROUP BY dt ORDER BY dt")
+    assert(gmin.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 19L), (20L, 19L)))
+    assert(scansOf(gmin) === 0,
+      s"per-tuple dominating min must serve scan-free:\n" +
+        s"${gmin.queryExecution.executedPlan}")
+    val gmax = spark.sql(
+      "SELECT dt, max(id) AS hi FROM graft.db.dv_mmp GROUP BY dt ORDER BY dt")
+    assert(gmax.collect().map(_.getLong(1)).toSeq === Seq(109L, 129L))
+    assert(scansOf(gmax) > 0, "dominated grouped max must scan")
+  }
+
+  test("v2 position-delete tombstones count from delete files alone (round 19)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.collect(q.queryExecution.executedPlan) {
+        case b: BatchScanExec => b: Any
+        case f: FileSourceScanExec => f: Any
+      }.size
+    }
+    // a v2 day-partitioned fact, DML-deleted twice (STACKED delete files)
+    spark.sql(
+      "CREATE TABLE graft.db.pd_cnt (k BIGINT, dt DATE, v BIGINT) " +
+        "PARTITIONED BY (dt)")
+    spark.sql(
+      "INSERT INTO graft.db.pd_cnt SELECT id, " +
+        "DATE_ADD(DATE'2024-07-01', CAST(id % 4 AS INT)), " +
+        "IF(id % 3 = 0, NULL, id) FROM range(0, 80)")
+    spark.sql("DELETE FROM graft.db.pd_cnt WHERE k % 7 = 2")
+    spark.sql("DELETE FROM graft.db.pd_cnt WHERE k % 5 = 1")
+    val live = (0L until 80L).filterNot(_ % 7 == 2).filterNot(_ % 5 == 1)
+    // global + filtered + grouped counts: delete-file I/O only
+    val g = spark.sql("SELECT count(*) AS c FROM graft.db.pd_cnt")
+    assert(g.head.getLong(0) === live.size.toLong)
+    assert(scansOf(g) === 0,
+      s"v2 stacked-delete count must serve scan-free:\n" +
+        s"${g.queryExecution.executedPlan}")
+    val f = spark.sql(
+      "SELECT count(*) AS c FROM graft.db.pd_cnt WHERE dt >= DATE'2024-07-03'")
+    assert(f.head.getLong(0) === live.count(i => i % 4 >= 2).toLong)
+    assert(scansOf(f) === 0)
+    val gr = spark.sql(
+      "SELECT dt, count(*) AS c FROM graft.db.pd_cnt GROUP BY dt ORDER BY dt")
+    assert(gr.collect().map(_.getLong(1)).toSeq ===
+      (0 until 4).map(m => live.count(_ % 4 == m).toLong))
+    assert(scansOf(gr) === 0)
+    // count(col): zero-null column serves; mixed-null column scans exact
+    val ck = spark.sql("SELECT count(k) AS c FROM graft.db.pd_cnt")
+    assert(ck.head.getLong(0) === live.size.toLong)
+    assert(scansOf(ck) === 0)
+    val cv = spark.sql("SELECT count(v) AS c FROM graft.db.pd_cnt")
+    assert(cv.head.getLong(0) === live.count(_ % 3 != 0).toLong)
+    assert(scansOf(cv) > 0, "mixed-null count under tombstones must scan")
+    // min/max: dominance applies per tuple — every partition's min row
+    // (k in 0..3) is in a tombstoned file, so bounds poison → scan exact
+    val mm = spark.sql("SELECT min(k) AS lo, max(k) AS hi FROM graft.db.pd_cnt")
+    assert(mm.head.getLong(0) === live.min && mm.head.getLong(1) === live.max)
+    // the rowCount TVF surface serves metadata-only on the v2 table too
+    val rc = IcebergScan.rowCount(spark, s"$wh/db/pd_cnt").head
+    assert(rc.getLong(0) === live.size.toLong && rc.getBoolean(1),
+      "v2 position-delete row count must serve from metadata")
+  }
+
+  test("stacked position-delete files DEDUPE tombstones; out-of-range " +
+      "positions delete nothing (round 19)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    // one data file, one real delete file from the DML (positions 3, 7)
+    val p = s"$wh/db/pd_dup"
+    IcebergWriter.write(
+      spark.range(0, 50).coalesce(1).select(col("id").as("k")), p)
+    IcebergWriter.delete(spark, p, expr("k = 3 OR k = 7"))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(new java.net.URI(p), conf)
+    // the writer lands position-delete parquet under data/snap-N-deletes/
+    val delFiles = fs.listStatus(new HPath(p, "data"))
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith("-deletes"))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(delFiles.length === 1,
+      s"expected 1 delete file, got ${delFiles.map(_.getPath).mkString(", ")}")
+    val d1 = delFiles.head
+    // a FOREIGN writer may stack a second delete file repeating the same
+    // (file, pos) tombstones: copy the file byte-for-byte
+    val d2Path = new HPath(d1.getPath.getParent, "dup-" + d1.getPath.getName)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, d1.getPath, fs, d2Path, false, conf)
+    val dataPath = spark.read.parquet(d1.getPath.toString)
+      .select("file_path").head.getString(0)
+    def mk(fp: String, size: Long) = graft.iceberg.IcebergModel.ManifestEntry(
+      status = 1, content = 1, filePath = fp, fileFormat = "PARQUET",
+      recordCount = 2, fileSizeInBytes = size, partition = Map.empty)
+    val entries = Seq(
+      (mk(d1.getPath.toString, d1.getLen), 2L),
+      (mk(d2Path.toString, d1.getLen), 3L))
+    // duplicate tombstones count ONCE (footer record counts would say 4)
+    val counts = IcebergScan.posDeleteCounts(
+      spark, p, graft.iceberg.IcebergScan.Options(),
+      entries, Seq((dataPath, 50L)))
+    assert(counts === Map(dataPath -> 2L),
+      "stacked duplicate tombstones must dedupe")
+    // positions at/past the file's record count delete nothing: with a
+    // claimed record count of 5, position 7 is out of range
+    val clamped = IcebergScan.posDeleteCounts(
+      spark, p, graft.iceberg.IcebergScan.Options(),
+      entries, Seq((dataPath, 5L)))
+    assert(clamped === Map(dataPath -> 1L),
+      "out-of-range tombstones must not count")
+    // tombstones referencing non-live files drop out entirely
+    val none = IcebergScan.posDeleteCounts(
+      spark, p, graft.iceberg.IcebergScan.Options(),
+      entries, Seq(("some/other/file.parquet", 50L)))
+    assert(none === Map.empty)
   }
 
   test("distinct periods and hourly rollups serve from interval ordinals (round 18)") {

@@ -150,54 +150,90 @@ class MetaAggSpec extends AnyFunSuite {
     assert(mix.lo(sid) === UTF8String.fromString("�"))
   }
 
-  test("applyDvAdjust: counts subtract per tuple, provable non-null losses " +
-      "stay exact, bounds degrade, corrupt refuses") {
-    import MetaAgg.DvDelta
-    def t(part: Int, rows: Long) =
-      TupleAgg(Map("dt" -> Int.box(part)), rows,
-        Map(Id -> rows), Map(Id -> (3L: Any)), Map(Id -> (9L: Any)),
-        Set.empty, Set.empty)
-    def key(part: Int) = Map[String, Any]("dt" -> Int.box(part))
-    val base = Seq(t(1, 10), t(2, 5), t(3, 7))
-    val out = MetaAgg.applyDvAdjust(base,
-      Map(key(1) -> DvDelta(4L, Map(Id -> 4L), Set.empty),
-          key(2) -> DvDelta(5L, Map(Id -> 5L), Set.empty)),
-      Set(Id)).get
-    // tuple 2 fully deleted: mints no group; tuple 3 untouched: exact
+  test("applyDeletes: counts subtract per file, provable non-null losses " +
+      "stay exact, fully-deleted tuples mint no group, corrupt refuses") {
+    import MetaAgg.DeletedFile
+    def part(p: Int) = Map[String, Any]("dt" -> Int.box(p))
+    def t(p: Int, rows: Long, lo: Long = 3L, hi: Long = 9L) =
+      TupleAgg(part(p), rows, Map(Id -> rows),
+        Map(Id -> (lo: Any)), Map(Id -> (hi: Any)), Set.empty, Set.empty)
+    def del(p: Int, rows: Long, d: Long, lo: Long = 3L, hi: Long = 9L) =
+      DeletedFile(t(p, rows, lo, hi), d)
+    val base = Seq(t(1, 10), t(3, 7))
+    val out = MetaAgg.applyDeletes(base,
+      Seq(del(1, 8, 4), del(2, 5, 5)), needed).get
+    // tuple 2's only file fully deleted: mints no group; 3 untouched
     assert(out.map(x => x.partition("dt") -> x.rows).toMap ===
-      Map(Int.box(1) -> 6L, Int.box(3) -> 7L))
+      Map(Int.box(1) -> 14L, Int.box(3) -> 7L))
     val adj = out.find(_.partition("dt") == Int.box(1)).get
-    // provable zero-null loss: count(col) stays exact; bounds poison
-    assert(adj.poisoned(Id) && adj.nonNull(Id) === 6L && adj.lo.isEmpty)
+    // provable zero-null loss: count(col) stays exact
+    assert(adj.nonNull(Id) === 14L && !adj.poisoned(Id))
     val keep = out.find(_.partition("dt") == Int.box(3)).get
     assert(!keep.poisoned(Id) && keep.nonNull(Id) === 7L && keep.lo(Id) === 3L)
-    // an UNPROVABLE column drops its total instead of guessing
-    val unk = MetaAgg.applyDvAdjust(Seq(t(4, 10)),
-      Map(key(4) -> DvDelta(2L, Map.empty, Set(Id))), Set(Id)).get.head
-    assert(unk.rows === 8L && !unk.nonNull.contains(Id))
+    // a MIXED-null deleted file drops the column's total instead of
+    // guessing (its loss is unknowable from counts)
+    val mixed = TupleAgg(part(4), 10, Map(Id -> 6L),
+      Map(Id -> (3L: Any)), Map(Id -> (9L: Any)), Set.empty, Set.empty)
+    val unk = MetaAgg.applyDeletes(Seq(t(4, 10)),
+      Seq(DeletedFile(mixed, 2L)), needed).get.head
+    assert(unk.rows === 18L && !unk.nonNull.contains(Id))
     // all-null columns keep their exact zero under deletion
-    val an = TupleAgg(Map("dt" -> Int.box(9)), 4, Map(Id -> 0L),
+    val an = TupleAgg(part(9), 4, Map(Id -> 0L),
       Map.empty, Map.empty, Set(Id), Set.empty)
-    val outAn = MetaAgg.applyDvAdjust(Seq(an),
-      Map(key(9) -> DvDelta(1L, Map(Id -> 0L), Set.empty)), Set(Id)).get
+    val outAn = MetaAgg.applyDeletes(Seq.empty,
+      Seq(DeletedFile(an, 1L)), needed).get
     assert(outAn.head.allNull(Id) && outAn.head.nonNull(Id) === 0L &&
       !outAn.head.poisoned(Id))
-    // deletions exceeding a tuple's rows (or a column's total) = corrupt
-    assert(MetaAgg.applyDvAdjust(base,
-      Map(key(3) -> DvDelta(8L, Map(Id -> 8L), Set.empty)), Set(Id)).isEmpty)
-    assert(MetaAgg.applyDvAdjust(Seq(t(5, 10)),
-      Map(key(5) -> DvDelta(3L, Map(Id -> 11L), Set.empty)), Set(Id)).isEmpty)
-    // per-file classification: zero-null loses cardinality, all-null
-    // loses nothing, mixed is unprovable; deltas merge per tuple
-    val d1 = MetaAgg.dvDeltaOf(10L, Map(Id -> 0L), 3L, needed)
-    val d2 = MetaAgg.dvDeltaOf(4L, Map(Id -> 4L), 2L, needed)
-    val d3 = MetaAgg.dvDeltaOf(6L, Map(Id -> 2L), 1L, needed)
-    assert(d1 === DvDelta(3L, Map(Id -> 3L), Set.empty))
-    assert(d2 === DvDelta(2L, Map(Id -> 0L), Set.empty))
-    assert(d3.unprovable === Set(Id))
-    val m12 = MetaAgg.mergeDelta(d1, d2)
-    assert(m12 === DvDelta(5L, Map(Id -> 3L), Set.empty))
-    assert(MetaAgg.mergeDelta(m12, d3).unprovable === Set(Id))
+    // deletions exceeding a FILE's rows = corrupt foreign metadata
+    assert(MetaAgg.applyDeletes(base, Seq(del(3, 7, 8)), needed).isEmpty)
+  }
+
+  test("applyDeletes bounds: un-deleted side serves when it DOMINATES " +
+      "every live deleted file's bound; dominated sides refuse") {
+    import MetaAgg.DeletedFile
+    def part(p: Int) = Map[String, Any]("dt" -> Int.box(p))
+    def t(p: Int, rows: Long, lo: Long, hi: Long) =
+      TupleAgg(part(p), rows, Map(Id -> rows),
+        Map(Id -> (lo: Any)), Map(Id -> (hi: Any)), Set.empty, Set.empty)
+    // un-deleted [3,9] dominates the deleted file's min side (3 ≤ 5)
+    // but not its max side (9 < 20): min serves, max refuses
+    val out = MetaAgg.applyDeletes(Seq(t(1, 10, 3, 9)),
+      Seq(DeletedFile(t(1, 8, 5, 20), 2L)), needed).get.head
+    assert(out.lo(Id) === 3L, "dominating un-deleted min serves")
+    assert(!out.hi.contains(Id), "dominated max refuses (20 may be deleted)")
+    assert(!out.poisoned(Id), "a dominated side must not poison the other")
+    assert(out.rows === 16L && out.nonNull(Id) === 16L)
+    // equality dominates too (the un-deleted bound is attained)
+    val eq = MetaAgg.applyDeletes(Seq(t(2, 10, 5, 20)),
+      Seq(DeletedFile(t(2, 8, 5, 20), 2L)), needed).get.head
+    assert(eq.lo(Id) === 5L && eq.hi(Id) === 20L)
+    // a FULLY-deleted file imposes no bound constraint
+    val full = MetaAgg.applyDeletes(Seq(t(3, 10, 5, 9)),
+      Seq(DeletedFile(t(3, 8, 1, 30), 8L)), needed).get.head
+    assert(full.lo(Id) === 5L && full.hi(Id) === 9L && full.rows === 10L)
+    // deleted-only tuple: count exact, bounds refuse (the extremum may
+    // be among the deleted rows)
+    val only = MetaAgg.applyDeletes(Seq.empty,
+      Seq(DeletedFile(t(4, 8, 1, 30), 3L)), needed).get.head
+    assert(only.rows === 5L && !only.lo.contains(Id) && !only.hi.contains(Id))
+    assert(!only.poisoned(Id))
+    // an ALL-NULL deleted file constrains nothing (its rows are null)
+    val anDel = TupleAgg(part(5), 6, Map(Id -> 0L),
+      Map.empty, Map.empty, Set(Id), Set.empty)
+    val anOut = MetaAgg.applyDeletes(Seq(t(5, 10, 5, 9)),
+      Seq(DeletedFile(anDel, 2L)), needed).get.head
+    assert(anOut.lo(Id) === 5L && anOut.hi(Id) === 9L)
+    // a POISONED deleted file poisons (its bounds are unknown, so
+    // dominance is unverifiable)
+    val poiDel = TupleAgg(part(6), 6, Map(Id -> 6L),
+      Map.empty, Map.empty, Set.empty, Set(Id))
+    val poiOut = MetaAgg.applyDeletes(Seq(t(6, 10, 5, 9)),
+      Seq(DeletedFile(poiDel, 2L)), needed).get.head
+    assert(poiOut.poisoned(Id))
+    // taint propagates from either side
+    val taintedBase = t(7, 10, 3, 9).copy(tainted = true)
+    assert(MetaAgg.applyDeletes(Seq(taintedBase),
+      Seq(DeletedFile(t(7, 8, 5, 9), 2L)), needed).get.head.tainted)
   }
 
   test("hostile bound types REFUSE (poison) on merge instead of throwing") {

@@ -226,16 +226,29 @@ class MigrateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.filter(col("tier").isNull).count() === 1)
   }
 
-  test("rowCount under live deletes falls back to the exact MoR scan") {
+  test("rowCount under live deletes: position deletes count from delete " +
+      "files (r19); may-match equality deletes fall back to the MoR scan") {
     val source = tmp("graft_mig_src10_")
     writeForeign(src(20), source)
     val table = tmp("graft_mig_tbl10_") + "/t"
     IcebergWriter.addFiles(spark, table, source)
     IcebergWriter.delete(spark, table, col("id") <= 5L)
 
+    // v2 position deletes (r19): exact count from the delete files'
+    // distinct tombstones — metadata-only, zero data I/O
     val got = IcebergScan.rowCount(spark, table).head()
     assert(got.getLong(0) === 15)
-    assert(!got.getBoolean(1), "live deletes must disable the metadata path")
+    assert(got.getBoolean(1),
+      "position-delete tombstones must serve the metadata count (r19)")
+
+    // an equality delete whose key bounds overlap live files keeps the
+    // count unknowable from stats: exact via the MoR scan
+    import spark.implicits._
+    IcebergWriter.deleteEquality(spark, table, Seq(9L).toDF("id"))
+    val eq = IcebergScan.rowCount(spark, table).head()
+    assert(eq.getLong(0) === 14)
+    assert(!eq.getBoolean(1),
+      "a may-match equality delete must disable the metadata path")
   }
 
   test("addFiles migrates an ORC lake in place — stats pruning included") {
