@@ -248,11 +248,16 @@ object MetaAgg extends Serializable {
               val p = df.partial
               for {
                 a <- acc
-                n <- p.nonNull.get(id)
                 liveN <-
-                  if (p.allNull(id)) Some(0L)
-                  else if (n == p.rows) Some(n - df.deleted) // zero-null
-                  else None // mixed nulls: loss unknowable from counts
+                  // a fully-deleted file keeps zero live values no
+                  // matter what its null counts said (or omitted)
+                  if (df.deleted == p.rows) Some(0L)
+                  else if (p.allNull(id)) Some(0L)
+                  else p.nonNull.get(id) match {
+                    case Some(n) if n == p.rows =>
+                      Some(n - df.deleted) // zero-null file
+                    case _ => None // mixed/unrecorded: loss unknowable
+                  }
               } yield a + liveN
             }
             for (a <- uNN; b <- dNN) nonNull += id -> (a + b)

@@ -186,6 +186,15 @@ class MetaAggSpec extends AnyFunSuite {
       !outAn.head.poisoned(Id))
     // deletions exceeding a FILE's rows = corrupt foreign metadata
     assert(MetaAgg.applyDeletes(base, Seq(del(3, 7, 8)), needed).isEmpty)
+    // a FULLY-deleted file keeps zero live values even when its null
+    // counts were never recorded (foreign v1-ish stats) — the column's
+    // total must not refuse on its account
+    val noNc = TupleAgg(part(8), 5, Map.empty,
+      Map.empty, Map.empty, Set.empty, Set(Id))
+    val outNc = MetaAgg.applyDeletes(Seq(t(8, 10)),
+      Seq(DeletedFile(noNc, 5L)), needed).get.head
+    assert(outNc.rows === 10L && outNc.nonNull(Id) === 10L)
+    assert(outNc.lo(Id) === 3L, "a fully-deleted file constrains no bound")
   }
 
   test("applyDeletes bounds: un-deleted side serves when it DOMINATES " +
