@@ -47,6 +47,15 @@ object GraftFunctions {
        require(exprs.length == 1, s"graft_nfc expects 1 argument, got ${exprs.length}")
        NfcNormalize(exprs.head)
      }),
+    (FunctionIdentifier("graft_dsum"),
+     new ExpressionInfo(classOf[DecimalSum128].getCanonicalName, null,
+       "graft_dsum", "exact sum of a compact decimal via a 128-bit long-pair accumulator", ""),
+     (exprs: Seq[Expression]) => {
+       // the analyzer wraps a bare AggregateFunction into an
+       // AggregateExpression (same as graft_theta below)
+       require(exprs.length == 1, s"graft_dsum expects 1 argument, got ${exprs.length}")
+       DecimalSum128(exprs.head)
+     }),
     (FunctionIdentifier("graft_theta"),
      new ExpressionInfo(classOf[ThetaSketchAgg].getCanonicalName, null,
        "graft_theta", "KMV theta sketch of a pre-hashed long column (binary)", ""),

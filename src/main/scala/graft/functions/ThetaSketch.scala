@@ -29,47 +29,71 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   */
 final class KmvSketch(val k: Int) extends Serializable {
   require(k >= 16, s"KmvSketch: k must be >= 16, got $k")
-  // stores u = hash ^ Long.MinValue: natural signed order of u equals
-  // unsigned order of the hash, so last() is the kth smallest hash
-  private[functions] val mins = new java.util.TreeSet[java.lang.Long]()
+  // Sorted-ascending distinct values u = hash ^ Long.MinValue: natural
+  // signed order of u equals unsigned order of the hash, so vals(n-1) is
+  // the kth smallest hash at capacity. A primitive sorted array replaces
+  // the round-18 TreeSet[java.lang.Long] (round 19, guide §"per-task
+  // work"): at capacity the overwhelmingly common case is REJECT, which
+  // is now one primitive compare against the last slot instead of a
+  // boxed TreeSet.last() tree walk — and accepted inserts (only
+  // ~k·ln(n/k) over a whole stream) pay one binarySearch + arraycopy.
+  // The k-smallest-distinct SET is identical, so estimates, serialized
+  // bytes and merges are byte-for-byte unchanged.
+  private[functions] var vals = new Array[Long](math.min(k, 64))
+  private[functions] var n = 0
 
-  def update(hash: Long): Unit = {
-    val u = hash ^ Long.MinValue
-    if (mins.size < k) { mins.add(u): Unit }
-    else if (u < mins.last()) {
-      if (mins.add(u)) mins.pollLast(): Unit
+  private def insert(u: Long): Unit = {
+    var idx = java.util.Arrays.binarySearch(vals, 0, n, u)
+    if (idx >= 0) return // already present — KMV keeps DISTINCT values
+    idx = -idx - 1
+    if (n < k) {
+      if (n == vals.length)
+        vals = java.util.Arrays.copyOf(vals, math.min(k, vals.length * 2))
+      System.arraycopy(vals, idx, vals, idx + 1, n - idx)
+      vals(idx) = u
+      n += 1
+    } else {
+      // caller guarantees u < vals(n-1): the largest value falls off
+      System.arraycopy(vals, idx, vals, idx + 1, n - idx - 1)
+      vals(idx) = u
     }
   }
 
+  def update(hash: Long): Unit = {
+    val u = hash ^ Long.MinValue
+    if (n < k || u < vals(n - 1)) insert(u)
+  }
+
   def merge(other: KmvSketch): KmvSketch = {
-    val it = other.mins.iterator()
-    while (it.hasNext) {
-      val u = it.next()
-      if (mins.size < k) mins.add(u): Unit
-      else if (u < mins.last()) { if (mins.add(u)) mins.pollLast(): Unit }
+    var i = 0
+    while (i < other.n) {
+      val u = other.vals(i)
+      if (n < k) insert(u)
+      else if (u < vals(n - 1)) insert(u)
       else return this // other's values are sorted ascending: rest can't qualify
+      i += 1
     }
     this
   }
 
   /** Distinct-count estimate: exact below k, (k-1)/x₍ₖ₎ at capacity. */
   def estimate: Long =
-    if (mins.size < k) mins.size.toLong
+    if (n < k) n.toLong
     else {
       // kth smallest hash as a fraction of the full 64-bit space
-      val u = mins.last().longValue
+      val u = vals(n - 1)
       val frac = (u.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
       math.max(k.toLong, math.rint((k - 1).toDouble / frac).toLong)
     }
 
   def serialize(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + 1 + 4 + 4 + 8 * mins.size)
+    val buf = ByteBuffer.allocate(4 + 1 + 4 + 4 + 8 * n)
     buf.put(KmvSketch.Magic)
     buf.put(1.toByte)
     buf.putInt(k)
-    buf.putInt(mins.size)
-    val it = mins.iterator()
-    while (it.hasNext) buf.putLong(it.next().longValue)
+    buf.putInt(n)
+    var i = 0
+    while (i < n) { buf.putLong(vals(i)); i += 1 }
     buf.array()
   }
 }
@@ -88,8 +112,10 @@ object KmvSketch {
     require(buf.get() == 1, "unsupported graft-theta version")
     val sk = new KmvSketch(buf.getInt)
     val n = buf.getInt
+    // the v1 layout stores sorted distinct values, but insert() tolerates
+    // any order/duplicates from a foreign writer
     var i = 0
-    while (i < n) { sk.mins.add(buf.getLong): Unit; i += 1 }
+    while (i < n) { sk.update(buf.getLong ^ Long.MinValue); i += 1 }
     sk
   }
 

@@ -138,9 +138,22 @@ object DedupQueries {
   }
 
   /** Shared bigram-MinHash-LSH candidate pairs (doc_a < doc_b), the
-    * candidate generator behind d02/d04/d06. */
+    * candidate generator behind d02/d04/d06.
+    *
+    * Round 19 (guide §2.4/§3.1): the self-join is pinned to a SHUFFLED
+    * HASH join on (b, sig). Unhinted, the planner broadcast one side —
+    * which (a) re-computed the whole shingle→md5→minhash pipeline for
+    * BOTH join inputs (a BroadcastExchange subtree never matches the
+    * streamed side, so nothing is reused), and (b) would broadcast a
+    * corpus-sized band table at 100 TB (bands = 4 rows per document —
+    * far past the 8 GB broadcast cap). With both sides shuffled by
+    * (b, sig) the two subtrees are plan-identical, so AQE's exchange
+    * reuse computes the band pipeline ONCE and reads the shuffle twice
+    * (the executed plan carries a ReusedExchange — halving the dominant
+    * map-side work), and per-partition hash build keeps memory bounded
+    * by one LSH-bucket partition at any scale. */
   private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(Tables.load(s, dir, "documents"))
+    val bands = minhashBands(Tables.load(s, dir, "documents")).hint("shuffle_hash")
     bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
         col("a.doc_id") < col("c.doc_id"))
@@ -187,8 +200,12 @@ object DedupQueries {
       labels0: DataFrame, edges0: DataFrame,
       fixpoint: Boolean, maxRounds: Int): DataFrame = {
     val edges = edges0.persist()
-    var labels = labels0.select(col("doc_id"), col("label")).persist()
-    labels.count()
+    // labels0 is NOT persisted (round 19): every caller's generation-0 is
+    // a trivial projection of a base table, and round 1 is the only round
+    // that reads it (twice, inside one job) — a persist+count here spent a
+    // whole materialization job to save one cheap re-scan. Round outputs
+    // (which stack lineage) stay persisted.
+    var labels = labels0.select(col("doc_id"), col("label"))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -400,10 +417,16 @@ object DedupQueries {
           minhashBands(docs.filter(!isBatch)), idx)
         val index = IcebergScan.scan(s, idx)
           .select(col("b"), col("sig"), col("doc_id").as("corpus_id"))
-        val batchBands = minhashBands(docs.filter(isBatch))
-        val hitCorpus = batchBands.join(index, Seq("b", "sig"))
+        // shuffled-hash joins on (b, sig) for BOTH the corpus-index probe
+        // and the intra-batch self-join: all three batch-band join inputs
+        // shuffle by the same key over the identical subtree, so AQE's
+        // exchange reuse computes the batch band pipeline ONCE — and the
+        // corpus-sized index side is never broadcast (see
+        // minhashCandidates, round 19)
+        val bb = minhashBands(docs.filter(isBatch)).hint("shuffle_hash")
+        val hitCorpus = bb.join(index, Seq("b", "sig"))
           .select("doc_id").distinct()
-        val hitEarlier = batchBands.as("x").join(batchBands.as("y"),
+        val hitEarlier = bb.as("x").join(bb.as("y"),
             col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
             col("y.doc_id") < col("x.doc_id"))
           .select(col("x.doc_id")).distinct()
@@ -452,8 +475,12 @@ object DedupQueries {
         val bits = planeBits
         val sigs = (0 until NumPlanes / 4).map(b =>
           concat((0 until 4).map(r => bits(4 * b + r)): _*))
+        // shuffled-hash self-join on (band, sig, label): exchange reuse
+        // computes the hyperplane-signature pipeline once, and no
+        // corpus-sized band table is broadcast — see minhashCandidates
         val bands = e.select(col("vec_id"), col("label"),
           posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+          .hint("shuffle_hash")
         val cand = bands.as("a").join(bands.as("c"),
             col("a.band") === col("c.band") && col("a.sig") === col("c.sig") &&
             col("a.label") === col("c.label") && col("a.vec_id") < col("c.vec_id"))

@@ -24,11 +24,18 @@ object Relational {
 
   /** Exact decimal sum of a per-row double expression. Scale 6 is lossless
     * for the 2-dp money columns and their ≤6-dp products, and precision 18
-    * keeps Spark's per-row decimals Long-backed (compact) — the sums stay
-    * compact too since unscaled magnitudes stay far below 2^63.
+    * keeps Spark's per-row decimals Long-backed (compact).
     * Internal only: exact decimals hash differently across engines (DuckDB
-    * backs wide sums with int128), so never surface this type in output. */
-  private def dsum(e: Column): Column = sum(e.cast(DecimalType(18, 6)))
+    * backs wide sums with int128), so never surface this type in output.
+    * Round 19: the aggregation runs through [[graft.functions.DecimalSum128]]
+    * (`graft_dsum`) — the exact unscaled sum kept in two primitive long
+    * buffer slots — instead of `sum(decimal(18,6))`, whose decimal(28,6)
+    * accumulator falls off UnsafeRow's compact-long path and costs a
+    * BigDecimal (de)serialization per row (~0.35 s per aggregate per 600k
+    * rows, measured at sf0.1). Same exact value, same null-on-empty
+    * semantics; registered by GraftSqlExtensions on every engine session. */
+  private def dsum(e: Column): Column =
+    call_function("graft_dsum", e.cast(DecimalType(18, 6)))
 
   /** Output form of a decimal sum: round the EXACT decimal at 1e-2, THEN
     * cast to double. Rounding must happen in the decimal domain — a sum

@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational2 {
 
-  private def dsum(e: Column): Column = sum(e.cast(DecimalType(18, 6)))
+  // exact two-long-accumulator decimal sum — see Relational.dsum (round 19)
+  private def dsum(e: Column): Column =
+    call_function("graft_dsum", e.cast(DecimalType(18, 6)))
 
   /** Exact decimal sum surfaced as rounded DOUBLE — see [[Relational.dsumOut]]. */
   private def dsumOut(e: Column): Column = Relational.dsumOut(e)
@@ -140,7 +142,10 @@ object Relational2 {
         Tables.load(s, dir, "orders")
           .select(
             col("o_custkey"), col("o_orderkey"),
-            round(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            // graft_dsum in the window frame: same exact decimal running
+            // sum, two-long accumulator instead of a BigDecimal-backed
+            // decimal(28,6) buffer per frame step (see Relational.dsum)
+            round(dsum(col("o_totalprice"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
               2).cast("double")
               .as("running_total"),
@@ -276,9 +281,14 @@ object Relational2 {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
       (s, dir) =>
+        // pre-cast the summed column BELOW the grouping-set Expand so the
+        // double→decimal conversion runs once per source row, not once per
+        // expanded copy (dsum's re-cast of the already-decimal column is
+        // removed by SimplifyCasts) — same trick in q24/q27
         Tables.load(s, dir, "lineitem")
+          .withColumn("__qd", col("l_quantity").cast(DecimalType(18, 6)))
           .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("cnt"), dsumOut(col("l_quantity")).as("sum_qty"))
+          .agg(count(lit(1)).as("cnt"), dsumOut(col("__qd")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
@@ -353,9 +363,11 @@ object Relational2 {
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
       (s, dir) =>
+        // decimal cast below the ×4 cube Expand — see q18
         Tables.load(s, dir, "lineitem")
+          .withColumn("__qd", col("l_quantity").cast(DecimalType(18, 6)))
           .cube("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("cnt"), dsumOut(col("l_quantity")).as("sum_qty"))
+          .agg(count(lit(1)).as("cnt"), dsumOut(col("__qd")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
@@ -369,11 +381,13 @@ object Relational2 {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
       (s, dir) =>
+        // decimal cast below the ×2 grouping-set Expand — see q18
         Tables.load(s, dir, "lineitem")
+          .withColumn("__qd", col("l_quantity").cast(DecimalType(18, 6)))
           .groupingSets(
             Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
             col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("cnt"), dsumOut(col("l_quantity")).as("sum_qty"))
+          .agg(count(lit(1)).as("cnt"), dsumOut(col("__qd")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
@@ -400,7 +414,10 @@ object Relational2 {
             datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
           .select(col("o_orderkey"),
             count(lit(1)).over(w).as("cnt_30d"),
-            round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+            // exact two-long decimal sum in the sliding frame — the frame
+            // re-accumulates per row, so the buffer cost multiplies by
+            // frame size (see Relational.dsum)
+            round(dsum(col("o_totalprice")).over(w), 2)
               .cast("double").as("sum_30d"))
           .orderBy("o_orderkey")
       }
@@ -420,12 +437,18 @@ object Relational2 {
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
         val c = Tables.load(s, dir, "customer")
+        // ONE percentile aggregate with an array of targets (round 19):
+        // three scalar `percentile(...)` calls each built their own
+        // per-group value buffer and sorted it independently — the array
+        // form keeps one buffer and one sort, interpolating all three
+        // targets from it with identical arithmetic (same values).
         o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
-          .agg(
-            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("__p"))
+          .select(col("c_mktsegment"),
+            round(element_at(col("__p"), 1), 4).as("p50"),
+            round(element_at(col("__p"), 2), 4).as("p90"),
+            round(element_at(col("__p"), 3), 4).as("p99"))
           .orderBy("c_mktsegment")
       }
     ),
@@ -652,7 +675,12 @@ object Relational2 {
             col("value").cast(DecimalType(18, 6)).as("vd"))
         val win = e.select(col("user_id"), col("event_id"),
           col("vd").cast("double").as("v"),
-          sum("vd").over(w).cast("double").as("s"),
+          // vd is already decimal(18,6): graft_dsum directly (exact, two
+          // primitive longs per frame step). The SQUARE sum stays the
+          // built-in: vd*vd carries 12 decimal digits of scale, so its
+          // per-row type (37,12) is not Long-backed — narrowing it would
+          // round per-row values and change the flag arithmetic.
+          call_function("graft_dsum", col("vd")).over(w).cast("double").as("s"),
           sum((col("vd") * col("vd")).cast(DecimalType(38, 12))).over(w)
             .cast("double").as("ss"),
           count(lit(1)).over(w).as("n"))
