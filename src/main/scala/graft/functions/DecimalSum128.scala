@@ -15,7 +15,14 @@ object DecimalSum128 {
 
   /** (hi, lo) two's-complement 128-bit → Decimal(38, scale); null on the
     * (practically unreachable) >38-digit overflow — the same
-    * null-on-overflow contract as Spark's decimal Sum. */
+    * null-on-overflow contract as Spark's decimal Sum in LEGACY mode.
+    * DOCUMENTED ANSI DIVERGENCE (ADVICE r19): under ANSI the built-in
+    * Sum raises ARITHMETIC_OVERFLOW at 28 digits; graft_dsum instead
+    * stays exact to 38 digits and returns null past that. The overflow
+    * domain only WIDENS (inputs that sum past 1e22 of decimal(18,6)
+    * value would need ~10^16 max-magnitude rows), and DuckDB's int128
+    * accumulator behaves like the wide form, so the oracle-checked
+    * domain is unaffected. */
   def toDecimal(hi: Long, lo: Long, scale: Int): Decimal = {
     // lo is a full unsigned 64-bit word; BigInt(lo) would sign-extend
     val big = (BigInt(hi) << 64) + (BigInt(lo >>> 1) << 1) + (lo & 1L)

@@ -56,6 +56,23 @@ object GraftFunctions {
        require(exprs.length == 1, s"graft_dsum expects 1 argument, got ${exprs.length}")
        DecimalSum128(exprs.head)
      }),
+    (FunctionIdentifier("graft_dec"),
+     new ExpressionInfo(classOf[DoubleToDecimal18].getCanonicalName, null,
+       "graft_dec", "double to decimal(18, scale), value-identical to the built-in cast", ""),
+     (exprs: Seq[Expression]) => {
+       require(exprs.length == 2, s"graft_dec expects 2 arguments, got ${exprs.length}")
+       val scale = exprs(1) match {
+         case e if e.foldable => e.eval() match {
+           case i: Int => i
+           case l: Long if l >= 0 && l <= 15 => l.toInt
+           case other => throw new IllegalArgumentException(
+             s"graft_dec: scale must be an integer literal, got $other")
+         }
+         case e => throw new IllegalArgumentException(
+           s"graft_dec: scale must be a constant, got '${e.sql}'")
+       }
+       DoubleToDecimal18(exprs.head, scale)
+     }),
     (FunctionIdentifier("graft_theta"),
      new ExpressionInfo(classOf[ThetaSketchAgg].getCanonicalName, null,
        "graft_theta", "KMV theta sketch of a pre-hashed long column (binary)", ""),

@@ -65,6 +65,11 @@ final class KmvSketch(val k: Int) extends Serializable {
   }
 
   def merge(other: KmvSketch): KmvSketch = {
+    // self-merge guard (ADVICE r19): iterating other.vals while insert()
+    // arraycopies this.vals would corrupt the sketch if other aliases
+    // this. Spark never aliases merge buffers, but KmvSketch is also
+    // used directly (IcebergWriter stats).
+    if (other eq this) return this
     var i = 0
     while (i < other.n) {
       val u = other.vals(i)

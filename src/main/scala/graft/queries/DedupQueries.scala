@@ -214,6 +214,12 @@ object DedupQueries {
       labels0: DataFrame, edges0: DataFrame,
       fixpoint: Boolean, maxRounds: Int): DataFrame = {
     if (!fixpoint) {
+      // the lazy path chains every round into ONE plan; analysis cost
+      // (DeduplicateRelations over nested self-joins) grows fast with
+      // depth, so cap it — callers needing more rounds get the
+      // materializing fixpoint loop instead (ADVICE r19)
+      require(maxRounds <= 8,
+        s"propagate: lazy chaining caps at 8 rounds, got $maxRounds — use fixpoint=true")
       val edges = edges0.hint("shuffle_hash")
       var labels = labels0.select(col("doc_id"), col("label"))
       (1 to maxRounds).foreach { _ =>
@@ -926,7 +932,8 @@ object DedupQueries {
         // oracle keeps summing at (25,8) — equal exact values either way)
         val refined = mem.groupBy("cid", "pos")
           .agg(round(call_function("graft_dsum",
-              col("val").cast("double").cast("decimal(18,8)")).cast("double")
+              call_function("graft_dec", col("val").cast("double"), lit(8)))
+              .cast("double")
             / count(lit(1)), 6).as("m"))
         val cents = refined.groupBy("cid")
           .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),

@@ -20,6 +20,13 @@ object IcebergQueries {
   private def tsMs(s: String): Long =
     java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
 
+  /** Exact decimal sum of a DOUBLE column at decimal(18, scale) — the
+    * round-19/20 fast aggregation (two-long accumulator + correctly-
+    * rounded cast), value-identical to
+    * `sum(e.cast(DecimalType(18, scale)))` (round 20, guide §4). */
+  private def dsumD(e: org.apache.spark.sql.Column, scale: Int) =
+    call_function("graft_dsum", call_function("graft_dec", e, lit(scale)))
+
   /** The days(dt)-partitioned events fixture shared by the READ-ONLY
     * pruning gates (ib16/ib20/ib21) — written once per (JVM, sf dir);
     * gates that mutate their table (ib14/ib18/ib19) keep private copies. */
@@ -1178,8 +1185,7 @@ object IcebergQueries {
           .filter(col("type") === "data").agg(count(lit(1)).as("fk"))
         val agg = IcebergScan.scanFiltered(s, table, cond).agg(
           count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+          round(dsumD(col("o_totalprice"), 6), 2)
             .cast("double").as("total"))
         total.crossJoin(kept).crossJoin(agg)
           .select((col("fk") < col("ft")).as("pruned"), col("cnt"), col("total"))
@@ -1280,8 +1286,7 @@ object IcebergQueries {
         IcebergScan.scan(s, table)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("cnt"),
-            round(sum(col("l_quantity")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+            round(dsumD(col("l_quantity"), 6), 2)
               .cast("double").as("sum_qty"))
           .crossJoin(zeroCopy)
           .select("zero_copy", "l_returnflag", "cnt", "sum_qty")
@@ -1334,8 +1339,7 @@ object IcebergQueries {
         IcebergScan.scan(s, clone)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("cnt"),
-            round(sum(col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+            round(dsumD(col("o_totalprice"), 6), 2)
               .cast("double").as("sum_price"))
           .crossJoin(zeroCopy)
           .select("zero_copy", "o_orderstatus", "cnt", "sum_price")
@@ -1376,8 +1380,7 @@ object IcebergQueries {
         IcebergScan.scan(s, table)
           .groupBy("dt")
           .agg(count(lit(1)).as("cnt"),
-            round(sum(col("value")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 4)
+            round(dsumD(col("value"), 6), 4)
               .cast("double").as("sum_v"))
           .orderBy("dt")
       }
@@ -1416,8 +1419,7 @@ object IcebergQueries {
         IcebergScan.scan(s, table)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("cnt"),
-            round(sum(col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+            round(dsumD(col("o_totalprice"), 4), 2)
               .cast("double").as("sum_price"))
           .crossJoin(fmt)
           .select("data_format", "o_orderpriority", "cnt", "sum_price")
@@ -1487,8 +1489,7 @@ object IcebergQueries {
         val rows = IcebergScan.scan(s, table)
           .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 500L)
           .agg(count(lit(1)).as("cnt"),
-            round(sum(col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+            round(dsumD(col("o_totalprice"), 4), 2)
               .cast("double").as("sum_price"))
           .collect()(0)
         val (_, e1) = graft.iceberg.AvroDataSource.decoderStats
@@ -2073,7 +2074,7 @@ object IcebergQueries {
           .agg(
             count(lit(1)).as("cnt"),
             sum("user_id").cast("bigint").as("user_sum"),
-            round(sum(col("value").cast("decimal(18,6)")), 2)
+            round(dsumD(col("value"), 6), 2)
               .cast("double").as("total"))
         val row = joined.collect().head // finalize the adaptive plan
         val cnt = row.getLong(0)

@@ -34,8 +34,18 @@ object Relational {
     * BigDecimal (de)serialization per row (~0.35 s per aggregate per 600k
     * rows, measured at sf0.1). Same exact value, same null-on-empty
     * semantics; registered by GraftSqlExtensions on every engine session. */
+  /** Correctly-rounded double→decimal(18,6) — value-identical to
+    * `.cast(DecimalType(18,6))` on a double input (proven by
+    * DoubleToDecimalSpec) without the built-in cast's per-row
+    * `Double.toString` + BigDecimal parse (~0.15 s per 600k rows per
+    * expression at sf0.1 — round 20, guide §4). Double inputs ONLY:
+    * [[graft.functions.DoubleToDecimal18]] rejects other types at
+    * analysis rather than silently changing cast semantics. */
+  private[queries] def dec6(e: Column): Column =
+    call_function("graft_dec", e, lit(6))
+
   private def dsum(e: Column): Column =
-    call_function("graft_dsum", e.cast(DecimalType(18, 6)))
+    call_function("graft_dsum", dec6(e))
 
   /** Output form of a decimal sum: round the EXACT decimal at 1e-2, THEN
     * cast to double. Rounding must happen in the decimal domain — a sum
@@ -48,6 +58,12 @@ object Relational {
     * Mirrors `CAST(round(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)`. */
   private[queries] def dsumOut(e: Column): Column =
     round(dsum(e), 2).cast("double")
+
+  /** dsumOut over a column ALREADY cast to decimal(18,6) (the grouping-set
+    * queries pre-cast below the Expand so the conversion runs once per
+    * source row, not per expanded copy). */
+  private[queries] def dsumOutPre(e: Column): Column =
+    round(call_function("graft_dsum", e), 2).cast("double")
 
   /** Deterministic average surfaced as a rounded double. */
   private def davg(e: Column): Column =

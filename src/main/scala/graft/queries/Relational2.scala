@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.DecimalType
 object Relational2 {
 
   // exact two-long-accumulator decimal sum — see Relational.dsum (round 19)
+  // correctly-rounded double→decimal(18,6) fast path — see Relational.dec6
+  private def dec6(e: Column): Column = Relational.dec6(e)
+
   private def dsum(e: Column): Column =
-    call_function("graft_dsum", e.cast(DecimalType(18, 6)))
+    call_function("graft_dsum", dec6(e))
 
   /** Exact decimal sum surfaced as rounded DOUBLE — see [[Relational.dsumOut]]. */
   private def dsumOut(e: Column): Column = Relational.dsumOut(e)
@@ -142,10 +145,14 @@ object Relational2 {
         Tables.load(s, dir, "orders")
           .select(
             col("o_custkey"), col("o_orderkey"),
-            // graft_dsum in the window frame: same exact decimal running
-            // sum, two-long accumulator instead of a BigDecimal-backed
-            // decimal(28,6) buffer per frame step (see Relational.dsum)
-            round(dsum(col("o_totalprice"))
+            // BUILT-IN sum over the fast-cast decimal (round 20): warm A/B
+            // showed graft_dsum buys nothing in a window frame — the frame
+            // buffer is a mutable SpecificInternalRow (no UnsafeRow
+            // BigDecimal churn) and evaluateExpression runs per OUTPUT row,
+            // so the two-long accumulator's win disappears while its
+            // toDecimal reassembly multiplies (VERDICT r19 #3). The
+            // graft_dec cast is the part that pays here (~15%).
+            round(sum(dec6(col("o_totalprice")))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
               2).cast("double")
               .as("running_total"),
@@ -264,7 +271,7 @@ object Relational2 {
       (s, dir) => {
         val p = Tables.load(s, dir, "part")
         val avgDF = p.agg(
-          (sum(col("p_retailprice").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+          (dsum(col("p_retailprice")).cast("double") / count(lit(1)))
             .as("__avg"))
         p.crossJoin(broadcast(avgDF))
           .filter(col("p_retailprice") > col("__avg"))
@@ -286,9 +293,9 @@ object Relational2 {
         // expanded copy (dsum's re-cast of the already-decimal column is
         // removed by SimplifyCasts) — same trick in q24/q27
         Tables.load(s, dir, "lineitem")
-          .withColumn("__qd", col("l_quantity").cast(DecimalType(18, 6)))
+          .withColumn("__qd", dec6(col("l_quantity")))
           .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("cnt"), dsumOut(col("__qd")).as("sum_qty"))
+          .agg(count(lit(1)).as("cnt"), Relational.dsumOutPre(col("__qd")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
@@ -365,9 +372,9 @@ object Relational2 {
       (s, dir) =>
         // decimal cast below the ×4 cube Expand — see q18
         Tables.load(s, dir, "lineitem")
-          .withColumn("__qd", col("l_quantity").cast(DecimalType(18, 6)))
+          .withColumn("__qd", dec6(col("l_quantity")))
           .cube("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("cnt"), dsumOut(col("__qd")).as("sum_qty"))
+          .agg(count(lit(1)).as("cnt"), Relational.dsumOutPre(col("__qd")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
@@ -383,11 +390,11 @@ object Relational2 {
       (s, dir) =>
         // decimal cast below the ×2 grouping-set Expand — see q18
         Tables.load(s, dir, "lineitem")
-          .withColumn("__qd", col("l_quantity").cast(DecimalType(18, 6)))
+          .withColumn("__qd", dec6(col("l_quantity")))
           .groupingSets(
             Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
             col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("cnt"), dsumOut(col("__qd")).as("sum_qty"))
+          .agg(count(lit(1)).as("cnt"), Relational.dsumOutPre(col("__qd")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     ),
     QueryDef(
@@ -414,10 +421,10 @@ object Relational2 {
             datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
           .select(col("o_orderkey"),
             count(lit(1)).over(w).as("cnt_30d"),
-            // exact two-long decimal sum in the sliding frame — the frame
-            // re-accumulates per row, so the buffer cost multiplies by
-            // frame size (see Relational.dsum)
-            round(dsum(col("o_totalprice")).over(w), 2)
+            // BUILT-IN sum over the fast-cast decimal — same revert as q10
+            // (VERDICT r19 #3: the window-frame graft_dsum was unproven;
+            // warm A/B confirmed it's a small net loss there)
+            round(sum(dec6(col("o_totalprice"))).over(w), 2)
               .cast("double").as("sum_30d"))
           .orderBy("o_orderkey")
       }
@@ -672,15 +679,15 @@ object Relational2 {
           .rowsBetween(-10, -1)
         val e = Tables.events(s, dir)
           .select(col("user_id"), col("ts"), col("event_id"),
-            col("value").cast(DecimalType(18, 6)).as("vd"))
+            dec6(col("value")).as("vd"))
         val win = e.select(col("user_id"), col("event_id"),
           col("vd").cast("double").as("v"),
-          // vd is already decimal(18,6): graft_dsum directly (exact, two
-          // primitive longs per frame step). The SQUARE sum stays the
-          // built-in: vd*vd carries 12 decimal digits of scale, so its
-          // per-row type (37,12) is not Long-backed — narrowing it would
-          // round per-row values and change the flag arithmetic.
-          call_function("graft_dsum", col("vd")).over(w).cast("double").as("s"),
+          // BUILT-IN sum in the window frame (round 20 — see q10). The
+          // SQUARE sum stays built-in too: vd*vd carries 12 decimal digits
+          // of scale, so its per-row type (37,12) is not Long-backed —
+          // narrowing it would round per-row values and change the flag
+          // arithmetic.
+          sum(col("vd")).over(w).cast("double").as("s"),
           sum((col("vd") * col("vd")).cast(DecimalType(38, 12))).over(w)
             .cast("double").as("ss"),
           count(lit(1)).over(w).as("n"))
