@@ -204,9 +204,43 @@ object AvroFiles {
     val schemaJson = avroSchema(payload).toString
     val gpIdx = gpNames.map(schema.fieldIndex)
     val gpTypes = gpIdx.map(schema.fields(_).dataType)
-    val payloadIdx = payload.fields.map(f => schema.fieldIndex(f.name)).toSeq
-    val payloadTypes = payload.fields.map(_.dataType).toSeq
+    // Round 20 (guide §4 per-row work): the write leg runs on
+    // queryExecution.toRdd (InternalRow) instead of df.rdd — df.rdd paid
+    // a full external-Row conversion per record (plus
+    // LocalDate/Timestamp object materialization that toAvro immediately
+    // re-flattened to the epoch numbers the INTERNAL representation
+    // already holds). Extractors below read the avro-ready primitive
+    // straight out of the internal row.
     val payloadNames = payload.fieldNames.toSeq
+    val payloadExtract: Seq[org.apache.spark.sql.catalyst.InternalRow => AnyRef] =
+      payload.fields.toSeq.map { f =>
+        val i = schema.fieldIndex(f.name)
+        val get: org.apache.spark.sql.catalyst.InternalRow => AnyRef = f.dataType match {
+          case BooleanType => r => Boolean.box(r.getBoolean(i))
+          case IntegerType => r => Int.box(r.getInt(i))
+          case LongType => r => Long.box(r.getLong(i))
+          case FloatType => r => Float.box(r.getFloat(i))
+          case DoubleType => r => Double.box(r.getDouble(i))
+          case StringType => r => r.getUTF8String(i).toString
+          case BinaryType => r => ByteBuffer.wrap(r.getBinary(i))
+          // internal values are ALREADY avro's logical representation:
+          // date = epoch days (int), timestamps = micros (long)
+          case DateType => r => Int.box(r.getInt(i))
+          case TimestampNTZType | TimestampType => r => Long.box(r.getLong(i))
+          case d: DecimalType => r => ByteBuffer.wrap(
+            r.getDecimal(i, d.precision, d.scale)
+              .toJavaBigDecimal.unscaledValue.toByteArray)
+          case other => throw new UnsupportedOperationException(
+            s"avro write: unsupported type ${other.sql}") // unreachable (validated)
+        }
+        (r: org.apache.spark.sql.catalyst.InternalRow) =>
+          if (r.isNullAt(i)) null else get(r)
+      }
+    // partition-dir segments keep their EXTERNAL rendering (dirValue) so
+    // directory names are byte-identical to the df.rdd era — the internal
+    // value converts through the same Catalyst converter df.rdd used
+    val gpConv: Seq[Any => Any] = gpTypes.map(dt =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(dt))
     val dirStr = dataDir.toString
     // One token per WRITE JOB (not per attempt): all attempts of a task
     // race toward the same final file name, making retries idempotent.
@@ -219,7 +253,7 @@ object AvroFiles {
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sessionState.newHadoopConf())
     try {
-      df.rdd.foreachPartition { rows =>
+      df.queryExecution.toRdd.foreachPartition { rows =>
         val conf = sconf.value
         val writerSchema = new Schema.Parser().parse(schemaJson)
         val tc = org.apache.spark.TaskContext.get()
@@ -231,8 +265,11 @@ object AvroFiles {
         var complete = false
         try {
           rows.foreach { row =>
-            val segs = gpIdx.zip(gpTypes).zip(gpNames).map { case ((i, dt), n) =>
-              s"$n=${dirValue(dt, if (row.isNullAt(i)) null else row.get(i))}"
+            val segs = gpIdx.zip(gpTypes).zip(gpNames).zipWithIndex.map {
+              case (((i, dt), n), j) =>
+                val v = if (row.isNullAt(i)) null
+                        else gpConv(j)(row.get(i, dt))
+                s"$n=${dirValue(dt, v)}"
             }
             val (w, _, _) = staged.getOrElseUpdate(segs, {
               val name = f"part-$taskId%05d-$jobToken.avro"
@@ -250,10 +287,8 @@ object AvroFiles {
               (w.create(writerSchema, out), src, dest)
             })
             val rec = new GenericData.Record(writerSchema)
-            payloadIdx.indices.foreach { j =>
-              val i = payloadIdx(j)
-              rec.put(payloadNames(j),
-                toAvro(payloadTypes(j), if (row.isNullAt(i)) null else row.get(i)))
+            payloadNames.indices.foreach { j =>
+              rec.put(payloadNames(j), payloadExtract(j)(row))
             }
             w.append(rec)
           }

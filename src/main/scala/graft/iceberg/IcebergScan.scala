@@ -444,7 +444,32 @@ object IcebergScan {
     }
 
     // --- merge-on-read position deletes (v2 parquet files + v3 DVs) ---
-    if (deletePaths.nonEmpty || dvEntries.nonEmpty) {
+    // v3 DELETION VECTORS apply through a join-free filter expression
+    // (round 20, guide §2.4/§3): the old (file_path, pos) broadcast anti
+    // join decoded every blob into a row relation and hashed a
+    // path-string key per data row (~0.45 s of a 0.60 s DV'd scan at
+    // sf0.1; at scale, every deleted position materialized into one
+    // broadcast). graft_dv_alive ships only blob COORDINATES and decodes
+    // each file's DV once per executor (DvPositionCache), probing with a
+    // monotone cursor. Falls back to the anti join if a foreign table
+    // ever carries two live DVs for one file (spec violation — the union
+    // semantics of the join stay correct there).
+    val dvSpecs = dvEntries.map { case (e, _) =>
+      (qualify(resolved(path, e.referencedDataFile.get, opts)),
+       resolved(path, e.filePath, opts), e.contentOffset.get, e.contentSizeInBytes.get)
+    }
+    val dvAsFilter = dvSpecs.nonEmpty &&
+      dvSpecs.map(_._1).distinct.size == dvSpecs.size
+    if (dvAsFilter) {
+      val spec = dvSpecs.map { case (q, p, off, len) =>
+        s"$q\u0001$p\u0001$off\u0001$len"
+      }.mkString("\u0002")
+      cur = cur.filter(call_function("graft_dv_alive",
+        col("__graft_file"), col("__graft_pos"), lit(spec)))
+    }
+    val joinDeleteEntries =
+      if (dvAsFilter) deleteEntries else deleteEntries ++ dvEntries
+    if (joinDeleteEntries.nonEmpty) {
       val fileMap = dataEntries.map { case (e, _) =>
         val passed = resolved(path, e.filePath, opts)
         (e.filePath, qualify(passed))
@@ -455,8 +480,14 @@ object IcebergScan {
       // explicit broadcast below. Data-side stats are deliberately NOT
       // injected — Spark's AQE re-plans the join from runtime statistics,
       // which subsumes a static data-side estimate.
-      val deleteCard = (deleteEntries ++ dvEntries).map(_._1.recordCount).sum
-      val rawDeletes = posDeleteRows(spark, conf, path, opts, deleteEntries ++ dvEntries)
+      val deleteCard = joinDeleteEntries.map(_._1.recordCount).sum
+      // the spec's DV-wins read rule must still drop parquet
+      // position-delete rows aimed at DV'd files even when the DVs
+      // themselves apply through the filter expression above
+      val rawDeletes = posDeleteRows(spark, conf, path, opts, joinDeleteEntries,
+        extraDvTargets =
+          if (dvAsFilter) dvEntries.map(_._1.referencedDataFile.get).distinct
+          else Seq.empty)
       // Map each position-delete row to the qualified data-file URI. Inner
       // join also drops deletes pointing at no-longer-live data files.
       val deletes0 = rawDeletes
@@ -1300,7 +1331,11 @@ object IcebergScan {
   private def posDeleteRows(
       spark: SparkSession, conf: org.apache.hadoop.conf.Configuration,
       root: String, opts: Options,
-      entries: Seq[(ManifestEntry, Long)]): DataFrame = {
+      entries: Seq[(ManifestEntry, Long)],
+      // data files whose DVs apply OUTSIDE this relation (the scan's
+      // graft_dv_alive filter) but whose parquet position-delete rows
+      // must still be dropped here (spec v3: the DV is the whole truth)
+      extraDvTargets: Seq[String] = Seq.empty): DataFrame = {
     import spark.implicits._
     val (dvEntries, parquetEntries) = entries.partition(_._1.isDV)
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)

